@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession config for all entry points (Verify, Bench, server,
+  * tests) so oracle-sensitive settings are set exactly once. */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS); see Tables.normalizeNanoTs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // serving engine: results are modest, favor broadcast joins for dims
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

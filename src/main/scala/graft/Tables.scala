@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Registry over the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Mirrors the reference's named-table catalog (ColumnQ.schema_map,
+  * reference: columnq/src/columnq.rs:36-44) but stays *lazy*: every table is a
+  * plain parquet scan, so Catalyst pushes filters and prunes columns all the
+  * way into the reader. That is the design that survives a 100 TB listing —
+  * materializing (the reference's `use_memory_table` default) is opt-in via
+  * [[cacheAll]] for small serving tables only.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables worth broadcasting in joins. */
+  val dims: Set[String] = Set("region", "nation", "supplier", "part", "customer")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeNanoTs(df, "ts") else df
+  }
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a raw
+    * long (spark.sql.legacy.parquet.nanosAsLong=true — set that in every
+    * session). Truncate ns -> us with integral division (NOT a double divide:
+    * ~1.7e18 ns exceeds double's 53-bit mantissa), matching DuckDB's own
+    * ns -> us truncation so oracle comparisons agree. */
+  def normalizeNanoTs(df: DataFrame, colName: String): DataFrame =
+    df.schema.find(_.name == colName).filter(_.dataType == LongType) match {
+      case Some(_) => df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case None    => df
+    }
+
+  /** Register every table as a temp view for SQL pass-through queries
+    * (reference: columnq/src/query/sql.rs:5-18 — parse, plan, collect). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Reference-parity "MemTable" mode: fully materialized in memory
+    * (reference: columnq/src/table/mod.rs:291-294). Use for serving only. */
+  def cacheAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { n =>
+      val df = t(spark, sfDir, n).cache()
+      df.createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,86 @@
+package graft.frontend
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** REST query-param frontend.
+  *
+  * Replicates the reference grammar and semantics
+  * (reference: columnq/src/query/rest.rs:23-156):
+  *
+  *   - `filter[col]=v`, `filter[col]eq=`, `lt`, `lte`/`lteq`, `gt`,
+  *     `gte`/`gteq` — each filter is a separate conjunct.
+  *   - `columns=a,b,c` — projection.
+  *   - `sort=a,-b,+c` — `-` is DESC; sorts are nulls-first for BOTH
+  *     directions (reference: columnq/src/query/mod.rs:6-20; Spark's DESC
+  *     default is nulls-last, hence the explicit `desc_nulls_first`).
+  *   - `limit=n`, `page=p` (1-based) — skip `(p-1)*n` rows then take `n`.
+  *
+  * Operator order is fixed: filters -> projection -> sort -> limit
+  * (observable in reference plan-equivalence tests, rest.rs:233-267).
+  *
+  * Literal typing matches `rest_query_value_to_expr` (rest.rs:23-51):
+  * single-quoted -> string, integral -> long, otherwise double.
+  */
+object RestQuery {
+  private val FilterKey = """filter\[(.+?)\](.*)""".r
+
+  final case class RestError(error: String, message: String)
+      extends RuntimeException(s"$error: $message")
+
+  def literal(v: String): Column = {
+    val t = v.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      lit(t.substring(1, t.length - 1).replace("''", "'"))
+    else
+      t.toLongOption.map(lit(_))
+        .orElse(t.toDoubleOption.map(lit(_)))
+        .getOrElse(throw RestError("rest_query_value", s"invalid REST query value $v"))
+  }
+
+  def predicate(c: Column, op: String, v: String): Column = op match {
+    case "" | "eq"      => c === literal(v)
+    case "lt"           => c < literal(v)
+    case "lte" | "lteq" => c <= literal(v)
+    case "gt"           => c > literal(v)
+    case "gte" | "gteq" => c >= literal(v)
+    case other => throw RestError("rest_query", s"unsupported filter operator $other")
+  }
+
+  def sortCol(spec: String): Column = spec.headOption match {
+    case Some('-') => col(spec.tail).desc_nulls_first
+    case Some('+') => col(spec.tail).asc_nulls_first
+    case _         => col(spec).asc_nulls_first
+  }
+
+  /** Apply REST params to a DataFrame in the reference's fixed order. */
+  def apply(df0: DataFrame, params: Map[String, String]): DataFrame = {
+    var df = df0
+    // Filters first (conjunction; Catalyst folds chained filters into one And).
+    params.toSeq.sortBy(_._1).foreach {
+      case (key @ FilterKey(c, op), v) =>
+        val _ = key
+        df = df.filter(predicate(col(c), op, v))
+      case (key, _) if key.startsWith("filter[") =>
+        throw RestError("rest_query", s"invalid filter condition $key")
+      case _ => ()
+    }
+    params.get("columns").foreach { v =>
+      df = df.select(v.split(',').toIndexedSeq.map(col): _*)
+    }
+    params.get("sort").foreach { v =>
+      df = df.orderBy(v.split(',').toIndexedSeq.map(sortCol): _*)
+    }
+    params.get("limit").foreach { v =>
+      val n = v.toInt
+      val skip = params.get("page").map(p => (p.toInt - 1) * n).getOrElse(0)
+      df = if (skip > 0) df.offset(skip).limit(n) else df.limit(n)
+    }
+    df
+  }
+
+  /** Query a registered table by name (reference: rest.rs:159-170). */
+  def table(spark: org.apache.spark.sql.SparkSession, name: String,
+            params: Map[String, String]): DataFrame =
+    apply(spark.table(name), params)
+}

@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.frontend.{GraphQl, RestQuery}
+
+/** Relational operator inventory (SURVEY.md §2a + §2b).
+  *
+  * Two styles, mirroring the reference's architecture:
+  *   - SQL pass-through (reference: columnq/src/query/sql.rs:5-18): the query
+  *     text IS the oracle — the same ANSI string runs on Spark and DuckDB.
+  *   - Constructed DataFrame plans for the REST / GraphQL frontends and for
+  *     operators we deliberately express with the Dataset API (windows,
+  *     sessionization), each with a hand-written DuckDB oracle.
+  *
+  * Determinism rules (the driver hash-compares values against DuckDB):
+  *   - Double aggregation order differs across engines, so every SUM/AVG over
+  *     a double column goes through an exact DECIMAL cast first and is cast
+  *     back to DOUBLE at the end — identical bits on both engines.
+  *   - Every query has a total ORDER BY with a unique tiebreaker.
+  *   - Nullable sort keys pin NULLS FIRST on both sides.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sqlQ(text: String): Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(text)
+  }
+
+  /** SQL that runs verbatim on both Spark SQL and DuckDB. */
+  val sqlBoth: Map[String, String] = Map(
+    // --- aggregation: TPC-H Q1 pricing summary (group-agg over the fact) ---
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4))) AS DECIMAL(24,6)) * (1 + CAST(l_tax AS DECIMAL(9,4)))) AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // --- selective filter + single aggregate (TPC-H Q6) ---
+    "q6_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // --- 3-table join + group + top-k (TPC-H Q3) ---
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // --- 6-table snowflake join (TPC-H Q5) ---
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // --- left outer join + double grouping (TPC-H Q13) ---
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // --- semi join (EXISTS) ---
+    "q_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        |)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // --- anti join (NOT EXISTS) ---
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // --- IN subquery ---
+    "q_in_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // --- scalar subquery (deterministic avg: exact decimal sum / count) ---
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.8 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // --- full outer join over pre-aggregates ---
+    "q_full_outer_join" ->
+      """SELECT COALESCE(cn.k, sn.k) AS nationkey, cn.n_cust, sn.n_supp
+        |FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cn
+        |FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) sn
+        |  ON cn.k = sn.k
+        |ORDER BY nationkey""".stripMargin,
+
+    // --- cross join ---
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // --- self theta-ish join (equi + inequality) ---
+    "q_self_join_pairs" ->
+      """SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY nation_a, nation_b""".stripMargin,
+
+    // --- set operators ---
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_union_all_counts" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey FROM supplier
+        |) t GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    // --- distinct / having / top-k / pagination ---
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS order_count
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) > 15
+        |ORDER BY order_count DESC, o_custkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin,
+
+    // --- grouping sets / rollup / cube ---
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // --- conditional aggregation ---
+    "q_case_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_value,
+        |  COUNT(CASE WHEN value > 100 THEN 1 END) AS big_n,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // --- string functions ---
+    "q_string_funcs" ->
+      """SELECT p_brand, UPPER(p_type) AS type_u, COUNT(*) AS n
+        |FROM part
+        |WHERE p_name LIKE '%a%' AND LENGTH(p_name) > 10
+        |GROUP BY p_brand, UPPER(p_type)
+        |ORDER BY p_brand, type_u""".stripMargin,
+    "q_substr_concat" ->
+      """SELECT SUBSTR(c_name, 1, 9) AS pref, c_mktsegment || '/' || c_name AS tagged
+        |FROM customer
+        |WHERE c_acctbal >= 0
+        |ORDER BY c_custkey
+        |LIMIT 50""".stripMargin,
+
+    // --- date/time functions ---
+    "q_date_parts" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+        |ORDER BY y, m""".stripMargin,
+    "q_date_trunc_window" ->
+      """SELECT DATE_TRUNC('HOUR', ts) AS hour_bucket, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY DATE_TRUNC('HOUR', ts), event_type
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    // --- derived table + join reuse ---
+    "q_derived_table" ->
+      """SELECT s.s_name, t.n_ship
+        |FROM (SELECT l_suppkey, COUNT(*) AS n_ship FROM lineitem GROUP BY l_suppkey) t
+        |JOIN supplier s ON s.s_suppkey = t.l_suppkey
+        |ORDER BY t.n_ship DESC, s.s_name
+        |LIMIT 25""".stripMargin
+  )
+
+  // ---- DataFrame-API queries (separate DuckDB oracle) ----------------------
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val dfQueries: Map[String, Q] = Map(
+    // REST frontend: equality filter + projection + sort + limit
+    "rest_filter_eq" -> ((spark, dir) => {
+      RestQuery(Tables.t(spark, dir, "lineitem"), Map(
+        "filter[l_returnflag]" -> "'R'",
+        "filter[l_quantity]gte" -> "48",
+        "columns" -> "l_orderkey,l_linenumber,l_quantity,l_extendedprice",
+        "sort" -> "l_orderkey,l_linenumber,l_quantity,l_extendedprice",
+        "limit" -> "100"))
+    }),
+    // REST frontend: range filters + desc sort + pagination
+    "rest_range_page" -> ((spark, dir) => {
+      RestQuery(Tables.t(spark, dir, "orders"), Map(
+        "filter[o_totalprice]gt" -> "400000",
+        "filter[o_totalprice]lte" -> "500000",
+        "columns" -> "o_orderkey,o_totalprice",
+        "sort" -> "-o_totalprice,o_orderkey",
+        "limit" -> "20", "page" -> "2"))
+    }),
+    // GraphQL frontend
+    "graphql_parts" -> ((spark, dir) => {
+      Tables.registerAll(spark, dir)
+      GraphQl.query(spark,
+        """{ part(filter: {p_size: {gte: 10, lt: 20}, p_brand: "Brand#15"},
+          |       sort: [{field: "p_retailprice", order: "desc"}, {field: "p_partkey"}],
+          |       limit: 25)
+          |  { p_partkey p_name p_retailprice p_size } }""".stripMargin)
+    }),
+    // window: rank within partition (top-2 orders per customer)
+    "q_window_rank" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.t(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    // window: running (cumulative) sum per partition, exact decimal.
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    // window order adds l_quantity (ties in qty leave the running sum
+    // invariant) and the output order adds running_qty as final tiebreaker.
+    "q_window_running_sum" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(spark, dir, "lineitem")
+        .withColumn("running_qty", sum(dec2(col("l_quantity"))).over(w).cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+    }),
+    // window: lag across event stream
+    "q_window_lag" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.t(spark, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"), col("prev_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // sessionization: 30-min inactivity gap via integer millis (deterministic)
+    "q_sessionize" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.t(spark, dir, "events")
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+    // JSON field extraction from a string column
+    "q_json_extract" -> ((spark, dir) => {
+      Tables.t(spark, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))
+    }),
+    // KV-store projection (reference: columnq/src/columnq.rs:275-331):
+    // key must be string-typed; this is the table the driver-side Map is built from
+    "q_kv_projection" -> ((spark, dir) => {
+      Tables.t(spark, dir, "customer")
+        .select(col("c_custkey").cast("string").as("key"), col("c_name").as("value"))
+        .na.drop(Seq("key"))
+        .orderBy(col("key"))
+    })
+  )
+
+  val dfOracles: Map[String, String] = Map(
+    "rest_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 48
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |LIMIT 100""".stripMargin,
+    "rest_range_page" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 400000 AND o_totalprice <= 500000
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 20""".stripMargin,
+    "graphql_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part
+        |WHERE p_size >= 10 AND p_size < 20 AND p_brand = 'Brand#15'
+        |ORDER BY p_retailprice DESC, p_partkey
+        |LIMIT 25""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id, value,
+        |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |    FROM events) t1
+        |) t2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_kv_projection" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS value
+        |FROM customer
+        |ORDER BY key""".stripMargin
+  )
+
+  val queries: Map[String, Q] =
+    sqlBoth.map { case (name, text) => name -> sqlQ(text) } ++ dfQueries
+
+  val oracles: Map[String, String] = sqlBoth ++ dfOracles
+}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's output
+against DuckDB oracles on the same parquet tables and diff values.
+
+Usage: python tools/check.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        import glob
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result written")
+            n_fail += 1
+            continue
+        got = pq.read_table(files[0])
+        try:
+            exp = con.sql(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} != {ecols}")
+            n_fail += 1
+            continue
+        g = got.select(gcols).to_pylist()
+        e = exp.select(ecols).to_pylist()
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+            continue
+        bad = None
+        maxdiff = 0.0
+        for i, (rg, re_) in enumerate(zip(g, e)):
+            for c in gcols:
+                a, b = norm(rg[c]), norm(re_[c])
+                if a == b:
+                    continue
+                if isinstance(a, float) and isinstance(b, float):
+                    d = abs(a - b)
+                    maxdiff = max(maxdiff, d)
+                    if d > 0:
+                        bad = bad or (i, c, a, b)
+                else:
+                    bad = bad or (i, c, a, b)
+        if bad:
+            i, c, a, b = bad
+            exact = "EXACT-MISMATCH" if maxdiff == 0 else f"maxdiff={maxdiff:.3e}"
+            print(f"FAIL {name}: row {i} col {c}: {a!r} != {b!r} ({exact})")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
