@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis primitives for large-scale corpus processing.
+  *
+  * Everything here is a per-row projection — embarrassingly parallel, no
+  * shuffle, scales linearly with input splits. Where a computation would need
+  * N passes as composed built-ins (SimHash's 64 bit-counters, MinHash's k
+  * permutations) we use a native Catalyst `Expression` doing one pass per row;
+  * everything else composes `org.apache.spark.sql.functions` so it stays
+  * inside whole-stage codegen.
+  */
+object TextFunctions {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — public-domain hash, stable across
+    * engines and releases (unlike hashCode). */
+  def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  def fnv64(s: String): Long = { val b = s.getBytes("UTF-8"); fnv64(b, 0, b.length) }
+
+  // ---- tokenization (composed built-ins; codegen'd) ------------------------
+
+  /** Whitespace tokens of the trimmed, lowercased text. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Word n-gram shingles (distinct), the unit for MinHash / Jaccard dedup. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: runs of word chars or single non-space symbols
+    * (a cheap, deterministic proxy for subword tokenizer load estimates). */
+  def tokenCountBpeish(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]"), lit(0))).cast("long")
+
+  // ---- quality scoring -----------------------------------------------------
+
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.!?,;:]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  def upperRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Z]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "from", "that", "this", "be", "are", "was")
+
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val t = tokens(c)
+    size(filter(t, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation noise and a natural stopword rate. Heuristic, deterministic. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = least(punctRatio(c) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    round((lenScore * 0.4 + (lit(1.0) - punctPenalty) * 0.3 + stopScore * 0.3), 6)
+  }
+
+  // ---- language identification (n-gram/stopword heuristic) -----------------
+
+  /** Tiny per-language lexicons of high-frequency function words. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "est"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "von", "zu", "mit", "ist", "den", "ein"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Predict language by stopword-hit votes; deterministic tie-break by
+    * lexicon order; no hits at all -> "und". */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val scores = langLexicons.map { case (lang, lex) =>
+      lang -> size(filter(t, x => x.isin(lex.map(_.asInstanceOf[Any]): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  // ---- single-pass native expressions --------------------------------------
+
+  /** 64-bit SimHash of the whitespace-tokenized input string in ONE pass
+    * (64 bit-counters over FNV-1a token hashes). A composed-builtins version
+    * would need 64 parallel aggregates per row. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val counts = new Array[Int](64)
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        if (i > start) {
+          val h = fnv64(s.substring(start, i).toLowerCase)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** k-permutation MinHash signature over an array<string> of shingles in ONE
+    * pass: sig_i = min over shingles of ((a_i * h + b_i) mod p), p = 2^61-1,
+    * (a_i, b_i) derived deterministically from the seed. */
+  case class MinHashSignature(child: Expression, k: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private val P = (1L << 61) - 1
+    private lazy val coeffs: Array[(Long, Long)] = {
+      val rnd = new java.util.Random(seed)
+      Array.fill(k)((math.abs(rnd.nextLong()) % (P - 1)) + 1 -> math.abs(rnd.nextLong()) % P)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = fnv64(arr.getUTF8String(i).toString) & Long.MaxValue
+        var j = 0
+        while (j < k) {
+          val (a, b) = coeffs(j)
+          // (a*h + b) mod p via unsigned 128-safe math: split h
+          val v = ((a % P) * (h % P) % P + b) % P
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** Polynomial rolling-hash document fingerprint over whitespace tokens,
+    * mod 2^61-1 — order-sensitive (unlike SimHash), single pass. */
+  case class RollingFingerprint(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    private val P = (1L << 61) - 1
+    private val B = 1000003L
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var acc = 0L
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        if (i > start) {
+          val h = fnv64(s.substring(start, i).toLowerCase) & Long.MaxValue
+          acc = (mulmod(acc, B) + (h % P)) % P
+        }
+      }
+      java.lang.Long.valueOf(acc)
+    }
+    private def mulmod(a: Long, b: Long): Long = {
+      // a < 2^61, b small (1000003): a*b can overflow; use Math.multiplyHigh-free
+      // split: a = hi*2^31 + lo
+      val hi = a >>> 31
+      val lo = a & 0x7fffffffL
+      val r = ((hi * b % P) << 31) % P
+      (r + lo * b) % P
+    }
+    override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+      copy(c)
+  }
+
+  private def toExpr(c: Column) = GraftColumnBridge.expression(c)
+
+  def simhash64(c: Column): Column =
+    GraftColumnBridge.column(SimHash64(toExpr(c)))
+  def minhashSignature(c: Column, k: Int = 64, seed: Long = 42L): Column =
+    GraftColumnBridge.column(MinHashSignature(toExpr(c), k, seed))
+  def rollingFingerprint(c: Column): Column =
+    GraftColumnBridge.column(RollingFingerprint(toExpr(c)))
+}

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (the 100 TB-scale extensions beyond the reference surface).
+  *
+  * Scale notes, per operator family:
+  *   - Text analysis: pure per-row projections — no shuffle, linear scaling.
+  *   - Exact dedup: hash-aggregate on the dedup key — one shuffle, the
+  *     minimal possible; at 100 TB pre-partition by key or turn on AQE skew
+  *     handling (both assumed here).
+  *   - MinHash/SimHash dedup: signature per row (no shuffle) -> explode to
+  *     (band, hash) buckets -> shuffle on bucket -> pairwise verify INSIDE
+  *     buckets only. Candidate generation never goes quadratic globally;
+  *     bucket skew is the thing to watch (salt hot buckets).
+  *   - ANN: probes are broadcast (small side), corpus side streams — no
+  *     shuffle of the big table; top-k via per-probe window.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "embeddings")
+
+  // ---- helpers -------------------------------------------------------------
+
+  /** Elementwise float->double cosine pieces, summed left-to-right (both
+    * Spark's `aggregate` HOF and DuckDB's list_sum fold sequentially, so the
+    * oracle reproduces identical doubles). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  // ---- queries -------------------------------------------------------------
+
+  val dfQueries: Map[String, Q] = Map(
+
+    // ===== text analysis ====================================================
+    "doc_token_stats" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      d.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        tokenCountBpeish(col("text")).as("n_bpeish"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_quality" -> ((spark, dir) => {
+      docs(spark, dir).select(
+        col("doc_id"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_lang_id" -> ((spark, dir) => {
+      docs(spark, dir).select(
+        col("doc_id"), col("lang").as("lang_label"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_fingerprint" -> ((spark, dir) => {
+      docs(spark, dir).select(
+        col("doc_id"),
+        rollingFingerprint(col("text")).as("fingerprint"),
+        simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ===== deduplication ====================================================
+    // exact dedup on full text: group-by content hash, keep min doc_id
+    "dedup_exact" -> ((spark, dir) => {
+      docs(spark, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+        .select(col("rep_id"), col("n_copies"))
+        .orderBy(col("rep_id"))
+    }),
+
+    // exact dedup on a key subset (keep-first semantics, deterministic)
+    "dedup_by_key" -> ((spark, dir) => {
+      docs(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // MinHash + LSH near-dup candidate pairs, verified with exact Jaccard
+    "dedup_minhash_lsh" -> ((spark, dir) => {
+      val numPerms = 64
+      val bands = 16 // rows-per-band r = 4
+      val d = docs(spark, dir)
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .withColumn("sig", minhashSignature(col("sh"), numPerms, 42L))
+      val r = numPerms / bands
+      val banded = d.select(
+        col("doc_id"), col("sh"),
+        posexplode(array((0 until bands).map(bb =>
+          xxhash64(slice(col("sig"), bb * r + 1, r))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      val a = banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("band", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        .distinct()
+        .filter(col("jaccard") >= 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup: hamming distance <= 3 via 4x16-bit chunk pigeonhole
+    "dedup_simhash" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), simhash64(col("text")).as("sh"))
+      val chunked = d.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+      val a = chunked.select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = chunked.select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("chunk", "chunk_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // exact n-gram Jaccard similarity join (candidates = pairs sharing a shingle)
+    "dedup_ngram_jaccard" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      val inv = d.select(col("doc_id"), col("sh"), explode(col("sh")).as("shingle"))
+      val a = inv.select(col("shingle"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = inv.select(col("shingle"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.25)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // embedding near-dup: cosine >= 0.95 among LSH-bucketed candidates
+    "dedup_embedding" -> ((spark, dir) => {
+      val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val sig = e.withColumn("bucket", lshBucket(col("embedding"), 8))
+      val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("v_a"), col("nrm").as("n_a"))
+      val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("v_b"), col("nrm").as("n_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cosine"))
+        .distinct()
+        .filter(col("cosine") >= 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ===== similarity search ================================================
+    // brute-force cosine top-10 for 5 probe vectors (broadcast the probes,
+    // stream the corpus — the big side never shuffles)
+    "ann_cosine_topk" -> ((spark, dir) => {
+      val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val probes = e.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (the scale path: only same-bucket candidates scored)
+    "ann_lsh_bucketed" -> ((spark, dir) => {
+      val nBits = 4
+      val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+        .withColumn("bucket", lshBucket(col("embedding"), nBits))
+      val probes = e.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"), col("bucket"))
+      val scored = e.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "emb_norms" -> ((spark, dir) => {
+      embs(spark, dir).select(col("vec_id"), col("label").cast("long").as("label"),
+        l2norm(col("embedding")).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ===== multimodal plumbing =============================================
+    // Opaque binary payload + typed metadata. The "decode" is a clearly
+    // deterministic STUB (no media libs in this environment); the Spark-side
+    // plumbing — binary column, schema, partition-parallel feature extraction,
+    // batch shape — is real.
+    "mm_binary_meta" -> ((spark, dir) => {
+      docs(spark, dir)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          col("source"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          substring(col("payload"), 1, 8).as("magic"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stubbed feature extraction: deterministic pseudo-features from payload
+    // bytes (stands in for image decode + embed; plumbing/batching is real)
+    "mm_features_stub" -> ((spark, dir) => {
+      val payload = encode(col("text"), "UTF-8")
+      docs(spark, dir)
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(7)),
+            i => (xxhash64(col("payload"), i) % 1000L).cast("double") / 1000.0)
+            .as("features"))
+        .select(col("doc_id"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).as("feat_sum"),
+          size(col("features")).cast("long").as("feat_dim"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** Sign-random-projection LSH bucket id from `nBits` fixed pseudo-random
+    * hyperplanes (deterministic: plane weights derive from FNV of (bit,dim)).
+    * At 100 TB the corpus is bucketed once and both sides of any similarity
+    * join shuffle only on the bucket id. */
+  def lshBucket(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      // pseudo-random +-1 weights per (b, dim): parity of fnv64(b * 131 + dim)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            (when(pmod(xxhash64(lit(b) * 131, i), lit(2)) === 0, 1.0).otherwise(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** DuckDB oracles for the subset that is exactly SQL-expressible. */
+  val dfOracles: Map[String, String] = Map(
+    "doc_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS BIGINT) AS n_bpeish,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+    "dedup_by_key" ->
+      """SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  encode(substring(text, 1, 8)) AS magic, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+        |p AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM e WHERE vec_id < 5),
+        |s AS (SELECT q_id, vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, p.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (e.nrm*p.q_nrm) AS cosine
+        |  FROM e CROSS JOIN p WHERE e.vec_id <> p.q_id),
+        |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM s)
+        |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS s FROM tok),
+        |inv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard FROM pairs)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
+    "emb_norms" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}
