@@ -1,0 +1,160 @@
+package graft.encoding
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Path}
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+import com.fasterxml.jackson.core.JsonFactory
+
+import org.apache.spark.sql.{DataFrame, GraftArrowBridge, Row}
+import org.apache.spark.sql.types._
+
+/** Response encoders: query result -> client bytes.
+  *
+  * Mirrors the reference encoder set (columnq/src/encoding): JSON
+  * array-of-objects, CSV, Arrow IPC stream/file, Parquet, dispatched by
+  * ACCEPT header. The JSON temporal formats follow the reference goldens
+  * (columnq/src/encoding/json.rs:31-139): dates `YYYY-MM-DD`, timestamps ISO
+  * without zone with the fraction omitted when zero.
+  */
+object Encoders {
+
+  sealed abstract class ContentType(val mime: String)
+  case object Json extends ContentType("application/json")
+  case object Csv extends ContentType("application/csv")
+  case object ArrowFile extends ContentType("application/vnd.apache.arrow.file")
+  case object ArrowStream extends ContentType("application/vnd.apache.arrow.stream")
+  case object Parquet extends ContentType("application/parquet")
+
+  /** ACCEPT negotiation (reference: columnq/src/encoding/mod.rs:25-42 +
+    * roapi/src/api/mod.rs:25-35): unknown values fall back to the default. */
+  def fromAccept(hdr: Option[String], default: ContentType = Json): ContentType =
+    hdr.map(_.trim).map {
+      case "*/*" | "application/json" => Json
+      case "application/csv" => Csv
+      case "application/arrow.file" | "application/vnd.apache.arrow.file" => ArrowFile
+      case "application/arrow.stream" | "application/vnd.apache.arrow.stream" => ArrowStream
+      case "application/parquet" | "application/vnd.apache.parquet" => Parquet
+      case _ => default
+    }.getOrElse(default)
+
+  def encode(df: DataFrame, ct: ContentType): Array[Byte] = ct match {
+    case Json        => toJsonBytes(df)
+    case Csv         => toCsvBytes(df)
+    case ArrowStream => GraftArrowBridge.toIpcStreamBytes(df)
+    case ArrowFile   => GraftArrowBridge.toIpcFileBytes(df)
+    case Parquet     => toParquetBytes(df)
+  }
+
+  // ---- temporal formatting (golden-pinned) ---------------------------------
+
+  def formatTimestamp(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val base = LocalDateTime.ofEpochSecond(secs, 0, ZoneOffset.UTC).toString
+    val withSec = if (base.length == 16) base + ":00" else base // LocalDateTime drops :00 seconds
+    if (frac == 0) withSec else f"$withSec.$frac%06d"
+  }
+
+  private def fmtValue(v: Any): Any = v match {
+    case t: java.sql.Timestamp =>
+      formatTimestamp(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
+    case i: Instant => formatTimestamp(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: LocalDate => d.toString
+    case other => other
+  }
+
+  // ---- JSON array-of-objects ----------------------------------------------
+
+  def toJsonBytes(df: DataFrame): Array[Byte] = {
+    val rows = df.collect()
+    val schema = df.schema
+    val out = new ByteArrayOutputStream()
+    val gen = new JsonFactory().createGenerator(out)
+    gen.writeStartArray()
+    rows.foreach { row => writeStruct(gen, row, schema) }
+    gen.writeEndArray()
+    gen.close()
+    out.toByteArray
+  }
+
+  private def writeStruct(gen: com.fasterxml.jackson.core.JsonGenerator,
+                          row: Row, schema: StructType): Unit = {
+    gen.writeStartObject()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      gen.writeFieldName(f.name)
+      if (row.isNullAt(i)) gen.writeNull()
+      else writeValue(gen, row.get(i), f.dataType)
+    }
+    gen.writeEndObject()
+  }
+
+  private def writeValue(gen: com.fasterxml.jackson.core.JsonGenerator,
+                         v: Any, dt: DataType): Unit = dt match {
+    case BooleanType => gen.writeBoolean(v.asInstanceOf[Boolean])
+    case ByteType => gen.writeNumber(v.asInstanceOf[Byte].toInt)
+    case ShortType => gen.writeNumber(v.asInstanceOf[Short].toInt)
+    case IntegerType => gen.writeNumber(v.asInstanceOf[Int])
+    case LongType => gen.writeNumber(v.asInstanceOf[Long])
+    case FloatType => gen.writeNumber(v.asInstanceOf[Float])
+    case DoubleType => gen.writeNumber(v.asInstanceOf[Double])
+    case _: DecimalType => gen.writeNumber(v.asInstanceOf[java.math.BigDecimal])
+    case StringType => gen.writeString(v.toString)
+    case BinaryType => gen.writeBinary(v.asInstanceOf[Array[Byte]])
+    case DateType | TimestampType | TimestampNTZType =>
+      gen.writeString(fmtValue(v).toString)
+    case ArrayType(et, _) =>
+      gen.writeStartArray()
+      v.asInstanceOf[scala.collection.Seq[Any]].foreach { e =>
+        if (e == null) gen.writeNull() else writeValue(gen, e, et)
+      }
+      gen.writeEndArray()
+    case st: StructType => writeStruct(gen, v.asInstanceOf[Row], st)
+    case MapType(_, vt, _) =>
+      gen.writeStartObject()
+      v.asInstanceOf[scala.collection.Map[Any, Any]].foreach { case (k, mv) =>
+        gen.writeFieldName(String.valueOf(k))
+        if (mv == null) gen.writeNull() else writeValue(gen, mv, vt)
+      }
+      gen.writeEndObject()
+    case _ => gen.writeString(String.valueOf(v))
+  }
+
+  // ---- CSV -----------------------------------------------------------------
+
+  def toCsvBytes(df: DataFrame): Array[Byte] = {
+    val sb = new StringBuilder
+    val schema = df.schema
+    sb.append(schema.fieldNames.map(csvEscape).mkString(",")).append('\n')
+    df.collect().foreach { row =>
+      val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+        if (row.isNullAt(i)) ""
+        else csvEscape(String.valueOf(fmtValue(row.get(i))))
+      }
+      sb.append(cells.mkString(",")).append('\n')
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def csvEscape(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  // ---- Parquet (via a temp single file) ------------------------------------
+
+  def toParquetBytes(df: DataFrame): Array[Byte] = {
+    val dir = Files.createTempDirectory("graft_pq")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(dir.resolve("out").toString)
+      val part = Files.list(dir.resolve("out")).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no parquet part written"))
+      Files.readAllBytes(part)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft.server
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledExecutorService, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.frontend.{GraphQl, RestQuery}
+import graft.sources.{Loaders, TableSource}
+
+/** The engine handle: named tables + KV stores over one SparkSession.
+  *
+  * Spark-native analogue of ColumnQ (reference: columnq/src/columnq.rs:36-44):
+  * `SessionContext` -> SparkSession, `schema_map` -> the catalog's temp views,
+  * per-table refresh tasks -> a scheduler re-running `createOrReplaceTempView`
+  * (snapshot swap, exactly the reference's reload semantics — no streaming).
+  */
+final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
+
+  private val tables = new ConcurrentHashMap[String, TableSource]()
+  private val kvDefs = new ConcurrentHashMap[String, KvStore]()
+  private val scheduler: ScheduledExecutorService =
+    Executors.newScheduledThreadPool(1, r => {
+      val t = new Thread(r, "graft-refresh"); t.setDaemon(true); t
+    })
+
+  // ---- table lifecycle -----------------------------------------------------
+
+  def registerTable(src: TableSource): Unit = {
+    Loaders.register(spark, src)
+    tables.put(src.name, src)
+    src.reloadIntervalSec.foreach { sec =>
+      scheduler.scheduleAtFixedRate(
+        () =>
+          try Loaders.register(spark, src)
+          catch { case e: Throwable =>
+            System.err.println(s"[refresh] ${src.name}: ${e.getMessage}") },
+        sec, sec, TimeUnit.SECONDS)
+    }
+  }
+
+  def dropTable(name: String): Unit = {
+    tables.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  def tableNames: Seq[String] = tables.keys.asScala.toSeq.sorted
+
+  def knownSource(name: String): Option[TableSource] = Option(tables.get(name))
+
+  // ---- queries -------------------------------------------------------------
+
+  def querySql(sql: String): DataFrame = spark.sql(sql)
+
+  def queryRest(table: String, params: Map[String, String]): DataFrame =
+    RestQuery.table(spark, table, params)
+
+  def queryGraphQl(q: String): DataFrame = GraphQl.query(spark, q)
+
+  // ---- KV store (reference: columnq/src/columnq.rs:275-331) ----------------
+
+  final case class KvStore(name: String, source: TableSource,
+                           keyCol: String, valueCol: String) {
+    @volatile private[Engine] var map: Map[String, String] = Map.empty
+    def get(key: String): Option[String] = map.get(key)
+  }
+
+  def registerKv(name: String, source: TableSource,
+                 keyCol: String, valueCol: String): Unit = {
+    val kv = KvStore(name, source, keyCol, valueCol)
+    loadKv(kv)
+    kvDefs.put(name, kv)
+    source.reloadIntervalSec.foreach { sec =>
+      scheduler.scheduleAtFixedRate(() =>
+        try loadKv(kv)
+        catch { case e: Throwable =>
+          System.err.println(s"[refresh kv] $name: ${e.getMessage}") },
+        sec, sec, TimeUnit.SECONDS)
+    }
+  }
+
+  private def loadKv(kv: KvStore): Unit = {
+    val df = Loaders.load(spark, kv.source)
+    val kt = df.schema(kv.keyCol).dataType
+    require(kt == StringType,
+      s"KV key column `${kv.keyCol}` must be a string, got $kt") // reference: columnq.rs:282-284
+    kv.map = df
+      .select(org.apache.spark.sql.functions.col(kv.keyCol),
+        org.apache.spark.sql.functions.col(kv.valueCol).cast(StringType))
+      .na.drop(Seq(kv.keyCol))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+  }
+
+  def kvGet(name: String, key: String): Option[String] =
+    Option(kvDefs.get(name)).flatMap(_.get(key))
+
+  // ---- schema introspection (reference: roapi/src/context.rs:133-178) ------
+
+  def schemaJson(name: String): String = {
+    val st = spark.table(name).schema
+    structToArrowJson(st)
+  }
+
+  def allSchemasJson: String =
+    tableNames.map(n => "\"" + n + "\":" + schemaJson(n)).mkString("{", ",", "}")
+
+  /** Arrow-schema-shaped JSON: {"fields":[{"name","data_type","nullable"}]}. */
+  private def structToArrowJson(st: StructType): String = {
+    val fields = st.fields.map { f =>
+      s"""{"name":${quote(f.name)},"data_type":${quote(arrowTypeName(f.dataType))},"nullable":${f.nullable}}"""
+    }
+    s"""{"fields":[${fields.mkString(",")}]}"""
+  }
+
+  private def arrowTypeName(dt: DataType): String = dt match {
+    case BooleanType => "Boolean"
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "Utf8"
+    case BinaryType => "Binary"
+    case DateType => "Date32"
+    case TimestampType | TimestampNTZType => "Timestamp(Microsecond, None)"
+    case d: DecimalType => s"Decimal128(${d.precision}, ${d.scale})"
+    case ArrayType(et, _) => s"List(${arrowTypeName(et)})"
+    case _: StructType => "Struct"
+    case _: MapType => "Map"
+    case other => other.simpleString
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  def close(): Unit = scheduler.shutdownNow()
+}

@@ -1,0 +1,161 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.encoding.Encoders
+import graft.sources.TableSource
+
+/** Multi-protocol read-only query server over one Engine — the HTTP frontend
+  * (reference: roapi/src/api/routes.rs):
+  *
+  *   GET  /api/version            GET  /api/tables/{t}?params
+  *   POST /api/sql                POST /api/graphql
+  *   GET  /api/schema[/{t}]       GET  /api/kv/{name}/{key}
+  *   POST /api/table (register)   POST /api/tables/drop
+  *   GET  /health
+  *
+  * Content negotiation via ACCEPT (json/csv/arrow stream/arrow file/parquet);
+  * errors as `{"code":N,"error":slug,"message":..}` (roapi/src/error.rs).
+  * Register/drop are rejected in read-only mode (roapi/src/context.rs:112-131).
+  */
+final class HttpApp(engine: Engine, port: Int = 0) {
+
+  final case class ApiError(code: Int, error: String, message: String)
+      extends RuntimeException(message)
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpApp = {
+    server.createContext("/", handle _)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // ---- routing -------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    try {
+      (method, path.stripSuffix("/").split('/').toList.drop(1)) match {
+        case ("GET", List("health")) => respondRaw(ex, 200, "OK".getBytes(UTF_8), "text/plain")
+        case ("GET", List("api", "version")) =>
+          respondRaw(ex, 200, "\"0.1.0\"".getBytes(UTF_8), "application/json")
+        case ("POST", List("api", "sql")) =>
+          respondQuery(ex, engine.querySql(bodyString(ex)))
+        case ("POST", List("api", "graphql")) =>
+          respondQuery(ex, engine.queryGraphQl(bodyString(ex)))
+        case ("GET", List("api", "tables", t)) =>
+          respondQuery(ex, engine.queryRest(t, queryParams(ex)))
+        case ("GET", List("api", "schema")) =>
+          respondRaw(ex, 200, engine.allSchemasJson.getBytes(UTF_8), "application/json")
+        case ("GET", List("api", "schema", t)) =>
+          respondRaw(ex, 200, engine.schemaJson(t).getBytes(UTF_8), "application/json")
+        case ("GET", List("api", "kv", name, key)) =>
+          engine.kvGet(name, key) match {
+            case Some(v) => respondRaw(ex, 200, v.getBytes(UTF_8), "text/plain")
+            case None => throw ApiError(404, "not_found", s"key `$key` not found in kv `$name`")
+          }
+        case ("POST", List("api", "table")) =>
+          if (engine.readOnly)
+            throw ApiError(400, "read_only_mode", "table registration is disabled in read-only mode")
+          registerTables(bodyString(ex))
+          respondRaw(ex, 200, Array.emptyByteArray, "application/json")
+        case ("POST", List("api", "tables", "drop")) =>
+          if (engine.readOnly)
+            throw ApiError(400, "read_only_mode", "table drop is disabled in read-only mode")
+          val node = mapper.readTree(bodyString(ex))
+          engine.dropTable(node.get("tableName").asText())
+          respondRaw(ex, 200, Array.emptyByteArray, "application/json")
+        case _ => throw ApiError(404, "not_found", s"$method $path")
+      }
+    } catch {
+      case e: ApiError => respondError(ex, e)
+      case e: graft.frontend.RestQuery.RestError =>
+        respondError(ex, ApiError(400, e.error, e.message))
+      case e: graft.frontend.GraphQl.GraphQlError =>
+        respondError(ex, ApiError(400, "invalid graphql query", e.message))
+      case e: Throwable =>
+        respondError(ex, ApiError(400, "query_execution", String.valueOf(e.getMessage)))
+    } finally ex.close()
+  }
+
+  /** Register body: `[{"tableName": "...", "uri": "...", "option": {...}}]`
+    * (reference: roapi/src/api/register.rs SourceConfig). */
+  private def registerTables(body: String): Unit = {
+    val node = mapper.readTree(body)
+    require(node.isArray, "register body must be a JSON array")
+    node.forEach { cfg =>
+      val name = cfg.get("tableName").asText()
+      val uri = Option(cfg.get("uri")).map(_.asText())
+        .getOrElse(throw ApiError(400, "register_table", s"Table `$name` source not exists"))
+      val opts = Option(cfg.get("option")).map { o =>
+        val b = Map.newBuilder[String, String]
+        o.properties().forEach(e => b += (e.getKey -> e.getValue.asText()))
+        b.result()
+      }.getOrElse(Map.empty[String, String])
+      engine.registerTable(TableSource.fromOptions(name, uri, opts))
+    }
+  }
+
+  // ---- helpers -------------------------------------------------------------
+
+  private def bodyString(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map {
+      _.split('&').toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(urlDecode(k) -> urlDecode(v))
+          case Array(k)    => Some(urlDecode(k) -> "")
+          case _           => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+
+  private def respondQuery(ex: HttpExchange, df: org.apache.spark.sql.DataFrame): Unit = {
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
+    val ct = Encoders.fromAccept(accept)
+    respondRaw(ex, 200, Encoders.encode(df, ct), ct.mime)
+  }
+
+  private def respondError(ex: HttpExchange, e: ApiError): Unit = {
+    val body =
+      s"""{"code":${e.code},"error":${mapper.writeValueAsString(e.error)},"message":${mapper.writeValueAsString(e.message)}}"""
+    respondRaw(ex, e.code, body.getBytes(UTF_8), "application/json")
+  }
+
+  private def respondRaw(ex: HttpExchange, code: Int, body: Array[Byte], mime: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", mime)
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+  }
+}
+
+/** Server entry point: `runMain graft.server.ServerMain table1=uri1 ...` */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.get()
+    val readOnly = !sys.env.get("GRAFT_READ_WRITE").exists(_.toBoolean)
+    val engine = new Engine(spark, readOnly)
+    args.foreach(a => engine.registerTable(TableSource.parseUriArg(a)))
+    val port = sys.env.getOrElse("GRAFT_PORT", "8080").toInt
+    val app = new HttpApp(engine, port).start()
+    println(s"graft server listening on 127.0.0.1:${app.boundPort}")
+    Thread.currentThread().join()
+  }
+}

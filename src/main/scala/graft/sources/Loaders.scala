@@ -1,0 +1,114 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Per-format load dispatch (reference: columnq/src/table/mod.rs:790-858).
+  *
+  * Listing-mode formats map straight onto `spark.read` (partition discovery,
+  * filter pushdown and column pruning come free and survive a 100 TB
+  * listing); the single-document JSON loader with RFC-6901 pointer /
+  * positional-array rows is custom, as no Spark reader covers it
+  * (reference: columnq/src/table/json.rs:49-235).
+  */
+object Loaders {
+
+  def load(spark: SparkSession, src: TableSource): DataFrame = {
+    val df = src.resolvedFormat match {
+      case "csv" => csv(spark, src, delimiter = src.options.getOrElse("delimiter", ","))
+      case "tsv" => csv(spark, src, delimiter = "\t")
+      case "parquet" =>
+        val r = spark.read.options(src.options)
+        src.schema.map(r.schema).getOrElse(r).parquet(src.uri)
+      case "ndjson" =>
+        val r = spark.read.options(src.options)
+        src.schema.map(r.schema).getOrElse(r).json(src.uri)
+      case "json" => jsonDocument(spark, src)
+      case other => throw new IllegalArgumentException(
+        s"unsupported table format `$other` for `${src.name}`")
+    }
+    if (src.memTable) df.cache() else df
+  }
+
+  /** Load + register as a temp view; returns the DataFrame. */
+  def register(spark: SparkSession, src: TableSource): DataFrame = {
+    val df = load(spark, src)
+    df.createOrReplaceTempView(src.name)
+    df
+  }
+
+  private def csv(spark: SparkSession, src: TableSource, delimiter: String): DataFrame = {
+    val r = spark.read
+      .option("header", src.options.getOrElse("has_header", "true"))
+      .option("delimiter", delimiter)
+      .options(src.options - "has_header")
+    src.schema.map(r.schema)
+      .getOrElse(r.option("inferSchema", "true"))
+      .csv(src.uri)
+  }
+
+  // ---- single-document JSON (pointer + array_encoded) ----------------------
+
+  private[sources] def fetchBytes(uri: String): Array[Byte] =
+    if (uri.startsWith("http://") || uri.startsWith("https://")) {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri)).GET().build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray()).body()
+    } else {
+      val path = if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    }
+
+  /** RFC-6901 JSON pointer navigation. */
+  private[sources] def pointTo(root: JsonNode, pointer: String): JsonNode = {
+    val node = root.at(pointer)
+    if (node.isMissingNode)
+      throw new IllegalArgumentException(s"JSON pointer `$pointer` matched nothing")
+    node
+  }
+
+  def jsonDocument(spark: SparkSession, src: TableSource): DataFrame = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(fetchBytes(src.uri))
+    val data = src.pointer.map(pointTo(root, _)).getOrElse(root)
+    require(data.isArray, s"table `${src.name}`: JSON document must be an array of rows")
+    if (src.arrayEncoded) {
+      val schema = src.schema.getOrElse(throw new IllegalArgumentException(
+        s"table `${src.name}`: array_encoded requires a declared schema"))
+      val rows = new scala.collection.mutable.ArrayBuffer[Row](data.size)
+      data.forEach { arr =>
+        val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+          jsonScalar(arr.get(i), f.dataType)
+        }
+        rows += Row.fromSeq(vals.toIndexedSeq)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+    } else {
+      // array of objects: re-serialize each element and let Spark's JSON
+      // reader do inference/merging (mirrors infer_json_schema_from_iterator)
+      val lines = new scala.collection.mutable.ArrayBuffer[String](data.size)
+      data.forEach(el => lines += mapper.writeValueAsString(el))
+      import spark.implicits._
+      val ds = spark.createDataset(lines.toSeq)
+      val r = spark.read
+      src.schema.map(r.schema).getOrElse(r).json(ds)
+    }
+  }
+
+  private def jsonScalar(n: JsonNode, dt: DataType): Any = {
+    if (n == null || n.isNull) null
+    else dt match {
+      case StringType => n.asText()
+      case IntegerType => n.asInt()
+      case LongType => n.asLong()
+      case DoubleType => n.asDouble()
+      case FloatType => n.asDouble().toFloat
+      case BooleanType => n.asBoolean()
+      case TimestampType => java.sql.Timestamp.from(java.time.Instant.parse(n.asText()))
+      case DateType => java.sql.Date.valueOf(n.asText())
+      case _ => n.asText()
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Declarative table source, mirroring the reference's TableSource
+  * (reference: columnq/src/table/mod.rs:509-522) re-expressed for Spark.
+  *
+  * `option` keys are passed through to the DataFrameReader; `memTable`
+  * replicates `use_memory_table` (cache + materialize vs lazy listing scan).
+  */
+final case class TableSource(
+    name: String,
+    uri: String,
+    format: Option[String] = None,
+    options: Map[String, String] = Map.empty,
+    schema: Option[StructType] = None,
+    pointer: Option[String] = None,       // RFC-6901 pointer into a JSON doc
+    arrayEncoded: Boolean = false,        // positional-array rows (needs schema)
+    memTable: Boolean = false,
+    reloadIntervalSec: Option[Long] = None) {
+
+  /** Format resolution: explicit option beats URI extension. */
+  def resolvedFormat: String = format.getOrElse {
+    val path = uri.takeWhile(_ != '?')
+    path.split('.').lastOption.map(_.toLowerCase) match {
+      case Some("csv") => "csv"
+      case Some("tsv") => "tsv"
+      case Some("parquet") => "parquet"
+      case Some("json") => "json"
+      case Some("ndjson") | Some("jsonl") => "ndjson"
+      case other =>
+        throw new IllegalArgumentException(
+          s"cannot infer format for table `$name` from uri `$uri` (ext=$other)")
+    }
+  }
+}
+
+object TableSource {
+
+  /** CLI/URI grammar `name=uri,opt=val,...`
+    * (reference: columnq/src/table/mod.rs:861-923). */
+  def parseUriArg(arg: String): TableSource = {
+    val eq = arg.indexOf('=')
+    require(eq > 0, s"table arg must be `name=uri[,opt=val...]`, got `$arg`")
+    val name = arg.substring(0, eq)
+    val parts = arg.substring(eq + 1).split(',')
+    val uri = parts.head
+    val opts = parts.tail.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _           => None
+      }
+    }.toMap
+    fromOptions(name, uri, opts)
+  }
+
+  def fromOptions(name: String, uri: String, opts: Map[String, String]): TableSource =
+    TableSource(
+      name = name,
+      uri = uri,
+      format = opts.get("format"),
+      options = opts -- Seq("format", "pointer", "array_encoded", "use_memory_table", "reload_interval"),
+      pointer = opts.get("pointer"),
+      arrayEncoded = opts.get("array_encoded").exists(_.toBoolean),
+      memTable = opts.get("use_memory_table").exists(_.toBoolean),
+      reloadIntervalSec = opts.get("reload_interval").map(_.toLong))
+
+  /** Declared-schema parsing from simple `name:type:nullable` column specs
+    * (the reference's YAML schema.columns, columnq/src/table/mod.rs:170-219). */
+  def parseSchema(cols: Seq[(String, String, Boolean)]): StructType =
+    StructType(cols.map { case (n, t, nullable) =>
+      org.apache.spark.sql.types.StructField(n, DataType.fromDDL(t), nullable)
+    })
+}

@@ -1,0 +1,42 @@
+package org.apache.spark.sql
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamReader}
+
+import org.apache.spark.sql.execution.arrow.ArrowBatchStreamWriter
+
+/** Bridge into Spark's `private[sql]` Arrow conversion machinery: serialize a
+  * DataFrame result to Arrow IPC stream / file bytes without re-implementing
+  * row->vector conversion (reference behavior: columnq/src/encoding/arrow.rs). */
+object GraftArrowBridge {
+
+  /** Arrow IPC *stream* bytes (schema header + batches + EOS). */
+  def toIpcStreamBytes(df: DataFrame): Array[Byte] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val batches = ds.toArrowBatchRdd.collect()
+    val out = new ByteArrayOutputStream()
+    val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val writer = new ArrowBatchStreamWriter(df.schema, out, tz, true, false)
+    writer.writeBatches(batches.iterator)
+    writer.end()
+    out.toByteArray
+  }
+
+  /** Arrow IPC *file* bytes (magic + footer), transcoded from the stream. */
+  def toIpcFileBytes(df: DataFrame): Array[Byte] = {
+    val streamBytes = toIpcStreamBytes(df)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(streamBytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val out = new ByteArrayOutputStream()
+      val fw = new ArrowFileWriter(root, reader, java.nio.channels.Channels.newChannel(out))
+      fw.start()
+      while (reader.loadNextBatch()) fw.writeBatch()
+      fw.end(); fw.close()
+      out.toByteArray
+    } finally { reader.close(); alloc.close() }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.sources.TableSource
+
+class HttpAppSpec extends SparkSpec {
+
+  private lazy val engine = {
+    val e = new Engine(spark, readOnly = true)
+    e.registerTable(TableSource("nation", s"$sf0001/nation.parquet", Some("parquet")))
+    e.registerTable(TableSource("region", s"$sf0001/region.parquet", Some("parquet")))
+    e.registerKv("region_names",
+      TableSource("region_kv", s"$sf0001/region.parquet", Some("parquet")),
+      keyCol = "r_name", valueCol = "r_regionkey")
+    e
+  }
+  private lazy val app = new HttpApp(engine, 0).start()
+  private lazy val base = s"http://127.0.0.1:${app.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String, accept: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path)).GET()
+    accept.foreach(a => b.header("Accept", a))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /api/sql returns JSON array of objects") {
+    val r = post("/api/sql", "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 2")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get == "application/json")
+    assert(r.body().startsWith("""[{"r_regionkey":0,"r_name":"""))
+  }
+
+  test("GET /api/tables/{t} applies REST params") {
+    val r = get("/api/tables/nation?filter[n_regionkey]=0&columns=n_name&sort=n_name&limit=2")
+    assert(r.statusCode() == 200)
+    val names = """"n_name":"([^"]+)"""".r.findAllMatchIn(r.body()).map(_.group(1)).toSeq
+    assert(names.length == 2 && names == names.sorted)
+  }
+
+  test("POST /api/graphql") {
+    val r = post("/api/graphql",
+      """{ region(sort: [{field: "r_regionkey", order: "desc"}], limit: 1) { r_regionkey r_name } }""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""r_regionkey":4"""))
+  }
+
+  test("ACCEPT negotiation: csv body with header row") {
+    val r = get("/api/tables/region?sort=r_regionkey&limit=2", Some("application/csv"))
+    assert(r.headers().firstValue("Content-Type").get == "application/csv")
+    val lines = r.body().trim.split('\n')
+    assert(lines.head == "r_regionkey,r_name")
+    assert(lines.length == 3)
+  }
+
+  test("ACCEPT negotiation: parquet and arrow stream round-trip") {
+    val pq = client.send(HttpRequest.newBuilder(
+      URI.create(base + "/api/tables/region?limit=3"))
+      .header("Accept", "application/parquet").GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(pq.body().take(4).sameElements("PAR1".getBytes))
+    val ar = client.send(HttpRequest.newBuilder(
+      URI.create(base + "/api/tables/region?limit=3"))
+      .header("Accept", "application/vnd.apache.arrow.stream").GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(ar.body().length > 0)
+  }
+
+  test("GET /api/schema/{t} returns arrow-shaped fields") {
+    val r = get("/api/schema/region")
+    assert(r.body() ==
+      """{"fields":[{"name":"r_regionkey","data_type":"Int32","nullable":true},{"name":"r_name","data_type":"Utf8","nullable":true}]}""")
+  }
+
+  test("GET /api/kv/{name}/{key} and 404 error shape") {
+    val hit = get("/api/kv/region_names/ASIA")
+    assert(hit.statusCode() == 200)
+    val miss = get("/api/kv/region_names/NOWHERE")
+    assert(miss.statusCode() == 404)
+    assert(miss.body().contains(""""code":404""") && miss.body().contains(""""error":"not_found""""))
+  }
+
+  test("read-only mode rejects register and drop") {
+    val r = post("/api/table", """[{"tableName": "x", "uri": "/tmp/x.csv"}]""")
+    assert(r.statusCode() == 400 && r.body().contains("read_only_mode"))
+    val d = post("/api/tables/drop", """{"tableName": "region"}""")
+    assert(d.statusCode() == 400)
+  }
+
+  test("bad SQL yields query_execution error json") {
+    val r = post("/api/sql", "SELECT FROM nowhere")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains(""""code":400"""))
+  }
+}
