@@ -4,11 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the session (codegen, shuffle machinery, footer reads) so the
+    // first timed query doesn't absorb one-time JVM startup costs.
+    try SparkEntry.queries("q_topk")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -21,10 +21,19 @@ object Tables {
   /** Small dimension tables worth broadcasting in joins. */
   val dims: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeNanoTs(df, "ts") else df
-  }
+  /** Memoized per (session, dir, table): the parquet footer/schema read
+    * happens once per session, not once per query — the DataFrame is an
+    * immutable lazy plan, safe to share. */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val registeredDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    dfCache.computeIfAbsent((spark, sfDir, name), _ => {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") normalizeNanoTs(df, "ts") else df
+    })
 
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a raw
     * long (spark.sql.legacy.parquet.nanosAsLong=true — set that in every
@@ -38,9 +47,11 @@ object Tables {
     }
 
   /** Register every table as a temp view for SQL pass-through queries
-    * (reference: columnq/src/query/sql.rs:5-18 — parse, plan, collect). */
+    * (reference: columnq/src/query/sql.rs:5-18 — parse, plan, collect).
+    * Idempotent per (session, dir). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registeredDirs.add((spark, sfDir)))
+      all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
 
   /** Reference-parity "MemTable" mode: fully materialized in memory
     * (reference: columnq/src/table/mod.rs:291-294). Use for serving only. */
