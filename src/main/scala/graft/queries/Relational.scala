@@ -250,6 +250,16 @@ object Relational {
         |GROUP BY DATE_TRUNC('HOUR', ts), event_type
         |ORDER BY hour_bucket, event_type""".stripMargin,
 
+    // --- exact interpolated percentiles ---
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     // --- derived table + join reuse ---
     "q_derived_table" ->
       """SELECT s.s_name, t.n_ship
@@ -341,6 +351,27 @@ object Relational {
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy(col("event_id"))
     }),
+    // nested struct construction + dotted-path access + array indexing
+    // (reference README feature list: nested access `struct.key`, array idx)
+    "q_nested_access" -> ((spark, dir) => {
+      Tables.t(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("info"),
+          array(col("o_custkey"), col("o_orderkey")).as("keys"))
+        .select(col("o_orderkey"), col("info.status").as("status"),
+          element_at(col("keys"), 1).as("custkey"), col("info.price").as("price"))
+        .filter(col("price") > 400000)
+        .orderBy(col("o_orderkey"))
+    }),
+    // HLL approximate distinct (no oracle: sketch results are engine-specific;
+    // exact_n rides along so the relative error is visible)
+    "q_approx_distinct" -> ((spark, dir) => {
+      Tables.t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
     // KV-store projection (reference: columnq/src/columnq.rs:275-331):
     // key must be string-typed; this is the table the driver-side Map is built from
     "q_kv_projection" -> ((spark, dir) => {
@@ -402,6 +433,12 @@ object Relational {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_nested_access" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_custkey AS custkey,
+        |  o_totalprice AS price
+        |FROM orders
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin,
     "q_kv_projection" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS value
         |FROM customer

@@ -26,6 +26,18 @@ object Loaders {
         val r = spark.read.options(src.options)
         src.schema.map(r.schema).getOrElse(r).json(src.uri)
       case "json" => jsonDocument(spark, src)
+      case "arrow" => // IPC file format
+        org.apache.spark.sql.GraftArrowBridge.fromIpcFileBytes(spark, fetchBytes(src.uri))
+      case "arrows" => // IPC stream format
+        org.apache.spark.sql.GraftArrowBridge.fromIpcStreamBytes(spark, fetchBytes(src.uri))
+      case "jdbc" =>
+        // spark.read.jdbc needs a driver jar on the classpath; none are bundled
+        // in this environment, but the dispatch is wired (reference:
+        // columnq/src/table/database.rs).
+        spark.read.options(src.options)
+          .format("jdbc").option("url", src.uri)
+          .option("dbtable", src.options.getOrElse("table", src.name))
+          .load()
       case other => throw new IllegalArgumentException(
         s"unsupported table format `$other` for `${src.name}`")
     }

@@ -28,6 +28,8 @@ final case class TableSource(
       case Some("parquet") => "parquet"
       case Some("json") => "json"
       case Some("ndjson") | Some("jsonl") => "ndjson"
+      case Some("arrow") => "arrow"
+      case Some("arrows") => "arrows"
       case other =>
         throw new IllegalArgumentException(
           s"cannot infer format for table `$name` from uri `$uri` (ext=$other)")

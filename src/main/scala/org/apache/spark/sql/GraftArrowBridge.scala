@@ -24,6 +24,36 @@ object GraftArrowBridge {
     out.toByteArray
   }
 
+  /** Parse Arrow IPC *stream* bytes into a DataFrame (materialized driver-side
+    * then parallelized — mirrors the reference's MemTable ingestion of IPC,
+    * columnq/src/table/arrow_ipc_stream.rs). */
+  def fromIpcStreamBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val (iter, schema) = execution.arrow.ArrowConverters.fromIPCStream(bytes)
+    try {
+      val rows = iter.map(_.copy()).toArray.toIndexedSeq
+      val rdd = session.sparkContext.parallelize(rows, math.max(1, math.min(rows.length, 8)))
+      session.internalCreateDataFrame(rdd, schema)
+    } finally iter.close()
+  }
+
+  /** Parse Arrow IPC *file* bytes (transcoded to a stream first). */
+  def fromIpcFileBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val out = new ByteArrayOutputStream()
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+        root, reader, java.nio.channels.Channels.newChannel(out))
+      w.start()
+      while (reader.loadNextBatch()) w.writeBatch()
+      w.end(); w.close()
+      fromIpcStreamBytes(spark, out.toByteArray)
+    } finally { reader.close(); alloc.close() }
+  }
+
   /** Arrow IPC *file* bytes (magic + footer), transcoded from the stream. */
   def toIpcFileBytes(df: DataFrame): Array[Byte] = {
     val streamBytes = toIpcStreamBytes(df)
