@@ -1,0 +1,81 @@
+package graft.server
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+import graft.sources.TableSource
+
+/** YAML server config (reference: roapi/src/config.rs):
+  *
+  * {{{
+  * addr:
+  *   http: 127.0.0.1:8080
+  *   postgres: 127.0.0.1:5432
+  * tables:
+  *   - name: cities
+  *     uri: /data/cities.csv
+  *     option: {format: csv, has_header: "true"}
+  *     reload_interval: 30
+  * kvstores:
+  *   - name: names
+  *     uri: /data/users.parquet
+  *     key: id
+  *     value: name
+  * spark:
+  *   spark.sql.shuffle.partitions: "32"
+  * }}}
+  *
+  * The `spark:` block is the analogue of the reference's `datafusion:`
+  * config pass-through (roapi/src/config.rs:246-261): every key is applied
+  * verbatim to the session conf.
+  */
+object Config {
+
+  final case class Kv(name: String, source: TableSource, key: String, value: String)
+  final case class Loaded(httpAddr: Option[(String, Int)],
+                          pgAddr: Option[(String, Int)],
+                          tables: Seq[TableSource],
+                          kvs: Seq[Kv],
+                          sparkConf: Map[String, String])
+
+  def parse(yamlText: String): Loaded = {
+    val root = Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
+      .getOrElse(new java.util.HashMap[String, Object]())
+    val addr = obj(root.get("addr"))
+    def splitAddr(v: Object): Option[(String, Int)] = Option(v).map(_.toString).map { s =>
+      val i = s.lastIndexOf(':')
+      (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+    val tables = list(root.get("tables")).map { t =>
+      val m = obj(t)
+      val opts = obj(m.get("option")).asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap
+      val base = TableSource.fromOptions(str(m, "name"), str(m, "uri"), opts)
+      Option(m.get("reload_interval")).map(_.toString.toLong)
+        .map(s => base.copy(reloadIntervalSec = Some(s))).getOrElse(base)
+    }
+    val kvs = list(root.get("kvstores")).map { t =>
+      val m = obj(t)
+      val opts = obj(m.get("option")).asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap
+      Kv(str(m, "name"),
+        TableSource.fromOptions(str(m, "name") + "_src", str(m, "uri"), opts),
+        str(m, "key"), str(m, "value"))
+    }
+    val sparkConf = obj(root.get("spark")).asScala
+      .map { case (k, v) => k -> String.valueOf(v) }.toMap
+    Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
+      tables, kvs, sparkConf)
+  }
+
+  private def obj(v: Object): java.util.Map[String, Object] = v match {
+    case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Object]]
+    case _ => new java.util.HashMap[String, Object]()
+  }
+  private def list(v: Object): Seq[Object] = v match {
+    case l: java.util.List[_] => l.asScala.toSeq.asInstanceOf[Seq[Object]]
+    case _ => Seq.empty
+  }
+  private def str(m: java.util.Map[String, Object], k: String): String =
+    Option(m.get(k)).map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(s"config: missing `$k`"))
+}

@@ -146,16 +146,67 @@ final class HttpApp(engine: Engine, port: Int = 0) {
   }
 }
 
-/** Server entry point: `runMain graft.server.ServerMain table1=uri1 ...` */
+/** Server entry point.
+  *
+  *   runMain graft.server.ServerMain table1=uri1,opt=val ...
+  *   runMain graft.server.ServerMain --config server.yml
+  *
+  * Boots the HTTP frontend and (if configured or GRAFT_PG_PORT is set) the
+  * Postgres wire frontend over one shared engine — sibling servers over one
+  * context, as in the reference (roapi/src/startup.rs:140-177). */
 object ServerMain {
   def main(args: Array[String]): Unit = {
+    val cfg = args match {
+      case Array("--config", path) =>
+        Config.parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      case _ => Config.Loaded(None, None, args.toSeq.map(TableSource.parseUriArg), Seq.empty, Map.empty)
+    }
     val spark = graft.GraftSession.get()
+    cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val readOnly = !sys.env.get("GRAFT_READ_WRITE").exists(_.toBoolean)
     val engine = new Engine(spark, readOnly)
-    args.foreach(a => engine.registerTable(TableSource.parseUriArg(a)))
-    val port = sys.env.getOrElse("GRAFT_PORT", "8080").toInt
-    val app = new HttpApp(engine, port).start()
-    println(s"graft server listening on 127.0.0.1:${app.boundPort}")
+    cfg.tables.foreach(engine.registerTable)
+    cfg.kvs.foreach(kv => engine.registerKv(kv.name, kv.source, kv.key, kv.value))
+    val httpPort = cfg.httpAddr.map(_._2)
+      .orElse(sys.env.get("GRAFT_PORT").map(_.toInt)).getOrElse(8080)
+    val app = new HttpApp(engine, httpPort).start()
+    println(s"graft http listening on 127.0.0.1:${app.boundPort}")
+    cfg.pgAddr.map(_._2).orElse(sys.env.get("GRAFT_PG_PORT").map(_.toInt)).foreach { p =>
+      val pg = new PostgresServer(engine, p).start()
+      println(s"graft postgres listening on 127.0.0.1:${pg.boundPort}")
+    }
     Thread.currentThread().join()
+  }
+}
+
+/** One-shot / interactive SQL CLI over the same engine
+  * (reference: columnq-cli/src/main.rs).
+  *
+  *   runMain graft.Cli table1=uri1 ... -q "SELECT ..." [--format json|csv|table]
+  */
+object CliMain {
+  def main(args: Array[String]): Unit = {
+    var sql = ""
+    var fmt = "table"
+    val tableArgs = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-q" => sql = args(i + 1); i += 2
+        case "--format" => fmt = args(i + 1); i += 2
+        case other => tableArgs += other; i += 1
+      }
+    }
+    require(sql.nonEmpty, "usage: CliMain table=uri ... -q SQL [--format json|csv|table]")
+    val spark = graft.GraftSession.get()
+    val engine = new Engine(spark, readOnly = true)
+    tableArgs.result().foreach(a => engine.registerTable(TableSource.parseUriArg(a)))
+    val df = engine.querySql(sql)
+    fmt match {
+      case "json" => println(new String(graft.encoding.Encoders.toJsonBytes(df), "UTF-8"))
+      case "csv"  => print(new String(graft.encoding.Encoders.toCsvBytes(df), "UTF-8"))
+      case _      => df.show(1000, truncate = false)
+    }
+    spark.stop()
   }
 }

@@ -1,0 +1,44 @@
+package graft.server
+
+import graft.SparkSpec
+
+class ConfigSpec extends SparkSpec {
+
+  test("yaml config parses addrs, tables, kvstores, spark conf") {
+    val cfg = Config.parse(
+      """addr:
+        |  http: 127.0.0.1:8080
+        |  postgres: 127.0.0.1:5433
+        |tables:
+        |  - name: cities
+        |    uri: /data/cities.csv
+        |    option:
+        |      format: csv
+        |      has_header: "false"
+        |    reload_interval: 30
+        |  - name: li
+        |    uri: /data/lineitem.parquet
+        |kvstores:
+        |  - name: names
+        |    uri: /data/customer.parquet
+        |    key: c_name
+        |    value: c_custkey
+        |spark:
+        |  spark.sql.shuffle.partitions: "16"
+        |""".stripMargin)
+    assert(cfg.httpAddr.contains(("127.0.0.1", 8080)))
+    assert(cfg.pgAddr.contains(("127.0.0.1", 5433)))
+    assert(cfg.tables.map(_.name) == Seq("cities", "li"))
+    assert(cfg.tables.head.resolvedFormat == "csv")
+    assert(cfg.tables.head.options("has_header") == "false")
+    assert(cfg.tables.head.reloadIntervalSec.contains(30L))
+    assert(cfg.tables(1).resolvedFormat == "parquet")
+    assert(cfg.kvs.head.key == "c_name")
+    assert(cfg.sparkConf("spark.sql.shuffle.partitions") == "16")
+  }
+
+  test("empty config is valid") {
+    val cfg = Config.parse("")
+    assert(cfg.tables.isEmpty && cfg.httpAddr.isEmpty)
+  }
+}
