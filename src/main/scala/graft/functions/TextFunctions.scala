@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,6 +29,90 @@ object TextFunctions {
     h
   }
   def fnv64(s: String): Long = { val b = s.getBytes("UTF-8"); fnv64(b, 0, b.length) }
+
+  // ---- static eval helpers (shared by interpreted eval and codegen) --------
+
+  /** Single-pass SimHash64 over whitespace tokens. */
+  def simhashOf(input: UTF8String): Long = {
+    val s = input.toString
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = fnv64(s.substring(start, i).toLowerCase)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val FP_P = (1L << 61) - 1
+  private val FP_B = 1000003L
+
+  private def fpMulmod(a: Long, b: Long): Long = {
+    val hi = a >>> 31
+    val lo = a & 0x7fffffffL
+    val r = ((hi * b % FP_P) << 31) % FP_P
+    (r + lo * b) % FP_P
+  }
+
+  /** Order-sensitive polynomial rolling hash over whitespace tokens. */
+  def fingerprintOf(input: UTF8String): Long = {
+    val s = input.toString
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = fnv64(s.substring(start, i).toLowerCase) & Long.MaxValue
+        acc = (fpMulmod(acc, FP_B) + (h % FP_P)) % FP_P
+      }
+    }
+    acc
+  }
+
+  /** Exact (a*b) mod (2^61-1) for a,b < 2^61, via the 128-bit product:
+    * 2^64 ≡ 8 and 2^61 ≡ 1 (mod p) fold the high/low halves. */
+  def mulmod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & FP_P)
+    while (r >= FP_P) r -= FP_P
+    r
+  }
+
+  /** MinHash signature over an array of shingles with precomputed flat
+    * [a0,b0,a1,b1,...] coefficients; p = 2^61-1. */
+  def minhashOf(arr: ArrayData, coeffs: Array[Long]): ArrayData = {
+    val k = coeffs.length / 2
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = fnv64(arr.getUTF8String(i).toString) & Long.MaxValue
+      var j = 0
+      while (j < k) {
+        val v = (mulmod61(coeffs(2 * j), h % FP_P) + coeffs(2 * j + 1)) % FP_P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
 
   // ---- tokenization (composed built-ins; codegen'd) ------------------------
 
@@ -107,101 +191,54 @@ object TextFunctions {
 
   /** 64-bit SimHash of the whitespace-tokenized input string in ONE pass
     * (64 bit-counters over FNV-1a token hashes). A composed-builtins version
-    * would need 64 parallel aggregates per row. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    * would need 64 parallel aggregates per row. Generates code (a static
+    * helper call), so it stays inside whole-stage codegen. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      val counts = new Array[Int](64)
-      var i = 0
-      val n = s.length
-      while (i < n) {
-        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-        val start = i
-        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
-        if (i > start) {
-          val h = fnv64(s.substring(start, i).toLowerCase)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhashOf(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextFunctions.simhashOf($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
   /** k-permutation MinHash signature over an array<string> of shingles in ONE
     * pass: sig_i = min over shingles of ((a_i * h + b_i) mod p), p = 2^61-1,
-    * (a_i, b_i) derived deterministically from the seed. */
+    * (a_i, b_i) derived deterministically from the seed. Codegen references
+    * the flat coefficient array. */
   case class MinHashSignature(child: Expression, k: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     private val P = (1L << 61) - 1
-    private lazy val coeffs: Array[(Long, Long)] = {
+    // flat [a0, b0, a1, b1, ...] so codegen can reference one object
+    private lazy val coeffs: Array[Long] = {
       val rnd = new java.util.Random(seed)
-      Array.fill(k)((math.abs(rnd.nextLong()) % (P - 1)) + 1 -> math.abs(rnd.nextLong()) % P)
+      Array.fill(2 * k)(math.abs(rnd.nextLong()) % (P - 1) + 1)
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val sig = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < arr.numElements()) {
-        val h = fnv64(arr.getUTF8String(i).toString) & Long.MaxValue
-        var j = 0
-        while (j < k) {
-          val (a, b) = coeffs(j)
-          // (a*h + b) mod p via unsigned 128-safe math: split h
-          val v = ((a % P) * (h % P) % P + b) % P
-          if (v < sig(j)) sig(j) = v
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
+    override def nullSafeEval(input: Any): Any =
+      minhashOf(input.asInstanceOf[ArrayData], coeffs)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val coeffsRef = ctx.addReferenceObj("minhashCoeffs", coeffs, "long[]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextFunctions.minhashOf($c, $coeffsRef)")
     }
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
   }
 
   /** Polynomial rolling-hash document fingerprint over whitespace tokens,
-    * mod 2^61-1 — order-sensitive (unlike SimHash), single pass. */
-  case class RollingFingerprint(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+    * mod 2^61-1 — order-sensitive (unlike SimHash), single pass, codegen'd. */
+  case class RollingFingerprint(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    private val P = (1L << 61) - 1
-    private val B = 1000003L
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      var acc = 0L
-      var i = 0
-      val n = s.length
-      while (i < n) {
-        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-        val start = i
-        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
-        if (i > start) {
-          val h = fnv64(s.substring(start, i).toLowerCase) & Long.MaxValue
-          acc = (mulmod(acc, B) + (h % P)) % P
-        }
-      }
-      java.lang.Long.valueOf(acc)
-    }
-    private def mulmod(a: Long, b: Long): Long = {
-      // a < 2^61, b small (1000003): a*b can overflow; use Math.multiplyHigh-free
-      // split: a = hi*2^31 + lo
-      val hi = a >>> 31
-      val lo = a & 0x7fffffffL
-      val r = ((hi * b % P) << 31) % P
-      (r + lo * b) % P
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(fingerprintOf(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextFunctions.fingerprintOf($c)")
     override protected def withNewChildInternal(c: Expression): RollingFingerprint =
       copy(c)
   }
