@@ -258,6 +258,16 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // partition-parallel batched extraction through the Multimodal module
+    // (mapPartitions with batch shape; decode stubbed — see Multimodal.scala)
+    "mm_extract_features" -> ((spark, dir) => {
+      graft.operators.Multimodal
+        .extractFeatures(graft.operators.Multimodal.documentsAsMedia(spark, dir))
+        .toDF()
+        .select(col("id"), col("width"), col("height"), col("n_bytes"))
+        .orderBy(col("id"))
+    }),
+
     // stubbed feature extraction: deterministic pseudo-features from payload
     // bytes (stands in for image decode + embed; plumbing/batching is real)
     "mm_features_stub" -> ((spark, dir) => {

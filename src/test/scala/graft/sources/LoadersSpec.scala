@@ -58,6 +58,19 @@ class LoadersSpec extends SparkSpec {
     }
   }
 
+  test("deeply-nested JSON document with inference (reference spacex fixture)") {
+    val df = Loaders.load(spark, TableSource("spacex_launches",
+      "/root/reference/test_data/spacex_launches.json", Some("json")))
+    assert(df.count() == 132)
+    // nested struct access via dotted path (links.patch.small is a struct field)
+    assert(df.schema("links").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val ok = df.select(org.apache.spark.sql.functions.col("links.patch.small"))
+      .na.drop.count()
+    assert(ok > 0)
+    val succeeded = df.filter("success = true").count()
+    assert(succeeded > 0 && succeeded < 132)
+  }
+
   test("uri arg grammar name=uri,opt=val") {
     val src = TableSource.parseUriArg(
       "blogs=/data/blogs.csv,format=csv,has_header=false,reload_interval=30")
