@@ -31,8 +31,13 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     dfCache.computeIfAbsent((spark, sfDir, name), _ => {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events") normalizeNanoTs(df, "ts") else df
+      if (name == "events") {
+        // events.parquet is TIMESTAMP(NANOS): unreadable unless this (dynamic)
+        // conf is on. Set defensively — the caller's session may not come
+        // from GraftSession (e.g. the driver's own smoke-test session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        normalizeNanoTs(spark.read.parquet(s"$sfDir/$name.parquet"), "ts")
+      } else spark.read.parquet(s"$sfDir/$name.parquet")
     })
 
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a raw
