@@ -1,0 +1,58 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.TableSource
+
+/** Read-write mode: live register/drop over HTTP, and the snapshot-swap
+  * refresh loop (the reference's only dynamic behavior, SURVEY.md §1). */
+class ReadWriteSpec extends SparkSpec {
+
+  private lazy val engine = new Engine(spark, readOnly = false)
+  private lazy val app = new HttpApp(engine, 0).start()
+  private lazy val base = s"http://127.0.0.1:${app.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("register a table over HTTP, query it, then drop it") {
+    val dir = Files.createTempDirectory("graft_rw")
+    val csv = dir.resolve("pets.csv")
+    Files.writeString(csv, "name,age\nrex,3\nmia,5\n")
+    val reg = post("/api/table",
+      s"""[{"tableName": "pets", "uri": "$csv", "option": {"format": "csv"}}]""")
+    assert(reg.statusCode() == 200)
+    val rows = get("/api/tables/pets?sort=name&columns=name,age")
+    assert(rows.body() == """[{"name":"mia","age":5},{"name":"rex","age":3}]""")
+    val drop = post("/api/tables/drop", """{"tableName": "pets"}""")
+    assert(drop.statusCode() == 200)
+    val gone = get("/api/tables/pets")
+    assert(gone.statusCode() == 400)
+  }
+
+  test("reload_interval re-reads the source and swaps the view") {
+    val dir = Files.createTempDirectory("graft_refresh")
+    val csv = dir.resolve("counts.csv")
+    Files.writeString(csv, "k,v\na,1\n")
+    engine.registerTable(TableSource("counts", csv.toString, Some("csv"),
+      reloadIntervalSec = Some(1L)))
+    assert(spark.table("counts").count() == 1)
+    Files.writeString(csv, "k,v\na,1\nb,2\nc,3\n")
+    val deadline = System.currentTimeMillis() + 15000
+    var n = 0L
+    while (n != 3L && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      n = spark.table("counts").count()
+    }
+    assert(n == 3L, "refresh loop did not swap the view within 15s")
+  }
+}
