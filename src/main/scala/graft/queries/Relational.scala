@@ -250,6 +250,38 @@ object Relational {
         |GROUP BY DATE_TRUNC('HOUR', ts), event_type
         |ORDER BY hour_bucket, event_type""".stripMargin,
 
+    // --- common table expressions (WITH), reused twice ---
+    "q_cte" ->
+      """WITH big_orders AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 300000
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM big_orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // --- math functions (IEEE-deterministic subset: sqrt/abs/floor/ceil) ---
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  SQRT(l_quantity) AS qty_sqrt,
+        |  ABS(l_discount - 0.05) AS disc_dev,
+        |  FLOOR(l_extendedprice / 1000) AS price_k,
+        |  CAST(CEIL(l_quantity / 7) AS DOUBLE) AS qty_ceil7
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    // --- regex extraction + null handling ---
+    "q_regex_extract" ->
+      """SELECT p_partkey,
+        |  REGEXP_EXTRACT(p_type, '([A-Z]+)$', 1) AS type_last,
+        |  COALESCE(NULLIF(p_brand, 'Brand#15'), 'OTHER') AS brand_bucket
+        |FROM part
+        |WHERE p_size >= 40
+        |ORDER BY p_partkey""".stripMargin,
+
     // --- exact interpolated percentiles ---
     "q_percentile" ->
       """SELECT l_returnflag,
