@@ -17,9 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which small-side replication cannot change the result:
+    * unmatched small-side rows are either dropped (inner/semi) or only the
+    * big side's rows survive (left/anti). Right/full outer would emit each
+    * unmatched small row `salt` times, so they are rejected. */
+  private val safeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "semi", "left_anti", "leftanti", "anti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(safeJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/semi/anti joins only, got `$joinType` " +
+        "(right/full outer would duplicate unmatched small-side rows)")
     // Per-row scatter: any salt assignment is correct (the small side covers
     // all of them); a row-position hash spreads even fully-identical hot rows.
     val scatter: Column = pmod(xxhash64(monotonically_increasing_id()), lit(salt))

@@ -253,7 +253,7 @@ object PipelineOps {
           col("source"))
         .select(col("doc_id"),
           octet_length(col("payload")).cast("long").as("n_bytes"),
-          substring(col("payload"), 1, 8).as("magic"),
+          hex(substring(col("payload"), 1, 8)).as("magic"),
           col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -319,7 +319,7 @@ object PipelineOps {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  encode(substring(text, 1, 8)) AS magic, source
+        |  hex(encode(substring(text, 1, 8))) AS magic, source
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,

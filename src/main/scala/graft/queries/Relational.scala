@@ -267,7 +267,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
         |  SQRT(l_quantity) AS qty_sqrt,
         |  ABS(l_discount - 0.05) AS disc_dev,
-        |  FLOOR(l_extendedprice / 1000) AS price_k,
+        |  CAST(FLOOR(l_extendedprice / 1000) AS DOUBLE) AS price_k,
         |  CAST(CEIL(l_quantity / 7) AS DOUBLE) AS qty_ceil7
         |FROM lineitem
         |WHERE l_orderkey < 100

@@ -1,6 +1,6 @@
 package graft.server
 
-import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledExecutorService, ScheduledFuture, TimeUnit}
 
 import scala.jdk.CollectionConverters._
 
@@ -21,6 +21,13 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
 
   private val tables = new ConcurrentHashMap[String, TableSource]()
   private val kvDefs = new ConcurrentHashMap[String, KvStore]()
+  // One refresh task per table/KV name; cancelled on drop or re-register so a
+  // dropped table is never resurrected by a stale tick and re-registering the
+  // same name cannot leak a duplicate task.
+  private val refreshTasks = new ConcurrentHashMap[String, ScheduledFuture[_]]()
+
+  private def cancelRefresh(name: String): Unit =
+    Option(refreshTasks.remove(name)).foreach(_.cancel(false))
   private val scheduler: ScheduledExecutorService =
     Executors.newScheduledThreadPool(1, r => {
       val t = new Thread(r, "graft-refresh"); t.setDaemon(true); t
@@ -29,19 +36,22 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
   // ---- table lifecycle -----------------------------------------------------
 
   def registerTable(src: TableSource): Unit = {
+    cancelRefresh(src.name)
     Loaders.register(spark, src)
     tables.put(src.name, src)
     src.reloadIntervalSec.foreach { sec =>
-      scheduler.scheduleAtFixedRate(
+      val task = scheduler.scheduleAtFixedRate(
         () =>
           try Loaders.register(spark, src)
           catch { case e: Throwable =>
             System.err.println(s"[refresh] ${src.name}: ${e.getMessage}") },
         sec, sec, TimeUnit.SECONDS)
+      refreshTasks.put(src.name, task)
     }
   }
 
   def dropTable(name: String): Unit = {
+    cancelRefresh(name)
     tables.remove(name)
     spark.catalog.dropTempView(name)
   }
@@ -69,15 +79,17 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
 
   def registerKv(name: String, source: TableSource,
                  keyCol: String, valueCol: String): Unit = {
+    cancelRefresh(s"kv:$name")
     val kv = KvStore(name, source, keyCol, valueCol)
     loadKv(kv)
     kvDefs.put(name, kv)
     source.reloadIntervalSec.foreach { sec =>
-      scheduler.scheduleAtFixedRate(() =>
+      val task = scheduler.scheduleAtFixedRate(() =>
         try loadKv(kv)
         catch { case e: Throwable =>
           System.err.println(s"[refresh kv] $name: ${e.getMessage}") },
         sec, sec, TimeUnit.SECONDS)
+      refreshTasks.put(s"kv:$name", task)
     }
   }
 
