@@ -30,6 +30,8 @@ object Loaders {
         org.apache.spark.sql.GraftArrowBridge.fromIpcFileBytes(spark, fetchBytes(src.uri))
       case "arrows" => // IPC stream format
         org.apache.spark.sql.GraftArrowBridge.fromIpcStreamBytes(spark, fetchBytes(src.uri))
+      case "xlsx" | "ods" | "xls" | "xlsb" => ExcelLoader.load(spark, src)
+      case "delta" => DeltaLoader.load(spark, src)
       case "jdbc" =>
         // spark.read.jdbc needs a driver jar on the classpath; none are bundled
         // in this environment, but the dispatch is wired (reference:

@@ -30,8 +30,17 @@ final case class TableSource(
       case Some("ndjson") | Some("jsonl") => "ndjson"
       case Some("arrow") => "arrow"
       case Some("arrows") => "arrows"
+      case Some("xlsx") => "xlsx"
+      case Some("ods") => "ods"
       case other =>
-        throw new IllegalArgumentException(
+        // extension-less local dir with a transaction log => Delta table
+        val local = if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri
+        if (!uri.contains("://") || uri.startsWith("file://")) {
+          val p = java.nio.file.Paths.get(local, "_delta_log")
+          if (java.nio.file.Files.isDirectory(p)) "delta"
+          else throw new IllegalArgumentException(
+            s"cannot infer format for table `$name` from uri `$uri` (ext=$other)")
+        } else throw new IllegalArgumentException(
           s"cannot infer format for table `$name` from uri `$uri` (ext=$other)")
     }
   }
