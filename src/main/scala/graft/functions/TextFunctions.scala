@@ -60,14 +60,9 @@ object TextFunctions {
   private val FP_P = (1L << 61) - 1
   private val FP_B = 1000003L
 
-  private def fpMulmod(a: Long, b: Long): Long = {
-    val hi = a >>> 31
-    val lo = a & 0x7fffffffL
-    val r = ((hi * b % FP_P) << 31) % FP_P
-    (r + lo * b) % FP_P
-  }
-
-  /** Order-sensitive polynomial rolling hash over whitespace tokens. */
+  /** Order-sensitive polynomial rolling hash over whitespace tokens,
+    * mod 2^61-1 with exact 128-bit mulmod (the DuckDB oracle reproduces the
+    * same HUGEINT arithmetic bit-for-bit). */
   def fingerprintOf(input: UTF8String): Long = {
     val s = input.toString
     var acc = 0L
@@ -79,7 +74,7 @@ object TextFunctions {
       while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
       if (i > start) {
         val h = fnv64(s.substring(start, i).toLowerCase) & Long.MaxValue
-        acc = (fpMulmod(acc, FP_B) + (h % FP_P)) % FP_P
+        acc = (mulmod61(acc, FP_B) + (h % FP_P)) % FP_P
       }
     }
     acc
@@ -156,12 +151,14 @@ object TextFunctions {
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with low
-    * punctuation noise and a natural stopword rate. Heuristic, deterministic. */
+    * punctuation noise and a natural stopword rate. Heuristic, deterministic.
+    * Unrounded: the raw double expression tree evaluates bit-identically in
+    * DuckDB, whereas round(double, n) implementations differ by ULPs. */
   def qualityScore(c: Column): Column = {
     val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
     val punctPenalty = least(punctRatio(c) * 5.0, lit(1.0))
     val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
-    round((lenScore * 0.4 + (lit(1.0) - punctPenalty) * 0.3 + stopScore * 0.3), 6)
+    lenScore * 0.4 + (lit(1.0) - punctPenalty) * 0.3 + stopScore * 0.3
   }
 
   // ---- language identification (n-gram/stopword heuristic) -----------------

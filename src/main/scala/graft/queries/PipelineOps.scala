@@ -44,6 +44,24 @@ object PipelineOps {
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Scale-safe global top-k per probe: stage 1 takes the top k inside each
+    * input partition (cardinality q_id x n_partitions, so no reducer ever
+    * sorts more than its own partition's slice), stage 2 ranks the surviving
+    * k x n_partitions rows per probe. Identical result to a single global
+    * window, but the full scored set is never shuffled into one task per
+    * probe — the old plan's bottleneck at 1000 executors. */
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col("q_id"), col("part"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val survivors = scored.withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= k).drop("lr", "part")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    survivors.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val dfQueries: Map[String, Q] = Map(
@@ -61,10 +79,12 @@ object PipelineOps {
     }),
 
     "doc_quality" -> ((spark, dir) => {
+      // raw (unrounded) ratios: integer-count / integer-length divisions are
+      // bit-identical in DuckDB, so the oracle hash-matches exactly
       docs(spark, dir).select(
         col("doc_id"),
-        round(punctRatio(col("text")), 6).as("punct_ratio"),
-        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
         qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -133,24 +153,14 @@ object PipelineOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup: hamming distance <= 3 via 4x16-bit chunk pigeonhole
+    // SimHash near-dup: hamming distance <= 3 via multi-chunk pigeonhole.
+    // 5 chunks / 2-chunk combo keys give a ~2^26 bucket space (vs the 65k
+    // ceiling of single 16-bit chunks), so buckets stay small as the corpus
+    // grows; candidate generation is provably complete for hamming <= 3 and
+    // the exact bit_count filter keeps the result identical.
     "dedup_simhash" -> ((spark, dir) => {
       val d = docs(spark, dir).select(col("doc_id"), simhash64(col("text")).as("sh"))
-      val chunked = d.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
-        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-      val a = chunked.select(col("chunk"), col("chunk_val"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = chunked.select(col("chunk"), col("chunk_val"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("chunk", "chunk_val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy(col("doc_a"), col("doc_b"))
+      simhashNearDup(d, maxHamming = 3, chunks = 5, comboSize = 2)
     }),
 
     // Exact n-gram Jaccard similarity join. The shuffle carries ONLY
@@ -163,21 +173,11 @@ object PipelineOps {
     // for sparse real corpora at 100 TB, the sub-quadratic path is the
     // MinHash-LSH operator below.
     "dedup_ngram_jaccard" -> ((spark, dir) => {
+      // guard opted out: this synthetic bench corpus is DELIBERATELY dense
+      // (the exact path is the point of the benchmark); production callers
+      // get the posting-stats guard by default (see ngramJaccardJoin).
       val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-      val counts = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
-      val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val shared = inv.as("a").join(inv.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("shared").cast("double") /
-            (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= 0.25)
-        .orderBy(col("doc_a"), col("doc_b"))
+      ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
     }),
 
     // embedding near-dup: cosine >= 0.95 among LSH-bucketed candidates
@@ -210,10 +210,7 @@ object PipelineOps {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
-        .orderBy(col("q_id"), col("rank"))
+      topKPerProbe(scored, 10)
     }),
 
     // LSH-bucketed ANN (the scale path: only same-bucket candidates scored)
@@ -229,10 +226,7 @@ object PipelineOps {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
-        .orderBy(col("q_id"), col("rank"))
+      topKPerProbe(scored, 10)
     }),
 
     "emb_norms" -> ((spark, dir) => {
@@ -284,6 +278,95 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Posting-list statistics for the exact Jaccard path's cost guard. */
+  final case class PostingStats(nPostings: Long, nShingles: Long, candidatePairs: Double) {
+    def avgPostingLen: Double = if (nShingles == 0) 0.0 else nPostings.toDouble / nShingles
+  }
+
+  /** One cheap aggregate over the inverted index: Σ df·(df−1)/2 is the EXACT
+    * number of candidate pairs the all-pairs join will generate. */
+  def postingStats(inv: DataFrame): PostingStats = {
+    val r = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("postings"), count(lit(1)).as("shingles"),
+        sum(col("df").cast("double") * (col("df") - 1).cast("double") / 2.0).as("pairs"))
+      .head()
+    PostingStats(r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  /** Exact n-gram Jaccard similarity join over (doc_id, sh: array<string>).
+    *
+    * The shuffle carries ONLY (doc_id, shingle) postings and (doc_a, doc_b)
+    * counts — never the shingle arrays: |A ∩ B| falls out of a count aggregate
+    * over the inverted-index self-join, and |A ∪ B| = |A| + |B| − |A ∩ B|.
+    *
+    * Exactness costs Σ df² pair generation, which is quadratic inside hot
+    * shingles — a scale-killer on dense corpora. `maxCandidatePairs` (default
+    * 10^9) measures that cost with one aggregate BEFORE running the join and
+    * refuses, pointing at the sub-quadratic MinHash-LSH operator, when the
+    * corpus exceeds it. Pass None to opt out (benchmarks, known-small inputs).
+    */
+  def ngramJaccardJoin(d: DataFrame, threshold: Double,
+                       maxCandidatePairs: Option[Double] = Some(1e9)): DataFrame = {
+    val counts = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    maxCandidatePairs.foreach { bound =>
+      val stats = postingStats(inv)
+      if (stats.candidatePairs > bound) throw new IllegalStateException(
+        f"exact Jaccard join refused: corpus would generate ${stats.candidatePairs}%.3g " +
+          f"candidate pairs (> $bound%.3g; ${stats.nShingles} shingles, avg posting " +
+          f"length ${stats.avgPostingLen}%.1f). Use the MinHash-LSH near-dup operator " +
+          "(dedup_minhash_lsh) for dense corpora, or raise/disable maxCandidatePairs.")
+    }
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup over (doc_id, sh: long) via generalized chunk-combo
+    * pigeonhole. The 64-bit signature splits into `chunks` blocks; a pair
+    * within `maxHamming` differs in at most `maxHamming` blocks, so at least
+    * `chunks - maxHamming` blocks are equal — bucketing on every
+    * C(chunks, comboSize) combination of `comboSize` blocks is complete
+    * whenever comboSize <= chunks - maxHamming. Larger combos = exponentially
+    * more bucket values (width·comboSize bits) = smaller buckets at scale;
+    * the exact bit_count filter keeps the result identical to brute force. */
+  def simhashNearDup(d: DataFrame, maxHamming: Int, chunks: Int, comboSize: Int): DataFrame = {
+    require(comboSize >= 1 && comboSize <= chunks - maxHamming,
+      s"comboSize must be in [1, chunks - maxHamming] = [1, ${chunks - maxHamming}]")
+    val width = (64 + chunks - 1) / chunks // ceil: last chunk may be narrower
+    def chunkVal(i: Int): Column = {
+      val w = math.min(width, 64 - i * width)
+      shiftrightunsigned(col("sh"), i * width)
+        .bitwiseAND(lit(if (w >= 64) -1L else (1L << w) - 1))
+    }
+    val combos = (0 until chunks).combinations(comboSize).toSeq
+    // combo key = combo index + concatenated chunk values (xxhash64 packs the
+    // multi-chunk key into one shuffle-friendly long)
+    val keyed = d.select(col("doc_id"), col("sh"),
+      posexplode(array(combos.map(ix => xxhash64(ix.map(chunkVal): _*)): _*)))
+      .withColumnRenamed("pos", "combo").withColumnRenamed("col", "combo_key")
+    val a = keyed.select(col("combo"), col("combo_key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("combo"), col("combo_key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("combo", "combo_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Sign-random-projection LSH bucket id from `nBits` fixed pseudo-random
     * hyperplanes (deterministic: plane weights derive from FNV of (bit,dim)).
@@ -342,6 +425,80 @@ object PipelineOps {
     "emb_norms" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // raw-double mirror of punctRatio/stopwordRatio/qualityScore — identical
+    // expression trees, so doubles are bit-exact (validated row-by-row against
+    // an independent reimplementation at sf0.001)
+    "doc_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, punct_ratio,
+        |    CAST(len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this','be','are','was'], x))) AS DOUBLE)
+        |      / CAST(greatest(len(ts), 1) AS DOUBLE) AS stopword_ratio,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+        |  FROM base)
+        |SELECT doc_id, punct_ratio, stopword_ratio,
+        |  len_score * 0.4 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+        |    + least(stopword_ratio * 4.0, 1.0) * 0.3 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // stopword-vote language id; CASE order = lexicon priority (en first)
+    "doc_lang_id" ->
+      """WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |  len(list_filter(ts, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS en,
+        |  len(list_filter(ts, x -> list_contains(['le','la','les','de','des','et','en','un','une','est'], x))) AS fr,
+        |  len(list_filter(ts, x -> list_contains(['el','la','los','las','de','y','en','un','una','es'], x))) AS es,
+        |  len(list_filter(ts, x -> list_contains(['der','die','das','und','von','zu','mit','ist','den','ein'], x))) AS de,
+        |  len(list_filter(ts, x -> list_contains(['的','了','是','在','我','有','和','就','不','人'], x))) AS zh
+        |  FROM tok),
+        |b AS (SELECT doc_id, lang, en, fr, es, de, zh, greatest(en, fr, es, de, zh) AS best FROM v)
+        |SELECT doc_id, lang AS lang_label,
+        |  CASE WHEN en = best AND best > 0 THEN 'en'
+        |       WHEN fr = best AND best > 0 THEN 'fr'
+        |       WHEN es = best AND best > 0 THEN 'es'
+        |       WHEN de = best AND best > 0 THEN 'de'
+        |       WHEN zh = best AND best > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // FNV-1a-64 per token (fold over UTF-8 bytes recovered from hex()), then
+    // the polynomial rolling hash mod 2^61-1 and the 64-bit-counter SimHash —
+    // exact HUGEINT arithmetic, validated bit-exact at sf0.001
+    "doc_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |fnv AS (
+        |  SELECT doc_id, list_transform(ts, t ->
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, octet_length(encode(t)) + 1), i ->
+        |          CAST((strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1)) - 1) * 16
+        |             + strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i, 1)) - 1 AS HUGEINT))),
+        |      (acc, b) -> CAST(xor(acc, b) * 1099511628211 % 18446744073709551616 AS HUGEINT))) AS hs
+        |  FROM tok),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), hs),
+        |      (acc, h) -> CAST((acc * 1000003 + (h % 9223372036854775808) % 2305843009213693951)
+        |                       % 2305843009213693951 AS HUGEINT)) AS BIGINT) AS fingerprint,
+        |    hs
+        |  FROM fnv),
+        |sh AS (
+        |  SELECT doc_id, fingerprint,
+        |    list_sum(list_transform(range(0, 64), b ->
+        |      CASE WHEN 2 * list_sum(list_transform(hs, h ->
+        |            CAST(h // (CAST(1 AS HUGEINT) << b) % 2 AS HUGEINT))) > len(hs)
+        |        THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS sh_u
+        |  FROM fp)
+        |SELECT doc_id, fingerprint,
+        |  CAST(CASE WHEN sh_u >= CAST(1 AS HUGEINT) << 63
+        |    THEN sh_u - (CAST(1 AS HUGEINT) << 64) ELSE sh_u END AS BIGINT) AS simhash
+        |FROM sh ORDER BY doc_id""".stripMargin
   )
 }
