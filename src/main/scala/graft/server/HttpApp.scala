@@ -180,11 +180,45 @@ object ServerMain {
 }
 
 /** One-shot / interactive SQL CLI over the same engine
-  * (reference: columnq-cli/src/main.rs).
+  * (reference: columnq-cli/src/main.rs:46-99 console loop + cmd_sql).
   *
-  *   runMain graft.Cli table1=uri1 ... -q "SELECT ..." [--format json|csv|table]
+  *   runMain graft.Cli table1=uri1 ... [-q "SELECT ..."] [--format json|csv|table]
+  *
+  * Without `-q` it enters the interactive console: a `graft(sql)> ` prompt,
+  * `exit`/`quit`/`q` (or EOF) to leave, per-query errors printed without
+  * killing the session. (Plain stdin line reading — no readline/history lib
+  * offline; the reference uses rustyline.)
   */
 object CliMain {
+
+  private[server] def render(engine: Engine, sql: String, fmt: String,
+                             out: java.io.PrintStream): Unit = {
+    val df = engine.querySql(sql)
+    fmt match {
+      case "json" => out.println(new String(graft.encoding.Encoders.toJsonBytes(df), "UTF-8"))
+      case "csv"  => out.print(new String(graft.encoding.Encoders.toCsvBytes(df), "UTF-8"))
+      case _      => scala.Console.withOut(out)(df.show(1000, truncate = false))
+    }
+  }
+
+  /** The interactive loop, parameterized over streams so specs can drive it. */
+  private[server] def consoleLoop(engine: Engine, in: java.io.BufferedReader,
+                                  out: java.io.PrintStream, fmt: String): Unit = {
+    var open = true
+    while (open) {
+      out.print("graft(sql)> "); out.flush()
+      val line = in.readLine()
+      Option(line).map(_.trim) match {
+        case None | Some("exit") | Some("quit") | Some("q") =>
+          out.println("Good bye!"); open = false
+        case Some("") => ()
+        case Some(sql) =>
+          try render(engine, sql, fmt, out)
+          catch { case e: Throwable => out.println(s"Error: ${e.getMessage}") }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     var sql = ""
     var fmt = "table"
@@ -197,16 +231,13 @@ object CliMain {
         case other => tableArgs += other; i += 1
       }
     }
-    require(sql.nonEmpty, "usage: CliMain table=uri ... -q SQL [--format json|csv|table]")
     val spark = graft.GraftSession.get()
     val engine = new Engine(spark, readOnly = true)
     tableArgs.result().foreach(a => engine.registerTable(TableSource.parseUriArg(a)))
-    val df = engine.querySql(sql)
-    fmt match {
-      case "json" => println(new String(graft.encoding.Encoders.toJsonBytes(df), "UTF-8"))
-      case "csv"  => print(new String(graft.encoding.Encoders.toCsvBytes(df), "UTF-8"))
-      case _      => df.show(1000, truncate = false)
-    }
+    if (sql.nonEmpty) render(engine, sql, fmt, System.out)
+    else consoleLoop(engine,
+      new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+      System.out, fmt)
     spark.stop()
   }
 }

@@ -15,16 +15,21 @@ import org.apache.spark.sql.types._
   */
 object Loaders {
 
+  /** stdin byte source, swappable for tests (reference: columnq/src/table/
+    * mod.rs:888-896 buffers stdin into a memory-backed table source). */
+  @volatile var stdinStream: () => java.io.InputStream = () => System.in
+
   def load(spark: SparkSession, src: TableSource): DataFrame = {
+    if (src.uri == "stdin") return loadStdin(spark, src)
     val df = src.resolvedFormat match {
       case "csv" => csv(spark, src, delimiter = src.options.getOrElse("delimiter", ","))
       case "tsv" => csv(spark, src, delimiter = "\t")
       case "parquet" =>
         val r = spark.read.options(src.options)
-        src.schema.map(r.schema).getOrElse(r).parquet(src.uri)
+        effectiveSchema(spark, src, "parquet").map(r.schema).getOrElse(r).parquet(src.uri)
       case "ndjson" =>
         val r = spark.read.options(src.options)
-        src.schema.map(r.schema).getOrElse(r).json(src.uri)
+        effectiveSchema(spark, src, "ndjson").map(r.schema).getOrElse(r).json(src.uri)
       case "json" => jsonDocument(spark, src)
       case "arrow" => // IPC file format
         org.apache.spark.sql.GraftArrowBridge.fromIpcFileBytes(spark, fetchBytes(src.uri))
@@ -32,6 +37,7 @@ object Loaders {
         org.apache.spark.sql.GraftArrowBridge.fromIpcStreamBytes(spark, fetchBytes(src.uri))
       case "xlsx" | "ods" | "xls" | "xlsb" => ExcelLoader.load(spark, src)
       case "delta" => DeltaLoader.load(spark, src)
+      case "google_spreadsheet" | "gsheet" => GsheetLoader.load(spark, src)
       case "jdbc" =>
         // spark.read.jdbc needs a driver jar on the classpath; none are bundled
         // in this environment, but the dispatch is wired (reference:
@@ -58,9 +64,42 @@ object Loaders {
       .option("header", src.options.getOrElse("has_header", "true"))
       .option("delimiter", delimiter)
       .options(src.options - "has_header")
-    src.schema.map(r.schema)
+    effectiveSchema(spark, src, "csv").map(r.schema)
       .getOrElse(r.option("inferSchema", "true"))
       .csv(src.uri)
+  }
+
+  /** Declared schema, else `schema_from_files` (comma-separated paths under
+    * the table root): infer from ONLY those files in one reader pass — Spark
+    * merges across them, the analog of the reference's Schema::try_merge
+    * (columnq/src/table/mod.rs:704-752). At 100 TB this skips listing-wide
+    * inference (a full-footer scan for parquet, a data scan for csv/json)
+    * in favor of a declared sample. */
+  private[sources] def effectiveSchema(spark: SparkSession, src: TableSource,
+                                       fmt: String): Option[StructType] =
+    src.schema.orElse(src.options.get("schema_from_files").map { list =>
+      val files = list.split("[;,]").map(_.trim).filter(_.nonEmpty)
+      require(files.nonEmpty, s"table `${src.name}`: schema_from_files is an empty list")
+      val root = src.uri.stripSuffix("/")
+      val paths = files.map(f => if (f.startsWith("/") || f.contains("://")) f else s"$root/$f")
+      val r = spark.read
+      (fmt match {
+        case "csv" => r.option("header", src.options.getOrElse("has_header", "true"))
+          .option("inferSchema", "true").csv(paths.toIndexedSeq: _*)
+        case "ndjson" => r.json(paths.toIndexedSeq: _*)
+        case _ => r.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+      }).schema
+    })
+
+  /** Buffer stdin to a spill file, then load it under the declared format. */
+  private def loadStdin(spark: SparkSession, src: TableSource): DataFrame = {
+    val fmt = src.format.getOrElse(throw new IllegalArgumentException(
+      s"table `${src.name}`: stdin source needs an explicit format option"))
+    val bytes = stdinStream().readAllBytes()
+    val tmp = java.nio.file.Files.createTempFile("graft_stdin_", s".$fmt")
+    tmp.toFile.deleteOnExit()
+    java.nio.file.Files.write(tmp, bytes)
+    load(spark, src.copy(uri = tmp.toString, format = Some(fmt)))
   }
 
   // ---- single-document JSON (pointer + array_encoded) ----------------------

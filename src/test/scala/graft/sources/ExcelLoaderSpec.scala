@@ -89,6 +89,27 @@ class ExcelLoaderSpec extends AnyFunSuite {
     assert(colIndex("AZ3") === 51)
   }
 
+  test("golden HTTP query over the xlsx table (reference api_test.rs:43-66)") {
+    val engine = new graft.server.Engine(spark, readOnly = true)
+    engine.registerTable(TableSource("uk_cities", xlsx))
+    val app = new graft.server.HttpApp(engine, 0).start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val r = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${app.boundPort}/api/sql"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            "SELECT city FROM uk_cities WHERE lat > 52 and lat < 53 and lng < -1"))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(r.body() ===
+        """[{"city":"Solihull, Birmingham, UK"},{"city":"Rugby, Warwickshire, UK"},""" +
+          """{"city":"Sutton Coldfield, West Midlands, UK"},{"city":"Wolverhampton, West Midlands, UK"},""" +
+          """{"city":"Frankton, Warwickshire, UK"}]""")
+    } finally app.stop()
+  }
+
   test("declared schema overrides inference and casts integral floats") {
     val schema = StructType(Seq(
       StructField("city", StringType, nullable = true),
