@@ -67,15 +67,23 @@ object Encoders {
 
   // ---- JSON array-of-objects ----------------------------------------------
 
-  def toJsonBytes(df: DataFrame): Array[Byte] = {
-    val rows = df.collect()
+  /** Stream rows into `out` one partition at a time (`toLocalIterator`), so
+    * driver memory is bounded by one partition regardless of result size —
+    * the 100 TB-safe path for full-table exports. Serving queries are
+    * LIMIT/agg-bounded anyway; this removes the collect() cliff for the rest. */
+  def writeJson(df: DataFrame, out: java.io.OutputStream): Unit = {
     val schema = df.schema
-    val out = new ByteArrayOutputStream()
     val gen = new JsonFactory().createGenerator(out)
     gen.writeStartArray()
-    rows.foreach { row => writeStruct(gen, row, schema) }
+    val it = df.toLocalIterator()
+    while (it.hasNext) writeStruct(gen, it.next(), schema)
     gen.writeEndArray()
-    gen.close()
+    gen.flush()
+  }
+
+  def toJsonBytes(df: DataFrame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeJson(df, out)
     out.toByteArray
   }
 
@@ -123,18 +131,30 @@ object Encoders {
 
   // ---- CSV -----------------------------------------------------------------
 
-  def toCsvBytes(df: DataFrame): Array[Byte] = {
-    val sb = new StringBuilder
+  /** Partition-at-a-time CSV streaming; same bounded-memory contract as
+    * [[writeJson]]. */
+  def writeCsv(df: DataFrame, out: java.io.OutputStream): Unit = {
     val schema = df.schema
-    sb.append(schema.fieldNames.map(csvEscape).mkString(",")).append('\n')
-    df.collect().foreach { row =>
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, "UTF-8"))
+    w.write(schema.fieldNames.map(csvEscape).mkString(","))
+    w.write("\n")
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
       val cells = schema.fields.zipWithIndex.map { case (f, i) =>
         if (row.isNullAt(i)) ""
         else csvEscape(String.valueOf(fmtValue(row.get(i))))
       }
-      sb.append(cells.mkString(",")).append('\n')
+      w.write(cells.mkString(","))
+      w.write("\n")
     }
-    sb.toString.getBytes("UTF-8")
+    w.flush()
+  }
+
+  def toCsvBytes(df: DataFrame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeCsv(df, out)
+    out.toByteArray
   }
 
   private def csvEscape(s: String): String =

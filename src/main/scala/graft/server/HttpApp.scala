@@ -129,8 +129,18 @@ final class HttpApp(engine: Engine, port: Int = 0) {
 
   private def respondQuery(ex: HttpExchange, df: org.apache.spark.sql.DataFrame): Unit = {
     val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
-    val ct = Encoders.fromAccept(accept)
-    respondRaw(ex, 200, Encoders.encode(df, ct), ct.mime)
+    Encoders.fromAccept(accept) match {
+      // JSON/CSV stream chunked, one partition at a time — a full-table
+      // export never materializes on the driver or in the response buffer
+      case ct @ (Encoders.Json | Encoders.Csv) =>
+        ex.getResponseHeaders.set("Content-Type", ct.mime)
+        ex.sendResponseHeaders(200, 0) // chunked
+        val out = ex.getResponseBody
+        if (ct == Encoders.Json) Encoders.writeJson(df, out) else Encoders.writeCsv(df, out)
+        out.close()
+      // Arrow file/Parquet formats need their footer, so they buffer
+      case ct => respondRaw(ex, 200, Encoders.encode(df, ct), ct.mime)
+    }
   }
 
   private def respondError(ex: HttpExchange, e: ApiError): Unit = {
