@@ -229,6 +229,13 @@ object PipelineOps {
       topKPerProbe(scored, 10)
     }),
 
+    // IVF-flat ANN: k-means centroids replace random hyperplanes (the
+    // production scale path promised in SCALE.md). The corpus is assigned to
+    // its nearest centroid cell ONCE (distributed transform; on a real
+    // deployment the assignment is persisted/bucketed); each probe searches
+    // only its nprobe closest cells, so the scored set shrinks by ~k/nprobe.
+    "ann_ivf" -> ((spark, dir) => annIvf(embs(spark, dir), k = 16, nprobe = 4, topK = 10)),
+
     "emb_norms" -> ((spark, dir) => {
       embs(spark, dir).select(col("vec_id"), col("label").cast("long").as("label"),
         l2norm(col("embedding")).as("l2_norm"))
@@ -366,6 +373,47 @@ object PipelineOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** IVF-flat approximate nearest neighbor: deterministic k-means (fixed
+    * seed) trains `k` centroid cells; the corpus gets a one-pass distributed
+    * cell assignment; probes (vec_id < 5, same contract as the other ann_*
+    * queries) search their `nprobe` nearest cells only. Candidates shuffle on
+    * the cell id — the same bucketed join shape as the LSH variant, but with
+    * data-adaptive cells, so occupancy is balanced even when the corpus is
+    * far from isotropic. Final ranking reuses the two-stage top-k. */
+  def annIvf(emb: DataFrame, k: Int, nprobe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val feat = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"),
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+      .cache()
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(feat)
+    val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
+
+    // probe -> its nprobe nearest centroids (k x nprobe rows; driver-tiny)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val centroidDf = emb.sparkSession.createDataFrame(centroids.toIndexedSeq)
+      .toDF("cell", "centroid")
+    val probes = assigned.filter(col("vec_id") < 5).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+    val probeCells = probes.crossJoin(broadcast(centroidDf))
+      .withColumn("dist", aggregate(
+        zip_with(col("q_vec"), col("centroid"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+    topKPerProbe(scored, topK)
   }
 
   /** Sign-random-projection LSH bucket id from `nBits` fixed pseudo-random
