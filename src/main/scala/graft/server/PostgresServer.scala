@@ -52,6 +52,9 @@ final class PostgresServer(engine: Engine, port: Int = 0) {
   private def handleConn(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    // per-connection extended-protocol state
+    val stmts = scala.collection.mutable.Map[String, Prepared]()
+    val portals = scala.collection.mutable.Map[String, String]() // portal -> bound sql
     try {
       if (!startup(in, out)) return
       var open = true
@@ -66,13 +69,150 @@ final class PostgresServer(engine: Engine, port: Int = 0) {
             case 'Q' =>
               val sql = new String(body, UTF_8).stripSuffix("\u0000")
               simpleQuery(out, sql)
+            case 'P' => parseMsg(out, body, stmts)
+            case 'B' => bindMsg(out, body, stmts, portals)
+            case 'D' => describeMsg(out, body, stmts, portals)
+            case 'E' => executeMsg(out, body, portals)
+            case 'C' => // Close statement/portal
+              val b = reader(body)
+              val kind = b.readByte().toChar
+              val name = readCStr(b)
+              if (kind == 'S') stmts.remove(name) else portals.remove(name)
+              msg(out, '3', _ => ()) // CloseComplete
+            case 'S' => readyForQuery(out) // Sync
+            case 'H' => out.flush() // Flush
             case 'X' => open = false
-            case _ => // ignore extended-protocol messages (parse/bind/etc.)
+            case _ => // unknown extension messages are ignored
           }
         }
       }
     } catch { case _: Throwable => () }
     finally sock.close()
+  }
+
+  // ---- extended protocol (Parse/Bind/Describe/Execute; the reference serves
+  // the same flow through the pgwire crate's ExtendedQueryHandler) -----------
+
+  private final case class Prepared(sql: String, paramOids: Seq[Int])
+
+  private def reader(body: Array[Byte]) =
+    new DataInputStream(new java.io.ByteArrayInputStream(body))
+
+  private def readCStr(b: DataInputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var c = b.readByte()
+    while (c != 0) { buf.write(c); c = b.readByte() }
+    new String(buf.toByteArray, UTF_8)
+  }
+
+  private def parseMsg(out: DataOutputStream, body: Array[Byte],
+                       stmts: scala.collection.mutable.Map[String, Prepared]): Unit = {
+    val b = reader(body)
+    val name = readCStr(b)
+    val sql = readCStr(b)
+    val nParams = b.readShort()
+    val oids = (0 until nParams.toInt).map(_ => b.readInt())
+    stmts(name) = Prepared(sql, oids)
+    msg(out, '1', _ => ()) // ParseComplete
+  }
+
+  /** Bind substitutes text-format parameters into the SQL as literals —
+    * numeric OIDs inline bare, everything else as an escaped string literal
+    * (Spark coerces as SQL requires). Binary-format params are rejected. */
+  private def bindMsg(out: DataOutputStream, body: Array[Byte],
+                      stmts: scala.collection.mutable.Map[String, Prepared],
+                      portals: scala.collection.mutable.Map[String, String]): Unit = {
+    val b = reader(body)
+    val portal = readCStr(b)
+    val stmtName = readCStr(b)
+    stmts.get(stmtName) match {
+      case None =>
+        errorResponse(out, "26000", s"unknown prepared statement `$stmtName`")
+      case Some(stmt) =>
+        val nFmt = b.readShort()
+        val fmts = (0 until nFmt.toInt).map(_ => b.readShort())
+        val nParams = b.readShort()
+        val numericOids = Set(20, 21, 23, 700, 701, 1700)
+        var sql = stmt.sql
+        var failed = false
+        (0 until nParams.toInt).foreach { i =>
+          val plen = b.readInt()
+          val value = if (plen < 0) null else {
+            val pb = new Array[Byte](plen); b.readFully(pb); new String(pb, UTF_8)
+          }
+          val fmt = if (fmts.isEmpty) 0 else fmts(if (fmts.length == 1) 0 else i)
+          if (fmt != 0 && !failed) {
+            errorResponse(out, "0A000", "binary parameter format is not supported")
+            failed = true
+          }
+          val oid = stmt.paramOids.lift(i).getOrElse(0)
+          val lit =
+            if (value == null) "NULL"
+            else if (numericOids(oid) ||
+              (oid == 0 && value.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))) value
+            else "'" + value.replace("'", "''") + "'"
+          sql = sql.replace("$" + (i + 1), lit)
+        }
+        if (!failed) {
+          portals(portal) = sql
+          msg(out, '2', _ => ()) // BindComplete
+        }
+    }
+  }
+
+  private def describeMsg(out: DataOutputStream, body: Array[Byte],
+                          stmts: scala.collection.mutable.Map[String, Prepared],
+                          portals: scala.collection.mutable.Map[String, String]): Unit = {
+    val b = reader(body)
+    val kind = b.readByte().toChar
+    val name = readCStr(b)
+    try {
+      if (kind == 'S') {
+        val stmt = stmts.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown prepared statement `$name`"))
+        msg(out, 't', bb => { // ParameterDescription
+          bb.writeShort(stmt.paramOids.length)
+          stmt.paramOids.foreach(o => bb.writeInt(if (o == 0) 25 else o))
+        })
+        // schema analysis with NULL-substituted params (no job runs)
+        val probeSql = (1 to stmt.paramOids.length)
+          .foldLeft(stmt.sql)((s, i) => s.replace("$" + i, "NULL"))
+        rowDescription(out, engine.querySql(probeSql).schema)
+      } else {
+        val sql = portals.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown portal `$name`"))
+        rowDescription(out, engine.querySql(sql).schema)
+      }
+    } catch {
+      case e: Throwable =>
+        errorResponse(out, "42000", Option(e.getMessage).getOrElse("describe failed"))
+    }
+  }
+
+  private def executeMsg(out: DataOutputStream, body: Array[Byte],
+                         portals: scala.collection.mutable.Map[String, String]): Unit = {
+    val b = reader(body)
+    val portal = readCStr(b)
+    val maxRows = b.readInt() // 0 = unlimited; portal suspension unsupported
+    portals.get(portal) match {
+      case None => errorResponse(out, "34000", s"unknown portal `$portal`")
+      case Some(sql) =>
+        val upper = sql.trim.toUpperCase
+        if (upper.startsWith("SET") || upper.startsWith("SHOW") ||
+          upper.startsWith("BEGIN") || upper.startsWith("COMMIT") ||
+          upper.startsWith("ROLLBACK") || upper.startsWith("DISCARD")) {
+          commandComplete(out, upper.split("\\s+").head)
+        } else try {
+          val df = engine.querySql(sql)
+          val schema = df.schema
+          val rows = if (maxRows > 0) df.limit(maxRows).collect() else df.collect()
+          rows.foreach(r => dataRow(out, r, schema))
+          commandComplete(out, s"SELECT ${rows.length}")
+        } catch {
+          case e: Throwable =>
+            errorResponse(out, "42000", Option(e.getMessage).getOrElse("query failed"))
+        }
+    }
   }
 
   /** Startup: handle SSLRequest ('N') then the StartupMessage; reply

@@ -37,6 +37,36 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup for a document ingest feed: first occurrence wins;
+    * state holds ONE fingerprint per distinct doc inside the watermark
+    * horizon and is evicted as the watermark advances — the streaming face of
+    * `dedup_exact`, with bounded state at any feed rate. Input needs
+    * (ts, text, ...); the fingerprint is the codegen'd rolling hash. */
+  def dedupDocStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.rollingFingerprint(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Stream-stream interval join: each view joined to the same user's
+    * follow-up actions within 30 minutes. Both sides are watermarked, so join
+    * state is bounded by (watermark + interval); the shuffle key is user_id on
+    * both sides — co-partitioned, no broadcast of an unbounded stream. */
+  def viewToAction(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour").alias("views")
+    val actions = events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts").as("act_ts"),
+        col("event_type").as("action"), col("value"))
+      .withWatermark("act_ts", "1 hour").alias("actions")
+    views.join(actions,
+      expr("""views.user_id = actions.user_id AND
+              act_ts >= view_ts AND act_ts <= view_ts + INTERVAL 30 MINUTES"""))
+      .select(col("views.user_id"), col("view_id"), col("view_ts"),
+        col("action"), col("act_ts"), col("value"))
+  }
+
   /** Stateful sessionization: 30-minute inactivity gap closes a session.
     * State per user is one (start, last, count) triple; an EVENT-time timeout
     * (watermark-driven) flushes a session once the stream's watermark passes

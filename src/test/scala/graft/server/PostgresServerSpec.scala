@@ -53,6 +53,53 @@ class PostgresServerSpec extends SparkSpec {
       msgs.result()
     }
     def close(): Unit = sock.close()
+
+    // ---- extended protocol helpers ----------------------------------------
+
+    private def frame(tag: Char, body: Array[Byte]): Unit = {
+      out.write(tag); out.writeInt(4 + body.length); out.write(body)
+    }
+    private def cstr(s: String): Array[Byte] = (s + "\u0000").getBytes(UTF_8)
+
+    def parse(name: String, sql: String, paramOids: Seq[Int] = Seq.empty): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(name)); d.write(cstr(sql))
+      d.writeShort(paramOids.length); paramOids.foreach(d.writeInt)
+      frame('P', b.toByteArray)
+    }
+
+    def bind(portal: String, stmt: String, params: Seq[String]): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(portal)); d.write(cstr(stmt))
+      d.writeShort(0) // all-text format codes
+      d.writeShort(params.length)
+      params.foreach { p =>
+        val bytes = p.getBytes(UTF_8); d.writeInt(bytes.length); d.write(bytes)
+      }
+      d.writeShort(0) // result format codes
+      frame('B', b.toByteArray)
+    }
+
+    def describePortal(portal: String): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.writeByte('P'); d.write(cstr(portal))
+      frame('D', b.toByteArray)
+    }
+
+    def execute(portal: String, maxRows: Int = 0): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(cstr(portal)); d.writeInt(maxRows)
+      frame('E', b.toByteArray)
+    }
+
+    def sync(): Seq[(Char, Array[Byte])] = {
+      frame('S', Array.emptyByteArray); out.flush()
+      collectUntilReady()
+    }
   }
 
   test("startup handshake, simple query returns RowDescription + text DataRows") {
@@ -78,6 +125,43 @@ class PostgresServerSpec extends SparkSpec {
     val multi = c.query("SELECT 1 AS a; SELECT 2 AS b")
     assert(multi.map(_._1).count(_ == 'T') == 2)
     assert(multi.map(_._1).count(_ == 'D') == 2)
+    c.close()
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute/Sync with a text param") {
+    val c = new Client
+    c.startup()
+    c.parse("s1", "SELECT r_name FROM region WHERE r_regionkey = $1 ORDER BY r_name",
+      paramOids = Seq(20)) // int8
+    c.bind("p1", "s1", Seq("0"))
+    c.describePortal("p1")
+    c.execute("p1")
+    val msgs = c.sync()
+    val tags = msgs.map(_._1)
+    assert(tags.containsSlice(Seq('1', '2', 'T', 'D', 'C')),
+      s"unexpected message sequence: $tags")
+    assert(new String(msgs.find(_._1 == 'D').get._2, UTF_8).length > 4)
+    // rebind the same statement with a different param — portal is replaced
+    c.bind("p1", "s1", Seq("999999"))
+    c.execute("p1")
+    val empty = c.sync()
+    assert(empty.map(_._1).count(_ == 'D') == 0) // no such region
+    assert(empty.exists { case (t, b) =>
+      t == 'C' && new String(b, UTF_8).startsWith("SELECT 0") })
+    c.close()
+  }
+
+  test("extended protocol: string params are escaped, unknown portal errors") {
+    val c = new Client
+    c.startup()
+    c.parse("s2", "SELECT count(*) AS n FROM region WHERE r_name <> $1")
+    c.bind("p2", "s2", Seq("o'brien")) // embedded quote must not break SQL
+    c.execute("p2")
+    val ok = c.sync()
+    assert(ok.map(_._1).count(_ == 'D') == 1)
+    c.execute("missing_portal")
+    val err = c.sync()
+    assert(err.map(_._1).contains('E'))
     c.close()
   }
 

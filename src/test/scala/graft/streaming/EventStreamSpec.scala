@@ -27,6 +27,49 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per distinct text within the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    in.addData((t(0), "alpha doc"), (t(1), "beta doc"), (t(2), "alpha doc"),
+      (t(3), "gamma doc"), (t(4), "beta doc"))
+    val q = EventStream.dedupDocStream(
+      in.toDF().toDF("ts", "text"), horizon = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+      val texts = spark.table("dedup_stream").select("text")
+        .collect().map(_.getString(0)).toSeq
+      assert(texts.sorted === Seq("alpha doc", "beta doc", "gamma doc"))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs views with follow-up actions") {
+    val events = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.viewToAction(events)
+      .writeStream.outputMode("append").format("memory").queryName("view_act")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(180000), "stream did not drain in time")
+      val got = spark.table("view_act")
+      // must agree exactly with the equivalent batch interval join
+      val batch = graft.Tables.t(spark, sf0001, "events")
+      val v = batch.filter("event_type = 'view'")
+        .selectExpr("user_id", "ts AS view_ts", "event_id AS view_id")
+      val a = batch.filter("event_type IN ('click','purchase')")
+        .selectExpr("user_id AS a_uid", "ts AS act_ts", "event_type AS action", "value")
+      val expected = v.join(a, v("user_id") === a("a_uid") &&
+        a("act_ts") >= v("view_ts") &&
+        a("act_ts") <= v("view_ts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+        .count()
+      assert(got.count() === expected)
+      assert(got.filter("act_ts < view_ts").count() === 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions per user") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val events = EventStream.readEvents(spark, eventsDir)
