@@ -62,7 +62,47 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
 
   // ---- queries -------------------------------------------------------------
 
-  def querySql(sql: String): DataFrame = spark.sql(sql)
+  /** SQL entry. `information_schema.tables` / `.columns` are served like the
+    * reference's DataFusion `with_information_schema(true)` catalog
+    * (columnq-cli/src/main.rs:93-94): Spark has no such schema, so references
+    * are rewritten onto on-demand temp views built from the registry. */
+  def querySql(sql: String): DataFrame = {
+    val rewritten =
+      if (sql.toLowerCase.contains("information_schema.")) {
+        refreshInformationSchema()
+        sql.replaceAll("(?i)information_schema\\.(tables|columns)",
+          "information_schema_$1")
+      } else sql
+    spark.sql(rewritten)
+  }
+
+  private def refreshInformationSchema(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val names = tableNames
+    val tRows = names.map(n => org.apache.spark.sql.Row("graft", "public", n, "BASE TABLE"))
+    val tSchema = org.apache.spark.sql.types.StructType(
+      Seq("table_catalog", "table_schema", "table_name", "table_type")
+        .map(org.apache.spark.sql.types.StructField(_, StringType, nullable = false)))
+    spark.createDataFrame(tRows.asJava, tSchema)
+      .createOrReplaceTempView("information_schema_tables")
+    val cRows = names.flatMap { n =>
+      spark.table(n).schema.fields.zipWithIndex.map { case (f, i) =>
+        org.apache.spark.sql.Row("graft", "public", n, f.name, (i + 1).toLong,
+          f.dataType.sql, if (f.nullable) "YES" else "NO")
+      }
+    }
+    val cSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("table_catalog", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("table_schema", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("table_name", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("column_name", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("ordinal_position",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("data_type", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_nullable", StringType, nullable = false)))
+    spark.createDataFrame(cRows.asJava, cSchema)
+      .createOrReplaceTempView("information_schema_columns")
+  }
 
   def queryRest(table: String, params: Map[String, String]): DataFrame =
     RestQuery.table(spark, table, params)

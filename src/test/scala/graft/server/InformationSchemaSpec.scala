@@ -1,0 +1,47 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.sources.TableSource
+
+/** information_schema parity with the reference CLI's
+  * `with_information_schema(true)` (columnq-cli/src/main.rs:93-94). */
+class InformationSchemaSpec extends SparkSpec {
+
+  private lazy val engine = {
+    val e = new Engine(spark, readOnly = true)
+    e.registerTable(TableSource("region", s"$sf0001/region.parquet", Some("parquet")))
+    e.registerTable(TableSource("nation", s"$sf0001/nation.parquet", Some("parquet")))
+    e
+  }
+
+  test("information_schema.tables lists registered tables") {
+    val rows = engine.querySql(
+      "SELECT table_name, table_type FROM information_schema.tables ORDER BY table_name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_._1).toSeq === Seq("nation", "region"))
+    assert(rows.forall(_._2 == "BASE TABLE"))
+  }
+
+  test("information_schema.columns exposes names, positions, types, nullability") {
+    val rows = engine.querySql(
+      """SELECT column_name, ordinal_position, data_type
+        |FROM information_schema.columns WHERE table_name = 'region'
+        |ORDER BY ordinal_position""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toSeq === Seq("r_regionkey", "r_name"))
+    assert(rows.map(_._2).toSeq === Seq(1L, 2L))
+    assert(rows.head._3.toUpperCase.contains("INT"))
+  }
+
+  test("a dropped table disappears from information_schema") {
+    val e = new Engine(spark, readOnly = false)
+    e.registerTable(TableSource("tmp_t", s"$sf0001/region.parquet", Some("parquet")))
+    assert(e.querySql(
+      "SELECT count(*) FROM information_schema.tables WHERE table_name = 'tmp_t'")
+      .head().getLong(0) === 1L)
+    e.dropTable("tmp_t")
+    assert(e.querySql(
+      "SELECT count(*) FROM information_schema.tables WHERE table_name = 'tmp_t'")
+      .head().getLong(0) === 0L)
+  }
+}
