@@ -130,15 +130,19 @@ final class HttpApp(engine: Engine, port: Int = 0) {
   private def respondQuery(ex: HttpExchange, df: org.apache.spark.sql.DataFrame): Unit = {
     val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
     Encoders.fromAccept(accept) match {
-      // JSON/CSV stream chunked, one partition at a time — a full-table
-      // export never materializes on the driver or in the response buffer
-      case ct @ (Encoders.Json | Encoders.Csv) =>
+      // JSON/CSV/Arrow-stream respond chunked, one partition at a time — a
+      // full-table export never materializes on the driver or in a buffer
+      case ct @ (Encoders.Json | Encoders.Csv | Encoders.ArrowStream) =>
         ex.getResponseHeaders.set("Content-Type", ct.mime)
         ex.sendResponseHeaders(200, 0) // chunked
         val out = ex.getResponseBody
-        if (ct == Encoders.Json) Encoders.writeJson(df, out) else Encoders.writeCsv(df, out)
+        ct match {
+          case Encoders.Json => Encoders.writeJson(df, out)
+          case Encoders.Csv => Encoders.writeCsv(df, out)
+          case _ => org.apache.spark.sql.GraftArrowBridge.writeIpcStream(df, out)
+        }
         out.close()
-      // Arrow file/Parquet formats need their footer, so they buffer
+      // Arrow *file* and Parquet need a trailing footer, so they buffer
       case ct => respondRaw(ex, 200, Encoders.encode(df, ct), ct.mime)
     }
   }

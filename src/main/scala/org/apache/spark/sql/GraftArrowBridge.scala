@@ -12,15 +12,22 @@ import org.apache.spark.sql.execution.arrow.ArrowBatchStreamWriter
   * row->vector conversion (reference behavior: columnq/src/encoding/arrow.rs). */
 object GraftArrowBridge {
 
-  /** Arrow IPC *stream* bytes (schema header + batches + EOS). */
-  def toIpcStreamBytes(df: DataFrame): Array[Byte] = {
+  /** Stream Arrow IPC *stream* format (schema header + batches + EOS) into
+    * `out`, pulling record batches one partition at a time — the stream
+    * format has no footer, so it can flush incrementally and driver memory
+    * stays bounded by one partition's batches. */
+  def writeIpcStream(df: DataFrame, out: java.io.OutputStream): Unit = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
-    val batches = ds.toArrowBatchRdd.collect()
-    val out = new ByteArrayOutputStream()
     val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
     val writer = new ArrowBatchStreamWriter(df.schema, out, tz, true, false)
-    writer.writeBatches(batches.iterator)
+    writer.writeBatches(ds.toArrowBatchRdd.toLocalIterator)
     writer.end()
+  }
+
+  /** Arrow IPC *stream* bytes (schema header + batches + EOS). */
+  def toIpcStreamBytes(df: DataFrame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeIpcStream(df, out)
     out.toByteArray
   }
 
