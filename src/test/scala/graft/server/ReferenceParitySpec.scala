@@ -39,6 +39,24 @@ class ReferenceParitySpec extends SparkSpec {
       .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString()).body()
 
+  // golden: roapi/tests/api_test.rs test_kvstore_get (spacex_launch_name)
+  test("spacex kvstore lookup matches the reference golden value") {
+    engine.registerKv("spacex_launch_name",
+      TableSource("spacex_launches", s"$testData/spacex_launches.json", Some("json")),
+      keyCol = "id", valueCol = "name")
+    assert(get("/api/kv/spacex_launch_name/600f9a8d8f798e2a4d5f979e")
+      == "Starlink-21 (v1.0)")
+  }
+
+  // golden: roapi/tests/api_test.rs test_schema (spacex table present)
+  test("schema endpoint lists a registered json table like the reference") {
+    engine.registerTable(TableSource("spacex_launches",
+      s"$testData/spacex_launches.json", Some("json")))
+    val body = get("/api/schema")
+    assert(body.contains("\"spacex_launches\""))
+    assert(body.contains("\"name\""))
+  }
+
   // golden: roapi/tests/api_test.rs test_uk_cities_sql_post
   test("uk_cities SQL filter matches the reference golden body") {
     val got = post("/api/sql",
