@@ -57,6 +57,34 @@ object Multimodal {
     }
   }
 
+  final case class Resized(id: Long, out_w: Int, out_h: Int, n_bytes: Long,
+                           resized: Array[Byte])
+
+  /** STUB for a real image resize — deterministic byte-stride downsample to at
+    * most out_w*out_h/64 bytes. Swap for a codec call; the batched
+    * partition-parallel shape (same as extractFeatures) stands. */
+  def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val target = math.max(1, outW * outH / 64)
+    if (payload.length <= target) payload
+    else {
+      val stride = payload.length.toDouble / target
+      Array.tabulate(target)(i => payload((i * stride).toInt))
+    }
+  }
+
+  /** Partition-parallel batched resize over media rows. */
+  def resize(media: Dataset[MediaRow], outW: Int = 64, outH: Int = 64,
+             batchSize: Int = 64): Dataset[Resized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val out = resizeStub(r.payload, outW, outH)
+        Resized(r.id, outW, outH, out.length.toLong, out)
+      })
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th chunk of
     * `frameBytes` bytes becomes a frame row (explode stays distributed). */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,

@@ -266,6 +266,30 @@ object PipelineOps {
         .orderBy(col("id"))
     }),
 
+    // frame sampling over "video" payloads (chunked bytes; decode-free, so
+    // the chunk arithmetic is exactly SQL-mirrorable and oracle-checked)
+    "mm_frame_sample" -> ((spark, dir) => {
+      graft.operators.Multimodal
+        .sampleFrames(graft.operators.Multimodal.documentsAsMedia(spark, dir))
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame_bytes")).as("frame_hex"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // batched resize stub: real partition-parallel plumbing, fake pixels
+    "mm_resize" -> ((spark, dir) => {
+      graft.operators.Multimodal
+        .resize(graft.operators.Multimodal.documentsAsMedia(spark, dir))
+        .toDF()
+        .select(col("id").as("doc_id"), col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"), col("n_bytes"),
+          hex(substring(col("resized"), 1, 8)).as("head_hex"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stubbed feature extraction: deterministic pseudo-features from payload
     // bytes (stands in for image decode + embed; plumbing/batching is real)
     "mm_features_stub" -> ((spark, dir) => {
@@ -387,7 +411,10 @@ object PipelineOps {
       l2norm(col("embedding")).as("nrm"),
       array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
       .cache()
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(feat)
+    // centroids only need a representative sample; the full corpus still gets
+    // assigned. Deterministic (seeded sample + seeded init).
+    val trainSample = feat.sample(withReplacement = false, 0.2, seed = 7L)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(3).fit(trainSample)
     val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
 
     // probe -> its nprobe nearest centroids (k x nprobe rows; driver-tiny)
@@ -449,6 +476,15 @@ object PipelineOps {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  hex(encode(substring(text, 1, 8))) AS magic, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-chunk frame sampling mirrored on the hex string (2 chars/byte)
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hp,
+        |             octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, hp, unnest(range(0, greatest(n//64, 1), 4)) AS fi FROM d)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  substr(hp, CAST(fi*128+1 AS BIGINT), 128) AS frame_hex,
+        |  CAST(length(substr(hp, CAST(fi*128+1 AS BIGINT), 128))//2 AS BIGINT) AS frame_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),

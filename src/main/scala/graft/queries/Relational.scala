@@ -376,6 +376,40 @@ object Relational {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }),
+    // backward as-of join (operators/TemporalJoins): each event picks up the
+    // customer's most recent order-day summary; right side pre-aggregated to
+    // one row per (key, time) so the pick is well-defined on both engines
+    "q_asof_join" -> ((spark, dir) => {
+      val events = Tables.t(spark, dir, "events")
+        .filter(col("user_id") < 200)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.t(spark, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("ots"))
+        .agg(max(col("o_orderkey")).as("last_ok"), count(lit(1)).as("n_orders"))
+      graft.operators.TemporalJoins.asofJoin(
+        events, orders, key = "user_id", leftTime = "ts", rightTime = "ots",
+        rightCols = Seq("last_ok", "n_orders"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_ok"), col("n_orders"))
+        .orderBy(col("event_id"))
+    }),
+    // key + range join via bin bucketing (operators/TemporalJoins): clicks
+    // and views landing inside the day after the same user's purchase
+    "q_range_join" -> ((spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      val points = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("pt"))
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").cast("long").as("start"))
+        .withColumn("end", col("start") + 86400L)
+      graft.operators.TemporalJoins.rangeJoin(points, intervals,
+        key = "user_id", pt = "pt", start = "start", end = "end",
+        binWidth = 86400L)
+        .select(col("event_id"), col("user_id"), col("purchase_id"))
+        .orderBy(col("event_id"), col("purchase_id"))
+    }),
     // JSON field extraction from a string column
     "q_json_extract" -> ((spark, dir) => {
       Tables.t(spark, dir, "events")
@@ -474,7 +508,25 @@ object Relational {
     "q_kv_projection" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS value
         |FROM customer
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+    // DuckDB has native ASOF JOIN — it pins the same backward semantics the
+    // union+window plan implements
+    "q_asof_join" ->
+      """WITH r AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |             max(o_orderkey) AS last_ok, count(*) AS n_orders
+        |           FROM orders GROUP BY 1, 2),
+        |     l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 200)
+        |SELECT l.event_id, l.user_id, l.ts, r.last_ok, r.n_orders
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ots
+        |ORDER BY l.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts)//1000000 AS pt FROM events
+        |           WHERE event_type IN ('click','view')),
+        |     i AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts)//1000000 AS s
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, i.purchase_id
+        |FROM p JOIN i ON p.user_id = i.user_id AND p.pt >= i.s AND p.pt <= i.s + 86400
+        |ORDER BY p.event_id, i.purchase_id""".stripMargin
   )
 
   val queries: Map[String, Q] =
