@@ -93,6 +93,31 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // top-3 terms per doc with corpus document frequency: TF-IDF's exact
+    // integer skeleton (counts, not logs — log() ULPs diverge across engines)
+    "doc_top_terms" -> ((spark, dir) => {
+      val tok = docs(spark, dir).select(col("doc_id"),
+        explode(filter(tokens(col("text")), t => length(t) > 0)).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
+      tf.join(idf, "term")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // corpus shape: 100-char length histogram per language
+    "doc_length_histogram" -> ((spark, dir) => {
+      docs(spark, dir)
+        .groupBy(col("lang"),
+          floor(length(col("text")) / 100).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy(col("lang"), col("len_bucket"))
+    }),
+
     "doc_fingerprint" -> ((spark, dir) => {
       docs(spark, dir).select(
         col("doc_id"),
@@ -527,6 +552,19 @@ object PipelineOps {
         |  len_score * 0.4 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
         |    + least(stopword_ratio * 4.0, 1.0) * 0.3 AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "doc_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rk
+        |      FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "doc_length_histogram" ->
+      """SELECT lang, CAST(length(text)//100 AS BIGINT) AS len_bucket,
+        |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin,
     // stopword-vote language id; CASE order = lexicon priority (en first)
     "doc_lang_id" ->
       """WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
