@@ -439,7 +439,9 @@ object PipelineOps {
     // centroids only need a representative sample; the full corpus still gets
     // assigned. Deterministic (seeded sample + seeded init).
     val trainSample = feat.sample(withReplacement = false, 0.2, seed = 7L)
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(3).fit(trainSample)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(3)
+      .setInitMode("random") // seeded; k-means|| costs extra full passes
+      .fit(trainSample)
     val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
 
     // probe -> its nprobe nearest centroids (k x nprobe rows; driver-tiny)

@@ -32,9 +32,11 @@ object Loaders {
         effectiveSchema(spark, src, "ndjson").map(r.schema).getOrElse(r).json(src.uri)
       case "json" => jsonDocument(spark, src)
       case "arrow" => // IPC file format
-        org.apache.spark.sql.GraftArrowBridge.fromIpcFileBytes(spark, fetchBytes(src.uri))
+        org.apache.spark.sql.GraftArrowBridge.fromIpcFileBytes(spark,
+          fetchBytes(src.uri, httpHeaders(src)))
       case "arrows" => // IPC stream format
-        org.apache.spark.sql.GraftArrowBridge.fromIpcStreamBytes(spark, fetchBytes(src.uri))
+        org.apache.spark.sql.GraftArrowBridge.fromIpcStreamBytes(spark,
+          fetchBytes(src.uri, httpHeaders(src)))
       case "xlsx" | "ods" | "xls" | "xlsb" => ExcelLoader.load(spark, src)
       case "delta" => DeltaLoader.load(spark, src)
       case "google_spreadsheet" | "gsheet" => GsheetLoader.load(spark, src)
@@ -104,11 +106,22 @@ object Loaders {
 
   // ---- single-document JSON (pointer + array_encoded) ----------------------
 
-  private[sources] def fetchBytes(uri: String): Array[Byte] =
+  /** Table options prefixed `header.` become HTTP request headers
+    * (reference: columnq/src/io/http.rs:59-72 header override). */
+  private[sources] def httpHeaders(src: TableSource): Map[String, String] =
+    src.options.collect { case (k, v) if k.startsWith("header.") =>
+      k.stripPrefix("header.") -> v
+    }
+
+  private[sources] def fetchBytes(uri: String,
+                                  headers: Map[String, String] = Map.empty): Array[Byte] =
     if (uri.startsWith("http://") || uri.startsWith("https://")) {
       val client = java.net.http.HttpClient.newHttpClient()
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri)).GET().build()
-      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray()).body()
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri)).GET()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() / 100 == 2, s"GET $uri -> HTTP ${resp.statusCode()}")
+      resp.body()
     } else {
       val path = if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
@@ -124,7 +137,7 @@ object Loaders {
 
   def jsonDocument(spark: SparkSession, src: TableSource): DataFrame = {
     val mapper = new ObjectMapper()
-    val root = mapper.readTree(fetchBytes(src.uri))
+    val root = mapper.readTree(fetchBytes(src.uri, httpHeaders(src)))
     val data = src.pointer.map(pointTo(root, _)).getOrElse(root)
     require(data.isArray, s"table `${src.name}`: JSON document must be an array of rows")
     if (src.arrayEncoded) {

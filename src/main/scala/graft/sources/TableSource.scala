@@ -32,6 +32,8 @@ final case class TableSource(
       case Some("arrows") => "arrows"
       case Some("xlsx") => "xlsx"
       case Some("ods") => "ods"
+      case Some("xls") => "xls"   // legacy binary — loader raises a clear error
+      case Some("xlsb") => "xlsb"
       case other =>
         // extension-less local dir with a transaction log => Delta table
         val local = if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri

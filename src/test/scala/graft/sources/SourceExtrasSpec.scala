@@ -51,6 +51,35 @@ class SourceExtrasSpec extends AnyFunSuite {
     assert(df.count() === 3) // full listing still read
   }
 
+  test("partitioned csv dir loads with hive-style partition column discovery") {
+    val df = Loaders.load(spark, TableSource("pcsv",
+      "/root/reference/test_data/partitioned_csv", format = Some("csv")))
+    assert(df.count() > 0)
+    assert(df.columns.contains("year"))
+    assert(df.select("year").distinct().collect().map(_.get(0).toString).sorted
+      === Array("2022", "2023"))
+  }
+
+  test("header.* options become HTTP request headers (io/http.rs:59-72)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    @volatile var seenAuth: String = null
+    server.createContext("/doc.json", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seenAuth = ex.getRequestHeaders.getFirst("X-Api-Key")
+      val body = """[{"a": 1}, {"a": 2}]""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val df = Loaders.load(spark, TableSource("h",
+        s"http://127.0.0.1:${server.getAddress.getPort}/doc.json",
+        format = Some("json"), options = Map("header.X-Api-Key" -> "sekret")))
+      assert(df.count() === 2)
+      assert(seenAuth === "sekret")
+    } finally server.stop(0)
+  }
+
   test("empty schema_from_files list is an error") {
     val e = intercept[IllegalArgumentException] {
       Loaders.load(spark, TableSource("t", "/tmp", format = Some("ndjson"),
