@@ -554,6 +554,60 @@ object PipelineOps {
         |  len_score * 0.4 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
         |    + least(stopword_ratio * 4.0, 1.0) * 0.3 AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    // exact hamming<=3 pairs, brute-forced in DuckDB over the same HUGEINT
+    // FNV simhash the Spark side computes (the LSH bucketing only prunes
+    // candidates — the result set is exact, so brute force IS the oracle)
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |fnv AS (
+        |  SELECT doc_id, list_transform(ts, t ->
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, octet_length(encode(t)) + 1), i ->
+        |          CAST((strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1)) - 1) * 16
+        |             + strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i, 1)) - 1 AS HUGEINT))),
+        |      (acc, b) -> CAST(xor(acc, b) * 1099511628211 % 18446744073709551616 AS HUGEINT))) AS hs
+        |  FROM tok),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 64), b ->
+        |      CASE WHEN 2 * list_sum(list_transform(hs, h ->
+        |            CAST(h // (CAST(1 AS HUGEINT) << b) % 2 AS HUGEINT))) > len(hs)
+        |        THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS shu
+        |  FROM fnv),
+        |s AS (
+        |  SELECT doc_id, CAST(CASE WHEN shu >= CAST(1 AS HUGEINT) << 63
+        |    THEN shu - (CAST(1 AS HUGEINT) << 64) ELSE shu END AS BIGINT) AS sh64
+        |  FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // decodeStub dims = FNV of the payload bytes, reproduced in HUGEINT
+    "mm_extract_features" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, n + 1), i ->
+        |          CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+        |             + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS HUGEINT))),
+        |      (acc, b) -> CAST(xor(acc, b) * 1099511628211 % 18446744073709551616 AS HUGEINT)) AS u
+        |  FROM d)
+        |SELECT doc_id AS id, CAST(256 + (u % 8) * 32 AS INTEGER) AS width,
+        |  CAST(256 + ((u // 256) % 8) * 32 AS INTEGER) AS height,
+        |  CAST(n AS BIGINT) AS n_bytes
+        |FROM f ORDER BY id""".stripMargin,
+    // byte-stride downsample mirrored on the hex string; same IEEE stride
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, CAST(64 AS BIGINT) AS out_w, CAST(64 AS BIGINT) AS out_h,
+        |  CAST(CASE WHEN n <= 64 THEN n ELSE 64 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN n <= 64 THEN substr(hx, 1, 16)
+        |       ELSE array_to_string(list_transform(range(0, 8), i ->
+        |         substr(hx, CAST(FLOOR(i * (n / 64.0)) AS BIGINT) * 2 + 1, 2)), '') END AS head_hex
+        |FROM d ORDER BY doc_id""".stripMargin,
     "doc_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
