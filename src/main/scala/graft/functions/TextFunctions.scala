@@ -30,6 +30,16 @@ object TextFunctions {
   }
   def fnv64(s: String): Long = { val b = s.getBytes("UTF-8"); fnv64(b, 0, b.length) }
 
+  /** splitmix64 finalizer (public-domain constants): FNV-1a's low bits have
+    * poor avalanche on short strings (parity tracks the last byte), so
+    * anything deriving ±1/bucket decisions from a hash must mix first. */
+  def mix64(x: Long): Long = {
+    var z = x
+    z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L
+    z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   // ---- static eval helpers (shared by interpreted eval and codegen) --------
 
   /** Single-pass SimHash64 over whitespace tokens. */
@@ -209,11 +219,15 @@ object TextFunctions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     private val P = (1L << 61) - 1
-    // flat [a0, b0, a1, b1, ...] so codegen can reference one object
-    private lazy val coeffs: Array[Long] = {
-      val rnd = new java.util.Random(seed)
-      Array.fill(2 * k)(math.abs(rnd.nextLong()) % (P - 1) + 1)
-    }
+    // flat [a0, b0, a1, b1, ...] so codegen can reference one object.
+    // Coefficients derive from FNV-1a of a labeled string rather than
+    // java.util.Random so any engine (incl. the DuckDB oracle) can reproduce
+    // the exact signature from public arithmetic.
+    private lazy val coeffs: Array[Long] =
+      Array.tabulate(2 * k) { idx =>
+        val label = if (idx % 2 == 0) "a" else "b"
+        (fnv64(s"minhash-$label-$seed-${idx / 2}") & Long.MaxValue) % (P - 1) + 1
+      }
 
     override def nullSafeEval(input: Any): Any =
       minhashOf(input.asInstanceOf[ArrayData], coeffs)

@@ -206,7 +206,7 @@ object PipelineOps {
     "dedup_embedding" -> ((spark, dir) => {
       val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-      val sig = e.withColumn("bucket", lshBucket(col("embedding"), 8))
+      val sig = e.withColumn("bucket", lshBucket(col("embedding"), 8, dim = 64))
       val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
         col("embedding").as("v_a"), col("nrm").as("n_a"))
       val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
@@ -240,7 +240,7 @@ object PipelineOps {
       val nBits = 4
       val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-        .withColumn("bucket", lshBucket(col("embedding"), nBits))
+        .withColumn("bucket", lshBucket(col("embedding"), nBits, dim = 64))
       val probes = e.filter(col("vec_id") < 5).select(
         col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("nrm").as("q_nrm"), col("bucket"))
@@ -315,18 +315,16 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
-    // stubbed feature extraction: deterministic pseudo-features from payload
-    // bytes (stands in for image decode + embed; plumbing/batching is real)
+    // stubbed feature extraction: deterministic pseudo-features from the
+    // payload's FNV hash (stands in for image decode + embed; the batched
+    // partition-parallel plumbing in Multimodal.extractFeatures is real, and
+    // the arithmetic is public so the oracle reproduces it bit-exactly)
     "mm_features_stub" -> ((spark, dir) => {
-      val payload = encode(col("text"), "UTF-8")
-      docs(spark, dir)
-        .select(col("doc_id"), payload.as("payload"))
-        .select(col("doc_id"),
-          transform(sequence(lit(0), lit(7)),
-            i => (xxhash64(col("payload"), i) % 1000L).cast("double") / 1000.0)
-            .as("features"))
-        .select(col("doc_id"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).as("feat_sum"),
+      graft.operators.Multimodal
+        .extractFeatures(graft.operators.Multimodal.documentsAsMedia(spark, dir))
+        .toDF()
+        .select(col("id").as("doc_id"),
+          aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feat_sum"),
           size(col("features")).cast("long").as("feat_dim"))
         .orderBy(col("doc_id"))
     })
@@ -468,20 +466,57 @@ object PipelineOps {
   }
 
   /** Sign-random-projection LSH bucket id from `nBits` fixed pseudo-random
-    * hyperplanes (deterministic: plane weights derive from FNV of (bit,dim)).
-    * At 100 TB the corpus is bucketed once and both sides of any similarity
-    * join shuffle only on the bucket id. */
-  def lshBucket(vec: Column, nBits: Int): Column = {
+    * hyperplanes. Plane weights are ±1 from the parity of
+    * fnv64("lsh-<bit>-<dim>") — public arithmetic any engine can reproduce
+    * (the DuckDB oracle recomputes the identical buckets), materialized as a
+    * literal array per bit (`dim` entries). At 100 TB the corpus is bucketed
+    * once and both sides of any similarity join shuffle only on the bucket. */
+  def lshBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val bits = (0 until nBits).map { b =>
-      // pseudo-random +-1 weights per (b, dim): parity of fnv64(b * 131 + dim)
+      val weights = Array.tabulate(dim) { i =>
+        val h = graft.functions.TextFunctions.mix64(
+          graft.functions.TextFunctions.fnv64(s"lsh-$b-$i"))
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+      val wArr = array(weights.toIndexedSeq.map(lit): _*)
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            (when(pmod(xxhash64(lit(b) * 131, i), lit(2)) === 0, 1.0).otherwise(-1.0))),
+          (x, i) => x.cast("double") * element_at(wArr, i + 1)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** DuckDB CTE prefix recomputing [[lshBucket]]'s buckets: FNV-1a of
+    * "lsh-<bit>-<dim>" through the splitmix64 finalizer (mulmod-2^64 done as
+    * a 32-bit split because INT128 overflows on the raw product), ±1 weights
+    * from the low bit, then the same sequential-fold projections. Validated
+    * bit-exact against an independent Python model. */
+  private def lshBucketCte(nBits: Int): String = {
+    val M = "18446744073709551616"
+    def mulc(src: String, chi: Long, clo: Long): String =
+      s"(( ($src % 4294967296) * $clo + " +
+        s"((($src % 4294967296) * $chi + ($src // 4294967296) * $clo) % 4294967296) * 4294967296 ) % $M)"
+    s"""WITH wt0 AS (SELECT b, i, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |    list_transform(range(1, octet_length(encode('lsh-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))) + 1), fi ->
+       |      CAST((strpos('0123456789ABCDEF', substr(hex(encode('lsh-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))), 2*fi-1, 1)) - 1) * 16
+       |         + strpos('0123456789ABCDEF', substr(hex(encode('lsh-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))), 2*fi, 1)) - 1 AS HUGEINT))),
+       |    (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % $M AS HUGEINT)) AS h
+       |  FROM range(0, $nBits) t(b), range(0, 64) s(i)),
+       |wt0x AS (SELECT b, i, CAST(xor(h, h // 1073741824) AS HUGEINT) AS z FROM wt0),
+       |wt1 AS (SELECT b, i, CAST(${mulc("z", 3210233709L, 484763065L)} AS HUGEINT) AS z FROM wt0x),
+       |wt1x AS (SELECT b, i, CAST(xor(z, z // 134217728) AS HUGEINT) AS z FROM wt1),
+       |wt2 AS (SELECT b, i, CAST(${mulc("z", 2496678331L, 321982955L)} AS HUGEINT) AS z FROM wt1x),
+       |wt3 AS (SELECT b, i, xor(z, z // 2147483648) AS z FROM wt2),
+       |wt AS (SELECT b, list(CASE WHEN z % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS w FROM wt3 GROUP BY b),
+       |bkt AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm,
+       |    CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, wt.w),
+       |        z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN 1 << wt.b ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e, wt
+       |  GROUP BY e.vec_id, e.embedding)""".stripMargin
   }
 
   /** DuckDB oracles for the subset that is exactly SQL-expressible. */
@@ -554,6 +589,86 @@ object PipelineOps {
         |  len_score * 0.4 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
         |    + least(stopword_ratio * 4.0, 1.0) * 0.3 AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    // MinHash-LSH end-to-end in DuckDB: FNV-derived permutation coefficients,
+    // 64-perm signatures, 16-band slice-equality candidates, exact Jaccard
+    // filter — possible because the Scala side derives its coefficients from
+    // public FNV arithmetic instead of java.util.Random (validated bit-exact
+    // against an independent Python model at sf0.001)
+    "dedup_minhash_lsh" ->
+      """WITH coef AS (
+        |  SELECT list((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, octet_length(encode('minhash-a-42-' || CAST(j AS VARCHAR))) + 1), fi ->
+        |        CAST((strpos('0123456789ABCDEF', substr(hex(encode('minhash-a-42-' || CAST(j AS VARCHAR))), 2*fi-1, 1)) - 1) * 16
+        |           + strpos('0123456789ABCDEF', substr(hex(encode('minhash-a-42-' || CAST(j AS VARCHAR))), 2*fi, 1)) - 1 AS HUGEINT))),
+        |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % 18446744073709551616 AS HUGEINT))
+        |      % 9223372036854775808) % 2305843009213693950 + 1 ORDER BY j) AS al,
+        |    list((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, octet_length(encode('minhash-b-42-' || CAST(j AS VARCHAR))) + 1), fi ->
+        |        CAST((strpos('0123456789ABCDEF', substr(hex(encode('minhash-b-42-' || CAST(j AS VARCHAR))), 2*fi-1, 1)) - 1) * 16
+        |           + strpos('0123456789ABCDEF', substr(hex(encode('minhash-b-42-' || CAST(j AS VARCHAR))), 2*fi, 1)) - 1 AS HUGEINT))),
+        |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % 18446744073709551616 AS HUGEINT))
+        |      % 9223372036854775808) % 2305843009213693950 + 1 ORDER BY j) AS bl
+        |  FROM range(0, 64) t(j)),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
+        |hs AS (SELECT doc_id, s, list_transform(s, t ->
+        |  (list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, octet_length(encode(t)) + 1), fi ->
+        |        CAST((strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*fi-1, 1)) - 1) * 16
+        |           + strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*fi, 1)) - 1 AS HUGEINT))),
+        |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % 18446744073709551616 AS HUGEINT))
+        |   % 9223372036854775808) % 2305843009213693951) AS hl FROM sh),
+        |sigs AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(0, 64), j ->
+        |      list_min(list_transform(hl, h -> (coef.al[CAST(j+1 AS BIGINT)] * h + coef.bl[CAST(j+1 AS BIGINT)]) % 2305843009213693951))) AS sig
+        |  FROM hs, coef),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  WHERE EXISTS (SELECT 1 FROM range(0, 16) t(k)
+        |                WHERE a.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]
+        |                    = b.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]))
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard
+        |FROM cand
+        |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // sign-random-projection buckets recomputed from the same FNV+splitmix64
+    // hyperplane weights (mulmod-2^64 via 32-bit split), then exact cosine
+    "ann_lsh_bucketed" ->
+      (lshBucketCte(4) +
+        """,
+          |p AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, bucket FROM bkt WHERE vec_id < 5),
+          |s AS (SELECT p.q_id, b.vec_id,
+          |  list_sum(list_transform(list_zip(b.embedding, p.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (b.nrm*p.q_nrm) AS cosine
+          |  FROM bkt b JOIN p ON b.bucket = p.bucket AND b.vec_id <> p.q_id),
+          |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM s)
+          |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    "dedup_embedding" ->
+      (lshBucketCte(8) +
+        """,
+          |pairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (a.nrm*b.nrm) AS cosine
+          |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin),
+    // featuresStub: signed-64 wraparound products of the payload FNV
+    "mm_features_stub" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, n + 1), fi ->
+        |          CAST((strpos('0123456789ABCDEF', substr(hx, 2*fi-1, 1)) - 1) * 16
+        |             + strpos('0123456789ABCDEF', substr(hx, 2*fi, 1)) - 1 AS HUGEINT))),
+        |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % 18446744073709551616 AS HUGEINT)) AS u
+        |  FROM d)
+        |SELECT doc_id,
+        |  list_sum(list_transform(range(0, 8), i ->
+        |    CAST((((CASE WHEN (u * (2*i+1)) % 18446744073709551616 >= (CAST(1 AS HUGEINT) << 63)
+        |            THEN (u * (2*i+1)) % 18446744073709551616 - (CAST(1 AS HUGEINT) << 64)
+        |            ELSE (u * (2*i+1)) % 18446744073709551616 END % 1000) + 1000) % 1000) AS DOUBLE) / 1000.0)) AS feat_sum,
+        |  CAST(8 AS BIGINT) AS feat_dim
+        |FROM f ORDER BY doc_id""".stripMargin,
     // exact hamming<=3 pairs, brute-forced in DuckDB over the same HUGEINT
     // FNV simhash the Spark side computes (the LSH bucketing only prunes
     // candidates — the result set is exact, so brute force IS the oracle)
