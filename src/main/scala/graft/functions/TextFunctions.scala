@@ -67,6 +67,10 @@ object TextFunctions {
     out
   }
 
+  /** mix64(fnv64(s)) — the deterministic "public arithmetic" hash used for
+    * seed/sample selection (IVF seed ranking). Mirrors in DuckDB HUGEINT SQL. */
+  def fnvMixOf(input: UTF8String): Long = mix64(fnv64(input.toString))
+
   private val FP_P = (1L << 61) - 1
   private val FP_B = 1000003L
 
@@ -210,6 +214,19 @@ object TextFunctions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  /** mix64∘fnv64 of a string column as a codegen'd expression — used to rank
+    * rows by a deterministic pseudo-random key (e.g. IVF seed selection) that
+    * the DuckDB oracle reproduces exactly in HUGEINT arithmetic. */
+  case class FnvMix64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(fnvMixOf(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextFunctions.fnvMixOf($c)")
+    override protected def withNewChildInternal(c: Expression): FnvMix64 = copy(c)
+  }
+
   /** k-permutation MinHash signature over an array<string> of shingles in ONE
     * pass: sig_i = min over shingles of ((a_i * h + b_i) mod p), p = 2^61-1,
     * (a_i, b_i) derived deterministically from the seed. Codegen references
@@ -262,4 +279,6 @@ object TextFunctions {
     GraftColumnBridge.column(MinHashSignature(toExpr(c), k, seed))
   def rollingFingerprint(c: Column): Column =
     GraftColumnBridge.column(RollingFingerprint(toExpr(c)))
+  def fnvMix64(c: Column): Column =
+    GraftColumnBridge.column(FnvMix64(toExpr(c)))
 }

@@ -67,13 +67,69 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
     * (columnq-cli/src/main.rs:93-94): Spark has no such schema, so references
     * are rewritten onto on-demand temp views built from the registry. */
   def querySql(sql: String): DataFrame = {
-    val rewritten =
-      if (sql.toLowerCase.contains("information_schema.")) {
-        refreshInformationSchema()
-        sql.replaceAll("(?i)information_schema\\.(tables|columns)",
-          "information_schema_$1")
-      } else sql
+    val rewritten = rewriteInformationSchema(sql)
+    if (rewritten != sql) refreshInformationSchema()
     spark.sql(rewritten)
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Rewrite `information_schema.tables|columns` onto the registry-backed
+    * temp views, but ONLY where they appear as identifiers: string literals
+    * (`'...'` with `''` escapes), quoted identifiers (`"..."`, backticks),
+    * and line/block comments pass through byte-for-byte, so
+    * `SELECT 'see information_schema.tables'` returns the literal unchanged
+    * (the round-2 raw-regex version corrupted it). */
+  private[server] def rewriteInformationSchema(sql: String): String = {
+    // java.lang.StringBuilder: the Scala one lacks append(CharSequence,from,to)
+    // and silently auto-tuples the three arguments into "(seq,from,to)"
+    val out = new java.lang.StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          val start = i
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (sql.charAt(i) == c) {
+              if (i + 1 < n && sql.charAt(i + 1) == c) i += 2 // doubled-quote escape
+              else { i += 1; done = true }
+            } else i += 1
+          }
+          out.append(sql, start, i)
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          val start = i
+          while (i < n && sql.charAt(i) != '\n') i += 1
+          out.append(sql, start, i)
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          val start = i
+          i += 2
+          while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i = math.min(i + 2, n)
+          out.append(sql, start, i)
+        case _ =>
+          val prefix = "information_schema."
+          val boundaryOk = out.isEmpty ||
+            (!isIdentChar(out.charAt(out.length - 1)) && out.charAt(out.length - 1) != '.')
+          if ((c == 'i' || c == 'I') && boundaryOk &&
+              sql.regionMatches(true, i, prefix, 0, prefix.length)) {
+            val j = i + prefix.length
+            Seq("tables", "columns").find(t =>
+              sql.regionMatches(true, j, t, 0, t.length) &&
+                (j + t.length >= n || !isIdentChar(sql.charAt(j + t.length)))) match {
+              case Some(t) =>
+                out.append("information_schema_").append(t)
+                i = j + t.length
+              case None => out.append(c); i += 1
+            }
+          } else { out.append(c); i += 1 }
+      }
+    }
+    out.toString
   }
 
   private def refreshInformationSchema(): Unit = {

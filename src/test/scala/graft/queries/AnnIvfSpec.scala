@@ -50,4 +50,23 @@ class AnnIvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(again.toSet === ivf.toSet)
   }
+
+  test("seed centroids are deterministic, k x dim, drawn from the corpus") {
+    val seeds = PipelineOps.ivfSeedCentroids(embs, 16)
+    assert(seeds.length === 16)
+    assert(seeds.forall(_.length === 64))
+    val again = PipelineOps.ivfSeedCentroids(embs, 16)
+    assert(seeds.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("offline k-means train + fixed-centroid search compose") {
+    val cents = PipelineOps.ivfTrain(embs, k = 8, maxIter = 2)
+    assert(cents.length === 8 && cents.forall(_.length === 64))
+    val res = PipelineOps.ivfSearch(embs, cents.toIndexedSeq, nprobe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(res.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.sortBy(_._4).map(_._4).toSeq === (1L to rows.length).toSeq)
+    }
+  }
 }

@@ -44,4 +44,29 @@ class InformationSchemaSpec extends SparkSpec {
       "SELECT count(*) FROM information_schema.tables WHERE table_name = 'tmp_t'")
       .head().getLong(0) === 0L)
   }
+
+  test("information_schema inside a string literal is NOT rewritten") {
+    val lit = engine.querySql("SELECT 'see information_schema.tables' AS s")
+      .head().getString(0)
+    assert(lit === "see information_schema.tables")
+  }
+
+  test("rewrite skips literals/comments/quoted identifiers but hits real refs") {
+    val rw = engine.rewriteInformationSchema(
+      "SELECT 'information_schema.tables', `information_schema.columns` " +
+        "-- information_schema.tables\n" +
+        "/* information_schema.columns */ FROM Information_Schema.Tables")
+    assert(rw ===
+      "SELECT 'information_schema.tables', `information_schema.columns` " +
+        "-- information_schema.tables\n" +
+        "/* information_schema.columns */ FROM information_schema_tables")
+    // doubled-quote escape stays inside the literal
+    assert(engine.rewriteInformationSchema(
+      "SELECT 'it''s information_schema.tables' FROM information_schema.columns") ===
+      "SELECT 'it''s information_schema.tables' FROM information_schema_columns")
+    // identifier-boundary: a prefixed name is not a schema reference
+    assert(engine.rewriteInformationSchema(
+      "SELECT * FROM my_information_schema.tables") ===
+      "SELECT * FROM my_information_schema.tables")
+  }
 }
