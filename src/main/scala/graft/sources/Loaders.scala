@@ -19,8 +19,11 @@ object Loaders {
     * mod.rs:888-896 buffers stdin into a memory-backed table source). */
   @volatile var stdinStream: () => java.io.InputStream = () => System.in
 
-  def load(spark: SparkSession, src: TableSource): DataFrame = {
-    if (src.uri == "stdin") return loadStdin(spark, src)
+  def load(spark: SparkSession, rawSrc: TableSource): DataFrame = {
+    if (rawSrc.uri == "stdin") return loadStdin(spark, rawSrc)
+    // object-store URIs (s3/gs/az/...) resolve onto Hadoop connector schemes
+    // with env credentials injected (reference: columnq.rs:209-273)
+    val src = ObjectStores.resolve(spark, rawSrc)
     val df = src.resolvedFormat match {
       case "csv" => csv(spark, src, delimiter = src.options.getOrElse("delimiter", ","))
       case "tsv" => csv(spark, src, delimiter = "\t")
@@ -40,19 +43,36 @@ object Loaders {
       case "xlsx" | "ods" | "xls" | "xlsb" => ExcelLoader.load(spark, src)
       case "delta" => DeltaLoader.load(spark, src)
       case "google_spreadsheet" | "gsheet" => GsheetLoader.load(spark, src)
-      case "jdbc" =>
-        // spark.read.jdbc needs a driver jar on the classpath; none are bundled
-        // in this environment, but the dispatch is wired (reference:
-        // columnq/src/table/database.rs).
-        spark.read.options(src.options)
-          .format("jdbc").option("url", src.uri)
-          .option("dbtable", src.options.getOrElse("table", src.name))
-          .load()
+      case "jdbc" | "mysql" | "postgres" | "sqlite" => jdbc(spark, src)
       case other => throw new IllegalArgumentException(
         s"unsupported table format `$other` for `${src.name}`")
     }
     if (src.memTable) df.cache() else df
   }
+
+  /** Database tables (reference: columnq/src/table/database.rs:37-73 loads
+    * `SELECT * FROM {table}` over connectorx from mysql/postgres/sqlite
+    * URIs into a mem table). Spark-native: `spark.read.jdbc` — predicate
+    * pushdown and parallel partitioned reads come from the stock JDBC
+    * source, and the reference's partition-free "read it all" shape is just
+    * the default single partition. Reference-style `mysql://`,
+    * `postgres://`, `sqlite://` URIs map onto JDBC URLs; partition options
+    * (partitionColumn/lowerBound/upperBound/numPartitions) and `driver`
+    * pass straight through — that is the 100 TB parallel-ingest path.
+    * Exercised end-to-end against Spark's bundled embedded Derby. */
+  private[sources] def jdbcUrl(uri: String): String =
+    if (uri.startsWith("jdbc:")) uri
+    else if (uri.startsWith("mysql://")) "jdbc:" + uri
+    else if (uri.startsWith("postgres://")) "jdbc:postgresql://" + uri.stripPrefix("postgres://")
+    else if (uri.startsWith("postgresql://")) "jdbc:" + uri
+    else if (uri.startsWith("sqlite://")) "jdbc:sqlite:" + uri.stripPrefix("sqlite://")
+    else uri
+
+  private def jdbc(spark: SparkSession, src: TableSource): DataFrame =
+    spark.read.options(src.options - "table")
+      .format("jdbc").option("url", jdbcUrl(src.uri))
+      .option("dbtable", src.options.getOrElse("table", src.name))
+      .load()
 
   /** Load + register as a temp view; returns the DataFrame. */
   def register(spark: SparkSession, src: TableSource): DataFrame = {

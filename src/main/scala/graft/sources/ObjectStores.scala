@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Object-store URI resolution, Spark-style.
+  *
+  * The reference registers per-scheme object stores built from environment
+  * credentials (columnq/src/columnq.rs:209-273 `register_object_storage`,
+  * scheme grammar columnq/src/io/mod.rs:33-75). Spark's analog is the Hadoop
+  * FileSystem connector layer: the right move is NOT a custom IO path but
+  * (1) rewriting the reference's URI shapes onto the Hadoop connector
+  * schemes (s3 -> s3a, az/azure -> abfss with the account authority, gs
+  * stays gs) and (2) injecting the same env-var credentials as
+  * `fs.*` Hadoop configuration, so `spark.read.parquet("s3a://...")` gets
+  * listing, partition discovery, pushdown, and split planning from the
+  * stock connectors — the 100 TB path is exactly Spark's own.
+  *
+  * The cloud connector jars are absent in this offline environment, so specs
+  * assert on the produced URI + configuration; with hadoop-aws /
+  * gcs-connector / hadoop-azure on the classpath the same code is the real
+  * deployment path.
+  */
+object ObjectStores {
+
+  /** Reference scheme grammar (columnq/src/io/mod.rs:63-75). */
+  private val azureSchemes = Set("az", "azure")
+  val supportedSchemes: Set[String] =
+    Set("s3", "gs", "adl", "abfs", "abfss") ++ azureSchemes
+
+  def schemeOf(uri: String): Option[String] = {
+    val i = uri.indexOf("://")
+    if (i <= 0) None else Some(uri.substring(0, i).toLowerCase)
+  }
+
+  /** Rewrite a reference-style object-store URI onto the Hadoop connector
+    * scheme. `az://container/path` needs the storage account (env
+    * AZURE_STORAGE_ACCOUNT_NAME, same variable the reference's
+    * MicrosoftAzureBuilder::from_env reads) to form the abfss authority. */
+  def toHadoopUri(uri: String, env: Map[String, String] = sys.env): String =
+    schemeOf(uri) match {
+      case Some("s3") => "s3a://" + uri.stripPrefix("s3://")
+      case Some(s) if azureSchemes(s) =>
+        val rest = uri.substring(s.length + 3)
+        val (container, path) = rest.indexOf('/') match {
+          case -1 => (rest, "")
+          case i  => (rest.substring(0, i), rest.substring(i))
+        }
+        val account = env.getOrElse("AZURE_STORAGE_ACCOUNT_NAME",
+          throw new IllegalArgumentException(
+            s"`$uri`: AZURE_STORAGE_ACCOUNT_NAME must be set to resolve an $s:// container"))
+        s"abfss://$container@$account.dfs.core.windows.net$path"
+      case _ => uri // gs/adl/abfs(s) are already Hadoop schemes; everything else untouched
+    }
+
+  /** Hadoop `fs.*` configuration derived from the SAME environment variables
+    * the reference's object_store builders read (AmazonS3Builder /
+    * GoogleCloudStorageBuilder / MicrosoftAzureBuilder `from_env`). */
+  def hadoopConf(env: Map[String, String] = sys.env): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    // ---- S3 (minio-compatible: endpoint + http + path-style, as in the
+    //      reference CI, .github/workflows/build.yml:73-158)
+    env.get("AWS_ACCESS_KEY_ID").foreach(b += "fs.s3a.access.key" -> _)
+    env.get("AWS_SECRET_ACCESS_KEY").foreach(b += "fs.s3a.secret.key" -> _)
+    env.get("AWS_SESSION_TOKEN").foreach { tok =>
+      b += "fs.s3a.session.token" -> tok
+      b += "fs.s3a.aws.credentials.provider" ->
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+    }
+    env.get("AWS_REGION").orElse(env.get("AWS_DEFAULT_REGION"))
+      .foreach(b += "fs.s3a.endpoint.region" -> _)
+    env.get("AWS_ENDPOINT").orElse(env.get("AWS_ENDPOINT_URL")).foreach { ep =>
+      b += "fs.s3a.endpoint" -> ep
+      b += "fs.s3a.path.style.access" -> "true"
+    }
+    env.get("AWS_ALLOW_HTTP").foreach(v =>
+      b += "fs.s3a.connection.ssl.enabled" -> (!v.equalsIgnoreCase("true")).toString)
+    // ---- GCS
+    env.get("GOOGLE_SERVICE_ACCOUNT").orElse(env.get("GOOGLE_SERVICE_ACCOUNT_PATH"))
+      .orElse(env.get("GOOGLE_APPLICATION_CREDENTIALS")).foreach { path =>
+        b += "google.cloud.auth.service.account.enable" -> "true"
+        b += "google.cloud.auth.service.account.json.keyfile" -> path
+      }
+    // ---- Azure (account key auth; the authority host carries the account)
+    for {
+      account <- env.get("AZURE_STORAGE_ACCOUNT_NAME")
+      key <- env.get("AZURE_STORAGE_ACCOUNT_KEY")
+    } b += s"fs.azure.account.key.$account.dfs.core.windows.net" -> key
+    b.result()
+  }
+
+  /** Inject env-derived credentials into the session's Hadoop configuration
+    * (idempotent; explicit user settings win — only unset keys are filled). */
+  def configure(spark: SparkSession, env: Map[String, String] = sys.env): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hadoopConf(env).foreach { case (k, v) =>
+      if (hc.get(k) == null) hc.set(k, v)
+    }
+  }
+
+  /** Resolve a table source: object-store URIs get the connector scheme and
+    * the session gets the env credentials; local/http URIs pass through. */
+  def resolve(spark: SparkSession, src: TableSource,
+              env: Map[String, String] = sys.env): TableSource =
+    schemeOf(src.uri) match {
+      case Some(s) if supportedSchemes(s) =>
+        configure(spark, env)
+        src.copy(uri = toHadoopUri(src.uri, env))
+      case _ => src
+    }
+}

@@ -35,6 +35,9 @@ final case class TableSource(
       case Some("xls") => "xls"   // legacy binary — loader raises a clear error
       case Some("xlsb") => "xlsb"
       case other =>
+        // database URIs (reference: columnq/src/table/database.rs) => jdbc
+        val dbSchemes = Seq("jdbc:", "mysql://", "postgres://", "postgresql://", "sqlite://")
+        if (dbSchemes.exists(uri.startsWith)) return "jdbc"
         // extension-less local dir with a transaction log => Delta table
         val local = if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri
         if (!uri.contains("://") || uri.startsWith("file://")) {
