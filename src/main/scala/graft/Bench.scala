@@ -22,7 +22,18 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the driver captures a bounded stdout tail, and
+    // round 2 lost one query's timing to truncation — the file is the
+    // complete record (BENCH artifact defect, round-2 verdict #7).
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("tools/bench_latest.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write tools/bench_latest.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -23,22 +23,40 @@ object Tables {
 
   /** Memoized per (session, dir, table): the parquet footer/schema read
     * happens once per session, not once per query — the DataFrame is an
-    * immutable lazy plan, safe to share. */
+    * immutable lazy plan, safe to share. BOUNDED access-order LRU (round-2
+    * verdict: the unbounded map pinned every session a long-lived server
+    * ever saw; a weak map can't work — the cached plan strongly references
+    * its session, so entries would never collect). Eviction just means a
+    * re-read of a parquet footer. */
+  private[graft] val maxMemoEntries = 256
   private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size() > maxMemoEntries
+    }
   private val registeredDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.LinkedHashMap[(SparkSession, String), java.lang.Boolean](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), java.lang.Boolean]): Boolean =
+        size() > maxMemoEntries
+    }
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    dfCache.computeIfAbsent((spark, sfDir, name), _ => {
-      if (name == "events") {
-        // events.parquet is TIMESTAMP(NANOS): unreadable unless this (dynamic)
-        // conf is on. Set defensively — the caller's session may not come
-        // from GraftSession (e.g. the driver's own smoke-test session).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        normalizeNanoTs(spark.read.parquet(s"$sfDir/$name.parquet"), "ts")
-      } else spark.read.parquet(s"$sfDir/$name.parquet")
-    })
+    dfCache.synchronized {
+      dfCache.computeIfAbsent((spark, sfDir, name), _ => {
+        if (name == "events") {
+          // events.parquet is TIMESTAMP(NANOS): unreadable unless this
+          // (dynamic) conf is on. Set defensively — the caller's session may
+          // not come from GraftSession (e.g. the driver's own smoke test).
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          normalizeNanoTs(spark.read.parquet(s"$sfDir/$name.parquet"), "ts")
+        } else spark.read.parquet(s"$sfDir/$name.parquet")
+      })
+    }
+
+  /** Visible for the bounded-memo spec. */
+  private[graft] def memoSize: Int = dfCache.synchronized { dfCache.size }
 
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a raw
     * long (spark.sql.legacy.parquet.nanosAsLong=true — set that in every
@@ -54,9 +72,12 @@ object Tables {
   /** Register every table as a temp view for SQL pass-through queries
     * (reference: columnq/src/query/sql.rs:5-18 — parse, plan, collect).
     * Idempotent per (session, dir). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    if (registeredDirs.add((spark, sfDir)))
-      all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val fresh = registeredDirs.synchronized {
+      registeredDirs.put((spark, sfDir), java.lang.Boolean.TRUE) == null
+    }
+    if (fresh) all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+  }
 
   /** Reference-parity "MemTable" mode: fully materialized in memory
     * (reference: columnq/src/table/mod.rs:291-294). Use for serving only. */

@@ -146,33 +146,17 @@ object PipelineOps {
 
     // MinHash + LSH near-dup candidate pairs, verified with exact Jaccard
     "dedup_minhash_lsh" -> ((spark, dir) => {
-      val numPerms = 64
-      val bands = 16 // rows-per-band r = 4
-      val d = docs(spark, dir)
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        .withColumn("sig", minhashSignature(col("sh"), numPerms, 42L))
-        .cache()
-      val r = numPerms / bands
-      val banded = d.select(
-        col("doc_id"),
-        posexplode(array((0 until bands).map(bb =>
-          xxhash64(slice(col("sig"), bb * r + 1, r))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      // candidate pairs carry ids only; shingle arrays re-join once per pair
-      val candidates = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sets = d.select(col("doc_id"), col("sh"))
-      candidates
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
-        .orderBy(col("doc_a"), col("doc_b"))
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      minhashLshJoin(d, threshold = 0.3)
+    }),
+
+    // adaptive similarity join: the planner measures the corpus (one
+    // aggregate) and picks exact count-join / prefix-filtered / MinHash-LSH;
+    // this synthetic corpus is dense and within budget -> exact plan, so the
+    // DuckDB exact-Jaccard oracle applies
+    "dedup_adaptive" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      similarityJoin(d, threshold = 0.25)
     }),
 
     // SimHash near-dup: hamming distance <= 3 via multi-chunk pigeonhole.
@@ -381,6 +365,114 @@ object PipelineOps {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Exact-Jaccard verification of candidate id pairs: the shingle arrays
+    * re-join ONCE per candidate pair (ids-only candidates shuffle; arrays
+    * only move for pairs that survive candidate generation). */
+  private def verifyPairs(d: DataFrame, candidates: DataFrame,
+                          threshold: Double): DataFrame = {
+    val sets = d.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Distinct (doc_a < doc_b) pairs sharing a posting in `inv(doc_id,
+    * shingle)`. */
+  private def pairCandidates(inv: DataFrame): DataFrame =
+    inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** MinHash+LSH near-dup join over (doc_id, sh): banded signature buckets
+    * generate candidates (sub-quadratic: only same-bucket pairs), exact
+    * Jaccard verifies. Approximate — a pair colliding in no band is missed,
+    * with probability 1-(1-s^r)^b for true similarity s. */
+  def minhashLshJoin(d: DataFrame, threshold: Double,
+                     numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val r = numPerms / bands
+    val sig = d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L)).cache()
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(bb =>
+        xxhash64(slice(col("sig"), bb * r + 1, r))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // candidate pairs carry ids only; shingle arrays re-join once per pair
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(sig, candidates, threshold)
+  }
+
+  /** PPJoin-style prefix postings: order every document's tokens by
+    * ascending global document frequency (rarest first, ties by shingle) and
+    * keep only the first |x| - ceil(t·|x|) + 1. Completeness: two sets with
+    * jaccard >= t overlap in >= ceil(t·|x|) tokens, so under a shared total
+    * order they MUST share a token inside those prefixes — the inverted
+    * index shrinks to the rare end of the distribution, which on sparse
+    * corpora collapses candidate generation. */
+  private[queries] def prefixIndex(d: DataFrame, threshold: Double): DataFrame = {
+    val inv = d.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    inv.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** Prefix-filtered EXACT Jaccard join — identical result to
+    * [[ngramJaccardJoin]], sub-quadratic candidate generation on sparse
+    * corpora. (On dense corpora prefixes cannot prune — measured 3.7x slower
+    * than the count-join on the bench corpus; picking between them is the
+    * planner's job, [[similarityJoin]].) */
+  def prefixJaccardJoin(d: DataFrame, threshold: Double): DataFrame =
+    verifyPairs(d, pairCandidates(prefixIndex(d, threshold)), threshold)
+
+  /** Adaptive similarity-join planner: measure the corpus with ONE cheap
+    * aggregate ([[postingStats]] — Σ df·(df−1)/2 is the exact all-pairs
+    * candidate count), then pick:
+    *
+    *   - dense + affordable  -> exact count-join (prefixes can't prune
+    *     dense corpora; the count-join never shuffles arrays)
+    *   - sparse              -> prefix-filtered exact join, IF its own
+    *     measured prefix-candidate count fits the budget
+    *   - over budget         -> MinHash-LSH (sub-quadratic, approximate) —
+    *     the 100 TB escape hatch that round 2 merely refused with
+    *
+    * Both exact plans return identical results; the LSH fallback trades
+    * guaranteed recall for a candidate set that scales with band-bucket
+    * occupancy instead of df². */
+  def similarityJoinPlan(d: DataFrame, threshold: Double,
+                         maxCandidatePairs: Double = 1e9): (String, DataFrame) = {
+    val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val stats = postingStats(inv)
+    val nDocs = d.count()
+    val allPairs = nDocs.toDouble * (nDocs - 1).toDouble / 2.0
+    val density = if (allPairs == 0) 0.0 else stats.candidatePairs / allPairs
+    if (stats.candidatePairs <= maxCandidatePairs && density >= 0.5)
+      ("exact", ngramJaccardJoin(d, threshold, maxCandidatePairs = None))
+    else {
+      val prefix = prefixIndex(d, threshold)
+      if (postingStats(prefix).candidatePairs <= maxCandidatePairs)
+        ("prefix", verifyPairs(d, pairCandidates(prefix), threshold))
+      else
+        ("minhash-lsh", minhashLshJoin(d, threshold))
+    }
+  }
+
+  def similarityJoin(d: DataFrame, threshold: Double,
+                     maxCandidatePairs: Double = 1e9): DataFrame =
+    similarityJoinPlan(d, threshold, maxCandidatePairs)._2
 
   /** SimHash near-dup over (doc_id, sh: long) via generalized chunk-combo
     * pigeonhole. The 64-bit signature splits into `chunks` blocks; a pair
@@ -591,6 +683,17 @@ object PipelineOps {
         |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM s)
         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS s FROM tok),
+        |inv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard FROM pairs)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
+    // the adaptive planner picks the exact plan on this corpus (dense,
+    // within budget), so the exact-Jaccard SQL is its oracle too
+    "dedup_adaptive" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS s FROM tok),
         |inv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal Delta Lake reader built directly on the public Delta transaction
@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Scale shape: log replay is driver-side metadata work (exactly like
   * delta-rs); the data read is a standard distributed parquet scan, so
   * predicate pushdown, column pruning and partition parallelism all apply.
-  * Checkpoint parquet is read through Spark, so 100 TB tables with multi-part
-  * checkpoints replay without materializing actions in driver memory beyond
-  * the add-file map.
+  * Checkpoint parquet is read through Spark with the add set kept
+  * DISTRIBUTED: post-checkpoint removes anti-join executor-side and only
+  * (path, partitionValues) of live files ever reach the driver — a
+  * multi-million-add checkpoint never materializes its actions (stats,
+  * tags, tombstones) in driver memory.
   *
   * Unsupported (fails loudly): column mapping, deletion vectors,
   * minReaderVersion > 3, reader features beyond plain parquet.
@@ -70,27 +72,13 @@ object DeltaLoader {
       } else None
     }
 
-    val adds = mutable.LinkedHashMap[String, AddFile]()
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
     var maxVersion = -1L
 
-    def applyAction(node: JsonNode): Unit = {
-      val add = node.get("add")
-      val remove = node.get("remove")
+    def applyMeta(node: JsonNode): Unit = {
       val meta = node.get("metaData")
       val protocol = node.get("protocol")
-      if (add != null && !add.isNull) {
-        require(!add.hasNonNull("deletionVector"),
-          "Delta reader: deletion vectors are not supported")
-        val path = add.get("path").asText()
-        val pv = Option(add.get("partitionValues")).map { p =>
-          p.properties().asScala.map(e => e.getKey -> // null JSON value = null partition
-            (if (e.getValue.isNull) null else e.getValue.asText())).toMap
-        }.getOrElse(Map.empty[String, String])
-        adds(path) = AddFile(path, pv)
-      }
-      if (remove != null && !remove.isNull) adds.remove(remove.get("path").asText())
       if (meta != null && !meta.isNull) {
         schemaJson = meta.get("schemaString").asText()
         partCols = Option(meta.get("partitionColumns"))
@@ -111,7 +99,38 @@ object DeltaLoader {
       }
     }
 
-    // 1) checkpoint parquet (single- or multi-part) via a distributed read
+    // post-checkpoint JSON mutations, replayed in order. Commit JSONs are
+    // small by protocol (one commit's worth of actions); the checkpoint —
+    // millions of adds on a 100 TB table — is what must NOT be collected.
+    val addedAfter = mutable.LinkedHashMap[String, AddFile]()
+    val removedAfter = mutable.LinkedHashSet[String]()
+    def applyAction(node: JsonNode): Unit = {
+      val add = node.get("add")
+      val remove = node.get("remove")
+      if (add != null && !add.isNull) {
+        require(!add.hasNonNull("deletionVector"),
+          "Delta reader: deletion vectors are not supported")
+        val path = add.get("path").asText()
+        val pv = Option(add.get("partitionValues")).map { p =>
+          p.properties().asScala.map(e => e.getKey -> // null JSON value = null partition
+            (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+        }.getOrElse(Map.empty[String, String])
+        addedAfter(path) = AddFile(path, pv)
+        removedAfter -= path
+      }
+      if (remove != null && !remove.isNull) {
+        val p = remove.get("path").asText()
+        removedAfter += p
+        addedAfter -= p
+      }
+      applyMeta(node)
+    }
+
+    // 1) checkpoint parquet (single- or multi-part): metaData/protocol are at
+    //    most one live row each (driver-tiny); the ADD SET STAYS DISTRIBUTED —
+    //    the scan reads only add.path/add.partitionValues (column pruning
+    //    keeps stats/tags inside the files) and nothing is collected here.
+    var checkpointAdds: Option[DataFrame] = None
     lastCheckpoint.foreach { case (v, parts) =>
       val names = parts match {
         case Some(n) => (1 to n).map(i => f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
@@ -119,9 +138,19 @@ object DeltaLoader {
       }
       val cp = spark.read.parquet(names.map(n => logDir.resolve(n).toString): _*)
       val cols = cp.columns.toSet
-      val wanted = Seq("add", "remove", "metaData", "protocol").filter(cols)
-      cp.select(wanted.map(org.apache.spark.sql.functions.col): _*)
-        .toJSON.collect().foreach(line => applyAction(mapper.readTree(line)))
+      Seq("metaData", "protocol").filter(cols).foreach { c =>
+        cp.select(c).where(col(c).isNotNull)
+          .toJSON.collect().foreach(line => applyMeta(mapper.readTree(line)))
+      }
+      if (cols("add")) {
+        val addFields = cp.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
+        if (addFields.contains("deletionVector"))
+          require(cp.where(col("add.path").isNotNull &&
+              col("add.deletionVector").isNotNull).isEmpty,
+            "Delta reader: deletion vectors are not supported")
+        checkpointAdds = Some(cp.where(col("add.path").isNotNull)
+          .select(col("add.path").as("path"), col("add.partitionValues").as("pv")))
+      }
       maxVersion = v
     }
 
@@ -142,7 +171,26 @@ object DeltaLoader {
     versionAsOf.foreach(v => require(v <= maxVersion || lastCheckpoint.nonEmpty,
       s"requested version $v but log only reaches $maxVersion"))
 
-    Snapshot(adds.values.toSeq,
+    // 3) live set = checkpoint adds ANTI-JOIN (post-checkpoint removes ∪
+    //    re-adds), computed distributed, then post-checkpoint adds appended.
+    //    Only (path, partitionValues) of LIVE files reach the driver — the
+    //    same minimal list any Delta metadata handler must hold to plan the
+    //    scan; checkpoint tombstones and dead adds are pruned executor-side.
+    val fromCheckpoint: Seq[AddFile] = checkpointAdds.map { addDf =>
+      val tombstones = (removedAfter ++ addedAfter.keys).toSeq
+      val live = if (tombstones.isEmpty) addDf else {
+        import spark.implicits._
+        val t = tombstones.toDF("tpath")
+        addDf.join(t, addDf("path") === t("tpath"), "left_anti")
+      }
+      live.collect().map { r =>
+        val pv = Option(r.getMap[String, String](1))
+          .map(_.toMap).getOrElse(Map.empty[String, String])
+        AddFile(r.getString(0), pv)
+      }.toSeq
+    }.getOrElse(Seq.empty)
+
+    Snapshot(fromCheckpoint ++ addedAfter.values,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols, maxVersion)
   }
 

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.functions.TextFunctions.shingles
+
+/** Adaptive similarity-join planner: plan selection from measured posting
+  * stats; the two exact plans return identical results; LSH is the
+  * over-budget fallback. */
+class SimilarityPlannerSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get()
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def collectPairs(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  /** Dense: the real documents corpus (916 shingles shared by 500 docs). */
+  private lazy val dense = graft.Tables.t(spark, sfDir, "documents")
+    .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+
+  /** Sparse: 200 docs with almost entirely unique shingles — a mildly-shared
+    * token on every 10th doc can't reach jaccard 0.5 — plus 3 near/exact
+    * duplicate pairs that must survive every plan. */
+  private lazy val sparse = {
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      val base = (0 until 20).map(j => s"tok-${i}-$j")
+      // doc 2k+1 duplicates doc 2k for k < 3 -> three high-jaccard pairs
+      val sh = if (i % 2 == 1 && i < 6) (0 until 20).map(j => s"tok-${i - 1}-$j") else base
+      (i, if (i % 10 == 0) sh :+ "shared-common" else sh)
+    }
+    docs.toDF("doc_id", "sh")
+  }
+
+  test("dense corpus within budget -> exact count-join plan") {
+    val (plan, df) = PipelineOps.similarityJoinPlan(dense, threshold = 0.25)
+    assert(plan === "exact")
+    assert(collectPairs(df) ===
+      collectPairs(PipelineOps.ngramJaccardJoin(dense, 0.25, maxCandidatePairs = None)))
+  }
+
+  test("sparse corpus -> prefix plan, result identical to the exact join") {
+    val (plan, df) = PipelineOps.similarityJoinPlan(sparse, threshold = 0.5)
+    assert(plan === "prefix")
+    val got = collectPairs(df)
+    assert(got === collectPairs(
+      PipelineOps.ngramJaccardJoin(sparse, 0.5, maxCandidatePairs = None)))
+    assert(got.map(p => (p._1, p._2)) === Seq((0L, 1L), (2L, 3L), (4L, 5L)))
+    assert(got.forall(_._3 >= 0.5))
+  }
+
+  test("prefix join equals the count-join on the dense corpus too") {
+    assert(collectPairs(PipelineOps.prefixJaccardJoin(dense, 0.25)) ===
+      collectPairs(PipelineOps.ngramJaccardJoin(dense, 0.25, maxCandidatePairs = None)))
+  }
+
+  test("over budget everywhere -> minhash-lsh fallback, subset of exact") {
+    val (plan, df) = PipelineOps.similarityJoinPlan(dense, threshold = 0.25,
+      maxCandidatePairs = 10.0)
+    assert(plan === "minhash-lsh")
+    val exact = collectPairs(
+      PipelineOps.ngramJaccardJoin(dense, 0.25, maxCandidatePairs = None))
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val approx = collectPairs(df)
+    assert(approx.nonEmpty)
+    approx.foreach { case (a, b, j) =>
+      assert(exact.contains((a, b)), s"LSH pair ($a,$b) not in exact result")
+      assert(exact((a, b)) === j)
+    }
+  }
+
+  test("prefix index keeps |x| - ceil(t|x|) + 1 rarest tokens per doc") {
+    import spark.implicits._
+    val d = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("a", "b", "x", "y"))).toDF("doc_id", "sh")
+    val px = PipelineOps.prefixIndex(d, 0.5)
+    val perDoc = px.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=4, t=0.5 -> p = 4 - 2 + 1 = 3
+    assert(perDoc === Map(1L -> 3L, 2L -> 3L))
+  }
+}

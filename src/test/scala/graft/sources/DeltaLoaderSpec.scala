@@ -142,6 +142,56 @@ class DeltaLoaderSpec extends AnyFunSuite {
     assert(df.count() === 2)
   }
 
+  test("many-file checkpoint replays distributed: removes anti-join, re-adds dedup") {
+    val dir = Files.createTempDirectory("graft_delta_many").toString
+    import spark.implicits._
+    // 40 single-row unpartitioned files
+    val fileNames = (0 until 40).map { i =>
+      val sub = f"f$i%03d"
+      Seq((i.toLong, s"v$i", "x")).toDF("id", "v", "ds").coalesce(1).write.parquet(s"$dir/$sub")
+      val f = Files.list(Paths.get(dir, sub))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      s"$sub/${f.getFileName}"
+    }
+    // checkpoint at version 0 holding all 40 adds + meta + protocol
+    val addRows = fileNames.map(p => Row(Row(p, Map.empty[String, String]), null, null, null))
+    val metaRow = Row(null, Row(schemaString, Seq.empty[String], Map.empty[String, String]), null, null)
+    val protoRow = Row(null, null, Row(1), null)
+    val cpSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(StructField("minReaderVersion", IntegerType)))),
+      StructField("remove", StructType(Seq(StructField("path", StringType))))))
+    import scala.jdk.CollectionConverters._
+    val cpDf = spark.createDataFrame((addRows :+ metaRow :+ protoRow).asJava, cpSchema)
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    val tmpCp = Files.createTempDirectory("cp_many").toString
+    cpDf.coalesce(1).write.mode("overwrite").parquet(tmpCp)
+    val cpFile = Files.list(Paths.get(tmpCp)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(cpFile, log.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.write(log.resolve("_last_checkpoint"), """{"version":0,"size":42}""".getBytes)
+    // v1 removes 10 files; v2 re-adds one of them (must not duplicate)
+    writeCommit(dir, 1, fileNames.take(10).map(p =>
+      s"""{"remove":{"path":"$p","deletionTimestamp":3,"dataChange":true}}"""))
+    writeCommit(dir, 2, Seq(
+      s"""{"add":{"path":"${fileNames.head}","partitionValues":{},"size":1,"modificationTime":9,"dataChange":true}}"""))
+    val snap = DeltaLoader.snapshot(spark, dir)
+    assert(snap.version === 2)
+    assert(snap.files.length === 31) // 40 - 10 removed + 1 re-added
+    assert(snap.files.map(_.path).distinct.length === 31)
+    val df = Loaders.load(spark, TableSource("t", dir, format = Some("delta")))
+    assert(df.count() === 31)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet ===
+      ((10 until 40).map(_.toLong).toSet + 0L))
+  }
+
   test("unsupported protocol features fail loudly") {
     val dir = Files.createTempDirectory("graft_delta_bad").toString
     writeCommit(dir, 0, Seq(
