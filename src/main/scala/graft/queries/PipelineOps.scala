@@ -151,12 +151,15 @@ object PipelineOps {
     }),
 
     // adaptive similarity join: the planner measures the corpus (one
-    // aggregate) and picks exact count-join / prefix-filtered / MinHash-LSH;
-    // this synthetic corpus is dense and within budget -> exact plan, so the
-    // DuckDB exact-Jaccard oracle applies
+    // aggregate) and picks exact count-join / prefix-filtered / MinHash-LSH.
+    // With a 1e7 pair budget the verify corpus (sf0.01: 3.7e5 pairs, dense)
+    // takes the exact plan — the DuckDB exact-Jaccard oracle applies — while
+    // the bench corpus (sf0.1: 3.7e7 pairs) overflows the budget and falls
+    // to MinHash-LSH: the query demonstrates the scale switch the planner
+    // exists for (dedup_ngram_jaccard pins the exact plan for the bench).
     "dedup_adaptive" -> ((spark, dir) => {
       val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-      similarityJoin(d, threshold = 0.25)
+      similarityJoin(d, threshold = 0.25, maxCandidatePairs = 1e7)
     }),
 
     // SimHash near-dup: hamming distance <= 3 via multi-chunk pigeonhole.
@@ -244,6 +247,36 @@ object PipelineOps {
     "emb_norms" -> ((spark, dir) => {
       embs(spark, dir).select(col("vec_id"), col("label").cast("long").as("label"),
         l2norm(col("embedding")).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // benchmark decontamination: training docs sharing any 5-token n-gram
+    // with the probe set (source=src0 plays the held-out benchmark). The
+    // probe n-gram set is tiny relative to the corpus -> broadcast; the
+    // training side streams. A standard pretraining hygiene step.
+    "doc_decontaminate" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val probes = d.filter(col("source") === "src0")
+        .select(explode(shingles(col("text"), 5)).as("shingle")).distinct()
+      val train = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("shingle"))
+      decontaminate(train, probes)
+    }),
+
+    // int8 scalar quantization per embedding (the storage/serving compression
+    // step before ANN at 100 TB): pure projection, no shuffle. Scalars only
+    // in the output (position-weighted checksum proves the whole vector).
+    "emb_quantize" -> ((spark, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val mn = array_min(v)
+      val mx = array_max(v)
+      val scale = (mx - mn) / lit(255.0)
+      val q = transform(v, x =>
+        when(mx === mn, lit(0L)).otherwise(least(floor((x - mn) / scale), lit(255L))))
+      embs(spark, dir).select(col("vec_id"), mn.as("mn"), mx.as("mx"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_l1"),
+          aggregate(zip_with(q, sequence(lit(1L), size(v).cast("long")),
+            (x, i) => x * i), lit(0L), (acc, x) => acc + x).as("q_checksum"))
         .orderBy(col("vec_id"))
     }),
 
@@ -382,6 +415,16 @@ object PipelineOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Benchmark decontamination: count distinct probe n-grams per training
+    * doc. The probe set (a benchmark's worth of n-grams) is broadcast; the
+    * training postings stream past it — at 100 TB the corpus side never
+    * shuffles and the output is only the contaminated doc ids. */
+  def decontaminate(trainInv: DataFrame, probeNgrams: DataFrame): DataFrame =
+    trainInv.join(broadcast(probeNgrams), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("shingle")).as("n_hits"))
+      .orderBy(col("doc_id"))
+
   /** Distinct (doc_a < doc_b) pairs sharing a posting in `inv(doc_id,
     * shingle)`. */
   private def pairCandidates(inv: DataFrame): DataFrame =
@@ -459,9 +502,14 @@ object PipelineOps {
     val nDocs = d.count()
     val allPairs = nDocs.toDouble * (nDocs - 1).toDouble / 2.0
     val density = if (allPairs == 0) 0.0 else stats.candidatePairs / allPairs
-    if (stats.candidatePairs <= maxCandidatePairs && density >= 0.5)
-      ("exact", ngramJaccardJoin(d, threshold, maxCandidatePairs = None))
-    else {
+    if (density >= 0.5) {
+      // dense: prefixes cannot prune (almost every pair co-occurs anyway),
+      // so don't pay for prefix statistics — exact if affordable, else LSH
+      if (stats.candidatePairs <= maxCandidatePairs)
+        ("exact", ngramJaccardJoin(d, threshold, maxCandidatePairs = None))
+      else
+        ("minhash-lsh", minhashLshJoin(d, threshold))
+    } else {
       val prefix = prefixIndex(d, threshold)
       if (postingStats(prefix).candidatePairs <= maxCandidatePairs)
         ("prefix", verifyPairs(d, pairCandidates(prefix), threshold))
@@ -706,6 +754,24 @@ object PipelineOps {
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "doc_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(ts)-4, 1)+1), i -> array_to_string(ts[i:i+4], ' '))) AS s FROM tok),
+        |probes AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0')
+        |SELECT i.doc_id, CAST(count(DISTINCT i.shingle) AS BIGINT) AS n_hits
+        |FROM inv i JOIN probes p ON i.shingle = p.shingle
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
+    "emb_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+        |m AS (SELECT vec_id, ev, list_min(ev) AS mn, list_max(ev) AS mx FROM v),
+        |q AS (SELECT vec_id, mn, mx,
+        |  list_transform(ev, x -> CASE WHEN mx = mn THEN 0
+        |    ELSE least(CAST(floor((x - mn) / ((mx - mn) / 255.0)) AS BIGINT), 255) END) AS ql FROM m)
+        |SELECT vec_id, mn, mx,
+        |  CAST(list_sum(ql) AS BIGINT) AS q_l1,
+        |  CAST(list_sum(list_transform(list_zip(ql, range(1, len(ql)+1)), z -> z[1]*z[2])) AS BIGINT) AS q_checksum
+        |FROM q ORDER BY vec_id""".stripMargin,
     // raw-double mirror of punctRatio/stopwordRatio/qualityScore — identical
     // expression trees, so doubles are bit-exact (validated row-by-row against
     // an independent reimplementation at sf0.001)
