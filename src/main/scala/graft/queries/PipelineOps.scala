@@ -33,16 +33,16 @@ object PipelineOps {
 
   // ---- helpers -------------------------------------------------------------
 
-  /** Elementwise float->double cosine pieces, summed left-to-right (both
-    * Spark's `aggregate` HOF and DuckDB's list_sum fold sequentially, so the
-    * oracle reproduces identical doubles). */
+  /** Elementwise float->double cosine pieces, summed left-to-right — the
+    * same fold order as the `aggregate`/`zip_with` HOF forms and DuckDB's
+    * list_sum, so the oracle reproduces identical doubles — but as native
+    * codegen'd expressions (the HOF lambdas evaluate interpreted per
+    * element; this is the hot loop of every ANN/dedup-embedding query). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotF(a, b)
 
   private def l2norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    graft.functions.VectorFunctions.l2normF(v)
 
   /** Scale-safe global top-k per probe. A single row_number window suffices:
     * Catalyst's rank-limit pushdown (WindowGroupLimit, SPARK-37099) inserts a
@@ -415,14 +415,16 @@ object PipelineOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Benchmark decontamination: count distinct probe n-grams per training
-    * doc. The probe set (a benchmark's worth of n-grams) is broadcast; the
-    * training postings stream past it — at 100 TB the corpus side never
-    * shuffles and the output is only the contaminated doc ids. */
+  /** Benchmark decontamination: count probe n-grams per training doc. The
+    * probe set (a benchmark's worth of n-grams) is broadcast and must be
+    * distinct; `trainInv` postings must be distinct per doc (shingles() is)
+    * — then plain count == count-distinct and the aggregate needs no
+    * per-group dedup state. At 100 TB the corpus side never shuffles
+    * anything but (doc_id, 1) partial counts. */
   def decontaminate(trainInv: DataFrame, probeNgrams: DataFrame): DataFrame =
     trainInv.join(broadcast(probeNgrams), Seq("shingle"))
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("shingle")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))
 
   /** Distinct (doc_a < doc_b) pairs sharing a posting in `inv(doc_id,
@@ -600,14 +602,10 @@ object PipelineOps {
     * whole plan is the final WindowGroupLimit-pruned top-k. */
   def ivfSearch(emb: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
                 topK: Int): DataFrame = {
-    def sqdist(v: Column, cLit: Column): Column =
-      aggregate(zip_with(v, cLit,
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val centLits = centroids.map(c => array(c.toIndexedSeq.map(lit): _*))
     val withDists = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"),
-      array(centLits.map(cl => sqdist(col("embedding"), cl)): _*).as("dists"))
+      graft.functions.VectorFunctions.centroidSqDists(col("embedding"), centroids)
+        .as("dists"))
     val assigned = withDists.withColumn("cell",
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .drop("dists")
@@ -642,20 +640,14 @@ object PipelineOps {
     * literal array per bit (`dim` entries). At 100 TB the corpus is bucketed
     * once and both sides of any similarity join shuffle only on the bucket. */
   def lshBucket(vec: Column, nBits: Int, dim: Int): Column = {
-    val bits = (0 until nBits).map { b =>
-      val weights = Array.tabulate(dim) { i =>
-        val h = graft.functions.TextFunctions.mix64(
-          graft.functions.TextFunctions.fnv64(s"lsh-$b-$i"))
-        if ((h & 1L) == 0L) 1.0 else -1.0
-      }
-      val wArr = array(weights.toIndexedSeq.map(lit): _*)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * element_at(wArr, i + 1)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    val weights = Array.tabulate(nBits, dim) { (b, i) =>
+      val h = graft.functions.TextFunctions.mix64(
+        graft.functions.TextFunctions.fnv64(s"lsh-$b-$i"))
+      if ((h & 1L) == 0L) 1.0 else -1.0
     }
-    bits.reduce(_ + _)
+    // codegen'd expression: same ±1 planes and same left-to-right fold as
+    // the previous aggregate/zip_with form (bit-identical, oracle unchanged)
+    graft.functions.VectorFunctions.signLshBucket(vec, weights)
   }
 
   /** DuckDB CTE prefix recomputing [[lshBucket]]'s buckets: FNV-1a of
