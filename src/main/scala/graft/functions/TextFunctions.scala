@@ -71,6 +71,41 @@ object TextFunctions {
     * seed/sample selection (IVF seed ranking). Mirrors in DuckDB HUGEINT SQL. */
   def fnvMixOf(input: UTF8String): Long = mix64(fnv64(input.toString))
 
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct word n-gram shingles in one pass. Replicates the composed
+    * form `array_distinct(transform(sequence(...), i => array_join(slice(
+    * split(trim(lower(text))), ...))))` EXACTLY — same trim (spaces only,
+    * via UTF8String.trim like Spark's `trim`), same lower, same `\s+`
+    * split (so "" yields [""]), same clipped final windows, same
+    * first-occurrence distinct order. The HOF chain evaluates interpreted
+    * lambdas per position (~24 µs/shingle measured); this is one string
+    * pass + a LinkedHashSet. */
+  def ngramsOf(input: UTF8String, n: Int): ArrayData = {
+    val s = input.trim().toLowerCase.toString
+    val toks = WS.split(s, -1)
+    val count = math.max(toks.length - n, 0) + 1
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   private val FP_P = (1L << 61) - 1
   private val FP_B = 1000003L
 
@@ -128,8 +163,15 @@ object TextFunctions {
   /** Whitespace tokens of the trimmed, lowercased text. */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Word n-gram shingles (distinct), the unit for MinHash / Jaccard dedup. */
-  def shingles(c: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct), the unit for MinHash / Jaccard dedup.
+    * Codegen'd single-pass expression; [[shinglesComposed]] is the
+    * composed-builtins reference implementation it must match bit-for-bit
+    * (spec-asserted). */
+  def shingles(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNGrams(toExpr(c), n))
+
+  /** The original composed form, kept as the semantic reference. */
+  def shinglesComposed(c: Column, n: Int): Column = {
     val t = tokens(c)
     array_distinct(
       transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
@@ -212,6 +254,19 @@ object TextFunctions {
       defineCodeGen(ctx, ev,
         c => s"graft.functions.TextFunctions.simhashOf($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** Distinct word n-grams as a codegen'd expression (see [[ngramsOf]]). */
+  case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ngramsOf(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextFunctions.ngramsOf($c, $n)")
+    override protected def withNewChildInternal(c: Expression): WordNGrams = copy(child = c)
   }
 
   /** mix64∘fnv64 of a string column as a codegen'd expression — used to rank

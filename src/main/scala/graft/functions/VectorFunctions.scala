@@ -77,6 +77,28 @@ object VectorFunctions {
     bucket
   }
 
+  /** Pack bit ids (0-based) into an nWords-long bitset. */
+  def bitsetOf(ids: ArrayData, nWords: Int): ArrayData = {
+    val words = new Array[Long](nWords)
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val b = ids.getLong(i)
+      words((b >>> 6).toInt) |= (1L << (b & 63L))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** popcount(a AND b) — the set-intersection kernel for bitset Jaccard. */
+  def andPopcountOf(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i)); i += 1 }
+    s
+  }
+
   // ---- expressions ---------------------------------------------------------
 
   /** Σ a_i·b_i with float->double widening (cosine numerator). */
@@ -115,6 +137,31 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** Bit ids -> fixed-width bitset (array<long>). */
+  case class BitsetFromIds(child: Expression, nWords: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      bitsetOf(a.asInstanceOf[ArrayData], nWords)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        a => s"graft.functions.VectorFunctions.bitsetOf($a, $nWords)")
+    override protected def withNewChildInternal(c: Expression): BitsetFromIds =
+      copy(child = c)
+  }
+
+  /** popcount(a AND b). */
+  case class AndPopcount(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(andPopcountOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorFunctions.andPopcountOf($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AndPopcount =
+      copy(l, r)
+  }
+
   /** LSH bucket id from fixed ±1 hyperplane weights. */
   case class SignLshBucket(child: Expression, weights: Array[Array[Double]])
       extends UnaryExpression {
@@ -141,4 +188,8 @@ object VectorFunctions {
     GraftColumnBridge.column(CentroidSqDists(toExpr(v), cents.toArray))
   def signLshBucket(v: Column, weights: Array[Array[Double]]): Column =
     GraftColumnBridge.column(SignLshBucket(toExpr(v), weights))
+  def bitsetFromIds(ids: Column, nWords: Int): Column =
+    GraftColumnBridge.column(BitsetFromIds(toExpr(ids), nWords))
+  def andPopcount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(AndPopcount(toExpr(a), toExpr(b)))
 }

@@ -151,12 +151,11 @@ object PipelineOps {
     }),
 
     // adaptive similarity join: the planner measures the corpus (one
-    // aggregate) and picks exact count-join / prefix-filtered / MinHash-LSH.
-    // With a 1e7 pair budget the verify corpus (sf0.01: 3.7e5 pairs, dense)
-    // takes the exact plan — the DuckDB exact-Jaccard oracle applies — while
-    // the bench corpus (sf0.1: 3.7e7 pairs) overflows the budget and falls
-    // to MinHash-LSH: the query demonstrates the scale switch the planner
-    // exists for (dedup_ngram_jaccard pins the exact plan for the bench).
+    // aggregate) and picks exact (bitset or posting count-join) /
+    // prefix-filtered / MinHash-LSH. This corpus is dense with a small
+    // vocabulary -> bitset-exact at every SF, so the DuckDB exact-Jaccard
+    // oracle applies; the 1e7 pair budget only bites once the vocab
+    // outgrows the bitsets (the true 100 TB big-vocab regime -> LSH).
     "dedup_adaptive" -> ((spark, dir) => {
       val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
       similarityJoin(d, threshold = 0.25, maxCandidatePairs = 1e7)
@@ -172,15 +171,13 @@ object PipelineOps {
       simhashNearDup(d, maxHamming = 3, chunks = 5, comboSize = 2)
     }),
 
-    // Exact n-gram Jaccard similarity join. The shuffle carries ONLY
-    // (doc_id, shingle) postings and (doc_a, doc_b) counts — never the
-    // shingle arrays: |A ∩ B| falls out of a count aggregate over the
-    // inverted-index self-join, and |A ∪ B| = |A| + |B| - |A ∩ B|.
-    // This is the minimal exact computation: this synthetic corpus is DENSE
-    // (931 distinct shingles; 10.3M of 12.5M pairs co-occur at sf0.1), so
-    // PPJoin-style prefix filtering cannot prune (measured 3.7x slower);
-    // for sparse real corpora at 100 TB, the sub-quadratic path is the
-    // MinHash-LSH operator below.
+    // Exact n-gram Jaccard similarity join, physical plan auto-selected:
+    // this synthetic corpus is DENSE (931 distinct shingles; 10.3M of 12.5M
+    // pairs co-occur at sf0.1) — density means a SMALL vocabulary, so docs
+    // encode as vocab bitsets and all pairs run through an AND+popcount
+    // kernel (no posting shuffle). Big-vocab corpora take the posting
+    // count-join; sparse corpora at 100 TB use MinHash-LSH / prefix paths
+    // (see similarityJoin).
     "dedup_ngram_jaccard" -> ((spark, dir) => {
       // guard opted out: this synthetic bench corpus is DELIBERATELY dense
       // (the exact path is the point of the benchmark); production callers
@@ -373,8 +370,14 @@ object PipelineOps {
     * refuses, pointing at the sub-quadratic MinHash-LSH operator, when the
     * corpus exceeds it. Pass None to opt out (benchmarks, known-small inputs).
     */
+  /** Bitset-plan eligibility: vocab fits 2 KB/doc bitsets and the all-pairs
+    * kernel stays affordable. Parameterized so specs can simulate the
+    * beyond-eligibility regime without 100k-doc fixtures. */
+  final case class BitsetBounds(maxVocab: Int = 16384, maxDocs: Long = 100000)
+
   def ngramJaccardJoin(d: DataFrame, threshold: Double,
-                       maxCandidatePairs: Option[Double] = Some(1e9)): DataFrame = {
+                       maxCandidatePairs: Option[Double] = Some(1e9),
+                       bitsetBounds: BitsetBounds = BitsetBounds()): DataFrame = {
     val counts = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     maxCandidatePairs.foreach { bound =>
@@ -385,6 +388,25 @@ object PipelineOps {
           f"length ${stats.avgPostingLen}%.1f). Use the MinHash-LSH near-dup operator " +
           "(dedup_minhash_lsh) for dense corpora, or raise/disable maxCandidatePairs.")
     }
+    // Physical plan selection (result identical either way): a dense corpus
+    // has, by construction, a SMALL shingle vocabulary — so encode each doc
+    // as a vocab bitset and evaluate every pair with an AND+popcount kernel
+    // under a broadcast nested-loop join: zero posting shuffle, no 10M-group
+    // aggregate (measured ~20x on the bench corpus). Falls back to the
+    // posting count-join whenever the vocab or corpus outgrows the bitsets —
+    // that is the 100 TB big-vocab path.
+    val nDocs = d.count()
+    val nSh = inv.select(col("shingle")).distinct().count()
+    if (nSh <= bitsetBounds.maxVocab && nDocs <= bitsetBounds.maxDocs)
+      bitsetJaccard(inv, threshold, nSh.toInt)
+    else postingJaccard(inv, counts, threshold)
+  }
+
+  /** Posting count-join exact Jaccard: the shuffle carries ONLY (doc_id,
+    * shingle) postings and (doc_a, doc_b) counts — never the shingle
+    * arrays; |A ∪ B| = |A| + |B| − |A ∩ B|. The unbounded-vocab path. */
+  private[queries] def postingJaccard(inv: DataFrame, counts: DataFrame,
+                                      threshold: Double): DataFrame = {
     val shared = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -396,6 +418,59 @@ object PipelineOps {
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Small-vocab exact Jaccard: docs become `ceil(nSh/64)`-word bitsets
+    * (bit ids from the sorted vocab); every (a < b) pair gets
+    * popcount(a AND b); |A ∪ B| = n_a + n_b − shared, exactly as the
+    * count-join computes it.
+    *
+    * The pair loop is a mapPartitions kernel over a broadcast of the encoded
+    * corpus — deliberately NOT a BroadcastNestedLoopJoin: row-pair machinery
+    * materializes both bitset arrays out of the columnar cache per pair
+    * (measured ~25 µs/pair; the raw AND+popcount is ~20 ns). The broadcast
+    * is bounded by the eligibility guard in [[ngramJaccardJoin]]
+    * (nSh <= 16384, nDocs <= 100k → <= ~200 MB worst case, KBs here). */
+  private[queries] def bitsetJaccard(inv: DataFrame, threshold: Double,
+                                     nSh: Int): DataFrame = {
+    import graft.functions.VectorFunctions.bitsetFromIds
+    val spark = inv.sparkSession
+    import spark.implicits._
+    val nWords = (nSh + 63) / 64
+    // vocab is <= 16384 rows: the single-partition rank window is trivial
+    val vocab = inv.select(col("shingle")).distinct()
+      .withColumn("bit", (row_number().over(Window.orderBy(col("shingle"))) - 1).cast("long"))
+    val enc = inv.join(broadcast(vocab), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("bit")).as("bits"), count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), bitsetFromIds(col("bits"), nWords).as("bs"), col("n_sh"))
+      .as[(Long, Array[Long], Long)]
+      .cache() // read twice: broadcast collect + the kernel's streamed side
+    val bcast = spark.sparkContext.broadcast(enc.collect().sortBy(_._1))
+    val pairs = enc.mapPartitions { it =>
+      val all = bcast.value
+      val keys = all.map(_._1)
+      it.flatMap { case (ida, bsa, na) =>
+        // binary search to the strict-upper half keeps each pair once
+        var lo = java.util.Arrays.binarySearch(keys, ida) + 1
+        if (lo <= 0) lo = -lo // not found: insertion point
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var k = lo
+        while (k < all.length) {
+          val (idb, bsb, nb) = all(k)
+          var inter = 0L
+          var i = 0
+          val n = math.min(bsa.length, bsb.length)
+          while (i < n) { inter += java.lang.Long.bitCount(bsa(i) & bsb(i)); i += 1 }
+          val j = inter.toDouble / (na + nb - inter).toDouble
+          if (j >= threshold) out += ((ida, idb, j))
+          k += 1
+        }
+        out.iterator
+      }
+    }
+    pairs.toDF("doc_a", "doc_b", "jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -498,23 +573,32 @@ object PipelineOps {
     * guaranteed recall for a candidate set that scales with band-bucket
     * occupancy instead of df². */
   def similarityJoinPlan(d: DataFrame, threshold: Double,
-                         maxCandidatePairs: Double = 1e9): (String, DataFrame) = {
+                         maxCandidatePairs: Double = 1e9,
+                         bitsetBounds: BitsetBounds = BitsetBounds()): (String, DataFrame) = {
     val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val stats = postingStats(inv)
     val nDocs = d.count()
     val allPairs = nDocs.toDouble * (nDocs - 1).toDouble / 2.0
     val density = if (allPairs == 0) 0.0 else stats.candidatePairs / allPairs
+    // bitset exactness is immune to posting blowup (cost = nDocs²·vocab/64
+    // kernel ops, no posting shuffle), so when eligible it beats any
+    // approximate plan at the same or lower cost
+    val bitsetOk = stats.nShingles <= bitsetBounds.maxVocab && nDocs <= bitsetBounds.maxDocs
     if (density >= 0.5) {
       // dense: prefixes cannot prune (almost every pair co-occurs anyway),
       // so don't pay for prefix statistics — exact if affordable, else LSH
-      if (stats.candidatePairs <= maxCandidatePairs)
-        ("exact", ngramJaccardJoin(d, threshold, maxCandidatePairs = None))
+      if (stats.candidatePairs <= maxCandidatePairs || bitsetOk)
+        ("exact", ngramJaccardJoin(d, threshold, maxCandidatePairs = None,
+          bitsetBounds = bitsetBounds))
       else
         ("minhash-lsh", minhashLshJoin(d, threshold))
     } else {
       val prefix = prefixIndex(d, threshold)
       if (postingStats(prefix).candidatePairs <= maxCandidatePairs)
         ("prefix", verifyPairs(d, pairCandidates(prefix), threshold))
+      else if (bitsetOk)
+        ("exact", ngramJaccardJoin(d, threshold, maxCandidatePairs = None,
+          bitsetBounds = bitsetBounds))
       else
         ("minhash-lsh", minhashLshJoin(d, threshold))
     }

@@ -50,6 +50,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "fr", "und"))
   }
 
+  test("codegen'd shingles equal the composed-builtins form exactly") {
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    for (n <- Seq(2, 3, 5)) {
+      val diff = docs.select(shingles(col("text"), n).as("fast"),
+          shinglesComposed(col("text"), n).as("slow"))
+        .filter(not(col("fast") === col("slow")))
+      assert(diff.count() === 0L, s"n=$n shingle mismatch")
+    }
+    // edge shapes: empty, whitespace-only, fewer tokens than n, tabs/newlines
+    val edge = Seq("", "   ", "one", "one two", "a\tb\nc  d", " UPPER lower ").toDF("text")
+    val rows = edge.select(shingles(col("text"), 3).as("fast"),
+      shinglesComposed(col("text"), 3).as("slow")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("token counts and shingles") {
     val d = Seq("  Hello   world  foo ").toDF("text")
     assert(d.select(tokenCount(col("text"))).head.getLong(0) == 3L)

@@ -58,9 +58,18 @@ class SimilarityPlannerSpec extends AnyFunSuite {
       collectPairs(PipelineOps.ngramJaccardJoin(dense, 0.25, maxCandidatePairs = None)))
   }
 
-  test("over budget everywhere -> minhash-lsh fallback, subset of exact") {
+  test("dense over budget but bitset-eligible -> still exact") {
     val (plan, df) = PipelineOps.similarityJoinPlan(dense, threshold = 0.25,
       maxCandidatePairs = 10.0)
+    assert(plan === "exact")
+    assert(collectPairs(df) ===
+      collectPairs(PipelineOps.ngramJaccardJoin(dense, 0.25, maxCandidatePairs = None)))
+  }
+
+  test("over budget beyond bitset eligibility -> minhash-lsh, subset of exact") {
+    // maxDocs=0 simulates the >100k-doc regime where bitsets no longer apply
+    val (plan, df) = PipelineOps.similarityJoinPlan(dense, threshold = 0.25,
+      maxCandidatePairs = 10.0, bitsetBounds = PipelineOps.BitsetBounds(maxDocs = 0))
     assert(plan === "minhash-lsh")
     val exact = collectPairs(
       PipelineOps.ngramJaccardJoin(dense, 0.25, maxCandidatePairs = None))
@@ -70,6 +79,17 @@ class SimilarityPlannerSpec extends AnyFunSuite {
     approx.foreach { case (a, b, j) =>
       assert(exact.contains((a, b)), s"LSH pair ($a,$b) not in exact result")
       assert(exact((a, b)) === j)
+    }
+  }
+
+  test("bitset and posting Jaccard plans return identical results") {
+    for ((corpus, t) <- Seq((dense, 0.25), (sparse, 0.5))) {
+      val inv = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val counts = corpus.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val nSh = inv.select("shingle").distinct().count().toInt
+      val bits = collectPairs(PipelineOps.bitsetJaccard(inv, t, nSh))
+      val post = collectPairs(PipelineOps.postingJaccard(inv, counts, t))
+      assert(bits === post)
     }
   }
 
