@@ -96,8 +96,11 @@ object PipelineOps {
     // top-3 terms per doc with corpus document frequency: TF-IDF's exact
     // integer skeleton (counts, not logs — log() ULPs diverge across engines)
     "doc_top_terms" -> ((spark, dir) => {
+      // row filter after explode == array filter before it, but the HOF
+      // lambda evaluates interpreted per token; the row filter is codegen'd
       val tok = docs(spark, dir).select(col("doc_id"),
-        explode(filter(tokens(col("text")), t => length(t) > 0)).as("term"))
+        explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
