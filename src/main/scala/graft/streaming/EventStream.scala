@@ -67,6 +67,26 @@ object EventStream {
         col("action"), col("act_ts"), col("value"))
   }
 
+  /** Streaming quality gate: the batch quality score as a per-row projection
+    * on an ingest stream — stateless, so any feed rate just scales with
+    * executors. The streaming face of `doc_quality` as a FILTER. */
+  def qualityFilterStream(docs: DataFrame, minQuality: Double): DataFrame =
+    docs.withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+
+  /** Streaming decontamination: STREAM-STATIC join — the benchmark probe
+    * n-gram set is a static (broadcast) table; each micro-batch's doc
+    * n-grams join against it and aggregate hits per doc. State is the
+    * running per-doc counts (update mode); the static side re-broadcasts
+    * per batch, so probe-set refreshes are picked up without restart. The
+    * streaming face of `doc_decontaminate`. */
+  def decontaminateStream(docs: DataFrame, probeNgrams: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), n)).as("shingle"))
+      .join(broadcast(probeNgrams), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** Stateful sessionization: 30-minute inactivity gap closes a session.
     * State per user is one (start, last, count) triple; an EVENT-time timeout
     * (watermark-driven) flushes a session once the stream's watermark passes

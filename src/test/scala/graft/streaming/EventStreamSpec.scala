@@ -88,4 +88,52 @@ class EventStreamSpec extends SparkSpec {
       assert(got.filter("endMs < startMs").count() == 0)
     } finally q.stop()
   }
+
+  test("streaming quality filter drops low-quality docs statelessly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val good = Seq.fill(8)(
+      "the quick brown fox jumps over the lazy dog and it is a good day to run").mkString(" ")
+    in.addData(good, "!!!", "a b")
+    val q = EventStream.qualityFilterStream(in.toDF().toDF("text"), minQuality = 0.8)
+      .writeStream.outputMode("append").format("memory").queryName("qfilter")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+      val texts = spark.table("qfilter").select("text").collect().map(_.getString(0))
+      assert(texts.length === 1 && texts.head.startsWith("the quick"))
+    } finally q.stop()
+  }
+
+  test("streaming decontamination agrees with the batch operator (stream-static join)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    val probes = docs.filter(col("source") === "src0")
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 5)).as("shingle"))
+      .distinct()
+    val train = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).limit(100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    in.addData(train.toSeq)
+    val q = EventStream.decontaminateStream(in.toDF().toDF("doc_id", "text"), probes, n = 5)
+      .writeStream.outputMode("complete").format("memory").queryName("decontam")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(180000), "stream did not drain in time")
+      val got = spark.table("decontam").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val trainInv = docs.filter(col("source") =!= "src0")
+        .join(spark.createDataset(train.map(_._1).toSeq).toDF("doc_id"), "doc_id")
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.shingles(col("text"), 5)).as("shingle"))
+      val expected = graft.queries.PipelineOps.decontaminate(trainInv, probes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
