@@ -400,10 +400,17 @@ object PipelineOps {
     // that is the 100 TB big-vocab path.
     val nDocs = d.count()
     val nSh = inv.select(col("shingle")).distinct().count()
-    if (nSh <= bitsetBounds.maxVocab && nDocs <= bitsetBounds.maxDocs)
+    selectExactPlan(inv, counts, threshold, nSh, nDocs, bitsetBounds)
+  }
+
+  /** Exact-plan selection given already-measured corpus stats (avoids the
+    * planner re-counting what postingStats already knows). */
+  private def selectExactPlan(inv: DataFrame, counts: DataFrame, threshold: Double,
+                              nSh: Long, nDocs: Long,
+                              bounds: BitsetBounds): DataFrame =
+    if (nSh <= bounds.maxVocab && nDocs <= bounds.maxDocs)
       bitsetJaccard(inv, threshold, nSh.toInt)
     else postingJaccard(inv, counts, threshold)
-  }
 
   /** Posting count-join exact Jaccard: the shuffle carries ONLY (doc_id,
     * shingle) postings and (doc_a, doc_b) counts — never the shingle
@@ -587,23 +594,20 @@ object PipelineOps {
     // kernel ops, no posting shuffle), so when eligible it beats any
     // approximate plan at the same or lower cost
     val bitsetOk = stats.nShingles <= bitsetBounds.maxVocab && nDocs <= bitsetBounds.maxDocs
+    val counts = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    def exact = ("exact", selectExactPlan(inv, counts, threshold,
+      stats.nShingles, nDocs, bitsetBounds))
     if (density >= 0.5) {
       // dense: prefixes cannot prune (almost every pair co-occurs anyway),
       // so don't pay for prefix statistics — exact if affordable, else LSH
-      if (stats.candidatePairs <= maxCandidatePairs || bitsetOk)
-        ("exact", ngramJaccardJoin(d, threshold, maxCandidatePairs = None,
-          bitsetBounds = bitsetBounds))
-      else
-        ("minhash-lsh", minhashLshJoin(d, threshold))
+      if (stats.candidatePairs <= maxCandidatePairs || bitsetOk) exact
+      else ("minhash-lsh", minhashLshJoin(d, threshold))
     } else {
       val prefix = prefixIndex(d, threshold)
       if (postingStats(prefix).candidatePairs <= maxCandidatePairs)
         ("prefix", verifyPairs(d, pairCandidates(prefix), threshold))
-      else if (bitsetOk)
-        ("exact", ngramJaccardJoin(d, threshold, maxCandidatePairs = None,
-          bitsetBounds = bitsetBounds))
-      else
-        ("minhash-lsh", minhashLshJoin(d, threshold))
+      else if (bitsetOk) exact
+      else ("minhash-lsh", minhashLshJoin(d, threshold))
     }
   }
 
