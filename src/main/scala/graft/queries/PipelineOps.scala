@@ -691,12 +691,24 @@ object PipelineOps {
     * cell): NO shuffle and no driver coordination on the corpus side. Probes
     * take their nprobe nearest cells and broadcast; the only exchange in the
     * whole plan is the final WindowGroupLimit-pruned top-k. */
-  def ivfSearch(emb: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
-                topK: Int): DataFrame = {
-    val withDists = emb.select(col("vec_id"), col("embedding"),
+  private def withCellDists(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"),
       graft.functions.VectorFunctions.centroidSqDists(col("embedding"), centroids)
         .as("dists"))
+
+  /** One-pass IVF cell assignment — the persist-once half of the serve path.
+    * At 100 TB this runs as a batch job whose output is written bucketed by
+    * `cell`, so [[ivfSearch]]-shaped probes prune to file groups instead of
+    * recomputing the argmin per query. Pure projection, no shuffle. */
+  def ivfAssign(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
+    withCellDists(emb, centroids).withColumn("cell",
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .drop("dists")
+
+  def ivfSearch(emb: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
+                topK: Int): DataFrame = {
+    val withDists = withCellDists(emb, centroids)
     val assigned = withDists.withColumn("cell",
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .drop("dists")

@@ -59,6 +59,23 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(seeds.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("ivfAssign picks each vector's true nearest centroid, deterministically") {
+    val cents = PipelineOps.ivfSeedCentroids(embs, 8).toIndexedSeq
+    val assigned = PipelineOps.ivfAssign(embs, cents)
+      .select("vec_id", "embedding", "cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    assert(assigned.forall { case (_, _, c) => c >= 0 && c < 8 })
+    // verify argmin against an independent distance computation
+    assigned.take(100).foreach { case (_, v, cell) =>
+      val dists = cents.map(c => v.zip(c).map { case (x, y) =>
+        (x.toDouble - y) * (x.toDouble - y) }.sum)
+      assert(dists(cell) === dists.min)
+    }
+    val again = PipelineOps.ivfAssign(embs, cents)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again === assigned.map(t => (t._1, t._3)).toSet)
+  }
+
   test("offline k-means train + fixed-centroid search compose") {
     val cents = PipelineOps.ivfTrain(embs, k = 8, maxIter = 2)
     assert(cents.length === 8 && cents.forall(_.length === 64))
