@@ -1,0 +1,75 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import graft.SparkSpec
+import graft.sources.TableSource
+
+/** A serving engine is concurrent by definition: N clients issuing SQL/REST
+  * at once against one SparkSession (sessions are thread-safe; each action
+  * is an independent job). Asserts correct results — not just absence of
+  * crashes — under parallel load. */
+class ConcurrencySpec extends SparkSpec {
+
+  private lazy val engine = {
+    val e = new Engine(spark, readOnly = true)
+    e.registerTable(TableSource("nation", s"$sf0001/nation.parquet", Some("parquet")))
+    e.registerTable(TableSource("region", s"$sf0001/region.parquet", Some("parquet")))
+    e
+  }
+  private lazy val app = new HttpApp(engine, 0).start()
+  private lazy val base = s"http://127.0.0.1:${app.boundPort}"
+
+  test("32 parallel SQL queries all return correct results") {
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(16))
+    val futures = (0 until 32).map { i =>
+      Future {
+        val k = i % 5
+        engine.querySql(s"SELECT n_name FROM nation WHERE n_regionkey = $k ORDER BY n_name")
+          .collect().map(_.getString(0)).toSeq
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    val expected = (0 until 5).map { k =>
+      engine.querySql(s"SELECT n_name FROM nation WHERE n_regionkey = $k ORDER BY n_name")
+        .collect().map(_.getString(0)).toSeq
+    }
+    results.zipWithIndex.foreach { case (r, i) =>
+      assert(r === expected(i % 5), s"query $i diverged under concurrency")
+      assert(r.nonEmpty)
+    }
+  }
+
+  test("parallel HTTP clients with mixed endpoints and encodings") {
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(12))
+    val client = HttpClient.newHttpClient()
+    def get(path: String, accept: String): HttpResponse[String] = {
+      client.send(HttpRequest.newBuilder(URI.create(base + path))
+        .header("Accept", accept).GET().build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val futures = (0 until 24).map { i =>
+      Future {
+        i % 3 match {
+          case 0 =>
+            val r = get("/api/tables/region?sort=r_regionkey&limit=2", "application/json")
+            (r.statusCode(), r.body().startsWith("""[{"r_regionkey":0"""))
+          case 1 =>
+            val r = get("/api/tables/nation?columns=n_name&sort=n_name&limit=3", "application/csv")
+            (r.statusCode(), r.body().startsWith("n_name\n"))
+          case _ =>
+            val r = get("/api/schema/region", "application/json")
+            (r.statusCode(), r.body().contains(""""name":"r_regionkey""""))
+        }
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    results.foreach { case (code, ok) => assert(code === 200 && ok) }
+  }
+}
