@@ -8,6 +8,9 @@ object GraftSession {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
+      // engine SQL functions (simhash64, word_ngrams, dot_product, ...)
+      // available to every SQL frontend via the extension point
+      .withExtensions(graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
