@@ -1,11 +1,11 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
@@ -43,28 +43,34 @@ object DeltaLoader {
 
   def load(spark: SparkSession, src: TableSource): DataFrame = {
     val versionAsOf = src.options.get("version").map(_.toLong)
-    val snap = snapshot(spark, stripFileScheme(src.uri), versionAsOf)
+    val snap = snapshot(spark, src.uri, versionAsOf)
     toDataFrame(spark, src.uri, snap)
   }
-
-  private def stripFileScheme(uri: String): String =
-    if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri
 
   // ---- log replay -----------------------------------------------------------
 
   def snapshot(spark: SparkSession, tablePath: String,
                versionAsOf: Option[Long] = None): Snapshot = {
-    val logDir = Paths.get(tablePath, "_delta_log")
-    require(Files.isDirectory(logDir),
+    // All log IO goes through the Hadoop FileSystem API, so the SAME code
+    // reads file://, s3a://, gs://, abfss:// logs once the connector jars
+    // are present (ObjectStores resolves the scheme + credentials upstream).
+    val logDir = new HPath(tablePath, "_delta_log")
+    val fs: FileSystem = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.isDirectory(logDir),
       s"`$tablePath` is not a Delta table (no _delta_log directory)")
 
-    val entries = Files.list(logDir).iterator().asScala.map(_.getFileName.toString).toVector
+    val entries = fs.listStatus(logDir).map(_.getPath.getName).toVector
+
+    def readBytes(p: HPath): Array[Byte] = {
+      val in = fs.open(p)
+      try in.readAllBytes() finally in.close()
+    }
 
     // checkpoint base, if usable under the requested version
     val lastCheckpoint: Option[(Long, Option[Int])] = {
-      val lc = logDir.resolve("_last_checkpoint")
-      if (Files.exists(lc)) {
-        val node = mapper.readTree(Files.readAllBytes(lc))
+      val lc = new HPath(logDir, "_last_checkpoint")
+      if (fs.exists(lc)) {
+        val node = mapper.readTree(readBytes(lc))
         val v = node.get("version").asLong()
         if (versionAsOf.forall(v <= _))
           Some(v -> Option(node.get("parts")).map(_.asInt()))
@@ -136,7 +142,7 @@ object DeltaLoader {
         case Some(n) => (1 to n).map(i => f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
         case None => Seq(f"$v%020d.checkpoint.parquet")
       }
-      val cp = spark.read.parquet(names.map(n => logDir.resolve(n).toString): _*)
+      val cp = spark.read.parquet(names.map(n => new HPath(logDir, n).toString): _*)
       val cols = cp.columns.toSet
       Seq("metaData", "protocol").filter(cols).foreach { c =>
         cp.select(c).where(col(c).isNotNull)
@@ -161,8 +167,8 @@ object DeltaLoader {
         v.toLong -> n
     }.sortBy(_._1)
     commits.foreach { case (v, name) =>
-      Files.readAllLines(logDir.resolve(name)).asScala
-        .filter(_.nonEmpty).foreach(l => applyAction(mapper.readTree(l)))
+      new String(readBytes(new HPath(logDir, name)), "UTF-8").split('\n')
+        .iterator.filter(_.nonEmpty).foreach(l => applyAction(mapper.readTree(l)))
       maxVersion = v
     }
 
@@ -198,10 +204,9 @@ object DeltaLoader {
 
   private def toDataFrame(spark: SparkSession, tableUri: String, snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"Delta table `$tableUri` has no live files")
-    val base = stripFileScheme(tableUri)
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
-      else Paths.get(base, java.net.URLDecoder.decode(p, "UTF-8")).toString
+      else new HPath(tableUri, java.net.URLDecoder.decode(p, "UTF-8")).toString
 
     val dataSchema = StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     if (snap.partitionColumns.isEmpty) {

@@ -192,6 +192,17 @@ class DeltaLoaderSpec extends AnyFunSuite {
       ((10 until 40).map(_.toLong).toSet + 0L))
   }
 
+  test("log IO routes through Hadoop FS: object-store logs reach the connector layer") {
+    // with hadoop-aws on the classpath this same code reads the real log;
+    // offline it must fail AT the missing connector, not at path handling
+    val e = intercept[Throwable] {
+      DeltaLoader.snapshot(spark, "s3a://bucket/delta-table")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("s3a") || m.contains("S3A")), msgs(e).mkString("|"))
+  }
+
   test("unsupported protocol features fail loudly") {
     val dir = Files.createTempDirectory("graft_delta_bad").toString
     writeCommit(dir, 0, Seq(
