@@ -36,10 +36,10 @@ object Loaders {
       case "json" => jsonDocument(spark, src)
       case "arrow" => // IPC file format
         org.apache.spark.sql.GraftArrowBridge.fromIpcFileBytes(spark,
-          fetchBytes(src.uri, httpHeaders(src)))
+          fetchBytes(src.uri, httpHeaders(src), spark.sparkContext.hadoopConfiguration))
       case "arrows" => // IPC stream format
         org.apache.spark.sql.GraftArrowBridge.fromIpcStreamBytes(spark,
-          fetchBytes(src.uri, httpHeaders(src)))
+          fetchBytes(src.uri, httpHeaders(src), spark.sparkContext.hadoopConfiguration))
       case "xlsx" | "ods" | "xls" | "xlsb" => ExcelLoader.load(spark, src)
       case "delta" => DeltaLoader.load(spark, src)
       case "google_spreadsheet" | "gsheet" => GsheetLoader.load(spark, src)
@@ -133,8 +133,14 @@ object Loaders {
       k.stripPrefix("header.") -> v
     }
 
+  /** Single-document fetch: HTTP(S) via the JDK client (custom headers);
+    * everything else — local paths, file://, and object-store URIs once
+    * their connectors are on the classpath — through the Hadoop FileSystem
+    * API (the reference's object-or-listing IO layer, io/object_store.rs). */
   private[sources] def fetchBytes(uri: String,
-                                  headers: Map[String, String] = Map.empty): Array[Byte] =
+                                  headers: Map[String, String] = Map.empty,
+                                  hadoopConf: org.apache.hadoop.conf.Configuration =
+                                    new org.apache.hadoop.conf.Configuration()): Array[Byte] =
     if (uri.startsWith("http://") || uri.startsWith("https://")) {
       val client = java.net.http.HttpClient.newHttpClient()
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri)).GET()
@@ -143,8 +149,9 @@ object Loaders {
       require(resp.statusCode() / 100 == 2, s"GET $uri -> HTTP ${resp.statusCode()}")
       resp.body()
     } else {
-      val path = if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val p = new org.apache.hadoop.fs.Path(uri)
+      val in = p.getFileSystem(hadoopConf).open(p)
+      try in.readAllBytes() finally in.close()
     }
 
   /** RFC-6901 JSON pointer navigation. */
@@ -157,7 +164,8 @@ object Loaders {
 
   def jsonDocument(spark: SparkSession, src: TableSource): DataFrame = {
     val mapper = new ObjectMapper()
-    val root = mapper.readTree(fetchBytes(src.uri, httpHeaders(src)))
+    val root = mapper.readTree(fetchBytes(src.uri, httpHeaders(src),
+      spark.sparkContext.hadoopConfiguration))
     val data = src.pointer.map(pointTo(root, _)).getOrElse(root)
     require(data.isArray, s"table `${src.name}`: JSON document must be an array of rows")
     if (src.arrayEncoded) {
