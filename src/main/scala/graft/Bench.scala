@@ -5,9 +5,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     // Warm the session (codegen, shuffle machinery, footer reads) so the
-    // first timed query doesn't absorb one-time JVM startup costs.
-    try SparkEntry.queries("q_topk")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // first timed queries don't absorb one-time JVM startup costs; one
+    // representative per expression family (relational / vector / shingle).
+    Seq("q_topk", "emb_norms", "doc_quality", "doc_decontaminate").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (focused timing loops)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)

@@ -41,7 +41,8 @@ object ExcelLoader {
   type Grid = Vector[Vector[Cell]]
 
   def load(spark: SparkSession, src: TableSource): DataFrame = {
-    val bytes = Loaders.fetchBytes(src.uri)
+    val bytes = Loaders.fetchBytes(src.uri, Loaders.httpHeaders(src),
+      spark.sparkContext.hadoopConfiguration)
     val fmt = src.resolvedFormat
     val sheets: Seq[(String, Grid)] = fmt match {
       case "xlsx" => readXlsx(bytes)
