@@ -250,6 +250,36 @@ object PipelineOps {
         .orderBy(col("vec_id"))
     }),
 
+    // deterministic hash sampling: keep rows whose mixed hash of the id
+    // falls under rate·2^53 — reproducible across runs/engines (the DuckDB
+    // oracle recomputes the same HUGEINT arithmetic), no RNG state, pure
+    // filter projection at any scale. The reproducible-corpus-subset
+    // primitive every training pipeline needs.
+    "doc_sample_hash" -> ((spark, dir) => {
+      val h = graft.functions.TextFunctions.fnvMix64(
+        concat(lit("sample-42-"), col("doc_id").cast("string")))
+      docs(spark, dir)
+        .filter(shiftrightunsigned(h, 11) < lit(hashSampleThreshold(0.1)))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stratified sampling: an exact per-stratum ceiling (20% of each lang)
+    // with hash-ranked deterministic selection — one shuffle on the stratum
+    // key, WindowGroupLimit-style per-partition state only
+    "doc_sample_stratified" -> ((spark, dir) => {
+      val h = graft.functions.TextFunctions.fnvMix64(
+        concat(lit("strat-42-"), col("doc_id").cast("string")))
+      val byLang = Window.partitionBy(col("lang"))
+      docs(spark, dir)
+        .withColumn("h", h)
+        .withColumn("rn", row_number().over(byLang.orderBy(col("h"), col("doc_id"))).cast("long"))
+        .withColumn("cap", ceil(count(lit(1)).over(byLang) * lit(0.2)))
+        .filter(col("rn") <= col("cap"))
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // benchmark decontamination: training docs sharing any 5-token n-gram
     // with the probe set (source=src0 plays the held-out benchmark). The
     // probe n-gram set is tiny relative to the corpus -> broadcast; the
@@ -758,6 +788,27 @@ object PipelineOps {
     * a 32-bit split because INT128 overflows on the raw product), ±1 weights
     * from the low bit, then the same sequential-fold projections. Validated
     * bit-exact against an independent Python model. */
+  /** rate -> integer threshold on the top-53 unsigned bits of the mixed
+    * hash: (h >>> 11) < rate·2^53 keeps an exact, engine-independent
+    * fraction (2^53 is double-exact on both sides). */
+  private def hashSampleThreshold(rate: Double): Long = (rate * (1L << 53)).toLong
+
+  /** CTE chain computing the signed-or-raw mix64(fnv64(strExpr)) per row of
+    * `from`, exposed as `tag(id, z)` with z the raw HUGEINT hash. */
+  private def fnvMixCtes(tag: String, from: String, idCol: String,
+                         strExpr: String): String =
+    s"""${tag}s AS (SELECT $idCol AS id, hex(encode($strExpr)) AS hx, octet_length(encode($strExpr)) AS n FROM $from),
+       |${tag}0 AS (SELECT id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |    list_transform(range(1, n + 1), fi ->
+       |      CAST((strpos('0123456789ABCDEF', substr(hx, 2*fi-1, 1)) - 1) * 16
+       |         + strpos('0123456789ABCDEF', substr(hx, 2*fi, 1)) - 1 AS HUGEINT))),
+       |    (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % $M64 AS HUGEINT)) AS h FROM ${tag}s),
+       |${tag}0x AS (SELECT id, CAST(xor(h, h // 1073741824) AS HUGEINT) AS z FROM ${tag}0),
+       |${tag}1 AS (SELECT id, CAST(${mulc("z", 3210233709L, 484763065L)} AS HUGEINT) AS z FROM ${tag}0x),
+       |${tag}1x AS (SELECT id, CAST(xor(z, z // 134217728) AS HUGEINT) AS z FROM ${tag}1),
+       |${tag}2 AS (SELECT id, CAST(${mulc("z", 2496678331L, 321982955L)} AS HUGEINT) AS z FROM ${tag}1x),
+       |$tag AS (SELECT id, xor(z, z // 2147483648) AS z FROM ${tag}2)""".stripMargin
+
   /** mulmod-2^64 of a HUGEINT expression by a 64-bit constant split into
     * 32-bit halves (INT128 overflows on the raw 64x64 product). */
   private val M64 = "18446744073709551616"
@@ -849,6 +900,20 @@ object PipelineOps {
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "doc_sample_hash" ->
+      (s"""WITH ${fnvMixCtes("sh1", "documents", "doc_id", "'sample-42-' || CAST(doc_id AS VARCHAR)")}
+        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN sh1 ON d.doc_id = sh1.id
+        |WHERE sh1.z // 2048 < ${hashSampleThreshold(0.1)}
+        |ORDER BY d.doc_id""".stripMargin),
+    "doc_sample_stratified" ->
+      (s"""WITH ${fnvMixCtes("st1", "documents", "doc_id", "'strat-42-' || CAST(doc_id AS VARCHAR)")},
+        |sg AS (SELECT id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM st1),
+        |r AS (SELECT d.doc_id, d.lang,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY sg.h, d.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM documents d JOIN sg ON d.doc_id = sg.id)
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r
+        |WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT) ORDER BY lang, rn""".stripMargin),
     "doc_decontaminate" ->
       """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
         |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(ts)-4, 1)+1), i -> array_to_string(ts[i:i+4], ' '))) AS s FROM tok),
