@@ -615,7 +615,10 @@ object PipelineOps {
   def similarityJoinPlan(d: DataFrame, threshold: Double,
                          maxCandidatePairs: Double = 1e9,
                          bitsetBounds: BitsetBounds = BitsetBounds()): (String, DataFrame) = {
-    val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // cache: the postings feed the stats aggregate AND the selected plan
+    // (vocab + encode for bitset; self-join for posting) — without it the
+    // shingle explode recomputes once per consumer
+    val inv = d.select(col("doc_id"), explode(col("sh")).as("shingle")).cache()
     val stats = postingStats(inv)
     val nDocs = d.count()
     val allPairs = nDocs.toDouble * (nDocs - 1).toDouble / 2.0
