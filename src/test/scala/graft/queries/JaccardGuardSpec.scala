@@ -24,7 +24,7 @@ class JaccardGuardSpec extends AnyFunSuite {
     val inv = Seq((1L, "x"), (2L, "x"), (3L, "x"), (1L, "y"), (2L, "y"))
       .toDF("doc_id", "shingle")
     val s = PipelineOps.postingStats(inv)
-    assert(s.nPostings === 5 && s.nShingles === 2)
+    assert(s.nPostings === 5 && s.nShingles === 2 && s.nDocs === 3)
     assert(s.candidatePairs === 4.0)
   }
 
@@ -46,9 +46,21 @@ class JaccardGuardSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
-  test("opting out (None) runs the dense corpus without stats job") {
+  test("opting out (None) runs the dense corpus without the pair-budget refusal") {
     val out = PipelineOps.ngramJaccardJoin(docShingles, 0.25, maxCandidatePairs = None)
     assert(out.limit(1).count() >= 0) // plan executes
+  }
+
+  test("guarded join and adaptive planner run exactly one stats aggregate") {
+    // round-3 verdict #3: plan selection must not re-count what postingStats
+    // already measured (the measuring was most of dedup_adaptive's cost)
+    val before = PipelineOps.statsActions.get()
+    PipelineOps.ngramJaccardJoin(docShingles, 0.25, maxCandidatePairs = Some(1e9))
+    assert(PipelineOps.statsActions.get() - before === 1)
+    val before2 = PipelineOps.statsActions.get()
+    val (plan, _) = PipelineOps.similarityJoinPlan(docShingles, threshold = 0.25)
+    assert(plan === "exact") // dense corpus -> no prefix-stats second measure
+    assert(PipelineOps.statsActions.get() - before2 === 1)
   }
 
   test("5-chunk/2-combo simhash candidates reproduce the 4x16 pigeonhole result") {
