@@ -414,6 +414,10 @@ object PipelineOps {
   private val cachePoolSize = 16
   private val cachePool = new java.util.ArrayDeque[DataFrame]()
   private def registerCache(df: DataFrame): DataFrame = cachePool.synchronized {
+    // storageLevel consults the shared CacheManager by plan, so a second
+    // query over an identical plan (e.g. the same corpus' postings) reuses
+    // the live cache instead of re-caching ("already cached" WARN)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
     cachePool.addLast(df)
     while (cachePool.size > cachePoolSize) cachePool.removeFirst().unpersist(false)
     df
@@ -459,7 +463,7 @@ object PipelineOps {
     val counts = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // cached: the postings feed the stats aggregate AND the selected plan
     val inv = registerCache(
-      d.select(col("doc_id"), explode(col("sh")).as("shingle")).cache())
+      d.select(col("doc_id"), explode(col("sh")).as("shingle")))
     // ONE stats action covers the refusal guard and plan selection both
     // (round 3 paid up to two extra full passes here — verdict #3)
     val stats = postingStats(inv)
@@ -525,16 +529,22 @@ object PipelineOps {
     val spark = inv.sparkSession
     import spark.implicits._
     val nWords = (nSh + 63) / 64
-    // vocab is <= 16384 rows: the single-partition rank window is trivial
+    // bit ids need any consistent shingle->bit bijection (the kernel only
+    // counts bits), and the vocab is guard-bounded (<= 16384 rows), so assign
+    // ids on the driver — no global-sort window, one fewer shuffle; sorted
+    // for deterministic ids run-to-run
     val vocab = inv.select(col("shingle")).distinct()
-      .withColumn("bit", (row_number().over(Window.orderBy(col("shingle"))) - 1).cast("long"))
+      .collect().map(_.getString(0)).sorted
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toSeq.toDF("shingle", "bit")
     val enc = inv.join(broadcast(vocab), "shingle")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("bit")).as("bits"), count(lit(1)).as("n_sh"))
       .select(col("doc_id"), bitsetFromIds(col("bits"), nWords).as("bs"), col("n_sh"))
       .as[(Long, Array[Long], Long)]
-      .cache() // read twice: broadcast collect + the kernel's streamed side
-    registerCache(enc.toDF()) // same plan -> pool eviction unpersists enc
+    // read twice (broadcast collect + the kernel's streamed side): cache via
+    // the pool; enc shares the plan, so it reads the same InMemoryRelation
+    registerCache(enc.toDF())
     val bcast = spark.sparkContext.broadcast(enc.collect().sortBy(_._1))
     val pairs = enc.mapPartitions { it =>
       val all = bcast.value
@@ -667,7 +677,7 @@ object PipelineOps {
                      numPerms: Int = 64, bands: Int = 16): DataFrame = {
     val r = numPerms / bands
     val sig = registerCache(
-      d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L)).cache())
+      d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L)))
     val banded = sig.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(bb =>
@@ -729,7 +739,7 @@ object PipelineOps {
     // (vocab + encode for bitset; self-join for posting) — without it the
     // shingle explode recomputes once per consumer
     val inv = registerCache(
-      d.select(col("doc_id"), explode(col("sh")).as("shingle")).cache())
+      d.select(col("doc_id"), explode(col("sh")).as("shingle")))
     // ONE action measures pairs, vocab, AND doc count (no separate d.count())
     val stats = postingStats(inv)
     val nDocs = stats.nDocs
@@ -750,7 +760,7 @@ object PipelineOps {
       // cached: the prefix index feeds its own stats aggregate AND (when
       // selected) candidate generation — uncached it would recompute the
       // df-join + window from scratch per consumer (round-3 ADVICE)
-      val prefix = registerCache(prefixIndex(d, threshold).cache())
+      val prefix = registerCache(prefixIndex(d, threshold))
       if (postingStats(prefix).candidatePairs <= maxCandidatePairs)
         ("prefix", verifyPairs(d, pairCandidates(prefix), threshold))
       else if (bitsetOk) exact
