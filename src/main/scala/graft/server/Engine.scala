@@ -39,10 +39,11 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
     cancelRefresh(src.name)
     Loaders.register(spark, src)
     tables.put(src.name, src)
+    invalidatePlans()
     src.reloadIntervalSec.foreach { sec =>
       val task = scheduler.scheduleAtFixedRate(
         () =>
-          try Loaders.register(spark, src)
+          try { Loaders.register(spark, src); invalidatePlans() }
           catch { case e: Throwable =>
             System.err.println(s"[refresh] ${src.name}: ${e.getMessage}") },
         sec, sec, TimeUnit.SECONDS)
@@ -54,6 +55,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
     cancelRefresh(name)
     tables.remove(name)
     spark.catalog.dropTempView(name)
+    invalidatePlans()
   }
 
   def tableNames: Seq[String] = tables.keys.asScala.toSeq.sorted
@@ -62,14 +64,42 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
 
   // ---- queries -------------------------------------------------------------
 
+  // ---- analyzed-plan cache -------------------------------------------------
+  // The reference caches prepared logical plans per statement handle
+  // (roapi/src/server/flight_sql.rs:109-110,820-857); here repeated SQL text
+  // skips re-parse/re-analysis via a bounded LRU. Entries pin the plan's view
+  // resolution, so ANY registry change (register/drop/refresh tick) clears the
+  // cache — staleness is impossible, the worst case is a re-analysis.
+  private val planCacheSize = 128
+  private val planCache =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size > planCacheSize
+    }
+  /** Spec hook: how many querySql calls reused a cached plan. */
+  private[server] val planCacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+  private def invalidatePlans(): Unit = planCache.synchronized(planCache.clear())
+
   /** SQL entry. `information_schema.tables` / `.columns` are served like the
     * reference's DataFusion `with_information_schema(true)` catalog
     * (columnq-cli/src/main.rs:93-94): Spark has no such schema, so references
     * are rewritten onto on-demand temp views built from the registry. */
   def querySql(sql: String): DataFrame = {
     val rewritten = rewriteInformationSchema(sql)
-    if (rewritten != sql) refreshInformationSchema()
-    spark.sql(rewritten)
+    if (rewritten != sql) {
+      // info-schema queries rebuild their snapshot views per call — caching
+      // would pin the first snapshot, so they bypass the plan cache
+      refreshInformationSchema()
+      spark.sql(rewritten)
+    } else {
+      val hit = planCache.synchronized(planCache.get(sql))
+      if (hit != null) { planCacheHits.incrementAndGet(); hit }
+      else {
+        val df = spark.sql(sql) // analyze outside the lock (it can be slow)
+        planCache.synchronized(planCache.put(sql, df))
+        df
+      }
+    }
   }
 
   private def isIdentChar(c: Char): Boolean =
@@ -95,12 +125,17 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
           i += 1
           var done = false
           while (i < n && !done) {
-            if (sql.charAt(i) == c) {
+            // Spark's default (non-ANSI) lexer backslash-escapes ' and "
+            // literals ('it\'s') — without this skip the scanner would leave
+            // the literal at the escaped quote and rewrite text inside it.
+            // Backticked identifiers escape only by doubling.
+            if (sql.charAt(i) == '\\' && c != '`') i += 2
+            else if (sql.charAt(i) == c) {
               if (i + 1 < n && sql.charAt(i + 1) == c) i += 2 // doubled-quote escape
               else { i += 1; done = true }
             } else i += 1
           }
-          out.append(sql, start, i)
+          out.append(sql, start, math.min(i, n))
         case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
           val start = i
           while (i < n && sql.charAt(i) != '\n') i += 1

@@ -133,19 +133,24 @@ object Loaders {
       k.stripPrefix("header.") -> v
     }
 
+  // One shared client: connection pooling across fetches, and a refresh tick
+  // re-reading an HTTP table no longer builds a client per call
+  private lazy val httpClient = java.net.http.HttpClient.newHttpClient()
+
   /** Single-document fetch: HTTP(S) via the JDK client (custom headers);
     * everything else — local paths, file://, and object-store URIs once
     * their connectors are on the classpath — through the Hadoop FileSystem
-    * API (the reference's object-or-listing IO layer, io/object_store.rs). */
+    * API (the reference's object-or-listing IO layer, io/object_store.rs).
+    * `hadoopConf` is required (no default): the session conf carries the
+    * object-store credentials wired by [[ObjectStores]] — a fresh
+    * `new Configuration()` would silently drop them. */
   private[sources] def fetchBytes(uri: String,
-                                  headers: Map[String, String] = Map.empty,
-                                  hadoopConf: org.apache.hadoop.conf.Configuration =
-                                    new org.apache.hadoop.conf.Configuration()): Array[Byte] =
+                                  headers: Map[String, String],
+                                  hadoopConf: org.apache.hadoop.conf.Configuration): Array[Byte] =
     if (uri.startsWith("http://") || uri.startsWith("https://")) {
-      val client = java.net.http.HttpClient.newHttpClient()
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri)).GET()
       headers.foreach { case (k, v) => b.header(k, v) }
-      val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      val resp = httpClient.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       require(resp.statusCode() / 100 == 2, s"GET $uri -> HTTP ${resp.statusCode()}")
       resp.body()
     } else {

@@ -69,4 +69,23 @@ class InformationSchemaSpec extends SparkSpec {
       "SELECT * FROM my_information_schema.tables") ===
       "SELECT * FROM my_information_schema.tables")
   }
+
+  test("backslash-escaped quotes stay inside the literal (non-ANSI lexer)") {
+    // 'it\'s information_schema.tables' is ONE literal under Spark's default
+    // lexer — nothing inside may be rewritten, and the real reference after
+    // it still must be
+    assert(engine.rewriteInformationSchema(
+      "SELECT 'it\\'s information_schema.tables' FROM information_schema.columns") ===
+      "SELECT 'it\\'s information_schema.tables' FROM information_schema_columns")
+    // same for double-quoted literals; backticks escape only by doubling, so
+    // a backslash inside backticks is a plain character
+    assert(engine.rewriteInformationSchema(
+      "SELECT \"a\\\" information_schema.tables\" FROM information_schema.tables") ===
+      "SELECT \"a\\\" information_schema.tables\" FROM information_schema_tables")
+    assert(engine.rewriteInformationSchema(
+      "SELECT `a\\` + 1 FROM information_schema.tables") ===
+      "SELECT `a\\` + 1 FROM information_schema_tables")
+    // a trailing backslash-escape at end-of-input must not overrun
+    assert(engine.rewriteInformationSchema("SELECT 'oops\\") === "SELECT 'oops\\")
+  }
 }

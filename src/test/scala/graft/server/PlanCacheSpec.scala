@@ -1,0 +1,66 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.sources.TableSource
+
+/** Serving-side analyzed-plan reuse (reference: FlightSQL's per-handle plan
+  * cache, roapi/src/server/flight_sql.rs:109-110,820-857 — here keyed on SQL
+  * text, shared by every frontend that goes through Engine.querySql). */
+class PlanCacheSpec extends SparkSpec {
+
+  private def newEngine(readOnly: Boolean = true) = {
+    val e = new Engine(spark, readOnly)
+    e.registerTable(TableSource("pc_region", s"$sf0001/region.parquet", Some("parquet")))
+    e.registerTable(TableSource("pc_nation", s"$sf0001/nation.parquet", Some("parquet")))
+    e
+  }
+
+  test("repeated SQL text reuses the analyzed plan (no re-analysis)") {
+    val e = newEngine()
+    val sql = "SELECT r_name FROM pc_region ORDER BY r_regionkey"
+    val h0 = e.planCacheHits.get()
+    val df1 = e.querySql(sql)
+    val df2 = e.querySql(sql)
+    assert(df2 eq df1, "second call must return the cached DataFrame instance")
+    assert(e.planCacheHits.get() === h0 + 1)
+    // and the cached plan still executes correctly
+    assert(df2.collect().map(_.getString(0)).sorted.length === 5)
+  }
+
+  test("registry changes invalidate the cache (no stale view resolution)") {
+    val e = newEngine(readOnly = false)
+    val sql = "SELECT count(*) AS n FROM pc_tmp"
+    e.registerTable(TableSource("pc_tmp", s"$sf0001/region.parquet", Some("parquet")))
+    val df1 = e.querySql(sql)
+    assert(df1.head().getLong(0) === 5L)
+    // re-register the same name over a different source: the cached plan
+    // would still read region — the invalidation must drop it
+    e.registerTable(TableSource("pc_tmp", s"$sf0001/nation.parquet", Some("parquet")))
+    val df2 = e.querySql(sql)
+    assert(!(df2 eq df1))
+    assert(df2.head().getLong(0) === 25L)
+    // drop also invalidates: the next call must fail analysis, not serve stale
+    e.dropTable("pc_tmp")
+    intercept[Exception](e.querySql(sql).collect())
+  }
+
+  test("information_schema queries bypass the cache (snapshot-per-call)") {
+    val e = newEngine(readOnly = false)
+    val sql = "SELECT count(*) AS n FROM information_schema.tables"
+    val n1 = e.querySql(sql).head().getLong(0)
+    e.registerTable(TableSource("pc_extra", s"$sf0001/region.parquet", Some("parquet")))
+    val n2 = e.querySql(sql).head().getLong(0)
+    assert(n2 === n1 + 1)
+  }
+
+  test("cache is bounded: distinct statements do not accumulate past the cap") {
+    val e = newEngine()
+    (1 to 200).foreach(i => e.querySql(s"SELECT $i AS k"))
+    // re-running the most recent statement hits; the eldest was evicted
+    val h0 = e.planCacheHits.get()
+    e.querySql("SELECT 200 AS k")
+    assert(e.planCacheHits.get() === h0 + 1)
+    e.querySql("SELECT 1 AS k") // evicted -> re-analyzed, no hit
+    assert(e.planCacheHits.get() === h0 + 1)
+  }
+}
