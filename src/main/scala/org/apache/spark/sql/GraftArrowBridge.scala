@@ -31,17 +31,34 @@ object GraftArrowBridge {
     out.toByteArray
   }
 
-  /** Parse Arrow IPC *stream* bytes into a DataFrame (materialized driver-side
-    * then parallelized — mirrors the reference's MemTable ingestion of IPC,
-    * columnq/src/table/arrow_ipc_stream.rs). */
+  /** Parse Arrow IPC *stream* bytes into a DataFrame.
+    *
+    * The DOCUMENT bytes are driver-held once — the reference's MemTable
+    * materializes the same whole document (columnq/src/table/
+    * arrow_ipc_stream.rs), so the driver-memory bound is `len(bytes)`, i.e.
+    * single-document table size, NOT table-scan size. Row deserialization is
+    * distributed: the stream splits into its IPC record-batch messages on the
+    * driver (a byte-slicing pass, no vector decode), and each batch decodes to
+    * rows in its own task. */
   def fromIpcStreamBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
     val session = spark.asInstanceOf[classic.SparkSession]
-    val (iter, schema) = execution.arrow.ArrowConverters.fromIPCStream(bytes)
-    try {
-      val rows = iter.map(_.copy()).toArray.toIndexedSeq
-      val rdd = session.sparkContext.parallelize(rows, math.max(1, math.min(rows.length, 8)))
-      session.internalCreateDataFrame(rdd, schema)
-    } finally iter.close()
+    // schema from the stream header only — no batch is decoded driver-side
+    val alloc = new RootAllocator(Long.MaxValue)
+    val schema = try {
+      val r = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+      try util.ArrowUtils.fromArrowSchema(r.getVectorSchemaRoot.getSchema)
+      finally r.close()
+    } finally alloc.close()
+    val batches = execution.arrow.ArrowConverters.getBatchesFromStream(
+      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes)).toArray
+    val tz = session.sessionState.conf.sessionLocalTimeZone
+    val rdd = session.sparkContext
+      .parallelize(batches.toIndexedSeq, math.max(1, batches.length))
+      .mapPartitions { it =>
+        execution.arrow.ArrowConverters.fromBatchIterator(
+          it, schema, tz, true, false, org.apache.spark.TaskContext.get())
+      }
+    session.internalCreateDataFrame(rdd, schema)
   }
 
   /** Parse Arrow IPC *file* bytes (transcoded to a stream first). */
