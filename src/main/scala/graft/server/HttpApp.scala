@@ -1,12 +1,9 @@
 package graft.server
 
 import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets.UTF_8
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.encoding.Encoders
 import graft.sources.TableSource
 
 /** Multi-protocol read-only query server over one Engine — the HTTP frontend
@@ -24,10 +21,6 @@ import graft.sources.TableSource
   */
 final class HttpApp(engine: Engine, port: Int = 0) {
 
-  final case class ApiError(code: Int, error: String, message: String)
-      extends RuntimeException(message)
-
-  private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -41,122 +34,28 @@ final class HttpApp(engine: Engine, port: Int = 0) {
 
   def stop(): Unit = server.stop(0)
 
-  // ---- routing -------------------------------------------------------------
+  // ---- transport adapter (routing lives in Routes, shared with Http2App) ---
 
   private def handle(ex: HttpExchange): Unit = {
-    val method = ex.getRequestMethod
-    val path = ex.getRequestURI.getPath
+    val req = Routes.Request(
+      ex.getRequestMethod, ex.getRequestURI.getPath,
+      Option(ex.getRequestURI.getRawQuery),
+      Option(ex.getRequestHeaders.getFirst("Accept")),
+      () => ex.getRequestBody.readAllBytes())
     try {
-      (method, path.stripSuffix("/").split('/').toList.drop(1)) match {
-        case ("GET", List("health")) => respondRaw(ex, 200, "OK".getBytes(UTF_8), "text/plain")
-        case ("GET", List("api", "version")) =>
-          respondRaw(ex, 200, "\"0.1.0\"".getBytes(UTF_8), "application/json")
-        case ("POST", List("api", "sql")) =>
-          respondQuery(ex, engine.querySql(bodyString(ex)))
-        case ("POST", List("api", "graphql")) =>
-          respondQuery(ex, engine.queryGraphQl(bodyString(ex)))
-        case ("GET", List("api", "tables", t)) =>
-          respondQuery(ex, engine.queryRest(t, queryParams(ex)))
-        case ("GET", List("api", "schema")) =>
-          respondRaw(ex, 200, engine.allSchemasJson.getBytes(UTF_8), "application/json")
-        case ("GET", List("api", "schema", t)) =>
-          respondRaw(ex, 200, engine.schemaJson(t).getBytes(UTF_8), "application/json")
-        case ("GET", List("api", "kv", name, key)) =>
-          engine.kvGet(name, key) match {
-            case Some(v) => respondRaw(ex, 200, v.getBytes(UTF_8), "text/plain")
-            case None => throw ApiError(404, "not_found", s"key `$key` not found in kv `$name`")
-          }
-        case ("POST", List("api", "table")) =>
-          if (engine.readOnly)
-            throw ApiError(400, "read_only_mode", "table registration is disabled in read-only mode")
-          registerTables(bodyString(ex))
-          respondRaw(ex, 200, Array.emptyByteArray, "application/json")
-        case ("POST", List("api", "tables", "drop")) =>
-          if (engine.readOnly)
-            throw ApiError(400, "read_only_mode", "table drop is disabled in read-only mode")
-          val node = mapper.readTree(bodyString(ex))
-          engine.dropTable(node.get("tableName").asText())
-          respondRaw(ex, 200, Array.emptyByteArray, "application/json")
-        case _ => throw ApiError(404, "not_found", s"$method $path")
+      Routes.handle(engine, req) match {
+        case Routes.Full(status, mime, body) =>
+          ex.getResponseHeaders.set("Content-Type", mime)
+          ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+          if (body.nonEmpty) ex.getResponseBody.write(body)
+        case Routes.Streamed(mime, write) =>
+          ex.getResponseHeaders.set("Content-Type", mime)
+          ex.sendResponseHeaders(200, 0) // chunked
+          val out = ex.getResponseBody
+          write(out)
+          out.close()
       }
-    } catch {
-      case e: ApiError => respondError(ex, e)
-      case e: graft.frontend.RestQuery.RestError =>
-        respondError(ex, ApiError(400, e.error, e.message))
-      case e: graft.frontend.GraphQl.GraphQlError =>
-        respondError(ex, ApiError(400, "invalid graphql query", e.message))
-      case e: Throwable =>
-        respondError(ex, ApiError(400, "query_execution", String.valueOf(e.getMessage)))
     } finally ex.close()
-  }
-
-  /** Register body: `[{"tableName": "...", "uri": "...", "option": {...}}]`
-    * (reference: roapi/src/api/register.rs SourceConfig). */
-  private def registerTables(body: String): Unit = {
-    val node = mapper.readTree(body)
-    require(node.isArray, "register body must be a JSON array")
-    node.forEach { cfg =>
-      val name = cfg.get("tableName").asText()
-      val uri = Option(cfg.get("uri")).map(_.asText())
-        .getOrElse(throw ApiError(400, "register_table", s"Table `$name` source not exists"))
-      val opts = Option(cfg.get("option")).map { o =>
-        val b = Map.newBuilder[String, String]
-        o.properties().forEach(e => b += (e.getKey -> e.getValue.asText()))
-        b.result()
-      }.getOrElse(Map.empty[String, String])
-      engine.registerTable(TableSource.fromOptions(name, uri, opts))
-    }
-  }
-
-  // ---- helpers -------------------------------------------------------------
-
-  private def bodyString(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), UTF_8)
-
-  private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).map {
-      _.split('&').toSeq.flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => Some(urlDecode(k) -> urlDecode(v))
-          case Array(k)    => Some(urlDecode(k) -> "")
-          case _           => None
-        }
-      }.toMap
-    }.getOrElse(Map.empty)
-
-  private def urlDecode(s: String): String =
-    java.net.URLDecoder.decode(s, UTF_8)
-
-  private def respondQuery(ex: HttpExchange, df: org.apache.spark.sql.DataFrame): Unit = {
-    val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
-    Encoders.fromAccept(accept) match {
-      // JSON/CSV/Arrow-stream respond chunked, one partition at a time — a
-      // full-table export never materializes on the driver or in a buffer
-      case ct @ (Encoders.Json | Encoders.Csv | Encoders.ArrowStream) =>
-        ex.getResponseHeaders.set("Content-Type", ct.mime)
-        ex.sendResponseHeaders(200, 0) // chunked
-        val out = ex.getResponseBody
-        ct match {
-          case Encoders.Json => Encoders.writeJson(df, out)
-          case Encoders.Csv => Encoders.writeCsv(df, out)
-          case _ => org.apache.spark.sql.GraftArrowBridge.writeIpcStream(df, out)
-        }
-        out.close()
-      // Arrow *file* and Parquet need a trailing footer, so they buffer
-      case ct => respondRaw(ex, 200, Encoders.encode(df, ct), ct.mime)
-    }
-  }
-
-  private def respondError(ex: HttpExchange, e: ApiError): Unit = {
-    val body =
-      s"""{"code":${e.code},"error":${mapper.writeValueAsString(e.error)},"message":${mapper.writeValueAsString(e.message)}}"""
-    respondRaw(ex, e.code, body.getBytes(UTF_8), "application/json")
-  }
-
-  private def respondRaw(ex: HttpExchange, code: Int, body: Array[Byte], mime: String): Unit = {
-    ex.getResponseHeaders.set("Content-Type", mime)
-    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
-    if (body.nonEmpty) ex.getResponseBody.write(body)
   }
 }
 
@@ -188,6 +87,10 @@ object ServerMain {
     cfg.pgAddr.map(_._2).orElse(sys.env.get("GRAFT_PG_PORT").map(_.toInt)).foreach { p =>
       val pg = new PostgresServer(engine, p).start()
       println(s"graft postgres listening on 127.0.0.1:${pg.boundPort}")
+    }
+    sys.env.get("GRAFT_HTTP2_PORT").map(_.toInt).foreach { p =>
+      val h2 = new Http2App(engine, p).start()
+      println(s"graft http2 (h2c) listening on 127.0.0.1:${h2.boundPort}")
     }
     Thread.currentThread().join()
   }

@@ -1,0 +1,134 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.encoding.Encoders
+import graft.sources.TableSource
+
+/** Transport-agnostic request handling for the HTTP API: one routing table
+  * shared by every HTTP transport (JDK HTTP/1.1 server in [[HttpApp]], Netty
+  * h2c in [[Http2App]]), so protocol parity is by construction — the same
+  * reference surface (roapi/src/api/routes.rs) over any framing. */
+object Routes {
+
+  final case class ApiError(code: Int, error: String, message: String)
+      extends RuntimeException(message)
+
+  /** `body` is pulled lazily — GET handlers never read it. */
+  final case class Request(method: String, path: String, rawQuery: Option[String],
+                           accept: Option[String], body: () => Array[Byte])
+
+  sealed trait Response { def status: Int; def mime: String }
+  final case class Full(status: Int, mime: String, body: Array[Byte]) extends Response
+  /** Unknown length, written incrementally (chunked in HTTP/1.1, DATA frames
+    * in HTTP/2) one partition at a time — full-table exports never
+    * materialize in a buffer, on any transport. */
+  final case class Streamed(mime: String, write: java.io.OutputStream => Unit)
+      extends Response { def status: Int = 200 }
+
+  private val mapper = new ObjectMapper()
+
+  /** Route + execute; every failure becomes the reference's error JSON
+    * (`{"code":N,"error":slug,"message":..}`, roapi/src/error.rs). */
+  def handle(engine: Engine, req: Request): Response =
+    try route(engine, req)
+    catch {
+      case e: ApiError => errorResponse(e)
+      case e: graft.frontend.RestQuery.RestError =>
+        errorResponse(ApiError(400, e.error, e.message))
+      case e: graft.frontend.GraphQl.GraphQlError =>
+        errorResponse(ApiError(400, "invalid graphql query", e.message))
+      case e: Throwable =>
+        errorResponse(ApiError(400, "query_execution", String.valueOf(e.getMessage)))
+    }
+
+  private def route(engine: Engine, req: Request): Response =
+    (req.method, req.path.stripSuffix("/").split('/').toList.drop(1)) match {
+      case ("GET", List("health")) => Full(200, "text/plain", "OK".getBytes(UTF_8))
+      case ("GET", List("api", "version")) =>
+        Full(200, "application/json", "\"0.1.0\"".getBytes(UTF_8))
+      case ("POST", List("api", "sql")) =>
+        queryResponse(engine.querySql(bodyString(req)), req.accept)
+      case ("POST", List("api", "graphql")) =>
+        queryResponse(engine.queryGraphQl(bodyString(req)), req.accept)
+      case ("GET", List("api", "tables", t)) =>
+        queryResponse(engine.queryRest(t, queryParams(req)), req.accept)
+      case ("GET", List("api", "schema")) =>
+        Full(200, "application/json", engine.allSchemasJson.getBytes(UTF_8))
+      case ("GET", List("api", "schema", t)) =>
+        Full(200, "application/json", engine.schemaJson(t).getBytes(UTF_8))
+      case ("GET", List("api", "kv", name, key)) =>
+        engine.kvGet(name, key) match {
+          case Some(v) => Full(200, "text/plain", v.getBytes(UTF_8))
+          case None => throw ApiError(404, "not_found", s"key `$key` not found in kv `$name`")
+        }
+      case ("POST", List("api", "table")) =>
+        if (engine.readOnly)
+          throw ApiError(400, "read_only_mode", "table registration is disabled in read-only mode")
+        registerTables(engine, bodyString(req))
+        Full(200, "application/json", Array.emptyByteArray)
+      case ("POST", List("api", "tables", "drop")) =>
+        if (engine.readOnly)
+          throw ApiError(400, "read_only_mode", "table drop is disabled in read-only mode")
+        val node = mapper.readTree(bodyString(req))
+        engine.dropTable(node.get("tableName").asText())
+        Full(200, "application/json", Array.emptyByteArray)
+      case _ => throw ApiError(404, "not_found", s"${req.method} ${req.path}")
+    }
+
+  /** ACCEPT-negotiated result encoding: stream the footer-less formats,
+    * buffer the footer-ful ones (Arrow file, Parquet). */
+  private def queryResponse(df: org.apache.spark.sql.DataFrame,
+                            accept: Option[String]): Response =
+    Encoders.fromAccept(accept) match {
+      case ct @ (Encoders.Json | Encoders.Csv | Encoders.ArrowStream) =>
+        Streamed(ct.mime, out => ct match {
+          case Encoders.Json => Encoders.writeJson(df, out)
+          case Encoders.Csv => Encoders.writeCsv(df, out)
+          case _ => org.apache.spark.sql.GraftArrowBridge.writeIpcStream(df, out)
+        })
+      case ct => Full(200, ct.mime, Encoders.encode(df, ct))
+    }
+
+  /** Register body: `[{"tableName": "...", "uri": "...", "option": {...}}]`
+    * (reference: roapi/src/api/register.rs SourceConfig). */
+  private def registerTables(engine: Engine, body: String): Unit = {
+    val node = mapper.readTree(body)
+    require(node.isArray, "register body must be a JSON array")
+    node.forEach { cfg =>
+      val name = cfg.get("tableName").asText()
+      val uri = Option(cfg.get("uri")).map(_.asText())
+        .getOrElse(throw ApiError(400, "register_table", s"Table `$name` source not exists"))
+      val opts = Option(cfg.get("option")).map { o =>
+        val b = Map.newBuilder[String, String]
+        o.properties().forEach(e => b += (e.getKey -> e.getValue.asText()))
+        b.result()
+      }.getOrElse(Map.empty[String, String])
+      engine.registerTable(TableSource.fromOptions(name, uri, opts))
+    }
+  }
+
+  def errorResponse(e: ApiError): Full = {
+    val body =
+      s"""{"code":${e.code},"error":${mapper.writeValueAsString(e.error)},"message":${mapper.writeValueAsString(e.message)}}"""
+    Full(e.code, "application/json", body.getBytes(UTF_8))
+  }
+
+  private def bodyString(req: Request): String = new String(req.body(), UTF_8)
+
+  private def queryParams(req: Request): Map[String, String] =
+    req.rawQuery.map {
+      _.split('&').toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(urlDecode(k) -> urlDecode(v))
+          case Array(k)    => Some(urlDecode(k) -> "")
+          case _           => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+}
