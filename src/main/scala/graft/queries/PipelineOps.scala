@@ -26,9 +26,9 @@ object PipelineOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
-  private def embs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "embeddings")
 
   // ---- helpers -------------------------------------------------------------
@@ -101,17 +101,55 @@ object PipelineOps {
       val tok = docs(spark, dir).select(col("doc_id"),
         explode(tokens(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
-      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // ONE exchange on doc_id serves both downstream clusterings: the
+      // (doc_id, term) aggregate and the per-doc rank window are each
+      // satisfied by HashPartitioning(doc_id) (subset-of-keys rule), so
+      // neither re-shuffles. Trade-off vs letting groupBy shuffle partial
+      // counts on (doc_id, term): this moves raw tokens once instead of
+      // moving tf twice (agg exchange + window exchange) — fewer exchanges,
+      // and the window needs no separate sort pass of the whole tf set.
+      // pooled cache: tf feeds BOTH the rank window and the df aggregate —
+      // uncached, the df side would re-scan and re-tokenize the corpus
+      val tf = registerCache(tok.repartition(col("doc_id"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
-      // df is one row per DISTINCT term (the vocabulary) — broadcast it so tf
-      // (docs x terms, the big side) is never re-shuffled on `term`; tf's
-      // partial aggregate for idf reuses tf's exchange (round-3 regression fix)
-      tf.join(broadcast(idf), "term")
-        .withColumn("rk", row_number().over(w).cast("long"))
+      // rank FIRST, join df after: only the 3 surviving rows per doc meet
+      // the (broadcast — one row per distinct term) vocabulary side
+      tf.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
+        .join(broadcast(idf), "term")
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
         .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // repetition-based quality stats (Gopher/C4-style filters): per doc, the
+    // top-2-gram fraction and duplicate-2-gram fraction — integer counts and
+    // exact double ratios, so the DuckDB oracle hash-matches bit-for-bit
+    "doc_repetition" -> ((spark, dir) => {
+      val t = tokens(col("text"))
+      // NON-distinct word 2-grams (the distinct form is shingles(); counts
+      // need every occurrence); same construction as the oracle SQL
+      val grams = transform(sequence(lit(0), greatest(size(t) - 2, lit(0))),
+        i => array_join(slice(t, i + 1, lit(2)), " "))
+      // every stat is PER-DOCUMENT, so this is a pure projection — no
+      // explode, no shuffle (an explode + two-level aggregate was measured
+      // 5x slower and moves every gram through an exchange for nothing);
+      // max multiplicity via count-per-distinct-gram over the row's array
+      docs(spark, dir)
+        .select(col("doc_id"), grams.as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"),
+          array_max(transform(array_distinct(col("g")),
+            x => size(filter(col("g"), y => y === x)))).cast("long").as("max_gram_count"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+          col("max_gram_count"),
+          (col("max_gram_count").cast("double") / col("n_grams").cast("double"))
+            .as("top_gram_ratio"),
+          (lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams").cast("double"))
+            .as("dup_gram_ratio"))
+        .orderBy(col("doc_id"))
     }),
 
     // corpus shape: 100-char length histogram per language
@@ -190,6 +228,22 @@ object PipelineOps {
       // get the posting-stats guard by default (see ngramJaccardJoin).
       val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
       ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
+    }),
+
+    // dedup DECISIONS from pairwise similarity: connected components over the
+    // exact-Jaccard pair graph; keep doc_id == cluster_rep, drop the rest.
+    // The oracle recomputes the same pairs and closes them with a recursive
+    // transitive-reachability CTE (min reachable node == propagated label).
+    "dedup_clusters" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      val edges = ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponents(edges, docs(spark, dir).select(col("doc_id")))
+      labels
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_rep"))).cast("long"))
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
     }),
 
     // embedding near-dup: cosine >= 0.95 among LSH-bucketed candidates
@@ -661,6 +715,59 @@ object PipelineOps {
       .drop("graft_bucket", "graft_s", "graft_bstar", "graft_k")
   }
 
+  /** Distributed connected components over a near-dup pair graph — the step
+    * that turns pairwise similarity output into DEDUP DECISIONS (each doc
+    * labeled with the minimum doc_id of its component; keep doc_id ==
+    * cluster_rep, drop the rest).
+    *
+    * Iterative min-label propagation: every node adopts
+    * `min(own label, neighbors' labels)` per round, so a component's minimum
+    * reaches every member in O(diameter) rounds (near-dup clusters are
+    * shallow — transitively-similar chains, typically diameter <= 4). Each
+    * round is two shuffles (edge join + min aggregate) plus one small
+    * convergence action; iterates until a fixpoint, `maxIter` is only a
+    * runaway bound. At 100 TB with adversarial long-chain graphs, swap the
+    * propagation body for alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * fixpoint loop and labeling contract stay identical.
+    *
+    * `edges`: (doc_a, doc_b) pairs; `nodes`: (doc_id) — singletons label
+    * themselves. Returns (doc_id, cluster_rep). */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    // pooled cache: the edge list is re-joined every round
+    val sym = registerCache(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_rep"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_rep").as("nbr_rep")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("nbr_rep")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      // localCheckpoint, not cache: each round's plan references the previous
+      // round's twice, so the LOGICAL plan doubles per round — a cache leaves
+      // that tree in place (exponential analysis/rendering), a checkpoint
+      // truncates it to the materialized partitions. This is the required
+      // pattern for any iterate-to-fixpoint dataflow, at every scale.
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_rep"), coalesce(col("nbr_min"), col("cluster_rep")))
+            .as("cluster_rep"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("doc_id"), col("cluster_rep").as("prev")), "doc_id")
+        .filter(col("cluster_rep") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Distinct (doc_a < doc_b) pairs sharing a posting in `inv(doc_id,
     * shingle)`. */
   private def pairCandidates(inv: DataFrame): DataFrame =
@@ -1012,6 +1119,36 @@ object PipelineOps {
         |j AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard FROM pairs)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components over the exact-Jaccard pair graph: transitive
+    // reachability (recursive CTE) gives min reachable node == the
+    // propagated min label; window count adds the cluster size
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS s FROM tok),
+        |inv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b FROM pairs
+        |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.25),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+        |labeled AS (SELECT src AS doc_id, min(node) AS cluster_rep FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_rep,
+        |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+        |FROM labeled ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS gram FROM tok),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_distinct_grams, CAST(max(c) AS BIGINT) AS max_gram_count
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_distinct_grams, max_gram_count,
+        |  CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_ratio,
+        |  CAST(1 AS DOUBLE) - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
     // the adaptive planner picks the exact plan on this corpus (dense,
     // within budget), so the exact-Jaccard SQL is its oracle too
     "dedup_adaptive" ->
