@@ -37,7 +37,8 @@ object Config {
                           pgAddr: Option[(String, Int)],
                           tables: Seq[TableSource],
                           kvs: Seq[Kv],
-                          sparkConf: Map[String, String])
+                          sparkConf: Map[String, String],
+                          http2Addr: Option[(String, Int)] = None)
 
   def parse(yamlText: String): Loaded = {
     val root = Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
@@ -64,7 +65,7 @@ object Config {
     val sparkConf = obj(root.get("spark")).asScala
       .map { case (k, v) => k -> String.valueOf(v) }.toMap
     Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
-      tables, kvs, sparkConf)
+      tables, kvs, sparkConf, splitAddr(addr.get("http2")))
   }
 
   private def obj(v: Object): java.util.Map[String, Object] = v match {

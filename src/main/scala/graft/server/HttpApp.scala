@@ -88,7 +88,8 @@ object ServerMain {
       val pg = new PostgresServer(engine, p).start()
       println(s"graft postgres listening on 127.0.0.1:${pg.boundPort}")
     }
-    sys.env.get("GRAFT_HTTP2_PORT").map(_.toInt).foreach { p =>
+    cfg.http2Addr.map(_._2)
+      .orElse(sys.env.get("GRAFT_HTTP2_PORT").map(_.toInt)).foreach { p =>
       val h2 = new Http2App(engine, p).start()
       println(s"graft http2 (h2c) listening on 127.0.0.1:${h2.boundPort}")
     }

@@ -9,6 +9,7 @@ class ConfigSpec extends SparkSpec {
       """addr:
         |  http: 127.0.0.1:8080
         |  postgres: 127.0.0.1:5433
+        |  http2: 127.0.0.1:8443
         |tables:
         |  - name: cities
         |    uri: /data/cities.csv
@@ -28,6 +29,7 @@ class ConfigSpec extends SparkSpec {
         |""".stripMargin)
     assert(cfg.httpAddr.contains(("127.0.0.1", 8080)))
     assert(cfg.pgAddr.contains(("127.0.0.1", 5433)))
+    assert(cfg.http2Addr.contains(("127.0.0.1", 8443)))
     assert(cfg.tables.map(_.name) == Seq("cities", "li"))
     assert(cfg.tables.head.resolvedFormat == "csv")
     assert(cfg.tables.head.options("has_header") == "false")

@@ -54,5 +54,8 @@ class ReadWriteSpec extends SparkSpec {
       n = spark.table("counts").count()
     }
     assert(n == 3L, "refresh loop did not swap the view within 15s")
+    // drop cancels the refresh task — otherwise it ticks (and logs) for the
+    // rest of the test JVM and races later suites' catalog activity
+    engine.dropTable("counts")
   }
 }
