@@ -62,6 +62,24 @@ class Http2AppSpec extends SparkSpec {
     assert(err.body().contains("\"error\":\"not_found\""))
   }
 
+  test("a multi-megabyte streamed result arrives intact over h2 DATA frames") {
+    val c = client(HttpClient.Version.HTTP_2)
+    get(c, app.boundPort, "/health") // establish h2
+    // ~60k rows of CSV: far beyond one DATA frame and the default h2
+    // connection flow-control window, so chunking + window updates are real
+    val sql = "SELECT id, id * 2 AS dbl, repeat('x', 32) AS pad FROM range(60000) ORDER BY id"
+    val r2 = c.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${app.boundPort}/api/sql"))
+      .header("Accept", "application/csv")
+      .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r2.version() === HttpClient.Version.HTTP_2)
+    val r1 = postSql(client(HttpClient.Version.HTTP_1_1), h1app.boundPort, sql) // json; only for row count sanity
+    assert(r2.body().linesIterator.size === 60001) // header + rows
+    assert(r2.body().startsWith("id,dbl,pad"))
+    assert(r2.body().length > 2 * 1024 * 1024)
+    assert(r1.statusCode() === 200)
+  }
+
   test("plain HTTP/1.1 clients are served on the same port") {
     val c = client(HttpClient.Version.HTTP_1_1)
     val r = get(c, app.boundPort, "/api/version")

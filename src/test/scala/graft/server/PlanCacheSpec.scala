@@ -53,6 +53,26 @@ class PlanCacheSpec extends SparkSpec {
     assert(n2 === n1 + 1)
   }
 
+  test("cached plans skip analysis: p50 latency reported (informational)") {
+    val e = newEngine()
+    val sql = "SELECT r.r_name, count(*) AS n FROM pc_region r JOIN pc_nation n " +
+      "ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    def p50(runs: Int)(body: Int => Unit): Double = {
+      val ts = (1 to runs).map { i =>
+        val t0 = System.nanoTime(); body(i); (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ts(runs / 2)
+    }
+    // unique text per call -> cache miss -> full parse+analysis every time
+    val uncached = p50(11)(i => e.querySql(sql + s" -- v$i"))
+    val cachedEngineWarm = e.querySql(sql) // populate
+    val cached = p50(11)(_ => e.querySql(sql))
+    info(f"querySql p50: uncached(analyze)=$uncached%.2f ms, cached=$cached%.2f ms")
+    assert(cachedEngineWarm != null)
+    // no timing assert (machine-load-dependent); the instance-reuse test
+    // above pins the behavior, this records the magnitude
+  }
+
   test("cache is bounded: distinct statements do not accumulate past the cap") {
     val e = newEngine()
     (1 to 200).foreach(i => e.querySql(s"SELECT $i AS k"))
