@@ -30,6 +30,14 @@ object Routes {
 
   private val mapper = new ObjectMapper()
 
+  /** The single-file console page, embedded on the classpath the way the
+    * reference embeds roapi-ui's dist (rust_embed in http/ui.rs). */
+  private lazy val consoleHtml: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/ui/console.html")
+    require(in != null, "console.html missing from classpath")
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Route + execute; every failure becomes the reference's error JSON
     * (`{"code":N,"error":slug,"message":..}`, roapi/src/error.rs). */
   def handle(engine: Engine, req: Request): Response =
@@ -47,6 +55,12 @@ object Routes {
   private def route(engine: Engine, req: Request): Response =
     (req.method, req.path.stripSuffix("/").split('/').toList.drop(1)) match {
       case ("GET", List("health")) => Full(200, "text/plain", "OK".getBytes(UTF_8))
+      // Web console under /ui, as the reference mounts its wasm UI
+      // (roapi/src/server/http/ui.rs ui_router: "/", "/index.html", fallback).
+      case ("GET", List("ui")) | ("GET", List("ui", "index.html")) =>
+        Full(200, "text/html", consoleHtml)
+      case ("GET", "ui" :: _) =>
+        Full(404, "text/plain", "404 Not Found".getBytes(UTF_8))
       case ("GET", List("api", "version")) =>
         Full(200, "application/json", "\"0.1.0\"".getBytes(UTF_8))
       case ("POST", List("api", "sql")) =>

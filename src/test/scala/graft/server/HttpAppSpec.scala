@@ -94,6 +94,17 @@ class HttpAppSpec extends SparkSpec {
     assert(d.statusCode() == 400)
   }
 
+  test("GET /ui serves the embedded console; unknown assets 404") {
+    val ui = get("/ui")
+    assert(ui.statusCode() == 200)
+    assert(ui.headers().firstValue("Content-Type").get == "text/html")
+    // the page drives the same wire API the reference UI does
+    assert(ui.body().contains("/api/sql") && ui.body().contains("/api/schema"))
+    assert(get("/ui/index.html").body() == ui.body())
+    val miss = get("/ui/missing.js")
+    assert(miss.statusCode() == 404 && miss.body() == "404 Not Found")
+  }
+
   test("bad SQL yields query_execution error json") {
     val r = post("/api/sql", "SELECT FROM nowhere")
     assert(r.statusCode() == 400)
