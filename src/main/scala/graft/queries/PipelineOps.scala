@@ -152,6 +152,54 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // C4/Gopher-style corpus filter: drop-reason bitmask + keep decision,
+    // composed from already-oracle-mirrored signals (token count, stopword
+    // ratio, duplicate-2-gram ratio, lang-id agreement). Pure projection —
+    // no shuffle at any scale; the bitmask (vs a bare boolean) is what a
+    // production pipeline logs for per-reason drop accounting.
+    "doc_filter_c4" -> ((spark, dir) => {
+      val t = tokens(col("text"))
+      val grams = transform(sequence(lit(0), greatest(size(t) - 2, lit(0))),
+        i => array_join(slice(t, i + 1, lit(2)), " "))
+      docs(spark, dir).select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        langId(col("text")).as("lang_pred"),
+        grams.as("g"))
+        .select(col("doc_id"), col("n_tokens"),
+          (when(col("n_tokens") < 32, 1L).otherwise(0L)
+            + when(col("stop_ratio") < 0.02, 2L).otherwise(0L)
+            + when(lit(1.0) - size(array_distinct(col("g"))).cast("double")
+                     / size(col("g")).cast("double") > 0.05, 4L).otherwise(0L)
+            + when(col("lang_pred") =!= col("lang"), 8L).otherwise(0L)).as("drop_flags"))
+        .withColumn("keep", col("drop_flags") === 0L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing (emails / phone numbers): regexp redaction as a pure
+    // projection. The synthetic corpus carries no PII, so the query grafts a
+    // deterministic contact line onto each doc first — the point is the
+    // cross-engine check that the SAME patterns redact the SAME spans (Java
+    // regex here, RE2 in the DuckDB oracle; patterns restricted to the
+    // lookaround-free common subset both engines implement identically).
+    "doc_pii_scrub" -> ((spark, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val contact = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail-"), col("source"), lit(".example.com or call +1-202-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+      docs(spark, dir).select(col("doc_id"), contact.as("contact"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("contact"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("contact"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("contact"), lit(email), lit("[EMAIL]")),
+            lit(phone), lit("[PHONE]")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus shape: 100-char length histogram per language
     "doc_length_histogram" -> ((spark, dir) => {
       docs(spark, dir)
@@ -187,6 +235,15 @@ object PipelineOps {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
         .orderBy(col("lang"), col("source"))
     }),
+
+    // exact-substring dedup at window granularity (the window-hash form of
+    // Lee et al.'s training-data dedup): a doc is a duplicate if ANY of its
+    // 8-token windows already occurs in an earlier doc. shingles() emits the
+    // distinct windows in one native codegen'd pass; each window string then
+    // collapses to a 64-bit mix(fnv) key so the owner aggregate and re-join
+    // shuffle longs, never window text — at 100 TB the postings exchange is
+    // 12 bytes/window instead of ~60.
+    "doc_window_dedup" -> ((spark, dir) => windowDedup(docs(spark, dir), k = 8)),
 
     // MinHash + LSH near-dup candidate pairs, verified with exact Jaccard
     "dedup_minhash_lsh" -> ((spark, dir) => {
@@ -336,6 +393,38 @@ object PipelineOps {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // token-budget shard packing: assign docs (in deterministic doc_id
+    // order) to contiguous shards of <= 4096 tokens via a DISTRIBUTED
+    // prefix sum. The naive `sum() over (order by doc_id)` is a global sort
+    // on ONE reducer; instead: (1) per-block token totals (tiny aggregate),
+    // (2) running offsets across blocks (a window over nDocs/blockSize
+    // rows), (3) per-block exclusive cumsum — windows bounded by blockSize
+    // rows, parallel across blocks — with the block offsets broadcast back.
+    // Semantics identical to the global window, so the oracle IS the naive
+    // global cumsum.
+    "doc_pack" -> ((spark, dir) => {
+      val budget = 4096L
+      val blockSize = 256L
+      // pooled cache: the token counts feed the per-block totals AND the
+      // per-doc cumsum — uncached the corpus tokenizes twice
+      val d = registerCache(docs(spark, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        expr(s"doc_id div $blockSize").as("blk")))
+      val off = d.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tokens"))
+        .withColumn("blk_off", coalesce(sum(col("blk_tokens")).over(
+          Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("blk"), col("blk_off"))
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .join(broadcast(off), "blk")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("blk_off") + col("within")).as("token_offset"))
+        .withColumn("shard_id", expr(s"token_offset div $budget"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: training docs sharing any 5-token n-gram
     // with the probe set (source=src0 plays the held-out benchmark). The
     // probe n-gram set is tiny relative to the corpus -> broadcast; the
@@ -480,6 +569,34 @@ object PipelineOps {
   /** Unpersist every pooled similarity-plan cache (safe at any time). */
   def releasePlanCaches(): Unit = cachePool.synchronized {
     while (!cachePool.isEmpty) cachePool.removeFirst().unpersist(false)
+  }
+
+  /** Windowed exact-substring dedup over (doc_id, text): a doc is a
+    * duplicate if ANY of its distinct k-token windows already occurs in a
+    * doc with a smaller id (the window-hash form of Lee et al.'s
+    * training-data dedup; docs shorter than k windows collapse to their
+    * whole text, so exact dedup is subsumed). shingles() emits the distinct
+    * windows in one native codegen'd pass; each window string collapses to
+    * a 64-bit mix(fnv) key so the min-owner aggregate and the owner re-join
+    * shuffle longs, never window text — at 100 TB the postings exchange is
+    * 12 bytes/window instead of ~60. Returns one row per doc:
+    * (doc_id, n_windows, dup_of = min earlier owner or null, is_dup). */
+  def windowDedup(d: DataFrame, k: Int): DataFrame = {
+    // pooled cache: window postings feed BOTH the min-owner aggregate and
+    // the owner re-join — uncached the corpus re-tokenizes per consumer
+    val win = registerCache(d.select(col("doc_id"),
+      explode(shingles(col("text"), k)).as("w"))
+      .select(col("doc_id"), fnvMix64(col("w")).as("wh")))
+    val owner = win.groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
+    val dupOf = win.join(owner, "wh")
+      .filter(col("owner") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("owner")).as("dup_of"))
+    d.select(col("doc_id"),
+      size(shingles(col("text"), k)).cast("long").as("n_windows"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy(col("doc_id"))
   }
 
   /** Exact n-gram Jaccard similarity join over (doc_id, sh: array<string>).
@@ -1149,6 +1266,72 @@ object PipelineOps {
         |  CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_ratio,
         |  CAST(1 AS DOUBLE) - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+    // windowed exact-substring dedup: distinct 8-token windows per doc, the
+    // same mix64(fnv64) per window string the Scala side computes, min-owner
+    // per window hash, then the earliest earlier owner per doc
+    "doc_window_dedup" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-7, 1)+1), i -> array_to_string(ts[i:i+7], ' '))) AS s FROM tok),
+        |win AS (SELECT doc_id, unnest(s) AS w FROM sh),
+        |wd AS (SELECT DISTINCT w FROM win),
+        |${fnvMixCtes("wh1", "wd", "w", "w")},
+        |winh AS (SELECT win.doc_id, wh1.z AS wh FROM win JOIN wh1 ON win.w = wh1.id),
+        |own AS (SELECT wh, min(doc_id) AS owner FROM winh GROUP BY wh),
+        |dup AS (SELECT winh.doc_id, min(own.owner) AS dup_of FROM winh JOIN own USING (wh)
+        |  WHERE own.owner < winh.doc_id GROUP BY winh.doc_id),
+        |base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_windows FROM sh)
+        |SELECT base.doc_id, base.n_windows, dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
+        |FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id ORDER BY base.doc_id""".stripMargin),
+    // the oracle is the naive single-reducer global cumsum the distributed
+    // two-level plan must reproduce exactly
+    "doc_pack" ->
+      """WITH tok AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, token_offset, token_offset // 4096 AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "doc_pii_scrub" ->
+      """WITH c AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source ||
+        |  '.example.com or call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "doc_filter_c4" ->
+      """WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |sig AS (SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this','be','are','was'], x))) AS DOUBLE)
+        |    / CAST(greatest(len(ts), 1) AS DOUBLE) AS stop_ratio FROM tok),
+        |gr AS (SELECT doc_id, 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE) AS dup_ratio
+        |  FROM (SELECT doc_id, list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' ')) AS gs FROM tok)),
+        |v AS (SELECT doc_id,
+        |  len(list_filter(ts, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS en,
+        |  len(list_filter(ts, x -> list_contains(['le','la','les','de','des','et','en','un','une','est'], x))) AS fr,
+        |  len(list_filter(ts, x -> list_contains(['el','la','los','las','de','y','en','un','una','es'], x))) AS es,
+        |  len(list_filter(ts, x -> list_contains(['der','die','das','und','von','zu','mit','ist','den','ein'], x))) AS de,
+        |  len(list_filter(ts, x -> list_contains(['的','了','是','在','我','有','和','就','不','人'], x))) AS zh
+        |  FROM tok),
+        |b AS (SELECT doc_id, en, fr, es, de, zh, greatest(en, fr, es, de, zh) AS best FROM v),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN en = best AND best > 0 THEN 'en'
+        |       WHEN fr = best AND best > 0 THEN 'fr'
+        |       WHEN es = best AND best > 0 THEN 'es'
+        |       WHEN de = best AND best > 0 THEN 'de'
+        |       WHEN zh = best AND best > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred FROM b),
+        |f AS (SELECT sig.doc_id, sig.n_tokens,
+        |  CAST((CASE WHEN sig.n_tokens < 32 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN sig.stop_ratio < 0.02 THEN 2 ELSE 0 END)
+        |     + (CASE WHEN gr.dup_ratio > 0.05 THEN 4 ELSE 0 END)
+        |     + (CASE WHEN p.lang_pred <> sig.lang THEN 8 ELSE 0 END) AS BIGINT) AS drop_flags
+        |  FROM sig JOIN gr ON sig.doc_id = gr.doc_id JOIN p ON sig.doc_id = p.doc_id)
+        |SELECT doc_id, n_tokens, drop_flags, drop_flags = 0 AS keep FROM f ORDER BY doc_id""".stripMargin,
     // the adaptive planner picks the exact plan on this corpus (dense,
     // within budget), so the exact-Jaccard SQL is its oracle too
     "dedup_adaptive" ->

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Round-5 pipeline additions: windowed exact-substring dedup, distributed
+  * shard packing, PII scrubbing, C4-style filtering. The DuckDB oracle pins
+  * each to a bit-exact reference; these specs pin the SEMANTIC claims the
+  * oracle can't see — plan shape (no global single-reducer window over the
+  * corpus in doc_pack), brute-force agreement for window dedup, and the
+  * scrubber actually removing every match it counted. */
+class PipelineNewOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get()
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = PipelineOps.dfQueries(name)(spark, sfDir)
+
+  test("doc_window_dedup == brute-force shared-window pairs") {
+    val docs = PipelineOps.docs(spark, sfDir)
+    val win = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(col("text"), 8)).as("w"))
+    // brute force on strings (no hashing): every (earlier, later) doc pair
+    // sharing a window
+    val a = win.select(col("doc_id").as("id_a"), col("w"))
+    val b = win.select(col("doc_id").as("id_b"), col("w"))
+    val expected = a.join(b, "w").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val got = q("doc_window_dedup").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getBoolean(3)))
+    val gotDups = got.collect { case (id, Some(d), _) => id -> d }.toMap
+    assert(gotDups == expected)
+    got.foreach { case (_, d, isDup) => assert(d.isDefined == isDup) }
+    assert(expected.nonEmpty, "fixture should contain at least one window dup")
+  }
+
+  test("windowDedup: exact copies, embedded substrings, short docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j"),            // base: 3 distinct 8-windows
+      (1L, "a b c d e f g h i j"),            // exact copy -> dup_of 0
+      (2L, "x a b c d e f g h i j y"),        // contains base's windows -> dup
+      (3L, "p q r s t u v w"),                // unique single window
+      (4L, "short text"),                     // < k tokens: whole text window
+      (5L, "short text"),                     // exact short copy -> dup_of 4
+      (6L, "totally different words here now then")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.windowDedup(corpus, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+      .toMap
+    assert(out(0) == ((3L, None, false)))
+    assert(out(1) == ((3L, Some(0L), true)))
+    assert(out(2)._2 == Some(0L) && out(2)._3)   // shares windows with doc 0
+    assert(out(3) == ((1L, None, false)))
+    assert(out(4) == ((1L, None, false)))
+    assert(out(5) == ((1L, Some(4L), true)))
+    assert(out(6)._2.isEmpty && !out(6)._3)
+  }
+
+  test("doc_pack matches the naive global cumsum; nothing exceeds the plan's two-level shape") {
+    val naive = PipelineOps.docs(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("token_offset", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("shard_id", expr("token_offset div 4096"))
+    val exp = naive.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = q("doc_pack").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp)
+
+    // plan shape: the only unpartitioned window runs over the per-block
+    // aggregate (nDocs/blockSize rows), never the raw corpus — the per-doc
+    // window is partitioned by blk
+    val plan = q("doc_pack").queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.contains("windowspecdefinition(blk"))
+    // every unpartitioned window spec must sit above the block aggregate:
+    // it orders by blk, not doc_id
+    unpartitioned.foreach(w => assert(w.contains("blk") && !w.contains("doc_id"),
+      s"global window over the corpus: $w"))
+    // shards are contiguous and within budget: every shard except possibly
+    // the last holds <= 4096 tokens of offsets (offset div stays monotone)
+    val byShard = got.toSeq.sortBy(_._1).map(_._4)
+    assert(byShard == byShard.sorted, "shard_id must be monotone in doc_id")
+  }
+
+  test("doc_pii_scrub removes every span it counts") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val out = q("doc_pii_scrub")
+    val leftover = out.filter(
+      size(regexp_extract_all(col("scrubbed"), lit(email), lit(0))) > 0 ||
+      size(regexp_extract_all(col("scrubbed"), lit(phone), lit(0))) > 0)
+    assert(leftover.count() == 0, "scrubbed text still matches a PII pattern")
+    val counts = out.agg(min(col("n_emails")), min(col("n_phones"))).head()
+    assert(counts.getLong(0) >= 1 && counts.getLong(1) >= 1,
+      "every grafted contact line should count at least one email and phone")
+    assert(out.filter(!col("scrubbed").contains("[EMAIL]") ||
+      !col("scrubbed").contains("[PHONE]")).count() == 0)
+  }
+
+  test("doc_filter_c4 flags agree with the underlying signal queries") {
+    val flags = q("doc_filter_c4").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // bit 0 iff token count below threshold (cross-checked via doc_token_stats)
+    val tokens = q("doc_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flags.foreach { case (id, (nTok, f, keep)) =>
+      assert(nTok == tokens(id))
+      assert(((f & 1L) != 0) == (nTok < 32))
+      assert(keep == (f == 0L))
+    }
+    // bit 3 iff lang-id disagrees with the label
+    val lang = q("doc_lang_id").collect()
+      .map(r => (r.getLong(0), r.getString(1) != r.getString(2))).toMap
+    flags.foreach { case (id, (_, f, _)) =>
+      assert(((f & 8L) != 0) == lang(id), s"lang bit mismatch for doc $id")
+    }
+    // the filter must neither keep nor drop everything on the fixture
+    val kept = flags.values.count(_._3)
+    assert(kept > 0 && kept < flags.size)
+  }
+}
