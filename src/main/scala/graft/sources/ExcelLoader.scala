@@ -47,9 +47,10 @@ object ExcelLoader {
     val sheets: Seq[(String, Grid)] = fmt match {
       case "xlsx" => readXlsx(bytes)
       case "ods" => readOds(bytes)
-      case "xls" | "xlsb" => throw new IllegalArgumentException(
+      case "xls" => XlsLoader.readXls(bytes)
+      case "xlsb" => throw new IllegalArgumentException(
         s"table `${src.name}`: legacy binary format `$fmt` is not supported " +
-          "offline; convert to xlsx or ods")
+          "offline; convert to xlsx, xls, or ods")
       case other => throw new IllegalArgumentException(
         s"table `${src.name}`: `$other` is not a spreadsheet format")
     }
@@ -206,7 +207,7 @@ object ExcelLoader {
 
   /** Excel serial date (1900 system) -> timestamp at second precision,
     * matching the reference's Timestamp(Second) unit. */
-  private def serialToTs(serial: Double): java.sql.Timestamp =
+  private[sources] def serialToTs(serial: Double): java.sql.Timestamp =
     new java.sql.Timestamp(math.round((serial - 25569.0) * 86400.0) * 1000L)
 
   private def readXlsx(bytes: Array[Byte]): Seq[(String, Grid)] = {
@@ -289,8 +290,20 @@ object ExcelLoader {
   }
 
   /** Builtin + custom date number formats (public OOXML spec §18.8.30). */
+  /** Builtin number-format ids Excel renders as dates/times (shared with the
+    * BIFF8 path, where the same id space applies). */
+  private[sources] val builtinDate: Set[Int] =
+    (14 to 22).toSet ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)
+
+  /** Is a custom number-format code date-like? Strip [..] prefixes, "quoted"
+    * literals and \-escapes, then look for date/time tokens. */
+  private[sources] def codeIsDate(code: String): Boolean = {
+    val clean = code.replaceAll("\\[[^\\]]*\\]", "").replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\\\.", "")
+    clean.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+  }
+
   private def parseDateStyles(styles: Array[Byte]): Set[Int] = {
-    val builtinDate = (14 to 22).toSet ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)
     val customFmt = mutable.Map[Int, String]()
     val xfFmts = mutable.ArrayBuffer[Int]()
     val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(styles))
@@ -320,13 +333,6 @@ object ExcelLoader {
       case _ => ()
     }
     r.close()
-    def codeIsDate(code: String): Boolean = {
-      // strip [..] prefixes, "quoted" literals and \-escapes, then look for
-      // date/time tokens
-      val clean = code.replaceAll("\\[[^\\]]*\\]", "").replaceAll("\"[^\"]*\"", "")
-        .replaceAll("\\\\.", "")
-      clean.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
-    }
     xfFmts.zipWithIndex.collect {
       case (fmtId, styleIdx)
         if builtinDate(fmtId) || customFmt.get(fmtId).exists(codeIsDate) => styleIdx

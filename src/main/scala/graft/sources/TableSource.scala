@@ -32,7 +32,7 @@ final case class TableSource(
       case Some("arrows") => "arrows"
       case Some("xlsx") => "xlsx"
       case Some("ods") => "ods"
-      case Some("xls") => "xls"   // legacy binary — loader raises a clear error
+      case Some("xls") => "xls"   // legacy binary, BIFF8 via XlsLoader
       case Some("xlsb") => "xlsb"
       case other =>
         // database URIs (reference: columnq/src/table/database.rs) => jdbc
