@@ -48,9 +48,7 @@ object ExcelLoader {
       case "xlsx" => readXlsx(bytes)
       case "ods" => readOds(bytes)
       case "xls" => XlsLoader.readXls(bytes)
-      case "xlsb" => throw new IllegalArgumentException(
-        s"table `${src.name}`: legacy binary format `$fmt` is not supported " +
-          "offline; convert to xlsx, xls, or ods")
+      case "xlsb" => XlsbLoader.readXlsb(bytes)
       case other => throw new IllegalArgumentException(
         s"table `${src.name}`: `$other` is not a spreadsheet format")
     }
@@ -180,7 +178,7 @@ object ExcelLoader {
 
   // ---- xlsx parsing (OOXML: zip of XML parts) -------------------------------
 
-  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  private[sources] def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
     var e = zin.getNextEntry
@@ -192,7 +190,7 @@ object ExcelLoader {
     out.result()
   }
 
-  private val xmlFactory = {
+  private[sources] val xmlFactory = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
