@@ -245,6 +245,15 @@ object PipelineOps {
     // 12 bytes/window instead of ~60.
     "doc_window_dedup" -> ((spark, dir) => windowDedup(docs(spark, dir), k = 8)),
 
+    // CCNet-style paragraph dedup: remove EVERY occurrence of any paragraph
+    // duplicated across the corpus and rebuild the cleaned documents. The
+    // synthetic docs carry no newlines, so the paragraph unit is the
+    // standard fallback: non-overlapping 10-token chunks. Counts and the
+    // removal anti-join shuffle 64-bit mix(fnv) keys, never chunk text;
+    // chunk strings move exactly once, into the per-doc reassembly.
+    "doc_paragraph_dedup" -> ((spark, dir) =>
+      paragraphDedup(docs(spark, dir), k = 10, minDup = 2)),
+
     // MinHash + LSH near-dup candidate pairs, verified with exact Jaccard
     "dedup_minhash_lsh" -> ((spark, dir) => {
       val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
@@ -391,6 +400,21 @@ object PipelineOps {
           strataCol = "lang", idCol = "doc_id", hashCol = "h", rate = 0.2)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // corpus mixing: per-source deterministic keep rates (upsample quality
+    // sources, downsample the crawl) — the Pile/Gopher-style mixture step,
+    // as a pure filter: threshold(source) compares against the same
+    // RNG-free 53-bit hash doc_sample_hash uses, so a mixture is
+    // reproducible across runs AND recomputable by any engine
+    "doc_mix_sample" -> ((spark, dir) => {
+      val h = graft.functions.TextFunctions.fnvMix64(
+        concat(lit("mix-42-"), col("doc_id").cast("string")))
+      mixtureSample(docs(spark, dir).withColumn("h", h),
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1, sourceCol = "source", hashCol = "h")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     // token-budget shard packing: assign docs (in deterministic doc_id
@@ -597,6 +621,63 @@ object PipelineOps {
       .select(col("doc_id"), col("n_windows"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
       .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style paragraph-level dedup (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): hash every
+    * paragraph, count occurrences across the corpus, and remove EVERY
+    * occurrence of a paragraph seen >= `minDup` times (boilerplate —
+    * nav bars, cookie banners, license headers — repeats verbatim across
+    * pages; removing all copies is the CCNet semantics, vs keep-first in
+    * Lee et al.'s [[windowDedup]]). The paragraph unit is a non-overlapping
+    * `k`-token chunk (the fallback when documents carry no line structure).
+    *
+    * Plan shape at 100 TB: chunking is a pure projection; the occurrence
+    * count and the removal anti-join shuffle only (hash:long) keys; chunk
+    * text crosses the wire exactly once, into the per-doc reassembly
+    * groupBy — which AQE typically satisfies with a broadcast of the
+    * (small, count >= minDup) duplicate-key set on the anti-join side.
+    * Returns (doc_id, n_chunks, n_kept, n_removed, text_clean). */
+  def paragraphDedup(d: DataFrame, k: Int, minDup: Long): DataFrame = {
+    val t = tokens(col("text"))
+    val nChunks = greatest(ceil(size(t) / lit(k.toDouble)), lit(1L))
+    val chunkArr = transform(sequence(lit(0L), nChunks - 1),
+      i => array_join(slice(t, (i * k).cast("int") + 1, lit(k)), " "))
+    val chunks = d.select(col("doc_id"), chunkArr.as("ch"))
+    // pooled cache: the exploded postings feed BOTH the count aggregate and
+    // the anti-join — uncached, the corpus re-tokenizes per consumer
+    val ex = registerCache(chunks
+      .select(col("doc_id"), posexplode(col("ch")).as(Seq("pos", "chunk")))
+      .withColumn("lh", fnvMix64(col("chunk"))))
+    val dupKeys = ex.groupBy(col("lh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minDup).select(col("lh"))
+    val reb = ex.join(dupKeys, Seq("lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("text_clean"))
+    chunks.select(col("doc_id"), size(col("ch")).cast("long").as("n_chunks"))
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic corpus mixing: per-source keep rates (The Pile / Gopher
+    * style source reweighting) as a pure filter — `hashCol`'s top 53 bits
+    * compare against threshold(source), so the mixture is reproducible
+    * across runs and engines, needs no RNG state, and scales as a scan.
+    * Sources absent from `rates` keep `defaultRate`. A rate of 1.0 keeps
+    * every row (threshold 2^53 exceeds any 53-bit hash). */
+  def mixtureSample(d: DataFrame, rates: Map[String, Double], defaultRate: Double,
+                    sourceCol: String, hashCol: String): DataFrame = {
+    val thr = rates.foldLeft(lit(hashSampleThreshold(defaultRate))) {
+      case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(hashSampleThreshold(r))).otherwise(acc)
+    }
+    d.filter(shiftrightunsigned(col(hashCol), 11) < thr)
   }
 
   /** Exact n-gram Jaccard similarity join over (doc_id, sh: array<string>).
@@ -1282,6 +1363,41 @@ object PipelineOps {
         |base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_windows FROM sh)
         |SELECT base.doc_id, base.n_windows, dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
         |FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id ORDER BY base.doc_id""".stripMargin),
+    // CCNet paragraph dedup: same non-overlapping 10-token chunks, same
+    // mix64(fnv64) per chunk string, occurrences counted per hash, every
+    // chunk with count >= 2 removed, document rebuilt in chunk order
+    "doc_paragraph_dedup" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |nch AS (SELECT doc_id, ts, greatest(CAST(ceil(len(ts) / 10.0) AS BIGINT), 1) AS n_chunks FROM tok),
+        |ch0 AS (SELECT doc_id,
+        |  unnest(range(0, n_chunks)) AS pos,
+        |  unnest(list_transform(range(0, n_chunks), i -> array_to_string(ts[i*10+1:i*10+10], ' '))) AS chunk
+        |  FROM nch),
+        |cd AS (SELECT DISTINCT chunk FROM ch0),
+        |${fnvMixCtes("ph1", "cd", "chunk", "chunk")},
+        |chh AS (SELECT ch0.doc_id, ch0.pos, ch0.chunk, ph1.z AS lh FROM ch0 JOIN ph1 ON ch0.chunk = ph1.id),
+        |c AS (SELECT lh, count(*) AS cnt FROM chh GROUP BY lh),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+        |  FROM chh JOIN c USING (lh) WHERE c.cnt < 2 GROUP BY doc_id),
+        |base AS (SELECT doc_id, n_chunks FROM nch)
+        |SELECT base.doc_id, base.n_chunks,
+        |  coalesce(reb.n_kept, 0) AS n_kept,
+        |  base.n_chunks - coalesce(reb.n_kept, 0) AS n_removed,
+        |  coalesce(reb.text_clean, '') AS text_clean
+        |FROM base LEFT JOIN reb ON base.doc_id = reb.doc_id ORDER BY base.doc_id""".stripMargin),
+    // mixture sampling: same 53-bit hash as doc_sample_hash under a
+    // per-source CASE threshold (rate 1.0 / 0.5 / 0.25 / default 0.1)
+    "doc_mix_sample" ->
+      (s"""WITH ${fnvMixCtes("mx1", "documents", "doc_id", "'mix-42-' || CAST(doc_id AS VARCHAR)")}
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN mx1 ON d.doc_id = mx1.id
+        |WHERE mx1.z // 2048 < CASE d.source
+        |  WHEN 'src0' THEN ${hashSampleThreshold(1.0)}
+        |  WHEN 'src1' THEN ${hashSampleThreshold(0.5)}
+        |  WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
+        |  ELSE ${hashSampleThreshold(0.1)} END
+        |ORDER BY d.doc_id""".stripMargin),
     // the oracle is the naive single-reducer global cumsum the distributed
     // two-level plan must reproduce exactly
     "doc_pack" ->

@@ -130,4 +130,59 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     val kept = flags.values.count(_._3)
     assert(kept > 0 && kept < flags.size)
   }
+
+  test("paragraphDedup removes ALL copies of duplicated chunks, rebuilds in order") {
+    import spark.implicits._
+    // k=3 chunks: doc 0 = [a b c][d e f], doc 1 = [a b c][x y z],
+    // doc 2 = [x y z][q r s], doc 3 unique, doc 4 = [a b c] only (all dup)
+    val corpus = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c x y z"),
+      (2L, "x y z q r s"),
+      (3L, "u v w m n o"),
+      (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.paragraphDedup(corpus, k = 3, minDup = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(0) == ((2L, 1L, 1L, "d e f")))  // [a b c] seen 3x -> removed everywhere
+    assert(out(1) == ((2L, 0L, 2L, "")))       // both chunks duplicated
+    assert(out(2) == ((2L, 1L, 1L, "q r s")))  // [x y z] seen 2x -> removed
+    assert(out(3) == ((2L, 2L, 0L, "u v w m n o"))) // untouched, order preserved
+    assert(out(4) == ((1L, 0L, 1L, "")))       // the whole doc was boilerplate
+  }
+
+  test("doc_paragraph_dedup finds cross-doc chunk dups in the fixture corpus") {
+    val out = q("doc_paragraph_dedup")
+    assert(out.filter(col("n_removed") > 0).count() > 0,
+      "fixture corpus should contain duplicated chunks")
+    // reassembly sanity: n_kept + n_removed == n_chunks, text_clean empty
+    // iff nothing kept
+    assert(out.filter(col("n_kept") + col("n_removed") =!= col("n_chunks")).count() == 0)
+    assert(out.filter((col("n_kept") === 0) =!= (col("text_clean") === "")).count() == 0)
+  }
+
+  test("mixtureSample: rate 1.0 keeps every row, per-source rates differ") {
+    import spark.implicits._
+    val h = graft.functions.TextFunctions.fnvMix64(
+      concat(lit("mix-42-"), col("doc_id").cast("string")))
+    val docs = PipelineOps.docs(spark, sfDir).withColumn("h", h)
+    val all = PipelineOps.mixtureSample(docs, Map.empty, defaultRate = 1.0,
+      sourceCol = "source", hashCol = "h")
+    assert(all.count() == docs.count(), "rate 1.0 must keep everything")
+    val mixed = PipelineOps.mixtureSample(docs,
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5,
+      sourceCol = "source", hashCol = "h")
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == totals("src0"), "rate-1.0 source keeps all rows")
+    assert(!bySrc.contains("src1"), "rate-0.0 source drops all rows")
+    // default-rate sources keep a strict, nonempty subset
+    val others = totals.keySet -- Set("src0", "src1")
+    val keptOther = others.toSeq.map(s => bySrc.getOrElse(s, 0L)).sum
+    val totalOther = others.toSeq.map(totals).sum
+    assert(keptOther > 0 && keptOther < totalOther)
+  }
 }
