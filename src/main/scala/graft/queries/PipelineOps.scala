@@ -937,8 +937,22 @@ object PipelineOps {
     val sym = registerCache(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_rep"))
-    var converged = false
+    // iterate ONLY over vertices that touch an edge: a singleton's label can
+    // never change, so it skips the fixpoint loop entirely and re-enters via
+    // the final left join. On a near-dup pair graph the edge-vertex set is a
+    // tiny fraction of the corpus — the loop's joins shrink accordingly.
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_rep", col("doc_id"))
+      .localCheckpoint(true)
+    // Convergence check: min-propagation only ever DECREASES a label, so the
+    // exact label sum is strictly monotone until the fixpoint — an unchanged
+    // sum IS convergence. One tiny aggregate per round, no join; decimal(38)
+    // keeps the sum exact at any corpus size (no i64 overflow aliasing).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_rep").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym
@@ -956,14 +970,15 @@ object PipelineOps {
           least(col("cluster_rep"), coalesce(col("nbr_min"), col("cluster_rep")))
             .as("cluster_rep"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("doc_id"), col("cluster_rep").as("prev")), "doc_id")
-        .filter(col("cluster_rep") =!= col("prev")).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
-    labels
+    nodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
   }
 
   /** Distinct (doc_a < doc_b) pairs sharing a posting in `inv(doc_id,
