@@ -417,6 +417,32 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic corpus shuffle + sharding (training-order randomization):
+    // every doc gets a pseudo-random 53-bit sort key, a shard by key mod 64,
+    // and a position within its shard. No global sort — each shard ranks
+    // independently (64 parallel sorts here; at 100 TB scale the shard count
+    // so corpus/nShards stays reducer-sized), and the key is pure hash
+    // arithmetic, so the "random" order is reproducible by any engine.
+    "doc_shuffle" -> ((spark, dir) => {
+      val sk = shiftrightunsigned(graft.functions.TextFunctions.fnvMix64(
+        concat(lit("shuf-42-"), col("doc_id").cast("string"))), 11)
+      val w = Window.partitionBy(col("shard_id")).orderBy(col("sort_key"), col("doc_id"))
+      docs(spark, dir).select(col("doc_id"), sk.as("sort_key"))
+        .withColumn("shard_id", pmod(col("sort_key"), lit(64L)))
+        .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+        .orderBy(col("shard_id"), col("pos_in_shard"))
+    }),
+
+    // semantic decontamination: drop/flag corpus vectors too close (cosine)
+    // to a broadcast probe set — the embedding-space analog of the n-gram
+    // doc_decontaminate. Probes broadcast, corpus streams (no shuffle), the
+    // hit count partial-aggregates map-side on the corpus' own key.
+    "emb_decontaminate" -> ((spark, dir) => {
+      val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      semanticDecontaminate(e, e.filter(col("vec_id") < 20), tau = 0.35)
+    }),
+
     // token-budget shard packing: assign docs (in deterministic doc_id
     // order) to contiguous shards of <= 4096 tokens via a DISTRIBUTED
     // prefix sum. The naive `sum() over (order by doc_id)` is a global sort
@@ -585,6 +611,17 @@ object PipelineOps {
     // query over an identical plan (e.g. the same corpus' postings) reuses
     // the live cache instead of re-caching ("already cached" WARN)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    // LRU keyed by analyzed plan, not FIFO of handles: a re-registration of
+    // an identical plan shares ONE CacheManager entry with the earlier
+    // handle, so leaving both in the deque lets the older one age out and
+    // unpersist the cache from under the newer one mid-query (observed:
+    // repeated dedup_clusters runs recomputing their edge join every
+    // propagation round after the pool crossed 16)
+    val it = cachePool.iterator()
+    while (it.hasNext) {
+      if (it.next().queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        it.remove()
+    }
     cachePool.addLast(df)
     while (cachePool.size > cachePoolSize) cachePool.removeFirst().unpersist(false)
     df
@@ -663,6 +700,28 @@ object PipelineOps {
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Semantic decontamination: flag every corpus vector whose cosine vs ANY
+    * probe reaches `tau` — the embedding-space analog of n-gram benchmark
+    * decontamination (probes = the held-out eval set's embeddings). Probes
+    * broadcast; the corpus side never shuffles its vectors — the only
+    * exchange carries (vec_id, partial count) pairs, and the final flag
+    * join is on the corpus' own key. Inputs carry (vec_id, embedding, nrm);
+    * a probe never contaminates itself (vec_id equality is excluded).
+    * Returns (vec_id, n_hits, is_contaminated) for every corpus vector. */
+  def semanticDecontaminate(corpus: DataFrame, probes: DataFrame, tau: Double): DataFrame = {
+    val p = broadcast(probes.select(col("vec_id").as("p_id"),
+      col("embedding").as("pv"), col("nrm").as("pn")))
+    val hits = corpus.join(p, col("vec_id") =!= col("p_id") &&
+        (dot(col("embedding"), col("pv")) / (col("nrm") * col("pn"))) >= tau)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_hits").isNotNull.as("is_contaminated"))
+      .orderBy(col("vec_id"))
   }
 
   /** Deterministic corpus mixing: per-source keep rates (The Pile / Gopher
@@ -934,9 +993,13 @@ object PipelineOps {
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 25): DataFrame = {
     // pooled cache: the edge list is re-joined every round
-    val sym = registerCache(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // explicit cache lifecycle, NOT the shared pool: the fixpoint loop dies
+    // if sym is evicted mid-iteration (every remaining round would recompute
+    // the upstream similarity join), and after the loop every round's labels
+    // are checkpointed — so sym is safe to drop deterministically below
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
     // iterate ONLY over vertices that touch an edge: a singleton's label can
     // never change, so it skips the fixpoint loop entirely and re-enters via
     // the final left join. On a near-dup pair graph the edge-vertex set is a
@@ -954,28 +1017,30 @@ object PipelineOps {
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_rep").as("nbr_rep")), "dst")
-        .groupBy(col("src"))
-        .agg(min(col("nbr_rep")).as("nbr_min"))
-        .withColumnRenamed("src", "doc_id")
-      // localCheckpoint, not cache: each round's plan references the previous
-      // round's twice, so the LOGICAL plan doubles per round — a cache leaves
-      // that tree in place (exponential analysis/rendering), a checkpoint
-      // truncates it to the materialized partitions. This is the required
-      // pattern for any iterate-to-fixpoint dataflow, at every scale.
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_rep"), coalesce(col("nbr_min"), col("cluster_rep")))
-            .as("cluster_rep"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
-      labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      i += 1
-    }
+    try {
+      while (!converged && i < maxIter) {
+        val nbrMin = sym
+          .join(labels.select(col("doc_id").as("dst"), col("cluster_rep").as("nbr_rep")), "dst")
+          .groupBy(col("src"))
+          .agg(min(col("nbr_rep")).as("nbr_min"))
+          .withColumnRenamed("src", "doc_id")
+        // localCheckpoint, not cache: each round's plan references the previous
+        // round's twice, so the LOGICAL plan doubles per round — a cache leaves
+        // that tree in place (exponential analysis/rendering), a checkpoint
+        // truncates it to the materialized partitions. This is the required
+        // pattern for any iterate-to-fixpoint dataflow, at every scale.
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_rep"), coalesce(col("nbr_min"), col("cluster_rep")))
+              .as("cluster_rep"))
+          .localCheckpoint(true)
+        val s = labelSum(next)
+        labels = next
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        i += 1
+      }
+    } finally sym.unpersist(false)
     nodes.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
@@ -1413,6 +1478,29 @@ object PipelineOps {
         |  WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
         |  ELSE ${hashSampleThreshold(0.1)} END
         |ORDER BY d.doc_id""".stripMargin),
+    // deterministic shuffle: same 53-bit key (z // 2048), shard = key mod 64,
+    // per-shard rank with the same (sort_key, doc_id) tie-break
+    "doc_shuffle" ->
+      (s"""WITH ${fnvMixCtes("sf1", "documents", "doc_id", "'shuf-42-' || CAST(doc_id AS VARCHAR)")},
+        |k AS (SELECT d.doc_id, CAST(sf1.z // 2048 AS BIGINT) AS sort_key,
+        |  CAST((sf1.z // 2048) % 64 AS BIGINT) AS shard_id
+        |  FROM documents d JOIN sf1 ON d.doc_id = sf1.id)
+        |SELECT doc_id, sort_key, shard_id,
+        |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM k ORDER BY shard_id, pos_in_shard""".stripMargin),
+    // semantic decontamination: cosine vs the first-20 probe set with the
+    // exact dot/norm fold order of the Scala expressions
+    "emb_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+        |p AS (SELECT vec_id AS p_id, embedding AS pv, nrm AS pn FROM e WHERE vec_id < 20),
+        |h AS (SELECT e.vec_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM e CROSS JOIN p
+        |  WHERE e.vec_id <> p.p_id
+        |    AND list_sum(list_transform(list_zip(e.embedding, p.pv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (e.nrm*p.pn) >= 0.35
+        |  GROUP BY e.vec_id)
+        |SELECT e.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.n_hits IS NOT NULL AS is_contaminated
+        |FROM e LEFT JOIN h ON e.vec_id = h.vec_id ORDER BY e.vec_id""".stripMargin,
     // the oracle is the naive single-reducer global cumsum the distributed
     // two-level plan must reproduce exactly
     "doc_pack" ->

@@ -162,6 +162,29 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(out.filter((col("n_kept") === 0) =!= (col("text_clean") === "")).count() == 0)
   }
 
+  test("doc_shuffle: shard positions are contiguous 1..n, order is deterministic") {
+    val a = q("doc_shuffle").collect()
+    val b = q("doc_shuffle").collect()
+    assert(a.toSeq == b.toSeq, "shuffle must be run-to-run deterministic")
+    val byShard = a.groupBy(_.getLong(2))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+      // within a shard, position order == sort_key order
+      val sorted = rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getLong(0)))
+      assert(sorted.toSeq == sorted.sortBy(identity).toSeq)
+    }
+    assert(a.map(_.getLong(0)).distinct.length == a.length, "every doc exactly once")
+  }
+
+  test("emb_decontaminate: probes hit themselves zero times; flags match counts") {
+    val out = q("emb_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == PipelineOps.embs(spark, sfDir).count())
+    out.foreach { case (_, n, flag) => assert(flag == (n > 0)) }
+    assert(out.exists(_._3) && out.exists(!_._3),
+      "threshold should split the fixture corpus")
+  }
+
   test("mixtureSample: rate 1.0 keeps every row, per-source rates differ") {
     import spark.implicits._
     val h = graft.functions.TextFunctions.fnvMix64(
