@@ -702,6 +702,21 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sink half of shard packing: write a packed corpus (any DataFrame
+    * carrying a `shard_id` column, e.g. `doc_pack`'s output joined back to
+    * its payload) as one parquet directory per shard (`shard_id=N/`) — the
+    * layout a training loader streams sequentially. `partitionBy` is the
+    * Spark-native dynamic-partition write (each task streams rows to its
+    * shard files, no global sort); the repartition on shard_id lands one
+    * shard wholly in one task so each directory holds ONE file — training
+    * wants few big files, not 32 slivers per shard. The within-file order
+    * is pinned by sortWithinPartitions, so a reader sees docs in pack
+    * order. */
+  def writeShards(packed: DataFrame, outDir: String): Unit =
+    packed.repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+
   /** Semantic decontamination: flag every corpus vector whose cosine vs ANY
     * probe reaches `tau` — the embedding-space analog of n-gram benchmark
     * decontamination (probes = the held-out eval set's embeddings). Probes

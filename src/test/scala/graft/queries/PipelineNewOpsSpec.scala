@@ -162,6 +162,27 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(out.filter((col("n_kept") === 0) =!= (col("text_clean") === "")).count() == 0)
   }
 
+  test("writeShards: one file per shard directory, readback preserves rows") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val packed = q("doc_pack")
+      .join(PipelineOps.docs(spark, sfDir).select(col("doc_id"), col("text")), "doc_id")
+    PipelineOps.writeShards(packed, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard_id="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName} should hold exactly one file, got ${parts.length}")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == packed.count())
+    // shard partition values survive the round trip
+    val expect = packed.groupBy("shard_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = back.groupBy("shard_id").count().collect()
+      .map(r => r.getAs[Number]("shard_id").longValue() -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("doc_shuffle: shard positions are contiguous 1..n, order is deterministic") {
     val a = q("doc_shuffle").collect()
     val b = q("doc_shuffle").collect()
