@@ -417,6 +417,20 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // n-gram LM quality scoring (the CCNet/KenLM filter step, kept exactly
+    // verifiable): bigram counts train on a reference slice (doc_id % 10 ==
+    // 0), every doc scores by bigram OOV rate and mean reference count —
+    // integer sums + one division, so no log()-ULP divergence and the
+    // DuckDB oracle matches bit-for-bit. Bigrams join as 64-bit fnv keys:
+    // the count and score shuffles carry longs, never gram text.
+    "doc_lm_score" -> ((spark, dir) => {
+      val t = tokens(col("text"))
+      val grams = transform(sequence(lit(0), greatest(size(t) - 2, lit(0))),
+        i => array_join(slice(t, i + 1, lit(2)), " "))
+      val d = docs(spark, dir).select(col("doc_id"), grams.as("g"))
+      lmScore(d, d.filter(col("doc_id") % 10 === 0))
+    }),
+
     // deterministic corpus shuffle + sharding (training-order randomization):
     // every doc gets a pseudo-random 53-bit sort key, a shard by key mod 64,
     // and a position within its shard. No global sort — each shard ranks
@@ -699,6 +713,40 @@ object PipelineOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram LM quality scoring without logarithms: `ref` supplies the
+    * training slice, every doc in `d` (both carry (doc_id, g: array of
+    * n-grams, multiplicity preserved)) scores by
+    *   - n_grams: its n-gram count,
+    *   - n_oov: n-grams unseen in the reference counts,
+    *   - oov_rate = n_oov / n_grams,
+    *   - ref_mass: Σ reference count over its n-grams,
+    *   - avg_ref_count = ref_mass / n_grams.
+    * High OOV + low mean count ⇒ text unlike the reference corpus — the
+    * same decision the CCNet perplexity filter makes, but from integer
+    * sums and one division, so any engine reproduces it bit-exactly
+    * (log-based perplexity diverges in ULPs across engines).
+    *
+    * Scale shape: both sides collapse n-grams to 64-bit mix(fnv) keys —
+    * the count aggregate and the scoring join shuffle longs, never gram
+    * text; the per-doc rollup keys on doc_id (map-side partials). */
+  def lmScore(d: DataFrame, ref: DataFrame): DataFrame = {
+    val refCnt = ref.select(explode(col("g")).as("gram"))
+      .select(fnvMix64(col("gram")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("c"))
+    d.select(col("doc_id"), explode(col("g")).as("gram"))
+      .select(col("doc_id"), fnvMix64(col("gram")).as("gh"))
+      .join(refCnt, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("c"), lit(0L))).as("ref_mass"))
+      .select(col("doc_id"), col("n_grams"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_grams").cast("double")).as("oov_rate"),
+        col("ref_mass"),
+        (col("ref_mass").cast("double") / col("n_grams").cast("double")).as("avg_ref_count"))
       .orderBy(col("doc_id"))
   }
 
@@ -1493,6 +1541,26 @@ object PipelineOps {
         |  WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
         |  ELSE ${hashSampleThreshold(0.1)} END
         |ORDER BY d.doc_id""".stripMargin),
+    // LM scoring: same 2-gram construction as doc_repetition, reference
+    // counts from doc_id % 10 = 0, grams joined via the same mix64(fnv64)
+    // keys (hash-join semantics, collisions and all)
+    "doc_lm_score" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS gram FROM tok),
+        |gd AS (SELECT DISTINCT gram FROM g0),
+        |${fnvMixCtes("lm1", "gd", "gram", "gram")},
+        |gh AS (SELECT g0.doc_id, lm1.z AS gh FROM g0 JOIN lm1 ON g0.gram = lm1.id),
+        |ref AS (SELECT gh, CAST(count(*) AS BIGINT) AS c FROM gh WHERE doc_id % 10 = 0 GROUP BY gh),
+        |sc AS (SELECT gh.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ref.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(coalesce(ref.c, 0)) AS BIGINT) AS ref_mass
+        |  FROM gh LEFT JOIN ref USING (gh) GROUP BY gh.doc_id)
+        |SELECT doc_id, n_grams, n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_grams AS DOUBLE) AS oov_rate,
+        |  ref_mass,
+        |  CAST(ref_mass AS DOUBLE) / CAST(n_grams AS DOUBLE) AS avg_ref_count
+        |FROM sc ORDER BY doc_id""".stripMargin),
     // deterministic shuffle: same 53-bit key (z // 2048), shard = key mod 64,
     // per-shard rank with the same (sort_key, doc_id) tie-break
     "doc_shuffle" ->

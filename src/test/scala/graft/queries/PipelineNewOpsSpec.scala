@@ -162,6 +162,30 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(out.filter((col("n_kept") === 0) =!= (col("text_clean") === "")).count() == 0)
   }
 
+  test("lmScore: OOV and reference-mass arithmetic on a hand-computed corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq("a b", "b c")),   // the reference doc
+      (1L, Seq("a b", "x y")),   // one known, one OOV bigram
+      (2L, Seq("q r"))           // fully OOV
+    ).toDF("doc_id", "g")
+    val out = PipelineOps.lmScore(d, d.filter(col("doc_id") === 0)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(0L) == ((2L, 0L, 0.0, 2L, 1.0)))
+    assert(out(1L) == ((2L, 1L, 0.5, 1L, 0.5)))
+    assert(out(2L) == ((1L, 1L, 1.0, 0L, 0.0)))
+  }
+
+  test("doc_lm_score: reference docs are never fully OOV") {
+    val rows = q("doc_lm_score").collect()
+    assert(rows.nonEmpty)
+    // a reference doc's own bigrams are in the counts, so oov_rate < 1
+    rows.filter(_.getLong(0) % 10 == 0).foreach { r =>
+      assert(r.getDouble(3) < 1.0 && r.getLong(4) > 0)
+    }
+  }
+
   test("writeShards: one file per shard directory, readback preserves rows") {
     val out = java.nio.file.Files.createTempDirectory("shards").toString
     val packed = q("doc_pack")
