@@ -106,6 +106,30 @@ object TextFunctions {
     new GenericArrayData(out)
   }
 
+  /** NON-distinct word n-grams — [[ngramsOf]]'s tokenization and window
+    * clipping with multiplicity and order preserved (the unit for
+    * repetition / LM statistics, where counts matter). */
+  def ngramsAllOf(input: UTF8String, n: Int): ArrayData = {
+    val s = input.trim().toLowerCase.toString
+    val toks = WS.split(s, -1)
+    val count = math.max(toks.length - n, 0) + 1
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val FP_P = (1L << 61) - 1
   private val FP_B = 1000003L
 
@@ -176,6 +200,20 @@ object TextFunctions {
     array_distinct(
       transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
         i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** NON-distinct word n-grams (multiplicity + order preserved), codegen'd.
+    * The HOF-composed equivalent ([[ngramsAllComposed]]) evaluates its
+    * lambda interpreted per position and re-evaluates the token split per
+    * element (~20x slower measured at sf0.1); this is one string pass. */
+  def ngramsAll(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNGramsAll(toExpr(c), n))
+
+  /** Composed-builtins reference for [[ngramsAll]] (spec-pinned). */
+  def ngramsAllComposed(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+      i => array_join(slice(t, i + 1, lit(n)), " "))
   }
 
   /** Whitespace token count. */
@@ -267,6 +305,19 @@ object TextFunctions {
       defineCodeGen(ctx, ev,
         c => s"graft.functions.TextFunctions.ngramsOf($c, $n)")
     override protected def withNewChildInternal(c: Expression): WordNGrams = copy(child = c)
+  }
+
+  /** Non-distinct companion of [[WordNGrams]]. */
+  case class WordNGramsAll(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ngramsAllOf(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextFunctions.ngramsAllOf($c, $n)")
+    override protected def withNewChildInternal(c: Expression): WordNGramsAll = copy(child = c)
   }
 
   /** mix64∘fnv64 of a string column as a codegen'd expression — used to rank

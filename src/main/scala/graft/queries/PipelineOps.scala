@@ -127,11 +127,10 @@ object PipelineOps {
     // top-2-gram fraction and duplicate-2-gram fraction — integer counts and
     // exact double ratios, so the DuckDB oracle hash-matches bit-for-bit
     "doc_repetition" -> ((spark, dir) => {
-      val t = tokens(col("text"))
       // NON-distinct word 2-grams (the distinct form is shingles(); counts
-      // need every occurrence); same construction as the oracle SQL
-      val grams = transform(sequence(lit(0), greatest(size(t) - 2, lit(0))),
-        i => array_join(slice(t, i + 1, lit(2)), " "))
+      // need every occurrence); native codegen'd pass, spec-pinned to the
+      // composed HOF form the oracle SQL mirrors
+      val grams = ngramsAll(col("text"), 2)
       // every stat is PER-DOCUMENT, so this is a pure projection — no
       // explode, no shuffle (an explode + two-level aggregate was measured
       // 5x slower and moves every gram through an exchange for nothing);
@@ -158,9 +157,7 @@ object PipelineOps {
     // no shuffle at any scale; the bitmask (vs a bare boolean) is what a
     // production pipeline logs for per-reason drop accounting.
     "doc_filter_c4" -> ((spark, dir) => {
-      val t = tokens(col("text"))
-      val grams = transform(sequence(lit(0), greatest(size(t) - 2, lit(0))),
-        i => array_join(slice(t, i + 1, lit(2)), " "))
+      val grams = ngramsAll(col("text"), 2)
       docs(spark, dir).select(col("doc_id"), col("lang"),
         tokenCount(col("text")).as("n_tokens"),
         stopwordRatio(col("text")).as("stop_ratio"),
@@ -424,10 +421,8 @@ object PipelineOps {
     // DuckDB oracle matches bit-for-bit. Bigrams join as 64-bit fnv keys:
     // the count and score shuffles carry longs, never gram text.
     "doc_lm_score" -> ((spark, dir) => {
-      val t = tokens(col("text"))
-      val grams = transform(sequence(lit(0), greatest(size(t) - 2, lit(0))),
-        i => array_join(slice(t, i + 1, lit(2)), " "))
-      val d = docs(spark, dir).select(col("doc_id"), grams.as("g"))
+      val d = docs(spark, dir).select(col("doc_id"),
+        ngramsAll(col("text"), 2).as("g"))
       lmScore(d, d.filter(col("doc_id") % 10 === 0))
     }),
 

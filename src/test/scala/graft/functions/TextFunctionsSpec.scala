@@ -65,6 +65,24 @@ class TextFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("codegen'd ngramsAll equals the composed HOF form exactly") {
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    for (n <- Seq(2, 3)) {
+      val diff = docs.select(ngramsAll(col("text"), n).as("fast"),
+          ngramsAllComposed(col("text"), n).as("slow"))
+        .filter(not(col("fast") === col("slow")))
+      assert(diff.count() === 0L, s"n=$n ngram mismatch")
+    }
+    val edge = Seq("", "   ", "one", "one two", "a a a", "a\tb\nc  d").toDF("text")
+    val rows = edge.select(ngramsAll(col("text"), 2).as("fast"),
+      ngramsAllComposed(col("text"), 2).as("slow")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // multiplicity preserved, unlike shingles()
+    val rep = Seq("x y x y x").toDF("text")
+      .select(ngramsAll(col("text"), 2)).head.getSeq[String](0)
+    assert(rep == Seq("x y", "y x", "x y", "y x"))
+  }
+
   test("token counts and shingles") {
     val d = Seq("  Hello   world  foo ").toDF("text")
     assert(d.select(tokenCount(col("text"))).head.getLong(0) == 3L)
