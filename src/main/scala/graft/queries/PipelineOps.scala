@@ -1301,6 +1301,24 @@ object PipelineOps {
     * At 100 TB this runs as a batch job whose output is written bucketed by
     * `cell`, so [[ivfSearch]]-shaped probes prune to file groups instead of
     * recomputing the argmin per query. Pure projection, no shuffle. */
+  /** Persist trained IVF centroids as a tiny parquet table (cell_id,
+    * centroid) — the train/serve split's durable artifact: train once
+    * offline ([[ivfTrain]]), save, then any number of serving sessions
+    * [[ivfLoad]] and search without touching the training corpus. */
+  def ivfSave(spark: SparkSession, centroids: Seq[Array[Double]], dir: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell_id", "centroid")
+      .repartition(1) // k rows; one footer beats 32 slivers
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load [[ivfSave]]'d centroids, ordered by cell_id (the ordering IS the
+    * cell numbering [[ivfAssign]]/[[ivfSearch]] use). */
+  def ivfLoad(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(dir).orderBy(col("cell_id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+
   def ivfAssign(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
     withCellDists(emb, centroids).withColumn("cell",
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))

@@ -74,6 +74,19 @@ object EventStream {
     docs.withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
 
+  /** Streaming corpus mixing: the per-source deterministic keep-rate filter
+    * (`PipelineOps.mixtureSample`) applied at ingest — stateless (the keep
+    * decision is pure hash arithmetic on the row), so the mixture a batch
+    * pipeline would produce is EXACTLY what the stream admits, no
+    * reconciliation pass needed. */
+  def mixtureSampleStream(docs: DataFrame, rates: Map[String, Double],
+                          defaultRate: Double): DataFrame = {
+    val h = graft.functions.TextFunctions.fnvMix64(
+      concat(lit("mix-42-"), col("doc_id").cast("string")))
+    graft.queries.PipelineOps.mixtureSample(docs.withColumn("h", h),
+      rates, defaultRate, sourceCol = "source", hashCol = "h")
+  }
+
   /** Streaming decontamination: STREAM-STATIC join — the benchmark probe
     * n-gram set is a static (broadcast) table; each micro-batch's doc
     * n-grams join against it and aggregate hits per doc. State is the

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+class CompactionSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get()
+
+  test("compact collapses a sliver directory to the sized file count, rows intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // 64 slivers of ~tens of rows each
+    (1L to 2048L).map(i => (i, s"row-$i")).toDF("id", "payload")
+      .repartition(64).write.parquet(in)
+    val slivers = new java.io.File(in).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(slivers == 64)
+
+    val stats = Compaction.compact(spark, in, out, targetBytes = stats0(in) / 4 + 1)
+    assert(stats.filesBefore == 64)
+    assert(stats.filesAfter <= 4 && stats.filesAfter >= 1)
+    // content preserved exactly (order-insensitive)
+    val a = spark.read.parquet(in).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val b = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("empty / non-parquet input is a loud error") {
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark,
+        java.nio.file.Files.createTempDirectory("empty").toString, "/tmp/na")
+    }
+    assert(e.getMessage.contains("no parquet files"))
+  }
+
+  private def stats0(dir: String): Long =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+}

@@ -20,6 +20,18 @@ class AnnIvfSpec extends AnyFunSuite {
   private lazy val brute = PipelineOps.dfQueries("ann_cosine_topk")(spark, sfDir)
     .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
 
+  test("ivfSave/ivfLoad round-trips centroids; search from disk == in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/centroids"
+    val trained = PipelineOps.ivfSeedCentroids(embs, k = 16)
+    PipelineOps.ivfSave(spark, trained.toIndexedSeq, dir)
+    val loaded = PipelineOps.ivfLoad(spark, dir)
+    assert(loaded.length == trained.length)
+    trained.zip(loaded).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    val fromDisk = PipelineOps.ivfSearch(embs, loaded.toIndexedSeq, nprobe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(fromDisk.sortBy(t => (t._1, t._4)).toSeq === ivf.sortBy(t => (t._1, t._4)).toSeq)
+  }
+
   test("five probes, ranks dense from 1, cosines non-increasing per probe") {
     assert(ivf.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
     ivf.groupBy(_._1).foreach { case (_, rows) =>

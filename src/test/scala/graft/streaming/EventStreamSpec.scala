@@ -107,6 +107,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming mixture sampling admits exactly the batch mixture") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = EventStream.mixtureSampleStream(
+        in.toDF().toDF("doc_id", "source"), rates, defaultRate = 0.5)
+      .writeStream.outputMode("append").format("memory").queryName("mixgate")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+      val got = spark.table("mixgate").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val h = graft.functions.TextFunctions.fnvMix64(
+        concat(lit("mix-42-"), col("doc_id").cast("string")))
+      val expect = graft.queries.PipelineOps.mixtureSample(
+          docs.withColumn("h", h), rates, defaultRate = 0.5,
+          sourceCol = "source", hashCol = "h")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expect && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming decontamination agrees with the batch operator (stream-static join)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
