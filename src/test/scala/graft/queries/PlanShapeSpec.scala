@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+import graft.{GraftSession, SparkEntry}
+
+/** Plan-shape pins for the scale story: the asserts here are the claims
+  * SCALE.md makes about what the physical plans look like — dims broadcast,
+  * no accidental cartesian products, bounded exchange counts. A regression
+  * that keeps answers right but turns a broadcast into a 2-sided shuffle
+  * (or worse, a cartesian product) fails HERE, not in production at 100 TB. */
+class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private lazy val spark = GraftSession.get()
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // resolve AQE to final plan
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    strip(df.queryExecution.executedPlan)
+  }
+
+  private def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+    val self = if (f.isDefinedAt(p)) Seq(f(p)) else Seq.empty
+    // AQE nests plan fragments behind non-children references; walk subqueries too
+    val kids = p.children ++ p.subqueries.map {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case s => s
+    } ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Seq.empty
+    })
+    self ++ kids.flatMap(collectAll(_)(f))
+  }
+
+  private def q(name: String): SparkPlan =
+    executed(SparkEntry.queries(name)(spark, sfDir))
+
+  test("q5: every dimension joins as a broadcast hash join; no cartesian product") {
+    val plan = q("q5_local_supplier_volume")
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3, s"expected region/nation/supplier broadcasts, got ${bhj.size}:\n$plan")
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q3: orders/customer joins broadcast the filtered dimension side") {
+    val plan = q("q3_shipping_priority")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"no broadcast join in q3 plan:\n$plan")
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("doc_top_terms: ONE exchange feeds both the aggregate and the rank window") {
+    val plan = q("doc_top_terms")
+    // the deliberate repartition(doc_id) + the final orderBy range exchange;
+    // a regression that re-shuffles tf for the window or the df join shows
+    // up as a third shuffle
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"expected <= 2 exchanges (repartition + final sort), got ${shuffles.size}:\n$plan")
+  }
+
+  test("ann_cosine_topk: the corpus side never shuffles (probes broadcast)") {
+    val plan = q("ann_cosine_topk")
+    // probes enter via broadcast; the only exchanges allowed are for the
+    // final per-probe top-k window + output ordering, never a corpus join
+    assert(collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty ||
+      collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"probe join is not broadcast:\n$plan")
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("doc_quality / doc_repetition: pure projections — zero exchanges before the sort") {
+    for (name <- Seq("doc_quality", "doc_repetition")) {
+      val shuffles = collectAll(q(name)) { case s: ShuffleExchangeExec => s }
+      // only the final orderBy's range partitioning may shuffle
+      assert(shuffles.size <= 1, s"$name should be projection+sort, got ${shuffles.size} exchanges")
+    }
+  }
+}
