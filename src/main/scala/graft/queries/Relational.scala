@@ -301,6 +301,20 @@ object Relational {
         |LIMIT 25""".stripMargin
   )
 
+  // sqlBoth additions: distribution window functions run verbatim on both
+  // engines (ntile/percent_rank/cume_dist are integer-ratio exact, so the
+  // doubles match bit-for-bit; partitioned window — never one global sort)
+  private val sqlBothExtra: Map[String, String] = Map(
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr,
+        |  CAST(CUME_DIST() OVER w AS DOUBLE) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+
   // ---- DataFrame-API queries (separate DuckDB oracle) ----------------------
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
@@ -332,6 +346,37 @@ object Relational {
           |       sort: [{field: "p_retailprice", order: "desc"}, {field: "p_partkey"}],
           |       limit: 25)
           |  { p_partkey p_name p_retailprice p_size } }""".stripMargin)
+    }),
+    // pivot: per-returnflag quantity totals spread across linestatus columns;
+    // the explicit value list ('P' never occurs -> an all-null column both
+    // engines must agree on) keeps the schema static, as a 100 TB plan must
+    // be (an unpinned pivot needs a full distinct pass before planning)
+    "q_pivot" -> ((spark, dir) => {
+      Tables.t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // unpivot: wide -> long over two measures (the inverse reshape; Spark's
+    // unpivot/melt — pure per-row projection, no shuffle beyond the sort)
+    "q_unpivot" -> ((spark, dir) => {
+      Tables.t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size_v"),
+          col("p_retailprice").as("price_v"))
+        .unpivot(Array(col("p_partkey")), Array(col("size_v"), col("price_v")),
+          "metric", "val")
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+    // array explode with position (the lateral-view pattern over a nested
+    // array column)
+    "q_explode_embedding" -> ((spark, dir) => {
+      Tables.t(spark, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
     }),
     // window: rank within partition (top-2 orders per customer)
     "q_window_rank" -> ((spark, dir) => {
@@ -449,6 +494,26 @@ object Relational {
   )
 
   val dfOracles: Map[String, String] = Map(
+    // pivot spelled as CASE aggregation (DuckDB's PIVOT names differ)
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // unpivot spelled as UNION ALL (metric values = source column names)
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size_v' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'price_v' AS metric, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+    // posexplode spelled as zipped unnests
+    "q_explode_embedding" ->
+      """SELECT vec_id,
+        |  CAST(unnest(range(0, len(embedding))) AS BIGINT) AS pos,
+        |  unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY vec_id, pos""".stripMargin,
     "rest_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -530,7 +595,7 @@ object Relational {
   )
 
   val queries: Map[String, Q] =
-    sqlBoth.map { case (name, text) => name -> sqlQ(text) } ++ dfQueries
+    (sqlBoth ++ sqlBothExtra).map { case (name, text) => name -> sqlQ(text) } ++ dfQueries
 
-  val oracles: Map[String, String] = sqlBoth ++ dfOracles
+  val oracles: Map[String, String] = sqlBoth ++ sqlBothExtra ++ dfOracles
 }
