@@ -24,19 +24,30 @@ object Compaction {
               targetBytes: Long = 128L << 20): Stats = {
     require(targetBytes > 0, "targetBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    val in = new Path(inDir)
-    val fs = in.getFileSystem(conf)
-    val files = fs.listStatus(in).filter(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val fs = new Path(inDir).getFileSystem(conf)
+    // recursive: streaming sinks and hive-partitioned layouts nest their
+    // files (date=.../part-*.parquet); the read below handles those too.
+    // NOTE a partitioned input is rewritten FLAT — partition-column values
+    // survive as ordinary columns, the directory layout does not.
+    def parquetFiles(dir: String): Seq[(String, Long)] = {
+      val it = fs.listFiles(new Path(dir), true)
+      val acc = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          acc += s.getPath.toString -> s.getLen
+      }
+      acc.result()
+    }
+    val files = parquetFiles(inDir)
     require(files.nonEmpty, s"no parquet files under $inDir")
-    val totalBytes = files.map(_.getLen).sum
-    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val totalBytes = files.map(_._2).sum
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    require(parts <= (1L << 20),
+      s"compaction would produce $parts files; raise targetBytes")
     spark.read.parquet(inDir)
-      .repartition(parts)
+      .repartition(parts.toInt)
       .write.mode("overwrite").parquet(outDir)
-    val out = new Path(outDir)
-    val after = out.getFileSystem(conf).listStatus(out)
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    Stats(files.length, totalBytes, after)
+    Stats(files.length, totalBytes, parquetFiles(outDir).length)
   }
 }

@@ -702,7 +702,9 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
           s => s.getField("chunk")), " ").as("text_clean"))
-    chunks.select(col("doc_id"), size(col("ch")).cast("long").as("n_chunks"))
+    // n_chunks from the CACHED postings (every doc has >= 1 chunk), not a
+    // second tokenize-and-chunk pass over the corpus text
+    ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
       .join(reb, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -49,27 +49,33 @@ object XlsbLoader {
   private val BrtSSTItem = 19
   private val BrtFmt = 44
   private val BrtXF = 47
+  private val BrtCellRString = 62
+  private val BrtWbProp = 153
   private val BrtBundleSh = 156
   private val BrtBeginCellXFs = 617
   private val BrtEndCellXFs = 618
 
-  /** Sequential BIFF12 record reader over one part. */
+  /** Sequential BIFF12 record reader over one part. Truncated or corrupt
+    * parts fail with contextual IllegalArgumentExceptions, never raw
+    * index errors (the loader's read-or-fail-loudly contract). */
   private final class Biff12(data: Array[Byte]) {
     private var pos = 0
     def hasNext: Boolean = pos < data.length
 
+    private def byte(): Int = {
+      require(pos < data.length, s"xlsb: part truncated mid-record header at byte $pos")
+      val b = data(pos) & 0xFF; pos += 1; b
+    }
+
     /** (recordId, payload). */
     def next(): (Int, Array[Byte]) = {
-      val b0 = data(pos) & 0xFF; pos += 1
+      val b0 = byte()
       val id =
         if ((b0 & 0x80) == 0) b0
-        else {
-          val b1 = data(pos) & 0xFF; pos += 1
-          (b0 & 0x7F) | ((b1 & 0x7F) << 7)
-        }
+        else (b0 & 0x7F) | ((byte() & 0x7F) << 7)
       var len = 0; var shift = 0; var more = true
       while (more) {
-        val b = data(pos) & 0xFF; pos += 1
+        val b = byte()
         len |= (b & 0x7F) << shift
         shift += 7
         more = (b & 0x80) != 0 && shift < 28
@@ -93,9 +99,12 @@ object XlsbLoader {
   /** XLWideString at `off`: (value, bytesConsumed). cch == 0xFFFFFFFF is the
     * nullable form's "no string". */
   private def wideString(b: Array[Byte], off: Int): (String, Int) = {
+    require(off + 4 <= b.length, s"xlsb: string length field overruns record")
     val cch = i32(b, off)
     if (cch == -1) ("", 4)
     else {
+      require(cch >= 0 && off + 4 + cch.toLong * 2 <= b.length,
+        s"xlsb: string of $cch chars overruns record (${b.length} bytes)")
       val s = new String(b, off + 4, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
       (s, 4 + cch * 2)
     }
@@ -114,8 +123,11 @@ object XlsbLoader {
     def part(n: String): Option[Array[Byte]] = parts.get(n)
 
     // sheet list: BrtBundleSh = hsState u32, iTabID u32, strRelID
-    // (XLNullableWideString), strName (XLWideString)
+    // (XLNullableWideString), strName (XLWideString). BrtWbProp carries the
+    // date-system flag (bit 0 = 1904 epoch), which shifts EVERY date cell
+    // by 1462 days — same handling as the BIFF8 DATEMODE record.
     val sheetDefs = mutable.ArrayBuffer[(String, String)]() // (name, rId)
+    var date1904 = false
     part("xl/workbook.bin").foreach { wb =>
       val r = new Biff12(wb)
       while (r.hasNext) r.next() match {
@@ -123,10 +135,13 @@ object XlsbLoader {
           val (rid, n1) = wideString(p, 8)
           val (name, _) = wideString(p, 8 + n1)
           sheetDefs += name -> rid
+        case (BrtWbProp, p) if p.length >= 4 =>
+          date1904 = (i32(p, 0) & 0x1) != 0
         case _ => ()
       }
     }
     require(sheetDefs.nonEmpty, "xlsb: workbook.bin has no sheets")
+    val epochShift = if (date1904) 1462.0 else 0.0
 
     // rels are XML even in xlsb
     val relTargets = mutable.Map[String, String]()
@@ -186,7 +201,7 @@ object XlsbLoader {
       val path = if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
       val sheetBin = part(path).getOrElse(throw new IllegalArgumentException(
         s"xlsb: missing worksheet part `$path` for sheet `$name`"))
-      name -> parseSheet(sheetBin, shared, dateStyles)
+      name -> parseSheet(sheetBin, shared, dateStyles, epochShift)
     }
   }
 
@@ -194,7 +209,7 @@ object XlsbLoader {
     * the payload follows at offset 8. Row position comes from the preceding
     * BrtRowHdr (rw u32). */
   private def parseSheet(bin: Array[Byte], shared: Vector[String],
-                         dateStyles: Set[Int]): Grid = {
+                         dateStyles: Set[Int], epochShift: Double): Grid = {
     val cells = mutable.Map[(Int, Int), Cell]()
     var maxRow = -1; var maxCol = -1
     var row = -1
@@ -202,10 +217,11 @@ object XlsbLoader {
 
     def numCell(p: Array[Byte], v: Double): Cell = {
       val style = i32(p, 4) & 0xFFFFFF
-      if (dateStyles(style)) CTs(ExcelLoader.serialToTs(v)) else CFloat(v)
+      if (dateStyles(style)) CTs(ExcelLoader.serialToTs(v + epochShift)) else CFloat(v)
     }
 
     def put(col: Int, c: Cell): Unit = if (c != CEmpty) {
+      require(row >= 0, s"xlsb: cell record at col $col before any BrtRowHdr")
       cells((row, col)) = c
       if (row > maxRow) maxRow = row
       if (col > maxCol) maxCol = col
@@ -223,6 +239,9 @@ object XlsbLoader {
           require(idx >= 0 && idx < shared.length, s"xlsb: SST index $idx out of range")
           put(i32(p, 0), CStr(shared(idx)))
         case BrtCellSt | BrtFmlaString => put(i32(p, 0), CStr(wideString(p, 8)._1))
+        // inline RICH string cell: one flags byte precedes the base string
+        // (formatting runs after it are presentation-only, like the SST items)
+        case BrtCellRString => put(i32(p, 0), CStr(wideString(p, 9)._1))
         case BrtCellError | BrtFmlaError => throw new IllegalArgumentException(
           s"xlsb: error cell at row $row col ${i32(p, 0)} (0x${(p(8) & 0xFF).toHexString})")
         case _ => () // dimension, col-info, begin/end wrappers: positional no-ops

@@ -83,8 +83,11 @@ object EventStream {
                           defaultRate: Double): DataFrame = {
     val h = graft.functions.TextFunctions.fnvMix64(
       concat(lit("mix-42-"), col("doc_id").cast("string")))
-    graft.queries.PipelineOps.mixtureSample(docs.withColumn("h", h),
-      rates, defaultRate, sourceCol = "source", hashCol = "h")
+    // prefixed internal column, dropped after the filter: the sink sees the
+    // input schema unchanged, and a user column named "h" survives intact
+    graft.queries.PipelineOps.mixtureSample(docs.withColumn("graft_mix_h", h),
+        rates, defaultRate, sourceCol = "source", hashCol = "graft_mix_h")
+      .drop("graft_mix_h")
   }
 
   /** Streaming decontamination: STREAM-STATIC join — the benchmark probe

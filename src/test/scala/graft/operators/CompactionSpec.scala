@@ -29,6 +29,23 @@ class CompactionSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("hive-partitioned input compacts (recursive listing), values survive flat") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact_part").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    (1L to 512L).map(i => (i, i % 4)).toDF("id", "bucket")
+      .repartition(8).write.partitionBy("bucket").parquet(in)
+    val stats = Compaction.compact(spark, in, out, targetBytes = Long.MaxValue)
+    assert(stats.filesBefore > 4 && stats.filesAfter == 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 512)
+    // partition-column values survive as ordinary columns
+    val byBucket = back.groupBy("bucket").count().collect()
+      .map(r => r.getAs[Number]("bucket").longValue() -> r.getLong(1)).toMap
+    assert(byBucket == Map(0L -> 128L, 1L -> 128L, 2L -> 128L, 3L -> 128L))
+  }
+
   test("empty / non-parquet input is a loud error") {
     val e = intercept[IllegalArgumentException] {
       Compaction.compact(spark,

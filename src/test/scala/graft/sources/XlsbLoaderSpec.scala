@@ -153,6 +153,28 @@ object XlsbFixture {
       rowHdr(0), cSt(0, "a"),
       rowHdr(1), cErr(0, 0x2A)))
 
+  /** Inline RICH string cell (BrtCellRString 62): flags byte + base string. */
+  def cRStr(col: Int, s: String): Array[Byte] =
+    rec(62, cat(le32(col), le32(0)), Array(0.toByte), ws(s))
+
+  /** 1904 date system (BrtWbProp bit 0) + a rich-string cell. */
+  def extrasWorkbook: Array[Byte] = zip(
+    "xl/workbook.bin" -> cat(rec(153, le32(1)), bundleSh("main", "rId1", 1)),
+    "xl/_rels/workbook.bin.rels" -> relsXml(1),
+    "xl/styles.bin" -> stylesBin,
+    "xl/worksheets/sheet1.bin" -> cat(
+      rowHdr(0), cSt(0, "when"), cSt(1, "note"),
+      rowHdr(1), cReal(0, 100.5, style = 1), cRStr(1, "rich text")))
+
+  /** A workbook whose sheet part is cut mid-record. */
+  def truncatedWorkbook: Array[Byte] = {
+    val sheet = cat(rowHdr(0), cSt(0, "k"), cSt(1, XlsbFixture.longK))
+    zip(
+      "xl/workbook.bin" -> bundleSh("main", "rId1", 1),
+      "xl/_rels/workbook.bin.rels" -> relsXml(1),
+      "xl/worksheets/sheet1.bin" -> sheet.take(sheet.length / 2))
+  }
+
   def write(dir: String, name: String, bytes: Array[Byte]): String = {
     val p = Paths.get(dir, name)
     Files.write(p, bytes)
@@ -204,6 +226,22 @@ class XlsbLoaderSpec extends AnyFunSuite {
       Loaders.load(spark, TableSource("d", path, options = Map("sheet_name" -> "nope")))
     }
     assert(e.getMessage.contains("main"))
+  }
+
+  test("1904 date system shifts serials 1462 days; rich-string cells load") {
+    val path = XlsbFixture.write(tmp, "extras.xlsb", XlsbFixture.extrasWorkbook)
+    val df = Loaders.load(spark, TableSource("x", path))
+    val r = df.collect()(0)
+    assert(r.getTimestamp(0) === ExcelLoader.serialToTs(100.5 + 1462.0))
+    assert(r.getString(1) === "rich text")
+  }
+
+  test("truncated parts fail loudly with a contextual message") {
+    val path = XlsbFixture.write(tmp, "trunc.xlsb", XlsbFixture.truncatedWorkbook)
+    val e = intercept[IllegalArgumentException] {
+      Loaders.load(spark, TableSource("t", path))
+    }
+    assert(e.getMessage.contains("xlsb:"))
   }
 
   test("error cells are rejected loudly, like the xlsx branch") {
