@@ -368,6 +368,17 @@ object Relational {
           "metric", "val")
         .orderBy(col("p_partkey"), col("metric"))
     }),
+    // array scalar functions over the nested embedding column
+    "q_array_funcs" -> ((spark, dir) => {
+      Tables.t(spark, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n"),
+          element_at(col("embedding"), 1).cast("double").as("first_v"),
+          element_at(col("embedding"), -1).cast("double").as("last_v"),
+          array_position(col("embedding"), element_at(col("embedding"), 1))
+            .as("first_pos"))
+        .orderBy(col("vec_id"))
+    }),
     // array explode with position (the lateral-view pattern over a nested
     // array column)
     "q_explode_embedding" -> ((spark, dir) => {
@@ -507,6 +518,15 @@ object Relational {
         |UNION ALL
         |SELECT p_partkey, 'price_v' AS metric, p_retailprice AS val FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+    // array scalars: 1-based indexing both engines; float equality is
+    // bit-identical so list_position agrees
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
+        |  CAST(embedding[1] AS DOUBLE) AS first_v,
+        |  CAST(embedding[-1] AS DOUBLE) AS last_v,
+        |  CAST(list_position(embedding, embedding[1]) AS BIGINT) AS first_pos
+        |FROM embeddings WHERE vec_id < 100
+        |ORDER BY vec_id""".stripMargin,
     // posexplode spelled as zipped unnests
     "q_explode_embedding" ->
       """SELECT vec_id,
