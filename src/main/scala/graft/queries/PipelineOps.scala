@@ -242,6 +242,19 @@ object PipelineOps {
     // 12 bytes/window instead of ~60.
     "doc_window_dedup" -> ((spark, dir) => windowDedup(docs(spark, dir), k = 8)),
 
+    // incremental window dedup: even doc_ids are "history" (persisted as a
+    // (hash, owner) index — text never re-read), odd doc_ids are the new
+    // batch checked against index + batch. The oracle is the BATCH dedup
+    // over the full corpus restricted to the new docs: incremental must be
+    // indistinguishable from having processed everything at once.
+    "doc_window_dedup_incr" -> ((spark, dir) => {
+      val all = docs(spark, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_winidx")
+        .resolve("idx").toString
+      windowIndexSave(all.filter(col("doc_id") % 2 === 0), k = 8, idx)
+      windowDedupIncremental(all.filter(col("doc_id") % 2 === 1), idx, k = 8)
+    }),
+
     // CCNet-style paragraph dedup: remove EVERY occurrence of any paragraph
     // duplicated across the corpus and rebuild the cleaned documents. The
     // synthetic docs carry no newlines, so the paragraph unit is the
@@ -662,6 +675,44 @@ object PipelineOps {
       .filter(col("owner") < col("doc_id"))
       .groupBy(col("doc_id")).agg(min(col("owner")).as("dup_of"))
     d.select(col("doc_id"),
+      size(shingles(col("text"), k)).cast("long").as("n_windows"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Persist [[windowDedup]]'s window index: one (wh, owner) row per
+    * distinct window hash, owner = min doc_id seen — the state a daily
+    * incremental dedup needs from all prior batches, WITHOUT keeping their
+    * text. Size is bounded by distinct windows, not corpus bytes. */
+  def windowIndexSave(d: DataFrame, k: Int, dir: String): Unit =
+    d.select(col("doc_id"), explode(shingles(col("text"), k)).as("w"))
+      .select(col("doc_id"), fnvMix64(col("w")).as("wh"))
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Incremental window dedup: check ONLY the new batch, against (a) the
+    * persisted index of every prior batch and (b) the new batch itself —
+    * the daily-increment pattern (Lee et al. dedup without reprocessing
+    * history). Produces for each new doc exactly what [[windowDedup]] over
+    * (history ∪ batch) would produce for it, which is what the oracle
+    * checks. Scale shape: the index is a (long, long) table — the joins
+    * shuffle hashes, never text, and history text is never read again. */
+  def windowDedupIncremental(newDocs: DataFrame, indexDir: String, k: Int): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.read.parquet(indexDir)
+    val win = registerCache(newDocs
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("w"))
+      .select(col("doc_id"), fnvMix64(col("w")).as("wh")))
+    // min owner per window across history AND this batch
+    val owner = win.groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
+      .unionByName(index)
+      .groupBy(col("wh")).agg(min(col("owner")).as("owner"))
+    val dupOf = win.join(owner, "wh")
+      .filter(col("owner") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("owner")).as("dup_of"))
+    newDocs.select(col("doc_id"),
       size(shingles(col("text"), k)).cast("long").as("n_windows"))
       .join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"), col("dup_of"),
@@ -1521,6 +1572,21 @@ object PipelineOps {
         |base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_windows FROM sh)
         |SELECT base.doc_id, base.n_windows, dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
         |FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id ORDER BY base.doc_id""".stripMargin),
+    // incremental == batch-over-union restricted to the new (odd) docs
+    "doc_window_dedup_incr" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-7, 1)+1), i -> array_to_string(ts[i:i+7], ' '))) AS s FROM tok),
+        |win AS (SELECT doc_id, unnest(s) AS w FROM sh),
+        |wd AS (SELECT DISTINCT w FROM win),
+        |${fnvMixCtes("wi1", "wd", "w", "w")},
+        |winh AS (SELECT win.doc_id, wi1.z AS wh FROM win JOIN wi1 ON win.w = wi1.id),
+        |own AS (SELECT wh, min(doc_id) AS owner FROM winh GROUP BY wh),
+        |dup AS (SELECT winh.doc_id, min(own.owner) AS dup_of FROM winh JOIN own USING (wh)
+        |  WHERE own.owner < winh.doc_id GROUP BY winh.doc_id),
+        |base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_windows FROM sh)
+        |SELECT base.doc_id, base.n_windows, dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
+        |FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
+        |WHERE base.doc_id % 2 = 1 ORDER BY base.doc_id""".stripMargin),
     // CCNet paragraph dedup: same non-overlapping 10-token chunks, same
     // mix64(fnv64) per chunk string, occurrences counted per hash, every
     // chunk with count >= 2 removed, document rebuilt in chunk order

@@ -162,6 +162,20 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(out.filter((col("n_kept") === 0) =!= (col("text_clean") === "")).count() == 0)
   }
 
+  test("incremental window dedup == batch dedup restricted to the new docs") {
+    val all = PipelineOps.docs(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("winidx").resolve("i").toString
+    PipelineOps.windowIndexSave(all.filter(col("doc_id") % 2 === 0), k = 8, idx)
+    val incr = PipelineOps.windowDedupIncremental(
+        all.filter(col("doc_id") % 2 === 1), idx, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+    val batch = PipelineOps.windowDedup(all, k = 8)
+      .filter(col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+    assert(incr.toSeq == batch.toSeq)
+    assert(incr.exists(_._4), "fixture should contain cross-batch dups")
+  }
+
   test("lmScore: OOV and reference-mass arithmetic on a hand-computed corpus") {
     import spark.implicits._
     val d = Seq(
