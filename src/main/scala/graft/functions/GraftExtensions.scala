@@ -55,6 +55,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("word_ngrams", 2,
       args => TextFunctions.WordNGrams(args.head, intArg(args(1), "word_ngrams", 1)),
       "word_ngrams(text, n) - distinct word n-gram shingles"),
+    ("word_ngrams_all", 2,
+      args => TextFunctions.WordNGramsAll(args.head, intArg(args(1), "word_ngrams_all", 1)),
+      "word_ngrams_all(text, n) - word n-grams with multiplicity, in order"),
     ("minhash_signature", 3,
       args => TextFunctions.MinHashSignature(args.head,
         intArg(args(1), "minhash_signature", 1), longArg(args(2), "minhash_signature", 2)),

@@ -21,13 +21,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     registerDocs()
     val viaSql = spark.sql(
       """SELECT doc_id, simhash64(text) AS sh, rolling_fingerprint(text) AS fp,
-        |       fnv_mix64(text) AS h, size(word_ngrams(text, 3)) AS n3
+        |       fnv_mix64(text) AS h, size(word_ngrams(text, 3)) AS n3,
+        |       size(word_ngrams_all(text, 2)) AS na
         |FROM documents ORDER BY doc_id""".stripMargin).collect()
     val viaApi = graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"),
         TextFunctions.simhash64(col("text")).as("sh"),
         TextFunctions.rollingFingerprint(col("text")).as("fp"),
         TextFunctions.fnvMix64(col("text")).as("h"),
-        size(TextFunctions.shingles(col("text"), 3)).as("n3"))
+        size(TextFunctions.shingles(col("text"), 3)).as("n3"),
+        size(TextFunctions.ngramsAll(col("text"), 2)).as("na"))
       .orderBy("doc_id").collect()
     assert(viaSql.map(_.toSeq).toSeq === viaApi.map(_.toSeq).toSeq)
   }
