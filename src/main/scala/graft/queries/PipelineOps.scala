@@ -1152,6 +1152,12 @@ object PipelineOps {
         i += 1
       }
     } finally sym.unpersist(false)
+    // partially-propagated labels are WRONG dedup decisions — fail loudly
+    // rather than return them (adversarial long-chain graphs: raise maxIter
+    // or swap the round body for large-star/small-star)
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter exceeds the bound)")
     nodes.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))

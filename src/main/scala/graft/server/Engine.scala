@@ -96,10 +96,28 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
       if (hit != null) { planCacheHits.incrementAndGet(); hit }
       else {
         val df = spark.sql(sql) // analyze outside the lock (it can be slow)
-        planCache.synchronized(planCache.put(sql, df))
+        if (cacheablePlan(df)) planCache.synchronized(planCache.put(sql, df))
         df
       }
     }
+  }
+
+  /** Only pure SELECT-shaped plans enter the cache. Commands (DDL like
+    * CREATE OR REPLACE TEMP VIEW, SET, REFRESH) execute eagerly at analysis
+    * — replaying the cached handle would silently no-op them, and their
+    * side effects can re-resolve any cached view, so a command ALSO clears
+    * the cache. Nondeterministic plans (rand/uuid) stay uncached: the seed
+    * is fixed at analysis, and serving the same "random" rows per request
+    * is a behavior change from the uncached path. */
+  private def cacheablePlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Command
+    val analyzed = df.queryExecution.analyzed
+    val isCommand = analyzed.isInstanceOf[Command] ||
+      analyzed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.CommandResult] ||
+      df.queryExecution.logical.isInstanceOf[Command]
+    if (isCommand) { invalidatePlans(); false }
+    else analyzed.find(_.expressions.exists(e =>
+      e.find(!_.deterministic).isDefined)).isEmpty
   }
 
   private def isIdentChar(c: Char): Boolean =

@@ -10,7 +10,7 @@ import io.netty.channel.nio.NioIoHandler
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioServerSocketChannel
 import io.netty.handler.codec.http.{DefaultFullHttpResponse, FullHttpRequest, HttpMessage, HttpObjectAggregator, HttpResponseStatus, HttpServerCodec, HttpServerUpgradeHandler, HttpVersion}
-import io.netty.handler.codec.http2.{CleartextHttp2ServerUpgradeHandler, DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2CodecUtil, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2ServerUpgradeCodec}
+import io.netty.handler.codec.http2.{CleartextHttp2ServerUpgradeHandler, DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2ResetFrame, Http2CodecUtil, Http2DataFrame, Http2Error, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2ServerUpgradeCodec}
 import io.netty.util.{AsciiString, ReferenceCountUtil}
 
 /** HTTP/2 (h2c) frontend over the same [[Routes]] table as [[HttpApp]].
@@ -47,7 +47,9 @@ final class Http2App(engine: Engine, port: Int = 0) {
       .childHandler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit = {
           val sourceCodec = new HttpServerCodec()
-          val upgrade = new HttpServerUpgradeHandler(sourceCodec, upgradeCodecFactory)
+          // non-zero aggregation bound: an h2c Upgrade whose FIRST request
+          // carries a body (POST /api/sql) must aggregate, not 413
+          val upgrade = new HttpServerUpgradeHandler(sourceCodec, upgradeCodecFactory, 1 << 20)
           ch.pipeline().addLast(
             new CleartextHttp2ServerUpgradeHandler(sourceCodec, upgrade, h2Pipeline()))
           // reached only when neither preface nor Upgrade happened: plain 1.1
@@ -139,11 +141,25 @@ final class Http2App(engine: Engine, port: Int = 0) {
               val out = new java.io.BufferedOutputStream(new java.io.OutputStream {
                 override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
                 override def write(b: Array[Byte], off: Int, len: Int): Unit =
-                  if (len > 0) ch.writeAndFlush(new DefaultHttp2DataFrame(
-                    Unpooled.wrappedBuffer(java.util.Arrays.copyOfRange(b, off, off + len)), false))
+                  if (len > 0) {
+                    val f = ch.writeAndFlush(new DefaultHttp2DataFrame(
+                      Unpooled.wrappedBuffer(java.util.Arrays.copyOfRange(b, off, off + len)), false))
+                    // backpressure: once the h2 flow-control window (or the
+                    // socket) is saturated, block THIS worker on the pending
+                    // write instead of queueing the whole export on heap
+                    if (!ch.isWritable) f.awaitUninterruptibly(30000)
+                  }
               }, 64 * 1024)
-              try { write(out); out.flush() } finally {
+              try {
+                write(out); out.flush()
                 ch.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.EMPTY_BUFFER, true))
+              } catch {
+                case e: Throwable =>
+                  // mid-stream failure AFTER a 200 + partial DATA: reset the
+                  // stream so the client sees truncation — an endStream here
+                  // would bless the partial body as a complete response
+                  ch.writeAndFlush(new DefaultHttp2ResetFrame(Http2Error.INTERNAL_ERROR))
+                  System.err.println(s"[h2] stream aborted: ${e.getMessage}")
               }
           }
         } catch {
@@ -173,13 +189,21 @@ final class Http2App(engine: Engine, port: Int = 0) {
         Option(msg.headers().get("Accept")), () => bytes)
       val ch = ctx.channel()
       workers.execute(() => {
-        val (status, mime, body) = Routes.handle(engine, req) match {
-          case Routes.Full(s, m, b) => (s, m, b)
-          case Routes.Streamed(m, write) => // 1.1 fallback buffers streamed results
-            val buf = new java.io.ByteArrayOutputStream()
-            write(buf)
-            (200, m, buf.toByteArray)
-        }
+        // a runtime failure must still produce a response — an escaped
+        // exception here would leave the 1.1 client hanging forever
+        val (status, mime, body) =
+          try Routes.handle(engine, req) match {
+            case Routes.Full(s, m, b) => (s, m, b)
+            case Routes.Streamed(m, write) => // 1.1 fallback buffers streamed results
+              val buf = new java.io.ByteArrayOutputStream()
+              write(buf)
+              (200, m, buf.toByteArray)
+          } catch {
+            case e: Throwable =>
+              val err = Routes.errorResponse(
+                Routes.ApiError(500, "internal", String.valueOf(e.getMessage)))
+              (err.status, err.mime, err.body)
+          }
         val resp = new DefaultFullHttpResponse(
           HttpVersion.HTTP_1_1, HttpResponseStatus.valueOf(status),
           Unpooled.wrappedBuffer(body))

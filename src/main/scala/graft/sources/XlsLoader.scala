@@ -221,13 +221,21 @@ object XlsLoader {
   }
 
   /** XLUnicodeString inside a single record (LABEL, FORMAT, STRING). */
-  private def unicodeString(b: ByteBuffer, at: Int): String = {
+  /** XLUnicodeString: cch u16, flags u8 (bit0 wide, bit3 rich runs, bit2
+    * ext), then optional cRun u16 / cbExtRst u32 headers BEFORE the
+    * characters — same layout [[parseSst]] walks; ignoring the rich/ext
+    * headers would read run counts as character bytes. */
+  private[sources] def unicodeString(b: ByteBuffer, at: Int): String = {
     val cch = b.getShort(at) & 0xFFFF
-    val wide = (b.get(at + 2) & 1) != 0
-    if (wide) new String(b.array(), at + 3, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    val flags = b.get(at + 2) & 0xFF
+    val wide = (flags & 1) != 0
+    var p = at + 3
+    if ((flags & 0x08) != 0) p += 2 // cRun (rich formatting run count)
+    if ((flags & 0x04) != 0) p += 4 // cbExtRst (phonetic/ext block size)
+    if (wide) new String(b.array(), p, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
     else {
       val sb = new java.lang.StringBuilder(cch)
-      (0 until cch).foreach(i => sb.append((b.get(at + 3 + i) & 0xFF).toChar))
+      (0 until cch).foreach(i => sb.append((b.get(p + i) & 0xFF).toChar))
       sb.toString
     }
   }

@@ -162,6 +162,17 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(out.filter((col("n_kept") === 0) =!= (col("text_clean") === "")).count() == 0)
   }
 
+  test("connectedComponents fails loudly when the iteration bound is too small") {
+    import spark.implicits._
+    // a 5-node path needs ~4 rounds; bound of 1 must raise, not mislabel
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps.connectedComponents(edges, nodes, maxIter = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("incremental window dedup == batch dedup restricted to the new docs") {
     val all = PipelineOps.docs(spark, sfDir)
     val idx = java.nio.file.Files.createTempDirectory("winidx").resolve("i").toString

@@ -41,6 +41,15 @@ class Http2AppSpec extends SparkSpec {
     assert(r.body() === "\"0.1.0\"")
   }
 
+  test("POST with a body as the FIRST request on a fresh connection succeeds") {
+    // the h2c Upgrade request itself carries the SQL body here — a
+    // zero-length aggregation bound would 413 it (review finding)
+    val c = client(HttpClient.Version.HTTP_2)
+    val r = postSql(c, app.boundPort, "SELECT count(*) AS n FROM h2_region")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"n\":5"))
+  }
+
   test("POST /api/sql over an established h2 connection matches the 1.1 body") {
     val c = client(HttpClient.Version.HTTP_2)
     get(c, app.boundPort, "/health") // upgrade happens here; the pool reuses h2

@@ -44,6 +44,27 @@ class PlanCacheSpec extends SparkSpec {
     intercept[Exception](e.querySql(sql).collect())
   }
 
+  test("SQL-level DDL is never cached and clears the cache (no stale views)") {
+    val e = newEngine()
+    e.querySql("CREATE OR REPLACE TEMP VIEW pc_ddl AS SELECT 1 AS x")
+    assert(e.querySql("SELECT x FROM pc_ddl").head().getInt(0) === 1)
+    // the replace must not be swallowed by a cache hit, and the cached
+    // SELECT must not keep serving the first view definition
+    e.querySql("CREATE OR REPLACE TEMP VIEW pc_ddl AS SELECT 2 AS x")
+    assert(e.querySql("SELECT x FROM pc_ddl").head().getInt(0) === 2)
+  }
+
+  test("nondeterministic queries bypass the cache (fresh seed per request)") {
+    val e = newEngine()
+    val sql = "SELECT rand() AS r FROM pc_region LIMIT 1"
+    val a = e.querySql(sql)
+    val b = e.querySql(sql)
+    assert(!(a eq b), "rand() query must not return the cached instance")
+    // deterministic queries still cache around it
+    val s2 = "SELECT r_regionkey FROM pc_region ORDER BY r_regionkey"
+    assert(e.querySql(s2) eq e.querySql(s2))
+  }
+
   test("information_schema queries bypass the cache (snapshot-per-call)") {
     val e = newEngine(readOnly = false)
     val sql = "SELECT count(*) AS n FROM information_schema.tables"

@@ -296,6 +296,20 @@ class XlsLoaderSpec extends AnyFunSuite {
       ("pad_000", "pad_449")))
   }
 
+  test("unicodeString skips rich-run and ext headers before the characters") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def buf(bytes: Array[Byte]) = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // plain narrow: cch=2, flags=0, "hi"
+    assert(XlsLoader.unicodeString(buf(Array[Byte](2, 0, 0, 'h', 'i')), 0) === "hi")
+    // rich narrow: flags bit3 -> cRun u16 BEFORE chars; runs after are ignored
+    val rich = Array[Byte](2, 0, 0x08, 1, 0, 'h', 'i', /*run*/ 0, 0, 0, 0)
+    assert(XlsLoader.unicodeString(buf(rich), 0) === "hi")
+    // rich + ext wide: flags bits 0|3|2 -> cRun u16 + cbExtRst u32 then UTF-16LE
+    val richExtWide = Array[Byte](2, 0, 0x0D, 1, 0, 4, 0, 0, 0,
+      'h', 0, 'i', 0, /*run*/ 0, 0, 0, 0, /*ext*/ 1, 2, 3, 4)
+    assert(XlsLoader.unicodeString(buf(richExtWide), 0) === "hi")
+  }
+
   test("non-CFB bytes and pre-BIFF8 streams are rejected loudly") {
     val junk = Paths.get(tmp, "junk.xls")
     Files.write(junk, "not a workbook at all, just text".getBytes(US_ASCII))
