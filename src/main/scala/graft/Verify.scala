@@ -11,6 +11,13 @@ object Verify {
     // SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts the dump (focused local checks)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly — an empty dump + empty oracle json
+    // reads as a CLEAN run to the downstream checker
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

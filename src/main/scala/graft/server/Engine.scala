@@ -78,7 +78,13 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
     }
   /** Spec hook: how many querySql calls reused a cached plan. */
   private[server] val planCacheHits = new java.util.concurrent.atomic.AtomicLong(0)
-  private def invalidatePlans(): Unit = planCache.synchronized(planCache.clear())
+  private def invalidatePlans(): Unit = {
+    planCache.synchronized(planCache.clear())
+    // the pipeline operators' pooled intermediates (postings, signatures)
+    // are corpus-scoped: a registry change can orphan them, and a long-lived
+    // server must not let dead caches squeeze executor memory
+    graft.queries.PipelineOps.releasePlanCaches()
+  }
 
   /** SQL entry. `information_schema.tables` / `.columns` are served like the
     * reference's DataFusion `with_information_schema(true)` catalog
