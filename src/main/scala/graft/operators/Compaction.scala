@@ -24,17 +24,26 @@ object Compaction {
               targetBytes: Long = 128L << 20): Stats = {
     require(targetBytes > 0, "targetBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(inDir).getFileSystem(conf)
     // recursive: streaming sinks and hive-partitioned layouts nest their
     // files (date=.../part-*.parquet); the read below handles those too.
     // NOTE a partitioned input is rewritten FLAT — partition-column values
     // survive as ordinary columns, the directory layout does not.
     def parquetFiles(dir: String): Seq[(String, Long)] = {
-      val it = fs.listFiles(new Path(dir), true)
+      val root = new Path(dir)
+      val fs = root.getFileSystem(conf) // per-dir: in and out may be different filesystems
+      val rootUri = fs.makeQualified(root).toUri
+      // skip hidden segments (_temporary/, .staging/, _SUCCESS-adjacent
+      // dirs): spark.read ignores them, so measuring them would size the
+      // rewrite against bytes the rewrite never reads
+      def hidden(p: Path): Boolean = {
+        val rel = rootUri.relativize(fs.makeQualified(p).toUri).getPath
+        rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      }
+      val it = fs.listFiles(root, true)
       val acc = Seq.newBuilder[(String, Long)]
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (s.isFile && s.getPath.getName.endsWith(".parquet") && !hidden(s.getPath))
           acc += s.getPath.toString -> s.getLen
       }
       acc.result()

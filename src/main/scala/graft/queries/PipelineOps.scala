@@ -26,6 +26,13 @@ object PipelineOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Process-stable scratch dir for the incremental-dedup catalog query. */
+  private lazy val winIdxScratch: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_winidx")
+    d.toFile.deleteOnExit()
+    d.resolve("idx").toString
+  }
+
   private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
   private[queries] def embs(spark: SparkSession, dir: String): DataFrame =
@@ -252,10 +259,10 @@ object PipelineOps {
     // indistinguishable from having processed everything at once.
     "doc_window_dedup_incr" -> ((spark, dir) => {
       val all = docs(spark, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft_winidx")
-        .resolve("idx").toString
-      windowIndexSave(all.filter(col("doc_id") % 2 === 0), k = 8, idx)
-      windowDedupIncremental(all.filter(col("doc_id") % 2 === 1), idx, k = 8)
+      // one scratch dir per JVM, overwritten per call — repeated bench/
+      // verify invocations must not leak an index dir per run
+      windowIndexSave(all.filter(col("doc_id") % 2 === 0), k = 8, winIdxScratch)
+      windowDedupIncremental(all.filter(col("doc_id") % 2 === 1), winIdxScratch, k = 8)
     }),
 
     // CCNet-style paragraph dedup: remove EVERY occurrence of any paragraph
@@ -658,6 +665,18 @@ object PipelineOps {
   }
 
   /** Unpersist every pooled similarity-plan cache (safe at any time). */
+  /** Drop one pooled cache deterministically (plan lost a selection, loop
+    * finished): unpersists AND frees its deque slot, so the pool never
+    * evicts a LIVE cache early on account of a dead handle. */
+  private def releaseCache(df: DataFrame): Unit = cachePool.synchronized {
+    val it = cachePool.iterator()
+    while (it.hasNext) {
+      if (it.next().queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        it.remove()
+    }
+    df.unpersist(false)
+  }
+
   def releasePlanCaches(): Unit = cachePool.synchronized {
     while (!cachePool.isEmpty) cachePool.removeFirst().unpersist(false)
   }
@@ -672,12 +691,18 @@ object PipelineOps {
     * shuffle longs, never window text — at 100 TB the postings exchange is
     * 12 bytes/window instead of ~60. Returns one row per doc:
     * (doc_id, n_windows, dup_of = min earlier owner or null, is_dup). */
+  /** The ONE window-hash recipe: (doc_id, wh) postings over the distinct
+    * k-token windows. windowDedup, windowIndexSave, and
+    * windowDedupIncremental must stay bit-identical on this projection —
+    * the incremental==batch oracle equivalence depends on it. */
+  private def windowHashes(d: DataFrame, k: Int): DataFrame =
+    d.select(col("doc_id"), explode(shingles(col("text"), k)).as("w"))
+      .select(col("doc_id"), fnvMix64(col("w")).as("wh"))
+
   def windowDedup(d: DataFrame, k: Int): DataFrame = {
     // pooled cache: window postings feed BOTH the min-owner aggregate and
     // the owner re-join — uncached the corpus re-tokenizes per consumer
-    val win = registerCache(d.select(col("doc_id"),
-      explode(shingles(col("text"), k)).as("w"))
-      .select(col("doc_id"), fnvMix64(col("w")).as("wh")))
+    val win = registerCache(windowHashes(d, k))
     val owner = win.groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
     val dupOf = win.join(owner, "wh")
       .filter(col("owner") < col("doc_id"))
@@ -695,8 +720,7 @@ object PipelineOps {
     * incremental dedup needs from all prior batches, WITHOUT keeping their
     * text. Size is bounded by distinct windows, not corpus bytes. */
   def windowIndexSave(d: DataFrame, k: Int, dir: String): Unit =
-    d.select(col("doc_id"), explode(shingles(col("text"), k)).as("w"))
-      .select(col("doc_id"), fnvMix64(col("w")).as("wh"))
+    windowHashes(d, k)
       .groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
       .write.mode("overwrite").parquet(dir)
 
@@ -710,9 +734,7 @@ object PipelineOps {
   def windowDedupIncremental(newDocs: DataFrame, indexDir: String, k: Int): DataFrame = {
     val spark = newDocs.sparkSession
     val index = spark.read.parquet(indexDir)
-    val win = registerCache(newDocs
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("w"))
-      .select(col("doc_id"), fnvMix64(col("w")).as("wh")))
+    val win = registerCache(windowHashes(newDocs, k))
     // min owner per window across history AND this batch
     val owner = win.groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
       .unionByName(index)
@@ -1282,8 +1304,8 @@ object PipelineOps {
         ("prefix", verifyPairs(d, pairCandidates(prefix), threshold))
       else {
         // the prefix plan lost the selection: its measured cache would sit
-        // unread in the pool until eviction — drop it now
-        prefix.unpersist(false)
+        // unread in the pool until eviction — drop cache AND pool slot now
+        releaseCache(prefix)
         if (bitsetOk) exact
         else ("minhash-lsh", minhashLshJoin(d, threshold))
       }

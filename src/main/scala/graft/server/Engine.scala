@@ -39,7 +39,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
     cancelRefresh(src.name)
     Loaders.register(spark, src)
     tables.put(src.name, src)
-    invalidatePlans()
+    invalidatePlansAndPools()
     src.reloadIntervalSec.foreach { sec =>
       val task = scheduler.scheduleAtFixedRate(
         () =>
@@ -55,7 +55,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
     cancelRefresh(name)
     tables.remove(name)
     spark.catalog.dropTempView(name)
-    invalidatePlans()
+    invalidatePlansAndPools()
   }
 
   def tableNames: Seq[String] = tables.keys.asScala.toSeq.sorted
@@ -78,11 +78,20 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
     }
   /** Spec hook: how many querySql calls reused a cached plan. */
   private[server] val planCacheHits = new java.util.concurrent.atomic.AtomicLong(0)
-  private def invalidatePlans(): Unit = {
-    planCache.synchronized(planCache.clear())
-    // the pipeline operators' pooled intermediates (postings, signatures)
-    // are corpus-scoped: a registry change can orphan them, and a long-lived
-    // server must not let dead caches squeeze executor memory
+  // epoch fences the analyze-outside-the-lock window: a DDL/registry clear
+  // bumps it, and a concurrent put whose analysis STARTED before the clear
+  // is dropped instead of inserting a permanently stale plan
+  private val planEpoch = new java.util.concurrent.atomic.AtomicLong(0)
+  private def invalidatePlans(): Unit = planCache.synchronized {
+    planEpoch.incrementAndGet()
+    planCache.clear()
+  }
+  /** Registry changes additionally orphan the pipeline operators' pooled
+    * corpus intermediates (postings, signatures) — release those too. NOT
+    * called per command/refresh tick: a client spamming SET/EXPLAIN must
+    * not thrash corpus caches out from under running similarity queries. */
+  private def invalidatePlansAndPools(): Unit = {
+    invalidatePlans()
     graft.queries.PipelineOps.releasePlanCaches()
   }
 
@@ -101,8 +110,11 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
       val hit = planCache.synchronized(planCache.get(sql))
       if (hit != null) { planCacheHits.incrementAndGet(); hit }
       else {
+        val epoch = planEpoch.get()
         val df = spark.sql(sql) // analyze outside the lock (it can be slow)
-        if (cacheablePlan(df)) planCache.synchronized(planCache.put(sql, df))
+        if (cacheablePlan(df)) planCache.synchronized {
+          if (planEpoch.get() == epoch) planCache.put(sql, df)
+        }
         df
       }
     }
@@ -116,6 +128,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
     * is fixed at analysis, and serving the same "random" rows per request
     * is a behavior change from the uncached path. */
   private def cacheablePlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
     import org.apache.spark.sql.catalyst.plans.logical.Command
     val analyzed = df.queryExecution.analyzed
     val isCommand = analyzed.isInstanceOf[Command] ||
@@ -123,7 +136,13 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
       df.queryExecution.logical.isInstanceOf[Command]
     if (isCommand) { invalidatePlans(); false }
     else analyzed.find(_.expressions.exists(e =>
-      e.find(!_.deterministic).isDefined)).isEmpty
+      e.find {
+        // time-valued functions report deterministic=true but freeze at the
+        // plan's first optimization — caching would serve the first
+        // request's wall clock forever (same class as the rand() seed)
+        case _: CurrentTimestamp | _: CurrentDate | _: Now | _: LocalTimestamp => true
+        case other => !other.deterministic
+      }.isDefined)).isEmpty
   }
 
   private def isIdentChar(c: Char): Boolean =

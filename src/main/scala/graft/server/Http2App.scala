@@ -146,8 +146,15 @@ final class Http2App(engine: Engine, port: Int = 0) {
                       Unpooled.wrappedBuffer(java.util.Arrays.copyOfRange(b, off, off + len)), false))
                     // backpressure: once the h2 flow-control window (or the
                     // socket) is saturated, block THIS worker on the pending
-                    // write instead of queueing the whole export on heap
-                    if (!ch.isWritable) f.awaitUninterruptibly(30000)
+                    // write — and ABORT the stream if the client stays
+                    // stalled past the deadline, so a dead reader neither
+                    // queues the export on heap nor pins the worker forever
+                    if (!ch.isWritable) {
+                      val done = f.awaitUninterruptibly(30000)
+                      if (!done || !f.isSuccess)
+                        throw new java.io.IOException(
+                          if (done) s"h2 write failed: ${f.cause}" else "h2 client stalled >30s")
+                    }
                   }
               }, 64 * 1024)
               try {
