@@ -715,6 +715,79 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus curation — the composition the individual operators
+    * exist for, in the order production pipelines run them (C4/CCNet/Lee et
+    * al.): quality gate → boilerplate (paragraph) removal → near-duplicate
+    * clustering (keep each cluster's representative) → benchmark
+    * decontamination → source mixture → deterministic shuffle + token-budget
+    * shard assignment. Pure composition of the existing operators: every
+    * stage keeps its own scale shape (hash-keyed shuffles, broadcast probe
+    * sets, no global sorts).
+    *
+    * `d`: (doc_id, text, lang, source). `probeNgrams`: (shingle) benchmark
+    * n-grams to exclude. Returns surviving docs as
+    * (doc_id, text_clean, lang, source, n_tokens, shard_id, pos_in_shard). */
+  def curate(d: DataFrame, probeNgrams: DataFrame,
+             minTokens: Long = 16, paragraphK: Int = 10,
+             nearDupThreshold: Double = 0.3,
+             mixRates: Map[String, Double] = Map.empty,
+             defaultRate: Double = 1.0,
+             shardTokens: Long = 4096L): DataFrame = {
+    // 1. quality gate: a pure filter (C4-style minimum length)
+    val quality = d.filter(tokenCount(col("text")) >= minTokens)
+    // 2. boilerplate removal: rebuild text without cross-corpus duplicated
+    // paragraphs; drop docs whose text vanished entirely
+    val cleaned = paragraphDedup(quality, paragraphK, minDup = 2)
+      .filter(col("n_kept") > 0)
+      .join(quality.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("doc_id"), col("text_clean"), col("lang"), col("source"))
+    // 3. near-dup clustering on the cleaned text: keep cluster representatives
+    val sh = cleaned.select(col("doc_id"), shingles(col("text_clean"), 3).as("sh"))
+    val edges = minhashLshJoin(sh, nearDupThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val reps = connectedComponents(edges, cleaned.select(col("doc_id")))
+      .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
+    val deduped = cleaned.join(reps, "doc_id")
+    // 4. decontamination: drop docs sharing any probe n-gram
+    val inv = deduped.select(col("doc_id"),
+      explode(shingles(col("text_clean"), 3)).as("shingle"))
+    val contaminated = decontaminate(inv, probeNgrams).select(col("doc_id"))
+    val decon = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. mixture: per-source deterministic keep rates
+    val h = fnvMix64(concat(lit("mix-42-"), col("doc_id").cast("string")))
+    val mixed = mixtureSample(decon.withColumn("graft_mix_h", h),
+      mixRates, defaultRate, sourceCol = "source", hashCol = "graft_mix_h")
+      .drop("graft_mix_h")
+    // 6. deterministic shuffle order, then contiguous token-budget shards
+    // over that order (the same two-level prefix sum as doc_pack, keyed by
+    // the shuffle rank instead of doc_id)
+    val sk = shiftrightunsigned(fnvMix64(
+      concat(lit("shuf-42-"), col("doc_id").cast("string"))), 11)
+    val shuffled = mixed
+      .withColumn("n_tokens", tokenCount(col("text_clean")))
+      .withColumn("graft_sk", sk)
+    val blocked = registerCache(shuffled.withColumn("graft_blk",
+      shiftrightunsigned(col("graft_sk"), 45))) // ~256 coarse ordered blocks
+    val off = blocked.groupBy(col("graft_blk"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("graft_blk")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("graft_blk"), col("boff"))
+    val wIn = Window.partitionBy(col("graft_blk"))
+      .orderBy(col("graft_sk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked
+      .withColumn("graft_within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(off), "graft_blk")
+      .withColumn("shard_id", expr(s"(boff + graft_within) div $shardTokens"))
+      .withColumn("pos_in_shard", row_number().over(
+        Window.partitionBy(col("shard_id"))
+          .orderBy(col("graft_sk"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("text_clean"), col("lang"), col("source"),
+        col("n_tokens"), col("shard_id"), col("pos_in_shard"))
+  }
+
   /** Persist [[windowDedup]]'s window index: one (wh, owner) row per
     * distinct window hash, owner = min doc_id seen — the state a daily
     * incremental dedup needs from all prior batches, WITHOUT keeping their

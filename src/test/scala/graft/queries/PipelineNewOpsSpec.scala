@@ -162,6 +162,42 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(out.filter((col("n_kept") === 0) =!= (col("text_clean") === "")).count() == 0)
   }
 
+  test("curate: end-to-end composition holds every stage's invariant") {
+    import spark.implicits._
+    val docs = PipelineOps.docs(spark, sfDir)
+    val probes = docs.filter(col("doc_id") < 3)
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val out = PipelineOps.curate(docs, probes,
+      minTokens = 16, nearDupThreshold = 0.3, shardTokens = 256).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length < docs.count())
+    // survivors are real input docs above the token gate
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(docs.select("doc_id").collect().map(_.getLong(0)).toSet))
+    // no surviving pair is a near-dup under the same deterministic LSH
+    val sh = out.select(col("doc_id"),
+      graft.functions.TextFunctions.shingles(col("text_clean"), 3).as("sh"))
+    assert(PipelineOps.minhashLshJoin(sh, 0.3).count() === 0)
+    // no survivor shares a probe n-gram
+    val inv = out.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(col("text_clean"), 3)).as("shingle"))
+    assert(inv.join(probes, "shingle").count() === 0)
+    // shard structure: contiguous positions, shard ids dense from 0
+    val byShard = rows.groupBy(_.getLong(5))
+    assert(byShard.keySet == (0L until byShard.size).toSet)
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(6)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // token budget: every shard except possibly the last stays under
+    // budget + one straddling doc
+    val maxDoc = rows.map(_.getLong(4)).max
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(4)).sum <= 256 + maxDoc)
+    }
+    out.unpersist()
+  }
+
   test("connectedComponents fails loudly when the iteration bound is too small") {
     import spark.implicits._
     // a 5-node path needs ~4 rounds; bound of 1 must raise, not mislabel
