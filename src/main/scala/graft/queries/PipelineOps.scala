@@ -465,6 +465,10 @@ object PipelineOps {
         .orderBy(col("shard_id"), col("pos_in_shard"))
     }),
 
+    // Gram matrix of the embedding corpus (covariance/PCA prep): one pass,
+    // per-partition decimal-exact accumulation — order-free distributed sum
+    "emb_gram" -> ((spark, dir) => gramMatrix(embs(spark, dir), dim = 64)),
+
     // semantic decontamination: drop/flag corpus vectors too close (cosine)
     // to a broadcast probe set — the embedding-space analog of the n-gram
     // doc_decontaminate. Probes broadcast, corpus streams (no shuffle), the
@@ -714,6 +718,78 @@ object PipelineOps {
         col("dup_of").isNotNull.as("is_dup"))
       .orderBy(col("doc_id"))
   }
+
+  /** Distributed Gram matrix (upper triangle of XᵀX) over the embedding
+    * corpus — the covariance/PCA building block. mapPartitions accumulates
+    * the dim·(dim+1)/2 cells per partition (deliberate: a positional
+    * self-join explodes dim² rows per VECTOR — 4096× blowup — where this
+    * touches each vector once and shuffles only #partitions × 2080 partial
+    * cells). Exactness: each double product converts through its SHORTEST
+    * decimal representation (what double→string prints on every engine —
+    * lossless at scale 30 for float products), then every addition is
+    * exact decimal — the distributed sum is ORDER-FREE, so the result is
+    * bit-reproducible at any partitioning and the DuckDB oracle matches
+    * despite floating summation being order-dependent. (Engines' direct
+    * double→decimal CASTs disagree in the last digits — they scale in
+    * double arithmetic — so both sides route via the string form.)
+    * Returns (i, j, gram) for j >= i. */
+  def gramMatrix(e: DataFrame, dim: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val nCells = dim * (dim + 1) / 2
+    val partials = e.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val acc = Array.fill(nCells)(java.math.BigDecimal.ZERO)
+        var any = false
+        it.foreach { v =>
+          any = true
+          var i = 0
+          var k = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            var j = i
+            while (j < dim) {
+              // shortest-repr parse == java.math.BigDecimal.valueOf: the
+              // decimal value every engine's double→string prints
+              acc(k) = acc(k).add(java.math.BigDecimal.valueOf(xi * v(j).toDouble))
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        // plain strings: the default BigDecimal encoder is decimal(38,18)
+        // and would silently truncate the exact partials
+        else Iterator.range(0, nCells).map(k => (k, acc(k).toPlainString))
+      }
+      .toDF("k", "partial")
+    partials
+      .groupBy(col("k"))
+      .agg(sum(col("partial").cast("decimal(38,30)")).as("s"))
+      // the gram stays an EXACT decimal: a final →double cast would re-open
+      // the engine-specific division the string routing just closed
+      .select(col("k"), col("s").as("gram"))
+      .withColumn("i", cellRow(col("k"), dim))
+      .withColumn("j", col("k") - cellBase(col("i"), dim))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("gram"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Row index of upper-triangle cell k (row-major, j >= i). */
+  private def cellRow(k: Column, dim: Int): Column = {
+    // i is the largest row whose base offset <= k
+    (0 until dim).foldLeft(lit(0)) { (acc, i) =>
+      when(k >= lit(i * dim - i * (i - 1) / 2), lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Base offset of row i in the packed upper triangle, minus i (so that
+    * k - base == j). */
+  private def cellBase(i: Column, dim: Int): Column =
+    (0 until dim).foldLeft(lit(0)) { (acc, r) =>
+      when(i === r, lit(r * dim - r * (r - 1) / 2 - r)).otherwise(acc)
+    }
 
   /** End-to-end corpus curation — the composition the individual operators
     * exist for, in the order production pipelines run them (C4/CCNet/Lee et
@@ -1773,6 +1849,17 @@ object PipelineOps {
         |SELECT doc_id, sort_key, shard_id,
         |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
         |FROM k ORDER BY shard_id, pos_in_shard""".stripMargin),
+    // Gram matrix: products go through their shortest decimal repr (the
+    // VARCHAR round-trip — direct double→DECIMAL casts scale in double
+    // arithmetic and disagree in the last digits), then exact decimal sums
+    // — order-free, so the distributed aggregate matches bit-for-bit
+    "emb_gram" ->
+      """SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+        |  SUM(CAST(CAST(CAST(e.embedding[i.i+1] AS DOUBLE) * CAST(e.embedding[j.j+1] AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30))) AS gram
+        |FROM embeddings e, range(0, 64) i(i), range(0, 64) j(j)
+        |WHERE j.j >= i.i
+        |GROUP BY i.i, j.j
+        |ORDER BY i, j""".stripMargin,
     // semantic decontamination: cosine vs the first-20 probe set with the
     // exact dot/norm fold order of the Scala expressions
     "emb_decontaminate" ->

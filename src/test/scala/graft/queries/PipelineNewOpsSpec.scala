@@ -162,6 +162,24 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(out.filter((col("n_kept") === 0) =!= (col("text_clean") === "")).count() == 0)
   }
 
+  test("gramMatrix: partitioning-invariant exact decimals, agrees with brute force") {
+    val e = PipelineOps.embs(spark, sfDir)
+    val a = PipelineOps.gramMatrix(e, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    // ORDER-FREE: a different partitioning must give bit-identical decimals
+    val b = PipelineOps.gramMatrix(e.repartition(7), dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    assert(a == b, "gram must not depend on partitioning")
+    assert(a.size == 64 * 65 / 2)
+    // numeric agreement with a driver-side double computation
+    val vecs = e.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (((i, j), d) <- a.toSeq.sortBy(_._1).take(200)) {
+      val brute = vecs.map(v => v(i.toInt) * v(j.toInt)).sum
+      assert(math.abs(d.doubleValue() - brute) < 1e-9, s"cell ($i,$j)")
+    }
+  }
+
   test("curate: end-to-end composition holds every stage's invariant") {
     import spark.implicits._
     val docs = PipelineOps.docs(spark, sfDir)
