@@ -41,6 +41,26 @@ object VectorFunctions {
 
   /** Squared L2 distance to each centroid, one pass over the vector per
     * centroid, fold order identical to `aggregate(zip_with(...))`. */
+  /** Per-row dots against k fixed weight vectors (PCA projection, linear
+    * probes): out(c) = Σ_i v(i)·w_c(i), left-to-right fold. */
+  def weightDotsOf(v: ArrayData, ws: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Any](ws.length)
+    var c = 0
+    while (c < ws.length) {
+      val w = ws(c)
+      val n = math.min(v.numElements(), w.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getFloat(i).toDouble * w(i)
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def sqDistsOf(v: ArrayData, cents: Array[Array[Double]]): ArrayData = {
     val out = new Array[Any](cents.length)
     var c = 0
@@ -137,6 +157,20 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** array of dots against k fixed weight vectors (PCA projection). */
+  case class WeightDots(child: Expression, ws: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = weightDotsOf(a.asInstanceOf[ArrayData], ws)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ws", ws, "double[][]")
+      defineCodeGen(ctx, ev,
+        a => s"graft.functions.VectorFunctions.weightDotsOf($a, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): WeightDots =
+      copy(child = c)
+  }
+
   /** Bit ids -> fixed-width bitset (array<long>). */
   case class BitsetFromIds(child: Expression, nWords: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
@@ -186,6 +220,8 @@ object VectorFunctions {
     GraftColumnBridge.column(L2Norm(toExpr(c)))
   def centroidSqDists(v: Column, cents: Seq[Array[Double]]): Column =
     GraftColumnBridge.column(CentroidSqDists(toExpr(v), cents.toArray))
+  def weightDots(v: Column, ws: Seq[Array[Double]]): Column =
+    GraftColumnBridge.column(WeightDots(toExpr(v), ws.toArray))
   def signLshBucket(v: Column, weights: Array[Array[Double]]): Column =
     GraftColumnBridge.column(SignLshBucket(toExpr(v), weights))
   def bitsetFromIds(ids: Column, nWords: Int): Column =

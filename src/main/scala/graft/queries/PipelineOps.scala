@@ -791,6 +791,78 @@ object PipelineOps {
       when(i === r, lit(r * dim - r * (r - 1) / 2 - r)).otherwise(acc)
     }
 
+  /** Top-k spectral basis of a [[gramMatrix]] result — the offline half of
+    * PCA-style dimensionality reduction (uncentered: the Gram spectral
+    * basis; center the corpus first if mean-removal matters). Runs on the
+    * driver: the matrix is dim×dim (a few KB) regardless of corpus size —
+    * the same train/serve split as [[ivfTrain]]. Cyclic Jacobi with a fixed
+    * sweep order, so the basis is deterministic run-to-run. Returns the k
+    * eigenvectors of largest eigenvalue (sign fixed: first nonzero
+    * component positive). */
+  def pcaBasis(gram: DataFrame, dim: Int, k: Int): Seq[Array[Double]] = {
+    require(k >= 1 && k <= dim)
+    val a = Array.ofDim[Double](dim, dim)
+    gram.collect().foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val v = r.getDecimal(2).doubleValue()
+      a(i)(j) = v; a(j)(i) = v
+    }
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < dim) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < dim) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i)).take(k)
+    order.map { col =>
+      val vec = Array.tabulate(dim)(i => v(i)(col))
+      val lead = vec.indexWhere(math.abs(_) > 1e-12)
+      if (lead >= 0 && vec(lead) < 0) vec.map(-_) else vec
+    }
+  }
+
+  /** Serving half: project every embedding onto the basis — a pure
+    * codegen'd projection (the basis rides into generated code as a
+    * reference object, like IVF's centroids), zero shuffle at any scale.
+    * Returns (vec_id, proj: array<double> of length k). */
+  def pcaProject(e: DataFrame, basis: Seq[Array[Double]]): DataFrame =
+    e.select(col("vec_id"),
+      graft.functions.VectorFunctions.weightDots(col("embedding"), basis).as("proj"))
+
   /** End-to-end corpus curation — the composition the individual operators
     * exist for, in the order production pipelines run them (C4/CCNet/Lee et
     * al.): quality gate → boilerplate (paragraph) removal → near-duplicate

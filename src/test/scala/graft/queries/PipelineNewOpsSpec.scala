@@ -180,6 +180,53 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaBasis: orthonormal eigenbasis of the gram, descending, deterministic") {
+    val e = PipelineOps.embs(spark, sfDir)
+    val gram = PipelineOps.gramMatrix(e, dim = 64)
+    val basis = PipelineOps.pcaBasis(gram, dim = 64, k = 8)
+    assert(basis.length == 8 && basis.forall(_.length == 64))
+    // orthonormality
+    for (i <- basis.indices; j <- i until basis.length) {
+      val d = basis(i).zip(basis(j)).map { case (x, y) => x * y }.sum
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9)
+      else assert(math.abs(d) < 1e-9, s"basis $i,$j not orthogonal")
+    }
+    // true eigenvectors of G: residual ||G v - λ v|| ~ 0, λ descending > 0
+    val g = Array.ofDim[Double](64, 64)
+    gram.collect().foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val v = r.getDecimal(2).doubleValue(); g(i)(j) = v; g(j)(i) = v
+    }
+    val lams = basis.map { v =>
+      val gv = g.map(row => row.zip(v).map(p => p._1 * p._2).sum)
+      val lam = v.zip(gv).map(p => p._1 * p._2).sum
+      val res = math.sqrt(gv.zip(v).map { case (x, y) =>
+        (x - lam * y) * (x - lam * y) }.sum)
+      assert(res < 1e-6 * math.max(1.0, math.abs(lam)), s"eigen residual $res")
+      lam
+    }
+    assert(lams.zip(lams.tail).forall { case (a, b) => a >= b - 1e-9 })
+    assert(lams.head > 0)
+    // deterministic run-to-run
+    assert(PipelineOps.pcaBasis(gram, 64, 8).map(_.toSeq) == basis.map(_.toSeq))
+  }
+
+  test("pcaProject: codegen'd kernel is bit-identical to the driver-side fold") {
+    val e = PipelineOps.embs(spark, sfDir)
+    val basis = PipelineOps.pcaBasis(PipelineOps.gramMatrix(e, 64), 64, k = 4)
+    val proj = PipelineOps.pcaProject(e, basis).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val expect = basis.map { w =>
+        var s = 0.0; var i = 0
+        while (i < 64) { s += v(i).toDouble * w(i); i += 1 }
+        s
+      }
+      assert(proj(id) == expect.toSeq, s"vec $id projection differs")
+    }
+  }
+
   test("curate: end-to-end composition holds every stage's invariant") {
     import spark.implicits._
     val docs = PipelineOps.docs(spark, sfDir)
