@@ -54,8 +54,30 @@ object Compaction {
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     require(parts <= (1L << 20),
       s"compaction would produce $parts files; raise targetBytes")
-    spark.read.parquet(inDir)
-      .repartition(parts.toInt)
+    // spark.read.parquet only discovers files at the top level and under
+    // hive-style key=value subdirs; files in other nested dirs are counted
+    // by the measurement above but silently absent from the scan — rows
+    // would vanish while Stats reports success. Cross-check the file set
+    // Spark actually plans against the measured list; on mismatch fall
+    // back to recursiveFileLookup (no partition-column inference there,
+    // but a layout the plain read can't cover has none to infer).
+    def normUri(s: String): (String, String, String) = {
+      val u = new Path(s).toUri
+      (Option(u.getScheme).getOrElse("file"),
+        Option(u.getAuthority).getOrElse(""), u.getPath)
+    }
+    val measured = files.map(f => normUri(f._1)).toSet
+    val plain = scala.util.Try(spark.read.parquet(inDir)).toOption
+      .filter(_.inputFiles.iterator.map(normUri).toSet == measured)
+    val df = plain.getOrElse {
+      val rec = spark.read.option("recursiveFileLookup", "true").parquet(inDir)
+      val recSet = rec.inputFiles.iterator.map(normUri).toSet
+      require(recSet == measured,
+        s"compaction scan plans ${recSet.size} files but ${measured.size} were " +
+          s"measured under $inDir — mixed hive/non-hive nesting; clean the layout")
+      rec
+    }
+    df.repartition(parts.toInt)
       .write.mode("overwrite").parquet(outDir)
     Stats(files.length, totalBytes, parquetFiles(outDir).length)
   }

@@ -26,12 +26,28 @@ object PipelineOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Process-stable scratch dir for the incremental-dedup catalog query. */
-  private lazy val winIdxScratch: String = {
+  /** Scratch root for the incremental-dedup catalog query's persisted
+    * index. Each invocation gets its OWN subdir: the returned DataFrame is
+    * lazy, so a shared dir with mode=overwrite would let a second
+    * invocation clobber the index while an earlier plan is still reading
+    * it (served engine, parallel bench). The root is removed recursively
+    * at JVM exit so repeated runs don't accumulate dirs. NOTE this is a
+    * driver-local path — fine in local mode (the only mode the catalog
+    * demo runs in); a real multi-node deployment passes a shared
+    * filesystem path to [[windowIndexSave]]/[[windowDedupIncremental]]
+    * directly. */
+  private lazy val winIdxRoot: java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory("graft_winidx")
-    d.toFile.deleteOnExit()
-    d.resolve("idx").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d
   }
+  private def newWinIdxDir(): String =
+    java.nio.file.Files.createTempDirectory(winIdxRoot, "idx").toString
 
   private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
@@ -259,10 +275,12 @@ object PipelineOps {
     // indistinguishable from having processed everything at once.
     "doc_window_dedup_incr" -> ((spark, dir) => {
       val all = docs(spark, dir)
-      // one scratch dir per JVM, overwritten per call — repeated bench/
-      // verify invocations must not leak an index dir per run
-      windowIndexSave(all.filter(col("doc_id") % 2 === 0), k = 8, winIdxScratch)
-      windowDedupIncremental(all.filter(col("doc_id") % 2 === 1), winIdxScratch, k = 8)
+      // fresh scratch dir per invocation: the result is LAZY, so reusing
+      // one dir would let a later call overwrite the index under an
+      // earlier plan still reading it; the root cleans up at JVM exit
+      val idxDir = newWinIdxDir()
+      windowIndexSave(all.filter(col("doc_id") % 2 === 0), k = 8, idxDir)
+      windowDedupIncremental(all.filter(col("doc_id") % 2 === 1), idxDir, k = 8)
     }),
 
     // CCNet-style paragraph dedup: remove EVERY occurrence of any paragraph

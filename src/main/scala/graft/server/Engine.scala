@@ -135,14 +135,22 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
       analyzed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.CommandResult] ||
       df.queryExecution.logical.isInstanceOf[Command]
     if (isCommand) { invalidatePlans(); false }
-    else analyzed.find(_.expressions.exists(e =>
-      e.find {
-        // time-valued functions report deterministic=true but freeze at the
-        // plan's first optimization — caching would serve the first
-        // request's wall clock forever (same class as the rand() seed)
-        case _: CurrentTimestamp | _: CurrentDate | _: Now | _: LocalTimestamp => true
-        case other => !other.deterministic
-      }.isDefined)).isEmpty
+    else {
+      def bad(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+        e.find {
+          // time-valued functions report deterministic=true but freeze at the
+          // plan's first optimization — caching would serve the first
+          // request's wall clock forever (same class as the rand() seed)
+          case _: CurrentTimestamp | _: CurrentDate | _: Now | _: LocalTimestamp => true
+          case other => !other.deterministic
+        }.isDefined
+      // collectWithSubqueries: Expression.find does not descend into a
+      // SubqueryExpression's inner PLAN, so `WHERE x > (SELECT rand())`
+      // would otherwise cache and replay its frozen seed on every request
+      analyzed.collectWithSubqueries {
+        case p if p.expressions.exists(bad) => p
+      }.isEmpty
+    }
   }
 
   private def isIdentChar(c: Char): Boolean =

@@ -46,6 +46,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(byBucket == Map(0L -> 128L, 1L -> 128L, 2L -> 128L, 3L -> 128L))
   }
 
+  test("non-hive nested dirs compact via recursive fallback, no rows vanish") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact_nest").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // plain spark.read.parquet(in) would silently read only sub-a and
+    // sub-b's files if they were top-level; nested non-hive dirs are
+    // invisible to it — compact must still rewrite every row
+    (1L to 100L).map(i => (i, "a")).toDF("id", "src").coalesce(1)
+      .write.parquet(s"$in/sub-a")
+    (101L to 200L).map(i => (i, "b")).toDF("id", "src").coalesce(1)
+      .write.parquet(s"$in/sub-b")
+    val stats = Compaction.compact(spark, in, out, targetBytes = Long.MaxValue)
+    assert(stats.filesBefore == 2 && stats.filesAfter == 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 20100L)
+  }
+
   test("empty / non-parquet input is a loud error") {
     val e = intercept[IllegalArgumentException] {
       Compaction.compact(spark,

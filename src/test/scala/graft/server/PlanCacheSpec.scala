@@ -65,6 +65,21 @@ class PlanCacheSpec extends SparkSpec {
     assert(e.querySql(s2) eq e.querySql(s2))
   }
 
+  test("nondeterminism inside a subquery also bypasses the cache") {
+    val e = newEngine()
+    // Expression.find does not descend into subquery plans — a regression
+    // here caches the frozen rand() seed and replays it per request
+    val sql = "SELECT r_regionkey FROM pc_region " +
+      "WHERE r_regionkey > (SELECT rand() - 1.0)"
+    val a = e.querySql(sql)
+    val b = e.querySql(sql)
+    assert(!(a eq b), "subquery rand() must not return the cached instance")
+    val tsql = "SELECT r_regionkey FROM pc_region " +
+      "WHERE r_regionkey >= (SELECT min(r_regionkey) FROM pc_region)"
+    assert(e.querySql(tsql) eq e.querySql(tsql),
+      "deterministic subqueries must still cache")
+  }
+
   test("information_schema queries bypass the cache (snapshot-per-call)") {
     val e = newEngine(readOnly = false)
     val sql = "SELECT count(*) AS n FROM information_schema.tables"
