@@ -350,11 +350,15 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
-    // embedding near-dup: cosine >= 0.95 among LSH-bucketed candidates
+    // embedding near-dup: cosine >= 0.95 among LSH-bucketed candidates.
+    // Bucket width is MEASURED, not fixed: one count() picks the smallest
+    // width whose expected occupancy is <= 2, so the within-bucket join
+    // stays linear-ish at any corpus size (a fixed width goes quadratic)
     "dedup_embedding" -> ((spark, dir) => {
       val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-      val sig = e.withColumn("bucket", lshBucket(col("embedding"), 8, dim = 64))
+      val nBits = adaptiveLshBits(e.count(), targetOcc = 2)
+      val sig = e.withColumn("bucket", lshBucket(col("embedding"), nBits, dim = 64))
       val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
         col("embedding").as("v_a"), col("nrm").as("n_a"))
       val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
@@ -383,12 +387,14 @@ object PipelineOps {
       topKPerProbe(scored, 10)
     }),
 
-    // LSH-bucketed ANN (the scale path: only same-bucket candidates scored)
+    // LSH-bucketed ANN (the scale path: only same-bucket candidates scored).
+    // Width measured like dedup_embedding's; ANN tolerates a fuller bucket
+    // (occupancy 32) since each probe scans exactly one bucket
     "ann_lsh_bucketed" -> ((spark, dir) => {
-      val nBits = 4
-      val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
+      val base = embs(spark, dir).select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-        .withColumn("bucket", lshBucket(col("embedding"), nBits, dim = 64))
+      val nBits = adaptiveLshBits(base.count(), targetOcc = 32)
+      val e = base.withColumn("bucket", lshBucket(col("embedding"), nBits, dim = 64))
       val probes = e.filter(col("vec_id") < 5).select(
         col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("nrm").as("q_nrm"), col("bucket"))
@@ -1749,6 +1755,20 @@ object PipelineOps {
   def annIvf(emb: DataFrame, k: Int, nprobe: Int, topK: Int): DataFrame =
     ivfSearch(emb, ivfSeedCentroids(emb, k).toIndexedSeq, nprobe, topK)
 
+  /** Smallest hyperplane count keeping the EXPECTED bucket occupancy
+    * (n / 2^bits) at or under `targetOcc` — the measured-corpus analogue of
+    * [[similarityJoinPlan]]'s density probe. Within-bucket candidate pairs
+    * grow ~occupancy²/2 per bucket, so a fixed width that is fine at fixture
+    * scale goes quadratic at corpus scale; one count() aggregate buys a
+    * width that holds at any n. Integer arithmetic only (no floating log2):
+    * both engines must derive the identical width or the oracle's buckets
+    * diverge — at n = 2^k·targetOcc a float log2 can land on either side of
+    * the boundary depending on the engine's libm. Capped at 30 planes
+    * (bucket ids stay in an int, 10⁹ buckets — past that occupancy grows
+    * but the candidate join is already key-partitioned). */
+  def adaptiveLshBits(n: Long, targetOcc: Long): Int =
+    (1 to 30).find(b => (1L << b) * targetOcc >= n).getOrElse(30)
+
   /** Sign-random-projection LSH bucket id from `nBits` fixed pseudo-random
     * hyperplanes. Plane weights are ±1 from the parity of
     * fnv64("lsh-<bit>-<dim>") — public arithmetic any engine can reproduce
@@ -1799,14 +1819,22 @@ object PipelineOps {
     s"(( ($src % 4294967296) * $clo + " +
       s"((($src % 4294967296) * $chi + ($src // 4294967296) * $clo) % 4294967296) * 4294967296 ) % $M64)"
 
-  private def lshBucketCte(nBits: Int): String = {
+  /** Same adaptive width as [[adaptiveLshBits]], in pure integer SQL:
+    * smallest b in 1..30 with 2^b·targetOcc >= count(*). The weight CTE
+    * generates all 30 planes and keeps b < nbits — planes are corpus-
+    * independent, so the extra rows cost nothing and the width stays a
+    * plain filter. */
+  private def lshBucketCte(targetOcc: Int): String = {
     val M = M64
-    s"""WITH wt0 AS (SELECT b, i, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+    s"""WITH nbv AS (SELECT coalesce(MIN(b), 30) AS nbits FROM range(1, 31) r(b)
+       |  WHERE (CAST(1 AS BIGINT) << b) * $targetOcc >= (SELECT count(*) FROM embeddings)),
+       |wt0 AS (SELECT b, i, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
        |    list_transform(range(1, octet_length(encode('lsh-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))) + 1), fi ->
        |      CAST((strpos('0123456789ABCDEF', substr(hex(encode('lsh-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))), 2*fi-1, 1)) - 1) * 16
        |         + strpos('0123456789ABCDEF', substr(hex(encode('lsh-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))), 2*fi, 1)) - 1 AS HUGEINT))),
        |    (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % $M AS HUGEINT)) AS h
-       |  FROM range(0, $nBits) t(b), range(0, 64) s(i)),
+       |  FROM range(0, 30) t(b), range(0, 64) s(i)
+       |  WHERE t.b < (SELECT nbits FROM nbv)),
        |wt0x AS (SELECT b, i, CAST(xor(h, h // 1073741824) AS HUGEINT) AS z FROM wt0),
        |wt1 AS (SELECT b, i, CAST(${mulc("z", 3210233709L, 484763065L)} AS HUGEINT) AS z FROM wt0x),
        |wt1x AS (SELECT b, i, CAST(xor(z, z // 134217728) AS HUGEINT) AS z FROM wt1),
@@ -2186,7 +2214,7 @@ object PipelineOps {
     // sign-random-projection buckets recomputed from the same FNV+splitmix64
     // hyperplane weights (mulmod-2^64 via 32-bit split), then exact cosine
     "ann_lsh_bucketed" ->
-      (lshBucketCte(4) +
+      (lshBucketCte(targetOcc = 32) +
         """,
           |p AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, bucket FROM bkt WHERE vec_id < 5),
           |s AS (SELECT p.q_id, b.vec_id,
@@ -2231,7 +2259,7 @@ object PipelineOps {
         |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM sc)
         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "dedup_embedding" ->
-      (lshBucketCte(8) +
+      (lshBucketCte(targetOcc = 2) +
         """,
           |pairs AS (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -63,4 +63,48 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(b1.map(_.getLong(0)).toSeq === b2.map(_.getLong(0)).toSeq)
     assert(b1.map(_.getLong(0)).forall(b => b >= 0 && b < 256))
   }
+
+  test("adaptiveLshBits: integer width derivation, engine-agnostic boundaries") {
+    import graft.queries.PipelineOps.adaptiveLshBits
+    // the fixture-scale widths the round-5 queries hardcoded
+    assert(adaptiveLshBits(500, targetOcc = 2) == 8)
+    assert(adaptiveLshBits(500, targetOcc = 32) == 4)
+    // exact powers of two land deterministically (the float-log2 trap)
+    assert(adaptiveLshBits(512, targetOcc = 2) == 8)
+    assert(adaptiveLshBits(513, targetOcc = 2) == 9)
+    // scales with the corpus; capped at 30 planes
+    assert(adaptiveLshBits(1L << 40, targetOcc = 2) == 30)
+    assert(adaptiveLshBits(1, targetOcc = 2) == 1)
+  }
+
+  test("adaptive width bounds bucket occupancy across corpus sizes") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{adaptiveLshBits, lshBucket}
+    // synthetic deterministic corpora at two sizes: occupancy must stay a
+    // CONSTANT as n grows 16x (the round-5 fixed width grew 16x denser)
+    val stats = for (n <- Seq(2000, 32000)) yield {
+      val dim = 16
+      val vecs = (0 until n).map { id =>
+        (id.toLong, Array.tabulate(dim) { i =>
+          val h = graft.functions.TextFunctions.mix64(
+            graft.functions.TextFunctions.fnv64(s"occ-$id-$i"))
+          (h.toFloat / Long.MaxValue.toFloat)
+        }.toSeq)
+      }.toDF("vec_id", "embedding")
+      val bits = adaptiveLshBits(n.toLong, targetOcc = 2)
+      val occ = vecs.select(lshBucket(col("embedding"), bits, dim).as("b"))
+        .groupBy("b").count()
+      val mean = occ.agg(avg("count")).head.getDouble(0)
+      val max = occ.agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+      // mean over OCCUPIED buckets: target·λ/(1-e^-λ) plus LSH clumping —
+      // a small constant, nowhere near the n/2^fixedBits a pinned width gives
+      assert(mean <= 6.0, s"n=$n bits=$bits mean occupancy $mean")
+      assert(max <= 64, s"n=$n bits=$bits max occupancy $max")
+      (n, mean)
+    }
+    // the scale claim itself: 16x the corpus, occupancy within 2x
+    val Seq((_, mSmall), (_, mBig)) = stats
+    assert(mBig <= mSmall * 2.0,
+      s"occupancy grew with the corpus: $mSmall -> $mBig")
+  }
 }
