@@ -504,12 +504,9 @@ object PipelineOps {
     }),
 
     // token-budget shard packing: assign docs (in deterministic doc_id
-    // order) to contiguous shards of <= 4096 tokens via a DISTRIBUTED
-    // prefix sum. The naive `sum() over (order by doc_id)` is a global sort
-    // on ONE reducer; instead: (1) per-block token totals (tiny aggregate),
-    // (2) running offsets across blocks (a window over nDocs/blockSize
-    // rows), (3) per-block exclusive cumsum — windows bounded by blockSize
-    // rows, parallel across blocks — with the block offsets broadcast back.
+    // order) to contiguous shards of <= 4096 tokens via the three-level
+    // distributed prefix sum ([[exclusivePrefixSum]]) — the naive
+    // `sum() over (order by doc_id)` is a global sort on ONE reducer.
     // Semantics identical to the global window, so the oracle IS the naive
     // global cumsum.
     "doc_pack" -> ((spark, dir) => {
@@ -520,17 +517,8 @@ object PipelineOps {
       val d = registerCache(docs(spark, dir).select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
         expr(s"doc_id div $blockSize").as("blk")))
-      val off = d.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tokens"))
-        .withColumn("blk_off", coalesce(sum(col("blk_tokens")).over(
-          Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col("blk"), col("blk_off"))
-      val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      d.withColumn("within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-        .join(broadcast(off), "blk")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("blk_off") + col("within")).as("token_offset"))
+      exclusivePrefixSum(d, "blk", Seq("doc_id"), "n_tokens", "token_offset")
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"))
         .withColumn("shard_id", expr(s"token_offset div $budget"))
         .orderBy(col("doc_id"))
     }),
@@ -986,33 +974,69 @@ object PipelineOps {
       mixRates, defaultRate, sourceCol = "source", hashCol = "graft_mix_h")
       .drop("graft_mix_h")
     // 6. deterministic shuffle order, then contiguous token-budget shards
-    // over that order (the same two-level prefix sum as doc_pack, keyed by
-    // the shuffle rank instead of doc_id)
+    // over that order (the same three-level prefix sum as doc_pack, keyed
+    // by the shuffle rank instead of doc_id). Block COUNT scales with the
+    // corpus: graft_blk is the top bits of the 53-bit shuffle key, width
+    // chosen so expected block occupancy stays ~256 rows at any input size
+    // (a fixed 256 blocks puts n/256 rows in every block window). The key
+    // prefix ordering makes (blk, sk, doc_id) == (sk, doc_id), so the
+    // block width never changes the result.
+    val blkBits = adaptiveLshBits(d.count(), targetOcc = 256)
     val sk = shiftrightunsigned(fnvMix64(
       concat(lit("shuf-42-"), col("doc_id").cast("string"))), 11)
     val shuffled = mixed
       .withColumn("n_tokens", tokenCount(col("text_clean")))
       .withColumn("graft_sk", sk)
     val blocked = registerCache(shuffled.withColumn("graft_blk",
-      shiftrightunsigned(col("graft_sk"), 45))) // ~256 coarse ordered blocks
-    val off = blocked.groupBy(col("graft_blk"))
-      .agg(sum(col("n_tokens")).as("bt"))
-      .withColumn("boff", coalesce(sum(col("bt")).over(
-        Window.orderBy(col("graft_blk")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("graft_blk"), col("boff"))
-    val wIn = Window.partitionBy(col("graft_blk"))
-      .orderBy(col("graft_sk"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    blocked
-      .withColumn("graft_within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .join(broadcast(off), "graft_blk")
-      .withColumn("shard_id", expr(s"(boff + graft_within) div $shardTokens"))
+      shiftrightunsigned(col("graft_sk"), 53 - blkBits)))
+    exclusivePrefixSum(blocked, "graft_blk", Seq("graft_sk", "doc_id"),
+        "n_tokens", "graft_toff")
+      .withColumn("shard_id", expr(s"graft_toff div $shardTokens"))
       .withColumn("pos_in_shard", row_number().over(
         Window.partitionBy(col("shard_id"))
           .orderBy(col("graft_sk"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("text_clean"), col("lang"), col("source"),
         col("n_tokens"), col("shard_id"), col("pos_in_shard"))
+  }
+
+  /** Three-level distributed EXCLUSIVE prefix sum of `valueCol` in
+    * (blkCol, orderCols) order, appended as `outCol`. Semantics identical
+    * to `sum(value) OVER (ORDER BY blk, orderCols ROWS UNBOUNDED PRECEDING
+    * AND -1)` — the naive form is a global sort on ONE reducer; here every
+    * window is bounded: per-block cumsums are parallel across blocks,
+    * block totals cumsum inside superblocks of `fan` blocks (≤ fan rows
+    * per partition), and only the superblock totals — nBlocks/fan rows —
+    * cross a single reducer. With fan=256 a 10¹⁰-doc corpus puts ~600k
+    * rows on that reducer instead of the two-level form's 4·10⁷.
+    * `blkCol` must be a non-negative integral column. */
+  private def exclusivePrefixSum(blocked: DataFrame, blkCol: String,
+      orderCols: Seq[String], valueCol: String, outCol: String,
+      fan: Long = 256L): DataFrame = {
+    // block totals feed BOTH the superblock cumsum and the superblock
+    // totals — pooled-cached so the corpus aggregates once
+    val blkTot = registerCache(blocked.groupBy(col(blkCol))
+      .agg(sum(col(valueCol)).as("graft_bt"))
+      .withColumn("graft_sblk", expr(s"$blkCol div $fan")))
+    val wS = Window.partitionBy(col("graft_sblk")).orderBy(col(blkCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sOff = blkTot.groupBy(col("graft_sblk"))
+      .agg(sum(col("graft_bt")).as("graft_st"))
+      .withColumn("graft_soff", coalesce(sum(col("graft_st")).over(
+        Window.orderBy(col("graft_sblk")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("graft_sblk"), col("graft_soff"))
+    val off = blkTot
+      .withColumn("graft_bws", coalesce(sum(col("graft_bt")).over(wS), lit(0L)))
+      .join(broadcast(sOff), "graft_sblk")
+      .select(col(blkCol), (col("graft_soff") + col("graft_bws")).as("graft_blk_off"))
+    val wIn = Window.partitionBy(col(blkCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked
+      .withColumn("graft_within", coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
+      .join(broadcast(off), blkCol)
+      .withColumn(outCol, col("graft_blk_off") + col("graft_within"))
+      .drop("graft_within", "graft_blk_off")
   }
 
   /** Persist [[windowDedup]]'s window index: one (wh, owner) row per

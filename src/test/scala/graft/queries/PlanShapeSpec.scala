@@ -85,4 +85,24 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(shuffles.size <= 1, s"$name should be projection+sort, got ${shuffles.size} exchanges")
     }
   }
+
+  test("doc_pack: every unpartitioned window sees only superblock totals") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = q("doc_pack")
+    val windows = collectAll(plan) { case w: WindowExec => w }
+    assert(windows.nonEmpty, "doc_pack must use window cumsums")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    // three-level prefix sum: exactly ONE single-reducer window, and its
+    // input is the superblock-totals aggregate — nBlocks/fan rows, i.e.
+    // nDocs/65536 at fan=256 — never the per-block (nDocs/256) table the
+    // two-level form funneled through one reducer
+    assert(unpartitioned.size == 1,
+      s"expected one superblock-offset window, got ${unpartitioned.size}")
+    val nDocs = graft.Tables.t(spark, sfDir, "documents").count()
+    val fan = 256L
+    val maxSuperblocks = nDocs / (fan * fan) + 1
+    val aggRows = unpartitioned.head.child.executeCollect().length
+    assert(aggRows <= maxSuperblocks,
+      s"single-reducer window sees $aggRows rows > $maxSuperblocks superblocks")
+  }
 }
