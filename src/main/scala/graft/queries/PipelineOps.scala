@@ -523,6 +523,25 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // the end-to-end curation composition ([[curate]]) as an oracle-checked
+    // catalog query: quality gate -> CCNet paragraph dedup -> MinHash-LSH
+    // near-dup clustering (keep each cluster's min-id representative) ->
+    // n-gram decontamination -> per-source mixture -> deterministic shuffle
+    // + token-budget shard packing. Probes: the 3-gram shingles of raw docs
+    // 0-2 (a stand-in held-out benchmark). Every stage reuses the proven
+    // arithmetic of its standalone catalog query, so the DuckDB oracle is
+    // their composition.
+    "doc_curate" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val probes = d.filter(col("doc_id") < 3)
+        .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
+      curate(d, probes,
+          minTokens = 16, paragraphK = 10, nearDupThreshold = 0.3,
+          mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1, shardTokens = 4096L)
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: training docs sharing any 5-token n-gram
     // with the probe set (source=src0 plays the held-out benchmark). The
     // probe n-gram set is tiny relative to the corpus -> broadcast; the
@@ -1843,6 +1862,47 @@ object PipelineOps {
     s"(( ($src % 4294967296) * $clo + " +
       s"((($src % 4294967296) * $chi + ($src // 4294967296) * $clo) % 4294967296) * 4294967296 ) % $M64)"
 
+  /** CTE fragment: MinHash banded candidate pairs over `shFrom(doc_id, s)`
+    * — 64 FNV-derived permutations (seed 42, the [[minhashLshJoin]]
+    * default), 16 bands of 4, band-slice-equality candidates (the Scala
+    * side's xxhash64 band buckets collide iff the slices are equal, modulo
+    * a 2^-64 hash collision that the exact-Jaccard verify then absorbs).
+    * Exposes `cand(doc_a, doc_b, sa, sb)` with doc_a < doc_b; the caller
+    * applies its own exact-Jaccard threshold over sa/sb. */
+  private def minhashCandCtes(shFrom: String): String =
+    s"""coef AS (
+       |  SELECT list((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(1, octet_length(encode('minhash-a-42-' || CAST(j AS VARCHAR))) + 1), fi ->
+       |        CAST((strpos('0123456789ABCDEF', substr(hex(encode('minhash-a-42-' || CAST(j AS VARCHAR))), 2*fi-1, 1)) - 1) * 16
+       |           + strpos('0123456789ABCDEF', substr(hex(encode('minhash-a-42-' || CAST(j AS VARCHAR))), 2*fi, 1)) - 1 AS HUGEINT))),
+       |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % $M64 AS HUGEINT))
+       |      % 9223372036854775808) % 2305843009213693950 + 1 ORDER BY j) AS al,
+       |    list((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(1, octet_length(encode('minhash-b-42-' || CAST(j AS VARCHAR))) + 1), fi ->
+       |        CAST((strpos('0123456789ABCDEF', substr(hex(encode('minhash-b-42-' || CAST(j AS VARCHAR))), 2*fi-1, 1)) - 1) * 16
+       |           + strpos('0123456789ABCDEF', substr(hex(encode('minhash-b-42-' || CAST(j AS VARCHAR))), 2*fi, 1)) - 1 AS HUGEINT))),
+       |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % $M64 AS HUGEINT))
+       |      % 9223372036854775808) % 2305843009213693950 + 1 ORDER BY j) AS bl
+       |  FROM range(0, 64) t(j)),
+       |hs AS (SELECT doc_id, s, list_transform(s, t ->
+       |  (list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(1, octet_length(encode(t)) + 1), fi ->
+       |        CAST((strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*fi-1, 1)) - 1) * 16
+       |           + strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*fi, 1)) - 1 AS HUGEINT))),
+       |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % $M64 AS HUGEINT))
+       |   % 9223372036854775808) % 2305843009213693951) AS hl FROM $shFrom),
+       |sigs AS (
+       |  SELECT doc_id, s,
+       |    list_transform(range(0, 64), j ->
+       |      list_min(list_transform(hl, h -> (coef.al[CAST(j+1 AS BIGINT)] * h + coef.bl[CAST(j+1 AS BIGINT)]) % 2305843009213693951))) AS sig
+       |  FROM hs, coef),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE EXISTS (SELECT 1 FROM range(0, 16) t(k)
+       |                WHERE a.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]
+       |                    = b.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]))""".stripMargin
+
   /** Same adaptive width as [[adaptiveLshBits]], in pure integer SQL:
     * smallest b in 1..30 with 2^b·targetOcc >= count(*). The weight CTE
     * generates all 30 planes and keeps b < nbits — planes are corpus-
@@ -2196,45 +2256,74 @@ object PipelineOps {
     // public FNV arithmetic instead of java.util.Random (validated bit-exact
     // against an independent Python model at sf0.001)
     "dedup_minhash_lsh" ->
-      """WITH coef AS (
-        |  SELECT list((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |      list_transform(range(1, octet_length(encode('minhash-a-42-' || CAST(j AS VARCHAR))) + 1), fi ->
-        |        CAST((strpos('0123456789ABCDEF', substr(hex(encode('minhash-a-42-' || CAST(j AS VARCHAR))), 2*fi-1, 1)) - 1) * 16
-        |           + strpos('0123456789ABCDEF', substr(hex(encode('minhash-a-42-' || CAST(j AS VARCHAR))), 2*fi, 1)) - 1 AS HUGEINT))),
-        |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % 18446744073709551616 AS HUGEINT))
-        |      % 9223372036854775808) % 2305843009213693950 + 1 ORDER BY j) AS al,
-        |    list((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |      list_transform(range(1, octet_length(encode('minhash-b-42-' || CAST(j AS VARCHAR))) + 1), fi ->
-        |        CAST((strpos('0123456789ABCDEF', substr(hex(encode('minhash-b-42-' || CAST(j AS VARCHAR))), 2*fi-1, 1)) - 1) * 16
-        |           + strpos('0123456789ABCDEF', substr(hex(encode('minhash-b-42-' || CAST(j AS VARCHAR))), 2*fi, 1)) - 1 AS HUGEINT))),
-        |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % 18446744073709551616 AS HUGEINT))
-        |      % 9223372036854775808) % 2305843009213693950 + 1 ORDER BY j) AS bl
-        |  FROM range(0, 64) t(j)),
-        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
-        |hs AS (SELECT doc_id, s, list_transform(s, t ->
-        |  (list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |      list_transform(range(1, octet_length(encode(t)) + 1), fi ->
-        |        CAST((strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*fi-1, 1)) - 1) * 16
-        |           + strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*fi, 1)) - 1 AS HUGEINT))),
-        |      (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % 18446744073709551616 AS HUGEINT))
-        |   % 9223372036854775808) % 2305843009213693951) AS hl FROM sh),
-        |sigs AS (
-        |  SELECT doc_id, s,
-        |    list_transform(range(0, 64), j ->
-        |      list_min(list_transform(hl, h -> (coef.al[CAST(j+1 AS BIGINT)] * h + coef.bl[CAST(j+1 AS BIGINT)]) % 2305843009213693951))) AS sig
-        |  FROM hs, coef),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        |  WHERE EXISTS (SELECT 1 FROM range(0, 16) t(k)
-        |                WHERE a.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]
-        |                    = b.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]))
+        |${minhashCandCtes("sh")}
         |SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard
         |FROM cand
         |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // the curate composition end-to-end: every stage reuses its standalone
+    // oracle's proven arithmetic — token-count quality gate, CCNet paragraph
+    // dedup restricted to the quality subset, MinHash banded candidates +
+    // exact Jaccard >= 0.3 edges over the CLEANED text, recursive
+    // reachability (keep doc == min reachable, i.e. the cluster
+    // representative), 3-gram probe decontamination (probes: raw docs 0-2),
+    // per-source mixture thresholds on the mix-42 hash, then the naive
+    // global cumsum over the shuf-42 shuffle order — the single-reducer
+    // form whose answer the distributed three-level prefix-sum packer must
+    // reproduce exactly
+    "doc_curate" ->
+      (s"""WITH RECURSIVE
+        |tokq AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |q AS (SELECT doc_id, lang, source, ts FROM tokq WHERE len(ts) >= 16),
+        |nch AS (SELECT doc_id, ts, greatest(CAST(ceil(len(ts) / 10.0) AS BIGINT), 1) AS n_chunks FROM q),
+        |ch0 AS (SELECT doc_id,
+        |  unnest(range(0, n_chunks)) AS pos,
+        |  unnest(list_transform(range(0, n_chunks), i -> array_to_string(ts[i*10+1:i*10+10], ' '))) AS chunk
+        |  FROM nch),
+        |cd AS (SELECT DISTINCT chunk FROM ch0),
+        |${fnvMixCtes("cu1", "cd", "chunk", "chunk")},
+        |chh AS (SELECT ch0.doc_id, ch0.pos, ch0.chunk, cu1.z AS lh FROM ch0 JOIN cu1 ON ch0.chunk = cu1.id),
+        |ccnt AS (SELECT lh, count(*) AS cnt FROM chh GROUP BY lh),
+        |reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+        |  FROM chh JOIN ccnt USING (lh) WHERE ccnt.cnt < 2 GROUP BY doc_id),
+        |cleaned AS (SELECT q.doc_id, reb.text_clean, q.lang, q.source,
+        |    regexp_split_to_array(trim(lower(reb.text_clean)), '\\s+') AS cts
+        |  FROM q JOIN reb ON q.doc_id = reb.doc_id),
+        |sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(cts)-2, 1)+1), i -> array_to_string(cts[i:i+2], ' '))) AS s FROM cleaned),
+        |${minhashCandCtes("sh3")},
+        |edg AS (SELECT doc_a, doc_b FROM cand
+        |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM edg UNION ALL SELECT doc_b, doc_a FROM edg),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM cleaned
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+        |reps AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(node)),
+        |dd AS (SELECT c.* FROM cleaned c JOIN reps USING (doc_id)),
+        |probes AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS shingle FROM tokq WHERE doc_id < 3),
+        |inv AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(cts)-2, 1)+1), i -> array_to_string(cts[i:i+2], ' ')))) AS shingle FROM dd),
+        |contaminated AS (SELECT DISTINCT i.doc_id FROM inv i JOIN probes p ON i.shingle = p.shingle),
+        |decon AS (SELECT dd.* FROM dd LEFT JOIN contaminated c ON dd.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+        |${fnvMixCtes("cu2", "decon", "doc_id", "'mix-42-' || CAST(doc_id AS VARCHAR)")},
+        |mixed AS (SELECT d.* FROM decon d JOIN cu2 ON d.doc_id = cu2.id
+        |  WHERE cu2.z // 2048 < CASE d.source
+        |    WHEN 'src0' THEN ${hashSampleThreshold(1.0)}
+        |    WHEN 'src1' THEN ${hashSampleThreshold(0.5)}
+        |    WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
+        |    ELSE ${hashSampleThreshold(0.1)} END),
+        |${fnvMixCtes("cu3", "mixed", "doc_id", "'shuf-42-' || CAST(doc_id AS VARCHAR)")},
+        |kk AS (SELECT m.doc_id, m.text_clean, m.lang, m.source,
+        |    CAST(len(m.cts) AS BIGINT) AS n_tokens,
+        |    CAST(cu3.z // 2048 AS BIGINT) AS sk
+        |  FROM mixed m JOIN cu3 ON m.doc_id = cu3.id),
+        |pk AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY sk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS toff FROM kk)
+        |SELECT doc_id, text_clean, lang, source, n_tokens,
+        |  toff // 4096 AS shard_id,
+        |  CAST(row_number() OVER (PARTITION BY toff // 4096 ORDER BY sk, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM pk ORDER BY doc_id""".stripMargin),
     // sign-random-projection buckets recomputed from the same FNV+splitmix64
     // hyperplane weights (mulmod-2^64 via 32-bit split), then exact cosine
     "ann_lsh_bucketed" ->
