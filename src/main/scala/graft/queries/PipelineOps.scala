@@ -493,6 +493,19 @@ object PipelineOps {
     // per-partition decimal-exact accumulation — order-free distributed sum
     "emb_gram" -> ((spark, dir) => gramMatrix(embs(spark, dir), dim = 64)),
 
+    // PCA serve half: project every embedding onto the checked-in trained
+    // basis ([[PcaRefBasis]] — top-8 eigenbasis of the sf0.001 reference
+    // Gram, machine-checked provenance) via the codegen'd [[pcaProject]].
+    // Pure projection: zero shuffle at any corpus size, the basis rides
+    // into generated code as a reference object. Scalar columns out, so
+    // the oracle hash covers every projected coordinate.
+    "emb_pca" -> ((spark, dir) => {
+      val proj = pcaProject(embs(spark, dir), PcaRefBasis.basis)
+      proj.select(col("vec_id") +:
+          (0 until PcaRefBasis.k).map(i => col("proj")(i).as(s"p$i")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // semantic decontamination: drop/flag corpus vectors too close (cosine)
     // to a broadcast probe set — the embedding-space analog of the n-gram
     // doc_decontaminate. Probes broadcast, corpus streams (no shuffle), the
@@ -2117,6 +2130,14 @@ object PipelineOps {
         |WHERE j.j >= i.i
         |GROUP BY i.i, j.j
         |ORDER BY i, j""".stripMargin,
+    // PCA projection against the same checked-in basis literals (shortest
+    // decimal reprs parse to bit-identical doubles in both engines); each
+    // dot product is the same left-to-right fold as the Scala kernel
+    "emb_pca" ->
+      ("SELECT vec_id, " + (0 until PcaRefBasis.k).map(c =>
+          s"list_sum(list_transform(list_zip(embedding, ${PcaRefBasis.sqlList(c)}), z -> CAST(z[1] AS DOUBLE)*z[2])) AS p$c")
+        .mkString(",\n  ") +
+        "\nFROM embeddings ORDER BY vec_id"),
     // semantic decontamination: cosine vs the first-20 probe set with the
     // exact dot/norm fold order of the Scala expressions
     "emb_decontaminate" ->
