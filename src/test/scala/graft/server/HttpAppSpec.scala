@@ -110,4 +110,17 @@ class HttpAppSpec extends SparkSpec {
     assert(r.statusCode() == 400)
     assert(r.body().contains(""""code":400"""))
   }
+
+  test("every handled request fires one access-log line (incl. errors)") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val prev = Routes.accessLog
+    Routes.accessLog = l => { lines.add(l); () }
+    try {
+      assert(get("/health").statusCode() == 200)
+      assert(get("/api/nope").statusCode() == 404)
+      val got = lines.toArray(Array.empty[String])
+      assert(got.exists(_.matches("GET /health 200 \\d+us")), got.mkString("; "))
+      assert(got.exists(_.matches("GET /api/nope 404 \\d+us")), got.mkString("; "))
+    } finally Routes.accessLog = prev
+  }
 }
