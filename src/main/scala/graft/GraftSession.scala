@@ -20,6 +20,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // serving engine: results are modest, favor broadcast joins for dims
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // local[*] is single-JVM: every task is process-local by construction,
+      // so the scheduler's per-level delay-scheduling wait (default 3 s) is
+      // pure loss. Once any block is cached, stages whose tasks carry
+      // preferred-location hints can miss the executor match and serialize
+      // into 3 s-per-stage stalls (measured: 10-30 s erratic latency on
+      // sub-second queries after the first pooled cache materializes).
+      // A multi-node deployment should leave this at Spark's default —
+      // there the wait is what buys HDFS/cache locality.
+      .config("spark.locality.wait", "0")
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
     val spark = builder(cpus).getOrCreate()
