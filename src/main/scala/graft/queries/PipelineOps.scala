@@ -983,18 +983,22 @@ object PipelineOps {
     // 1. quality gate: a pure filter (C4-style minimum length)
     val quality = d.filter(tokenCount(col("text")) >= minTokens)
     // 2. boilerplate removal: rebuild text without cross-corpus duplicated
-    // paragraphs; drop docs whose text vanished entirely
-    val cleaned = paragraphDedup(quality, paragraphK, minDup = 2)
+    // paragraphs; drop docs whose text vanished entirely. Pooled cache: the
+    // cleaned corpus feeds THREE consumers (shingles for the near-dup join,
+    // the component node set, and the representative join) — uncached, the
+    // rebuild aggregate runs once per consumer
+    val cleaned = registerCache(paragraphDedup(quality, paragraphK, minDup = 2)
       .filter(col("n_kept") > 0)
       .join(quality.select(col("doc_id"), col("lang"), col("source")), "doc_id")
-      .select(col("doc_id"), col("text_clean"), col("lang"), col("source"))
+      .select(col("doc_id"), col("text_clean"), col("lang"), col("source")))
     // 3. near-dup clustering on the cleaned text: keep cluster representatives
     val sh = cleaned.select(col("doc_id"), shingles(col("text_clean"), 3).as("sh"))
     val edges = minhashLshJoin(sh, nearDupThreshold)
       .select(col("doc_a"), col("doc_b"))
     val reps = connectedComponents(edges, cleaned.select(col("doc_id")))
       .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
-    val deduped = cleaned.join(reps, "doc_id")
+    // cached: feeds both the decontamination postings and the anti-join
+    val deduped = registerCache(cleaned.join(reps, "doc_id"))
     // 4. decontamination: drop docs sharing any probe n-gram
     val inv = deduped.select(col("doc_id"),
       explode(shingles(col("text_clean"), 3)).as("shingle"))
@@ -1551,6 +1555,92 @@ object PipelineOps {
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds " +
         "(component diameter exceeds the bound)")
+    nodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-graph swap for [[connectedComponents]]:
+    * min-label propagation needs O(diameter) rounds, so a single
+    * 10^6-node chain (an adversarial but real shape for near-dup graphs of
+    * serialized/paginated content) needs 10^6 rounds; star contraction
+    * converges in O(log² n) rounds on ANY graph, each round two
+    * key-partitioned aggregate+join passes over the edge list — the same
+    * shuffle shape at any scale, never a whole-component on one reducer.
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(N(u) ∪ {u})   (keeps big nodes' fan-in shrinking)
+    *   - small-star(u): every neighbor v <= u, and u itself, attach to m
+    *
+    * Both emit only (node, candidate-parent) pairs; self-loops drop and
+    * the edge list re-normalizes undirected each round, so the fixpoint is
+    * exactly the star graphs (node -> component min). Identical labels to
+    * [[connectedComponents]] ([[graft.queries]] ConnectedComponentsSpec
+    * pins equality on random, chain, and singleton graphs).
+    *
+    * Edge-set convergence is checked with one tiny aggregate per round
+    * (edge count + an exact decimal sum of per-edge xxhash64 — an
+    * order-free multiset fingerprint, so an unchanged (count, sum) pair
+    * means the distinct edge set did not move, with only a ~2^-64
+    * per-round collision risk and no monotonicity argument needed). */
+  def connectedComponentsStar(edges: DataFrame, nodes: DataFrame,
+                              maxIter: Int = 30): DataFrame = {
+    val norm0 = edges
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+    var e = norm0.localCheckpoint(true)
+
+    def round(cur: DataFrame, large: Boolean): DataFrame = {
+      val sym = cur.select(col("u"), col("v"))
+        .unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val mn = sym.groupBy(col("u")).agg(min(col("v")).as("graft_mn"))
+      val withM = sym.join(mn, "u")
+        .withColumn("graft_m", least(col("graft_mn"), col("u")))
+      val emitted =
+        if (large)
+          withM.filter(col("v") > col("u"))
+            .select(col("v").as("a"), col("graft_m").as("b"))
+        else
+          withM.filter(col("v") <= col("u"))
+            .select(col("v").as("a"), col("graft_m").as("b"))
+            .unionByName(mn.select(col("u").as("a"),
+              least(col("graft_mn"), col("u")).as("b")))
+      emitted.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+    }
+
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var prev = checksum(e)
+    var converged = prev._1 == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      // one full round = large-star then small-star, each checkpointed so
+      // the iterated plan stays truncated (same rationale as the
+      // min-propagation loop)
+      val next = round(round(e, large = true).localCheckpoint(true), large = false)
+        .localCheckpoint(true)
+      val s = checksum(next)
+      e = next
+      converged = s == prev
+      prev = s
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxIter rounds")
+    // at the fixpoint every edge is (node -> component min); min per node
+    // guards the (unreachable) case of a transiently duplicated parent
+    val labels = e.groupBy(col("u")).agg(min(col("v")).as("cluster_rep"))
+      .select(col("u").as("doc_id"), col("cluster_rep"))
     nodes.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))

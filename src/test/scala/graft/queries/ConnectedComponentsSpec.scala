@@ -40,4 +40,41 @@ class ConnectedComponentsSpec extends SparkSpec {
     val labels = cc(Seq.empty, Seq(3L, 7L))
     assert(labels === Map(3L -> 3L, 7L -> 7L))
   }
+
+  // ---- large-star/small-star variant ---------------------------------------
+
+  private def ccStar(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+    PipelineOps.connectedComponentsStar(
+      edges.toDF("doc_a", "doc_b"), nodes.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction == min propagation on chain/triangle/singleton/reversed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (5L, 1L)) // incl. min on the b side, bridging 5 into comp 1
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L)
+    assert(ccStar(edges, nodes) === cc(edges, nodes))
+  }
+
+  test("star contraction converges in O(log n) rounds on a long chain") {
+    // a 64-node path: min propagation needs ~63 rounds (over its default
+    // bound of 25); star contraction must finish well inside 30
+    val n = 64L
+    val labels = ccStar((1L until n).map(i => (i, i + 1)), (1L to n).toSeq)
+    assert(labels.values.toSet === Set(1L))
+  }
+
+  test("star contraction matches min propagation on a pseudo-random graph") {
+    // deterministic pseudo-random multigraph with dup + reversed edges
+    val nodes = (0L until 60L).toSeq
+    val edges = (0 until 90).map { i =>
+      val a = (i * 7919L + 13L) % 60L
+      val b = (i * 104729L + 31L) % 60L
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    assert(ccStar(edges, nodes) === cc(edges, nodes))
+  }
+
+  test("star contraction on empty edges and self-loops") {
+    assert(ccStar(Seq((4L, 4L)), Seq(3L, 4L)) === Map(3L -> 3L, 4L -> 4L))
+  }
 }
