@@ -466,6 +466,21 @@ object Relational {
         .select(col("event_id"), col("user_id"), col("purchase_id"))
         .orderBy(col("event_id"), col("purchase_id"))
     }),
+    // Z-order (Morton) layout clustering (operators/ZOrder): interleave the
+    // low 16 bits of customer key and order epoch-day — the multi-column
+    // file-skipping layout. The z-value arithmetic is pure integer builtins,
+    // so the oracle recomputes it bit-for-bit; writeZOrdered + the skipping
+    // measurement live in ZOrderSpec (layout effectiveness is a property of
+    // written files, not of a result set).
+    "q_zorder" -> ((spark, dir) => {
+      val o = Tables.t(spark, dir, "orders")
+      val days = datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+      o.select(col("o_orderkey"), col("o_custkey"), days.as("o_days"),
+          graft.operators.ZOrder.zValue2(col("o_custkey"), days, 16).as("zval"))
+        .withColumn("zbucket", expr("zval div 1048576"))
+        .orderBy(col("o_orderkey"))
+    }),
     // JSON field extraction from a string column
     "q_json_extract" -> ((spark, dir) => {
       Tables.t(spark, dir, "events")
@@ -604,6 +619,19 @@ object Relational {
         |SELECT l.event_id, l.user_id, l.ts, r.last_ok, r.n_orders
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ots
         |ORDER BY l.event_id""".stripMargin,
+    // same Morton interleave in integer SQL: bit b of custkey -> 2b, of
+    // epoch-day -> 2b+1, low 16 bits each
+    "q_zorder" ->
+      """WITH d AS (SELECT o_orderkey, o_custkey,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS o_days
+        |  FROM orders),
+        |z AS (SELECT o_orderkey, o_custkey, o_days,
+        |  CAST(list_sum(list_transform(range(0, 16), b ->
+        |    ((o_custkey // (CAST(1 AS BIGINT) << b)) % 2) * (CAST(1 AS BIGINT) << (2*b))
+        |    + ((o_days // (CAST(1 AS BIGINT) << b)) % 2) * (CAST(1 AS BIGINT) << (2*b+1)))) AS BIGINT) AS zval
+        |  FROM d)
+        |SELECT o_orderkey, o_custkey, o_days, zval, zval // 1048576 AS zbucket
+        |FROM z ORDER BY o_orderkey""".stripMargin,
     "q_range_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts)//1000000 AS pt FROM events
         |           WHERE event_type IN ('click','view')),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Z-order layout: the z-value arithmetic against a reference interleave,
+  * and the property the layout exists for — a z-clustered write gives
+  * min/max file skipping on BOTH dimensions, where a single-column sort
+  * prunes only its own column. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue2 equals a reference bit-interleave") {
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      var b = 0
+      while (b < bits) {
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+        b += 1
+      }
+      z
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (1L << 30, 1L), ((1L << 31) - 1, (1L << 31) - 1))
+    val got = samples.toDF("x", "y")
+      .select(ZOrder.zValue2(col("x"), col("y"), 31).as("z"))
+      .collect().map(_.getLong(0))
+    samples.map { case (x, y) => ref(x, y, 31) }.zip(got).foreach {
+      case (want, have) => assert(want == have)
+    }
+  }
+
+  test("z-clustered layout skips files on BOTH dims; linear sort only on one") {
+    // uniform 256x256 grid: every (x, y) cell once — the worst case for a
+    // linear sort's second column and deterministic for the assertion
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val nFiles = 16
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/z"
+    val lDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/linear"
+    ZOrder.writeZOrdered(grid, col("x"), col("y"), bits = 8, nFiles, zDir)
+    grid.repartitionByRange(nFiles, col("x")).sortWithinPartitions(col("x"), col("y"))
+      .write.mode("overwrite").parquet(lDir)
+
+    val z = spark.read.parquet(zDir)
+    val l = spark.read.parquet(lDir)
+    assert(z.count() == 256L * 256L && l.count() == 256L * 256L)
+
+    // a 1/16-wide band predicate on each dimension
+    val zx = ZOrder.scanFraction(ZOrder.fileRanges(z, "x"), 64, 79)
+    val zy = ZOrder.scanFraction(ZOrder.fileRanges(z, "y"), 64, 79)
+    val lx = ZOrder.scanFraction(ZOrder.fileRanges(l, "x"), 64, 79)
+    val ly = ZOrder.scanFraction(ZOrder.fileRanges(l, "y"), 64, 79)
+    // linear: perfect on x, useless on y (every file spans all of y)
+    assert(lx <= 0.25, s"linear x fraction $lx")
+    assert(ly == 1.0, s"linear y fraction $ly")
+    // z-order: both dims prune — a 1/16 band touches at most half the
+    // files on either axis (ideal ~1/4 each at 16 files on a 2-d curve)
+    assert(zx <= 0.5, s"zorder x fraction $zx")
+    assert(zy <= 0.5, s"zorder y fraction $zy")
+  }
+}
