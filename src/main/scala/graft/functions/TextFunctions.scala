@@ -377,7 +377,38 @@ object TextFunctions {
       copy(c)
   }
 
+  /** Codegen hook for [[BloomMightContain]] — membership on the string's
+    * UTF-8 bytes, the same encoding `DataFrameStatFunctions.bloomFilter`
+    * inserts string columns with, so build and probe agree. */
+  def bloomHitOf(s: UTF8String,
+                 bf: org.apache.spark.util.sketch.BloomFilter): Boolean =
+    bf.mightContainBinary(s.getBytes)
+
+  /** Bloom-filter membership as a codegen'd predicate; the filter rides
+    * into generated code as a reference object (like IVF's centroid
+    * matrix), so the prefilter is a pure map-side projection — no UDF
+    * boxing, no shuffle. */
+  case class BloomMightContain(child: Expression,
+                               bf: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any): Any =
+      bloomHitOf(a.asInstanceOf[UTF8String], bf)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bf", bf,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      defineCodeGen(ctx, ev,
+        a => s"graft.functions.TextFunctions.bloomHitOf($a, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+  }
+
   private def toExpr(c: Column) = GraftColumnBridge.expression(c)
+
+  def bloomMightContain(c: Column,
+                        bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftColumnBridge.column(BloomMightContain(toExpr(c), bf))
 
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(toExpr(c)))

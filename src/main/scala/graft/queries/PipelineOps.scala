@@ -568,6 +568,19 @@ object PipelineOps {
       decontaminate(train, probes)
     }),
 
+    // the Bloom-prefiltered decontamination scale path, same oracle as
+    // doc_decontaminate (result-identical by construction: the filter only
+    // admits false positives and the verify join removes them) — the
+    // variant for probe sets too large to broadcast as exact string sets
+    "doc_decontaminate_scalable" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val probes = d.filter(col("source") === "src0")
+        .select(explode(shingles(col("text"), 5)).as("shingle")).distinct()
+      val train = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("shingle"))
+      decontaminateScalable(train, probes)
+    }),
+
     // int8 scalar quantization per embedding (the storage/serving compression
     // step before ANN at 100 TB): pure projection, no shuffle. Scalars only
     // in the output (position-weighted checksum proves the whole vector).
@@ -1412,6 +1425,33 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))
 
+  /** Scale path for [[decontaminate]] when the probe set no longer fits an
+    * exact broadcast: ONE distributed aggregate builds a Bloom filter of
+    * the probe n-grams (≈1.44·n·log₂(1/fpp) bits — ~120 MB for 10⁸ probes
+    * at 1%, vs multi-GB for the exact string set), the corpus postings
+    * prefilter against it MAP-SIDE through the codegen'd
+    * [[graft.functions.TextFunctions.BloomMightContain]] (the filter rides
+    * into generated code as a reference object — no UDF boxing, no
+    * shuffle), and only the surviving ≈ hits + fpp·|postings| rows pay the
+    * exact verification join. The result is EXACTLY [[decontaminate]]'s:
+    * Bloom admits false positives, never false negatives, and the verify
+    * join removes the false positives — so the full corpus posting stream
+    * never shuffles, only its Bloom-positive sliver does. */
+  def decontaminateScalable(trainInv: DataFrame, probeNgrams: DataFrame,
+                            fpp: Double = 0.01): DataFrame = {
+    // pooled cache: the probes feed the count, the filter build, AND the
+    // verify join
+    val probes = registerCache(probeNgrams.select(col("shingle")))
+    val n = math.max(probes.count(), 1L)
+    val bf = probes.stat.bloomFilter("shingle", n, fpp)
+    trainInv
+      .filter(graft.functions.TextFunctions.bloomMightContain(col("shingle"), bf))
+      .join(probes, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Scale-safe EXACT stratified sampling: keep the ceil(rate·n_s)
     * hash-smallest rows (ordered by `hashCol`, ties by `idCol`) of every
     * stratum — deterministic, and identical to the naive
@@ -2037,6 +2077,17 @@ object PipelineOps {
        |  GROUP BY e.vec_id, e.embedding)""".stripMargin
   }
 
+  /** Shared by the exact and Bloom-prefiltered decontamination paths —
+    * both produce identical results (see [[decontaminateScalable]]). */
+  private val deconOracleSql: String =
+    """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(ts)-4, 1)+1), i -> array_to_string(ts[i:i+4], ' '))) AS s FROM tok),
+      |probes AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'),
+      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0')
+      |SELECT i.doc_id, CAST(count(DISTINCT i.shingle) AS BIGINT) AS n_hits
+      |FROM inv i JOIN probes p ON i.shingle = p.shingle
+      |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
+
   /** DuckDB oracles for the subset that is exactly SQL-expressible. */
   val dfOracles: Map[String, String] = Map(
     "doc_token_stats" ->
@@ -2323,14 +2374,11 @@ object PipelineOps {
         |  FROM documents d JOIN sg ON d.doc_id = sg.id)
         |SELECT doc_id, lang FROM r
         |WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT) ORDER BY lang, doc_id""".stripMargin),
-    "doc_decontaminate" ->
-      """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
-        |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(ts)-4, 1)+1), i -> array_to_string(ts[i:i+4], ' '))) AS s FROM tok),
-        |probes AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'),
-        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0')
-        |SELECT i.doc_id, CAST(count(DISTINCT i.shingle) AS BIGINT) AS n_hits
-        |FROM inv i JOIN probes p ON i.shingle = p.shingle
-        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
+    "doc_decontaminate" -> deconOracleSql,
+    // the Bloom-prefiltered scale path is result-identical by construction
+    // (no false negatives; exact verify removes the false positives), so
+    // it shares the exact path's oracle verbatim
+    "doc_decontaminate_scalable" -> deconOracleSql,
     "emb_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
         |m AS (SELECT vec_id, ev, list_min(ev) AS mn, list_max(ev) AS mx FROM v),

@@ -275,6 +275,28 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("Bloom-prefiltered decontamination == exact broadcast decontamination") {
+    val exact = q("doc_decontaminate").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scalable = q("doc_decontaminate_scalable").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    assert(scalable.toSeq == exact.toSeq)
+  }
+
+  test("Bloom prefilter passes every true hit and drops most clean postings") {
+    import spark.implicits._
+    val probes = Seq("alpha beta", "gamma delta").toDF("shingle")
+    val bf = probes.stat.bloomFilter("shingle", 2, 0.01)
+    val postings = (0 until 2000).map(i => (i.toLong, s"noise gram $i")) ++
+      Seq((9001L, "alpha beta"), (9002L, "gamma delta"))
+    val pre = postings.toDF("doc_id", "shingle")
+      .filter(graft.functions.TextFunctions.bloomMightContain(col("shingle"), bf))
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(9001L, 9002L).subsetOf(pre), "no false negatives, ever")
+    // 2000 clean postings at fpp=0.01: expect ~20 false positives; a 5x
+    // margin keeps the assertion deterministic-in-practice
+    assert(pre.size <= 2 + 100, s"prefilter kept ${pre.size} rows")
+  }
+
   test("connectedComponents fails loudly when the iteration bound is too small") {
     import spark.implicits._
     // a 5-node path needs ~4 rounds; bound of 1 must raise, not mislabel
