@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // default 32: BASELINE.md's numbers were recorded at local[32] with
+    // shuffle.partitions=32 — a lower default here benchmarks a different
+    // machine shape than the baseline's (rounds 2-5 ran the driver's bench
+    // at 4 threads while quiet-box records set 32 explicitly; that, not box
+    // load, was most of the recorded 2x run-to-run "variance")
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // Warm the session (codegen, shuffle machinery, footer reads) so the
     // first timed queries don't absorb one-time JVM startup costs; one
     // representative per expression family (relational / vector / shingle).

@@ -149,6 +149,60 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // BM25 relevance ranking over the corpus for a fixed query-term set —
+    // the retrieval primitive behind quality-targeted data selection
+    // (rank-then-keep against a reference query). Scale shape: tf/dl are
+    // one token-level aggregate each, the four corpus scalars ride a
+    // broadcast, scoring is a pure projection, and the global top-20 is
+    // TakeOrdered (per-partition heads + driver merge) — no global sort,
+    // no single-reducer window over the corpus. Cross-engine exactness:
+    // the classic ln-idf diverges across libm implementations, so the
+    // score uses BM25's rational idf form (N - df + 0.5)/(df + 0.5)
+    // (Robertson-Sparck Jones without the log; rank-equivalent per term)
+    // — every operation is an IEEE-exact double +,*,/ evaluated in the
+    // same written order on both engines, so the oracle hash-matches
+    // bit-for-bit. k1 = 1.2, b = 0.75 (the standard defaults).
+    "doc_bm25" -> ((spark, dir) => {
+      val terms = Seq("vector", "hash", "stream", "filter")
+      val tok = docs(spark, dir).select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // one pivoted aggregate: tf for all query terms in a single pass
+      val tfAggs = terms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+      val tf = tok.filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+      // corpus scalars: N, avgdl, per-term df — df from the pivoted tf
+      // table (df = docs with tf > 0) so no multi-distinct Expand pass
+      val dfAggs = terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+      val scalars = docs(spark, dir).agg(count(lit(1)).cast("double").as("nd"))
+        .crossJoin(tok.agg(count(lit(1)).as("n_tok")))
+        .crossJoin(tf.agg(dfAggs.head, dfAggs.tail: _*))
+        .select(col("nd") +:
+          (col("n_tok").cast("double") / col("nd")).as("avgdl") +:
+          terms.map(t => col(s"df_$t")): _*)
+      def contrib(t: String): Column = {
+        val tfd = coalesce(col(s"tf_$t"), lit(0L)).cast("double")
+        val dld = coalesce(col("dl"), lit(0L)).cast("double")
+        val idf = (col("nd") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+        // tf = 0 -> numerator 0.0, denominator > 0 -> contribution exactly 0
+        val w = (tfd * lit(2.2)) /
+          (tfd + lit(1.2) * (lit(0.25) + (lit(0.75) * dld) / col("avgdl")))
+        idf * w
+      }
+      val scored = docs(spark, dir).select(col("doc_id"))
+        .join(dl, Seq("doc_id"), "left")
+        .join(tf, Seq("doc_id"), "left")
+        .crossJoin(broadcast(scalars))
+        .select(col("doc_id"), terms.map(contrib).reduceLeft(_ + _).as("score"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .orderBy(col("rank"))
+    }),
+
     // repetition-based quality stats (Gopher/C4-style filters): per doc, the
     // top-2-gram fraction and duplicate-2-gram fraction — integer counts and
     // exact double ratios, so the DuckDB oracle hash-matches bit-for-bit
@@ -410,6 +464,10 @@ object PipelineOps {
     // assigned by a shuffle-free argmin projection, probes search their
     // nprobe nearest cells only, so the scored set shrinks by ~nprobe/k.
     "ann_ivf" -> ((spark, dir) => annIvf(embs(spark, dir), k = 16, nprobe = 4, topK = 10)),
+
+    // SemDeDup semantic dedup (see [[semDedup]] for the algorithm and the
+    // bit-exact-oracle contract); defaults: occupancy 64, cosine >= 0.95
+    "emb_semdedup" -> ((spark, dir) => semDedup(embs(spark, dir))),
 
     "emb_norms" -> ((spark, dir) => {
       embs(spark, dir).select(col("vec_id"), col("label").cast("long").as("label"),
@@ -1911,6 +1969,39 @@ object PipelineOps {
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .drop("dists")
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * clustering — k-means cells bound the pairwise-cosine search the way LSH
+    * buckets do for dedup_embedding, but cells follow the data's actual
+    * density instead of random hyperplanes. Scale shape: cell count scales
+    * with the measured corpus (ceil(n/occ), so expected occupancy stays ~occ
+    * and within-cell pairs stay bounded at any n); centroids are the
+    * deterministic hash-ranked seeds ([[ivfSeedCentroids]]) so DuckDB
+    * reproduces the whole pipeline — assignment, pairs, and the greedy
+    * min-id keeper — bit-exactly. Drop rule: a vector is dropped iff some
+    * smaller-id vector in its cell has cosine >= thresh (the paper keeps one
+    * exemplar per duplicate group; min-id is the deterministic,
+    * join-expressible choice of exemplar). Returns kept (vec_id, cell). */
+  def semDedup(base: DataFrame, occ: Int = 64, thresh: Double = 0.95): DataFrame = {
+    val k = math.max(16L, (base.count() + (occ - 1L)) / occ).toInt
+    val cents = ivfSeedCentroids(base, k).toIndexedSeq
+    // assignment is a shuffle-free projection; cached because it feeds
+    // both sides of the pair join AND the final anti-join
+    val assigned = registerCache(
+      ivfAssign(base, cents).select(col("vec_id"), col("embedding"),
+        col("nrm"), col("cell").cast("long").as("cell")))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), col("nrm").as("n_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= thresh)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   def ivfSearch(emb: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
                 topK: Int): DataFrame = {
     val withDists = withCellDists(emb, centroids)
@@ -2530,6 +2621,31 @@ object PipelineOps {
         |  WHERE a.vec_id <> pc.q_id),
         |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM sc)
         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // SemDeDup: same hash-ranked seed chain as ann_ivf (fnvMixCtes), cell
+    // count derived by the same integer formula as the Scala side
+    // (GREATEST(16, ceil(n/64))), argmin assignment with min-cell ties,
+    // within-cell pairwise cosine, greedy min-id exemplar per dup group
+    "emb_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+        |kk AS (SELECT GREATEST(16, (COUNT(*) + 63) // 64) AS k FROM embeddings),
+        |${fnvMixCtes("sd", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
+        |sdh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM sd),
+        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM sdh QUALIFY cell < (SELECT k FROM kk)),
+        |seeds AS (SELECT sr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
+        |dists AS (SELECT e.vec_id, s.cell,
+        |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
+        |  FROM e CROSS JOIN seeds s),
+        |mind AS (SELECT vec_id, MIN(dist) AS md FROM dists GROUP BY vec_id),
+        |asg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
+        |pairs AS (SELECT b.vec_id AS id_b,
+        |  list_sum(list_transform(list_zip(ea.embedding, eb.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (ea.nrm*eb.nrm) AS cosine
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+        |drp AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= 0.95)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM asg a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM drp) ORDER BY a.vec_id""".stripMargin,
+
     "dedup_embedding" ->
       (lshBucketCte(targetOcc = 2) +
         """,
@@ -2617,6 +2733,39 @@ object PipelineOps {
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // BM25 (rational-idf form): every arithmetic step is an IEEE-exact
+    // double op written in the same order as the Spark expression tree —
+    // see the doc_bm25 catalog entry for the parenthesization contract
+    "doc_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id,
+        |  SUM(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS tf_vector,
+        |  SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+        |  SUM(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS tf_stream,
+        |  SUM(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS tf_filter
+        |  FROM tok WHERE term IN ('vector','hash','stream','filter') GROUP BY 1),
+        |sc AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS nd,
+        |  CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl,
+        |  (SELECT CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM tf) AS df_vector,
+        |  (SELECT CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM tf) AS df_hash,
+        |  (SELECT CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM tf) AS df_stream,
+        |  (SELECT CAST(SUM(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM tf) AS df_filter),
+        |b AS (SELECT d.doc_id,
+        |  CAST(COALESCE(dl.dl, 0) AS DOUBLE) AS dld,
+        |  CAST(COALESCE(tf.tf_vector, 0) AS DOUBLE) AS tfv,
+        |  CAST(COALESCE(tf.tf_hash, 0) AS DOUBLE) AS tfh,
+        |  CAST(COALESCE(tf.tf_stream, 0) AS DOUBLE) AS tfs,
+        |  CAST(COALESCE(tf.tf_filter, 0) AS DOUBLE) AS tff
+        |  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id LEFT JOIN tf ON d.doc_id = tf.doc_id),
+        |s AS (SELECT doc_id,
+        |  ((((((sc.nd - sc.df_vector) + 0.5) / (sc.df_vector + 0.5)) * ((tfv * 2.2) / (tfv + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl))))))
+        |   + ((((sc.nd - sc.df_hash) + 0.5) / (sc.df_hash + 0.5)) * ((tfh * 2.2) / (tfh + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl)))))))
+        |   + ((((sc.nd - sc.df_stream) + 0.5) / (sc.df_stream + 0.5)) * ((tfs * 2.2) / (tfs + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl)))))))
+        |   + ((((sc.nd - sc.df_filter) + 0.5) / (sc.df_filter + 0.5)) * ((tff * 2.2) / (tff + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl)))))) AS score
+        |  FROM b, sc),
+        |r AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)
+        |SELECT doc_id, score, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "doc_length_histogram" ->
       """SELECT lang, CAST(length(text)//100 AS BIGINT) AS len_bucket,
         |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_chars

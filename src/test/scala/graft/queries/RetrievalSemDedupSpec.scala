@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Round-6 additions: BM25 retrieval ranking and SemDeDup semantic dedup.
+  * The DuckDB oracle pins both bit-exactly at sf0.01; these specs pin the
+  * SEMANTIC claims the oracle can't see — BM25 agreement with an independent
+  * driver-side recomputation from raw token counts, and SemDeDup's drop rule
+  * (chain-transitive min-id exemplars) against a brute-force replica. */
+class RetrievalSemDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get()
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("doc_bm25 matches a driver-side recomputation from raw token counts") {
+    val docs = PipelineOps.docs(spark, sfDir)
+    val terms = Seq("vector", "hash", "stream", "filter")
+    val toks = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    }
+    val nd = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / nd
+    val df = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val expected = toks.map { case (id, ts) =>
+      val dl = ts.length.toDouble
+      val score = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val idf = (nd - df(t) + 0.5) / (df(t) + 0.5)
+        idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+      }.sum
+      (id, score)
+    }.sortBy(p => (-p._2, p._1)).take(20)
+
+    val got = PipelineOps.dfQueries("doc_bm25")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._3).toSeq == (1L to 20L).toSeq)
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq)
+    got.map(_._2).zip(expected.map(_._2)).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= math.ulp(e) * 8,
+        s"score drift beyond reassociation tolerance: $g vs $e")
+    }
+    // the fixture must actually exercise the ranking (hits exist)
+    assert(got.head._2 > 0.0)
+  }
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Brute-force replica of the drop rule on driver-side assignments:
+    * drop iff ANY smaller-id vector in the cell (kept or dropped) >= .95. */
+  private def bruteKept(assigned: Array[(Long, Array[Double], Int)]): Set[Long] =
+    assigned.groupBy(_._3).values.flatMap { cell =>
+      val sorted = cell.sortBy(_._1)
+      sorted.filter { case (id, v, _) =>
+        !sorted.exists { case (id2, v2, _) => id2 < id && cos(v2, v) >= 0.95 - 1e-12 }
+      }.map(_._1)
+    }.toSet
+
+  private def assignDriverSide(df: org.apache.spark.sql.DataFrame, occ: Int) = {
+    val k = math.max(16L, (df.count() + occ - 1L) / occ).toInt
+    val cents = PipelineOps.ivfSeedCentroids(df, k).toIndexedSeq
+    (k, PipelineOps.ivfAssign(df, cents)
+      .select(col("vec_id"), col("embedding"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))))
+  }
+
+  test("semDedup == brute-force drop rule on the assigned cells (sf0.001)") {
+    val embs = graft.Tables.t(spark, sfDir, "embeddings")
+    val occ = 16 // smaller cells than the catalog default -> more cells exercised
+    val (_, assigned) = assignDriverSide(embs, occ)
+    val got = PipelineOps.semDedup(embs, occ = occ).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSet == bruteKept(assigned))
+    // returned cell ids agree with the assignment
+    val cellOf = assigned.map(t => t._1 -> t._3.toLong).toMap
+    got.foreach { case (id, c) => assert(cellOf(id) == c) }
+    // the sf0.001 fixture has no within-cell pair at cosine >= .95, so the
+    // equality above is a keep-everything identity here; the synthetic test
+    // below exercises actual drops (incl. chain-transitive ones)
+    assert(got.length == assigned.length)
+  }
+
+  test("semDedup drops near-dups on a synthetic corpus; cells bounded by k") {
+    import spark.implicits._
+    // 600 vectors in 8 base directions with slight per-copy scaling: copies
+    // of a direction are cosine ~ 1 (scale-invariant), distinct directions
+    // are near-orthogonal; with occ=32 the formula forces ceil(600/32)=19
+    // cells, and any cell holding two same-direction copies must drop the
+    // larger id
+    val n = 600
+    val dim = 8
+    val rows = (0 until n).map { i =>
+      val v = Array.fill(dim)(0.001f)
+      v(i % dim) = 1.0f + (i / dim) * 0.01f
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (k, assigned) = assignDriverSide(df, 32)
+    assert(k == 19)
+    val kept = PipelineOps.semDedup(df, occ = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.map(_._1).toSet == bruteKept(assigned))
+    assert(kept.length < n, "synthetic near-dups must be dropped")
+    kept.foreach { case (_, c) => assert(c >= 0 && c < k) }
+  }
+}
