@@ -82,6 +82,52 @@ object PipelineOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** BM25 scores (doc_id, score) for a fixed query-term set — shared by
+    * doc_bm25 and the doc_rrf fusion. tf/dl are one token-level aggregate
+    * each over a pooled-cached token table (it feeds dl, tf, AND the corpus
+    * token count), the four corpus scalars ride a broadcast, and scoring is
+    * a pure projection. Cross-engine exactness: the classic ln-idf diverges
+    * across libm implementations, so the score uses BM25's rational idf
+    * form (N - df + 0.5)/(df + 0.5) (Robertson-Sparck Jones without the
+    * log; rank-equivalent per term) — every operation is an IEEE-exact
+    * double +,*,/ evaluated in the same written order on both engines.
+    * k1 = 1.2, b = 0.75 (the standard defaults). */
+  private def bm25Scores(d: DataFrame, terms: Seq[String]): DataFrame = {
+    val tok = registerCache(d.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // one pivoted aggregate: tf for all query terms in a single pass
+    val tfAggs = terms.map(t =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+    // corpus scalars: N, avgdl, per-term df — df from the pivoted tf
+    // table (df = docs with tf > 0) so no multi-distinct Expand pass
+    val dfAggs = terms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+    val scalars = d.agg(count(lit(1)).cast("double").as("nd"))
+      .crossJoin(tok.agg(count(lit(1)).as("n_tok")))
+      .crossJoin(tf.agg(dfAggs.head, dfAggs.tail: _*))
+      .select(col("nd") +:
+        (col("n_tok").cast("double") / col("nd")).as("avgdl") +:
+        terms.map(t => col(s"df_$t")): _*)
+    def contrib(t: String): Column = {
+      val tfd = coalesce(col(s"tf_$t"), lit(0L)).cast("double")
+      val dld = coalesce(col("dl"), lit(0L)).cast("double")
+      val idf = (col("nd") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      // tf = 0 -> numerator 0.0, denominator > 0 -> contribution exactly 0
+      val w = (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + (lit(0.75) * dld) / col("avgdl")))
+      idf * w
+    }
+    d.select(col("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .join(tf, Seq("doc_id"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), terms.map(contrib).reduceLeft(_ + _).as("score"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val dfQueries: Map[String, Q] = Map(
@@ -151,57 +197,51 @@ object PipelineOps {
 
     // BM25 relevance ranking over the corpus for a fixed query-term set —
     // the retrieval primitive behind quality-targeted data selection
-    // (rank-then-keep against a reference query). Scale shape: tf/dl are
-    // one token-level aggregate each, the four corpus scalars ride a
-    // broadcast, scoring is a pure projection, and the global top-20 is
+    // (rank-then-keep against a reference query). See [[bm25Scores]] for
+    // the formula/exactness contract; the global top-20 here is
     // TakeOrdered (per-partition heads + driver merge) — no global sort,
-    // no single-reducer window over the corpus. Cross-engine exactness:
-    // the classic ln-idf diverges across libm implementations, so the
-    // score uses BM25's rational idf form (N - df + 0.5)/(df + 0.5)
-    // (Robertson-Sparck Jones without the log; rank-equivalent per term)
-    // — every operation is an IEEE-exact double +,*,/ evaluated in the
-    // same written order on both engines, so the oracle hash-matches
-    // bit-for-bit. k1 = 1.2, b = 0.75 (the standard defaults).
+    // no single-reducer window over the corpus.
     "doc_bm25" -> ((spark, dir) => {
-      val terms = Seq("vector", "hash", "stream", "filter")
-      val tok = docs(spark, dir).select(col("doc_id"),
-        explode(tokens(col("text"))).as("term"))
-        .filter(length(col("term")) > 0)
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      // one pivoted aggregate: tf for all query terms in a single pass
-      val tfAggs = terms.map(t =>
-        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-      val tf = tok.filter(col("term").isin(terms: _*))
-        .groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
-      // corpus scalars: N, avgdl, per-term df — df from the pivoted tf
-      // table (df = docs with tf > 0) so no multi-distinct Expand pass
-      val dfAggs = terms.map(t =>
-        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
-      val scalars = docs(spark, dir).agg(count(lit(1)).cast("double").as("nd"))
-        .crossJoin(tok.agg(count(lit(1)).as("n_tok")))
-        .crossJoin(tf.agg(dfAggs.head, dfAggs.tail: _*))
-        .select(col("nd") +:
-          (col("n_tok").cast("double") / col("nd")).as("avgdl") +:
-          terms.map(t => col(s"df_$t")): _*)
-      def contrib(t: String): Column = {
-        val tfd = coalesce(col(s"tf_$t"), lit(0L)).cast("double")
-        val dld = coalesce(col("dl"), lit(0L)).cast("double")
-        val idf = (col("nd") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
-        // tf = 0 -> numerator 0.0, denominator > 0 -> contribution exactly 0
-        val w = (tfd * lit(2.2)) /
-          (tfd + lit(1.2) * (lit(0.25) + (lit(0.75) * dld) / col("avgdl")))
-        idf * w
-      }
-      val scored = docs(spark, dir).select(col("doc_id"))
-        .join(dl, Seq("doc_id"), "left")
-        .join(tf, Seq("doc_id"), "left")
-        .crossJoin(broadcast(scalars))
-        .select(col("doc_id"), terms.map(contrib).reduceLeft(_ + _).as("score"))
+      val scored = bm25Scores(docs(spark, dir), Seq("vector", "hash", "stream", "filter"))
       val top = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
       top.withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
         .orderBy(col("rank"))
     }),
+
+    // Reciprocal-rank fusion (Cormack et al. 2009) of two BM25 rankings —
+    // the standard hybrid-retrieval combiner (in a real pipeline the second
+    // list is a dense/ANN ranking; two lexical rankings exercise the same
+    // fusion plan). Scale shape: each ranking's global rank window is
+    // WindowGroupLimit-pruned to its top-100 BEFORE the exchange, the fusion
+    // join is top-100 vs top-100 (both broadcast-size at any corpus), and
+    // only the fused top-20 survives. Exactness: rrf = 1/(60+rank) summed
+    // over exactly two terms in written order — same IEEE doubles from the
+    // same integer ranks on both engines, so the oracle hash-matches.
+    "doc_rrf" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      def top100(terms: Seq[String], rc: String): DataFrame =
+        bm25Scores(d, terms).withColumn(rc, row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .filter(col(rc) <= 100).select(col("doc_id"), col(rc))
+      val fused = top100(Seq("vector", "hash", "stream", "filter"), "ra")
+        .join(top100(Seq("join", "scan", "merge", "sort"), "rb"),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
+            .as("rrf"))
+      val top = fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .orderBy(col("rank"))
+    }),
+
+    // fastText-style hashed linear quality classifier (see
+    // [[qualityClassifier]]) — the "classifier quality filter" of the
+    // GPT-3/CCNet-era pipelines, with a deterministic stand-in weight table
+    "doc_quality_classifier" -> ((spark, dir) =>
+      qualityClassifier(docs(spark, dir))),
 
     // repetition-based quality stats (Gopher/C4-style filters): per doc, the
     // top-2-gram fraction and duplicate-2-gram fraction — integer counts and
@@ -468,6 +508,10 @@ object PipelineOps {
     // SemDeDup semantic dedup (see [[semDedup]] for the algorithm and the
     // bit-exact-oracle contract); defaults: occupancy 64, cosine >= 0.95
     "emb_semdedup" -> ((spark, dir) => semDedup(embs(spark, dir))),
+
+    // one Lloyd iteration of k-means (see [[kmeansUpdate]]) — the training
+    // half behind the IVF/SemDeDup serve paths
+    "emb_kmeans" -> ((spark, dir) => kmeansUpdate(embs(spark, dir))),
 
     "emb_norms" -> ((spark, dir) => {
       embs(spark, dir).select(col("vec_id"), col("label").cast("long").as("label"),
@@ -817,6 +861,44 @@ object PipelineOps {
   private def windowHashes(d: DataFrame, k: Int): DataFrame =
     d.select(col("doc_id"), explode(shingles(col("text"), k)).as("w"))
       .select(col("doc_id"), fnvMix64(col("w")).as("wh"))
+
+  /** fastText-style hashed linear classifier (Joulin et al. 2016,
+    * arXiv:1607.01759) — the architecture behind the "quality classifier"
+    * filter of GPT-3/CCNet-era data pipelines. Features are unigrams plus
+    * word bigrams WITH multiplicity, hashed into `nBuckets` slots (the
+    * hashing trick, collisions and all); each slot carries a weight and a
+    * document's score is the sum of its feature-slot weights. A real
+    * deployment loads trained weights; here the weight table is a
+    * deterministic hash of the slot id ((mix64("qw-"+slot) mod 2048) - 1024
+    * milli-units) so the DuckDB oracle reproduces it — swap in a real
+    * (slot → w_milli) table via the same join shape. Integer arithmetic end
+    * to end (scores in milli-units): no float summation order anywhere, so
+    * the distributed sum is exact at any partitioning. Scale shape: pure
+    * projection + one hash-aggregate shuffle on doc_id — the same minimal
+    * shape as exact dedup; the weight derivation is two codegen'd hashes
+    * per feature, no join, no broadcast table. */
+  def qualityClassifier(d: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    val feats = d.select(col("doc_id"),
+        explode(concat(tokens(col("text")), ngramsAll(col("text"), 2))).as("f"))
+      .filter(length(col("f")) > 0)
+    // slot ids are mod-2^k of the signed mix so the oracle can reduce the
+    // unsigned HUGEINT mix directly (2^64 ≡ 0 mod 2^k); the weight mod is
+    // over the SLOT's own hash, re-keyed with a "qw-" prefix
+    val scored = feats
+      .withColumn("slot", pmod(fnvMix64(col("f")), lit(nBuckets.toLong)))
+      .withColumn("w_milli",
+        pmod(fnvMix64(concat(lit("qw-"), col("slot").cast("string"))),
+          lit(2048L)) - lit(1024L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_milli")).as("score_milli"))
+    d.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score_milli"), lit(0L)).as("score_milli"))
+      .withColumn("keep", col("score_milli") > 0)
+      .orderBy(col("doc_id"))
+  }
 
   def windowDedup(d: DataFrame, k: Int): DataFrame = {
     // pooled cache: window postings feed BOTH the min-owner aggregate and
@@ -2002,6 +2084,36 @@ object PipelineOps {
       .orderBy(col("vec_id"))
   }
 
+  /** One Lloyd iteration of k-means over the embedding corpus — the
+    * TRAINING half behind every centroid-seeded serve path here (IVF
+    * search, SemDeDup cells): assign each vector to its nearest
+    * deterministic seed centroid ([[ivfSeedCentroids]], so the oracle can
+    * reproduce the seeds), then emit each cell's per-dimension sufficient
+    * statistic (n, Σx) — the updated centroid is Σx/n, but the DIVISION is
+    * left to the consumer because the sums are exact order-free decimals
+    * while a divided double would re-open engine-specific rounding.
+    * Exactness: each element routes float→double→shortest-string→
+    * DECIMAL(38,30) on both engines (the [[gramMatrix]] contract), so
+    * addition is exact and the distributed sum is bit-reproducible at any
+    * partitioning. Scale shape: assignment is a shuffle-free projection
+    * against broadcast centroid literals; the only exchange is the
+    * (cell, dim) hash-aggregate, whose output is k·dim rows — partial
+    * aggregation absorbs the corpus size map-side. At 100 TB run this
+    * repeatedly (assign → update → re-literal centroids) off the same
+    * cached corpus; cells stay ~occ occupancy because k scales with the
+    * measured count. */
+  def kmeansUpdate(base: DataFrame, occ: Int = 64): DataFrame = {
+    val k = math.max(16L, (base.count() + (occ - 1L)) / occ).toInt
+    val cents = ivfSeedCentroids(base, k).toIndexedSeq
+    ivfAssign(base, cents)
+      .select(col("cell").cast("long").as("cell"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d").cast("long").as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("double").cast("string").cast("decimal(38,30)")).as("s"))
+      .orderBy(col("cell"), col("d"))
+  }
+
   def ivfSearch(emb: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
                 topK: Int): DataFrame = {
     val withDists = withCellDists(emb, centroids)
@@ -2088,6 +2200,43 @@ object PipelineOps {
        |${tag}1x AS (SELECT id, CAST(xor(z, z // 134217728) AS HUGEINT) AS z FROM ${tag}1),
        |${tag}2 AS (SELECT id, CAST(${mulc("z", 2496678331L, 321982955L)} AS HUGEINT) AS z FROM ${tag}1x),
        |$tag AS (SELECT id, xor(z, z // 2147483648) AS z FROM ${tag}2)""".stripMargin
+
+  /** CTE chain `<tag>tf, <tag>sc, <tag>b, <tag>s` computing BM25 scores
+    * for `terms` over shared `tok(doc_id, term)` CTE + `documents` —
+    * mirrors [[bm25Scores]]'s arithmetic and fold order exactly (rational
+    * idf, k1=1.2, b=0.75, left-assoc term sum). Exposes
+    * `<tag>s(doc_id, score)`. */
+  private def bm25Ctes(tag: String, terms: Seq[String]): String = {
+    val tfCols = terms.map(t =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n  ")
+    val inList = terms.map(t => s"'$t'").mkString(",")
+    val dfCols = terms.map(t =>
+      s"(SELECT CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM ${tag}tf) AS df_$t")
+      .mkString(",\n  ")
+    val bCols = terms.map(t =>
+      s"CAST(COALESCE(tf.tf_$t, 0) AS DOUBLE) AS tf_$t").mkString(",\n  ")
+    val score = terms.map(t =>
+        s"((((sc.nd - sc.df_$t) + 0.5) / (sc.df_$t + 0.5)) * ((tf_$t * 2.2) / (tf_$t + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl))))))")
+      .reduceLeft((a, b) => s"($a\n   + $b)")
+    s"""${tag}tf AS (SELECT doc_id,
+       |  $tfCols
+       |  FROM tok WHERE term IN ($inList) GROUP BY 1),
+       |${tag}sc AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS nd,
+       |  CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl,
+       |  $dfCols),
+       |${tag}b AS (SELECT d.doc_id,
+       |  CAST(COALESCE(dl.dl, 0) AS DOUBLE) AS dld,
+       |  $bCols
+       |  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id LEFT JOIN ${tag}tf tf ON d.doc_id = tf.doc_id),
+       |${tag}s AS (SELECT doc_id,
+       |  $score AS score
+       |  FROM ${tag}b, ${tag}sc sc)""".stripMargin
+  }
+
+  /** Shared `tok`/`dl` CTE prefix for the BM25-family oracles. */
+  private val bm25TokDlCtes: String =
+    """tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1)""".stripMargin
 
   /** mulmod-2^64 of a HUGEINT expression by a 64-bit constant split into
     * 32-bit halves (INT128 overflows on the raw 64x64 product). */
@@ -2645,6 +2794,25 @@ object PipelineOps {
         |drp AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= 0.95)
         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM asg a
         |WHERE a.vec_id NOT IN (SELECT vec_id FROM drp) ORDER BY a.vec_id""".stripMargin,
+    // k-means update: same hash-ranked seeds + argmin assignment as
+    // emb_semdedup; per-(cell,dim) sums route each element
+    // float→double→shortest-string→DECIMAL(38,30) — the gram contract, so
+    // the distributed decimal sum is order-free and hash-matches
+    "emb_kmeans" ->
+      s"""WITH kk AS (SELECT GREATEST(16, (COUNT(*) + 63) // 64) AS k FROM embeddings),
+        |${fnvMixCtes("kms", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
+        |kmh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM kms),
+        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM kmh QUALIFY cell < (SELECT k FROM kk)),
+        |seeds AS (SELECT sr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN embeddings e USING (vec_id)),
+        |dists AS (SELECT e.vec_id, s.cell,
+        |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |mind AS (SELECT vec_id, MIN(dist) AS md FROM dists GROUP BY vec_id),
+        |asg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id)
+        |SELECT CAST(a.cell AS BIGINT) AS cell, CAST(r.d AS BIGINT) AS d, COUNT(*) AS n,
+        |  SUM(CAST(CAST(CAST(e.embedding[r.d+1] AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30))) AS s
+        |FROM asg a JOIN embeddings e USING (vec_id), range(0, 64) r(d)
+        |GROUP BY a.cell, r.d ORDER BY cell, d""".stripMargin,
 
     "dedup_embedding" ->
       (lshBucketCte(targetOcc = 2) +
@@ -2737,35 +2905,45 @@ object PipelineOps {
     // double op written in the same order as the Spark expression tree —
     // see the doc_bm25 catalog entry for the parenthesization contract
     "doc_bm25" ->
-      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-        |tf AS (SELECT doc_id,
-        |  SUM(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS tf_vector,
-        |  SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
-        |  SUM(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS tf_stream,
-        |  SUM(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS tf_filter
-        |  FROM tok WHERE term IN ('vector','hash','stream','filter') GROUP BY 1),
-        |sc AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS nd,
-        |  CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl,
-        |  (SELECT CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM tf) AS df_vector,
-        |  (SELECT CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM tf) AS df_hash,
-        |  (SELECT CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM tf) AS df_stream,
-        |  (SELECT CAST(SUM(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS DOUBLE) FROM tf) AS df_filter),
-        |b AS (SELECT d.doc_id,
-        |  CAST(COALESCE(dl.dl, 0) AS DOUBLE) AS dld,
-        |  CAST(COALESCE(tf.tf_vector, 0) AS DOUBLE) AS tfv,
-        |  CAST(COALESCE(tf.tf_hash, 0) AS DOUBLE) AS tfh,
-        |  CAST(COALESCE(tf.tf_stream, 0) AS DOUBLE) AS tfs,
-        |  CAST(COALESCE(tf.tf_filter, 0) AS DOUBLE) AS tff
-        |  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id LEFT JOIN tf ON d.doc_id = tf.doc_id),
-        |s AS (SELECT doc_id,
-        |  ((((((sc.nd - sc.df_vector) + 0.5) / (sc.df_vector + 0.5)) * ((tfv * 2.2) / (tfv + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl))))))
-        |   + ((((sc.nd - sc.df_hash) + 0.5) / (sc.df_hash + 0.5)) * ((tfh * 2.2) / (tfh + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl)))))))
-        |   + ((((sc.nd - sc.df_stream) + 0.5) / (sc.df_stream + 0.5)) * ((tfs * 2.2) / (tfs + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl)))))))
-        |   + ((((sc.nd - sc.df_filter) + 0.5) / (sc.df_filter + 0.5)) * ((tff * 2.2) / (tff + (1.2 * (0.25 + ((0.75 * dld) / sc.avgdl)))))) AS score
-        |  FROM b, sc),
-        |r AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)
+      s"""WITH $bm25TokDlCtes,
+        |${bm25Ctes("qa", Seq("vector", "hash", "stream", "filter"))},
+        |r AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM qas)
         |SELECT doc_id, score, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // RRF: both rank lists from the SAME shared tok/dl, QUALIFY-pruned to
+    // top-100 each, fused with the two-term written-order double sum the
+    // Spark side evaluates
+    "doc_rrf" ->
+      s"""WITH $bm25TokDlCtes,
+        |${bm25Ctes("qa", Seq("vector", "hash", "stream", "filter"))},
+        |${bm25Ctes("qb", Seq("join", "scan", "merge", "sort"))},
+        |ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r FROM qas QUALIFY r <= 100),
+        |rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r FROM qbs QUALIFY r <= 100),
+        |f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+        |  (COALESCE(1.0 / (60.0 + CAST(ra.r AS DOUBLE)), 0.0)
+        |   + COALESCE(1.0 / (60.0 + CAST(rb.r AS DOUBLE)), 0.0)) AS rrf
+        |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+        |rr AS (SELECT doc_id, rrf, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM f)
+        |SELECT doc_id, rrf, rank FROM rr WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // hashed linear classifier: same feature stream (unigrams + bigrams
+    // with multiplicity), fnv-mix slot mod 2^12 (2^64 ≡ 0 mod 2^k, so the
+    // unsigned HUGEINT reduces directly), slot-keyed pseudo-weights
+    "doc_quality_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |fe AS (SELECT doc_id, unnest(list_concat(ts,
+        |  list_transform(range(1, greatest(len(ts)-2, 0)+2), i -> array_to_string(ts[i:i+1], ' ')))) AS f FROM tok),
+        |ff AS (SELECT doc_id, f FROM fe WHERE length(f) > 0),
+        |fd AS (SELECT DISTINCT f FROM ff),
+        |${fnvMixCtes("qcf", "fd", "f", "f")},
+        |slots AS (SELECT ff.doc_id, CAST(qcf.z % 4096 AS BIGINT) AS slot FROM ff JOIN qcf ON ff.f = qcf.id),
+        |sdist AS (SELECT DISTINCT slot FROM slots),
+        |${fnvMixCtes("qcw", "sdist", "slot", "'qw-' || CAST(slot AS VARCHAR)")},
+        |w AS (SELECT id AS slot, CAST(z % 2048 AS BIGINT) - 1024 AS w_milli FROM qcw),
+        |agg AS (SELECT s.doc_id, COUNT(*) AS n_feats, CAST(SUM(w.w_milli) AS BIGINT) AS score_milli
+        |  FROM slots s JOIN w USING (slot) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(agg.n_feats, 0) AS n_feats,
+        |  COALESCE(agg.score_milli, 0) AS score_milli,
+        |  COALESCE(agg.score_milli, 0) > 0 AS keep
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
     "doc_length_histogram" ->
       """SELECT lang, CAST(length(text)//100 AS BIGINT) AS len_bucket,
         |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_chars
