@@ -243,6 +243,11 @@ object PipelineOps {
     "doc_quality_classifier" -> ((spark, dir) =>
       qualityClassifier(docs(spark, dir))),
 
+    // DSIR importance weighting (see [[dsirScores]]): src0 plays the
+    // target distribution, the rest of the corpus is the source pool
+    "doc_dsir" -> ((spark, dir) =>
+      dsirScores(docs(spark, dir), col("source") === "src0")),
+
     // repetition-based quality stats (Gopher/C4-style filters): per doc, the
     // top-2-gram fraction and duplicate-2-gram fraction — integer counts and
     // exact double ratios, so the DuckDB oracle hash-matches bit-for-bit
@@ -878,14 +883,10 @@ object PipelineOps {
     * shape as exact dedup; the weight derivation is two codegen'd hashes
     * per feature, no join, no broadcast table. */
   def qualityClassifier(d: DataFrame, nBuckets: Int = 4096): DataFrame = {
-    val feats = d.select(col("doc_id"),
-        explode(concat(tokens(col("text")), ngramsAll(col("text"), 2))).as("f"))
-      .filter(length(col("f")) > 0)
-    // slot ids are mod-2^k of the signed mix so the oracle can reduce the
-    // unsigned HUGEINT mix directly (2^64 ≡ 0 mod 2^k); the weight mod is
-    // over the SLOT's own hash, re-keyed with a "qw-" prefix
-    val scored = feats
-      .withColumn("slot", pmod(fnvMix64(col("f")), lit(nBuckets.toLong)))
+    // the weight mod is over the SLOT's own hash, re-keyed with a "qw-"
+    // prefix; 2048 is a power of two for the same oracle-reduction reason
+    // as the slot count
+    val scored = featureSlots(d, nBuckets)
       .withColumn("w_milli",
         pmod(fnvMix64(concat(lit("qw-"), col("slot").cast("string"))),
           lit(2048L)) - lit(1024L))
@@ -897,6 +898,52 @@ object PipelineOps {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("score_milli"), lit(0L)).as("score_milli"))
       .withColumn("keep", col("score_milli") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, slot) hashed feature instances — unigrams + word bigrams
+    * WITH multiplicity through the fastText hashing trick — shared by
+    * [[qualityClassifier]] and [[dsirScores]]. Slot ids are mod-2^k of the
+    * signed mix so the oracle can reduce its unsigned HUGEINT mix directly
+    * (2^64 ≡ 0 mod 2^k). Pure codegen'd projection, no shuffle. */
+  private def featureSlots(d: DataFrame, nBuckets: Int = 4096): DataFrame =
+    d.select(col("doc_id"),
+        explode(concat(tokens(col("text")), ngramsAll(col("text"), 2))).as("f"))
+      .filter(length(col("f")) > 0)
+      .select(col("doc_id"), pmod(fnvMix64(col("f")), lit(nBuckets.toLong)).as("slot"))
+
+  /** DSIR-shaped importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    * score source-pool documents by how target-like their hashed n-gram
+    * features are, with per-slot weights LEARNED from the two corpora's
+    * slot histograms. Deviation from the paper, for cross-engine
+    * bit-exactness: the per-slot log-likelihood ratio
+    * log((tgt+1)/(src+1)) is replaced by the integer milli-ratio
+    * ((tgt+1)·1000) div (src+1) — libm-free, order-free integer sums end
+    * to end (same reasoning as BM25's rational idf; swap in the log form
+    * when cross-engine hashes aren't the gate). Scale shape: both slot
+    * histograms aggregate to ≤ nBuckets rows, the weight table is
+    * broadcast, scoring is one hash-agg on doc_id — the corpus is read
+    * once and never shuffled in full. */
+  def dsirScores(d: DataFrame, isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+    // pooled cache: the feature stream feeds both histograms AND scoring
+    val feats = registerCache(featureSlots(d, nBuckets)
+      .join(d.select(col("doc_id"), isTarget.as("is_tgt")), Seq("doc_id")))
+    val tcnt = feats.filter(col("is_tgt")).groupBy(col("slot"))
+      .agg(count(lit(1)).as("t_n"))
+    val scnt = feats.filter(!col("is_tgt")).groupBy(col("slot"))
+      .agg(count(lit(1)).as("s_n"))
+    val w = scnt.join(tcnt, Seq("slot"), "left")
+      .select(col("slot"),
+        expr("((coalesce(t_n, 0) + 1) * 1000) div (s_n + 1)").as("w_milli"))
+    val scored = feats.filter(!col("is_tgt"))
+      .join(broadcast(w), Seq("slot"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_milli")).as("dsir_milli"))
+    d.filter(isTarget === false).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_milli"), lit(0L)).as("dsir_milli"))
       .orderBy(col("doc_id"))
   }
 
@@ -2944,6 +2991,28 @@ object PipelineOps {
         |  COALESCE(agg.score_milli, 0) AS score_milli,
         |  COALESCE(agg.score_milli, 0) > 0 AS keep
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
+    // DSIR: same hashed feature stream; per-slot target/source histograms,
+    // integer milli-ratio weights (// floors — identical to Spark's `div`
+    // for the all-positive operands here), scored over the source pool
+    "doc_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |fe AS (SELECT doc_id, unnest(list_concat(ts,
+        |  list_transform(range(1, greatest(len(ts)-2, 0)+2), i -> array_to_string(ts[i:i+1], ' ')))) AS f FROM tok),
+        |ff AS (SELECT doc_id, f FROM fe WHERE length(f) > 0),
+        |fd AS (SELECT DISTINCT f FROM ff),
+        |${fnvMixCtes("qdf", "fd", "f", "f")},
+        |fl AS (SELECT ff.doc_id, CAST(qdf.z % 4096 AS BIGINT) AS slot, (d.source = 'src0') AS is_tgt
+        |  FROM ff JOIN qdf ON ff.f = qdf.id JOIN documents d ON ff.doc_id = d.doc_id),
+        |tc AS (SELECT slot, COUNT(*) AS t_n FROM fl WHERE is_tgt GROUP BY 1),
+        |sc2 AS (SELECT slot, COUNT(*) AS s_n FROM fl WHERE NOT is_tgt GROUP BY 1),
+        |w AS (SELECT sc2.slot, ((COALESCE(tc.t_n, 0) + 1) * 1000) // (sc2.s_n + 1) AS w_milli
+        |  FROM sc2 LEFT JOIN tc USING (slot)),
+        |agg AS (SELECT fl.doc_id, COUNT(*) AS n_feats, CAST(SUM(w.w_milli) AS BIGINT) AS dsir_milli
+        |  FROM fl JOIN w USING (slot) WHERE NOT fl.is_tgt GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(agg.n_feats, 0) AS n_feats,
+        |  COALESCE(agg.dsir_milli, 0) AS dsir_milli
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin,
     "doc_length_histogram" ->
       """SELECT lang, CAST(length(text)//100 AS BIGINT) AS len_bucket,
         |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_chars

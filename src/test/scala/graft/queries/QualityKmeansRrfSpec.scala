@@ -86,6 +86,34 @@ class QualityKmeansRrfSpec extends AnyFunSuite {
     assert(got.exists(_._4) && got.exists(!_._4))
   }
 
+  test("doc_dsir == brute-force slot histograms + integer ratio weights") {
+    val docsRaw = PipelineOps.docs(spark, sfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def slots(text: String): Seq[Long] = {
+      val toks = text.trim.toLowerCase.split("\\s+", -1)
+      val bigrams = (0 until math.max(toks.length - 2, 0) + 1)
+        .map(i => toks.slice(i, math.min(i + 2, toks.length)).mkString(" "))
+      (toks.toSeq ++ bigrams).filter(_.nonEmpty)
+        .map(f => java.lang.Math.floorMod(mix64(fnv64(f)), 4096L))
+    }
+    val tgtHist = docsRaw.filter(_._3 == "src0").flatMap(d => slots(d._2))
+      .groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    val srcFeats = docsRaw.filter(_._3 != "src0").map(d => (d._1, slots(d._2)))
+    val srcHist = srcFeats.flatMap(_._2)
+      .groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    def w(slot: Long): Long =
+      ((tgtHist.getOrElse(slot, 0L) + 1L) * 1000L) / (srcHist(slot) + 1L)
+    val expected = srcFeats.map { case (id, ss) =>
+      (id, ss.length.toLong, ss.map(w).sum)
+    }.sortBy(_._1)
+    val got = PipelineOps.dfQueries("doc_dsir")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    // weights must actually vary (the histograms are doing something)
+    assert(got.map(x => x._3.toDouble / math.max(x._2, 1)).distinct.length > 1)
+  }
+
   test("doc_rrf == fusion of the two driver-recomputed BM25 rankings") {
     val docsRaw = PipelineOps.docs(spark, sfDir)
       .select("doc_id", "text").collect()
