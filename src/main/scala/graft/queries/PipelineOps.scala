@@ -212,18 +212,23 @@ object PipelineOps {
     // Reciprocal-rank fusion (Cormack et al. 2009) of two BM25 rankings —
     // the standard hybrid-retrieval combiner (in a real pipeline the second
     // list is a dense/ANN ranking; two lexical rankings exercise the same
-    // fusion plan). Scale shape: each ranking's global rank window is
-    // WindowGroupLimit-pruned to its top-100 BEFORE the exchange, the fusion
-    // join is top-100 vs top-100 (both broadcast-size at any corpus), and
-    // only the fused top-20 survives. Exactness: rrf = 1/(60+rank) summed
-    // over exactly two terms in written order — same IEEE doubles from the
-    // same integer ranks on both engines, so the oracle hash-matches.
+    // fusion plan). Scale shape: each ranking truncates to top-100 via
+    // TakeOrdered (per-partition heads + driver merge — Spark's
+    // InferWindowGroupLimit does NOT fire for unpartitioned rank windows,
+    // measured, so a rank-filter formulation would sort the whole scored
+    // corpus on one reducer); the rank window then runs over the ≤100
+    // survivors, the fusion join is top-100 vs top-100 (broadcast-size at
+    // any corpus), and only the fused top-20 survives. Exactness:
+    // rrf = 1/(60+rank) summed over exactly two terms in written order —
+    // same IEEE doubles from the same integer ranks on both engines, so
+    // the oracle hash-matches.
     "doc_rrf" -> ((spark, dir) => {
       val d = docs(spark, dir)
       def top100(terms: Seq[String], rc: String): DataFrame =
-        bm25Scores(d, terms).withColumn(rc, row_number().over(
+        bm25Scores(d, terms).orderBy(col("score").desc, col("doc_id")).limit(100)
+          .withColumn(rc, row_number().over(
             Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-          .filter(col(rc) <= 100).select(col("doc_id"), col(rc))
+          .select(col("doc_id"), col(rc))
       val fused = top100(Seq("vector", "hash", "stream", "filter"), "ra")
         .join(top100(Seq("join", "scan", "merge", "sort"), "rb"),
           Seq("doc_id"), "full_outer")

@@ -105,4 +105,50 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(aggRows <= maxSuperblocks,
       s"single-reducer window sees $aggRows rows > $maxSuperblocks superblocks")
   }
+
+  test("doc_bm25: corpus scalars ride a broadcast; no cartesian product") {
+    val plan = q("doc_bm25")
+    // the 1-row scalars crossJoin must plan as a broadcast nested loop,
+    // never a CartesianProductExec (which would shuffle the corpus side)
+    assert(collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      s"bm25 scalars not broadcast:\n$plan")
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("doc_rrf: every rank window runs over a TakeOrdered-truncated list") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = q("doc_rrf")
+    // three TakeOrdereds: one per ranking's top-100 + the fused top-20.
+    // InferWindowGroupLimit does NOT fire on unpartitioned rank windows
+    // (measured), so TakeOrdered-then-rank is the scale-safe shape — every
+    // global window here must see a pre-truncated input, never the corpus
+    assert(collectAll(plan) { case t: TakeOrderedAndProjectExec => t }.size >= 3,
+      s"expected TakeOrdered truncation per ranking + fusion:\n$plan")
+    collectAll(plan) { case w: WindowExec => w }.foreach { w =>
+      val rows = w.child.executeCollect().length
+      assert(rows <= 100, s"global rank window sees $rows rows (> top-100)")
+    }
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("doc_dsir: the slot-weight table joins as a broadcast") {
+    val plan = q("doc_dsir")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"dsir weight join is not broadcast:\n$plan")
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("emb_kmeans: assignment is join-free; only the stat agg + sort shuffle") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = q("emb_kmeans")
+    // centroids are literals in the projection — any join means the plan
+    // regressed to shuffling the corpus against a centroid table
+    assert(collectAll(plan) { case j: SortMergeJoinExec => j }.isEmpty &&
+      collectAll(plan) { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"emb_kmeans should be join-free:\n$plan")
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"expected <= 2 exchanges ((cell,d) agg + final sort), got ${shuffles.size}")
+  }
 }
