@@ -372,6 +372,10 @@ object PipelineOps {
     // 12 bytes/window instead of ~60.
     "doc_window_dedup" -> ((spark, dir) => windowDedup(docs(spark, dir), k = 8)),
 
+    // span-level exact-substring dedup (see [[spanDedup]]): remove every
+    // non-first occurrence of any duplicated 8-token window and rebuild
+    "doc_span_dedup" -> ((spark, dir) => spanDedup(docs(spark, dir), k = 8)),
+
     // incremental window dedup: even doc_ids are "history" (persisted as a
     // (hash, owner) index — text never re-read), odd doc_ids are the new
     // batch checked against index + batch. The oracle is the BATCH dedup
@@ -949,6 +953,56 @@ object PipelineOps {
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("dsir_milli"), lit(0L)).as("dsir_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span-level exact-substring dedup — the actual Lee et al. 2022
+    * semantics ([[windowDedup]] flags whole documents; this REMOVES the
+    * duplicated spans and rebuilds the text, keeping the globally first
+    * occurrence of every duplicated k-token window). Occurrence order is
+    * the integer key doc_id·2^20 + window_pos (documented bound: docs
+    * ≤ 2^20 tokens — widen the shift or switch to a min-of-struct
+    * aggregate for longer docs); a window's non-first occurrences mark
+    * their k token positions covered, covered positions anti-join away,
+    * and the survivors reassemble in position order. Scale shape: windows
+    * collapse to fnv64 longs before the ownership shuffle (the
+    * [[windowDedup]] property), covered positions are (doc_id, pos) longs,
+    * and text crosses the wire once into the per-doc reassembly — the same
+    * contract as [[paragraphDedup]]. Every step is integer/string-exact,
+    * so the DuckDB oracle hash-matches. */
+  def spanDedup(d: DataFrame, k: Int = 8): DataFrame = {
+    val tok = d.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val win = d.select(col("doc_id"),
+        posexplode(ngramsAll(col("text"), k)).as(Seq("i", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        fnvMix64(col("w")).as("wh"))
+    val occ = win.select(col("wh"), col("doc_id"), col("i"),
+      (col("doc_id") * lit(1048576L) + col("i")).as("occ_key"))
+    val own = occ.groupBy(col("wh"))
+      .agg(min(col("occ_key")).as("first_key"), count(lit(1)).as("cnt"))
+    val dups = occ.join(own, "wh")
+      .filter(col("cnt") >= 2 && col("occ_key") > col("first_key"))
+    val nTok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val covered = dups.join(nTok, "doc_id")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), least(col("i") + lit(k - 1L), col("n_tok") - 1)))
+          .as("pos"))
+      .distinct()
+    val kept = tok.join(covered.select(col("doc_id"), col("pos").cast("int").as("pos")),
+      Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("text_clean"))
+    d.select(col("doc_id")).join(nTok, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy(col("doc_id"))
   }
 
@@ -2472,6 +2526,37 @@ object PipelineOps {
         |base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_windows FROM sh)
         |SELECT base.doc_id, base.n_windows, dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
         |FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id ORDER BY base.doc_id""".stripMargin),
+    // span dedup: same fnv window hashes; occurrence order via the same
+    // doc_id*2^20+pos integer key, covered positions via a lateral
+    // generate_series, reassembly via ORDER BY pos string_agg
+    "doc_span_dedup" ->
+      (s"""WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |tokp AS (SELECT doc_id, pos, tok FROM (
+        |  SELECT doc_id, unnest(range(1, len(ts)+1)) - 1 AS pos, unnest(ts) AS tok FROM tok0)
+        |  WHERE length(tok) > 0),
+        |win AS (SELECT doc_id,
+        |  unnest(range(1, greatest(len(ts)-8, 0)+2)) - 1 AS i0,
+        |  unnest(list_transform(range(1, greatest(len(ts)-8, 0)+2), i -> array_to_string(ts[i:i+7], ' '))) AS w
+        |  FROM tok0),
+        |winf AS (SELECT doc_id, i0, w FROM win WHERE length(w) > 0),
+        |wd AS (SELECT DISTINCT w FROM winf),
+        |${fnvMixCtes("sw", "wd", "w", "w")},
+        |occ AS (SELECT sw.z AS wh, winf.doc_id, winf.i0, winf.doc_id * 1048576 + winf.i0 AS occ_key
+        |  FROM winf JOIN sw ON winf.w = sw.id),
+        |own AS (SELECT wh, MIN(occ_key) AS first_key, COUNT(*) AS cnt FROM occ GROUP BY 1),
+        |dups AS (SELECT o.doc_id, o.i0 FROM occ o JOIN own USING (wh)
+        |  WHERE own.cnt >= 2 AND o.occ_key > own.first_key),
+        |nt AS (SELECT doc_id, COUNT(*) AS n_tok FROM tokp GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT du.doc_id, unnest(range(du.i0, least(du.i0 + 7, nt.n_tok - 1) + 1)) AS pos
+        |  FROM dups du JOIN nt USING (doc_id))),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |reb AS (SELECT doc_id, COUNT(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS text_clean FROM kept GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(nt.n_tok, 0) AS n_tok, COALESCE(reb.n_kept, 0) AS n_kept,
+        |  COALESCE(reb.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN nt USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     // incremental == batch-over-union restricted to the new (odd) docs
     "doc_window_dedup_incr" ->
       (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
