@@ -28,23 +28,23 @@ object Compaction {
     // files (date=.../part-*.parquet); the read below handles those too.
     // NOTE a partitioned input is rewritten FLAT — partition-column values
     // survive as ordinary columns, the directory layout does not.
-    def parquetFiles(dir: String): Seq[(String, Long)] = {
+    def parquetFiles(dir: String): Seq[(String, Long, String)] = {
       val root = new Path(dir)
       val fs = root.getFileSystem(conf) // per-dir: in and out may be different filesystems
       val rootUri = fs.makeQualified(root).toUri
+      def rel(p: Path): String =
+        rootUri.relativize(fs.makeQualified(p).toUri).getPath
       // skip hidden segments (_temporary/, .staging/, _SUCCESS-adjacent
       // dirs): spark.read ignores them, so measuring them would size the
       // rewrite against bytes the rewrite never reads
-      def hidden(p: Path): Boolean = {
-        val rel = rootUri.relativize(fs.makeQualified(p).toUri).getPath
-        rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      }
+      def hidden(p: Path): Boolean =
+        rel(p).split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
       val it = fs.listFiles(root, true)
-      val acc = Seq.newBuilder[(String, Long)]
+      val acc = Seq.newBuilder[(String, Long, String)]
       while (it.hasNext) {
         val s = it.next()
         if (s.isFile && s.getPath.getName.endsWith(".parquet") && !hidden(s.getPath))
-          acc += s.getPath.toString -> s.getLen
+          acc += ((s.getPath.toString, s.getLen, rel(s.getPath)))
       }
       acc.result()
     }
@@ -59,8 +59,9 @@ object Compaction {
     // by the measurement above but silently absent from the scan — rows
     // would vanish while Stats reports success. Cross-check the file set
     // Spark actually plans against the measured list; on mismatch fall
-    // back to recursiveFileLookup (no partition-column inference there,
-    // but a layout the plain read can't cover has none to infer).
+    // back to recursiveFileLookup — but only when no measured file sits
+    // under a hive-style dir, since that fallback skips partition
+    // inference and would drop directory-encoded column values.
     def normUri(s: String): (String, String, String) = {
       val u = new Path(s).toUri
       (Option(u.getScheme).getOrElse("file"),
@@ -70,6 +71,18 @@ object Compaction {
     val plain = scala.util.Try(spark.read.parquet(inDir)).toOption
       .filter(_.inputFiles.iterator.map(normUri).toSet == measured)
     val df = plain.getOrElse {
+      // recursiveFileLookup disables partition inference: if any measured
+      // file sits under a key=value directory, its partition values live
+      // only in the directory name and would silently vanish from every
+      // output row (the plain read above fails LOUDLY on such mixed
+      // layouts — "Conflicting directory structures" — so reaching here
+      // with hive segments means data loss, not a plannable layout).
+      val hiveDirs =
+        files.flatMap(_._3.split('/').dropRight(1)).filter(_.contains('=')).distinct
+      require(hiveDirs.isEmpty,
+        s"compaction input $inDir mixes hive-style partition dirs " +
+          s"(${hiveDirs.take(3).mkString(", ")}) with files spark.read.parquet " +
+          "cannot plan alongside them; compact each partition separately")
       val rec = spark.read.option("recursiveFileLookup", "true").parquet(inDir)
       val recSet = rec.inputFiles.iterator.map(normUri).toSet
       require(recSet == measured,

@@ -49,6 +49,18 @@ object PipelineOps {
   private def newWinIdxDir(): String =
     java.nio.file.Files.createTempDirectory(winIdxRoot, "idx").toString
 
+  /** One persisted window index per distinct input dir per JVM: the index
+    * for a given sf dir is immutable, so rebuilding it per invocation (the
+    * previous shape) leaked one full index copy per plan-cache miss in a
+    * long-lived serving JVM. computeIfAbsent both bounds the scratch to one
+    * dir per key and serializes concurrent first builds — later invocations
+    * reuse a dir that is never overwritten, so lazy plans stay safe. */
+  private val winIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def winIdxFor(key: String)(build: String => Unit): String =
+    winIdxCache.computeIfAbsent(key, _ => {
+      val d = newWinIdxDir(); build(d); d
+    })
+
   private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
   private[queries] def embs(spark: SparkSession, dir: String): DataFrame =
@@ -383,11 +395,12 @@ object PipelineOps {
     // indistinguishable from having processed everything at once.
     "doc_window_dedup_incr" -> ((spark, dir) => {
       val all = docs(spark, dir)
-      // fresh scratch dir per invocation: the result is LAZY, so reusing
-      // one dir would let a later call overwrite the index under an
-      // earlier plan still reading it; the root cleans up at JVM exit
-      val idxDir = newWinIdxDir()
-      windowIndexSave(all.filter(col("doc_id") % 2 === 0), k = 8, idxDir)
+      // one immutable index per input dir (see [[winIdxFor]]): built once,
+      // never overwritten, so the LAZY result can be re-planned or served
+      // concurrently without a read-under-overwrite race or a per-call leak
+      val idxDir = winIdxFor(dir) { d =>
+        windowIndexSave(all.filter(col("doc_id") % 2 === 0), k = 8, d)
+      }
       windowDedupIncremental(all.filter(col("doc_id") % 2 === 1), idxDir, k = 8)
     }),
 
@@ -1090,10 +1103,14 @@ object PipelineOps {
   /** 100 TB-path Gram matrix: identical plan shape to [[gramMatrix]] but
     * the per-partition accumulator is Kahan-compensated double — ~1000×
     * cheaper per term than the exact-decimal kernel, which exists only to
-    * satisfy a bit-exact oracle. Partial sums merge once per partition with
-    * the same compensation, so error stays O(1) ulp per cell independent of
-    * corpus size (vs O(n) for naive summation). NOT order-free — use the
-    * exact kernel when bit-reproducibility across partitionings matters. */
+    * satisfy a bit-exact oracle. Each partition emits its (sum,
+    * compensation) pair and the cross-partition aggregate merges them with
+    * two-sum ([[TwoSumMerge]]): every merge's roundoff is captured exactly
+    * into the carried compensation, so per-cell error stays O(1) ulp of the
+    * total independent of corpus size AND partition count (vs O(n) naive,
+    * O(nPartitions) if partials merged through a plain double sum). NOT
+    * order-free — use the exact kernel when bit-reproducibility across
+    * partitionings matters. */
   def gramMatrixFast(e: DataFrame, dim: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -1122,12 +1139,13 @@ object PipelineOps {
           }
         }
         if (!any) Iterator.empty
-        else Iterator.range(0, nCells).map(k => (k, s(k)))
+        // Kahan's c holds the NEGATED low-order residue: true sum = s - c
+        else Iterator.range(0, nCells).map(k => (k, s(k), -c(k)))
       }
-      .toDF("k", "partial")
+      .toDF("k", "partial", "comp")
     partials
       .groupBy(col("k"))
-      .agg(sum(col("partial")).as("gram"))
+      .agg(graft.functions.TwoSumMerge(col("partial"), col("comp")).as("gram"))
       .withColumn("i", cellRow(col("k"), dim))
       .withColumn("j", col("k") - cellBase(col("i"), dim))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("gram"))
@@ -2157,21 +2175,67 @@ object PipelineOps {
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .drop("dists")
 
+  /** [[ivfAssign]] for centroid counts past literal-friendly sizes: the
+    * centroid matrix rides ONE torrent broadcast to each executor instead
+    * of being serialized into every task as expression literals (at the
+    * SemDeDup-paper k of ~100k 64-dim cells that's ~50 MB per task binary
+    * — a non-starter; as a broadcast it ships once per executor). The
+    * argmin is a closure over the broadcast — off whole-stage codegen, but
+    * the O(k·dim) flops per row dwarf the codegen delta at exactly the k
+    * where this path is chosen. Same tie rule as [[ivfAssign]]: lowest
+    * cell wins equal distances. */
+  def ivfAssignBroadcast(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(centroids.toArray)
+    val assign = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val ct = cs(c)
+        var d = 0.0
+        var i = 0
+        while (i < ct.length) {
+          val t = v(i).toDouble - ct(i); d += t * t; i += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"),
+      assign(col("embedding")).cast("int").as("cell"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
     * clustering — k-means cells bound the pairwise-cosine search the way LSH
     * buckets do for dedup_embedding, but cells follow the data's actual
-    * density instead of random hyperplanes. Scale shape: cell count scales
-    * with the measured corpus (ceil(n/occ), so expected occupancy stays ~occ
-    * and within-cell pairs stay bounded at any n); centroids are the
+    * density instead of random hyperplanes. Cell count scales with the
+    * measured corpus (ceil(n/occ), expected occupancy ~occ) up to `kMax`:
+    * seed centroids are collected to the driver and shipped as plan
+    * literals, so k must stay bounded — beyond kMax·occ vectors this
+    * convenience path's occupancy (and the occupancy-quadratic pair join)
+    * grows with n. At that scale, train offline instead ([[ivfTrain]] →
+    * [[ivfSave]]), load a properly sized k ([[ivfLoad]]), and call the
+    * centroid-taking overload — with [[ivfAssignBroadcast]] underneath
+    * once k is past literal-friendly sizes. Centroids here are the
     * deterministic hash-ranked seeds ([[ivfSeedCentroids]]) so DuckDB
     * reproduces the whole pipeline — assignment, pairs, and the greedy
     * min-id keeper — bit-exactly. Drop rule: a vector is dropped iff some
     * smaller-id vector in its cell has cosine >= thresh (the paper keeps one
     * exemplar per duplicate group; min-id is the deterministic,
     * join-expressible choice of exemplar). Returns kept (vec_id, cell). */
-  def semDedup(base: DataFrame, occ: Int = 64, thresh: Double = 0.95): DataFrame = {
-    val k = math.max(16L, (base.count() + (occ - 1L)) / occ).toInt
-    val cents = ivfSeedCentroids(base, k).toIndexedSeq
+  def semDedup(base: DataFrame, occ: Int = 64, thresh: Double = 0.95,
+               kMax: Int = 1 << 12): DataFrame = {
+    val k = math.min(kMax.toLong, math.max(16L, (base.count() + (occ - 1L)) / occ)).toInt
+    semDedup(base, ivfSeedCentroids(base, k).toIndexedSeq, thresh)
+  }
+
+  /** [[semDedup]] against FIXED (trained or loaded) centroids — the
+    * at-scale entry point: k is whatever the training run chose, nothing
+    * here depends on the corpus count. */
+  def semDedup(base: DataFrame, cents: Seq[Array[Double]], thresh: Double): DataFrame = {
     // assignment is a shuffle-free projection; cached because it feeds
     // both sides of the pair join AND the final anti-join
     val assigned = registerCache(
@@ -2204,13 +2268,20 @@ object PipelineOps {
     * partitioning. Scale shape: assignment is a shuffle-free projection
     * against broadcast centroid literals; the only exchange is the
     * (cell, dim) hash-aggregate, whose output is k·dim rows — partial
-    * aggregation absorbs the corpus size map-side. At 100 TB run this
-    * repeatedly (assign → update → re-literal centroids) off the same
-    * cached corpus; cells stay ~occ occupancy because k scales with the
-    * measured count. */
-  def kmeansUpdate(base: DataFrame, occ: Int = 64): DataFrame = {
-    val k = math.max(16L, (base.count() + (occ - 1L)) / occ).toInt
-    val cents = ivfSeedCentroids(base, k).toIndexedSeq
+    * aggregation absorbs the corpus size map-side. Like [[semDedup]], the
+    * convenience path's corpus-derived k is capped at `kMax` (plan-literal
+    * centroids must stay bounded); at 100 TB run the centroid-taking
+    * overload repeatedly (assign → update → re-seed centroids) off the
+    * same cached corpus, with [[ivfAssignBroadcast]] once the trained k
+    * outgrows literals. */
+  def kmeansUpdate(base: DataFrame, occ: Int = 64, kMax: Int = 1 << 12): DataFrame = {
+    val k = math.min(kMax.toLong, math.max(16L, (base.count() + (occ - 1L)) / occ)).toInt
+    kmeansUpdate(base, ivfSeedCentroids(base, k).toIndexedSeq)
+  }
+
+  /** [[kmeansUpdate]] against FIXED centroids — one Lloyd iteration whose
+    * cost and cell count are independent of how the centroids were chosen. */
+  def kmeansUpdate(base: DataFrame, cents: Seq[Array[Double]]): DataFrame =
     ivfAssign(base, cents)
       .select(col("cell").cast("long").as("cell"),
         posexplode(col("embedding")).as(Seq("d", "x")))
@@ -2218,7 +2289,6 @@ object PipelineOps {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("double").cast("string").cast("decimal(38,30)")).as("s"))
       .orderBy(col("cell"), col("d"))
-  }
 
   def ivfSearch(emb: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
                 topK: Int): DataFrame = {
@@ -2909,12 +2979,12 @@ object PipelineOps {
         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // SemDeDup: same hash-ranked seed chain as ann_ivf (fnvMixCtes), cell
     // count derived by the same integer formula as the Scala side
-    // (GREATEST(16, ceil(n/64))), argmin assignment with min-cell ties,
-    // within-cell pairwise cosine, greedy min-id exemplar per dup group
+    // (LEAST(4096, GREATEST(16, ceil(n/64)))), argmin assignment with
+    // min-cell ties, within-cell pairwise cosine, greedy min-id exemplar
     "emb_semdedup" ->
       s"""WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
-        |kk AS (SELECT GREATEST(16, (COUNT(*) + 63) // 64) AS k FROM embeddings),
+        |kk AS (SELECT LEAST(4096, GREATEST(16, (COUNT(*) + 63) // 64)) AS k FROM embeddings),
         |${fnvMixCtes("sd", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
         |sdh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM sd),
         |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM sdh QUALIFY cell < (SELECT k FROM kk)),
@@ -2936,7 +3006,7 @@ object PipelineOps {
     // float→double→shortest-string→DECIMAL(38,30) — the gram contract, so
     // the distributed decimal sum is order-free and hash-matches
     "emb_kmeans" ->
-      s"""WITH kk AS (SELECT GREATEST(16, (COUNT(*) + 63) // 64) AS k FROM embeddings),
+      s"""WITH kk AS (SELECT LEAST(4096, GREATEST(16, (COUNT(*) + 63) // 64)) AS k FROM embeddings),
         |${fnvMixCtes("kms", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
         |kmh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM kms),
         |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM kmh QUALIFY cell < (SELECT k FROM kk)),

@@ -65,6 +65,23 @@ class CompactionSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 20100L)
   }
 
+  test("mixed hive/non-hive layout refuses loudly instead of dropping partition values") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact_mixed").toString
+    val in = s"$base/in"
+    // date= lives only in the directory name; a stray non-hive file beside
+    // it makes the plain read unplannable, and the recursive fallback
+    // would silently erase the date column from every partitioned row
+    (1L to 64L).map(i => (i, "2024-01-01")).toDF("id", "date")
+      .write.partitionBy("date").parquet(in)
+    (65L to 128L).map(i => (i, "stray")).toDF("id", "src").coalesce(1)
+      .write.parquet(s"$in/stray")
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, in, s"$base/out", targetBytes = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("hive-style partition dirs"))
+  }
+
   test("empty / non-parquet input is a loud error") {
     val e = intercept[IllegalArgumentException] {
       Compaction.compact(spark,

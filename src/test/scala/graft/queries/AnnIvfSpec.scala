@@ -88,6 +88,21 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(again === assigned.map(t => (t._1, t._3)).toSet)
   }
 
+  test("ivfAssignBroadcast assigns the same cells as the literal path") {
+    val cents = PipelineOps.ivfSeedCentroids(embs, 8).toIndexedSeq
+    val lit = PipelineOps.ivfAssign(embs, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val bc = PipelineOps.ivfAssignBroadcast(embs, cents)
+      .select("vec_id", "cell", "nrm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(bc.length === lit.size)
+    bc.foreach { case (id, cell, nrm) =>
+      assert(cell === lit(id), s"vec $id")
+      assert(nrm > 0.0)
+    }
+  }
+
   test("offline k-means train + fixed-centroid search compose") {
     val cents = PipelineOps.ivfTrain(embs, k = 8, maxIter = 2)
     assert(cents.length === 8 && cents.forall(_.length === 64))

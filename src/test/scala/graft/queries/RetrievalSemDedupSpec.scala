@@ -46,6 +46,12 @@ class RetrievalSemDedupSpec extends AnyFunSuite {
     assert(got.head._2 > 0.0)
   }
 
+  /** Bit-exact replica of the product's cosine: dotF/l2normF fold
+    * float→double products left-to-right per accumulator, and the final
+    * expression is dot / (sqrt(na) * sqrt(nb)) in exactly this
+    * association — so the doubles here EQUAL Spark's and the threshold
+    * compare below needs no slack (a one-sided epsilon would make the
+    * replica drop borderline pairs the product keeps). */
   private def cos(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -59,7 +65,7 @@ class RetrievalSemDedupSpec extends AnyFunSuite {
     assigned.groupBy(_._3).values.flatMap { cell =>
       val sorted = cell.sortBy(_._1)
       sorted.filter { case (id, v, _) =>
-        !sorted.exists { case (id2, v2, _) => id2 < id && cos(v2, v) >= 0.95 - 1e-12 }
+        !sorted.exists { case (id2, v2, _) => id2 < id && cos(v2, v) >= 0.95 }
       }.map(_._1)
     }.toSet
 
