@@ -532,6 +532,21 @@ object PipelineOps {
     // nprobe nearest cells only, so the scored set shrinks by ~nprobe/k.
     "ann_ivf" -> ((spark, dir) => annIvf(embs(spark, dir), k = 16, nprobe = 4, topK = 10)),
 
+    // product-quantization encode (see [[pqEncode]]): dim 64 → m=8 4-bit
+    // codes, the 64×-compressed serving representation; shuffle-free
+    "emb_pq" -> ((spark, dir) => {
+      val e = embs(spark, dir)
+      pqEncode(e, pqSeedCodebook(e, 16).toIndexedSeq, m = 8)
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // ADC top-k over the PQ codes (see [[pqAdcSearch]]): corpus side reads
+    // 4-byte codes only; probes broadcast their m×16 lookup tables
+    "ann_pq_adc" -> ((spark, dir) => {
+      val e = embs(spark, dir)
+      pqAdcSearch(e, pqSeedCodebook(e, 16).toIndexedSeq, m = 8, topK = 10)
+    }),
+
     // SemDeDup semantic dedup (see [[semDedup]] for the algorithm and the
     // bit-exact-oracle contract); defaults: occupancy 64, cosine >= 0.95
     "emb_semdedup" -> ((spark, dir) => semDedup(embs(spark, dir))),
@@ -2128,10 +2143,16 @@ object PipelineOps {
     * HUGEINT SQL, so ann_ivf is hash-checked end-to-end. Distributed
     * TakeOrdered: only k rows ever reach the driver. */
   def ivfSeedCentroids(emb: DataFrame, k: Int): Array[Array[Double]] =
+    seedVectors(emb, k, "ivf-seed-")
+
+  /** The hash-ranked deterministic sample behind [[ivfSeedCentroids]] and
+    * [[pqSeedCodebook]], parameterized by the hash-domain prefix so the two
+    * codebooks are independent draws from the same public arithmetic. */
+  private def seedVectors(emb: DataFrame, k: Int, prefix: String): Array[Array[Double]] =
     emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("c"),
         graft.functions.TextFunctions.fnvMix64(
-          concat(lit("ivf-seed-"), col("vec_id").cast("string"))).as("h"))
+          concat(lit(prefix), col("vec_id").cast("string"))).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .collect()
       .map(_.getSeq[Double](1).toArray)
@@ -2319,6 +2340,86 @@ object PipelineOps {
     * cell balance matters more than oracle-ability. */
   def annIvf(emb: DataFrame, k: Int, nprobe: Int, topK: Int): DataFrame =
     ivfSearch(emb, ivfSeedCentroids(emb, k).toIndexedSeq, nprobe, topK)
+
+  // ===== product quantization (Jégou et al. 2011, IEEE TPAMI 33(1)) =======
+  // The memory-resident ANN representation at 100 TB: a dim-64 float vector
+  // is 256 bytes; its PQ code (m=8 subspaces × 4-bit codewords) is 4 bytes —
+  // 64× smaller, so a trillion-vector corpus's codes fit in cluster RAM
+  // while the raw vectors stay in parquet. Codebooks here are the same
+  // deterministic hash-ranked corpus sample as [[ivfSeedCentroids]] (domain
+  // 'pq-seed-'), so DuckDB reproduces encode AND search bit-exactly; at real
+  // scale swap in per-subspace k-means ([[ivfTrain]] over slices) — the plan
+  // shapes below do not change.
+
+  /** Hash-ranked codebook donors: codeword c of subspace s is donor c's
+    * s-th subvector (a shared-donor init; classic PQ trains each subspace
+    * independently, which [[ivfTrain]] over slices provides offline). */
+  def pqSeedCodebook(emb: DataFrame, nCodes: Int): Array[Array[Double]] =
+    seedVectors(emb, nCodes, "pq-seed-")
+
+  /** Per-subspace code column: argmin over the nCodes codewords of the
+    * squared L2 distance on the s-th slice, ties to the lowest code. The
+    * codebook rides as expression literals (nCodes×dim doubles — tiny), so
+    * encoding is a pure shuffle-free projection inside whole-stage codegen. */
+  private def pqCodeCol(donors: Seq[Array[Double]], m: Int, s: Int): Column = {
+    val sub = donors.head.length / m
+    val cb = donors.map(_.slice(s * sub, (s + 1) * sub)).toIndexedSeq
+    val d = graft.functions.VectorFunctions.centroidSqDists(
+      slice(col("embedding"), s * sub + 1, sub), cb)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** PQ encode, long form: one (vec_id, subspace, code, sqdist) row per
+    * subspace — the batch job whose output IS the serving index. sqdist is
+    * the per-subspace quantization error (sum over the row = reconstruction
+    * error). Pure projection: no shuffle, no driver loop, any corpus size. */
+  def pqEncode(emb: DataFrame, donors: Seq[Array[Double]], m: Int): DataFrame = {
+    require(donors.head.length % m == 0, s"dim ${donors.head.length} not divisible by m=$m")
+    val sub = donors.head.length / m
+    val pieces = (0 until m).map { s =>
+      val cb = donors.map(_.slice(s * sub, (s + 1) * sub)).toIndexedSeq
+      val d = graft.functions.VectorFunctions.centroidSqDists(
+        slice(col("embedding"), s * sub + 1, sub), cb)
+      struct(lit(s.toLong).as("subspace"),
+        (array_position(d, array_min(d)) - 1).cast("int").as("code"),
+        array_min(d).as("sqdist"))
+    }
+    emb.select(col("vec_id"), explode(array(pieces: _*)).as("pq"))
+      .select(col("vec_id"), col("pq.subspace").as("subspace"),
+        col("pq.code").as("code"), col("pq.sqdist").as("sqdist"))
+  }
+
+  /** ADC top-k search over PQ codes (asymmetric distance: exact query
+    * subvectors against quantized corpus). Each probe precomputes its
+    * m×nCodes lookup table ONCE (flattened array, subspace-major) and the
+    * per-corpus-row distance is m table lookups on the 4-bit codes — no
+    * float vector is ever read on the corpus side, which is the entire
+    * point at 100 TB: the scan touches the 4-byte codes column only.
+    * Probes broadcast; the only exchange is the final window top-k. */
+  def pqAdcSearch(emb: DataFrame, donors: Seq[Array[Double]], m: Int,
+                  topK: Int): DataFrame = {
+    val nCodes = donors.length
+    val sub = donors.head.length / m
+    val corpus = emb.select(col("vec_id"),
+      array((0 until m).map(pqCodeCol(donors, m, _)): _*).as("codes"))
+    val qtab = flatten(array((0 until m).map { s =>
+      val cb = donors.map(_.slice(s * sub, (s + 1) * sub)).toIndexedSeq
+      graft.functions.VectorFunctions.centroidSqDists(
+        slice(col("embedding"), s * sub + 1, sub), cb)
+    }: _*))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), qtab.as("qtab"))
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (code, s) =>
+        element_at(col("qtab"), (s * nCodes + code + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    corpus.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   /** Smallest hyperplane count keeping the EXPECTED bucket occupancy
     * (n / 2^bits) at or under `targetOcc` — the measured-corpus analogue of
@@ -2977,6 +3078,49 @@ object PipelineOps {
         |  WHERE a.vec_id <> pc.q_id),
         |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM sc)
         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // PQ encode: 16 hash-ranked donors (domain 'pq-seed-'), codeword c of
+    // subspace s = donor c's s-th 8-dim slice, per-(vec, subspace) argmin
+    // with min-code ties — each output double is ONE slice distance (same
+    // sequential fold as the Spark kernel), so the hash check is bit-exact
+    "emb_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |${fnvMixCtes("pq", "embeddings", "vec_id", "'pq-seed-' || CAST(vec_id AS VARCHAR)")},
+        |pqh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM pq),
+        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code FROM pqh QUALIFY code < 16),
+        |donors AS (SELECT sr.code, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
+        |dists AS (SELECT e.vec_id, ss.s, d.code,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]) * (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]))) AS dist
+        |  FROM e CROSS JOIN range(0, 8) ss(s) CROSS JOIN donors d),
+        |mind AS (SELECT vec_id, s, MIN(dist) AS md FROM dists GROUP BY vec_id, s)
+        |SELECT d.vec_id, CAST(d.s AS BIGINT) AS subspace, CAST(MIN(d.code) AS INT) AS code, MIN(m.md) AS sqdist
+        |FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md
+        |GROUP BY d.vec_id, d.s ORDER BY d.vec_id, d.s""".stripMargin,
+    // ADC search: same donors/codes as emb_pq; each probe's m×16 table is a
+    // nested list (subspace-major, code-minor), the approximate distance is
+    // the s-ascending fold of table lookups — the same association as the
+    // Spark aggregate() fold, so ranks and doubles hash-match
+    "ann_pq_adc" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |${fnvMixCtes("pq", "embeddings", "vec_id", "'pq-seed-' || CAST(vec_id AS VARCHAR)")},
+        |pqh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM pq),
+        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code FROM pqh QUALIFY code < 16),
+        |donors AS (SELECT sr.code, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
+        |dists AS (SELECT e.vec_id, ss.s, d.code,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]) * (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]))) AS dist
+        |  FROM e CROSS JOIN range(0, 8) ss(s) CROSS JOIN donors d),
+        |mind AS (SELECT vec_id, s, MIN(dist) AS md FROM dists GROUP BY vec_id, s),
+        |asg AS (SELECT d.vec_id, d.s, MIN(d.code) AS code FROM dists d
+        |  JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md GROUP BY d.vec_id, d.s),
+        |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM asg GROUP BY vec_id),
+        |prow AS (SELECT vec_id AS q_id, s, list(dist ORDER BY code) AS row FROM dists WHERE vec_id < 5 GROUP BY vec_id, s),
+        |ptab AS (SELECT q_id, list(row ORDER BY s) AS tab FROM prow GROUP BY q_id),
+        |adc AS (SELECT p.q_id, c.vec_id,
+        |  list_sum(list_transform(range(1, 9), s -> p.tab[s][c.codes[s] + 1])) AS adc
+        |  FROM codes c CROSS JOIN ptab p WHERE c.vec_id <> p.q_id),
+        |r AS (SELECT q_id, vec_id, adc, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank FROM adc)
+        |SELECT q_id, vec_id, adc, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // SemDeDup: same hash-ranked seed chain as ann_ivf (fnvMixCtes), cell
     // count derived by the same integer formula as the Scala side
     // (LEAST(4096, GREATEST(16, ceil(n/64)))), argmin assignment with
