@@ -207,6 +207,23 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // corpus vocabulary: top-1024 tokens by (count DESC, token ASC) with
+    // dense ids (see [[vocabBuild]]) — the fixed-vocab artifact tokenize-
+    // to-ids trains against
+    "doc_vocab" -> ((spark, dir) =>
+      vocabBuild(docs(spark, dir), 1024).orderBy(col("token_id"))),
+
+    // tokenize-to-ids against a 16-entry vocabulary (see [[vocabEncode]]):
+    // the synthetic corpus has 31 distinct tokens at every SF, so v=16
+    // actually binds the cap — the 15 rarest tokens hit the unk path and
+    // the (count DESC, term ASC) boundary tie-break is live, not vacuous
+    "doc_vocab_encode" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val vb = vocabBuild(d, 16).select(col("term"), col("token_id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      vocabEncode(d, vb, unkId = 16L)
+    }),
+
     // BM25 relevance ranking over the corpus for a fixed query-term set —
     // the retrieval primitive behind quality-targeted data selection
     // (rank-then-keep against a reference query). See [[bm25Scores]] for
@@ -2117,6 +2134,58 @@ object PipelineOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Corpus vocabulary build: the top-`v` whitespace tokens by (count DESC,
+    * token ASC), id = rank − 1 — the fixed-vocab half of tokenize-to-ids.
+    * Scale shape: one map-side-combined term aggregate, then TakeOrdered
+    * truncation to v rows BEFORE the unpartitioned id window (the doc_rrf
+    * rule: never rank an unbounded set on one reducer — only the v
+    * surviving rows meet the window). */
+  def vocabBuild(d: DataFrame, v: Int): DataFrame = {
+    val counts = d.select(explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("term")).limit(v)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("n").desc, col("term"))) - 1)
+          .cast("long"))
+      .select(col("token_id"), col("term"), col("n"))
+  }
+
+  /** Tokenize-to-ids against a FIXED vocabulary (the other half of every
+    * training pipeline's preprocessing): per doc, token count, OOV count,
+    * and a position-weighted integer checksum Σ (id+1)·pos proving the full
+    * id SEQUENCE without materializing it. The vocab rides a broadcast and
+    * each doc encodes in ONE pass over its tokens (hash lookups, integer
+    * sums) — no token-level explode, no shuffle, any corpus size; the same
+    * trade as [[ivfAssignBroadcast]]: off codegen, but O(1) lookups against
+    * a shared map beat a corpus-wide token explosion + re-aggregation.
+    * Tokenization itself stays in the codegen'd [[tokens]] expression so it
+    * is bit-identical to every other doc_* query's. Integer-only outputs →
+    * the DuckDB mirror (explode + vocab join + grouped sums) hash-matches
+    * exactly. */
+  def vocabEncode(d: DataFrame, vocab: Map[String, Long], unkId: Long): DataFrame = {
+    val bc = d.sparkSession.sparkContext.broadcast(vocab)
+    val enc = udf { (toks: Seq[String]) =>
+      val m = bc.value
+      var n = 0L
+      var oov = 0L
+      var ck = 0L
+      val it = toks.iterator
+      while (it.hasNext) {
+        val id = m.getOrElse(it.next(), -1L)
+        n += 1
+        val eff = if (id < 0L) { oov += 1L; unkId } else id
+        ck += (eff + 1L) * n // n is the 1-based position of this token
+      }
+      (n, oov, ck)
+    }
+    d.select(col("doc_id"),
+        enc(filter(tokens(col("text")), t => length(t) > 0)).as("e"))
+      .select(col("doc_id"), col("e._1").as("n_tokens"),
+        col("e._2").as("n_oov"), col("e._3").as("ids_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Offline IVF training: seeded k-means over a deterministic sample.
     * Returns the k centroids driver-side (tiny: k × dim doubles). At 100 TB
     * this runs ONCE as a batch job and the centroids are persisted; serving
@@ -3252,6 +3321,28 @@ object PipelineOps {
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // vocabulary: same filtered tokenizer, (count DESC, term ASC) ranking
+    "doc_vocab" ->
+      """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
+        |cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS token_id, term, n
+        |FROM cnt QUALIFY token_id < 1024 ORDER BY token_id""".stripMargin,
+    // tokenize-to-ids: vocab join replaces the broadcast-map lookup, the
+    // parallel unnest zip numbers positions 1-based exactly like the Spark
+    // single-pass counter; docs with zero kept tokens still emit a row
+    "doc_vocab_encode" ->
+      """WITH tok0 AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS term, unnest(range(1, len(ts) + 1)) AS ord FROM tok0),
+        |cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+        |voc AS (SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS token_id FROM cnt QUALIFY token_id < 16),
+        |enc AS (SELECT t.doc_id, t.ord, COALESCE(v.token_id, 16) AS id FROM tok t LEFT JOIN voc v USING (term)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |        SUM(CASE WHEN id = 16 THEN 1 ELSE 0 END) AS n_oov,
+        |        SUM((id + 1) * ord) AS ids_checksum FROM enc GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(COALESCE(a.ids_checksum, 0) AS BIGINT) AS ids_checksum
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // BM25 (rational-idf form): every arithmetic step is an IEEE-exact
     // double op written in the same order as the Spark expression tree —
     // see the doc_bm25 catalog entry for the parenthesization contract
