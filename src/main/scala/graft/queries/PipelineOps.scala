@@ -729,6 +729,18 @@ object PipelineOps {
       decontaminate(train, probes)
     }),
 
+    // graded decontamination (see [[contaminationScore]]): per-doc overlap
+    // fraction with the probe shingles — same probes/postings as
+    // doc_decontaminate, but every train doc gets a row and a score
+    "doc_contamination_score" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val probes = d.filter(col("source") === "src0")
+        .select(explode(shingles(col("text"), 5)).as("shingle")).distinct()
+      val train = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("shingle"))
+      contaminationScore(train, probes)
+    }),
+
     // the Bloom-prefiltered decontamination scale path, same oracle as
     // doc_decontaminate (result-identical by construction: the filter only
     // admits false positives and the verify join removes them) — the
@@ -1721,6 +1733,27 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))
 
+  /** Graded decontamination: per doc, the FRACTION of its distinct shingles
+    * shared with the probe set — the thresholdable form of [[decontaminate]]
+    * (real pipelines drop at x% overlap, not on a single hit). One pass:
+    * the broadcast probe join is LEFT with a hit marker, so n_shingles and
+    * n_hits come out of the same aggregate — one shuffle on doc_id, the
+    * postings stream is read once. The score is one int/int double division
+    * (bit-exact in any engine). Swap the broadcast for the Bloom prefilter
+    * of [[decontaminateScalable]] when probes outgrow a broadcast — but
+    * keep the exact join for the marker, a Bloom hit alone would inflate
+    * n_hits by the false-positive rate. */
+  def contaminationScore(trainInv: DataFrame, probeNgrams: DataFrame): DataFrame =
+    trainInv
+      .join(broadcast(probeNgrams.select(col("shingle"))
+        .withColumn("graft_hit", lit(1))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("graft_hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+
   /** Scale path for [[decontaminate]] when the probe set no longer fits an
     * exact broadcast: ONE distributed aggregate builds a Bloom filter of
     * the probe n-grams (≈1.44·n·log₂(1/fpp) bits — ~120 MB for 10⁸ probes
@@ -2674,6 +2707,20 @@ object PipelineOps {
       |FROM inv i JOIN probes p ON i.shingle = p.shingle
       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
 
+  /** Graded variant: LEFT join keeps every posting, COUNT(p.shingle) counts
+    * the probe hits, the score is the same int/int double division as the
+    * Spark side. */
+  private val contaminationOracleSql: String =
+    """WITH tok AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(ts)-4, 1)+1), i -> array_to_string(ts[i:i+4], ' '))) AS s FROM tok),
+      |probes AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'),
+      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0'),
+      |agg AS (SELECT i.doc_id, COUNT(*) AS n_shingles, COUNT(p.shingle) AS n_hits
+      |        FROM inv i LEFT JOIN probes p ON i.shingle = p.shingle GROUP BY 1)
+      |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, CAST(n_hits AS BIGINT) AS n_hits,
+      |  CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracles for the subset that is exactly SQL-expressible. */
   val dfOracles: Map[String, String] = Map(
     "doc_token_stats" ->
@@ -2992,6 +3039,7 @@ object PipelineOps {
         |SELECT doc_id, lang FROM r
         |WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT) ORDER BY lang, doc_id""".stripMargin),
     "doc_decontaminate" -> deconOracleSql,
+    "doc_contamination_score" -> contaminationOracleSql,
     // the Bloom-prefiltered scale path is result-identical by construction
     // (no false negatives; exact verify removes the false positives), so
     // it shares the exact path's oracle verbatim

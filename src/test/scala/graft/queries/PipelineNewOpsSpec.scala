@@ -282,6 +282,24 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(scalable.toSeq == exact.toSeq)
   }
 
+  test("contamination score covers all train docs and agrees with the boolean gate") {
+    val score = q("doc_contamination_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val gate = q("doc_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val train = PipelineOps.docs(spark, sfDir)
+      .filter(col("source") =!= "src0").count()
+    assert(score.length == train, "every train doc gets a score row")
+    score.foreach { case (id, nSh, nHits, c) =>
+      assert(nSh > 0 && nHits >= 0 && nHits <= nSh)
+      assert(c == nHits.toDouble / nSh.toDouble)
+      // the boolean gate lists exactly the docs with a nonzero score
+      assert(gate.get(id).map(_ == nHits).getOrElse(nHits == 0L), s"doc $id")
+    }
+    assert(score.exists(_._3 > 0) && score.exists(_._3 == 0),
+      "fixture should exercise both contaminated and clean docs")
+  }
+
   test("Bloom prefilter passes every true hit and drops most clean postings") {
     import spark.implicits._
     val probes = Seq("alpha beta", "gamma delta").toDF("shingle")
