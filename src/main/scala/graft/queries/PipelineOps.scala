@@ -1742,10 +1742,16 @@ object PipelineOps {
     * (bit-exact in any engine). Swap the broadcast for the Bloom prefilter
     * of [[decontaminateScalable]] when probes outgrow a broadcast — but
     * keep the exact join for the marker, a Bloom hit alone would inflate
-    * n_hits by the false-positive rate. */
+    * n_hits by the false-positive rate.
+    *
+    * Probes are deduplicated HERE, not assumed distinct: a duplicate probe
+    * row would fan the left join out and corrupt n_shingles (the
+    * denominator) as well as n_hits — in [[decontaminate]] the same
+    * mistake only inflates the hit count. The distinct is one aggregate
+    * over the (small) probe side the broadcast already pays to collect. */
   def contaminationScore(trainInv: DataFrame, probeNgrams: DataFrame): DataFrame =
     trainInv
-      .join(broadcast(probeNgrams.select(col("shingle"))
+      .join(broadcast(probeNgrams.select(col("shingle")).distinct()
         .withColumn("graft_hit", lit(1))), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("graft_hit")).as("n_hits"))
@@ -2186,8 +2192,11 @@ object PipelineOps {
 
   /** Tokenize-to-ids against a FIXED vocabulary (the other half of every
     * training pipeline's preprocessing): per doc, token count, OOV count,
-    * and a position-weighted integer checksum Σ (id+1)·pos proving the full
-    * id SEQUENCE without materializing it. The vocab rides a broadcast and
+    * and a position-weighted integer checksum Σ (id+1)·pos — order- and
+    * content-sensitive evidence for the id sequence (NOT injective: a
+    * linear weighting admits collisions, e.g. ids [3,0] and [1,1] both sum
+    * to 6 — it catches reorderings and most substitutions, not all). The
+    * vocab rides a broadcast and
     * each doc encodes in ONE pass over its tokens (hash lookups, integer
     * sums) — no token-level explode, no shuffle, any corpus size; the same
     * trade as [[ivfAssignBroadcast]]: off codegen, but O(1) lookups against
@@ -2212,8 +2221,13 @@ object PipelineOps {
       }
       (n, oov, ck)
     }
+    // NULL text coalesces to "" BEFORE tokenize: a null array would reach
+    // the UDF as a null Seq (reference args are not null-skipped) and NPE,
+    // where the DuckDB mirror's LEFT JOIN emits a (0, 0, 0) row — "" →
+    // [""] → filtered → empty → (0, 0, 0) on both engines instead
     d.select(col("doc_id"),
-        enc(filter(tokens(col("text")), t => length(t) > 0)).as("e"))
+        enc(filter(tokens(coalesce(col("text"), lit(""))),
+          t => length(t) > 0)).as("e"))
       .select(col("doc_id"), col("e._1").as("n_tokens"),
         col("e._2").as("n_oov"), col("e._3").as("ids_checksum"))
       .orderBy(col("doc_id"))
@@ -2459,29 +2473,41 @@ object PipelineOps {
   def pqSeedCodebook(emb: DataFrame, nCodes: Int): Array[Array[Double]] =
     seedVectors(emb, nCodes, "pq-seed-")
 
-  /** Per-subspace code column: argmin over the nCodes codewords of the
-    * squared L2 distance on the s-th slice, ties to the lowest code. The
-    * codebook rides as expression literals (nCodes×dim doubles — tiny), so
-    * encoding is a pure shuffle-free projection inside whole-stage codegen. */
-  private def pqCodeCol(donors: Seq[Array[Double]], m: Int, s: Int): Column = {
-    val sub = donors.head.length / m
+  /** Subspace width with the divisibility guard every PQ entry point needs:
+    * a non-divisible m would silently exclude the trailing dims from every
+    * code and lookup table — fail fast instead. */
+  private def pqSubWidth(donors: Seq[Array[Double]], m: Int): Int = {
+    require(donors.head.length % m == 0,
+      s"dim ${donors.head.length} not divisible by m=$m")
+    donors.head.length / m
+  }
+
+  /** Squared L2 distances of the s-th embedding slice to the s-th slice of
+    * every donor — THE shared kernel: codes ([[pqEncode]], [[pqCodes]]) and
+    * probe tables ([[pqAdcSearch]]) must agree on slice bounds bit-for-bit
+    * or encode and search silently diverge, so both build on this. The
+    * sub-codebook rides as expression literals (nCodes×dim doubles — tiny)
+    * inside whole-stage codegen. */
+  private def pqSubDists(donors: Seq[Array[Double]], m: Int, s: Int): Column = {
+    val sub = pqSubWidth(donors, m)
     val cb = donors.map(_.slice(s * sub, (s + 1) * sub)).toIndexedSeq
-    val d = graft.functions.VectorFunctions.centroidSqDists(
+    graft.functions.VectorFunctions.centroidSqDists(
       slice(col("embedding"), s * sub + 1, sub), cb)
+  }
+
+  /** Argmin code for subspace s, ties to the lowest code. */
+  private def pqCodeCol(donors: Seq[Array[Double]], m: Int, s: Int): Column = {
+    val d = pqSubDists(donors, m, s)
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
   /** PQ encode, long form: one (vec_id, subspace, code, sqdist) row per
-    * subspace — the batch job whose output IS the serving index. sqdist is
-    * the per-subspace quantization error (sum over the row = reconstruction
+    * subspace — the audit/oracle view of the index. sqdist is the
+    * per-subspace quantization error (sum over the row = reconstruction
     * error). Pure projection: no shuffle, no driver loop, any corpus size. */
   def pqEncode(emb: DataFrame, donors: Seq[Array[Double]], m: Int): DataFrame = {
-    require(donors.head.length % m == 0, s"dim ${donors.head.length} not divisible by m=$m")
-    val sub = donors.head.length / m
     val pieces = (0 until m).map { s =>
-      val cb = donors.map(_.slice(s * sub, (s + 1) * sub)).toIndexedSeq
-      val d = graft.functions.VectorFunctions.centroidSqDists(
-        slice(col("embedding"), s * sub + 1, sub), cb)
+      val d = pqSubDists(donors, m, s)
       struct(lit(s.toLong).as("subspace"),
         (array_position(d, array_min(d)) - 1).cast("int").as("code"),
         array_min(d).as("sqdist"))
@@ -2491,37 +2517,52 @@ object PipelineOps {
         col("pq.code").as("code"), col("pq.sqdist").as("sqdist"))
   }
 
-  /** ADC top-k search over PQ codes (asymmetric distance: exact query
-    * subvectors against quantized corpus). Each probe precomputes its
-    * m×nCodes lookup table ONCE (flattened array, subspace-major) and the
-    * per-corpus-row distance is m table lookups on the 4-bit codes — no
-    * float vector is ever read on the corpus side, which is the entire
-    * point at 100 TB: the scan touches the 4-byte codes column only.
-    * Probes broadcast; the only exchange is the final window top-k. */
-  def pqAdcSearch(emb: DataFrame, donors: Seq[Array[Double]], m: Int,
-                  topK: Int): DataFrame = {
-    val nCodes = donors.length
-    val sub = donors.head.length / m
-    val corpus = emb.select(col("vec_id"),
+  /** PQ encode, wide form: (vec_id, codes array<int>) — the 4-byte-per-row
+    * serving index [[pqAdcSearchCodes]] scans. Persist THIS once as a batch
+    * job; the raw float vectors never need to be read again at query time. */
+  def pqCodes(emb: DataFrame, donors: Seq[Array[Double]], m: Int): DataFrame =
+    emb.select(col("vec_id"),
       array((0 until m).map(pqCodeCol(donors, m, _)): _*).as("codes"))
-    val qtab = flatten(array((0 until m).map { s =>
-      val cb = donors.map(_.slice(s * sub, (s + 1) * sub)).toIndexedSeq
-      graft.functions.VectorFunctions.centroidSqDists(
-        slice(col("embedding"), s * sub + 1, sub), cb)
-    }: _*))
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), qtab.as("qtab"))
+
+  /** Probe-side ADC lookup tables: (q_id, qtab) where qtab is the m×nCodes
+    * slice-distance table flattened subspace-major — built from the SAME
+    * [[pqSubDists]] kernel as the codes, so table entry (s, c) is bit-equal
+    * to the distance encode minimized over. */
+  def pqProbeTables(queries: DataFrame, donors: Seq[Array[Double]],
+                    m: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"),
+      flatten(array((0 until m).map(pqSubDists(donors, m, _)): _*)).as("qtab"))
+
+  /** ADC top-k over a PRE-ENCODED codes index (asymmetric distance: exact
+    * query subvectors against the quantized corpus). This is the serving
+    * path the 100 TB claim is about: the corpus side scans [[pqCodes]]'
+    * 4-byte codes column ONLY — no float vector is read per query — and
+    * each row costs m table lookups against the broadcast probe tables.
+    * The only exchange is the final window top-k. */
+  def pqAdcSearchCodes(codes: DataFrame, probeTables: DataFrame, nCodes: Int,
+                       topK: Int): DataFrame = {
+    val m = expr("size(codes)")
     val adc = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (code, s) =>
+      zip_with(col("codes"), sequence(lit(0), m - 1), (code, s) =>
         element_at(col("qtab"), (s * nCodes + code + 1).cast("int"))),
       lit(0.0), (acc, x) => acc + x)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    corpus.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+    codes.join(broadcast(probeTables), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), adc.as("adc"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Convenience form: encodes the corpus INLINE (one full float-column
+    * scan) before searching — right for one-shot queries and the oracle
+    * catalog entry. At scale, persist [[pqCodes]] once and serve every
+    * query through [[pqAdcSearchCodes]] so the scan stays codes-only. */
+  def pqAdcSearch(emb: DataFrame, donors: Seq[Array[Double]], m: Int,
+                  topK: Int): DataFrame =
+    pqAdcSearchCodes(pqCodes(emb, donors, m),
+      pqProbeTables(emb.filter(col("vec_id") < 5), donors, m),
+      donors.length, topK)
 
   /** Smallest hyperplane count keeping the EXPECTED bucket occupancy
     * (n / 2^bits) at or under `targetOcc` — the measured-corpus analogue of

@@ -122,5 +122,42 @@ class PqSpec extends AnyFunSuite {
     val plan = PipelineOps.pqAdcSearch(embs, donors, m, topK = 10)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"probe side must broadcast:\n$plan")
+    // the documented contract: ONE data exchange (the window top-k) — the
+    // presentation orderBy may add a range exchange after it, nothing else
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"corpus side must not shuffle before top-k:\n$plan")
+  }
+
+  test("search from a persisted codes index equals the inline form") {
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString + "/codes"
+    PipelineOps.pqCodes(embs, donors, m).write.parquet(dir)
+    val served = PipelineOps.pqAdcSearchCodes(
+        spark.read.parquet(dir),
+        PipelineOps.pqProbeTables(embs.filter(col("vec_id") < 5), donors, m),
+        nCodes, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val inline = PipelineOps.pqAdcSearch(embs, donors, m, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(served.sortBy(t => (t._1, t._4)).toSeq ==
+      inline.sortBy(t => (t._1, t._4)).toSeq)
+    // the serving scan must read codes only — no embedding column anywhere
+    val plan = PipelineOps.pqAdcSearchCodes(spark.read.parquet(dir),
+        PipelineOps.pqProbeTables(embs.filter(col("vec_id") < 5), donors, m),
+        nCodes, topK = 10)
+      .queryExecution.executedPlan.toString
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(dir.split('/').last))
+      .mkString
+    assert(corpusScan.contains("codes") && !corpusScan.contains("embedding"),
+      s"corpus scan must be codes-only:\n$plan")
+  }
+
+  test("a non-divisible subspace count fails fast instead of dropping dims") {
+    intercept[IllegalArgumentException] {
+      PipelineOps.pqAdcSearch(embs, donors, m = 7, topK = 10)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps.pqEncode(embs, donors, m = 7)
+    }
   }
 }
