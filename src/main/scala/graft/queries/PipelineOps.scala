@@ -564,6 +564,12 @@ object PipelineOps {
       pqAdcSearch(e, pqSeedCodebook(e, 16).toIndexedSeq, m = 8, topK = 10)
     }),
 
+    // IVF-PQ (see [[annIvfPq]]): cells prune to ~nprobe/k of the corpus,
+    // PQ codes compress the pruned rows, ADC scores them — the trillion-
+    // vector composition, oracle-checked whole
+    "ann_ivf_pq" -> ((spark, dir) =>
+      annIvfPq(embs(spark, dir), kCells = 16, nprobe = 4, m = 8, topK = 10)),
+
     // SemDeDup semantic dedup (see [[semDedup]] for the algorithm and the
     // bit-exact-oracle contract); defaults: occupancy 64, cosine >= 0.95
     "emb_semdedup" -> ((spark, dir) => semDedup(embs(spark, dir))),
@@ -2564,6 +2570,49 @@ object PipelineOps {
       pqProbeTables(emb.filter(col("vec_id") < 5), donors, m),
       donors.length, topK)
 
+  /** IVF-PQ — the canonical trillion-vector ANN composition (Jégou et al.
+    * 2011 §V): IVF cells PRUNE (probes meet only their nprobe nearest
+    * cells' rows, ~nprobe/k of the corpus), PQ codes COMPRESS (the pruned
+    * rows are scored from 4-byte codes, no float read), ADC SCORES (m table
+    * lookups per candidate). The index — (vec_id, cell, codes) — is one
+    * shuffle-free projection over the corpus, built once and at real scale
+    * persisted bucketed by cell so probe joins prune to file groups. Both
+    * codebooks are the deterministic hash-ranked seeds (domains 'ivf-seed-'
+    * / 'pq-seed-'), so the whole pipeline — assignment, codes, probe cells,
+    * lookup tables, ranks — is DuckDB-reproducible bit-exactly. The only
+    * exchange is the final window top-k; probe cells and tables broadcast. */
+  def annIvfPq(emb: DataFrame, kCells: Int, nprobe: Int, m: Int,
+               topK: Int): DataFrame = {
+    val cents = ivfSeedCentroids(emb, kCells).toIndexedSeq
+    val donors = pqSeedCodebook(emb, 16).toIndexedSeq
+    val nCodes = donors.length
+    val index = withCellDists(emb, cents)
+      .withColumn("cell",
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map(pqCodeCol(donors, m, _)): _*).as("codes"))
+    // probe side: nprobe nearest cells × the probe's ADC lookup table
+    val probeCells = withCellDists(emb, cents).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding"), posexplode(col("dists")))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dist")
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("cell"),
+        flatten(array((0 until m).map(pqSubDists(donors, m, _)): _*)).as("qtab"))
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), expr("size(codes)") - 1), (code, s) =>
+        element_at(col("qtab"), (s * nCodes + code + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    index.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Smallest hyperplane count keeping the EXPECTED bucket occupancy
     * (n / 2^bits) at or under `targetOcc` — the measured-corpus analogue of
     * [[similarityJoinPlan]]'s density probe. Within-bucket candidate pairs
@@ -3277,6 +3326,44 @@ object PipelineOps {
         |adc AS (SELECT p.q_id, c.vec_id,
         |  list_sum(list_transform(range(1, 9), s -> p.tab[s][c.codes[s] + 1])) AS adc
         |  FROM codes c CROSS JOIN ptab p WHERE c.vec_id <> p.q_id),
+        |r AS (SELECT q_id, vec_id, adc, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank FROM adc)
+        |SELECT q_id, vec_id, adc, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // IVF-PQ: ann_ivf's cell chain (ivf-seed domain: assignment + nprobe=4
+    // probe cells) composed with ann_pq_adc's code chain (pq-seed domain:
+    // codes + lookup tables); candidates are cell-joined instead of the
+    // full cross join, then the same s-ascending ADC fold and ranking
+    "ann_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |${fnvMixCtes("iv", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
+        |ivh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM iv),
+        |ivr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM ivh QUALIFY cell < 16),
+        |cents AS (SELECT ivr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM ivr JOIN e USING (vec_id)),
+        |cdists AS (SELECT e.vec_id, s.cell,
+        |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
+        |  FROM e CROSS JOIN cents s),
+        |cmind AS (SELECT vec_id, MIN(dist) AS md FROM cdists GROUP BY vec_id),
+        |casg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM cdists d JOIN cmind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
+        |pc AS (SELECT vec_id AS q_id, cell FROM (
+        |   SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS cr FROM cdists WHERE vec_id < 5) WHERE cr <= 4),
+        |${fnvMixCtes("pq", "embeddings", "vec_id", "'pq-seed-' || CAST(vec_id AS VARCHAR)")},
+        |pqh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM pq),
+        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code FROM pqh QUALIFY code < 16),
+        |donors AS (SELECT sr.code, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
+        |dists AS (SELECT e.vec_id, ss.s, d.code,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]) * (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]))) AS dist
+        |  FROM e CROSS JOIN range(0, 8) ss(s) CROSS JOIN donors d),
+        |mind AS (SELECT vec_id, s, MIN(dist) AS md FROM dists GROUP BY vec_id, s),
+        |pasg AS (SELECT d.vec_id, d.s, MIN(d.code) AS code FROM dists d
+        |  JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md GROUP BY d.vec_id, d.s),
+        |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM pasg GROUP BY vec_id),
+        |prow AS (SELECT vec_id AS q_id, s, list(dist ORDER BY code) AS row FROM dists WHERE vec_id < 5 GROUP BY vec_id, s),
+        |ptab AS (SELECT q_id, list(row ORDER BY s) AS tab FROM prow GROUP BY q_id),
+        |adc AS (SELECT pc.q_id, a.vec_id,
+        |  list_sum(list_transform(range(1, 9), s -> p.tab[s][c.codes[s] + 1])) AS adc
+        |  FROM casg a JOIN pc ON a.cell = pc.cell
+        |  JOIN codes c ON c.vec_id = a.vec_id JOIN ptab p ON p.q_id = pc.q_id
+        |  WHERE a.vec_id <> pc.q_id),
         |r AS (SELECT q_id, vec_id, adc, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank FROM adc)
         |SELECT q_id, vec_id, adc, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // SemDeDup: same hash-ranked seed chain as ann_ivf (fnvMixCtes), cell

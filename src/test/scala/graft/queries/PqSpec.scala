@@ -152,6 +152,40 @@ class PqSpec extends AnyFunSuite {
       s"corpus scan must be codes-only:\n$plan")
   }
 
+  test("IVF-PQ: candidates come only from probed cells; ADC values match the full scan") {
+    val ipq = PipelineOps.annIvfPq(embs, kCells = 16, nprobe = 4, m, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(ipq.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    ipq.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+      assert(!rows.exists(_._2 == q))
+    }
+    // cell pruning: every returned candidate sits in one of its probe's
+    // nprobe nearest cells
+    val cents = PipelineOps.ivfSeedCentroids(embs, 16).toIndexedSeq
+    val assigned = PipelineOps.ivfAssign(embs, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probeCells: Map[Long, Set[Int]] = (0L until 5L).map { q =>
+      val qv = raw(q)
+      val byDist = cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var k = 0
+        while (k < c.length) { val t = qv(k).toDouble - c(k); d += t * t; k += 1 }
+        (d, i)
+      }.sortBy(identity).take(4).map(_._2).toSet
+      q -> byDist
+    }.toMap
+    ipq.foreach { case (q, v, _, _) =>
+      assert(probeCells(q).contains(assigned(v)), s"probe $q vec $v outside probed cells")
+    }
+    // same donors + tables as the unpruned scan → identical adc per pair
+    val full = PipelineOps.pqAdcSearch(embs, donors, m, topK = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ipq.foreach { case (q, v, adc, _) => assert(full((q, v)) == adc) }
+  }
+
   test("a non-divisible subspace count fails fast instead of dropping dims") {
     intercept[IllegalArgumentException] {
       PipelineOps.pqAdcSearch(embs, donors, m = 7, topK = 10)
