@@ -2539,6 +2539,23 @@ object PipelineOps {
     queries.select(col("vec_id").as("q_id"),
       flatten(array((0 until m).map(pqSubDists(donors, m, _)): _*)).as("qtab"))
 
+  /** Shared ADC scoring tail: candidates carrying (q_id, vec_id, codes,
+    * qtab) score by the s-ascending fold of table lookups, then the window
+    * top-k. ONE definition of the fold and the (adc, vec_id) tie rule —
+    * [[pqAdcSearchCodes]] and [[annIvfPq]] must rank identically or the
+    * oracle contract silently splits. */
+  private def adcScoreRank(cands: DataFrame, nCodes: Int, topK: Int): DataFrame = {
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), expr("size(codes)") - 1), (code, s) =>
+        element_at(col("qtab"), (s * nCodes + code + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    cands.select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** ADC top-k over a PRE-ENCODED codes index (asymmetric distance: exact
     * query subvectors against the quantized corpus). This is the serving
     * path the 100 TB claim is about: the corpus side scans [[pqCodes]]'
@@ -2546,19 +2563,10 @@ object PipelineOps {
     * each row costs m table lookups against the broadcast probe tables.
     * The only exchange is the final window top-k. */
   def pqAdcSearchCodes(codes: DataFrame, probeTables: DataFrame, nCodes: Int,
-                       topK: Int): DataFrame = {
-    val m = expr("size(codes)")
-    val adc = aggregate(
-      zip_with(col("codes"), sequence(lit(0), m - 1), (code, s) =>
-        element_at(col("qtab"), (s * nCodes + code + 1).cast("int"))),
-      lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    codes.join(broadcast(probeTables), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), adc.as("adc"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .orderBy(col("q_id"), col("rank"))
-  }
+                       topK: Int): DataFrame =
+    adcScoreRank(
+      codes.join(broadcast(probeTables), col("vec_id") =!= col("q_id")),
+      nCodes, topK)
 
   /** Convenience form: encodes the corpus INLINE (one full float-column
     * scan) before searching — right for one-shot queries and the oracle
@@ -2574,43 +2582,41 @@ object PipelineOps {
     * 2011 §V): IVF cells PRUNE (probes meet only their nprobe nearest
     * cells' rows, ~nprobe/k of the corpus), PQ codes COMPRESS (the pruned
     * rows are scored from 4-byte codes, no float read), ADC SCORES (m table
-    * lookups per candidate). The index — (vec_id, cell, codes) — is one
-    * shuffle-free projection over the corpus, built once and at real scale
-    * persisted bucketed by cell so probe joins prune to file groups. Both
-    * codebooks are the deterministic hash-ranked seeds (domains 'ivf-seed-'
-    * / 'pq-seed-'), so the whole pipeline — assignment, codes, probe cells,
-    * lookup tables, ranks — is DuckDB-reproducible bit-exactly. The only
-    * exchange is the final window top-k; probe cells and tables broadcast. */
-  def annIvfPq(emb: DataFrame, kCells: Int, nprobe: Int, m: Int,
-               topK: Int): DataFrame = {
+    * lookups per candidate). Composed entirely from the proven halves:
+    * [[ivfAssign]] cells + [[pqCodeCol]] codes form the (vec_id, cell,
+    * codes) index — one shuffle-free projection, at real scale persisted
+    * bucketed by cell so probe joins prune to file groups — and
+    * [[pqProbeTables]] + [[adcScoreRank]] do the scoring, so a tie-rule or
+    * fold change propagates everywhere by construction. Each probe's
+    * lookup table is built ONCE and broadcasts once; the nprobe cell list
+    * broadcasts separately (joining them first would ship nprobe copies of
+    * every table). The corpus stream reaches the top-k window without any
+    * shuffle — both joins broadcast; probe-side prep exchanges touch only
+    * the ≤ nQueries·kCells probe rows. Default codebooks are the
+    * deterministic hash-ranked seeds (domains 'ivf-seed-' / 'pq-seed-'),
+    * so the whole pipeline is DuckDB-reproducible bit-exactly; pass
+    * offline-trained `donors` (per-subspace k-means) when recall matters
+    * more than oracle-ability. */
+  def annIvfPq(emb: DataFrame, kCells: Int, nprobe: Int, m: Int, topK: Int,
+               donorsOpt: Option[Seq[Array[Double]]] = None): DataFrame = {
     val cents = ivfSeedCentroids(emb, kCells).toIndexedSeq
-    val donors = pqSeedCodebook(emb, 16).toIndexedSeq
-    val nCodes = donors.length
-    val index = withCellDists(emb, cents)
-      .withColumn("cell",
-        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+    val donors = donorsOpt.getOrElse(pqSeedCodebook(emb, 16).toIndexedSeq)
+    val index = ivfAssign(emb, cents)
       .select(col("vec_id"), col("cell"),
         array((0 until m).map(pqCodeCol(donors, m, _)): _*).as("codes"))
-    // probe side: nprobe nearest cells × the probe's ADC lookup table
-    val probeCells = withCellDists(emb, cents).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding"), posexplode(col("dists")))
+    val probeEmb = emb.filter(col("vec_id") < 5)
+    val probeCells = withCellDists(probeEmb, cents)
+      .select(col("vec_id").as("q_id"), posexplode(col("dists")))
       .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dist")
       .withColumn("cr", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))))
       .filter(col("cr") <= nprobe)
-      .select(col("q_id"), col("cell"),
-        flatten(array((0 until m).map(pqSubDists(donors, m, _)): _*)).as("qtab"))
-    val adc = aggregate(
-      zip_with(col("codes"), sequence(lit(0), expr("size(codes)") - 1), (code, s) =>
-        element_at(col("qtab"), (s * nCodes + code + 1).cast("int"))),
-      lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    index.join(broadcast(probeCells), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), adc.as("adc"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .orderBy(col("q_id"), col("rank"))
+      .select(col("q_id"), col("cell"))
+    adcScoreRank(
+      index.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(pqProbeTables(probeEmb, donors, m)), Seq("q_id")),
+      donors.length, topK)
   }
 
   /** Smallest hyperplane count keeping the EXPECTED bucket occupancy

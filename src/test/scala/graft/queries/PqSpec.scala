@@ -186,6 +186,15 @@ class PqSpec extends AnyFunSuite {
     ipq.foreach { case (q, v, adc, _) => assert(full((q, v)) == adc) }
   }
 
+  test("IVF-PQ plan: both joins broadcast — the corpus never shuffles for a join") {
+    val plan = PipelineOps.annIvfPq(embs, kCells = 16, nprobe = 4, m, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"cell and table joins must broadcast:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj == 2, s"expected cell + table broadcast joins, got $bhj:\n$plan")
+  }
+
   test("a non-divisible subspace count fails fast instead of dropping dims") {
     intercept[IllegalArgumentException] {
       PipelineOps.pqAdcSearch(embs, donors, m = 7, topK = 10)
