@@ -436,6 +436,19 @@ object PipelineOps {
       minhashLshJoin(d, threshold = 0.3)
     }),
 
+    // incremental near-dup (see [[minhashDedupIncremental]]): even doc_ids
+    // are the persisted index (built once per input dir, immutable — same
+    // lifecycle as doc_window_dedup_incr's), odd doc_ids arrive as the
+    // incoming batch; output = the cross-set near-dup pairs
+    "dedup_minhash_incr" -> ((spark, dir) => {
+      val all = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val idxDir = winIdxFor("mhidx:" + dir) { d =>
+        minhashIndexSave(all.filter(col("doc_id") % 2 === 0), d)
+      }
+      minhashDedupIncremental(all.filter(col("doc_id") % 2 === 1), idxDir,
+        threshold = 0.3)
+    }),
+
     // adaptive similarity join: the planner measures the corpus (one
     // aggregate) and picks exact (bitset or posting count-join) /
     // prefix-filtered / MinHash-LSH. This corpus is dense with a small
@@ -2058,6 +2071,53 @@ object PipelineOps {
     verifyPairs(sig, candidates, threshold)
   }
 
+  /** Persisted MinHash band index — the NEAR-dup analogue of
+    * [[windowIndexSave]]: signatures and band hashes of the accumulated
+    * corpus are computed ONCE and written as a parquet artifact, so each
+    * incoming batch pays only its own hashing plus a band join against the
+    * index. Shingle sets ride along for the exact-Jaccard verification of
+    * candidate pairs (at 100 TB, band_hashes is the hot column — bucket the
+    * index on it and the probe join prunes to file groups; sh is read only
+    * for the candidate sliver). */
+  def minhashIndexSave(d: DataFrame, dir: String, numPerms: Int = 64,
+                       bands: Int = 16): Unit = {
+    val r = numPerms / bands
+    d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L))
+      .withColumn("band_hashes", array((0 until bands).map(bb =>
+        xxhash64(slice(col("sig"), bb * r + 1, r))): _*))
+      .select(col("doc_id"), col("sh"), col("band_hashes"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Incremental near-dup: an incoming batch against a [[minhashIndexSave]]d
+    * corpus — the same signatures, band rule, and exact-Jaccard verification
+    * as [[minhashLshJoin]], but the accumulated side is never re-hashed.
+    * Output pairs are (doc_a = indexed, doc_b = incoming): exactly the
+    * cross-set pairs the full join would emit, so batch-at-a-time dedup is
+    * indistinguishable from re-running the whole join. */
+  def minhashDedupIncremental(newDocs: DataFrame, indexDir: String,
+                              threshold: Double, numPerms: Int = 64,
+                              bands: Int = 16): DataFrame = {
+    val spark = newDocs.sparkSession
+    val r = numPerms / bands
+    val idx = spark.read.parquet(indexDir)
+    val nsig = registerCache(newDocs.withColumn("sig",
+      minhashSignature(col("sh"), numPerms, 42L)))
+    val nband = nsig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bb =>
+        xxhash64(slice(col("sig"), bb * r + 1, r))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val iband = idx.select(col("doc_id"), posexplode(col("band_hashes")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val candidates = iband.as("a").join(nband.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = idx.select(col("doc_id"), col("sh"))
+      .unionByName(newDocs.select(col("doc_id"), col("sh")))
+    verifyPairs(sets, candidates, threshold)
+  }
+
   /** PPJoin-style prefix postings: order every document's tokens by
     * ascending global document frequency (rarest first, ties by shingle) and
     * keep only the first |x| - ceil(t·|x|) + 1. Completeness: two sets with
@@ -2727,7 +2787,8 @@ object PipelineOps {
     * a 2^-64 hash collision that the exact-Jaccard verify then absorbs).
     * Exposes `cand(doc_a, doc_b, sa, sb)` with doc_a < doc_b; the caller
     * applies its own exact-Jaccard threshold over sa/sb. */
-  private def minhashCandCtes(shFrom: String): String =
+  private def minhashCandCtes(shFrom: String,
+      pairPred: String = "a.doc_id < b.doc_id"): String =
     s"""coef AS (
        |  SELECT list((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
        |      list_transform(range(1, octet_length(encode('minhash-a-42-' || CAST(j AS VARCHAR))) + 1), fi ->
@@ -2756,7 +2817,7 @@ object PipelineOps {
        |  FROM hs, coef),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  FROM sigs a JOIN sigs b ON $pairPred
        |  WHERE EXISTS (SELECT 1 FROM range(0, 16) t(k)
        |                WHERE a.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]
        |                    = b.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]))""".stripMargin
@@ -3179,6 +3240,18 @@ object PipelineOps {
       (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
         |${minhashCandCtes("sh")}
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard
+        |FROM cand
+        |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // incremental near-dup: identical signature/band/verify chain, pair
+    // predicate restricted to (indexed even) × (incoming odd) — the
+    // cross-set pairs the full join would emit
+    "dedup_minhash_incr" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
+        |${minhashCandCtes("sh", "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
         |SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard
         |FROM cand

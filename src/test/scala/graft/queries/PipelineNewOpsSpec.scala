@@ -282,6 +282,25 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(scalable.toSeq == exact.toSeq)
   }
 
+  test("incremental minhash == full join restricted to cross-set pairs") {
+    import org.apache.spark.sql.functions.col
+    val all = PipelineOps.docs(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+    // full-corpus join, then keep pairs with one even (index) and one odd
+    // (incoming) id, normalized to (even, odd) like the incremental output
+    val full = PipelineOps.minhashLshJoin(all, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      .sortBy(t => (t._1, t._2))
+    val incr = PipelineOps.dfQueries("dedup_minhash_incr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(incr.nonEmpty, "fixture should contain cross-set near-dups")
+    assert(incr.toSeq == full.toSeq,
+      "batch-at-a-time must be indistinguishable from the full join")
+  }
+
   test("contamination score covers all train docs and agrees with the boolean gate") {
     val score = q("doc_contamination_score").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
