@@ -213,6 +213,22 @@ object PipelineOps {
     "doc_vocab" -> ((spark, dir) =>
       vocabBuild(docs(spark, dir), 1024).orderBy(col("token_id"))),
 
+    // corpus bigram count table — the n-gram LM training artifact (the
+    // count side of doc_lm_score, as a standalone top-k): EVERY occurrence
+    // counted (ngramsAll, not the distinct shingles), one map-side-combined
+    // aggregate, TakeOrdered truncation to 100 BEFORE the rank window
+    "doc_ngram_counts" -> ((spark, dir) => {
+      val counts = docs(spark, dir)
+        .select(explode(ngramsAll(col("text"), 2)).as("gram"))
+        .filter(length(col("gram")) > 0)
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      counts.orderBy(col("n").desc, col("gram")).limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("gram"))).cast("long"))
+        .select(col("rank"), col("gram"), col("n"))
+        .orderBy(col("rank"))
+    }),
+
     // tokenize-to-ids against a 16-entry vocabulary (see [[vocabEncode]]):
     // the synthetic corpus has 31 distinct tokens at every SF, so v=16
     // actually binds the cap — the 15 rarest tokens hit the unk path and
@@ -3576,6 +3592,14 @@ object PipelineOps {
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // bigram count table: same multiplicity-preserving gram construction
+    // as doc_lm_score's reference side, top-100 by (count DESC, gram ASC)
+    "doc_ngram_counts" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |g0 AS (SELECT unnest(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS gram FROM tok),
+        |cnt AS (SELECT gram, COUNT(*) AS n FROM g0 WHERE length(gram) > 0 GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS BIGINT) AS rank, gram, n
+        |FROM cnt QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
     // vocabulary: same filtered tokenizer, (count DESC, term ASC) ranking
     "doc_vocab" ->
       """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),

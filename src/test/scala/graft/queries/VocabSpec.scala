@@ -66,6 +66,22 @@ class VocabSpec extends AnyFunSuite {
     assert(got.map(_._3).sum > 0, "oov must be exercised at v=16")
   }
 
+  test("ngram count table matches a driver replica (multiplicity-preserving)") {
+    val got = PipelineOps.dfQueries("doc_ngram_counts")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replica: every bigram occurrence over the token sequence; a 1-token
+    // doc contributes its single token (the ngramsAll short-doc rule)
+    val counts = rawDocs.flatMap { case (_, text) =>
+      val ts = toks(text)
+      if (ts.isEmpty) Seq.empty
+      else if (ts.length == 1) Seq(ts(0))
+      else ts.sliding(2).map(_.mkString(" ")).toSeq
+    }.groupBy(identity).map { case (g, xs) => (g, xs.length.toLong) }
+    val expect = counts.toSeq.sortBy { case (g, n) => (-n, g) }.take(100)
+      .zipWithIndex.map { case ((g, n), i) => (i + 1L, g, n) }
+    assert(got.toSeq == expect)
+  }
+
   test("encode plan is shuffle-free (broadcast map, no token explode)") {
     val vmap = Map("the" -> 0L)
     val plan = PipelineOps.vocabEncode(docsDf, vmap, unkId = 1L)
