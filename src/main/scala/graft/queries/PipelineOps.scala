@@ -686,8 +686,9 @@ object PipelineOps {
     }),
 
     // Gram matrix of the embedding corpus (covariance/PCA prep): one pass,
-    // per-partition decimal-exact accumulation — order-free distributed sum
-    "emb_gram" -> ((spark, dir) => gramMatrix(embs(spark, dir), dim = 64)),
+    // per-partition accumulation on an explicit integer grid — order-free
+    // exact long sums, version-proof across engines (no formatter contract)
+    "emb_gram" -> ((spark, dir) => gramMatrixGrid(embs(spark, dir), dim = 64)),
 
     // PCA serve half: project every embedding onto the checked-in trained
     // basis ([[PcaRefBasis]] — top-8 eigenbasis of the sf0.001 reference
@@ -1119,19 +1120,15 @@ object PipelineOps {
     * the dim·(dim+1)/2 cells per partition (deliberate: a positional
     * self-join explodes dim² rows per VECTOR — 4096× blowup — where this
     * touches each vector once and shuffles only #partitions × 2080 partial
-    * cells). Exactness: each double product converts through its SHORTEST
-    * decimal representation (what double→string prints on every engine;
-    * verified value-identical between JDK 17 toString and Ryu over every
-    * product in the test corpus) and is rounded to scale 30 HALF_UP — the
-    * SAME point the oracle's VARCHAR→DECIMAL(38,30) cast rounds (DuckDB
-    * rounds half away from zero, which is HALF_UP). Products of float×float
-    * can carry >30 fractional digits, so rounding must happen PER TERM on
-    * both sides, not on the partial sums — with identically-rounded terms
-    * every addition is exact decimal, the distributed sum is ORDER-FREE and
-    * bit-reproducible at any partitioning, and the DuckDB oracle matches
-    * despite floating summation being order-dependent. (Engines' direct
-    * double→decimal CASTs disagree in the last digits — they scale in
-    * double arithmetic — so both sides route via the string form.)
+    * cells). Each double product is rounded PER TERM to a scale-30 decimal
+    * via its shortest string repr, so every addition is exact and the
+    * distributed sum is ORDER-FREE and bit-reproducible at any
+    * partitioning. This full-precision kernel is the OFFLINE half — it
+    * feeds [[pcaBasis]] / the checked-in [[PcaRefBasis]] artifact, where
+    * only the double value matters and no cross-engine contract exists.
+    * The DRIVER-GATE query `emb_gram` uses [[gramMatrixGrid]] instead: the
+    * string-route decimal contract bets on two engines' double formatters
+    * agreeing forever, which round 6 showed is DuckDB-version-dependent.
     * Returns (i, j, gram) for j >= i. */
   def gramMatrix(e: DataFrame, dim: Int): DataFrame = {
     val spark = e.sparkSession
@@ -1173,6 +1170,55 @@ object PipelineOps {
       // the gram stays an EXACT decimal: a final →double cast would re-open
       // the engine-specific division the string routing just closed
       .select(col("k"), col("s").as("gram"))
+      .withColumn("i", cellRow(col("k"), dim))
+      .withColumn("j", col("k") - cellBase(col("i"), dim))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("gram"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Gate-facing Gram matrix on an explicit integer grid: each product
+    * p = xi·xj is quantized ONCE as floor(p · 1e12 + 0.5) — one IEEE
+    * multiply, one add, one floor, operations every engine and every
+    * version performs bit-identically (no rounding-mode, formatter, or
+    * decimal-cast dependence, unlike the [[gramMatrix]] string-route
+    * contract) — and summed as Long. Long addition is exact and order-free,
+    * so the distributed sum is bit-reproducible at any partitioning AND
+    * across DuckDB/JDK releases. Consumers divide by 1e12 (quantization
+    * error ≤ 5e-13 per term). Headroom: embeddings are unit-scale, so each
+    * |term| ≤ 1e12 and int64 holds ≥ 9e6 vectors per cell; past that, route
+    * the SAME per-term grid through decimal(38,0) sums — the per-term
+    * quantization point, not the accumulator width, is the contract.
+    * Returns (i, j, gram) for j >= i with gram = Σ floor(xi·xj·1e12+0.5). */
+  def gramMatrixGrid(e: DataFrame, dim: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val nCells = dim * (dim + 1) / 2
+    val partials = e.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](nCells)
+        var any = false
+        it.foreach { v =>
+          any = true
+          var i = 0
+          var k = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            var j = i
+            while (j < dim) {
+              acc(k) += math.floor(xi * v(j).toDouble * 1e12 + 0.5).toLong
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.range(0, nCells).map(k => (k, acc(k)))
+      }
+      .toDF("k", "partial")
+    partials
+      .groupBy(col("k"))
+      .agg(sum(col("partial")).as("gram"))
       .withColumn("i", cellRow(col("k"), dim))
       .withColumn("j", col("k") - cellBase(col("i"), dim))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("gram"))
@@ -2479,11 +2525,12 @@ object PipelineOps {
     * deterministic seed centroid ([[ivfSeedCentroids]], so the oracle can
     * reproduce the seeds), then emit each cell's per-dimension sufficient
     * statistic (n, Σx) — the updated centroid is Σx/n, but the DIVISION is
-    * left to the consumer because the sums are exact order-free decimals
+    * left to the consumer because the sums are exact order-free integers
     * while a divided double would re-open engine-specific rounding.
-    * Exactness: each element routes float→double→shortest-string→
-    * DECIMAL(38,30) on both engines (the [[gramMatrix]] contract), so
-    * addition is exact and the distributed sum is bit-reproducible at any
+    * Exactness: each element is quantized ONCE as floor(x·1e12 + 0.5) —
+    * the [[gramMatrixGrid]] contract: one IEEE multiply + floor, identical
+    * on every engine and version — and summed as Long, so addition is
+    * exact and the distributed sum is bit-reproducible at any
     * partitioning. Scale shape: assignment is a shuffle-free projection
     * against broadcast centroid literals; the only exchange is the
     * (cell, dim) hash-aggregate, whose output is k·dim rows — partial
@@ -2506,7 +2553,7 @@ object PipelineOps {
         posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("cell"), col("d").cast("long").as("d"))
       .agg(count(lit(1)).as("n"),
-        sum(col("x").cast("double").cast("string").cast("decimal(38,30)")).as("s"))
+        sum(floor(col("x").cast("double") * lit(1e12) + lit(0.5))).as("s"))
       .orderBy(col("cell"), col("d"))
 
   def ivfSearch(emb: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
