@@ -42,6 +42,10 @@ object Verify {
     val json = only.fold(SparkEntry.oracleSql)(f => SparkEntry.oracleSql.filter(kv => f(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // version stamp: float formatting / semantics can drift across JDK and
+    // Spark releases — make every dump attributable to its toolchain
+    Files.writeString(Paths.get(s"$outDir/versions.json"),
+      s"""{"java": ${q(System.getProperty("java.version"))}, "spark": ${q(spark.version)}}""")
     spark.stop()
   }
 }

@@ -3144,13 +3144,14 @@ object PipelineOps {
         |SELECT doc_id, sort_key, shard_id,
         |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
         |FROM k ORDER BY shard_id, pos_in_shard""".stripMargin),
-    // Gram matrix: products go through their shortest decimal repr (the
-    // VARCHAR round-trip — direct double→DECIMAL casts scale in double
-    // arithmetic and disagree in the last digits), then exact decimal sums
-    // — order-free, so the distributed aggregate matches bit-for-bit
+    // Gram matrix, integer-grid contract (gramMatrixGrid): each product is
+    // snapped to floor(p*1e12+0.5) BEFORE summing — identical IEEE ops in
+    // the same order on both engines, then order-free int64 sums. DuckDB's
+    // SUM(BIGINT) widens to HUGEINT, so the result is cast back to BIGINT
+    // to match Spark's LongType gram column.
     "emb_gram" ->
       """SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
-        |  SUM(CAST(CAST(CAST(e.embedding[i.i+1] AS DOUBLE) * CAST(e.embedding[j.j+1] AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30))) AS gram
+        |  CAST(SUM(CAST(floor(CAST(e.embedding[i.i+1] AS DOUBLE) * CAST(e.embedding[j.j+1] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS gram
         |FROM embeddings e, range(0, 64) i(i), range(0, 64) j(j)
         |WHERE j.j >= i.i
         |GROUP BY i.i, j.j
@@ -3533,9 +3534,10 @@ object PipelineOps {
         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM asg a
         |WHERE a.vec_id NOT IN (SELECT vec_id FROM drp) ORDER BY a.vec_id""".stripMargin,
     // k-means update: same hash-ranked seeds + argmin assignment as
-    // emb_semdedup; per-(cell,dim) sums route each element
-    // float→double→shortest-string→DECIMAL(38,30) — the gram contract, so
-    // the distributed decimal sum is order-free and hash-matches
+    // emb_semdedup; per-(cell,dim) sums route each element through the
+    // integer grid floor(x*1e12+0.5) — the gram contract, so the
+    // distributed int64 sum is order-free and hash-matches (final CAST to
+    // BIGINT because DuckDB SUM(BIGINT) widens to HUGEINT)
     "emb_kmeans" ->
       s"""WITH kk AS (SELECT LEAST(4096, GREATEST(16, (COUNT(*) + 63) // 64)) AS k FROM embeddings),
         |${fnvMixCtes("kms", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
@@ -3548,7 +3550,7 @@ object PipelineOps {
         |mind AS (SELECT vec_id, MIN(dist) AS md FROM dists GROUP BY vec_id),
         |asg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id)
         |SELECT CAST(a.cell AS BIGINT) AS cell, CAST(r.d AS BIGINT) AS d, COUNT(*) AS n,
-        |  SUM(CAST(CAST(CAST(e.embedding[r.d+1] AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30))) AS s
+        |  CAST(SUM(CAST(floor(CAST(e.embedding[r.d+1] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
         |FROM asg a JOIN embeddings e USING (vec_id), range(0, 64) r(d)
         |GROUP BY a.cell, r.d ORDER BY cell, d""".stripMargin,
 

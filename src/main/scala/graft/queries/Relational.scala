@@ -424,10 +424,10 @@ object Relational {
     "q_sessionize" -> ((spark, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.t(spark, dir, "events")
-        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("prev_ms", lag(unix_millis(col("ts").cast("timestamp_ltz")), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ms").isNull ||
-            unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+            unix_millis(col("ts").cast("timestamp_ltz")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
@@ -455,10 +455,11 @@ object Relational {
     "q_range_join" -> ((spark, dir) => {
       val ev = Tables.t(spark, dir, "events")
       val points = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("pt"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ltz").cast("long").as("pt"))
       val intervals = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").cast("long").as("start"))
+          col("ts").cast("timestamp_ltz").cast("long").as("start"))
         .withColumn("end", col("start") + 86400L)
       graft.operators.TemporalJoins.rangeJoin(points, intervals,
         key = "user_id", pt = "pt", start = "start", end = "end",

@@ -21,11 +21,18 @@ object EventStream {
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n_events: Long)
 
-  /** The raw stream: events parquet with the ns->us normalization applied. */
+  /** The raw stream: events parquet with the ns->us normalization applied.
+    * Watermarks require TIMESTAMP (LTZ); driver-regenerated parquet may
+    * carry ts as naive timestamp[us] (TIMESTAMP_NTZ), so normalize — the
+    * session TZ is UTC, making the cast a pure type change. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     val batchSchema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(batchSchema).parquet(path)
-    graft.Tables.normalizeNanoTs(raw, "ts")
+    val norm = graft.Tables.normalizeNanoTs(raw, "ts")
+    if (norm.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      norm.withColumn("ts", col("ts").cast("timestamp_ltz"))
+    else norm
   }
 
   /** Tumbling-window counts with a watermark (late data bounded at 1 hour). */

@@ -180,6 +180,32 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gramMatrixGrid: partitioning-invariant int64 sums, bounded vs exact") {
+    val e = PipelineOps.embs(spark, sfDir)
+    val n = e.count()
+    val a = PipelineOps.gramMatrixGrid(e, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ORDER-FREE: a different partitioning must give identical int64 sums
+    val b = PipelineOps.gramMatrixGrid(e.repartition(7), dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b, "grid gram must not depend on partitioning")
+    assert(a.size == 64 * 65 / 2)
+    // brute-force replica of the per-term grid on a sample of cells
+    val vecs = e.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (((i, j), g) <- a.toSeq.sortBy(_._1).take(100)) {
+      val brute = vecs.map(v => math.floor(v(i.toInt) * v(j.toInt) * 1e12 + 0.5).toLong).sum
+      assert(g == brute, s"cell ($i,$j): $g vs $brute")
+    }
+    // quantization bound: each term moves < 5e-13, so grid/1e12 is within
+    // n*5e-13 of the exact decimal sum on every cell
+    val exact = PipelineOps.gramMatrix(e, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2).doubleValue()).toMap
+    for ((k, g) <- a)
+      assert(math.abs(g / 1e12 - exact(k)) <= n * 5e-13,
+        s"cell $k: grid ${g / 1e12} vs exact ${exact(k)}")
+  }
+
   test("gramMatrixFast: Kahan double kernel agrees with the exact kernel") {
     val e = PipelineOps.embs(spark, sfDir)
     val exact = PipelineOps.gramMatrix(e, dim = 64).collect()

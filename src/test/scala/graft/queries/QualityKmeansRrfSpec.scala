@@ -8,7 +8,7 @@ import graft.functions.TextFunctions.{fnv64, mix64}
 /** Round-6 additions: k-means Lloyd update, hashed linear quality
   * classifier, and RRF fusion. The DuckDB oracle pins all three bit-exactly
   * at sf0.01; these specs pin the SEMANTICS against independent driver-side
-  * brute-force replicas (assignment argmin + exact decimal sums for
+  * brute-force replicas (assignment argmin + integer-grid sums for
   * k-means; feature extraction, slot hashing, and integer scoring for the
   * classifier; rank fusion arithmetic for RRF). */
 class QualityKmeansRrfSpec extends AnyFunSuite {
@@ -16,7 +16,7 @@ class QualityKmeansRrfSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.get()
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("emb_kmeans == brute-force assignment + exact decimal sums") {
+  test("emb_kmeans == brute-force assignment + integer-grid sums") {
     val rows = PipelineOps.embs(spark, sfDir)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -42,19 +42,18 @@ class QualityKmeansRrfSpec extends AnyFunSuite {
       case (cell, members) =>
         (0 until 64).map { d =>
           val s = members.map { case (_, v) =>
-            java.math.BigDecimal.valueOf(v(d).toDouble)
-              .setScale(30, java.math.RoundingMode.HALF_UP)
-          }.reduce(_.add(_))
+            math.floor(v(d).toDouble * 1e12 + 0.5).toLong
+          }.sum
           ((cell.toLong, d.toLong), (members.length.toLong, s))
         }
     }
     val got = PipelineOps.dfQueries("emb_kmeans")(spark, sfDir).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDecimal(3))))
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
     assert(got.length == expected.size)
     got.foreach { case (key, (nGot, sGot)) =>
       val (nExp, sExp) = expected(key)
       assert(nGot == nExp, s"count mismatch at $key")
-      assert(sGot.compareTo(sExp) == 0, s"sum mismatch at $key: $sGot vs $sExp")
+      assert(sGot == sExp, s"sum mismatch at $key: $sGot vs $sExp")
     }
   }
 

@@ -24,6 +24,10 @@ def norm(v):
 
 
 def main(sf_dir, out_dir):
+    # version stamp: oracle semantics can shift across duckdb releases and
+    # Spark float formatting across JDKs — make every gate run attributable
+    import platform
+    print(f"versions: duckdb={duckdb.__version__} python={platform.python_version()}")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
