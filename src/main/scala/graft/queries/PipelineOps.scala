@@ -298,6 +298,40 @@ object PipelineOps {
     "doc_dsir" -> ((spark, dir) =>
       dsirScores(docs(spark, dir), col("source") === "src0")),
 
+    // quality-ensemble selection gate (see [[selectEnsemble]]): classifier
+    // + DSIR + LM OOV composed into one keep/drop with a per-gate bitmask
+    "doc_select_ensemble" -> ((spark, dir) =>
+      selectEnsemble(docs(spark, dir), col("source") === "src0")),
+
+    // BPE tokenizer training (see [[bpeTrain]]): 8 merge rounds over the
+    // word dict; output is the learned merge table in rank order
+    "doc_bpe_train" -> ((spark, dir) => {
+      val (merges, _) = bpeTrain(docs(spark, dir), numMerges = 8)
+      import spark.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r, c), i) => (i + 1L, l, r, l + r, c) }
+        .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+        .orderBy(col("merge_rank"))
+    }),
+
+    // BPE encode (see [[bpeTrain]]): per-doc token counts before/after the
+    // 8 learned merges. Each DISTINCT word is encoded once (the trained
+    // dict already carries its merged symbols); the corpus only joins
+    // word -> subword count — text is tokenized once and never re-encoded
+    // per occurrence, the shape that holds when one word appears 10^9
+    // times in a 100 TB corpus
+    "doc_bpe_encode" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val (_, dict) = bpeTrain(d, numMerges = 8)
+      val sub = dict.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(sub), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // repetition-based quality stats (Gopher/C4-style filters): per doc, the
     // top-2-gram fraction and duplicate-2-gram fraction — integer counts and
     // exact double ratios, so the DuckDB oracle hash-matches bit-for-bit
@@ -1047,6 +1081,127 @@ object PipelineOps {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("dsir_milli"), lit(0L)).as("dsir_milli"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Quality-ensemble selection gate: the three independent quality
+    * signals the catalog already verifies — hashed linear classifier
+    * ([[qualityClassifier]]), DSIR importance weight ([[dsirScores]]),
+    * n-gram LM OOV rate ([[lmScore]]) — composed into ONE calibrated
+    * keep/drop decision over the source pool, with a per-gate failure
+    * bitmask (the [[dfQueries doc_filter_c4]] pattern: production
+    * pipelines log WHY a doc dropped, not just that it did). Thresholds
+    * are integer-exact so the composition oracles bit-for-bit:
+    * classifier must be positive (bit 1), the doc's mean DSIR feature
+    * weight must reach the source pool's own mean — floored integer
+    * division on both sides, `dsir_milli div n_feats >= Σdsir div
+    * Σn_feats`, a CORPUS-RELATIVE calibration (absolute milli-ratios
+    * depend on the target/source size ratio, so any fixed cut is wrong
+    * at some corpus mix; "more target-like than the pool average" is
+    * scale-free) (bit 2) — and bigram OOV rate vs the reference slice
+    * must stay under 20% — `5·n_oov <= n_grams` (bit 4). Scale shape:
+    * three per-doc aggregates (each one hash-agg shuffle on doc_id, the
+    * weight/count sides broadcast or ≤ nBuckets rows) joined on their
+    * common key — co-partitioned after the aggregates — plus one 1-row
+    * broadcast scalar for the DSIR baseline. */
+  def selectEnsemble(d: DataFrame, isTarget: Column): DataFrame = {
+    val clf = qualityClassifier(d).select(col("doc_id"), col("score_milli"))
+    val dsir = dsirScores(d, isTarget)
+    val g = d.select(col("doc_id"), ngramsAll(col("text"), 2).as("g"))
+    val lm = lmScore(g, g.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id"), col("n_grams"), col("n_oov"))
+    val baseline = dsir.agg(
+      expr("sum(dsir_milli) div sum(n_feats)").as("dsir_thr"))
+    // floored per-doc mean; a featureless doc scores 0 (div-by-zero guard)
+    val docMean = when(col("n_feats") === 0L, lit(0L))
+      .otherwise(expr("dsir_milli div n_feats"))
+    dsir.join(clf, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .crossJoin(broadcast(baseline))
+      .withColumn("gate_mask",
+        when(col("score_milli") <= 0, 1L).otherwise(0L)
+          + when(docMean < col("dsir_thr"), 2L).otherwise(0L)
+          + when(col("n_oov") * 5L > col("n_grams"), 4L).otherwise(0L))
+      .select(col("doc_id"), col("score_milli"), col("n_feats"),
+        col("dsir_milli"), col("n_grams"), col("n_oov"), col("gate_mask"),
+        (col("gate_mask") === 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word dictionary for BPE: (word, freq, syms) with syms the initial
+    * character-level symbol sequence. BPE trains on the DICTIONARY, not
+    * the corpus — the corpus is read once into this aggregate and every
+    * merge round after that touches only distinct words, which is the
+    * whole reason char-pair BPE is tractable at 100 TB. */
+  private[queries] def bpeDict(d: DataFrame): DataFrame =
+    d.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** Frequency-weighted adjacent-pair counts over the dict's current
+    * symbol sequences (overlapping positions count with multiplicity —
+    * the standard BPE statistic). */
+  private[queries] def bpePairCounts(dict: DataFrame): DataFrame =
+    dict.select(col("freq"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("c"))
+
+  /** Apply ONE merge (l, r) -> l||r to a symbol array, greedy
+    * left-to-right (the BPE rule: in "aaa" with merge (a,a), positions
+    * 0 and 1 both match but only 0 applies). Pure higher-order-function
+    * fold — no UDF: the accumulator carries (rebuilt array, skip-next
+    * flag). `get` is the null-safe 0-based index, so the lookahead at
+    * the last element is null (never a match) instead of an ANSI error. */
+  private[queries] def bpeApplyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(
+      sequence(lit(0), size(syms) - 1),
+      struct(typedLit(Seq.empty[String]).as("out"), lit(false).as("skip")),
+      (acc, p) => {
+        val cur = get(syms, p)
+        val nxt = get(syms, p + 1)
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(cur === lit(l) && nxt === lit(r),
+            struct(concat(acc.getField("out"), array(concat(cur, nxt))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+
+  /** BPE tokenizer TRAINING: `numMerges` rounds of (count pairs → take
+    * the argmax → merge it everywhere), the Sennrich et al. 2016
+    * algorithm, bounded-rounds like [[connectedComponentsStar]]. Ties
+    * break deterministically by (count DESC, l ASC, r ASC) so any engine
+    * reproduces the merge table. Returns the learned merges (rank order)
+    * and the dict with all merges applied — the encode half joins that
+    * dict back to the corpus. Driver-side state per round is ONE row
+    * (the argmax pair — same collect discipline as k-means centroids);
+    * the dict itself stays distributed, localCheckpointed per round so
+    * 8 rounds don't stack 8 plans of lineage. */
+  def bpeTrain(d: DataFrame, numMerges: Int = 8)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    var dict = bpeDict(d).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = bpePairCounts(dict)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, c))
+        dict = dict.withColumn("syms", bpeApplyMerge(col("syms"), l, r))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), dict)
   }
 
   /** Span-level exact-substring dedup — the actual Lee et al. 2022
@@ -2799,6 +2954,46 @@ object PipelineOps {
        |${tag}2 AS (SELECT id, CAST(${mulc("z", 2496678331L, 321982955L)} AS HUGEINT) AS z FROM ${tag}1x),
        |$tag AS (SELECT id, xor(z, z // 2147483648) AS z FROM ${tag}2)""".stripMargin
 
+  /** Unrolled-BPE CTE chain for the [[bpeTrain]] oracle: `wrd(doc_id,
+    * word)`, `w0(word, freq, syms)`, then per round r: pair counts
+    * `pr{r}`, argmax `b{r}(l, r, c)` (ties by count DESC, l, r — the
+    * Spark contract), and the greedy merge application. Greedy
+    * left-to-right is expressed as the run-parity rule — within each
+    * maximal run of CONSECUTIVE candidate positions, apply at odd
+    * row_numbers (1st, 3rd, ...) — which is provably the same selection:
+    * candidates conflict only when adjacent (they share a symbol, which
+    * forces l = r), and greedy takes every other one from each run's
+    * start. Exposes `w{numMerges}` as the fully-merged dict. */
+  private def bpeCtes(numMerges: Int): String = {
+    val head =
+      s"""tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+         |wrd AS (SELECT doc_id, unnest(ts) AS word FROM tok),
+         |w0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |  list_transform(range(1, length(word)+1), ci -> substr(word, CAST(ci AS INTEGER), 1)) AS syms
+         |  FROM wrd WHERE length(word) > 0 GROUP BY word)""".stripMargin
+    val rounds = (1 to numMerges).map { r =>
+      val p = r - 1
+      s"""pe$r AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w$p),
+         |pr$r AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM pe$r GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, c FROM pr$r ORDER BY c DESC, l, r LIMIT 1),
+         |pos$r AS (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS p FROM w$p),
+         |cand$r AS (SELECT s.word, s.p FROM pos$r s, b$r b
+         |  WHERE s.p < len(s.syms) AND s.syms[s.p] = b.l AND s.syms[s.p+1] = b.r),
+         |run$r AS (SELECT word, p, p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS g FROM cand$r),
+         |sel$r AS (SELECT word, p FROM (SELECT word, p,
+         |  ROW_NUMBER() OVER (PARTITION BY word, g ORDER BY p) AS rn FROM run$r) WHERE rn % 2 = 1),
+         |out$r AS (SELECT s.word, s.freq, s.p,
+         |  CASE WHEN m.p IS NOT NULL THEN s.syms[s.p] || s.syms[s.p+1] ELSE s.syms[s.p] END AS sym
+         |  FROM pos$r s
+         |  LEFT JOIN sel$r m ON s.word = m.word AND s.p = m.p
+         |  LEFT JOIN sel$r m2 ON s.word = m2.word AND s.p = m2.p + 1
+         |  WHERE m2.p IS NULL),
+         |w$r AS MATERIALIZED (SELECT word, freq, list(sym ORDER BY p) AS syms FROM out$r GROUP BY word, freq)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   /** CTE chain `<tag>tf, <tag>sc, <tag>b, <tag>s` computing BM25 scores
     * for `terms` over shared `tok(doc_id, term)` CTE + `documents` —
     * mirrors [[bm25Scores]]'s arithmetic and fold order exactly (rational
@@ -3736,6 +3931,72 @@ object PipelineOps {
         |  COALESCE(agg.dsir_milli, 0) AS dsir_milli
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin,
+    // ensemble gate: the classifier, DSIR, and LM-score computations above
+    // verbatim (tagged enf/enw/eng), composed with the same integer
+    // thresholds as selectEnsemble — mask bit set = gate FAILED
+    "doc_select_ensemble" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |fe AS (SELECT doc_id, unnest(list_concat(ts,
+        |  list_transform(range(1, greatest(len(ts)-2, 0)+2), i -> array_to_string(ts[i:i+1], ' ')))) AS f FROM tok),
+        |ff AS (SELECT doc_id, f FROM fe WHERE length(f) > 0),
+        |fd AS (SELECT DISTINCT f FROM ff),
+        |${fnvMixCtes("enf", "fd", "f", "f")},
+        |fl AS (SELECT ff.doc_id, CAST(enf.z % 4096 AS BIGINT) AS slot, (d.source = 'src0') AS is_tgt
+        |  FROM ff JOIN enf ON ff.f = enf.id JOIN documents d ON ff.doc_id = d.doc_id),
+        |sdist AS (SELECT DISTINCT slot FROM fl),
+        |${fnvMixCtes("enw", "sdist", "slot", "'qw-' || CAST(slot AS VARCHAR)")},
+        |cw AS (SELECT id AS slot, CAST(z % 2048 AS BIGINT) - 1024 AS w_milli FROM enw),
+        |clfagg AS (SELECT fl.doc_id, CAST(SUM(cw.w_milli) AS BIGINT) AS score_milli
+        |  FROM fl JOIN cw USING (slot) GROUP BY 1),
+        |clf AS (SELECT d.doc_id, COALESCE(clfagg.score_milli, 0) AS score_milli
+        |  FROM documents d LEFT JOIN clfagg ON d.doc_id = clfagg.doc_id),
+        |tc AS (SELECT slot, COUNT(*) AS t_n FROM fl WHERE is_tgt GROUP BY 1),
+        |sc2 AS (SELECT slot, COUNT(*) AS s_n FROM fl WHERE NOT is_tgt GROUP BY 1),
+        |dw AS (SELECT sc2.slot, ((COALESCE(tc.t_n, 0) + 1) * 1000) // (sc2.s_n + 1) AS w_milli
+        |  FROM sc2 LEFT JOIN tc USING (slot)),
+        |dsagg AS (SELECT fl.doc_id, COUNT(*) AS n_feats, CAST(SUM(dw.w_milli) AS BIGINT) AS dsir_milli
+        |  FROM fl JOIN dw USING (slot) WHERE NOT fl.is_tgt GROUP BY 1),
+        |ds AS (SELECT d.doc_id, COALESCE(dsagg.n_feats, 0) AS n_feats,
+        |  COALESCE(dsagg.dsir_milli, 0) AS dsir_milli
+        |  FROM documents d LEFT JOIN dsagg ON d.doc_id = dsagg.doc_id
+        |  WHERE d.source <> 'src0'),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS gram FROM tok),
+        |gd AS (SELECT DISTINCT gram FROM g0),
+        |${fnvMixCtes("eng", "gd", "gram", "gram")},
+        |gh AS (SELECT g0.doc_id, eng.z AS gh FROM g0 JOIN eng ON g0.gram = eng.id),
+        |ref AS (SELECT gh, CAST(count(*) AS BIGINT) AS c FROM gh WHERE doc_id % 10 = 0 GROUP BY gh),
+        |lm AS (SELECT gh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ref.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM gh LEFT JOIN ref USING (gh) GROUP BY gh.doc_id),
+        |thr AS (SELECT SUM(dsir_milli) // SUM(n_feats) AS dsir_thr FROM ds),
+        |dm AS (SELECT doc_id, n_feats, dsir_milli,
+        |  CASE WHEN n_feats = 0 THEN 0 ELSE dsir_milli // n_feats END AS doc_mean FROM ds)
+        |SELECT dm.doc_id, clf.score_milli, dm.n_feats, dm.dsir_milli,
+        |  lm.n_grams, lm.n_oov,
+        |  CAST(CASE WHEN clf.score_milli <= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN dm.doc_mean < thr.dsir_thr THEN 2 ELSE 0 END
+        |     + CASE WHEN lm.n_oov * 5 > lm.n_grams THEN 4 ELSE 0 END AS BIGINT) AS gate_mask,
+        |  (clf.score_milli > 0 AND dm.doc_mean >= thr.dsir_thr
+        |     AND lm.n_oov * 5 <= lm.n_grams) AS keep
+        |FROM dm JOIN clf USING (doc_id) JOIN lm USING (doc_id) CROSS JOIN thr
+        |ORDER BY doc_id""".stripMargin,
+    // BPE train: 8 unrolled merge rounds (see [[bpeCtes]] — run-parity
+    // greedy application, count DESC / l / r argmax ties)
+    "doc_bpe_train" ->
+      (s"WITH ${bpeCtes(8)}\n" +
+        "SELECT * FROM (\n" +
+        (1 to 8).map(r =>
+          s"  SELECT CAST($r AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_count FROM b$r")
+          .mkString("\n  UNION ALL\n") +
+        "\n) ORDER BY merge_rank"),
+    // BPE encode: distinct words carry their merged symbol count; per-doc
+    // sums over the token stream
+    "doc_bpe_encode" ->
+      (s"WITH ${bpeCtes(8)}\n" +
+        """SELECT wrd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |  CAST(SUM(len(w8.syms)) AS BIGINT) AS n_bpe_tokens
+          |FROM wrd JOIN w8 USING (word) WHERE length(wrd.word) > 0
+          |GROUP BY wrd.doc_id ORDER BY wrd.doc_id""".stripMargin),
     "doc_length_histogram" ->
       """SELECT lang, CAST(length(text)//100 AS BIGINT) AS len_bucket,
         |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_chars

@@ -106,6 +106,25 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"single-reducer window sees $aggRows rows > $maxSuperblocks superblocks")
   }
 
+  test("dedup_minhash_incr: candidate join is band-hash-equi, never a product") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = q("dedup_minhash_incr")
+    // the probe side must meet the persisted index on (band, band_hash)
+    // equality — the bucket prune that keeps incremental dedup sub-
+    // quadratic; any plan that streams the whole index per probe row
+    // (nested loop / cartesian) is the 100 TB failure mode
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"candidate join degenerated to a nested loop:\n$plan")
+    val equiKeys = collectAll(plan) {
+      case j: BroadcastHashJoinExec => j.leftKeys.map(_.sql).mkString(",")
+      case j: ShuffledHashJoinExec  => j.leftKeys.map(_.sql).mkString(",")
+      case j: SortMergeJoinExec     => j.leftKeys.map(_.sql).mkString(",")
+    }
+    assert(equiKeys.exists(_.contains("band")),
+      s"no band-keyed equi join in plan; keys were $equiKeys:\n$plan")
+  }
+
   test("doc_bm25: corpus scalars ride a broadcast; no cartesian product") {
     val plan = q("doc_bm25")
     // the 1-row scalars crossJoin must plan as a broadcast nested loop,
