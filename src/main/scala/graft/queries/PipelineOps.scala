@@ -1360,7 +1360,12 @@ object PipelineOps {
             val xi = v(i).toDouble
             var j = i
             while (j < dim) {
-              acc(k) += math.floor(xi * v(j).toDouble * 1e12 + 0.5).toLong
+              // addExact: the int64 headroom (~9e6 unit-scale vectors per
+              // partition) is ENFORCED, not assumed — a corpus past it (or
+              // non-unit-scale embeddings) fails loudly here instead of
+              // wrapping; the cross-partition sum is guarded by ANSI mode
+              acc(k) = Math.addExact(acc(k),
+                math.floor(xi * v(j).toDouble * 1e12 + 0.5).toLong)
               k += 1
               j += 1
             }
