@@ -306,7 +306,7 @@ object PipelineOps {
     // BPE tokenizer training (see [[bpeTrain]]): 8 merge rounds over the
     // word dict; output is the learned merge table in rank order
     "doc_bpe_train" -> ((spark, dir) => {
-      val (merges, _) = bpeTrain(docs(spark, dir), numMerges = 8)
+      val (merges, _) = bpeModelFor(spark, dir)
       import spark.implicits._
       merges.zipWithIndex
         .map { case ((l, r, c), i) => (i + 1L, l, r, l + r, c) }
@@ -322,7 +322,7 @@ object PipelineOps {
     // times in a 100 TB corpus
     "doc_bpe_encode" -> ((spark, dir) => {
       val d = docs(spark, dir)
-      val (_, dict) = bpeTrain(d, numMerges = 8)
+      val (_, dict) = bpeModelFor(spark, dir)
       val sub = dict.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
       d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
@@ -330,6 +330,19 @@ object PipelineOps {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE vocabulary artifact: the distinct subword symbols after the 8
+    // merges, with document-dictionary reach (n_words) and frequency-
+    // weighted occurrence mass (total_freq) — what a serving tokenizer
+    // ships alongside the merge table. Dict-sized aggregate, corpus-free
+    "doc_bpe_vocab" -> ((spark, dir) => {
+      val (_, dict) = bpeModelFor(spark, dir)
+      dict.select(col("word"), col("freq"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym"))
+        .agg(countDistinct(col("word")).as("n_words"),
+          sum(col("freq")).as("total_freq"))
+        .orderBy(col("sym"))
     }),
 
     // repetition-based quality stats (Gopher/C4-style filters): per doc, the
@@ -1203,6 +1216,19 @@ object PipelineOps {
     }
     (merges.result(), dict)
   }
+
+  /** One trained BPE model per (session, input dir): train is
+    * deterministic and the dict is localCheckpointed (materialized), so
+    * the train/encode/vocab catalog queries share one training run
+    * instead of each re-running the 8 rounds — the tokenizer-artifact
+    * lifecycle (train once, serve many), same memo discipline as
+    * [[winIdxFor]] and the Tables footer cache. */
+  private val bpeModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(String, String, Long)], DataFrame)]()
+  private def bpeModelFor(spark: SparkSession, dir: String)
+      : (Seq[(String, String, Long)], DataFrame) =
+    bpeModelCache.computeIfAbsent((spark, dir),
+      _ => bpeTrain(docs(spark, dir), numMerges = 8))
 
   /** Span-level exact-substring dedup — the actual Lee et al. 2022
     * semantics ([[windowDedup]] flags whole documents; this REMOVES the
@@ -4002,6 +4028,14 @@ object PipelineOps {
           |  CAST(SUM(len(w8.syms)) AS BIGINT) AS n_bpe_tokens
           |FROM wrd JOIN w8 USING (word) WHERE length(wrd.word) > 0
           |GROUP BY wrd.doc_id ORDER BY wrd.doc_id""".stripMargin),
+    // BPE vocabulary: distinct post-merge symbols with dict reach and
+    // freq-weighted occurrence mass
+    "doc_bpe_vocab" ->
+      (s"WITH ${bpeCtes(8)},\n" +
+        """ve AS (SELECT word, freq, unnest(syms) AS sym FROM w8)
+          |SELECT sym, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+          |  CAST(SUM(freq) AS BIGINT) AS total_freq
+          |FROM ve GROUP BY sym ORDER BY sym""".stripMargin),
     "doc_length_histogram" ->
       """SELECT lang, CAST(length(text)//100 AS BIGINT) AS len_bucket,
         |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_chars

@@ -71,6 +71,16 @@ class BpeEnsembleSpec extends AnyFunSuite {
       val word = syms.mkString
       assert(gotWords(word) == ((f, syms)), s"dict row for '$word'")
     }
+    // vocab artifact over the same brute dict
+    val expVocab = dict.toSeq
+      .flatMap { case (syms, f) => syms.map(s => (s, syms.mkString, f)) }
+      .groupBy(_._1).map { case (sym, xs) =>
+        sym -> ((xs.map(_._2).distinct.size.toLong,
+          xs.map(_._3).sum))
+      }
+    val gotVocab = PipelineOps.dfQueries("doc_bpe_vocab")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotVocab == expVocab, "vocab artifact mismatch")
   }
 
   test("doc_select_ensemble gates agree with the component queries") {
