@@ -1222,13 +1222,23 @@ object PipelineOps {
     * the train/encode/vocab catalog queries share one training run
     * instead of each re-running the 8 rounds — the tokenizer-artifact
     * lifecycle (train once, serve many), same memo discipline as
-    * [[winIdxFor]] and the Tables footer cache. */
-  private val bpeModelCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Seq[(String, String, Long)], DataFrame)]()
+    * [[winIdxFor]] and the Tables footer cache. BOUNDED access-order LRU
+    * for the same reason Tables' memo is (round-2 verdict): the value
+    * strongly references its session, so an unbounded map would pin every
+    * session a long-lived server ever saw; eviction just means one
+    * re-train on next use. */
+  private val bpeModelCache = new java.util.LinkedHashMap[
+      (SparkSession, String), (Seq[(String, String, Long)], DataFrame)](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (SparkSession, String), (Seq[(String, String, Long)], DataFrame)]): Boolean =
+      size() > 64
+  }
   private def bpeModelFor(spark: SparkSession, dir: String)
       : (Seq[(String, String, Long)], DataFrame) =
-    bpeModelCache.computeIfAbsent((spark, dir),
-      _ => bpeTrain(docs(spark, dir), numMerges = 8))
+    bpeModelCache.synchronized {
+      bpeModelCache.computeIfAbsent((spark, dir),
+        _ => bpeTrain(docs(spark, dir), numMerges = 8))
+    }
 
   /** Span-level exact-substring dedup — the actual Lee et al. 2022
     * semantics ([[windowDedup]] flags whole documents; this REMOVES the
