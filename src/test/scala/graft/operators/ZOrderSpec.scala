@@ -35,8 +35,12 @@ class ZOrderSpec extends SparkSpec {
   test("z-clustered layout skips files on BOTH dims; linear sort only on one") {
     // uniform 256x256 grid: every (x, y) cell once — the worst case for a
     // linear sort's second column and deterministic for the assertion
+    // hash-repartition by key BEFORE the range write: repartitionByRange's
+    // boundary sampling otherwise depends on how the local Seq was sliced
+    // (defaultParallelism of whichever suite created the shared session),
+    // which moved file boundaries enough to flip the fraction assertions
     val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
-      .toDF("x", "y")
+      .toDF("x", "y").repartition(32, col("x"), col("y"))
     val nFiles = 16
     val zDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/z"
     val lDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/linear"
