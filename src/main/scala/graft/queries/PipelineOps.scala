@@ -324,9 +324,13 @@ object PipelineOps {
       val d = docs(spark, dir)
       val (_, dict) = bpeModelFor(spark, dir)
       val sub = dict.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      // no broadcast HINT: at fixture scale AQE broadcasts this anyway
+      // (dict << 64m threshold), but a 100 TB corpus's dict is ~10^8 rows
+      // — there the right plan is a shuffle join on word, and forcing a
+      // broadcast would OOM the driver; let Catalyst decide per run
       d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
-        .join(broadcast(sub), Seq("word"))
+        .join(sub, Seq("word"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
