@@ -83,6 +83,20 @@ class BpeEnsembleSpec extends AnyFunSuite {
     assert(gotVocab == expVocab, "vocab artifact mismatch")
   }
 
+  test("bpeTrain stops early when the pair supply is exhausted") {
+    import spark.implicits._
+    // single-char words: no adjacent pairs at all -> zero merges
+    val single = Seq("a b c", "a a").toDF("text")
+    val (m0, d0) = PipelineOps.bpeTrain(single, numMerges = 8)
+    assert(m0.isEmpty)
+    assert(d0.count() == 3)
+    // one mergeable pair, then nothing: exactly one merge learned
+    val one = Seq("ab ab", "ab").toDF("text")
+    val (m1, d1) = PipelineOps.bpeTrain(one, numMerges = 8)
+    assert(m1 == List(("a", "b", 3L)))
+    assert(d1.select("syms").collect()(0).getSeq[String](0) == Seq("ab"))
+  }
+
   test("doc_select_ensemble gates agree with the component queries") {
     def byId(name: String) = PipelineOps.dfQueries(name)(spark, sfDir)
     val clf = byId("doc_quality_classifier").collect()
