@@ -2342,13 +2342,32 @@ object PipelineOps {
     * index on it and the probe join prunes to file groups; sh is read only
     * for the candidate sliver). */
   def minhashIndexSave(d: DataFrame, dir: String, numPerms: Int = 64,
-                       bands: Int = 16): Unit = {
+                       bands: Int = 16, mode: String = "overwrite"): Unit = {
     val r = numPerms / bands
     d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L))
       .withColumn("band_hashes", array((0 until bands).map(bb =>
         xxhash64(slice(col("sig"), bb * r + 1, r))): _*))
       .select(col("doc_id"), col("sh"), col("band_hashes"))
-      .write.mode("overwrite").parquet(dir)
+      .write.mode(mode).parquet(dir)
+  }
+
+  /** Append one batch's signatures to an existing [[minhashIndexSave]]
+    * index — the accumulation half of a self-deduplicating ingest stream
+    * ([[graft.streaming.EventStream.nearDupStream]]): history is hashed
+    * exactly once, on arrival. Safe under Structured Streaming's
+    * sequential micro-batch contract; concurrent writers would need a
+    * transactional table format instead of raw parquet append. */
+  def minhashIndexAppend(d: DataFrame, dir: String, numPerms: Int = 64,
+                         bands: Int = 16): Unit =
+    minhashIndexSave(d, dir, numPerms, bands, mode = "append")
+
+  /** True iff `dir` already holds index data files (a fresh stream's first
+    * batch has no history to probe). */
+  def indexHasData(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).exists(s =>
+      s.getPath.getName.startsWith("part-") && s.getLen > 0)
   }
 
   /** Incremental near-dup: an incoming batch against a [[minhashIndexSave]]d

@@ -110,6 +110,42 @@ object EventStream {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** Self-deduplicating document ingest: each micro-batch (a) finds its
+    * WITHIN-batch near-dup pairs, (b) probes the persisted MinHash band
+    * index for pairs against ALL history, then (c) appends its own
+    * signatures to the index — so across the stream's lifetime every
+    * near-dup pair is emitted exactly once and no document is ever
+    * re-hashed. This is the streaming face of `dedup_minhash_incr`:
+    * batch-at-a-time processing is indistinguishable from running the
+    * full [[graft.queries.PipelineOps.minhashLshJoin]] over everything
+    * seen (the equivalence the spec pins). State lives in the index
+    * parquet, NOT executor memory — a 100 TB/day feed's history costs
+    * index storage, not stream state, and the probe join prunes to
+    * band-hash buckets like the batch path. `emit` receives each batch's
+    * pair DataFrame and MUST materialize it before returning (the index
+    * append below it would otherwise race the lazy read). */
+  def nearDupStream(docs: DataFrame, indexDir: String, threshold: Double,
+                    emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.queries.PipelineOps
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sh = batch.select(col("doc_id"),
+          graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+        sh.persist() // read three ways: within-join, cross-probe, append
+        try {
+          val within = PipelineOps.minhashLshJoin(sh, threshold)
+          val pairs =
+            if (PipelineOps.indexHasData(spark, indexDir))
+              within.unionByName(
+                PipelineOps.minhashDedupIncremental(sh, indexDir, threshold))
+            else within
+          emit(pairs)
+          PipelineOps.minhashIndexAppend(sh, indexDir)
+        } finally { sh.unpersist(); () }
+    }
+  }
+
   /** Stateful sessionization: 30-minute inactivity gap closes a session.
     * State per user is one (start, last, count) triple; an EVENT-time timeout
     * (watermark-driven) flushes a session once the stream's watermark passes

@@ -107,6 +107,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("self-deduplicating stream emits exactly the full-corpus near-dup pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val idxDir = java.nio.file.Files.createTempDirectory("mhstream").toString + "/idx"
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val q = EventStream.nearDupStream(
+        in.toDF().toDF("doc_id", "text"), idxDir, threshold = 0.3,
+        emit = pairs => got ++= pairs.select("doc_a", "doc_b").collect()
+          .map(r => (math.min(r.getLong(0), r.getLong(1)),
+            math.max(r.getLong(0), r.getLong(1)))))
+      .start()
+    try {
+      // three arrival waves; each must dedup against itself AND all history
+      for (wave <- 0 until 3) {
+        in.addData(docs.filter(_._1 % 3 == wave).toSeq: _*)
+        q.processAllAvailable()
+      }
+      val full = graft.queries.PipelineOps.minhashLshJoin(
+          graft.Tables.t(spark, sf0001, "documents").select(col("doc_id"),
+            graft.functions.TextFunctions.shingles(col("text"), 3).as("sh")),
+          threshold = 0.3)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(full.nonEmpty, "fixture corpus should contain near-dups")
+      assert(got.toSet == full,
+        s"stream pairs != batch pairs: missing ${full -- got}, extra ${got.toSet -- full}")
+    } finally q.stop()
+  }
+
   test("streaming mixture sampling admits exactly the batch mixture") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
