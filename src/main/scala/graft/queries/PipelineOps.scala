@@ -156,6 +156,24 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus data card: the per-(source, lang) release stats every corpus
+    // ships (doc/char/token totals, length extremes, short-doc count).
+    // ONE map-side-combined aggregate over a pure projection — the
+    // reporting pass costs a single corpus read at any scale, and the
+    // output is ≤ nSources×nLangs rows. Integer end to end
+    "doc_corpus_stats" -> ((spark, dir) =>
+      docs(spark, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(when(col("n_tok") < 32, 1L).otherwise(0L)).as("n_short"))
+        .orderBy(col("source"), col("lang"))),
+
     "doc_quality" -> ((spark, dir) => {
       // raw (unrounded) ratios: integer-count / integer-length divisions are
       // bit-identical in DuckDB, so the oracle hash-matches exactly
@@ -3209,6 +3227,13 @@ object PipelineOps {
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
         |  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_corpus_stats" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
