@@ -647,6 +647,30 @@ object PipelineOps {
     // nprobe nearest cells only, so the scored set shrinks by ~nprobe/k.
     "ann_ivf" -> ((spark, dir) => annIvf(embs(spark, dir), k = 16, nprobe = 4, topK = 10)),
 
+    // ANN evaluation: recall@10 of the IVF search vs the exact brute-force
+    // top-10 per probe — the metric any ANN deployment monitors when tuning
+    // k/nprobe. Both rankings reuse the catalog kernels; the join is
+    // top-10 × top-10 per probe regardless of corpus size
+    "ann_recall" -> ((spark, dir) => {
+      val ivf = annIvf(embs(spark, dir), k = 16, nprobe = 4, topK = 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val probes = e.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+      val brute = topKPerProbe(
+        e.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine")),
+        10).select(col("q_id"), col("vec_id"))
+      brute.join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(10.0)).as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // product-quantization encode (see [[pqEncode]]): dim 64 → m=8 4-bit
     // codes, the 64×-compressed serving representation; shuffle-free
     "emb_pq" -> ((spark, dir) => {
@@ -3076,6 +3100,40 @@ object PipelineOps {
     (head +: rounds).mkString(",\n")
   }
 
+  /** The ann_ivf oracle's full CTE chain through `r` (the per-probe IVF
+    * cosine ranking) — shared verbatim by `ann_ivf` and `ann_recall` so
+    * the recall oracle evaluates exactly the ranking it grades. */
+  private def ivfRankCtes: String =
+    s"""e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+      |sds AS (SELECT vec_id, hex(encode('ivf-seed-' || CAST(vec_id AS VARCHAR))) AS hx,
+      |        octet_length(encode('ivf-seed-' || CAST(vec_id AS VARCHAR))) AS n FROM embeddings),
+      |sd0 AS (SELECT vec_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |    list_transform(range(1, n + 1), fi ->
+      |      CAST((strpos('0123456789ABCDEF', substr(hx, 2*fi-1, 1)) - 1) * 16
+      |         + strpos('0123456789ABCDEF', substr(hx, 2*fi, 1)) - 1 AS HUGEINT))),
+      |    (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % $M64 AS HUGEINT)) AS h FROM sds),
+      |sd0x AS (SELECT vec_id, CAST(xor(h, h // 1073741824) AS HUGEINT) AS z FROM sd0),
+      |sd1 AS (SELECT vec_id, CAST(${mulc("z", 3210233709L, 484763065L)} AS HUGEINT) AS z FROM sd0x),
+      |sd1x AS (SELECT vec_id, CAST(xor(z, z // 134217728) AS HUGEINT) AS z FROM sd1),
+      |sd2 AS (SELECT vec_id, CAST(${mulc("z", 2496678331L, 321982955L)} AS HUGEINT) AS z FROM sd1x),
+      |sd3 AS (SELECT vec_id, xor(z, z // 2147483648) AS z FROM sd2),
+      |sdh AS (SELECT vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM sd3),
+      |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM sdh QUALIFY cell < 16),
+      |seeds AS (SELECT sr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
+      |dists AS (SELECT e.vec_id, s.cell,
+      |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
+      |  FROM e CROSS JOIN seeds s),
+      |mind AS (SELECT vec_id, MIN(dist) AS md FROM dists GROUP BY vec_id),
+      |asg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
+      |pc AS (SELECT vec_id AS q_id, cell FROM (
+      |   SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS cr FROM dists WHERE vec_id < 5) WHERE cr <= 4),
+      |sc AS (SELECT pc.q_id, a.vec_id,
+      |  list_sum(list_transform(list_zip(ce.embedding, qe.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (ce.nrm * qe.nrm) AS cosine
+      |  FROM asg a JOIN pc ON a.cell = pc.cell JOIN e ce ON ce.vec_id = a.vec_id JOIN e qe ON qe.vec_id = pc.q_id
+      |  WHERE a.vec_id <> pc.q_id),
+      |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM sc)""".stripMargin
+
   /** CTE chain `<tag>tf, <tag>sc, <tag>b, <tag>s` computing BM25 scores
     * for `terms` over shared `tok(doc_id, term)` CTE + `documents` —
     * mirrors [[bm25Scores]]'s arithmetic and fold order exactly (rational
@@ -3682,36 +3740,23 @@ object PipelineOps {
     // nprobe=4 probe cells, exact cosine, top-10 — every double the same
     // sequential fold as the Spark plan, so the hash check is bit-exact
     "ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
-        |sds AS (SELECT vec_id, hex(encode('ivf-seed-' || CAST(vec_id AS VARCHAR))) AS hx,
-        |        octet_length(encode('ivf-seed-' || CAST(vec_id AS VARCHAR))) AS n FROM embeddings),
-        |sd0 AS (SELECT vec_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |    list_transform(range(1, n + 1), fi ->
-        |      CAST((strpos('0123456789ABCDEF', substr(hx, 2*fi-1, 1)) - 1) * 16
-        |         + strpos('0123456789ABCDEF', substr(hx, 2*fi, 1)) - 1 AS HUGEINT))),
-        |    (facc, fb) -> CAST(xor(facc, fb) * 1099511628211 % $M64 AS HUGEINT)) AS h FROM sds),
-        |sd0x AS (SELECT vec_id, CAST(xor(h, h // 1073741824) AS HUGEINT) AS z FROM sd0),
-        |sd1 AS (SELECT vec_id, CAST(${mulc("z", 3210233709L, 484763065L)} AS HUGEINT) AS z FROM sd0x),
-        |sd1x AS (SELECT vec_id, CAST(xor(z, z // 134217728) AS HUGEINT) AS z FROM sd1),
-        |sd2 AS (SELECT vec_id, CAST(${mulc("z", 2496678331L, 321982955L)} AS HUGEINT) AS z FROM sd1x),
-        |sd3 AS (SELECT vec_id, xor(z, z // 2147483648) AS z FROM sd2),
-        |sdh AS (SELECT vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM sd3),
-        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM sdh QUALIFY cell < 16),
-        |seeds AS (SELECT sr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
-        |dists AS (SELECT e.vec_id, s.cell,
-        |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
-        |  FROM e CROSS JOIN seeds s),
-        |mind AS (SELECT vec_id, MIN(dist) AS md FROM dists GROUP BY vec_id),
-        |asg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
-        |pc AS (SELECT vec_id AS q_id, cell FROM (
-        |   SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS cr FROM dists WHERE vec_id < 5) WHERE cr <= 4),
-        |sc AS (SELECT pc.q_id, a.vec_id,
-        |  list_sum(list_transform(list_zip(ce.embedding, qe.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (ce.nrm * qe.nrm) AS cosine
-        |  FROM asg a JOIN pc ON a.cell = pc.cell JOIN e ce ON ce.vec_id = a.vec_id JOIN e qe ON qe.vec_id = pc.q_id
-        |  WHERE a.vec_id <> pc.q_id),
-        |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM sc)
+      s"""WITH $ivfRankCtes
         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // recall@10 of the IVF search vs the exact brute-force top-10 — the
+    // IVF chain above verbatim (shared CTEs), brute ranking appended
+    "ann_recall" ->
+      s"""WITH $ivfRankCtes,
+        |ivfk AS (SELECT q_id, vec_id FROM r WHERE rank <= 10),
+        |bp AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM e WHERE vec_id < 5),
+        |bs AS (SELECT bp.q_id, e.vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, bp.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (e.nrm*bp.q_nrm) AS cosine
+        |  FROM e CROSS JOIN bp WHERE e.vec_id <> bp.q_id),
+        |br AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM bs),
+        |bk AS (SELECT q_id, vec_id FROM br WHERE rank <= 10)
+        |SELECT bk.q_id, CAST(COUNT(ivfk.vec_id) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(ivfk.vec_id) AS DOUBLE) / 10.0 AS recall
+        |FROM bk LEFT JOIN ivfk ON bk.q_id = ivfk.q_id AND bk.vec_id = ivfk.vec_id
+        |GROUP BY bk.q_id ORDER BY bk.q_id""".stripMargin,
     // PQ encode: 16 hash-ranked donors (domain 'pq-seed-'), codeword c of
     // subspace s = donor c's s-th 8-dim slice, per-(vec, subspace) argmin
     // with min-code ties — each output double is ONE slice distance (same

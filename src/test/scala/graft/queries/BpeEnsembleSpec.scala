@@ -97,6 +97,22 @@ class BpeEnsembleSpec extends AnyFunSuite {
     assert(d1.select("syms").collect()(0).getSeq[String](0) == Seq("ab"))
   }
 
+  test("ann_recall equals the overlap of the ivf and brute-force catalog queries") {
+    def ids(name: String) = PipelineOps.dfQueries(name)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = ids("ann_ivf")
+    val brute = ids("ann_cosine_topk")
+    val got = PipelineOps.dfQueries("ann_recall")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == brute.keySet)
+    got.foreach { case (q, nHits, recall) =>
+      val expect = (ivf.getOrElse(q, Set.empty) & brute(q)).size.toLong
+      assert(nHits == expect, s"probe $q overlap")
+      assert(recall == nHits.toDouble / 10.0)
+    }
+  }
+
   test("doc_select_ensemble gates agree with the component queries") {
     def byId(name: String) = PipelineOps.dfQueries(name)(spark, sfDir)
     val clf = byId("doc_quality_classifier").collect()
