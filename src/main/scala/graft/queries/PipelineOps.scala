@@ -26,6 +26,15 @@ object PipelineOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The IVF-ANN catalog configuration, shared by `ann_ivf` and
+    * `ann_recall` (and their oracle SQL) so the recall evaluation grades
+    * exactly the serving configuration: k cells, cells probed per query,
+    * result depth, and the demo probe set (vec_id < AnnNumProbes). */
+  private[queries] val AnnIvfK = 16
+  private[queries] val AnnIvfNprobe = 4
+  private[queries] val AnnTopK = 10
+  private[queries] val AnnNumProbes = 5
+
   /** Scratch root for the incremental-dedup catalog query's persisted
     * index. Each invocation gets its OWN subdir: the returned DataFrame is
     * lazy, so a shared dir with mode=overwrite would let a second
@@ -645,29 +654,36 @@ object PipelineOps {
     // ranked seeds — ivfTrain is the offline k-means alternative), corpus
     // assigned by a shuffle-free argmin projection, probes search their
     // nprobe nearest cells only, so the scored set shrinks by ~nprobe/k.
-    "ann_ivf" -> ((spark, dir) => annIvf(embs(spark, dir), k = 16, nprobe = 4, topK = 10)),
+    // The (k, nprobe, topK, probe-set) constants are AnnIvf* below —
+    // ann_recall grades exactly this configuration, so they are shared.
+    "ann_ivf" -> ((spark, dir) =>
+      annIvf(embs(spark, dir), k = AnnIvfK, nprobe = AnnIvfNprobe, topK = AnnTopK)),
 
-    // ANN evaluation: recall@10 of the IVF search vs the exact brute-force
-    // top-10 per probe — the metric any ANN deployment monitors when tuning
+    // ANN evaluation: recall@topK of the IVF search vs the exact brute-force
+    // top-k per probe — the metric any ANN deployment monitors when tuning
     // k/nprobe. Both rankings reuse the catalog kernels; the join is
-    // top-10 × top-10 per probe regardless of corpus size
+    // top-k × top-k per probe regardless of corpus size. The denominator is
+    // the ACTUAL brute top-k size per probe (tiny corpora can have fewer
+    // than topK neighbors), not the nominal constant.
     "ann_recall" -> ((spark, dir) => {
-      val ivf = annIvf(embs(spark, dir), k = 16, nprobe = 4, topK = 10)
+      val ivf = annIvf(embs(spark, dir), k = AnnIvfK, nprobe = AnnIvfNprobe,
+          topK = AnnTopK)
         .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
       val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-      val probes = e.filter(col("vec_id") < 5).select(
+      val probes = e.filter(col("vec_id") < AnnNumProbes).select(
         col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
       val brute = topKPerProbe(
         e.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine")),
-        10).select(col("q_id"), col("vec_id"))
+        AnnTopK).select(col("q_id"), col("vec_id"))
       brute.join(ivf, Seq("q_id", "vec_id"), "left")
         .groupBy(col("q_id"))
-        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
+          count(lit(1)).as("n_brute"))
         .select(col("q_id"), col("n_hits"),
-          (col("n_hits").cast("double") / lit(10.0)).as("recall"))
+          (col("n_hits").cast("double") / col("n_brute").cast("double")).as("recall"))
         .orderBy(col("q_id"))
     }),
 
@@ -1276,9 +1292,18 @@ object PipelineOps {
   private val bpeModelCache = new java.util.LinkedHashMap[
       (SparkSession, String), (Seq[(String, String, Long)], DataFrame)](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), (Seq[(String, String, Long)], DataFrame)]): Boolean =
-      size() > 64
+        (SparkSession, String), (Seq[(String, String, Long)], DataFrame)]): Boolean = {
+      val evict = size() > 64
+      // the dict is localCheckpointed — dropping the map entry alone would
+      // leave its blocks pinned in the BlockManager until session GC
+      if (evict) try { e.getValue._2.unpersist(); () } catch { case _: Throwable => () }
+      evict
+    }
   }
+  // NOTE the memo key is (session, dir): if the parquet under `dir` is
+  // regenerated mid-session the cached model is stale until eviction or
+  // restart — acceptable for the immutable testdata dirs this serves; a
+  // mutable deployment should fold input-file mtimes into the key.
   private def bpeModelFor(spark: SparkSession, dir: String)
       : (Seq[(String, String, Long)], DataFrame) =
     bpeModelCache.synchronized {
@@ -2393,23 +2418,58 @@ object PipelineOps {
       .write.mode(mode).parquet(dir)
   }
 
-  /** Append one batch's signatures to an existing [[minhashIndexSave]]
+  /** Append one micro-batch's signatures to a [[minhashIndexSave]]-shaped
     * index — the accumulation half of a self-deduplicating ingest stream
-    * ([[graft.streaming.EventStream.nearDupStream]]): history is hashed
-    * exactly once, on arrival. Safe under Structured Streaming's
-    * sequential micro-batch contract; concurrent writers would need a
-    * transactional table format instead of raw parquet append. */
-  def minhashIndexAppend(d: DataFrame, dir: String, numPerms: Int = 64,
-                         bands: Int = 16): Unit =
-    minhashIndexSave(d, dir, numPerms, bands, mode = "append")
+    * ([[graft.streaming.EventStream.nearDupStream]]). IDEMPOTENT under
+    * Structured Streaming's documented batch re-execution: each batch
+    * writes its own `batch=<id>` partition directory (discovered as a
+    * normal partition column on read), a retry of an already-committed
+    * batch is a no-op, and a retry of a HALF-written batch overwrites the
+    * partial files instead of duplicating them. Job-level `_SUCCESS` is
+    * the commit marker — [[indexHasData]]/[[indexBatchCommitted]] never
+    * treat uncommitted part- files as index state. Concurrent writers of
+    * DIFFERENT batches are safe (disjoint subdirs); concurrent writers of
+    * the same batchId would need a transactional table format. */
+  def minhashIndexAppend(d: DataFrame, dir: String, batchId: Long,
+                         numPerms: Int = 64, bands: Int = 16): Unit =
+    if (!indexBatchCommitted(d.sparkSession, dir, batchId))
+      minhashIndexSave(d, dir + "/batch=" + batchId, numPerms, bands,
+        mode = "overwrite")
 
-  /** True iff `dir` already holds index data files (a fresh stream's first
-    * batch has no history to probe). */
-  def indexHasData(spark: SparkSession, dir: String): Boolean = {
+  private def fsOf(spark: SparkSession, dir: String) = {
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path).exists(s =>
-      s.getPath.getName.startsWith("part-") && s.getLen > 0)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+  private def committedDataIn(fs: org.apache.hadoop.fs.FileSystem,
+                              d: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")) &&
+      fs.listStatus(d).exists(s =>
+        s.getPath.getName.startsWith("part-") && s.getLen > 0)
+
+  /** True iff `dir` already holds COMMITTED index data (job-level
+    * `_SUCCESS` present — partial part- files from a failed write are not
+    * index state), in the flat [[minhashIndexSave]] layout or in
+    * `batch=<id>` partition subdirs. `excludeBatch` ignores one batch's
+    * own partition, so a retried micro-batch doesn't mistake its earlier
+    * committed append for probe-able history. */
+  def indexHasData(spark: SparkSession, dir: String,
+                   excludeBatch: Option[Long] = None): Boolean = {
+    val (fs, path) = fsOf(spark, dir)
+    fs.exists(path) && (committedDataIn(fs, path) ||
+      fs.listStatus(path).exists { s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          excludeBatch.forall(b => s.getPath.getName != s"batch=$b") &&
+          committedDataIn(fs, s.getPath)
+      })
+  }
+
+  /** True iff `batchId`'s [[minhashIndexAppend]] partition was fully
+    * committed (its `_SUCCESS` marker exists). */
+  def indexBatchCommitted(spark: SparkSession, dir: String,
+                          batchId: Long): Boolean = {
+    val (fs, path) = fsOf(spark, dir)
+    fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, s"batch=$batchId"), "_SUCCESS"))
   }
 
   /** Incremental near-dup: an incoming batch against a [[minhashIndexSave]]d
@@ -2420,10 +2480,18 @@ object PipelineOps {
     * indistinguishable from re-running the whole join. */
   def minhashDedupIncremental(newDocs: DataFrame, indexDir: String,
                               threshold: Double, numPerms: Int = 64,
-                              bands: Int = 16): DataFrame = {
+                              bands: Int = 16,
+                              excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val r = numPerms / bands
-    val idx = spark.read.parquet(indexDir)
+    val idx0 = spark.read.parquet(indexDir)
+    // under the batch=<id> layout, a retried micro-batch excludes its own
+    // earlier committed partition — its docs are "incoming", not history
+    val idx = excludeBatch match {
+      case Some(b) if idx0.columns.contains("batch") =>
+        idx0.filter(col("batch") =!= lit(b))
+      case _ => idx0
+    }
     val nsig = registerCache(newDocs.withColumn("sig",
       minhashSignature(col("sh"), numPerms, 42L)))
     val nband = nsig.select(col("doc_id"),
@@ -2435,6 +2503,10 @@ object PipelineOps {
     val candidates = iband.as("a").join(nband.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // defense in depth: a doc present on BOTH sides (e.g. an index that
+      // was fed the incoming batch by an outside writer) must not emit a
+      // self-pair at jaccard 1.0
+      .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
     val sets = idx.select(col("doc_id"), col("sh"))
       .unionByName(newDocs.select(col("doc_id"), col("sh")))
@@ -3754,7 +3826,7 @@ object PipelineOps {
         |br AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM bs),
         |bk AS (SELECT q_id, vec_id FROM br WHERE rank <= 10)
         |SELECT bk.q_id, CAST(COUNT(ivfk.vec_id) AS BIGINT) AS n_hits,
-        |  CAST(COUNT(ivfk.vec_id) AS DOUBLE) / 10.0 AS recall
+        |  CAST(COUNT(ivfk.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
         |FROM bk LEFT JOIN ivfk ON bk.q_id = ivfk.q_id AND bk.vec_id = ivfk.vec_id
         |GROUP BY bk.q_id ORDER BY bk.q_id""".stripMargin,
     // PQ encode: 16 hash-ranked donors (domain 'pq-seed-'), codeword c of

@@ -123,12 +123,23 @@ object EventStream {
     * index storage, not stream state, and the probe join prunes to
     * band-hash buckets like the batch path. `emit` receives each batch's
     * pair DataFrame and MUST materialize it before returning (the index
-    * append below it would otherwise race the lazy read). */
+    * append below it would otherwise race the lazy read).
+    *
+    * IDEMPOTENT under batch re-execution (the foreachBatch contract): each
+    * batch's signatures land in a `batch=<batchId>` index partition whose
+    * job-level `_SUCCESS` is the commit marker, so a retry (a) never
+    * appends its signatures twice — an already-committed partition is
+    * skipped, a half-written one is overwritten — and (b) EXCLUDES its own
+    * committed partition from the history probe, so a doc never matches
+    * itself at jaccard 1.0. `emit` itself keeps foreachBatch's native
+    * at-least-once semantics (a crash between emit and the stream's commit
+    * re-emits that batch's pairs); the INDEX — the state that compounds —
+    * is exactly-once. */
   def nearDupStream(docs: DataFrame, indexDir: String, threshold: Double,
                     emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.queries.PipelineOps
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val sh = batch.select(col("doc_id"),
           graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
@@ -136,12 +147,14 @@ object EventStream {
         try {
           val within = PipelineOps.minhashLshJoin(sh, threshold)
           val pairs =
-            if (PipelineOps.indexHasData(spark, indexDir))
+            if (PipelineOps.indexHasData(spark, indexDir,
+                  excludeBatch = Some(batchId)))
               within.unionByName(
-                PipelineOps.minhashDedupIncremental(sh, indexDir, threshold))
+                PipelineOps.minhashDedupIncremental(sh, indexDir, threshold,
+                  excludeBatch = Some(batchId)))
             else within
           emit(pairs)
-          PipelineOps.minhashIndexAppend(sh, indexDir)
+          PipelineOps.minhashIndexAppend(sh, indexDir, batchId)
         } finally { sh.unpersist(); () }
     }
   }

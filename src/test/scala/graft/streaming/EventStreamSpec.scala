@@ -142,6 +142,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup index append is idempotent and retry-safe under batch re-execution") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.PipelineOps
+    val root = java.nio.file.Files.createTempDirectory("mhretry").toString + "/idx"
+    val sh = graft.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+    // half-written garbage (no _SUCCESS) is not index state
+    val partial = new java.io.File(root + "/batch=0")
+    partial.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(root + "/batch=0/part-00000-junk"),
+      Array[Byte](1, 2, 3))
+    assert(!PipelineOps.indexHasData(spark, root),
+      "uncommitted part- files must not count as index data")
+    assert(!PipelineOps.indexBatchCommitted(spark, root, 0L))
+    // committed append; a retry of the same batchId is a no-op
+    PipelineOps.minhashIndexAppend(sh, root, batchId = 0L)
+    assert(PipelineOps.indexBatchCommitted(spark, root, 0L))
+    val n1 = spark.read.parquet(root).count()
+    PipelineOps.minhashIndexAppend(sh, root, batchId = 0L) // the retry
+    assert(spark.read.parquet(root).count() === n1,
+      "retried append duplicated signatures")
+    // a retried batch excludes its own committed partition from the probe:
+    // no history besides itself -> nothing to probe, and no self-pairs
+    assert(!PipelineOps.indexHasData(spark, root, excludeBatch = Some(0L)),
+      "a batch's own partition is not probe-able history for its retry")
+    assert(PipelineOps.indexHasData(spark, root),
+      "the committed partition IS history for later batches")
+    // even probing an index that already contains the incoming docs emits
+    // no jaccard-1.0 self-pairs (the doc_a =!= doc_b guard)
+    val selfPairs = PipelineOps.minhashDedupIncremental(sh, root, threshold = 0.3)
+      .filter(col("doc_a") === col("doc_b")).count()
+    assert(selfPairs === 0L, "self-pairs leaked through the incremental probe")
+    // a later batch both probes history and commits its own partition
+    val sh2 = graft.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+    PipelineOps.minhashIndexAppend(sh2, root, batchId = 1L)
+    assert(PipelineOps.indexBatchCommitted(spark, root, 1L))
+    assert(spark.read.parquet(root).count() > n1)
+  }
+
   test("streaming mixture sampling admits exactly the batch mixture") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
