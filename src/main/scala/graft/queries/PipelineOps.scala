@@ -1660,6 +1660,11 @@ object PipelineOps {
       .filter(col("n_kept") > 0)
       .join(quality.select(col("doc_id"), col("lang"), col("source")), "doc_id")
       .select(col("doc_id"), col("text_clean"), col("lang"), col("source")))
+    // materializing the pooled cache here doubles as the corpus measurement
+    // for the block-key width below: three consumers need these blocks
+    // anyway, so the count is a job curate already owed — not the extra
+    // raw-corpus pass a trailing d.count() used to be (round-8 verdict #6)
+    val nCleaned = cleaned.count()
     // 3. near-dup clustering on the cleaned text: keep cluster representatives
     val sh = cleaned.select(col("doc_id"), shingles(col("text_clean"), 3).as("sh"))
     val edges = minhashLshJoin(sh, nearDupThreshold)
@@ -1685,8 +1690,9 @@ object PipelineOps {
     // chosen so expected block occupancy stays ~256 rows at any input size
     // (a fixed 256 blocks puts n/256 rows in every block window). The key
     // prefix ordering makes (blk, sk, doc_id) == (sk, doc_id), so the
-    // block width never changes the result.
-    val blkBits = adaptiveLshBits(d.count(), targetOcc = 256)
+    // block width never changes the result — which is why sizing it from
+    // the post-cleaning count (measured above, for free) is sound.
+    val blkBits = adaptiveLshBits(nCleaned, targetOcc = 256)
     val sk = shiftrightunsigned(fnvMix64(
       concat(lit("shuf-42-"), col("doc_id").cast("string"))), 11)
     val shuffled = mixed
