@@ -2069,8 +2069,14 @@ object PipelineOps {
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        // two EMPTY sets (degenerate docs — possible candidates since they
+        // share the empty-set signature bucket) define jaccard 0 here, and
+        // ANSI mode would otherwise throw on the 0/0
+        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(0.0))
+          .otherwise(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -2386,23 +2392,54 @@ object PipelineOps {
   /** MinHash+LSH near-dup join over (doc_id, sh): banded signature buckets
     * generate candidates (sub-quadratic: only same-bucket pairs), exact
     * Jaccard verifies. Approximate — a pair colliding in no band is missed,
-    * with probability 1-(1-s^r)^b for true similarity s. */
+    * with probability 1-(1-s^r)^b for true similarity s.
+    *
+    * HOT-BUCKET CAP (the round-8 scale risk): a degenerate corpus — 10^4
+    * byte-identical docs, or 10^4 empty ones — puts all of them in ONE
+    * (band, band_hash) bucket, and the all-pairs self-join inside that
+    * bucket is O(size²): ~8·10^8 candidate rows from one key, a straggler
+    * task no salt can save because the OUTPUT is quadratic. Buckets larger
+    * than `maxBucket` therefore switch to STAR candidates: every member
+    * pairs with the bucket's minimum doc_id only — O(size) rows, and for
+    * the degenerate corpora that create hot buckets (identical docs) the
+    * verified pair set's transitive closure is unchanged, so cluster-level
+    * dedup ([[connectedComponents]] consumers: curate, dedup_clusters) is
+    * exact. Pair-level output inside a hot bucket is deliberately the
+    * star subset — the documented recall trade at the degenerate extreme.
+    * Detection is one map-side-combined count over the banded postings;
+    * buckets at or under the cap take the identical plan and produce
+    * identical results (the spec pins both properties). */
   def minhashLshJoin(d: DataFrame, threshold: Double,
-                     numPerms: Int = 64, bands: Int = 16): DataFrame = {
+                     numPerms: Int = 64, bands: Int = 16,
+                     maxBucket: Int = 4096): DataFrame = {
     val r = numPerms / bands
     val sig = registerCache(
       d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L)))
-    val banded = sig.select(
+    val banded = registerCache(sig.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(bb =>
         xxhash64(slice(col("sig"), bb * r + 1, r))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash"))
+    // skew detector: bucket occupancy is a map-side-combined aggregate over
+    // (band, band_hash) — hot buckets are by construction FEW (each holds
+    // >maxBucket of the corpus), so the hot list broadcasts
+    val hot = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("graft_bn"), min(col("doc_id")).as("graft_bmin"))
+      .filter(col("graft_bn") > maxBucket)
+      .select(col("band"), col("band_hash"), col("graft_bmin"))
+    val marked = banded.join(broadcast(hot), Seq("band", "band_hash"), "left")
+    val cold = marked.filter(col("graft_bmin").isNull)
+      .select(col("doc_id"), col("band"), col("band_hash"))
     // candidate pairs carry ids only; shingle arrays re-join once per pair
-    val candidates = banded.as("a").join(banded.as("b"),
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // hot buckets: star to the bucket min — linear in bucket size
+    val hotPairs = marked.filter(col("graft_bmin").isNotNull &&
+        col("doc_id") =!= col("graft_bmin"))
+      .select(col("graft_bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    val candidates = coldPairs.unionByName(hotPairs).distinct()
     verifyPairs(sig, candidates, threshold)
   }
 
@@ -2500,15 +2537,33 @@ object PipelineOps {
     }
     val nsig = registerCache(newDocs.withColumn("sig",
       minhashSignature(col("sh"), numPerms, 42L)))
-    val nband = nsig.select(col("doc_id"),
+    val nband = registerCache(nsig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bb =>
         xxhash64(slice(col("sig"), bb * r + 1, r))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val iband = idx.select(col("doc_id"), posexplode(col("band_hashes")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val candidates = iband.as("a").join(nband.as("b"),
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash"))
+    val iband = registerCache(
+      idx.select(col("doc_id"), posexplode(col("band_hashes")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash"))
+    // hot-bucket cap, cross-set form (see [[minhashLshJoin]]): a bucket is
+    // hot when its index-side × batch-side candidate PRODUCT would exceed
+    // the cap; hot buckets star every incoming doc to the bucket's minimum
+    // INDEXED doc (linear), cold buckets take the exact cross join
+    val maxBucketPairs = 4096L * 4096L
+    val isz = iband.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("graft_in"), min(col("doc_id")).as("graft_bmin"))
+    val nsz = nband.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("graft_nn"))
+    val hot = isz.join(nsz, Seq("band", "band_hash"))
+      .filter(col("graft_in") * col("graft_nn") > maxBucketPairs)
+      .select(col("band"), col("band_hash"), col("graft_bmin"))
+    val coldI = iband.join(broadcast(hot.select(col("band"), col("band_hash"))),
+      Seq("band", "band_hash"), "left_anti")
+    val coldPairs = coldI.as("a").join(nband.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hotPairs = nband.join(broadcast(hot), Seq("band", "band_hash"))
+      .select(col("graft_bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    val candidates = coldPairs.unionByName(hotPairs)
       // defense in depth: a doc present on BOTH sides (e.g. an index that
       // was fed the incoming batch by an outside writer) must not emit a
       // self-pair at jaccard 1.0

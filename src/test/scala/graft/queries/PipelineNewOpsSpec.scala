@@ -308,6 +308,79 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(scalable.toSeq == exact.toSeq)
   }
 
+  test("LSH hot-bucket cap bounds degenerate corpora and is dormant below the cap") {
+    import spark.implicits._
+    // adversarial corpus: 10^4 byte-identical docs + 10^3 empty docs — every
+    // one of them lands in a single (band, band_hash) bucket per band, which
+    // uncapped would self-join to ~5*10^7 candidate pairs
+    val identical = spark.range(0, 10000)
+      .select(col("id").as("doc_id"),
+        typedLit(Seq("a b", "b c", "c d")).as("sh"))
+    val empty = spark.range(10000, 11000)
+      .select(col("id").as("doc_id"), typedLit(Seq.empty[String]).as("sh"))
+    // two genuine near-dups (jaccard 8/9 — band collision essentially
+    // certain under the fixed seed) + an isolated doc, all on the cold path
+    val base = (0 until 8).map(i => s"w$i w${i + 1}")
+    val normal = Seq(
+      (20000L, base),
+      (20001L, base :+ "extra shingle"),
+      (20002L, Seq("p q", "q r", "r s"))).toDF("doc_id", "sh")
+    val corpus = identical.unionByName(empty).unionByName(normal)
+    val pairs = PipelineOps.minhashLshJoin(corpus, threshold = 0.3,
+      maxBucket = 64).cache()
+    try {
+      val n = pairs.count()
+      // star candidates: 9999 identical-doc pairs + the one normal pair;
+      // empty docs verify to NaN jaccard and vanish. The uncapped join
+      // would have emitted ~5*10^7 rows here.
+      assert(n <= 10001L, s"hot-bucket cap failed to bound candidates: $n")
+      // every identical doc is still reachable from the bucket min -> ONE
+      // cluster under connected components (the dedup consumers' view)
+      val comp = PipelineOps.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b")),
+        identical.select(col("doc_id")))
+      assert(comp.select(col("cluster_rep")).distinct().count() === 1L,
+        "capped pairs must keep the identical docs in one component")
+      // cold path unaffected: the genuine near-dup pair survives
+      assert(pairs.filter(col("doc_a") === 20000L && col("doc_b") === 20001L)
+        .count() === 1L)
+      // empty docs emit nothing
+      assert(pairs.filter(col("doc_a") >= 10000L && col("doc_a") < 11000L)
+        .count() === 0L)
+    } finally { pairs.unpersist(); () }
+    // dormant below the cap: on the real corpus the capped plan and an
+    // effectively-uncapped plan produce the SAME pairs
+    val sh = PipelineOps.docs(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val capped = key(PipelineOps.minhashLshJoin(sh, 0.3))
+    val uncapped = key(PipelineOps.minhashLshJoin(sh, 0.3,
+      maxBucket = Int.MaxValue))
+    assert(capped.nonEmpty && capped == uncapped,
+      "default cap must not change results on a normal corpus")
+  }
+
+  test("incremental LSH hot-bucket cap bounds the cross-set product") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("mhhot").toString + "/idx"
+    // 5000 identical docs in the index, 5000 identical incoming — the
+    // uncapped cross join would emit 2.5*10^7 candidates from one bucket
+    val indexed = spark.range(0, 10000, 2)
+      .select(col("id").as("doc_id"), typedLit(Seq("a b", "b c", "c d")).as("sh"))
+    val incoming = spark.range(1, 10000, 2)
+      .select(col("id").as("doc_id"), typedLit(Seq("a b", "b c", "c d")).as("sh"))
+    PipelineOps.minhashIndexSave(indexed, idxDir)
+    val pairs = PipelineOps.minhashDedupIncremental(incoming, idxDir, 0.3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star form: every incoming doc pairs with the bucket-min indexed doc
+    assert(got.length === 5000, s"expected 5000 star pairs, got ${got.length}")
+    assert(got.forall(_._1 == 0L), "star pairs must anchor at the min indexed doc")
+    assert(got.map(_._2).sorted.toSeq == (1L until 10000L by 2).toSeq,
+      "every incoming doc must appear in exactly one star pair")
+  }
+
   test("incremental minhash == full join restricted to cross-set pairs") {
     import org.apache.spark.sql.functions.col
     val all = PipelineOps.docs(spark, sfDir)
