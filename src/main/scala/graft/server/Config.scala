@@ -38,7 +38,10 @@ object Config {
                           tables: Seq[TableSource],
                           kvs: Seq[Kv],
                           sparkConf: Map[String, String],
-                          http2Addr: Option[(String, Int)] = None)
+                          http2Addr: Option[(String, Int)] = None,
+                          flightAddr: Option[(String, Int)] = None,
+                          flightAuthBasic: Option[(String, String)] = None,
+                          flightAuthToken: Option[String] = None)
 
   def parse(yamlText: String): Loaded = {
     val root = Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
@@ -64,8 +67,20 @@ object Config {
     }
     val sparkConf = obj(root.get("spark")).asScala
       .map { case (k, v) => k -> String.valueOf(v) }.toMap
+    // reference: addr.flight_sql (roapi/src/server/flight_sql.rs:936-941)
+    // plus flight_sql_config.auth_basic / auth_token (config.rs FlightSqlConfig)
+    val fsc = obj(root.get("flight_sql_config"))
+    val authBasic = {
+      val b = obj(fsc.get("auth_basic"))
+      (Option(b.get("username")), Option(b.get("password"))) match {
+        case (Some(u), Some(p)) => Some((u.toString, p.toString))
+        case _ => None
+      }
+    }
     Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
-      tables, kvs, sparkConf, splitAddr(addr.get("http2")))
+      tables, kvs, sparkConf, splitAddr(addr.get("http2")),
+      splitAddr(addr.get("flight_sql")), authBasic,
+      Option(fsc.get("auth_token")).map(_.toString))
   }
 
   private def obj(v: Object): java.util.Map[String, Object] = v match {

@@ -93,6 +93,12 @@ object ServerMain {
       val h2 = new Http2App(engine, p).start()
       println(s"graft http2 (h2c) listening on 127.0.0.1:${h2.boundPort}")
     }
+    cfg.flightAddr.map(_._2)
+      .orElse(sys.env.get("GRAFT_FLIGHT_PORT").map(_.toInt)).foreach { p =>
+      val fs = new graft.server.flight.FlightSqlServer(
+        engine, p, cfg.flightAuthBasic, cfg.flightAuthToken).start()
+      println(s"graft flight-sql (grpc/h2c) listening on 127.0.0.1:${fs.boundPort}")
+    }
     Thread.currentThread().join()
   }
 }

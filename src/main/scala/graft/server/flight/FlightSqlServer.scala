@@ -1,0 +1,408 @@
+package graft.server.flight
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import scala.jdk.CollectionConverters._
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInitializer, MultiThreadIoEventLoopGroup, SimpleChannelInboundHandler}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler}
+
+import org.apache.spark.sql.{DataFrame, GraftArrowBridge, Row}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+
+import graft.server.Engine
+import FlightProto._
+
+/** Arrow Flight SQL frontend (reference: roapi/src/server/flight_sql.rs).
+  *
+  * No tonic/grpc or arrow-flight jars exist on the offline classpath, so the
+  * gRPC layer is hand-rolled from its PUBLIC wire contract: HTTP/2 POST per
+  * call, `content-type: application/grpc`, each message framed as
+  * `[1-byte compressed flag][4-byte big-endian length][protobuf]`, status in
+  * the `grpc-status` trailer — over the same Netty h2c codec the HTTP/2
+  * frontend uses ([[graft.server.Http2App]]). Protobuf messages are
+  * hand-coded against the public Flight/FlightSql protocol definitions
+  * ([[FlightProto]]); Arrow data rides the existing IPC serialization
+  * ([[ArrowIpcFrames]] splits a stream into FlightData frames).
+  *
+  * Surface parity with the reference server:
+  *   - Handshake: basic-auth -> bearer token, token returned both in the
+  *     `authorization` response header and the payload (flight_sql.rs:164-277)
+  *   - GetFlightInfo(CommandStatementQuery): executes EAGERLY, stores the
+  *     result under a UUID handle, ticket = FetchResults{handle}
+  *     (flight_sql.rs:318-433) — result bytes here are the Arrow IPC stream,
+  *     built partition-at-a-time by the bridge
+  *   - prepared statements via DoAction Create/ClosePreparedStatement with
+  *     the plan cached per handle (flight_sql.rs:820-857)
+  *   - DoGet(FetchResults): pops and streams the stored result
+  *   - catalog ops GetCatalogs/GetDbSchemas/GetTables with LIKE filter
+  *     patterns and the reference's first-requested-type labeling quirk
+  *     (flight_sql.rs:614-702); catalog = "graft", schema = "public"
+  *   - GetSchema for ad-hoc descriptors; TableTypes/SqlInfo and the
+  *     transaction surface answer UNIMPLEMENTED like the reference's
+  *     unimplemented arms. */
+final class FlightSqlServer(engine: Engine, port: Int = 0,
+                            authBasic: Option[(String, String)] = None,
+                            authTokenCfg: Option[String] = None) {
+
+  private val CatalogName = "graft"
+  private val SchemaName = "public"
+
+  // reference token resolution (flight_sql.rs:980-1005): explicit token wins;
+  // basic-only derives a constant token from the no-pad base64 of user:pass
+  private val basicEncoded: Option[String] = authBasic.map { case (u, p) =>
+    java.util.Base64.getEncoder.withoutPadding.encodeToString(s"$u:$p".getBytes(UTF_8))
+  }
+  private val effectiveToken: Option[String] = authTokenCfg.orElse(basicEncoded)
+
+  private val results = new ConcurrentHashMap[String, Array[Byte]]()
+  private val statements = new ConcurrentHashMap[String, DataFrame]()
+
+  private val group = new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+  private val workers = Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "graft-flight-worker"); t.setDaemon(true); t
+  })
+  @volatile private var channel: Channel = _
+
+  def boundPort: Int = channel.localAddress.asInstanceOf[InetSocketAddress].getPort
+
+  def start(): FlightSqlServer = {
+    val b = new ServerBootstrap()
+    b.group(group).channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit =
+          ch.pipeline().addLast(
+            Http2FrameCodecBuilder.forServer().build(),
+            new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+              override def initChannel(stream: Channel): Unit =
+                stream.pipeline().addLast(new GrpcStreamHandler)
+            }))
+      })
+    channel = b.bind("127.0.0.1", port).sync().channel()
+    this
+  }
+
+  def stop(): Unit = {
+    if (channel != null) channel.close().sync()
+    group.shutdownGracefully(0, 100, java.util.concurrent.TimeUnit.MILLISECONDS)
+    workers.shutdown()
+  }
+
+  // ---- gRPC status codes ----------------------------------------------------
+  private val OK = 0
+  private val NOT_FOUND = 5
+  private val UNIMPLEMENTED = 12
+  private val INTERNAL = 13
+  private val UNAUTHENTICATED = 16
+  private val INVALID_ARGUMENT = 3
+
+  final case class GrpcError(code: Int, message: String)
+    extends RuntimeException(message)
+
+  // ---- per-stream handler ---------------------------------------------------
+
+  private final class GrpcStreamHandler extends SimpleChannelInboundHandler[AnyRef] {
+    private var headers: io.netty.handler.codec.http2.Http2Headers = _
+    private val body = new java.io.ByteArrayOutputStream()
+
+    override def channelRead0(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
+      case h: Http2HeadersFrame =>
+        headers = h.headers()
+        if (h.isEndStream) dispatch(ctx)
+      case d: Http2DataFrame =>
+        val buf = d.content()
+        val chunk = new Array[Byte](buf.readableBytes())
+        buf.readBytes(chunk)
+        body.write(chunk)
+        if (d.isEndStream) dispatch(ctx)
+      case _ => ()
+    }
+
+    private def dispatch(ctx: ChannelHandlerContext): Unit = {
+      val path = String.valueOf(headers.path())
+      val auth = Option(headers.get("authorization")).map(String.valueOf(_))
+      val bytes = body.toByteArray
+      val ch = ctx.channel()
+      workers.execute(() =>
+        try {
+          val messages = parseGrpcFrames(bytes)
+          val (meta, out) = route(path, auth, messages)
+          respond(ch, meta, out, OK, "")
+        } catch {
+          case e: GrpcError => respond(ch, Nil, Iterator.empty, e.code, e.message)
+          case e: Throwable =>
+            respond(ch, Nil, Iterator.empty, INTERNAL, String.valueOf(e.getMessage))
+        })
+    }
+  }
+
+  /** `[flag][len BE][payload]`* — flag 1 (compressed) is unsupported. */
+  private def parseGrpcFrames(body: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    while (off + 5 <= body.length) {
+      if (body(off) != 0)
+        throw GrpcError(UNIMPLEMENTED, "compressed grpc messages not supported")
+      val len = java.nio.ByteBuffer.wrap(body, off + 1, 4).getInt
+      out += java.util.Arrays.copyOfRange(body, off + 5, off + 5 + len)
+      off += 5 + len
+    }
+    out.result()
+  }
+
+  private def respond(ch: Channel, meta: Seq[(String, String)],
+                      messages: Iterator[Array[Byte]], status: Int, msg: String): Unit = {
+    val h = new DefaultHttp2Headers().status("200")
+    h.set("content-type", "application/grpc+proto")
+    meta.foreach { case (k, v) => h.set(k, v) }
+    if (status != OK && !messages.hasNext) {
+      // trailers-only error response
+      h.set("grpc-status", String.valueOf(status))
+      if (msg.nonEmpty) h.set("grpc-message", percentEncode(msg))
+      ch.writeAndFlush(new DefaultHttp2HeadersFrame(h, true))
+      return
+    }
+    ch.write(new DefaultHttp2HeadersFrame(h, false))
+    messages.foreach { m =>
+      val framed = java.nio.ByteBuffer.allocate(5 + m.length)
+      framed.put(0.toByte).putInt(m.length).put(m)
+      ch.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(framed.array()), false))
+      ch.flush()
+    }
+    val trailers = new DefaultHttp2Headers()
+    trailers.set("grpc-status", String.valueOf(status))
+    if (msg.nonEmpty) trailers.set("grpc-message", percentEncode(msg))
+    ch.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
+    ()
+  }
+
+  private def percentEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  // ---- auth -----------------------------------------------------------------
+
+  private def checkToken(auth: Option[String]): Unit = effectiveToken.foreach { token =>
+    val header = auth.getOrElse(throw GrpcError(UNAUTHENTICATED, "token not found"))
+    if (!header.startsWith("Bearer "))
+      throw GrpcError(INVALID_ARGUMENT, "invalid auth type")
+    val user = header.substring("Bearer ".length)
+    if (!java.security.MessageDigest.isEqual(token.getBytes(UTF_8), user.getBytes(UTF_8)))
+      throw GrpcError(UNAUTHENTICATED, "invalid token")
+  }
+
+  private def handshake(auth: Option[String]): (Seq[(String, String)], Iterator[Array[Byte]]) = {
+    val expected = basicEncoded.getOrElse(
+      throw GrpcError(UNAUTHENTICATED, "no basic auth cred configured"))
+    val header = auth.getOrElse(
+      throw GrpcError(UNAUTHENTICATED, "missing authorization header"))
+    val sp = header.indexOf(' ')
+    if (sp < 0) throw GrpcError(INVALID_ARGUMENT, "invalid authorization header")
+    val (authType, authValue) = (header.substring(0, sp), header.substring(sp + 1))
+    if (authType.toLowerCase != "basic")
+      throw GrpcError(INVALID_ARGUMENT,
+        "invalid authorization type, basic auth is the only supported type")
+    // client value may carry base64 `=` padding the stored form doesn't
+    if (expected.length > authValue.length ||
+        !java.security.MessageDigest.isEqual(
+          expected.getBytes(UTF_8),
+          authValue.substring(0, expected.length).getBytes(UTF_8)))
+      throw GrpcError(UNAUTHENTICATED, "unauthorized")
+    val token = effectiveToken.getOrElse(throw GrpcError(INTERNAL, "token not found"))
+    (Seq("authorization" -> s"Bearer $token"),
+      Iterator(HandshakeResponse.encode(0, token.getBytes(UTF_8))))
+  }
+
+  // ---- routing --------------------------------------------------------------
+
+  private val ServicePrefix = "/arrow.flight.protocol.FlightService/"
+
+  private def route(path: String, auth: Option[String], messages: Seq[Array[Byte]])
+      : (Seq[(String, String)], Iterator[Array[Byte]]) = {
+    def first: Array[Byte] =
+      messages.headOption.getOrElse(throw GrpcError(INVALID_ARGUMENT, "empty request"))
+    if (!path.startsWith(ServicePrefix))
+      throw GrpcError(UNIMPLEMENTED, s"unknown service path: $path")
+    path.substring(ServicePrefix.length) match {
+      case "Handshake" => handshake(auth)
+      case "GetFlightInfo" =>
+        checkToken(auth)
+        (Nil, Iterator(getFlightInfo(FlightDescriptor.parse(first)).encode))
+      case "GetSchema" =>
+        checkToken(auth)
+        (Nil, Iterator(getSchema(FlightDescriptor.parse(first))))
+      case "DoGet" =>
+        checkToken(auth)
+        (Nil, doGet(Ticket.parse(first)))
+      case "DoAction" =>
+        checkToken(auth)
+        (Nil, doAction(Action.parse(first)))
+      case "ListActions" =>
+        (Nil, Iterator(
+          new ProtoWire.Writer().string(1, "CreatePreparedStatement").result(),
+          new ProtoWire.Writer().string(1, "ClosePreparedStatement").result()))
+      case other => throw GrpcError(UNIMPLEMENTED, s"$other not implemented")
+    }
+  }
+
+  // ---- statement + catalog flows -------------------------------------------
+
+  private def fetchTicket(handle: String): Ticket =
+    Ticket(AnyMsg(FetchResults.Url, FetchResults(handle).encode).encode)
+
+  private def schemaBytesOf(df: DataFrame): Array[Byte] =
+    ArrowIpcFrames.encapsulatedSchema(GraftArrowBridge.arrowSchemaOf(df))
+
+  private def executeToHandle(df: DataFrame, handle: String): Unit =
+    results.put(handle, GraftArrowBridge.toIpcStreamBytes(df))
+
+  private def getFlightInfo(desc: FlightDescriptor): FlightInfo = {
+    val any = AnyMsg.parse(desc.cmd)
+    any.typeUrl match {
+      case CommandStatementQuery.Url =>
+        val q = CommandStatementQuery.parse(any.value).query
+        val df = engine.querySql(q)
+        val handle = java.util.UUID.randomUUID().toString
+        executeToHandle(df, handle)
+        FlightInfo(schemaBytesOf(df), FlightDescriptor.cmd(Array.emptyByteArray),
+          fetchTicket(handle))
+      case CommandPreparedStatementQuery.Url =>
+        val handle = new String(
+          CommandPreparedStatementQuery.parse(any.value).handle, UTF_8)
+        val df = Option(statements.get(handle)).getOrElse(
+          throw GrpcError(INTERNAL, s"Plan handle not found: $handle"))
+        executeToHandle(df, handle)
+        FlightInfo(schemaBytesOf(df), FlightDescriptor.cmd(Array.emptyByteArray),
+          fetchTicket(handle))
+      case CommandGetCatalogs.Url | CommandGetDbSchemas.Url | CommandGetTables.Url =>
+        // catalog ops: ticket echoes the command; DoGet rebuilds the batch
+        FlightInfo(schemaBytesOf(catalogCommandDf(any)), desc, Ticket(desc.cmd))
+      case CommandGetTableTypes.Url =>
+        throw GrpcError(UNIMPLEMENTED, "get_flight_info_table_types not implemented")
+      case url =>
+        throw GrpcError(UNIMPLEMENTED, s"unsupported command: $url")
+    }
+  }
+
+  private def getSchema(desc: FlightDescriptor): Array[Byte] = {
+    val any = AnyMsg.parse(desc.cmd)
+    val df = any.typeUrl match {
+      case CommandStatementQuery.Url =>
+        engine.querySql(CommandStatementQuery.parse(any.value).query)
+      case CommandGetCatalogs.Url | CommandGetDbSchemas.Url | CommandGetTables.Url =>
+        catalogCommandDf(any)
+      case url => throw GrpcError(UNIMPLEMENTED, s"unsupported command: $url")
+    }
+    // SchemaResult { bytes schema = 1 }
+    new ProtoWire.Writer().bytes(1, schemaBytesOf(df)).result()
+  }
+
+  private def doGet(ticket: Ticket): Iterator[Array[Byte]] = {
+    val any = AnyMsg.parse(ticket.ticket)
+    any.typeUrl match {
+      case FetchResults.Url =>
+        val handle = FetchResults.parse(any.value).handle
+        val bytes = Option(results.remove(handle)).getOrElse(
+          throw GrpcError(INTERNAL, s"Request handle not found: $handle"))
+        ArrowIpcFrames.split(bytes).iterator.map(_.encode)
+      case CommandGetCatalogs.Url | CommandGetDbSchemas.Url | CommandGetTables.Url =>
+        ArrowIpcFrames.split(
+          GraftArrowBridge.toIpcStreamBytes(catalogCommandDf(any))).iterator.map(_.encode)
+      case url => throw GrpcError(UNIMPLEMENTED, s"do_get: unsupported ticket: $url")
+    }
+  }
+
+  private def doAction(action: Action): Iterator[Array[Byte]] = action.actionType match {
+    case "CreatePreparedStatement" =>
+      val any = AnyMsg.parse(action.body)
+      val q = ActionCreatePreparedStatementRequest.parse(any.value).query
+      val df = engine.querySql(q) // analysis only — execution happens per fetch
+      val handle = java.util.UUID.randomUUID().toString
+      statements.put(handle, df)
+      val res = ActionCreatePreparedStatementResult(
+        handle.getBytes(UTF_8), schemaBytesOf(df))
+      Iterator(ActionResult.encode(
+        AnyMsg(ActionCreatePreparedStatementResult.Url, res.encode).encode))
+    case "ClosePreparedStatement" =>
+      val any = AnyMsg.parse(action.body)
+      val handle = new String(
+        ActionClosePreparedStatementRequest.parse(any.value).handle, UTF_8)
+      statements.remove(handle)
+      results.remove(handle)
+      Iterator.empty
+    case other => throw GrpcError(UNIMPLEMENTED, s"action $other not implemented")
+  }
+
+  // ---- catalog metadata batches --------------------------------------------
+
+  private def catalogCommandDf(any: AnyMsg): DataFrame = any.typeUrl match {
+    case CommandGetCatalogs.Url  => catalogsDf()
+    case CommandGetDbSchemas.Url => dbSchemasDf(CommandGetDbSchemas.parse(any.value))
+    case CommandGetTables.Url    => tablesDf(CommandGetTables.parse(any.value))
+    case url => throw GrpcError(UNIMPLEMENTED, s"unsupported catalog command: $url")
+  }
+
+  /** SQL LIKE pattern (`%`, `_`) -> regex, the filter semantics the
+    * FlightSQL metadata builders apply client-visibly. */
+  private def likeMatches(pattern: String, value: String): Boolean = {
+    val rx = new StringBuilder("^")
+    pattern.foreach {
+      case '%' => rx.append(".*")
+      case '_' => rx.append('.')
+      case c   => rx.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    rx.append('$')
+    value.matches(rx.result())
+  }
+
+  private def catalogsDf(): DataFrame =
+    engine.spark.createDataFrame(
+      List(Row(CatalogName)).asJava,
+      StructType(Seq(StructField("catalog_name", StringType, nullable = false))))
+
+  private def dbSchemasDf(cmd: CommandGetDbSchemas): DataFrame = {
+    val keep = cmd.catalog.forall(_ == CatalogName) &&
+      cmd.dbSchemaFilterPattern.forall(likeMatches(_, SchemaName))
+    engine.spark.createDataFrame(
+      (if (keep) List(Row(CatalogName, SchemaName)) else List.empty[Row]).asJava,
+      StructType(Seq(
+        StructField("catalog_name", StringType, nullable = false),
+        StructField("db_schema_name", StringType, nullable = false))))
+  }
+
+  private def tablesDf(cmd: CommandGetTables): DataFrame = {
+    // reference quirk (flight_sql.rs:648-655): rows are labeled with the
+    // FIRST requested table type, defaulting to "table"
+    val tableType = cmd.tableTypes.headOption.getOrElse("table")
+    val names =
+      if (!cmd.catalog.forall(_ == CatalogName) ||
+          !cmd.dbSchemaFilterPattern.forall(likeMatches(_, SchemaName))) Seq.empty
+      else engine.tableNames
+        .filter(n => cmd.tableNameFilterPattern.forall(likeMatches(_, n)))
+    if (cmd.includeSchema) {
+      val rows = names.map { n =>
+        val schemaBytes = schemaBytesOf(engine.spark.table(n))
+        Row(CatalogName, SchemaName, n, tableType, schemaBytes)
+      }
+      engine.spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("catalog_name", StringType, nullable = false),
+        StructField("db_schema_name", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("table_type", StringType, nullable = false),
+        StructField("table_schema", BinaryType, nullable = false))))
+    } else {
+      val rows = names.map(n => Row(CatalogName, SchemaName, n, tableType))
+      engine.spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("catalog_name", StringType, nullable = false),
+        StructField("db_schema_name", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("table_type", StringType, nullable = false))))
+    }
+  }
+}

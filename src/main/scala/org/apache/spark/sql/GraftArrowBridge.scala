@@ -78,6 +78,15 @@ object GraftArrowBridge {
     } finally { reader.close(); alloc.close() }
   }
 
+  /** The Arrow schema a DataFrame's IPC serialization will carry, computed
+    * WITHOUT executing the plan — for FlightSQL prepared-statement metadata
+    * (dataset_schema must be known at prepare time). */
+  def arrowSchemaOf(df: DataFrame): org.apache.arrow.vector.types.pojo.Schema = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    util.ArrowUtils.toArrowSchema(df.schema, tz, true, false)
+  }
+
   /** Arrow IPC *file* bytes (magic + footer), transcoded from the stream. */
   def toIpcFileBytes(df: DataFrame): Array[Byte] = {
     val streamBytes = toIpcStreamBytes(df)

@@ -42,5 +42,22 @@ class ConfigSpec extends SparkSpec {
   test("empty config is valid") {
     val cfg = Config.parse("")
     assert(cfg.tables.isEmpty && cfg.httpAddr.isEmpty)
+    assert(cfg.flightAddr.isEmpty && cfg.flightAuthBasic.isEmpty)
+  }
+
+  // reference: addr.flight_sql + flight_sql_config (roapi/src/config.rs)
+  test("flight_sql addr and auth config parse") {
+    val cfg = Config.parse(
+      """addr:
+        |  flight_sql: 127.0.0.1:32010
+        |flight_sql_config:
+        |  auth_basic:
+        |    username: flight_user
+        |    password: flight_password
+        |  auth_token: secret-token
+        |""".stripMargin)
+    assert(cfg.flightAddr.contains(("127.0.0.1", 32010)))
+    assert(cfg.flightAuthBasic.contains(("flight_user", "flight_password")))
+    assert(cfg.flightAuthToken.contains("secret-token"))
   }
 }
