@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.SparkSession
+
+/** Delta Lake deletion-vector reader, built from the PUBLIC formats the
+  * protocol mandates (delta.io PROTOCOL.md "Deletion Vectors" + the
+  * RoaringBitmap interoperable serialization spec,
+  * github.com/RoaringBitmap/RoaringFormatSpec):
+  *
+  *   - descriptor `{storageType, pathOrInlineDv, offset?, sizeInBytes,
+  *     cardinality}` on the `add` action
+  *   - storageType `u`: DV file `<table>/<prefix>/deletion_vector_<uuid>.bin`
+  *     where pathOrInlineDv = `<prefix><Z85-encoded 16-byte UUID>`;
+  *     `p`: absolute path; `i`: the blob itself, Z85-encoded inline
+  *   - DV file layout: 1-byte format version, then per DV at `offset`:
+  *     `[dataSize int32 BE][data][crc32 int32 BE]`
+  *   - `data` = 64-bit RoaringBitmapArray, PORTABLE form: magic 1681511377
+  *     (int32 LE), number of 32-bit bitmaps (int64 LE), then each 32-bit
+  *     bitmap in the standard portable serialization, key i holding the
+  *     low 32 bits of values whose high 32 bits equal i.
+  *
+  * Deleted ROW INDEXES are positions within the data file — the scan side
+  * matches them against the parquet reader's `_metadata.row_index`. */
+object DeletionVectors {
+
+  final case class Descriptor(storageType: String, pathOrInlineDv: String,
+                              offset: Option[Int], sizeInBytes: Int,
+                              cardinality: Long)
+
+  // ---- Z85 (ZeroMQ base85, the variant the Delta spec names) ---------------
+
+  private val Z85Chars =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Index: Array[Int] = {
+    val idx = Array.fill(128)(-1)
+    Z85Chars.zipWithIndex.foreach { case (c, i) => idx(c.toInt) = i }
+    idx
+  }
+
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"Z85 input length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0; var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j).toInt
+        val d = if (c < 128) Z85Index(c) else -1
+        require(d >= 0, s"invalid Z85 character '${s.charAt(i + j)}'")
+        v = v * 85 + d
+        j += 1
+      }
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      i += 5; o += 4
+    }
+    out
+  }
+
+  // ---- roaring bitmap (portable) -------------------------------------------
+
+  private val PortableMagic = 1681511377
+  private val SerialCookieNoRun = 12346
+  private val SerialCookie = 12347
+  private val NoOffsetThreshold = 4
+
+  /** Deserialize ONE standard 32-bit roaring bitmap from `buf` (positioned
+    * at its cookie; position advances past the bitmap), emitting each value
+    * OR'd with `high` into `out`. */
+  private def readBitmap32(buf: ByteBuffer, high: Long,
+                           out: java.util.function.LongConsumer): Unit = {
+    val cookie = buf.getInt
+    val (nContainers, runFlags) =
+      if ((cookie & 0xFFFF) == SerialCookie) {
+        val n = (cookie >>> 16) + 1
+        val flags = new Array[Byte]((n + 7) / 8)
+        buf.get(flags)
+        (n, flags)
+      } else {
+        require(cookie == SerialCookieNoRun, s"bad roaring cookie $cookie")
+        (buf.getInt, null)
+      }
+    def isRun(i: Int): Boolean =
+      runFlags != null && (runFlags(i / 8) & (1 << (i % 8))) != 0
+    val keys = new Array[Int](nContainers)
+    val cards = new Array[Int](nContainers)
+    var i = 0
+    while (i < nContainers) {
+      keys(i) = buf.getShort & 0xFFFF
+      cards(i) = (buf.getShort & 0xFFFF) + 1
+      i += 1
+    }
+    // offset header present for the no-run cookie or >= threshold containers
+    if (runFlags == null || nContainers >= NoOffsetThreshold)
+      buf.position(buf.position() + 4 * nContainers)
+    i = 0
+    while (i < nContainers) {
+      val base = high | (keys(i).toLong << 16)
+      if (isRun(i)) {
+        val nRuns = buf.getShort & 0xFFFF
+        var r = 0
+        while (r < nRuns) {
+          val start = buf.getShort & 0xFFFF
+          val len = (buf.getShort & 0xFFFF) + 1
+          var v = 0
+          while (v < len) { out.accept(base | (start + v).toLong); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) > 4096) {
+        // bitmap container: 1024 x 64-bit words
+        var w = 0
+        while (w < 1024) {
+          var word = buf.getLong
+          val wordBase = base | (w.toLong << 6)
+          while (word != 0) {
+            out.accept(wordBase | java.lang.Long.numberOfTrailingZeros(word).toLong)
+            word &= word - 1
+          }
+          w += 1
+        }
+      } else {
+        var v = 0
+        while (v < cards(i)) { out.accept(base | (buf.getShort & 0xFFFF).toLong); v += 1 }
+      }
+      i += 1
+    }
+  }
+
+  /** Deserialize a portable 64-bit RoaringBitmapArray into sorted row
+    * indexes. */
+  def deserializeBitmapArray(data: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == PortableMagic,
+      s"deletion vector: expected portable magic $PortableMagic, got $magic")
+    val nBitmaps = buf.getLong
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var k = 0L
+    while (k < nBitmaps) {
+      readBitmap32(buf, k << 32, v => { out.add(v); () })
+      k += 1
+    }
+    val arr = new Array[Long](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  // ---- descriptor resolution -----------------------------------------------
+
+  private def uuidFromZ85(s: String): java.util.UUID = {
+    val b = ByteBuffer.wrap(z85Decode(s))
+    new java.util.UUID(b.getLong, b.getLong)
+  }
+
+  /** Absolute path of an on-disk DV ("u" resolves prefix + UUID under the
+    * table root, "p" is already absolute). */
+  def dvPath(tableUri: String, d: Descriptor): HPath = d.storageType match {
+    case "p" => new HPath(d.pathOrInlineDv)
+    case "u" =>
+      val enc = d.pathOrInlineDv
+      require(enc.length >= 20, s"deletion vector path too short: $enc")
+      val prefix = enc.substring(0, enc.length - 20)
+      val uuid = uuidFromZ85(enc.substring(enc.length - 20))
+      val name = s"deletion_vector_$uuid.bin"
+      if (prefix.isEmpty) new HPath(tableUri, name)
+      else new HPath(new HPath(tableUri, prefix), name)
+    case t => throw new IllegalArgumentException(s"deletion vector storageType `$t`")
+  }
+
+  /** Read + decode a descriptor into its deleted row indexes; the
+    * cardinality cross-check catches both corrupt files and format drift. */
+  def read(spark: SparkSession, tableUri: String, d: Descriptor): Array[Long] = {
+    val data: Array[Byte] = d.storageType match {
+      case "i" =>
+        // Z85 works in 4-byte groups, so the encoded form may carry
+        // trailing padding — sizeInBytes trims to the real payload
+        val decoded = z85Decode(d.pathOrInlineDv)
+        if (d.sizeInBytes > 0 && d.sizeInBytes <= decoded.length)
+          java.util.Arrays.copyOf(decoded, d.sizeInBytes)
+        else decoded
+      case _ =>
+        val p = dvPath(tableUri, d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try {
+          val off = d.offset.getOrElse(1) // offset 0 would sit on the version byte
+          in.seek(off.toLong)
+          val sizeBytes = new Array[Byte](4)
+          in.readFully(sizeBytes)
+          val dataSize = ByteBuffer.wrap(sizeBytes).getInt // big-endian
+          val blob = new Array[Byte](dataSize)
+          in.readFully(blob)
+          val crcBytes = new Array[Byte](4)
+          in.readFully(crcBytes)
+          val crc = new java.util.zip.CRC32()
+          crc.update(blob)
+          require(ByteBuffer.wrap(crcBytes).getInt == crc.getValue.toInt,
+            s"deletion vector checksum mismatch in $p")
+          blob
+        } finally in.close()
+    }
+    val rows = deserializeBitmapArray(data)
+    require(rows.length.toLong == d.cardinality,
+      s"deletion vector cardinality ${d.cardinality} but decoded ${rows.length} rows")
+    rows
+  }
+}

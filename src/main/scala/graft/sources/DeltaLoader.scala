@@ -26,8 +26,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * multi-million-add checkpoint never materializes its actions (stats,
   * tags, tombstones) in driver memory.
   *
-  * Unsupported (fails loudly): column mapping, deletion vectors,
-  * minReaderVersion > 3, reader features beyond plain parquet.
+  * Column mapping (`delta.columnMapping.mode` = `name` or `id`) is
+  * supported: the protocol stores a physical name (and id) in every
+  * field's metadata, data files carry PHYSICAL column names, and
+  * `add.partitionValues` keys are physical too — so the scan reads the
+  * physicalized schema and projects back to logical names (nested fields
+  * rename via a positional struct cast). `id` mode always carries
+  * physical names as well (the protocol requires both), so one
+  * name-based path serves both modes.
+  *
+  * Deletion vectors are supported via [[DeletionVectors]] (Z85 +
+  * portable-roaring decode of the public DV format): files carrying a DV
+  * scan with `_metadata.row_index` and anti-join their deleted row
+  * indexes.
+  *
+  * Unsupported (fails loudly): minReaderVersion > 3, reader features
+  * beyond parquet + columnMapping + deletionVectors.
   */
 object DeltaLoader {
 
@@ -37,9 +51,11 @@ object DeltaLoader {
       files: Seq[AddFile],
       schema: StructType,
       partitionColumns: Seq[String],
-      version: Long)
+      version: Long,
+      columnMappingMode: String = "none")
 
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+                           dv: Option[DeletionVectors.Descriptor] = None)
 
   def load(spark: SparkSession, src: TableSource): DataFrame = {
     val versionAsOf = src.options.get("version").map(_.toLong)
@@ -81,6 +97,7 @@ object DeltaLoader {
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
     var maxVersion = -1L
+    var colMapping = "none"
 
     def applyMeta(node: JsonNode): Unit = {
       val meta = node.get("metaData")
@@ -90,17 +107,19 @@ object DeltaLoader {
         partCols = Option(meta.get("partitionColumns"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
         val cfg = Option(meta.get("configuration"))
-        val colMapping = cfg.flatMap(c => Option(c.get("delta.columnMapping.mode")))
+        colMapping = cfg.flatMap(c => Option(c.get("delta.columnMapping.mode")))
           .map(_.asText()).getOrElse("none")
-        require(colMapping == "none",
+        require(Set("none", "name", "id")(colMapping),
           s"Delta reader: columnMapping mode `$colMapping` is not supported")
       }
       if (protocol != null && !protocol.isNull) {
         val mrv = protocol.get("minReaderVersion").asInt()
         val features = Option(protocol.get("readerFeatures"))
           .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
-        val supported = Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint")
-        require(mrv <= 1 || (mrv == 3 && features.subsetOf(supported)),
+        // reader v2 = column mapping (supported); v3 = feature-gated
+        val supported = Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
+          "columnMapping", "deletionVectors")
+        require(mrv <= 2 || (mrv == 3 && features.subsetOf(supported)),
           s"Delta reader: protocol minReaderVersion=$mrv features=$features not supported")
       }
     }
@@ -114,14 +133,12 @@ object DeltaLoader {
       val add = node.get("add")
       val remove = node.get("remove")
       if (add != null && !add.isNull) {
-        require(!add.hasNonNull("deletionVector"),
-          "Delta reader: deletion vectors are not supported")
         val path = add.get("path").asText()
         val pv = Option(add.get("partitionValues")).map { p =>
           p.properties().asScala.map(e => e.getKey -> // null JSON value = null partition
             (if (e.getValue.isNull) null else e.getValue.asText())).toMap
         }.getOrElse(Map.empty[String, String])
-        addedAfter(path) = AddFile(path, pv)
+        addedAfter(path) = AddFile(path, pv, parseDv(add.get("deletionVector")))
         removedAfter -= path
       }
       if (remove != null && !remove.isNull) {
@@ -150,12 +167,13 @@ object DeltaLoader {
       }
       if (cols("add")) {
         val addFields = cp.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
-        if (addFields.contains("deletionVector"))
-          require(cp.where(col("add.path").isNotNull &&
-              col("add.deletionVector").isNotNull).isEmpty,
-            "Delta reader: deletion vectors are not supported")
+        val dvCol =
+          if (addFields.contains("deletionVector"))
+            org.apache.spark.sql.functions.to_json(col("add.deletionVector"))
+          else lit(null).cast("string")
         checkpointAdds = Some(cp.where(col("add.path").isNotNull)
-          .select(col("add.path").as("path"), col("add.partitionValues").as("pv")))
+          .select(col("add.path").as("path"), col("add.partitionValues").as("pv"),
+            dvCol.as("dv")))
       }
       maxVersion = v
     }
@@ -192,12 +210,45 @@ object DeltaLoader {
       live.collect().map { r =>
         val pv = Option(r.getMap[String, String](1))
           .map(_.toMap).getOrElse(Map.empty[String, String])
-        AddFile(r.getString(0), pv)
+        val dv = Option(r.getString(2)).flatMap(j => parseDv(mapper.readTree(j)))
+        AddFile(r.getString(0), pv, dv)
       }.toSeq
     }.getOrElse(Seq.empty)
 
     Snapshot(fromCheckpoint ++ addedAfter.values,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols, maxVersion)
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols, maxVersion,
+      colMapping)
+  }
+
+  private def parseDv(node: JsonNode): Option[DeletionVectors.Descriptor] =
+    Option(node).filterNot(_.isNull).map { d =>
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+    }
+
+  // ---- column mapping -------------------------------------------------------
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** The schema as data files store it: every (nested) field renamed to its
+    * `delta.columnMapping.physicalName`. */
+  private def physicalize(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(name = physName(f), dataType = physicalize(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physicalize(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physicalize(m.keyType), valueType = physicalize(m.valueType))
+    case other => other
   }
 
   // ---- scan -----------------------------------------------------------------
@@ -208,23 +259,68 @@ object DeltaLoader {
       if (p.contains("://") || p.startsWith("/")) p
       else new HPath(tableUri, java.net.URLDecoder.decode(p, "UTF-8")).toString
 
-    val dataSchema = StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    if (snap.partitionColumns.isEmpty) {
-      spark.read.schema(dataSchema).parquet(snap.files.map(f => abs(f.path)): _*)
-    } else {
-      // Partition values live in the log, not the files: scan each distinct
-      // partition tuple's file group once and union (driver-side group count =
-      // partition count, same as any Delta metadata handler).
-      val byPartition = snap.files.groupBy(_.partitionValues)
-      val parts = byPartition.toSeq.map { case (pv, files) =>
-        val df = spark.read.schema(dataSchema).parquet(files.map(f => abs(f.path)): _*)
-        snap.partitionColumns.foldLeft(df) { (acc, c) =>
-          val t = snap.schema(c).dataType
-          acc.withColumn(c, lit(pv.getOrElse(c, null)).cast(t))
-        }
-      }
-      parts.reduce(_ unionByName _).select(snap.schema.fieldNames.map(
-        org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val mapped = snap.columnMappingMode != "none"
+    val logicalData = StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    // column mapping: data files store PHYSICAL names — read the
+    // physicalized schema, then project back to logical names (a positional
+    // struct cast renames nested fields; for flat fields it is a no-op)
+    val readSchema =
+      if (mapped) physicalize(logicalData).asInstanceOf[StructType] else logicalData
+
+    // deletion vectors: per-file sets of deleted ROW INDEXES, matched
+    // against the parquet reader's _metadata.row_index via an anti-join on
+    // (file, row). The deleted set holds two longs per deleted row —
+    // driver-bounded by total deleted rows, same as any DV-aware metadata
+    // handler; at larger scale the next step is pushing the per-row-group
+    // slices into the scan instead of the join.
+    val dvFiles = snap.files.collect { case f if f.dv.isDefined => (abs(f.path), f.dv.get) }
+    val hasDv = dvFiles.nonEmpty
+    def normFp(p: String): String = p.replaceFirst("^file:/+", "/")
+
+    def scan(paths: Seq[String]): DataFrame = {
+      val df = spark.read.schema(readSchema).parquet(paths: _*)
+      if (!hasDv) df
+      else df
+        .withColumn("__graft_fp", org.apache.spark.sql.functions.regexp_replace(
+          col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("__graft_ri", col("_metadata.row_index"))
     }
+    val helperCols =
+      if (hasDv) Seq(col("__graft_fp"), col("__graft_ri")) else Seq.empty
+    def toLogical(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(logicalData.fields.zip(readSchema.fields).map { case (lf, pf) =>
+        col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+      }.toIndexedSeq ++ helperCols: _*)
+
+    val base =
+      if (snap.partitionColumns.isEmpty) toLogical(scan(snap.files.map(f => abs(f.path))))
+      else {
+        // Partition values live in the log, not the files: scan each distinct
+        // partition tuple's file group once and union (driver-side group count =
+        // partition count, same as any Delta metadata handler). Under column
+        // mapping, `add.partitionValues` keys are PHYSICAL names too.
+        val byPartition = snap.files.groupBy(_.partitionValues)
+        val parts = byPartition.toSeq.map { case (pv, files) =>
+          val df = toLogical(scan(files.map(f => abs(f.path))))
+          snap.partitionColumns.foldLeft(df) { (acc, c) =>
+            val f = snap.schema(c)
+            val v = pv.getOrElse(physName(f), pv.getOrElse(c, null))
+            acc.withColumn(c, lit(v).cast(f.dataType))
+          }
+        }
+        parts.reduce(_ unionByName _)
+      }
+    val undeleted =
+      if (!hasDv) base
+      else {
+        import spark.implicits._
+        val deleted = dvFiles.flatMap { case (p, d) =>
+          DeletionVectors.read(spark, tableUri, d).map(ri => (normFp(p), ri))
+        }.toDF("__graft_fp", "__graft_ri")
+        base.join(org.apache.spark.sql.functions.broadcast(deleted),
+          Seq("__graft_fp", "__graft_ri"), "left_anti")
+      }
+    undeleted.select(snap.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
   }
 }

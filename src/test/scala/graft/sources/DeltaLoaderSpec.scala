@@ -203,14 +203,218 @@ class DeltaLoaderSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m.contains("s3a") || m.contains("S3A")), msgs(e).mkString("|"))
   }
 
+  test("column-mapped table (mode=name) reads physical files under logical names") {
+    val dir = Files.createTempDirectory("graft_delta_cm").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    // data files store PHYSICAL names, including a nested struct field
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("col-id", "col-v", "xx")
+      .select(col("`col-id`"), col("`col-v`"), struct(col("xx").as("col-x")).as("col-s"))
+      .coalesce(1).write.parquet(s"$dir/part-ds1")
+    Seq((3L, "c", 30L)).toDF("col-id", "col-v", "xx")
+      .select(col("`col-id`"), col("`col-v`"), struct(col("xx").as("col-x")).as("col-s"))
+      .coalesce(1).write.parquet(s"$dir/part-ds2")
+    def firstParquet(sub: String): String = {
+      val d = Paths.get(dir, sub)
+      val f = Files.list(d).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      s"$sub/${f.getFileName}"
+    }
+    def fld(name: String, tpe: String, id: Int, phys: String): String =
+      s"""{"name":"$name","type":$tpe,"nullable":true,"metadata":{""" +
+        s""""delta.columnMapping.id":$id,"delta.columnMapping.physicalName":"$phys"}}"""
+    val nested = s"""{"type":"struct","fields":[${fld("x", "\"long\"", 4, "col-x")}]}"""
+    val cmSchema = s"""{"type":"struct","fields":[${fld("id", "\"long\"", 1, "col-id")},""" +
+      s"""${fld("v", "\"string\"", 2, "col-v")},${fld("s", nested, 3, "col-s")},""" +
+      s"""${fld("ds", "\"string\"", 5, "col-ds")}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(cmSchema)},"partitionColumns":["ds"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"}}}"""
+    val f1 = firstParquet("part-ds1")
+    val f2 = firstParquet("part-ds2")
+    // partitionValues keys are PHYSICAL names under column mapping
+    writeCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      meta,
+      s"""{"add":{"path":"$f1","partitionValues":{"col-ds":"d1"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"col-ds":"d2"},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    val df = Loaders.load(spark, TableSource("t", dir, format = Some("delta")))
+    assert(df.columns.toSeq === Seq("id", "v", "s", "ds"))
+    assert(df.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("x"), "nested field must surface under its logical name")
+    val rows = df.select("id", "v", "s.x", "ds").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows === Set((1L, "a", 10L, "d1"), (2L, "b", 20L, "d1"), (3L, "c", 30L, "d2")))
+  }
+
+  test("reader v3 with the columnMapping feature is accepted; unknown features fail") {
+    val dir = Files.createTempDirectory("graft_delta_cm3").toString
+    import spark.implicits._
+    Seq(1L).toDF("col-id").coalesce(1).write.parquet(s"$dir/d")
+    val f = Files.list(Paths.get(dir, "d"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().getFileName
+    val cmSchema = """{"type":"struct","fields":[{"name":"id","type":"long","nullable":true,""" +
+      """"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-id"}}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(cmSchema)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}"""
+    writeCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      meta,
+      s"""{"add":{"path":"d/$f","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val df = Loaders.load(spark, TableSource("t", dir, format = Some("delta")))
+    assert(df.columns.toSeq === Seq("id") && df.count() === 1)
+    // an unknown reader feature still fails loudly, naming the feature
+    val dir2 = Files.createTempDirectory("graft_delta_unknown").toString
+    writeCommit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["someFutureFeature"]}}""",
+      meta))
+    val e = intercept[IllegalArgumentException](DeltaLoader.snapshot(spark, dir2))
+    assert(e.getMessage.contains("someFutureFeature"))
+  }
+
+  // ---- deletion vectors -----------------------------------------------------
+  // test-side INDEPENDENT implementations of the public formats (Z85 encode,
+  // portable roaring serialize, DV file layout), so the reader is validated
+  // against the written spec rather than against itself.
+
+  private def z85Encode(bytes: Array[Byte]): String = {
+    val chars = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    require(bytes.length % 4 == 0)
+    val sb = new StringBuilder
+    bytes.grouped(4).foreach { g =>
+      var v = 0L
+      g.foreach(b => v = (v << 8) | (b & 0xFFL))
+      val digits = new Array[Char](5)
+      (4 to 0 by -1).foreach { i => digits(i) = chars((v % 85).toInt); v /= 85 }
+      sb.appendAll(digits)
+    }
+    sb.toString
+  }
+
+  /** Portable 64-bit RoaringBitmapArray writer (array + bitmap containers). */
+  private def serializeRoaring(values: Array[Long]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val byHigh = values.groupBy(_ >>> 32)
+    val nBitmaps = if (byHigh.isEmpty) 0L else byHigh.keys.max + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def putInt(v: Int): Unit =
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+    def putLong(v: Long): Unit =
+      out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+    def putShort(v: Int): Unit =
+      out.write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array())
+    putInt(1681511377)
+    putLong(nBitmaps)
+    (0L until nBitmaps).foreach { high =>
+      val lows = byHigh.getOrElse(high, Array.empty[Long]).map(v => (v & 0xFFFFFFFFL).toInt)
+      val byKey = lows.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      putInt(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+      putInt(byKey.size)
+      byKey.foreach { case (k, vs) => putShort(k); putShort(vs.length - 1) }
+      // offset header: byte offsets from the bitmap's cookie
+      var off = 8 + 8 * byKey.size
+      byKey.foreach { case (_, vs) =>
+        putInt(off)
+        off += (if (vs.length > 4096) 8192 else 2 * vs.length)
+      }
+      byKey.foreach { case (_, vs) =>
+        if (vs.length > 4096) {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low16 = v & 0xFFFF
+            words(low16 >>> 6) |= 1L << (low16 & 63)
+          }
+          words.foreach(putLong)
+        } else vs.map(_ & 0xFFFF).sorted.foreach(putShort)
+      }
+    }
+    out.toByteArray
+  }
+
+  private def writeDvFile(path: java.nio.file.Path, data: Array[Byte]): Int = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // DV file format version
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(data.length).array())
+    out.write(data)
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      .putInt(crc.getValue.toInt).array())
+    Files.write(path, out.toByteArray)
+    1 // the blob's offset (right after the version byte)
+  }
+
+  test("Z85 decode matches the public ZeroMQ test vector") {
+    // spec.zeromq.org/32: "HelloWorld" decodes to 86 4F D2 6F B5 59 F7 5B
+    assert(DeletionVectors.z85Decode("HelloWorld").map(_ & 0xFF).toSeq ===
+      Seq(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B))
+    val uuidBytes = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    assert(DeletionVectors.z85Decode(z85Encode(uuidBytes)).toSeq === uuidBytes.toSeq)
+  }
+
+  test("roaring portable decode handles array and bitmap containers") {
+    val small = Array[Long](1, 3, 70000, 70001)
+    assert(DeletionVectors.deserializeBitmapArray(serializeRoaring(small)).toSeq ===
+      small.toSeq)
+    val big = (0L until 6000L).filter(_ % 3 != 0).toArray // 4000 in one container
+    val bigger = big ++ (100000L to 110000L) // second container goes bitmap
+    assert(DeletionVectors.deserializeBitmapArray(serializeRoaring(bigger)).toSeq ===
+      bigger.sorted.toSeq)
+  }
+
+  test("deletion vectors drop rows: on-disk UUID DV and inline DV") {
+    val dir = Files.createTempDirectory("graft_delta_dvread").toString
+    import spark.implicits._
+    // one data file, 6 rows in a deterministic order
+    Seq((0L, "r0"), (1L, "r1"), (2L, "r2"), (3L, "r3"), (4L, "r4"), (5L, "r5"))
+      .toDF("id", "v").coalesce(1).sortWithinPartitions("id")
+      .write.parquet(s"$dir/data")
+    val f = Files.list(Paths.get(dir, "data"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().getFileName
+    // on-disk DV deleting row indexes 1 and 4, addressed by Z85 uuid
+    val uuid = java.util.UUID.randomUUID()
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    val offset = writeDvFile(Paths.get(dir, s"deletion_vector_$uuid.bin"),
+      serializeRoaring(Array(1L, 4L)))
+    writeCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaAction("""[]"""),
+      s"""{"add":{"path":"data/$f","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"u","pathOrInlineDv":"${z85Encode(uuidBytes)}",""" +
+        s""""offset":$offset,"sizeInBytes":1,"cardinality":2}}}"""))
+    val df = Loaders.load(spark, TableSource("t", dir, format = Some("delta")))
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L, 3L, 5L))
+
+    // a later commit re-adds the file with an INLINE DV (the DELETE flow):
+    // row 0 goes too
+    writeCommit(dir, 1, Seq(
+      s"""{"add":{"path":"data/$f","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"i","pathOrInlineDv":"${z85Encode(
+          padTo4(serializeRoaring(Array(0L, 1L, 4L))))}",""" +
+        s""""sizeInBytes":${serializeRoaring(Array(0L, 1L, 4L)).length},"cardinality":3}}}"""))
+    val df2 = Loaders.load(spark, TableSource("t", dir, format = Some("delta")))
+    assert(df2.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 5L))
+  }
+
+  /** Z85 works on 4-byte groups; the roaring payload is self-delimiting, so
+    * trailing zero padding is inert. */
+  private def padTo4(b: Array[Byte]): Array[Byte] =
+    if (b.length % 4 == 0) b else b ++ Array.fill[Byte]((4 - b.length % 4) % 4)(0)
+
   test("unsupported protocol features fail loudly") {
     val dir = Files.createTempDirectory("graft_delta_bad").toString
     writeCommit(dir, 0, Seq(
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["futureFeature"]}}""",
       metaAction("""[]""")))
     val e = intercept[IllegalArgumentException] {
       DeltaLoader.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("minReaderVersion"))
+    assert(e.getMessage.contains("minReaderVersion") &&
+      e.getMessage.contains("futureFeature"))
   }
 }
