@@ -41,7 +41,27 @@ object Config {
                           http2Addr: Option[(String, Int)] = None,
                           flightAddr: Option[(String, Int)] = None,
                           flightAuthBasic: Option[(String, String)] = None,
-                          flightAuthToken: Option[String] = None)
+                          flightAuthToken: Option[String] = None,
+                          datafusionConf: Map[String, String] = Map.empty) {
+    /** `datafusion.sql_parser.dialect` from the reference's config surface
+      * (roapi/src/config.rs:246-261, roapi/tests/config_test.rs:12-17). */
+    def sqlDialect: Option[String] = datafusionConf.get("sql_parser.dialect")
+  }
+
+  /** Map the reference's `sql_parser.dialect` onto the Spark session.
+    * Spark SQL's native grammar is HiveQL-derived, so `hive`/`generic`/
+    * `spark` need no switch; `ansi`/`postgresql` enable ANSI mode; any
+    * other DataFusion dialect has no Spark equivalent and errors LOUDLY
+    * rather than silently parsing with different semantics. */
+  def applySqlDialect(spark: org.apache.spark.sql.SparkSession, dialect: String): Unit =
+    dialect.toLowerCase match {
+      case "hive" | "generic" | "spark" => ()
+      case "ansi" | "postgresql" | "postgres" =>
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+      case d => throw new IllegalArgumentException(
+        s"sql_parser.dialect `$d` is not supported by the Spark engine " +
+          "(supported: generic, hive, spark, ansi, postgresql)")
+    }
 
   def parse(yamlText: String): Loaded = {
     val root = Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
@@ -77,10 +97,18 @@ object Config {
         case _ => None
       }
     }
+    // the reference's `datafusion:` engine-conf block: dotted keys kept
+    // verbatim; nested maps flattened to the same dotted form
+    val dfConf = obj(root.get("datafusion")).asScala.flatMap {
+      case (k, m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+          .map { case (k2, v) => s"$k.$k2" -> String.valueOf(v) }
+      case (k, v) => Seq(k -> String.valueOf(v))
+    }.toMap
     Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
       tables, kvs, sparkConf, splitAddr(addr.get("http2")),
       splitAddr(addr.get("flight_sql")), authBasic,
-      Option(fsc.get("auth_token")).map(_.toString))
+      Option(fsc.get("auth_token")).map(_.toString), dfConf)
   }
 
   private def obj(v: Object): java.util.Map[String, Object] = v match {

@@ -76,6 +76,7 @@ object ServerMain {
     }
     val spark = graft.GraftSession.get()
     cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    cfg.sqlDialect.foreach(Config.applySqlDialect(spark, _))
     val readOnly = !sys.env.get("GRAFT_READ_WRITE").exists(_.toBoolean)
     val engine = new Engine(spark, readOnly)
     cfg.tables.foreach(engine.registerTable)

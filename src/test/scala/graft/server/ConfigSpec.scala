@@ -45,6 +45,38 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.flightAddr.isEmpty && cfg.flightAuthBasic.isEmpty)
   }
 
+  // reference: roapi/tests/config_test.rs:12-17 — the datafusion engine-conf
+  // block with a dotted sql_parser.dialect key (test_datafusion_config.yml
+  // shape), applied to the Spark session where an equivalent exists
+  test("sql_parser.dialect config passes through and unsupported dialects fail") {
+    val cfg = Config.parse(
+      """datafusion:
+        |  sql_parser.dialect: "Hive"
+        |  explain.physical_plan_only: true
+        |  optimizer.max_passes: 10
+        |  execution.batch_size: 100
+        |""".stripMargin)
+    assert(cfg.sqlDialect.contains("Hive"))
+    assert(cfg.datafusionConf("optimizer.max_passes") == "10")
+    Config.applySqlDialect(spark, "Hive") // no-op: Spark SQL is HiveQL-derived
+    // nested form parses to the same dotted key
+    val nested = Config.parse(
+      """datafusion:
+        |  sql_parser:
+        |    dialect: ansi
+        |""".stripMargin)
+    assert(nested.sqlDialect.contains("ansi"))
+    // ansi maps onto spark.sql.ansi.enabled
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      Config.applySqlDialect(spark, "ansi")
+      assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+    // a dialect with no Spark equivalent errors loudly, naming it
+    val e = intercept[IllegalArgumentException](Config.applySqlDialect(spark, "clickhouse"))
+    assert(e.getMessage.contains("clickhouse"))
+  }
+
   // reference: addr.flight_sql + flight_sql_config (roapi/src/config.rs)
   test("flight_sql addr and auth config parse") {
     val cfg = Config.parse(
