@@ -270,6 +270,32 @@ object FlightProto {
     def encode: Array[Byte] = Empty
   }
 
+  /** `repeated uint32 info = 1` — packed (proto3 default) or unpacked. */
+  final case class CommandGetSqlInfo(info: Seq[Long]) {
+    def encode: Array[Byte] =
+      if (info.isEmpty) Empty
+      else {
+        val packed = new Writer()
+        info.foreach(packed.varintRaw)
+        new Writer().bytesAlways(1, packed.result()).result()
+      }
+  }
+  object CommandGetSqlInfo {
+    val Url = AnyMsg.SqlPrefix + "CommandGetSqlInfo"
+    def parse(b: Array[Byte]): CommandGetSqlInfo = {
+      val r = new Reader(b)
+      val ids = Seq.newBuilder[Long]
+      while (r.hasNext) r.readTag() match {
+        case (1, 2) =>
+          val pr = new Reader(r.readBytes())
+          while (pr.hasNext) ids += pr.readVarint()
+        case (1, 0) => ids += r.readVarint()
+        case (_, w) => r.skip(w)
+      }
+      CommandGetSqlInfo(ids.result())
+    }
+  }
+
   final case class ActionCreatePreparedStatementRequest(query: String) {
     def encode: Array[Byte] = new Writer().string(1, query).result()
   }

@@ -283,7 +283,12 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
       case CommandGetCatalogs.Url | CommandGetDbSchemas.Url | CommandGetTables.Url =>
         // catalog ops: ticket echoes the command; DoGet rebuilds the batch
         FlightInfo(schemaBytesOf(catalogCommandDf(any)), desc, Ticket(desc.cmd))
+      case CommandGetSqlInfo.Url =>
+        val (schema, _) = sqlInfoPayload(CommandGetSqlInfo.parse(any.value).info)
+        FlightInfo(schema, desc, Ticket(desc.cmd))
       case CommandGetTableTypes.Url =>
+        // parity: the reference's get_flight_info_table_types is an
+        // unimplemented arm too (flight_sql.rs:504-512)
         throw GrpcError(UNIMPLEMENTED, "get_flight_info_table_types not implemented")
       case url =>
         throw GrpcError(UNIMPLEMENTED, s"unsupported command: $url")
@@ -314,6 +319,8 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
       case CommandGetCatalogs.Url | CommandGetDbSchemas.Url | CommandGetTables.Url =>
         ArrowIpcFrames.split(
           GraftArrowBridge.toIpcStreamBytes(catalogCommandDf(any))).iterator.map(_.encode)
+      case CommandGetSqlInfo.Url =>
+        sqlInfoPayload(CommandGetSqlInfo.parse(any.value).info)._2.iterator.map(_.encode)
       case url => throw GrpcError(UNIMPLEMENTED, s"do_get: unsupported ticket: $url")
     }
   }
@@ -337,6 +344,57 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
       results.remove(handle)
       Iterator.empty
     case other => throw GrpcError(UNIMPLEMENTED, s"action $other not implemented")
+  }
+
+  /** Server metadata for CommandGetSqlInfo (reference: flight_sql.rs:68-77
+    * builds the same three server-info strings). The result schema is the
+    * FlightSQL spec's `(info_name: uint32, value: dense_union)` — Spark has
+    * no union type, so this one batch is hand-built with arrow-java
+    * vectors. Returns (encapsulated schema bytes, FlightData frames). */
+  private def sqlInfoPayload(requested: Seq[Long]): (Array[Byte], Seq[FlightData]) = {
+    import org.apache.arrow.vector.{BigIntVector, BitVector, FieldVector, IntVector, UInt4Vector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.DenseUnionVector
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+    val infos: Seq[(Long, String)] = Seq(
+      0L -> "Graft Flight SQL Server", // FLIGHT_SQL_SERVER_NAME
+      1L -> "1",                       // FLIGHT_SQL_SERVER_VERSION
+      2L -> "1.3")                     // FLIGHT_SQL_SERVER_ARROW_VERSION
+    val selected =
+      if (requested.isEmpty) infos else infos.filter(kv => requested.contains(kv._1))
+    val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    val names = new UInt4Vector("info_name", alloc)
+    val union = DenseUnionVector.empty("value", alloc)
+    try {
+      val strId = union.registerNewTypeId(Field.nullable("string_value", ArrowType.Utf8.INSTANCE))
+      val boolId = union.registerNewTypeId(Field.nullable("bool_value", ArrowType.Bool.INSTANCE))
+      val bigintId = union.registerNewTypeId(Field.nullable("bigint_value", new ArrowType.Int(64, true)))
+      val bitmaskId = union.registerNewTypeId(Field.nullable("int32_bitmask", new ArrowType.Int(32, true)))
+      val strVec = union.addVector(strId,
+        new VarCharVector("string_value", alloc)).asInstanceOf[VarCharVector]
+      union.addVector(boolId, new BitVector("bool_value", alloc))
+      union.addVector(bigintId, new BigIntVector("bigint_value", alloc))
+      union.addVector(bitmaskId, new IntVector("int32_bitmask", alloc))
+      names.allocateNew(selected.size)
+      union.allocateNew()
+      selected.zipWithIndex.foreach { case ((id, v), i) =>
+        names.setSafe(i, id.toInt)
+        strVec.setSafe(i, v.getBytes(UTF_8))
+        union.setTypeId(i, strId)
+        union.setOffset(i, i)
+      }
+      names.setValueCount(selected.size)
+      strVec.setValueCount(selected.size)
+      union.setValueCount(selected.size)
+      val root = new VectorSchemaRoot(
+        java.util.Arrays.asList[FieldVector](names, union))
+      root.setRowCount(selected.size)
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+        root, null, java.nio.channels.Channels.newChannel(out))
+      w.start(); w.writeBatch(); w.end(); w.close()
+      (ArrowIpcFrames.encapsulatedSchema(root.getSchema),
+        ArrowIpcFrames.split(out.toByteArray))
+    } finally { names.close(); union.close(); alloc.close() }
   }
 
   // ---- catalog metadata batches --------------------------------------------

@@ -223,6 +223,38 @@ class FlightSqlSpec extends SparkSpec {
     } finally { c2.close(); authed.stop() }
   }
 
+  test("get_sql_info returns server metadata in the spec's union schema") {
+    def infoRows(requested: Seq[Long]): Seq[(Long, String)] = {
+      val desc = FlightDescriptor.cmd(AnyMsg(CommandGetSqlInfo.Url,
+        CommandGetSqlInfo(requested).encode).encode)
+      val info = FlightInfo.parse(callOk("GetFlightInfo", desc.encode).head)
+      val frames = callOk("DoGet", info.ticket.encode).map(FlightData.parse)
+      val stream = ArrowIpcFrames.reassemble(frames)
+      // the dense-union value column has no Spark analogue — read with arrow
+      val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(stream), alloc)
+      try {
+        val root = reader.getVectorSchemaRoot
+        val out = Seq.newBuilder[(Long, String)]
+        while (reader.loadNextBatch()) {
+          val names = root.getVector("info_name")
+            .asInstanceOf[org.apache.arrow.vector.UInt4Vector]
+          val union = root.getVector("value")
+            .asInstanceOf[org.apache.arrow.vector.complex.DenseUnionVector]
+          (0 until root.getRowCount).foreach { i =>
+            out += ((names.get(i).toLong, String.valueOf(union.getObject(i))))
+          }
+        }
+        out.result()
+      } finally { reader.close(); alloc.close() }
+    }
+    val all = infoRows(Seq.empty)
+    assert(all === Seq(
+      (0L, "Graft Flight SQL Server"), (1L, "1"), (2L, "1.3")))
+    assert(infoRows(Seq(2L)) === Seq((2L, "1.3")))
+  }
+
   test("GetSchema answers without executing; unknown methods are UNIMPLEMENTED") {
     val sr = callOk("GetSchema", FlightDescriptor.cmd(AnyMsg(CommandStatementQuery.Url,
       CommandStatementQuery("SELECT lat, lng FROM uk_cities").encode).encode).encode)
