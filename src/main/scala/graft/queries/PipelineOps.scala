@@ -543,6 +543,50 @@ object PipelineOps {
         threshold = 0.3)
     }),
 
+    // LSH evaluation: recall of the banded MinHash chain against the
+    // exact-Jaccard ground truth, per similarity decile — the curve any
+    // LSH deployment reads when tuning (bands, rows): the S-curve should
+    // show recall ~1 above the threshold band and the measured miss rate
+    // just over it. Verified LSH pairs are by construction a subset of the
+    // exact pairs (same threshold), so one left join + decile GROUP BY is
+    // the whole evaluation; both sides reuse catalog kernels.
+    "dedup_lsh_recall" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val exact = ngramJaccardJoin(d, threshold = 0.3, maxCandidatePairs = None)
+      val lsh = minhashLshJoin(d, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .groupBy(floor(col("jaccard") * 10).cast("long").as("jac_bucket"))
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+        .select(col("jac_bucket"), col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+        .orderBy(col("jac_bucket"))
+    }),
+
+    // MinHash estimator quality: for every verified near-dup pair, the
+    // signature-agreement estimate (matching coordinates / 64) next to the
+    // exact Jaccard it estimates — the per-pair view of the Broder bound
+    // that picks numPerms. Signatures come off the same cached kernel the
+    // LSH join banded, so this adds two id-keyed joins, no re-hashing.
+    "dedup_minhash_estimate" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val sig = d.select(col("doc_id"),
+        minhashSignature(col("sh"), 64, 42L).as("sig"))
+      val pairs = minhashLshJoin(d, threshold = 0.3)
+      pairs
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          (aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+            lit(0L), (acc, v) => acc + v).cast("double") / lit(64.0))
+            .as("jaccard_est"))
+        .withColumn("est_abs_err", abs(col("jaccard_est") - col("jaccard")))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // adaptive similarity join: the planner measures the corpus (one
     // aggregate) and picks exact (bitset or posting count-join) /
     // prefix-filtered / MinHash-LSH. This corpus is dense with a small
@@ -593,6 +637,58 @@ object PipelineOps {
           count(lit(1)).over(Window.partitionBy(col("cluster_rep"))).cast("long"))
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
         .orderBy(col("doc_id"))
+    }),
+
+    // data-card metric: the near-dup CLUSTER SIZE histogram — how much of
+    // the corpus sits in 2-doc pairs vs large boilerplate families. One
+    // GROUP BY over the (already tiny) per-cluster sizes; the heavy work is
+    // the same pair + CC chain dedup_clusters proves.
+    "dedup_cluster_stats" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      val edges = ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponents(edges, docs(spark, dir).select(col("doc_id")))
+      labels.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // dedup APPLICATION: the surviving corpus after near-dup clustering —
+    // one row per kept document (the cluster representative = the CC min
+    // label) with how many near-dups it absorbed. groupBy(cluster_rep) IS
+    // the keep-decision: no second pass over the labels.
+    "dedup_survivors" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      val edges = ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(edges, docs(spark, dir).select(col("doc_id")))
+        .groupBy(col("cluster_rep").as("doc_id"))
+        .agg((count(lit(1)) - 1).as("n_merged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // provenance observability: which SOURCE contributes the duplicates.
+    // Docs touching >=1 exact-Jaccard near-dup pair are flagged (distinct
+    // union of both pair ends — ids only), then one broadcast-size left
+    // join back to (doc_id, source) and a per-source rate aggregate.
+    "doc_dup_rate_by_source" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      val pairs = ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
+      val dup = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("is_dup", lit(1L))
+      docs(spark, dir).select(col("doc_id"), col("source"))
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("is_dup")), lit(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+        .orderBy(col("source"))
     }),
 
     // embedding near-dup: cosine >= 0.95 among LSH-bucketed candidates.
@@ -685,6 +781,21 @@ object PipelineOps {
         .select(col("q_id"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_brute").cast("double")).as("recall"))
         .orderBy(col("q_id"))
+    }),
+
+    // IVF index observability: the cell-occupancy histogram of the serving
+    // index — the number any IVF deployment watches for skew (a hot cell
+    // makes every probe of it scan that fraction of the corpus). The
+    // assignment is the same shuffle-free argmin projection ann_ivf serves
+    // from; the histogram is one k-group aggregate.
+    "ann_ivf_stats" -> ((spark, dir) => {
+      val e = embs(spark, dir)
+      val assigned = ivfAssign(e, ivfSeedCentroids(e, AnnIvfK).toIndexedSeq)
+      assigned.groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("frac", col("n_vecs").cast("double") /
+          sum(col("n_vecs")).over(Window.partitionBy()).cast("double"))
+        .orderBy(col("cell"))
     }),
 
     // product-quantization encode (see [[pqEncode]]): dim 64 → m=8 4-bit
@@ -3311,6 +3422,25 @@ object PipelineOps {
     s"(( ($src % 4294967296) * $clo + " +
       s"((($src % 4294967296) * $chi + ($src // 4294967296) * $clo) % 4294967296) * 4294967296 ) % $M64)"
 
+  /** Shared recursive-CC oracle chain (bigram shingles, exact Jaccard >=
+    * 0.25, transitive closure): the `dedup_clusters` oracle's CTEs through
+    * `labeled(doc_id, cluster_rep)`, also exposing the pair CTE `j`.
+    * Callers must open with WITH RECURSIVE. */
+  private val clusterLabeledCtes: String =
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS s FROM tok),
+      |inv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+      |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |j AS (SELECT doc_a, doc_b FROM pairs
+      |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.25),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
+      |reach(src, node) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      |labeled AS (SELECT src AS doc_id, min(node) AS cluster_rep FROM reach GROUP BY src)""".stripMargin
+
   /** CTE fragment: MinHash banded candidate pairs over `shFrom(doc_id, s)`
     * — 64 FNV-derived permutations (seed 42, the [[minhashLshJoin]]
     * default), 16 bands of 4, band-slice-equality candidates (the Scala
@@ -3466,22 +3596,32 @@ object PipelineOps {
     // reachability (recursive CTE) gives min reachable node == the
     // propagated min label; window count adds the cluster size
     "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS s FROM tok),
-        |inv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-        |j AS (SELECT doc_a, doc_b FROM pairs
-        |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.25),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
-        |reach(src, node) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
-        |labeled AS (SELECT src AS doc_id, min(node) AS cluster_rep FROM reach GROUP BY src)
+      (s"""WITH RECURSIVE $clusterLabeledCtes
         |SELECT doc_id, cluster_rep,
         |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
-        |FROM labeled ORDER BY doc_id""".stripMargin,
+        |FROM labeled ORDER BY doc_id""".stripMargin),
+    // cluster-size histogram: same recursive-CC chain, grouped twice
+    "dedup_cluster_stats" ->
+      (s"""WITH RECURSIVE $clusterLabeledCtes,
+        |cs AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size FROM labeled GROUP BY cluster_rep)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+    // survivors: one row per cluster representative (the CC min label)
+    "dedup_survivors" ->
+      (s"""WITH RECURSIVE $clusterLabeledCtes
+        |SELECT cluster_rep AS doc_id, CAST(count(*) - 1 AS BIGINT) AS n_merged
+        |FROM labeled GROUP BY cluster_rep ORDER BY doc_id""".stripMargin),
+    // per-source dup rate: docs on >=1 exact pair (the chain's j CTE),
+    // left-joined back to their source
+    "doc_dup_rate_by_source" ->
+      (s"""WITH RECURSIVE $clusterLabeledCtes,
+        |dd AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM j UNION ALL SELECT doc_b FROM j))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+        |  CAST(count(dd.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+        |FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
     "doc_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS gram FROM tok),
@@ -3796,6 +3936,43 @@ object PipelineOps {
         |FROM cand
         |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // LSH recall per similarity decile: exact trigram-Jaccard ground truth
+    // (inverted-index pairs) left-joined with the banded candidate chain's
+    // verified pairs — both fragments proven standalone above
+    "dedup_lsh_recall" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
+        |einv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
+        |ep AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS esa, b.s AS esb
+        |  FROM einv a JOIN einv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |ex AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(esa, esb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(esa, esb))) AS DOUBLE) AS jaccard
+        |  FROM ep
+        |  WHERE CAST(len(list_intersect(esa, esb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(esa, esb))) AS DOUBLE) >= 0.3),
+        |${minhashCandCtes("sh")},
+        |lp AS (SELECT doc_a, doc_b FROM cand
+        |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3)
+        |SELECT CAST(floor(ex.jaccard * 10) AS BIGINT) AS jac_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(count(lp.doc_a) AS BIGINT) AS n_found,
+        |  CAST(count(lp.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM ex LEFT JOIN lp ON ex.doc_a = lp.doc_a AND ex.doc_b = lp.doc_b
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // MinHash estimator quality: verified pairs with their 64-coordinate
+    // signature-agreement estimate (the sigs CTE re-joined per pair end)
+    "dedup_minhash_estimate" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
+        |${minhashCandCtes("sh")},
+        |p AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard
+        |  FROM cand
+        |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3),
+        |est AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+        |  CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 64.0 AS jaccard_est
+        |  FROM p JOIN sigs a ON a.doc_id = p.doc_a JOIN sigs b ON b.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, jaccard, jaccard_est, abs(jaccard_est - jaccard) AS est_abs_err
+        |FROM est ORDER BY doc_a, doc_b""".stripMargin),
     // the curate composition end-to-end: every stage reuses its standalone
     // oracle's proven arithmetic — token-count quality gate, CCNet paragraph
     // dedup restricted to the quality subset, MinHash banded candidates +
@@ -3890,6 +4067,12 @@ object PipelineOps {
         |  CAST(COUNT(ivfk.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
         |FROM bk LEFT JOIN ivfk ON bk.q_id = ivfk.q_id AND bk.vec_id = ivfk.vec_id
         |GROUP BY bk.q_id ORDER BY bk.q_id""".stripMargin,
+    // IVF cell-occupancy histogram: the chain's asg CTE grouped by cell
+    "ann_ivf_stats" ->
+      s"""WITH $ivfRankCtes
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM embeddings) AS DOUBLE) AS frac
+        |FROM asg GROUP BY cell ORDER BY cell""".stripMargin,
     // PQ encode: 16 hash-ranked donors (domain 'pq-seed-'), codeword c of
     // subspace s = donor c's s-th 8-dim slice, per-(vec, subspace) argmin
     // with min-code ties — each output double is ONE slice distance (same

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Properties of the round-9 evaluation/observability operators:
+  * `dedup_lsh_recall`, `dedup_minhash_estimate`, `dedup_cluster_stats`,
+  * `dedup_survivors`, `doc_dup_rate_by_source`, `ann_ivf_stats`.
+  * (Value-level correctness is the DuckDB oracle's job; these pin the
+  * invariants the oracles cannot express — cross-query consistency and
+  * statistical bounds.) */
+class DedupEvalSpec extends SparkSpec {
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("dedup_lsh_recall: found <= true per bucket, recall in [0,1]") {
+    val rows = q("dedup_lsh_recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrue, nFound, recall) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nFound <= nTrue)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(recall == nFound.toDouble / nTrue.toDouble)
+    }
+  }
+
+  test("dedup_lsh_recall: verified LSH pairs are a subset of exact pairs") {
+    // the left join's n_found sums to exactly the LSH pair count — no LSH
+    // pair exists outside the exact ground truth (same threshold)
+    val totalFound = q("dedup_lsh_recall").agg(sum(col("n_found"))).head.getLong(0)
+    val lshPairs = q("dedup_minhash_lsh").count()
+    assert(totalFound == lshPairs)
+  }
+
+  test("dedup_minhash_estimate: rows are the verified LSH pairs; est within Hoeffding-ish bound") {
+    val est = q("dedup_minhash_estimate").collect()
+    assert(est.length == q("dedup_minhash_lsh").count())
+    est.foreach { r =>
+      val (jac, e, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(e >= 0.0 && e <= 1.0)
+      assert(err == math.abs(e - jac))
+      // 64 permutations: P(|est - j| > 0.25) < 2*exp(-2*64*0.0625) ~ 7e-4;
+      // a fixed corpus with ~25 pairs should never trip this
+      assert(err <= 0.25, s"estimator off by $err for pair $r")
+    }
+  }
+
+  test("cluster stats, survivors, and clusters agree on the corpus partition") {
+    val clusters = q("dedup_clusters")
+    val stats = q("dedup_cluster_stats")
+    val survivors = q("dedup_survivors")
+    val nDocs = clusters.count()
+    // histogram covers every doc exactly once
+    assert(stats.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
+    // one survivor per cluster, absorbing exactly the non-representatives
+    assert(survivors.count() ==
+      clusters.select(col("cluster_rep")).distinct().count())
+    assert(survivors.agg(sum(col("n_merged"))).head.getLong(0) ==
+      nDocs - survivors.count())
+    // every survivor is its own cluster representative
+    val notRep = survivors.join(clusters,
+        survivors("doc_id") === clusters("doc_id") &&
+          clusters("doc_id") =!= clusters("cluster_rep"))
+    assert(notRep.count() == 0)
+  }
+
+  test("doc_dup_rate_by_source: totals match the corpus; rates bounded") {
+    val bySource = q("doc_dup_rate_by_source").collect()
+    val nDocs = graft.queries.PipelineOps.dfQueries("dedup_clusters")(spark, sf0001).count()
+    assert(bySource.map(_.getLong(1)).sum == nDocs)
+    bySource.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("ann_ivf_stats: occupancy sums to the corpus, fractions to 1") {
+    val stats = q("ann_ivf_stats")
+    val nVecs = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(stats.agg(sum(col("n_vecs"))).head.getLong(0) == nVecs)
+    val fracSum = stats.agg(sum(col("frac"))).head.getDouble(0)
+    assert(math.abs(fracSum - 1.0) < 1e-9)
+    // cells are a subset of the configured k, each non-empty
+    val cells = stats.select(col("cell")).collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < 16))
+    assert(cells.distinct.length == cells.length)
+  }
+}
