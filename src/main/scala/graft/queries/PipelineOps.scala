@@ -376,6 +376,46 @@ object PipelineOps {
         .orderBy(col("sym"))
     }),
 
+    // WordPiece-style greedy longest-prefix encode against the SAME vocab
+    // the BPE training produced (its distinct post-merge symbols — closed
+    // over the corpus, so every word encodes) — the standard serve-time
+    // tokenizer alternative, next to the BPE piece count it competes with.
+    // Scale shape mirrors doc_bpe_encode: the corpus is read once into the
+    // token stream; the greedy walk runs per DISTINCT word (the dict, not
+    // the stream); the vocab is a bounded tokenizer artifact (<=~50k
+    // entries in any real deployment), so it broadcasts as a closure the
+    // same way ivfAssignBroadcast ships its centroid matrix — an iterative
+    // longest-match has no builtin-expression form.
+    "doc_wordpiece_encode" -> ((spark, dir) => {
+      val (_, dict) = bpeModelFor(spark, dir)
+      val vocab = dict.select(explode(col("syms")).as("p")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val bc = spark.sparkContext.broadcast(vocab)
+      val maxLen = vocab.map(_.length).max
+      val nWp = udf { (w: String) =>
+        val v = bc.value
+        var pos = 0; var n = 0L
+        while (pos < w.length) {
+          var l = math.min(maxLen, w.length - pos)
+          while (l > 1 && !v.contains(w.substring(pos, pos + l))) l -= 1
+          // l == 1 falls through as a single-char piece (or an OOV char —
+          // the vocab is corpus-closed, so OOV only on foreign serve input)
+          pos += l; n += 1
+        }
+        n
+      }
+      val enc = dict.select(col("word"), nWp(col("word")).as("n_wp"),
+        size(col("syms")).cast("long").as("n_bpe"))
+      docs(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(enc, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("n_wp")).as("n_wp_pieces"),
+          sum(col("n_bpe")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // repetition-based quality stats (Gopher/C4-style filters): per doc, the
     // top-2-gram fraction and duplicate-2-gram fraction — integer counts and
     // exact double ratios, so the DuckDB oracle hash-matches bit-for-bit
@@ -4455,6 +4495,32 @@ object PipelineOps {
           |SELECT sym, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
           |  CAST(SUM(freq) AS BIGINT) AS total_freq
           |FROM ve GROUP BY sym ORDER BY sym""".stripMargin),
+    // greedy longest-prefix encode: per-(word, pos) longest vocab match is
+    // precomputed as a jump table (no aggregate needed in the recursive
+    // part), then a recursive linked-list walk counts the pieces per word
+    "doc_wordpiece_encode" ->
+      (s"WITH RECURSIVE ${bpeCtes(8)},\n" +
+        """voc AS (SELECT DISTINCT unnest(syms) AS piece FROM w8),
+          |vlen AS (SELECT piece, length(piece) AS pl FROM voc),
+          |wd AS (SELECT word, length(word) AS wl FROM w8),
+          |wpos AS (SELECT word, wl, unnest(range(1, wl + 1)) AS p FROM wd),
+          |lm AS (SELECT s.word, s.p, max(v.pl) AS best
+          |  FROM wpos s JOIN vlen v ON substr(s.word, CAST(s.p AS INTEGER), CAST(v.pl AS INTEGER)) = v.piece
+          |  GROUP BY s.word, s.p),
+          |jump AS (SELECT s.word, s.p, COALESCE(lm.best, 1) AS step
+          |  FROM wpos s LEFT JOIN lm ON s.word = lm.word AND s.p = lm.p),
+          |walk(word, p, n) AS (
+          |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wd
+          |  UNION ALL
+          |  SELECT w.word, w.p + j.step, w.n + 1
+          |  FROM walk w JOIN jump j ON w.word = j.word AND w.p = j.p),
+          |wp AS (SELECT word, max(n) AS n_wp FROM walk GROUP BY word)
+          |SELECT wrd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |  CAST(SUM(wp.n_wp) AS BIGINT) AS n_wp_pieces,
+          |  CAST(SUM(len(w8.syms)) AS BIGINT) AS n_bpe_tokens
+          |FROM wrd JOIN wp USING (word) JOIN w8 USING (word)
+          |WHERE length(wrd.word) > 0
+          |GROUP BY wrd.doc_id ORDER BY wrd.doc_id""".stripMargin),
     "doc_length_histogram" ->
       """SELECT lang, CAST(length(text)//100 AS BIGINT) AS len_bucket,
         |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_chars

@@ -97,6 +97,44 @@ class BpeEnsembleSpec extends AnyFunSuite {
     assert(d1.select("syms").collect()(0).getSeq[String](0) == Seq("ab"))
   }
 
+  test("doc_wordpiece_encode == driver-side greedy longest-prefix replica") {
+    // rebuild the vocab exactly as the catalog query does (distinct BPE
+    // dict symbols), re-encode every distinct word with an independent
+    // recursive replica, and compare per-doc piece sums
+    val (_, dict) = PipelineOps.bpeTrain(
+      spark.read.parquet(s"$sfDir/documents.parquet"), numMerges = 8)
+    val vocab = dict.select(explode(col("syms")).as("p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val maxLen = vocab.map(_.length).max
+    def greedy(w: String): Long = {
+      @annotation.tailrec
+      def go(pos: Int, n: Long): Long =
+        if (pos >= w.length) n
+        else {
+          val l = (math.min(maxLen, w.length - pos) to 1 by -1)
+            .find(k => vocab.contains(w.substring(pos, pos + k))).getOrElse(1)
+          go(pos + l, n + 1)
+        }
+      go(0, 0L)
+    }
+    val perWord = dict.select(col("word")).collect().map(_.getString(0))
+      .map(w => w -> greedy(w)).toMap
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = toks.groupBy(_._1).view
+      .mapValues(ws => (ws.length.toLong, ws.map(t => perWord(t._2)).sum)).toMap
+    val got = graft.SparkEntry.queries("doc_wordpiece_encode")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (nTok, nWp)) =>
+      assert((nTok, nWp) == expected(id), s"doc $id")
+    }
+    // every word is at least one piece, never more than its char count
+    assert(perWord.forall { case (w, n) => n >= 1 && n <= w.length })
+  }
+
   test("ann_recall equals the overlap of the ivf and brute-force catalog queries") {
     def ids(name: String) = PipelineOps.dfQueries(name)(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
