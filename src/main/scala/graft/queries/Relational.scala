@@ -432,6 +432,55 @@ object Relational {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }),
+
+    // ordered-funnel analysis: users whose FIRST view precedes their first
+    // click precedes their first purchase — the event-analytics staple.
+    // One user-keyed aggregate (min-ts per stage via conditional min) then
+    // a single global roll-up; null-propagating comparisons implement the
+    // "never reached the stage" semantics in both engines identically.
+    "q_event_funnel" -> ((spark, dir) => {
+      val f = Tables.t(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v"),
+          min(when(col("event_type") === "click", col("ts"))).as("c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      f.agg(
+          count(col("v")).as("n_view"),
+          count(when(col("c") > col("v"), lit(1))).as("n_view_click"),
+          count(when(col("c") > col("v") && col("p") > col("c"), lit(1)))
+            .as("n_view_click_purchase"))
+        .select(col("n_view"), col("n_view_click"), col("n_view_click_purchase"),
+          (col("n_view_click").cast("double") / col("n_view").cast("double"))
+            .as("click_rate"),
+          (col("n_view_click_purchase").cast("double") /
+            col("n_view").cast("double")).as("purchase_rate"))
+    }),
+
+    // weekly cohort retention: users grouped by the week of their first
+    // event; a cohort's week-N cell counts members active N weeks later.
+    // Two user-keyed aggregates + one (cohort, week) roll-up — at any
+    // event volume the shuffles carry (user, week) pairs, never raw events
+    "q_retention" -> ((spark, dir) => {
+      val e = Tables.t(spark, dir, "events")
+      // cohort/week keys as DATE on both engines (DuckDB's date_trunc
+      // already yields DATE; Spark's yields timestamp — normalize)
+      val firsts = e.groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+      val active = e.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+      val cohortSize = firsts.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_cohort"))
+      firsts.join(active, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7)
+            .cast("long").as("week_n"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(cohortSize, Seq("cohort"))
+        .select(col("cohort"), col("week_n"), col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+        .orderBy(col("cohort"), col("week_n"))
+    }),
     // backward as-of join (operators/TemporalJoins): each event picks up the
     // customer's most recent order-day summary; right side pre-aggregated to
     // one row per (key, time) so the pick is well-defined on both engines
@@ -596,6 +645,30 @@ object Relational {
         |      LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
         |    FROM events) t1
         |) t2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(count(v) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN c > v THEN 1 END) AS BIGINT) AS n_view_click,
+        |  CAST(count(CASE WHEN c > v AND p > c THEN 1 END) AS BIGINT) AS n_view_click_purchase,
+        |  CAST(count(CASE WHEN c > v THEN 1 END) AS DOUBLE) / CAST(count(v) AS DOUBLE) AS click_rate,
+        |  CAST(count(CASE WHEN c > v AND p > c THEN 1 END) AS DOUBLE) / CAST(count(v) AS DOUBLE) AS purchase_rate
+        |FROM f""".stripMargin,
+    "q_retention" ->
+      """WITH firsts AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort FROM firsts GROUP BY cohort),
+        |r AS (SELECT f.cohort, CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_n,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |  FROM firsts f JOIN active a ON f.user_id = a.user_id
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort, r.week_n, r.n_active, cs.n_cohort,
+        |  CAST(r.n_active AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention
+        |FROM r JOIN cs ON r.cohort = cs.cohort
+        |ORDER BY r.cohort, r.week_n""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events
