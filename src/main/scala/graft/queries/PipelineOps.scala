@@ -583,6 +583,22 @@ object PipelineOps {
         threshold = 0.3)
     }),
 
+    // the 100 TB clustering PATH, oracle-checked end-to-end: banded-LSH
+    // near-dup pairs (not the exact all-pairs join) closed into components
+    // by the O(log² n) star contraction — the composition a trillion-doc
+    // dedup actually runs (dedup_clusters' exact-pair + propagation chain
+    // is the small-corpus reference implementation)
+    "dedup_minhash_clusters" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val edges = minhashLshJoin(d, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponentsStar(edges, docs(spark, dir).select(col("doc_id")))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_rep"))).cast("long"))
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LSH evaluation: recall of the banded MinHash chain against the
     // exact-Jaccard ground truth, per similarity decile — the curve any
     // LSH deployment reads when tuning (bands, rows): the S-curve should
@@ -3993,6 +4009,23 @@ object PipelineOps {
         |FROM cand
         |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // LSH-pair clustering: the banded candidate chain's verified pairs
+    // closed with the same recursive reachability as dedup_clusters
+    "dedup_minhash_clusters" ->
+      (s"""WITH RECURSIVE tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
+        |${minhashCandCtes("sh")},
+        |lj AS (SELECT doc_a, doc_b FROM cand
+        |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM lj UNION ALL SELECT doc_b, doc_a FROM lj),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+        |labeled AS (SELECT src AS doc_id, min(node) AS cluster_rep FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_rep,
+        |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+        |FROM labeled ORDER BY doc_id""".stripMargin),
     // LSH recall per similarity decile: exact trigram-Jaccard ground truth
     // (inverted-index pairs) left-joined with the banded candidate chain's
     // verified pairs — both fragments proven standalone above
