@@ -201,6 +201,20 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // classifier evaluation: the language-ID confusion matrix + per-cell
+    // share of the label's row — the quality dashboard any heuristic
+    // lang-id ships with. Pure projection + one (label, pred) aggregate;
+    // output is |langs|² rows at any corpus size.
+    "doc_lang_confusion" -> ((spark, dir) => {
+      val pred = docs(spark, dir).select(
+        col("lang").as("lang_label"), langId(col("text")).as("lang_pred"))
+      pred.groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label_share", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang_label"))).cast("double"))
+        .orderBy(col("lang_label"), col("lang_pred"))
+    }),
+
     // top-3 terms per doc with corpus document frequency: TF-IDF's exact
     // integer skeleton (counts, not logs — log() ULPs diverge across engines)
     "doc_top_terms" -> ((spark, dir) => {
@@ -4594,6 +4608,29 @@ object PipelineOps {
         |       WHEN zh = best AND best > 0 THEN 'zh'
         |       ELSE 'und' END AS lang_pred
         |FROM b ORDER BY doc_id""".stripMargin,
+    // confusion matrix over the same vote chain, plus per-label row share
+    "doc_lang_confusion" ->
+      """WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |  len(list_filter(ts, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS en,
+        |  len(list_filter(ts, x -> list_contains(['le','la','les','de','des','et','en','un','une','est'], x))) AS fr,
+        |  len(list_filter(ts, x -> list_contains(['el','la','los','las','de','y','en','un','una','es'], x))) AS es,
+        |  len(list_filter(ts, x -> list_contains(['der','die','das','und','von','zu','mit','ist','den','ein'], x))) AS de,
+        |  len(list_filter(ts, x -> list_contains(['的','了','是','在','我','有','和','就','不','人'], x))) AS zh
+        |  FROM tok),
+        |b AS (SELECT doc_id, lang, en, fr, es, de, zh, greatest(en, fr, es, de, zh) AS best FROM v),
+        |p AS (SELECT lang AS lang_label,
+        |  CASE WHEN en = best AND best > 0 THEN 'en'
+        |       WHEN fr = best AND best > 0 THEN 'fr'
+        |       WHEN es = best AND best > 0 THEN 'es'
+        |       WHEN de = best AND best > 0 THEN 'de'
+        |       WHEN zh = best AND best > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |  FROM b),
+        |c AS (SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang_label, lang_pred, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang_label) AS DOUBLE) AS label_share
+        |FROM c ORDER BY lang_label, lang_pred""".stripMargin,
     // FNV-1a-64 per token (fold over UTF-8 bytes recovered from hex()), then
     // the polynomial rolling hash mod 2^61-1 and the 64-bit-counter SimHash —
     // exact HUGEINT arithmetic, validated bit-exact at sf0.001
