@@ -17,7 +17,11 @@ import graft.sources.{Loaders, TableSource}
   * per-table refresh tasks -> a scheduler re-running `createOrReplaceTempView`
   * (snapshot swap, exactly the reference's reload semantics — no streaming).
   */
-final class Engine(val spark: SparkSession, val readOnly: Boolean = true) {
+final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
+                   /** Dataset root the `/api/pipeline` catalog queries read
+                     * when the request names no `dir` (e.g. a testdata sf
+                     * directory); None = the route requires an explicit dir. */
+                   val pipelineDir: Option[String] = None) {
 
   private val tables = new ConcurrentHashMap[String, TableSource]()
   private val kvDefs = new ConcurrentHashMap[String, KvStore]()

@@ -78,7 +78,8 @@ object ServerMain {
     cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
     cfg.sqlDialect.foreach(Config.applySqlDialect(spark, _))
     val readOnly = !sys.env.get("GRAFT_READ_WRITE").exists(_.toBoolean)
-    val engine = new Engine(spark, readOnly)
+    val engine = new Engine(spark, readOnly,
+      pipelineDir = sys.env.get("GRAFT_PIPELINE_DIR"))
     cfg.tables.foreach(engine.registerTable)
     cfg.kvs.foreach(kv => engine.registerKv(kv.name, kv.source, kv.key, kv.value))
     val httpPort = cfg.httpAddr.map(_._2)

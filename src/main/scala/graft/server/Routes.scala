@@ -90,6 +90,24 @@ object Routes {
         Full(200, "application/json", engine.allSchemasJson.getBytes(UTF_8))
       case ("GET", List("api", "schema", t)) =>
         Full(200, "application/json", engine.schemaJson(t).getBytes(UTF_8))
+      // the pipeline-operator catalog over the SAME frontend surface: every
+      // SparkEntry catalog query (dedup/ANN/tokenizer/quality/...) is
+      // servable with the full ACCEPT negotiation (JSON/CSV/Arrow/parquet),
+      // so the training-data operators are first-class API citizens, not a
+      // Scala-only library. `dir` selects the dataset root (defaults to the
+      // engine's configured pipeline dir); names are a fixed catalog, so an
+      // unknown name is a 404, never an execution attempt.
+      case ("GET", List("api", "pipeline")) =>
+        val names = graft.SparkEntry.queries.keySet.toSeq.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        Full(200, "application/json", names.getBytes(UTF_8))
+      case ("GET", List("api", "pipeline", name)) =>
+        val q = graft.SparkEntry.queries.getOrElse(name,
+          throw ApiError(404, "not_found", s"unknown pipeline query `$name`"))
+        val dir = queryParams(req).getOrElse("dir", engine.pipelineDir.getOrElse(
+          throw ApiError(400, "bad_request",
+            "no `dir` param and no configured pipeline dir")))
+        queryResponse(q(engine.spark, dir), req.accept)
       case ("GET", List("api", "kv", name, key)) =>
         engine.kvGet(name, key) match {
           case Some(v) => Full(200, "text/plain", v.getBytes(UTF_8))

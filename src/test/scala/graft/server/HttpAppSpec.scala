@@ -79,6 +79,34 @@ class HttpAppSpec extends SparkSpec {
       """{"fields":[{"name":"r_regionkey","data_type":"Int32","nullable":true},{"name":"r_name","data_type":"Utf8","nullable":true}]}""")
   }
 
+  test("GET /api/pipeline lists the operator catalog") {
+    val r = get("/api/pipeline")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get == "application/json")
+    assert(r.body().contains("\"dedup_exact\""))
+    assert(r.body().contains("\"q1_pricing_summary\""))
+  }
+
+  test("GET /api/pipeline/{name} runs a catalog query with ACCEPT negotiation") {
+    val dir = java.net.URLEncoder.encode(sf0001, "UTF-8")
+    val r = get(s"/api/pipeline/doc_quality?dir=$dir")
+    assert(r.statusCode() == 200)
+    assert(r.body().startsWith("""[{"doc_id":"""))
+    val csv = get(s"/api/pipeline/doc_quality?dir=$dir", Some("application/csv"))
+    assert(csv.headers().firstValue("Content-Type").get == "application/csv")
+    assert(csv.body().trim.split('\n').head.startsWith("doc_id,"))
+  }
+
+  test("pipeline route: unknown name is 404, missing dir is 400") {
+    val unk = get("/api/pipeline/no_such_query?dir=x")
+    assert(unk.statusCode() == 404)
+    assert(unk.body().contains("not_found"))
+    // this engine has no configured pipelineDir, so dir is required
+    val nodir = get("/api/pipeline/doc_quality")
+    assert(nodir.statusCode() == 400)
+    assert(nodir.body().contains("bad_request"))
+  }
+
   test("GET /api/kv/{name}/{key} and 404 error shape") {
     val hit = get("/api/kv/region_names/ASIA")
     assert(hit.statusCode() == 200)
