@@ -20,6 +20,10 @@ object EventStream {
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n_events: Long)
+  final case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
+  final case class PackState(shard: Long, fill: Long)
+  final case class PackOut(doc_id: Long, source: String, n_tokens: Long,
+                           shard_id: Long, shard_offset: Long)
 
   /** The raw stream: events parquet with the ns->us normalization applied.
     * Watermarks require TIMESTAMP (LTZ); driver-regenerated parquet may
@@ -201,6 +205,41 @@ object EventStream {
             }
             closed.iterator
           }
+        })
+  }
+
+  /** Streaming token-budget shard packing — the streaming face of
+    * `doc_pack`, with the one semantic a live packer needs that the batch
+    * cumsum form doesn't have: a document NEVER straddles shards (greedy
+    * bin-close: a shard closes when the next doc would overflow it; an
+    * oversize doc gets a shard of its own). Packing is per `source` key,
+    * so each source's shard sequence is independent and the state per
+    * group is ONE (shard, fill) pair — bounded by the number of sources
+    * at any feed rate, and the shuffle key is the source, so a 100 TB/day
+    * feed fans packing out across executors. Within a micro-batch, docs
+    * pack in (doc_id) order; across batches, in arrival order — both
+    * deterministic for replay, and the spec pins the whole assignment
+    * against a driver-side sequential fold. */
+  def packStream(docs: DataFrame, budget: Long)
+                (implicit spark: SparkSession): Dataset[PackOut] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[PackDoc], state: GroupState[PackState]) => {
+          var s = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            if (s.fill > 0 && s.fill + d.n_tokens > budget)
+              s = PackState(s.shard + 1, 0L)
+            val o = PackOut(d.doc_id, source, d.n_tokens, s.shard, s.fill)
+            s = PackState(s.shard, s.fill + d.n_tokens)
+            o
+          }
+          state.update(s)
+          out.iterator
         })
   }
 }

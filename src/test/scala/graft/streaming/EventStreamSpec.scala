@@ -241,4 +241,50 @@ class EventStreamSpec extends SparkSpec {
       assert(got === expected)
     } finally q.stop()
   }
+
+  test("streaming shard packing: never-straddle bins, state carries across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, String)]
+    // two sources, word counts 3/2/4; budget 5 forces bin closes
+    val b1 = Seq(
+      (1L, "web", "a b c"), (2L, "web", "d e"), (3L, "web", "f g h i"),
+      (10L, "book", "one two three four"))
+    val b2 = Seq(
+      (4L, "web", "j k l"), (11L, "book", "five six seven"),
+      (12L, "book", "eight"))
+    val q = EventStream.packStream(
+        in.toDF().toDF("doc_id", "source", "text"), budget = 5L)
+      .writeStream.outputMode("append").format("memory").queryName("pack_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("pack_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      // driver replica: per-source greedy fold over the same arrival order
+      def fold(docs: Seq[(Long, Long)], start: (Long, Long)): (Seq[(Long, Long, Long)], (Long, Long)) = {
+        var (shard, fill) = start
+        val out = docs.map { case (id, n) =>
+          if (fill > 0 && fill + n > 5) { shard += 1; fill = 0 }
+          val o = (id, shard, fill); fill += n; o
+        }
+        (out, (shard, fill))
+      }
+      val (w1, ws) = fold(Seq((1L, 3L), (2L, 2L), (3L, 4L)), (0L, 0L))
+      val (w2, _) = fold(Seq((4L, 3L)), ws)
+      val (k1, ks) = fold(Seq((10L, 4L)), (0L, 0L))
+      val (k2, _) = fold(Seq((11L, 3L), (12L, 1L)), ks)
+      val expect = (w1 ++ w2).map { case (id, sh, off) => (id, "web", sh, off) } ++
+        (k1 ++ k2).map { case (id, sh, off) => (id, "book", sh, off) }
+      val expectSorted = expect.sortBy(_._1)
+      assert(got.map(g => (g._1, g._2, g._4, g._5)) == expectSorted)
+      // no shard exceeds the budget (the never-straddle property)
+      val byShard = got.groupBy(g => (g._2, g._4)).values
+      assert(byShard.forall(docs => docs.map(_._3).sum <= 5 || docs.size == 1))
+    } finally q.stop()
+  }
 }
