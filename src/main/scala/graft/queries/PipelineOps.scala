@@ -872,6 +872,39 @@ object PipelineOps {
       pqAdcSearch(e, pqSeedCodebook(e, 16).toIndexedSeq, m = 8, topK = 10)
     }),
 
+    // PQ evaluation: recall@10 of the codes-only ADC ranking against the
+    // exact-L2 brute top-10 per probe — the compression-loss metric any
+    // PQ deployment watches when sizing m (ann_recall's IVF twin; sqdist
+    // via the norms to keep the arithmetic oracle-mirrorable)
+    "ann_pq_recall" -> ((spark, dir) => {
+      val e0 = embs(spark, dir)
+      val adc = pqAdcSearch(e0, pqSeedCodebook(e0, 16).toIndexedSeq, m = 8,
+          topK = AnnTopK)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val e = e0.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val probes = e.filter(col("vec_id") < AnnNumProbes).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sqdist"), col("vec_id"))
+      val brute = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (col("nrm") * col("nrm") + col("q_nrm") * col("q_nrm")
+            - lit(2.0) * dot(col("embedding"), col("q_vec"))).as("sqdist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= AnnTopK)
+        .select(col("q_id"), col("vec_id"))
+      brute.join(adc, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
+          count(lit(1)).as("n_brute"))
+        .select(col("q_id"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_brute").cast("double"))
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // IVF-PQ (see [[annIvfPq]]): cells prune to ~nprobe/k of the corpus,
     // PQ codes compress the pruned rows, ADC scores them — the trillion-
     // vector composition, oracle-checked whole
@@ -3465,6 +3498,35 @@ object PipelineOps {
       |  WHERE a.vec_id <> pc.q_id),
       |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM sc)""".stripMargin
 
+  /** PQ encode chain CTEs (hash-ranked donors, per-(vec, subspace) slice
+    * distances, per-cell argmins) — shared verbatim by `emb_pq`,
+    * `ann_pq_adc`, and `ann_pq_recall`. Expects an upstream CTE
+    * `e(vec_id, embedding, ...)`; exposes `dists` and `mind`. */
+  private def pqDistCtes: String =
+    s"""${fnvMixCtes("pq", "embeddings", "vec_id", "'pq-seed-' || CAST(vec_id AS VARCHAR)")},
+      |pqh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM pq),
+      |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code FROM pqh QUALIFY code < 16),
+      |donors AS (SELECT sr.code, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
+      |dists AS (SELECT e.vec_id, ss.s, d.code,
+      |  list_sum(list_transform(range(1, 9), i ->
+      |    (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]) * (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]))) AS dist
+      |  FROM e CROSS JOIN range(0, 8) ss(s) CROSS JOIN donors d),
+      |mind AS (SELECT vec_id, s, MIN(dist) AS md FROM dists GROUP BY vec_id, s)""".stripMargin
+
+  /** [[pqDistCtes]] extended through the ADC ranking `r` (codes, probe
+    * lookup tables, s-ascending table-lookup fold, per-probe rank). */
+  private def pqAdcRankCtes: String =
+    s"""$pqDistCtes,
+      |asg AS (SELECT d.vec_id, d.s, MIN(d.code) AS code FROM dists d
+      |  JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md GROUP BY d.vec_id, d.s),
+      |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM asg GROUP BY vec_id),
+      |prow AS (SELECT vec_id AS q_id, s, list(dist ORDER BY code) AS row FROM dists WHERE vec_id < 5 GROUP BY vec_id, s),
+      |ptab AS (SELECT q_id, list(row ORDER BY s) AS tab FROM prow GROUP BY q_id),
+      |adc AS (SELECT p.q_id, c.vec_id,
+      |  list_sum(list_transform(range(1, 9), s -> p.tab[s][c.codes[s] + 1])) AS adc
+      |  FROM codes c CROSS JOIN ptab p WHERE c.vec_id <> p.q_id),
+      |r AS (SELECT q_id, vec_id, adc, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank FROM adc)""".stripMargin
+
   /** CTE chain `<tag>tf, <tag>sc, <tag>b, <tag>s` computing BM25 scores
     * for `terms` over shared `tok(doc_id, term)` CTE + `documents` —
     * mirrors [[bm25Scores]]'s arithmetic and fold order exactly (rational
@@ -4183,15 +4245,7 @@ object PipelineOps {
     // sequential fold as the Spark kernel), so the hash check is bit-exact
     "emb_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |${fnvMixCtes("pq", "embeddings", "vec_id", "'pq-seed-' || CAST(vec_id AS VARCHAR)")},
-        |pqh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM pq),
-        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code FROM pqh QUALIFY code < 16),
-        |donors AS (SELECT sr.code, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
-        |dists AS (SELECT e.vec_id, ss.s, d.code,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]) * (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]))) AS dist
-        |  FROM e CROSS JOIN range(0, 8) ss(s) CROSS JOIN donors d),
-        |mind AS (SELECT vec_id, s, MIN(dist) AS md FROM dists GROUP BY vec_id, s)
+        |$pqDistCtes
         |SELECT d.vec_id, CAST(d.s AS BIGINT) AS subspace, CAST(MIN(d.code) AS INT) AS code, MIN(m.md) AS sqdist
         |FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md
         |GROUP BY d.vec_id, d.s ORDER BY d.vec_id, d.s""".stripMargin,
@@ -4201,25 +4255,25 @@ object PipelineOps {
     // Spark aggregate() fold, so ranks and doubles hash-match
     "ann_pq_adc" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |${fnvMixCtes("pq", "embeddings", "vec_id", "'pq-seed-' || CAST(vec_id AS VARCHAR)")},
-        |pqh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM pq),
-        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code FROM pqh QUALIFY code < 16),
-        |donors AS (SELECT sr.code, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
-        |dists AS (SELECT e.vec_id, ss.s, d.code,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]) * (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]))) AS dist
-        |  FROM e CROSS JOIN range(0, 8) ss(s) CROSS JOIN donors d),
-        |mind AS (SELECT vec_id, s, MIN(dist) AS md FROM dists GROUP BY vec_id, s),
-        |asg AS (SELECT d.vec_id, d.s, MIN(d.code) AS code FROM dists d
-        |  JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md GROUP BY d.vec_id, d.s),
-        |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM asg GROUP BY vec_id),
-        |prow AS (SELECT vec_id AS q_id, s, list(dist ORDER BY code) AS row FROM dists WHERE vec_id < 5 GROUP BY vec_id, s),
-        |ptab AS (SELECT q_id, list(row ORDER BY s) AS tab FROM prow GROUP BY q_id),
-        |adc AS (SELECT p.q_id, c.vec_id,
-        |  list_sum(list_transform(range(1, 9), s -> p.tab[s][c.codes[s] + 1])) AS adc
-        |  FROM codes c CROSS JOIN ptab p WHERE c.vec_id <> p.q_id),
-        |r AS (SELECT q_id, vec_id, adc, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank FROM adc)
+        |$pqAdcRankCtes
         |SELECT q_id, vec_id, adc, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // PQ recall: the ADC chain above verbatim (shared CTEs) + the exact-L2
+    // brute ranking via the norms identity ||a-q||² = |a|²+|q|²-2·a·q
+    "ann_pq_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+        |$pqAdcRankCtes,
+        |adck AS (SELECT q_id, vec_id FROM r WHERE rank <= 10),
+        |bp AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM e WHERE vec_id < 5),
+        |bs AS (SELECT bp.q_id, e.vec_id,
+        |  e.nrm*e.nrm + bp.q_nrm*bp.q_nrm - 2 * list_sum(list_transform(list_zip(e.embedding, bp.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) AS sqdist
+        |  FROM e CROSS JOIN bp WHERE e.vec_id <> bp.q_id),
+        |br AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sqdist, vec_id) AS rank FROM bs),
+        |bk AS (SELECT q_id, vec_id FROM br WHERE rank <= 10)
+        |SELECT bk.q_id, CAST(COUNT(adck.vec_id) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(adck.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM bk LEFT JOIN adck ON bk.q_id = adck.q_id AND bk.vec_id = adck.vec_id
+        |GROUP BY bk.q_id ORDER BY bk.q_id""".stripMargin,
     // IVF-PQ: ann_ivf's cell chain (ivf-seed domain: assignment + nprobe=4
     // probe cells) composed with ann_pq_adc's code chain (pq-seed domain:
     // codes + lookup tables); candidates are cell-joined instead of the
