@@ -456,6 +456,28 @@ object Relational {
             col("n_view").cast("double")).as("purchase_rate"))
     }),
 
+    // time-series gap filling: the dense hourly grid from min to max hour
+    // (a generated series off a 1-row bounds aggregate — never a driver
+    // loop) cross-joined with the observed event types, left-joined back
+    // to the real counts with zero-fill. The grid is O(hours × types)
+    // regardless of event volume, so a sparse monitoring feed renders a
+    // complete dashboard line at any scale.
+    "q_gap_fill" -> ((spark, dir) => {
+      val e = Tables.t(spark, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      val counts = e.groupBy(col("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val hours = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      val types = e.select(col("event_type")).distinct()
+      hours.crossJoin(types)
+        .join(counts, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hr"), col("event_type"))
+    }),
+
     // weekly cohort retention: users grouped by the week of their first
     // event; a cohort's week-N cell counts members active N weeks later.
     // Two user-keyed aggregates + one (cohort, week) roll-up — at any
@@ -657,6 +679,15 @@ object Relational {
         |  CAST(count(CASE WHEN c > v THEN 1 END) AS DOUBLE) / CAST(count(v) AS DOUBLE) AS click_rate,
         |  CAST(count(CASE WHEN c > v AND p > c THEN 1 END) AS DOUBLE) / CAST(count(v) AS DOUBLE) AS purchase_rate
         |FROM f""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS hr, event_type FROM events),
+        |c AS (SELECT hr, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+        |hrs AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e)
+        |SELECT hrs.hr, t.event_type, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+        |FROM hrs CROSS JOIN t LEFT JOIN c ON hrs.hr = c.hr AND c.event_type = t.event_type
+        |ORDER BY hrs.hr, t.event_type""".stripMargin,
     "q_retention" ->
       """WITH firsts AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY user_id),
         |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
