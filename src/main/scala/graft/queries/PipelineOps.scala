@@ -1482,6 +1482,46 @@ object PipelineOps {
     (merges.result(), dict)
   }
 
+  /** Persist a trained BPE model as parquet artifacts — the durable half
+    * of the tokenizer lifecycle ([[ivfSave]]'s discipline): `merges/`
+    * holds the rank-ordered merge table, `dict/` the fully-merged word
+    * dictionary. Train once offline, then any number of serving sessions
+    * [[bpeLoad]] and encode without touching the training corpus. */
+  def bpeSave(spark: SparkSession,
+              model: (Seq[(String, String, Long)], DataFrame),
+              dir: String): Unit = {
+    import spark.implicits._
+    val (merges, dict) = model
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .repartition(1) // tokenizer-sized table; one footer beats 32 slivers
+      .write.mode("overwrite").parquet(dir + "/merges")
+    dict.write.mode("overwrite").parquet(dir + "/dict")
+  }
+
+  /** Load a [[bpeSave]]d model. The merge table is rank-ordered (the
+    * ordering IS the model — merges apply in training order); the dict
+    * reads lazily like any parquet table. */
+  def bpeLoad(spark: SparkSession, dir: String)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    val merges = spark.read.parquet(dir + "/merges").orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    (merges, spark.read.parquet(dir + "/dict"))
+  }
+
+  /** Encode words NOT covered by the persisted dict — the serve-time OOV
+    * path: apply the learned merges in rank order with the same greedy
+    * left-to-right rule training used, as a pure HOF fold per distinct
+    * word. Input needs a `word` column; output adds `syms`. */
+  def bpeEncodeWords(words: DataFrame,
+                     merges: Seq[(String, String, Long)]): DataFrame =
+    merges.foldLeft(
+      words.withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
+      case (df, (l, r, _)) => df.withColumn("syms", bpeApplyMerge(col("syms"), l, r))
+    }
+
   /** One trained BPE model per (session, input dir): train is
     * deterministic and the dict is localCheckpointed (materialized), so
     * the train/encode/vocab catalog queries share one training run
