@@ -158,6 +158,45 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("ann_ivf_stats: assignment is join-free; agg + bounded-window + sort only") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = q("ann_ivf_stats")
+    // centroid argmin is a literal projection — a join means the plan
+    // regressed to shuffling the corpus against a centroid table
+    assert(collectAll(plan) { case j: SortMergeJoinExec => j }.isEmpty &&
+      collectAll(plan) { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"ann_ivf_stats should be join-free:\n$plan")
+    // cell agg + the <=k-row single-partition window + final sort
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3,
+      s"expected <= 3 exchanges (agg, k-row window, sort), got ${shuffles.size}")
+  }
+
+  test("q_gap_fill: grid join is broadcast; counts aggregate before the join") {
+    val plan = q("q_gap_fill")
+    // the hours x types grid and the per-(hr,type) counts are both
+    // aggregate-bounded; everything joins broadcast — a cartesian against
+    // RAW events would be the 100 TB regression
+    assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"gap fill must not build a cartesian product over events:\n$plan")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty ||
+      collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      s"expected broadcast joins for the grid:\n$plan")
+  }
+
+  test("q_event_funnel / q_retention: user-keyed aggregates, no raw-event join") {
+    for (name <- Seq("q_event_funnel", "q_retention")) {
+      val plan = q(name)
+      assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"$name has a cartesian product:\n$plan")
+      // all joins in these plans are over per-user / per-cohort aggregates;
+      // raw events only ever feed hash aggregates
+      val smj = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.size <= 2, s"$name: unexpected join count ${smj.size}:\n$plan")
+    }
+  }
+
   test("emb_kmeans: assignment is join-free; only the stat agg + sort shuffle") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val plan = q("emb_kmeans")
