@@ -1015,6 +1015,21 @@ object PipelineOps {
         .orderBy(col("vec_id"))
     }),
 
+    // PCA WHITENING: the projection above with each component scaled by
+    // 1/sqrt(eigenvalue) — unit-variance components w.r.t. the training
+    // corpus, the standard preprocessing before cosine/L2 similarity
+    // search when raw feature scales differ. Eigenvalues ride the same
+    // checked-in artifact as the basis (PcaRefBasis.eigenvalues, PcaTrain
+    // provenance); still a pure shuffle-free projection.
+    "emb_pca_whiten" -> ((spark, dir) => {
+      val proj = pcaProject(embs(spark, dir), PcaRefBasis.basis)
+      proj.select(col("vec_id") +:
+          (0 until PcaRefBasis.k).map(i =>
+            (col("proj")(i) / sqrt(lit(PcaRefBasis.eigenvalues(i))))
+              .as(s"w$i")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // semantic decontamination: drop/flag corpus vectors too close (cosine)
     // to a broadcast probe set — the embedding-space analog of the n-gram
     // doc_decontaminate. Probes broadcast, corpus streams (no shuffle), the
@@ -1838,7 +1853,14 @@ object PipelineOps {
     * sweep order, so the basis is deterministic run-to-run. Returns the k
     * eigenvectors of largest eigenvalue (sign fixed: first nonzero
     * component positive). */
-  def pcaBasis(gram: DataFrame, dim: Int, k: Int): Seq[Array[Double]] = {
+  def pcaBasis(gram: DataFrame, dim: Int, k: Int): Seq[Array[Double]] =
+    pcaEigen(gram, dim, k)._1
+
+  /** [[pcaBasis]] plus the matching eigenvalues (same descending order) —
+    * the second half a WHITENING projection needs: component i scales by
+    * 1/sqrt(eigenvalue i). Same deterministic Jacobi, same tie rules. */
+  def pcaEigen(gram: DataFrame, dim: Int, k: Int)
+      : (Seq[Array[Double]], Seq[Double]) = {
     require(k >= 1 && k <= dim)
     val a = Array.ofDim[Double](dim, dim)
     gram.collect().foreach { r =>
@@ -1887,11 +1909,12 @@ object PipelineOps {
       sweep += 1
     }
     val order = (0 until dim).sortBy(i => (-a(i)(i), i)).take(k)
-    order.map { col =>
+    val basis = order.map { col =>
       val vec = Array.tabulate(dim)(i => v(i)(col))
       val lead = vec.indexWhere(math.abs(_) > 1e-12)
       if (lead >= 0 && vec(lead) < 0) vec.map(-_) else vec
     }
+    (basis, order.map(i => a(i)(i)))
   }
 
   /** Serving half: project every embedding onto the basis — a pure
@@ -3966,6 +3989,14 @@ object PipelineOps {
     "emb_pca" ->
       ("SELECT vec_id, " + (0 until PcaRefBasis.k).map(c =>
           s"list_sum(list_transform(list_zip(embedding, ${PcaRefBasis.sqlList(c)}), z -> CAST(z[1] AS DOUBLE)*z[2])) AS p$c")
+        .mkString(",\n  ") +
+        "\nFROM embeddings ORDER BY vec_id"),
+    // the same projection divided by sqrt of the checked-in eigenvalue
+    // literals — identical doubles on both engines (IEEE sqrt of an
+    // identical literal is correctly rounded, hence identical)
+    "emb_pca_whiten" ->
+      ("SELECT vec_id, " + (0 until PcaRefBasis.k).map(c =>
+          s"list_sum(list_transform(list_zip(embedding, ${PcaRefBasis.sqlList(c)}), z -> CAST(z[1] AS DOUBLE)*z[2])) / sqrt(${PcaRefBasis.sqlEig(c)}) AS w$c")
         .mkString(",\n  ") +
         "\nFROM embeddings ORDER BY vec_id"),
     // semantic decontamination: cosine vs the first-20 probe set with the

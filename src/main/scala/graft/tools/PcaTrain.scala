@@ -21,13 +21,14 @@ object PcaTrain {
     val spark = graft.GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val gram = PipelineOps.gramMatrix(
       graft.Tables.t(spark, sfDir, "embeddings"), dim = 64)
-    val basis = PipelineOps.pcaBasis(gram, dim = 64, k = k)
+    val (basis, eig) = PipelineOps.pcaEigen(gram, dim = 64, k = k)
     // shortest-repr doubles: Double.toString round-trips exactly in both
     // Scala source and DuckDB SQL literals, so embedding these strings on
     // both sides reproduces bit-identical weights
     basis.zipWithIndex.foreach { case (v, i) =>
       println(s"COMPONENT $i: " + v.map(_.toString).mkString(","))
     }
+    println("EIGENVALUES: " + eig.map(_.toString).mkString(","))
     spark.stop()
   }
 }

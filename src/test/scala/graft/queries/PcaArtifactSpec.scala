@@ -25,6 +25,25 @@ class PcaArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("checked-in eigenvalues == re-derived; descending; whiten query applies them") {
+    val gram = PipelineOps.gramMatrix(
+      graft.Tables.t(spark, sfDir, "embeddings"), dim = 64)
+    val (_, eig) = PipelineOps.pcaEigen(gram, dim = 64, k = PcaRefBasis.k)
+    assert(eig == PcaRefBasis.eigenvalues, "eigenvalues drifted from provenance")
+    assert(eig.zip(eig.tail).forall { case (a, b) => a >= b }, "not descending")
+    assert(eig.forall(_ > 0), "gram eigenvalues must be positive")
+    // whiten = pca scaled by 1/sqrt(eig), row for row
+    val pca = PipelineOps.dfQueries("emb_pca")(spark, sfDir).collect()
+    val wht = PipelineOps.dfQueries("emb_pca_whiten")(spark, sfDir).collect()
+    pca.zip(wht).foreach { case (p, w) =>
+      assert(p.getLong(0) == w.getLong(0))
+      (0 until PcaRefBasis.k).foreach { i =>
+        assert(w.getDouble(i + 1) ==
+          p.getDouble(i + 1) / math.sqrt(PcaRefBasis.eigenvalues(i)))
+      }
+    }
+  }
+
   test("basis is orthonormal") {
     for (a <- 0 until PcaRefBasis.k; b <- a until PcaRefBasis.k) {
       val dot = PcaRefBasis.basis(a).zip(PcaRefBasis.basis(b))
