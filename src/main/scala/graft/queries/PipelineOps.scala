@@ -597,6 +597,52 @@ object PipelineOps {
         threshold = 0.3)
     }),
 
+    // RAG-style document chunking: overlapping 32-token windows at stride
+    // 24 (8-token overlap so a fact straddling a boundary lands whole in
+    // some chunk), emitted as (doc_id, chunk_idx, token count, 64-bit
+    // content hash) — the unit an embedding/retrieval pipeline indexes.
+    // Pure per-row explode, no shuffle; the hash stands in for chunk text
+    // so downstream exact-dedup of chunks never ships strings.
+    "doc_chunk" -> ((spark, dir) => {
+      val k = 32; val stride = 24
+      docs(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).as("n"),
+          posexplode(expr(
+            s"transform(sequence(0, greatest(size(ts)-1, 0), $stride), " +
+              s"st -> array_join(slice(ts, st+1, $k), ' '))")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          least(lit(k.toLong), col("n") - col("pos") * stride).as("n_chunk_tokens"),
+          fnvMix64(col("col")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // containment near-dup: |A ∩ B| / |A| >= τ finds docs that are
+    // near-SUBSETS of another (quote-and-extend duplication, which
+    // symmetric Jaccard misses: a tweet quoted inside an article scores
+    // high containment but low Jaccard). Same posting count-join shapes as
+    // the Jaccard join — the shuffle carries ids and counts, never text;
+    // both directions emit (asymmetric measure, ordered pairs).
+    "dedup_containment" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      val counts = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val inv = registerCache(
+        d.select(col("doc_id"), explode(col("sh")).as("shingle")))
+      val shared = inv.as("a").join(inv.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared").cast("double") / col("n_a").cast("double"))
+            .as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // the 100 TB clustering PATH, oracle-checked end-to-end: banded-LSH
     // near-dup pairs (not the exact all-pairs join) closed into components
     // by the O(log² n) star contraction — the composition a trillion-doc
@@ -4156,6 +4202,32 @@ object PipelineOps {
         |FROM cand
         |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // chunking: the same stride grid; chunk hashes via the fnv+mix chain
+    // over distinct chunk strings, signed back to BIGINT like the Scala side
+    "doc_chunk" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |st AS (SELECT doc_id, len(ts) AS n, ts, unnest(range(0, greatest(len(ts), 1), 24)) AS s0 FROM tok),
+        |chs AS (SELECT doc_id, n, s0, s0 // 24 AS chunk_idx,
+        |  array_to_string(ts[CAST(s0+1 AS BIGINT):CAST(s0+32 AS BIGINT)], ' ') AS ctext FROM st),
+        |cd AS (SELECT DISTINCT ctext FROM chs),
+        |${fnvMixCtes("chh", "cd", "ctext", "ctext")}
+        |SELECT chs.doc_id, CAST(chs.chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, chs.n - chs.s0) AS BIGINT) AS n_chunk_tokens,
+        |  CASE WHEN chh.z >= 9223372036854775808 THEN CAST(chh.z - $M64 AS BIGINT) ELSE CAST(chh.z AS BIGINT) END AS chunk_hash
+        |FROM chs JOIN chh ON chs.ctext = chh.id
+        |ORDER BY chs.doc_id, chunk_idx""".stripMargin),
+    // containment: ordered pairs, |A ∩ B| / |A| via the inverted index
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)+1), i -> array_to_string(ts[i:i+1], ' '))) AS s FROM tok),
+        |inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, CAST(count(*) AS BIGINT) AS shared
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+        |FROM p
+        |WHERE CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // LSH-pair clustering: the banded candidate chain's verified pairs
     // closed with the same recursive reachability as dedup_clusters
     "dedup_minhash_clusters" ->
