@@ -851,6 +851,29 @@ object PipelineOps {
       topKPerProbe(scored, 10)
     }),
 
+    // ALL-corpus kNN graph (top-3 neighbors per vector among same-bucket
+    // candidates) — the input artifact for graph clustering / SemDeDup-
+    // style pruning. Unlike the probe queries this scores EVERY vector,
+    // so the bucket join is the whole cost: measured width keeps expected
+    // occupancy ~32, so work is O(n·occ), never O(n²); at 100 TB add
+    // multi-probe (neighboring buckets) for recall, same plan shape.
+    "emb_knn_graph" -> ((spark, dir) => {
+      val base = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val nBits = adaptiveLshBits(base.count(), targetOcc = 32)
+      val e = base.withColumn("bucket", lshBucket(col("embedding"), nBits, dim = 64))
+      val nbr = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          (dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      nbr.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst"), col("cosine"), col("rank"))
+        .orderBy(col("src"), col("rank"))
+    }),
+
     // IVF-flat ANN, serve-time path: fixed centroids (deterministic hash-
     // ranked seeds — ivfTrain is the offline k-means alternative), corpus
     // assigned by a shuffle-free argmin projection, probes search their
@@ -4353,6 +4376,15 @@ object PipelineOps {
           |  FROM bkt b JOIN p ON b.bucket = p.bucket AND b.vec_id <> p.q_id),
           |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM s)
           |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    // kNN graph: same bucket chain, full self-join, per-src top-3 window
+    "emb_knn_graph" ->
+      (lshBucketCte(targetOcc = 32) +
+        """,
+          |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          |  list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (a.nrm*b.nrm) AS cosine
+          |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          |r AS (SELECT src, dst, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS BIGINT) AS rank FROM s)
+          |SELECT src, dst, cosine, rank FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
     // IVF with deterministic hash-ranked seed centroids, recomputed whole:
     // signed mix64(fnv64('ivf-seed-'||vec_id)) ranks the corpus, k=16
     // smallest rows become cells, argmin assignment (ties to lowest cell),
