@@ -478,6 +478,25 @@ object Relational {
         .orderBy(col("hr"), col("event_type"))
     }),
 
+    // the static skew-mitigation path end-to-end: orders scatter over 8
+    // salt sub-keys, the customer dim replicates to all of them, and the
+    // oracle is the PLAIN join aggregate — salting must be result-
+    // invisible. (AQE's runtime skew split covers most cases; this is the
+    // fallback for a key so hot even split partitions overwhelm one
+    // executor.)
+    "q_salted_join" -> ((spark, dir) => {
+      val orders = Tables.t(spark, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val cust = Tables.t(spark, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(orders, cust, "custkey", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // weekly cohort retention: users grouped by the week of their first
     // event; a cohort's week-N cell counts members active N weeks later.
     // Two user-keyed aggregates + one (cohort, week) roll-up — at any
@@ -688,6 +707,11 @@ object Relational {
         |SELECT hrs.hr, t.event_type, coalesce(c.n, CAST(0 AS BIGINT)) AS n
         |FROM hrs CROSS JOIN t LEFT JOIN c ON hrs.hr = c.hr AND c.event_type = t.event_type
         |ORDER BY hrs.hr, t.event_type""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_retention" ->
       """WITH firsts AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY user_id),
         |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
