@@ -851,6 +851,32 @@ object PipelineOps {
       topKPerProbe(scored, 10)
     }),
 
+    // multi-probe LSH ANN: each probe searches its own bucket PLUS every
+    // 1-bit-flip neighbor (the nearest Hamming shells of the hyperplane
+    // code — where a true neighbor lands when one projection's sign
+    // disagrees). Recall rises at the cost of (nBits+1)× PROBE-side rows
+    // only: the corpus is still hashed once and never re-scored outside
+    // candidate buckets, so the scale shape is identical to the
+    // single-bucket query. Each corpus vector lives in exactly one bucket
+    // and the probe's candidate buckets are distinct, so no dedup pass.
+    "ann_lsh_multiprobe" -> ((spark, dir) => {
+      val base = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val nBits = adaptiveLshBits(base.count(), targetOcc = 32)
+      val e = base.withColumn("bucket", lshBucket(col("embedding"), nBits, dim = 64))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"),
+          explode(array(col("bucket") +: (0 until nBits).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+      val scored = e.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm")))
+            .as("cosine"))
+      topKPerProbe(scored, 10)
+    }),
+
     // ALL-corpus kNN graph (top-3 neighbors per vector among same-bucket
     // candidates) — the input artifact for graph clustering / SemDeDup-
     // style pruning. Unlike the probe queries this scores EVERY vector,
@@ -4374,6 +4400,20 @@ object PipelineOps {
           |s AS (SELECT p.q_id, b.vec_id,
           |  list_sum(list_transform(list_zip(b.embedding, p.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (b.nrm*p.q_nrm) AS cosine
           |  FROM bkt b JOIN p ON b.bucket = p.bucket AND b.vec_id <> p.q_id),
+          |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM s)
+          |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    // multi-probe: own bucket + every 1-bit xor neighbor, same scoring
+    "ann_lsh_multiprobe" ->
+      (lshBucketCte(targetOcc = 32) +
+        """,
+          |pb AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, bucket FROM bkt WHERE vec_id < 5),
+          |pe AS (SELECT q_id, q_vec, q_nrm, bucket FROM pb
+          |  UNION ALL
+          |  SELECT pb.q_id, pb.q_vec, pb.q_nrm, CAST(xor(pb.bucket, 1 << f.b) AS BIGINT) AS bucket
+          |  FROM pb, range(0, 30) f(b) WHERE f.b < (SELECT nbits FROM nbv)),
+          |s AS (SELECT pe.q_id, b.vec_id,
+          |  list_sum(list_transform(list_zip(b.embedding, pe.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (b.nrm*pe.q_nrm) AS cosine
+          |  FROM bkt b JOIN pe ON b.bucket = pe.bucket AND b.vec_id <> pe.q_id),
           |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM s)
           |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
     // kNN graph: same bucket chain, full self-join, per-src top-3 window
