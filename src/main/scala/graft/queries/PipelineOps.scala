@@ -877,6 +877,52 @@ object PipelineOps {
       topKPerProbe(scored, 10)
     }),
 
+    // the recall LEVER measured: per probe, recall@10 of the single-bucket
+    // search and of the multi-probe search against the exact brute top-10
+    // — the one table that justifies (or refutes) paying (nBits+1)× probe
+    // rows. All three rankings reuse catalog kernels; joins are top-k-sized.
+    "ann_lsh_recall" -> ((spark, dir) => {
+      val base = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val nBits = adaptiveLshBits(base.count(), targetOcc = 32)
+      val e = base.withColumn("bucket", lshBucket(col("embedding"), nBits, dim = 64))
+      val probes0 = e.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"), col("bucket"))
+      def score(p: DataFrame) = topKPerProbe(
+        e.join(broadcast(p), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm")))
+              .as("cosine")), 10)
+        .select(col("q_id"), col("vec_id"))
+      val single = score(probes0).withColumn("hs", lit(1L))
+      val multi = score(probes0.select(col("q_id"), col("q_vec"), col("q_nrm"),
+          explode(array(col("bucket") +: (0 until nBits).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket")))
+        .withColumn("hm", lit(1L))
+      val brute = topKPerProbe(
+        e.crossJoin(broadcast(probes0.drop("bucket")))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm")))
+              .as("cosine")), 10)
+        .select(col("q_id"), col("vec_id"))
+      brute
+        .join(single, Seq("q_id", "vec_id"), "left")
+        .join(multi, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_brute"),
+          coalesce(sum(col("hs")), lit(0L)).as("n_single"),
+          coalesce(sum(col("hm")), lit(0L)).as("n_multi"))
+        .select(col("q_id"),
+          (col("n_single").cast("double") / col("n_brute").cast("double"))
+            .as("recall_single"),
+          (col("n_multi").cast("double") / col("n_brute").cast("double"))
+            .as("recall_multiprobe"))
+        .orderBy(col("q_id"))
+    }),
+
     // ALL-corpus kNN graph (top-3 neighbors per vector among same-bucket
     // candidates) — the input artifact for graph clustering / SemDeDup-
     // style pruning. Unlike the probe queries this scores EVERY vector,
@@ -4416,6 +4462,34 @@ object PipelineOps {
           |  FROM bkt b JOIN pe ON b.bucket = pe.bucket AND b.vec_id <> pe.q_id),
           |r AS (SELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM s)
           |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    // recall comparison: single-bucket and multi-probe top-10 vs brute
+    "ann_lsh_recall" ->
+      (lshBucketCte(targetOcc = 32) +
+        """,
+          |pb AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, bucket FROM bkt WHERE vec_id < 5),
+          |ss AS (SELECT pb.q_id, b.vec_id,
+          |  list_sum(list_transform(list_zip(b.embedding, pb.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (b.nrm*pb.q_nrm) AS cosine
+          |  FROM bkt b JOIN pb ON b.bucket = pb.bucket AND b.vec_id <> pb.q_id),
+          |sk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk FROM ss) WHERE rk <= 10),
+          |pe AS (SELECT q_id, q_vec, q_nrm, bucket FROM pb
+          |  UNION ALL
+          |  SELECT pb.q_id, pb.q_vec, pb.q_nrm, CAST(xor(pb.bucket, 1 << f.b) AS BIGINT) AS bucket
+          |  FROM pb, range(0, 30) f(b) WHERE f.b < (SELECT nbits FROM nbv)),
+          |ms AS (SELECT pe.q_id, b.vec_id,
+          |  list_sum(list_transform(list_zip(b.embedding, pe.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (b.nrm*pe.q_nrm) AS cosine
+          |  FROM bkt b JOIN pe ON b.bucket = pe.bucket AND b.vec_id <> pe.q_id),
+          |mk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk FROM ms) WHERE rk <= 10),
+          |bs AS (SELECT pb.q_id, b.vec_id,
+          |  list_sum(list_transform(list_zip(b.embedding, pb.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (b.nrm*pb.q_nrm) AS cosine
+          |  FROM bkt b CROSS JOIN pb WHERE b.vec_id <> pb.q_id),
+          |bk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk FROM bs) WHERE rk <= 10)
+          |SELECT bk.q_id,
+          |  CAST(COUNT(sk.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_single,
+          |  CAST(COUNT(mk.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_multiprobe
+          |FROM bk
+          |LEFT JOIN sk ON bk.q_id = sk.q_id AND bk.vec_id = sk.vec_id
+          |LEFT JOIN mk ON bk.q_id = mk.q_id AND bk.vec_id = mk.vec_id
+          |GROUP BY bk.q_id ORDER BY bk.q_id""".stripMargin),
     // kNN graph: same bucket chain, full self-join, per-src top-3 window
     "emb_knn_graph" ->
       (lshBucketCte(targetOcc = 32) +
