@@ -78,6 +78,54 @@ class DedupEvalSpec extends SparkSpec {
     }
   }
 
+  test("ann_lsh_recall: multi-probe recall dominates single-bucket per probe") {
+    // provable: single-bucket candidates ⊆ multi-probe candidates, and a
+    // brute-top-10 member displaced from the multi top-10 would need 10
+    // globally-better vectors — impossible for a global top-10 member. So
+    // per-element containment holds, hence recall_multi >= recall_single.
+    val rows = q("ann_lsh_recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, m) = (r.getDouble(1), r.getDouble(2))
+      assert(s >= 0.0 && s <= 1.0 && m >= 0.0 && m <= 1.0)
+      assert(m >= s, s"multi-probe recall $m < single $s for probe ${r.getLong(0)}")
+    }
+  }
+
+  test("emb_knn_graph: <=3 ranked neighbors per source, valid cosines") {
+    val g = q("emb_knn_graph").collect()
+    assert(g.nonEmpty)
+    g.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      val ranks = rows.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"ranks not contiguous for $src")
+      assert(ranks.length <= 3)
+      rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("doc_chunk: contiguous chunk indexes, bounded token counts, hash determinism") {
+    val c = q("doc_chunk").collect()
+    c.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      val idx = rows.map(_.getLong(1)).sorted.toSeq
+      assert(idx == (0L until idx.length), s"chunk_idx gap in doc $doc")
+      rows.foreach { r =>
+        val n = r.getLong(2)
+        assert(n >= 1 && n <= 32, s"chunk token count $n out of bounds")
+      }
+    }
+    // identical chunk content always hashes identically (hash = content id)
+    val again = q("doc_chunk").collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    c.foreach(r => assert(again((r.getLong(0), r.getLong(1))) == r.getLong(3)))
+  }
+
+  test("dedup_containment: bounded measure; symmetric pairs only when sizes equal") {
+    val rows = q("dedup_containment").collect()
+    rows.foreach { r =>
+      val cont = r.getDouble(2)
+      assert(cont >= 0.8 && cont <= 1.0)
+    }
+  }
+
   test("ann_ivf_stats: occupancy sums to the corpus, fractions to 1") {
     val stats = q("ann_ivf_stats")
     val nVecs = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
