@@ -620,27 +620,15 @@ object PipelineOps {
     // containment near-dup: |A ∩ B| / |A| >= τ finds docs that are
     // near-SUBSETS of another (quote-and-extend duplication, which
     // symmetric Jaccard misses: a tweet quoted inside an article scores
-    // high containment but low Jaccard). Same posting count-join shapes as
-    // the Jaccard join — the shuffle carries ids and counts, never text;
-    // both directions emit (asymmetric measure, ordered pairs).
+    // high containment but low Jaccard). Plan auto-selected like the
+    // Jaccard join: this dense small-vocab corpus takes the bitset
+    // AND+popcount kernel (one intersection per unordered pair, both
+    // directions emitted from it — the posting join here measured 59.7 s
+    // at sf0.1 vs ~1 s for the kernel); big-vocab corpora fall back to
+    // the posting count-join, ids and counts only on the wire.
     "dedup_containment" -> ((spark, dir) => {
       val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-      val counts = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
-      val inv = registerCache(
-        d.select(col("doc_id"), explode(col("sh")).as("shingle")))
-      val shared = inv.as("a").join(inv.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(counts.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .select(col("doc_a"), col("doc_b"),
-          (col("shared").cast("double") / col("n_a").cast("double"))
-            .as("containment"))
-        .filter(col("containment") >= 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
+      containmentJoin(d, minContainment = 0.8, maxCandidatePairs = None)
     }),
 
     // the 100 TB clustering PATH, oracle-checked end-to-end: banded-LSH
@@ -2414,6 +2402,95 @@ object PipelineOps {
                               bounds: BitsetBounds): DataFrame =
     if (bitsetEligible(nSh, nDocs, bounds)) bitsetJaccard(inv, threshold, nSh.toInt)
     else postingJaccard(inv, counts, threshold)
+
+  /** Exact containment join — |A ∩ B| / |A| >= minContainment, BOTH
+    * directions (the measure is asymmetric). Same plan selection as
+    * [[ngramJaccardJoin]]: the guard-bounded bitset AND+popcount kernel on
+    * dense small-vocab corpora, the posting count-join otherwise — each
+    * unordered pair's intersection is computed ONCE and emitted per
+    * qualifying direction. */
+  def containmentJoin(d: DataFrame, minContainment: Double,
+                      maxCandidatePairs: Option[Double] = Some(1e9),
+                      bitsetBounds: BitsetBounds = BitsetBounds()): DataFrame = {
+    val counts = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = registerCache(
+      d.select(col("doc_id"), explode(col("sh")).as("shingle")))
+    val stats = postingStats(inv)
+    maxCandidatePairs.foreach { bound =>
+      if (stats.candidatePairs > bound) throw new IllegalStateException(
+        f"containment join refused: ${stats.candidatePairs}%.3g candidate pairs " +
+          f"(> $bound%.3g). Band with MinHash-LSH first (containment >= t implies " +
+          "Jaccard >= t/(2-t) for the smaller doc) or raise maxCandidatePairs.")
+    }
+    if (bitsetEligible(stats.nShingles, stats.nDocs, bitsetBounds))
+      bitsetContainment(inv, minContainment, stats.nShingles.toInt)
+    else postingContainment(inv, counts, minContainment)
+  }
+
+  /** Posting-join containment (the unbounded-vocab path): intersections
+    * aggregate once per unordered pair, both directions emit from it. */
+  private def postingContainment(inv: DataFrame, counts: DataFrame,
+                                 minContainment: Double): DataFrame = {
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    val fwd = shared.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+      (col("shared").cast("double") / col("n_a").cast("double")).as("containment"))
+    val rev = shared.select(col("id_b").as("doc_a"), col("id_a").as("doc_b"),
+      (col("shared").cast("double") / col("n_b").cast("double")).as("containment"))
+    fwd.unionByName(rev)
+      .filter(col("containment") >= minContainment)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Bitset containment kernel — [[bitsetJaccard]]'s loop with the
+    * per-direction containment test instead of the symmetric one. */
+  private def bitsetContainment(inv: DataFrame, minContainment: Double,
+                                nSh: Int): DataFrame = {
+    import graft.functions.VectorFunctions.bitsetFromIds
+    val spark = inv.sparkSession
+    import spark.implicits._
+    val nWords = (nSh + 63) / 64
+    val vocab = inv.select(col("shingle")).distinct()
+      .collect().map(_.getString(0)).sorted
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toSeq.toDF("shingle", "bit")
+    val enc = inv.join(broadcast(vocab), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("bit")).as("bits"), count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), bitsetFromIds(col("bits"), nWords).as("bs"), col("n_sh"))
+      .as[(Long, Array[Long], Long)]
+    registerCache(enc.toDF())
+    val bcast = spark.sparkContext.broadcast(enc.collect().sortBy(_._1))
+    val pairs = enc.mapPartitions { it =>
+      val all = bcast.value
+      val keys = all.map(_._1)
+      it.flatMap { case (ida, bsa, na) =>
+        var lo = java.util.Arrays.binarySearch(keys, ida) + 1
+        if (lo <= 0) lo = -lo
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var k = lo
+        while (k < all.length) {
+          val (idb, bsb, nb) = all(k)
+          var inter = 0L
+          var i = 0
+          val n = math.min(bsa.length, bsb.length)
+          while (i < n) { inter += java.lang.Long.bitCount(bsa(i) & bsb(i)); i += 1 }
+          val ca = inter.toDouble / na.toDouble
+          val cb = inter.toDouble / nb.toDouble
+          if (ca >= minContainment) out += ((ida, idb, ca))
+          if (cb >= minContainment) out += ((idb, ida, cb))
+          k += 1
+        }
+        out.iterator
+      }
+    }
+    pairs.toDF("doc_a", "doc_b", "containment")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Posting count-join exact Jaccard: the shuffle carries ONLY (doc_id,
     * shingle) postings and (doc_a, doc_b) counts — never the shingle
