@@ -2429,7 +2429,7 @@ object PipelineOps {
 
   /** Posting-join containment (the unbounded-vocab path): intersections
     * aggregate once per unordered pair, both directions emit from it. */
-  private def postingContainment(inv: DataFrame, counts: DataFrame,
+  private[queries] def postingContainment(inv: DataFrame, counts: DataFrame,
                                  minContainment: Double): DataFrame = {
     val shared = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -2448,7 +2448,7 @@ object PipelineOps {
 
   /** Bitset containment kernel — [[bitsetJaccard]]'s loop with the
     * per-direction containment test instead of the symmetric one. */
-  private def bitsetContainment(inv: DataFrame, minContainment: Double,
+  private[queries] def bitsetContainment(inv: DataFrame, minContainment: Double,
                                 nSh: Int): DataFrame = {
     import graft.functions.VectorFunctions.bitsetFromIds
     val spark = inv.sparkSession

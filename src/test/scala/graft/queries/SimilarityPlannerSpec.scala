@@ -93,6 +93,24 @@ class SimilarityPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("bitset and posting containment plans return identical results") {
+    for ((corpus, t) <- Seq((dense, 0.8), (sparse, 0.9), (dense, 0.5))) {
+      val inv = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val counts = corpus.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val nSh = inv.select("shingle").distinct().count().toInt
+      val bits = collectPairs(PipelineOps.bitsetContainment(inv, t, nSh))
+      val post = collectPairs(PipelineOps.postingContainment(inv, counts, t))
+      assert(bits === post)
+      // asymmetry sanity: every sparse duplicate pair emits BOTH directions
+      // (equal sizes -> equal containment both ways)
+      if (corpus eq sparse) {
+        val set = bits.map(p => (p._1, p._2)).toSet
+        set.foreach { case (a, b) => assert(set.contains((b, a))) }
+        assert(bits.nonEmpty)
+      }
+    }
+  }
+
   test("prefix index keeps |x| - ceil(t|x|) + 1 rarest tokens per doc") {
     import spark.implicits._
     val d = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("a", "b", "x", "y"))).toDF("doc_id", "sh")
