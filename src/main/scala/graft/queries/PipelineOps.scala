@@ -617,6 +617,33 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // chunk-granularity dedup stats: which fraction of each doc's chunks
+    // also appear elsewhere (the chunk-level boilerplate detector an
+    // embedding pipeline runs before paying for vectors). Hashes from
+    // doc_chunk's kernel; ONE hash-keyed aggregate finds multi-owner
+    // chunks, a second per-doc aggregate rolls up the ratio — longs on
+    // every wire, text never shuffles.
+    "doc_chunk_dedup" -> ((spark, dir) => {
+      val k = 32; val stride = 24
+      val chunks = docs(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(0, greatest(size(ts)-1, 0), $stride), " +
+              s"st -> array_join(slice(ts, st+1, $k), ' '))")).as("ctext"))
+        .select(col("doc_id"), fnvMix64(col("ctext")).as("ch"))
+      val owners = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("n_owners"))
+      chunks.join(owners, Seq("ch"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_owners") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+          (col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+            .as("shared_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // containment near-dup: |A ∩ B| / |A| >= τ finds docs that are
     // near-SUBSETS of another (quote-and-extend duplication, which
     // symmetric Jaccard misses: a tweet quoted inside an article scores
@@ -4388,6 +4415,22 @@ object PipelineOps {
         |  CASE WHEN chh.z >= 9223372036854775808 THEN CAST(chh.z - $M64 AS BIGINT) ELSE CAST(chh.z AS BIGINT) END AS chunk_hash
         |FROM chs JOIN chh ON chs.ctext = chh.id
         |ORDER BY chs.doc_id, chunk_idx""".stripMargin),
+    // chunk dedup: the same chunk grid + fnv hashes; per-hash owner counts
+    // then per-doc shared ratio
+    "doc_chunk_dedup" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |st AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts), 1), 24)) AS s0 FROM tok),
+        |chs AS (SELECT doc_id, array_to_string(ts[CAST(s0+1 AS BIGINT):CAST(s0+32 AS BIGINT)], ' ') AS ctext FROM st),
+        |cd AS (SELECT DISTINCT ctext FROM chs),
+        |${fnvMixCtes("chh", "cd", "ctext", "ctext")},
+        |ch AS (SELECT chs.doc_id, chh.z AS h FROM chs JOIN chh ON chs.ctext = chh.id),
+        |own AS (SELECT h, count(DISTINCT doc_id) AS n_owners FROM ch GROUP BY h),
+        |agg AS (SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN own.n_owners > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+        |  FROM ch JOIN own USING (h) GROUP BY ch.doc_id)
+        |SELECT doc_id, n_chunks, n_shared_chunks,
+        |  CAST(n_shared_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS shared_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin),
     // containment: ordered pairs, |A ∩ B| / |A| via the inverted index
     "dedup_containment" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
