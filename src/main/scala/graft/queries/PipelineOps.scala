@@ -625,13 +625,15 @@ object PipelineOps {
     // every wire, text never shuffles.
     "doc_chunk_dedup" -> ((spark, dir) => {
       val k = 32; val stride = 24
-      val chunks = docs(spark, dir)
+      // pooled cache: the hashed chunk table feeds the owner-count
+      // aggregate AND the join back — uncached the corpus tokenizes twice
+      val chunks = registerCache(docs(spark, dir)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .select(col("doc_id"),
           explode(expr(
             s"transform(sequence(0, greatest(size(ts)-1, 0), $stride), " +
               s"st -> array_join(slice(ts, st+1, $k), ' '))")).as("ctext"))
-        .select(col("doc_id"), fnvMix64(col("ctext")).as("ch"))
+        .select(col("doc_id"), fnvMix64(col("ctext")).as("ch")))
       val owners = chunks.groupBy(col("ch"))
         .agg(countDistinct(col("doc_id")).as("n_owners"))
       chunks.join(owners, Seq("ch"))
