@@ -433,6 +433,25 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // Spark's NATIVE session-window operator (the batch face of streaming
+    // sessionization): one groupBy(session_window(ts, gap), user) — the
+    // engine merges overlapping per-event windows internally, no lag
+    // window or self-join. The oracle rebuilds sessions with the
+    // equivalent gap-chain (new-session flags -> cumulative session ids),
+    // proving the native operator against first principles. Session end
+    // is last_event + gap by Spark's definition; emitted as such.
+    "q_session_window" -> ((spark, dir) => {
+      Tables.t(spark, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ordered-funnel analysis: users whose FIRST view precedes their first
     // click precedes their first purchase — the event-analytics staple.
     // One user-keyed aggregate (min-ts per stage via conditional min) then
@@ -686,6 +705,25 @@ object Relational {
         |      LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
         |    FROM events) t1
         |) t2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // gap-chain rebuild of Spark's session_window: a session BREAKS when
+    // the gap is >= 30 min (event windows [ts, ts+gap) merge iff they
+    // overlap, i.e. strictly less); end = last event + gap
+    "q_session_window" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, ts, value,
+        |  CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |g AS (SELECT user_id, ts, value,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_event_funnel" ->
       """WITH f AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'view' THEN ts END) AS v,
