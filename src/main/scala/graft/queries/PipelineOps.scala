@@ -201,6 +201,26 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // quality data-card: per source, how much of it falls under the
+    // quality gate — count-based metrics only (comparisons of identical
+    // doubles are engine-safe; SUMS of derived doubles are not, so the
+    // mean-quality column is deliberately absent — see emb_gram's
+    // integer-grid discussion for the pattern that would add it)
+    "doc_quality_by_source" -> ((spark, dir) => {
+      docs(spark, dir).select(col("source"),
+          qualityScore(col("text")).as("q"), length(col("text")).as("len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("n_low_quality"),
+          sum(col("len").cast("long")).as("total_chars"))
+        .select(col("source"), col("n_docs"), col("n_low_quality"),
+          (col("n_low_quality").cast("double") / col("n_docs").cast("double"))
+            .as("low_rate"),
+          (col("total_chars").cast("double") / col("n_docs").cast("double"))
+            .as("avg_chars"))
+        .orderBy(col("source"))
+    }),
+
     // classifier evaluation: the language-ID confusion matrix + per-cell
     // share of the label's row — the quality dashboard any heuristic
     // lang-id ships with. Pure projection + one (label, pred) aggregate;
@@ -1000,6 +1020,21 @@ object PipelineOps {
         .orderBy(col("q_id"))
     }),
 
+    // label balance data-card: class sizes + a drift-detectable statistic
+    // (the micro-quantized dim-0 sum — integer-grid, order-free, the
+    // emb_gram discipline for aggregating float-derived values)
+    "emb_label_stats" -> ((spark, dir) => {
+      val e = embs(spark, dir)
+      e.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("embedding")(0).cast("double") * 1e6 + 0.5).cast("long"))
+            .as("sum_d0_micro"))
+        .withColumn("frac", col("n_vecs").cast("double") /
+          sum(col("n_vecs")).over(Window.partitionBy()).cast("double"))
+        .select(col("label"), col("n_vecs"), col("frac"), col("sum_d0_micro"))
+        .orderBy(col("label"))
+    }),
+
     // IVF index observability: the cell-occupancy histogram of the serving
     // index — the number any IVF deployment watches for skew (a hot cell
     // makes every probe of it scan that fraction of the corpus). The
@@ -1204,19 +1239,18 @@ object PipelineOps {
     // `sum() over (order by doc_id)` is a global sort on ONE reducer.
     // Semantics identical to the global window, so the oracle IS the naive
     // global cumsum.
-    "doc_pack" -> ((spark, dir) => {
-      val budget = 4096L
-      val blockSize = 256L
-      // pooled cache: the token counts feed the per-block totals AND the
-      // per-doc cumsum — uncached the corpus tokenizes twice
-      val d = registerCache(docs(spark, dir).select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        expr(s"doc_id div $blockSize").as("blk")))
-      exclusivePrefixSum(d, "blk", Seq("doc_id"), "n_tokens", "token_offset")
-        .select(col("doc_id"), col("n_tokens"), col("token_offset"))
-        .withColumn("shard_id", expr(s"token_offset div $budget"))
-        .orderBy(col("doc_id"))
-    }),
+    "doc_pack" -> ((spark, dir) => packAssignments(spark, dir)
+      .orderBy(col("doc_id"))),
+
+    // packing-efficiency report: per shard, doc count, token total, and
+    // fill ratio against the 4096 budget — the number a training job reads
+    // to know its shards are dense (a fill collapse means the packer or
+    // the token counts regressed). One aggregate over the pack output.
+    "doc_pack_stats" -> ((spark, dir) => packAssignments(spark, dir)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / lit(4096.0))
+      .orderBy(col("shard_id"))),
 
     // the end-to-end curation composition ([[curate]]) as an oracle-checked
     // catalog query: quality gate -> CCNet paragraph dedup -> MinHash-LSH
@@ -1653,6 +1687,20 @@ object PipelineOps {
       }
     }
     (merges.result(), dict)
+  }
+
+  /** The doc_pack shard assignment (budget 4096, block 256) — shared by
+    * the `doc_pack` catalog query and the `doc_pack_stats` report. Pooled
+    * cache: token counts feed the per-block totals AND the cumsum. */
+  private def packAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4096L
+    val blockSize = 256L
+    val d = registerCache(docs(spark, dir).select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      expr(s"doc_id div $blockSize").as("blk")))
+    exclusivePrefixSum(d, "blk", Seq("doc_id"), "n_tokens", "token_offset")
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"))
+      .withColumn("shard_id", expr(s"token_offset div $budget"))
   }
 
   /** Persist a trained BPE model as parquet artifacts — the durable half
@@ -4268,6 +4316,25 @@ object PipelineOps {
         |  FROM tok)
         |SELECT doc_id, n_tokens, token_offset, token_offset // 4096 AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // packing report: the same cumsum assignment grouped per shard
+    "doc_pack_stats" ->
+      """WITH tok AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+        |  FROM tok)
+        |SELECT token_offset // 4096 AS shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / 4096.0 AS fill_ratio
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // label balance: counts + micro-quantized dim-0 integer sums
+    "emb_label_stats" ->
+      """WITH s AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_d0_micro
+        |  FROM embeddings GROUP BY 1)
+        |SELECT label, n_vecs,
+        |  CAST(n_vecs AS DOUBLE) / CAST((SELECT SUM(n_vecs) FROM s) AS DOUBLE) AS frac,
+        |  sum_d0_micro
+        |FROM s ORDER BY label""".stripMargin,
     "doc_pii_scrub" ->
       """WITH c AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source ||
@@ -5073,6 +5140,29 @@ object PipelineOps {
         |       WHEN zh = best AND best > 0 THEN 'zh'
         |       ELSE 'und' END AS lang_pred
         |FROM b ORDER BY doc_id""".stripMargin,
+    // per-source quality gate roll-up (same quality arithmetic as above)
+    "doc_quality_by_source" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, length(text) AS len, punct_ratio,
+        |    CAST(len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this','be','are','was'], x))) AS DOUBLE)
+        |      / CAST(greatest(len(ts), 1) AS DOUBLE) AS stopword_ratio,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+        |  FROM base),
+        |s AS (SELECT doc_id, source, len,
+        |  len_score * 0.4 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+        |    + least(stopword_ratio * 4.0, 1.0) * 0.3 AS quality
+        |  FROM q)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+        |  CAST(SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS low_rate,
+        |  CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     // confusion matrix over the same vote chain, plus per-label row share
     "doc_lang_confusion" ->
       """WITH tok AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
