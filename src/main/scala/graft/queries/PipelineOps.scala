@@ -1035,6 +1035,33 @@ object PipelineOps {
         .orderBy(col("label"))
     }),
 
+    // the nprobe TUNING CURVE: aggregate recall@10 at nprobe 1/2/4/8 in
+    // one result — the table that picks the serving operating point
+    // (recall vs fraction-of-corpus-scanned is the whole IVF trade).
+    // Four passes of the assignment projection (one per nprobe value);
+    // a tuning job runs this offline, so passes beat plan complexity.
+    "ann_ivf_recall_curve" -> ((spark, dir) => {
+      val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val probes = e.filter(col("vec_id") < AnnNumProbes).select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+      val brute = topKPerProbe(
+        e.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine")),
+        AnnTopK).select(col("q_id"), col("vec_id"))
+      Seq(1, 2, 4, 8).map { np =>
+        val ivf = annIvf(embs(spark, dir), k = AnnIvfK, nprobe = np, topK = AnnTopK)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        brute.join(ivf, Seq("q_id", "vec_id"), "left")
+          .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
+            count(lit(1)).as("n_brute"))
+          .select(lit(np.toLong).as("nprobe"), col("n_hits"), col("n_brute"),
+            (col("n_hits").cast("double") / col("n_brute").cast("double"))
+              .as("recall"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    }),
+
     // IVF index observability: the cell-occupancy histogram of the serving
     // index — the number any IVF deployment watches for skew (a hot cell
     // makes every probe of it scan that fraction of the corpus). The
@@ -3825,7 +3852,8 @@ object PipelineOps {
   /** The ann_ivf oracle's full CTE chain through `r` (the per-probe IVF
     * cosine ranking) — shared verbatim by `ann_ivf` and `ann_recall` so
     * the recall oracle evaluates exactly the ranking it grades. */
-  private def ivfRankCtes: String =
+  private def ivfRankCtes: String = ivfRankCtes(AnnIvfNprobe)
+  private def ivfRankCtes(nprobe: Int): String =
     s"""e AS (SELECT vec_id, embedding,
       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
       |sds AS (SELECT vec_id, hex(encode('ivf-seed-' || CAST(vec_id AS VARCHAR))) AS hx,
@@ -3848,9 +3876,9 @@ object PipelineOps {
       |  FROM e CROSS JOIN seeds s),
       |mind AS (SELECT vec_id, MIN(dist) AS md FROM dists GROUP BY vec_id),
       |asg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
-      |pc AS (SELECT vec_id AS q_id, cell FROM (
-      |   SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS cr FROM dists WHERE vec_id < 5) WHERE cr <= 4),
-      |sc AS (SELECT pc.q_id, a.vec_id,
+      |pc AS (SELECT vec_id AS q_id, cell, cr FROM (
+      |   SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS cr FROM dists WHERE vec_id < 5) WHERE cr <= $nprobe),
+      |sc AS (SELECT pc.q_id, a.vec_id, pc.cr,
       |  list_sum(list_transform(list_zip(ce.embedding, qe.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (ce.nrm * qe.nrm) AS cosine
       |  FROM asg a JOIN pc ON a.cell = pc.cell JOIN e ce ON ce.vec_id = a.vec_id JOIN e qe ON qe.vec_id = pc.q_id
       |  WHERE a.vec_id <> pc.q_id),
@@ -4711,6 +4739,31 @@ object PipelineOps {
         |  CAST(COUNT(ivfk.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
         |FROM bk LEFT JOIN ivfk ON bk.q_id = ivfk.q_id AND bk.vec_id = ivfk.vec_id
         |GROUP BY bk.q_id ORDER BY bk.q_id""".stripMargin,
+    // nprobe curve: ONE chain at the max nprobe keeps each candidate's
+    // cell rank (cr); per-nprobe rankings window the cr-filtered subsets
+    "ann_ivf_recall_curve" ->
+      (s"""WITH ${ivfRankCtes(8)},
+        |bp AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM e WHERE vec_id < 5),
+        |bs AS (SELECT bp.q_id, e.vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, bp.q_vec), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (e.nrm*bp.q_nrm) AS cosine
+        |  FROM e CROSS JOIN bp WHERE e.vec_id <> bp.q_id),
+        |br AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM bs),
+        |bk AS (SELECT q_id, vec_id FROM br WHERE rank <= 10),
+        |ik AS (""".stripMargin +
+        Seq(1, 2, 4, 8).map(np =>
+          s"""  SELECT CAST($np AS BIGINT) AS nprobe, q_id, vec_id FROM (
+             |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+             |    FROM sc WHERE cr <= $np) WHERE rk <= 10""".stripMargin)
+          .mkString("\n  UNION ALL\n") +
+        """
+          |),
+          |np AS (SELECT CAST(n AS BIGINT) AS nprobe FROM (VALUES (1), (2), (4), (8)) v(n)),
+          |grid AS (SELECT np.nprobe, bk.q_id, bk.vec_id FROM np CROSS JOIN bk)
+          |SELECT grid.nprobe, CAST(COUNT(ik.vec_id) AS BIGINT) AS n_hits,
+          |  CAST(COUNT(*) AS BIGINT) AS n_brute,
+          |  CAST(COUNT(ik.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+          |FROM grid LEFT JOIN ik ON grid.nprobe = ik.nprobe AND grid.q_id = ik.q_id AND grid.vec_id = ik.vec_id
+          |GROUP BY grid.nprobe ORDER BY grid.nprobe""".stripMargin),
     // IVF cell-occupancy histogram: the chain's asg CTE grouped by cell
     "ann_ivf_stats" ->
       s"""WITH $ivfRankCtes
