@@ -696,6 +696,30 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // the (bands, rows) TUNING CURVE: recall of the banded chain vs the
+    // exact ground truth at three splits of the same 64 permutations —
+    // 8×8 (precise, low recall), 16×4 (the catalog default), 32×2
+    // (recall-greedy, more candidates). The signatures hash once per
+    // config here (a tuning job); a production sweep reuses one
+    // signature table across configs the way the oracle's shared sigs
+    // chain does.
+    "dedup_band_curve" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val exact = ngramJaccardJoin(d, threshold = 0.3, maxCandidatePairs = None)
+        .select(col("doc_a"), col("doc_b"))
+      Seq(8, 16, 32).map { b =>
+        val found = minhashLshJoin(d, threshold = 0.3, numPerms = 64, bands = b)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+        exact.join(found, Seq("doc_a", "doc_b"), "left")
+          .agg(coalesce(sum(col("hit")), lit(0L)).as("n_found"),
+            count(lit(1)).as("n_true"))
+          .select(lit(b.toLong).as("bands"), lit((64 / b).toLong).as("rows_per_band"),
+            col("n_found"), col("n_true"),
+            (col("n_found").cast("double") / col("n_true").cast("double"))
+              .as("recall"))
+      }.reduce(_ unionByName _).orderBy(col("bands"))
+    }),
+
     // LSH evaluation: recall of the banded MinHash chain against the
     // exact-Jaccard ground truth, per similarity decile — the curve any
     // LSH deployment reads when tuning (bands, rows): the S-curve should
@@ -4018,6 +4042,21 @@ object PipelineOps {
        |                WHERE a.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]
        |                    = b.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]))""".stripMargin
 
+  /** A banded candidate CTE over the [[minhashCandCtes]] `sigs` chain with
+    * a DIFFERENT (bands, rows) split of the 64 permutations — the band
+    * tuning curve's per-config rule. Must follow minhashCandCtes in the
+    * WITH list (it references `sigs`). */
+  private def minhashBandCandCte(name: String, bands: Int,
+      pairPred: String = "a.doc_id < b.doc_id"): String = {
+    val r = 64 / bands
+    s"""$name AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+       |  FROM sigs a JOIN sigs b ON $pairPred
+       |  WHERE EXISTS (SELECT 1 FROM range(0, $bands) t(k)
+       |                WHERE a.sig[CAST(k*$r+1 AS BIGINT):CAST(k*$r+$r AS BIGINT)]
+       |                    = b.sig[CAST(k*$r+1 AS BIGINT):CAST(k*$r+$r AS BIGINT)]))""".stripMargin
+  }
+
   /** Same adaptive width as [[adaptiveLshBits]], in pure integer SQL:
     * smallest b in 1..30 with 2^b·targetOcc >= count(*). The weight CTE
     * generates all 30 planes and keeps b < nbits — planes are corpus-
@@ -4557,6 +4596,34 @@ object PipelineOps {
         |SELECT doc_id, cluster_rep,
         |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
         |FROM labeled ORDER BY doc_id""".stripMargin),
+    // band curve: one sigs chain, three band-split candidate rules
+    "dedup_band_curve" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
+        |einv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
+        |ep AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS esa, b.s AS esb
+        |  FROM einv a JOIN einv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |ex AS (SELECT doc_a, doc_b FROM ep
+        |  WHERE CAST(len(list_intersect(esa, esb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(esa, esb))) AS DOUBLE) >= 0.3),
+        |${minhashCandCtes("sh")},
+        |${minhashBandCandCte("cand8", 8)},
+        |${minhashBandCandCte("cand32", 32)},
+        |u AS (
+        |  SELECT CAST(8 AS BIGINT) AS bands, doc_a, doc_b FROM cand8
+        |    WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3
+        |  UNION ALL
+        |  SELECT CAST(16 AS BIGINT), doc_a, doc_b FROM cand
+        |    WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3
+        |  UNION ALL
+        |  SELECT CAST(32 AS BIGINT), doc_a, doc_b FROM cand32
+        |    WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3),
+        |cfg AS (SELECT CAST(b AS BIGINT) AS bands FROM (VALUES (8), (16), (32)) v(b)),
+        |grid AS (SELECT cfg.bands, ex.doc_a, ex.doc_b FROM cfg CROSS JOIN ex)
+        |SELECT grid.bands, CAST(64 // grid.bands AS BIGINT) AS rows_per_band,
+        |  CAST(COUNT(u.doc_a) AS BIGINT) AS n_found, CAST(COUNT(*) AS BIGINT) AS n_true,
+        |  CAST(COUNT(u.doc_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM grid LEFT JOIN u ON grid.bands = u.bands AND grid.doc_a = u.doc_a AND grid.doc_b = u.doc_b
+        |GROUP BY grid.bands ORDER BY grid.bands""".stripMargin),
     // LSH recall per similarity decile: exact trigram-Jaccard ground truth
     // (inverted-index pairs) left-joined with the banded candidate chain's
     // verified pairs — both fragments proven standalone above
