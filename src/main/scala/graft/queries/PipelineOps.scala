@@ -221,6 +221,33 @@ object PipelineOps {
         .orderBy(col("source"))
     }),
 
+    // mixture-achievement report: per source, the pool size, the admitted
+    // count under the configured rates, and achieved-vs-target — the
+    // reconciliation table a mixture pipeline publishes with each release
+    // (hash sampling is deterministic, so achieved converges to target
+    // with pool size; the report shows the finite-pool deviation).
+    "doc_mixture_report" -> ((spark, dir) => {
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+      val defaultRate = 0.1
+      val h = graft.functions.TextFunctions.fnvMix64(
+        concat(lit("mix-42-"), col("doc_id").cast("string")))
+      val admitted = mixtureSample(docs(spark, dir).withColumn("h", h),
+          rates, defaultRate, sourceCol = "source", hashCol = "h")
+        .select(col("doc_id"), lit(1L).as("kept"))
+      docs(spark, dir).select(col("doc_id"), col("source"))
+        .join(admitted, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pool"),
+          coalesce(sum(col("kept")), lit(0L)).as("n_admitted"))
+        .withColumn("target_rate",
+          coalesce(typedLit(rates).apply(col("source")), lit(defaultRate)))
+        .select(col("source"), col("n_pool"), col("n_admitted"),
+          (col("n_admitted").cast("double") / col("n_pool").cast("double"))
+            .as("achieved_rate"),
+          col("target_rate"))
+        .orderBy(col("source"))
+    }),
+
     // classifier evaluation: the language-ID confusion matrix + per-cell
     // share of the label's row — the quality dashboard any heuristic
     // lang-id ships with. Pure projection + one (label, pred) aggregate;
@@ -4303,6 +4330,22 @@ object PipelineOps {
         |  WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
         |  ELSE ${hashSampleThreshold(0.1)} END
         |ORDER BY d.doc_id""".stripMargin),
+    // mixture reconciliation: same admit rule, rolled up per source
+    "doc_mixture_report" ->
+      (s"""WITH ${fnvMixCtes("mx1", "documents", "doc_id", "'mix-42-' || CAST(doc_id AS VARCHAR)")},
+        |adm AS (SELECT d.doc_id FROM documents d JOIN mx1 ON d.doc_id = mx1.id
+        |  WHERE mx1.z // 2048 < CASE d.source
+        |    WHEN 'src0' THEN ${hashSampleThreshold(1.0)}
+        |    WHEN 'src1' THEN ${hashSampleThreshold(0.5)}
+        |    WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
+        |    ELSE ${hashSampleThreshold(0.1)} END)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_pool,
+        |  CAST(count(adm.doc_id) AS BIGINT) AS n_admitted,
+        |  CAST(count(adm.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS achieved_rate,
+        |  CAST(CASE d.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |    WHEN 'src2' THEN 0.25 ELSE 0.1 END AS DOUBLE) AS target_rate
+        |FROM documents d LEFT JOIN adm ON d.doc_id = adm.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
     // LM scoring: same 2-gram construction as doc_repetition, reference
     // counts from doc_id % 10 = 0, grams joined via the same mix64(fnv64)
     // keys (hash-join semantics, collisions and all)
