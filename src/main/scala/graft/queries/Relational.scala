@@ -516,6 +516,32 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // time-bounded conversion: views that draw a same-user click within
+    // 30 minutes — the batch face of the streaming interval join
+    // (EventStream.viewToAction). The join is user-keyed AND time-bounded,
+    // so state per key is a bounded time slice at any event volume;
+    // DISTINCT collapses multi-click views before the per-user roll-up.
+    "q_windowed_funnel" -> ((spark, dir) => {
+      val e = Tables.t(spark, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val conv = views.join(clicks, Seq("user_id"))
+        .filter(col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("view_id")).distinct()
+        .withColumn("cv", lit(1L))
+      views.join(conv, Seq("user_id", "view_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          coalesce(sum(col("cv")), lit(0L)).as("n_converted"))
+        .select(col("user_id"), col("n_views"), col("n_converted"),
+          (col("n_converted").cast("double") / col("n_views").cast("double"))
+            .as("conv_rate"))
+        .orderBy(col("user_id"))
+    }),
+
     // weekly cohort retention: users grouped by the week of their first
     // event; a cohort's week-N cell counts members active N weeks later.
     // Two user-keyed aggregates + one (cohort, week) roll-up — at any
@@ -745,6 +771,16 @@ object Relational {
         |SELECT hrs.hr, t.event_type, coalesce(c.n, CAST(0 AS BIGINT)) AS n
         |FROM hrs CROSS JOIN t LEFT JOIN c ON hrs.hr = c.hr AND c.event_type = t.event_type
         |ORDER BY hrs.hr, t.event_type""".stripMargin,
+    "q_windowed_funnel" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+        |conv AS (SELECT DISTINCT v.user_id, v.view_id FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts > v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE)
+        |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(count(conv.view_id) AS BIGINT) AS n_converted,
+        |  CAST(count(conv.view_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
+        |FROM v LEFT JOIN conv ON v.user_id = conv.user_id AND v.view_id = conv.view_id
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
