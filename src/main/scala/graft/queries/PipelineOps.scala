@@ -1349,6 +1349,29 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // the curation FUNNEL: how many docs survive each stage (the release
+    // report that explains where the corpus went). One row; every count is
+    // a lazy 1-row aggregate over the shared stage chain — the pooled
+    // cleaned/deduped caches mean the stages compute once, not once per
+    // count — and survival fractions are int/int divisions.
+    "doc_curate_report" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val probes = d.filter(col("doc_id") < 3)
+        .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
+      val st = curateStages(d, probes, minTokens = 16, paragraphK = 10,
+        nearDupThreshold = 0.3,
+        mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+      st.input.agg(count(lit(1)).as("n_input"))
+        .crossJoin(st.quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(st.cleaned.agg(count(lit(1)).as("n_cleaned")))
+        .crossJoin(st.deduped.agg(count(lit(1)).as("n_deduped")))
+        .crossJoin(st.decon.agg(count(lit(1)).as("n_decontaminated")))
+        .crossJoin(st.mixed.agg(count(lit(1)).as("n_mixed")))
+        .withColumn("survival_rate",
+          col("n_mixed").cast("double") / col("n_input").cast("double"))
+    }),
+
     // benchmark decontamination: training docs sharing any 5-token n-gram
     // with the probe set (source=src0 plays the held-out benchmark). The
     // probe n-gram set is tiny relative to the corpus -> broadcast; the
@@ -2221,12 +2244,27 @@ object PipelineOps {
     * `d`: (doc_id, text, lang, source). `probeNgrams`: (shingle) benchmark
     * n-grams to exclude. Returns surviving docs as
     * (doc_id, text_clean, lang, source, n_tokens, shard_id, pos_in_shard). */
+  /** The curation chain's per-stage DataFrames (lazy; the cleaned/deduped
+    * caches pool, so consuming several stages shares their work) — curate()
+    * packs `mixed`; `doc_curate_report` counts every stage. */
+  final case class CurateStages(input: DataFrame, quality: DataFrame,
+      cleaned: DataFrame, nCleaned: Long, deduped: DataFrame,
+      decon: DataFrame, mixed: DataFrame)
+
   def curate(d: DataFrame, probeNgrams: DataFrame,
              minTokens: Long = 16, paragraphK: Int = 10,
              nearDupThreshold: Double = 0.3,
              mixRates: Map[String, Double] = Map.empty,
              defaultRate: Double = 1.0,
              shardTokens: Long = 4096L): DataFrame = {
+    val st = curateStages(d, probeNgrams, minTokens, paragraphK,
+      nearDupThreshold, mixRates, defaultRate)
+    curatePack(st, shardTokens)
+  }
+
+  private[queries] def curateStages(d: DataFrame, probeNgrams: DataFrame,
+      minTokens: Long, paragraphK: Int, nearDupThreshold: Double,
+      mixRates: Map[String, Double], defaultRate: Double): CurateStages = {
     // 1. quality gate: a pure filter (C4-style minimum length)
     val quality = d.filter(tokenCount(col("text")) >= minTokens)
     // 2. boilerplate removal: rebuild text without cross-corpus duplicated
@@ -2261,6 +2299,12 @@ object PipelineOps {
     val mixed = mixtureSample(decon.withColumn("graft_mix_h", h),
       mixRates, defaultRate, sourceCol = "source", hashCol = "graft_mix_h")
       .drop("graft_mix_h")
+    CurateStages(d, quality, cleaned, nCleaned, deduped, decon, mixed)
+  }
+
+  private def curatePack(st: CurateStages, shardTokens: Long): DataFrame = {
+    val mixed = st.mixed
+    val nCleaned = st.nCleaned
     // 6. deterministic shuffle order, then contiguous token-budget shards
     // over that order (the same three-level prefix sum as doc_pack, keyed
     // by the shuffle rank instead of doc_id). Block COUNT scales with the
@@ -4069,6 +4113,51 @@ object PipelineOps {
        |                WHERE a.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]
        |                    = b.sig[CAST(k*4+1 AS BIGINT):CAST(k*4+4 AS BIGINT)]))""".stripMargin
 
+  /** The curate oracle's stage chain through `mixed` — factored so
+    * `doc_curate` (which appends the shuffle+pack tail) and
+    * `doc_curate_report` (which counts every stage) share it verbatim.
+    * Callers open with WITH RECURSIVE. Exposes tokq/q/cleaned/dd/decon/
+    * mixed. */
+  private def curateChainCtes: String =
+    s"""tokq AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+      |q AS (SELECT doc_id, lang, source, ts FROM tokq WHERE len(ts) >= 16),
+      |nch AS (SELECT doc_id, ts, greatest(CAST(ceil(len(ts) / 10.0) AS BIGINT), 1) AS n_chunks FROM q),
+      |ch0 AS (SELECT doc_id,
+      |  unnest(range(0, n_chunks)) AS pos,
+      |  unnest(list_transform(range(0, n_chunks), i -> array_to_string(ts[i*10+1:i*10+10], ' '))) AS chunk
+      |  FROM nch),
+      |cd AS (SELECT DISTINCT chunk FROM ch0),
+      |${fnvMixCtes("cu1", "cd", "chunk", "chunk")},
+      |chh AS (SELECT ch0.doc_id, ch0.pos, ch0.chunk, cu1.z AS lh FROM ch0 JOIN cu1 ON ch0.chunk = cu1.id),
+      |ccnt AS (SELECT lh, count(*) AS cnt FROM chh GROUP BY lh),
+      |reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+      |  FROM chh JOIN ccnt USING (lh) WHERE ccnt.cnt < 2 GROUP BY doc_id),
+      |cleaned AS (SELECT q.doc_id, reb.text_clean, q.lang, q.source,
+      |    regexp_split_to_array(trim(lower(reb.text_clean)), '\\s+') AS cts
+      |  FROM q JOIN reb ON q.doc_id = reb.doc_id),
+      |sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(cts)-2, 1)+1), i -> array_to_string(cts[i:i+2], ' '))) AS s FROM cleaned),
+      |${minhashCandCtes("sh3")},
+      |edg AS (SELECT doc_a, doc_b FROM cand
+      |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM edg UNION ALL SELECT doc_b, doc_a FROM edg),
+      |reach(src, node) AS (
+      |  SELECT doc_id, doc_id FROM cleaned
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      |reps AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(node)),
+      |dd AS (SELECT c.* FROM cleaned c JOIN reps USING (doc_id)),
+      |probes AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS shingle FROM tokq WHERE doc_id < 3),
+      |inv AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(cts)-2, 1)+1), i -> array_to_string(cts[i:i+2], ' ')))) AS shingle FROM dd),
+      |contaminated AS (SELECT DISTINCT i.doc_id FROM inv i JOIN probes p ON i.shingle = p.shingle),
+      |decon AS (SELECT dd.* FROM dd LEFT JOIN contaminated c ON dd.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+      |${fnvMixCtes("cu2", "decon", "doc_id", "'mix-42-' || CAST(doc_id AS VARCHAR)")},
+      |mixed AS (SELECT d.* FROM decon d JOIN cu2 ON d.doc_id = cu2.id
+      |  WHERE cu2.z // 2048 < CASE d.source
+      |    WHEN 'src0' THEN ${hashSampleThreshold(1.0)}
+      |    WHEN 'src1' THEN ${hashSampleThreshold(0.5)}
+      |    WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
+      |    ELSE ${hashSampleThreshold(0.1)} END)""".stripMargin
+
   /** A banded candidate CTE over the [[minhashCandCtes]] `sigs` chain with
     * a DIFFERENT (bands, rows) split of the 64 permutations — the band
     * tuning curve's per-config rule. Must follow minhashCandCtes in the
@@ -4716,44 +4805,7 @@ object PipelineOps {
     // reproduce exactly
     "doc_curate" ->
       (s"""WITH RECURSIVE
-        |tokq AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
-        |q AS (SELECT doc_id, lang, source, ts FROM tokq WHERE len(ts) >= 16),
-        |nch AS (SELECT doc_id, ts, greatest(CAST(ceil(len(ts) / 10.0) AS BIGINT), 1) AS n_chunks FROM q),
-        |ch0 AS (SELECT doc_id,
-        |  unnest(range(0, n_chunks)) AS pos,
-        |  unnest(list_transform(range(0, n_chunks), i -> array_to_string(ts[i*10+1:i*10+10], ' '))) AS chunk
-        |  FROM nch),
-        |cd AS (SELECT DISTINCT chunk FROM ch0),
-        |${fnvMixCtes("cu1", "cd", "chunk", "chunk")},
-        |chh AS (SELECT ch0.doc_id, ch0.pos, ch0.chunk, cu1.z AS lh FROM ch0 JOIN cu1 ON ch0.chunk = cu1.id),
-        |ccnt AS (SELECT lh, count(*) AS cnt FROM chh GROUP BY lh),
-        |reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_clean
-        |  FROM chh JOIN ccnt USING (lh) WHERE ccnt.cnt < 2 GROUP BY doc_id),
-        |cleaned AS (SELECT q.doc_id, reb.text_clean, q.lang, q.source,
-        |    regexp_split_to_array(trim(lower(reb.text_clean)), '\\s+') AS cts
-        |  FROM q JOIN reb ON q.doc_id = reb.doc_id),
-        |sh3 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(cts)-2, 1)+1), i -> array_to_string(cts[i:i+2], ' '))) AS s FROM cleaned),
-        |${minhashCandCtes("sh3")},
-        |edg AS (SELECT doc_a, doc_b FROM cand
-        |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM edg UNION ALL SELECT doc_b, doc_a FROM edg),
-        |reach(src, node) AS (
-        |  SELECT doc_id, doc_id FROM cleaned
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
-        |reps AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(node)),
-        |dd AS (SELECT c.* FROM cleaned c JOIN reps USING (doc_id)),
-        |probes AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS shingle FROM tokq WHERE doc_id < 3),
-        |inv AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(cts)-2, 1)+1), i -> array_to_string(cts[i:i+2], ' ')))) AS shingle FROM dd),
-        |contaminated AS (SELECT DISTINCT i.doc_id FROM inv i JOIN probes p ON i.shingle = p.shingle),
-        |decon AS (SELECT dd.* FROM dd LEFT JOIN contaminated c ON dd.doc_id = c.doc_id WHERE c.doc_id IS NULL),
-        |${fnvMixCtes("cu2", "decon", "doc_id", "'mix-42-' || CAST(doc_id AS VARCHAR)")},
-        |mixed AS (SELECT d.* FROM decon d JOIN cu2 ON d.doc_id = cu2.id
-        |  WHERE cu2.z // 2048 < CASE d.source
-        |    WHEN 'src0' THEN ${hashSampleThreshold(1.0)}
-        |    WHEN 'src1' THEN ${hashSampleThreshold(0.5)}
-        |    WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
-        |    ELSE ${hashSampleThreshold(0.1)} END),
+        |$curateChainCtes,
         |${fnvMixCtes("cu3", "mixed", "doc_id", "'shuf-42-' || CAST(doc_id AS VARCHAR)")},
         |kk AS (SELECT m.doc_id, m.text_clean, m.lang, m.source,
         |    CAST(len(m.cts) AS BIGINT) AS n_tokens,
@@ -4764,6 +4816,17 @@ object PipelineOps {
         |  toff // 4096 AS shard_id,
         |  CAST(row_number() OVER (PARTITION BY toff // 4096 ORDER BY sk, doc_id) AS BIGINT) AS pos_in_shard
         |FROM pk ORDER BY doc_id""".stripMargin),
+    // the funnel: one count per shared-chain stage
+    "doc_curate_report" ->
+      (s"""WITH RECURSIVE
+        |$curateChainCtes
+        |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+        |  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_quality,
+        |  CAST((SELECT count(*) FROM cleaned) AS BIGINT) AS n_cleaned,
+        |  CAST((SELECT count(*) FROM dd) AS BIGINT) AS n_deduped,
+        |  CAST((SELECT count(*) FROM decon) AS BIGINT) AS n_decontaminated,
+        |  CAST((SELECT count(*) FROM mixed) AS BIGINT) AS n_mixed,
+        |  CAST((SELECT count(*) FROM mixed) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS survival_rate""".stripMargin),
     // sign-random-projection buckets recomputed from the same FNV+splitmix64
     // hyperplane weights (mulmod-2^64 via 32-bit split), then exact cosine
     "ann_lsh_bucketed" ->
