@@ -20,6 +20,9 @@ object EventStream {
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n_events: Long)
+  final case class RetEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class RetState(cohortWeek: Long, seen: Seq[Long])
+  final case class RetOut(user_id: Long, cohort: java.sql.Date, week_n: Long)
   final case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
   final case class PackState(shard: Long, fill: Long)
   final case class PackOut(doc_id: Long, source: String, n_tokens: Long,
@@ -205,6 +208,40 @@ object EventStream {
             }
             closed.iterator
           }
+        })
+  }
+
+  /** Streaming cohort retention — the streaming face of `q_retention`:
+    * per user, ONE state record (the cohort week fixed at first sight +
+    * the weeks already emitted), so state is bounded by the user
+    * population, not the event volume; each micro-batch emits exactly the
+    * NEW distinct (user, week) activity cells, and a downstream aggregate
+    * over (cohort, week_n) reproduces the batch retention table.
+    * Contract: feed in event-time order (the watermarked-ingest shape) —
+    * the cohort is fixed at first observation, so an event from BEFORE a
+    * user's recorded cohort (possible only under out-of-order replay) is
+    * dropped rather than silently emitting a negative week. Week starts
+    * are computed in UTC, matching the batch query's session timezone. */
+  def retentionStream(events: DataFrame)
+                     (implicit spark: SparkSession): Dataset[RetOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts")).as[RetEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[RetEvent], state: GroupState[RetState]) => {
+          def weekStart(t: java.sql.Timestamp): Long = {
+            val d = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+            d.toEpochDay - (d.getDayOfWeek.getValue - 1) // back to Monday
+          }
+          val weeks = rows.map(e => weekStart(e.ts)).toSeq.distinct.sorted
+          val st = state.getOption
+          val cohort = st.map(_.cohortWeek).getOrElse(weeks.min)
+          val seen = st.map(_.seen.toSet).getOrElse(Set.empty[Long])
+          val fresh = weeks.filter(w => w >= cohort && !seen(w))
+          state.update(RetState(cohort, (seen ++ fresh).toSeq))
+          fresh.iterator.map(w => RetOut(uid,
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cohort)),
+            (w - cohort) / 7))
         })
   }
 

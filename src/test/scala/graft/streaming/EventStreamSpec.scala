@@ -287,4 +287,37 @@ class EventStreamSpec extends SparkSpec {
       assert(byShard.forall(docs => docs.map(_._3).sum <= 5 || docs.size == 1))
     } finally q.stop()
   }
+
+  test("streaming cohort retention equals the batch q_retention table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("ts").cast("timestamp_ltz").as("ts"))
+      .orderBy(col("ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    // two event-time-ordered micro-batches (the watermarked-ingest contract)
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.retentionStream(in.toDF().toDF("user_id", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("ret_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("ret_stream")
+        .groupBy(col("cohort"), col("week_n"))
+        .agg(count(lit(1)).as("n_active"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val expect = graft.SparkEntry.queries("q_retention")(spark, sf0001)
+        .select(col("cohort"), col("week_n"), col("n_active"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(got == expect)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
