@@ -723,6 +723,27 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // LSH cost-model observability: per band, how many buckets form, the
+    // largest bucket, and the candidate pairs the band generates
+    // (Σ c·(c-1)/2) — the numbers that tell an operator whether the
+    // banded join is about to go quadratic BEFORE running it (the
+    // hot-bucket cap's monitoring face). One aggregate over (band, hash).
+    "dedup_lsh_bucket_stats" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      val sig = d.select(col("doc_id"),
+        minhashSignature(col("sh"), 64, 42L).as("sig"))
+      val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until 16).map(bb =>
+          xxhash64(slice(col("sig"), bb * 4 + 1, 4))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      banded.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_bucket"),
+          sum(expr("c * (c - 1) div 2")).cast("long").as("candidate_pairs"))
+        .orderBy(col("band"))
+    }),
+
     // the (bands, rows) TUNING CURVE: recall of the banded chain vs the
     // exact ground truth at three splits of the same 64 permutations —
     // 8×8 (precise, low recall), 16×4 (the catalog default), 32×2
@@ -4728,6 +4749,20 @@ object PipelineOps {
         |SELECT doc_id, cluster_rep,
         |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
         |FROM labeled ORDER BY doc_id""".stripMargin),
+    // bucket stats: slice-equality groups ARE the buckets (the Scala
+    // side's xxhash64 keys collide iff slices are equal, the standing
+    // 2^-64 assumption every banded oracle here makes)
+    "dedup_lsh_bucket_stats" ->
+      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
+        |${minhashCandCtes("sh")},
+        |bnd AS (SELECT doc_id, k.b AS band, sig[CAST(k.b*4+1 AS BIGINT):CAST(k.b*4+4 AS BIGINT)] AS slice
+        |  FROM sigs CROSS JOIN range(0, 16) k(b)),
+        |bk AS (SELECT band, slice, CAST(count(*) AS BIGINT) AS c FROM bnd GROUP BY band, slice)
+        |SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(c) AS BIGINT) AS max_bucket,
+        |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+        |FROM bk GROUP BY band ORDER BY band""".stripMargin),
     // band curve: one sigs chain, three band-split candidate rules
     "dedup_band_curve" ->
       (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
