@@ -221,6 +221,31 @@ object PipelineOps {
         .orderBy(col("source"))
     }),
 
+    // vocab-size TUNING CURVE: the fraction of token occurrences the
+    // top-k vocabulary covers, at k = 16/64/256/1024 — the table that
+    // sizes a tokenizer (coverage buys model capacity; the long tail
+    // buys nothing). The global rank window runs over the VOCABULARY
+    // (distinct terms), not the corpus — vocab-sized input is the
+    // standing bound for every ranking in this family.
+    "doc_vocab_coverage" -> ((spark, dir) => {
+      val tf = registerCache(docs(spark, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
+      val ranked = tf.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      val total = tf.agg(sum(col("cnt")).as("total"))
+      Seq(16, 64, 256, 1024).map { k =>
+        ranked.filter(col("rk") <= k)
+          .agg(sum(col("cnt")).as("covered"))
+          .crossJoin(total)
+          .select(lit(k.toLong).as("vocab_size"),
+            coalesce(col("covered"), lit(0L)).as("covered"), col("total"),
+            (coalesce(col("covered"), lit(0L)).cast("double") /
+              col("total").cast("double")).as("coverage"))
+      }.reduce(_ unionByName _).orderBy(col("vocab_size"))
+    }),
+
     // mixture-achievement report: per source, the pool size, the admitted
     // count under the configured rates, and achieved-vs-target — the
     // reconciliation table a mixture pipeline publishes with each release
@@ -4440,6 +4465,18 @@ object PipelineOps {
         |  WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
         |  ELSE ${hashSampleThreshold(0.1)} END
         |ORDER BY d.doc_id""".stripMargin),
+    // coverage curve: freq-ranked vocab, cumulative mass at each k
+    "doc_vocab_coverage" ->
+      """WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents)
+        |  GROUP BY term),
+        |rk AS (SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS r FROM tf),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+        |ks AS (SELECT CAST(k AS BIGINT) AS vocab_size FROM (VALUES (16), (64), (256), (1024)) v(k))
+        |SELECT ks.vocab_size, CAST(COALESCE(SUM(rk.cnt), 0) AS BIGINT) AS covered, tot.total,
+        |  CAST(COALESCE(SUM(rk.cnt), 0) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
+        |FROM ks CROSS JOIN tot LEFT JOIN rk ON rk.r <= ks.vocab_size
+        |GROUP BY ks.vocab_size, tot.total ORDER BY ks.vocab_size""".stripMargin,
     // mixture reconciliation: same admit rule, rolled up per source
     "doc_mixture_report" ->
       (s"""WITH ${fnvMixCtes("mx1", "documents", "doc_id", "'mix-42-' || CAST(doc_id AS VARCHAR)")},
