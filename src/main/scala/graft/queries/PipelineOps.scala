@@ -2327,11 +2327,16 @@ object PipelineOps {
     // anyway, so the count is a job curate already owed — not the extra
     // raw-corpus pass a trailing d.count() used to be (round-8 verdict #6)
     val nCleaned = cleaned.count()
-    // 3. near-dup clustering on the cleaned text: keep cluster representatives
+    // 3. near-dup clustering on the cleaned text: keep cluster
+    // representatives. Star contraction, not label propagation: identical
+    // labels (ConnectedComponentsSpec pins star == propagation on every
+    // graph shape) in O(log² n) rounds vs the propagation fixpoint's
+    // O(diameter) — measured 16.5 s → 10.1 s for the whole composition
+    // at sf0.1, and the round bound is what survives a 100 TB pair graph
     val sh = cleaned.select(col("doc_id"), shingles(col("text_clean"), 3).as("sh"))
     val edges = minhashLshJoin(sh, nearDupThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val reps = connectedComponents(edges, cleaned.select(col("doc_id")))
+    val reps = connectedComponentsStar(edges, cleaned.select(col("doc_id")))
       .filter(col("doc_id") === col("cluster_rep")).select(col("doc_id"))
     // cached: feeds both the decontamination postings and the anti-join
     val deduped = registerCache(cleaned.join(reps, "doc_id"))
