@@ -1945,7 +1945,9 @@ object PipelineOps {
           .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
         val edges = ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
           .select(col("doc_a"), col("doc_b"))
-        connectedComponents(edges, docs(spark, dir).select(col("doc_id")))
+        // star contraction: identical labels to propagation (spec-pinned),
+        // O(log² n) rounds — the same swap curate made
+        connectedComponentsStar(edges, docs(spark, dir).select(col("doc_id")))
           .localCheckpoint()
       })
     }
