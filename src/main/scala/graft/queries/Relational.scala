@@ -497,6 +497,37 @@ object Relational {
         .orderBy(col("hr"), col("event_type"))
     }),
 
+    // rate anomaly detection over the gap-FILLED hourly grid (zero-count
+    // hours matter: a silent feed is the anomaly monitoring exists to
+    // catch): each (hour, type) cell compares against its trailing-24h
+    // mean; integer counts + one bounded window frame, deterministic on
+    // both engines. Flag = count > 2x trailing mean (with a floor of 4 so
+    // tiny baselines don't page).
+    "q_rate_anomaly" -> ((spark, dir) => {
+      val e = Tables.t(spark, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      val counts = e.groupBy(col("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val hours = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      val grid = hours.crossJoin(e.select(col("event_type")).distinct())
+        .join(counts, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(-24, -1)
+      grid
+        .withColumn("trailing_n", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("trailing_hours", count(lit(1)).over(w))
+        .filter(col("trailing_hours") === 24)
+        .select(col("hr"), col("event_type"), col("n"),
+          (col("trailing_n").cast("double") / 24.0).as("trailing_mean"),
+          (col("n").cast("double") * 12.0 > col("trailing_n").cast("double") &&
+            col("n") >= 4).as("is_anomaly"))
+        .orderBy(col("hr"), col("event_type"))
+    }),
+
     // the static skew-mitigation path end-to-end: orders scatter over 8
     // salt sub-keys, the customer dim replicates to all of them, and the
     // oracle is the PLAIN join aggregate — salting must be result-
@@ -781,6 +812,21 @@ object Relational {
         |  CAST(count(conv.view_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
         |FROM v LEFT JOIN conv ON v.user_id = conv.user_id AND v.view_id = conv.view_id
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "q_rate_anomaly" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS hr, event_type FROM events),
+        |c AS (SELECT hr, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+        |hrs AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |g AS (SELECT hrs.hr, t.event_type, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+        |  FROM hrs CROSS JOIN t LEFT JOIN c ON hrs.hr = c.hr AND c.event_type = t.event_type),
+        |wn AS (SELECT hr, event_type, n,
+        |  CAST(coalesce(SUM(n) OVER (PARTITION BY event_type ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trailing_n,
+        |  COUNT(*) OVER (PARTITION BY event_type ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS th
+        |  FROM g)
+        |SELECT hr, event_type, n, CAST(trailing_n AS DOUBLE) / 24.0 AS trailing_mean,
+        |  (CAST(n AS DOUBLE) * 12.0 > CAST(trailing_n AS DOUBLE) AND n >= 4) AS is_anomaly
+        |FROM wn WHERE th = 24 ORDER BY hr, event_type""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
