@@ -604,6 +604,21 @@ object PipelineOps {
         .orderBy(col("rep_id"))
     }),
 
+    // exact-dup data card: the multiplicity histogram (how many texts
+    // appear once / twice / n times) plus each bucket's share of the raw
+    // corpus — the first number in any dedup release note. Two hash
+    // aggregates; text hashes once into the group key.
+    "dedup_exact_stats" -> ((spark, dir) => {
+      docs(spark, dir)
+        .groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"))
+        .withColumn("n_docs", col("n_copies") * col("n_groups"))
+        .withColumn("corpus_share", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()).cast("double"))
+        .orderBy(col("n_copies"))
+    }),
+
     // exact dedup on a key subset (keep-first semantics, deterministic)
     "dedup_by_key" -> ((spark, dir) => {
       docs(spark, dir)
@@ -4301,6 +4316,12 @@ object PipelineOps {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+    "dedup_exact_stats" ->
+      """WITH g AS (SELECT text, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text),
+        |h AS (SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups FROM g GROUP BY n_copies)
+        |SELECT n_copies, n_groups, CAST(n_copies * n_groups AS BIGINT) AS n_docs,
+        |  CAST(n_copies * n_groups AS DOUBLE) / CAST((SELECT SUM(n_copies * n_groups) FROM h) AS DOUBLE) AS corpus_share
+        |FROM h ORDER BY n_copies""".stripMargin,
     "dedup_by_key" ->
       """SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
