@@ -1399,16 +1399,9 @@ object PipelineOps {
     // 0-2 (a stand-in held-out benchmark). Every stage reuses the proven
     // arithmetic of its standalone catalog query, so the DuckDB oracle is
     // their composition.
-    "doc_curate" -> ((spark, dir) => {
-      val d = docs(spark, dir)
-      val probes = d.filter(col("doc_id") < 3)
-        .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
-      curate(d, probes,
-          minTokens = 16, paragraphK = 10, nearDupThreshold = 0.3,
-          mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
-          defaultRate = 0.1, shardTokens = 4096L)
-        .orderBy(col("doc_id"))
-    }),
+    "doc_curate" -> ((spark, dir) =>
+      curatePack(curateStagesFor(spark, dir), shardTokens = 4096L)
+        .orderBy(col("doc_id"))),
 
     // the curation FUNNEL: how many docs survive each stage (the release
     // report that explains where the corpus went). One row; every count is
@@ -1416,13 +1409,7 @@ object PipelineOps {
     // cleaned/deduped caches mean the stages compute once, not once per
     // count — and survival fractions are int/int divisions.
     "doc_curate_report" -> ((spark, dir) => {
-      val d = docs(spark, dir)
-      val probes = d.filter(col("doc_id") < 3)
-        .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
-      val st = curateStages(d, probes, minTokens = 16, paragraphK = 10,
-        nearDupThreshold = 0.3,
-        mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
-        defaultRate = 0.1)
+      val st = curateStagesFor(spark, dir)
       st.input.agg(count(lit(1)).as("n_input"))
         .crossJoin(st.quality.agg(count(lit(1)).as("n_quality")))
         .crossJoin(st.cleaned.agg(count(lit(1)).as("n_cleaned")))
@@ -1953,6 +1940,24 @@ object PipelineOps {
       evict
     }
   }
+  /** One curation stage chain per (session, dir) with the CATALOG's
+    * constants — `doc_curate` and `doc_curate_report` share it, so the
+    * funnel report counts the same localCheckpointed CC run the packer
+    * consumed instead of re-contracting the graph (the CC checkpoints
+    * live outside the plan-cache pool, so only a memo shares them). */
+  private val curateStagesCache = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), CurateStages]()
+  private def curateStagesFor(spark: SparkSession, dir: String): CurateStages =
+    curateStagesCache.computeIfAbsent((spark, dir), _ => {
+      val d = docs(spark, dir)
+      val probes = d.filter(col("doc_id") < 3)
+        .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
+      curateStages(d, probes, minTokens = 16, paragraphK = 10,
+        nearDupThreshold = 0.3,
+        mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+    })
+
   private def ccLabelsFor(spark: SparkSession, dir: String): DataFrame =
     ccLabelsCache.synchronized {
       ccLabelsCache.computeIfAbsent((spark, dir), _ => {
