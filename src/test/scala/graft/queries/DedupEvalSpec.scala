@@ -126,6 +126,30 @@ class DedupEvalSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_recall_curve: recall non-decreasing in nprobe") {
+    // nprobe candidate sets nest, and a brute-top-k member displaced from
+    // a larger candidate set's top-k would need k globally-better vectors
+    // — impossible for a global top-k member (the multi-probe argument)
+    val rows = q("ann_ivf_recall_curve").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b >= a, s"recall decreased: $a -> $b")
+    }
+  }
+
+  test("doc_curate_report agrees with the packer's output") {
+    val report = q("doc_curate_report").head
+    val packed = q("doc_curate")
+    // the funnel's final stage count IS the packed corpus size, and the
+    // funnel is monotone non-increasing stage to stage
+    assert(report.getLong(5) == packed.count())
+    val counts = (0 to 5).map(report.getLong)
+    counts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"funnel increased: $a -> $b")
+    }
+  }
+
   test("ann_ivf_stats: occupancy sums to the corpus, fractions to 1") {
     val stats = q("ann_ivf_stats")
     val nVecs = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
