@@ -118,14 +118,16 @@ object ServerMain {
 object CliMain {
 
   private[server] def render(engine: Engine, sql: String, fmt: String,
-                             out: java.io.PrintStream): Unit = {
-    val df = engine.querySql(sql)
+                             out: java.io.PrintStream): Unit =
+    renderDf(engine.querySql(sql), fmt, out)
+
+  private[server] def renderDf(df: org.apache.spark.sql.DataFrame, fmt: String,
+                               out: java.io.PrintStream): Unit =
     fmt match {
       case "json" => out.println(new String(graft.encoding.Encoders.toJsonBytes(df), "UTF-8"))
       case "csv"  => out.print(new String(graft.encoding.Encoders.toCsvBytes(df), "UTF-8"))
       case _      => scala.Console.withOut(out)(df.show(1000, truncate = false))
     }
-  }
 
   /** The interactive loop, parameterized over streams so specs can drive it. */
   private[server] def consoleLoop(engine: Engine, in: java.io.BufferedReader,
@@ -148,19 +150,33 @@ object CliMain {
   def main(args: Array[String]): Unit = {
     var sql = ""
     var fmt = "table"
+    var pipeline = ""
+    var pipelineDir = ""
     val tableArgs = Seq.newBuilder[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-q" => sql = args(i + 1); i += 2
         case "--format" => fmt = args(i + 1); i += 2
+        // one-shot pipeline-operator run: --pipeline <name> --dir <sfDir>
+        // (the CLI face of the /api/pipeline route; names come from the
+        // fixed SparkEntry catalog, so a typo fails with the known list)
+        case "--pipeline" => pipeline = args(i + 1); i += 2
+        case "--dir" => pipelineDir = args(i + 1); i += 2
         case other => tableArgs += other; i += 1
       }
     }
     val spark = graft.GraftSession.get()
     val engine = new Engine(spark, readOnly = true)
     tableArgs.result().foreach(a => engine.registerTable(TableSource.parseUriArg(a)))
-    if (sql.nonEmpty) render(engine, sql, fmt, System.out)
+    if (pipeline.nonEmpty) {
+      val q = graft.SparkEntry.queries.getOrElse(pipeline,
+        sys.error(s"unknown pipeline query `$pipeline`; known: " +
+          graft.SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")))
+      require(pipelineDir.nonEmpty, "--pipeline requires --dir <dataset root>")
+      renderDf(q(spark, pipelineDir), fmt, System.out)
+    }
+    else if (sql.nonEmpty) render(engine, sql, fmt, System.out)
     else consoleLoop(engine,
       new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
       System.out, fmt)
