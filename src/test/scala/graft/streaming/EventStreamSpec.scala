@@ -320,4 +320,25 @@ class EventStreamSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("retention stream drops pre-cohort stragglers instead of emitting negative weeks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.from(
+      java.time.LocalDate.of(2024, 1, day).atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.retentionStream(in.toDF().toDF("user_id", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("ret_oo")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((7L, ts(15))); q.processAllAvailable()   // cohort = week of Jan 15
+      in.addData((7L, ts(2)), (7L, ts(22))); q.processAllAvailable() // Jan 2 is PRE-cohort
+      val got = spark.table("ret_oo").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      // week 0 (first sight) and week 1 (Jan 22); the Jan 2 straggler is dropped
+      assert(got == Seq((7L, 0L), (7L, 1L)))
+    } finally q.stop()
+  }
 }
