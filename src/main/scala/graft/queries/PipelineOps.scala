@@ -72,6 +72,21 @@ object PipelineOps {
 
   private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
+
+  /** The LSH-evaluation sub-corpus (round-9 verdict #1): a deterministic
+    * eval-42 hash sample of `documents` at rate 0.5, trigram-shingled —
+    * `dedup_band_curve` and `dedup_lsh_recall` measure recall on THIS
+    * reproducible subset so their exact ground-truth joins stay bounded
+    * (full-corpus exact Jaccard is quadratic at 100 TB regardless of
+    * plan; eval-on-sample is the production practice). Same 53-bit
+    * threshold arithmetic as `doc_sample_hash`, so any engine — the
+    * DuckDB oracle included — recomputes the identical subset. */
+  private[queries] def evalCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val h = fnvMix64(concat(lit("eval-42-"), col("doc_id").cast("string")))
+    docs(spark, dir)
+      .filter(shiftrightunsigned(h, 11) < lit(hashSampleThreshold(0.5)))
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+  }
   private[queries] def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "embeddings")
 
@@ -744,7 +759,7 @@ object PipelineOps {
     // the posting count-join, ids and counts only on the wire.
     "dedup_containment" -> ((spark, dir) => {
       val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-      containmentJoin(d, minContainment = 0.8, maxCandidatePairs = None)
+      containmentJoin(d, minContainment = 0.8)
     }),
 
     // the 100 TB clustering PATH, oracle-checked end-to-end: banded-LSH
@@ -787,23 +802,32 @@ object PipelineOps {
     // the (bands, rows) TUNING CURVE: recall of the banded chain vs the
     // exact ground truth at three splits of the same 64 permutations —
     // 8×8 (precise, low recall), 16×4 (the catalog default), 32×2
-    // (recall-greedy, more candidates). The signatures hash once per
-    // config here (a tuning job); a production sweep reuses one
-    // signature table across configs the way the oracle's shared sigs
-    // chain does.
+    // (recall-greedy, more candidates). SCALE SHAPE (round-9 verdict #1):
+    // the whole evaluation runs on a DETERMINISTIC HASH SAMPLE of the
+    // corpus (the doc_sample_hash 53-bit-threshold machinery — eval-on-
+    // sample is how production sweeps bound the exact ground truth, whose
+    // all-pairs cost is otherwise quadratic in corpus size regardless of
+    // plan), the exact join keeps its candidate-pair refusal guard, and
+    // the 64 permutations hash ONCE: one signature table feeds all three
+    // band splits ([[lshCandidates]]), matching the oracle's shared sigs
+    // chain. recall is explicitly null when the sample holds no true
+    // pairs (0/0), matching the oracle's CASE guard.
     "dedup_band_curve" -> ((spark, dir) => {
-      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      val exact = ngramJaccardJoin(d, threshold = 0.3, maxCandidatePairs = None)
+      val d = evalCorpus(spark, dir)
+      val exact = ngramJaccardJoin(d, threshold = 0.3)
         .select(col("doc_a"), col("doc_b"))
+      val sig = registerCache(
+        d.withColumn("sig", minhashSignature(col("sh"), 64, 42L)))
       Seq(8, 16, 32).map { b =>
-        val found = minhashLshJoin(d, threshold = 0.3, numPerms = 64, bands = b)
+        val found = verifyPairs(sig, lshCandidates(sig, 64, b, 4096), 0.3)
           .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
         exact.join(found, Seq("doc_a", "doc_b"), "left")
           .agg(coalesce(sum(col("hit")), lit(0L)).as("n_found"),
             count(lit(1)).as("n_true"))
           .select(lit(b.toLong).as("bands"), lit((64 / b).toLong).as("rows_per_band"),
             col("n_found"), col("n_true"),
-            (col("n_found").cast("double") / col("n_true").cast("double"))
+            when(col("n_true") > 0,
+              col("n_found").cast("double") / col("n_true").cast("double"))
               .as("recall"))
       }.reduce(_ unionByName _).orderBy(col("bands"))
     }),
@@ -814,10 +838,15 @@ object PipelineOps {
     // show recall ~1 above the threshold band and the measured miss rate
     // just over it. Verified LSH pairs are by construction a subset of the
     // exact pairs (same threshold), so one left join + decile GROUP BY is
-    // the whole evaluation; both sides reuse catalog kernels.
+    // the whole evaluation; both sides reuse catalog kernels. SCALE SHAPE
+    // (round-9 verdict #1): the evaluation runs on a deterministic hash
+    // SAMPLE of the corpus and the exact ground truth keeps its refusal
+    // guard — recall estimated on a reproducible sub-corpus is the
+    // production eval; the full-corpus exact join is quadratic at 100 TB
+    // no matter how it's planned.
     "dedup_lsh_recall" -> ((spark, dir) => {
-      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      val exact = ngramJaccardJoin(d, threshold = 0.3, maxCandidatePairs = None)
+      val d = evalCorpus(spark, dir)
+      val exact = ngramJaccardJoin(d, threshold = 0.3)
       val lsh = minhashLshJoin(d, threshold = 0.3)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       exact.join(lsh, Seq("doc_a", "doc_b"), "left")
@@ -925,15 +954,21 @@ object PipelineOps {
         .orderBy(col("doc_id"))),
 
     // provenance observability: which SOURCE contributes the duplicates.
-    // Docs touching >=1 exact-Jaccard near-dup pair are flagged (distinct
-    // union of both pair ends — ids only), then one broadcast-size left
-    // join back to (doc_id, source) and a per-source rate aggregate.
+    // Derived from the MEMOIZED cluster-labels artifact ([[ccLabelsFor]],
+    // round-9 verdict #1) instead of a second exact-pair join: a doc
+    // touches >=1 near-dup pair iff its connected component has size > 1
+    // (singleton components are exactly the pair-free docs), so the dup
+    // flags are one count over the labels plus a join against the
+    // multi-doc cluster reps (AQE broadcasts it when small; at 100 TB the
+    // rep list can itself be huge, so no forced broadcast) — the heavy
+    // pair work runs ONCE for dedup_clusters/_stats/_survivors and this.
     "doc_dup_rate_by_source" -> ((spark, dir) => {
-      val d = docs(spark, dir).select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-      val pairs = ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
-      val dup = pairs.select(col("doc_a").as("doc_id"))
-        .unionByName(pairs.select(col("doc_b").as("doc_id")))
-        .distinct().withColumn("is_dup", lit(1L))
+      val labels = ccLabelsFor(spark, dir)
+      val multi = labels.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("graft_csz"))
+        .filter(col("graft_csz") > 1).select(col("cluster_rep"))
+      val dup = labels.join(multi, Seq("cluster_rep"))
+        .select(col("doc_id")).withColumn("is_dup", lit(1L))
       docs(spark, dir).select(col("doc_id"), col("source"))
         .join(dup, Seq("doc_id"), "left")
         .groupBy(col("source"))
@@ -1902,6 +1937,21 @@ object PipelineOps {
     * strongly references its session, so an unbounded map would pin every
     * session a long-lived server ever saw; eviction just means one
     * re-train on next use. */
+  /** RDD-level unpersist for localCheckpoint()ed frames: `Dataset
+    * .unpersist` only consults the CacheManager (plan-keyed `cache()`
+    * entries), while localCheckpoint persists the UNDERLYING RDD — so
+    * memo-eviction paths must free those RDD blocks directly or they
+    * linger until ContextCleaner GCs the dereferenced RDD (round-9
+    * advice). Collects every LogicalRDD in the frame's lineage, so one
+    * call covers a composition (curate's mixed chain holds the CC run's
+    * checkpoint inside its plan). */
+  private[queries] def unpersistCheckpointed(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.distinct.foreach(rdd => try { rdd.unpersist(false); () }
+        catch { case _: Throwable => () })
+    catch { case _: Throwable => () }
+
   private val bpeModelCache = new java.util.LinkedHashMap[
       (SparkSession, String), (Seq[(String, String, Long)], DataFrame)](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
@@ -1909,7 +1959,7 @@ object PipelineOps {
       val evict = size() > 64
       // the dict is localCheckpointed — dropping the map entry alone would
       // leave its blocks pinned in the BlockManager until session GC
-      if (evict) try { e.getValue._2.unpersist(); () } catch { case _: Throwable => () }
+      if (evict) unpersistCheckpointed(e.getValue._2)
       evict
     }
   }
@@ -1918,11 +1968,23 @@ object PipelineOps {
   // restart — acceptable for the immutable testdata dirs this serves; a
   // mutable deployment should fold input-file mtimes into the key.
   private def bpeModelFor(spark: SparkSession, dir: String)
-      : (Seq[(String, String, Long)], DataFrame) =
-    bpeModelCache.synchronized {
-      bpeModelCache.computeIfAbsent((spark, dir),
-        _ => bpeTrain(docs(spark, dir), numMerges = 8))
+      : (Seq[(String, String, Long)], DataFrame) = {
+    val key = (spark, dir)
+    // train OUTSIDE the map lock (the curateStagesFor discipline): a slow
+    // first train must not block unrelated dirs; a racing duplicate frees
+    // its checkpointed dict and defers to the winner
+    bpeModelCache.synchronized(Option(bpeModelCache.get(key))) match {
+      case Some(m) => m
+      case None =>
+        val built = bpeTrain(docs(spark, dir), numMerges = 8)
+        bpeModelCache.synchronized {
+          Option(bpeModelCache.get(key)) match {
+            case Some(winner) => unpersistCheckpointed(built._2); winner
+            case None => bpeModelCache.put(key, built); built
+          }
+        }
     }
+  }
 
   /** One computed near-dup cluster labeling per (session, input dir) — the
     * dedup-DECISION artifact: `dedup_clusters`, `dedup_cluster_stats`, and
@@ -1936,7 +1998,7 @@ object PipelineOps {
     override def removeEldestEntry(e: java.util.Map.Entry[
         (SparkSession, String), DataFrame]): Boolean = {
       val evict = size() > 64
-      if (evict) try { e.getValue.unpersist(); () } catch { case _: Throwable => () }
+      if (evict) unpersistCheckpointed(e.getValue)
       evict
     }
   }
@@ -1944,33 +2006,72 @@ object PipelineOps {
     * constants — `doc_curate` and `doc_curate_report` share it, so the
     * funnel report counts the same localCheckpointed CC run the packer
     * consumed instead of re-contracting the graph (the CC checkpoints
-    * live outside the plan-cache pool, so only a memo shares them). */
-  private val curateStagesCache = new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), CurateStages]()
-  private def curateStagesFor(spark: SparkSession, dir: String): CurateStages =
-    curateStagesCache.computeIfAbsent((spark, dir), _ => {
-      val d = docs(spark, dir)
-      val probes = d.filter(col("doc_id") < 3)
-        .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
-      curateStages(d, probes, minTokens = 16, paragraphK = 10,
-        nearDupThreshold = 0.3,
-        mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
-        defaultRate = 0.1)
-    })
+    * live outside the plan-cache pool, so only a memo shares them).
+    * Bounded access-order LRU with checkpoint-unpersist on evict, the
+    * same discipline as [[bpeModelCache]]/[[ccLabelsCache]] (round-9
+    * advice: an unbounded CHM let each distinct `dir` from the
+    * /api/pipeline route pin a session + checkpoint blocks forever). */
+  private val curateStagesCache = new java.util.LinkedHashMap[
+      (SparkSession, String), CurateStages](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (SparkSession, String), CurateStages]): Boolean = {
+      val evict = size() > 64
+      // mixed's lineage reaches every checkpointed piece of the chain
+      if (evict) unpersistCheckpointed(e.getValue.mixed)
+      evict
+    }
+  }
+  private def curateStagesFor(spark: SparkSession, dir: String): CurateStages = {
+    val key = (spark, dir)
+    // the chain runs full Spark jobs (cleaned.count()) — build OUTSIDE the
+    // map lock so a slow first build never blocks unrelated dirs (round-9
+    // advice: computeIfAbsent pinned the CHM bin for the job's duration).
+    // A racing duplicate build is possible and harmless: the loser's
+    // checkpoint blocks are freed, the winner stays memoized.
+    curateStagesCache.synchronized(Option(curateStagesCache.get(key))) match {
+      case Some(st) => st
+      case None =>
+        val d = docs(spark, dir)
+        val probes = d.filter(col("doc_id") < 3)
+          .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
+        val built = curateStages(d, probes, minTokens = 16, paragraphK = 10,
+          nearDupThreshold = 0.3,
+          mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        curateStagesCache.synchronized {
+          Option(curateStagesCache.get(key)) match {
+            case Some(winner) => unpersistCheckpointed(built.mixed); winner
+            case None => curateStagesCache.put(key, built); built
+          }
+        }
+    }
+  }
 
-  private def ccLabelsFor(spark: SparkSession, dir: String): DataFrame =
-    ccLabelsCache.synchronized {
-      ccLabelsCache.computeIfAbsent((spark, dir), _ => {
+  private def ccLabelsFor(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    // build OUTSIDE the map lock (the curateStagesFor discipline)
+    ccLabelsCache.synchronized(Option(ccLabelsCache.get(key))) match {
+      case Some(l) => l
+      case None =>
         val d = docs(spark, dir)
           .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-        val edges = ngramJaccardJoin(d, threshold = 0.25, maxCandidatePairs = None)
+        // default refusal guard ON (round-9 verdict #1): the exact pair
+        // join is the small/medium-corpus clustering reference — a corpus
+        // past the guard should take dedup_minhash_clusters' banded path
+        val edges = ngramJaccardJoin(d, threshold = 0.25)
           .select(col("doc_a"), col("doc_b"))
         // star contraction: identical labels to propagation (spec-pinned),
         // O(log² n) rounds — the same swap curate made
-        connectedComponentsStar(edges, docs(spark, dir).select(col("doc_id")))
-          .localCheckpoint()
-      })
+        val built = connectedComponentsStar(edges,
+          docs(spark, dir).select(col("doc_id"))).localCheckpoint()
+        ccLabelsCache.synchronized {
+          Option(ccLabelsCache.get(key)) match {
+            case Some(winner) => unpersistCheckpointed(built); winner
+            case None => ccLabelsCache.put(key, built); built
+          }
+        }
     }
+  }
 
   /** Span-level exact-substring dedup — the actual Lee et al. 2022
     * semantics ([[windowDedup]] flags whole documents; this REMOVES the
@@ -3196,9 +3297,18 @@ object PipelineOps {
   def minhashLshJoin(d: DataFrame, threshold: Double,
                      numPerms: Int = 64, bands: Int = 16,
                      maxBucket: Int = 4096): DataFrame = {
-    val r = numPerms / bands
     val sig = registerCache(
       d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L)))
+    verifyPairs(sig, lshCandidates(sig, numPerms, bands, maxBucket), threshold)
+  }
+
+  /** Banded candidate generation over an already-signed corpus `sig(doc_id,
+    * sh, sig)` — factored out of [[minhashLshJoin]] so multi-config sweeps
+    * (the band tuning curve) hash ONCE and band the same signature table
+    * per (bands, rows) split instead of re-running the permutations. */
+  private def lshCandidates(sig: DataFrame, numPerms: Int, bands: Int,
+                            maxBucket: Int): DataFrame = {
+    val r = numPerms / bands
     val banded = registerCache(sig.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(bb =>
@@ -3223,8 +3333,7 @@ object PipelineOps {
     val hotPairs = marked.filter(col("graft_bmin").isNotNull &&
         col("doc_id") =!= col("graft_bmin"))
       .select(col("graft_bmin").as("doc_a"), col("doc_id").as("doc_b"))
-    val candidates = coldPairs.unionByName(hotPairs).distinct()
-    verifyPairs(sig, candidates, threshold)
+    coldPairs.unionByName(hotPairs).distinct()
   }
 
   /** Persisted MinHash band index — the NEAR-dup analogue of
@@ -4833,9 +4942,15 @@ object PipelineOps {
         |  CAST(max(c) AS BIGINT) AS max_bucket,
         |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
         |FROM bk GROUP BY band ORDER BY band""".stripMargin),
-    // band curve: one sigs chain, three band-split candidate rules
+    // band curve: the eval-42 hash-sampled sub-corpus, ONE sigs chain,
+    // three band-split candidate rules; the cfg LEFT JOIN emits all three
+    // config rows (recall NULL via CASE) even when the sample has no true
+    // pairs — matching the Scala side's empty-aggregate rows
     "dedup_band_curve" ->
-      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+      (s"""WITH ${fnvMixCtes("sm1", "documents", "doc_id", "'eval-42-' || CAST(doc_id AS VARCHAR)")},
+        |sdoc AS (SELECT d.doc_id, d.text FROM documents d JOIN sm1 ON d.doc_id = sm1.id
+        |  WHERE sm1.z // 2048 < ${hashSampleThreshold(0.5)}),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM sdoc),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
         |einv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
         |ep AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS esa, b.s AS esb
@@ -4854,18 +4969,22 @@ object PipelineOps {
         |  UNION ALL
         |  SELECT CAST(32 AS BIGINT), doc_a, doc_b FROM cand32
         |    WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3),
-        |cfg AS (SELECT CAST(b AS BIGINT) AS bands FROM (VALUES (8), (16), (32)) v(b)),
-        |grid AS (SELECT cfg.bands, ex.doc_a, ex.doc_b FROM cfg CROSS JOIN ex)
-        |SELECT grid.bands, CAST(64 // grid.bands AS BIGINT) AS rows_per_band,
-        |  CAST(COUNT(u.doc_a) AS BIGINT) AS n_found, CAST(COUNT(*) AS BIGINT) AS n_true,
-        |  CAST(COUNT(u.doc_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
-        |FROM grid LEFT JOIN u ON grid.bands = u.bands AND grid.doc_a = u.doc_a AND grid.doc_b = u.doc_b
-        |GROUP BY grid.bands ORDER BY grid.bands""".stripMargin),
+        |cfg AS (SELECT CAST(b AS BIGINT) AS bands FROM (VALUES (8), (16), (32)) v(b))
+        |SELECT cfg.bands, CAST(64 // cfg.bands AS BIGINT) AS rows_per_band,
+        |  CAST(COUNT(u.doc_a) AS BIGINT) AS n_found, CAST(COUNT(ex.doc_a) AS BIGINT) AS n_true,
+        |  CASE WHEN COUNT(ex.doc_a) > 0
+        |    THEN CAST(COUNT(u.doc_a) AS DOUBLE) / CAST(COUNT(ex.doc_a) AS DOUBLE) END AS recall
+        |FROM cfg LEFT JOIN ex ON TRUE
+        |LEFT JOIN u ON cfg.bands = u.bands AND ex.doc_a = u.doc_a AND ex.doc_b = u.doc_b
+        |GROUP BY cfg.bands ORDER BY cfg.bands""".stripMargin),
     // LSH recall per similarity decile: exact trigram-Jaccard ground truth
     // (inverted-index pairs) left-joined with the banded candidate chain's
     // verified pairs — both fragments proven standalone above
     "dedup_lsh_recall" ->
-      (s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
+      (s"""WITH ${fnvMixCtes("sm2", "documents", "doc_id", "'eval-42-' || CAST(doc_id AS VARCHAR)")},
+        |sdoc AS (SELECT d.doc_id, d.text FROM documents d JOIN sm2 ON d.doc_id = sm2.id
+        |  WHERE sm2.z // 2048 < ${hashSampleThreshold(0.5)}),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM sdoc),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
         |einv AS (SELECT doc_id, s, unnest(s) AS shingle FROM sh),
         |ep AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS esa, b.s AS esb

@@ -28,11 +28,42 @@ class DedupEvalSpec extends SparkSpec {
   }
 
   test("dedup_lsh_recall: verified LSH pairs are a subset of exact pairs") {
-    // the left join's n_found sums to exactly the LSH pair count — no LSH
-    // pair exists outside the exact ground truth (same threshold)
+    // the left join's n_found sums to exactly the LSH pair count over the
+    // SAME eval-42 sampled sub-corpus the query measures on — no LSH pair
+    // exists outside the exact ground truth (same threshold)
     val totalFound = q("dedup_lsh_recall").agg(sum(col("n_found"))).head.getLong(0)
-    val lshPairs = q("dedup_minhash_lsh").count()
+    val lshPairs = PipelineOps.minhashLshJoin(
+      PipelineOps.evalCorpus(spark, sf0001), threshold = 0.3).count()
     assert(totalFound == lshPairs)
+  }
+
+  test("eval queries sample the corpus: eval corpus is a strict, deterministic subset") {
+    val full = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val sampled = PipelineOps.evalCorpus(spark, sf0001).count()
+    assert(sampled > 0 && sampled < full)
+    // deterministic: same subset on re-evaluation
+    assert(PipelineOps.evalCorpus(spark, sf0001).agg(sum(col("doc_id"))).head.getLong(0) ==
+      PipelineOps.evalCorpus(spark, sf0001).agg(sum(col("doc_id"))).head.getLong(0))
+  }
+
+  test("dedup_band_curve: three config rows with NULL recall on a pair-free corpus") {
+    // the degenerate contract (round-9 advice): a sampled sub-corpus with
+    // ZERO exact pairs still emits the 8/16/32 config rows, n_true = 0,
+    // recall explicitly NULL (the oracle's cfg LEFT JOIN + CASE mirrors it)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    (0L until 40L).map(i =>
+        (i, s"utterly unique document nr${i} with token${i * 7} and token${i * 13}",
+          "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("dedup_band_curve")(spark, dir)
+      .orderBy(col("bands")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L))
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, "expected zero true pairs")
+      assert(r.isNullAt(4), "recall must be NULL on 0/0, not NaN or 0")
+    }
   }
 
   test("dedup_minhash_estimate: rows are the verified LSH pairs; est within Hoeffding-ish bound") {

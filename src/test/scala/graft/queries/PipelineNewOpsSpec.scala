@@ -549,4 +549,24 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     val totalOther = others.toSeq.map(totals).sum
     assert(keptOther > 0 && keptOther < totalOther)
   }
+
+  test("unpersistCheckpointed frees localCheckpoint RDD blocks (memo eviction)") {
+    // Dataset.unpersist is a CacheManager call and is a NO-OP for
+    // localCheckpoint blocks (they are RDD-level persisted) — the memo
+    // caches' eviction must free the underlying RDD directly (round-9
+    // advice). Pin both halves: the no-op and the working release.
+    import spark.implicits._
+    val df = (1 to 100).toDF("x").localCheckpoint()
+    val rddIds = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    assert(rddIds.nonEmpty, "localCheckpoint plan should be a LogicalRDD")
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(rddIds.forall(persisted.contains))
+    df.unpersist() // the former eviction call: provably does nothing here
+    assert(rddIds.forall(persisted.contains), "Dataset.unpersist freed RDD blocks?!")
+    PipelineOps.unpersistCheckpointed(df)
+    assert(rddIds.forall(id => !persisted.contains(id)),
+      "checkpoint blocks must be gone after unpersistCheckpointed")
+  }
 }
