@@ -124,18 +124,26 @@ final class Http2App(engine: Engine, port: Int = 0) {
         String.valueOf(headers.method()), path, rawQuery,
         Option(headers.get("accept")).map(String.valueOf(_)), () => bytes)
       val ch = ctx.channel()
+      // permissive CORS on every response (roapi/src/server/http/mod.rs:61-66)
+      def cors(h: io.netty.handler.codec.http2.Http2Headers)
+          : io.netty.handler.codec.http2.Http2Headers = {
+        Routes.corsHeadersFor(req.method).foreach { case (k, v) =>
+          h.set(k.toLowerCase, v)
+        }
+        h
+      }
       workers.execute(() =>
         try {
           Routes.handle(engine, req) match {
             case Routes.Full(status, mime, b) =>
-              val h = new DefaultHttp2Headers().status(String.valueOf(status))
+              val h = cors(new DefaultHttp2Headers().status(String.valueOf(status)))
               h.set("content-type", mime)
               ch.write(new DefaultHttp2HeadersFrame(h, b.isEmpty))
               if (b.nonEmpty)
                 ch.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(b), true))
               ch.flush()
             case Routes.Streamed(mime, write) =>
-              val h = new DefaultHttp2Headers().status("200")
+              val h = cors(new DefaultHttp2Headers().status("200"))
               h.set("content-type", mime)
               ch.writeAndFlush(new DefaultHttp2HeadersFrame(h, false))
               val out = new java.io.BufferedOutputStream(new java.io.OutputStream {
@@ -173,7 +181,7 @@ final class Http2App(engine: Engine, port: Int = 0) {
           case e: Throwable =>
             val err = Routes.errorResponse(
               Routes.ApiError(500, "internal", String.valueOf(e.getMessage)))
-            val h = new DefaultHttp2Headers().status("500")
+            val h = cors(new DefaultHttp2Headers().status("500"))
             h.set("content-type", err.mime)
             ch.write(new DefaultHttp2HeadersFrame(h, false))
             ch.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(err.body), true))
@@ -216,6 +224,10 @@ final class Http2App(engine: Engine, port: Int = 0) {
           Unpooled.wrappedBuffer(body))
         resp.headers().set("Content-Type", mime)
         resp.headers().set("Content-Length", body.length)
+        // permissive CORS (roapi/src/server/http/mod.rs:61-66)
+        Routes.corsHeadersFor(req.method).foreach { case (k, v) =>
+          resp.headers().set(k, v)
+        }
         ch.writeAndFlush(resp)
       })
     }

@@ -43,6 +43,10 @@ final class HttpApp(engine: Engine, port: Int = 0) {
       Option(ex.getRequestHeaders.getFirst("Accept")),
       () => ex.getRequestBody.readAllBytes())
     try {
+      // permissive CORS on every response (roapi/src/server/http/mod.rs:61-66)
+      Routes.corsHeadersFor(req.method).foreach { case (k, v) =>
+        ex.getResponseHeaders.set(k, v)
+      }
       Routes.handle(engine, req) match {
         case Routes.Full(status, mime, body) =>
           ex.getResponseHeaders.set("Content-Type", mime)

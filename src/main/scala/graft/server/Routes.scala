@@ -30,6 +30,21 @@ object Routes {
 
   private val mapper = new ObjectMapper()
 
+  /** Permissive CORS, mirroring the reference's tower-http layer
+    * (roapi/src/server/http/mod.rs:61-66: allow GET/POST/OPTIONS, any
+    * origin, no credentials). The layer wraps EVERY route on every HTTP
+    * transport: transports stamp [[corsHeadersFor]] on each response, and
+    * [[route]] answers any preflight OPTIONS with 204 no-body (the
+    * allow-methods/allow-headers pair only appears on preflight, like the
+    * reference layer). Without this, a browser page not served from the
+    * same origin — including /ui behind a proxy — cannot call /api/sql. */
+  def corsHeadersFor(method: String): Seq[(String, String)] =
+    if (method == "OPTIONS")
+      Seq("Access-Control-Allow-Origin" -> "*",
+        "Access-Control-Allow-Methods" -> "GET, POST, OPTIONS",
+        "Access-Control-Allow-Headers" -> "*")
+    else Seq("Access-Control-Allow-Origin" -> "*")
+
   /** The single-file console page, embedded on the classpath the way the
     * reference embeds roapi-ui's dist (rust_embed in http/ui.rs). */
   private lazy val consoleHtml: Array[Byte] = {
@@ -71,6 +86,10 @@ object Routes {
 
   private def route(engine: Engine, req: Request): Response =
     (req.method, req.path.stripSuffix("/").split('/').toList.drop(1)) match {
+      // CORS preflight: permissive 204 for any path (the reference's
+      // CorsLayer answers preflight before routing, so unknown paths
+      // preflight successfully there too)
+      case ("OPTIONS", _) => Full(204, "text/plain", Array.emptyByteArray)
       case ("GET", List("health")) => Full(200, "text/plain", "OK".getBytes(UTF_8))
       // Web console under /ui, as the reference mounts its wasm UI
       // (roapi/src/server/http/ui.rs ui_router: "/", "/index.html", fallback).
@@ -104,9 +123,27 @@ object Routes {
       case ("GET", List("api", "pipeline", name)) =>
         val q = graft.SparkEntry.queries.getOrElse(name,
           throw ApiError(404, "not_found", s"unknown pipeline query `$name`"))
-        val dir = queryParams(req).getOrElse("dir", engine.pipelineDir.getOrElse(
-          throw ApiError(400, "bad_request",
-            "no `dir` param and no configured pipeline dir")))
+        // `dir` is client input naming a filesystem path: when a pipeline
+        // root IS configured, the override must resolve under it (a
+        // configured root is a constraint, not just a default — otherwise
+        // any HTTP client can point Spark at arbitrary readable paths and
+        // populate the per-dir memo caches). With no configured root the
+        // operator has opted into the same trust model as registering
+        // tables from URIs: local/dev use only.
+        val dir = queryParams(req).get("dir") match {
+          case Some(d) =>
+            engine.pipelineDir.foreach { root =>
+              val rp = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+              val dp = java.nio.file.Paths.get(d).toAbsolutePath.normalize
+              if (!dp.startsWith(rp))
+                throw ApiError(403, "forbidden",
+                  s"`dir` must be under the configured pipeline dir")
+            }
+            d
+          case None => engine.pipelineDir.getOrElse(
+            throw ApiError(400, "bad_request",
+              "no `dir` param and no configured pipeline dir"))
+        }
         queryResponse(q(engine.spark, dir), req.accept)
       case ("GET", List("api", "kv", name, key)) =>
         engine.kvGet(name, key) match {

@@ -61,6 +61,28 @@ class Http2AppSpec extends SparkSpec {
     assert(r2.body().startsWith("[{\"r_regionkey\":0"))
   }
 
+  test("CORS headers ride both h2 and the 1.1-fallback transports") {
+    // same permissive layer as the HTTP/1.1 frontend
+    // (roapi/src/server/http/mod.rs:61-66): allow-origin on every
+    // response, preflight OPTIONS 204 with the methods list
+    val c2 = client(HttpClient.Version.HTTP_2)
+    val r2 = postSql(c2, app.boundPort, "SELECT count(*) AS n FROM h2_region")
+    assert(r2.version() === HttpClient.Version.HTTP_2)
+    assert(r2.headers().firstValue("access-control-allow-origin").get == "*")
+    val c1 = client(HttpClient.Version.HTTP_1_1)
+    val r1 = postSql(c1, app.boundPort, "SELECT count(*) AS n FROM h2_region")
+    assert(r1.headers().firstValue("Access-Control-Allow-Origin").get == "*")
+    val pre = c2.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${app.boundPort}/api/sql"))
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+      .header("Origin", "http://elsewhere.example")
+      .header("Access-Control-Request-Method", "POST").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(pre.statusCode() === 204)
+    assert(pre.headers().firstValue("access-control-allow-origin").get == "*")
+    assert(pre.headers().firstValue("access-control-allow-methods").get.contains("POST"))
+  }
+
   test("REST route with query params and error bodies work over h2") {
     val c = client(HttpClient.Version.HTTP_2)
     val ok = get(c, app.boundPort, "/api/tables/h2_region?limit=2&columns=r_name")

@@ -38,6 +38,23 @@ class HttpAppSpec extends SparkSpec {
     assert(r.body().startsWith("""[{"r_regionkey":0,"r_name":"""))
   }
 
+  test("CORS: allow-origin on /api/sql responses, preflight OPTIONS answers 204") {
+    // the reference wraps every route in a permissive CORS layer
+    // (roapi/src/server/http/mod.rs:61-66) — without it a browser page on
+    // another origin cannot call the API at all
+    val r = post("/api/sql", "SELECT r_regionkey FROM region LIMIT 1")
+    assert(r.headers().firstValue("Access-Control-Allow-Origin").get == "*")
+    val pre = client.send(HttpRequest.newBuilder(URI.create(base + "/api/sql"))
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+      .header("Origin", "http://elsewhere.example")
+      .header("Access-Control-Request-Method", "POST").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(pre.statusCode() == 204)
+    assert(pre.headers().firstValue("Access-Control-Allow-Origin").get == "*")
+    assert(pre.headers().firstValue("Access-Control-Allow-Methods").get.contains("POST"))
+    assert(pre.headers().firstValue("Access-Control-Allow-Headers").isPresent)
+  }
+
   test("GET /api/tables/{t} applies REST params") {
     val r = get("/api/tables/nation?filter[n_regionkey]=0&columns=n_name&sort=n_name&limit=2")
     assert(r.statusCode() == 200)
@@ -105,6 +122,30 @@ class HttpAppSpec extends SparkSpec {
     val nodir = get("/api/pipeline/doc_quality")
     assert(nodir.statusCode() == 400)
     assert(nodir.body().contains("bad_request"))
+  }
+
+  test("pipeline route: a configured pipeline dir CONSTRAINS `dir` overrides") {
+    // round-9 advice: `dir` is a client-supplied filesystem path — when a
+    // root is configured it must be a constraint, not just a default
+    val e2 = new Engine(spark, readOnly = true, pipelineDir = Some(sf0001))
+    val app2 = new HttpApp(e2, 0).start()
+    try {
+      val base2 = s"http://127.0.0.1:${app2.boundPort}"
+      def get2(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(base2 + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      // no dir param: the configured root serves
+      assert(get2("/api/pipeline/doc_quality").statusCode() == 200)
+      // dir under the root (here: the root itself) is allowed
+      val sameDir = java.net.URLEncoder.encode(sf0001, "UTF-8")
+      assert(get2(s"/api/pipeline/doc_quality?dir=$sameDir").statusCode() == 200)
+      // a path outside the root — including a ../ escape — is refused
+      val outside = java.net.URLEncoder.encode("/root/testdata/sf0.01", "UTF-8")
+      val r = get2(s"/api/pipeline/doc_quality?dir=$outside")
+      assert(r.statusCode() == 403 && r.body().contains("forbidden"))
+      val escape = java.net.URLEncoder.encode(s"$sf0001/../sf0.01", "UTF-8")
+      assert(get2(s"/api/pipeline/doc_quality?dir=$escape").statusCode() == 403)
+    } finally app2.stop()
   }
 
   test("GET /api/kv/{name}/{key} and 404 error shape") {
