@@ -296,6 +296,27 @@ object FlightProto {
     }
   }
 
+  /** `optional int32 data_type = 1` — when present, filters the xdbc type
+    * table to that SQL data type code. */
+  final case class CommandGetXdbcTypeInfo(dataType: Option[Long]) {
+    def encode: Array[Byte] = {
+      val w = new Writer()
+      dataType.foreach(w.int64Always(1, _))
+      w.result()
+    }
+  }
+  object CommandGetXdbcTypeInfo {
+    val Url = AnyMsg.SqlPrefix + "CommandGetXdbcTypeInfo"
+    def parse(b: Array[Byte]): CommandGetXdbcTypeInfo = {
+      val r = new Reader(b); var dt: Option[Long] = None
+      while (r.hasNext) r.readTag() match {
+        case (1, 0) => dt = Some(r.readVarint())
+        case (_, w) => r.skip(w)
+      }
+      CommandGetXdbcTypeInfo(dt)
+    }
+  }
+
   final case class ActionCreatePreparedStatementRequest(query: String) {
     def encode: Array[Byte] = new Writer().string(1, query).result()
   }

@@ -45,9 +45,12 @@ import FlightProto._
   *   - catalog ops GetCatalogs/GetDbSchemas/GetTables with LIKE filter
   *     patterns and the reference's first-requested-type labeling quirk
   *     (flight_sql.rs:614-702); catalog = "graft", schema = "public"
-  *   - GetSchema for ad-hoc descriptors; TableTypes/SqlInfo and the
-  *     transaction surface answer UNIMPLEMENTED like the reference's
-  *     unimplemented arms. */
+  *   - GetSqlInfo's (info_name, dense_union) server metadata and
+  *     GetXdbcTypeInfo's 19-column type table serving the reference's
+  *     single INTEGER entry (flight_sql.rs:75-99, 765-779)
+  *   - GetSchema for ad-hoc descriptors; TableTypes and the transaction
+  *     surface answer UNIMPLEMENTED like the reference's unimplemented
+  *     arms. */
 final class FlightSqlServer(engine: Engine, port: Int = 0,
                             authBasic: Option[(String, String)] = None,
                             authTokenCfg: Option[String] = None) {
@@ -286,6 +289,10 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
       case CommandGetSqlInfo.Url =>
         val (schema, _) = sqlInfoPayload(CommandGetSqlInfo.parse(any.value).info)
         FlightInfo(schema, desc, Ticket(desc.cmd))
+      case CommandGetXdbcTypeInfo.Url =>
+        val (schema, _) = xdbcTypeInfoPayload(
+          CommandGetXdbcTypeInfo.parse(any.value).dataType)
+        FlightInfo(schema, desc, Ticket(desc.cmd))
       case CommandGetTableTypes.Url =>
         // parity: the reference's get_flight_info_table_types is an
         // unimplemented arm too (flight_sql.rs:504-512)
@@ -321,6 +328,9 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
           GraftArrowBridge.toIpcStreamBytes(catalogCommandDf(any))).iterator.map(_.encode)
       case CommandGetSqlInfo.Url =>
         sqlInfoPayload(CommandGetSqlInfo.parse(any.value).info)._2.iterator.map(_.encode)
+      case CommandGetXdbcTypeInfo.Url =>
+        xdbcTypeInfoPayload(CommandGetXdbcTypeInfo.parse(any.value).dataType)
+          ._2.iterator.map(_.encode)
       case url => throw GrpcError(UNIMPLEMENTED, s"do_get: unsupported ticket: $url")
     }
   }
@@ -395,6 +405,93 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
       (ArrowIpcFrames.encapsulatedSchema(root.getSchema),
         ArrowIpcFrames.split(out.toByteArray))
     } finally { names.close(); union.close(); alloc.close() }
+  }
+
+  /** Xdbc type metadata for CommandGetXdbcTypeInfo (reference:
+    * flight_sql.rs:75-99 declares exactly ONE type row — INTEGER — and
+    * :765-779 serves it; JDBC/ODBC-style Arrow clients ask for this table
+    * during connection setup). The 19-column result schema is the PUBLIC
+    * FlightSql.proto contract for the command; the command's optional
+    * data_type field filters rows by SQL type code, exactly like the
+    * arrow XdbcTypeInfoData builder the reference delegates to. Returns
+    * (encapsulated schema bytes, FlightData frames). */
+  private def xdbcTypeInfoPayload(dataTypeFilter: Option[Long])
+      : (Array[Byte], Seq[FlightData]) = {
+    import org.apache.arrow.vector.{BitVector, FieldVector, IntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.ListVector
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    val XdbcInteger = 4L      // XdbcDataType::XDBC_INTEGER
+    val NullabilityNullable = 1 // Nullable::NULLABILITY_NULLABLE
+    val SearchableFull = 3      // Searchable::SEARCHABLE_FULL
+    val utf8 = ArrowType.Utf8.INSTANCE
+    val i32 = new ArrowType.Int(32, true)
+    val bool = ArrowType.Bool.INSTANCE
+    def field(name: String, t: ArrowType, nullable: Boolean): Field =
+      new Field(name, if (nullable) FieldType.nullable(t) else FieldType.notNullable(t), null)
+    val fields: Seq[Field] = Seq(
+      field("type_name", utf8, nullable = false),
+      field("data_type", i32, nullable = false),
+      field("column_size", i32, nullable = true),
+      field("literal_prefix", utf8, nullable = true),
+      field("literal_suffix", utf8, nullable = true),
+      new Field("create_params", FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.Arrays.asList(field("item", utf8, nullable = false))),
+      field("nullable", i32, nullable = false),
+      field("case_sensitive", bool, nullable = false),
+      field("searchable", i32, nullable = false),
+      field("unsigned_attribute", bool, nullable = true),
+      field("fixed_prec_scale", bool, nullable = false),
+      field("auto_increment", bool, nullable = true),
+      field("local_type_name", utf8, nullable = true),
+      field("minimum_scale", i32, nullable = true),
+      field("maximum_scale", i32, nullable = true),
+      field("sql_data_type", i32, nullable = false),
+      field("datetime_subcode", i32, nullable = true),
+      field("num_prec_radix", i32, nullable = true),
+      field("interval_precision", i32, nullable = true))
+    // the single INTEGER row, dropped when a data_type filter excludes it
+    val nRows = if (dataTypeFilter.forall(_ == XdbcInteger)) 1 else 0
+    val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    val vectors: Seq[FieldVector] = fields.map(_.createVector(alloc))
+    try {
+      vectors.foreach(_.allocateNew())
+      if (nRows == 1) {
+        def str(name: String, v: String): Unit =
+          vectors(fields.indexWhere(_.getName == name)).asInstanceOf[VarCharVector]
+            .setSafe(0, v.getBytes(UTF_8))
+        def int(name: String, v: Int): Unit =
+          vectors(fields.indexWhere(_.getName == name)).asInstanceOf[IntVector]
+            .setSafe(0, v)
+        def bit(name: String, v: Boolean): Unit =
+          vectors(fields.indexWhere(_.getName == name)).asInstanceOf[BitVector]
+            .setSafe(0, if (v) 1 else 0)
+        // values mirror the reference's XdbcTypeInfo INTEGER entry
+        // (flight_sql.rs:77-97); unset columns stay NULL
+        str("type_name", "INTEGER")
+        int("data_type", XdbcInteger.toInt)
+        int("column_size", 32)
+        int("nullable", NullabilityNullable)
+        bit("case_sensitive", v = false)
+        int("searchable", SearchableFull)
+        bit("unsigned_attribute", v = false)
+        bit("fixed_prec_scale", v = false)
+        bit("auto_increment", v = false)
+        str("local_type_name", "INTEGER")
+        int("sql_data_type", XdbcInteger.toInt)
+        int("num_prec_radix", 2)
+      }
+      vectors.foreach(_.setValueCount(nRows))
+      // an unset ListVector child needs its own count stamped
+      vectors.collect { case l: ListVector => l.getDataVector.setValueCount(0) }
+      val root = new VectorSchemaRoot(vectors.asJava)
+      root.setRowCount(nRows)
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+        root, null, java.nio.channels.Channels.newChannel(out))
+      w.start(); w.writeBatch(); w.end(); w.close()
+      (ArrowIpcFrames.encapsulatedSchema(root.getSchema),
+        ArrowIpcFrames.split(out.toByteArray))
+    } finally { vectors.foreach(_.close()); alloc.close() }
   }
 
   // ---- catalog metadata batches --------------------------------------------

@@ -21,6 +21,10 @@ object ProtoWire {
     private def tag(field: Int, wire: Int): Writer = varintRaw((field.toLong << 3) | wire)
     def int64(field: Int, v: Long): Writer =
       if (v == 0) this else { tag(field, 0); varintRaw(v) }
+    /** Explicit-presence variant for proto3 `optional` scalars: writes the
+      * field even when the value is 0 (absence, not zero-ness, carries the
+      * meaning there). */
+    def int64Always(field: Int, v: Long): Writer = { tag(field, 0); varintRaw(v) }
     def bool(field: Int, v: Boolean): Writer = if (v) int64(field, 1) else this
     def bytes(field: Int, b: Array[Byte]): Writer =
       if (b == null || b.isEmpty) this else bytesAlways(field, b)

@@ -255,6 +255,63 @@ class FlightSqlSpec extends SparkSpec {
     assert(infoRows(Seq(2L)) === Seq((2L, "1.3")))
   }
 
+  test("get_xdbc_type_info serves the reference's INTEGER row; data_type filters") {
+    // reference: flight_sql.rs:75-99 declares one INTEGER XdbcTypeInfo row,
+    // :765-779 serves it through the builder; schema is the public
+    // FlightSql.proto contract for the command
+    def xdbcStream(filter: Option[Long]): Array[Byte] = {
+      val desc = FlightDescriptor.cmd(AnyMsg(CommandGetXdbcTypeInfo.Url,
+        CommandGetXdbcTypeInfo(filter).encode).encode)
+      val info = FlightInfo.parse(callOk("GetFlightInfo", desc.encode).head)
+      ArrowIpcFrames.reassemble(
+        callOk("DoGet", info.ticket.encode).map(FlightData.parse))
+    }
+    def withRoot[A](filter: Option[Long])(
+        f: org.apache.arrow.vector.VectorSchemaRoot => A): A = {
+      val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(xdbcStream(filter)), alloc)
+      try { assert(reader.loadNextBatch()); f(reader.getVectorSchemaRoot) }
+      finally { reader.close(); alloc.close() }
+    }
+    withRoot(None) { root =>
+      import scala.jdk.CollectionConverters._
+      val fields = root.getSchema.getFields.asScala
+      assert(fields.map(_.getName).toSeq === Seq("type_name", "data_type",
+        "column_size", "literal_prefix", "literal_suffix", "create_params",
+        "nullable", "case_sensitive", "searchable", "unsigned_attribute",
+        "fixed_prec_scale", "auto_increment", "local_type_name",
+        "minimum_scale", "maximum_scale", "sql_data_type",
+        "datetime_subcode", "num_prec_radix", "interval_precision"))
+      // spec nullability: the seven not-null columns of the contract
+      val notNull = fields.filterNot(_.isNullable).map(_.getName).toSet
+      assert(notNull === Set("type_name", "data_type", "nullable",
+        "case_sensitive", "searchable", "fixed_prec_scale", "sql_data_type"))
+      assert(root.getRowCount === 1)
+      def v(name: String) = root.getVector(name)
+      assert(String.valueOf(v("type_name").getObject(0)) === "INTEGER")
+      assert(v("data_type").getObject(0) === 4) // XDBC_INTEGER
+      assert(v("column_size").getObject(0) === 32)
+      assert(v("literal_prefix").isNull(0) && v("literal_suffix").isNull(0))
+      assert(v("create_params").isNull(0))
+      assert(v("nullable").getObject(0) === 1) // NULLABILITY_NULLABLE
+      assert(v("case_sensitive").getObject(0) === false)
+      assert(v("searchable").getObject(0) === 3) // SEARCHABLE_FULL
+      assert(v("unsigned_attribute").getObject(0) === false)
+      assert(v("fixed_prec_scale").getObject(0) === false)
+      assert(v("auto_increment").getObject(0) === false)
+      assert(String.valueOf(v("local_type_name").getObject(0)) === "INTEGER")
+      assert(v("minimum_scale").isNull(0) && v("maximum_scale").isNull(0))
+      assert(v("sql_data_type").getObject(0) === 4)
+      assert(v("datetime_subcode").isNull(0))
+      assert(v("num_prec_radix").getObject(0) === 2)
+      assert(v("interval_precision").isNull(0))
+    }
+    // the optional data_type filter keeps the row iff it matches
+    withRoot(Some(4L))(root => assert(root.getRowCount === 1))
+    withRoot(Some(12L))(root => assert(root.getRowCount === 0))
+  }
+
   test("GetSchema answers without executing; unknown methods are UNIMPLEMENTED") {
     val sr = callOk("GetSchema", FlightDescriptor.cmd(AnyMsg(CommandStatementQuery.Url,
       CommandStatementQuery("SELECT lat, lng FROM uk_cities").encode).encode).encode)
