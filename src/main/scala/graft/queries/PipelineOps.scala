@@ -892,14 +892,16 @@ object PipelineOps {
       similarityJoin(d, threshold = 0.25, maxCandidatePairs = 1e7)
     }),
 
-    // SimHash near-dup: hamming distance <= 3 via multi-chunk pigeonhole.
-    // 5 chunks / 2-chunk combo keys give a ~2^26 bucket space (vs the 65k
-    // ceiling of single 16-bit chunks), so buckets stay small as the corpus
-    // grows; candidate generation is provably complete for hamming <= 3 and
-    // the exact bit_count filter keeps the result identical.
+    // SimHash near-dup: hamming distance <= 3 via multi-chunk pigeonhole,
+    // chunk geometry picked by MEASURED corpus size ([[simhashNearDupAdaptive]],
+    // round-9 verdict #5): small corpora take the 4-key/doc 16-bit-chunk
+    // scheme, corpora past ~2^18 docs take 5-chunk/2-combo keys whose
+    // ~2^26 bucket space keeps buckets small at scale. Either way the
+    // candidate set is provably complete for hamming <= 3 and the exact
+    // bit_count filter makes the result scheme-invariant.
     "dedup_simhash" -> ((spark, dir) => {
       val d = docs(spark, dir).select(col("doc_id"), simhash64(col("text")).as("sh"))
-      simhashNearDup(d, maxHamming = 3, chunks = 5, comboSize = 2)
+      simhashNearDupAdaptive(d, maxHamming = 3)
     }),
 
     // Exact n-gram Jaccard similarity join, physical plan auto-selected:
@@ -3560,6 +3562,23 @@ object PipelineOps {
     * whenever comboSize <= chunks - maxHamming. Larger combos = exponentially
     * more bucket values (width·comboSize bits) = smaller buckets at scale;
     * the exact bit_count filter keeps the result identical to brute force. */
+  /** Occupancy-adaptive chunk geometry (round-9 verdict #5): any scheme
+    * with comboSize <= chunks - maxHamming is candidate-complete, so the
+    * schemes differ ONLY in keys-per-doc vs bucket-space size — (4,1)
+    * pays 4 keys/doc into 2^16 buckets, (5,2) pays 10 keys/doc into
+    * ~2^26. One row count picks the cheap scheme while expected 16-bit
+    * bucket occupancy stays bounded (the [[adaptiveLshBits]] move) and
+    * the wide scheme once the corpus outgrows it; the exact bit_count
+    * filter makes the pair set scheme-invariant (JaccardGuardSpec pins
+    * wide == classic), so the choice is invisible to results. */
+  def simhashNearDupAdaptive(d: DataFrame, maxHamming: Int,
+                             targetOcc: Long = 4L): DataFrame = {
+    val n = d.count()
+    val (chunks, comboSize) =
+      if (n <= (1L << 16) * targetOcc) (4, 1) else (5, 2)
+    simhashNearDup(d, maxHamming, chunks, comboSize)
+  }
+
   def simhashNearDup(d: DataFrame, maxHamming: Int, chunks: Int, comboSize: Int): DataFrame = {
     require(comboSize >= 1 && comboSize <= chunks - maxHamming,
       s"comboSize must be in [1, chunks - maxHamming] = [1, ${chunks - maxHamming}]")

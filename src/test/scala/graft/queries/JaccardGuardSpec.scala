@@ -87,6 +87,21 @@ class JaccardGuardSpec extends AnyFunSuite {
     assert(PipelineOps.simhashNearDup(d2, 3, 5, 2).count() === 0)
   }
 
+  test("adaptive simhash: classic scheme below the occupancy bound, same pairs") {
+    val d = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val adaptive = PipelineOps.simhashNearDupAdaptive(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val classic = PipelineOps.simhashNearDup(d, 3, chunks = 4, comboSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adaptive === classic)
+    // forcing a tiny occupancy bound flips to the wide scheme — still the
+    // same pair set (the exact filter makes geometry invisible)
+    val wide = PipelineOps.simhashNearDupAdaptive(d, maxHamming = 3, targetOcc = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide === classic)
+  }
+
   test("invalid combo geometry is rejected") {
     import spark.implicits._
     val d = Seq((1L, 1L)).toDF("doc_id", "sh")
