@@ -42,6 +42,7 @@ object Loaders {
           fetchBytes(src.uri, httpHeaders(src), spark.sparkContext.hadoopConfiguration))
       case "xlsx" | "ods" | "xls" | "xlsb" => ExcelLoader.load(spark, src)
       case "delta" => DeltaLoader.load(spark, src)
+      case "iceberg" => IcebergLoader.load(spark, src)
       case "google_spreadsheet" | "gsheet" => GsheetLoader.load(spark, src)
       case "jdbc" | "mysql" | "postgres" | "sqlite" => jdbc(spark, src)
       case other => throw new IllegalArgumentException(

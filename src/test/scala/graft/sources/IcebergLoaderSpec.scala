@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Iceberg reader over byte-built fixtures: metadata JSON + Avro manifest
+  * lists/manifests written directly from the public spec (the
+  * DeltaLoaderSpec discipline — no iceberg library exists offline, which
+  * is also what keeps the reader honest against the WIRE format rather
+  * than a client API). */
+class IcebergLoaderSpec extends SparkSpec {
+
+  // ---- fixture building -----------------------------------------------------
+
+  private def newTableDir(): String =
+    Files.createTempDirectory("graft_iceberg").toString
+
+  /** Writes df as ONE parquet file at exactly `target`. */
+  private def writeDataFile(df: DataFrame, target: File): Unit = {
+    val tmp = Files.createTempDirectory("ice_pq").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    target.getParentFile.mkdirs()
+    Files.move(part.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def writeAvro(schema: Schema, recs: Seq[GenericRecord], target: File): Unit = {
+    target.getParentFile.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, target)
+    recs.foreach(w.append)
+    w.close()
+  }
+
+  /** v2 manifest entry schema — the spec fields the reader consumes plus
+    * the always-present bookkeeping ones. */
+  private val manifestSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  /** v1 manifest entry schema — no content fields anywhere. */
+  private val manifestSchemaV1: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  private def entryV2(status: Int, content: Int, path: String,
+                      format: String = "PARQUET"): GenericRecord = {
+    val e = new GenericData.Record(manifestSchemaV2)
+    val d = new GenericData.Record(manifestSchemaV2.getField("data_file").schema())
+    d.put("content", content)
+    d.put("file_path", path)
+    d.put("file_format", format)
+    d.put("record_count", 0L)
+    d.put("file_size_in_bytes", 0L)
+    e.put("status", status)
+    e.put("data_file", d)
+    e
+  }
+
+  private def entryV1(status: Int, path: String): GenericRecord = {
+    val e = new GenericData.Record(manifestSchemaV1)
+    val d = new GenericData.Record(manifestSchemaV1.getField("data_file").schema())
+    d.put("file_path", path)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", 0L)
+    d.put("file_size_in_bytes", 0L)
+    e.put("status", status)
+    e.put("data_file", d)
+    e
+  }
+
+  private def listEntry(path: String, content: Int, snap: Long = 1L): GenericRecord = {
+    val m = new GenericData.Record(manifestListSchema)
+    m.put("manifest_path", path)
+    m.put("manifest_length", 0L)
+    m.put("partition_spec_id", 0)
+    m.put("content", content)
+    m.put("added_snapshot_id", snap)
+    m
+  }
+
+  private val schemaFieldsJson =
+    """[{"id":1,"name":"id","required":true,"type":"long"},
+      |{"id":2,"name":"name","required":false,"type":"string"},
+      |{"id":3,"name":"score","required":false,"type":"double"}]""".stripMargin
+
+  private def metadataV2(dir: String, snapshots: String, currentId: Long): String =
+    s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000001",
+       |"location":"$dir","last-sequence-number":1,"last-updated-ms":0,
+       |"last-column-id":3,
+       |"current-schema-id":0,
+       |"schemas":[{"type":"struct","schema-id":0,"fields":$schemaFieldsJson}],
+       |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+       |"last-partition-id":999,"default-sort-order-id":0,
+       |"sort-orders":[{"order-id":0,"fields":[]}],
+       |"current-snapshot-id":$currentId,
+       |"snapshots":[$snapshots]}""".stripMargin
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  private def docs(xs: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    xs.toDF("id", "name", "score")
+      .select(col("id"), col("name"), col("score"))
+  }
+
+  private def load(dir: String, opts: Map[String, String] = Map.empty): DataFrame =
+    Loaders.load(spark, TableSource("ice_t", dir, Some("iceberg"), options = opts))
+
+  /** The standard two-file v2 fixture; returns (dir, data paths). */
+  private def buildV2Table(withDeletes: Boolean = false): String = {
+    val dir = newTableDir()
+    val f1 = s"$dir/data/a.parquet"
+    val f2 = s"$dir/data/b.parquet"
+    writeDataFile(docs((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5)),
+      new File(f1))
+    writeDataFile(docs((4L, "delta", 4.5), (5L, "epsilon", 5.5)), new File(f2))
+    writeAvro(manifestSchemaV2,
+      Seq(entryV2(1, 0, f1), entryV2(1, 0, f2)),
+      new File(s"$dir/metadata/m0.avro"))
+    val manifests = Seq.newBuilder[GenericRecord]
+    manifests += listEntry(s"$dir/metadata/m0.avro", content = 0)
+    if (withDeletes) {
+      // position delete file: drop (a.parquet, pos 1) = id 2 and
+      // (b.parquet, pos 0) = id 4
+      import spark.implicits._
+      writeDataFile(
+        Seq((f1, 1L), (f2, 0L)).toDF("file_path", "pos"),
+        new File(s"$dir/data/del0.parquet"))
+      writeAvro(manifestSchemaV2,
+        Seq(entryV2(1, 1, s"$dir/data/del0.parquet")),
+        new File(s"$dir/metadata/m1.avro"))
+      manifests += listEntry(s"$dir/metadata/m1.avro", content = 1)
+    }
+    writeAvro(manifestListSchema, manifests.result(),
+      new File(s"$dir/metadata/snap-1.avro"))
+    val meta = metadataV2(dir,
+      s"""{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+         |"manifest-list":"$dir/metadata/snap-1.avro",
+         |"summary":{"operation":"append"}}""".stripMargin, currentId = 1L)
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath, meta)
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    dir
+  }
+
+  // ---- tests ----------------------------------------------------------------
+
+  test("v2 table: schema from metadata JSON, rows from manifest-listed parquet") {
+    // required/optional fidelity lives in the converted table schema; the
+    // scan itself reads nullable like every Spark file source
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = buildV2Table()
+    assert(IcebergLoader.tableSchema(IcebergLoader.currentMetadata(fs, dir)) ===
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("score", DoubleType, nullable = true))))
+    val df = load(dir)
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("id", LongType), ("name", StringType), ("score", DoubleType)))
+    assert(rows(df) === Set((1L, "alpha", 1.5), (2L, "beta", 2.5),
+      (3L, "gamma", 3.5), (4L, "delta", 4.5), (5L, "epsilon", 5.5)))
+  }
+
+  test("manifest entries with status DELETED are not part of the snapshot") {
+    val dir = newTableDir()
+    val f1 = s"$dir/data/a.parquet"
+    val f2 = s"$dir/data/b.parquet"
+    writeDataFile(docs((1L, "keep", 1.0)), new File(f1))
+    writeDataFile(docs((2L, "gone", 2.0)), new File(f2))
+    writeAvro(manifestSchemaV2,
+      Seq(entryV2(0, 0, f1), entryV2(2, 0, f2)), // status 2 = DELETED
+      new File(s"$dir/metadata/m0.avro"))
+    writeAvro(manifestListSchema, Seq(listEntry(s"$dir/metadata/m0.avro", 0)),
+      new File(s"$dir/metadata/snap-1.avro"))
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath,
+      metadataV2(dir,
+        s"""{"snapshot-id":1,"manifest-list":"$dir/metadata/snap-1.avro"}""",
+        currentId = 1L))
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    assert(rows(load(dir)) === Set((1L, "keep", 1.0)))
+  }
+
+  test("v2 position deletes remove exactly the tombstoned (file, row) pairs") {
+    val df = load(buildV2Table(withDeletes = true))
+    // a.parquet pos 1 (id 2) and b.parquet pos 0 (id 4) are deleted
+    assert(rows(df) === Set((1L, "alpha", 1.5), (3L, "gamma", 3.5),
+      (5L, "epsilon", 5.5)))
+  }
+
+  test("v1 table: legacy schema field and inline snapshot manifests") {
+    val dir = newTableDir()
+    val f1 = s"$dir/data/a.parquet"
+    writeDataFile(docs((7L, "v1row", 7.0)), new File(f1))
+    writeAvro(manifestSchemaV1, Seq(entryV1(1, f1)),
+      new File(s"$dir/metadata/m0.avro"))
+    val meta =
+      s"""{"format-version":1,"table-uuid":"00000000-0000-0000-0000-000000000002",
+         |"location":"$dir","last-updated-ms":0,"last-column-id":3,
+         |"schema":{"type":"struct","fields":$schemaFieldsJson},
+         |"partition-spec":[],
+         |"current-snapshot-id":9,
+         |"snapshots":[{"snapshot-id":9,"timestamp-ms":0,
+         |  "manifests":["$dir/metadata/m0.avro"]}]}""".stripMargin
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath, meta)
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    assert(rows(load(dir)) === Set((7L, "v1row", 7.0)))
+  }
+
+  test("equality deletes fail loudly") {
+    val dir = newTableDir()
+    val f1 = s"$dir/data/a.parquet"
+    writeDataFile(docs((1L, "x", 1.0)), new File(f1))
+    writeAvro(manifestSchemaV2,
+      Seq(entryV2(1, 0, f1)), new File(s"$dir/metadata/m0.avro"))
+    writeAvro(manifestSchemaV2,
+      Seq(entryV2(1, 2, s"$dir/data/eq-del.parquet")), // content 2 = equality
+      new File(s"$dir/metadata/m1.avro"))
+    writeAvro(manifestListSchema,
+      Seq(listEntry(s"$dir/metadata/m0.avro", 0),
+        listEntry(s"$dir/metadata/m1.avro", 1)),
+      new File(s"$dir/metadata/snap-1.avro"))
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath,
+      metadataV2(dir,
+        s"""{"snapshot-id":1,"manifest-list":"$dir/metadata/snap-1.avro"}""",
+        currentId = 1L))
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    val e = intercept[IllegalArgumentException](load(dir).collect())
+    assert(e.getMessage.contains("equality deletes"))
+  }
+
+  test("snapshot-id option time-travels to an older snapshot") {
+    val dir = newTableDir()
+    val f1 = s"$dir/data/a.parquet"
+    val f2 = s"$dir/data/b.parquet"
+    writeDataFile(docs((1L, "first", 1.0)), new File(f1))
+    writeDataFile(docs((2L, "second", 2.0)), new File(f2))
+    writeAvro(manifestSchemaV2, Seq(entryV2(1, 0, f1)),
+      new File(s"$dir/metadata/m0.avro"))
+    writeAvro(manifestSchemaV2, Seq(entryV2(0, 0, f1), entryV2(1, 0, f2)),
+      new File(s"$dir/metadata/m1.avro"))
+    writeAvro(manifestListSchema, Seq(listEntry(s"$dir/metadata/m0.avro", 0)),
+      new File(s"$dir/metadata/snap-1.avro"))
+    writeAvro(manifestListSchema, Seq(listEntry(s"$dir/metadata/m1.avro", 0, 2L)),
+      new File(s"$dir/metadata/snap-2.avro"))
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath,
+      metadataV2(dir,
+        s"""{"snapshot-id":1,"manifest-list":"$dir/metadata/snap-1.avro"},
+           |{"snapshot-id":2,"manifest-list":"$dir/metadata/snap-2.avro"}""".stripMargin,
+        currentId = 2L))
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    assert(rows(load(dir)) === Set((1L, "first", 1.0), (2L, "second", 2.0)))
+    assert(rows(load(dir, Map("snapshot-id" -> "1"))) === Set((1L, "first", 1.0)))
+    val e = intercept[IllegalArgumentException](
+      load(dir, Map("snapshot-id" -> "77")).collect())
+    assert(e.getMessage.contains("snapshot 77 not found"))
+  }
+
+  test("relocated table: metadata location prefix remaps to the actual root") {
+    val dir = buildV2Table(withDeletes = true)
+    // move the whole table to a new directory; all recorded paths still
+    // name the OLD location
+    val moved = newTableDir() + "/relocated"
+    Files.move(new File(dir).toPath, new File(moved).toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(rows(load(moved)) === Set((1L, "alpha", 1.5), (3L, "gamma", 3.5),
+      (5L, "epsilon", 5.5)))
+  }
+
+  test("non-Iceberg directory and bad format-version fail loudly") {
+    val dir = newTableDir()
+    val e = intercept[IllegalArgumentException](load(dir))
+    assert(e.getMessage.contains("not an Iceberg table"))
+    new File(s"$dir/metadata").mkdirs()
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath,
+      s"""{"format-version":3,"location":"$dir"}""")
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    val e2 = intercept[IllegalArgumentException](load(dir))
+    assert(e2.getMessage.contains("format-version 3"))
+  }
+}
