@@ -42,7 +42,8 @@ object Config {
                           flightAddr: Option[(String, Int)] = None,
                           flightAuthBasic: Option[(String, String)] = None,
                           flightAuthToken: Option[String] = None,
-                          datafusionConf: Map[String, String] = Map.empty) {
+                          datafusionConf: Map[String, String] = Map.empty,
+                          flightTls: Option[graft.server.flight.FlightSqlServer.Tls] = None) {
     /** `datafusion.sql_parser.dialect` from the reference's config surface
       * (roapi/src/config.rs:246-261, roapi/tests/config_test.rs:12-17). */
     def sqlDialect: Option[String] = datafusionConf.get("sql_parser.dialect")
@@ -105,10 +106,18 @@ object Config {
           .map { case (k2, v) => s"$k.$k2" -> String.valueOf(v) }
       case (k, v) => Seq(k -> String.valueOf(v))
     }.toMap
+    // flight_sql_config.tls: PEM cert/key + client CA, all three required
+    // when the block is present (the reference struct's fields are
+    // non-optional Strings — roapi/src/config.rs FlightSqlTlsConfig)
+    val flightTls = Option(fsc.get("tls")).map { t =>
+      val m = obj(t)
+      graft.server.flight.FlightSqlServer.Tls(
+        str(m, "cert"), str(m, "key"), str(m, "client_ca"))
+    }
     Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
       tables, kvs, sparkConf, splitAddr(addr.get("http2")),
       splitAddr(addr.get("flight_sql")), authBasic,
-      Option(fsc.get("auth_token")).map(_.toString), dfConf)
+      Option(fsc.get("auth_token")).map(_.toString), dfConf, flightTls)
   }
 
   private def obj(v: Object): java.util.Map[String, Object] = v match {

@@ -102,8 +102,9 @@ object ServerMain {
     cfg.flightAddr.map(_._2)
       .orElse(sys.env.get("GRAFT_FLIGHT_PORT").map(_.toInt)).foreach { p =>
       val fs = new graft.server.flight.FlightSqlServer(
-        engine, p, cfg.flightAuthBasic, cfg.flightAuthToken).start()
-      println(s"graft flight-sql (grpc/h2c) listening on 127.0.0.1:${fs.boundPort}")
+        engine, p, cfg.flightAuthBasic, cfg.flightAuthToken, cfg.flightTls).start()
+      val proto = if (cfg.flightTls.isDefined) "grpc/tls" else "grpc/h2c"
+      println(s"graft flight-sql ($proto) listening on 127.0.0.1:${fs.boundPort}")
     }
     Thread.currentThread().join()
   }

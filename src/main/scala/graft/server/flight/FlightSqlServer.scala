@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructTy
 import graft.server.Engine
 import FlightProto._
 
+object FlightSqlServer {
+  /** PEM paths, the reference's `flight_sql_config.tls` fields verbatim
+    * (roapi/src/config.rs FlightSqlTlsConfig: cert, key, client_ca). */
+  final case class Tls(cert: String, key: String, clientCa: String)
+}
+
 /** Arrow Flight SQL frontend (reference: roapi/src/server/flight_sql.rs).
   *
   * No tonic/grpc or arrow-flight jars exist on the offline classpath, so the
@@ -53,7 +59,8 @@ import FlightProto._
   *     arms. */
 final class FlightSqlServer(engine: Engine, port: Int = 0,
                             authBasic: Option[(String, String)] = None,
-                            authTokenCfg: Option[String] = None) {
+                            authTokenCfg: Option[String] = None,
+                            tls: Option[FlightSqlServer.Tls] = None) {
 
   private val CatalogName = "graft"
   private val SchemaName = "public"
@@ -76,17 +83,40 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
 
   def boundPort: Int = channel.localAddress.asInstanceOf[InetSocketAddress].getPort
 
+  /** Mutual-TLS context mirroring tonic's `ServerTlsConfig` as the reference
+    * configures it (flight_sql.rs:949-1021: PEM cert + key, and client_ca
+    * makes client-certificate verification REQUIRED). JDK SSL provider +
+    * ALPN h2 — no native or extra jars involved, so this works on the
+    * stock Spark classpath. */
+  private val sslCtx = tls.map { t =>
+    import io.netty.handler.ssl.{ApplicationProtocolConfig, ApplicationProtocolNames, ClientAuth, SslContextBuilder, SslProvider}
+    SslContextBuilder
+      .forServer(new java.io.File(t.cert), new java.io.File(t.key))
+      .trustManager(new java.io.File(t.clientCa))
+      .clientAuth(ClientAuth.REQUIRE)
+      .sslProvider(SslProvider.JDK)
+      .applicationProtocolConfig(new ApplicationProtocolConfig(
+        ApplicationProtocolConfig.Protocol.ALPN,
+        ApplicationProtocolConfig.SelectorFailureBehavior.NO_ADVERTISE,
+        ApplicationProtocolConfig.SelectedListenerFailureBehavior.ACCEPT,
+        ApplicationProtocolNames.HTTP_2))
+      .build()
+  }
+
   def start(): FlightSqlServer = {
     val b = new ServerBootstrap()
     b.group(group).channel(classOf[NioServerSocketChannel])
       .childHandler(new ChannelInitializer[SocketChannel] {
-        override def initChannel(ch: SocketChannel): Unit =
+        override def initChannel(ch: SocketChannel): Unit = {
+          sslCtx.foreach(c => ch.pipeline().addLast(c.newHandler(ch.alloc())))
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forServer().build(),
             new Http2MultiplexHandler(new ChannelInitializer[Channel] {
               override def initChannel(stream: Channel): Unit =
                 stream.pipeline().addLast(new GrpcStreamHandler)
             }))
+          ()
+        }
       })
     channel = b.bind("127.0.0.1", port).sync().channel()
     this

@@ -10,27 +10,54 @@ import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioSocketChannel
 import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap}
 
-/** Minimal gRPC-over-h2c test client (prior knowledge, one POST stream per
-  * call) — the spec's stand-in for an Arrow Flight SQL client library, which
-  * does not exist on the offline classpath. Speaks the same public wire
-  * contract the server implements, over a REAL TCP connection. */
-final class GrpcTestClient(host: String, port: Int) {
+object GrpcTestClient {
+  /** Client TLS: trust the server CA; optionally present a client
+    * certificate (PEM cert+key) for mutual TLS. */
+  final case class Tls(serverCa: String, clientCert: Option[(String, String)])
+}
+
+/** Minimal gRPC test client over h2c (prior knowledge) or TLS+ALPN, one
+  * POST stream per call — the spec's stand-in for an Arrow Flight SQL
+  * client library, which does not exist on the offline classpath. Speaks
+  * the same public wire contract the server implements, over a REAL TCP
+  * connection. */
+final class GrpcTestClient(host: String, port: Int,
+                           tls: Option[GrpcTestClient.Tls] = None) {
 
   final case class GrpcResponse(headers: Map[String, String],
                                 messages: Seq[Array[Byte]],
                                 status: Int, statusMessage: String)
+
+  private val sslCtx = tls.map { t =>
+    import io.netty.handler.ssl.{ApplicationProtocolConfig, ApplicationProtocolNames, SslContextBuilder, SslProvider}
+    val b = SslContextBuilder.forClient()
+      .trustManager(new java.io.File(t.serverCa))
+      .sslProvider(SslProvider.JDK)
+      .applicationProtocolConfig(new ApplicationProtocolConfig(
+        ApplicationProtocolConfig.Protocol.ALPN,
+        ApplicationProtocolConfig.SelectorFailureBehavior.NO_ADVERTISE,
+        ApplicationProtocolConfig.SelectedListenerFailureBehavior.ACCEPT,
+        ApplicationProtocolNames.HTTP_2))
+    t.clientCert.foreach { case (cert, key) =>
+      b.keyManager(new java.io.File(cert), new java.io.File(key)) }
+    b.build()
+  }
 
   private val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
   private val channel: Channel = {
     val b = new Bootstrap()
     b.group(group).channel(classOf[NioSocketChannel])
       .handler(new ChannelInitializer[SocketChannel] {
-        override def initChannel(ch: SocketChannel): Unit =
+        override def initChannel(ch: SocketChannel): Unit = {
+          sslCtx.foreach(c =>
+            ch.pipeline().addLast(c.newHandler(ch.alloc(), host, port)))
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forClient().build(),
             new Http2MultiplexHandler(new ChannelInitializer[Channel] {
               override def initChannel(ch: Channel): Unit = () // no server push
             }))
+          ()
+        }
       })
     b.connect(host, port).sync().channel()
   }
