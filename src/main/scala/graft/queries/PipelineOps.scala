@@ -1280,6 +1280,14 @@ object PipelineOps {
     "ann_ivf_pq" -> ((spark, dir) =>
       annIvfPq(embs(spark, dir), kCells = 16, nprobe = 4, m = 8, topK = 10)),
 
+    // two-stage serving: ADC shortlist (50, code-only scan) -> exact float
+    // re-rank of ONLY those rows to the final top-10 ([[annIvfPqRefine]] —
+    // the standard production recall fix; per-probe recall provably >=
+    // plain ADC's, spec-pinned)
+    "ann_ivf_pq_refine" -> ((spark, dir) =>
+      annIvfPqRefine(embs(spark, dir), kCells = 16, nprobe = 4, m = 8,
+        shortlist = 50, topK = 10)),
+
     // SemDeDup semantic dedup (see [[semDedup]] for the algorithm and the
     // bit-exact-oracle contract); defaults: occupancy 64, cosine >= 0.95
     "emb_semdedup" -> ((spark, dir) => semDedup(embs(spark, dir))),
@@ -4048,6 +4056,43 @@ object PipelineOps {
       donors.length, topK)
   }
 
+  /** Two-stage IVF-PQ serving: the ADC chain shortlists `shortlist`
+    * candidates per probe (quantized distances — cheap, code-only scan),
+    * then ONLY those rows re-rank by exact float distance — the standard
+    * production recall fix (a 64x-compressed code keeps ~the right
+    * neighborhood but reorders within it; re-ranking the shortlist
+    * restores exact order at shortlist/topK times the float reads of a
+    * brute-force scan, not corpus times). Scale shape: stage 1 reads
+    * 4-byte codes only; stage 2's float reads are bounded by
+    * |probes|·shortlist (an id-keyed join against the corpus — at 100 TB
+    * that is thousands of rows, not the corpus); the probe side
+    * broadcasts. Provable property (spec-pinned): per probe, refine
+    * recall >= plain ADC recall — every brute-top-k member present in
+    * the shortlist survives exact re-ranking (at most k-1 vectors beat
+    * it anywhere, so at most k-1 in the shortlist). */
+  def annIvfPqRefine(emb: DataFrame, kCells: Int, nprobe: Int, m: Int,
+                     shortlist: Int, topK: Int): DataFrame = {
+    val short = annIvfPq(emb, kCells, nprobe, m, topK = shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val exact = aggregate(
+      zip_with(col("q_emb"), col("embedding"), (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    // the probe set is the demo slice annIvfPq probes (vec_id < 5) — only
+    // THOSE vectors broadcast, never the corpus side
+    short
+      .join(broadcast(e.filter(col("vec_id") < AnnNumProbes)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .join(e, "vec_id")
+      .select(col("q_id"), col("vec_id"), exact.as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Smallest hyperplane count keeping the EXPECTED bucket occupancy
     * (n / 2^bits) at or under `targetOcc` — the measured-corpus analogue of
     * [[similarityJoinPlan]]'s density probe. Within-bucket candidate pairs
@@ -4358,6 +4403,45 @@ object PipelineOps {
       |    WHEN 'src1' THEN ${hashSampleThreshold(0.5)}
       |    WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
       |    ELSE ${hashSampleThreshold(0.1)} END)""".stripMargin
+
+  /** The shared IVF-PQ ADC oracle chain through `adc(q_id, vec_id, adc)`
+    * (and `e(vec_id, embedding)` for re-rank joins): hash-ranked seed
+    * centroids and codebook donors, argmin assignments, per-probe
+    * distance tables, probed-cell candidates scored by table lookups —
+    * `ann_ivf_pq` ranks it directly, `ann_ivf_pq_refine` re-ranks its
+    * shortlist exactly. Callers open with WITH. */
+  private lazy val ivfPqAdcCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      |${fnvMixCtes("iv", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
+      |ivh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM iv),
+      |ivr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM ivh QUALIFY cell < 16),
+      |cents AS (SELECT ivr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM ivr JOIN e USING (vec_id)),
+      |cdists AS (SELECT e.vec_id, s.cell,
+      |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
+      |  FROM e CROSS JOIN cents s),
+      |cmind AS (SELECT vec_id, MIN(dist) AS md FROM cdists GROUP BY vec_id),
+      |casg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM cdists d JOIN cmind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
+      |pc AS (SELECT vec_id AS q_id, cell FROM (
+      |   SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS cr FROM cdists WHERE vec_id < 5) WHERE cr <= 4),
+      |${fnvMixCtes("pq", "embeddings", "vec_id", "'pq-seed-' || CAST(vec_id AS VARCHAR)")},
+      |pqh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM pq),
+      |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code FROM pqh QUALIFY code < 16),
+      |donors AS (SELECT sr.code, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
+      |dists AS (SELECT e.vec_id, ss.s, d.code,
+      |  list_sum(list_transform(range(1, 9), i ->
+      |    (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]) * (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]))) AS dist
+      |  FROM e CROSS JOIN range(0, 8) ss(s) CROSS JOIN donors d),
+      |mind AS (SELECT vec_id, s, MIN(dist) AS md FROM dists GROUP BY vec_id, s),
+      |pasg AS (SELECT d.vec_id, d.s, MIN(d.code) AS code FROM dists d
+      |  JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md GROUP BY d.vec_id, d.s),
+      |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM pasg GROUP BY vec_id),
+      |prow AS (SELECT vec_id AS q_id, s, list(dist ORDER BY code) AS row FROM dists WHERE vec_id < 5 GROUP BY vec_id, s),
+      |ptab AS (SELECT q_id, list(row ORDER BY s) AS tab FROM prow GROUP BY q_id),
+      |adc AS (SELECT pc.q_id, a.vec_id,
+      |  list_sum(list_transform(range(1, 9), s -> p.tab[s][c.codes[s] + 1])) AS adc
+      |  FROM casg a JOIN pc ON a.cell = pc.cell
+      |  JOIN codes c ON c.vec_id = a.vec_id JOIN ptab p ON p.q_id = pc.q_id
+      |  WHERE a.vec_id <> pc.q_id)""".stripMargin
 
   /** A banded candidate CTE over the [[minhashCandCtes]] `sigs` chain with
     * a DIFFERENT (bands, rows) split of the 64 permutations — the band
@@ -5226,39 +5310,20 @@ object PipelineOps {
     // codes + lookup tables); candidates are cell-joined instead of the
     // full cross join, then the same s-ascending ADC fold and ranking
     "ann_ivf_pq" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |${fnvMixCtes("iv", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
-        |ivh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM iv),
-        |ivr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM ivh QUALIFY cell < 16),
-        |cents AS (SELECT ivr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM ivr JOIN e USING (vec_id)),
-        |cdists AS (SELECT e.vec_id, s.cell,
-        |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
-        |  FROM e CROSS JOIN cents s),
-        |cmind AS (SELECT vec_id, MIN(dist) AS md FROM cdists GROUP BY vec_id),
-        |casg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM cdists d JOIN cmind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
-        |pc AS (SELECT vec_id AS q_id, cell FROM (
-        |   SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS cr FROM cdists WHERE vec_id < 5) WHERE cr <= 4),
-        |${fnvMixCtes("pq", "embeddings", "vec_id", "'pq-seed-' || CAST(vec_id AS VARCHAR)")},
-        |pqh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM pq),
-        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code FROM pqh QUALIFY code < 16),
-        |donors AS (SELECT sr.code, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
-        |dists AS (SELECT e.vec_id, ss.s, d.code,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]) * (CAST(e.embedding[ss.s*8 + i] AS DOUBLE) - d.c[ss.s*8 + i]))) AS dist
-        |  FROM e CROSS JOIN range(0, 8) ss(s) CROSS JOIN donors d),
-        |mind AS (SELECT vec_id, s, MIN(dist) AS md FROM dists GROUP BY vec_id, s),
-        |pasg AS (SELECT d.vec_id, d.s, MIN(d.code) AS code FROM dists d
-        |  JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md GROUP BY d.vec_id, d.s),
-        |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM pasg GROUP BY vec_id),
-        |prow AS (SELECT vec_id AS q_id, s, list(dist ORDER BY code) AS row FROM dists WHERE vec_id < 5 GROUP BY vec_id, s),
-        |ptab AS (SELECT q_id, list(row ORDER BY s) AS tab FROM prow GROUP BY q_id),
-        |adc AS (SELECT pc.q_id, a.vec_id,
-        |  list_sum(list_transform(range(1, 9), s -> p.tab[s][c.codes[s] + 1])) AS adc
-        |  FROM casg a JOIN pc ON a.cell = pc.cell
-        |  JOIN codes c ON c.vec_id = a.vec_id JOIN ptab p ON p.q_id = pc.q_id
-        |  WHERE a.vec_id <> pc.q_id),
+      (s"""WITH $ivfPqAdcCtes,
         |r AS (SELECT q_id, vec_id, adc, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank FROM adc)
-        |SELECT q_id, vec_id, adc, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+        |SELECT q_id, vec_id, adc, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    // two-stage serving: the same ADC chain shortlists 50, then ONLY those
+    // rows re-rank by exact float distance to the final top-10
+    "ann_ivf_pq_refine" ->
+      (s"""WITH $ivfPqAdcCtes,
+        |r AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank FROM adc),
+        |sl AS (SELECT q_id, vec_id FROM r WHERE rank <= 50),
+        |ex AS (SELECT sl.q_id, sl.vec_id,
+        |  list_sum(list_transform(list_zip(q.embedding, v.embedding), z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))) AS dist
+        |  FROM sl JOIN e q ON q.vec_id = sl.q_id JOIN e v ON v.vec_id = sl.vec_id),
+        |rr AS (SELECT q_id, vec_id, dist, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT) AS rank FROM ex)
+        |SELECT q_id, vec_id, dist, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
     // SemDeDup: same hash-ranked seed chain as ann_ivf (fnvMixCtes), cell
     // count derived by the same integer formula as the Scala side
     // (LEAST(4096, GREATEST(16, ceil(n/64)))), argmin assignment with

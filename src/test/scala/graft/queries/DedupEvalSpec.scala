@@ -181,6 +181,32 @@ class DedupEvalSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_pq_refine: exact re-rank never loses recall vs plain ADC") {
+    // provable: a brute-top-10 member in the ADC shortlist has at most 9
+    // globally better vectors, so at most 9 shortlist rows outrank it
+    // exactly — it survives the re-rank. ADC's own top-10 is a shortlist
+    // subset, so per-probe recall(refine) >= recall(adc).
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; s += t * t; i += 1 }
+      s
+    }
+    val adc = q("ann_ivf_pq").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = q("ann_ivf_pq_refine").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ref.nonEmpty)
+    (0L until 5L).foreach { qid =>
+      val brute = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(v => (l2(vecs(qid), vecs(v)), v)).take(10).toSet
+      val recallAdc = adc.collect { case (q, v) if q == qid => v }.count(brute)
+      val recallRef = ref.collect { case (q, v) if q == qid => v }.count(brute)
+      assert(recallRef >= recallAdc,
+        s"probe $qid: refine recall $recallRef < adc $recallAdc")
+    }
+  }
+
   test("ann_ivf_stats: occupancy sums to the corpus, fractions to 1") {
     val stats = q("ann_ivf_stats")
     val nVecs = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
