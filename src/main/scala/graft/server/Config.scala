@@ -43,7 +43,9 @@ object Config {
                           flightAuthBasic: Option[(String, String)] = None,
                           flightAuthToken: Option[String] = None,
                           datafusionConf: Map[String, String] = Map.empty,
-                          flightTls: Option[graft.server.flight.FlightSqlServer.Tls] = None) {
+                          flightTls: Option[graft.server.flight.FlightSqlServer.Tls] = None,
+                          responseFormat: graft.encoding.Encoders.ContentType =
+                            graft.encoding.Encoders.Json) {
     /** `datafusion.sql_parser.dialect` from the reference's config surface
       * (roapi/src/config.rs:246-261, roapi/tests/config_test.rs:12-17). */
     def sqlDialect: Option[String] = datafusionConf.get("sql_parser.dialect")
@@ -114,10 +116,27 @@ object Config {
       graft.server.flight.FlightSqlServer.Tls(
         str(m, "cert"), str(m, "key"), str(m, "client_ca"))
     }
+    // `response_format`: the default encoder when a request has no/unknown
+    // ACCEPT (reference config.rs ContentType serde variants; mime aliases
+    // accepted too); an unknown value errors loudly rather than silently
+    // serving Json
+    val respFmt = Option(root.get("response_format")).map(_.toString).map { v =>
+      import graft.encoding.Encoders
+      v.toLowerCase.replace("_", "").replace("-", "") match {
+        case "json" | "application/json" => Encoders.Json
+        case "csv" | "application/csv" => Encoders.Csv
+        case "arrowfile" | "application/vnd.apache.arrow.file" => Encoders.ArrowFile
+        case "arrowstream" | "application/vnd.apache.arrow.stream" => Encoders.ArrowStream
+        case "parquet" | "application/parquet" => Encoders.Parquet
+        case _ => throw new IllegalArgumentException(
+          s"config: unknown response_format `$v` " +
+            "(expected Json, Csv, ArrowFile, ArrowStream, or Parquet)")
+      }
+    }.getOrElse(graft.encoding.Encoders.Json)
     Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
       tables, kvs, sparkConf, splitAddr(addr.get("http2")),
       splitAddr(addr.get("flight_sql")), authBasic,
-      Option(fsc.get("auth_token")).map(_.toString), dfConf, flightTls)
+      Option(fsc.get("auth_token")).map(_.toString), dfConf, flightTls, respFmt)
   }
 
   private def obj(v: Object): java.util.Map[String, Object] = v match {

@@ -21,7 +21,13 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
                    /** Dataset root the `/api/pipeline` catalog queries read
                      * when the request names no `dir` (e.g. a testdata sf
                      * directory); None = the route requires an explicit dir. */
-                   val pipelineDir: Option[String] = None) {
+                   val pipelineDir: Option[String] = None,
+                   /** Default response encoding when a request carries no
+                     * (or an unknown) ACCEPT header — the reference's
+                     * `response_format` config key (roapi/src/config.rs,
+                     * default Json). */
+                   val responseFormat: graft.encoding.Encoders.ContentType =
+                     graft.encoding.Encoders.Json) {
 
   private val tables = new ConcurrentHashMap[String, TableSource]()
   private val kvDefs = new ConcurrentHashMap[String, KvStore]()

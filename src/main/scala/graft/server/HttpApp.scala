@@ -83,7 +83,8 @@ object ServerMain {
     cfg.sqlDialect.foreach(Config.applySqlDialect(spark, _))
     val readOnly = !sys.env.get("GRAFT_READ_WRITE").exists(_.toBoolean)
     val engine = new Engine(spark, readOnly,
-      pipelineDir = sys.env.get("GRAFT_PIPELINE_DIR"))
+      pipelineDir = sys.env.get("GRAFT_PIPELINE_DIR"),
+      responseFormat = cfg.responseFormat)
     cfg.tables.foreach(engine.registerTable)
     cfg.kvs.foreach(kv => engine.registerKv(kv.name, kv.source, kv.key, kv.value))
     val httpPort = cfg.httpAddr.map(_._2)

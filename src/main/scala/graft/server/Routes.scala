@@ -100,11 +100,11 @@ object Routes {
       case ("GET", List("api", "version")) =>
         Full(200, "application/json", "\"0.1.0\"".getBytes(UTF_8))
       case ("POST", List("api", "sql")) =>
-        queryResponse(engine.querySql(bodyString(req)), req.accept)
+        queryResponse(engine.querySql(bodyString(req)), req.accept, engine.responseFormat)
       case ("POST", List("api", "graphql")) =>
-        queryResponse(engine.queryGraphQl(bodyString(req)), req.accept)
+        queryResponse(engine.queryGraphQl(bodyString(req)), req.accept, engine.responseFormat)
       case ("GET", List("api", "tables", t)) =>
-        queryResponse(engine.queryRest(t, queryParams(req)), req.accept)
+        queryResponse(engine.queryRest(t, queryParams(req)), req.accept, engine.responseFormat)
       case ("GET", List("api", "schema")) =>
         Full(200, "application/json", engine.allSchemasJson.getBytes(UTF_8))
       case ("GET", List("api", "schema", t)) =>
@@ -144,7 +144,7 @@ object Routes {
             throw ApiError(400, "bad_request",
               "no `dir` param and no configured pipeline dir"))
         }
-        queryResponse(q(engine.spark, dir), req.accept)
+        queryResponse(q(engine.spark, dir), req.accept, engine.responseFormat)
       case ("GET", List("api", "kv", name, key)) =>
         engine.kvGet(name, key) match {
           case Some(v) => Full(200, "text/plain", v.getBytes(UTF_8))
@@ -165,10 +165,16 @@ object Routes {
     }
 
   /** ACCEPT-negotiated result encoding: stream the footer-less formats,
-    * buffer the footer-ful ones (Arrow file, Parquet). */
+    * buffer the footer-ful ones (Arrow file, Parquet). `default` is the
+    * engine's configured `response_format` — what serves when the request
+    * carries no (or an unknown) ACCEPT header, exactly the reference's
+    * fallback rule (roapi/src/api/mod.rs:25-35; note the star-slash-star
+    * wildcard ACCEPT is Json there regardless of the configured default,
+    * and here too). */
   private def queryResponse(df: org.apache.spark.sql.DataFrame,
-                            accept: Option[String]): Response =
-    Encoders.fromAccept(accept) match {
+                            accept: Option[String],
+                            default: Encoders.ContentType): Response =
+    Encoders.fromAccept(accept, default) match {
       case ct @ (Encoders.Json | Encoders.Csv | Encoders.ArrowStream) =>
         Streamed(ct.mime, out => ct match {
           case Encoders.Json => Encoders.writeJson(df, out)

@@ -92,4 +92,15 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.flightAuthBasic.contains(("flight_user", "flight_password")))
     assert(cfg.flightAuthToken.contains("secret-token"))
   }
+
+  test("response_format parses the reference's variants; unknown values fail") {
+    import graft.encoding.Encoders
+    assert(Config.parse("").responseFormat === Encoders.Json)
+    assert(Config.parse("response_format: Csv").responseFormat === Encoders.Csv)
+    assert(Config.parse("response_format: ArrowStream").responseFormat === Encoders.ArrowStream)
+    assert(Config.parse("response_format: arrow_file").responseFormat === Encoders.ArrowFile)
+    assert(Config.parse("response_format: application/parquet").responseFormat === Encoders.Parquet)
+    val e = intercept[IllegalArgumentException](Config.parse("response_format: yaml"))
+    assert(e.getMessage.contains("response_format"))
+  }
 }

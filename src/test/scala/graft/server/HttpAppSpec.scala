@@ -148,6 +148,33 @@ class HttpAppSpec extends SparkSpec {
     } finally app2.stop()
   }
 
+  test("response_format config sets the no-ACCEPT default encoder") {
+    // reference: roapi/src/api/mod.rs:25-35 — no/unknown ACCEPT falls back
+    // to the configured response_format; `*/*` is Json regardless
+    val e2 = new Engine(spark, readOnly = true,
+      responseFormat = graft.encoding.Encoders.Csv)
+    e2.registerTable(TableSource("rf_region", s"$sf0001/region.parquet", Some("parquet")))
+    val app2 = new HttpApp(e2, 0).start()
+    try {
+      val base2 = s"http://127.0.0.1:${app2.boundPort}"
+      def get2(path: String, accept: Option[String]) = {
+        val b = HttpRequest.newBuilder(URI.create(base2 + path)).GET()
+        accept.foreach(a => b.header("Accept", a))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val noAccept = get2("/api/tables/rf_region?limit=1", None)
+      assert(noAccept.headers().firstValue("Content-Type").get == "application/csv")
+      assert(noAccept.body().startsWith("r_regionkey,r_name"))
+      val unknown = get2("/api/tables/rf_region?limit=1", Some("text/html"))
+      assert(unknown.headers().firstValue("Content-Type").get == "application/csv")
+      // explicit json still negotiates json; */* is Json per the reference
+      assert(get2("/api/tables/rf_region?limit=1", Some("application/json"))
+        .headers().firstValue("Content-Type").get == "application/json")
+      assert(get2("/api/tables/rf_region?limit=1", Some("*/*"))
+        .headers().firstValue("Content-Type").get == "application/json")
+    } finally app2.stop()
+  }
+
   test("GET /api/kv/{name}/{key} and 404 error shape") {
     val hit = get("/api/kv/region_names/ASIA")
     assert(hit.statusCode() == 200)
