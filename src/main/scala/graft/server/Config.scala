@@ -45,7 +45,14 @@ object Config {
                           datafusionConf: Map[String, String] = Map.empty,
                           flightTls: Option[graft.server.flight.FlightSqlServer.Tls] = None,
                           responseFormat: graft.encoding.Encoders.ContentType =
-                            graft.encoding.Encoders.Json) {
+                            graft.encoding.Encoders.Json,
+                          /** Top-level `disable_read_only` (reference
+                            * config.rs:48: true = serve read-write). */
+                          disableReadOnly: Boolean = false,
+                          /** Top-level `reload_interval` seconds — the
+                            * default refresh cadence for tables without
+                            * their own (config.rs:46). */
+                          reloadIntervalSec: Option[Long] = None) {
     /** `datafusion.sql_parser.dialect` from the reference's config surface
       * (roapi/src/config.rs:246-261, roapi/tests/config_test.rs:12-17). */
     def sqlDialect: Option[String] = datafusionConf.get("sql_parser.dialect")
@@ -136,7 +143,11 @@ object Config {
     Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
       tables, kvs, sparkConf, splitAddr(addr.get("http2")),
       splitAddr(addr.get("flight_sql")), authBasic,
-      Option(fsc.get("auth_token")).map(_.toString), dfConf, flightTls, respFmt)
+      Option(fsc.get("auth_token")).map(_.toString), dfConf, flightTls, respFmt,
+      disableReadOnly =
+        Option(root.get("disable_read_only")).exists(_.toString.toBoolean),
+      reloadIntervalSec =
+        Option(root.get("reload_interval")).map(_.toString.toLong))
   }
 
   private def obj(v: Object): java.util.Map[String, Object] = v match {

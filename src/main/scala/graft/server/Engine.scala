@@ -27,7 +27,12 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
                      * `response_format` config key (roapi/src/config.rs,
                      * default Json). */
                    val responseFormat: graft.encoding.Encoders.ContentType =
-                     graft.encoding.Encoders.Json) {
+                     graft.encoding.Encoders.Json,
+                   /** Server-wide default refresh cadence for tables that
+                     * declare none of their own — the reference's top-level
+                     * `reload_interval` (columnq.rs:191:
+                     * `t.reload_interval.or(self.reload_interval)`). */
+                   val defaultReloadSec: Option[Long] = None) {
 
   private val tables = new ConcurrentHashMap[String, TableSource]()
   private val kvDefs = new ConcurrentHashMap[String, KvStore]()
@@ -50,7 +55,9 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     Loaders.register(spark, src)
     tables.put(src.name, src)
     invalidatePlansAndPools()
-    src.reloadIntervalSec.foreach { sec =>
+    // per-table interval wins; the engine-wide default covers the rest
+    // (reference: t.reload_interval.or(self.reload_interval))
+    src.reloadIntervalSec.orElse(defaultReloadSec).foreach { sec =>
       val task = scheduler.scheduleAtFixedRate(
         () =>
           try { Loaders.register(spark, src); invalidatePlans() }

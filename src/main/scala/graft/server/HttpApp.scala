@@ -81,10 +81,14 @@ object ServerMain {
     val spark = graft.GraftSession.get()
     cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
     cfg.sqlDialect.foreach(Config.applySqlDialect(spark, _))
-    val readOnly = !sys.env.get("GRAFT_READ_WRITE").exists(_.toBoolean)
+    // read-write via the reference's `disable_read_only: true` config key
+    // or the env override
+    val readOnly = !(cfg.disableReadOnly ||
+      sys.env.get("GRAFT_READ_WRITE").exists(_.toBoolean))
     val engine = new Engine(spark, readOnly,
       pipelineDir = sys.env.get("GRAFT_PIPELINE_DIR"),
-      responseFormat = cfg.responseFormat)
+      responseFormat = cfg.responseFormat,
+      defaultReloadSec = cfg.reloadIntervalSec)
     cfg.tables.foreach(engine.registerTable)
     cfg.kvs.foreach(kv => engine.registerKv(kv.name, kv.source, kv.key, kv.value))
     val httpPort = cfg.httpAddr.map(_._2)

@@ -93,6 +93,17 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.flightAuthToken.contains("secret-token"))
   }
 
+  test("disable_read_only and top-level reload_interval parse") {
+    val cfg = Config.parse(
+      """disable_read_only: true
+        |reload_interval: 30
+        |""".stripMargin)
+    assert(cfg.disableReadOnly)
+    assert(cfg.reloadIntervalSec === Some(30L))
+    assert(!Config.parse("").disableReadOnly)
+    assert(Config.parse("").reloadIntervalSec === None)
+  }
+
   test("response_format parses the reference's variants; unknown values fail") {
     import graft.encoding.Encoders
     assert(Config.parse("").responseFormat === Encoders.Json)

@@ -58,4 +58,24 @@ class ReadWriteSpec extends SparkSpec {
     // rest of the test JVM and races later suites' catalog activity
     engine.dropTable("counts")
   }
+
+  test("engine-wide reload_interval refreshes tables that declare none") {
+    // reference: a table's own interval wins, the global default covers
+    // the rest (columnq.rs:191 t.reload_interval.or(self.reload_interval))
+    val e2 = new Engine(spark, readOnly = false, defaultReloadSec = Some(1L))
+    val dir = Files.createTempDirectory("graft_refresh_global")
+    val csv = dir.resolve("gcounts.csv")
+    Files.writeString(csv, "k,v\na,1\n")
+    e2.registerTable(TableSource("gcounts", csv.toString, Some("csv")))
+    assert(spark.table("gcounts").count() == 1)
+    Files.writeString(csv, "k,v\na,1\nb,2\n")
+    val deadline = System.currentTimeMillis() + 15000
+    var n = 0L
+    while (n != 2L && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      n = spark.table("gcounts").count()
+    }
+    assert(n == 2L, "global default refresh did not swap the view within 15s")
+    e2.dropTable("gcounts")
+  }
 }
