@@ -73,14 +73,22 @@ object Config {
           "(supported: generic, hive, spark, ansi, postgresql)")
     }
 
-  def parse(yamlText: String): Loaded = {
-    val root = Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
-      .getOrElse(new java.util.HashMap[String, Object]())
-    val addr = obj(root.get("addr"))
-    def splitAddr(v: Object): Option[(String, Int)] = Option(v).map(_.toString).map { s =>
+  def parse(yamlText: String): Loaded = parseRoot(
+    Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
+      .getOrElse(new java.util.HashMap[String, Object]()))
+
+  /** TOML config with the same keys — the reference accepts both formats
+    * by file extension (roapi/src/config.rs:185-199). */
+  def parseToml(tomlText: String): Loaded = parseRoot(Toml.parse(tomlText))
+
+  private[server] def splitAddr(v: Object): Option[(String, Int)] =
+    Option(v).map(_.toString).map { s =>
       val i = s.lastIndexOf(':')
       (s.substring(0, i), s.substring(i + 1).toInt)
     }
+
+  private def parseRoot(root: java.util.Map[String, Object]): Loaded = {
+    val addr = obj(root.get("addr"))
     val tables = list(root.get("tables")).map { t =>
       val m = obj(t)
       val opts = obj(m.get("option")).asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap
@@ -127,19 +135,8 @@ object Config {
     // ACCEPT (reference config.rs ContentType serde variants; mime aliases
     // accepted too); an unknown value errors loudly rather than silently
     // serving Json
-    val respFmt = Option(root.get("response_format")).map(_.toString).map { v =>
-      import graft.encoding.Encoders
-      v.toLowerCase.replace("_", "").replace("-", "") match {
-        case "json" | "application/json" => Encoders.Json
-        case "csv" | "application/csv" => Encoders.Csv
-        case "arrowfile" | "application/vnd.apache.arrow.file" => Encoders.ArrowFile
-        case "arrowstream" | "application/vnd.apache.arrow.stream" => Encoders.ArrowStream
-        case "parquet" | "application/parquet" => Encoders.Parquet
-        case _ => throw new IllegalArgumentException(
-          s"config: unknown response_format `$v` " +
-            "(expected Json, Csv, ArrowFile, ArrowStream, or Parquet)")
-      }
-    }.getOrElse(graft.encoding.Encoders.Json)
+    val respFmt = Option(root.get("response_format")).map(_.toString)
+      .map(parseResponseFormat).getOrElse(graft.encoding.Encoders.Json)
     Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
       tables, kvs, sparkConf, splitAddr(addr.get("http2")),
       splitAddr(addr.get("flight_sql")), authBasic,
@@ -148,6 +145,23 @@ object Config {
         Option(root.get("disable_read_only")).exists(_.toString.toBoolean),
       reloadIntervalSec =
         Option(root.get("reload_interval")).map(_.toString.toLong))
+  }
+
+  /** The reference's ContentType variant names (config.rs serde), plus the
+    * mime aliases; unknown values error loudly. Shared by the YAML key and
+    * the `--response-format` CLI flag. */
+  def parseResponseFormat(v: String): graft.encoding.Encoders.ContentType = {
+    import graft.encoding.Encoders
+    v.toLowerCase.replace("_", "").replace("-", "") match {
+      case "json" | "application/json" => Encoders.Json
+      case "csv" | "application/csv" => Encoders.Csv
+      case "arrowfile" | "application/vnd.apache.arrow.file" => Encoders.ArrowFile
+      case "arrowstream" | "application/vnd.apache.arrow.stream" => Encoders.ArrowStream
+      case "parquet" | "application/parquet" => Encoders.Parquet
+      case _ => throw new IllegalArgumentException(
+        s"config: unknown response_format `$v` " +
+          "(expected Json, Csv, ArrowFile, ArrowStream, or Parquet)")
+    }
   }
 
   private def obj(v: Object): java.util.Map[String, Object] = v match {

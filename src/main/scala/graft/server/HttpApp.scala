@@ -72,12 +72,56 @@ final class HttpApp(engine: Engine, port: Int = 0) {
   * Postgres wire frontend over one shared engine — sibling servers over one
   * context, as in the reference (roapi/src/startup.rs:140-177). */
 object ServerMain {
-  def main(args: Array[String]): Unit = {
-    val cfg = args match {
-      case Array("--config", path) =>
-        Config.parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-      case _ => Config.Loaded(None, None, args.toSeq.map(TableSource.parseUriArg), Seq.empty, Map.empty)
+
+  /** CLI surface mirroring the reference binary's flags
+    * (roapi/src/config.rs:95-245): positional `name=uri,opt=val` tables,
+    * `-c/--config` (YAML or TOML by extension), `--addr-http` /
+    * `--addr-postgres` / `--addr-flight-sql` overrides, `-d/
+    * --disable-read-only`, `-r/--reload-interval` (which, like the
+    * reference, REQUIRES read-write mode), `-f/--response-format`.
+    * Factored out of main so specs drive it without booting servers. */
+  private[server] def buildConfig(args: Array[String]): Config.Loaded = {
+    var cfg = Config.Loaded(None, None, Seq.empty, Seq.empty, Map.empty)
+    val tables = Seq.newBuilder[TableSource]
+    var reload: Option[Long] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config" | "-c" =>
+          val path = args(i + 1)
+          val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+          cfg = if (path.endsWith(".toml")) Config.parseToml(text)
+                else Config.parse(text)
+          i += 2
+        case "--addr-http" =>
+          cfg = cfg.copy(httpAddr = Config.splitAddr(args(i + 1))); i += 2
+        case "--addr-postgres" =>
+          cfg = cfg.copy(pgAddr = Config.splitAddr(args(i + 1))); i += 2
+        case "--addr-flight-sql" =>
+          cfg = cfg.copy(flightAddr = Config.splitAddr(args(i + 1))); i += 2
+        case "--disable-read-only" | "-d" =>
+          cfg = cfg.copy(disableReadOnly = true); i += 1
+        case "--reload-interval" | "-r" =>
+          reload = Some(args(i + 1).toLong); i += 2
+        case "--response-format" | "-f" =>
+          cfg = cfg.copy(responseFormat = Config.parseResponseFormat(args(i + 1)))
+          i += 2
+        case other => tables += TableSource.parseUriArg(other); i += 1
+      }
     }
+    reload.foreach { r =>
+      // reference rule (config.rs:228-233): reload only makes sense when
+      // tables can actually be re-registered
+      require(cfg.disableReadOnly,
+        "Table reload not supported in read-only mode. " +
+          "Try specify the --disable-read-only option.")
+      cfg = cfg.copy(reloadIntervalSec = Some(r))
+    }
+    cfg.copy(tables = cfg.tables ++ tables.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = buildConfig(args)
     val spark = graft.GraftSession.get()
     cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
     cfg.sqlDialect.foreach(Config.applySqlDialect(spark, _))

@@ -39,6 +39,78 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.sparkConf("spark.sql.shuffle.partitions") == "16")
   }
 
+  test("toml config parses the same surface (reference accepts both formats)") {
+    val cfg = Config.parseToml(
+      """# roapi-style config, toml spelling
+        |disable_read_only = true
+        |reload_interval = 45
+        |response_format = "Csv"
+        |
+        |[addr]
+        |http = "127.0.0.1:8080"
+        |postgres = "127.0.0.1:5433"
+        |
+        |[[tables]]
+        |name = "cities"
+        |uri = "/data/cities.csv"
+        |reload_interval = 30
+        |
+        |[tables.option]
+        |format = "csv"
+        |has_header = "false"
+        |
+        |[[tables]]
+        |name = "li"
+        |uri = "/data/lineitem.parquet"
+        |option = { format = "parquet", use_memory_table = true }
+        |
+        |[[kvstores]]
+        |name = "names"
+        |uri = "/data/customer.parquet"
+        |key = "c_name"
+        |value = "c_custkey"
+        |
+        |[spark]
+        |"spark.sql.shuffle.partitions" = "16"
+        |
+        |[flight_sql_config.tls]
+        |cert = "/p/server.pem"
+        |key = "/p/server.key"
+        |client_ca = "/p/ca.pem"
+        |""".stripMargin)
+    assert(cfg.httpAddr.contains(("127.0.0.1", 8080)))
+    assert(cfg.pgAddr.contains(("127.0.0.1", 5433)))
+    assert(cfg.disableReadOnly && cfg.reloadIntervalSec.contains(45L))
+    assert(cfg.responseFormat === graft.encoding.Encoders.Csv)
+    assert(cfg.tables.map(_.name) == Seq("cities", "li"))
+    assert(cfg.tables.head.resolvedFormat == "csv")
+    assert(cfg.tables.head.options("has_header") == "false")
+    assert(cfg.tables.head.reloadIntervalSec.contains(30L))
+    assert(cfg.tables(1).memTable)
+    assert(cfg.kvs.head.key == "c_name")
+    assert(cfg.sparkConf("spark.sql.shuffle.partitions") == "16")
+    assert(cfg.flightTls.exists(_.clientCa == "/p/ca.pem"))
+  }
+
+  test("server CLI flags mirror the reference binary") {
+    val cfg = ServerMain.buildConfig(Array(
+      "cities=/data/cities.csv,format=csv",
+      "--addr-http", "0.0.0.0:9000",
+      "--addr-postgres", "0.0.0.0:5439",
+      "--addr-flight-sql", "0.0.0.0:32010",
+      "-d", "-r", "60", "-f", "Parquet"))
+    assert(cfg.tables.map(_.name) == Seq("cities"))
+    assert(cfg.httpAddr.contains(("0.0.0.0", 9000)))
+    assert(cfg.pgAddr.contains(("0.0.0.0", 5439)))
+    assert(cfg.flightAddr.contains(("0.0.0.0", 32010)))
+    assert(cfg.disableReadOnly && cfg.reloadIntervalSec.contains(60L))
+    assert(cfg.responseFormat === graft.encoding.Encoders.Parquet)
+    // the reference refuses reload in read-only mode (config.rs:228-233)
+    val e = intercept[IllegalArgumentException](
+      ServerMain.buildConfig(Array("-r", "60")))
+    assert(e.getMessage.contains("read-only"))
+  }
+
   test("empty config is valid") {
     val cfg = Config.parse("")
     assert(cfg.tables.isEmpty && cfg.httpAddr.isEmpty)
