@@ -191,14 +191,24 @@ object Routes {
     require(node.isArray, "register body must be a JSON array")
     node.forEach { cfg =>
       val name = cfg.get("tableName").asText()
-      val uri = Option(cfg.get("uri")).map(_.asText())
-        .getOrElse(throw ApiError(400, "register_table", s"Table `$name` source not exists"))
-      val opts = Option(cfg.get("option")).map { o =>
-        val b = Map.newBuilder[String, String]
-        o.properties().forEach(e => b += (e.getKey -> e.getValue.asText()))
-        b.result()
-      }.getOrElse(Map.empty[String, String])
-      engine.registerTable(TableSource.fromOptions(name, uri, opts))
+      Option(cfg.get("uri")).filterNot(_.isNull).map(_.asText()) match {
+        case Some(uri) =>
+          val opts = Option(cfg.get("option")).map { o =>
+            val b = Map.newBuilder[String, String]
+            o.properties().forEach(e => b += (e.getKey -> e.getValue.asText()))
+            b.result()
+          }.getOrElse(Map.empty[String, String])
+          engine.registerTable(TableSource.fromOptions(name, uri, opts))
+        case None =>
+          // no uri = RE-register a known table from its original source —
+          // the reference's refresh-on-demand arm (roapi/src/api/
+          // register.rs:35-38); unknown names keep the reference error
+          engine.knownSource(name) match {
+            case Some(src) => engine.registerTable(src)
+            case None => throw ApiError(400, "register_table",
+              s"Table `$name` source not exists")
+          }
+      }
     }
   }
 

@@ -39,6 +39,28 @@ class ReadWriteSpec extends SparkSpec {
     assert(gone.statusCode() == 400)
   }
 
+  test("register without uri re-registers a known table (refresh-on-demand)") {
+    // reference: roapi/src/api/register.rs:35-38 — a body entry naming a
+    // registered table with no uri reloads it from its original source
+    val dir = Files.createTempDirectory("graft_rereg")
+    val csv = dir.resolve("counts.csv")
+    Files.writeString(csv, "k,v\na,1\n")
+    val reg = post("/api/table",
+      s"""[{"tableName": "rereg_counts", "uri": "$csv", "option": {"format": "csv"}}]""")
+    assert(reg.statusCode() == 200)
+    assert(get("/api/tables/rereg_counts").body().count(_ == '{') == 1)
+    Files.writeString(csv, "k,v\na,1\nb,2\n")
+    val rereg = post("/api/table", """[{"tableName": "rereg_counts"}]""")
+    assert(rereg.statusCode() == 200)
+    assert(get("/api/tables/rereg_counts").body().count(_ == '{') == 2)
+    // unknown name with no uri keeps the reference error shape
+    val unknown = post("/api/table", """[{"tableName": "never_was"}]""")
+    assert(unknown.statusCode() == 400)
+    assert(unknown.body().contains("source not exists"))
+    post("/api/tables/drop", """{"tableName": "rereg_counts"}""")
+    ()
+  }
+
   test("reload_interval re-reads the source and swaps the view") {
     val dir = Files.createTempDirectory("graft_refresh")
     val csv = dir.resolve("counts.csv")
