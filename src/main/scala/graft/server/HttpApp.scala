@@ -180,7 +180,14 @@ object CliMain {
     fmt match {
       case "json" => out.println(new String(graft.encoding.Encoders.toJsonBytes(df), "UTF-8"))
       case "csv"  => out.print(new String(graft.encoding.Encoders.toCsvBytes(df), "UTF-8"))
-      case _      => scala.Console.withOut(out)(df.show(1000, truncate = false))
+      // binary formats straight to the stream, the reference's
+      // bytes_to_stdout (columnq-cli/src/main.rs:102-156)
+      case "parquet" => out.write(graft.encoding.Encoders.toParquetBytes(df)); out.flush()
+      case "arrow"   => out.write(org.apache.spark.sql.GraftArrowBridge.toIpcFileBytes(df)); out.flush()
+      case "arrows"  => out.write(org.apache.spark.sql.GraftArrowBridge.toIpcStreamBytes(df)); out.flush()
+      case "table"   => scala.Console.withOut(out)(df.show(1000, truncate = false))
+      case other => throw new IllegalArgumentException(
+        s"unsupported output format: $other")
     }
 
   /** The interactive loop, parameterized over streams so specs can drive it. */
@@ -207,16 +214,24 @@ object CliMain {
     var pipeline = ""
     var pipelineDir = ""
     val tableArgs = Seq.newBuilder[String]
+    // reference subcommand forms (columnq-cli/src/main.rs:165-215):
+    // `sql <SQL> -t name=uri -o json` and `console -t name=uri`; bare
+    // positionals stay table args for backward compatibility otherwise
+    val sqlMode = args.headOption.contains("sql")
+    val rest = if (sqlMode || args.headOption.contains("console")) args.drop(1) else args
     var i = 0
-    while (i < args.length) {
-      args(i) match {
-        case "-q" => sql = args(i + 1); i += 2
-        case "--format" => fmt = args(i + 1); i += 2
+    while (i < rest.length) {
+      rest(i) match {
+        case "-q" => sql = rest(i + 1); i += 2
+        case "-t" | "--table" => tableArgs += rest(i + 1); i += 2
+        case "--format" | "-o" | "--output" => fmt = rest(i + 1); i += 2
         // one-shot pipeline-operator run: --pipeline <name> --dir <sfDir>
         // (the CLI face of the /api/pipeline route; names come from the
         // fixed SparkEntry catalog, so a typo fails with the known list)
-        case "--pipeline" => pipeline = args(i + 1); i += 2
-        case "--dir" => pipelineDir = args(i + 1); i += 2
+        case "--pipeline" => pipeline = rest(i + 1); i += 2
+        case "--dir" => pipelineDir = rest(i + 1); i += 2
+        // in `sql` mode the first bare positional IS the query
+        case other if sqlMode && sql.isEmpty => sql = other; i += 1
         case other => tableArgs += other; i += 1
       }
     }

@@ -27,6 +27,21 @@ class CliConsoleSpec extends AnyFunSuite {
     out.toString("UTF-8")
   }
 
+  test("binary output formats write the real bytes (reference -o parquet/arrow/arrows)") {
+    def bytesOf(fmt: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      CliMain.renderDf(engine.querySql("SELECT city FROM uk ORDER BY city LIMIT 2"),
+        fmt, new PrintStream(out, true, "UTF-8"))
+      out.toByteArray
+    }
+    assert(bytesOf("parquet").take(4).sameElements("PAR1".getBytes("UTF-8")))
+    assert(bytesOf("arrow").take(6).sameElements("ARROW1".getBytes("UTF-8")))
+    // IPC stream format: continuation marker 0xFFFFFFFF leads
+    assert(bytesOf("arrows").take(4).forall(_ == -1.toByte))
+    val e = intercept[IllegalArgumentException](bytesOf("yaml"))
+    assert(e.getMessage.contains("unsupported output format"))
+  }
+
   test("two queries through stdin, then quit") {
     val out = drive(
       """SELECT count(*) AS n FROM uk
