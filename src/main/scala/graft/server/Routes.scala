@@ -152,12 +152,15 @@ object Routes {
         }
       case ("POST", List("api", "table")) =>
         if (engine.readOnly)
-          throw ApiError(400, "read_only_mode", "table registration is disabled in read-only mode")
+          // reference shape: 403 + this exact message (roapi/src/error.rs:92-98)
+          throw ApiError(403, "read_only_mode",
+            "Write operation is not allowed in read-only mode")
         registerTables(engine, bodyString(req))
         Full(200, "application/json", Array.emptyByteArray)
       case ("POST", List("api", "tables", "drop")) =>
         if (engine.readOnly)
-          throw ApiError(400, "read_only_mode", "table drop is disabled in read-only mode")
+          throw ApiError(403, "read_only_mode",
+            "Write operation is not allowed in read-only mode")
         val node = mapper.readTree(bodyString(req))
         engine.dropTable(node.get("tableName").asText())
         Full(200, "application/json", Array.emptyByteArray)
@@ -205,7 +208,8 @@ object Routes {
           // register.rs:35-38); unknown names keep the reference error
           engine.knownSource(name) match {
             case Some(src) => engine.registerTable(src)
-            case None => throw ApiError(400, "register_table",
+            // reference: register failures are 500 (error.rs:84-90)
+            case None => throw ApiError(500, "register_table",
               s"Table `$name` source not exists")
           }
       }

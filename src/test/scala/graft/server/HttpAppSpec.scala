@@ -183,11 +183,13 @@ class HttpAppSpec extends SparkSpec {
     assert(miss.body().contains(""""code":404""") && miss.body().contains(""""error":"not_found""""))
   }
 
-  test("read-only mode rejects register and drop") {
+  test("read-only mode rejects register and drop with the reference's 403 shape") {
+    // roapi/src/error.rs:92-98: FORBIDDEN + this exact message
     val r = post("/api/table", """[{"tableName": "x", "uri": "/tmp/x.csv"}]""")
-    assert(r.statusCode() == 400 && r.body().contains("read_only_mode"))
+    assert(r.statusCode() == 403 && r.body().contains("read_only_mode"))
+    assert(r.body().contains("Write operation is not allowed in read-only mode"))
     val d = post("/api/tables/drop", """{"tableName": "region"}""")
-    assert(d.statusCode() == 400)
+    assert(d.statusCode() == 403)
   }
 
   test("GET /ui serves the embedded console; unknown assets 404") {

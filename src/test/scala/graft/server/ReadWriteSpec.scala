@@ -54,8 +54,9 @@ class ReadWriteSpec extends SparkSpec {
     assert(rereg.statusCode() == 200)
     assert(get("/api/tables/rereg_counts").body().count(_ == '{') == 2)
     // unknown name with no uri keeps the reference error shape
+    // (error.rs:84-90: register failures are 500)
     val unknown = post("/api/table", """[{"tableName": "never_was"}]""")
-    assert(unknown.statusCode() == 400)
+    assert(unknown.statusCode() == 500)
     assert(unknown.body().contains("source not exists"))
     post("/api/tables/drop", """{"tableName": "rereg_counts"}""")
     ()
