@@ -161,8 +161,23 @@ object Routes {
         if (engine.readOnly)
           throw ApiError(403, "read_only_mode",
             "Write operation is not allowed in read-only mode")
+        // reference wire shape: a JSON ARRAY of {tableName} entries
+        // (roapi/src/api/drop.rs, api_test.rs:31-36); a bare object is
+        // accepted too. Unknown names are the reference's 404.
         val node = mapper.readTree(bodyString(req))
-        engine.dropTable(node.get("tableName").asText())
+        val entries =
+          if (node.isArray) {
+            val b = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+            node.forEach(e => b += e)
+            b.result()
+          } else Seq(node)
+        entries.foreach { e =>
+          val name = e.get("tableName").asText()
+          if (engine.knownSource(name).isEmpty)
+            throw ApiError(404, "not_found",
+              s"Table `$name` source does not exist")
+          engine.dropTable(name)
+        }
         Full(200, "application/json", Array.emptyByteArray)
       case _ => throw ApiError(404, "not_found", s"${req.method} ${req.path}")
     }

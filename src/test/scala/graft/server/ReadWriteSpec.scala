@@ -62,6 +62,25 @@ class ReadWriteSpec extends SparkSpec {
     ()
   }
 
+  test("drop takes the reference's array body; unknown tables are 404") {
+    val dir = Files.createTempDirectory("graft_drop")
+    val csv = dir.resolve("d.csv")
+    Files.writeString(csv, "k\n1\n")
+    assert(post("/api/table",
+      s"""[{"tableName": "drop_a", "uri": "$csv", "option": {"format": "csv"}},
+         | {"tableName": "drop_b", "uri": "$csv", "option": {"format": "csv"}}]""".stripMargin)
+      .statusCode() == 200)
+    // the reference shape: an array of {tableName} (api_test.rs:31-36)
+    val both = post("/api/tables/drop",
+      """[{"tableName": "drop_a"}, {"tableName": "drop_b"}]""")
+    assert(both.statusCode() == 200)
+    assert(get("/api/tables/drop_a").statusCode() == 400)
+    // unknown table: the reference's 404 "source does not exist"
+    val unknown = post("/api/tables/drop", """[{"tableName": "drop_a"}]""")
+    assert(unknown.statusCode() == 404)
+    assert(unknown.body().contains("source does not exist"))
+  }
+
   test("reload_interval re-reads the source and swaps the view") {
     val dir = Files.createTempDirectory("graft_refresh")
     val csv = dir.resolve("counts.csv")
