@@ -309,6 +309,10 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   def kvGet(name: String, key: String): Option[String] =
     Option(kvDefs.get(name)).flatMap(_.get(key))
 
+  /** Unknown STORE vs missing KEY are different errors in the reference
+    * (invalid_kv_name 400 vs not_found 404 — columnq.rs:359-365). */
+  def hasKv(name: String): Boolean = kvDefs.containsKey(name)
+
   // ---- schema introspection (reference: roapi/src/context.rs:133-178) ------
 
   def schemaJson(name: String): String = {

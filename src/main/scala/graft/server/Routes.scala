@@ -146,9 +146,14 @@ object Routes {
         }
         queryResponse(q(engine.spark, dir), req.accept, engine.responseFormat)
       case ("GET", List("api", "kv", name, key)) =>
+        // reference split: unknown store = 400 invalid_kv_name
+        // (columnq.rs:359-363), missing key = 404 (roapi/src/api/kv.rs)
+        if (!engine.hasKv(name))
+          throw ApiError(400, "invalid_kv_name",
+            s"keyvalue store name `$name` doesn't exist")
         engine.kvGet(name, key) match {
           case Some(v) => Full(200, "text/plain", v.getBytes(UTF_8))
-          case None => throw ApiError(404, "not_found", s"key `$key` not found in kv `$name`")
+          case None => throw ApiError(404, "not_found", s"key $key not found")
         }
       case ("POST", List("api", "table")) =>
         if (engine.readOnly)

@@ -88,9 +88,11 @@ class Http2AppSpec extends SparkSpec {
     val ok = get(c, app.boundPort, "/api/tables/h2_region?limit=2&columns=r_name")
     assert(ok.version() === HttpClient.Version.HTTP_2)
     assert(ok.body() === """[{"r_name":"AFRICA"},{"r_name":"AMERICA"}]""")
+    // unknown kv STORE is the reference's 400 invalid_kv_name
+    // (columnq.rs:359-363), distinct from a 404 missing key
     val err = get(c, app.boundPort, "/api/kv/nope/k")
-    assert(err.statusCode() === 404)
-    assert(err.body().contains("\"error\":\"not_found\""))
+    assert(err.statusCode() === 400)
+    assert(err.body().contains("\"error\":\"invalid_kv_name\""))
   }
 
   test("a multi-megabyte streamed result arrives intact over h2 DATA frames") {

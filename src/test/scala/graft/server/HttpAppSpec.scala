@@ -181,6 +181,11 @@ class HttpAppSpec extends SparkSpec {
     val miss = get("/api/kv/region_names/NOWHERE")
     assert(miss.statusCode() == 404)
     assert(miss.body().contains(""""code":404""") && miss.body().contains(""""error":"not_found""""))
+    // unknown STORE is the reference's 400 invalid_kv_name, not a 404
+    val badStore = get("/api/kv/no_such_store/k")
+    assert(badStore.statusCode() == 400)
+    assert(badStore.body().contains(""""error":"invalid_kv_name""""))
+    assert(badStore.body().contains("doesn't exist"))
   }
 
   test("read-only mode rejects register and drop with the reference's 403 shape") {
