@@ -108,6 +108,10 @@ object Routes {
       case ("GET", List("api", "schema")) =>
         Full(200, "application/json", engine.allSchemasJson.getBytes(UTF_8))
       case ("GET", List("api", "schema", t)) =>
+        // reference: unknown table name is 404 "invalid table name"
+        // (roapi/src/context.rs:155-164), not a query-execution error
+        if (engine.knownSource(t).isEmpty)
+          throw ApiError(404, "not_found", "invalid table name")
         Full(200, "application/json", engine.schemaJson(t).getBytes(UTF_8))
       // the pipeline-operator catalog over the SAME frontend surface: every
       // SparkEntry catalog query (dedup/ANN/tokenizer/quality/...) is

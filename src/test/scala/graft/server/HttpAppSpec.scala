@@ -94,6 +94,11 @@ class HttpAppSpec extends SparkSpec {
     val r = get("/api/schema/region")
     assert(r.body() ==
       """{"fields":[{"name":"r_regionkey","data_type":"Int32","nullable":true},{"name":"r_name","data_type":"Utf8","nullable":true}]}""")
+    // unknown table: the reference's 404 "invalid table name"
+    // (roapi/src/context.rs:155-164)
+    val unknown = get("/api/schema/never_registered")
+    assert(unknown.statusCode() == 404)
+    assert(unknown.body().contains("invalid table name"))
   }
 
   test("GET /api/pipeline lists the operator catalog") {
