@@ -236,6 +236,7 @@ object GraphQl {
   /** Full pipeline: parse the query, resolve the table, apply the ops. */
   def query(spark: SparkSession, q: String): DataFrame = {
     val f = parse(q)
-    applyField(spark.table(f.name), f)
+    // same invalid_table error slug as the REST frontend (error.rs:193-198)
+    applyField(RestQuery.resolveTable(spark, f.name), f)
   }
 }

@@ -82,5 +82,15 @@ object RestQuery {
   /** Query a registered table by name (reference: rest.rs:159-170). */
   def table(spark: org.apache.spark.sql.SparkSession, name: String,
             params: Map[String, String]): DataFrame =
-    apply(spark.table(name), params)
+    apply(resolveTable(spark, name), params)
+
+  /** Unresolvable table names get the reference's `invalid_table` error
+    * slug (columnq/src/error.rs:193-198), not a generic execution error. */
+  private[frontend] def resolveTable(spark: org.apache.spark.sql.SparkSession,
+                                     name: String): DataFrame =
+    try spark.table(name)
+    catch { case e: Throwable =>
+      throw RestError("invalid_table",
+        s"Failed to load table $name: ${e.getMessage}")
+    }
 }

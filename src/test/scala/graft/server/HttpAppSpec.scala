@@ -55,6 +55,17 @@ class HttpAppSpec extends SparkSpec {
     assert(pre.headers().firstValue("Access-Control-Allow-Headers").isPresent)
   }
 
+  test("unknown tables answer the reference's invalid_table error") {
+    // columnq/src/error.rs:193-198, via REST and GraphQL alike
+    val rest = get("/api/tables/never_registered")
+    assert(rest.statusCode() == 400)
+    assert(rest.body().contains(""""error":"invalid_table""""))
+    assert(rest.body().contains("Failed to load table never_registered"))
+    val gql = post("/api/graphql", "{ never_registered { x } }")
+    assert(gql.statusCode() == 400)
+    assert(gql.body().contains(""""error":"invalid_table""""))
+  }
+
   test("GET /api/tables/{t} applies REST params") {
     val r = get("/api/tables/nation?filter[n_regionkey]=0&columns=n_name&sort=n_name&limit=2")
     assert(r.statusCode() == 200)
