@@ -11,7 +11,8 @@ import graft.sources.TableSource
 /** Golden end-to-end: tables from the round-2 loaders (Google-Sheets-mocked,
   * Delta) served through the HTTP surface — the reference's
   * table-over-every-loader pattern (roapi/tests/api_test.rs). */
-class ServedLoadersSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+class ServedLoadersSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll
+    with graft.sources.IcebergFixtures {
 
   private var mock: HttpServer = _
 
@@ -55,6 +56,22 @@ class ServedLoadersSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     try if (mock != null) mock.stop(0) finally super.afterAll()
+  }
+
+  test("iceberg-backed table served via /api/tables and /api/sql") {
+    // the round-10 loader end-to-end through the server surface: position
+    // deletes applied, REST params and SQL both live
+    val dir = buildV2Table(withDeletes = true)
+    engine.registerTable(TableSource("ice_docs", dir, Some("iceberg")))
+    val rest = get("/api/tables/ice_docs?sort=id&columns=id,name")
+    assert(rest.statusCode() === 200)
+    assert(rest.body() ===
+      """[{"id":1,"name":"alpha"},{"id":3,"name":"gamma"},{"id":5,"name":"epsilon"}]""")
+    val sql = client.send(HttpRequest.newBuilder(URI.create(base + "/api/sql"))
+      .POST(HttpRequest.BodyPublishers.ofString(
+        "SELECT count(*) AS n FROM ice_docs")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(sql.body() === """[{"n":3}]""")
   }
 
   test("gsheet-backed table served via /api/tables with REST params (golden)") {

@@ -18,26 +18,28 @@ import graft.SparkSpec
   * DeltaLoaderSpec discipline — no iceberg library exists offline, which
   * is also what keeps the reader honest against the WIRE format rather
   * than a client API). */
-class IcebergLoaderSpec extends SparkSpec {
+/** Byte-built Iceberg fixture helpers, shared with the served-table e2e
+  * (graft.server.ServedLoadersSpec). */
+trait IcebergFixtures { this: SparkSpec =>
 
   // ---- fixture building -----------------------------------------------------
 
-  private def newTableDir(): String =
+  def newTableDir(): String =
     Files.createTempDirectory("graft_iceberg").toString
 
   /** Writes df as ONE parquet file at exactly `target`. */
-  private def writeDataFile(df: DataFrame, target: File): Unit = {
+  def writeDataFile(df: DataFrame, target: File): Unit = {
     val tmp = Files.createTempDirectory("ice_pq").toFile
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val part = tmp.listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(fail("no part file written"))
+      .getOrElse(throw new IllegalStateException("no part file written"))
     target.getParentFile.mkdirs()
     Files.move(part.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
-  private def writeAvro(schema: Schema, recs: Seq[GenericRecord], target: File): Unit = {
+  def writeAvro(schema: Schema, recs: Seq[GenericRecord], target: File): Unit = {
     target.getParentFile.mkdirs()
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, target)
@@ -47,7 +49,7 @@ class IcebergLoaderSpec extends SparkSpec {
 
   /** v2 manifest entry schema — the spec fields the reader consumes plus
     * the always-present bookkeeping ones. */
-  private val manifestSchemaV2: Schema = new Schema.Parser().parse(
+  val manifestSchemaV2: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
@@ -58,7 +60,7 @@ class IcebergLoaderSpec extends SparkSpec {
       |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
 
   /** v1 manifest entry schema — no content fields anywhere. */
-  private val manifestSchemaV1: Schema = new Schema.Parser().parse(
+  val manifestSchemaV1: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
@@ -67,7 +69,7 @@ class IcebergLoaderSpec extends SparkSpec {
       |  {"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
 
-  private val manifestListSchema: Schema = new Schema.Parser().parse(
+  val manifestListSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
@@ -75,7 +77,7 @@ class IcebergLoaderSpec extends SparkSpec {
       |{"name":"content","type":"int"},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
-  private def entryV2(status: Int, content: Int, path: String,
+  def entryV2(status: Int, content: Int, path: String,
                       format: String = "PARQUET"): GenericRecord = {
     val e = new GenericData.Record(manifestSchemaV2)
     val d = new GenericData.Record(manifestSchemaV2.getField("data_file").schema())
@@ -89,7 +91,7 @@ class IcebergLoaderSpec extends SparkSpec {
     e
   }
 
-  private def entryV1(status: Int, path: String): GenericRecord = {
+  def entryV1(status: Int, path: String): GenericRecord = {
     val e = new GenericData.Record(manifestSchemaV1)
     val d = new GenericData.Record(manifestSchemaV1.getField("data_file").schema())
     d.put("file_path", path)
@@ -101,7 +103,7 @@ class IcebergLoaderSpec extends SparkSpec {
     e
   }
 
-  private def listEntry(path: String, content: Int, snap: Long = 1L): GenericRecord = {
+  def listEntry(path: String, content: Int, snap: Long = 1L): GenericRecord = {
     val m = new GenericData.Record(manifestListSchema)
     m.put("manifest_path", path)
     m.put("manifest_length", 0L)
@@ -111,12 +113,12 @@ class IcebergLoaderSpec extends SparkSpec {
     m
   }
 
-  private val schemaFieldsJson =
+  val schemaFieldsJson =
     """[{"id":1,"name":"id","required":true,"type":"long"},
       |{"id":2,"name":"name","required":false,"type":"string"},
       |{"id":3,"name":"score","required":false,"type":"double"}]""".stripMargin
 
-  private def metadataV2(dir: String, snapshots: String, currentId: Long): String =
+  def metadataV2(dir: String, snapshots: String, currentId: Long): String =
     s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000001",
        |"location":"$dir","last-sequence-number":1,"last-updated-ms":0,
        |"last-column-id":3,
@@ -128,20 +130,20 @@ class IcebergLoaderSpec extends SparkSpec {
        |"current-snapshot-id":$currentId,
        |"snapshots":[$snapshots]}""".stripMargin
 
-  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+  def rows(df: DataFrame): Set[(Long, String, Double)] =
     df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
 
-  private def docs(xs: (Long, String, Double)*): DataFrame = {
+  def docs(xs: (Long, String, Double)*): DataFrame = {
     import spark.implicits._
     xs.toDF("id", "name", "score")
       .select(col("id"), col("name"), col("score"))
   }
 
-  private def load(dir: String, opts: Map[String, String] = Map.empty): DataFrame =
+  def load(dir: String, opts: Map[String, String] = Map.empty): DataFrame =
     Loaders.load(spark, TableSource("ice_t", dir, Some("iceberg"), options = opts))
 
   /** The standard two-file v2 fixture; returns (dir, data paths). */
-  private def buildV2Table(withDeletes: Boolean = false): String = {
+  def buildV2Table(withDeletes: Boolean = false): String = {
     val dir = newTableDir()
     val f1 = s"$dir/data/a.parquet"
     val f2 = s"$dir/data/b.parquet"
@@ -176,7 +178,10 @@ class IcebergLoaderSpec extends SparkSpec {
     dir
   }
 
-  // ---- tests ----------------------------------------------------------------
+}
+
+/** Iceberg reader over byte-built fixtures (see [[IcebergFixtures]]). */
+class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
 
   test("v2 table: schema from metadata JSON, rows from manifest-listed parquet") {
     // required/optional fidelity lives in the converted table schema; the
