@@ -296,6 +296,22 @@ object FlightProto {
     }
   }
 
+  /** `string query = 1` (transaction_id ignored). */
+  final case class CommandStatementUpdate(query: String) {
+    def encode: Array[Byte] = new Writer().string(1, query).result()
+  }
+  object CommandStatementUpdate {
+    val Url = AnyMsg.SqlPrefix + "CommandStatementUpdate"
+    def parse(b: Array[Byte]): CommandStatementUpdate = {
+      val r = new Reader(b); var q = ""
+      while (r.hasNext) r.readTag() match {
+        case (1, 2) => q = r.readString()
+        case (_, w) => r.skip(w)
+      }
+      CommandStatementUpdate(q)
+    }
+  }
+
   /** `optional int32 data_type = 1` — when present, filters the xdbc type
     * table to that SQL data type code. */
   final case class CommandGetXdbcTypeInfo(dataType: Option[Long]) {

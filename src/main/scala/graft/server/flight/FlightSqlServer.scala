@@ -276,6 +276,9 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
       case "DoAction" =>
         checkToken(auth)
         (Nil, doAction(Action.parse(first)))
+      case "DoPut" =>
+        checkToken(auth)
+        (Nil, doPut(first))
       case "ListActions" =>
         (Nil, Iterator(
           new ProtoWire.Writer().string(1, "CreatePreparedStatement").result(),
@@ -362,6 +365,30 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
         xdbcTypeInfoPayload(CommandGetXdbcTypeInfo.parse(any.value).dataType)
           ._2.iterator.map(_.encode)
       case url => throw GrpcError(UNIMPLEMENTED, s"do_get: unsupported ticket: $url")
+    }
+  }
+
+  /** DoPut: the first FlightData's flight_descriptor (Flight.proto field 1)
+    * names the command. The server is read-only, so like the reference only
+    * CommandStatementUpdate answers — with the FIXED fake update result of
+    * 1 row (flight_sql.rs:61 FAKE_UPDATE_RESULT, :782-789): a PutResult
+    * whose app_metadata is DoPutUpdateResult{record_count: 1}. Every other
+    * DoPut command is UNIMPLEMENTED, matching the reference arms. */
+  private def doPut(firstMsg: Array[Byte]): Iterator[Array[Byte]] = {
+    val r = new ProtoWire.Reader(firstMsg)
+    var desc: Option[FlightDescriptor] = None
+    while (r.hasNext) r.readTag() match {
+      case (1, 2) => desc = Some(FlightDescriptor.parse(r.readBytes()))
+      case (_, w) => r.skip(w)
+    }
+    val d = desc.getOrElse(
+      throw GrpcError(INVALID_ARGUMENT, "do_put: missing flight descriptor"))
+    val any = AnyMsg.parse(d.cmd)
+    any.typeUrl match {
+      case CommandStatementUpdate.Url =>
+        val updateResult = new ProtoWire.Writer().int64(1, 1L).result()
+        Iterator(new ProtoWire.Writer().bytes(1, updateResult).result())
+      case url => throw GrpcError(UNIMPLEMENTED, s"do_put: $url not implemented")
     }
   }
 

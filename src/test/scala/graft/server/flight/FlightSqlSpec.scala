@@ -312,6 +312,28 @@ class FlightSqlSpec extends SparkSpec {
     withRoot(Some(12L))(root => assert(root.getRowCount === 0))
   }
 
+  test("DoPut statement update returns the reference's fake 1-row result") {
+    // flight_sql.rs:61 FAKE_UPDATE_RESULT + :782-789: the read-only server
+    // answers CommandStatementUpdate with record_count = 1, no mutation
+    val desc = FlightDescriptor.cmd(AnyMsg(CommandStatementUpdate.Url,
+      CommandStatementUpdate("UPDATE uk_cities SET city = 'x'").encode).encode)
+    // FlightData{flight_descriptor(1)} — the stream's first message
+    val flightData = new ProtoWire.Writer().bytes(1, desc.encode).result()
+    val res = callOk("DoPut", flightData)
+    // PutResult{app_metadata(1) = DoPutUpdateResult{record_count(1)}}
+    val pr = new ProtoWire.Reader(res.head)
+    val (1, 2) = pr.readTag()
+    val meta = new ProtoWire.Reader(pr.readBytes())
+    val (1, 0) = meta.readTag()
+    assert(meta.readVarint() === 1L)
+    // other DoPut commands answer UNIMPLEMENTED like the reference arms
+    val prep = new ProtoWire.Writer().bytes(1,
+      FlightDescriptor.cmd(AnyMsg(CommandPreparedStatementQuery.Url,
+        CommandPreparedStatementQuery("h".getBytes(UTF_8)).encode).encode).encode)
+      .result()
+    assert(client.call(FlightPath + "DoPut", Seq(prep)).status === 12)
+  }
+
   test("GetSchema answers without executing; unknown methods are UNIMPLEMENTED") {
     val sr = callOk("GetSchema", FlightDescriptor.cmd(AnyMsg(CommandStatementQuery.Url,
       CommandStatementQuery("SELECT lat, lng FROM uk_cities").encode).encode).encode)
