@@ -59,11 +59,13 @@ object IcebergLoader {
     try in.readAllBytes() finally in.close()
   }
 
+  private val VersionedName = """v(\d+)\.metadata\.json""".r
+
   /** `metadata/version-hint.text` names the live metadata version
     * (filesystem-catalog protocol); without a hint the newest
-    * `*.metadata.json` wins (lexicographic — both the `v3.metadata.json`
-    * and the `00003-<uuid>.metadata.json` naming schemes order by
-    * version that way, zero-padded in the latter). */
+    * `*.metadata.json` wins — by NUMERIC version for the `vN` scheme
+    * (lexicographic order would put v2 after v10) and by name for the
+    * zero-padded `00003-<uuid>` scheme. */
   private[sources] def currentMetadata(fs: FileSystem, tableUri: String): JsonNode = {
     val metaDir = new HPath(tableUri, "metadata")
     require(fs.isDirectory(metaDir),
@@ -75,9 +77,13 @@ object IcebergLoader {
         new HPath(metaDir, s"v$v.metadata.json")
       } else {
         val candidates = fs.listStatus(metaDir).map(_.getPath.getName)
-          .filter(_.endsWith(".metadata.json")).sorted
+          .filter(_.endsWith(".metadata.json"))
         require(candidates.nonEmpty, s"`$tableUri`: no *.metadata.json found")
-        new HPath(metaDir, candidates.last)
+        val newest = candidates.maxBy {
+          case VersionedName(n) => (1, n.toLong, "")
+          case other => (0, 0L, other)
+        }
+        new HPath(metaDir, newest)
       }
     val node = mapper.readTree(readBytes(fs, metaPath))
     val fv = node.get("format-version").asInt()

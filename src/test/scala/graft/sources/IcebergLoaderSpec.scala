@@ -306,6 +306,19 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
       (5L, "epsilon", 5.5)))
   }
 
+  test("without a version-hint the NUMERICALLY newest vN metadata wins") {
+    val dir = buildV2Table()
+    val meta = new File(s"$dir/metadata")
+    val v1 = Files.readString(new File(meta, "v1.metadata.json").toPath)
+    // a STALE v9 (no current snapshot -> empty table) and the LIVE v10:
+    // lexicographic order picks v9 ("v9" > "v10"), numeric picks v10
+    Files.writeString(new File(meta, "v9.metadata.json").toPath,
+      v1.replace("\"current-snapshot-id\":1", "\"current-snapshot-id\":-1"))
+    Files.writeString(new File(meta, "v10.metadata.json").toPath, v1)
+    Files.delete(new File(meta, "version-hint.text").toPath)
+    assert(rows(load(dir)).size === 5)
+  }
+
   test("non-Iceberg directory and bad format-version fail loudly") {
     val dir = newTableDir()
     val e = intercept[IllegalArgumentException](load(dir))
