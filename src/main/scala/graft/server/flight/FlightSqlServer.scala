@@ -24,6 +24,20 @@ object FlightSqlServer {
   /** PEM paths, the reference's `flight_sql_config.tls` fields verbatim
     * (roapi/src/config.rs FlightSqlTlsConfig: cert, key, client_ca). */
   final case class Tls(cert: String, key: String, clientCa: String)
+
+  /** SQL LIKE pattern (`%`, `_`) -> regex, the filter semantics the
+    * FlightSQL metadata builders apply client-visibly. Pure, so it lives
+    * on the companion (property-tested in PropertySpec). */
+  private[server] def likeMatches(pattern: String, value: String): Boolean = {
+    val rx = new StringBuilder("^")
+    pattern.foreach {
+      case '%' => rx.append(".*")
+      case '_' => rx.append('.')
+      case c   => rx.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    rx.append('$')
+    value.matches(rx.result())
+  }
 }
 
 /** Arrow Flight SQL frontend (reference: roapi/src/server/flight_sql.rs).
@@ -562,16 +576,8 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
 
   /** SQL LIKE pattern (`%`, `_`) -> regex, the filter semantics the
     * FlightSQL metadata builders apply client-visibly. */
-  private def likeMatches(pattern: String, value: String): Boolean = {
-    val rx = new StringBuilder("^")
-    pattern.foreach {
-      case '%' => rx.append(".*")
-      case '_' => rx.append('.')
-      case c   => rx.append(java.util.regex.Pattern.quote(c.toString))
-    }
-    rx.append('$')
-    value.matches(rx.result())
-  }
+  private def likeMatches(pattern: String, value: String): Boolean =
+    FlightSqlServer.likeMatches(pattern, value)
 
   private def catalogsDf(): DataFrame =
     engine.spark.createDataFrame(
