@@ -1292,6 +1292,26 @@ object PipelineOps {
     // bit-exact-oracle contract); defaults: occupancy 64, cosine >= 0.95
     "emb_semdedup" -> ((spark, dir) => semDedup(embs(spark, dir))),
 
+    // the embedding-side curation composition — SemDeDup keep-set,
+    // semantic decontamination against the probe slice (vec_id < 20,
+    // cosine >= 0.35), deterministic embsample-42 hash sample at 0.5 —
+    // the vector-pipeline mirror of doc_curate: every stage reuses its
+    // standalone kernel, the chain is one anti-join + one filter on top
+    // of the semdedup survivors (no new shuffles beyond the stages')
+    "emb_curate" -> ((spark, dir) => {
+      val base = embs(spark, dir)
+      val kept = semDedup(base)
+      val e = base.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val contaminated =
+        semanticDecontaminate(e, e.filter(col("vec_id") < 20), tau = 0.35)
+          .filter(col("is_contaminated")).select(col("vec_id"))
+      val h = fnvMix64(concat(lit("embsample-42-"), col("vec_id").cast("string")))
+      kept.join(contaminated, Seq("vec_id"), "left_anti")
+        .filter(shiftrightunsigned(h, 11) < lit(hashSampleThreshold(0.5)))
+        .orderBy(col("vec_id"))
+    }),
+
     // one Lloyd iteration of k-means (see [[kmeansUpdate]]) — the training
     // half behind the IVF/SemDeDup serve paths
     "emb_kmeans" -> ((spark, dir) => kmeansUpdate(embs(spark, dir))),
@@ -4404,6 +4424,30 @@ object PipelineOps {
       |    WHEN 'src2' THEN ${hashSampleThreshold(0.25)}
       |    ELSE ${hashSampleThreshold(0.1)} END)""".stripMargin
 
+  /** The SemDeDup oracle chain: `e(vec_id, embedding, nrm)`, hash-ranked
+    * seed assignment `asg(vec_id, cell)`, and the greedy drop set
+    * `drp(vec_id)` — `emb_semdedup` selects the survivors directly,
+    * `emb_curate` chains decontamination + sampling on top. Callers open
+    * with WITH. */
+  private lazy val semDedupCtes: String =
+    s"""e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+      |kk AS (SELECT LEAST(4096, GREATEST(16, (COUNT(*) + 63) // 64)) AS k FROM embeddings),
+      |${fnvMixCtes("sd", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
+      |sdh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM sd),
+      |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM sdh QUALIFY cell < (SELECT k FROM kk)),
+      |seeds AS (SELECT sr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
+      |dists AS (SELECT e.vec_id, s.cell,
+      |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
+      |  FROM e CROSS JOIN seeds s),
+      |mind AS (SELECT vec_id, MIN(dist) AS md FROM dists GROUP BY vec_id),
+      |asg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
+      |pairs AS (SELECT b.vec_id AS id_b,
+      |  list_sum(list_transform(list_zip(ea.embedding, eb.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (ea.nrm*eb.nrm) AS cosine
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+      |drp AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= 0.95)""".stripMargin
+
   /** The shared IVF-PQ ADC oracle chain through `adc(q_id, vec_id, adc)`
     * (and `e(vec_id, embedding)` for re-rank joins): hash-ranked seed
     * centroids and codebook donors, argmin assignments, per-probe
@@ -5329,25 +5373,26 @@ object PipelineOps {
     // (LEAST(4096, GREATEST(16, ceil(n/64)))), argmin assignment with
     // min-cell ties, within-cell pairwise cosine, greedy min-id exemplar
     "emb_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
-        |kk AS (SELECT LEAST(4096, GREATEST(16, (COUNT(*) + 63) // 64)) AS k FROM embeddings),
-        |${fnvMixCtes("sd", "embeddings", "vec_id", "'ivf-seed-' || CAST(vec_id AS VARCHAR)")},
-        |sdh AS (SELECT id AS vec_id, CASE WHEN z >= 9223372036854775808 THEN CAST(z - $M64 AS BIGINT) ELSE CAST(z AS BIGINT) END AS h FROM sd),
-        |sr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell FROM sdh QUALIFY cell < (SELECT k FROM kk)),
-        |seeds AS (SELECT sr.cell, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c FROM sr JOIN e USING (vec_id)),
-        |dists AS (SELECT e.vec_id, s.cell,
-        |  list_sum(list_transform(list_zip(e.embedding, s.c), z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS dist
-        |  FROM e CROSS JOIN seeds s),
-        |mind AS (SELECT vec_id, MIN(dist) AS md FROM dists GROUP BY vec_id),
-        |asg AS (SELECT d.vec_id, MIN(d.cell) AS cell FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY d.vec_id),
-        |pairs AS (SELECT b.vec_id AS id_b,
-        |  list_sum(list_transform(list_zip(ea.embedding, eb.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (ea.nrm*eb.nrm) AS cosine
-        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
-        |drp AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= 0.95)
+      (s"""WITH $semDedupCtes
         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM asg a
-        |WHERE a.vec_id NOT IN (SELECT vec_id FROM drp) ORDER BY a.vec_id""".stripMargin,
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM drp) ORDER BY a.vec_id""".stripMargin),
+    // the embedding-side curation composition: SemDeDup keep-set, semantic
+    // decontamination against the probe slice, deterministic hash sample —
+    // each stage's arithmetic is its standalone oracle's, chained
+    "emb_curate" ->
+      (s"""WITH $semDedupCtes,
+        |p AS (SELECT vec_id AS p_id, embedding AS pv, nrm AS pn FROM e WHERE vec_id < 20),
+        |cont AS (SELECT DISTINCT e.vec_id FROM e CROSS JOIN p
+        |  WHERE e.vec_id <> p.p_id
+        |    AND list_sum(list_transform(list_zip(e.embedding, p.pv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (e.nrm*p.pn) >= 0.35),
+        |${fnvMixCtes("es1", "embeddings", "vec_id", "'embsample-42-' || CAST(vec_id AS VARCHAR)")}
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM asg a
+        |JOIN es1 ON a.vec_id = es1.id
+        |LEFT JOIN cont c ON a.vec_id = c.vec_id
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM drp)
+        |  AND c.vec_id IS NULL
+        |  AND es1.z // 2048 < ${hashSampleThreshold(0.5)}
+        |ORDER BY a.vec_id""".stripMargin),
     // k-means update: same hash-ranked seeds + argmin assignment as
     // emb_semdedup; per-(cell,dim) sums route each element through the
     // integer grid floor(x*1e12+0.5) — the gram contract, so the

@@ -207,6 +207,19 @@ class DedupEvalSpec extends SparkSpec {
     }
   }
 
+  test("emb_curate: a subset of semdedup survivors, zero contaminated, deterministic") {
+    val curated = q("emb_curate").collect().map(_.getLong(0)).toSet
+    assert(curated.nonEmpty)
+    val survivors = q("emb_semdedup").collect().map(_.getLong(0)).toSet
+    assert(curated.subsetOf(survivors), "curate must not resurrect dropped dups")
+    val contaminated = q("emb_decontaminate").collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(curated.intersect(contaminated).isEmpty,
+      "curate must exclude every contaminated vector")
+    // deterministic: the hash sample yields the identical set on re-run
+    assert(q("emb_curate").collect().map(_.getLong(0)).toSet === curated)
+  }
+
   test("ann_ivf_stats: occupancy sums to the corpus, fractions to 1") {
     val stats = q("ann_ivf_stats")
     val nVecs = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
