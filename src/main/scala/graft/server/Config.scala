@@ -103,8 +103,7 @@ object Config {
         TableSource.fromOptions(str(m, "name") + "_src", str(m, "uri"), opts),
         str(m, "key"), str(m, "value"))
     }
-    val sparkConf = obj(root.get("spark")).asScala
-      .map { case (k, v) => k -> String.valueOf(v) }.toMap
+    val sparkConf = flattenConf(obj(root.get("spark")))
     // reference: addr.flight_sql (roapi/src/server/flight_sql.rs:936-941)
     // plus flight_sql_config.auth_basic / auth_token (config.rs FlightSqlConfig)
     val fsc = obj(root.get("flight_sql_config"))
@@ -117,12 +116,7 @@ object Config {
     }
     // the reference's `datafusion:` engine-conf block: dotted keys kept
     // verbatim; nested maps flattened to the same dotted form
-    val dfConf = obj(root.get("datafusion")).asScala.flatMap {
-      case (k, m: java.util.Map[_, _]) =>
-        m.asInstanceOf[java.util.Map[String, Object]].asScala
-          .map { case (k2, v) => s"$k.$k2" -> String.valueOf(v) }
-      case (k, v) => Seq(k -> String.valueOf(v))
-    }.toMap
+    val dfConf = flattenConf(obj(root.get("datafusion")))
     // flight_sql_config.tls: PEM cert/key + client CA, all three required
     // when the block is present (the reference struct's fields are
     // non-optional Strings — roapi/src/config.rs FlightSqlTlsConfig)
@@ -146,6 +140,21 @@ object Config {
       reloadIntervalSec =
         Option(root.get("reload_interval")).map(_.toString.toLong))
   }
+
+  /** Engine-conf blocks (`spark:`, `datafusion:`) flattened to dotted
+    * string keys at ANY nesting depth: YAML writes the dotted key
+    * verbatim, but TOML's natural `spark.sql.shuffle.partitions = "32"`
+    * spelling parses as nested tables — both must reach the session conf
+    * as one `spark.sql.shuffle.partitions` entry, never a stringified
+    * map under `spark` (which Spark would accept and silently ignore). */
+  private def flattenConf(m: java.util.Map[String, Object],
+                          prefix: String = ""): Map[String, String] =
+    m.asScala.flatMap {
+      case (k, nested: java.util.Map[_, _]) =>
+        flattenConf(nested.asInstanceOf[java.util.Map[String, Object]],
+          prefix + k + ".")
+      case (k, v) => Map(prefix + k -> String.valueOf(v))
+    }.toMap
 
   /** The reference's ContentType variant names (config.rs serde), plus the
     * mime aliases; unknown values error loudly. Shared by the YAML key and

@@ -81,30 +81,49 @@ object ServerMain {
     * reference, REQUIRES read-write mode), `-f/--response-format`.
     * Factored out of main so specs drive it without booting servers. */
   private[server] def buildConfig(args: Array[String]): Config.Loaded = {
+    // a flag missing its operand must die with a usage message, not an
+    // ArrayIndexOutOfBoundsException
+    def operand(i: Int, flag: String): String = {
+      require(i + 1 < args.length, s"missing value for $flag")
+      args(i + 1)
+    }
+    // PASS 1: locate and load the config file — like the reference's clap
+    // handling, flags apply ON TOP of the config regardless of where
+    // --config sits on the command line (a `-d` BEFORE `--config` must
+    // not be clobbered by the load)
     var cfg = Config.Loaded(None, None, Seq.empty, Seq.empty, Map.empty)
-    val tables = Seq.newBuilder[TableSource]
-    var reload: Option[Long] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--config" | "-c" =>
-          val path = args(i + 1)
+          val path = operand(i, args(i))
           val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
           cfg = if (path.endsWith(".toml")) Config.parseToml(text)
                 else Config.parse(text)
           i += 2
-        case "--addr-http" =>
-          cfg = cfg.copy(httpAddr = Config.splitAddr(args(i + 1))); i += 2
-        case "--addr-postgres" =>
-          cfg = cfg.copy(pgAddr = Config.splitAddr(args(i + 1))); i += 2
-        case "--addr-flight-sql" =>
-          cfg = cfg.copy(flightAddr = Config.splitAddr(args(i + 1))); i += 2
+        case "--disable-read-only" | "-d" => i += 1
+        case _ => i += (if (args(i).startsWith("-")) 2 else 1)
+      }
+    }
+    // PASS 2: flag overrides in order
+    val tables = Seq.newBuilder[TableSource]
+    var reload: Option[Long] = None
+    i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config" | "-c" => i += 2
+        case f @ ("--addr-http") =>
+          cfg = cfg.copy(httpAddr = Config.splitAddr(operand(i, f))); i += 2
+        case f @ ("--addr-postgres") =>
+          cfg = cfg.copy(pgAddr = Config.splitAddr(operand(i, f))); i += 2
+        case f @ ("--addr-flight-sql") =>
+          cfg = cfg.copy(flightAddr = Config.splitAddr(operand(i, f))); i += 2
         case "--disable-read-only" | "-d" =>
           cfg = cfg.copy(disableReadOnly = true); i += 1
-        case "--reload-interval" | "-r" =>
-          reload = Some(args(i + 1).toLong); i += 2
-        case "--response-format" | "-f" =>
-          cfg = cfg.copy(responseFormat = Config.parseResponseFormat(args(i + 1)))
+        case f @ ("--reload-interval" | "-r") =>
+          reload = Some(operand(i, f).toLong); i += 2
+        case f @ ("--response-format" | "-f") =>
+          cfg = cfg.copy(responseFormat = Config.parseResponseFormat(operand(i, f)))
           i += 2
         case other => tables += TableSource.parseUriArg(other); i += 1
       }
@@ -219,17 +238,21 @@ object CliMain {
     // positionals stay table args for backward compatibility otherwise
     val sqlMode = args.headOption.contains("sql")
     val rest = if (sqlMode || args.headOption.contains("console")) args.drop(1) else args
+    def operand(i: Int, flag: String): String = {
+      require(i + 1 < rest.length, s"missing value for $flag")
+      rest(i + 1)
+    }
     var i = 0
     while (i < rest.length) {
       rest(i) match {
-        case "-q" => sql = rest(i + 1); i += 2
-        case "-t" | "--table" => tableArgs += rest(i + 1); i += 2
-        case "--format" | "-o" | "--output" => fmt = rest(i + 1); i += 2
+        case f @ "-q" => sql = operand(i, f); i += 2
+        case f @ ("-t" | "--table") => tableArgs += operand(i, f); i += 2
+        case f @ ("--format" | "-o" | "--output") => fmt = operand(i, f); i += 2
         // one-shot pipeline-operator run: --pipeline <name> --dir <sfDir>
         // (the CLI face of the /api/pipeline route; names come from the
         // fixed SparkEntry catalog, so a typo fails with the known list)
-        case "--pipeline" => pipeline = rest(i + 1); i += 2
-        case "--dir" => pipelineDir = rest(i + 1); i += 2
+        case f @ "--pipeline" => pipeline = operand(i, f); i += 2
+        case f @ "--dir" => pipelineDir = operand(i, f); i += 2
         // in `sql` mode the first bare positional IS the query
         case other if sqlMode && sql.isEmpty => sql = other; i += 1
         case other => tableArgs += other; i += 1

@@ -180,13 +180,15 @@ object Routes {
             node.forEach(e => b += e)
             b.result()
           } else Seq(node)
-        entries.foreach { e =>
-          val name = e.get("tableName").asText()
+        val names = entries.map(_.get("tableName").asText())
+        // validate the WHOLE batch before dropping anything: a 404 must
+        // mean nothing was dropped, not "some prefix was"
+        names.foreach { name =>
           if (engine.knownSource(name).isEmpty)
             throw ApiError(404, "not_found",
               s"Table `$name` source does not exist")
-          engine.dropTable(name)
         }
+        names.foreach(engine.dropTable)
         Full(200, "application/json", Array.emptyByteArray)
       case _ => throw ApiError(404, "not_found", s"${req.method} ${req.path}")
     }

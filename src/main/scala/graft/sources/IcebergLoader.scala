@@ -233,14 +233,20 @@ object IcebergLoader {
 
   /** Iceberg stores ABSOLUTE paths from write time; a relocated table's
     * paths are remapped by swapping the metadata `location` prefix for the
-    * actual table root. */
+    * actual table root. Both sides normalize their `file:///` vs `file:/`
+    * URI spelling FIRST — different writers emit different (equally valid)
+    * forms, and a form mismatch must not silently skip the remap. */
   private def pathRemapper(meta: JsonNode, tableUri: String): String => String = {
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
     val location = Option(meta.get("location")).filterNot(_.isNull)
-      .map(_.asText().stripSuffix("/"))
-    val root = tableUri.stripSuffix("/")
-    p => location match {
-      case Some(loc) if p.startsWith(loc + "/") => root + p.stripPrefix(loc)
-      case _ => p
+      .map(l => norm(l.asText().stripSuffix("/")))
+    val root = norm(tableUri.stripSuffix("/"))
+    p0 => {
+      val p = norm(p0)
+      location match {
+        case Some(loc) if p.startsWith(loc + "/") => root + p.stripPrefix(loc)
+        case _ => p
+      }
     }
   }
 
@@ -264,19 +270,21 @@ object IcebergLoader {
       // identity, the same mechanism as Delta deletion vectors. Delete
       // files are small relative to data (they hold tombstones only) and
       // broadcast; file_path values are write-time absolute, so they get
-      // the same location remap as the scan paths.
-      val remap = pathRemapper(meta, tableUri)
+      // the same location remap as the scan paths — applied AFTER both
+      // sides normalize their file:/// vs file:/ URI spelling, so a
+      // writer's different (equally valid) URI form cannot silently skip
+      // the remap and resurrect deleted rows.
+      def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
       val loc = Option(meta.get("location")).filterNot(_.isNull)
-        .map(_.asText().stripSuffix("/"))
-      val root = tableUri.stripSuffix("/")
+        .map(p => normStr(p.asText().stripSuffix("/")))
+      val root = normStr(tableUri.stripSuffix("/"))
       val rawDeletes = spark.read.parquet(plan.positionDeleteFiles: _*)
-        .select(col("file_path").cast("string").as("__graft_fp"),
+        .select(normFp(col("file_path").cast("string")).as("__graft_fp"),
           col("pos").cast("long").as("__graft_ri"))
-      val remapped = loc.filter(_ != root).fold(rawDeletes)(l =>
+      val deletes = loc.filter(_ != root).fold(rawDeletes)(l =>
         rawDeletes.withColumn("__graft_fp", regexp_replace(col("__graft_fp"),
           "^" + java.util.regex.Pattern.quote(l + "/"),
           java.util.regex.Matcher.quoteReplacement(root + "/"))))
-      val deletes = remapped.withColumn("__graft_fp", normFp(col("__graft_fp")))
       base
         .withColumn("__graft_fp", normFp(col("_metadata.file_path")))
         .withColumn("__graft_ri", col("_metadata.row_index"))

@@ -92,6 +92,30 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.flightTls.exists(_.clientCa == "/p/ca.pem"))
   }
 
+  test("flags apply over the config regardless of position; missing operands fail") {
+    // clap applies flags position-independently over the config; a -d
+    // BEFORE --config must not be clobbered by the load (review finding)
+    val f = java.nio.file.Files.createTempFile("graft_cfg", ".yml")
+    java.nio.file.Files.writeString(f, "addr:\n  http: 127.0.0.1:8080\n")
+    val cfg = ServerMain.buildConfig(Array("-d", "--config", f.toString))
+    assert(cfg.disableReadOnly)
+    assert(cfg.httpAddr.contains(("127.0.0.1", 8080)))
+    val e = intercept[IllegalArgumentException](
+      ServerMain.buildConfig(Array("--addr-http")))
+    assert(e.getMessage.contains("missing value"))
+  }
+
+  test("toml natural dotted spark keys flatten to the session conf form") {
+    // `spark.sql.shuffle.partitions = "32"` parses as nested TOML tables;
+    // the conf block must flatten to the dotted key, never a stringified
+    // map under `spark` (review finding)
+    val cfg = Config.parseToml(
+      """[spark]
+        |spark.sql.shuffle.partitions = "32"
+        |""".stripMargin)
+    assert(cfg.sparkConf === Map("spark.sql.shuffle.partitions" -> "32"))
+  }
+
   test("server CLI flags mirror the reference binary") {
     val cfg = ServerMain.buildConfig(Array(
       "cities=/data/cities.csv,format=csv",

@@ -81,6 +81,22 @@ class ReadWriteSpec extends SparkSpec {
     assert(unknown.body().contains("source does not exist"))
   }
 
+  test("a drop batch with an unknown name drops NOTHING (atomic validation)") {
+    val dir = Files.createTempDirectory("graft_drop_atomic")
+    val csv = dir.resolve("d.csv")
+    Files.writeString(csv, "k\n1\n")
+    assert(post("/api/table",
+      s"""[{"tableName": "keep_me", "uri": "$csv", "option": {"format": "csv"}}]""")
+      .statusCode() == 200)
+    val r = post("/api/tables/drop",
+      """[{"tableName": "keep_me"}, {"tableName": "no_such"}]""")
+    assert(r.statusCode() == 404)
+    // the valid prefix must NOT have been dropped (review finding)
+    assert(get("/api/tables/keep_me").statusCode() == 200)
+    post("/api/tables/drop", """[{"tableName": "keep_me"}]""")
+    ()
+  }
+
   test("reload_interval re-reads the source and swaps the view") {
     val dir = Files.createTempDirectory("graft_refresh")
     val csv = dir.resolve("counts.csv")

@@ -306,6 +306,22 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
       (5L, "epsilon", 5.5)))
   }
 
+  test("URI-form mismatch (file:// location vs plain paths) still remaps after relocation") {
+    // different writers spell the same location file:///x, file:/x, or /x
+    // — a form mismatch must not silently skip the remap (deleted rows
+    // would resurrect; review finding)
+    val dir = buildV2Table(withDeletes = true)
+    val metaFile = new File(s"$dir/metadata/v1.metadata.json")
+    Files.writeString(metaFile.toPath,
+      Files.readString(metaFile.toPath)
+        .replace("\"location\":\"" + dir + "\"", "\"location\":\"file://" + dir + "\""))
+    val moved = newTableDir() + "/relocated2"
+    Files.move(new File(dir).toPath, new File(moved).toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(rows(load(moved)) === Set((1L, "alpha", 1.5), (3L, "gamma", 3.5),
+      (5L, "epsilon", 5.5)))
+  }
+
   test("without a version-hint the NUMERICALLY newest vN metadata wins") {
     val dir = buildV2Table()
     val meta = new File(s"$dir/metadata")
