@@ -832,6 +832,29 @@ object PipelineOps {
       }.reduce(_ unionByName _).orderBy(col("bands"))
     }),
 
+    // the PRECISION face of the band tuning curve: per (bands, rows)
+    // split, how many candidate pairs the banding generates vs how many
+    // survive exact verification — the wasted-verification-work number a
+    // production LSH deployment reads next to the recall curve (more
+    // bands = more candidates = higher recall but lower precision). Same
+    // sampled sub-corpus and ONE shared signature table as
+    // dedup_band_curve; counts only, so the aggregate is scale-free.
+    "dedup_band_precision" -> ((spark, dir) => {
+      val d = evalCorpus(spark, dir)
+      val sig = registerCache(
+        d.withColumn("sig", minhashSignature(col("sh"), 64, 42L)))
+      Seq(8, 16, 32).map { b =>
+        pairJaccard(sig, lshCandidates(sig, 64, b, 4096))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_verified"))
+          .select(lit(b.toLong).as("bands"), lit((64 / b).toLong).as("rows_per_band"),
+            col("n_candidates"), col("n_verified"),
+            when(col("n_candidates") > 0,
+              col("n_verified").cast("double") / col("n_candidates").cast("double"))
+              .as("precision"))
+      }.reduce(_ unionByName _).orderBy(col("bands"))
+    }),
+
     // LSH evaluation: recall of the banded MinHash chain against the
     // exact-Jaccard ground truth, per similarity decile — the curve any
     // LSH deployment reads when tuning (bands, rows): the S-curve should
@@ -2974,11 +2997,10 @@ object PipelineOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact-Jaccard verification of candidate id pairs: the shingle arrays
+  /** Exact Jaccard of candidate id pairs, UNFILTERED — the shingle arrays
     * re-join ONCE per candidate pair (ids-only candidates shuffle; arrays
     * only move for pairs that survive candidate generation). */
-  private def verifyPairs(d: DataFrame, candidates: DataFrame,
-                          threshold: Double): DataFrame = {
+  private def pairJaccard(d: DataFrame, candidates: DataFrame): DataFrame = {
     val sets = d.select(col("doc_id"), col("sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -2992,9 +3014,15 @@ object PipelineOps {
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
           .as("jaccard"))
+  }
+
+  /** [[pairJaccard]] filtered to the near-dup threshold — the verification
+    * tail every banded candidate generator shares. */
+  private def verifyPairs(d: DataFrame, candidates: DataFrame,
+                          threshold: Double): DataFrame =
+    pairJaccard(d, candidates)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Benchmark decontamination: count probe n-grams per training doc. The
     * probe set (a benchmark's worth of n-grams) is broadcast and must be
@@ -5124,6 +5152,32 @@ object PipelineOps {
         |FROM cfg LEFT JOIN ex ON TRUE
         |LEFT JOIN u ON cfg.bands = u.bands AND ex.doc_a = u.doc_a AND ex.doc_b = u.doc_b
         |GROUP BY cfg.bands ORDER BY cfg.bands""".stripMargin),
+    // band precision: the same sampled sigs chain, three band-split
+    // candidate CTEs, counts + the verified fraction per config
+    "dedup_band_precision" ->
+      (s"""WITH ${fnvMixCtes("sm3", "documents", "doc_id", "'eval-42-' || CAST(doc_id AS VARCHAR)")},
+        |sdoc AS (SELECT d.doc_id, d.text FROM documents d JOIN sm3 ON d.doc_id = sm3.id
+        |  WHERE sm3.z // 2048 < ${hashSampleThreshold(0.5)}),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM sdoc),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts)-2, 1)+1), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok),
+        |${minhashCandCtes("sh")},
+        |${minhashBandCandCte("cand8", 8)},
+        |${minhashBandCandCte("cand32", 32)},
+        |cfgp AS (
+        |  SELECT CAST(8 AS BIGINT) AS bands, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(coalesce(SUM(CASE WHEN CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
+        |  FROM cand8
+        |  UNION ALL
+        |  SELECT CAST(16 AS BIGINT), CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(SUM(CASE WHEN CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM cand
+        |  UNION ALL
+        |  SELECT CAST(32 AS BIGINT), CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(SUM(CASE WHEN CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM cand32)
+        |SELECT bands, CAST(64 // bands AS BIGINT) AS rows_per_band, n_candidates, n_verified,
+        |  CASE WHEN n_candidates > 0 THEN CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE) END AS "precision"
+        |FROM cfgp ORDER BY bands""".stripMargin),
     // LSH recall per similarity decile: exact trigram-Jaccard ground truth
     // (inverted-index pairs) left-joined with the banded candidate chain's
     // verified pairs — both fragments proven standalone above

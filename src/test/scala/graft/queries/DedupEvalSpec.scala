@@ -66,6 +66,20 @@ class DedupEvalSpec extends SparkSpec {
     }
   }
 
+  test("dedup_band_precision agrees with the recall curve's found counts") {
+    val prec = q("dedup_band_precision").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(prec.keySet === Set(8L, 16L, 32L))
+    prec.values.foreach { case (cand, ver) => assert(ver <= cand) }
+    // verified pairs at the shared threshold ARE exact pairs, so the
+    // recall curve's per-config n_found equals the precision curve's
+    // n_verified — the two evaluations must tell one story
+    val found = q("dedup_band_curve").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    prec.foreach { case (b, (_, ver)) => assert(found(b) == ver,
+      s"bands=$b: precision n_verified $ver != recall n_found ${found(b)}") }
+  }
+
   test("dedup_minhash_estimate: rows are the verified LSH pairs; est within Hoeffding-ish bound") {
     val est = q("dedup_minhash_estimate").collect()
     assert(est.length == q("dedup_minhash_lsh").count())
