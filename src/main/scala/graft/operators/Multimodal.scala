@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,12 +17,22 @@ import graft.functions.TextFunctions
   * `mapInPandas` — a media codec wants batches, not single rows, to amortize
   * decoder init), and nothing ever collects to the driver.
   *
-  * The DECODE ITSELF IS A STUB: this environment has no image/audio codecs,
-  * so `decodeStub` derives deterministic pseudo-dimensions/features from the
-  * payload bytes. Swap `decodeStub`/`featuresStub` for a real codec call and
-  * everything else stands.
+  * Two kernel tiers coexist:
+  *
+  *   - **Real image kernels** (`extractImageFeatures`, `resizeImage`) decode
+  *     PNG/BMP payloads with the JDK-bundled `javax.imageio` codecs — no
+  *     external libs — and compute integer-exact channel statistics and an
+  *     integer box-filter resize. An undecodable payload fails LOUDLY
+  *     (`decodeImage`), never silently zero-fills.
+  *   - **Stub kernels** (`decodeStub`/`featuresStub`) stand in for codecs the
+  *     JDK does not ship (audio/video embedding models): deterministic
+  *     pseudo-features from the payload bytes, honestly named `*_stub`.
   */
 object Multimodal {
+
+  // ImageIO's default scratch is a temp FILE per decode — catastrophic for a
+  // hot executor path. In-memory cache only.
+  ImageIO.setUseCache(false)
 
   final case class MediaRow(id: Long, payload: Array[Byte], format: String)
   final case class MediaFeatures(id: Long, width: Int, height: Int,
@@ -98,6 +112,157 @@ object Multimodal {
         val until = math.min(from + frameBytes, r.payload.length)
         Frame(r.id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
       }
+    }
+  }
+
+  // ===== real image kernels (JDK ImageIO; PNG + BMP, lossless) =============
+
+  final case class ImageFeatures(id: Long, width: Int, height: Int,
+                                 channels: Int, sum_r: Long, sum_g: Long,
+                                 sum_b: Long)
+  final case class ResizedImage(id: Long, out_w: Int, out_h: Int,
+                                r_checksum: Long, g_checksum: Long,
+                                b_checksum: Long, magic_hex: String)
+
+  /** Deterministic synthetic image geometry + pixels for doc `id`: width
+    * 8..36, height 8..36 (both multiples of 4), channel value =
+    * `(id*k + a*x + b*y) mod 256`. The formula is the oracle contract: since
+    * PNG/BMP are lossless, decode(encode(pixels)) == pixels, so any engine
+    * can verify the DECODED statistics from the formula without a codec. */
+  def synthWidth(id: Long): Int = 8 + Math.floorMod(id, 8L).toInt * 4
+  def synthHeight(id: Long): Int = 8 + Math.floorMod(id / 8, 8L).toInt * 4
+  def synthR(id: Long, x: Int, y: Int): Int = Math.floorMod(id * 7 + 3L * x + 5L * y, 256L).toInt
+  def synthG(id: Long, x: Int, y: Int): Int = Math.floorMod(id * 11 + 5L * x + 7L * y, 256L).toInt
+  def synthB(id: Long, x: Int, y: Int): Int = Math.floorMod(id * 13 + 2L * x + 3L * y, 256L).toInt
+
+  /** Encode the synthetic image for `id` as real PNG (even ids) or BMP (odd
+    * ids) bytes — both JDK codecs, both lossless, so the decode side
+    * exercises two container formats against one pixel contract. */
+  def synthImageBytes(id: Long): (Array[Byte], String) = {
+    val w = synthWidth(id); val h = synthHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val fmt = if (id % 2 == 0) "png" else "bmp"
+    val bos = new ByteArrayOutputStream(256)
+    if (!ImageIO.write(img, fmt, bos))
+      throw new IllegalStateException(s"no JDK ImageIO writer for format $fmt")
+    (bos.toByteArray, "image/" + fmt)
+  }
+
+  /** Decode an image payload with ImageIO, failing LOUDLY on garbage —
+    * `ImageIO.read` returns null for undecodable bytes and a silent
+    * null-propagation would corrupt downstream statistics. */
+  def decodeImage(payload: Array[Byte]): BufferedImage = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"undecodable media payload (${payload.length} bytes): ${e.getMessage}", e)
+      }
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable media payload: no ImageIO reader matched ${payload.length} bytes")
+    img
+  }
+
+  /** One synthetic media row per document id — image built on the EXECUTOR
+    * (payloads never transit the driver), id-derived so the corpus is
+    * reproducible at any scale without shipping fixture bytes. */
+  def syntheticImages(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (bytes, fmt) = synthImageBytes(id)
+        MediaRow(id, bytes, fmt)
+      })
+  }
+
+  /** Real decode-backed feature extraction: width/height/band-count plus
+    * per-channel pixel sums (integer-exact, so oracle-verifiable). Batched
+    * partition-parallel like the stub path — decoder init amortized per
+    * partition, nothing collected to the driver. */
+  def extractImageFeatures(media: Dataset[MediaRow],
+                           batchSize: Int = 64): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val img = decodeImage(r.payload)
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(r.id, w, h, img.getRaster.getNumBands, sr, sg, sb)
+      })
+    }
+  }
+
+  /** Real integer box-filter resize: each output cell is the floor-mean of
+    * its source block (block edges at `o*dim/outDim`, exact when dims are
+    * multiples). The result is re-ENCODED to PNG (proving the write path;
+    * `magic_hex` pins the container) and summarized as position-weighted
+    * channel checksums so correctness is oracle-checkable without shipping
+    * pixel arrays. */
+  def resizeImage(media: Dataset[MediaRow], outW: Int = 4, outH: Int = 4,
+                  batchSize: Int = 64): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val img = decodeImage(r.payload)
+        val w = img.getWidth; val h = img.getHeight
+        val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+        var cr = 0L; var cg = 0L; var cb = 0L
+        var oy = 0
+        while (oy < outH) {
+          val y0 = oy * h / outH; val y1 = (oy + 1) * h / outH
+          var ox = 0
+          while (ox < outW) {
+            val x0 = ox * w / outW; val x1 = (ox + 1) * w / outW
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (y1 - y0).toLong * (x1 - x0)
+            val pr = (sr / n).toInt; val pg = (sg / n).toInt; val pb = (sb / n).toInt
+            out.setRGB(ox, oy, (pr << 16) | (pg << 8) | pb)
+            val wgt = ox + oy * outW + 1
+            cr += pr.toLong * wgt; cg += pg.toLong * wgt; cb += pb.toLong * wgt
+            ox += 1
+          }
+          oy += 1
+        }
+        val bos = new ByteArrayOutputStream(256)
+        ImageIO.write(out, "png", bos)
+        val png = bos.toByteArray
+        val magic = png.take(8).map(b => f"${b & 0xFF}%02X").mkString
+        ResizedImage(r.id, outW, outH, cr, cg, cb, magic)
+      })
     }
   }
 

@@ -1580,13 +1580,15 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
-    // partition-parallel batched extraction through the Multimodal module
-    // (mapPartitions with batch shape; decode stubbed — see Multimodal.scala)
+    // REAL decode-backed extraction: synthetic PNG/BMP payloads built and
+    // decoded on executors via JDK ImageIO (Multimodal.extractImageFeatures);
+    // decoded width/height/band-count + integer-exact channel sums. PNG/BMP
+    // are lossless, so the oracle reproduces the DECODED stats from the
+    // pixel formula without a codec.
     "mm_extract_features" -> ((spark, dir) => {
       graft.operators.Multimodal
-        .extractFeatures(graft.operators.Multimodal.documentsAsMedia(spark, dir))
+        .extractImageFeatures(graft.operators.Multimodal.syntheticImages(spark, dir))
         .toDF()
-        .select(col("id"), col("width"), col("height"), col("n_bytes"))
         .orderBy(col("id"))
     }),
 
@@ -1603,14 +1605,17 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // batched resize stub: real partition-parallel plumbing, fake pixels
+    // REAL integer box-filter resize over decoded PNG/BMP pixels, re-encoded
+    // to PNG (magic_hex pins the container); position-weighted channel
+    // checksums are integer-exact so the oracle verifies the actual resampled
+    // pixels from the formula (Multimodal.resizeImage).
     "mm_resize" -> ((spark, dir) => {
       graft.operators.Multimodal
-        .resize(graft.operators.Multimodal.documentsAsMedia(spark, dir))
+        .resizeImage(graft.operators.Multimodal.syntheticImages(spark, dir))
         .toDF()
-        .select(col("id").as("doc_id"), col("out_w").cast("long").as("out_w"),
-          col("out_h").cast("long").as("out_h"), col("n_bytes"),
-          hex(substring(col("resized"), 1, 8)).as("head_hex"))
+        .select(col("id").as("doc_id"), col("out_w"), col("out_h"),
+          col("r_checksum"), col("g_checksum"), col("b_checksum"),
+          col("magic_hex"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5524,28 +5529,33 @@ object PipelineOps {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // decodeStub dims = FNV of the payload bytes, reproduced in HUGEINT
+    // real decode parity: PNG/BMP are lossless, so the decoded channel sums
+    // equal the synthetic pixel formula summed over the image grid
     "mm_extract_features" ->
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, n, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(range(1, n + 1), i ->
-        |          CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
-        |             + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS HUGEINT))),
-        |      (acc, b) -> CAST(xor(acc, b) * 1099511628211 % 18446744073709551616 AS HUGEINT)) AS u
-        |  FROM d)
-        |SELECT doc_id AS id, CAST(256 + (u % 8) * 32 AS INTEGER) AS width,
-        |  CAST(256 + ((u // 256) % 8) * 32 AS INTEGER) AS height,
-        |  CAST(n AS BIGINT) AS n_bytes
-        |FROM f ORDER BY id""".stripMargin,
-    // byte-stride downsample mirrored on the hex string; same IEEE stride
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + ((doc_id // 8) % 8) * 4 AS h FROM documents)
+        |SELECT doc_id AS id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y -> list_transform(range(0, w), x -> (doc_id*7 + 3*x + 5*y) % 256)))) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y -> list_transform(range(0, w), x -> (doc_id*11 + 5*x + 7*y) % 256)))) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y -> list_transform(range(0, w), x -> (doc_id*13 + 2*x + 3*y) % 256)))) AS BIGINT) AS sum_b
+        |FROM d ORDER BY id""".stripMargin,
+    // real box-filter parity: floor-mean of each source block, position-
+    // weighted; magic_hex is the fixed 8-byte PNG signature of the re-encode
     "mm_resize" ->
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents)
-        |SELECT doc_id, CAST(64 AS BIGINT) AS out_w, CAST(64 AS BIGINT) AS out_h,
-        |  CAST(CASE WHEN n <= 64 THEN n ELSE 64 END AS BIGINT) AS n_bytes,
-        |  CASE WHEN n <= 64 THEN substr(hx, 1, 16)
-        |       ELSE array_to_string(list_transform(range(0, 8), i ->
-        |         substr(hx, CAST(FLOOR(i * (n / 64.0)) AS BIGINT) * 2 + 1, 2)), '') END AS head_hex
-        |FROM d ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + ((doc_id // 8) % 8) * 4 AS h FROM documents),
+        |c AS (SELECT doc_id, w // 4 AS bw, h // 4 AS bh FROM d)
+        |SELECT doc_id, CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
+        |  CAST(list_sum(flatten(list_transform(range(0,4), oy -> list_transform(range(0,4), ox ->
+        |    (list_sum(flatten(list_transform(range(0,bh), by -> list_transform(range(0,bw), bx ->
+        |      (doc_id*7 + 3*(ox*bw+bx) + 5*(oy*bh+by)) % 256)))) // (bw*bh)) * (ox + oy*4 + 1))))) AS BIGINT) AS r_checksum,
+        |  CAST(list_sum(flatten(list_transform(range(0,4), oy -> list_transform(range(0,4), ox ->
+        |    (list_sum(flatten(list_transform(range(0,bh), by -> list_transform(range(0,bw), bx ->
+        |      (doc_id*11 + 5*(ox*bw+bx) + 7*(oy*bh+by)) % 256)))) // (bw*bh)) * (ox + oy*4 + 1))))) AS BIGINT) AS g_checksum,
+        |  CAST(list_sum(flatten(list_transform(range(0,4), oy -> list_transform(range(0,4), ox ->
+        |    (list_sum(flatten(list_transform(range(0,bh), by -> list_transform(range(0,bw), bx ->
+        |      (doc_id*13 + 2*(ox*bw+bx) + 3*(oy*bh+by)) % 256)))) // (bw*bh)) * (ox + oy*4 + 1))))) AS BIGINT) AS b_checksum,
+        |  '89504E470D0A1A0A' AS magic_hex
+        |FROM c ORDER BY doc_id""".stripMargin,
     "doc_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -20,6 +20,78 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("synthetic PNG and BMP payloads decode back to the pixel formula") {
+    // id 2 → PNG container, id 3 → BMP container; both lossless, so the
+    // decoded pixels must equal the formula bit-exactly
+    for (id <- Seq(2L, 3L)) {
+      val (bytes, fmt) = Multimodal.synthImageBytes(id)
+      if (id % 2 == 0) {
+        assert(fmt == "image/png")
+        assert(bytes.take(8).map(b => f"${b & 0xFF}%02X").mkString == "89504E470D0A1A0A")
+      } else {
+        assert(fmt == "image/bmp")
+        assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      }
+      val img = Multimodal.decodeImage(bytes)
+      assert(img.getWidth == Multimodal.synthWidth(id))
+      assert(img.getHeight == Multimodal.synthHeight(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) == Multimodal.synthR(id, x, y), s"R at ($x,$y) id=$id")
+        assert(((rgb >> 8) & 0xFF) == Multimodal.synthG(id, x, y), s"G at ($x,$y) id=$id")
+        assert((rgb & 0xFF) == Multimodal.synthB(id, x, y), s"B at ($x,$y) id=$id")
+      }
+    }
+  }
+
+  test("a corrupted payload fails loudly, not silently") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val e = intercept[IllegalArgumentException](Multimodal.decodeImage(garbage))
+    assert(e.getMessage.contains("undecodable"))
+    // truncated PNG (valid magic, broken body) must also fail loudly
+    val (png, _) = Multimodal.synthImageBytes(2L)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImage(png.take(12)))
+  }
+
+  test("decode-backed feature extraction matches the formula sums end-to-end") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticImages(spark, sf0001)
+    val got = Multimodal.extractImageFeatures(imgs.repartition(5))
+      .filter(_.id <= 10L).collect().sortBy(_.id)
+    assert(got.nonEmpty)
+    got.foreach { f =>
+      val w = Multimodal.synthWidth(f.id); val h = Multimodal.synthHeight(f.id)
+      assert(f.width == w && f.height == h && f.channels == 3)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += Multimodal.synthR(f.id, x, y)
+        sg += Multimodal.synthG(f.id, x, y)
+        sb += Multimodal.synthB(f.id, x, y)
+      }
+      assert(f.sum_r == sr && f.sum_g == sg && f.sum_b == sb, s"sums for id=${f.id}")
+    }
+  }
+
+  test("box-filter resize matches an independent floor-mean computation") {
+    import spark.implicits._
+    val one = Multimodal.syntheticImages(spark, sf0001).filter(_.id == 9L)
+    val r = Multimodal.resizeImage(one, outW = 4, outH = 4).collect().head
+    val id = 9L
+    val w = Multimodal.synthWidth(id); val h = Multimodal.synthHeight(id)
+    val bw = w / 4; val bh = h / 4
+    def checksum(chan: (Long, Int, Int) => Int): Long =
+      (for (oy <- 0 until 4; ox <- 0 until 4) yield {
+        val s = (for (by <- 0 until bh; bx <- 0 until bw)
+          yield chan(id, ox * bw + bx, oy * bh + by).toLong).sum
+        (s / (bw * bh)) * (ox + oy * 4 + 1)
+      }).sum
+    assert(r.r_checksum == checksum(Multimodal.synthR))
+    assert(r.g_checksum == checksum(Multimodal.synthG))
+    assert(r.b_checksum == checksum(Multimodal.synthB))
+    assert(r.magic_hex == "89504E470D0A1A0A") // re-encode is PNG
+  }
+
   test("frame sampling yields strided chunks with correct sizes") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
     val byDoc = frames.groupBy("id").agg(count(lit(1)).as("n"),
