@@ -814,7 +814,8 @@ object PipelineOps {
     // pairs (0/0), matching the oracle's CASE guard.
     "dedup_band_curve" -> ((spark, dir) => {
       val d = evalCorpus(spark, dir)
-      val exact = ngramJaccardJoin(d, threshold = 0.3)
+      // memoized: ONE exact ground-truth computation feeds every eval face
+      val exact = evalExactPairsFor(spark, dir)
         .select(col("doc_a"), col("doc_b"))
       val sig = registerCache(
         d.withColumn("sig", minhashSignature(col("sh"), 64, 42L)))
@@ -846,7 +847,10 @@ object PipelineOps {
       Seq(8, 16, 32).map { b =>
         pairJaccard(sig, lshCandidates(sig, 64, b, 4096))
           .agg(count(lit(1)).as("n_candidates"),
-            sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_verified"))
+            // coalesce: an empty candidate set must yield 0, not NULL, to
+            // match the oracle's coalesce (round-10 advice)
+            coalesce(sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)),
+              lit(0L)).as("n_verified"))
           .select(lit(b.toLong).as("bands"), lit((64 / b).toLong).as("rows_per_band"),
             col("n_candidates"), col("n_verified"),
             when(col("n_candidates") > 0,
@@ -869,7 +873,8 @@ object PipelineOps {
     // no matter how it's planned.
     "dedup_lsh_recall" -> ((spark, dir) => {
       val d = evalCorpus(spark, dir)
-      val exact = ngramJaccardJoin(d, threshold = 0.3)
+      // memoized: same exact pair set dedup_band_curve graded against
+      val exact = evalExactPairsFor(spark, dir)
       val lsh = minhashLshJoin(d, threshold = 0.3)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       exact.join(lsh, Seq("doc_a", "doc_b"), "left")
@@ -2126,6 +2131,41 @@ object PipelineOps {
           Option(ccLabelsCache.get(key)) match {
             case Some(winner) => unpersistCheckpointed(built); winner
             case None => ccLabelsCache.put(key, built); built
+          }
+        }
+    }
+  }
+
+  /** One exact ground-truth pair set per (session, input dir) for the LSH
+    * evaluation family (round-10 verdict #2): `dedup_band_curve`,
+    * `dedup_lsh_recall`, and any future eval face all grade against the SAME
+    * exact-Jaccard join over the eval-42 sample — memoizing it makes that
+    * one `ngramJaccardJoin` run (one stats action, one kernel) instead of
+    * one per query. Same bounded-LRU + unpersist-on-evict + stale-on-
+    * regeneration discipline as [[ccLabelsCache]]. */
+  private val evalExactPairsCache = new java.util.LinkedHashMap[
+      (SparkSession, String), DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (SparkSession, String), DataFrame]): Boolean = {
+      val evict = size() > 64
+      if (evict) unpersistCheckpointed(e.getValue)
+      evict
+    }
+  }
+  private[queries] def evalExactPairsFor(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    // build OUTSIDE the map lock (the curateStagesFor discipline)
+    evalExactPairsCache.synchronized(Option(evalExactPairsCache.get(key))) match {
+      case Some(p) => p
+      case None =>
+        // refusal guard stays ON: the eval corpus is a bounded sample by
+        // construction, but a mis-sized sample should refuse, not explode
+        val built = ngramJaccardJoin(evalCorpus(spark, dir), threshold = 0.3)
+          .localCheckpoint()
+        evalExactPairsCache.synchronized {
+          Option(evalExactPairsCache.get(key)) match {
+            case Some(winner) => unpersistCheckpointed(built); winner
+            case None => evalExactPairsCache.put(key, built); built
           }
         }
     }

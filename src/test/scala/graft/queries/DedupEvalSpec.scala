@@ -66,6 +66,18 @@ class DedupEvalSpec extends SparkSpec {
     }
   }
 
+  test("eval exact ground truth is memoized: zero re-measures across eval faces") {
+    // round-10 verdict #2: band_curve and lsh_recall grade against ONE
+    // memoized exact pair set — once built, running both eval queries must
+    // trigger zero further ngramJaccardJoin stats actions
+    PipelineOps.evalExactPairsFor(spark, sf0001).count() // ensure built
+    val before = PipelineOps.statsActions.get()
+    q("dedup_band_curve").collect()
+    q("dedup_lsh_recall").collect()
+    assert(PipelineOps.statsActions.get() == before,
+      "eval queries re-measured the exact ground truth despite the memo")
+  }
+
   test("dedup_band_precision agrees with the recall curve's found counts") {
     val prec = q("dedup_band_precision").collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
