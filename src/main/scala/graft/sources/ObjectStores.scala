@@ -15,10 +15,13 @@ import org.apache.spark.sql.SparkSession
   * listing, partition discovery, pushdown, and split planning from the
   * stock connectors — the 100 TB path is exactly Spark's own.
   *
-  * The cloud connector jars are absent in this offline environment, so specs
-  * assert on the produced URI + configuration; with hadoop-aws /
-  * gcs-connector / hadoop-azure on the classpath the same code is the real
-  * deployment path.
+  * The cloud connector jars are absent in this offline environment, so the
+  * execution path is proven with [[LocalObjectStoreFileSystem]] in the
+  * connector seat (the reference CI's local-minio pattern): registering an
+  * `s3://bucket/key` table runs rewrite → credential injection → listing →
+  * parquet read → HTTP serve end-to-end (`ObjectStoreServedSpec`). With
+  * hadoop-aws / gcs-connector / hadoop-azure on the classpath the same code
+  * is the real deployment path.
   */
 object ObjectStores {
 
