@@ -33,14 +33,20 @@ import org.apache.spark.sql.types._
   * Supported: format-version 1 and 2; `version-hint.text` or newest
   * `*.metadata.json` resolution; v1 snapshots with inline `manifests`
   * lists; v2 POSITION deletes (matched on `_metadata.file_path` +
-  * `row_index`, the [[DeltaLoader]] deletion-vector mechanism); relocated
-  * tables (metadata `location` remapped to the actual table root); a
-  * `snapshot-id` option for time travel.
+  * `row_index`, the [[DeltaLoader]] deletion-vector mechanism); v2
+  * EQUALITY deletes (null-safe anti-join on the `equality_ids` columns,
+  * gated on the spec's sequence-number rule: a delete with data sequence
+  * number S applies to data files with sequence number strictly below S);
+  * relocated tables (metadata `location` remapped to the actual table
+  * root); a `snapshot-id` option for time travel, reading with the
+  * SNAPSHOT's own schema-id when recorded (falling back to
+  * current-schema-id).
   *
-  * Unsupported (fails loudly): format-version > 2, equality deletes,
-  * non-parquet data files. Column-rename evolution relies on field IDs
-  * the name-based parquet read does not consult — renamed columns read
-  * as null from pre-rename files (documented minimal-reader trade). */
+  * Unsupported (fails loudly): format-version > 2, non-parquet data
+  * files, equality deletes on nested fields. Column-rename evolution
+  * relies on field IDs the name-based parquet read does not consult —
+  * renamed columns read as null from pre-rename files (documented
+  * minimal-reader trade). */
 object IcebergLoader {
 
   private val mapper = new ObjectMapper()
@@ -96,15 +102,31 @@ object IcebergLoader {
 
   /** The current table schema: `schemas[current-schema-id]` (v2) or the
     * legacy top-level `schema` (v1). */
-  private[sources] def tableSchema(meta: JsonNode): StructType = {
-    val schemaNode = Option(meta.get("schemas")).filterNot(_.isNull).map { arr =>
-      val id = meta.get("current-schema-id").asInt()
-      arr.elements().asScala.find(_.get("schema-id").asInt() == id)
-        .getOrElse(throw new IllegalArgumentException(
-          s"Iceberg reader: current-schema-id $id not in schemas"))
-    }.getOrElse(meta.get("schema"))
-    toSparkType(schemaNode).asInstanceOf[StructType]
+  private[sources] def tableSchema(meta: JsonNode): StructType =
+    toSparkType(schemaNodeFor(meta, None)).asInstanceOf[StructType]
+
+  /** Resolve the schema NODE for a read: a snapshot carries its own
+    * `schema-id` (round-10 advice — a time-travel read after add/drop
+    * evolution must use the snapshot's schema, not the current one);
+    * fall back to `current-schema-id` (v2) then legacy `schema` (v1). */
+  private[sources] def schemaNodeFor(meta: JsonNode, snap: Option[JsonNode]): JsonNode = {
+    val schemas = Option(meta.get("schemas")).filterNot(_.isNull)
+    val wantedId = snap.flatMap(s => Option(s.get("schema-id")).filterNot(_.isNull))
+      .orElse(Option(meta.get("current-schema-id")).filterNot(_.isNull))
+      .map(_.asInt())
+    (schemas, wantedId) match {
+      case (Some(arr), Some(id)) =>
+        arr.elements().asScala.find(_.get("schema-id").asInt() == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"Iceberg reader: schema-id $id not in schemas"))
+      case _ => meta.get("schema")
+    }
   }
+
+  /** Top-level field-id → name for equality-delete column resolution. */
+  private def fieldIdToName(schemaNode: JsonNode): Map[Int, String] =
+    schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
 
   private def toSparkType(node: JsonNode): DataType =
     if (node.isTextual) primitiveType(node.asText())
@@ -148,8 +170,11 @@ object IcebergLoader {
 
   // ---- snapshot planning ----------------------------------------------------
 
-  private final case class PlannedScan(dataFiles: Seq[String],
-                                       positionDeleteFiles: Seq[String])
+  private final case class EqDeleteFile(path: String, seq: Long,
+                                        equalityIds: Seq[Int])
+  private final case class PlannedScan(dataFiles: Seq[(String, Long)],
+                                       positionDeleteFiles: Seq[String],
+                                       equalityDeleteFiles: Seq[EqDeleteFile])
 
   private def readAvro(fs: FileSystem, p: HPath): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](
@@ -169,13 +194,24 @@ object IcebergLoader {
   private def intOr(r: GenericRecord, field: String, dflt: Int): Int =
     if (r.getSchema.getField(field) == null) dflt
     else Option(r.get(field)).map(_.asInstanceOf[Number].intValue()).getOrElse(dflt)
+  private def longOr(r: GenericRecord, field: String, dflt: Long): Long =
+    if (r.getSchema.getField(field) == null) dflt
+    else Option(r.get(field)).map(_.asInstanceOf[Number].longValue()).getOrElse(dflt)
+  /** `equality_ids`: Avro array of field ids, absent/null for data files. */
+  private def intListOf(r: GenericRecord, field: String): Seq[Int] =
+    if (r.getSchema.getField(field) == null) Seq.empty
+    else Option(r.get(field)).map(_.asInstanceOf[java.util.Collection[_]]
+      .asScala.toSeq.map(_.asInstanceOf[Number].intValue())).getOrElse(Seq.empty)
 
   /** Walk manifest list -> manifests -> live file paths for one snapshot.
     * Manifest-entry statuses: 0 EXISTING / 1 ADDED are part of the
     * snapshot, 2 DELETED records a removal; data_file.content: 0 data,
     * 1 position deletes, 2 equality deletes. */
-  private def planSnapshot(fs: FileSystem, tableUri: String, meta: JsonNode,
-                           snapshotId: Option[Long]): PlannedScan = {
+  /** Select the snapshot a read targets: the `snapshot-id` option (loud
+    * failure if unknown) or the table's current snapshot; None = empty
+    * table. */
+  private def chooseSnapshot(meta: JsonNode, tableUri: String,
+                             snapshotId: Option[Long]): Option[JsonNode] = {
     val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val chosenId = snapshotId.orElse(
@@ -186,49 +222,62 @@ object IcebergLoader {
     (snap, chosenId) match {
       case (None, Some(id)) => throw new IllegalArgumentException(
         s"Iceberg reader: snapshot $id not found in `$tableUri`")
-      case (None, None) => return PlannedScan(Seq.empty, Seq.empty) // empty table
-      case _ => ()
+      case _ => snap
     }
+  }
+
+  private def planSnapshot(fs: FileSystem, tableUri: String, meta: JsonNode,
+                           snap: Option[JsonNode]): PlannedScan = {
+    if (snap.isEmpty) return PlannedScan(Seq.empty, Seq.empty, Seq.empty)
     val s = snap.get
     val remap = pathRemapper(meta, tableUri)
     // v1 early form: the snapshot lists its manifests inline; later v1 and
-    // all v2 point at a manifest-list Avro file
-    val manifests: Seq[(String, Int)] =
+    // all v2 point at a manifest-list Avro file. Sequence numbers: each
+    // manifest-list entry carries the manifest's sequence number; entries
+    // with a null sequence_number inherit it (spec's ADDED-entry
+    // inheritance), v1 tables are all sequence 0.
+    val manifests: Seq[(String, Int, Long)] =
       Option(s.get("manifest-list")).filterNot(_.isNull) match {
         case Some(ml) =>
           readAvro(fs, new HPath(remap(ml.asText()))).map(m =>
-            (remap(str(m, "manifest_path")), intOr(m, "content", 0)))
+            (remap(str(m, "manifest_path")), intOr(m, "content", 0),
+              longOr(m, "sequence_number", 0L)))
         case None =>
           Option(s.get("manifests")).filterNot(_.isNull)
-            .map(_.elements().asScala.map(p => (remap(p.asText()), 0)).toSeq)
+            .map(_.elements().asScala.map(p => (remap(p.asText()), 0, 0L)).toSeq)
             .getOrElse(throw new IllegalArgumentException(
               "Iceberg reader: snapshot has neither manifest-list nor manifests"))
       }
-    val data = Seq.newBuilder[String]
+    val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[String]
-    manifests.foreach { case (path, manifestContent) =>
+    val eqDeletes = Seq.newBuilder[EqDeleteFile]
+    manifests.foreach { case (path, manifestContent, manifestSeq) =>
       readAvro(fs, new HPath(path)).foreach { entry =>
         val status = intOr(entry, "status", 1)
         if (status != 2) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fileContent = intOr(df, "content", manifestContent)
           val filePath = remap(str(df, "file_path"))
+          val seq = longOr(entry, "sequence_number", manifestSeq)
           fileContent match {
             case 0 =>
               val fmt = str(df, "file_format").toUpperCase
               require(fmt == "PARQUET",
                 s"Iceberg reader: data file format `$fmt` not supported (parquet only)")
-              data += filePath
+              data += ((filePath, seq))
             case 1 => posDeletes += filePath
-            case 2 => throw new IllegalArgumentException(
-              "Iceberg reader: equality deletes are not supported")
+            case 2 =>
+              val ids = intListOf(df, "equality_ids")
+              require(ids.nonEmpty, "Iceberg reader: equality delete file " +
+                s"`$filePath` carries no equality_ids")
+              eqDeletes += EqDeleteFile(filePath, seq, ids)
             case other => throw new IllegalArgumentException(
               s"Iceberg reader: unknown data_file content $other")
           }
         }
       }
     }
-    PlannedScan(data.result(), posDeletes.result())
+    PlannedScan(data.result(), posDeletes.result(), eqDeletes.result())
   }
 
   /** Iceberg stores ABSOLUTE paths from write time; a relocated table's
@@ -257,13 +306,20 @@ object IcebergLoader {
 
   private def toDataFrame(spark: SparkSession, fs: FileSystem, tableUri: String,
                           meta: JsonNode, snapshotId: Option[Long]): DataFrame = {
-    val schema = tableSchema(meta)
-    val plan = planSnapshot(fs, tableUri, meta, snapshotId)
+    val snap = chooseSnapshot(meta, tableUri, snapshotId)
+    val schemaNode = schemaNodeFor(meta, snap)
+    val schema = toSparkType(schemaNode).asInstanceOf[StructType]
+    val plan = planSnapshot(fs, tableUri, meta, snap)
     if (plan.dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val base = spark.read.schema(schema).parquet(plan.dataFiles: _*)
-    if (plan.positionDeleteFiles.isEmpty) base
+    // the file/row identity columns are attached ONCE off the scan's
+    // _metadata (they are consumed by both delete mechanisms; _metadata is
+    // only reachable directly on the file-source frame)
+    val base = spark.read.schema(schema).parquet(plan.dataFiles.map(_._1): _*)
+      .withColumn("__graft_fp", normFp(col("_metadata.file_path")))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
+    val afterPos = if (plan.positionDeleteFiles.isEmpty) base
     else {
       // position deletes: parquet files of (file_path, pos) — the spec's
       // delete-file schema — anti-joined against the reader's file/row
@@ -285,11 +341,49 @@ object IcebergLoader {
         rawDeletes.withColumn("__graft_fp", regexp_replace(col("__graft_fp"),
           "^" + java.util.regex.Pattern.quote(l + "/"),
           java.util.regex.Matcher.quoteReplacement(root + "/"))))
-      base
-        .withColumn("__graft_fp", normFp(col("_metadata.file_path")))
-        .withColumn("__graft_ri", col("_metadata.row_index"))
-        .join(broadcast(deletes), Seq("__graft_fp", "__graft_ri"), "left_anti")
-        .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+      base.join(broadcast(deletes), Seq("__graft_fp", "__graft_ri"), "left_anti")
+    }
+    val afterEq = if (plan.equalityDeleteFiles.isEmpty) afterPos
+    else applyEqualityDeletes(spark, afterPos, schemaNode, plan)
+    afterEq.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+  }
+
+  /** Equality deletes (spec §Delete Formats): a delete file's rows name
+    * values for the columns listed in `equality_ids`; a data row is deleted
+    * when a delete row matches it NULL-SAFELY on all those columns AND the
+    * delete's data sequence number is strictly greater than the data
+    * file's (older deletes cannot touch newer data — the rule that lets a
+    * deleted row be re-inserted). Delete files hold tombstone values only,
+    * so they broadcast; the data side takes its sequence number from a
+    * broadcast (file_path → seq) map, keeping the scan fully distributed. */
+  private def applyEqualityDeletes(spark: SparkSession, df0: DataFrame,
+                                   schemaNode: JsonNode,
+                                   plan: PlannedScan): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, max}
+    val idToName = fieldIdToName(schemaNode)
+    val fileSeq = spark.createDataFrame(plan.dataFiles.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2)).asJava,
+      StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
+        StructField("__graft_dseq", LongType, nullable = false))))
+    val withSeq = df0.join(broadcast(fileSeq), Seq("__graft_fp"), "left")
+    plan.equalityDeleteFiles.groupBy(_.equalityIds).foldLeft(withSeq) {
+      case (acc, (ids, files)) =>
+        val cols = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"Iceberg reader: equality_ids field id $id is not a top-level " +
+              "schema field (nested equality deletes are not supported)")))
+        // one delete relation per distinct equality_ids set: per value
+        // tuple only the NEWEST tombstone matters for the D < S gate
+        val dels = files.map(f =>
+            spark.read.parquet(f.path)
+              .select(cols.map(c => col(s"`$c`")): _*)
+              .withColumn("__graft_eseq", lit(f.seq)))
+          .reduce(_ unionByName _)
+          .groupBy(cols.map(c => col(s"`$c`")): _*)
+          .agg(max(col("__graft_eseq")).as("__graft_eseq"))
+        val cond = cols.map(c => acc(c) <=> dels(c)).reduce(_ && _) &&
+          dels("__graft_eseq") > acc("__graft_dseq")
+        acc.join(broadcast(dels), cond, "left_anti")
     }
   }
 }

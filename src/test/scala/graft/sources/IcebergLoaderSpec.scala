@@ -52,12 +52,14 @@ trait IcebergFixtures { this: SparkSpec =>
   val manifestSchemaV2: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
       |  {"name":"content","type":"int"},
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
 
   /** v1 manifest entry schema — no content fields anywhere. */
   val manifestSchemaV1: Schema = new Schema.Parser().parse(
@@ -75,10 +77,12 @@ trait IcebergFixtures { this: SparkSpec =>
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
   def entryV2(status: Int, content: Int, path: String,
-                      format: String = "PARQUET"): GenericRecord = {
+              format: String = "PARQUET", seq: Option[Long] = None,
+              equalityIds: Seq[Int] = Seq.empty): GenericRecord = {
     val e = new GenericData.Record(manifestSchemaV2)
     val d = new GenericData.Record(manifestSchemaV2.getField("data_file").schema())
     d.put("content", content)
@@ -86,7 +90,11 @@ trait IcebergFixtures { this: SparkSpec =>
     d.put("file_format", format)
     d.put("record_count", 0L)
     d.put("file_size_in_bytes", 0L)
+    if (equalityIds.nonEmpty)
+      d.put("equality_ids",
+        java.util.Arrays.asList(equalityIds.map(Int.box): _*))
     e.put("status", status)
+    seq.foreach(s => e.put("sequence_number", Long.box(s)))
     e.put("data_file", d)
     e
   }
@@ -246,14 +254,20 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
     assert(rows(load(dir)) === Set((7L, "v1row", 7.0)))
   }
 
-  test("equality deletes fail loudly") {
+  /** Table with one data file (seq `dataSeq`) and one equality-delete file
+    * (seq `delSeq`) tombstoning on the given columns/values. */
+  private def eqDeleteTable(dataSeq: Long, delSeq: Long, ids: Seq[Int],
+                            delRows: DataFrame): String = {
     val dir = newTableDir()
     val f1 = s"$dir/data/a.parquet"
-    writeDataFile(docs((1L, "x", 1.0)), new File(f1))
+    writeDataFile(docs((1L, "alpha", 1.0), (2L, "beta", 2.0), (3L, null, 3.0)),
+      new File(f1))
+    writeDataFile(delRows, new File(s"$dir/data/eq0.parquet"))
+    writeAvro(manifestSchemaV2, Seq(entryV2(1, 0, f1, seq = Some(dataSeq))),
+      new File(s"$dir/metadata/m0.avro"))
     writeAvro(manifestSchemaV2,
-      Seq(entryV2(1, 0, f1)), new File(s"$dir/metadata/m0.avro"))
-    writeAvro(manifestSchemaV2,
-      Seq(entryV2(1, 2, s"$dir/data/eq-del.parquet")), // content 2 = equality
+      Seq(entryV2(1, 2, s"$dir/data/eq0.parquet", seq = Some(delSeq),
+        equalityIds = ids)),
       new File(s"$dir/metadata/m1.avro"))
     writeAvro(manifestListSchema,
       Seq(listEntry(s"$dir/metadata/m0.avro", 0),
@@ -264,8 +278,85 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
         s"""{"snapshot-id":1,"manifest-list":"$dir/metadata/snap-1.avro"}""",
         currentId = 1L))
     Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    dir
+  }
+
+  test("equality deletes remove value-matched rows (anti-join on equality_ids)") {
+    import spark.implicits._
+    // equality_ids [1] = the `id` column; tombstone id 2
+    val dir = eqDeleteTable(dataSeq = 1L, delSeq = 2L, ids = Seq(1),
+      delRows = Seq(Tuple1(2L)).toDF("id"))
+    assert(rows(load(dir)).map(r => (r._1, r._3)) === Set((1L, 1.0), (3L, 3.0)))
+  }
+
+  test("equality deletes are null-safe: a null tombstone matches null values") {
+    // equality_ids [2] = `name`; delete the row whose name is NULL
+    val dir = eqDeleteTable(dataSeq = 1L, delSeq = 2L, ids = Seq(2),
+      delRows = docs((0L, null, 0.0)).select(org.apache.spark.sql.functions.col("name")))
+    assert(rows(load(dir)).map(_._1) === Set(1L, 2L))
+  }
+
+  test("equality deletes respect sequence numbers: an older delete cannot touch newer data") {
+    import spark.implicits._
+    // delete seq == data seq: strictly-greater rule says NOT applied (the
+    // rule that lets a deleted value be re-inserted by a later append)
+    val dir = eqDeleteTable(dataSeq = 2L, delSeq = 2L, ids = Seq(1),
+      delRows = Seq(Tuple1(2L)).toDF("id"))
+    assert(rows(load(dir)).map(_._1) === Set(1L, 2L, 3L))
+  }
+
+  test("equality delete on an unknown field id fails loudly") {
+    import spark.implicits._
+    val dir = eqDeleteTable(dataSeq = 1L, delSeq = 2L, ids = Seq(99),
+      delRows = Seq(Tuple1(2L)).toDF("id"))
     val e = intercept[IllegalArgumentException](load(dir).collect())
-    assert(e.getMessage.contains("equality deletes"))
+    assert(e.getMessage.contains("field id 99"))
+  }
+
+  test("time travel reads with the snapshot's own schema-id, not the current one") {
+    // snapshot 1 wrote under schema 0 (3 columns); the table then evolved to
+    // schema 1 (adds `extra`) and snapshot 2 is current. Reading snapshot 1
+    // must yield the OLD shape (round-10 advice).
+    val dir = newTableDir()
+    val f1 = s"$dir/data/a.parquet"
+    val f2 = s"$dir/data/b.parquet"
+    writeDataFile(docs((1L, "first", 1.0)), new File(f1))
+    import spark.implicits._
+    writeDataFile(Seq((2L, "second", 2.0, "x")).toDF("id", "name", "score", "extra"),
+      new File(f2))
+    writeAvro(manifestSchemaV2, Seq(entryV2(1, 0, f1)),
+      new File(s"$dir/metadata/m0.avro"))
+    writeAvro(manifestSchemaV2, Seq(entryV2(0, 0, f1), entryV2(1, 0, f2)),
+      new File(s"$dir/metadata/m1.avro"))
+    writeAvro(manifestListSchema, Seq(listEntry(s"$dir/metadata/m0.avro", 0)),
+      new File(s"$dir/metadata/snap-1.avro"))
+    writeAvro(manifestListSchema, Seq(listEntry(s"$dir/metadata/m1.avro", 0, 2L)),
+      new File(s"$dir/metadata/snap-2.avro"))
+    val schema1 = schemaFieldsJson.stripSuffix("]") +
+      """,{"id":4,"name":"extra","required":false,"type":"string"}]"""
+    val meta =
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000003",
+         |"location":"$dir","last-sequence-number":2,"last-updated-ms":0,
+         |"last-column-id":4,
+         |"current-schema-id":1,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":$schemaFieldsJson},
+         |  {"type":"struct","schema-id":1,"fields":$schema1}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":2,
+         |"snapshots":[
+         |  {"snapshot-id":1,"schema-id":0,"manifest-list":"$dir/metadata/snap-1.avro"},
+         |  {"snapshot-id":2,"schema-id":1,"manifest-list":"$dir/metadata/snap-2.avro"}]}""".stripMargin
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath, meta)
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    // current read: evolved 4-column shape
+    val cur = load(dir)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "name", "score", "extra"))
+    // time travel: the snapshot's schema (3 columns), not the current one
+    val old = load(dir, Map("snapshot-id" -> "1"))
+    assert(old.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    assert(rows(old) === Set((1L, "first", 1.0)))
   }
 
   test("snapshot-id option time-travels to an older snapshot") {
