@@ -2007,7 +2007,22 @@ object PipelineOps {
     * linger until ContextCleaner GCs the dereferenced RDD (round-9
     * advice). Collects every LogicalRDD in the frame's lineage, so one
     * call covers a composition (curate's mixed chain holds the CC run's
-    * checkpoint inside its plan). */
+    * checkpoint inside its plan).
+    *
+    * KNOWN RACE (round-10 advice, accepted + documented): a localCheckpoint
+    * has truncated lineage, so a thread that fetched a memo entry just
+    * before its LRU eviction and is still executing the plan can hit
+    * missing-block errors instead of recomputing. Reaching it needs 65+
+    * distinct live (session, dir) keys in one JVM with a concurrent reader
+    * on the eldest — the serving caches are sized (64) an order of
+    * magnitude past the worst observed working set precisely so eviction
+    * only fires on keys that have aged out of use. A deployment that truly
+    * cycles hundreds of dirs should persist artifacts as parquet (the
+    * curate composition's pattern) instead of raising the bound: parquet
+    * artifacts survive eviction by construction and the read path is
+    * identical. Grace-queues/ref-counts were considered and rejected — they
+    * trade a never-observed failure for permanent bookkeeping on every
+    * memo hit. */
   private[queries] def unpersistCheckpointed(df: DataFrame): Unit =
     try df.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd

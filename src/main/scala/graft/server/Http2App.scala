@@ -30,7 +30,8 @@ import io.netty.util.{AsciiString, ReferenceCountUtil}
   * writes onto the event loop; h2 flow control is the codec's job). Streamed
   * results flush one DATA frame per 64 KiB chunk, preserving the
   * partition-at-a-time bound of the 1.1 chunked path. */
-final class Http2App(engine: Engine, port: Int = 0) {
+final class Http2App(engine: Engine, port: Int = 0,
+                     host: String = "127.0.0.1") {
 
   private val group = new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
   private val workers = Executors.newFixedThreadPool(8, r => {
@@ -63,7 +64,7 @@ final class Http2App(engine: Engine, port: Int = 0) {
           })
         }
       })
-    channel = b.bind("127.0.0.1", port).sync().channel()
+    channel = b.bind(host, port).sync().channel()
     this
   }
 

@@ -19,9 +19,10 @@ import graft.sources.TableSource
   * errors as `{"code":N,"error":slug,"message":..}` (roapi/src/error.rs).
   * Register/drop are rejected in read-only mode (roapi/src/context.rs:112-131).
   */
-final class HttpApp(engine: Engine, port: Int = 0) {
+final class HttpApp(engine: Engine, port: Int = 0,
+                    host: String = "127.0.0.1") {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -80,7 +81,22 @@ object ServerMain {
     * --disable-read-only`, `-r/--reload-interval` (which, like the
     * reference, REQUIRES read-write mode), `-f/--response-format`.
     * Factored out of main so specs drive it without booting servers. */
-  private[server] def buildConfig(args: Array[String]): Config.Loaded = {
+  /** Flags that take an operand / that are boolean — the CLOSED grammar:
+    * any other '-' token is a usage error in BOTH passes (round-10 advice:
+    * the old skip-2 guess silently swallowed the next flag and then
+    * registered `--addr-http` as a table named "--addr-http"). */
+  private val operandFlags = Set("--config", "-c", "--addr-http",
+    "--addr-postgres", "--addr-flight-sql", "--reload-interval", "-r",
+    "--response-format", "-f")
+  private val booleanFlags = Set("--disable-read-only", "-d")
+
+  private[server] def buildConfig(rawArgs: Array[String]): Config.Loaded = {
+    // clap-style `--flag=value` spelling normalizes to two tokens first
+    val args = rawArgs.flatMap { a =>
+      if (a.startsWith("--") && a.contains('='))
+        Array(a.substring(0, a.indexOf('=')), a.substring(a.indexOf('=') + 1))
+      else Array(a)
+    }
     // a flag missing its operand must die with a usage message, not an
     // ArrayIndexOutOfBoundsException
     def operand(i: Int, flag: String): String = {
@@ -101,8 +117,12 @@ object ServerMain {
           cfg = if (path.endsWith(".toml")) Config.parseToml(text)
                 else Config.parse(text)
           i += 2
-        case "--disable-read-only" | "-d" => i += 1
-        case _ => i += (if (args(i).startsWith("-")) 2 else 1)
+        case f if booleanFlags(f) => i += 1
+        case f if operandFlags(f) => i += 2
+        case f if f.startsWith("-") =>
+          throw new IllegalArgumentException(
+            s"unknown flag `$f` (known: ${(operandFlags ++ booleanFlags).toSeq.sorted.mkString(", ")})")
+        case _ => i += 1
       }
     }
     // PASS 2: flag overrides in order
@@ -154,25 +174,33 @@ object ServerMain {
       defaultReloadSec = cfg.reloadIntervalSec)
     cfg.tables.foreach(engine.registerTable)
     cfg.kvs.foreach(kv => engine.registerKv(kv.name, kv.source, kv.key, kv.value))
+    // the configured HOST is honored, not just the port (round-10 advice:
+    // `--addr-http 0.0.0.0:9000` used to silently bind loopback)
+    def hostOf(addr: Option[(String, Int)]): String =
+      addr.map(_._1).filter(_.nonEmpty).getOrElse("127.0.0.1")
     val httpPort = cfg.httpAddr.map(_._2)
       .orElse(sys.env.get("GRAFT_PORT").map(_.toInt)).getOrElse(8080)
-    val app = new HttpApp(engine, httpPort).start()
-    println(s"graft http listening on 127.0.0.1:${app.boundPort}")
+    val httpHost = hostOf(cfg.httpAddr)
+    val app = new HttpApp(engine, httpPort, httpHost).start()
+    println(s"graft http listening on $httpHost:${app.boundPort}")
     cfg.pgAddr.map(_._2).orElse(sys.env.get("GRAFT_PG_PORT").map(_.toInt)).foreach { p =>
-      val pg = new PostgresServer(engine, p).start()
-      println(s"graft postgres listening on 127.0.0.1:${pg.boundPort}")
+      val h = hostOf(cfg.pgAddr)
+      val pg = new PostgresServer(engine, p, h).start()
+      println(s"graft postgres listening on $h:${pg.boundPort}")
     }
     cfg.http2Addr.map(_._2)
       .orElse(sys.env.get("GRAFT_HTTP2_PORT").map(_.toInt)).foreach { p =>
-      val h2 = new Http2App(engine, p).start()
-      println(s"graft http2 (h2c) listening on 127.0.0.1:${h2.boundPort}")
+      val h = hostOf(cfg.http2Addr)
+      val h2 = new Http2App(engine, p, h).start()
+      println(s"graft http2 (h2c) listening on $h:${h2.boundPort}")
     }
     cfg.flightAddr.map(_._2)
       .orElse(sys.env.get("GRAFT_FLIGHT_PORT").map(_.toInt)).foreach { p =>
+      val h = hostOf(cfg.flightAddr)
       val fs = new graft.server.flight.FlightSqlServer(
-        engine, p, cfg.flightAuthBasic, cfg.flightAuthToken, cfg.flightTls).start()
+        engine, p, cfg.flightAuthBasic, cfg.flightAuthToken, cfg.flightTls, h).start()
       val proto = if (cfg.flightTls.isDefined) "grpc/tls" else "grpc/h2c"
-      println(s"graft flight-sql ($proto) listening on 127.0.0.1:${fs.boundPort}")
+      println(s"graft flight-sql ($proto) listening on $h:${fs.boundPort}")
     }
     Thread.currentThread().join()
   }

@@ -20,10 +20,11 @@ import graft.encoding.Encoders
   * This is a serving frontend: query execution is Spark; only row
   * serialization happens here, on the driver, for already-collected results.
   */
-final class PostgresServer(engine: Engine, port: Int = 0) {
+final class PostgresServer(engine: Engine, port: Int = 0,
+                           host: String = "127.0.0.1") {
 
   private val server = new ServerSocket()
-  server.bind(new InetSocketAddress("127.0.0.1", port))
+  server.bind(new InetSocketAddress(host, port))
   @volatile private var running = true
 
   def boundPort: Int = server.getLocalPort

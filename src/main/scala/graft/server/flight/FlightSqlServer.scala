@@ -74,7 +74,8 @@ object FlightSqlServer {
 final class FlightSqlServer(engine: Engine, port: Int = 0,
                             authBasic: Option[(String, String)] = None,
                             authTokenCfg: Option[String] = None,
-                            tls: Option[FlightSqlServer.Tls] = None) {
+                            tls: Option[FlightSqlServer.Tls] = None,
+                            host: String = "127.0.0.1") {
 
   private val CatalogName = "graft"
   private val SchemaName = "public"
@@ -132,7 +133,7 @@ final class FlightSqlServer(engine: Engine, port: Int = 0,
           ()
         }
       })
-    channel = b.bind("127.0.0.1", port).sync().channel()
+    channel = b.bind(host, port).sync().channel()
     this
   }
 

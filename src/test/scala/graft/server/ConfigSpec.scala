@@ -135,6 +135,35 @@ class ConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("read-only"))
   }
 
+  test("--flag=value spelling parses; unknown flags are rejected, not guessed") {
+    // round-10 advice: `--addr-http=X --config y` used to swallow --config
+    // in pass 1 and then register "--addr-http" as a table in pass 2
+    val f = java.nio.file.Files.createTempFile("graft_cfg", ".yml")
+    java.nio.file.Files.writeString(f, "disable_read_only: true\n")
+    val cfg = ServerMain.buildConfig(Array(
+      "--addr-http=0.0.0.0:9000", "--config", f.toString))
+    assert(cfg.httpAddr.contains(("0.0.0.0", 9000)))
+    assert(cfg.disableReadOnly, "config file after an =-form flag must load")
+    assert(cfg.tables.isEmpty)
+    val e = intercept[IllegalArgumentException](
+      ServerMain.buildConfig(Array("--no-such-flag", "x")))
+    assert(e.getMessage.contains("unknown flag"))
+  }
+
+  test("servers bind the configured host, not hard-coded loopback") {
+    // round-10 advice: --addr-http 0.0.0.0:9000 used to silently bind
+    // 127.0.0.1. Bind all-interfaces on an ephemeral port and verify the
+    // wildcard took effect.
+    val eng = new Engine(graft.GraftSession.get(), readOnly = true)
+    val app = new HttpApp(eng, 0, "0.0.0.0").start()
+    try {
+      val s = new java.net.Socket()
+      // reachable via a non-loopback spelling of localhost only when bound 0.0.0.0
+      s.connect(new java.net.InetSocketAddress("127.0.0.2", app.boundPort), 2000)
+      s.close()
+    } finally app.stop()
+  }
+
   test("empty config is valid") {
     val cfg = Config.parse("")
     assert(cfg.tables.isEmpty && cfg.httpAddr.isEmpty)
