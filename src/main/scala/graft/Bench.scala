@@ -63,7 +63,14 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    // Serving-latency face (round-10 verdict #6): the reference is a
+    // ms-class SERVER — engine wall-clock alone hides job-per-request and
+    // encoder overhead. Skipped in focused SPARK_GRAFT_BENCH_ONLY loops
+    // unless SPARK_GRAFT_BENCH_SERVING=1 forces it.
+    val serving =
+      if (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_SERVING").contains("1")) ""
+      else "," + servingBench(spark)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures$serving,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver captures a bounded stdout tail, and
     // round 2 lost one query's timing to truncation — the file is the
@@ -76,5 +83,43 @@ object Bench {
       System.err.println(s"[bench] could not write tools/bench_latest.json: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** Drive POST /api/sql over real HTTP against a cached fixture table —
+    * the ms-class serving path (plan LRU + collect + JSON encode), measured
+    * as requests/sec with p50/p99 latency. Returns a JSON fragment
+    * `"serving":{...}` (no trailing brace). */
+  private def servingBench(spark: SparkSession): String = {
+    import graft.server.{Engine, HttpApp}
+    import graft.sources.TableSource
+    val engine = new Engine(spark, readOnly = true)
+    engine.registerTable(TableSource("uk_cities",
+      "/root/reference/test_data/uk_cities_with_headers.csv"))
+    val app = new HttpApp(engine, 0).start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:${app.boundPort}/api/sql")
+      val sql =
+        "SELECT city, lat, lng FROM uk_cities WHERE lat > 51 ORDER BY lat DESC LIMIT 10"
+      def once(): Long = {
+        val t0 = System.nanoTime()
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(uri)
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sql)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200 && r.body().contains("city"),
+          s"serving bench got ${r.statusCode()}: ${r.body().take(200)}")
+        System.nanoTime() - t0
+      }
+      (1 to 20).foreach(_ => once()) // warm: plan cache, codegen, collect
+      val n = 200
+      val t0 = System.nanoTime()
+      val lat = (1 to n).map(_ => once()).sorted
+      val wall = (System.nanoTime() - t0) / 1e9
+      def ms(nanos: Long): Double = math.round(nanos / 1e3) / 1e3
+      f""""serving":{"endpoint":"/api/sql","requests":$n,"rps":${math.round(n / wall * 10) / 10.0}%s,""" +
+        s""""p50_ms":${ms(lat(n / 2))},"p99_ms":${ms(lat(n * 99 / 100 - 1))}}"""
+    } finally app.stop()
   }
 }

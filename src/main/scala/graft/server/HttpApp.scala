@@ -26,14 +26,21 @@ final class HttpApp(engine: Engine, port: Int = 0,
 
   def boundPort: Int = server.getAddress.getPort
 
+  // daemon workers + explicit shutdown: a stopped HttpApp must not pin the
+  // JVM (the bench embeds one; non-daemon pool threads kept the process
+  // alive after main returned)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "graft-http-worker"); t.setDaemon(true); t
+  })
+
   def start(): HttpApp = {
     server.createContext("/", handle _)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.setExecutor(pool)
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---- transport adapter (routing lives in Routes, shared with Http2App) ---
 
