@@ -3463,12 +3463,17 @@ object PipelineOps {
     * index on it and the probe join prunes to file groups; sh is read only
     * for the candidate sliver). */
   def minhashIndexSave(d: DataFrame, dir: String, numPerms: Int = 64,
-                       bands: Int = 16, mode: String = "overwrite"): Unit = {
+                       bands: Int = 16, mode: String = "overwrite",
+                       srcBatch: Option[Long] = None): Unit = {
     val r = numPerms / bands
-    d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L))
+    val sig = d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L))
       .withColumn("band_hashes", array((0 until bands).map(bb =>
         xxhash64(slice(col("sig"), bb * r + 1, r))): _*))
       .select(col("doc_id"), col("sh"), col("band_hashes"))
+    // batch-layout appends stamp their origin as a DATA column too: the
+    // directory name is the idempotency unit, but only a row-level stamp
+    // survives [[minhashIndexCompact]] folding dirs together
+    srcBatch.fold(sig)(b => sig.withColumn("src_batch", lit(b)))
       .write.mode(mode).parquet(dir)
   }
 
@@ -3488,7 +3493,7 @@ object PipelineOps {
                          numPerms: Int = 64, bands: Int = 16): Unit =
     if (!indexBatchCommitted(d.sparkSession, dir, batchId))
       minhashIndexSave(d, dir + "/batch=" + batchId, numPerms, bands,
-        mode = "overwrite")
+        mode = "overwrite", srcBatch = Some(batchId))
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -3526,6 +3531,94 @@ object PipelineOps {
       new org.apache.hadoop.fs.Path(path, s"batch=$batchId"), "_SUCCESS"))
   }
 
+  final case class IndexCompactStats(batchesFolded: Int, filesBefore: Int,
+                                     filesAfter: Int)
+
+  /** Fold the accumulated `batch=<id>` partitions of a [[minhashIndexAppend]]
+    * index into one consolidated `batch=-1` base partition — the periodic
+    * rewrite a long-running ingest needs ([[graft.operators.Compaction]]'s
+    * small-files argument: dir count and footer opens grow per micro-batch
+    * without it). IDEMPOTENCY IS PRESERVED:
+    *
+    *   - every row keeps its origin in the `src_batch` DATA column (written
+    *     by every append), so a retried micro-batch's
+    *     `excludeBatch` probe still excludes exactly its own docs;
+    *   - each folded batch directory keeps its `_SUCCESS` marker (files
+    *     cleared), so [[minhashIndexAppend]]'s committed-batch check still
+    *     makes the retry a no-op;
+    *   - the base swap is staged: consolidated rows are fully written (with
+    *     their own `_SUCCESS`) to a dot-prefixed staging dir INVISIBLE to
+    *     index readers, then renamed in; a crash at any step is repaired by
+    *     the next call (recoverBase + the folded-batch sweep), never by
+    *     losing or double-counting rows past it.
+    *
+    * Call from the ingest loop (micro-batches are sequential, so no append
+    * or probe races the swap) — [[graft.streaming.EventStream.nearDupStream]]
+    * runs it every `compactEvery` batches. */
+  def minhashIndexCompact(spark: SparkSession, dir: String,
+                          targetBytes: Long = 128L << 20): IndexCompactStats = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsOf(spark, dir)
+    val base = new Path(root, "batch=-1")
+    val staging = new Path(root, ".compact_staging")
+    val oldBase = new Path(root, ".compact_old")
+    // crash recovery: a missing base with a committed staging (crashed
+    // between renames) or a parked old base (crashed mid-swap) restores
+    if (!fs.exists(base)) {
+      if (fs.exists(new Path(staging, "_SUCCESS"))) { fs.rename(staging, base); () }
+      else if (fs.exists(oldBase)) { fs.rename(oldBase, base); () }
+    }
+    fs.delete(staging, true); fs.delete(oldBase, true)
+    def partFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-"))
+    def clearToMarker(p: Path): Unit = {
+      partFiles(p).foreach(s => fs.delete(s.getPath, false))
+      val marker = new Path(p, "_SUCCESS")
+      if (!fs.exists(marker)) { fs.create(marker).close() }
+    }
+    // repair sweep: a batch whose rows already live in the base (its id
+    // appears in src_batch there) but whose dir still has part files is a
+    // crash leftover — clearing it first keeps this call idempotent and
+    // heals a crashed previous clear phase
+    val hasBase = committedDataIn(fs, base)
+    if (hasBase) {
+      val folded = spark.read.parquet(base.toString)
+        .select(col("src_batch")).distinct().collect()
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSet
+      folded.foreach(k => if (partFiles(new Path(root, s"batch=$k")).nonEmpty)
+        clearToMarker(new Path(root, s"batch=$k")))
+    }
+    val srcDirs = fs.listStatus(root).toSeq.filter { s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        s.getPath.getName != "batch=-1" && committedDataIn(fs, s.getPath)
+    }
+    val filesBefore = (srcDirs.map(_.getPath) :+ base).map(partFiles(_).size).sum
+    if (srcDirs.isEmpty)
+      return IndexCompactStats(0, filesBefore, partFiles(base).size)
+    // per-dir read (not the root: staging invisibility relies on never
+    // scanning dot-dirs, and per-dir reads sidestep partition inference);
+    // a pre-src_batch layout dir is upgraded by stamping its batch id
+    val parts = srcDirs.map { s =>
+      val one = spark.read.parquet(s.getPath.toString)
+      if (one.columns.contains("src_batch")) one
+      else one.withColumn("src_batch",
+        lit(s.getPath.getName.stripPrefix("batch=").toLong))
+    } ++ (if (hasBase) Seq(spark.read.parquet(base.toString)) else Seq.empty)
+    val union = parts.reduce(_ unionByName _)
+    val bytes = (srcDirs.map(_.getPath) :+ base).flatMap(partFiles).map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    union.repartition(nOut).write.mode("overwrite").parquet(staging.toString)
+    require(fs.exists(new Path(staging, "_SUCCESS")),
+      s"compaction staging write did not commit under $staging")
+    if (fs.exists(base)) { fs.rename(base, oldBase); () }
+    fs.rename(staging, base)
+    fs.delete(oldBase, true)
+    srcDirs.foreach(s => clearToMarker(s.getPath))
+    IndexCompactStats(srcDirs.size, filesBefore, partFiles(base).size)
+  }
+
   /** Incremental near-dup: an incoming batch against a [[minhashIndexSave]]d
     * corpus — the same signatures, band rule, and exact-Jaccard verification
     * as [[minhashLshJoin]], but the accumulated side is never re-hashed.
@@ -3540,8 +3633,14 @@ object PipelineOps {
     val r = numPerms / bands
     val idx0 = spark.read.parquet(indexDir)
     // under the batch=<id> layout, a retried micro-batch excludes its own
-    // earlier committed partition — its docs are "incoming", not history
+    // earlier committed rows — its docs are "incoming", not history. The
+    // row-level src_batch stamp is authoritative when present (it survives
+    // [[minhashIndexCompact]] folding the dirs); the directory-derived
+    // `batch` partition column is the pre-compaction fallback. Null-safe so
+    // legacy un-stamped rows are never silently dropped.
     val idx = excludeBatch match {
+      case Some(b) if idx0.columns.contains("src_batch") =>
+        idx0.filter(!(col("src_batch") <=> lit(b)))
       case Some(b) if idx0.columns.contains("batch") =>
         idx0.filter(col("batch") =!= lit(b))
       case _ => idx0

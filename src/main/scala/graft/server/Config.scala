@@ -93,8 +93,12 @@ object Config {
       val m = obj(t)
       val opts = obj(m.get("option")).asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap
       val base = TableSource.fromOptions(str(m, "name"), str(m, "uri"), opts)
-      Option(m.get("reload_interval")).map(_.toString.toLong)
+      val withReload = Option(m.get("reload_interval")).map(_.toString.toLong)
         .map(s => base.copy(reloadIntervalSec = Some(s))).getOrElse(base)
+      // reference parses a top-level per-table batch_size (mod.rs:569-572);
+      // accepted + recorded, no-op in Spark (see TableSource.batchSize)
+      Option(m.get("batch_size")).map(_.toString.toInt)
+        .map(b => withReload.copy(batchSize = Some(b))).getOrElse(withReload)
     }
     val kvs = list(root.get("kvstores")).map { t =>
       val m = obj(t)

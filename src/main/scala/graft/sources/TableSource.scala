@@ -17,7 +17,13 @@ final case class TableSource(
     pointer: Option[String] = None,       // RFC-6901 pointer into a JSON doc
     arrayEncoded: Boolean = false,        // positional-array rows (needs schema)
     memTable: Boolean = false,
-    reloadIntervalSec: Option[Long] = None) {
+    reloadIntervalSec: Option[Long] = None,
+    // Accepted for config-file compatibility (the reference parses a
+    // per-table batch_size on every table, columnq/src/table/mod.rs:569-572,
+    // default 8192 = Arrow RecordBatch sizing). Spark has no RecordBatch to
+    // size — partitions are split by bytes (files.maxPartitionBytes) — so
+    // the value is recorded but intentionally has no execution effect.
+    batchSize: Option[Int] = None) {
 
   /** Format resolution: explicit option beats URI extension. */
   def resolvedFormat: String = format.getOrElse {
@@ -75,11 +81,12 @@ object TableSource {
       name = name,
       uri = uri,
       format = opts.get("format"),
-      options = opts -- Seq("format", "pointer", "array_encoded", "use_memory_table", "reload_interval"),
+      options = opts -- Seq("format", "pointer", "array_encoded", "use_memory_table", "reload_interval", "batch_size"),
       pointer = opts.get("pointer"),
       arrayEncoded = opts.get("array_encoded").exists(_.toBoolean),
       memTable = opts.get("use_memory_table").exists(_.toBoolean),
-      reloadIntervalSec = opts.get("reload_interval").map(_.toLong))
+      reloadIntervalSec = opts.get("reload_interval").map(_.toLong),
+      batchSize = opts.get("batch_size").map(_.toInt))
 
   /** Declared-schema parsing from simple `name:type:nullable` column specs
     * (the reference's YAML schema.columns, columnq/src/table/mod.rs:170-219). */

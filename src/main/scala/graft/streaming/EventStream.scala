@@ -143,7 +143,8 @@ object EventStream {
     * re-emits that batch's pairs); the INDEX — the state that compounds —
     * is exactly-once. */
   def nearDupStream(docs: DataFrame, indexDir: String, threshold: Double,
-                    emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                    emit: DataFrame => Unit,
+                    compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.queries.PipelineOps
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -162,6 +163,13 @@ object EventStream {
             else within
           emit(pairs)
           PipelineOps.minhashIndexAppend(sh, indexDir, batchId)
+          // periodic small-dirs rewrite: micro-batches run sequentially, so
+          // compacting HERE races no append or probe; the row-level
+          // src_batch stamp + kept _SUCCESS markers preserve the retry
+          // idempotency contract across the fold (minhashIndexCompact doc)
+          if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
+            PipelineOps.minhashIndexCompact(spark, indexDir); ()
+          }
         } finally { sh.unpersist(); () }
     }
   }

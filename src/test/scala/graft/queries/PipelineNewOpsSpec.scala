@@ -381,6 +381,50 @@ class PipelineNewOpsSpec extends AnyFunSuite {
       "every incoming doc must appear in exactly one star pair")
   }
 
+  test("band-index compaction: identical probes, fewer dirs, idempotency intact") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("mhcompact").toString + "/idx"
+    val all = PipelineOps.docs(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+    // four appended micro-batches (by id mod 5), probes come from the 5th
+    (0L until 4L).foreach { b =>
+      PipelineOps.minhashIndexAppend(all.filter(col("doc_id") % 5 === b), dir, b)
+    }
+    val incoming = all.filter(col("doc_id") % 5 === 4)
+    def probe(excl: Option[Long] = None) =
+      PipelineOps.minhashDedupIncremental(incoming, dir, 0.3, excludeBatch = excl)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val before = probe()
+    val beforeExcl = probe(Some(1L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory &&
+        fs.listStatus(s.getPath).exists(_.getPath.getName.startsWith("part-")))
+    assert(dataDirs.length == 4)
+    val stats = PipelineOps.minhashIndexCompact(spark, dir)
+    assert(stats.batchesFolded == 4)
+    assert(dataDirs.length == 1, "all rows must fold into the single base dir")
+    // probes are indistinguishable before/after, including the retry
+    // exclusion (src_batch survives the fold)
+    assert(probe() == before)
+    assert(probe(Some(1L)) == beforeExcl)
+    // a retried append of a folded batch stays a no-op
+    assert(PipelineOps.indexBatchCommitted(spark, dir, 2L))
+    PipelineOps.minhashIndexAppend(incoming, dir, 2L)
+    assert(dataDirs.length == 1, "retry of a folded batch must not rewrite files")
+    // crash simulation: batch=1's files reappear (cleared-phase crash);
+    // the next compact's repair sweep removes them without double-counting
+    PipelineOps.minhashIndexSave(all.filter(col("doc_id") % 5 === 1),
+      dir + "/batch=1", mode = "overwrite", srcBatch = Some(1L))
+    assert(dataDirs.length == 2)
+    PipelineOps.minhashIndexCompact(spark, dir)
+    assert(dataDirs.length == 1)
+    assert(probe() == before, "repair must not duplicate or lose rows")
+    // compacting an already-compact index is a no-op fold
+    assert(PipelineOps.minhashIndexCompact(spark, dir).batchesFolded == 0)
+  }
+
   test("incremental minhash == full join restricted to cross-set pairs") {
     import org.apache.spark.sql.functions.col
     val all = PipelineOps.docs(spark, sfDir)

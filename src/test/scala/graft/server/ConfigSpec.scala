@@ -135,6 +135,25 @@ class ConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("read-only"))
   }
 
+  test("per-table batch_size is accepted for reference-config compatibility") {
+    // the reference parses batch_size on every table (mod.rs:569-572);
+    // Spark sizes partitions by bytes, so the value is recorded as a no-op
+    val cfg = Config.parse(
+      """tables:
+        |  - name: t1
+        |    uri: /data/t1.parquet
+        |    batch_size: 4096
+        |  - name: t2
+        |    uri: /data/t2.csv
+        |""".stripMargin)
+    assert(cfg.tables.head.batchSize.contains(4096))
+    assert(cfg.tables(1).batchSize.isEmpty)
+    // and via the CLI/URI option grammar
+    val src = graft.sources.TableSource.parseUriArg("t3=/d/t3.parquet,batch_size=1024")
+    assert(src.batchSize.contains(1024))
+    assert(!src.options.contains("batch_size"), "must not leak to the reader options")
+  }
+
   test("--flag=value spelling parses; unknown flags are rejected, not guessed") {
     // round-10 advice: `--addr-http=X --config y` used to swallow --config
     // in pass 1 and then register "--addr-http" as a table in pass 2
