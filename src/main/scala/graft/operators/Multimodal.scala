@@ -266,6 +266,149 @@ object Multimodal {
     }
   }
 
+  // ===== perceptual image hash (aHash over the decoded pixels) =============
+
+  /** 64-bit average-hash of a decoded image: integer luma per pixel
+    * (`(r*299 + g*587 + b*114) / 1000`, floor), 8×8 floor-mean grid with
+    * [[resizeImage]]'s block boundaries, bit j set iff cell j exceeds the
+    * floor-mean of all 64 cells. Every step is integer arithmetic, so any
+    * engine reproduces the hash from the pixel contract. */
+  def grayPhash(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= 8 && h >= 8, s"phash needs >=8x8 pixels, got ${w}x$h")
+    val cells = new Array[Long](64)
+    var oy = 0
+    while (oy < 8) {
+      val y0 = oy * h / 8; val y1 = (oy + 1) * h / 8
+      var ox = 0
+      while (ox < 8) {
+        val x0 = ox * w / 8; val x1 = (ox + 1) * w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+              (rgb & 0xFF) * 114L) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        cells(oy * 8 + ox) = s / ((y1 - y0).toLong * (x1 - x0))
+        ox += 1
+      }
+      oy += 1
+    }
+    val avg = cells.sum / 64
+    var hash = 0L
+    var j = 0
+    while (j < 64) { if (cells(j) > avg) hash |= (1L << j); j += 1 }
+    hash
+  }
+
+  /** (id, phash) over a media table — the image analogue of the text
+    * simhash column: feed it to the pigeonhole chunk join for distributed
+    * near-duplicate image detection. */
+  def imagePhash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r => (r.id, grayPhash(decodeImage(r.payload)))))
+      .toDF("doc_id", "phash")
+  }
+
+  // ===== real audio kernels (JDK javax.sound.sampled; WAV/PCM) =============
+
+  final case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
+                                 n_samples: Long, energy: Long,
+                                 zero_crossings: Long, peak: Long)
+
+  /** Deterministic synthetic waveform for doc `id`: 16-bit mono PCM at 8 kHz,
+    * `n = 256 + (id mod 8)*64` samples, `s(i) = ((id*31 + i*17) mod 65536)
+    * - 32768`. Same oracle contract as the images: WAV is lossless PCM, so
+    * decoded statistics equal the formula. */
+  def synthAudioSamples(id: Long): Array[Short] = {
+    val n = 256 + Math.floorMod(id, 8L).toInt * 64
+    Array.tabulate(n)(i =>
+      (Math.floorMod(id * 31 + i.toLong * 17, 65536L) - 32768L).toShort)
+  }
+
+  /** Canonical 44-byte RIFF/WAVE header + little-endian PCM16 payload (the
+    * public WAV container layout; built by hand so the DECODE side is the
+    * JDK codec being exercised, not a round-trip through itself). */
+  def synthWavBytes(id: Long): Array[Byte] = {
+    val samples = synthAudioSamples(id)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)          // PCM, mono
+      .putInt(8000).putInt(16000)       // sample rate, byte rate
+      .putShort(2).putShort(16)         // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => { bb.putShort(s); () })
+    bb.array()
+  }
+
+  /** Decode an audio payload with the JDK sampled-sound codec, failing
+    * LOUDLY on garbage; returns (sampleRate, channels, PCM16 samples). */
+  def decodeAudio(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"undecodable audio payload (${payload.length} bytes): ${e.getMessage}", e)
+      }
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16,
+      s"audio kernel expects PCM16, got ${fmt.getSampleSizeInBits}-bit")
+    val raw = in.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(raw).order(
+      if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Short](raw.length / 2)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+    (fmt.getSampleRate.toInt, fmt.getChannels, out)
+  }
+
+  /** One synthetic WAV row per document id (executor-built, like
+    * [[syntheticImages]]). */
+  def syntheticAudio(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, synthWavBytes(id), "audio/wav")))
+  }
+
+  /** Decode-backed audio statistics: rate/channel metadata plus
+    * integer-exact signal features — energy `Σ s²`, zero crossings
+    * (sign flips), peak `max |s|`. Batched partition-parallel like the
+    * image kernels. */
+  def extractAudioFeatures(media: Dataset[MediaRow],
+                           batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val (rate, ch, s) = decodeAudio(r.payload)
+        var energy = 0L; var zc = 0L; var peak = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          energy += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && (s(i - 1) < 0) != (v < 0)) zc += 1
+          i += 1
+        }
+        AudioFeatures(r.id, rate, ch, s.length.toLong, energy, zc, peak)
+      })
+    }
+  }
+
   /** The documents table viewed as a media table (text bytes as payload). */
   def documentsAsMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._

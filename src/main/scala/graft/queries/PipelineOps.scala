@@ -1624,6 +1624,39 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL decode-backed audio statistics: synthetic WAV payloads built on
+    // executors (hand-built RIFF container), decoded with the JDK sampled-
+    // sound codec; WAV is lossless PCM so the oracle reproduces the decoded
+    // energy / zero-crossing / peak stats from the sample formula.
+    "mm_audio_features" -> ((spark, dir) => {
+      graft.operators.Multimodal
+        .extractAudioFeatures(graft.operators.Multimodal.syntheticAudio(spark, dir))
+        .toDF()
+        .orderBy(col("id"))
+    }),
+
+    // 64-bit perceptual hash (aHash) of every decoded image: integer luma,
+    // 8x8 floor-mean grid, mean-threshold bits (Multimodal.grayPhash) —
+    // oracle-checked bit-exactly against the pixel formula.
+    "mm_image_phash" -> ((spark, dir) => {
+      graft.operators.Multimodal
+        .imagePhash(graft.operators.Multimodal.syntheticImages(spark, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // IMAGE near-dup detection: the perceptual hashes feed the SAME
+    // pigeonhole chunk join the text simhash path uses (4x16-bit chunks,
+    // provably complete for hamming <= 3) — image dedup rides the existing
+    // distributed kernel, no new join machinery. The synthetic corpus
+    // guarantees exact-duplicate images (ids congruent mod 256 render
+    // identically), so the hamming-0 backbone is deterministic.
+    "mm_phash_dedup" -> ((spark, dir) => {
+      val ph = graft.operators.Multimodal
+        .imagePhash(graft.operators.Multimodal.syntheticImages(spark, dir))
+        .select(col("doc_id"), col("phash").as("sh"))
+      simhashNearDup(ph, maxHamming = 3, chunks = 4, comboSize = 1)
+    }),
+
     // stubbed feature extraction: deterministic pseudo-features from the
     // payload's FNV hash (stands in for image decode + embed; the batched
     // partition-parallel plumbing in Multimodal.extractFeatures is real, and
@@ -5710,6 +5743,57 @@ object PipelineOps {
         |      (doc_id*13 + 2*(ox*bw+bx) + 3*(oy*bh+by)) % 256)))) // (bw*bh)) * (ox + oy*4 + 1))))) AS BIGINT) AS b_checksum,
         |  '89504E470D0A1A0A' AS magic_hex
         |FROM c ORDER BY doc_id""".stripMargin,
+    // real WAV decode parity: PCM is lossless, so the decoded signal stats
+    // equal the synthetic sample formula
+    "mm_audio_features" ->
+      """WITH d AS (SELECT doc_id, 256 + (doc_id % 8) * 64 AS n FROM documents),
+        |s AS (SELECT doc_id, n, list_transform(range(0, n), i -> (doc_id*31 + i*17) % 65536 - 32768) AS xs FROM d)
+        |SELECT doc_id AS id, CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(xs, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+        |  CAST(list_sum(list_transform(range(1, n), i -> CASE WHEN (xs[i] < 0) <> (xs[i+1] < 0) THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+        |FROM s ORDER BY id""".stripMargin,
+    // aHash parity: integer luma, 8x8 floor-mean grid at the box-filter
+    // block boundaries, mean-threshold bits, HUGEINT sign wrap to BIGINT
+    "mm_image_phash" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + ((doc_id // 8) % 8) * 4 AS h FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |    list_sum(flatten(list_transform(range(((j//8)*h)//8, (((j//8)+1)*h)//8), y ->
+        |      list_transform(range(((j%8)*w)//8, (((j%8)+1)*w)//8), x ->
+        |        (((doc_id*7 + 3*x + 5*y) % 256) * 299 + ((doc_id*11 + 5*x + 7*y) % 256) * 587
+        |         + ((doc_id*13 + 2*x + 3*y) % 256) * 114) // 1000))))
+        |    // (((((j//8)+1)*h)//8 - ((j//8)*h)//8) * ((((j%8)+1)*w)//8 - ((j%8)*w)//8))) AS cells
+        |  FROM d),
+        |p AS (SELECT doc_id, cells, list_sum(cells) // 64 AS avg FROM c),
+        |hsh AS (SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
+        |    CASE WHEN cells[j+1] > avg THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS hu
+        |  FROM p)
+        |SELECT doc_id, CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+        |  THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS phash
+        |FROM hsh ORDER BY doc_id""".stripMargin,
+    // exact hamming<=3 pairs over the same aHash, brute-forced (the LSH
+    // chunk join only prunes candidates; the result set is exact)
+    "mm_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + ((doc_id // 8) % 8) * 4 AS h FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |    list_sum(flatten(list_transform(range(((j//8)*h)//8, (((j//8)+1)*h)//8), y ->
+        |      list_transform(range(((j%8)*w)//8, (((j%8)+1)*w)//8), x ->
+        |        (((doc_id*7 + 3*x + 5*y) % 256) * 299 + ((doc_id*11 + 5*x + 7*y) % 256) * 587
+        |         + ((doc_id*13 + 2*x + 3*y) % 256) * 114) // 1000))))
+        |    // (((((j//8)+1)*h)//8 - ((j//8)*h)//8) * ((((j%8)+1)*w)//8 - ((j%8)*w)//8))) AS cells
+        |  FROM d),
+        |p AS (SELECT doc_id, cells, list_sum(cells) // 64 AS avg FROM c),
+        |hsh AS (SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
+        |    CASE WHEN cells[j+1] > avg THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS hu
+        |  FROM p),
+        |s2 AS (SELECT doc_id, CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+        |  THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS ph FROM hsh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "doc_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

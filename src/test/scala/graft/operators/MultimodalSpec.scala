@@ -92,6 +92,50 @@ class MultimodalSpec extends SparkSpec {
     assert(r.magic_hex == "89504E470D0A1A0A") // re-encode is PNG
   }
 
+  test("synthetic WAV decodes through the JDK codec back to the sample formula") {
+    for (id <- Seq(0L, 5L)) {
+      val (rate, ch, s) = Multimodal.decodeAudio(Multimodal.synthWavBytes(id))
+      assert(rate == 8000 && ch == 1)
+      assert(s.toSeq == Multimodal.synthAudioSamples(id).toSeq)
+    }
+    // garbage and a truncated RIFF header must fail loudly
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudio(Array.tabulate[Byte](32)(i => (i * 11).toByte)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudio(Multimodal.synthWavBytes(1L).take(20)))
+  }
+
+  test("audio features match an independent computation of the formula") {
+    import spark.implicits._
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.syntheticAudio(spark, sf0001).filter(_.id <= 5L))
+      .collect().sortBy(_.id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val s = Multimodal.synthAudioSamples(f.id)
+      assert(f.n_samples == s.length.toLong)
+      assert(f.energy == s.map(v => v.toLong * v).sum)
+      assert(f.zero_crossings ==
+        s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+      assert(f.peak == s.map(v => math.abs(v.toLong)).max)
+    }
+  }
+
+  test("perceptual hash: ids congruent mod 256 render identical images, hamming 0") {
+    import spark.implicits._
+    val ph = Multimodal.imagePhash(
+      Multimodal.syntheticImages(spark, sf0001)
+        .filter(r => r.id == 17L || r.id == 273L || r.id == 18L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id 273 = 17 + 256: same dims, same pixel formula mod 256 -> same hash
+    assert(ph(17L) == ph(273L))
+    // a different id is overwhelmingly likely to differ (fixed corpus: pinned)
+    assert(ph(17L) != ph(18L))
+    // and the hash matches an independent scalar computation
+    val img = Multimodal.decodeImage(Multimodal.synthImageBytes(17L)._1)
+    assert(ph(17L) == Multimodal.grayPhash(img))
+  }
+
   test("frame sampling yields strided chunks with correct sizes") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
     val byDoc = frames.groupBy("id").agg(count(lit(1)).as("n"),
