@@ -67,23 +67,44 @@ object Bench {
     // ms-class SERVER — engine wall-clock alone hides job-per-request and
     // encoder overhead. Skipped in focused SPARK_GRAFT_BENCH_ONLY loops
     // unless SPARK_GRAFT_BENCH_SERVING=1 forces it.
+    // The serving face must never destroy the query timings: it runs AFTER
+    // they are measured, so any of its failures (missing fixture file, port
+    // bind, HTTP error) degrades to an error note in the JSON, not a thrown-
+    // away run (the same reasoning as the per-query -1 sentinel).
     val serving =
       if (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_SERVING").contains("1")) ""
-      else "," + servingBench(spark)
+      else
+        try "," + servingBench(spark)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] serving face failed: ${e.getMessage}")
+          ",\"serving\":{\"error\":" + jsonStr(String.valueOf(e.getMessage)) + "}"
+        }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures$serving,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver captures a bounded stdout tail, and
     // round 2 lost one query's timing to truncation — the file is the
-    // complete record (BENCH artifact defect, round-2 verdict #7).
+    // complete record (BENCH artifact defect, round-2 verdict #7). Focused
+    // SPARK_GRAFT_BENCH_ONLY loops write a SEPARATE file: bench_latest.json
+    // is the canonical full record and a one-query loop must not clobber it
+    // (round-11 review finding — it did, and the clobber got committed).
+    val outFile = if (only.isDefined) "tools/bench_focused.json"
+                  else "tools/bench_latest.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tools"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("tools/bench_latest.json"), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write tools/bench_latest.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
   }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Drive POST /api/sql over real HTTP against a cached fixture table —
     * the ms-class serving path (plan LRU + collect + JSON encode), measured

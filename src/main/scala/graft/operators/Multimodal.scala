@@ -188,31 +188,30 @@ object Multimodal {
   }
 
   /** Real decode-backed feature extraction: width/height/band-count plus
-    * per-channel pixel sums (integer-exact, so oracle-verifiable). Batched
-    * partition-parallel like the stub path — decoder init amortized per
-    * partition, nothing collected to the driver. */
-  def extractImageFeatures(media: Dataset[MediaRow],
-                           batchSize: Int = 64): Dataset[ImageFeatures] = {
+    * per-channel pixel sums (integer-exact, so oracle-verifiable).
+    * Partition-parallel, nothing collected to the driver; ImageIO needs no
+    * per-batch state, so rows map directly (a codec that does — a GPU
+    * decoder, a session-holding library — would batch with `grouped` here,
+    * init once per chunk). */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap(_.map { r =>
-        val img = decodeImage(r.payload)
-        val w = img.getWidth; val h = img.getHeight
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-            x += 1
-          }
-          y += 1
+    media.mapPartitions(_.map { r =>
+      val img = decodeImage(r.payload)
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+          x += 1
         }
-        ImageFeatures(r.id, w, h, img.getRaster.getNumBands, sr, sg, sb)
-      })
-    }
+        y += 1
+      }
+      ImageFeatures(r.id, w, h, img.getRaster.getNumBands, sr, sg, sb)
+    })
   }
 
   /** Real integer box-filter resize: each output cell is the floor-mean of
@@ -221,14 +220,19 @@ object Multimodal {
     * `magic_hex` pins the container) and summarized as position-weighted
     * channel checksums so correctness is oracle-checkable without shipping
     * pixel arrays. */
-  def resizeImage(media: Dataset[MediaRow], outW: Int = 4, outH: Int = 4,
-                  batchSize: Int = 64): Dataset[ResizedImage] = {
+  def resizeImage(media: Dataset[MediaRow], outW: Int = 4,
+                  outH: Int = 4): Dataset[ResizedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap(_.map { r =>
+      rows.map { r =>
         val img = decodeImage(r.payload)
         val w = img.getWidth; val h = img.getHeight
+        // a real (arbitrary) payload may decode smaller than the output
+        // grid, which would make some blocks empty — fail loudly like
+        // decodeImage does, never divide by zero in an executor
+        require(w >= outW && h >= outH,
+          s"cannot box-filter a ${w}x$h image down to ${outW}x$outH (id=${r.id})")
         val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
         var cr = 0L; var cg = 0L; var cb = 0L
         var oy = 0
@@ -262,7 +266,7 @@ object Multimodal {
         val png = bos.toByteArray
         val magic = png.take(8).map(b => f"${b & 0xFF}%02X").mkString
         ResizedImage(r.id, outW, outH, cr, cg, cb, magic)
-      })
+      }
     }
   }
 
@@ -386,27 +390,24 @@ object Multimodal {
 
   /** Decode-backed audio statistics: rate/channel metadata plus
     * integer-exact signal features — energy `Σ s²`, zero crossings
-    * (sign flips), peak `max |s|`. Batched partition-parallel like the
-    * image kernels. */
-  def extractAudioFeatures(media: Dataset[MediaRow],
-                           batchSize: Int = 64): Dataset[AudioFeatures] = {
+    * (sign flips), peak `max |s|`. Partition-parallel; per-row map for the
+    * stateless JDK codec (see [[extractImageFeatures]] on batching). */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap(_.map { r =>
-        val (rate, ch, s) = decodeAudio(r.payload)
-        var energy = 0L; var zc = 0L; var peak = 0L
-        var i = 0
-        while (i < s.length) {
-          val v = s(i).toLong
-          energy += v * v
-          if (math.abs(v) > peak) peak = math.abs(v)
-          if (i > 0 && (s(i - 1) < 0) != (v < 0)) zc += 1
-          i += 1
-        }
-        AudioFeatures(r.id, rate, ch, s.length.toLong, energy, zc, peak)
-      })
-    }
+    media.mapPartitions(_.map { r =>
+      val (rate, ch, s) = decodeAudio(r.payload)
+      var energy = 0L; var zc = 0L; var peak = 0L
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toLong
+        energy += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && (s(i - 1) < 0) != (v < 0)) zc += 1
+        i += 1
+      }
+      AudioFeatures(r.id, rate, ch, s.length.toLong, energy, zc, peak)
+    })
   }
 
   /** The documents table viewed as a media table (text bytes as payload). */

@@ -3588,48 +3588,81 @@ object PipelineOps {
     * Call from the ingest loop (micro-batches are sequential, so no append
     * or probe races the swap) — [[graft.streaming.EventStream.nearDupStream]]
     * runs it every `compactEvery` batches. */
+  private def indexBasePath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "batch=-1")
+  private def indexStagingPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ".compact_staging")
+  private def indexOldBasePath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ".compact_old")
+  private def indexPartFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(s => s.isFile &&
+      s.getPath.getName.startsWith("part-"))
+  private def indexClearToMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: org.apache.hadoop.fs.Path): Unit = {
+    indexPartFiles(fs, p).foreach(s => fs.delete(s.getPath, false))
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    if (!fs.exists(marker)) { fs.create(marker).close() }
+  }
+
+  /** True iff a [[minhashIndexCompact]] crashed mid-swap and left its
+    * markers behind — two fs.exists probes, cheap enough for every
+    * micro-batch. */
+  def indexNeedsRepair(spark: SparkSession, dir: String): Boolean = {
+    val (fs, root) = fsOf(spark, dir)
+    fs.exists(indexStagingPath(root)) || fs.exists(indexOldBasePath(root))
+  }
+
+  /** Restore a band index to a consistent state after a compaction crash:
+    * a missing base with a committed staging (crashed between renames)
+    * renames it in; a parked old base restores; then any batch dir whose
+    * rows already live in the base (its id in the base's `src_batch`) is
+    * cleared to its marker so no row is double-counted. Every
+    * [[minhashIndexCompact]] crash window leaves one of the two marker
+    * dirs behind (the swap parks a marker dir even on the first
+    * compaction), so probes that run repair-on-marker first
+    * ([[graft.streaming.EventStream.nearDupStream]]) never read a
+    * lost-or-doubled index. */
+  def repairBandIndex(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val base = indexBasePath(root)
+    val staging = indexStagingPath(root)
+    val oldBase = indexOldBasePath(root)
+    if (!fs.exists(base)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+        fs.rename(staging, base); ()
+      } else if (committedDataIn(fs, oldBase)) { fs.rename(oldBase, base); () }
+    }
+    fs.delete(staging, true); fs.delete(oldBase, true)
+    if (committedDataIn(fs, base)) {
+      val folded = spark.read.parquet(base.toString)
+        .select(col("src_batch")).distinct().collect()
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSet
+      folded.foreach { k =>
+        val p = new org.apache.hadoop.fs.Path(root, s"batch=$k")
+        if (indexPartFiles(fs, p).nonEmpty) indexClearToMarker(fs, p)
+      }
+    }
+  }
+
   def minhashIndexCompact(spark: SparkSession, dir: String,
                           targetBytes: Long = 128L << 20): IndexCompactStats = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsOf(spark, dir)
-    val base = new Path(root, "batch=-1")
-    val staging = new Path(root, ".compact_staging")
-    val oldBase = new Path(root, ".compact_old")
-    // crash recovery: a missing base with a committed staging (crashed
-    // between renames) or a parked old base (crashed mid-swap) restores
-    if (!fs.exists(base)) {
-      if (fs.exists(new Path(staging, "_SUCCESS"))) { fs.rename(staging, base); () }
-      else if (fs.exists(oldBase)) { fs.rename(oldBase, base); () }
-    }
-    fs.delete(staging, true); fs.delete(oldBase, true)
-    def partFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.filter(s => s.isFile &&
-        s.getPath.getName.startsWith("part-"))
-    def clearToMarker(p: Path): Unit = {
-      partFiles(p).foreach(s => fs.delete(s.getPath, false))
-      val marker = new Path(p, "_SUCCESS")
-      if (!fs.exists(marker)) { fs.create(marker).close() }
-    }
-    // repair sweep: a batch whose rows already live in the base (its id
-    // appears in src_batch there) but whose dir still has part files is a
-    // crash leftover — clearing it first keeps this call idempotent and
-    // heals a crashed previous clear phase
+    val base = indexBasePath(root)
+    val staging = indexStagingPath(root)
+    val oldBase = indexOldBasePath(root)
+    repairBandIndex(spark, dir)
     val hasBase = committedDataIn(fs, base)
-    if (hasBase) {
-      val folded = spark.read.parquet(base.toString)
-        .select(col("src_batch")).distinct().collect()
-        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSet
-      folded.foreach(k => if (partFiles(new Path(root, s"batch=$k")).nonEmpty)
-        clearToMarker(new Path(root, s"batch=$k")))
-    }
     val srcDirs = fs.listStatus(root).toSeq.filter { s =>
       s.isDirectory && s.getPath.getName.startsWith("batch=") &&
         s.getPath.getName != "batch=-1" && committedDataIn(fs, s.getPath)
     }
-    val filesBefore = (srcDirs.map(_.getPath) :+ base).map(partFiles(_).size).sum
+    val filesBefore = (srcDirs.map(_.getPath) :+ base)
+      .map(indexPartFiles(fs, _).size).sum
     if (srcDirs.isEmpty)
-      return IndexCompactStats(0, filesBefore, partFiles(base).size)
+      return IndexCompactStats(0, filesBefore, indexPartFiles(fs, base).size)
     // per-dir read (not the root: staging invisibility relies on never
     // scanning dot-dirs, and per-dir reads sidestep partition inference);
     // a pre-src_batch layout dir is upgraded by stamping its batch id
@@ -3640,16 +3673,23 @@ object PipelineOps {
         lit(s.getPath.getName.stripPrefix("batch=").toLong))
     } ++ (if (hasBase) Seq(spark.read.parquet(base.toString)) else Seq.empty)
     val union = parts.reduce(_ unionByName _)
-    val bytes = (srcDirs.map(_.getPath) :+ base).flatMap(partFiles).map(_.getLen).sum
+    val bytes = (srcDirs.map(_.getPath) :+ base)
+      .flatMap(indexPartFiles(fs, _)).map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     union.repartition(nOut).write.mode("overwrite").parquet(staging.toString)
     require(fs.exists(new Path(staging, "_SUCCESS")),
       s"compaction staging write did not commit under $staging")
+    // swap ordering (round-11 review): a marker dir exists through EVERY
+    // window — the old base parks under .compact_old (an empty one is
+    // created when no base existed yet), sources clear BEFORE the marker
+    // is dropped — so a crash anywhere is detected by indexNeedsRepair
+    // and healed before the next probe, never read as lost/doubled rows.
     if (fs.exists(base)) { fs.rename(base, oldBase); () }
+    else { fs.mkdirs(oldBase); () }
     fs.rename(staging, base)
+    srcDirs.foreach(s => indexClearToMarker(fs, s.getPath))
     fs.delete(oldBase, true)
-    srcDirs.foreach(s => clearToMarker(s.getPath))
-    IndexCompactStats(srcDirs.size, filesBefore, partFiles(base).size)
+    IndexCompactStats(srcDirs.size, filesBefore, indexPartFiles(fs, base).size)
   }
 
   /** Incremental near-dup: an incoming batch against a [[minhashIndexSave]]d

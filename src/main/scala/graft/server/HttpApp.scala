@@ -98,10 +98,18 @@ object ServerMain {
   private val booleanFlags = Set("--disable-read-only", "-d")
 
   private[server] def buildConfig(rawArgs: Array[String]): Config.Loaded = {
-    // clap-style `--flag=value` spelling normalizes to two tokens first
+    // clap-style `--flag=value` spelling normalizes to two tokens first —
+    // but only for flags that TAKE a value: `--disable-read-only=true`
+    // would otherwise leave a stray "true" token that pass 2 parses as a
+    // table arg (round-11 review finding)
     val args = rawArgs.flatMap { a =>
-      if (a.startsWith("--") && a.contains('='))
+      if (a.startsWith("--") && a.contains('=') &&
+          operandFlags(a.substring(0, a.indexOf('='))))
         Array(a.substring(0, a.indexOf('=')), a.substring(a.indexOf('=') + 1))
+      else if (a.startsWith("--") && a.contains('=') &&
+          booleanFlags(a.substring(0, a.indexOf('='))))
+        throw new IllegalArgumentException(
+          s"flag ${a.substring(0, a.indexOf('='))} takes no value")
       else Array(a)
     }
     // a flag missing its operand must die with a usage message, not an

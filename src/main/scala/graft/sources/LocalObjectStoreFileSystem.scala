@@ -117,7 +117,10 @@ class LocalObjectStoreFileSystem extends FileSystem {
 
   override def rename(src: Path, dst: Path): Boolean = {
     val s = toLocal(src); val d = toLocal(dst)
-    if (!Files.exists(s)) false
+    // Hadoop contract: rename returns FALSE on a missing source or an
+    // existing destination rather than throwing (committers and retry
+    // logic branch on the boolean)
+    if (!Files.exists(s) || Files.exists(d)) false
     else {
       Option(d.getParent).foreach(Files.createDirectories(_))
       Files.move(s, d); true

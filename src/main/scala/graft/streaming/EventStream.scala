@@ -153,6 +153,11 @@ object EventStream {
           graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
         sh.persist() // read three ways: within-join, cross-probe, append
         try {
+          // a compaction crash in a PREVIOUS run leaves a marker dir; heal
+          // before probing so the probe never reads a mid-swap index
+          // (two fs.exists calls on the no-crash path)
+          if (compactEvery > 0 && PipelineOps.indexNeedsRepair(spark, indexDir))
+            PipelineOps.repairBandIndex(spark, indexDir)
           val within = PipelineOps.minhashLshJoin(sh, threshold)
           val pairs =
             if (PipelineOps.indexHasData(spark, indexDir,

@@ -423,6 +423,16 @@ class PipelineNewOpsSpec extends AnyFunSuite {
     assert(probe() == before, "repair must not duplicate or lose rows")
     // compacting an already-compact index is a no-op fold
     assert(PipelineOps.minhashIndexCompact(spark, dir).batchesFolded == 0)
+    // mid-swap crash: the base parked under .compact_old, staging committed,
+    // nothing renamed in yet — the marker-triggered repair (what
+    // nearDupStream runs before probing) must restore an identical index
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(fsp, "batch=-1"),
+      new org.apache.hadoop.fs.Path(fsp, ".compact_staging")))
+    assert(PipelineOps.indexNeedsRepair(spark, dir))
+    PipelineOps.repairBandIndex(spark, dir)
+    assert(!PipelineOps.indexNeedsRepair(spark, dir))
+    assert(probe() == before, "post-crash repair must restore the exact index")
   }
 
   test("incremental minhash == full join restricted to cross-set pairs") {

@@ -167,6 +167,11 @@ class ConfigSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       ServerMain.buildConfig(Array("--no-such-flag", "x")))
     assert(e.getMessage.contains("unknown flag"))
+    // a boolean flag given an =value must error, not leak a stray token
+    // that pass 2 would parse as a table arg (review finding)
+    val e2 = intercept[IllegalArgumentException](
+      ServerMain.buildConfig(Array("--disable-read-only=true")))
+    assert(e2.getMessage.contains("takes no value"))
   }
 
   test("servers bind the configured host, not hard-coded loopback") {

@@ -305,6 +305,20 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
     assert(rows(load(dir)).map(_._1) === Set(1L, 2L, 3L))
   }
 
+  test("equality deletes still apply when the metadata location is file://-spelled") {
+    import spark.implicits._
+    // pins the review question: the sequence-number map joins on the SAME
+    // remap-normalized paths the scan plans, so a writer's file:// spelling
+    // cannot desynchronize the join and resurrect deleted rows
+    val dir = eqDeleteTable(dataSeq = 1L, delSeq = 2L, ids = Seq(1),
+      delRows = Seq(Tuple1(2L)).toDF("id"))
+    val metaFile = new File(s"$dir/metadata/v1.metadata.json")
+    Files.writeString(metaFile.toPath,
+      Files.readString(metaFile.toPath)
+        .replace("\"location\":\"" + dir + "\"", "\"location\":\"file://" + dir + "\""))
+    assert(rows(load(dir)).map(_._1) === Set(1L, 3L))
+  }
+
   test("equality delete on an unknown field id fails loudly") {
     import spark.implicits._
     val dir = eqDeleteTable(dataSeq = 1L, delSeq = 2L, ids = Seq(99),
