@@ -102,7 +102,53 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   private def invalidatePlans(): Unit = planCache.synchronized {
     planEpoch.incrementAndGet()
     planCache.clear()
+    resultCache.synchronized { resultCache.clear(); resultBytes = 0L }
   }
+
+  // ---- encoded-result cache ------------------------------------------------
+  // Registered tables are immutable snapshots between registry changes (the
+  // reference's MemTable model), so a repeated identical SQL request can be
+  // answered from the previously ENCODED bytes — the ms-class serving path
+  // (no job, no collect, no re-encode). Safety mirrors the plan cache:
+  //   - same epoch fence, cleared by every registry change/refresh tick;
+  //   - only plans `cacheablePlan` admits (no commands, no rand/now);
+  //   - information_schema bypasses (snapshot-per-call semantics);
+  //   - per-entry and total byte budgets — an unbounded result never evicts
+  //     the small hot ones, it just doesn't cache.
+  private val resultEntryCapBytes = 4 << 20
+  private val resultTotalCapBytes = 64L << 20
+  private var resultBytes = 0L
+  private val resultCache =
+    new java.util.LinkedHashMap[(String, String), Array[Byte]](16, 0.75f, true)
+  /** Spec hook: how many requests were answered from encoded bytes. */
+  private[server] val resultCacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[server] def resultEpoch: Long = planEpoch.get()
+
+  private[server] def lookupResult(sql: String, mime: String): Option[Array[Byte]] = {
+    val hit = resultCache.synchronized(Option(resultCache.get((sql, mime))))
+    hit.foreach(_ => resultCacheHits.incrementAndGet())
+    hit
+  }
+
+  /** Offer an encoded response for caching; refused quietly when the plan
+    * is uncacheable, the bytes exceed the entry cap, the epoch moved during
+    * execution, or the SQL is an information_schema rewrite. */
+  private[server] def offerResult(sql: String, mime: String, df: DataFrame,
+                                  bytes: Array[Byte], epoch: Long): Unit =
+    if (bytes.length <= resultEntryCapBytes &&
+        rewriteInformationSchema(sql) == sql && cacheablePlan(df))
+      resultCache.synchronized {
+        if (planEpoch.get() == epoch && !resultCache.containsKey((sql, mime))) {
+          resultCache.put((sql, mime), bytes)
+          resultBytes += bytes.length
+          val it = resultCache.entrySet().iterator()
+          while (resultBytes > resultTotalCapBytes && it.hasNext) {
+            resultBytes -= it.next().getValue.length
+            it.remove()
+          }
+        }
+      }
   /** Registry changes additionally orphan the pipeline operators' pooled
     * corpus intermediates (postings, signatures) — release those too. NOT
     * called per command/refresh tick: a client spamming SET/EXPLAIN must

@@ -22,6 +22,12 @@ import graft.sources.TableSource
 final class HttpApp(engine: Engine, port: Int = 0,
                     host: String = "127.0.0.1") {
 
+  // TCP_NODELAY: without it the JDK server's small responses sit in Nagle's
+  // buffer waiting for the client's delayed ACK — a flat ~40 ms floor on
+  // every request that no amount of server-side speed can cross (the
+  // serving bench measured exactly that). Must be set before create().
+  HttpApp.ensureNoDelay()
+
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -69,6 +75,14 @@ final class HttpApp(engine: Engine, port: Int = 0,
       }
     } finally ex.close()
   }
+}
+
+object HttpApp {
+  private lazy val noDelay: Unit = {
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+  }
+  private def ensureNoDelay(): Unit = noDelay
 }
 
 /** Server entry point.

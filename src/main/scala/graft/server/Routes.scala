@@ -100,7 +100,7 @@ object Routes {
       case ("GET", List("api", "version")) =>
         Full(200, "application/json", "\"0.1.0\"".getBytes(UTF_8))
       case ("POST", List("api", "sql")) =>
-        queryResponse(engine.querySql(bodyString(req)), req.accept, engine.responseFormat)
+        sqlResponse(engine, bodyString(req), req.accept)
       case ("POST", List("api", "graphql")) =>
         queryResponse(engine.queryGraphQl(bodyString(req)), req.accept, engine.responseFormat)
       case ("GET", List("api", "tables", t)) =>
@@ -200,6 +200,66 @@ object Routes {
     * fallback rule (roapi/src/api/mod.rs:25-35; note the star-slash-star
     * wildcard ACCEPT is Json there regardless of the configured default,
     * and here too). */
+  /** The SQL path rides the engine's encoded-result cache: a repeated
+    * identical (sql, content-type) request answers from bytes — no job, no
+    * collect, no re-encode (registered tables are immutable snapshots
+    * between registry changes; the engine fences with the plan-cache
+    * epoch). Misses stream normally while a CAPPED tee captures the wire
+    * bytes for next time — an oversized result just stops capturing, the
+    * client stream is unaffected. */
+  private def sqlResponse(engine: Engine, sql: String,
+                          accept: Option[String]): Response = {
+    val ct = Encoders.fromAccept(accept, engine.responseFormat)
+    engine.lookupResult(sql, ct.mime) match {
+      case Some(bytes) => Full(200, ct.mime, bytes)
+      case None =>
+        val epoch = engine.resultEpoch
+        val df = engine.querySql(sql)
+        ct match {
+          case Encoders.Json | Encoders.Csv | Encoders.ArrowStream =>
+            Streamed(ct.mime, out => {
+              val cap = new CappedCapture(4 << 20)
+              val tee = new TeeOutputStream(out, cap)
+              ct match {
+                case Encoders.Json => Encoders.writeJson(df, tee)
+                case Encoders.Csv => Encoders.writeCsv(df, tee)
+                case _ => org.apache.spark.sql.GraftArrowBridge.writeIpcStream(df, tee)
+              }
+              cap.result().foreach(engine.offerResult(sql, ct.mime, df, _, epoch))
+            })
+          case _ =>
+            val bytes = Encoders.encode(df, ct)
+            engine.offerResult(sql, ct.mime, df, bytes, epoch)
+            Full(200, ct.mime, bytes)
+        }
+    }
+  }
+
+  /** Buffers up to `cap` bytes, then abandons capture (result() = None). */
+  private final class CappedCapture(cap: Int) extends java.io.OutputStream {
+    private val buf = new java.io.ByteArrayOutputStream(8192)
+    private var overflowed = false
+    override def write(b: Int): Unit =
+      if (!overflowed) { if (buf.size() >= cap) overflowed = true else buf.write(b) }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      if (!overflowed) {
+        if (buf.size() + len > cap) overflowed = true else buf.write(b, off, len)
+      }
+    def result(): Option[Array[Byte]] =
+      if (overflowed) None else Some(buf.toByteArray)
+  }
+
+  /** Writes to the client stream and the capture in lockstep. */
+  private final class TeeOutputStream(a: java.io.OutputStream,
+                                      b: CappedCapture) extends java.io.OutputStream {
+    override def write(x: Int): Unit = { a.write(x); b.write(x) }
+    override def write(x: Array[Byte], off: Int, len: Int): Unit = {
+      a.write(x, off, len); b.write(x, off, len)
+    }
+    override def flush(): Unit = a.flush()
+    override def close(): Unit = a.close()
+  }
+
   private def queryResponse(df: org.apache.spark.sql.DataFrame,
                             accept: Option[String],
                             default: Encoders.ContentType): Response =

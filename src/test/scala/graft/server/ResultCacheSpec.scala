@@ -1,0 +1,84 @@
+package graft.server
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import graft.sources.TableSource
+
+/** The encoded-result cache on the SQL serving path: correctness of the
+  * invalidation rules matters more than the speedup (a stale cached byte
+  * array would be a silently wrong API response forever). */
+class ResultCacheSpec extends SparkSpec {
+
+  private lazy val engine = {
+    val e = new Engine(spark, readOnly = false)
+    e.registerTable(TableSource("region", s"$sf0001/region.parquet",
+      format = Some("parquet")))
+    e
+  }
+
+  private def post(sql: String, accept: Option[String] = None): (Int, Array[Byte]) = {
+    val req = Routes.Request("POST", "/api/sql", None, accept,
+      () => sql.getBytes(UTF_8))
+    Routes.handle(engine, req) match {
+      case Routes.Full(status, _, body) => (status, body)
+      case Routes.Streamed(_, write) =>
+        val out = new ByteArrayOutputStream(); write(out); (200, out.toByteArray)
+    }
+  }
+
+  test("repeated identical SQL answers from encoded bytes, bit-identical") {
+    val sql = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    val (s1, b1) = post(sql)
+    assert(s1 == 200)
+    val before = engine.resultCacheHits.get()
+    val (s2, b2) = post(sql)
+    assert(s2 == 200)
+    assert(engine.resultCacheHits.get() == before + 1, "second request must hit")
+    assert(b1.toSeq == b2.toSeq, "cached bytes must be bit-identical")
+  }
+
+  test("content types cache independently") {
+    val sql = "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 2"
+    val (_, json) = post(sql)
+    val (_, csv) = post(sql, Some("application/csv"))
+    assert(new String(json, UTF_8).startsWith("["))
+    assert(!(csv.toSeq == json.toSeq))
+    val before = engine.resultCacheHits.get()
+    post(sql); post(sql, Some("application/csv"))
+    assert(engine.resultCacheHits.get() == before + 2)
+  }
+
+  test("registry changes invalidate: no stale bytes after drop/re-register") {
+    val sql = "SELECT count(*) AS n FROM mutable_t"
+    engine.registerTable(TableSource("mutable_t", s"$sf0001/region.parquet",
+      format = Some("parquet")))
+    val (_, b1) = post(sql)
+    post(sql) // now cached
+    // re-register the name against a DIFFERENT table
+    engine.registerTable(TableSource("mutable_t", s"$sf0001/nation.parquet",
+      format = Some("parquet")))
+    val (_, b2) = post(sql)
+    assert(new String(b1, UTF_8) != new String(b2, UTF_8),
+      "re-registration must invalidate the cached count")
+    engine.dropTable("mutable_t")
+  }
+
+  test("nondeterministic and time-valued queries never cache") {
+    val before = engine.resultCacheHits.get()
+    post("SELECT rand() AS r")
+    post("SELECT rand() AS r")
+    post("SELECT current_timestamp() AS t")
+    post("SELECT current_timestamp() AS t")
+    assert(engine.resultCacheHits.get() == before,
+      "rand()/now() responses must never be served from cache")
+  }
+
+  test("information_schema queries never cache (snapshot-per-call)") {
+    val before = engine.resultCacheHits.get()
+    post("SELECT table_name FROM information_schema.tables")
+    post("SELECT table_name FROM information_schema.tables")
+    assert(engine.resultCacheHits.get() == before)
+  }
+}
