@@ -45,6 +45,9 @@ final class Http2App(engine: Engine, port: Int = 0,
   def start(): Http2App = {
     val b = new ServerBootstrap()
     b.group(group).channel(classOf[NioServerSocketChannel])
+      // TCP_NODELAY: small frames must not sit in Nagle's buffer behind the
+      // peer's delayed ACK (HttpApp measured a flat ~40 ms floor without it)
+      .childOption(io.netty.channel.ChannelOption.TCP_NODELAY, java.lang.Boolean.TRUE)
       .childHandler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit = {
           val sourceCodec = new HttpServerCodec()

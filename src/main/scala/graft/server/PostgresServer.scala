@@ -42,6 +42,8 @@ final class PostgresServer(engine: Engine, port: Int = 0,
     while (running) {
       try {
         val sock = server.accept()
+        // small wire messages must not wait out Nagle + delayed ACK
+        sock.setTcpNoDelay(true)
         val t = new Thread(() => handleConn(sock), "graft-pg-conn")
         t.setDaemon(true)
         t.start()
