@@ -1657,6 +1657,23 @@ object PipelineOps {
       simhashNearDup(ph, maxHamming = 3, chunks = 4, comboSize = 1)
     }),
 
+    // image DEDUP DECISIONS: the phash pair graph closed by the same
+    // O(log² n) star contraction the text path uses — per image, its
+    // cluster representative and family size (keep rep, drop the rest)
+    "mm_phash_clusters" -> ((spark, dir) => {
+      val ph = graft.operators.Multimodal
+        .imagePhash(graft.operators.Multimodal.syntheticImages(spark, dir))
+      val pairs = simhashNearDup(
+        ph.select(col("doc_id"), col("phash").as("sh")),
+        maxHamming = 3, chunks = 4, comboSize = 1)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponentsStar(pairs, ph.select(col("doc_id")))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_rep"))).cast("long"))
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stubbed feature extraction: deterministic pseudo-features from the
     // payload's FNV hash (stands in for image decode + embed; the batched
     // partition-parallel plumbing in Multimodal.extractFeatures is real, and
@@ -4597,6 +4614,26 @@ object PipelineOps {
       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
       |labeled AS (SELECT src AS doc_id, min(node) AS cluster_rep FROM reach GROUP BY src)""".stripMargin
 
+  /** Shared perceptual-hash oracle chain: synthetic image geometry →
+    * integer-luma 8×8 floor-mean cells → mean-threshold aHash bits →
+    * BIGINT `s2(doc_id, ph)` (HUGEINT sign wrap). Mirrors
+    * [[graft.operators.Multimodal.grayPhash]] bit-exactly. */
+  private val phashCtes: String =
+    """phd AS (SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + ((doc_id // 8) % 8) * 4 AS h FROM documents),
+      |phc AS (SELECT doc_id, list_transform(range(0, 64), j ->
+      |    list_sum(flatten(list_transform(range(((j//8)*h)//8, (((j//8)+1)*h)//8), y ->
+      |      list_transform(range(((j%8)*w)//8, (((j%8)+1)*w)//8), x ->
+      |        (((doc_id*7 + 3*x + 5*y) % 256) * 299 + ((doc_id*11 + 5*x + 7*y) % 256) * 587
+      |         + ((doc_id*13 + 2*x + 3*y) % 256) * 114) // 1000))))
+      |    // (((((j//8)+1)*h)//8 - ((j//8)*h)//8) * ((((j%8)+1)*w)//8 - ((j%8)*w)//8))) AS cells
+      |  FROM phd),
+      |php AS (SELECT doc_id, cells, list_sum(cells) // 64 AS avg FROM phc),
+      |phh AS (SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
+      |    CASE WHEN cells[j+1] > avg THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS hu
+      |  FROM php),
+      |s2 AS (SELECT doc_id, CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+      |  THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS ph FROM phh)""".stripMargin
+
   /** CTE fragment: MinHash banded candidate pairs over `shFrom(doc_id, s)`
     * — 64 FNV-derived permutations (seed 42, the [[minhashLshJoin]]
     * default), 16 bands of 4, band-slice-equality candidates (the Scala
@@ -5797,43 +5834,33 @@ object PipelineOps {
     // aHash parity: integer luma, 8x8 floor-mean grid at the box-filter
     // block boundaries, mean-threshold bits, HUGEINT sign wrap to BIGINT
     "mm_image_phash" ->
-      """WITH d AS (SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + ((doc_id // 8) % 8) * 4 AS h FROM documents),
-        |c AS (SELECT doc_id, list_transform(range(0, 64), j ->
-        |    list_sum(flatten(list_transform(range(((j//8)*h)//8, (((j//8)+1)*h)//8), y ->
-        |      list_transform(range(((j%8)*w)//8, (((j%8)+1)*w)//8), x ->
-        |        (((doc_id*7 + 3*x + 5*y) % 256) * 299 + ((doc_id*11 + 5*x + 7*y) % 256) * 587
-        |         + ((doc_id*13 + 2*x + 3*y) % 256) * 114) // 1000))))
-        |    // (((((j//8)+1)*h)//8 - ((j//8)*h)//8) * ((((j%8)+1)*w)//8 - ((j%8)*w)//8))) AS cells
-        |  FROM d),
-        |p AS (SELECT doc_id, cells, list_sum(cells) // 64 AS avg FROM c),
-        |hsh AS (SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
-        |    CASE WHEN cells[j+1] > avg THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS hu
-        |  FROM p)
-        |SELECT doc_id, CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
-        |  THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS phash
-        |FROM hsh ORDER BY doc_id""".stripMargin,
+      (s"""WITH $phashCtes
+        |SELECT doc_id, ph AS phash FROM s2 ORDER BY doc_id""".stripMargin),
     // exact hamming<=3 pairs over the same aHash, brute-forced (the LSH
     // chunk join only prunes candidates; the result set is exact)
     "mm_phash_dedup" ->
-      """WITH d AS (SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + ((doc_id // 8) % 8) * 4 AS h FROM documents),
-        |c AS (SELECT doc_id, list_transform(range(0, 64), j ->
-        |    list_sum(flatten(list_transform(range(((j//8)*h)//8, (((j//8)+1)*h)//8), y ->
-        |      list_transform(range(((j%8)*w)//8, (((j%8)+1)*w)//8), x ->
-        |        (((doc_id*7 + 3*x + 5*y) % 256) * 299 + ((doc_id*11 + 5*x + 7*y) % 256) * 587
-        |         + ((doc_id*13 + 2*x + 3*y) % 256) * 114) // 1000))))
-        |    // (((((j//8)+1)*h)//8 - ((j//8)*h)//8) * ((((j%8)+1)*w)//8 - ((j%8)*w)//8))) AS cells
-        |  FROM d),
-        |p AS (SELECT doc_id, cells, list_sum(cells) // 64 AS avg FROM c),
-        |hsh AS (SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
-        |    CASE WHEN cells[j+1] > avg THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS hu
-        |  FROM p),
-        |s2 AS (SELECT doc_id, CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
-        |  THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS ph FROM hsh)
+      (s"""WITH $phashCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
         |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // the pair graph closed to clusters by transitive reachability — the
+    // image face of the dedup_clusters oracle chain
+    "mm_phash_clusters" ->
+      (s"""WITH RECURSIVE $phashCtes,
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+        |labeled AS (SELECT src AS doc_id, min(node) AS cluster_rep FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_rep,
+        |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+        |FROM labeled ORDER BY doc_id""".stripMargin),
     "doc_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -136,6 +136,20 @@ class MultimodalSpec extends SparkSpec {
     assert(ph(17L) == Multimodal.grayPhash(img))
   }
 
+  test("phash clusters partition the corpus and absorb every near-dup pair") {
+    val clusters = graft.SparkEntry.queries("mm_phash_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.SparkEntry.queries("mm_phash_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.size == 500) // every image labeled exactly once
+    // both endpoints of every near-dup pair share a cluster representative
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // a representative represents itself
+    clusters.values.foreach(rep => assert(clusters(rep) == rep))
+  }
+
   test("frame sampling yields strided chunks with correct sizes") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
     val byDoc = frames.groupBy("id").agg(count(lit(1)).as("n"),
