@@ -1659,20 +1659,16 @@ object PipelineOps {
 
     // image DEDUP DECISIONS: the phash pair graph closed by the same
     // O(log² n) star contraction the text path uses — per image, its
-    // cluster representative and family size (keep rep, drop the rest)
-    "mm_phash_clusters" -> ((spark, dir) => {
-      val ph = graft.operators.Multimodal
-        .imagePhash(graft.operators.Multimodal.syntheticImages(spark, dir))
-      val pairs = simhashNearDup(
-        ph.select(col("doc_id"), col("phash").as("sh")),
-        maxHamming = 3, chunks = 4, comboSize = 1)
-        .select(col("doc_a"), col("doc_b"))
-      connectedComponentsStar(pairs, ph.select(col("doc_id")))
+    // cluster representative and family size (keep rep, drop the rest).
+    // Labels come off a memoized artifact ([[phashLabelsFor]], the
+    // ccLabelsFor discipline): dedup decisions are computed once per
+    // corpus and served, not re-contracted per read.
+    "mm_phash_clusters" -> ((spark, dir) =>
+      phashLabelsFor(spark, dir)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_rep"))).cast("long"))
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // stubbed feature extraction: deterministic pseudo-features from the
     // payload's FNV hash (stands in for image decode + embed; the batched
@@ -2231,6 +2227,41 @@ object PipelineOps {
           Option(evalExactPairsCache.get(key)) match {
             case Some(winner) => unpersistCheckpointed(built); winner
             case None => evalExactPairsCache.put(key, built); built
+          }
+        }
+    }
+  }
+
+  /** One perceptual-hash cluster labeling per (session, dir) — the image
+    * face of [[ccLabelsFor]]: phash pairs + star contraction computed once,
+    * served by `mm_phash_clusters` (and any future image-dedup view). Same
+    * bounded-LRU + unpersist-on-evict + stale-on-regeneration discipline. */
+  private val phashLabelsCache = new java.util.LinkedHashMap[
+      (SparkSession, String), DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (SparkSession, String), DataFrame]): Boolean = {
+      val evict = size() > 64
+      if (evict) unpersistCheckpointed(e.getValue)
+      evict
+    }
+  }
+  private def phashLabelsFor(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    phashLabelsCache.synchronized(Option(phashLabelsCache.get(key))) match {
+      case Some(l) => l
+      case None =>
+        val ph = graft.operators.Multimodal
+          .imagePhash(graft.operators.Multimodal.syntheticImages(spark, dir))
+        val pairs = simhashNearDup(
+          ph.select(col("doc_id"), col("phash").as("sh")),
+          maxHamming = 3, chunks = 4, comboSize = 1)
+          .select(col("doc_a"), col("doc_b"))
+        val built = connectedComponentsStar(pairs, ph.select(col("doc_id")))
+          .localCheckpoint()
+        phashLabelsCache.synchronized {
+          Option(phashLabelsCache.get(key)) match {
+            case Some(winner) => unpersistCheckpointed(built); winner
+            case None => phashLabelsCache.put(key, built); built
           }
         }
     }
