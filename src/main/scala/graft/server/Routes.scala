@@ -102,9 +102,11 @@ object Routes {
       case ("POST", List("api", "sql")) =>
         sqlResponse(engine, bodyString(req), req.accept)
       case ("POST", List("api", "graphql")) =>
-        queryResponse(engine.queryGraphQl(bodyString(req)), req.accept, engine.responseFormat)
+        val q = bodyString(req)
+        cachedResponse(engine, "gql:" + q, req.accept)(engine.queryGraphQl(q))
       case ("GET", List("api", "tables", t)) =>
-        queryResponse(engine.queryRest(t, queryParams(req)), req.accept, engine.responseFormat)
+        cachedResponse(engine, "rest:" + t + "?" + req.rawQuery.getOrElse(""),
+          req.accept)(engine.queryRest(t, queryParams(req)))
       case ("GET", List("api", "schema")) =>
         Full(200, "application/json", engine.allSchemasJson.getBytes(UTF_8))
       case ("GET", List("api", "schema", t)) =>
@@ -208,13 +210,21 @@ object Routes {
     * bytes for next time — an oversized result just stops capturing, the
     * client stream is unaffected. */
   private def sqlResponse(engine: Engine, sql: String,
-                          accept: Option[String]): Response = {
+                          accept: Option[String]): Response =
+    cachedResponse(engine, sql, accept)(engine.querySql(sql))
+
+  /** Generalized over the three query frontends: `key` identifies the
+    * request (raw SQL / REST table+params / GraphQL body) and `mk` builds
+    * the frame on a miss. */
+  private def cachedResponse(engine: Engine, key: String,
+                             accept: Option[String])
+                            (mk: => org.apache.spark.sql.DataFrame): Response = {
     val ct = Encoders.fromAccept(accept, engine.responseFormat)
-    engine.lookupResult(sql, ct.mime) match {
+    engine.lookupResult(key, ct.mime) match {
       case Some(bytes) => Full(200, ct.mime, bytes)
       case None =>
         val epoch = engine.resultEpoch
-        val df = engine.querySql(sql)
+        val df = mk
         ct match {
           case Encoders.Json | Encoders.Csv | Encoders.ArrowStream =>
             Streamed(ct.mime, out => {
@@ -225,11 +235,11 @@ object Routes {
                 case Encoders.Csv => Encoders.writeCsv(df, tee)
                 case _ => org.apache.spark.sql.GraftArrowBridge.writeIpcStream(df, tee)
               }
-              cap.result().foreach(engine.offerResult(sql, ct.mime, df, _, epoch))
+              cap.result().foreach(engine.offerResult(key, ct.mime, df, _, epoch))
             })
           case _ =>
             val bytes = Encoders.encode(df, ct)
-            engine.offerResult(sql, ct.mime, df, bytes, epoch)
+            engine.offerResult(key, ct.mime, df, bytes, epoch)
             Full(200, ct.mime, bytes)
         }
     }

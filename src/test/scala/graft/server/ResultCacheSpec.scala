@@ -65,6 +65,37 @@ class ResultCacheSpec extends SparkSpec {
     engine.dropTable("mutable_t")
   }
 
+  test("REST and GraphQL ride the same cache, keyed on the raw request") {
+    def get(path: String, q: String): Array[Byte] =
+      Routes.handle(engine, Routes.Request("GET", path, Some(q), None,
+        () => Array.emptyByteArray)) match {
+        case Routes.Full(_, _, b) => b
+        case Routes.Streamed(_, w) =>
+          val o = new ByteArrayOutputStream(); w(o); o.toByteArray
+      }
+    val b1 = get("/api/tables/region", "columns=r_regionkey&limit=3")
+    val before = engine.resultCacheHits.get()
+    val b2 = get("/api/tables/region", "columns=r_regionkey&limit=3")
+    assert(engine.resultCacheHits.get() == before + 1)
+    assert(b1.toSeq == b2.toSeq)
+    // different params = different key
+    get("/api/tables/region", "columns=r_regionkey&limit=2")
+    assert(engine.resultCacheHits.get() == before + 1)
+    val gql = "{ region(limit: 2) { r_regionkey } }"
+    def postGql(): Array[Byte] = {
+      Routes.handle(engine, Routes.Request("POST", "/api/graphql", None, None,
+        () => gql.getBytes(UTF_8))) match {
+        case Routes.Full(_, _, b) => b
+        case Routes.Streamed(_, w) =>
+          val o = new ByteArrayOutputStream(); w(o); o.toByteArray
+      }
+    }
+    val g1 = postGql()
+    val beforeG = engine.resultCacheHits.get()
+    assert(postGql().toSeq == g1.toSeq)
+    assert(engine.resultCacheHits.get() == beforeG + 1)
+  }
+
   test("nondeterministic and time-valued queries never cache") {
     val before = engine.resultCacheHits.get()
     post("SELECT rand() AS r")
