@@ -5,6 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Shared SparkSession config for all entry points (Verify, Bench, server,
   * tests) so oracle-sensitive settings are set exactly once. */
 object GraftSession {
+  // The JDK http server reads sun.net.httpserver.nodelay ONCE, in a static
+  // initializer triggered by the first HttpServer.create anywhere in the
+  // JVM — setting it only in HttpApp is a silent no-op if any other
+  // component (a spec mock, an embedding) created a server first (review
+  // finding). Every entry point touches GraftSession before serving, so
+  // this is the earliest reliable site; HttpApp keeps its own set as a
+  // second chance for exotic embeddings.
+  if (System.getProperty("sun.net.httpserver.nodelay") == null)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2076,39 +2076,48 @@ object PipelineOps {
         catch { case _: Throwable => () })
     catch { case _: Throwable => () }
 
-  private val bpeModelCache = new java.util.LinkedHashMap[
-      (SparkSession, String), (Seq[(String, String, Long)], DataFrame)](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), (Seq[(String, String, Long)], DataFrame)]): Boolean = {
-      val evict = size() > 64
-      // the dict is localCheckpointed — dropping the map entry alone would
-      // leave its blocks pinned in the BlockManager until session GC
-      if (evict) unpersistCheckpointed(e.getValue._2)
-      evict
+  /** The one memo discipline every per-(session, dir) artifact uses —
+    * bounded access-order LRU (an unbounded map would pin every session a
+    * long-lived server ever saw), localCheckpoint blocks freed via `free`
+    * on eviction AND on a lost build race, and the build runs OUTSIDE the
+    * map lock so a slow first build never blocks unrelated dirs (a racing
+    * duplicate frees its artifact and defers to the winner).
+    *
+    * NOTE the key is (session, dir): if the parquet under `dir` is
+    * regenerated mid-session the artifact is stale until eviction or
+    * restart — acceptable for immutable corpus dirs; a mutable deployment
+    * folds input-file mtimes into the key (or persists artifacts as
+    * parquet, the curate composition's pattern). */
+  private final class ArtifactMemo[V](free: V => Unit) {
+    private val map = new java.util.LinkedHashMap[(SparkSession, String), V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(SparkSession, String), V]): Boolean = {
+        val evict = size() > 64
+        if (evict) free(e.getValue)
+        evict
+      }
     }
-  }
-  // NOTE the memo key is (session, dir): if the parquet under `dir` is
-  // regenerated mid-session the cached model is stale until eviction or
-  // restart — acceptable for the immutable testdata dirs this serves; a
-  // mutable deployment should fold input-file mtimes into the key.
-  private def bpeModelFor(spark: SparkSession, dir: String)
-      : (Seq[(String, String, Long)], DataFrame) = {
-    val key = (spark, dir)
-    // train OUTSIDE the map lock (the curateStagesFor discipline): a slow
-    // first train must not block unrelated dirs; a racing duplicate frees
-    // its checkpointed dict and defers to the winner
-    bpeModelCache.synchronized(Option(bpeModelCache.get(key))) match {
-      case Some(m) => m
-      case None =>
-        val built = bpeTrain(docs(spark, dir), numMerges = 8)
-        bpeModelCache.synchronized {
-          Option(bpeModelCache.get(key)) match {
-            case Some(winner) => unpersistCheckpointed(built._2); winner
-            case None => bpeModelCache.put(key, built); built
+    def getOrBuild(spark: SparkSession, dir: String)(build: => V): V = {
+      val key = (spark, dir)
+      map.synchronized(Option(map.get(key))) match {
+        case Some(v) => v
+        case None =>
+          val built = build
+          map.synchronized {
+            Option(map.get(key)) match {
+              case Some(winner) => free(built); winner
+              case None => map.put(key, built); built
+            }
           }
-        }
+      }
     }
   }
+
+  private val bpeModelCache =
+    new ArtifactMemo[(Seq[(String, String, Long)], DataFrame)](
+      v => unpersistCheckpointed(v._2))
+  private def bpeModelFor(spark: SparkSession, dir: String)
+      : (Seq[(String, String, Long)], DataFrame) =
+    bpeModelCache.getOrBuild(spark, dir)(bpeTrain(docs(spark, dir), numMerges = 8))
 
   /** One computed near-dup cluster labeling per (session, input dir) — the
     * dedup-DECISION artifact: `dedup_clusters`, `dedup_cluster_stats`, and
@@ -2117,15 +2126,7 @@ object PipelineOps {
     * regeneration discipline as [[bpeModelCache]]; a 100 TB deployment
     * persists the labels as parquet (the curate composition's pattern)
     * instead of a localCheckpoint. */
-  private val ccLabelsCache = new java.util.LinkedHashMap[
-      (SparkSession, String), DataFrame](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), DataFrame]): Boolean = {
-      val evict = size() > 64
-      if (evict) unpersistCheckpointed(e.getValue)
-      evict
-    }
-  }
+  private val ccLabelsCache = new ArtifactMemo[DataFrame](unpersistCheckpointed)
   /** One curation stage chain per (session, dir) with the CATALOG's
     * constants — `doc_curate` and `doc_curate_report` share it, so the
     * funnel report counts the same localCheckpointed CC run the packer
@@ -2135,67 +2136,34 @@ object PipelineOps {
     * same discipline as [[bpeModelCache]]/[[ccLabelsCache]] (round-9
     * advice: an unbounded CHM let each distinct `dir` from the
     * /api/pipeline route pin a session + checkpoint blocks forever). */
-  private val curateStagesCache = new java.util.LinkedHashMap[
-      (SparkSession, String), CurateStages](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), CurateStages]): Boolean = {
-      val evict = size() > 64
-      // mixed's lineage reaches every checkpointed piece of the chain
-      if (evict) unpersistCheckpointed(e.getValue.mixed)
-      evict
+  // mixed's lineage reaches every checkpointed piece of the chain
+  private val curateStagesCache =
+    new ArtifactMemo[CurateStages](v => unpersistCheckpointed(v.mixed))
+  private def curateStagesFor(spark: SparkSession, dir: String): CurateStages =
+    curateStagesCache.getOrBuild(spark, dir) {
+      val d = docs(spark, dir)
+      val probes = d.filter(col("doc_id") < 3)
+        .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
+      curateStages(d, probes, minTokens = 16, paragraphK = 10,
+        nearDupThreshold = 0.3,
+        mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
     }
-  }
-  private def curateStagesFor(spark: SparkSession, dir: String): CurateStages = {
-    val key = (spark, dir)
-    // the chain runs full Spark jobs (cleaned.count()) — build OUTSIDE the
-    // map lock so a slow first build never blocks unrelated dirs (round-9
-    // advice: computeIfAbsent pinned the CHM bin for the job's duration).
-    // A racing duplicate build is possible and harmless: the loser's
-    // checkpoint blocks are freed, the winner stays memoized.
-    curateStagesCache.synchronized(Option(curateStagesCache.get(key))) match {
-      case Some(st) => st
-      case None =>
-        val d = docs(spark, dir)
-        val probes = d.filter(col("doc_id") < 3)
-          .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
-        val built = curateStages(d, probes, minTokens = 16, paragraphK = 10,
-          nearDupThreshold = 0.3,
-          mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
-          defaultRate = 0.1)
-        curateStagesCache.synchronized {
-          Option(curateStagesCache.get(key)) match {
-            case Some(winner) => unpersistCheckpointed(built.mixed); winner
-            case None => curateStagesCache.put(key, built); built
-          }
-        }
-    }
-  }
 
-  private def ccLabelsFor(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    // build OUTSIDE the map lock (the curateStagesFor discipline)
-    ccLabelsCache.synchronized(Option(ccLabelsCache.get(key))) match {
-      case Some(l) => l
-      case None =>
-        val d = docs(spark, dir)
-          .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-        // default refusal guard ON (round-9 verdict #1): the exact pair
-        // join is the small/medium-corpus clustering reference — a corpus
-        // past the guard should take dedup_minhash_clusters' banded path
-        val edges = ngramJaccardJoin(d, threshold = 0.25)
-          .select(col("doc_a"), col("doc_b"))
-        // star contraction: identical labels to propagation (spec-pinned),
-        // O(log² n) rounds — the same swap curate made
-        val built = connectedComponentsStar(edges,
-          docs(spark, dir).select(col("doc_id"))).localCheckpoint()
-        ccLabelsCache.synchronized {
-          Option(ccLabelsCache.get(key)) match {
-            case Some(winner) => unpersistCheckpointed(built); winner
-            case None => ccLabelsCache.put(key, built); built
-          }
-        }
+  private def ccLabelsFor(spark: SparkSession, dir: String): DataFrame =
+    ccLabelsCache.getOrBuild(spark, dir) {
+      val d = docs(spark, dir)
+        .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      // default refusal guard ON (round-9 verdict #1): the exact pair
+      // join is the small/medium-corpus clustering reference — a corpus
+      // past the guard should take dedup_minhash_clusters' banded path
+      val edges = ngramJaccardJoin(d, threshold = 0.25)
+        .select(col("doc_a"), col("doc_b"))
+      // star contraction: identical labels to propagation (spec-pinned),
+      // O(log² n) rounds — the same swap curate made
+      connectedComponentsStar(edges,
+        docs(spark, dir).select(col("doc_id"))).localCheckpoint()
     }
-  }
 
   /** One exact ground-truth pair set per (session, input dir) for the LSH
     * evaluation family (round-10 verdict #2): `dedup_band_curve`,
@@ -2204,68 +2172,29 @@ object PipelineOps {
     * one `ngramJaccardJoin` run (one stats action, one kernel) instead of
     * one per query. Same bounded-LRU + unpersist-on-evict + stale-on-
     * regeneration discipline as [[ccLabelsCache]]. */
-  private val evalExactPairsCache = new java.util.LinkedHashMap[
-      (SparkSession, String), DataFrame](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), DataFrame]): Boolean = {
-      val evict = size() > 64
-      if (evict) unpersistCheckpointed(e.getValue)
-      evict
+  private val evalExactPairsCache = new ArtifactMemo[DataFrame](unpersistCheckpointed)
+  private[queries] def evalExactPairsFor(spark: SparkSession, dir: String): DataFrame =
+    evalExactPairsCache.getOrBuild(spark, dir) {
+      // refusal guard stays ON: the eval corpus is a bounded sample by
+      // construction, but a mis-sized sample should refuse, not explode
+      ngramJaccardJoin(evalCorpus(spark, dir), threshold = 0.3).localCheckpoint()
     }
-  }
-  private[queries] def evalExactPairsFor(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    // build OUTSIDE the map lock (the curateStagesFor discipline)
-    evalExactPairsCache.synchronized(Option(evalExactPairsCache.get(key))) match {
-      case Some(p) => p
-      case None =>
-        // refusal guard stays ON: the eval corpus is a bounded sample by
-        // construction, but a mis-sized sample should refuse, not explode
-        val built = ngramJaccardJoin(evalCorpus(spark, dir), threshold = 0.3)
-          .localCheckpoint()
-        evalExactPairsCache.synchronized {
-          Option(evalExactPairsCache.get(key)) match {
-            case Some(winner) => unpersistCheckpointed(built); winner
-            case None => evalExactPairsCache.put(key, built); built
-          }
-        }
-    }
-  }
 
   /** One perceptual-hash cluster labeling per (session, dir) — the image
     * face of [[ccLabelsFor]]: phash pairs + star contraction computed once,
     * served by `mm_phash_clusters` (and any future image-dedup view). Same
     * bounded-LRU + unpersist-on-evict + stale-on-regeneration discipline. */
-  private val phashLabelsCache = new java.util.LinkedHashMap[
-      (SparkSession, String), DataFrame](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (SparkSession, String), DataFrame]): Boolean = {
-      val evict = size() > 64
-      if (evict) unpersistCheckpointed(e.getValue)
-      evict
+  private val phashLabelsCache = new ArtifactMemo[DataFrame](unpersistCheckpointed)
+  private def phashLabelsFor(spark: SparkSession, dir: String): DataFrame =
+    phashLabelsCache.getOrBuild(spark, dir) {
+      val ph = graft.operators.Multimodal
+        .imagePhash(graft.operators.Multimodal.syntheticImages(spark, dir))
+      val pairs = simhashNearDup(
+        ph.select(col("doc_id"), col("phash").as("sh")),
+        maxHamming = 3, chunks = 4, comboSize = 1)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponentsStar(pairs, ph.select(col("doc_id"))).localCheckpoint()
     }
-  }
-  private def phashLabelsFor(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    phashLabelsCache.synchronized(Option(phashLabelsCache.get(key))) match {
-      case Some(l) => l
-      case None =>
-        val ph = graft.operators.Multimodal
-          .imagePhash(graft.operators.Multimodal.syntheticImages(spark, dir))
-        val pairs = simhashNearDup(
-          ph.select(col("doc_id"), col("phash").as("sh")),
-          maxHamming = 3, chunks = 4, comboSize = 1)
-          .select(col("doc_a"), col("doc_b"))
-        val built = connectedComponentsStar(pairs, ph.select(col("doc_id")))
-          .localCheckpoint()
-        phashLabelsCache.synchronized {
-          Option(phashLabelsCache.get(key)) match {
-            case Some(winner) => unpersistCheckpointed(built); winner
-            case None => phashLabelsCache.put(key, built); built
-          }
-        }
-    }
-  }
 
   /** Span-level exact-substring dedup — the actual Lee et al. 2022
     * semantics ([[windowDedup]] flags whole documents; this REMOVES the

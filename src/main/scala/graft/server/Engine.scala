@@ -115,7 +115,6 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   //   - information_schema bypasses (snapshot-per-call semantics);
   //   - per-entry and total byte budgets — an unbounded result never evicts
   //     the small hot ones, it just doesn't cache.
-  private val resultEntryCapBytes = 4 << 20
   private val resultTotalCapBytes = 64L << 20
   private var resultBytes = 0L
   private val resultCache =
@@ -131,16 +130,21 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     hit
   }
 
-  /** Offer an encoded response for caching; refused quietly when the plan
-    * is uncacheable, the bytes exceed the entry cap, the epoch moved during
-    * execution, or the SQL is an information_schema rewrite. */
-  private[server] def offerResult(sql: String, mime: String, df: DataFrame,
+  /** Cacheability of a request's response, decided ONCE per miss at the
+    * route layer: never an information_schema rewrite (snapshot-per-call),
+    * never a plan `cacheablePlan` rejects (commands, rand()/now()). */
+  private[server] def shouldCacheResult(key: String, df: DataFrame): Boolean =
+    rewriteInformationSchema(key) == key && cacheablePlan(df)
+
+  /** Offer an encoded response for caching; refused quietly when the bytes
+    * exceed the entry cap or the epoch moved during execution. Callers
+    * gate on [[shouldCacheResult]] first. */
+  private[server] def offerResult(key: String, mime: String,
                                   bytes: Array[Byte], epoch: Long): Unit =
-    if (bytes.length <= resultEntryCapBytes &&
-        rewriteInformationSchema(sql) == sql && cacheablePlan(df))
+    if (bytes.length <= Engine.resultEntryCapBytes)
       resultCache.synchronized {
-        if (planEpoch.get() == epoch && !resultCache.containsKey((sql, mime))) {
-          resultCache.put((sql, mime), bytes)
+        if (planEpoch.get() == epoch && !resultCache.containsKey((key, mime))) {
+          resultCache.put((key, mime), bytes)
           resultBytes += bytes.length
           val it = resultCache.entrySet().iterator()
           while (resultBytes > resultTotalCapBytes && it.hasNext) {
@@ -400,4 +404,10 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   def close(): Unit = scheduler.shutdownNow()
+}
+
+object Engine {
+  /** One constant for both the offer-side refusal and the route-layer
+    * capture cap — separate literals drifted in review. */
+  private[server] val resultEntryCapBytes: Int = 4 << 20
 }

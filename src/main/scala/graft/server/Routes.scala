@@ -211,7 +211,10 @@ object Routes {
     * client stream is unaffected. */
   private def sqlResponse(engine: Engine, sql: String,
                           accept: Option[String]): Response =
-    cachedResponse(engine, sql, accept)(engine.querySql(sql))
+    // "sql:" prefix: the three frontends share one cache map, so their
+    // keyspaces must be disjoint — an unprefixed raw-SQL key could collide
+    // with a literal "rest:..."/"gql:..." POST body (review finding)
+    cachedResponse(engine, "sql:" + sql, accept)(engine.querySql(sql))
 
   /** Generalized over the three query frontends: `key` identifies the
     * request (raw SQL / REST table+params / GraphQL body) and `mk` builds
@@ -225,21 +228,26 @@ object Routes {
       case None =>
         val epoch = engine.resultEpoch
         val df = mk
+        // cacheability decided ONCE, up front: an uncacheable request
+        // (info-schema, rand()/now()) must not pay the capture buffer or a
+        // second plan walk in the offer (review finding)
+        val wantCache = engine.shouldCacheResult(key, df)
         ct match {
           case Encoders.Json | Encoders.Csv | Encoders.ArrowStream =>
-            Streamed(ct.mime, out => {
-              val cap = new CappedCapture(4 << 20)
-              val tee = new TeeOutputStream(out, cap)
-              ct match {
-                case Encoders.Json => Encoders.writeJson(df, tee)
-                case Encoders.Csv => Encoders.writeCsv(df, tee)
-                case _ => org.apache.spark.sql.GraftArrowBridge.writeIpcStream(df, tee)
-              }
-              cap.result().foreach(engine.offerResult(key, ct.mime, df, _, epoch))
+            def writeTo(out: java.io.OutputStream): Unit = ct match {
+              case Encoders.Json => Encoders.writeJson(df, out)
+              case Encoders.Csv => Encoders.writeCsv(df, out)
+              case _ => org.apache.spark.sql.GraftArrowBridge.writeIpcStream(df, out)
+            }
+            if (!wantCache) Streamed(ct.mime, writeTo)
+            else Streamed(ct.mime, out => {
+              val cap = new CappedCapture(Engine.resultEntryCapBytes)
+              writeTo(new TeeOutputStream(out, cap))
+              cap.result().foreach(engine.offerResult(key, ct.mime, _, epoch))
             })
           case _ =>
             val bytes = Encoders.encode(df, ct)
-            engine.offerResult(key, ct.mime, df, bytes, epoch)
+            if (wantCache) engine.offerResult(key, ct.mime, bytes, epoch)
             Full(200, ct.mime, bytes)
         }
     }
