@@ -75,6 +75,19 @@ class ObjectStoreServedSpec extends SparkSpec with org.scalatest.BeforeAndAfterA
       == "s3a://bucket1/region.parquet")
   }
 
+  test("Spark writes through the shim: committer create/rename/list round-trip") {
+    root
+    // the FileOutputCommitter path exercises create, mkdirs, rename (with
+    // the Hadoop false-on-existing-destination contract), listStatus, and
+    // delete — the full write surface a band-index or compaction run needs
+    // against an object store
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    src.write.mode("overwrite").parquet("s3a://bucket1/written.parquet")
+    val back = spark.read.parquet("s3a://bucket1/written.parquet")
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+  }
+
   test("filter pushdown survives the shim: predicate reaches the parquet scan") {
     val plan = engine.querySql("SELECT * FROM regions WHERE r_regionkey = 1")
       .queryExecution.executedPlan.toString
