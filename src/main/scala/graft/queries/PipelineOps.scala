@@ -3872,6 +3872,50 @@ object PipelineOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-set 64-bit-hash near-dup: indexed `(doc_id, sh)` vs incoming
+    * `(doc_id, sh)` under the same pigeonhole chunk-key rule as
+    * [[simhashNearDup]] (complete for hamming ≤ chunks − comboSize) with
+    * the exact `bit_count` verify — the probe half of an incremental
+    * hash-fingerprint index (text simhash or image phash alike). Output
+    * pairs are (doc_a = indexed, doc_b = incoming). */
+  def hashCrossNearDup(idx: DataFrame, incoming: DataFrame, maxHamming: Int,
+                       chunks: Int = 4, comboSize: Int = 1): DataFrame = {
+    require(comboSize >= 1 && comboSize <= chunks - maxHamming,
+      s"comboSize must be in [1, chunks - maxHamming] = [1, ${chunks - maxHamming}]")
+    val width = (64 + chunks - 1) / chunks
+    def chunkVal(i: Int): Column = {
+      val w = math.min(width, 64 - i * width)
+      shiftrightunsigned(col("sh"), i * width)
+        .bitwiseAND(lit(if (w >= 64) -1L else (1L << w) - 1))
+    }
+    val combos = (0 until chunks).combinations(comboSize).toSeq
+    def keyed(d: DataFrame) = d.select(col("doc_id"), col("sh"),
+      posexplode(array(combos.map(ix => xxhash64(ix.map(chunkVal): _*)): _*)))
+      .withColumnRenamed("pos", "combo").withColumnRenamed("col", "combo_key")
+    val a = keyed(idx).select(col("combo"), col("combo_key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = keyed(incoming).select(col("combo"), col("combo_key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("combo", "combo_key"))
+      // a doc on both sides (outside writer fed the index the incoming
+      // batch) must not emit a self-pair — the minhashDedupIncremental rule
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Append one batch's (doc_id, phash) rows to a perceptual-hash index —
+    * the [[minhashIndexAppend]] layout and idempotency discipline (batch
+    * partition dirs, `_SUCCESS` commit markers, row-level `src_batch`
+    * stamps that survive [[minhashIndexCompact]]-style folding). */
+  def phashIndexAppend(d: DataFrame, dir: String, batchId: Long): Unit =
+    if (!indexBatchCommitted(d.sparkSession, dir, batchId))
+      d.select(col("doc_id"), col("phash"))
+        .withColumn("src_batch", lit(batchId))
+        .write.mode("overwrite").parquet(dir + "/batch=" + batchId)
+
   /** Corpus vocabulary build: the top-`v` whitespace tokens by (count DESC,
     * token ASC), id = rank − 1 — the fixed-vocab half of tokenize-to-ids.
     * Scale shape: one map-side-combined term aggregate, then TakeOrdered

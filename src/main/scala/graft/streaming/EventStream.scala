@@ -179,6 +179,52 @@ object EventStream {
     }
   }
 
+  /** Self-deduplicating IMAGE ingest — the multimodal face of
+    * [[nearDupStream]]: each micro-batch decodes its payloads and computes
+    * perceptual hashes ON EXECUTORS ([[graft.operators.Multimodal.imagePhash]]),
+    * finds within-batch near-dup images via the pigeonhole chunk join,
+    * probes the persisted phash index for cross-batch duplicates, and
+    * appends its own hashes. State is a parquet index (never executor
+    * memory); the append is idempotent under batch re-execution (the
+    * `batch=<id>` + `_SUCCESS` + `src_batch` discipline). Input schema:
+    * `(doc_id: long, payload: binary)`. */
+  def imageDedupStream(images: DataFrame, indexDir: String,
+                       maxHamming: Int = 3,
+                       emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.queries.PipelineOps
+    images.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val media = batch.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, p) => graft.operators.Multimodal.MediaRow(id, p, "image") }
+        val sh = graft.operators.Multimodal.imagePhash(media)
+          .select(col("doc_id"), col("phash").as("sh"))
+        sh.persist() // read three ways: within-join, cross-probe, append
+        try {
+          val within = PipelineOps.simhashNearDup(sh, maxHamming,
+            chunks = 4, comboSize = 1)
+          val pairs =
+            if (PipelineOps.indexHasData(spark, indexDir,
+                  excludeBatch = Some(batchId))) {
+              val idx0 = spark.read.parquet(indexDir)
+              // a retried batch's earlier committed rows are "incoming",
+              // not history (the src_batch stamp survives index folding)
+              val idx =
+                if (idx0.columns.contains("src_batch"))
+                  idx0.filter(!(col("src_batch") <=> lit(batchId)))
+                else idx0
+              within.unionByName(PipelineOps.hashCrossNearDup(
+                idx.select(col("doc_id"), col("phash").as("sh")), sh, maxHamming))
+            } else within
+          emit(pairs)
+          PipelineOps.phashIndexAppend(
+            sh.select(col("doc_id"), col("sh").as("phash")), indexDir, batchId)
+        } finally { sh.unpersist(); () }
+    }
+  }
+
   /** Stateful sessionization: 30-minute inactivity gap closes a session.
     * State per user is one (start, last, count) triple; an EVENT-time timeout
     * (watermark-driven) flushes a session once the stream's watermark passes

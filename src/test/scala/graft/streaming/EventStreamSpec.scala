@@ -142,6 +142,43 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("image-dedup stream finds within-batch and cross-batch duplicate images") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // ids congruent mod 256 render IDENTICAL images: (17, 273) duplicates
+    // split across waves, (20, 276) within one wave
+    val wave1 = Seq(17L, 20L, 276L)
+    val wave2 = Seq(273L, 19L)
+    val all = wave1 ++ wave2
+    def img(id: Long): (Long, Array[Byte]) = (id, Multimodal.synthImageBytes(id)._1)
+    val idxDir = java.nio.file.Files.createTempDirectory("phstream").toString + "/idx"
+    val in = MemoryStream[(Long, Array[Byte])]
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val q = EventStream.imageDedupStream(
+        in.toDF().toDF("doc_id", "payload"), idxDir, maxHamming = 3,
+        emit = pairs => got ++= pairs.select("doc_a", "doc_b").collect()
+          .map(r => (math.min(r.getLong(0), r.getLong(1)),
+            math.max(r.getLong(0), r.getLong(1)))))
+      .start()
+    try {
+      in.addData(wave1.map(img): _*); q.processAllAvailable()
+      in.addData(wave2.map(img): _*); q.processAllAvailable()
+      // brute expectation over every ingested image
+      val ph = all.map(id =>
+        id -> Multimodal.grayPhash(Multimodal.decodeImage(Multimodal.synthImageBytes(id)._1))).toMap
+      val expected = (for {
+        a <- all; b <- all if a < b
+        if java.lang.Long.bitCount(ph(a) ^ ph(b)) <= 3
+      } yield (a, b)).toSet
+      assert(expected.contains((20L, 276L)), "within-wave duplicate expected")
+      assert(expected.contains((17L, 273L)), "cross-wave duplicate expected")
+      assert(got.toSet == expected,
+        s"stream pairs != brute pairs: missing ${expected -- got}, extra ${got.toSet -- expected}")
+    } finally q.stop()
+  }
+
   test("near-dup index append is idempotent and retry-safe under batch re-execution") {
     import org.apache.spark.sql.functions._
     import graft.queries.PipelineOps
