@@ -3681,20 +3681,7 @@ object PipelineOps {
                               excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val r = numPerms / bands
-    val idx0 = spark.read.parquet(indexDir)
-    // under the batch=<id> layout, a retried micro-batch excludes its own
-    // earlier committed rows — its docs are "incoming", not history. The
-    // row-level src_batch stamp is authoritative when present (it survives
-    // [[minhashIndexCompact]] folding the dirs); the directory-derived
-    // `batch` partition column is the pre-compaction fallback. Null-safe so
-    // legacy un-stamped rows are never silently dropped.
-    val idx = excludeBatch match {
-      case Some(b) if idx0.columns.contains("src_batch") =>
-        idx0.filter(!(col("src_batch") <=> lit(b)))
-      case Some(b) if idx0.columns.contains("batch") =>
-        idx0.filter(col("batch") =!= lit(b))
-      case _ => idx0
-    }
+    val idx = readIndexExcluding(spark, indexDir, excludeBatch)
     val nsig = registerCache(newDocs.withColumn("sig",
       minhashSignature(col("sh"), numPerms, 42L)))
     val nband = registerCache(nsig.select(col("doc_id"),
@@ -3844,9 +3831,12 @@ object PipelineOps {
     simhashNearDup(d, maxHamming, chunks, comboSize)
   }
 
-  def simhashNearDup(d: DataFrame, maxHamming: Int, chunks: Int, comboSize: Int): DataFrame = {
-    require(comboSize >= 1 && comboSize <= chunks - maxHamming,
-      s"comboSize must be in [1, chunks - maxHamming] = [1, ${chunks - maxHamming}]")
+  /** THE pigeonhole chunk-key machinery, shared by the self-join
+    * ([[simhashNearDup]]) and cross-set ([[hashCrossNearDup]]) faces so the
+    * candidate scheme cannot drift between them: split the 64-bit `sh` into
+    * `chunks` pieces, emit one xxhash64-packed key per `comboSize`-subset —
+    * two hashes within hamming `chunks - comboSize` MUST share a key. */
+  private def chunkKeyed(d: DataFrame, chunks: Int, comboSize: Int): DataFrame = {
     val width = (64 + chunks - 1) / chunks // ceil: last chunk may be narrower
     def chunkVal(i: Int): Column = {
       val w = math.min(width, 64 - i * width)
@@ -3856,9 +3846,15 @@ object PipelineOps {
     val combos = (0 until chunks).combinations(comboSize).toSeq
     // combo key = combo index + concatenated chunk values (xxhash64 packs the
     // multi-chunk key into one shuffle-friendly long)
-    val keyed = d.select(col("doc_id"), col("sh"),
+    d.select(col("doc_id"), col("sh"),
       posexplode(array(combos.map(ix => xxhash64(ix.map(chunkVal): _*)): _*)))
       .withColumnRenamed("pos", "combo").withColumnRenamed("col", "combo_key")
+  }
+
+  def simhashNearDup(d: DataFrame, maxHamming: Int, chunks: Int, comboSize: Int): DataFrame = {
+    require(comboSize >= 1 && comboSize <= chunks - maxHamming,
+      s"comboSize must be in [1, chunks - maxHamming] = [1, ${chunks - maxHamming}]")
+    val keyed = chunkKeyed(d, chunks, comboSize)
     val a = keyed.select(col("combo"), col("combo_key"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = keyed.select(col("combo"), col("combo_key"),
@@ -3882,19 +3878,9 @@ object PipelineOps {
                        chunks: Int = 4, comboSize: Int = 1): DataFrame = {
     require(comboSize >= 1 && comboSize <= chunks - maxHamming,
       s"comboSize must be in [1, chunks - maxHamming] = [1, ${chunks - maxHamming}]")
-    val width = (64 + chunks - 1) / chunks
-    def chunkVal(i: Int): Column = {
-      val w = math.min(width, 64 - i * width)
-      shiftrightunsigned(col("sh"), i * width)
-        .bitwiseAND(lit(if (w >= 64) -1L else (1L << w) - 1))
-    }
-    val combos = (0 until chunks).combinations(comboSize).toSeq
-    def keyed(d: DataFrame) = d.select(col("doc_id"), col("sh"),
-      posexplode(array(combos.map(ix => xxhash64(ix.map(chunkVal): _*)): _*)))
-      .withColumnRenamed("pos", "combo").withColumnRenamed("col", "combo_key")
-    val a = keyed(idx).select(col("combo"), col("combo_key"),
+    val a = chunkKeyed(idx, chunks, comboSize).select(col("combo"), col("combo_key"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = keyed(incoming).select(col("combo"), col("combo_key"),
+    val b = chunkKeyed(incoming, chunks, comboSize).select(col("combo"), col("combo_key"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("combo", "combo_key"))
       // a doc on both sides (outside writer fed the index the incoming
@@ -3904,6 +3890,26 @@ object PipelineOps {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Read a `batch=<id>`-layout index EXCLUDING one batch's own rows — the
+    * retried-micro-batch rule every incremental probe shares (a retry's
+    * earlier committed rows are "incoming", not history). The row-level
+    * `src_batch` stamp is authoritative when present (it survives
+    * [[minhashIndexCompact]] folding the dirs); the directory-derived
+    * `batch` partition column is the pre-compaction fallback. Null-safe so
+    * legacy un-stamped rows are never silently dropped. ONE implementation:
+    * an inline copy drifted from its sibling once (review finding). */
+  private[graft] def readIndexExcluding(spark: SparkSession, dir: String,
+                                        excludeBatch: Option[Long]): DataFrame = {
+    val idx0 = spark.read.parquet(dir)
+    excludeBatch match {
+      case Some(b) if idx0.columns.contains("src_batch") =>
+        idx0.filter(!(col("src_batch") <=> lit(b)))
+      case Some(b) if idx0.columns.contains("batch") =>
+        idx0.filter(col("batch") =!= lit(b))
+      case _ => idx0
+    }
   }
 
   /** Append one batch's (doc_id, phash) rows to a perceptual-hash index —

@@ -192,6 +192,15 @@ object EventStream {
                        maxHamming: Int = 3,
                        emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.queries.PipelineOps
+    // chunk geometry scales with the requested radius (pigeonhole: h+1
+    // chunks, single-chunk keys are complete for hamming <= h) and is
+    // validated HERE — a bad knob must fail at stream construction, not
+    // terminate the query on its first micro-batch (review finding). The
+    // upper bound keeps the candidate blow-up sane: h=8 already keys on
+    // 7-bit chunks.
+    require(maxHamming >= 1 && maxHamming <= 8,
+      s"maxHamming must be in [1, 8], got $maxHamming")
+    val chunks = maxHamming + 1
     images.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -204,19 +213,17 @@ object EventStream {
         sh.persist() // read three ways: within-join, cross-probe, append
         try {
           val within = PipelineOps.simhashNearDup(sh, maxHamming,
-            chunks = 4, comboSize = 1)
+            chunks = chunks, comboSize = 1)
           val pairs =
             if (PipelineOps.indexHasData(spark, indexDir,
                   excludeBatch = Some(batchId))) {
-              val idx0 = spark.read.parquet(indexDir)
-              // a retried batch's earlier committed rows are "incoming",
-              // not history (the src_batch stamp survives index folding)
-              val idx =
-                if (idx0.columns.contains("src_batch"))
-                  idx0.filter(!(col("src_batch") <=> lit(batchId)))
-                else idx0
+              // retried-batch exclusion via the ONE shared reader (an
+              // inline copy drifted from minhashDedupIncremental's rule)
+              val idx = PipelineOps.readIndexExcluding(spark, indexDir,
+                Some(batchId))
               within.unionByName(PipelineOps.hashCrossNearDup(
-                idx.select(col("doc_id"), col("phash").as("sh")), sh, maxHamming))
+                idx.select(col("doc_id"), col("phash").as("sh")), sh,
+                maxHamming, chunks = chunks, comboSize = 1))
             } else within
           emit(pairs)
           PipelineOps.phashIndexAppend(
