@@ -142,10 +142,31 @@ object Bench {
       // caches, so this measures the full parse→analyze→job→collect→encode
       // path per request — the number an ad-hoc (non-repeated) query pays.
       val coldLat = (1 to 50).map(i => once(s"$sql -- nonce $i")).sorted
+      // h2c face: the SAME query over the Netty HTTP/2 transport (prior-
+      // knowledge/upgrade via the JDK client) — measured, not assumed, so a
+      // transport-level latency floor there cannot hide behind the 1.1 number
+      val h2 = new graft.server.Http2App(engine, 0).start()
+      val h2Lat = try {
+        val h2c = java.net.http.HttpClient.newBuilder()
+          .version(java.net.http.HttpClient.Version.HTTP_2).build()
+        val h2uri = java.net.URI.create(s"http://127.0.0.1:${h2.boundPort}/api/sql")
+        def h2once(): Long = {
+          val t = System.nanoTime()
+          val r = h2c.send(java.net.http.HttpRequest.newBuilder(h2uri)
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sql)).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(r.statusCode() == 200 && r.body().contains("city"),
+            s"h2c serving bench got ${r.statusCode()}")
+          System.nanoTime() - t
+        }
+        (1 to 20).foreach(_ => h2once())
+        (1 to 100).map(_ => h2once()).sorted
+      } finally h2.stop()
       def ms(nanos: Long): Double = math.round(nanos / 1e3) / 1e3
       f""""serving":{"endpoint":"/api/sql","requests":$n,"rps":${math.round(n / wall * 10) / 10.0}%s,""" +
         s""""p50_ms":${ms(lat(n / 2))},"p99_ms":${ms(lat(n * 99 / 100 - 1))},""" +
-        s""""cold_p50_ms":${ms(coldLat(25))},"cold_p99_ms":${ms(coldLat(48))}}"""
+        s""""cold_p50_ms":${ms(coldLat(25))},"cold_p99_ms":${ms(coldLat(48))},""" +
+        s""""h2c_p50_ms":${ms(h2Lat(50))},"h2c_p99_ms":${ms(h2Lat(98))}}"""
     } finally app.stop()
   }
 }
