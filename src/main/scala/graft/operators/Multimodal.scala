@@ -141,15 +141,20 @@ object Multimodal {
   def synthImageBytes(id: Long): (Array[Byte], String) = {
     val w = synthWidth(id); val h = synthHeight(id)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // bulk raster write: per-pixel setRGB routes through the ColorModel on
+    // every call and dominated the kernel's profile
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
+        px(y * w + x) =
+          (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y)
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val fmt = if (id % 2 == 0) "png" else "bmp"
     val bos = new ByteArrayOutputStream(256)
     if (!ImageIO.write(img, fmt, bos))
@@ -199,16 +204,14 @@ object Multimodal {
     media.mapPartitions(_.map { r =>
       val img = decodeImage(r.payload)
       val w = img.getWidth; val h = img.getHeight
+      // bulk raster read (per-pixel getRGB pays a ColorModel call each)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        i += 1
       }
       ImageFeatures(r.id, w, h, img.getRaster.getNumBands, sr, sg, sb)
     })
@@ -234,6 +237,8 @@ object Multimodal {
         require(w >= outW && h >= outH,
           s"cannot box-filter a ${w}x$h image down to ${outW}x$outH (id=${r.id})")
         val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk raster read
+        val opx = new Array[Int](outW * outH)
         var cr = 0L; var cg = 0L; var cb = 0L
         var oy = 0
         while (oy < outH) {
@@ -246,7 +251,7 @@ object Multimodal {
             while (y < y1) {
               var x = x0
               while (x < x1) {
-                val rgb = img.getRGB(x, y)
+                val rgb = px(y * w + x)
                 sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
                 x += 1
               }
@@ -254,13 +259,14 @@ object Multimodal {
             }
             val n = (y1 - y0).toLong * (x1 - x0)
             val pr = (sr / n).toInt; val pg = (sg / n).toInt; val pb = (sb / n).toInt
-            out.setRGB(ox, oy, (pr << 16) | (pg << 8) | pb)
+            opx(oy * outW + ox) = (pr << 16) | (pg << 8) | pb
             val wgt = ox + oy * outW + 1
             cr += pr.toLong * wgt; cg += pg.toLong * wgt; cb += pb.toLong * wgt
             ox += 1
           }
           oy += 1
         }
+        out.setRGB(0, 0, outW, outH, opx, 0, outW)
         val bos = new ByteArrayOutputStream(256)
         ImageIO.write(out, "png", bos)
         val png = bos.toByteArray
@@ -280,6 +286,7 @@ object Multimodal {
   def grayPhash(img: BufferedImage): Long = {
     val w = img.getWidth; val h = img.getHeight
     require(w >= 8 && h >= 8, s"phash needs >=8x8 pixels, got ${w}x$h")
+    val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk raster read
     val cells = new Array[Long](64)
     var oy = 0
     while (oy < 8) {
@@ -292,7 +299,7 @@ object Multimodal {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
+            val rgb = px(y * w + x)
             s += (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
               (rgb & 0xFF) * 114L) / 1000L
             x += 1
