@@ -268,7 +268,9 @@ object Multimodal {
         }
         out.setRGB(0, 0, outW, outH, opx, 0, outW)
         val bos = new ByteArrayOutputStream(256)
-        ImageIO.write(out, "png", bos)
+        if (!ImageIO.write(out, "png", bos))
+          throw new IllegalStateException(
+            s"no JDK ImageIO writer for format png (id=${r.id})")
         val png = bos.toByteArray
         val magic = png.take(8).map(b => f"${b & 0xFF}%02X").mkString
         ResizedImage(r.id, outW, outH, cr, cg, cb, magic)

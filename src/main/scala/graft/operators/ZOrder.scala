@@ -39,18 +39,81 @@ object ZOrder {
   }
 
   /** Rewrite `df` into `nFiles` parquet files clustered by the z-value of
-    * (`x`, `y`): range-partition on z (so files tile the z-curve — each
-    * covers a contiguous z range == a tight rectangle in (x, y)), sort
-    * within partitions, one file per partition. The shuffle is the
-    * unavoidable one — a global re-clustering IS a repartition — and
-    * range partitioning keeps it balanced via sampled bounds. */
+    * (`x`, `y`): each file covers a contiguous z range == a tight
+    * rectangle in (x, y). The shuffle is the unavoidable one — a global
+    * re-clustering IS a repartition — but the file boundaries are
+    * DETERMINISTIC, unlike `repartitionByRange`, whose reservoir-sampled
+    * bounds depend on how the input happened to be sliced (that
+    * nondeterminism flaked the layout spec under full parallel test
+    * runs). Two passes:
+    *
+    *  1. an exact count per coarse fixed-width z bucket (4096 buckets —
+    *     one distributed agg, a bounded driver artifact), from which the
+    *     driver derives equi-depth file boundaries: bucket `b` with
+    *     cumulative-count-before `c` goes to file `floor(c·nFiles/total)`
+    *     — contiguous z ranges, balanced to bucket granularity, and a
+    *     function of the DATA only;
+    *  2. rows join (broadcast, ≤4096 rows) to their file's partition key
+    *     and hash-repartition on it. The keys are precomputed longs whose
+    *     Murmur3 hashes land in DISTINCT partitions mod `nFiles` (Spark's
+    *     `HashPartitioning` is `pmod(murmur3(key, 42), n)`), so file
+    *     placement is exact — no range sampling anywhere.
+    *
+    * At 100 TB the histogram pass is a cheap map-side-combined agg and
+    * the skew story IMPROVES over sampling: boundaries come from exact
+    * counts, not a reservoir. */
   def writeZOrdered(df: DataFrame, x: Column, y: Column, bits: Int,
-                    nFiles: Int, dir: String): Unit =
-    df.withColumn("graft_z", zValue2(x, y, bits))
-      .repartitionByRange(nFiles, col("graft_z"))
+                    nFiles: Int, dir: String): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val spark = df.sparkSession
+    val z = df.withColumn("graft_z", zValue2(x, y, bits))
+    // z in [0, 2^(2·bits)); bucket = z >>> shift gives <= 4096 fixed-width
+    // buckets (shift arithmetic keeps 2^62-scale z exact — a double-typed
+    // divide would lose low bits)
+    val shift = math.max(0, 2 * bits - 12)
+    val hist = z.groupBy(shiftrightunsigned(col("graft_z"), shift).as("zb"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    if (total == 0L) {
+      z.drop("graft_z").write.mode("overwrite").parquet(dir)
+      return
+    }
+    val keys = partitionKeys(nFiles)
+    var cumBefore = 0L
+    val lookupRows = hist.map { case (b, c) =>
+      val file = math.min(nFiles - 1L, cumBefore * nFiles / total).toInt
+      cumBefore += c
+      (b, keys(file))
+    }.toSeq
+    val lookup = spark.createDataFrame(lookupRows).toDF("zb", "graft_pk")
+    z.withColumn("zb", shiftrightunsigned(col("graft_z"), shift))
+      .join(broadcast(lookup), "zb")
+      .repartition(nFiles, col("graft_pk"))
       .sortWithinPartitions(col("graft_z"))
-      .drop("graft_z")
+      .drop("graft_z", "zb", "graft_pk")
       .write.mode("overwrite").parquet(dir)
+  }
+
+  /** `n` longs whose Spark hash-partition ids mod `n` are a permutation of
+    * 0..n-1 — hash-repartitioning on `out(i)` places a row EXACTLY in
+    * partition i. Mirrors `HashPartitioning.partitionIdExpression` =
+    * `pmod(Murmur3Hash(key, seed=42), n)`; for a long child that is
+    * `Murmur3_x86_32.hashLong`. A linear scan finds a full permutation in
+    * ~n·ln(n) candidates (coupon collector), driver-side, tiny. */
+  private[operators] def partitionKeys(n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    val seen = new Array[Boolean](n)
+    var found = 0
+    var cand = 0L
+    while (found < n) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(cand, 42)
+      val p = ((h % n) + n) % n
+      if (!seen(p)) { seen(p) = true; out(p) = cand; found += 1 }
+      cand += 1L
+    }
+    out
+  }
 
   /** Per-file (min, max) of a column over a written dataset — the stats a
     * min/max-skipping scan consults. One distributed pass, grouped by

@@ -3622,8 +3622,12 @@ object PipelineOps {
     val oldBase = indexOldBasePath(root)
     if (!fs.exists(base)) {
       if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-        fs.rename(staging, base); ()
-      } else if (committedDataIn(fs, oldBase)) { fs.rename(oldBase, base); () }
+        require(fs.rename(staging, base),
+          s"repair: rename $staging -> $base failed; staging copy left intact")
+      } else if (committedDataIn(fs, oldBase)) {
+        require(fs.rename(oldBase, base),
+          s"repair: rename $oldBase -> $base failed; parked copy left intact")
+      }
     }
     fs.delete(staging, true); fs.delete(oldBase, true)
     if (committedDataIn(fs, base)) {
@@ -3675,9 +3679,15 @@ object PipelineOps {
     // created when no base existed yet), sources clear BEFORE the marker
     // is dropped — so a crash anywhere is detected by indexNeedsRepair
     // and healed before the next probe, never read as lost/doubled rows.
-    if (fs.exists(base)) { fs.rename(base, oldBase); () }
-    else { fs.mkdirs(oldBase); () }
-    fs.rename(staging, base)
+    // Hadoop reports most rename failures via `false`, not an exception —
+    // a failed swap must abort BEFORE sources are cleared, or the staging
+    // dir holds the only copy and the next repair would delete it.
+    if (fs.exists(base)) {
+      require(fs.rename(base, oldBase),
+        s"compaction: rename $base -> $oldBase failed; aborting swap")
+    } else { fs.mkdirs(oldBase); () }
+    require(fs.rename(staging, base),
+      s"compaction: rename $staging -> $base failed; aborting before source clear")
     srcDirs.foreach(s => indexClearToMarker(fs, s.getPath))
     fs.delete(oldBase, true)
     IndexCompactStats(srcDirs.size, filesBefore, indexPartFiles(fs, base).size)
@@ -3851,10 +3861,17 @@ object PipelineOps {
     * `chunks` pieces, emit one xxhash64-packed key per `comboSize`-subset —
     * two hashes within hamming `chunks - comboSize` MUST share a key. */
   private def chunkKeyed(d: DataFrame, chunks: Int, comboSize: Int): DataFrame = {
-    val width = (64 + chunks - 1) / chunks // ceil: last chunk may be narrower
+    // even width split: base 64/chunks bits per chunk, remainder spread one
+    // bit each over the leading chunks — ceil-width slicing left chunk 9 of
+    // 9 zero-width (a constant-0 key matching every row: silent O(n²))
+    val widths = {
+      val base = 64 / chunks; val rem = 64 % chunks
+      (0 until chunks).map(i => base + (if (i < rem) 1 else 0))
+    }
+    val offsets = widths.scanLeft(0)(_ + _)
     def chunkVal(i: Int): Column = {
-      val w = math.min(width, 64 - i * width)
-      shiftrightunsigned(col("sh"), i * width)
+      val w = widths(i)
+      shiftrightunsigned(col("sh"), offsets(i))
         .bitwiseAND(lit(if (w >= 64) -1L else (1L << w) - 1))
     }
     val combos = (0 until chunks).combinations(comboSize).toSeq

@@ -154,9 +154,11 @@ object EventStream {
         sh.persist() // read three ways: within-join, cross-probe, append
         try {
           // a compaction crash in a PREVIOUS run leaves a marker dir; heal
-          // before probing so the probe never reads a mid-swap index
-          // (two fs.exists calls on the no-crash path)
-          if (compactEvery > 0 && PipelineOps.indexNeedsRepair(spark, indexDir))
+          // before probing so the probe never reads a mid-swap index.
+          // Unconditional (not gated on compactEvery): a restart with
+          // compaction off must still heal a crash from a prior run that
+          // had it on — two fs.exists calls on the no-crash path.
+          if (PipelineOps.indexNeedsRepair(spark, indexDir))
             PipelineOps.repairBandIndex(spark, indexDir)
           val within = PipelineOps.minhashLshJoin(sh, threshold)
           val pairs =
@@ -196,8 +198,8 @@ object EventStream {
     // chunks, single-chunk keys are complete for hamming <= h) and is
     // validated HERE — a bad knob must fail at stream construction, not
     // terminate the query on its first micro-batch (review finding). The
-    // upper bound keeps the candidate blow-up sane: h=8 already keys on
-    // 7-bit chunks.
+    // upper bound keeps the candidate blow-up sane: h=8 keys on nine
+    // evenly-split chunks (one 8-bit, eight 7-bit).
     require(maxHamming >= 1 && maxHamming <= 8,
       s"maxHamming must be in [1, 8], got $maxHamming")
     val chunks = maxHamming + 1

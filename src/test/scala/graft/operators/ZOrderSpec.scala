@@ -34,13 +34,12 @@ class ZOrderSpec extends SparkSpec {
 
   test("z-clustered layout skips files on BOTH dims; linear sort only on one") {
     // uniform 256x256 grid: every (x, y) cell once — the worst case for a
-    // linear sort's second column and deterministic for the assertion
-    // hash-repartition by key BEFORE the range write: repartitionByRange's
-    // boundary sampling otherwise depends on how the local Seq was sliced
-    // (defaultParallelism of whichever suite created the shared session),
-    // which moved file boundaries enough to flip the fraction assertions
+    // linear sort's second column. writeZOrdered's boundaries are now
+    // data-deterministic (exact histogram equi-depth, no range sampling),
+    // so NO input re-slicing mitigation is needed: on this grid the 16
+    // files are exact 64x64 tiles and the fractions are exact.
     val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
-      .toDF("x", "y").repartition(32, col("x"), col("y"))
+      .toDF("x", "y")
     val nFiles = 16
     val zDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/z"
     val lDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/linear"
@@ -60,9 +59,37 @@ class ZOrderSpec extends SparkSpec {
     // linear: perfect on x, useless on y (every file spans all of y)
     assert(lx <= 0.25, s"linear x fraction $lx")
     assert(ly == 1.0, s"linear y fraction $ly")
-    // z-order: both dims prune — a 1/16 band touches at most half the
-    // files on either axis (ideal ~1/4 each at 16 files on a 2-d curve)
-    assert(zx <= 0.5, s"zorder x fraction $zx")
-    assert(zy <= 0.5, s"zorder y fraction $zy")
+    // z-order: both dims prune — with deterministic equi-depth boundaries
+    // the 16 files are exact 64x64 tiles, so a 1/16 band inside one x (or
+    // y) tile touches exactly the 4 files of that tile column/row
+    assert(zx == 0.25, s"zorder x fraction $zx")
+    assert(zy == 0.25, s"zorder y fraction $zy")
+  }
+
+  test("writeZOrdered boundaries are deterministic across input slicings") {
+    val rows = (0 until 128).flatMap(x => (0 until 128).map(y => (x.toLong, y.toLong)))
+    // same data, two very different physical slicings — sampled range
+    // bounds diverged here; exact-histogram bounds must not
+    val a = rows.toDF("x", "y").repartition(3)
+    val b = rows.toDF("x", "y").repartition(31, col("y"))
+    val dirA = java.nio.file.Files.createTempDirectory("zdet").toString + "/a"
+    val dirB = java.nio.file.Files.createTempDirectory("zdet").toString + "/b"
+    ZOrder.writeZOrdered(a, col("x"), col("y"), bits = 7, nFiles = 8, dirA)
+    ZOrder.writeZOrdered(b, col("x"), col("y"), bits = 7, nFiles = 8, dirB)
+    def rangeSet(dir: String, c: String) =
+      ZOrder.fileRanges(spark.read.parquet(dir), c).values.toSeq.sorted
+    assert(rangeSet(dirA, "x") == rangeSet(dirB, "x"))
+    assert(rangeSet(dirA, "y") == rangeSet(dirB, "y"))
+  }
+
+  test("partitionKeys hash to a full permutation of partition ids") {
+    for (n <- Seq(1, 2, 8, 16, 31)) {
+      val ks = ZOrder.partitionKeys(n)
+      val ids = ks.map { k =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42)
+        ((h % n) + n) % n
+      }
+      assert(ids.toSeq == (0 until n), s"n=$n ids=${ids.toSeq}")
+    }
   }
 }
