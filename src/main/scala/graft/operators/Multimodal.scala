@@ -349,8 +349,10 @@ object Multimodal {
   /** Canonical 44-byte RIFF/WAVE header + little-endian PCM16 payload (the
     * public WAV container layout; built by hand so the DECODE side is the
     * JDK codec being exercised, not a round-trip through itself). */
-  def synthWavBytes(id: Long): Array[Byte] = {
-    val samples = synthAudioSamples(id)
+  def synthWavBytes(id: Long): Array[Byte] = wavBytes(synthAudioSamples(id))
+
+  /** Wrap PCM16 mono samples at 8 kHz in the canonical RIFF/WAVE layout. */
+  def wavBytes(samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -395,6 +397,229 @@ object Multimodal {
     graft.Tables.t(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, synthWavBytes(id), "audio/wav")))
+  }
+
+  // ===== real multi-frame kernels (JDK ImageIO GIF; animated, lossless) ====
+
+  final case class FrameStats(id: Long, frame_idx: Int, width: Int,
+                              height: Int, gray_sum: Long)
+
+  /** Deterministic synthetic animated-GIF geometry for doc `id`: 2–5
+    * frames of `w×h` gray pixels, `gray(f,x,y) = (id·7 + f·19 + 3x + 5y)
+    * mod 256`. GIF's indexed palette is lossless — decode(encode(px)) ==
+    * px — so per-frame statistics are formula-verifiable, the same oracle
+    * contract as the PNG/BMP/WAV kernels. */
+  def synthFrameCount(id: Long): Int = 2 + Math.floorMod(id, 4L).toInt
+  def synthGifWidth(id: Long): Int = 8 + Math.floorMod(id, 4L).toInt * 4
+  def synthGifHeight(id: Long): Int = 8 + Math.floorMod(id / 4, 4L).toInt * 4
+  def synthGray(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 7 + f * 19L + 3L * x + 5L * y, 256L).toInt
+
+  /** Hand-built GIF89a: logical screen + 256-gray global palette + one
+    * full-size image block per frame (graphic control ext, no
+    * transparency). Image data uses the public "uncompressed GIF"
+    * technique — every pixel emitted as its literal 9-bit LZW root code,
+    * with a CLEAR every 100 codes so the code width never grows — which
+    * is VALID LZW that the JDK's real decoder decompresses; like the
+    * hand-built RIFF/WAV, the container is built by hand so the decode
+    * side exercises the actual codec, not a round-trip through itself. */
+  def synthGifBytes(id: Long): Array[Byte] = {
+    val w = synthGifWidth(id); val h = synthGifHeight(id)
+    val frames = synthFrameCount(id)
+    val out = new ByteArrayOutputStream(1024)
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF7); out.write(0); out.write(0) // 256-entry GCT, bg 0
+    var ci = 0
+    while (ci < 256) { out.write(ci); out.write(ci); out.write(ci); ci += 1 }
+    var f = 0
+    while (f < frames) {
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0)                 // keep-disposal, no transparency
+      u16(10)                      // delay (centiseconds)
+      out.write(0); out.write(0)   // transparent index, block terminator
+      out.write(0x2C)              // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0)                 // no local palette, not interlaced
+      out.write(8)                 // LZW minimum code size
+      val codes = lzwLiteralCodes(id, f, w, h)
+      var p = 0
+      while (p < codes.length) {
+        val len = math.min(255, codes.length - p)
+        out.write(len)
+        out.write(codes, p, len)
+        p += len
+      }
+      out.write(0)                 // data sub-block terminator
+      f += 1
+    }
+    out.write(0x3B)                // trailer
+    out.toByteArray
+  }
+
+  /** One frame's pixel stream as 9-bit literal LZW codes, LSB-first bit
+    * packing (the GIF rule): CLEAR(256), literals with a CLEAR every 100
+    * so the decoder's dictionary never reaches the 9→10-bit boundary,
+    * EOI(257). */
+  private def lzwLiteralCodes(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(w * h * 2)
+    var acc = 0; var accBits = 0
+    def put(code: Int): Unit = {
+      acc |= code << accBits
+      accBits += 9
+      while (accBits >= 8) { bos.write(acc & 0xFF); acc >>>= 8; accBits -= 8 }
+    }
+    put(256)
+    var since = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        put(synthGray(id, f, x, y))
+        since += 1
+        if (since == 100) { put(256); since = 0 }
+        x += 1
+      }
+      y += 1
+    }
+    put(257)
+    if (accBits > 0) bos.write(acc & 0xFF)
+    bos.toByteArray
+  }
+
+  /** Decode every frame of an animated payload with the JDK ImageIO
+    * reader, failing LOUDLY on garbage (the [[decodeImage]] contract). */
+  def decodeGifFrames(payload: Array[Byte]): Vector[BufferedImage] = {
+    val iis =
+      try ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"undecodable media payload (${payload.length} bytes): ${e.getMessage}", e)
+      }
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(
+          s"undecodable media payload: no ImageIO reader matched ${payload.length} bytes")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n =
+          try reader.getNumImages(true)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"undecodable multi-frame payload: ${e.getMessage}", e)
+          }
+        if (n < 1)
+          throw new IllegalArgumentException("multi-frame payload holds no frames")
+        (0 until n).map { i =>
+          try reader.read(i)
+          catch {
+            case e: java.io.IOException => throw new IllegalArgumentException(
+              s"undecodable frame $i: ${e.getMessage}", e)
+          }
+        }.toVector
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** One synthetic animated GIF per document id (executor-built, like
+    * [[syntheticImages]]). */
+  def syntheticGifs(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, synthGifBytes(id), "image/gif")))
+  }
+
+  /** REAL frame sampling: decode the animated payload, keep every
+    * `stride`-th frame, and reduce each kept frame to integer-exact pixel
+    * stats (gray sum over the decoded raster). Partition-parallel; the
+    * per-frame explode happens on executors, never the driver. */
+  def sampleGifFrames(media: Dataset[MediaRow],
+                      stride: Int = 2): Dataset[FrameStats] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val frames = decodeGifFrames(r.payload)
+      (0 until frames.length by stride).map { fi =>
+        val img = frames(fi)
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var s = 0L; var i = 0
+        while (i < px.length) { s += (px(i) & 0xFF); i += 1 }
+        FrameStats(r.id, fi, w, h, s)
+      }
+    })
+  }
+
+  // ===== audio fingerprint (banded-energy aHash over PCM windows) ==========
+
+  /** 64-bit banded-energy fingerprint of a PCM16 signal — the aHash
+    * discipline ([[grayPhash]]) applied to sound: 64 equal time windows
+    * (boundaries `j·n/64`, the image kernels' block rule), per-window
+    * floor-mean energy `Σs²/count`, bit j set iff window j's mean energy
+    * exceeds the floor-mean of all 64 window means. Integer-exact
+    * throughout, so any engine reproduces the hash from the sample
+    * formula; robust to small sample perturbations the way aHash is to
+    * pixel noise, which is what makes it a NEAR-dup key rather than a
+    * checksum. */
+  def audioFingerprint(samples: Array[Short]): Long = {
+    val n = samples.length
+    require(n >= 64, s"audio fingerprint needs >= 64 samples, got $n")
+    val e = new Array[Long](64)
+    var j = 0
+    while (j < 64) {
+      val i0 = j * n / 64; val i1 = (j + 1) * n / 64
+      var s = 0L
+      var i = i0
+      while (i < i1) { val v = samples(i).toLong; s += v * v; i += 1 }
+      e(j) = s / (i1 - i0)
+      j += 1
+    }
+    val avg = e.sum / 64
+    var hash = 0L
+    var k = 0
+    while (k < 64) { if (e(k) > avg) hash |= (1L << k); k += 1 }
+    hash
+  }
+
+  /** (doc_id, afp) over an audio media table — the audio analogue of
+    * [[imagePhash]]: feed it to the pigeonhole chunk join for distributed
+    * near-duplicate audio detection. */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r =>
+        (r.id, audioFingerprint(decodeAudio(r.payload)._3))))
+      .toDF("doc_id", "afp")
+  }
+
+  /** Dedup-able synthetic waveform: samples derive from `id mod 256`
+    * (`s(i) = ((id%256)·257 + 7i² + 31i) mod 65536 − 32768`, n as
+    * [[synthAudioSamples]]), so ids congruent mod 256 carry IDENTICAL
+    * audio — the audio analogue of the image corpus's mod-256 render
+    * collisions. The QUADRATIC phase term wraps at a rate that varies
+    * along the signal, so per-window energies differ across residues
+    * (a linear phase gave monotone energies and every residue the same
+    * fingerprint) while a handful of residue pairs land within small
+    * hamming — real near-dups, not just exact ones. */
+  def synthDedupAudioSamples(id: Long): Array[Short] = {
+    val sid = Math.floorMod(id, 256L)
+    val n = 256 + Math.floorMod(id, 8L).toInt * 64
+    Array.tabulate(n)(i =>
+      (Math.floorMod(sid * 257 + 7L * i * i + 31L * i, 65536L) - 32768L).toShort)
+  }
+
+  /** One dedup-corpus WAV row per document id (executor-built). */
+  def syntheticDedupAudio(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRow(id, wavBytes(synthDedupAudioSamples(id)), "audio/wav")))
   }
 
   /** Decode-backed audio statistics: rate/channel metadata plus

@@ -1597,16 +1597,18 @@ object PipelineOps {
         .orderBy(col("id"))
     }),
 
-    // frame sampling over "video" payloads (chunked bytes; decode-free, so
-    // the chunk arithmetic is exactly SQL-mirrorable and oracle-checked)
+    // REAL frame sampling over animated payloads: hand-built GIF89a
+    // containers decoded frame-by-frame with the JDK's actual LZW decoder
+    // (Multimodal.decodeGifFrames), every 2nd frame kept, integer-exact
+    // gray sums per kept frame. GIF's palette is lossless, so the oracle
+    // recomputes the decoded stats from the pixel formula.
     "mm_frame_sample" -> ((spark, dir) => {
       graft.operators.Multimodal
-        .sampleFrames(graft.operators.Multimodal.documentsAsMedia(spark, dir))
+        .sampleGifFrames(syntheticGifsFor(spark, dir), stride = 2)
         .toDF()
         .select(col("id").as("doc_id"),
           col("frame_idx").cast("long").as("frame_idx"),
-          hex(col("frame_bytes")).as("frame_hex"),
-          octet_length(col("frame_bytes")).cast("long").as("frame_len"))
+          col("width"), col("height"), col("gray_sum"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
@@ -1634,6 +1636,33 @@ object PipelineOps {
         .toDF()
         .orderBy(col("id"))
     }),
+
+    // 64-bit banded-energy fingerprint of every decoded waveform: the
+    // aHash discipline applied to PCM windows (Multimodal.audioFingerprint)
+    // — WAV is lossless, so the oracle recomputes the hash bit-exactly
+    // from the sample formula. The dedup corpus derives samples from
+    // doc_id mod 256, so duplicate audio exists by construction.
+    "mm_audio_fingerprint" -> ((spark, dir) =>
+      audioFingerprintsFor(spark, dir).orderBy(col("doc_id"))),
+
+    // AUDIO near-dup detection: fingerprints ride the SAME pigeonhole
+    // chunk join as text simhash and image phash — one distributed kernel
+    // serves all three modalities; the exact bit_count filter keeps the
+    // result brute-force-equal.
+    "mm_audio_dedup" -> ((spark, dir) =>
+      simhashNearDup(
+        audioFingerprintsFor(spark, dir)
+          .select(col("doc_id"), col("afp").as("sh")),
+        maxHamming = 3, chunks = 4, comboSize = 1)),
+
+    // audio DEDUP DECISIONS: the fingerprint pair graph closed by the same
+    // O(log² n) star contraction, labels memoized (audioLabelsFor).
+    "mm_audio_clusters" -> ((spark, dir) =>
+      audioLabelsFor(spark, dir)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_rep"))).cast("long"))
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))),
 
     // 64-bit perceptual hash (aHash) of every decoded image: integer luma,
     // 8x8 floor-mean grid, mean-threshold bits (Multimodal.grayPhash) —
@@ -2198,6 +2227,17 @@ object PipelineOps {
       .as[graft.operators.Multimodal.MediaRow]
   }
 
+  /** One synthetic animated-GIF corpus per (session, dir) — the multi-frame
+    * face of [[syntheticMediaFor]]. */
+  private val synthGifCache = new ArtifactMemo[DataFrame](unpersistCheckpointed)
+  private def syntheticGifsFor(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] = {
+    import spark.implicits._
+    synthGifCache.getOrBuild(spark, dir)(
+      graft.operators.Multimodal.syntheticGifs(spark, dir).toDF().localCheckpoint())
+      .as[graft.operators.Multimodal.MediaRow]
+  }
+
   private val phashLabelsCache = new ArtifactMemo[DataFrame](unpersistCheckpointed)
   private def phashLabelsFor(spark: SparkSession, dir: String): DataFrame =
     phashLabelsCache.getOrBuild(spark, dir) {
@@ -2208,6 +2248,30 @@ object PipelineOps {
         maxHamming = 3, chunks = 4, comboSize = 1)
         .select(col("doc_a"), col("doc_b"))
       connectedComponentsStar(pairs, ph.select(col("doc_id"))).localCheckpoint()
+    }
+
+  /** One dedup-corpus audio FINGERPRINT table per (session, dir) — the
+    * audio face of [[syntheticMediaFor]]: payload synthesis + WAV decode +
+    * banded-energy hashing run once, and the three audio-dedup queries
+    * read the (doc_id, afp) longs, not the media bytes. */
+  private val audioFpCache = new ArtifactMemo[DataFrame](unpersistCheckpointed)
+  private def audioFingerprintsFor(spark: SparkSession, dir: String): DataFrame =
+    audioFpCache.getOrBuild(spark, dir)(
+      graft.operators.Multimodal
+        .audioFingerprints(graft.operators.Multimodal.syntheticDedupAudio(spark, dir))
+        .localCheckpoint())
+
+  /** One audio cluster labeling per (session, dir) — [[phashLabelsFor]]
+    * over the audio fingerprints. */
+  private val audioLabelsCache = new ArtifactMemo[DataFrame](unpersistCheckpointed)
+  private def audioLabelsFor(spark: SparkSession, dir: String): DataFrame =
+    audioLabelsCache.getOrBuild(spark, dir) {
+      val fp = audioFingerprintsFor(spark, dir)
+      val pairs = simhashNearDup(
+        fp.select(col("doc_id"), col("afp").as("sh")),
+        maxHamming = 3, chunks = 4, comboSize = 1)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponentsStar(pairs, fp.select(col("doc_id"))).localCheckpoint()
     }
 
   /** Span-level exact-substring dedup — the actual Lee et al. 2022
@@ -4675,6 +4739,26 @@ object PipelineOps {
       |s2 AS (SELECT doc_id, CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
       |  THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS ph FROM phh)""".stripMargin
 
+  /** Shared audio-fingerprint oracle chain: dedup-corpus sample formula →
+    * 64 equal PCM windows → floor-mean energies → mean-threshold bits →
+    * BIGINT `a2(doc_id, afp)` (HUGEINT sign wrap). Mirrors
+    * [[graft.operators.Multimodal.audioFingerprint]] over
+    * [[graft.operators.Multimodal.synthDedupAudioSamples]] bit-exactly. */
+  private val audioCtes: String =
+    """aud AS (SELECT doc_id, doc_id % 256 AS sid, 256 + (doc_id % 8) * 64 AS n FROM documents),
+      |awin AS (SELECT doc_id, list_transform(range(0, 64), j ->
+      |    list_sum(list_transform(range((j*n)//64, ((j+1)*n)//64), i ->
+      |      CAST((sid*257 + 7*i*i + 31*i) % 65536 - 32768 AS BIGINT)
+      |        * ((sid*257 + 7*i*i + 31*i) % 65536 - 32768)))
+      |    // (((j+1)*n)//64 - (j*n)//64)) AS es
+      |  FROM aud),
+      |aavg AS (SELECT doc_id, es, list_sum(es) // 64 AS eavg FROM awin),
+      |ahsh AS (SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
+      |    CASE WHEN es[j+1] > eavg THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS hu
+      |  FROM aavg),
+      |a2 AS (SELECT doc_id, CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+      |  THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS afp FROM ahsh)""".stripMargin
+
   /** CTE fragment: MinHash banded candidate pairs over `shFrom(doc_id, s)`
     * — 64 FNV-derived permutations (seed 42, the [[minhashLshJoin]]
     * default), 16 bands of 4, band-slice-equality candidates (the Scala
@@ -4928,15 +5012,20 @@ object PipelineOps {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  hex(encode(substring(text, 1, 8))) AS magic, source
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // byte-chunk frame sampling mirrored on the hex string (2 chars/byte)
+    // real GIF decode parity: the palette is lossless, so each sampled
+    // frame's decoded gray sum equals the synthetic pixel formula
     "mm_frame_sample" ->
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hp,
-        |             octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, hp, unnest(range(0, greatest(n//64, 1), 4)) AS fi FROM d)
-        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
-        |  substr(hp, CAST(fi*128+1 AS BIGINT), 128) AS frame_hex,
-        |  CAST(length(substr(hp, CAST(fi*128+1 AS BIGINT), 128))//2 AS BIGINT) AS frame_len
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+      """WITH g AS (SELECT doc_id, 8 + (doc_id % 4) * 4 AS w,
+        |             8 + ((doc_id // 4) % 4) * 4 AS h,
+        |             2 + (doc_id % 4) AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h,
+        |         unnest(list_filter(range(0, nf), f -> f % 2 = 0)) AS f FROM g)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x ->
+        |      (doc_id*7 + f*19 + 3*x + 5*y) % 256)))) AS BIGINT) AS gray_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
@@ -5872,6 +5961,35 @@ object PipelineOps {
         |  CAST(list_sum(list_transform(range(1, n), i -> CASE WHEN (xs[i] < 0) <> (xs[i+1] < 0) THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
         |  CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
         |FROM s ORDER BY id""".stripMargin,
+    // banded-energy fingerprint parity: WAV is lossless PCM, so the hash
+    // recomputes bit-exactly from the dedup-corpus sample formula
+    "mm_audio_fingerprint" ->
+      (s"""WITH $audioCtes
+        |SELECT doc_id, afp FROM a2 ORDER BY doc_id""".stripMargin),
+    // exact hamming<=3 pairs over the audio fingerprints, brute-forced
+    // (the chunk join only prunes candidates; the result set is exact)
+    "mm_audio_dedup" ->
+      (s"""WITH $audioCtes
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |FROM a2 a JOIN a2 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // the audio pair graph closed to clusters by transitive reachability
+    "mm_audio_clusters" ->
+      (s"""WITH RECURSIVE $audioCtes,
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM a2 a JOIN a2 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+        |labeled AS (SELECT src AS doc_id, min(node) AS cluster_rep FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_rep,
+        |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+        |FROM labeled ORDER BY doc_id""".stripMargin),
     // aHash parity: integer luma, 8x8 floor-mean grid at the box-filter
     // block boundaries, mean-threshold bits, HUGEINT sign wrap to BIGINT
     "mm_image_phash" ->

@@ -189,10 +189,54 @@ object EventStream {
     * appends its own hashes. State is a parquet index (never executor
     * memory); the append is idempotent under batch re-execution (the
     * `batch=<id>` + `_SUCCESS` + `src_batch` discipline). Input schema:
-    * `(doc_id: long, payload: binary)`. */
+    * `(doc_id: long, payload: binary)`. `compactEvery > 0` periodically
+    * folds the accumulated `batch=` dirs into one base dir (same
+    * staged-swap + crash-repair machinery as the text stream — a long
+    * ingest otherwise grows one parquet dir per micro-batch forever). */
   def imageDedupStream(images: DataFrame, indexDir: String,
                        maxHamming: Int = 3,
-                       emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                       emit: DataFrame => Unit,
+                       compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hashDedupStream(images, indexDir, maxHamming, emit, compactEvery) {
+      (spark, batch) =>
+        import spark.implicits._
+        val media = batch.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, p) => graft.operators.Multimodal.MediaRow(id, p, "image") }
+        graft.operators.Multimodal.imagePhash(media)
+          .select(col("doc_id"), col("phash").as("sh"))
+    }
+
+  /** Self-deduplicating AUDIO ingest: identical machinery to
+    * [[imageDedupStream]] with the banded-energy PCM fingerprint
+    * ([[graft.operators.Multimodal.audioFingerprint]]) as the 64-bit
+    * near-dup key — decode and hashing on executors, state in the same
+    * parquet index layout, same compaction/repair story. */
+  def audioDedupStream(audio: DataFrame, indexDir: String,
+                       maxHamming: Int = 3,
+                       emit: DataFrame => Unit,
+                       compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hashDedupStream(audio, indexDir, maxHamming, emit, compactEvery) {
+      (spark, batch) =>
+        import spark.implicits._
+        val media = batch.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, p) => graft.operators.Multimodal.MediaRow(id, p, "audio/wav") }
+        graft.operators.Multimodal.audioFingerprints(media)
+          .select(col("doc_id"), col("afp").as("sh"))
+    }
+
+  /** THE 64-bit-hash dedup stream machinery, shared by the image and audio
+    * faces so the index discipline cannot drift between modalities:
+    * `hashOf` maps a `(doc_id, payload)` micro-batch to `(doc_id, sh)`
+    * rows; everything downstream — pigeonhole within-join, history probe,
+    * idempotent append, compaction, crash repair — is modality-blind. */
+  private def hashDedupStream(media: DataFrame, indexDir: String,
+                              maxHamming: Int,
+                              emit: DataFrame => Unit,
+                              compactEvery: Int)(
+      hashOf: (org.apache.spark.sql.SparkSession, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.queries.PipelineOps
     // chunk geometry scales with the requested radius (pigeonhole: h+1
     // chunks, single-chunk keys are complete for hamming <= h) and is
@@ -203,17 +247,17 @@ object EventStream {
     require(maxHamming >= 1 && maxHamming <= 8,
       s"maxHamming must be in [1, 8], got $maxHamming")
     val chunks = maxHamming + 1
-    images.writeStream.outputMode("append").foreachBatch {
+    media.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
-        val media = batch.select(col("doc_id"), col("payload"))
-          .as[(Long, Array[Byte])]
-          .map { case (id, p) => graft.operators.Multimodal.MediaRow(id, p, "image") }
-        val sh = graft.operators.Multimodal.imagePhash(media)
-          .select(col("doc_id"), col("phash").as("sh"))
+        val sh = hashOf(spark, batch)
         sh.persist() // read three ways: within-join, cross-probe, append
         try {
+          // heal a prior run's mid-compaction crash before probing —
+          // unconditional, same rule as nearDupStream (a restart with
+          // compaction off must still repair)
+          if (PipelineOps.indexNeedsRepair(spark, indexDir))
+            PipelineOps.repairBandIndex(spark, indexDir)
           val within = PipelineOps.simhashNearDup(sh, maxHamming,
             chunks = chunks, comboSize = 1)
           val pairs =
@@ -230,6 +274,13 @@ object EventStream {
           emit(pairs)
           PipelineOps.phashIndexAppend(
             sh.select(col("doc_id"), col("sh").as("phash")), indexDir, batchId)
+          // periodic small-dirs rewrite, identical discipline to
+          // nearDupStream: minhashIndexCompact is schema-agnostic (per-dir
+          // read + src_batch stamp + staged swap), so the phash index
+          // folds with the same crash-repair and retry-idempotency story
+          if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
+            PipelineOps.minhashIndexCompact(spark, indexDir); ()
+          }
         } finally { sh.unpersist(); () }
     }
   }

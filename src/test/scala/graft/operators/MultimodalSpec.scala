@@ -150,6 +150,75 @@ class MultimodalSpec extends SparkSpec {
     clusters.values.foreach(rep => assert(clusters(rep) == rep))
   }
 
+  test("hand-built animated GIF decodes through the JDK LZW codec to the pixel formula") {
+    for (id <- Seq(0L, 5L, 17L, 103L, 255L)) {
+      val frames = Multimodal.decodeGifFrames(Multimodal.synthGifBytes(id))
+      assert(frames.length == Multimodal.synthFrameCount(id), s"id=$id")
+      val w = Multimodal.synthGifWidth(id); val h = Multimodal.synthGifHeight(id)
+      frames.zipWithIndex.foreach { case (img, f) =>
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w)
+          assert((img.getRGB(x, y) & 0xFF) == Multimodal.synthGray(id, f, x, y),
+            s"id=$id frame=$f pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("a corrupted multi-frame payload fails loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGifFrames(Array[Byte](1, 2, 3, 4))
+    }
+    val good = Multimodal.synthGifBytes(3L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGifFrames(good.take(30)) // dies inside the palette
+    }
+  }
+
+  test("audio fingerprint matches an independent window-energy computation") {
+    // independent replica: plain functional Scala, no shared loop code
+    def ref(xs: Array[Short]): Long = {
+      val n = xs.length
+      val es = (0 until 64).map { j =>
+        val w = xs.slice(j * n / 64, (j + 1) * n / 64)
+        w.map(v => v.toLong * v).sum / w.length
+      }
+      val avg = es.sum / 64
+      (0 until 64).filter(j => es(j) > avg).map(1L << _).fold(0L)(_ | _)
+    }
+    for (id <- Seq(0L, 17L, 255L, 256L, 511L)) {
+      val samples = Multimodal.synthDedupAudioSamples(id)
+      // the kernel consumes DECODED samples — prove the codec round-trip
+      val (_, _, decoded) = Multimodal.decodeAudio(Multimodal.wavBytes(samples))
+      assert(decoded.toSeq == samples.toSeq)
+      assert(Multimodal.audioFingerprint(decoded) == ref(samples), s"id=$id")
+    }
+  }
+
+  test("dedup audio corpus: ids congruent mod 256 are identical waveforms") {
+    assert(Multimodal.synthDedupAudioSamples(17L).toSeq ==
+      Multimodal.synthDedupAudioSamples(273L).toSeq)
+    val fp17 = Multimodal.audioFingerprint(Multimodal.synthDedupAudioSamples(17L))
+    val fp273 = Multimodal.audioFingerprint(Multimodal.synthDedupAudioSamples(273L))
+    assert(fp17 == fp273)
+    // different residues fingerprint apart (the corpus is not one cluster)
+    val fp18 = Multimodal.audioFingerprint(Multimodal.synthDedupAudioSamples(18L))
+    assert(java.lang.Long.bitCount(fp17 ^ fp18) > 3,
+      s"residues 17/18 too close: ${java.lang.Long.bitCount(fp17 ^ fp18)}")
+  }
+
+  test("audio clusters partition the corpus and absorb every near-dup pair") {
+    val clusters = graft.SparkEntry.queries("mm_audio_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.SparkEntry.queries("mm_audio_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.size == 500)
+    assert(pairs.nonEmpty, "mod-256 collisions should produce duplicate audio")
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.values.foreach(rep => assert(clusters(rep) == rep))
+  }
+
   test("frame sampling yields strided chunks with correct sizes") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
     val byDoc = frames.groupBy("id").agg(count(lit(1)).as("n"),

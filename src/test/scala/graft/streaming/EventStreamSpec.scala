@@ -179,6 +179,110 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audio-dedup stream finds within-batch and cross-batch duplicate audio") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // ids congruent mod 256 carry IDENTICAL waveforms: (17, 273) split
+    // across waves, (20, 276) within one wave
+    val wave1 = Seq(17L, 20L, 276L)
+    val wave2 = Seq(273L, 19L)
+    val all = wave1 ++ wave2
+    def wav(id: Long): (Long, Array[Byte]) =
+      (id, Multimodal.wavBytes(Multimodal.synthDedupAudioSamples(id)))
+    val idxDir = java.nio.file.Files.createTempDirectory("afpstream").toString + "/idx"
+    val in = MemoryStream[(Long, Array[Byte])]
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val q = EventStream.audioDedupStream(
+        in.toDF().toDF("doc_id", "payload"), idxDir, maxHamming = 3,
+        emit = pairs => got ++= pairs.select("doc_a", "doc_b").collect()
+          .map(r => (math.min(r.getLong(0), r.getLong(1)),
+            math.max(r.getLong(0), r.getLong(1)))),
+        compactEvery = 1)
+      .start()
+    try {
+      in.addData(wave1.map(wav): _*); q.processAllAvailable()
+      in.addData(wave2.map(wav): _*); q.processAllAvailable()
+      val fp = all.map(id =>
+        id -> Multimodal.audioFingerprint(Multimodal.synthDedupAudioSamples(id))).toMap
+      val expected = (for {
+        a <- all; b <- all if a < b
+        if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 3
+      } yield (a, b)).toSet
+      assert(expected.contains((20L, 276L)), "within-wave duplicate expected")
+      assert(expected.contains((17L, 273L)), "cross-wave duplicate expected")
+      assert(got.toSet == expected,
+        s"stream pairs != brute pairs: missing ${expected -- got}, extra ${got.toSet -- expected}")
+    } finally q.stop()
+  }
+
+  test("image-dedup stream compaction: identical pairs across fold, crash, and re-fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.queries.PipelineOps
+    val wave1 = Seq(17L, 20L, 276L)
+    val wave2 = Seq(273L, 19L)
+    def img(id: Long): (Long, Array[Byte]) = (id, Multimodal.synthImageBytes(id)._1)
+    val root = java.nio.file.Files.createTempDirectory("phcompact").toString + "/idx"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs = fs.listStatus(rootPath).filter(s => s.isDirectory &&
+      fs.listStatus(s.getPath).exists(_.getPath.getName.startsWith("part-")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    def norm(pairs: org.apache.spark.sql.DataFrame) =
+      pairs.select("doc_a", "doc_b").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1))))
+    val q = EventStream.imageDedupStream(
+        in.toDF().toDF("doc_id", "payload"), root, maxHamming = 3,
+        emit = pairs => got ++= norm(pairs), compactEvery = 1)
+      .start()
+    try {
+      in.addData(wave1.map(img): _*); q.processAllAvailable()
+      // batch 0 folded into the single base dir, source cleared to marker
+      assert(dataDirs.map(_.getPath.getName).toSeq == Seq("batch=-1"))
+      // mid-swap crash from a "previous" compaction: base parked away
+      assert(fs.rename(new org.apache.hadoop.fs.Path(rootPath, "batch=-1"),
+        new org.apache.hadoop.fs.Path(rootPath, ".compact_old")))
+      assert(PipelineOps.indexNeedsRepair(spark, root))
+      // next micro-batch heals before probing: the cross-wave pair appears
+      in.addData(wave2.map(img): _*); q.processAllAvailable()
+      assert(dataDirs.map(_.getPath.getName).toSeq == Seq("batch=-1"),
+        "re-fold after crash repair must leave a single base dir")
+      val all = wave1 ++ wave2
+      val ph = all.map(id =>
+        id -> Multimodal.grayPhash(Multimodal.decodeImage(Multimodal.synthImageBytes(id)._1))).toMap
+      val expected = (for {
+        a <- all; b <- all if a < b
+        if java.lang.Long.bitCount(ph(a) ^ ph(b)) <= 3
+      } yield (a, b)).toSet
+      assert(expected.contains((17L, 273L)), "cross-wave duplicate expected")
+      assert(got.toSet == expected,
+        s"compacted stream pairs != brute pairs: missing ${expected -- got}, extra ${got.toSet -- expected}")
+    } finally q.stop()
+    // restart with compaction OFF after another mid-swap crash: the repair
+    // must still run (unconditional), or the probe silently misses history
+    assert(fs.rename(new org.apache.hadoop.fs.Path(rootPath, "batch=-1"),
+      new org.apache.hadoop.fs.Path(rootPath, ".compact_old")))
+    val in2 = MemoryStream[(Long, Array[Byte])]
+    val got2 = scala.collection.mutable.Set[(Long, Long)]()
+    val q2 = EventStream.imageDedupStream(
+        in2.toDF().toDF("doc_id", "payload"), root, maxHamming = 3,
+        emit = pairs => got2 ++= norm(pairs), compactEvery = 0)
+      .start()
+    try {
+      // 529 % 256 == 17: identical image to 17 (src_batch 0, excluded as
+      // this query's own batchId 0) and to 273 (src_batch 1, probed)
+      in2.addData(img(529L)); q2.processAllAvailable()
+      assert(got2.contains((273L, 529L)),
+        s"restart with compactEvery=0 must repair and find history pairs, got $got2")
+    } finally q2.stop()
+  }
+
   test("near-dup index append is idempotent and retry-safe under batch re-execution") {
     import org.apache.spark.sql.functions._
     import graft.queries.PipelineOps
