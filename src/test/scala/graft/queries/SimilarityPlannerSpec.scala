@@ -111,6 +111,53 @@ class SimilarityPlannerSpec extends AnyFunSuite {
     }
   }
 
+  /** The dense corpus replicated k× with offset doc_ids — a scaled-up
+    * corpus with the SAME vocabulary and density, no new testdata. */
+  private def corpusAt(k: Int): DataFrame =
+    dense.select(col("doc_id"), col("sh"),
+        explode(array((0 until k).map(lit): _*)).as("rep"))
+      .select((col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
+        col("sh"))
+
+  test("DEFAULT guards flip the plan from measured stats alone as the corpus scales") {
+    // 1x: 500 docs, ~916 shingles -> bitset-eligible, candidate pairs in
+    // budget -> exact. 250x: 125k docs -> nDocs > BitsetBounds.maxDocs
+    // (100k) AND candidate pairs beyond maxCandidatePairs (replication
+    // squares every posting's df), so with NO knob overrides the planner
+    // must walk down to the LSH path. Plan selection costs one stats
+    // aggregate; the returned frame is not executed here.
+    val (small, _) = PipelineOps.similarityJoinPlan(corpusAt(1), threshold = 0.25)
+    assert(small === "exact")
+    val (big, _) = PipelineOps.similarityJoinPlan(corpusAt(250), threshold = 0.25)
+    assert(big === "minhash-lsh",
+      "125k-doc corpus must flip past bitset AND posting budgets at default bounds")
+  }
+
+  test("the flipped LSH plan agrees with the guard-off exact join on a verifiable slice") {
+    // 4x (2000 docs) keeps the exact join tractable while every doc has 3
+    // exact replicas. Contract across the flip: every LSH pair is an exact
+    // pair with the identical jaccard (no false positives — LSH verifies
+    // candidates exactly), and every jaccard-1.0 replica pair is present
+    // (identical signatures share every band, so duplicates cannot be
+    // missed).
+    val four = corpusAt(4)
+    val lsh = collectPairs(PipelineOps.minhashLshJoin(four, threshold = 0.25))
+    val exact = collectPairs(
+        PipelineOps.ngramJaccardJoin(four, 0.25, maxCandidatePairs = None))
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, j) =>
+      assert(exact.contains((a, b)), s"LSH pair ($a,$b) not in exact result")
+      assert(exact((a, b)) === j)
+    }
+    val lshSet = lsh.map(p => (p._1, p._2)).toSet
+    val dupPairs = exact.collect { case (pair, j) if j == 1.0 => pair }
+    assert(dupPairs.nonEmpty)
+    dupPairs.foreach { pair =>
+      assert(lshSet.contains(pair), s"exact-duplicate pair $pair missed by LSH")
+    }
+  }
+
   test("prefix index keeps |x| - ceil(t|x|) + 1 rarest tokens per doc") {
     import spark.implicits._
     val d = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("a", "b", "x", "y"))).toDF("doc_id", "sh")
