@@ -517,6 +517,32 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer training ([[unigramTrain]]):
+    // substring seeding + 2 Viterbi-EM rounds under the quantized integer
+    // likelihood; output is the surviving (piece, count) vocabulary
+    "doc_unigram_train" -> ((spark, dir) => {
+      val (vocab, _) = unigramModelFor(spark, dir)
+      import spark.implicits._
+      vocab.filter(_._2 > 0L).toDF("piece", "cnt").orderBy(col("piece"))
+    }),
+
+    // Unigram-LM encode: per-doc token and piece counts under the trained
+    // model. Scale shape mirrors doc_bpe_encode: each DISTINCT (capped)
+    // word is segmented once at train time; the corpus only joins
+    // word -> piece count
+    "doc_unigram_encode" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val (_, seg) = unigramModelFor(spark, dir)
+      val np = seg.select(col("w"), size(col("pieces")).cast("long").as("np"))
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), substring(col("word"), 1, 16).as("w"))
+        .join(np, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_pieces"))
+        .orderBy(col("doc_id"))
+    }),
+
     // repetition-based quality stats (Gopher/C4-style filters): per doc, the
     // top-2-gram fraction and duplicate-2-gram fraction — integer counts and
     // exact double ratios, so the DuckDB oracle hash-matches bit-for-bit
@@ -2064,6 +2090,145 @@ object PipelineOps {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
       case (df, (l, r, _)) => df.withColumn("syms", bpeApplyMerge(col("syms"), l, r))
     }
+
+  // ===== unigram-LM (SentencePiece-style) tokenizer ========================
+
+  /** Quantized log-count: `floor(3·log2(clip(c)))`, count clipped to
+    * [1, 2^40] (count-clipping; the ceiling is far above any real piece
+    * frequency). Computed with EXACT integer arithmetic — `3·⌊log2 c⌋`
+    * plus two power-of-two comparisons against c³ — so every engine gets
+    * the identical value with no cross-libm `ln` hazard. A piece's
+    * Viterbi weight is `unigramScore(c) − unigramScore(T)` (T = clipped
+    * total vocab mass): the quantized `3·log2(c/T)`, a negative
+    * log-probability at third-of-an-octave resolution. That penalty is
+    * what makes segmentation a real LM objective — a merge beats its
+    * parts iff `c_merge · T > c_left · c_right` (positive PMI), the
+    * unigram-LM shape. Kudo 2018's float EM is a drop-in swap where
+    * bit-exactness across engines isn't required. */
+  private[queries] def unigramScore(c: Long): Int = {
+    val cl = math.min(math.max(c, 1L), 1L << 40)
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(cl)
+    val c3 = BigInt(cl).pow(3)
+    3 * b + (if (c3 >= (BigInt(1) << (3 * b + 1))) 1 else 0) +
+      (if (c3 >= (BigInt(1) << (3 * b + 2))) 1 else 0)
+  }
+
+  /** The unigram trainer's word dict: lowercase whitespace tokens,
+    * length-capped at 16 chars (bounds the Viterbi unroll in any engine —
+    * the oracle mirrors the DP position-by-position). */
+  private[queries] def unigramDict(d: DataFrame): DataFrame =
+    d.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(substring(col("word"), 1, 16).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Seed vocabulary: every substring of length 1–4 of every dict word,
+    * weighted by word frequency × occurrence multiplicity (the
+    * SentencePiece seeding rule); ALL single chars (coverage guarantee)
+    * plus the top-`vocabSize` multi-char pieces by (count DESC, piece
+    * ASC). One distributed aggregate; the result is a bounded tokenizer
+    * artifact. */
+  private[queries] def unigramSeed(dict: DataFrame, vocabSize: Int): DataFrame = {
+    val pieces = dict.select(col("freq"), explode(flatten(expr(
+        "transform(sequence(1, length(w)), i -> " +
+          "transform(sequence(1, least(4, length(w) - i + 1)), l -> substring(w, i, l)))")))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+    val chars = pieces.filter(length(col("piece")) === 1)
+    val multi = pieces.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece")).limit(vocabSize)
+    chars.unionByName(multi)
+  }
+
+  /** Viterbi segmentation of one word under quantized piece scores:
+    * maximize Σ score, tie-break fewer pieces, then the longer last piece
+    * at each DP cell — a fully deterministic integer DP (the oracle's
+    * unrolled SQL makes the identical choices via a composite integer
+    * key). Single chars are always in vocab, so every position is
+    * reachable. */
+  private[queries] def viterbiPieces(w: String, score: Map[String, Int]): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val bScore = new Array[Int](n + 1)
+    val bNp = new Array[Int](n + 1)
+    val bLen = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var chosen = false
+      var cs = 0; var cn = 0; var cl = 0
+      val maxL = math.min(4, i)
+      var l = 1
+      while (l <= maxL) {
+        score.get(w.substring(i - l, i)) match {
+          case Some(s) =>
+            val ts = bScore(i - l) + s
+            val tn = bNp(i - l) + 1
+            if (!chosen || ts > cs || (ts == cs && (tn < cn || (tn == cn && l > cl)))) {
+              chosen = true; cs = ts; cn = tn; cl = l
+            }
+          case None => ()
+        }
+        l += 1
+      }
+      require(chosen, s"no vocab piece covers position $i of '$w'")
+      bScore(i) = cs; bNp(i) = cn; bLen(i) = cl
+      i += 1
+    }
+    var acc: List[String] = Nil
+    var p = n
+    while (p > 0) { val l = bLen(p); acc = w.substring(p - l, p) :: acc; p -= l }
+    acc
+  }
+
+  /** Unigram-LM tokenizer TRAINING — Viterbi-EM over the word dict, the
+    * [[bpeTrain]] bounded-rounds discipline: seed substrings → `rounds` ×
+    * (score from counts → Viterbi-segment every DISTINCT word → recount
+    * from the segmentations, frequency-weighted). Hard (Viterbi) EM with
+    * the quantized integer likelihood keeps every step engine-exact;
+    * pieces that lose all their mass are pruned each round (single chars
+    * persist for coverage). The dict stays distributed (the 100 TB corpus
+    * never re-tokenizes per round — only its DISTINCT words do); the
+    * vocabulary is the bounded driver-side artifact every round
+    * broadcasts, exactly the k-means-centroid / wordpiece-vocab shape.
+    * Returns the final (piece, count) vocabulary and the per-word
+    * final-round segmentation. */
+  def unigramTrain(d: DataFrame, vocabSize: Int = 64, rounds: Int = 2)
+      : (Seq[(String, Long)], DataFrame) = {
+    val spark = d.sparkSession
+    val dict = unigramDict(d).localCheckpoint()
+    var vocab: Seq[(String, Long)] = unigramSeed(dict, vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var seg: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val total = math.min(
+        vocab.map { case (_, c) => math.min(math.max(c, 1L), 1L << 40) }.sum,
+        1L << 40)
+      val sT = unigramScore(total)
+      val scores = vocab.map { case (p, c) => p -> (unigramScore(c) - sT) }.toMap
+      val bc = spark.sparkContext.broadcast(scores)
+      val segUdf = udf { (w: String) => viterbiPieces(w, bc.value) }
+      val next = dict.withColumn("pieces", segUdf(col("w"))).localCheckpoint()
+      if (seg != null) unpersistCheckpointed(seg)
+      seg = next
+      val used = seg.select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      vocab = vocab.flatMap { case (p, _) =>
+        val c = used.getOrElse(p, 0L)
+        if (c > 0 || p.length == 1) Some(p -> c) else None
+      }
+      r += 1
+    }
+    (vocab, seg)
+  }
+
+  private val unigramModelCache =
+    new ArtifactMemo[(Seq[(String, Long)], DataFrame)](
+      v => unpersistCheckpointed(v._2))
+  private def unigramModelFor(spark: SparkSession, dir: String)
+      : (Seq[(String, Long)], DataFrame) =
+    unigramModelCache.getOrBuild(spark, dir)(unigramTrain(docs(spark, dir)))
 
   /** One trained BPE model per (session, input dir): train is
     * deterministic and the dict is localCheckpointed (materialized), so
@@ -4562,6 +4727,74 @@ object PipelineOps {
     * candidates conflict only when adjacent (they share a symbol, which
     * forces l = r), and greedy takes every other one from each run's
     * start. Exposes `w{numMerges}` as the fully-merged dict. */
+  /** Generated oracle chain for the unigram-LM trainer — mirrors
+    * [[unigramTrain]] exactly: seed substring counts, then per EM round a
+    * POSITION-UNROLLED Viterbi DP (16 chained CTEs, one per prefix
+    * length; candidates for the last piece of length 1–4 join the round's
+    * score table, the winner picked by the composite integer key
+    * `score·1024 + (64−np)·16 + l` ≡ (score DESC, pieces ASC, longer
+    * last piece) — the same deterministic tie-break the Scala DP makes),
+    * then frequency-weighted recounts feeding the next round's scores.
+    * The quantized likelihood is `length(bin(c³)) − 1` = `floor(3·log2 c)`
+    * — pure integer ops, so both engines make identical choices. */
+  private def unigramCtes(rounds: Int, maxWordLen: Int = 16): String = {
+    // quantized floor(3*log2(x)) over a clipped BIGINT x, exact integer
+    // arithmetic: 3*floor(log2) + two power-of-two comparisons against x^3
+    def q3log2(x: String): String =
+      s"""(SELECT 3*(length(bin(cl)) - 1)
+         |   + CASE WHEN CAST(cl AS HUGEINT)*cl*cl >= (CAST(1 AS HUGEINT) << (3*(length(bin(cl)) - 1) + 1)) THEN 1 ELSE 0 END
+         |   + CASE WHEN CAST(cl AS HUGEINT)*cl*cl >= (CAST(1 AS HUGEINT) << (3*(length(bin(cl)) - 1) + 2)) THEN 1 ELSE 0 END
+         | FROM (SELECT CAST(least(greatest($x, 1), 1099511627776) AS BIGINT) AS cl))""".stripMargin
+    def scoreCte(r: Int): String =
+      s"""ugst$r AS MATERIALIZED (SELECT ${q3log2(s"(SELECT SUM(least(greatest(c, 1), 1099511627776)) FROM ugvoc$r)")} AS st),
+         |ugsc$r AS MATERIALIZED (SELECT piece, ${q3log2("v.c")} - t.st AS s
+         |  FROM ugvoc$r v CROSS JOIN ugst$r t)""".stripMargin
+    def viterbiCtes(r: Int): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s"ugv${r}_0 AS MATERIALIZED (SELECT w, freq, 0 AS score, 0 AS np, CAST([] AS VARCHAR[]) AS pieces FROM ugdict)"
+      for (i <- 1 to maxWordLen) {
+        val cands = (1 to math.min(4, i)).map { l =>
+          s"""    SELECT p.w, p.freq, p.score + s.s AS score, p.np + 1 AS np,
+             |      list_append(p.pieces, substr(p.w, ${i - l + 1}, $l)) AS pieces,
+             |      (p.score + s.s)*1024 + (64-(p.np+1))*16 + $l AS key
+             |    FROM ugv${r}_${i - l} p JOIN ugsc$r s ON s.piece = substr(p.w, ${i - l + 1}, $l)
+             |    WHERE length(p.w) >= $i""".stripMargin
+        }.mkString("\n    UNION ALL\n")
+        parts +=
+          s"""ugv${r}_$i AS MATERIALIZED (
+             |  SELECT w, freq, score, np, pieces FROM ugv${r}_${i - 1} WHERE length(w) < $i
+             |  UNION ALL
+             |  SELECT w, freq, score, np, pieces FROM (
+             |    SELECT c.w, c.freq, c.score, c.np, c.pieces,
+             |      row_number() OVER (PARTITION BY c.w ORDER BY c.key DESC) AS rk
+             |    FROM (
+             |$cands
+             |    ) c) WHERE rk = 1)""".stripMargin
+      }
+      parts.result().mkString(",\n")
+    }
+    def recountCtes(r: Int): String =
+      s"""ugcnt${r + 1} AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT unnest(pieces) AS piece, freq FROM ugv${r}_$maxWordLen) GROUP BY piece),
+         |ugvoc${r + 1} AS MATERIALIZED (SELECT v.piece, CAST(coalesce(u.c, 0) AS BIGINT) AS c
+         |  FROM ugvoc$r v LEFT JOIN ugcnt${r + 1} u USING (piece)
+         |  WHERE coalesce(u.c, 0) > 0 OR length(v.piece) = 1)""".stripMargin
+    val head =
+      s"""ugtok AS MATERIALIZED (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> length(t) > 0)) AS word FROM documents),
+         |ugdict AS MATERIALIZED (SELECT substr(word, 1, $maxWordLen) AS w, CAST(count(*) AS BIGINT) AS freq FROM ugtok GROUP BY 1),
+         |ugcand AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, unnest(flatten(list_transform(range(1, length(w)+1), i ->
+         |      list_transform(range(1, least(4, length(w)-i+1)+1), l -> substr(w, i, l))))) AS piece
+         |    FROM ugdict) GROUP BY piece),
+         |ugvoc0 AS MATERIALIZED (SELECT piece, c FROM ugcand WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (SELECT piece, c FROM ugcand WHERE length(piece) > 1 ORDER BY c DESC, piece LIMIT 64))""".stripMargin
+    val body = (0 until rounds).map { r =>
+      Seq(scoreCte(r), viterbiCtes(r), recountCtes(r)).mkString(",\n")
+    }.mkString(",\n")
+    s"$head,\n$body"
+  }
+
   private def bpeCtes(numMerges: Int): String = {
     val head =
       s"""tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents),
@@ -6173,6 +6406,22 @@ object PipelineOps {
         |     AND lm.n_oov * 5 <= lm.n_grams) AS keep
         |FROM dm JOIN clf USING (doc_id) JOIN lm USING (doc_id) CROSS JOIN thr
         |ORDER BY doc_id""".stripMargin,
+    // unigram-LM train: seed + 2 unrolled Viterbi-EM rounds (see
+    // [[unigramCtes]]); final counts are the round-2 segmentation's
+    // frequency-weighted piece usage
+    "doc_unigram_train" ->
+      (s"WITH ${unigramCtes(2)}\n" +
+        "SELECT piece, c AS cnt FROM ugcnt2 ORDER BY piece"),
+    // unigram-LM encode: distinct capped words carry their final-round
+    // piece count; per-doc sums over the token stream
+    "doc_unigram_encode" ->
+      (s"WITH ${unigramCtes(2)},\n" +
+        """ugnp AS (SELECT w, CAST(len(pieces) AS BIGINT) AS np FROM ugv1_16),
+          |ugdtok AS (SELECT doc_id, substr(word, 1, 16) AS w FROM ugtok)
+          |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(SUM(n.np) AS BIGINT) AS n_pieces
+          |FROM ugdtok d JOIN ugnp n USING (w)
+          |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin),
     // BPE train: 8 unrolled merge rounds (see [[bpeCtes]] — run-parity
     // greedy application, count DESC / l / r argmax ties)
     "doc_bpe_train" ->
