@@ -67,15 +67,32 @@ object Encoders {
 
   // ---- JSON array-of-objects ----------------------------------------------
 
-  /** Stream rows into `out` one partition at a time (`toLocalIterator`), so
-    * driver memory is bounded by one partition regardless of result size —
-    * the 100 TB-safe path for full-table exports. Serving queries are
-    * LIMIT/agg-bounded anyway; this removes the collect() cliff for the rest. */
+  /** Row iterator for encoding: driver-LOCAL plans (a folded
+    * LocalTableScan — the small-table serving path) iterate their
+    * already-driver-held rows via `collect()`, because `toLocalIterator`
+    * launches one sequential Spark job PER PARTITION — and a
+    * LocalTableScan parallelizes to `leafNodeDefaultParallelism` slices,
+    * so a 37-row table paid ~32 scheduled jobs (~130 ms) per cold encode.
+    * Every distributed plan keeps the partition-at-a-time stream: driver
+    * memory bounded by one partition regardless of result size — the
+    * 100 TB-safe path for full-table exports. */
+  private def rowIterator(df: DataFrame): java.util.Iterator[org.apache.spark.sql.Row] =
+    df.queryExecution.executedPlan match {
+      case _: org.apache.spark.sql.execution.LocalTableScanExec =>
+        java.util.Arrays.asList(df.collect(): _*).iterator()
+      case _ => df.toLocalIterator()
+    }
+
+  /** Stream rows into `out` one partition at a time (see [[rowIterator]]),
+    * so driver memory is bounded by one partition regardless of result
+    * size — the 100 TB-safe path for full-table exports. Serving queries
+    * are LIMIT/agg-bounded anyway; this removes the collect() cliff for
+    * the rest. */
   def writeJson(df: DataFrame, out: java.io.OutputStream): Unit = {
     val schema = df.schema
     val gen = new JsonFactory().createGenerator(out)
     gen.writeStartArray()
-    val it = df.toLocalIterator()
+    val it = rowIterator(df)
     while (it.hasNext) writeStruct(gen, it.next(), schema)
     gen.writeEndArray()
     gen.flush()
@@ -138,7 +155,7 @@ object Encoders {
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, "UTF-8"))
     w.write(schema.fieldNames.map(csvEscape).mkString(","))
     w.write("\n")
-    val it = df.toLocalIterator()
+    val it = rowIterator(df)
     while (it.hasNext) {
       val row = it.next()
       val cells = schema.fields.zipWithIndex.map { case (f, i) =>

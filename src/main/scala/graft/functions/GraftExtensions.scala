@@ -69,11 +69,16 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => VectorFunctions.L2Norm(args.head),
       "l2_norm(v) - float-array L2 norm"))
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, arity, build, usage) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(s"graft.functions ($usage)", name),
         fixedArity(name, arity)(build)))
     }
+    // serving-path folds: Sort/Limit over driver-local relations complete
+    // at optimization time (graft.plans.LocalFoldRules scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.LocalFoldRules.FoldLocalSort)
+    ext.injectOptimizerRule(_ => graft.plans.LocalFoldRules.FoldLocalLimit)
+  }
 }

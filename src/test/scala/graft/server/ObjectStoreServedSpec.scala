@@ -35,8 +35,12 @@ class ObjectStoreServedSpec extends SparkSpec with org.scalatest.BeforeAndAfterA
   private lazy val engine = {
     root // force layout + conf
     val e = new Engine(spark, readOnly = true)
+    // use_memory_table=false (the reference's serve-from-store mode): this
+    // suite proves the SERVE-time scan runs through the object-store shim
+    // (pushdown assertion below), so the small fixture must not be
+    // re-pinned as a local relation at register time
     e.registerTable(TableSource("regions", "s3://bucket1/region.parquet",
-      format = Some("parquet")))
+      format = Some("parquet"), options = Map("use_memory_table" -> "false")))
     e
   }
   private lazy val app = new HttpApp(engine, 0).start()
