@@ -96,6 +96,54 @@ class ResultCacheSpec extends SparkSpec {
     assert(engine.resultCacheHits.get() == beforeG + 1)
   }
 
+  test("a reload_interval refresh that changes rows invalidates all three frontends") {
+    // the reference's swap semantics (columnq.rs load_table): a refresh
+    // tick re-registers the table; every cached byte keyed on the old
+    // snapshot must die with that epoch, on the SQL, REST, and GraphQL
+    // faces alike
+    def fetch(req: Routes.Request): Array[Byte] =
+      Routes.handle(engine, req) match {
+        case Routes.Full(_, _, b) => b
+        case Routes.Streamed(_, w) =>
+          val o = new ByteArrayOutputStream(); w(o); o.toByteArray
+      }
+    def sqlB() = fetch(Routes.Request("POST", "/api/sql", None, None,
+      () => "SELECT sum(v) AS s FROM ticking".getBytes(UTF_8)))
+    def restB() = fetch(Routes.Request("GET", "/api/tables/ticking",
+      Some("columns=v&sort=-v&limit=1"), None, () => Array.emptyByteArray))
+    def gqlB() = fetch(Routes.Request("POST", "/api/graphql", None, None,
+      () => "{ ticking(limit: 1, sort: [{field: \"v\", order: \"desc\"}]) { v } }".getBytes(UTF_8)))
+    val dir = java.nio.file.Files.createTempDirectory("tick").toString
+    val csv = java.nio.file.Paths.get(dir, "t.csv")
+    java.nio.file.Files.write(csv, "v\n1\n2\n".getBytes(UTF_8))
+    engine.registerTable(TableSource("ticking", csv.toString,
+      format = Some("csv"), reloadIntervalSec = Some(1L)))
+    try {
+      val (s1, r1, g1) = (new String(sqlB(), UTF_8), new String(restB(), UTF_8),
+        new String(gqlB(), UTF_8))
+      assert(s1.contains("3") && r1.contains("2") && g1.contains("2"),
+        s"initial snapshot: $s1 / $r1 / $g1")
+      // prime the cache on every face
+      sqlB(); restB(); gqlB()
+      val hitsBefore = engine.resultCacheHits.get()
+      sqlB(); restB(); gqlB()
+      assert(engine.resultCacheHits.get() >= hitsBefore + 3,
+        "all three faces must be cache-resident before the refresh")
+      // rows change on disk; the NEXT tick must swap them in
+      java.nio.file.Files.write(csv, "v\n10\n20\n".getBytes(UTF_8))
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def refreshed(): Boolean =
+        new String(sqlB(), UTF_8).contains("30") &&
+          new String(restB(), UTF_8).contains("20") &&
+          new String(gqlB(), UTF_8).contains("20")
+      while (!refreshed() && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(refreshed(),
+        "refresh tick must invalidate every frontend's cached bytes: " +
+          s"sql=${new String(sqlB(), UTF_8)} rest=${new String(restB(), UTF_8)} " +
+          s"gql=${new String(gqlB(), UTF_8)}")
+    } finally engine.dropTable("ticking")
+  }
+
   test("nondeterministic and time-valued queries never cache") {
     val before = engine.resultCacheHits.get()
     post("SELECT rand() AS r")
