@@ -572,7 +572,9 @@ object Multimodal {
     val e = new Array[Long](64)
     var j = 0
     while (j < 64) {
-      val i0 = j * n / 64; val i1 = (j + 1) * n / 64
+      // long arithmetic: j*n overflows Int past ~34M samples (a ~72-minute
+      // 8 kHz file), which would index negatively and kill the stream
+      val i0 = (j.toLong * n / 64).toInt; val i1 = ((j + 1).toLong * n / 64).toInt
       var s = 0L
       var i = i0
       while (i < i1) { val v = samples(i).toLong; s += v * v; i += 1 }

@@ -65,18 +65,28 @@ object ZOrder {
   def writeZOrdered(df: DataFrame, x: Column, y: Column, bits: Int,
                     nFiles: Int, dir: String): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    // internal column names are reserved, loudly — withColumn would
+    // silently REPLACE (and the final drop destroy) a user column
+    val reserved = Seq("graft_z", "graft_zb", "graft_pk")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"writeZOrdered reserves column name `$c`; rename the input column"))
     val spark = df.sparkSession
+    // a NULL in either cluster column nulls the z-value; such rows go to
+    // bucket -1 (they land together in file 0, the analog of range
+    // partitioning's nulls-first) instead of NPE-ing the histogram or
+    // being dropped by the placement join
+    val shift = math.max(0, 2 * bits - 12)
     val z = df.withColumn("graft_z", zValue2(x, y, bits))
+      .withColumn("graft_zb", coalesce(
+        shiftrightunsigned(col("graft_z"), shift), lit(-1L)))
     // z in [0, 2^(2·bits)); bucket = z >>> shift gives <= 4096 fixed-width
     // buckets (shift arithmetic keeps 2^62-scale z exact — a double-typed
     // divide would lose low bits)
-    val shift = math.max(0, 2 * bits - 12)
-    val hist = z.groupBy(shiftrightunsigned(col("graft_z"), shift).as("zb"))
-      .count().collect()
+    val hist = z.groupBy(col("graft_zb")).count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val total = hist.map(_._2).sum
     if (total == 0L) {
-      z.drop("graft_z").write.mode("overwrite").parquet(dir)
+      z.drop("graft_z", "graft_zb").write.mode("overwrite").parquet(dir)
       return
     }
     val keys = partitionKeys(nFiles)
@@ -86,12 +96,18 @@ object ZOrder {
       cumBefore += c
       (b, keys(file))
     }.toSeq
-    val lookup = spark.createDataFrame(lookupRows).toDF("zb", "graft_pk")
-    z.withColumn("zb", shiftrightunsigned(col("graft_z"), shift))
-      .join(broadcast(lookup), "zb")
+    val lookup = spark.createDataFrame(lookupRows).toDF("graft_zb", "graft_pk")
+    // LEFT join + file-0 fallback: the input is computed twice (histogram,
+    // then write), so a nondeterministic or concurrently-changing source
+    // can produce buckets the histogram never saw — those rows must still
+    // be WRITTEN (the replaced repartitionByRange path never lost a row;
+    // an inner join would silently drop them). Worst case is imbalance,
+    // never loss.
+    z.join(broadcast(lookup), Seq("graft_zb"), "left")
+      .withColumn("graft_pk", coalesce(col("graft_pk"), lit(keys(0))))
       .repartition(nFiles, col("graft_pk"))
       .sortWithinPartitions(col("graft_z"))
-      .drop("graft_z", "zb", "graft_pk")
+      .drop("graft_z", "graft_zb", "graft_pk")
       .write.mode("overwrite").parquet(dir)
   }
 

@@ -32,6 +32,11 @@ object LocalFoldRules {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case Sort(order, true, rel: LocalRelation, _)
           if rel.data.length <= cap && order.forall(_.deterministic) &&
+            // a ScalarSubquery reports deterministic=true but is
+            // Unevaluable until planning — sorting here would crash the
+            // query at optimization time (review finding)
+            !order.exists(_.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) &&
             !rel.isStreaming =>
         val ordering = RowOrdering.create(order, rel.output)
         LocalRelation(rel.output, rel.data.sorted(ordering), isStreaming = false)

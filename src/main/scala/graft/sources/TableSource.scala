@@ -81,7 +81,11 @@ object TableSource {
       name = name,
       uri = uri,
       format = opts.get("format"),
-      options = opts -- Seq("format", "pointer", "array_encoded", "use_memory_table", "reload_interval", "batch_size"),
+      // use_memory_table STAYS in options: the serving engine reads it to
+      // decide local re-pinning (Engine.registerResolved) — stripping it
+      // here made the serve-from-store opt-out dead on every config path
+      // (review finding); readers ignore the unknown key
+      options = opts -- Seq("format", "pointer", "array_encoded", "reload_interval", "batch_size"),
       pointer = opts.get("pointer"),
       arrayEncoded = opts.get("array_encoded").exists(_.toBoolean),
       memTable = opts.get("use_memory_table").exists(_.toBoolean),

@@ -149,6 +149,9 @@ object EventStream {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // query-scoped batch id: retry-idempotent within a checkpoint
+        // lineage, collision-free across runs sharing the index dir
+        val eb = effectiveBatchId(spark, batchId)
         val sh = batch.select(col("doc_id"),
           graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
         sh.persist() // read three ways: within-join, cross-probe, append
@@ -163,13 +166,13 @@ object EventStream {
           val within = PipelineOps.minhashLshJoin(sh, threshold)
           val pairs =
             if (PipelineOps.indexHasData(spark, indexDir,
-                  excludeBatch = Some(batchId)))
+                  excludeBatch = Some(eb)))
               within.unionByName(
                 PipelineOps.minhashDedupIncremental(sh, indexDir, threshold,
-                  excludeBatch = Some(batchId)))
+                  excludeBatch = Some(eb)))
             else within
           emit(pairs)
-          PipelineOps.minhashIndexAppend(sh, indexDir, batchId)
+          PipelineOps.minhashIndexAppend(sh, indexDir, eb)
           // periodic small-dirs rewrite: micro-batches run sequentially, so
           // compacting HERE races no append or probe; the row-level
           // src_batch stamp + kept _SUCCESS markers preserve the retry
@@ -226,6 +229,29 @@ object EventStream {
           .select(col("doc_id"), col("afp").as("sh"))
     }
 
+  /** Namespace a micro-batch id by the streaming QUERY id — stable across
+    * driver restarts from the same checkpoint (it lives in the checkpoint
+    * metadata), fresh for a new query. Without it, a stream restarted
+    * with a NEW checkpoint over an EXISTING index restarts batchIds at 0:
+    * its batch-0 append is skipped as an "already committed retry" AND
+    * its probe excludes the old run's batch-0 rows — silent missed
+    * duplicates both ways (review finding). With it, a same-checkpoint
+    * retry maps to the same effective id (idempotent, exclusion correct)
+    * while a new run's ids land in their own namespace (probes ALL prior
+    * runs, appends commit). 43 hash bits + 20 batch bits, sign bit clear
+    * (so the id never collides with the `batch=-1` compaction base);
+    * batchIds wrap past 2^20 — one million micro-batches per query. */
+  private[streaming] def effectiveBatchId(spark: org.apache.spark.sql.SparkSession,
+                                          batchId: Long): Long = {
+    val key = org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
+    Option(spark.sparkContext.getLocalProperty(key)) match {
+      case Some(qid) =>
+        (graft.functions.TextFunctions.fnv64(qid) & 0x7FFFFFFFFFF00000L) |
+          (batchId & 0xFFFFFL)
+      case None => batchId // non-streaming caller: plain ids
+    }
+  }
+
   /** THE 64-bit-hash dedup stream machinery, shared by the image and audio
     * faces so the index discipline cannot drift between modalities:
     * `hashOf` maps a `(doc_id, payload)` micro-batch to `(doc_id, sh)`
@@ -250,6 +276,9 @@ object EventStream {
     media.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // query-scoped batch id: retry-idempotent within a checkpoint
+        // lineage, collision-free across runs sharing the index dir
+        val eb = effectiveBatchId(spark, batchId)
         val sh = hashOf(spark, batch)
         sh.persist() // read three ways: within-join, cross-probe, append
         try {
@@ -262,18 +291,18 @@ object EventStream {
             chunks = chunks, comboSize = 1)
           val pairs =
             if (PipelineOps.indexHasData(spark, indexDir,
-                  excludeBatch = Some(batchId))) {
+                  excludeBatch = Some(eb))) {
               // retried-batch exclusion via the ONE shared reader (an
               // inline copy drifted from minhashDedupIncremental's rule)
               val idx = PipelineOps.readIndexExcluding(spark, indexDir,
-                Some(batchId))
+                Some(eb))
               within.unionByName(PipelineOps.hashCrossNearDup(
                 idx.select(col("doc_id"), col("phash").as("sh")), sh,
                 maxHamming, chunks = chunks, comboSize = 1))
             } else within
           emit(pairs)
           PipelineOps.phashIndexAppend(
-            sh.select(col("doc_id"), col("sh").as("phash")), indexDir, batchId)
+            sh.select(col("doc_id"), col("sh").as("phash")), indexDir, eb)
           // periodic small-dirs rewrite, identical discipline to
           // nearDupStream: minhashIndexCompact is schema-agnostic (per-dir
           // read + src_batch stamp + staged swap), so the phash index

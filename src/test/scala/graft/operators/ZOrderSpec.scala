@@ -82,6 +82,25 @@ class ZOrderSpec extends SparkSpec {
     assert(rangeSet(dirA, "y") == rangeSet(dirB, "y"))
   }
 
+  test("rows with NULL cluster values are written, never dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("znull").toString + "/z"
+    val withNulls = (0L until 100L).map(i => (i, if (i % 10 == 0) None else Some(i)))
+      .toDF("x", "y").select(col("x"), col("y").cast("long").as("y"))
+    ZOrder.writeZOrdered(withNulls, col("x"), col("y"), bits = 7, nFiles = 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100L, "null-keyed rows must survive the rewrite")
+    assert(back.filter(col("y").isNull).count() == 10L)
+  }
+
+  test("reserved internal column names fail loudly instead of silently vanishing") {
+    val bad = Seq((1L, 2L, 3L)).toDF("x", "y", "graft_pk")
+    val dir = java.nio.file.Files.createTempDirectory("zres").toString + "/z"
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrdered(bad, col("x"), col("y"), bits = 4, nFiles = 2, dir)
+    }
+    assert(e.getMessage.contains("graft_pk"))
+  }
+
   test("partitionKeys hash to a full permutation of partition ids") {
     for (n <- Seq(1, 2, 8, 16, 31)) {
       val ks = ZOrder.partitionKeys(n)

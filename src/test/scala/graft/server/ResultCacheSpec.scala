@@ -123,12 +123,18 @@ class ResultCacheSpec extends SparkSpec {
         new String(gqlB(), UTF_8))
       assert(s1.contains("3") && r1.contains("2") && g1.contains("2"),
         s"initial snapshot: $s1 / $r1 / $g1")
-      // prime the cache on every face
-      sqlB(); restB(); gqlB()
-      val hitsBefore = engine.resultCacheHits.get()
-      sqlB(); restB(); gqlB()
-      assert(engine.resultCacheHits.get() >= hitsBefore + 3,
-        "all three faces must be cache-resident before the refresh")
+      // prime the cache on every face. The 1 s refresh tick clears the
+      // cache asynchronously, so a single prime->hit observation can race
+      // a tick — retry until one full prime+refetch cycle lands inside a
+      // tick window (each attempt takes ~ms; flaking 20 in a row would
+      // mean hits are genuinely broken)
+      val cached = (1 to 20).exists { _ =>
+        sqlB(); restB(); gqlB()
+        val hitsBefore = engine.resultCacheHits.get()
+        sqlB(); restB(); gqlB()
+        engine.resultCacheHits.get() >= hitsBefore + 3
+      }
+      assert(cached, "all three faces must be cache-resident before the refresh")
       // rows change on disk; the NEXT tick must swap them in
       java.nio.file.Files.write(csv, "v\n10\n20\n".getBytes(UTF_8))
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000

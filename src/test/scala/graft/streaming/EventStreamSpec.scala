@@ -179,6 +179,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("effectiveBatchId: plain outside streams, query-scoped and retry-stable inside") {
+    val sc = spark.sparkContext
+    val key = org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
+    assert(sc.getLocalProperty(key) == null)
+    assert(EventStream.effectiveBatchId(spark, 7L) == 7L)
+    try {
+      sc.setLocalProperty(key, "q-one")
+      val a0 = EventStream.effectiveBatchId(spark, 0L)
+      val a1 = EventStream.effectiveBatchId(spark, 1L)
+      assert(a0 >= 0L && a0 != -1L, "must never collide with the batch=-1 base dir")
+      assert((a0 & 0xFFFFFL) == 0L && (a1 & 0xFFFFFL) == 1L)
+      assert(EventStream.effectiveBatchId(spark, 0L) == a0, "retry-stable")
+      sc.setLocalProperty(key, "q-two")
+      assert(EventStream.effectiveBatchId(spark, 0L) != a0,
+        "a different query must land in its own namespace")
+    } finally sc.setLocalProperty(key, null)
+  }
+
   test("audio-dedup stream finds within-batch and cross-batch duplicate audio") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -275,11 +293,14 @@ class EventStreamSpec extends SparkSpec {
         emit = pairs => got2 ++= norm(pairs), compactEvery = 0)
       .start()
     try {
-      // 529 % 256 == 17: identical image to 17 (src_batch 0, excluded as
-      // this query's own batchId 0) and to 273 (src_batch 1, probed)
+      // 529 % 256 == 17: identical image to 17 AND 273. The new query's
+      // batch ids are namespaced by its query id (effectiveBatchId), so
+      // the prior run's batch-0 rows are NOT mistaken for this query's
+      // own retry — BOTH history pairs must surface (a bare batchId
+      // exclusion silently dropped (17, 529))
       in2.addData(img(529L)); q2.processAllAvailable()
-      assert(got2.contains((273L, 529L)),
-        s"restart with compactEvery=0 must repair and find history pairs, got $got2")
+      assert(got2.contains((273L, 529L)) && got2.contains((17L, 529L)),
+        s"fresh run over an existing index must probe ALL history, got $got2")
     } finally q2.stop()
   }
 
