@@ -2223,6 +2223,49 @@ object PipelineOps {
     (vocab, seg)
   }
 
+  /** Persist a trained unigram model as parquet artifacts ([[bpeSave]]'s
+    * discipline): `vocab/` holds the surviving (piece, count) rows —
+    * counts ARE the model (scores derive from them) — and `seg/` the
+    * final word segmentations for dict-hit serving. */
+  def unigramSave(spark: SparkSession,
+                  model: (Seq[(String, Long)], DataFrame), dir: String): Unit = {
+    import spark.implicits._
+    val (vocab, seg) = model
+    vocab.toDF("piece", "cnt")
+      .repartition(1) // tokenizer-sized table; one footer beats 32 slivers
+      .write.mode("overwrite").parquet(dir + "/vocab")
+    seg.write.mode("overwrite").parquet(dir + "/seg")
+  }
+
+  /** Load a [[unigramSave]]d model. */
+  def unigramLoad(spark: SparkSession, dir: String)
+      : (Seq[(String, Long)], DataFrame) = {
+    val vocab = spark.read.parquet(dir + "/vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    (vocab, spark.read.parquet(dir + "/seg"))
+  }
+
+  /** Segment words NOT covered by the persisted dict — the serve-time OOV
+    * path ([[bpeEncodeWords]]'s analog): the same quantized-likelihood
+    * Viterbi training used, under the loaded vocabulary's counts. Input
+    * needs a `word` column; output adds `pieces`. A word containing a
+    * character absent from the vocabulary fails LOUDLY (the corpus-closed
+    * vocab makes that foreign serve input, not a training state). */
+  def unigramEncodeWords(words: DataFrame,
+                         vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = words.sparkSession
+    val total = math.min(
+      vocab.map { case (_, c) => math.min(math.max(c, 1L), 1L << 40) }.sum,
+      1L << 40)
+    val sT = unigramScore(total)
+    val scores = vocab.map { case (p, c) => p -> (unigramScore(c) - sT) }.toMap
+    val bc = spark.sparkContext.broadcast(scores)
+    val segUdf = udf { (w: String) =>
+      viterbiPieces(w.take(16), bc.value)
+    }
+    words.withColumn("pieces", segUdf(col("word")))
+  }
+
   private val unigramModelCache =
     new ArtifactMemo[(Seq[(String, Long)], DataFrame)](
       v => unpersistCheckpointed(v._2))
