@@ -1737,6 +1737,69 @@ object PipelineOps {
           aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feat_sum"),
           size(col("features")).cast("long").as("feat_dim"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ===== corpus operations ================================================
+    // EXACT frequent terms via two-pass Misra-Gries ([[frequentTerms]]):
+    // per-partition bounded sketches -> proven candidate superset ->
+    // exact-count only candidates. k=29 -> terms above a 1/30 token share.
+    "doc_frequent_terms" -> ((spark, dir) =>
+      frequentTerms(docs(spark, dir), k = 29)),
+
+    // web-ingest text extraction: deterministic markup is synthesized
+    // around each doc's text (the mm_* fixture discipline — no HTML column
+    // exists in the corpus), then a REAL boilerplate-stripping chain runs:
+    // head (title/script/style), nav and footer blocks, then residual
+    // tags — all codegen'd regexp_replace, no UDF. clean=1 proves lossless
+    // body recovery; boiler_chars is the markup overhead an ingest-time
+    // quality gate thresholds on. The oracle replays the same RE2-safe
+    // patterns, so semantics stay pinned even for texts containing markup
+    // metacharacters.
+    "doc_html_extract" -> ((spark, dir) => {
+      val html = concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title><script>var x=1;</script><style>p{margin:0}</style></head>"),
+        lit("<body><nav>home | about | contact</nav><p>"), col("text"),
+        lit("</p><footer>(c) corpus</footer></body></html>"))
+      val noHead = regexp_replace(html, "<head>.*?</head>", "")
+      val noNav = regexp_replace(noHead, "<nav>.*?</nav>", "")
+      val noFoot = regexp_replace(noNav, "<footer>.*?</footer>", "")
+      val extracted = trim(regexp_replace(noFoot, "<[^>]*>", ""))
+      docs(spark, dir).select(col("doc_id"),
+          length(html).cast("long").as("html_chars"),
+          length(extracted).cast("long").as("text_chars"),
+          (extracted === col("text")).cast("long").as("clean"),
+          (length(html) - length(extracted)).cast("long").as("boiler_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus snapshot diff — the incremental-ingest audit: v2 is a
+    // deterministic mutation of the corpus (drop id%17=0, edit id%13=0,
+    // add id%19=0 under offset ids), and the diff FULL-OUTER-joins the two
+    // versions' content checksums into per-doc added/removed/changed/
+    // unchanged statuses. Checksums (md5), not full texts, cross the
+    // exchange: at 100 TB the compare moves 32 bytes per doc — and at that
+    // scale both sides' digests would be precomputed at write time, making
+    // the diff a pure key join.
+    "doc_snapshot_diff" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val v1 = d.select(col("doc_id"), md5(col("text")).as("h1"))
+      val kept = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = d.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"))
+      val v2 = kept.unionByName(added)
+        .select(col("doc_id"), md5(col("text")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3444,6 +3507,62 @@ object PipelineOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))
+  }
+
+  /** EXACT heavy hitters WITHOUT a full-vocabulary shuffle — the two-pass
+    * Misra-Gries plan. Pass 1 streams each partition once through a
+    * k-counter Misra-Gries summary (bounded memory, zero exchange) and
+    * emits only the summary's surviving terms plus the partition's token
+    * count. Any term with global count > total/(k+1) must survive in at
+    * least one partition — if it died everywhere, every partition charged
+    * it at most n_p/(k+1) decrements and its global count would be
+    * ≤ Σ n_p/(k+1) = total/(k+1) — so the union of survivors
+    * (≤ partitions·k strings on the driver, a bounded artifact) is a
+    * PROVEN candidate superset. Pass 2 exact-counts only those candidates
+    * (an in-set prefilter keeps the shuffle to candidate rows) and applies
+    * the integer-exact threshold `cnt·(k+1) > total`, pruning the sketch's
+    * over-admissions. The result is exactly the true frequent-term set at
+    * any partition layout: at 100 TB the vocabulary is billions of terms,
+    * and this plan moves only candidates and their partial counts over the
+    * wire where a groupBy-then-filter shuffles every (term, count) pair. */
+  def frequentTerms(d: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"frequentTerms needs k >= 1, got $k")
+    val spark = d.sparkSession
+    import spark.implicits._
+    def toks = d.select(explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    // pass 1: genuine per-partition imperative streaming — the documented
+    // mapPartitions case. The empty-string sentinel row (tokens are
+    // length-filtered, so it cannot collide) carries the partition size.
+    val summaries = toks.as[String].mapPartitions { it =>
+      var n = 0L
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        n += 1
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            // Misra-Gries decrement-all: the arrival and one unit of every
+            // live counter annihilate; zeroed counters free their slot
+            val dead = counters.iterator.collect { case (term, 1L) => term }.toList
+            counters.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator.map(t => (t, 0L)) ++ Iterator.single(("", n))
+    }.collect()
+    val total = summaries.collect { case ("", n) => n }.sum
+    val cands = summaries.collect { case (t, _) if t.nonEmpty => t }.distinct.toSeq
+    // pass 2: exact counts for the candidate sliver only; the threshold is
+    // integer arithmetic so any engine reproduces the exact same set
+    val base =
+      if (cands.isEmpty) toks.filter(lit(false))
+      else toks.filter(col("term").isInCollection(cands))
+    base.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k + 1L) > lit(total))
+      .withColumn("share", col("cnt").cast("double") / lit(total).cast("double"))
+      .orderBy(col("cnt").desc, col("term"))
   }
 
   /** Scale-safe EXACT stratified sampling: keep the ceil(rate·n_s)
@@ -6619,6 +6738,50 @@ object PipelineOps {
         |SELECT doc_id, fingerprint,
         |  CAST(CASE WHEN sh_u >= CAST(1 AS HUGEINT) << 63
         |    THEN sh_u - (CAST(1 AS HUGEINT) << 64) ELSE sh_u END AS BIGINT) AS simhash
-        |FROM sh ORDER BY doc_id""".stripMargin
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // exact frequent terms: brute-force count + integer threshold — the
+    // Misra-Gries two-pass plan must land on exactly this set
+    "doc_frequent_terms" ->
+      """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0)) AS term FROM documents),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1)
+        |SELECT term, cnt, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM cnt, tot WHERE cnt * 30 > total ORDER BY cnt DESC, term""".stripMargin,
+
+    // same markup synthesis and the same RE2-safe stripping chain
+    // (DuckDB regexp_replace needs the explicit 'g' flag; Spark's is
+    // global by default)
+    "doc_html_extract" ->
+      """WITH h AS (SELECT doc_id, text,
+        |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var x=1;</script><style>p{margin:0}</style></head><body><nav>home | about | contact</nav><p>' || text || '</p><footer>(c) corpus</footer></body></html>' AS html
+        |  FROM documents),
+        |e AS (SELECT doc_id, text, html,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '<head>.*?</head>', '', 'g'), '<nav>.*?</nav>', '', 'g'),
+        |    '<footer>.*?</footer>', '', 'g'), '<[^>]*>', '', 'g')) AS extracted
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(length(html) AS BIGINT) AS html_chars,
+        |  CAST(length(extracted) AS BIGINT) AS text_chars,
+        |  CAST(extracted = text AS BIGINT) AS clean,
+        |  CAST(length(html) - length(extracted) AS BIGINT) AS boiler_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // same v2 mutation rules, checksum compare via md5 in both engines
+    "doc_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5('new ' || text) FROM documents WHERE doc_id % 19 = 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }
