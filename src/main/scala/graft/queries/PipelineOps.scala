@@ -1800,7 +1800,20 @@ object PipelineOps {
             .when(col("h1") =!= col("h2"), lit("changed"))
             .otherwise(lit("unchanged")).as("status"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // feature-hashing document embedder ([[hashEmbed]]) — the integer
+    // skeleton before L2 normalization is oracle-exact: per doc, the
+    // nonzero bucket count, the l1/squared-norm masses, and a
+    // position-weighted checksum that pins every bucket value.
+    "doc_hash_embed" -> ((spark, dir) =>
+      hashEmbedSparse(docs(spark, dir), dim = 64)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          sum(abs(col("v"))).as("l1"),
+          sum(col("v") * col("v")).as("sq_norm"),
+          sum((col("bucket") + 1) * col("v")).as("checksum"))
+        .orderBy(col("doc_id")))
   )
 
   /** Posting-list statistics for the exact Jaccard path's cost guard. */
@@ -3564,6 +3577,47 @@ object PipelineOps {
       .withColumn("share", col("cnt").cast("double") / lit(total).cast("double"))
       .orderBy(col("cnt").desc, col("term"))
   }
+
+  /** Per-(doc, bucket) signed token counts — the integer skeleton of the
+    * feature-hashing embedder ([[hashEmbed]]): every token hashes to one
+    * of `dim` buckets (low bits of mix64(fnv64), public arithmetic the
+    * oracle replays) with a ±1 sign drawn from an independent hash bit
+    * (bit 40 — disjoint from the bucket bits, the decorrelation the
+    * hashing-trick construction requires), and signs accumulate per
+    * bucket. Everything up to normalization is exact integers. */
+  private[queries] def hashEmbedSparse(d: DataFrame, dim: Int): DataFrame = {
+    val h = fnvMix64(concat(lit("emb-"), col("term")))
+    d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"),
+        pmod(h, lit(dim.toLong)).as("bucket"),
+        ((shiftrightunsigned(h, 40) % 2) * 2 - 1).as("sign"))
+      // ONE exchange on doc_id serves both this aggregate and every
+      // per-doc aggregate downstream (subset-of-keys rule — the
+      // doc_top_terms trade-off)
+      .repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+      .filter(col("v") =!= 0)
+  }
+
+  /** Feature-hashing text embedder (the "hashing trick",
+    * HashingVectorizer-style): dense L2-normalized `dim`-vector per doc
+    * from [[hashEmbedSparse]]'s signed bucket counts. A real,
+    * deterministic, no-learned-weights embedding model — the standard
+    * public baseline when no trained encoder is available — so documents
+    * themselves (not just the synthetic `embeddings` table) can feed the
+    * ANN/semdedup/decontamination operators. Narrow ops + one shuffle on
+    * doc_id: linear at any corpus size, vocabulary never materialized. */
+  def hashEmbed(d: DataFrame, dim: Int): DataFrame =
+    hashEmbedSparse(d, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"),
+        sum(col("v") * col("v")).as("sq"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim.toLong - 1)), i =>
+          coalesce(element_at(col("m"), i), lit(0L)).cast("double") /
+            sqrt(col("sq").cast("double"))).as("emb"))
 
   /** Scale-safe EXACT stratified sampling: keep the ceil(rate·n_s)
     * hash-smallest rows (ordered by `hashCol`, ties by `idCol`) of every
@@ -6782,6 +6836,24 @@ object PipelineOps {
         |       WHEN v2.doc_id IS NULL THEN 'removed'
         |       WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // feature-hashing embedder skeleton: mix64(fnv64('emb-'||token)) per
+    // DISTINCT token (vocabulary-sized hash work), bucket = low 6 bits,
+    // sign = bit 40, signed counts per (doc, bucket), integer aggregates
+    "doc_hash_embed" ->
+      (s"""WITH tok0 AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> length(t) > 0)) AS term FROM documents),
+        |wd AS (SELECT DISTINCT term AS w FROM tok0),
+        |${fnvMixCtes("eh", "wd", "w", "'emb-' || w")},
+        |tb AS (SELECT tok0.doc_id, CAST(eh.z % 64 AS BIGINT) AS bucket,
+        |    CAST((eh.z // 1099511627776) % 2 AS BIGINT) * 2 - 1 AS sign
+        |  FROM tok0 JOIN eh ON tok0.term = eh.id),
+        |sp AS (SELECT doc_id, bucket, SUM(sign) AS v FROM tb GROUP BY 1, 2
+        |  HAVING SUM(sign) <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+        |  CAST(sum(abs(v)) AS BIGINT) AS l1,
+        |  CAST(sum(v * v) AS BIGINT) AS sq_norm,
+        |  CAST(sum((bucket + 1) * v) AS BIGINT) AS checksum
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }
