@@ -33,6 +33,11 @@ object Loaders {
       case "ndjson" =>
         val r = spark.read.options(src.options)
         effectiveSchema(spark, src, "ndjson").map(r.schema).getOrElse(r).json(src.uri)
+      // beyond-reference listing format: Spark-native ORC — same predicate
+      // pushdown / column pruning / partition discovery story as parquet
+      case "orc" =>
+        val r = spark.read.options(src.options)
+        src.schema.map(r.schema).getOrElse(r).orc(src.uri)
       case "json" => jsonDocument(spark, src)
       case "arrow" => // IPC file format
         org.apache.spark.sql.GraftArrowBridge.fromIpcFileBytes(spark,

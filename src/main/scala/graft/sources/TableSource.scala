@@ -32,6 +32,7 @@ final case class TableSource(
       case Some("csv") => "csv"
       case Some("tsv") => "tsv"
       case Some("parquet") => "parquet"
+      case Some("orc") => "orc"
       case Some("json") => "json"
       case Some("ndjson") | Some("jsonl") => "ndjson"
       case Some("arrow") => "arrow"

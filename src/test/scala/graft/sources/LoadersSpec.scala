@@ -84,4 +84,21 @@ class LoadersSpec extends SparkSpec {
       TableSource("x", "/data/file.unknown").resolvedFormat
     }
   }
+
+  test("orc round-trip with predicate pushdown into the scan") {
+    val d = Files.createTempDirectory("graft_orc").toString + "/docs"
+    graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .write.mode("overwrite").orc(d)
+    val df = Loaders.load(spark, TableSource("docs_orc", d, Some("orc")))
+    assert(df.count() ==
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "documents").count())
+    // filters must reach the ORC scan, same as the parquet listing path
+    val q = df.filter("doc_id = 7").select("doc_id", "source")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(doc_id,7"),
+      s"no pushdown in:\n$plan")
+    assert(q.count() == 1)
+    // extension inference: .orc resolves without an explicit format
+    assert(TableSource("t", d + "/whatever.orc").resolvedFormat == "orc")
+  }
 }
