@@ -52,4 +52,23 @@ class HashEmbedSpec extends AnyFunSuite {
     val cos = vs(1L).zip(vs(2L)).map { case (a, b) => a * b }.sum
     assert(math.abs(cos - 1.0) < 1e-9)
   }
+
+  test("hashed embeddings feed semDedup: exact-duplicate texts collapse") {
+    // copies of a doc's text under fresh ids embed to IDENTICAL vectors,
+    // land in the same kmeans cell (deterministic distance tie-break), and
+    // semDedup keeps exactly one per cell-local duplicate family
+    val copies = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val corpus = docs.unionByName(copies)
+    val emb = PipelineOps.hashEmbed(corpus, dim)
+      .select(col("doc_id").as("vec_id"), col("emb").as("embedding"))
+    val kept = PipelineOps.semDedup(emb, thresh = 0.999999)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    (0L until 5L).foreach { id =>
+      assert(!(kept.contains(id) && kept.contains(id + 100000L)),
+        s"duplicate pair ($id, ${id + 100000L}) survived semDedup intact")
+    }
+  }
 }
