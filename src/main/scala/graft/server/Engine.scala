@@ -52,6 +52,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
 
   def registerTable(src: TableSource): Unit = {
     cancelRefresh(src.name)
+    overCapTables.remove(src.name) // explicit re-register re-probes size
     registerResolved(src)
     tables.put(src.name, src)
     invalidatePlansAndPools()
@@ -82,20 +83,31 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     * read, never a full scan. */
   private val localServeRowCap = 10000
 
+  // Tables that already exceeded the cap once: a refresh tick skips the
+  // (cap+1)-row probe for them — paying a 10001-row scan job per tick per
+  // big table just to re-decide "don't pin" was pure waste (round-12
+  // advice). The pin is an optimization, never a correctness gate, so the
+  // one-way latch is safe: a table that SHRINKS below the cap serves
+  // distributed until an explicit re-register (which clears the latch).
+  private val overCapTables = ConcurrentHashMap.newKeySet[String]()
+
   private def registerResolved(src: TableSource): Unit = {
     val df = Loaders.register(spark, src)
-    if (!src.options.get("use_memory_table").contains("false")) {
+    // typed tri-state opt-out (use_memory_table=false in any case spelling
+    // parses to Some(false) in TableSource.fromOptions)
+    if (!src.memTable.contains(false) && !overCapTables.contains(src.name)) {
       val head = df.take(localServeRowCap + 1)
       if (head.length <= localServeRowCap) {
         val local = spark.createDataFrame(
           java.util.Arrays.asList(head: _*), df.schema)
         local.createOrReplaceTempView(src.name)
-      }
+      } else overCapTables.add(src.name)
     }
   }
 
   def dropTable(name: String): Unit = {
     cancelRefresh(name)
+    overCapTables.remove(name)
     tables.remove(name)
     spark.catalog.dropTempView(name)
     invalidatePlansAndPools()

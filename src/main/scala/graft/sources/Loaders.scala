@@ -53,7 +53,7 @@ object Loaders {
       case other => throw new IllegalArgumentException(
         s"unsupported table format `$other` for `${src.name}`")
     }
-    if (src.memTable) df.cache() else df
+    if (src.memTable.contains(true)) df.cache() else df
   }
 
   /** Database tables (reference: columnq/src/table/database.rs:37-73 loads

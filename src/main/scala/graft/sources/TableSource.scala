@@ -16,7 +16,10 @@ final case class TableSource(
     schema: Option[StructType] = None,
     pointer: Option[String] = None,       // RFC-6901 pointer into a JSON doc
     arrayEncoded: Boolean = false,        // positional-array rows (needs schema)
-    memTable: Boolean = false,
+    // tri-state `use_memory_table`: Some(true) = cache + materialize,
+    // Some(false) = serve straight from the backing store (opts OUT of the
+    // engine's small-table local re-pin), None = unset (engine decides)
+    memTable: Option[Boolean] = None,
     reloadIntervalSec: Option[Long] = None,
     // Accepted for config-file compatibility (the reference parses a
     // per-table batch_size on every table, columnq/src/table/mod.rs:569-572,
@@ -82,14 +85,16 @@ object TableSource {
       name = name,
       uri = uri,
       format = opts.get("format"),
-      // use_memory_table STAYS in options: the serving engine reads it to
-      // decide local re-pinning (Engine.registerResolved) — stripping it
-      // here made the serve-from-store opt-out dead on every config path
-      // (review finding); readers ignore the unknown key
-      options = opts -- Seq("format", "pointer", "array_encoded", "reload_interval", "batch_size"),
+      // use_memory_table is surfaced as the TYPED memTable field (the
+      // engine reads that to decide local re-pinning) and STRIPPED from
+      // reader options — forwarding it let strict JDBC drivers reject the
+      // unknown connection property (round-12 advice; toBoolean parses
+      // case-insensitively, so FALSE opts out like false)
+      options = opts -- Seq("format", "pointer", "array_encoded",
+        "reload_interval", "batch_size", "use_memory_table"),
       pointer = opts.get("pointer"),
       arrayEncoded = opts.get("array_encoded").exists(_.toBoolean),
-      memTable = opts.get("use_memory_table").exists(_.toBoolean),
+      memTable = opts.get("use_memory_table").map(_.toBoolean),
       reloadIntervalSec = opts.get("reload_interval").map(_.toLong),
       batchSize = opts.get("batch_size").map(_.toInt))
 

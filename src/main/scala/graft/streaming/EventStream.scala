@@ -240,14 +240,26 @@ object EventStream {
     * while a new run's ids land in their own namespace (probes ALL prior
     * runs, appends commit). 43 hash bits + 20 batch bits, sign bit clear
     * (so the id never collides with the `batch=-1` compaction base);
-    * batchIds wrap past 2^20 — one million micro-batches per query. */
+    * a batchId at or past 2^20 fails loudly instead of wrapping into an
+    * earlier batch's id (one million micro-batches per query; a stream
+    * that long-lived restarts with a fresh checkpoint = new namespace). */
   private[streaming] def effectiveBatchId(spark: org.apache.spark.sql.SparkSession,
                                           batchId: Long): Long = {
     val key = org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
     Option(spark.sparkContext.getLocalProperty(key)) match {
       case Some(qid) =>
+        // fail LOUDLY at the wrap boundary: past 2^20 micro-batches the
+        // masked id would collide with an earlier batch in the same
+        // namespace — the append would be silently skipped as a committed
+        // retry and the probe would exclude the old rows, losing hashes
+        // with no signal (round-12 advice). A query that long-lived must
+        // restart with a fresh checkpoint (new namespace) by design.
+        require(batchId >= 0 && batchId < (1L << 20),
+          s"micro-batch id $batchId exceeds the 2^20 ids available per " +
+            "streaming query; restart the stream with a fresh checkpoint " +
+            "so its batches get a new index namespace")
         (graft.functions.TextFunctions.fnv64(qid) & 0x7FFFFFFFFFF00000L) |
-          (batchId & 0xFFFFFL)
+          batchId
       case None => batchId // non-streaming caller: plain ids
     }
   }

@@ -2,17 +2,32 @@ package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
 
-/** Machine check for the one un-oracle-able catalog query: HLL sketches are
-  * engine-specific, so the driver records `q_approx_distinct` as no_oracle —
-  * this spec pins the approximation to its advertised accuracy instead
-  * (approx_count_distinct's default rsd is 0.05; the sketch is deterministic
-  * for fixed input, so the bound is stable, not flaky). Round-3 verdict #6. */
+/** HLL sketch values are engine-specific, so the DuckDB oracle checks the
+  * bounded-error PROPERTY (`within_5pct` must be TRUE per group, next to the
+  * exact count — round-12 verdict #2); this spec additionally pins the raw
+  * estimate's relative error at sf0.001 so a sketch regression is caught at
+  * unit-test time, not only in the driver's oracle run. The sketch is
+  * deterministic for fixed input, so the bound is stable, not flaky. */
 class ApproxDistinctSpec extends SparkSpec {
 
-  test("q_approx_distinct stays within 5% relative error of the exact count") {
+  test("q_approx_distinct reports within_5pct=true for every group") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sf0001)
       .collect()
     assert(rows.length === 3) // one per l_returnflag
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("exact_parts")) > 0)
+      assert(r.getBoolean(r.fieldIndex("within_5pct")),
+        s"returnflag ${r.get(0)}: HLL estimate broke its 5% bound")
+    }
+  }
+
+  test("raw HLL estimate stays within 5% relative error of the exact count") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.t(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect()
     rows.foreach { r =>
       val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
       val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble

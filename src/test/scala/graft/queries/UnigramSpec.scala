@@ -90,12 +90,15 @@ class UnigramSpec extends AnyFunSuite {
       best(w.length)._3.reverse
     }
     var segs: Map[String, Seq[String]] = Map.empty
-    for (_ <- 0 until rounds) {
+    def scoresOf(v: Map[String, Long]): Map[String, Int] = {
       val total = math.min(
-        vocab.valuesIterator.map(c => math.min(math.max(c, 1L), 1L << 40)).sum,
+        v.valuesIterator.map(c => math.min(math.max(c, 1L), 1L << 40)).sum,
         1L << 40)
       val sT = q3log2(total)
-      val sc = vocab.map { case (p, c) => p -> (q3log2(c) - sT) }
+      v.map { case (p, c) => p -> (q3log2(c) - sT) }
+    }
+    for (_ <- 0 until rounds) {
+      val sc = scoresOf(vocab)
       segs = dict.keys.map(w => w -> seg(w, sc)).toMap
       val used = scala.collection.mutable.Map[String, Long]()
       for ((w, ps) <- segs; p <- ps)
@@ -105,6 +108,10 @@ class UnigramSpec extends AnyFunSuite {
         if (c > 0 || p.length == 1) Some(p -> c) else None
       }.toMap
     }
+    // mirror the trainer's extra scoring-consistent pass: the stored segs
+    // come from the FINAL counts' scores (no further recount)
+    val finalSc = scoresOf(vocab)
+    segs = dict.keys.map(w => w -> seg(w, finalSc)).toMap
     (vocab.filter(_._2 > 0), segs)
   }
 
@@ -117,12 +124,14 @@ class UnigramSpec extends AnyFunSuite {
     val (vocab2, seg2) = PipelineOps.unigramLoad(spark, dir)
     assert(vocab2.toMap == model._1.toMap)
     assert(seg2.count() == model._2.count())
-    // serve-time re-encode of the TRAINING words must reproduce the
-    // trained segmentations exactly (same scores -> same DP)
+    // serve-time re-encode of EVERY training word must reproduce the
+    // stored segmentation exactly — guaranteed since the trainer's final
+    // pass segments under the same final-count scores the serve path
+    // derives (round-12 advice retired the fixture-luck caveat here)
     import spark.implicits._
     val trained = model._2.select(col("w"), col("pieces")).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
-    val sample = trained.keys.take(50).toSeq
+    val sample = trained.keys.toSeq
     val served = PipelineOps.unigramEncodeWords(sample.toDF("word"), vocab2)
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     sample.foreach(w => assert(served(w) == trained(w), s"word $w"))

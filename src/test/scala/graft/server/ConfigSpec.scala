@@ -86,7 +86,7 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.tables.head.resolvedFormat == "csv")
     assert(cfg.tables.head.options("has_header") == "false")
     assert(cfg.tables.head.reloadIntervalSec.contains(30L))
-    assert(cfg.tables(1).memTable)
+    assert(cfg.tables(1).memTable.contains(true))
     assert(cfg.kvs.head.key == "c_name")
     assert(cfg.sparkConf("spark.sql.shuffle.partitions") == "16")
     assert(cfg.flightTls.exists(_.clientCa == "/p/ca.pem"))
