@@ -39,6 +39,17 @@ object GraftSession {
       // A multi-node deployment should leave this at Spark's default —
       // there the wait is what buys HDFS/cache locality.
       .config("spark.locality.wait", "0")
+      // FAIR task scheduling (round-12 verdict #3): the serving path runs
+      // many independent jobs from concurrent requests; under the default
+      // FIFO scheduler one heavy /api/sql request head-of-line-blocks every
+      // cheap concurrent one — the reference's tokio runtime has no such
+      // convoy (roapi/src/startup.rs:140-177). Each request runs in its own
+      // pool (Engine.withRequestPool): pools are scheduled fairly against
+      // each other, so a cheap query gets task slots as the heavy job's
+      // waves finish instead of queueing behind ALL of them. Single-job
+      // workloads (Bench/Verify) are unaffected — fairness only reorders
+      // slot handout when jobs actually compete.
+      .config("spark.scheduler.mode", "FAIR")
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
     val spark = builder(cpus).getOrCreate()

@@ -200,6 +200,27 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     graft.queries.PipelineOps.releasePlanCaches()
   }
 
+  // ---- per-request FAIR pools ----------------------------------------------
+  // With spark.scheduler.mode=FAIR (GraftSession), jobs in DIFFERENT pools
+  // share task slots fairly; jobs in one pool still FIFO. Each request gets
+  // a pool off a bounded rotation (Spark never destroys pools, so unique
+  // per-request names would leak scheduler state — 32 names bound that
+  // while keeping concurrent requests in distinct pools in practice).
+  private val reqPoolSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private[server] def nextRequestPool(): String =
+    "graft-req-" + (reqPoolSeq.getAndIncrement() & 31)
+
+  /** Run `body` with this thread's Spark jobs assigned to `pool`; restores
+    * the previous assignment after (transport threads are pooled — a stale
+    * local property would leak the pool onto unrelated requests). */
+  def withRequestPool[T](pool: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try body
+    finally sc.setLocalProperty("spark.scheduler.pool", prev)
+  }
+
   /** SQL entry. `information_schema.tables` / `.columns` are served like the
     * reference's DataFusion `with_information_schema(true)` catalog
     * (columnq-cli/src/main.rs:93-94): Spark has no such schema, so references

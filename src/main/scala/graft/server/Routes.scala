@@ -65,8 +65,17 @@ object Routes {
     * (`{"code":N,"error":slug,"message":..}`, roapi/src/error.rs). */
   def handle(engine: Engine, req: Request): Response = {
     val t0 = System.nanoTime()
+    // one FAIR pool per request (round-12 verdict #3): the route's plan
+    // execution AND the Streamed body's partition-at-a-time encode jobs
+    // (which run later, on the transport's writer thread) both carry it,
+    // so a heavy request cannot head-of-line-block cheap concurrent ones
+    val pool = engine.nextRequestPool()
     val resp =
-      try route(engine, req)
+      try engine.withRequestPool(pool)(route(engine, req)) match {
+        case Streamed(mime, write) =>
+          Streamed(mime, out => engine.withRequestPool(pool)(write(out)))
+        case full => full
+      }
       catch {
         case e: ApiError => errorResponse(e)
         case e: graft.frontend.RestQuery.RestError =>

@@ -69,16 +69,18 @@ class PostgresServerSpec extends SparkSpec {
       frame('P', b.toByteArray)
     }
 
-    def bind(portal: String, stmt: String, params: Seq[String]): Unit = {
+    def bind(portal: String, stmt: String, params: Seq[String],
+             resultFmts: Seq[Short] = Seq.empty): Unit = {
       val b = new java.io.ByteArrayOutputStream()
       val d = new DataOutputStream(b)
       d.write(cstr(portal)); d.write(cstr(stmt))
-      d.writeShort(0) // all-text format codes
+      d.writeShort(0) // all-text PARAM format codes
       d.writeShort(params.length)
       params.foreach { p =>
         val bytes = p.getBytes(UTF_8); d.writeInt(bytes.length); d.write(bytes)
       }
-      d.writeShort(0) // result format codes
+      d.writeShort(resultFmts.length)
+      resultFmts.foreach(f => d.writeShort(f))
       frame('B', b.toByteArray)
     }
 
@@ -162,6 +164,50 @@ class PostgresServerSpec extends SparkSpec {
     c.execute("missing_portal")
     val err = c.sync()
     assert(err.map(_._1).contains('E'))
+    c.close()
+  }
+
+  test("extended protocol: binary result formats decode as pg int8/float8/timestamp") {
+    val c = new Client
+    c.startup()
+    c.parse("sb", "SELECT CAST(r_regionkey AS BIGINT) AS k, CAST(2.5 AS DOUBLE) AS x, " +
+      "timestamp'2021-04-12 04:04:28' AS ts FROM region WHERE r_regionkey = 1")
+    c.bind("pb", "sb", Seq.empty, resultFmts = Seq(1)) // one code = ALL binary
+    c.describePortal("pb")
+    c.execute("pb")
+    val msgs = c.sync()
+    // RowDescription advertises binary format codes for every column
+    val rd = new DataInputStream(new java.io.ByteArrayInputStream(
+      msgs.find(_._1 == 'T').get._2))
+    val nCols = rd.readShort()
+    assert(nCols == 3)
+    val fmts = (0 until nCols.toInt).map { _ =>
+      while (rd.readByte() != 0) () // field name cstr
+      rd.readInt(); rd.readShort(); rd.readInt(); rd.readShort(); rd.readInt()
+      rd.readShort() // the format code
+    }
+    assert(fmts == Seq(1, 1, 1), s"expected binary format codes, got $fmts")
+    // DataRow payloads are the pg binary send formats (network byte order)
+    val dr = new DataInputStream(new java.io.ByteArrayInputStream(
+      msgs.find(_._1 == 'D').get._2))
+    assert(dr.readShort() == 3)
+    def field(): Array[Byte] = {
+      val len = dr.readInt(); val b = new Array[Byte](len); dr.readFully(b); b
+    }
+    val k = java.nio.ByteBuffer.wrap(field())
+    assert(k.capacity == 8 && k.getLong == 1L)
+    val x = java.nio.ByteBuffer.wrap(field())
+    assert(x.capacity == 8 && x.getDouble == 2.5)
+    val ts = java.nio.ByteBuffer.wrap(field())
+    val expectMicros = java.time.Instant.parse("2021-04-12T04:04:28Z")
+      .getEpochSecond * 1000000L -
+      java.time.Instant.parse("2000-01-01T00:00:00Z").getEpochSecond * 1000000L
+    assert(ts.capacity == 8 && ts.getLong == expectMicros)
+    // a type with no binary send (array) fails loudly instead of corrupting
+    c.parse("sa", "SELECT array(1, 2) AS a")
+    c.bind("pa", "sa", Seq.empty, resultFmts = Seq(1))
+    c.execute("pa")
+    assert(c.sync().map(_._1).contains('E'))
     c.close()
   }
 
