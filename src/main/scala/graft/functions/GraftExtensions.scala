@@ -80,5 +80,6 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     // at optimization time (graft.plans.LocalFoldRules scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.LocalFoldRules.FoldLocalSort)
     ext.injectOptimizerRule(_ => graft.plans.LocalFoldRules.FoldLocalLimit)
+    ext.injectOptimizerRule(_ => graft.plans.LocalFoldRules.FoldLocalAggregate)
   }
 }

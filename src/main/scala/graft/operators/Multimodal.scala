@@ -399,6 +399,125 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRow(id, synthWavBytes(id), "audio/wav")))
   }
 
+  // ===== fixed-point MFCC (mel filterbank + DCT, integer arithmetic) =======
+
+  /** One analysis frame's log-mel energies and DCT coefficients. */
+  final case class MfccFrame(doc_id: Long, frame_idx: Long,
+                             l0: Long, l1: Long, l2: Long,
+                             l3: Long, l4: Long, l5: Long,
+                             c0: Long, c1: Long, c2: Long)
+
+  /** Fixed-point MFCC-style features, every step INTEGER arithmetic with
+    * truncating division so a SQL engine reproduces the output bit-exactly
+    * (round-12 verdict #5 — the discipline embedded-DSP MFCC
+    * implementations use, applied for oracle-exactness):
+    *
+    *   1. non-overlapping 64-sample frames (synth waveform lengths are
+    *      multiples of 64, so frames tile exactly);
+    *   2. 16-bin DFT with Q14 trig tables generated by the integer
+    *      rotation recurrence `c' = (c·16305 − s·1605)/16384`,
+    *      `s' = (s·16305 + c·1605)/16384` from (16384, 0) — the two
+    *      literals are floor(cos/sin(2π/64)·2^14); power
+    *      `p_k = (re/2^14)² + (im/2^14)²`;
+    *   3. six triangular mel-spaced filters over bins 1..16 (integer edge
+    *      bins 1,2,3,5,7,10,13,16; Q10 triangle weights);
+    *   4. quantized log energy `floor(3·log2(clamp(mel, 1, 2^41)))` — the
+    *      [[graft.queries.PipelineOps.unigramScore]] integer-log trick;
+    *   5. DCT-II over the six log energies via Q10 integer cosine literals
+    *      (k = 0 is the plain sum).
+    *
+    * Runs per-row inside a partition map — embarrassingly parallel, no
+    * shuffle; a 100 TB corpus pays one distributed pass. */
+  private val MelEdges = Array(1, 2, 3, 5, 7, 10, 13, 16)
+  val DctT1 = Array(989L, 724L, 265L, -266L, -725L, -990L)
+  val DctT2 = Array(886L, 0L, -887L, -887L, 0L, 886L)
+
+  private[operators] lazy val (mfccCosTab, mfccSinTab) = {
+    val c = new Array[Long](64); val s = new Array[Long](64)
+    c(0) = 16384L; s(0) = 0L
+    var j = 1
+    while (j < 64) {
+      c(j) = (c(j - 1) * 16305 - s(j - 1) * 1605) / 16384
+      s(j) = (s(j - 1) * 16305 + c(j - 1) * 1605) / 16384
+      j += 1
+    }
+    (c, s)
+  }
+
+  /** floor(3·log2(x)) of x clamped to [1, 2^41] — integer-exact (cube vs
+    * power-of-two comparisons; fits HUGEINT on the oracle side). */
+  private[operators] def q3log2Clamped(x: Long): Long = {
+    val cl = math.min(math.max(x, 1L), 1L << 41)
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(cl)
+    val c3 = BigInt(cl).pow(3)
+    3L * b + (if (c3 >= (BigInt(1) << (3 * b + 1))) 1L else 0L) +
+      (if (c3 >= (BigInt(1) << (3 * b + 2))) 1L else 0L)
+  }
+
+  def audioMfcc(id: Long, samples: Array[Short]): Seq[MfccFrame] = {
+    val nFrames = samples.length / 64
+    (0 until nFrames).map { f =>
+      val p = new Array[Long](17)
+      var k = 1
+      while (k <= 16) {
+        var re = 0L; var im = 0L
+        var i = 0
+        while (i < 64) {
+          val x = samples(f * 64 + i).toLong
+          val j = (k * i) % 64
+          re += x * mfccCosTab(j)
+          im += x * mfccSinTab(j)
+          i += 1
+        }
+        val rq = re / 16384; val iq = im / 16384
+        p(k) = rq * rq + iq * iq
+        k += 1
+      }
+      val lm = new Array[Long](6)
+      var m = 0
+      while (m < 6) {
+        val l = MelEdges(m); val cpk = MelEdges(m + 1); val r = MelEdges(m + 2)
+        var acc = 0L
+        var b = l
+        while (b <= r) {
+          val w = if (b <= cpk) (b - l).toLong * 1024 / (cpk - l)
+                  else (r - b).toLong * 1024 / (r - cpk)
+          acc += p(b) * w
+          b += 1
+        }
+        lm(m) = q3log2Clamped(acc / 1024)
+        m += 1
+      }
+      var c0 = 0L; var c1 = 0L; var c2 = 0L
+      m = 0
+      while (m < 6) {
+        c0 += lm(m); c1 += lm(m) * DctT1(m); c2 += lm(m) * DctT2(m); m += 1
+      }
+      MfccFrame(id, f.toLong, lm(0), lm(1), lm(2), lm(3), lm(4), lm(5),
+        c0, c1 / 1024, c2 / 1024)
+    }
+  }
+
+  /** Per-frame MFCC rows over a decoded audio table — distributed via the
+    * same partition-map shape as [[extractAudioFeatures]]. */
+  def audioMfccFrames(media: Dataset[MediaRow]): Dataset[MfccFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap(r => audioMfcc(r.id, decodeAudio(r.payload)._3))
+  }
+
+  /** The mel triangle weight table as (m, b, w) rows — exposed so the
+    * DuckDB oracle embeds the SAME integers as VALUES literals. */
+  def melWeightRows: Seq[(Int, Int, Long)] =
+    (0 until 6).flatMap { m =>
+      val l = MelEdges(m); val cpk = MelEdges(m + 1); val r = MelEdges(m + 2)
+      (l to r).map { b =>
+        val w = if (b <= cpk) (b - l).toLong * 1024 / (cpk - l)
+                else (r - b).toLong * 1024 / (r - cpk)
+        (m, b, w)
+      }
+    }
+
   // ===== real multi-frame kernels (JDK ImageIO GIF; animated, lossless) ====
 
   final case class FrameStats(id: Long, frame_idx: Int, width: Int,

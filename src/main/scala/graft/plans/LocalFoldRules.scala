@@ -1,8 +1,12 @@
 package graft.plans
 
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.dsl.expressions._
-import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, RowOrdering}
-import org.apache.spark.sql.catalyst.plans.logical.{Limit, LocalRelation, LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.expressions.{BindReferences, IntegerLiteral, JoinedRow, Literal, MutableProjection, PlanExpression, Predicate, RowOrdering, SpecificInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Limit, LocalRelation, LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Drive Sort and Limit over a small [[LocalRelation]] to completion at
@@ -49,6 +53,124 @@ object LocalFoldRules {
       case Limit(IntegerLiteral(n), rel: LocalRelation)
           if rel.data.length <= cap && !rel.isStreaming =>
         LocalRelation(rel.output, rel.data.take(n), isStreaming = false)
+    }
+  }
+
+  /** Aggregate over a bounded LocalRelation -> pre-computed LocalRelation
+    * (round-12 verdict #4: `SELECT agg(..) GROUP BY` against a re-pinned
+    * small table was the last serving shape still launching a Spark job).
+    *
+    * Evaluation is the interpreted form of exactly what HashAggregateExec
+    * executes for [[DeclarativeAggregate]]s: per group, initialize the
+    * buffer from `initialValues`, fold each row through a MutableProjection
+    * of `updateExpressions` over (buffer ++ inputRow), finish with
+    * `evaluateExpression` — same expressions, same null semantics, no
+    * parallel/partial split (single-digit-thousands of driver rows).
+    * DISTINCT dedups on the function inputs per group (what the planner's
+    * expand would do); FILTER clauses gate the update. Anything else —
+    * imperative/typed aggregates (HLL sketches, collect_list), subqueries,
+    * nondeterminism, grouping sets (those sit behind an Expand, so the
+    * child is never a LocalRelation) — falls through to normal execution.
+    * Result expressions re-evaluate with each AggregateExpression replaced
+    * by its computed Literal, bound against the child and evaluated on the
+    * group's first row: analysis guarantees any surviving attribute sits
+    * inside a subtree semantically equal to a grouping expression, whose
+    * value is constant across the group. */
+  object FoldLocalAggregate extends Rule[LogicalPlan] {
+    private def supported(a: Aggregate, rel: LocalRelation): Boolean = {
+      val plainExprsOk = (a.groupingExpressions ++ a.aggregateExpressions).forall { e =>
+        e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])
+      }
+      val aggs = a.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      val aggsOk = aggs.forall { ae =>
+        ae.mode == Complete &&
+          ae.aggregateFunction.isInstanceOf[DeclarativeAggregate]
+      }
+      rel.data.length <= cap && !rel.isStreaming && plainExprsOk && aggsOk
+    }
+
+    /** The child as a LocalRelation, collapsing Project/Filter/Limit chains
+      * with the stock ConvertToLocalRelation first: within OUR fixed-point
+      * batch the column-pruning Project inserted above the LocalRelation
+      * has not been collapsed yet (that happens in a later "LocalRelation"
+      * batch this rule is not part of). Output attribute ids are preserved
+      * by the stock rule, so the Aggregate's expressions bind unchanged. */
+    private def localChild(p: LogicalPlan): Option[LocalRelation] = p match {
+      case rel: LocalRelation => Some(rel)
+      case _ =>
+        org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation(p) match {
+          case rel: LocalRelation => Some(rel)
+          case _ => None
+        }
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case a: Aggregate =>
+        localChild(a.child) match {
+          case Some(rel) if supported(a, rel) =>
+            try evaluate(a, rel)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                // semantics are never at risk — the unfolded plan executes
+                // normally; log so a systematically failing fold is visible
+                logWarning(s"FoldLocalAggregate fell back to execution: $e")
+                a
+            }
+          case _ => a
+        }
+    }
+
+    private def evaluate(a: Aggregate, rel: LocalRelation): LocalRelation = {
+      val childOut = rel.output
+      val groupProj = UnsafeProjection.create(a.groupingExpressions, childOut)
+      val groups = new java.util.LinkedHashMap[UnsafeRow, ArrayBuffer[InternalRow]]()
+      rel.data.foreach { r =>
+        groups.computeIfAbsent(groupProj(r).copy(),
+          _ => new ArrayBuffer[InternalRow]()) += r
+      }
+      // a GLOBAL aggregate over zero rows still yields one row (count()=0)
+      if (groups.isEmpty && a.groupingExpressions.isEmpty)
+        groups.put(groupProj(InternalRow.empty).copy(),
+          new ArrayBuffer[InternalRow]())
+
+      def evalAgg(ae: AggregateExpression, rows: Seq[InternalRow]): Any = {
+        val f = ae.aggregateFunction.asInstanceOf[DeclarativeAggregate]
+        val buffer = new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
+        MutableProjection.create(f.initialValues, Nil)
+          .target(buffer)(InternalRow.empty)
+        val update = MutableProjection.create(
+          f.updateExpressions, f.aggBufferAttributes ++ childOut).target(buffer)
+        val joined = new JoinedRow
+        val filterPred = ae.filter.map(Predicate.create(_, childOut))
+        val distinctKey =
+          if (ae.isDistinct) UnsafeProjection.create(f.children, childOut) else null
+        val seen = scala.collection.mutable.HashSet.empty[UnsafeRow]
+        rows.foreach { r =>
+          if (filterPred.forall(_.eval(r)) &&
+              (distinctKey == null || seen.add(distinctKey(r).copy())))
+            update(joined(buffer, r))
+        }
+        BindReferences.bindReference(f.evaluateExpression, f.aggBufferAttributes)
+          .eval(buffer)
+      }
+
+      val toUnsafe = UnsafeProjection.create(a.aggregateExpressions.map(_.dataType).toArray)
+      val data = Seq.newBuilder[InternalRow]
+      groups.values().forEach { rows =>
+        val aggValues = scala.collection.mutable.HashMap.empty[AggregateExpression, Any]
+        val firstRow = rows.headOption.getOrElse(InternalRow.empty)
+        val values = a.aggregateExpressions.map { re =>
+          val substituted = re.transform {
+            case ae: AggregateExpression =>
+              Literal(aggValues.getOrElseUpdate(ae, evalAgg(ae, rows.toSeq)), ae.dataType)
+          }
+          BindReferences.bindReference(substituted, childOut).eval(firstRow)
+        }
+        data += toUnsafe(InternalRow.fromSeq(values)).copy()
+      }
+      LocalRelation(a.output, data.result(), isStreaming = false)
     }
   }
 }

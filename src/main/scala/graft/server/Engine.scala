@@ -94,8 +94,15 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   private def registerResolved(src: TableSource): Unit = {
     val df = Loaders.register(spark, src)
     // typed tri-state opt-out (use_memory_table=false in any case spelling
-    // parses to Some(false) in TableSource.fromOptions)
-    if (!src.memTable.contains(false) && !overCapTables.contains(src.name)) {
+    // parses to Some(false) in TableSource.fromOptions); a directly-
+    // constructed TableSource may instead carry the raw option — honor it
+    // case-insensitively too (round-12 advice: the literal-"false" check
+    // missed FALSE)
+    val memOptOut = src.memTable.orElse(
+      src.options.get("use_memory_table")
+        .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption))
+      .contains(false)
+    if (!memOptOut && !overCapTables.contains(src.name)) {
       val head = df.take(localServeRowCap + 1)
       if (head.length <= localServeRowCap) {
         val local = spark.createDataFrame(
@@ -237,12 +244,70 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
       if (hit != null) { planCacheHits.incrementAndGet(); hit }
       else {
         val epoch = planEpoch.get()
-        val df = spark.sql(sql) // analyze outside the lock (it can be slow)
-        if (cacheablePlan(df)) planCache.synchronized {
+        val df0 = spark.sql(sql) // analyze outside the lock (it can be slow)
+        val cacheable = cacheablePlan(df0)
+        val df = fastLocalServe(df0)
+        if (cacheable) planCache.synchronized {
           if (planEpoch.get() == epoch) planCache.put(sql, df)
         }
         df
       }
+    }
+  }
+
+  // ---- cold-path mini-fold -------------------------------------------------
+  // The rules that collapse a pinned-small-table query to a LocalRelation,
+  // lifted OUT of the full optimizer: Catalyst's whole battery costs ~4-5 ms
+  // per unique statement even on a 2-node plan (measured), which dominated
+  // the cold serving p50 once job launch was already folded away. All nine
+  // are Spark's own finish-analysis/local-fold rules or the spec-pinned
+  // graft fold rules — the mini pass can only produce what full
+  // optimization would have produced, it just stops paying for the ~40
+  // batches that cannot apply to an all-LocalRelation plan.
+  private val miniFoldRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Seq(
+    org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions,
+    org.apache.spark.sql.catalyst.optimizer.ComputeCurrentTime,
+    org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases,
+    org.apache.spark.sql.catalyst.analysis.EliminateView,
+    org.apache.spark.sql.catalyst.optimizer.ReplaceDistinctWithAggregate,
+    org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation,
+    graft.plans.LocalFoldRules.FoldLocalSort,
+    graft.plans.LocalFoldRules.FoldLocalLimit,
+    graft.plans.LocalFoldRules.FoldLocalAggregate)
+
+  /** When every leaf of the analyzed plan is a LocalRelation (the engine's
+    * re-pinned small tables), try to collapse the whole statement with the
+    * mini battery; a full collapse serves straight off the folded rows.
+    * Distributed plans skip this at the cost of one leaf scan; plans with
+    * nondeterministic or time-valued expressions are excluded so the
+    * result cache's refusal logic (which inspects the RETURNED plan) still
+    * sees them; any rule failure falls back to the standard pipeline. */
+  private def fastLocalServe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+    val analyzed = df.queryExecution.analyzed
+    val leaves = analyzed.collectLeaves()
+    if (leaves.isEmpty || !leaves.forall(_.isInstanceOf[LocalRelation])) return df
+    if (!cacheablePlanExprs(analyzed)) return df
+    try {
+      var cur: LogicalPlan = analyzed
+      var rounds = 0
+      var changed = true
+      while (changed && rounds < 10) {
+        val next = miniFoldRules.foldLeft(cur)((p, r) => r(p))
+        changed = !next.fastEquals(cur)
+        cur = next
+        rounds += 1
+      }
+      cur match {
+        case rel: LocalRelation =>
+          org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rel)
+        case _ => df
+      }
+    } catch {
+      // a rule tripping on an exotic expression must degrade to the normal
+      // pipeline, never fail the request
+      case scala.util.control.NonFatal(_) => df
     }
   }
 
@@ -254,29 +319,35 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     * is fixed at analysis, and serving the same "random" rows per request
     * is a behavior change from the uncached path. */
   private def cacheablePlan(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
     import org.apache.spark.sql.catalyst.plans.logical.Command
     val analyzed = df.queryExecution.analyzed
     val isCommand = analyzed.isInstanceOf[Command] ||
       analyzed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.CommandResult] ||
       df.queryExecution.logical.isInstanceOf[Command]
     if (isCommand) { invalidatePlans(); false }
-    else {
-      def bad(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-        e.find {
-          // time-valued functions report deterministic=true but freeze at the
-          // plan's first optimization — caching would serve the first
-          // request's wall clock forever (same class as the rand() seed)
-          case _: CurrentTimestamp | _: CurrentDate | _: Now | _: LocalTimestamp => true
-          case other => !other.deterministic
-        }.isDefined
-      // collectWithSubqueries: Expression.find does not descend into a
-      // SubqueryExpression's inner PLAN, so `WHERE x > (SELECT rand())`
-      // would otherwise cache and replay its frozen seed on every request
-      analyzed.collectWithSubqueries {
-        case p if p.expressions.exists(bad) => p
-      }.isEmpty
-    }
+    else cacheablePlanExprs(analyzed)
+  }
+
+  /** The expression half of [[cacheablePlan]], shared with the mini-fold
+    * guard: no nondeterminism, no time-valued functions, anywhere
+    * including subquery plans. */
+  private def cacheablePlanExprs(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, LocalTimestamp, Now}
+    def bad(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.find {
+        // time-valued functions report deterministic=true but freeze at the
+        // plan's first optimization — caching would serve the first
+        // request's wall clock forever (same class as the rand() seed)
+        case _: CurrentTimestamp | _: CurrentDate | _: Now | _: LocalTimestamp => true
+        case other => !other.deterministic
+      }.isDefined
+    // collectWithSubqueries: Expression.find does not descend into a
+    // SubqueryExpression's inner PLAN, so `WHERE x > (SELECT rand())`
+    // would otherwise cache and replay its frozen seed on every request
+    analyzed.collectWithSubqueries {
+      case p if p.expressions.exists(bad) => p
+    }.isEmpty
   }
 
   private def isIdentChar(c: Char): Boolean =

@@ -131,6 +131,68 @@ object DeletionVectors {
     }
   }
 
+  /** Deserialize the STANDARD 64-bit roaring "portable" serialization
+    * (RoaringFormatSpec 64-bit extension, what Iceberg v3 deletion
+    * vectors store): u64 LE bucket count, then per bucket a u32 LE high
+    * key followed by a 32-bit portable bitmap. Differs from Delta's
+    * RoaringBitmapArray below (magic header, IMPLICIT 0..n-1 keys). */
+  def deserializePortable64(data: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val nBuckets = buf.getLong
+    require(nBuckets >= 0 && nBuckets <= Int.MaxValue,
+      s"deletion vector: implausible bucket count $nBuckets")
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var k = 0L
+    while (k < nBuckets) {
+      val key = buf.getInt.toLong & 0xFFFFFFFFL
+      readBitmap32(buf, key << 32, v => { out.add(v); () })
+      k += 1
+    }
+    val arr = new Array[Long](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Iceberg v3 deletion-vector blob magic, the on-disk byte sequence
+    * D1 D3 39 64 (iceberg spec §Deletion vectors). */
+  private val IcebergDvMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+
+  /** Read one Iceberg v3 deletion vector straight out of a Puffin file at
+    * the manifest's `content_offset` (the spec's fast path — no footer
+    * parse needed): `[len i32 BE][magic D1D33964][portable-64 vector]
+    * [crc32 i32 BE over magic+vector]`. The file header magic is checked
+    * too so a mis-pointed offset into a non-Puffin file fails loudly. */
+  def readIcebergDv(fs: org.apache.hadoop.fs.FileSystem, p: HPath,
+                    offset: Long, sizeInBytes: Long): Array[Long] = {
+    val in = fs.open(p)
+    try {
+      val head = new Array[Byte](4)
+      in.readFully(head)
+      require(head.sameElements("PFA1".getBytes("UTF-8")),
+        s"deletion vector: `$p` is not a Puffin file (bad header magic)")
+      in.seek(offset)
+      val lenBytes = new Array[Byte](4)
+      in.readFully(lenBytes)
+      val len = ByteBuffer.wrap(lenBytes).getInt // big-endian
+      require(len >= 4 && (sizeInBytes <= 0 || len + 8 == sizeInBytes),
+        s"deletion vector: blob length $len inconsistent with " +
+          s"content_size_in_bytes $sizeInBytes in $p")
+      val body = new Array[Byte](len) // magic + vector
+      in.readFully(body)
+      require((0 until 4).forall(i => body(i) == IcebergDvMagic(i)),
+        s"deletion vector: bad blob magic in $p at offset $offset")
+      val crcBytes = new Array[Byte](4)
+      in.readFully(crcBytes)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      require(ByteBuffer.wrap(crcBytes).getInt == crc.getValue.toInt,
+        s"deletion vector checksum mismatch in $p at offset $offset")
+      deserializePortable64(java.util.Arrays.copyOfRange(body, 4, body.length))
+    } finally in.close()
+  }
+
   /** Deserialize a portable 64-bit RoaringBitmapArray into sorted row
     * indexes. */
   def deserializeBitmapArray(data: Array[Byte]): Array[Long] = {

@@ -30,7 +30,11 @@ import org.apache.spark.sql.types._
   * partition values live IN Iceberg data files (unlike Delta), so no
   * partition reconstruction is needed.
   *
-  * Supported: format-version 1 and 2; `version-hint.text` or newest
+  * Supported: format-version 1, 2 and 3; v3 deletion vectors (Puffin
+  * `deletion-vector-v1` blobs located by the manifest's
+  * `referenced_data_file`/`content_offset`, decoded from the standard
+  * portable-64 roaring serialization and applied through the same
+  * (file, row) anti-join as position deletes); `version-hint.text` or newest
   * `*.metadata.json` resolution; v1 snapshots with inline `manifests`
   * lists; v2 POSITION deletes (matched on `_metadata.file_path` +
   * `row_index`, the [[DeltaLoader]] deletion-vector mechanism); v2
@@ -42,8 +46,9 @@ import org.apache.spark.sql.types._
   * SNAPSHOT's own schema-id when recorded (falling back to
   * current-schema-id).
   *
-  * Unsupported (fails loudly): format-version > 2, non-parquet data
-  * files, equality deletes on nested fields. Column-rename evolution
+  * Unsupported (fails loudly): format-version > 3, non-parquet data
+  * files, equality deletes on nested fields, v3 row lineage / new v3
+  * column types (those fail in schema conversion). Column-rename evolution
   * relies on field IDs the name-based parquet read does not consult —
   * renamed columns read as null from pre-rename files (documented
   * minimal-reader trade). */
@@ -93,8 +98,8 @@ object IcebergLoader {
       }
     val node = mapper.readTree(readBytes(fs, metaPath))
     val fv = node.get("format-version").asInt()
-    require(fv == 1 || fv == 2,
-      s"Iceberg reader: format-version $fv not supported (spec v1/v2 only)")
+    require(fv >= 1 && fv <= 3,
+      s"Iceberg reader: format-version $fv not supported (spec v1/v2/v3 only)")
     node
   }
 
@@ -172,9 +177,14 @@ object IcebergLoader {
 
   private final case class EqDeleteFile(path: String, seq: Long,
                                         equalityIds: Seq[Int])
+  /** A v3 deletion vector: a blob inside a Puffin file, applying to ONE
+    * referenced data file (iceberg spec §Deletion vectors). */
+  private final case class DvFile(puffinPath: String, referencedDataFile: String,
+                                  contentOffset: Long, contentSize: Long)
   private final case class PlannedScan(dataFiles: Seq[(String, Long)],
                                        positionDeleteFiles: Seq[String],
-                                       equalityDeleteFiles: Seq[EqDeleteFile])
+                                       equalityDeleteFiles: Seq[EqDeleteFile],
+                                       deletionVectors: Seq[DvFile] = Seq.empty)
 
   private def readAvro(fs: FileSystem, p: HPath): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](
@@ -202,6 +212,9 @@ object IcebergLoader {
     if (r.getSchema.getField(field) == null) Seq.empty
     else Option(r.get(field)).map(_.asInstanceOf[java.util.Collection[_]]
       .asScala.toSeq.map(_.asInstanceOf[Number].intValue())).getOrElse(Seq.empty)
+  private def strOpt(r: GenericRecord, field: String): Option[String] =
+    if (r.getSchema.getField(field) == null) None
+    else Option(r.get(field)).map(String.valueOf)
 
   /** Walk manifest list -> manifests -> live file paths for one snapshot.
     * Manifest-entry statuses: 0 EXISTING / 1 ADDED are part of the
@@ -251,6 +264,7 @@ object IcebergLoader {
     val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[EqDeleteFile]
+    val dvs = Seq.newBuilder[DvFile]
     manifests.foreach { case (path, manifestContent, manifestSeq) =>
       readAvro(fs, new HPath(path)).foreach { entry =>
         val status = intOr(entry, "status", 1)
@@ -265,7 +279,21 @@ object IcebergLoader {
               require(fmt == "PARQUET",
                 s"Iceberg reader: data file format `$fmt` not supported (parquet only)")
               data += ((filePath, seq))
-            case 1 => posDeletes += filePath
+            case 1 =>
+              // v3 deletion vectors share content=1 with v2 position-delete
+              // files but point a PUFFIN blob at ONE referenced data file;
+              // the format field (not format-version) discriminates, so an
+              // upgraded table carrying both forms reads correctly
+              if (str(df, "file_format").toUpperCase == "PUFFIN") {
+                val ref = strOpt(df, "referenced_data_file").getOrElse(
+                  throw new IllegalArgumentException("Iceberg reader: puffin " +
+                    s"delete `$filePath` carries no referenced_data_file"))
+                val off = longOr(df, "content_offset", -1L)
+                require(off >= 0, "Iceberg reader: puffin delete " +
+                  s"`$filePath` carries no content_offset")
+                dvs += DvFile(filePath, remap(ref), off,
+                  longOr(df, "content_size_in_bytes", -1L))
+              } else posDeletes += filePath
             case 2 =>
               val ids = intListOf(df, "equality_ids")
               require(ids.nonEmpty, "Iceberg reader: equality delete file " +
@@ -277,7 +305,8 @@ object IcebergLoader {
         }
       }
     }
-    PlannedScan(data.result(), posDeletes.result(), eqDeletes.result())
+    PlannedScan(data.result(), posDeletes.result(), eqDeletes.result(),
+      dvs.result())
   }
 
   /** Iceberg stores ABSOLUTE paths from write time; a relocated table's
@@ -319,7 +348,8 @@ object IcebergLoader {
     val base = spark.read.schema(schema).parquet(plan.dataFiles.map(_._1): _*)
       .withColumn("__graft_fp", normFp(col("_metadata.file_path")))
       .withColumn("__graft_ri", col("_metadata.row_index"))
-    val afterPos = if (plan.positionDeleteFiles.isEmpty) base
+    val afterPos =
+      if (plan.positionDeleteFiles.isEmpty && plan.deletionVectors.isEmpty) base
     else {
       // position deletes: parquet files of (file_path, pos) — the spec's
       // delete-file schema — anti-joined against the reader's file/row
@@ -334,13 +364,35 @@ object IcebergLoader {
       val loc = Option(meta.get("location")).filterNot(_.isNull)
         .map(p => normStr(p.asText().stripSuffix("/")))
       val root = normStr(tableUri.stripSuffix("/"))
-      val rawDeletes = spark.read.parquet(plan.positionDeleteFiles: _*)
-        .select(normFp(col("file_path").cast("string")).as("__graft_fp"),
-          col("pos").cast("long").as("__graft_ri"))
-      val deletes = loc.filter(_ != root).fold(rawDeletes)(l =>
-        rawDeletes.withColumn("__graft_fp", regexp_replace(col("__graft_fp"),
-          "^" + java.util.regex.Pattern.quote(l + "/"),
-          java.util.regex.Matcher.quoteReplacement(root + "/"))))
+      val parquetDeletes =
+        if (plan.positionDeleteFiles.isEmpty) None
+        else {
+          val rawDeletes = spark.read.parquet(plan.positionDeleteFiles: _*)
+            .select(normFp(col("file_path").cast("string")).as("__graft_fp"),
+              col("pos").cast("long").as("__graft_ri"))
+          Some(loc.filter(_ != root).fold(rawDeletes)(l =>
+            rawDeletes.withColumn("__graft_fp", regexp_replace(col("__graft_fp"),
+              "^" + java.util.regex.Pattern.quote(l + "/"),
+              java.util.regex.Matcher.quoteReplacement(root + "/")))))
+        }
+      // v3 deletion vectors: decode each Puffin blob into row indexes for
+      // its ONE referenced data file (path already remapped at plan time)
+      // and feed the same (file, row) anti-join. Decoding is driver-side
+      // and bounded by tombstone count — the identical scale assumption
+      // the broadcast of parquet position deletes above already makes.
+      val dvDeletes =
+        if (plan.deletionVectors.isEmpty) None
+        else {
+          val pairs = plan.deletionVectors.flatMap { d =>
+            DeletionVectors.readIcebergDv(fs, new HPath(d.puffinPath),
+                d.contentOffset, d.contentSize)
+              .map(ri => org.apache.spark.sql.Row(normStr(d.referencedDataFile), ri))
+          }
+          Some(spark.createDataFrame(pairs.asJava,
+            StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
+              StructField("__graft_ri", LongType, nullable = false)))))
+        }
+      val deletes = (parquetDeletes.toSeq ++ dvDeletes.toSeq).reduce(_ unionByName _)
       base.join(broadcast(deletes), Seq("__graft_fp", "__graft_ri"), "left_anti")
     }
     val afterEq = if (plan.equalityDeleteFiles.isEmpty) afterPos

@@ -121,6 +121,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fixed-point MFCC: trig tables track real cosines; frames respond to spectrum") {
+    // Q14 recurrence tables stay within quantization+drift of the real
+    // trig values across the whole period (measured max 70/16384 = 0.43%)
+    val c = Multimodal.mfccCosTab; val s = Multimodal.mfccSinTab
+    assert(c(0) == 16384L && s(0) == 0L)
+    (0 until 64).foreach { j =>
+      val a = 2 * math.Pi * j / 64
+      assert(math.abs(c(j) - math.cos(a) * 16384) <= 71, s"cos j=$j got ${c(j)}")
+      assert(math.abs(s(j) - math.sin(a) * 16384) <= 71, s"sin j=$j got ${s(j)}")
+    }
+    // a pure bin-2 tone concentrates energy in low mel filters; a bin-14
+    // tone in high ones — the filterbank must separate them
+    def tone(bin: Int): Array[Short] =
+      Array.tabulate(64)(i => (20000 * math.sin(2 * math.Pi * bin * i / 64)).toShort)
+    val low = Multimodal.audioMfcc(1L, tone(2)).head
+    val high = Multimodal.audioMfcc(1L, tone(14)).head
+    assert(low.l0 > low.l5, s"low tone: l0=${low.l0} l5=${low.l5}")
+    assert(high.l5 > high.l0, s"high tone: l0=${high.l0} l5=${high.l5}")
+    // deterministic and frame-exact over the synthetic corpus shape
+    val frames = Multimodal.audioMfcc(7L, Multimodal.synthAudioSamples(7L))
+    assert(frames.length == (256 + 7 * 64) / 64)
+    assert(frames == Multimodal.audioMfcc(7L, Multimodal.synthAudioSamples(7L)))
+    assert(frames.map(_.frame_idx) == (0 until frames.length).map(_.toLong))
+    // c0 is the plain sum of the six quantized log energies
+    frames.foreach { f =>
+      assert(f.c0 == f.l0 + f.l1 + f.l2 + f.l3 + f.l4 + f.l5)
+    }
+  }
+
   test("perceptual hash: ids congruent mod 256 render identical images, hamming 0") {
     import spark.implicits._
     val ph = Multimodal.imagePhash(

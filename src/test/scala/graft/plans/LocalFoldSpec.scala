@@ -48,6 +48,55 @@ class LocalFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY aggregate over a local relation folds to a LocalTableScan") {
+    localDf.createOrReplaceTempView("lf_t")
+    val df = spark.sql(
+      "SELECT k, count(*) AS n, sum(v) AS s FROM lf_t GROUP BY k ORDER BY k")
+    assert(df.queryExecution.executedPlan.isInstanceOf[LocalTableScanExec],
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L, "e" -> 1L))
+  }
+
+  test("aggregate fold matches distributed execution across shapes") {
+    // a richer local table: repeated keys, nulls, negatives
+    val rich = Seq(
+      ("x", Some(3.0), 1L), ("x", None: Option[Double], 2L), ("y", Some(-1.5), 3L),
+      ("y", Some(2.5), 4L), ("y", Some(2.5), 5L), ("z", None: Option[Double], 6L)
+    ).toDF("k", "v", "id")
+    rich.createOrReplaceTempView("lf_rich")
+    val dir = java.nio.file.Files.createTempDirectory("lfagg").toString
+    rich.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("lf_rich_dist")
+    val shapes = Seq(
+      // null-skipping sum/avg/min/max, count(*) vs count(v)
+      "SELECT k, count(*) AS n, count(v) AS nv, sum(v) AS s, avg(v) AS a, " +
+        "min(v) AS mn, max(v) AS mx FROM %s GROUP BY k ORDER BY k",
+      // DISTINCT and FILTER clauses
+      "SELECT k, count(DISTINCT v) AS dv, sum(v) FILTER (WHERE v > 0) AS sp " +
+        "FROM %s GROUP BY k ORDER BY k",
+      // expression over aggregates + grouping expr in a computed projection
+      "SELECT upper(k) AS uk, sum(v) / count(*) AS ratio FROM %s GROUP BY k, upper(k) ORDER BY uk",
+      // GLOBAL aggregate (no grouping), and over an empty filter result
+      "SELECT count(*) AS n, sum(v) AS s FROM %s",
+      "SELECT count(*) AS n, sum(v) AS s FROM %s WHERE id > 100")
+    shapes.foreach { tpl =>
+      val local = spark.sql(tpl.format("lf_rich"))
+      assert(local.queryExecution.executedPlan.isInstanceOf[LocalTableScanExec],
+        s"not folded: $tpl\n${local.queryExecution.executedPlan}")
+      val dist = spark.sql(tpl.format("lf_rich_dist"))
+      assert(!dist.queryExecution.executedPlan.isInstanceOf[LocalTableScanExec])
+      assert(local.collect().toSeq == dist.collect().toSeq, s"shape: $tpl")
+    }
+    // unsupported function (typed-imperative percentile) falls through to
+    // normal execution with correct results — the fold must never capture
+    // what it cannot evaluate
+    val pct = spark.sql(
+      "SELECT k, percentile(v, 0.5) AS p FROM lf_rich GROUP BY k ORDER BY k")
+    assert(!pct.queryExecution.executedPlan.isInstanceOf[LocalTableScanExec])
+    assert(pct.collect().length == 3)
+  }
+
   test("the engine re-pins small tables locally; use_memory_table=false opts out") {
     import graft.server.Engine
     import graft.sources.TableSource

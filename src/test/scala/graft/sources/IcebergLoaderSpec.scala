@@ -121,6 +121,170 @@ trait IcebergFixtures { this: SparkSpec =>
     m
   }
 
+  /** v3 manifest entry schema: v2 plus the deletion-vector locator
+    * fields. */
+  val manifestSchemaV3: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |  {"name":"content_offset","type":["null","long"],"default":null},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}]}""".stripMargin)
+
+  def entryDv(puffinPath: String, referenced: String, offset: Long,
+              size: Long): GenericRecord = {
+    val e = new GenericData.Record(manifestSchemaV3)
+    val d = new GenericData.Record(manifestSchemaV3.getField("data_file").schema())
+    d.put("content", 1)
+    d.put("file_path", puffinPath)
+    d.put("file_format", "PUFFIN")
+    d.put("record_count", 0L)
+    d.put("file_size_in_bytes", 0L)
+    d.put("referenced_data_file", referenced)
+    d.put("content_offset", Long.box(offset))
+    d.put("content_size_in_bytes", Long.box(size))
+    e.put("status", 1)
+    e.put("data_file", d)
+    e
+  }
+
+  def entryV3Data(path: String): GenericRecord = {
+    val e = new GenericData.Record(manifestSchemaV3)
+    val d = new GenericData.Record(manifestSchemaV3.getField("data_file").schema())
+    d.put("content", 0)
+    d.put("file_path", path)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", 0L)
+    d.put("file_size_in_bytes", 0L)
+    e.put("status", 1)
+    e.put("data_file", d)
+    e
+  }
+
+  // ---- byte-built Puffin deletion vectors (iceberg spec §Deletion
+  // vectors + the Puffin file spec; RoaringFormatSpec portable-64) --------
+
+  private def i16le(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def i32le(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def i32be(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def i64le(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  /** Serialize values as the portable 64-bit roaring form: u64 LE bucket
+    * count, per bucket u32 LE high key + a 32-bit portable bitmap (cookie
+    * 12346, array containers). */
+  def roaringPortable64(values: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buckets = values.distinct.sorted.groupBy(v => (v >>> 32).toInt).toSeq.sortBy(_._1)
+    out.write(i64le(buckets.length.toLong))
+    buckets.foreach { case (hi, vs) =>
+      out.write(i32le(hi))
+      val containers = vs.map(v => (v & 0xFFFFFFFFL).toInt)
+        .groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      out.write(i32le(12346)) // SERIAL_COOKIE_NO_RUNCONTAINER
+      out.write(i32le(containers.length))
+      containers.foreach { case (key, cvs) =>
+        out.write(i16le(key)); out.write(i16le(cvs.length - 1))
+      }
+      // offsets from the start of this 32-bit bitmap's serialization
+      var off = 4 + 4 + 4 * containers.length + 4 * containers.length
+      containers.foreach { case (_, cvs) =>
+        out.write(i32le(off))
+        off += (if (cvs.length > 4096) 8192 else 2 * cvs.length)
+      }
+      containers.foreach { case (_, cvs) =>
+        if (cvs.length > 4096) {
+          // bitmap container: 1024 x u64 little-endian bitset words
+          val words = new Array[Long](1024)
+          cvs.foreach { v =>
+            val low = v & 0xFFFF
+            words(low >>> 6) |= (1L << (low & 63))
+          }
+          words.foreach(w => out.write(i64le(w)))
+        } else cvs.sorted.foreach(v => out.write(i16le(v & 0xFFFF)))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** One DV blob: [len BE][magic D1D33964][vector][crc32 BE of magic+vector]. */
+  def dvBlob(rowIndexes: Seq[Long]): Array[Byte] = {
+    val vector = roaringPortable64(rowIndexes)
+    val magic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+    val body = magic ++ vector
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    i32be(body.length) ++ body ++ i32be(crc.getValue.toInt)
+  }
+
+  /** A Puffin file holding the given blobs; returns (bytes,
+    * per-blob (offset, size)). Footer: magic + JSON payload + size LE +
+    * flags(0) + magic, per the Puffin spec. */
+  def puffinFile(blobs: Seq[Array[Byte]]): (Array[Byte], Seq[(Long, Long)]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val magic = "PFA1".getBytes("UTF-8")
+    out.write(magic)
+    val locs = blobs.map { b =>
+      val off = out.size().toLong
+      out.write(b)
+      (off, b.length.toLong)
+    }
+    val payload = ("{\"blobs\":[" + locs.map { case (o, l) =>
+      s"""{"type":"deletion-vector-v1","fields":[],"offset":$o,"length":$l}"""
+    }.mkString(",") + "]}").getBytes("UTF-8")
+    out.write(magic)
+    out.write(payload)
+    out.write(i32le(payload.length))
+    out.write(Array[Byte](0, 0, 0, 0)) // flags: footer payload uncompressed
+    out.write(magic)
+    (out.toByteArray, locs)
+  }
+
+  def metadataV3(dir: String, snapshots: String, currentId: Long): String =
+    metadataV2(dir, snapshots, currentId)
+      .replaceFirst("\"format-version\":2", "\"format-version\":3")
+
+  /** v3 fixture: two data files plus one Puffin with a DV per data file
+    * (drop a.parquet row 1 = id 2, b.parquet row 0 = id 4 — mirroring the
+    * v2 position-delete fixture so the two mechanisms are comparable). */
+  def buildV3Table(): String = {
+    val dir = newTableDir()
+    val f1 = s"$dir/data/a.parquet"
+    val f2 = s"$dir/data/b.parquet"
+    writeDataFile(docs((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5)),
+      new File(f1))
+    writeDataFile(docs((4L, "delta", 4.5), (5L, "epsilon", 5.5)), new File(f2))
+    val (puffin, locs) = puffinFile(Seq(dvBlob(Seq(1L)), dvBlob(Seq(0L))))
+    val puffinPath = s"$dir/data/deletes.puffin"
+    new File(puffinPath).getParentFile.mkdirs()
+    Files.write(new File(puffinPath).toPath, puffin)
+    writeAvro(manifestSchemaV3,
+      Seq(entryV3Data(f1), entryV3Data(f2)),
+      new File(s"$dir/metadata/m0.avro"))
+    writeAvro(manifestSchemaV3,
+      Seq(entryDv(puffinPath, f1, locs(0)._1, locs(0)._2),
+        entryDv(puffinPath, f2, locs(1)._1, locs(1)._2)),
+      new File(s"$dir/metadata/m1.avro"))
+    writeAvro(manifestListSchema,
+      Seq(listEntry(s"$dir/metadata/m0.avro", content = 0),
+        listEntry(s"$dir/metadata/m1.avro", content = 1)),
+      new File(s"$dir/metadata/snap-1.avro"))
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath,
+      metadataV3(dir,
+        s"""{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+           |"manifest-list":"$dir/metadata/snap-1.avro",
+           |"summary":{"operation":"append"}}""".stripMargin, currentId = 1L))
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    dir
+  }
+
   val schemaFieldsJson =
     """[{"id":1,"name":"id","required":true,"type":"long"},
       |{"id":2,"name":"name","required":false,"type":"string"},
@@ -233,6 +397,40 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
     // a.parquet pos 1 (id 2) and b.parquet pos 0 (id 4) are deleted
     assert(rows(df) === Set((1L, "alpha", 1.5), (3L, "gamma", 3.5),
       (5L, "epsilon", 5.5)))
+  }
+
+  test("v3 deletion vectors: puffin blobs remove the referenced (file, row) pairs") {
+    val df = load(buildV3Table())
+    // same tombstones as the v2 fixture: a.parquet row 1 (id 2) and
+    // b.parquet row 0 (id 4)
+    assert(rows(df) === Set((1L, "alpha", 1.5), (3L, "gamma", 3.5),
+      (5L, "epsilon", 5.5)))
+  }
+
+  test("v3 deletion vector blobs validate magic, checksum and length") {
+    // corrupting one payload byte must fail the CRC check loudly
+    val dir = buildV3Table()
+    val p = new File(s"$dir/data/deletes.puffin").toPath
+    val bytes = Files.readAllBytes(p)
+    bytes(12) = (bytes(12) ^ 0x1).toByte // inside the first blob's vector
+    Files.write(p, bytes)
+    val e = intercept[Exception](rows(load(dir)))
+    assert(String.valueOf(e.getMessage).contains("checksum") ||
+      String.valueOf(e.getMessage).contains("magic"), e.getMessage)
+  }
+
+  test("portable-64 roaring round-trips across container shapes") {
+    // array container, bitmap container (>4096 values), multiple high
+    // buckets — the decoder must reproduce every index exactly
+    val big = (0L until 5000L).map(_ * 2) // forces a bitmap container
+    val cases = Seq(
+      Seq(0L), Seq(1L, 2L, 65535L, 65536L), // two 16-bit containers
+      Seq(5L, (1L << 32) | 7L, (3L << 32)), // multiple high buckets
+      big)
+    cases.foreach { vs =>
+      val got = DeletionVectors.deserializePortable64(roaringPortable64(vs))
+      assert(got.toSeq == vs.distinct.sorted, s"case size ${vs.size}")
+    }
   }
 
   test("v1 table: legacy schema field and inline snapshot manifests") {
@@ -446,9 +644,9 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
     assert(e.getMessage.contains("not an Iceberg table"))
     new File(s"$dir/metadata").mkdirs()
     Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath,
-      s"""{"format-version":3,"location":"$dir"}""")
+      s"""{"format-version":4,"location":"$dir"}""")
     Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
     val e2 = intercept[IllegalArgumentException](load(dir))
-    assert(e2.getMessage.contains("format-version 3"))
+    assert(e2.getMessage.contains("format-version 4"))
   }
 }
