@@ -106,7 +106,11 @@ object Bench {
           ",\"serving\":{\"error\":" + jsonStr(String.valueOf(e.getMessage)) + "}"
         }
     val loadEnd = loadAvg()
-    val loadJson = f""","cpus":$cpus,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"loaded":$loaded"""
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON (review finding)
+    val loadJson = String.format(java.util.Locale.ROOT,
+      ""","cpus":%d,"loadavg_start":%.2f,"loadavg_end":%.2f,"loaded":%b""",
+      Int.box(cpus), Double.box(loadStart), Double.box(loadEnd), Boolean.box(loaded))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures$serving$loadJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver captures a bounded stdout tail, and

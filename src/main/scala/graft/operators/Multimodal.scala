@@ -429,6 +429,21 @@ object Multimodal {
     * Runs per-row inside a partition map — embarrassingly parallel, no
     * shuffle; a 100 TB corpus pays one distributed pass. */
   private val MelEdges = Array(1, 2, 3, 5, 7, 10, 13, 16)
+
+  /** The ONE Q10 triangle-weight derivation, read by both the hot kernel
+    * loop and [[melWeightRows]] (which embeds the integers into the DuckDB
+    * oracle as VALUES) — an inline copy in either place could silently
+    * desynchronize Spark output from the oracle (review finding).
+    * `melWeights(m)(b)` is filter m's weight at spectrum bin b (0 outside
+    * the triangle). */
+  private val melWeights: Array[Array[Long]] = Array.tabulate(6) { m =>
+    val l = MelEdges(m); val cpk = MelEdges(m + 1); val r = MelEdges(m + 2)
+    Array.tabulate(17) { b =>
+      if (b < l || b > r) 0L
+      else if (b <= cpk) (b - l).toLong * 1024 / (cpk - l)
+      else (r - b).toLong * 1024 / (r - cpk)
+    }
+  }
   val DctT1 = Array(989L, 724L, 265L, -266L, -725L, -990L)
   val DctT2 = Array(886L, 0L, -887L, -887L, 0L, 886L)
 
@@ -476,13 +491,11 @@ object Multimodal {
       val lm = new Array[Long](6)
       var m = 0
       while (m < 6) {
-        val l = MelEdges(m); val cpk = MelEdges(m + 1); val r = MelEdges(m + 2)
+        val wRow = melWeights(m)
         var acc = 0L
-        var b = l
-        while (b <= r) {
-          val w = if (b <= cpk) (b - l).toLong * 1024 / (cpk - l)
-                  else (r - b).toLong * 1024 / (r - cpk)
-          acc += p(b) * w
+        var b = 1
+        while (b <= 16) {
+          acc += p(b) * wRow(b)
           b += 1
         }
         lm(m) = q3log2Clamped(acc / 1024)
@@ -506,17 +519,12 @@ object Multimodal {
     media.flatMap(r => audioMfcc(r.id, decodeAudio(r.payload)._3))
   }
 
-  /** The mel triangle weight table as (m, b, w) rows — exposed so the
-    * DuckDB oracle embeds the SAME integers as VALUES literals. */
+  /** The mel triangle weight table as (m, b, w) rows — the SAME
+    * [[melWeights]] integers the kernel multiplies by, exposed so the
+    * DuckDB oracle embeds them as VALUES literals. */
   def melWeightRows: Seq[(Int, Int, Long)] =
-    (0 until 6).flatMap { m =>
-      val l = MelEdges(m); val cpk = MelEdges(m + 1); val r = MelEdges(m + 2)
-      (l to r).map { b =>
-        val w = if (b <= cpk) (b - l).toLong * 1024 / (cpk - l)
-                else (r - b).toLong * 1024 / (r - cpk)
-        (m, b, w)
-      }
-    }
+    for (m <- 0 until 6; b <- MelEdges(m) to MelEdges(m + 2))
+      yield (m, b, melWeights(m)(b))
 
   // ===== real multi-frame kernels (JDK ImageIO GIF; animated, lossless) ====
 

@@ -77,7 +77,22 @@ object LocalFoldRules {
     * inside a subtree semantically equal to a grouping expression, whose
     * value is constant across the group. */
   object FoldLocalAggregate extends Rule[LogicalPlan] {
-    private def supported(a: Aggregate, rel: LocalRelation): Boolean = {
+    private def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case FloatType | DoubleType => true
+        case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+        case a: ArrayType => hasFloat(a.elementType)
+        case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+        case _ => false
+      }
+    }
+
+    /** Guards needing no collapsed child — checked FIRST, so an aggregate
+      * that can never fold (imperative function, float grouping key) pays
+      * nothing: the O(rows) ConvertToLocalRelation collapse only runs for
+      * candidates (review finding). */
+    private def supported(a: Aggregate): Boolean = {
       val plainExprsOk = (a.groupingExpressions ++ a.aggregateExpressions).forall { e =>
         e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])
       }
@@ -86,9 +101,18 @@ object LocalFoldRules {
       })
       val aggsOk = aggs.forall { ae =>
         ae.mode == Complete &&
-          ae.aggregateFunction.isInstanceOf[DeclarativeAggregate]
+          ae.aggregateFunction.isInstanceOf[DeclarativeAggregate] &&
+          // DISTINCT dedups on raw UnsafeRow bytes below — float inputs
+          // would diverge from NormalizeFloatingNumbers execution
+          // semantics on -0.0 vs 0.0 / NaN payloads (review finding)
+          (!ae.isDistinct ||
+            !ae.aggregateFunction.children.exists(c => hasFloat(c.dataType)))
       }
-      rel.data.length <= cap && !rel.isStreaming && plainExprsOk && aggsOk
+      // grouping on raw bytes likewise: a float/double (or float-bearing
+      // struct/array) key must take normal execution, where
+      // NormalizeFloatingNumbers collapses -0.0 into 0.0 and NaN forms
+      val groupingOk = !a.groupingExpressions.exists(g => hasFloat(g.dataType))
+      plainExprsOk && aggsOk && groupingOk
     }
 
     /** The child as a LocalRelation, collapsing Project/Filter/Limit chains
@@ -107,9 +131,9 @@ object LocalFoldRules {
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case a: Aggregate =>
+      case a: Aggregate if supported(a) =>
         localChild(a.child) match {
-          case Some(rel) if supported(a, rel) =>
+          case Some(rel) if rel.data.length <= cap && !rel.isStreaming =>
             try evaluate(a, rel)
             catch {
               case scala.util.control.NonFatal(e) =>
@@ -135,36 +159,48 @@ object LocalFoldRules {
         groups.put(groupProj(InternalRow.empty).copy(),
           new ArrayBuffer[InternalRow]())
 
-      def evalAgg(ae: AggregateExpression, rows: Seq[InternalRow]): Any = {
+      // projection/predicate machinery is built ONCE PER AGGREGATE and a
+      // shared buffer re-initialized per group — per-(group x agg)
+      // construction made the fold O(groups x aggs) in codegen setup on
+      // high-cardinality keys (review finding)
+      val aggExprs = a.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      }).distinct
+      val evaluators: Seq[ArrayBuffer[InternalRow] => Any] = aggExprs.map { ae =>
         val f = ae.aggregateFunction.asInstanceOf[DeclarativeAggregate]
         val buffer = new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
-        MutableProjection.create(f.initialValues, Nil)
-          .target(buffer)(InternalRow.empty)
+        val init = MutableProjection.create(f.initialValues, Nil).target(buffer)
         val update = MutableProjection.create(
           f.updateExpressions, f.aggBufferAttributes ++ childOut).target(buffer)
         val joined = new JoinedRow
         val filterPred = ae.filter.map(Predicate.create(_, childOut))
         val distinctKey =
           if (ae.isDistinct) UnsafeProjection.create(f.children, childOut) else null
-        val seen = scala.collection.mutable.HashSet.empty[UnsafeRow]
-        rows.foreach { r =>
-          if (filterPred.forall(_.eval(r)) &&
-              (distinctKey == null || seen.add(distinctKey(r).copy())))
-            update(joined(buffer, r))
+        val bound =
+          BindReferences.bindReference(f.evaluateExpression, f.aggBufferAttributes)
+        rows => {
+          init(InternalRow.empty)
+          val seen =
+            if (distinctKey == null) null
+            else scala.collection.mutable.HashSet.empty[UnsafeRow]
+          rows.foreach { r =>
+            if (filterPred.forall(_.eval(r)) &&
+                (seen == null || seen.add(distinctKey(r).copy())))
+              update(joined(buffer, r))
+          }
+          bound.eval(buffer)
         }
-        BindReferences.bindReference(f.evaluateExpression, f.aggBufferAttributes)
-          .eval(buffer)
       }
+      val aggIndex: Map[AggregateExpression, Int] = aggExprs.zipWithIndex.toMap
 
       val toUnsafe = UnsafeProjection.create(a.aggregateExpressions.map(_.dataType).toArray)
       val data = Seq.newBuilder[InternalRow]
       groups.values().forEach { rows =>
-        val aggValues = scala.collection.mutable.HashMap.empty[AggregateExpression, Any]
+        val aggValues = evaluators.map(_(rows))
         val firstRow = rows.headOption.getOrElse(InternalRow.empty)
         val values = a.aggregateExpressions.map { re =>
           val substituted = re.transform {
-            case ae: AggregateExpression =>
-              Literal(aggValues.getOrElseUpdate(ae, evalAgg(ae, rows.toSeq)), ae.dataType)
+            case ae: AggregateExpression => Literal(aggValues(aggIndex(ae)), ae.dataType)
           }
           BindReferences.bindReference(substituted, childOut).eval(firstRow)
         }

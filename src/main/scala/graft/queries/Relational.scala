@@ -669,11 +669,14 @@ object Relational {
     }),
     // HLL approximate distinct. Sketch values are engine-specific, so the
     // oracle checks the bounded-error PROPERTY instead of the estimate:
-    // Spark emits within_5pct = |approx-exact|/exact <= 0.05 (the default
-    // rsd of approx_count_distinct) next to the exact count; DuckDB emits
-    // literal TRUE. Hash-identical iff every group's sketch honors its
-    // advertised bound (round-12 verdict #2; ApproxDistinctSpec still pins
-    // the raw estimate's error at sf0.001).
+    // Spark emits within_3rsd = |approx-exact|/exact <= 0.15 next to the
+    // exact count; DuckDB emits literal TRUE. Hash-identical iff every
+    // group's sketch honors the bound (round-12 verdict #2). The gate is
+    // THREE times approx_count_distinct's default rsd (0.05): rsd is a
+    // standard deviation, not a bound — a 1-sigma gate would fail
+    // spuriously on a regenerated corpus with ~1/3 per-group probability
+    // (review finding). ApproxDistinctSpec still pins the raw estimate at
+    // 5% on the current sf0.001 fixture.
     "q_approx_distinct" -> ((spark, dir) => {
       Tables.t(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -681,7 +684,7 @@ object Relational {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")).cast("double") /
-            col("exact_parts") <= 0.05).as("within_5pct"))
+            col("exact_parts") <= 0.15).as("within_3rsd"))
         .orderBy(col("l_returnflag"))
     }),
     // KV-store projection (reference: columnq/src/columnq.rs:275-331):
@@ -696,11 +699,11 @@ object Relational {
 
   val dfOracles: Map[String, String] = Map(
     // bounded-error property check: the oracle asserts the exact counts and
-    // that every group's HLL estimate landed within its advertised 5% rsd
-    // (the Spark side computes within_5pct from its own sketch)
+    // that every group's HLL estimate landed within 3x its advertised rsd
+    // (the Spark side computes within_3rsd from its own sketch)
     "q_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
-        |  TRUE AS within_5pct
+        |  TRUE AS within_3rsd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // pivot spelled as CASE aggregation (DuckDB's PIVOT names differ)
     "q_pivot" ->

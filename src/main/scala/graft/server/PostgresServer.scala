@@ -110,6 +110,13 @@ final class PostgresServer(engine: Engine, port: Int = 0,
       if (resultFmts.isEmpty) 0
       else if (resultFmts.length == 1) resultFmts.head
       else resultFmts(i)
+    /** The wire spec allows 0, 1, or exactly-n result-format codes; any
+      * other count is a protocol violation — rejected BEFORE any DataRow
+      * is sent, not as an IndexOutOfBounds mid-stream (review finding). */
+    def requireFmtArity(nCols: Int): Unit =
+      require(resultFmts.length <= 1 || resultFmts.length == nCols,
+        s"bind message has ${resultFmts.length} result format codes for " +
+          s"$nCols result columns")
   }
 
   private def reader(body: Array[Byte]) =
@@ -152,9 +159,8 @@ final class PostgresServer(engine: Engine, port: Int = 0,
         val fmts = (0 until nFmt.toInt).map(_ => b.readShort())
         val nParams = b.readShort()
         val numericOids = Set(20, 21, 23, 700, 701, 1700)
-        var sql = stmt.sql
         var failed = false
-        (0 until nParams.toInt).foreach { i =>
+        val lits = (0 until nParams.toInt).map { i =>
           val plen = b.readInt()
           val value = if (plen < 0) null else {
             val pb = new Array[Byte](plen); b.readFully(pb); new String(pb, UTF_8)
@@ -165,13 +171,15 @@ final class PostgresServer(engine: Engine, port: Int = 0,
             failed = true
           }
           val oid = stmt.paramOids.lift(i).getOrElse(0)
-          val lit =
-            if (value == null) "NULL"
-            else if (numericOids(oid) ||
-              (oid == 0 && value.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))) value
-            else "'" + value.replace("'", "''") + "'"
-          sql = sql.replace("$" + (i + 1), lit)
+          if (value == null) "NULL"
+          else if (numericOids(oid) ||
+            (oid == 0 && value.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))) value
+          else "'" + value.replace("'", "''") + "'"
         }
+        // substitute HIGHEST index first: replacing $1 before $10 would
+        // rewrite $10's prefix into <param1>0 (review finding)
+        val sql = (lits.length to 1 by -1).foldLeft(stmt.sql)(
+          (s, i) => s.replace("$" + i, lits(i - 1)))
         if (!failed) {
           // result-format codes follow the parameter values on the wire
           val nRes = b.readShort()
@@ -196,8 +204,9 @@ final class PostgresServer(engine: Engine, port: Int = 0,
           bb.writeShort(stmt.paramOids.length)
           stmt.paramOids.foreach(o => bb.writeInt(if (o == 0) 25 else o))
         })
-        // schema analysis with NULL-substituted params (no job runs)
-        val probeSql = (1 to stmt.paramOids.length)
+        // schema analysis with NULL-substituted params (no job runs);
+        // highest index first so $1 cannot eat $10's prefix
+        val probeSql = (stmt.paramOids.length to 1 by -1)
           .foldLeft(stmt.sql)((s, i) => s.replace("$" + i, "NULL"))
         rowDescription(out, engine.querySql(probeSql).schema)
       } else {
@@ -205,7 +214,9 @@ final class PostgresServer(engine: Engine, port: Int = 0,
           throw new IllegalArgumentException(s"unknown portal `$name`"))
         // a portal Describe reports the format codes Bind chose (the wire
         // spec's rule — statement Describes above stay all-text)
-        rowDescription(out, engine.querySql(p.sql).schema, Some(p))
+        val schema = engine.querySql(p.sql).schema
+        p.requireFmtArity(schema.length)
+        rowDescription(out, schema, Some(p))
       }
     } catch {
       case e: Throwable =>
@@ -232,6 +243,7 @@ final class PostgresServer(engine: Engine, port: Int = 0,
           engine.withRequestPool(engine.nextRequestPool()) {
             val df = engine.querySql(p.sql)
             val schema = df.schema
+            p.requireFmtArity(schema.length)
             val rows = if (maxRows > 0) df.limit(maxRows).collect() else df.collect()
             rows.foreach(r => dataRow(out, r, schema, p.fmtFor))
             commandComplete(out, s"SELECT ${rows.length}")

@@ -72,8 +72,8 @@ class LocalFoldSpec extends AnyFunSuite {
       // null-skipping sum/avg/min/max, count(*) vs count(v)
       "SELECT k, count(*) AS n, count(v) AS nv, sum(v) AS s, avg(v) AS a, " +
         "min(v) AS mn, max(v) AS mx FROM %s GROUP BY k ORDER BY k",
-      // DISTINCT and FILTER clauses
-      "SELECT k, count(DISTINCT v) AS dv, sum(v) FILTER (WHERE v > 0) AS sp " +
+      // DISTINCT (on a non-float input) and FILTER clauses
+      "SELECT k, count(DISTINCT id) AS dv, sum(v) FILTER (WHERE v > 0) AS sp " +
         "FROM %s GROUP BY k ORDER BY k",
       // expression over aggregates + grouping expr in a computed projection
       "SELECT upper(k) AS uk, sum(v) / count(*) AS ratio FROM %s GROUP BY k, upper(k) ORDER BY uk",
@@ -95,6 +95,18 @@ class LocalFoldSpec extends AnyFunSuite {
       "SELECT k, percentile(v, 0.5) AS p FROM lf_rich GROUP BY k ORDER BY k")
     assert(!pct.queryExecution.executedPlan.isInstanceOf[LocalTableScanExec])
     assert(pct.collect().length == 3)
+    // float grouping keys and float DISTINCT inputs stay on normal
+    // execution: the fold groups/dedups on raw bytes, which would split
+    // -0.0 from 0.0 where NormalizeFloatingNumbers merges them
+    Seq("SELECT v, count(*) AS n FROM lf_rich GROUP BY v",
+        "SELECT k, count(DISTINCT v) AS dv FROM lf_rich GROUP BY k").foreach { q =>
+      assert(!spark.sql(q).queryExecution.executedPlan
+        .isInstanceOf[LocalTableScanExec], q)
+    }
+    // and the -0.0 case concretely: one group either path
+    Seq(("a", 0.0), ("a", -0.0)).toDF("k", "v").createOrReplaceTempView("lf_zero")
+    val z = spark.sql("SELECT v, count(*) AS n FROM lf_zero GROUP BY v").collect()
+    assert(z.length == 1 && z.head.getLong(1) == 2L, z.mkString(","))
   }
 
   test("the engine re-pins small tables locally; use_memory_table=false opts out") {

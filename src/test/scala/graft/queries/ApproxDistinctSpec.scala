@@ -3,21 +3,23 @@ package graft.queries
 import graft.{SparkEntry, SparkSpec}
 
 /** HLL sketch values are engine-specific, so the DuckDB oracle checks the
-  * bounded-error PROPERTY (`within_5pct` must be TRUE per group, next to the
-  * exact count — round-12 verdict #2); this spec additionally pins the raw
-  * estimate's relative error at sf0.001 so a sketch regression is caught at
-  * unit-test time, not only in the driver's oracle run. The sketch is
-  * deterministic for fixed input, so the bound is stable, not flaky. */
+  * bounded-error PROPERTY (`within_3rsd` must be TRUE per group, next to
+  * the exact count — round-12 verdict #2; the oracle gate sits at 3x the
+  * advertised rsd because rsd is a standard deviation, not a bound); this
+  * spec additionally pins the raw estimate's relative error at 1x rsd on
+  * the current sf0.001 fixture so a sketch regression is caught at
+  * unit-test time. The sketch is deterministic for fixed input, so the
+  * bound is stable, not flaky. */
 class ApproxDistinctSpec extends SparkSpec {
 
-  test("q_approx_distinct reports within_5pct=true for every group") {
+  test("q_approx_distinct reports within_3rsd=true for every group") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sf0001)
       .collect()
     assert(rows.length === 3) // one per l_returnflag
     rows.foreach { r =>
       assert(r.getLong(r.fieldIndex("exact_parts")) > 0)
-      assert(r.getBoolean(r.fieldIndex("within_5pct")),
-        s"returnflag ${r.get(0)}: HLL estimate broke its 5% bound")
+      assert(r.getBoolean(r.fieldIndex("within_3rsd")),
+        s"returnflag ${r.get(0)}: HLL estimate broke its 15% bound")
     }
   }
 
