@@ -174,6 +174,23 @@ object Bench {
       // caches, so this measures the full parse→analyze→job→collect→encode
       // path per request — the number an ad-hoc (non-repeated) query pays.
       val coldLat = (1 to 50).map(i => once(s"$sql -- nonce $i")).sorted
+      // cold AGGREGATE face: GROUP BY over the pinned table, the shape
+      // FoldLocalAggregate + the mini-fold serve without a Spark job
+      // (round-12 verdict #4); same nonce discipline
+      val aggSql = "SELECT count(*) AS n, max(lat) AS mx FROM uk_cities " +
+        "GROUP BY lng > 0 ORDER BY n"
+      def onceAgg(q: String): Long = {
+        val t0 = System.nanoTime()
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(uri)
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(q)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200 && r.body().contains("mx"),
+          s"cold-agg bench got ${r.statusCode()}: ${r.body().take(200)}")
+        System.nanoTime() - t0
+      }
+      (1 to 10).foreach(i => onceAgg(s"$aggSql -- warm $i"))
+      val coldAggLat = (1 to 50).map(i => onceAgg(s"$aggSql -- nonce $i")).sorted
       // h2c face: the SAME query over the Netty HTTP/2 transport (prior-
       // knowledge/upgrade via the JDK client) — measured, not assumed, so a
       // transport-level latency floor there cannot hide behind the 1.1 number
@@ -198,6 +215,7 @@ object Bench {
       f""""serving":{"endpoint":"/api/sql","requests":$n,"rps":${math.round(n / wall * 10) / 10.0}%s,""" +
         s""""p50_ms":${ms(lat(n / 2))},"p99_ms":${ms(lat(n * 99 / 100 - 1))},""" +
         s""""cold_p50_ms":${ms(coldLat(25))},"cold_p99_ms":${ms(coldLat(48))},""" +
+        s""""cold_agg_p50_ms":${ms(coldAggLat(25))},""" +
         s""""h2c_p50_ms":${ms(h2Lat(50))},"h2c_p99_ms":${ms(h2Lat(98))}}"""
     } finally app.stop()
   }

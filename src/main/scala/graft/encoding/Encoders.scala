@@ -76,27 +76,38 @@ object Encoders {
     * Every distributed plan keeps the partition-at-a-time stream: driver
     * memory bounded by one partition regardless of result size — the
     * 100 TB-safe path for full-table exports. */
+  private def localRows(df: DataFrame, rows: IndexedSeq[org.apache.spark.sql.catalyst.InternalRow])
+      : java.util.Iterator[org.apache.spark.sql.Row] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(df.schema)
+    new java.util.Iterator[org.apache.spark.sql.Row] {
+      private var i = 0
+      override def hasNext: Boolean = i < rows.length
+      override def next(): org.apache.spark.sql.Row = {
+        val r = conv(rows(i)).asInstanceOf[org.apache.spark.sql.Row]; i += 1; r
+      }
+    }
+  }
+
   private def rowIterator(df: DataFrame): java.util.Iterator[org.apache.spark.sql.Row] =
-    df.queryExecution.executedPlan match {
-      case l: org.apache.spark.sql.execution.LocalTableScanExec =>
-        // executeCollect + the interpreted Catalyst->Scala converter instead
-        // of Dataset.collect(): collect() builds a fresh row DESERIALIZER
-        // per Dataset instance (~4-5 ms of the cold-serving p50, measured),
-        // all to convert a handful of driver-held rows the interpreted
-        // converter handles in microseconds. Distributed plans never take
-        // this branch, so the codegen'd deserializer still serves bulk
-        // exports.
-        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToScalaConverter(df.schema)
-        val rows = l.executeCollect()
-        new java.util.Iterator[org.apache.spark.sql.Row] {
-          private var i = 0
-          override def hasNext: Boolean = i < rows.length
-          override def next(): org.apache.spark.sql.Row = {
-            val r = conv(rows(i)).asInstanceOf[org.apache.spark.sql.Row]; i += 1; r
-          }
-        }
-      case _ => df.toLocalIterator()
+    df.queryExecution.logical match {
+      // a mini-folded serving result IS its rows — encoding straight off
+      // the logical LocalRelation skips the whole QueryExecution battery
+      // (~2 ms of cold p50 spent optimizing a 1-node plan, measured)
+      case rel: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        localRows(df, rel.data.toIndexedSeq)
+      case _ => df.queryExecution.executedPlan match {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+          // executeCollect + the interpreted Catalyst->Scala converter
+          // instead of Dataset.collect(): collect() builds a fresh row
+          // DESERIALIZER per Dataset instance (~4-5 ms of the cold-serving
+          // p50, measured), all to convert a handful of driver-held rows
+          // the interpreted converter handles in microseconds. Distributed
+          // plans never take these branches, so the codegen'd deserializer
+          // still serves bulk exports.
+          localRows(df, l.executeCollect().toIndexedSeq)
+        case _ => df.toLocalIterator()
+      }
     }
 
   /** Stream rows into `out` one partition at a time (see [[rowIterator]]),

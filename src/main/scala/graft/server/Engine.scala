@@ -320,6 +320,14 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     * is a behavior change from the uncached path. */
   private def cacheablePlan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.Command
+    // a mini-folded serving result (bare LocalRelation logical plan —
+    // spark.sql never produces one; only fastLocalServe does) already
+    // passed the nondeterminism/time guard before folding: trivially
+    // cacheable, no need to re-analyze the wrapper Dataset
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => return true
+      case _ => ()
+    }
     val analyzed = df.queryExecution.analyzed
     val isCommand = analyzed.isInstanceOf[Command] ||
       analyzed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.CommandResult] ||
