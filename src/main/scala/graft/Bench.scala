@@ -155,16 +155,19 @@ object Bench {
         s"http://127.0.0.1:${app.boundPort}/api/sql")
       val sql =
         "SELECT city, lat, lng FROM uk_cities WHERE lat > 51 ORDER BY lat DESC LIMIT 10"
-      def once(q: String): Long = {
+      // one timing helper for every face (marker = substring proving the
+      // right body came back; label = which face failed)
+      def timed(q: String, marker: String, label: String): Long = {
         val t0 = System.nanoTime()
         val r = client.send(
           java.net.http.HttpRequest.newBuilder(uri)
             .POST(java.net.http.HttpRequest.BodyPublishers.ofString(q)).build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        require(r.statusCode() == 200 && r.body().contains("city"),
-          s"serving bench got ${r.statusCode()}: ${r.body().take(200)}")
+        require(r.statusCode() == 200 && r.body().contains(marker),
+          s"$label bench got ${r.statusCode()}: ${r.body().take(200)}")
         System.nanoTime() - t0
       }
+      def once(q: String): Long = timed(q, "city", "serving")
       (1 to 20).foreach(_ => once(sql)) // warm: plan cache, codegen, collect
       val n = 200
       val t0 = System.nanoTime()
@@ -179,18 +182,9 @@ object Bench {
       // (round-12 verdict #4); same nonce discipline
       val aggSql = "SELECT count(*) AS n, max(lat) AS mx FROM uk_cities " +
         "GROUP BY lng > 0 ORDER BY n"
-      def onceAgg(q: String): Long = {
-        val t0 = System.nanoTime()
-        val r = client.send(
-          java.net.http.HttpRequest.newBuilder(uri)
-            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(q)).build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-        require(r.statusCode() == 200 && r.body().contains("mx"),
-          s"cold-agg bench got ${r.statusCode()}: ${r.body().take(200)}")
-        System.nanoTime() - t0
-      }
-      (1 to 10).foreach(i => onceAgg(s"$aggSql -- warm $i"))
-      val coldAggLat = (1 to 50).map(i => onceAgg(s"$aggSql -- nonce $i")).sorted
+      (1 to 10).foreach(i => timed(s"$aggSql -- warm $i", "mx", "cold-agg"))
+      val coldAggLat =
+        (1 to 50).map(i => timed(s"$aggSql -- nonce $i", "mx", "cold-agg")).sorted
       // h2c face: the SAME query over the Netty HTTP/2 transport (prior-
       // knowledge/upgrade via the JDK client) — measured, not assumed, so a
       // transport-level latency floor there cannot hide behind the 1.1 number

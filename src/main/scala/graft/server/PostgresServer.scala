@@ -158,6 +158,14 @@ final class PostgresServer(engine: Engine, port: Int = 0,
         val nFmt = b.readShort()
         val fmts = (0 until nFmt.toInt).map(_ => b.readShort())
         val nParams = b.readShort()
+        // wire rule: 0, 1, or exactly-nParams format codes — anything else
+        // must be a protocol error, not an IndexOutOfBounds that tears the
+        // connection down with no ErrorResponse (review finding)
+        if (fmts.length > 1 && fmts.length != nParams.toInt) {
+          errorResponse(out, "08P01", s"bind message has ${fmts.length} " +
+            s"parameter format codes for $nParams parameters")
+          return
+        }
         val numericOids = Set(20, 21, 23, 700, 701, 1700)
         var failed = false
         val lits = (0 until nParams.toInt).map { i =>
@@ -176,10 +184,7 @@ final class PostgresServer(engine: Engine, port: Int = 0,
             (oid == 0 && value.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))) value
           else "'" + value.replace("'", "''") + "'"
         }
-        // substitute HIGHEST index first: replacing $1 before $10 would
-        // rewrite $10's prefix into <param1>0 (review finding)
-        val sql = (lits.length to 1 by -1).foldLeft(stmt.sql)(
-          (s, i) => s.replace("$" + i, lits(i - 1)))
+        val sql = substituteParams(stmt.sql, i => lits.lift(i - 1))
         if (!failed) {
           // result-format codes follow the parameter values on the wire
           val nRes = b.readShort()
@@ -188,6 +193,23 @@ final class PostgresServer(engine: Engine, port: Int = 0,
           msg(out, '2', _ => ()) // BindComplete
         }
     }
+  }
+
+  /** SINGLE-PASS `$n` substitution: each placeholder in the ORIGINAL text
+    * is replaced exactly once, so neither `$1` eating `$10`'s prefix nor a
+    * parameter VALUE containing a literal `$1` being re-substituted can
+    * occur (both were sequential-replace bugs — review findings). Unknown
+    * indexes pass through untouched. */
+  private def substituteParams(sql: String,
+                               lit: Int => Option[String]): String = {
+    val m = java.util.regex.Pattern.compile("\\$(\\d+)").matcher(sql)
+    val sb = new StringBuffer()
+    while (m.find()) {
+      val rep = lit(m.group(1).toInt).getOrElse(m.group())
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
   }
 
   private def describeMsg(out: DataOutputStream, body: Array[Byte],
@@ -204,10 +226,9 @@ final class PostgresServer(engine: Engine, port: Int = 0,
           bb.writeShort(stmt.paramOids.length)
           stmt.paramOids.foreach(o => bb.writeInt(if (o == 0) 25 else o))
         })
-        // schema analysis with NULL-substituted params (no job runs);
-        // highest index first so $1 cannot eat $10's prefix
-        val probeSql = (stmt.paramOids.length to 1 by -1)
-          .foldLeft(stmt.sql)((s, i) => s.replace("$" + i, "NULL"))
+        // schema analysis with NULL-substituted params (no job runs)
+        val probeSql = substituteParams(stmt.sql,
+          i => if (i >= 1 && i <= stmt.paramOids.length) Some("NULL") else None)
         rowDescription(out, engine.querySql(probeSql).schema)
       } else {
         val p = portals.getOrElse(name,

@@ -59,6 +59,8 @@ class PostgresServerSpec extends SparkSpec {
     private def frame(tag: Char, body: Array[Byte]): Unit = {
       out.write(tag); out.writeInt(4 + body.length); out.write(body)
     }
+    /** raw frame escape hatch for malformed-message tests */
+    def sendFrame(tag: Char, body: Array[Byte]): Unit = frame(tag, body)
     private def cstr(s: String): Array[Byte] = (s + "\u0000").getBytes(UTF_8)
 
     def parse(name: String, sql: String, paramOids: Seq[Int] = Seq.empty): Unit = {
@@ -164,6 +166,43 @@ class PostgresServerSpec extends SparkSpec {
     c.execute("missing_portal")
     val err = c.sync()
     assert(err.map(_._1).contains('E'))
+    c.close()
+  }
+
+  test("extended protocol: substitution is single-pass; format-code arity enforced") {
+    val c = new Client
+    c.startup()
+    // a parameter VALUE containing a literal "$1" must NOT be re-substituted
+    // (sequential replace did), and $10 must not lose its prefix to $1
+    c.parse("sp", "SELECT count(*) AS n FROM region WHERE r_name <> $1 AND r_name <> $2")
+    c.bind("pp", "sp", Seq("x", "$1"))
+    c.execute("pp")
+    val ok = c.sync()
+    assert(ok.map(_._1).count(_ == 'D') == 1, ok.map(_._1))
+    val n = new String(ok.find(_._1 == 'D').get._2, UTF_8)
+    assert(n.contains("5"), n) // no region named "x" or "$1": all 5 rows counted
+    // 11 params: $1 vs $10/$11 prefix discipline — r_regionkey = $11 = 4
+    val preds = (1 to 11).map(i => s"r_regionkey = $$$i").mkString(" OR ")
+    c.parse("s11", s"SELECT r_name FROM region WHERE $preds ORDER BY r_name",
+      paramOids = (1 to 11).map(_ => 20))
+    c.bind("p11", "s11", (1 to 11).map(i => if (i == 11) "4" else "99").toSeq)
+    c.execute("p11")
+    val one = c.sync()
+    assert(one.map(_._1).count(_ == 'D') == 1, one.map(_._1))
+    // a Bind with 2 parameter-format codes for 3 params is a protocol
+    // error, answered with ErrorResponse — not a torn connection
+    val b = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(b)
+    d.write("pbad\u0000".getBytes(UTF_8)); d.write("sp\u0000".getBytes(UTF_8))
+    d.writeShort(2); d.writeShort(0); d.writeShort(0) // 2 codes...
+    d.writeShort(3) // ...for 3 params
+    (1 to 3).foreach { _ => d.writeInt(1); d.write('x') }
+    d.writeShort(0)
+    c.sendFrame('B', b.toByteArray)
+    val err = c.sync()
+    assert(err.map(_._1).contains('E'), err.map(_._1))
+    // the connection survives: a normal query still answers
+    assert(c.query("SELECT 1 AS ok").map(_._1).count(_ == 'D') == 1)
     c.close()
   }
 
