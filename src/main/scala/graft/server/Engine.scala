@@ -451,10 +451,13 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
       .createOrReplaceTempView("information_schema_columns")
   }
 
+  // REST/GraphQL ride the same mini-fold fast path as SQL: their frames
+  // are filter/sort/limit/projection over a registered table, exactly the
+  // shape that collapses when the table is pinned locally
   def queryRest(table: String, params: Map[String, String]): DataFrame =
-    RestQuery.table(spark, table, params)
+    fastLocalServe(RestQuery.table(spark, table, params))
 
-  def queryGraphQl(q: String): DataFrame = GraphQl.query(spark, q)
+  def queryGraphQl(q: String): DataFrame = fastLocalServe(GraphQl.query(spark, q))
 
   // ---- KV store (reference: columnq/src/columnq.rs:275-331) ----------------
 
