@@ -264,8 +264,22 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   // graft fold rules — the mini pass can only produce what full
   // optimization would have produced, it just stops paying for the ~40
   // batches that cannot apply to an all-LocalRelation plan.
+  /** OneRowRelation -> one-empty-row LocalRelation, serving-path only: a
+    * cold `SELECT 1`-style statement otherwise codegens and launches a
+    * real one-task job just to produce its single literal row. */
+  private object FoldOneRowRelation extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, OneRowRelation}
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case _: OneRowRelation =>
+        LocalRelation(Nil, Seq(org.apache.spark.sql.catalyst.InternalRow.empty),
+          isStreaming = false)
+    }
+  }
+
   private val miniFoldRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Seq(
+    FoldOneRowRelation,
     org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions,
     org.apache.spark.sql.catalyst.optimizer.ComputeCurrentTime,
     org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases,
@@ -284,10 +298,11 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     * result cache's refusal logic (which inspects the RETURNED plan) still
     * sees them; any rule failure falls back to the standard pipeline. */
   private def fastLocalServe(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, OneRowRelation}
     val analyzed = df.queryExecution.analyzed
     val leaves = analyzed.collectLeaves()
-    if (leaves.isEmpty || !leaves.forall(_.isInstanceOf[LocalRelation])) return df
+    if (leaves.isEmpty || !leaves.forall(l =>
+        l.isInstanceOf[LocalRelation] || l.isInstanceOf[OneRowRelation])) return df
     if (!cacheablePlanExprs(analyzed)) return df
     try {
       var cur: LogicalPlan = analyzed

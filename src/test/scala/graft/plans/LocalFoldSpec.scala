@@ -109,6 +109,20 @@ class LocalFoldSpec extends AnyFunSuite {
     assert(z.length == 1 && z.head.getLong(1) == 2L, z.mkString(","))
   }
 
+  test("a literal-only SELECT serves through the engine without a Spark job") {
+    import graft.server.Engine
+    val e = new Engine(spark, readOnly = true)
+    val df = e.querySql("SELECT 1 AS one, upper('x') AS s, 2 + 3 AS five")
+    assert(df.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      df.queryExecution.logical.getClass.toString)
+    val t = spark.sparkContext.statusTracker
+    val before = t.getJobIdsForGroup(null).length
+    val row = df.collect().head
+    assert(t.getJobIdsForGroup(null).length == before, "a job was launched")
+    assert(row.getInt(0) == 1 && row.getString(1) == "X" && row.getInt(2) == 5)
+  }
+
   test("the engine re-pins small tables locally; use_memory_table=false opts out") {
     import graft.server.Engine
     import graft.sources.TableSource
