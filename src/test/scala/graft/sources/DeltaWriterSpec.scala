@@ -128,6 +128,25 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir).count() == before)
   }
 
+  test("pipeline integration: curated corpus lands as a queryable Delta table") {
+    // the sink the writer exists for — doc_curate output becomes a
+    // transactional table other engines (delta-rs, the reference) can read
+    val dir = newDir()
+    val curated = graft.SparkEntry.queries("doc_curate")(spark, sf0001)
+    DeltaWriter.write(curated, dir)
+    val back = readBack(dir)
+    // nullability loosens through a parquet round trip (standard); names
+    // and types must survive exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      curated.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == curated.count())
+    val expectIds = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet == expectIds)
+    // an incremental second batch appends transactionally
+    DeltaWriter.write(curated.limit(3), dir, txn = Some(("curate", 1L)))
+    assert(readBack(dir).count() == curated.count() + 3)
+  }
+
   test("column-mapped and partitioned tables are refused loudly") {
     val dir = newDir()
     // hand-build a minimal column-mapped table (the DeltaLoaderSpec shape)
