@@ -25,6 +25,7 @@ object Encoders {
   case object ArrowFile extends ContentType("application/vnd.apache.arrow.file")
   case object ArrowStream extends ContentType("application/vnd.apache.arrow.stream")
   case object Parquet extends ContentType("application/parquet")
+  case object MsgPack extends ContentType("application/msgpack")
 
   /** ACCEPT negotiation (reference: columnq/src/encoding/mod.rs:25-42 +
     * roapi/src/api/mod.rs:25-35): unknown values fall back to the default. */
@@ -35,6 +36,7 @@ object Encoders {
       case "application/arrow.file" | "application/vnd.apache.arrow.file" => ArrowFile
       case "application/arrow.stream" | "application/vnd.apache.arrow.stream" => ArrowStream
       case "application/parquet" | "application/vnd.apache.parquet" => Parquet
+      case "application/msgpack" | "application/x-msgpack" => MsgPack
       case _ => default
     }.getOrElse(default)
 
@@ -44,6 +46,7 @@ object Encoders {
     case ArrowStream => GraftArrowBridge.toIpcStreamBytes(df)
     case ArrowFile   => GraftArrowBridge.toIpcFileBytes(df)
     case Parquet     => toParquetBytes(df)
+    case MsgPack     => toMsgPackBytes(df)
   }
 
   // ---- temporal formatting (golden-pinned) ---------------------------------
@@ -171,6 +174,113 @@ object Encoders {
       }
       gen.writeEndObject()
     case _ => gen.writeString(String.valueOf(v))
+  }
+
+  // ---- msgpack (hand-rolled from the public msgpack.org spec) ---------------
+  // The reference's own roadmap response format (README.md:307, unshipped
+  // there). Same array-of-objects shape as the JSON face — rows as maps with
+  // string keys — with the SAME golden temporal/decimal text forms, so the
+  // two faces agree value-for-value. Buffered (the array header carries the
+  // row count up front), like the Parquet/ArrowFile faces.
+
+  def toMsgPackBytes(df: DataFrame): Array[Byte] = {
+    val schema = df.schema
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val rows = {
+      val b = Seq.newBuilder[Row]
+      val it = rowIterator(df)
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    mpArrayHeader(out, rows.length)
+    rows.foreach { row =>
+      mpMapHeader(out, schema.length)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        mpString(out, f.name)
+        if (row.isNullAt(i)) out.write(0xC0)
+        else mpValue(out, row.get(i), f.dataType)
+      }
+    }
+    out.toByteArray
+  }
+
+  private def mpValue(out: java.io.ByteArrayOutputStream, v: Any, dt: DataType): Unit =
+    dt match {
+      case BooleanType => out.write(if (v.asInstanceOf[Boolean]) 0xC3 else 0xC2)
+      case ByteType => mpLong(out, v.asInstanceOf[Byte].toLong)
+      case ShortType => mpLong(out, v.asInstanceOf[Short].toLong)
+      case IntegerType => mpLong(out, v.asInstanceOf[Int].toLong)
+      case LongType => mpLong(out, v.asInstanceOf[Long])
+      case FloatType =>
+        out.write(0xCA)
+        mpBe(out, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]), 4)
+      case DoubleType =>
+        out.write(0xCB)
+        mpBe(out, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+      // msgpack has no exact-decimal family: the DECIMAL TEXT travels (the
+      // value the JSON face emits), never a lossy float64
+      case _: DecimalType => mpString(out, v.toString)
+      case StringType => mpString(out, v.toString)
+      case BinaryType =>
+        val b = v.asInstanceOf[Array[Byte]]
+        if (b.length < 256) { out.write(0xC4); out.write(b.length) }
+        else if (b.length < 65536) { out.write(0xC5); mpBe(out, b.length.toLong, 2) }
+        else { out.write(0xC6); mpBe(out, b.length.toLong, 4) }
+        out.write(b, 0, b.length)
+      case DateType | TimestampType | TimestampNTZType =>
+        mpString(out, fmtValue(v).toString)
+      case ArrayType(et, _) =>
+        val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+        mpArrayHeader(out, xs.length)
+        xs.foreach(e => if (e == null) out.write(0xC0) else mpValue(out, e, et))
+      case st: StructType =>
+        val r = v.asInstanceOf[Row]
+        mpMapHeader(out, st.length)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          mpString(out, f.name)
+          if (r.isNullAt(i)) out.write(0xC0) else mpValue(out, r.get(i), f.dataType)
+        }
+      case MapType(_, vt, _) =>
+        val m = v.asInstanceOf[scala.collection.Map[Any, Any]]
+        mpMapHeader(out, m.size)
+        m.foreach { case (k, mv) =>
+          mpString(out, String.valueOf(k))
+          if (mv == null) out.write(0xC0) else mpValue(out, mv, vt)
+        }
+      case _ => mpString(out, String.valueOf(v))
+    }
+
+  /** Smallest-form signed integer family (the spec's recommendation). */
+  private def mpLong(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+    if (v >= 0 && v <= 127) out.write(v.toInt)               // positive fixint
+    else if (v < 0 && v >= -32) out.write((v & 0xFF).toInt)  // negative fixint
+    else if (v >= Byte.MinValue && v <= Byte.MaxValue) { out.write(0xD0); out.write((v & 0xFF).toInt) }
+    else if (v >= Short.MinValue && v <= Short.MaxValue) { out.write(0xD1); mpBe(out, v, 2) }
+    else if (v >= Int.MinValue && v <= Int.MaxValue) { out.write(0xD2); mpBe(out, v, 4) }
+    else { out.write(0xD3); mpBe(out, v, 8) }
+
+  private def mpString(out: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    if (b.length < 32) out.write(0xA0 | b.length)
+    else if (b.length < 256) { out.write(0xD9); out.write(b.length) }
+    else if (b.length < 65536) { out.write(0xDA); mpBe(out, b.length.toLong, 2) }
+    else { out.write(0xDB); mpBe(out, b.length.toLong, 4) }
+    out.write(b, 0, b.length)
+  }
+
+  private def mpArrayHeader(out: java.io.ByteArrayOutputStream, n: Int): Unit =
+    if (n < 16) out.write(0x90 | n)
+    else if (n < 65536) { out.write(0xDC); mpBe(out, n.toLong, 2) }
+    else { out.write(0xDD); mpBe(out, n.toLong, 4) }
+
+  private def mpMapHeader(out: java.io.ByteArrayOutputStream, n: Int): Unit =
+    if (n < 16) out.write(0x80 | n)
+    else if (n < 65536) { out.write(0xDE); mpBe(out, n.toLong, 2) }
+    else { out.write(0xDF); mpBe(out, n.toLong, 4) }
+
+  private def mpBe(out: java.io.ByteArrayOutputStream, v: Long, nBytes: Int): Unit = {
+    var i = nBytes - 1
+    while (i >= 0) { out.write(((v >>> (8 * i)) & 0xFF).toInt); i -= 1 }
   }
 
   // ---- CSV -----------------------------------------------------------------

@@ -52,7 +52,13 @@ object Config {
                           /** Top-level `reload_interval` seconds — the
                             * default refresh cadence for tables without
                             * their own (config.rs:46). */
-                          reloadIntervalSec: Option[Long] = None) {
+                          reloadIntervalSec: Option[Long] = None,
+                          /** Top-level `auth:` block — the reference's
+                            * unshipped "authentication layer" roadmap item:
+                            * `basic: {user: pass, ...}` and/or
+                            * `bearer: [token, ...]`; absent = open. */
+                          httpAuthBasic: Map[String, String] = Map.empty,
+                          httpAuthBearer: Seq[String] = Seq.empty) {
     /** `datafusion.sql_parser.dialect` from the reference's config surface
       * (roapi/src/config.rs:246-261, roapi/tests/config_test.rs:12-17). */
     def sqlDialect: Option[String] = datafusionConf.get("sql_parser.dialect")
@@ -135,6 +141,10 @@ object Config {
     // serving Json
     val respFmt = Option(root.get("response_format")).map(_.toString)
       .map(parseResponseFormat).getOrElse(graft.encoding.Encoders.Json)
+    val authBlock = obj(root.get("auth"))
+    val httpBasic = obj(authBlock.get("basic")).asScala
+      .map { case (k, v) => k -> String.valueOf(v) }.toMap
+    val httpBearer = list(authBlock.get("bearer")).map(String.valueOf(_))
     Loaded(splitAddr(addr.get("http")), splitAddr(addr.get("postgres")),
       tables, kvs, sparkConf, splitAddr(addr.get("http2")),
       splitAddr(addr.get("flight_sql")), authBasic,
@@ -142,7 +152,9 @@ object Config {
       disableReadOnly =
         Option(root.get("disable_read_only")).exists(_.toString.toBoolean),
       reloadIntervalSec =
-        Option(root.get("reload_interval")).map(_.toString.toLong))
+        Option(root.get("reload_interval")).map(_.toString.toLong),
+      httpAuthBasic = httpBasic,
+      httpAuthBearer = httpBearer)
   }
 
   /** Engine-conf blocks (`spark:`, `datafusion:`) flattened to dotted
@@ -171,9 +183,10 @@ object Config {
       case "arrowfile" | "application/vnd.apache.arrow.file" => Encoders.ArrowFile
       case "arrowstream" | "application/vnd.apache.arrow.stream" => Encoders.ArrowStream
       case "parquet" | "application/parquet" => Encoders.Parquet
+      case "msgpack" | "application/msgpack" => Encoders.MsgPack
       case _ => throw new IllegalArgumentException(
         s"config: unknown response_format `$v` " +
-          "(expected Json, Csv, ArrowFile, ArrowStream, or Parquet)")
+          "(expected Json, Csv, ArrowFile, ArrowStream, Parquet, or MsgPack)")
     }
   }
 

@@ -32,7 +32,38 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
                      * declare none of their own — the reference's top-level
                      * `reload_interval` (columnq.rs:191:
                      * `t.reload_interval.or(self.reload_interval)`). */
-                   val defaultReloadSec: Option[Long] = None) {
+                   val defaultReloadSec: Option[Long] = None,
+                   /** HTTP authentication layer (the reference's unshipped
+                     * roadmap item, README.md:334) — Basic users and/or
+                     * Bearer tokens; both empty = open (the reference's
+                     * shipped behavior). Enforced on every HTTP route
+                     * except `/health` and CORS preflight; FlightSQL keeps
+                     * its own handshake auth, pg stays trust-mode like the
+                     * reference. */
+                   val httpAuthBasic: Map[String, String] = Map.empty,
+                   val httpAuthBearer: Set[String] = Set.empty) {
+
+  // ---- HTTP auth -----------------------------------------------------------
+
+  def authEnabled: Boolean = httpAuthBasic.nonEmpty || httpAuthBearer.nonEmpty
+
+  /** Does this Authorization header value authenticate? (`Basic b64(u:p)`
+    * against the user map, `Bearer t` against the token set; scheme names
+    * case-insensitive per RFC 7235.) */
+  private[server] def authorize(header: Option[String]): Boolean =
+    !authEnabled || header.exists { h =>
+      val t = h.trim
+      if (t.regionMatches(true, 0, "Basic ", 0, 6)) {
+        try {
+          val dec = new String(
+            java.util.Base64.getDecoder.decode(t.substring(6).trim), "UTF-8")
+          val i = dec.indexOf(':')
+          i > 0 && httpAuthBasic.get(dec.substring(0, i)).contains(dec.substring(i + 1))
+        } catch { case _: IllegalArgumentException => false }
+      } else if (t.regionMatches(true, 0, "Bearer ", 0, 7))
+        httpAuthBearer.contains(t.substring(7).trim)
+      else false
+    }
 
   private val tables = new ConcurrentHashMap[String, TableSource]()
   private val kvDefs = new ConcurrentHashMap[String, KvStore]()

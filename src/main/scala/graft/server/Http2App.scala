@@ -126,7 +126,8 @@ final class Http2App(engine: Engine, port: Int = 0,
       val bytes = body.toByteArray
       val req = Routes.Request(
         String.valueOf(headers.method()), path, rawQuery,
-        Option(headers.get("accept")).map(String.valueOf(_)), () => bytes)
+        Option(headers.get("accept")).map(String.valueOf(_)), () => bytes,
+        authorization = Option(headers.get("authorization")).map(String.valueOf(_)))
       val ch = ctx.channel()
       // permissive CORS on every response (roapi/src/server/http/mod.rs:61-66)
       def cors(h: io.netty.handler.codec.http2.Http2Headers)
@@ -205,7 +206,8 @@ final class Http2App(engine: Engine, port: Int = 0,
       msg.content().readBytes(bytes)
       val req = Routes.Request(
         msg.method().name(), path, rawQuery,
-        Option(msg.headers().get("Accept")), () => bytes)
+        Option(msg.headers().get("Accept")), () => bytes,
+        authorization = Option(msg.headers().get("Authorization")))
       val ch = ctx.channel()
       workers.execute(() => {
         // a runtime failure must still produce a response — an escaped

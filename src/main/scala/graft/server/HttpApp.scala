@@ -55,7 +55,8 @@ final class HttpApp(engine: Engine, port: Int = 0,
       ex.getRequestMethod, ex.getRequestURI.getPath,
       Option(ex.getRequestURI.getRawQuery),
       Option(ex.getRequestHeaders.getFirst("Accept")),
-      () => ex.getRequestBody.readAllBytes())
+      () => ex.getRequestBody.readAllBytes(),
+      authorization = Option(ex.getRequestHeaders.getFirst("Authorization")))
     try {
       // permissive CORS on every response (roapi/src/server/http/mod.rs:61-66)
       Routes.corsHeadersFor(req.method).foreach { case (k, v) =>
@@ -64,6 +65,8 @@ final class HttpApp(engine: Engine, port: Int = 0,
       Routes.handle(engine, req) match {
         case Routes.Full(status, mime, body) =>
           ex.getResponseHeaders.set("Content-Type", mime)
+          if (status == 401) // RFC 7235: tell the client how to authenticate
+            ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
           ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
           if (body.nonEmpty) ex.getResponseBody.write(body)
         case Routes.Streamed(mime, write) =>
@@ -200,7 +203,9 @@ object ServerMain {
     val engine = new Engine(spark, readOnly,
       pipelineDir = sys.env.get("GRAFT_PIPELINE_DIR"),
       responseFormat = cfg.responseFormat,
-      defaultReloadSec = cfg.reloadIntervalSec)
+      defaultReloadSec = cfg.reloadIntervalSec,
+      httpAuthBasic = cfg.httpAuthBasic,
+      httpAuthBearer = cfg.httpAuthBearer.toSet)
     cfg.tables.foreach(engine.registerTable)
     cfg.kvs.foreach(kv => engine.registerKv(kv.name, kv.source, kv.key, kv.value))
     // the configured HOST is honored, not just the port (round-10 advice:

@@ -18,7 +18,8 @@ object Routes {
 
   /** `body` is pulled lazily — GET handlers never read it. */
   final case class Request(method: String, path: String, rawQuery: Option[String],
-                           accept: Option[String], body: () => Array[Byte])
+                           accept: Option[String], body: () => Array[Byte],
+                           authorization: Option[String] = None)
 
   sealed trait Response { def status: Int; def mime: String }
   final case class Full(status: Int, mime: String, body: Array[Byte]) extends Response
@@ -93,7 +94,14 @@ object Routes {
     resp
   }
 
-  private def route(engine: Engine, req: Request): Response =
+  private def route(engine: Engine, req: Request): Response = {
+    // auth layer (the reference's unshipped roadmap item): everything but
+    // the liveness probe and CORS preflight needs credentials when
+    // configured — a 401 through the standard error JSON + access log
+    if (req.method != "OPTIONS" && req.path.stripSuffix("/") != "/health" &&
+        !engine.authorize(req.authorization))
+      throw ApiError(401, "unauthorized",
+        "missing or invalid Authorization credentials")
     (req.method, req.path.stripSuffix("/").split('/').toList.drop(1)) match {
       // CORS preflight: permissive 204 for any path (the reference's
       // CorsLayer answers preflight before routing, so unknown paths
@@ -203,6 +211,7 @@ object Routes {
         Full(200, "application/json", Array.emptyByteArray)
       case _ => throw ApiError(404, "not_found", s"${req.method} ${req.path}")
     }
+  }
 
   /** ACCEPT-negotiated result encoding: stream the footer-less formats,
     * buffer the footer-ful ones (Arrow file, Parquet). `default` is the
