@@ -116,6 +116,11 @@ object Routes {
         Full(404, "text/plain", "404 Not Found".getBytes(UTF_8))
       case ("GET", List("api", "version")) =>
         Full(200, "application/json", "\"0.1.0\"".getBytes(UTF_8))
+      // auto-generated OpenAPI doc for the REST layer (the reference's
+      // unshipped roadmap item, README.md:331) — regenerated per request
+      // so it always reflects the live registry
+      case ("GET", List("api", "openapi")) =>
+        Full(200, "application/json", OpenApi.document(engine).getBytes(UTF_8))
       case ("POST", List("api", "sql")) =>
         sqlResponse(engine, bodyString(req), req.accept)
       case ("POST", List("api", "graphql")) =>
