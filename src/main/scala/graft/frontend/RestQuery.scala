@@ -38,14 +38,38 @@ object RestQuery {
         .getOrElse(throw RestError("rest_query_value", s"invalid REST query value $v"))
   }
 
-  def predicate(c: Column, op: String, v: String): Column = op match {
-    case "" | "eq"      => c === literal(v)
-    case "lt"           => c < literal(v)
-    case "lte" | "lteq" => c <= literal(v)
-    case "gt"           => c > literal(v)
-    case "gte" | "gteq" => c >= literal(v)
-    case other => throw RestError("rest_query", s"unsupported filter operator $other")
+  def predicate(c: Column, op: String, v: String): Column =
+    predicate(c, op, v, None)
+
+  /** Schema-directed variant — the reference's unshipped "query input type
+    * conversion based on table schema" roadmap item (README.md:332): when
+    * the filtered column is STRING-typed, a bare unquoted value is taken
+    * as the string itself (`filter[name]=BRAZIL` works without the `'..'`
+    * ceremony, and `filter[name]=5` compares as the STRING "5" instead of
+    * casting the column to bigint). Quoted values and non-string columns
+    * keep the reference's literal typing exactly. */
+  def predicate(c: Column, op: String, v: String,
+                dt: Option[org.apache.spark.sql.types.DataType]): Column = {
+    val l = typedLiteral(v, dt)
+    op match {
+      case "" | "eq"      => c === l
+      case "lt"           => c < l
+      case "lte" | "lteq" => c <= l
+      case "gt"           => c > l
+      case "gte" | "gteq" => c >= l
+      case other => throw RestError("rest_query", s"unsupported filter operator $other")
+    }
   }
+
+  private def typedLiteral(v: String,
+                           dt: Option[org.apache.spark.sql.types.DataType]): Column =
+    dt match {
+      case Some(org.apache.spark.sql.types.StringType) =>
+        val t = v.trim
+        if (t.length >= 2 && t.head == '\'' && t.last == '\'') literal(v)
+        else lit(t)
+      case _ => literal(v)
+    }
 
   def sortCol(spec: String): Column = spec.headOption match {
     case Some('-') => col(spec.tail).desc_nulls_first
@@ -57,10 +81,12 @@ object RestQuery {
   def apply(df0: DataFrame, params: Map[String, String]): DataFrame = {
     var df = df0
     // Filters first (conjunction; Catalyst folds chained filters into one And).
+    val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      df0.schema.fields.map(f => f.name -> f.dataType).toMap
     params.toSeq.sortBy(_._1).foreach {
       case (key @ FilterKey(c, op), v) =>
         val _ = key
-        df = df.filter(predicate(col(c), op, v))
+        df = df.filter(predicate(col(c), op, v, colTypes.get(c)))
       case (key, _) if key.startsWith("filter[") =>
         throw RestError("rest_query", s"invalid filter condition $key")
       case _ => ()

@@ -16,6 +16,24 @@ class RestQuerySpec extends SparkSpec {
     assert(RestQuery(df, Map("filter[score]lt" -> "7.5")).count() == 2)
   }
 
+  test("schema-directed input conversion: bare strings work on string columns") {
+    // the reference's unshipped roadmap item (README.md:332): no '..'
+    // ceremony needed when the column is string-typed
+    assert(RestQuery(df, Map("filter[tag]" -> "a")).count() == 2)
+    // a numeric-looking value on a STRING column compares as a string,
+    // not by casting the column to bigint
+    val df2 = Seq(("5", 1L), ("05", 2L), ("x", 3L)).toDF("code", "n")
+    assert(RestQuery(df2, Map("filter[code]" -> "5")).count() == 1)
+    // quoted strings and non-string columns keep the reference typing
+    assert(RestQuery(df, Map("filter[tag]" -> "'a'")).count() == 2)
+    assert(RestQuery(df, Map("filter[id]" -> "3")).count() == 1)
+    // bare junk on a NUMERIC column still fails loudly (no silent string
+    // comparison against a long column)
+    intercept[RestQuery.RestError] {
+      RestQuery(df, Map("filter[id]" -> "abc")).count()
+    }
+  }
+
   test("operator order is filter -> project -> sort -> limit (plan equivalence)") {
     val got = RestQuery(df, Map(
       "filter[score]gt" -> "2", "columns" -> "id,score",
