@@ -67,7 +67,10 @@ object RestQuery {
       case Some(org.apache.spark.sql.types.StringType) =>
         val t = v.trim
         if (t.length >= 2 && t.head == '\'' && t.last == '\'') literal(v)
-        else lit(t)
+        // the bare value is taken EXACTLY as sent (no trim): boundary
+        // whitespace in data must stay matchable (review finding); the
+        // quoted form remains available for values that LOOK quoted
+        else lit(v)
       case _ => literal(v)
     }
 
@@ -81,12 +84,15 @@ object RestQuery {
   def apply(df0: DataFrame, params: Map[String, String]): DataFrame = {
     var df = df0
     // Filters first (conjunction; Catalyst folds chained filters into one And).
+    // lowercased keys: Spark resolves filter columns case-insensitively by
+    // default, so the type lookup must too — a case-mismatched filter key
+    // otherwise lost its schema-directed typing (review finding)
     val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
-      df0.schema.fields.map(f => f.name -> f.dataType).toMap
+      df0.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     params.toSeq.sortBy(_._1).foreach {
       case (key @ FilterKey(c, op), v) =>
         val _ = key
-        df = df.filter(predicate(col(c), op, v, colTypes.get(c)))
+        df = df.filter(predicate(col(c), op, v, colTypes.get(c.toLowerCase)))
       case (key, _) if key.startsWith("filter[") =>
         throw RestError("rest_query", s"invalid filter condition $key")
       case _ => ()

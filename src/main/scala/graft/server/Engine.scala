@@ -50,6 +50,12 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   /** Does this Authorization header value authenticate? (`Basic b64(u:p)`
     * against the user map, `Bearer t` against the token set; scheme names
     * case-insensitive per RFC 7235.) */
+  /** Constant-time secret comparison (MessageDigest.isEqual) — plain
+    * String.equals short-circuits at the first differing byte, leaking
+    * credential prefixes through response timing (review finding). */
+  private def secretEq(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
   private[server] def authorize(header: Option[String]): Boolean =
     !authEnabled || header.exists { h =>
       val t = h.trim
@@ -58,11 +64,13 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
           val dec = new String(
             java.util.Base64.getDecoder.decode(t.substring(6).trim), "UTF-8")
           val i = dec.indexOf(':')
-          i > 0 && httpAuthBasic.get(dec.substring(0, i)).contains(dec.substring(i + 1))
+          i > 0 && httpAuthBasic.get(dec.substring(0, i))
+            .exists(secretEq(_, dec.substring(i + 1)))
         } catch { case _: IllegalArgumentException => false }
-      } else if (t.regionMatches(true, 0, "Bearer ", 0, 7))
-        httpAuthBearer.contains(t.substring(7).trim)
-      else false
+      } else if (t.regionMatches(true, 0, "Bearer ", 0, 7)) {
+        val tok = t.substring(7).trim
+        httpAuthBearer.exists(secretEq(_, tok))
+      } else false
     }
 
   private val tables = new ConcurrentHashMap[String, TableSource]()

@@ -143,6 +143,8 @@ final class Http2App(engine: Engine, port: Int = 0,
             case Routes.Full(status, mime, b) =>
               val h = cors(new DefaultHttp2Headers().status(String.valueOf(status)))
               h.set("content-type", mime)
+              if (status == 401) // RFC 7235 challenge, as on the 1.1 transport
+                h.set("www-authenticate", "Basic realm=\"graft\"")
               ch.write(new DefaultHttp2HeadersFrame(h, b.isEmpty))
               if (b.nonEmpty)
                 ch.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(b), true))
@@ -230,6 +232,8 @@ final class Http2App(engine: Engine, port: Int = 0,
           Unpooled.wrappedBuffer(body))
         resp.headers().set("Content-Type", mime)
         resp.headers().set("Content-Length", body.length)
+        if (status == 401)
+          resp.headers().set("WWW-Authenticate", "Basic realm=\"graft\"")
         // permissive CORS (roapi/src/server/http/mod.rs:61-66)
         Routes.corsHeadersFor(req.method).foreach { case (k, v) =>
           resp.headers().set(k, v)

@@ -205,7 +205,10 @@ final class PostgresServer(engine: Engine, port: Int = 0,
     val m = java.util.regex.Pattern.compile("\\$(\\d+)").matcher(sql)
     val sb = new StringBuffer()
     while (m.find()) {
-      val rep = lit(m.group(1).toInt).getOrElse(m.group())
+      // toIntOption: a 10+-digit run after `$` (e.g. inside a string
+      // literal) must pass through untouched, not crash the connection
+      // with an uncaught NumberFormatException (review finding)
+      val rep = m.group(1).toIntOption.flatMap(lit).getOrElse(m.group())
       m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
     }
     m.appendTail(sb)

@@ -18,11 +18,16 @@ import org.apache.spark.sql.DataFrame
   * Spark parquet write into a scratch dir, then moved under the table
   * root), and the version's actions land in `_delta_log/<v>.json` through
   * `FileSystem.create(path, overwrite = false)` — the protocol's
-  * put-if-absent primitive: two writers racing to the same version cannot
-  * both win, the loser re-reads the log and retries at the next version
-  * (bounded attempts). A crash before the rename/commit leaves only
-  * uncommitted data files — invisible to every reader, reclaimable by
-  * vacuum, exactly the protocol's orphan story.
+  * put-if-absent primitive. On stores with ATOMIC create (file://, HDFS,
+  * abfss) two writers racing to the same version cannot both win; the
+  * loser re-reads the log, RE-VALIDATES against the fresh snapshot
+  * (schema compatibility, txn ledger, metaData-on-first-commit), and
+  * retries at the next version. S3-class stores have no atomic
+  * create-if-absent — there the Delta protocol itself requires an
+  * external commit coordinator (delta-rs uses a DynamoDB lock), and this
+  * writer inherits that documented limitation. A crash before the commit
+  * leaves only uncommitted data files — invisible to every reader,
+  * reclaimable by vacuum, exactly the protocol's orphan story.
   *
   * Idempotent appends: an optional `txn` (appId, version) action makes a
   * commit a no-op when the log already carries that appId at >= version —
@@ -54,87 +59,94 @@ object DeltaWriter {
     val logDir = new HPath(root, "_delta_log")
     fs.mkdirs(logDir)
 
-    val existing: Option[DeltaLoader.Snapshot] =
-      if (fs.listStatus(logDir).exists(_.getPath.getName.matches("\\d{20}\\.json")) ||
-          fs.exists(new HPath(logDir, "_last_checkpoint")))
-        Some(DeltaLoader.snapshot(spark, dir))
-      else None
-
-    existing.foreach { s =>
-      require(s.columnMappingMode == "none",
-        "DeltaWriter cannot write into a column-mapped table " +
-          "(data files would need physical column names)")
-      require(s.partitionColumns.isEmpty,
-        "DeltaWriter supports unpartitioned tables only")
-      if (mode == "append") {
-        val want = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-        val have = s.schema.fields.map(f => (f.name, f.dataType)).toSeq
-        require(want == have,
-          s"append schema ${want.mkString(",")} does not match table schema " +
-            s"${have.mkString(",")} (overwrite to replace the schema)")
-      }
-    }
-
-    // idempotent replay: the txn ledger is consulted BEFORE any data write,
-    // so a redelivered micro-batch costs two metadata reads, not a parquet
-    // pass
-    val alreadyCommitted = txn.exists { case (appId, v) =>
-      lastTxnVersion(fs, logDir, appId).exists(_ >= v)
-    }
-    if (alreadyCommitted) return existing.map(_.version).getOrElse(0L)
-
-    // distributed data write into a scratch dir, then move each part under
-    // the table root (part names carry Spark's task UUIDs — unique across
-    // concurrent writers by construction)
-    val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(scratch.toString)
-    val parts = fs.listStatus(scratch).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-    val now = System.currentTimeMillis()
-    val adds = parts.map { p =>
-      val name = p.getName
-      require(fs.rename(p, new HPath(root, name)),
-        s"DeltaWriter could not move data file $name into $dir")
-      val size = fs.getFileStatus(new HPath(root, name)).getLen
-      s"""{"add":{"path":"$name","partitionValues":{},"size":$size,""" +
-        s""""modificationTime":$now,"dataChange":true}}"""
-    }.toSeq
-    fs.delete(scratch, true)
-
-    val removes =
-      if (mode == "overwrite")
-        existing.toSeq.flatMap(_.files).map(f =>
-          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":$now,""" +
-            """"dataChange":true}}""")
-      else Seq.empty
-
-    val needsMeta = existing.isEmpty || mode == "overwrite"
-    val metaLines =
-      if (needsMeta)
-        Seq(
-          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-          s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
-            """"format":{"provider":"parquet","options":{}},""" +
-            s""""schemaString":${jstr(df.schema.json)},""" +
-            s""""partitionColumns":[],"configuration":{},"createdTime":$now}}""")
-      else Seq.empty
-    val txnLines = txn.toSeq.map { case (appId, v) =>
-      s"""{"txn":{"appId":${jstr(appId)},"version":$v,"lastUpdated":$now}}"""
-    }
-    val commitInfo =
-      s"""{"commitInfo":{"timestamp":$now,"operation":"${
-        if (mode == "overwrite") "WRITE" else "APPEND"}","operationParameters":{},""" +
-        """"engineInfo":"graft-delta-writer"}}"""
-    val lines = (Seq(commitInfo) ++ metaLines ++ txnLines ++ removes ++ adds)
-      .mkString("", "\n", "\n")
-
-    // optimistic put-if-absent commit loop
-    var version = existing.map(_.version + 1).getOrElse(0L)
+    // the data files are written ONCE (their add actions are valid against
+    // any snapshot); everything snapshot-DEPENDENT — validation, the txn
+    // ledger check, removes, metaData-on-first-commit — is recomputed from
+    // a FRESH log read on every commit attempt, so losing a race to a
+    // concurrent CREATE or schema-changing commit re-validates instead of
+    // republishing stale metaData/removes (review finding).
+    var adds: Seq[String] = null
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 20,
         s"DeltaWriter gave up after $attempts contended commit attempts on $dir")
+
+      val existing: Option[DeltaLoader.Snapshot] =
+        if (fs.listStatus(logDir).exists(_.getPath.getName.matches("\\d{20}\\.json")) ||
+            fs.exists(new HPath(logDir, "_last_checkpoint")))
+          Some(DeltaLoader.snapshot(spark, dir))
+        else None
+
+      existing.foreach { s =>
+        require(s.columnMappingMode == "none",
+          "DeltaWriter cannot write into a column-mapped table " +
+            "(data files would need physical column names)")
+        require(s.partitionColumns.isEmpty,
+          "DeltaWriter supports unpartitioned tables only")
+        if (mode == "append") {
+          val want = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          val have = s.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          require(want == have,
+            s"append schema ${want.mkString(",")} does not match table schema " +
+              s"${have.mkString(",")} (overwrite to replace the schema)")
+        }
+      }
+
+      // idempotent replay: the txn ledger is consulted BEFORE any data
+      // write, so a redelivered micro-batch costs two metadata reads, not
+      // a parquet pass
+      val alreadyCommitted = txn.exists { case (appId, v) =>
+        lastTxnVersion(fs, logDir, appId).exists(_ >= v)
+      }
+      if (alreadyCommitted) return existing.map(_.version).getOrElse(0L)
+
+      val now = System.currentTimeMillis()
+      if (adds == null) {
+        // distributed data write into a scratch dir, then move each part
+        // under the table root (part names carry Spark's task UUIDs —
+        // unique across concurrent writers by construction)
+        val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+        df.write.mode("overwrite").parquet(scratch.toString)
+        val parts = fs.listStatus(scratch).map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        adds = parts.map { p =>
+          val name = p.getName
+          require(fs.rename(p, new HPath(root, name)),
+            s"DeltaWriter could not move data file $name into $dir")
+          val size = fs.getFileStatus(new HPath(root, name)).getLen
+          s"""{"add":{"path":"$name","partitionValues":{},"size":$size,""" +
+            s""""modificationTime":$now,"dataChange":true}}"""
+        }.toSeq
+        fs.delete(scratch, true)
+      }
+
+      val removes =
+        if (mode == "overwrite")
+          existing.toSeq.flatMap(_.files).map(f =>
+            s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":$now,""" +
+              """"dataChange":true}}""")
+        else Seq.empty
+      val metaLines =
+        if (existing.isEmpty || mode == "overwrite")
+          Seq(
+            """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+            s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+              """"format":{"provider":"parquet","options":{}},""" +
+              s""""schemaString":${jstr(df.schema.json)},""" +
+              s""""partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+        else Seq.empty
+      val txnLines = txn.toSeq.map { case (appId, v) =>
+        s"""{"txn":{"appId":${jstr(appId)},"version":$v,"lastUpdated":$now}}"""
+      }
+      val commitInfo =
+        s"""{"commitInfo":{"timestamp":$now,"operation":"${
+          if (mode == "overwrite") "WRITE" else "APPEND"}","operationParameters":{},""" +
+          """"engineInfo":"graft-delta-writer"}}"""
+      val lines = (Seq(commitInfo) ++ metaLines ++ txnLines ++ removes ++ adds)
+        .mkString("", "\n", "\n")
+
+      val version = existing.map(_.version + 1).getOrElse(0L)
       val target = new HPath(logDir, f"$version%020d.json")
       try {
         val out = fs.create(target, false) // put-if-absent: the commit point
@@ -143,16 +155,14 @@ object DeltaWriter {
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.io.IOException if fs.exists(target) =>
-          // lost the race for this version — advance past the winner. The
-          // actions were computed against the old snapshot; APPENDs compose
-          // with any interleaved commit, but an overwrite's remove set may
-          // now be stale, so overwrite refuses rather than resurrect files.
+          // lost the race — loop back to a FRESH snapshot read. Appends
+          // recompute and retry; an overwrite's remove set went stale, so
+          // it refuses rather than resurrect or double-tombstone files.
           require(mode == "append",
             s"DeltaWriter overwrite lost a commit race at version $version; retry the operation")
-          version += 1
       }
     }
-    version // unreachable
+    -1L // unreachable
   }
 
   /** Highest txn version committed for `appId`, from the JSON commits (this

@@ -37,12 +37,24 @@ import org.apache.spark.sql.types._
   * [[streamSink]] turns at-least-once micro-batch redelivery into an
   * exactly-once table.
   *
-  * Supported: unpartitioned v2 tables, append + overwrite. Unsupported
-  * (fails loudly): writing into partitioned or column-projection-sensitive
-  * tables. Manifests carry the fields a spec-faithful planner consumes
-  * (status/content/file_path/file_format/record_count — TRUE counts read
-  * from the parquet footers — and sizes); `version-hint.text` is advisory
-  * and last-writer-wins under contention, the known filesystem-catalog
+  * Supported: unpartitioned v2 tables, append + overwrite (appending onto
+  * a legacy-v1 metadata layout normalizes its top-level `schema` into the
+  * v2 `schemas` array). Unsupported (fails loudly): writing into
+  * partitioned tables (v2 specs AND the legacy v1 `partition-spec` are
+  * both checked).
+  *
+  * Interop scope — stated honestly: manifests carry the subset of fields
+  * this repo's own planner consumes (status/content/file_path/file_format/
+  * record_count — TRUE counts read from the parquet footers — and sizes),
+  * NOT the full spec-required manifest schema (no partition struct, no
+  * min/max sequence summaries, no Avro field-id properties), so tables
+  * written here are for graft-read pipelines; full-fidelity interop with
+  * java-iceberg/pyiceberg would need the complete Avro schemas. The
+  * put-if-absent metadata commit is atomic on filesystems with atomic
+  * create (file://, HDFS); S3-class stores need an external commit
+  * coordinator, exactly as upstream Iceberg/Delta document for their own
+  * filesystem catalogs. `version-hint.text` is advisory and
+  * last-writer-wins under contention, the known filesystem-catalog
   * limitation (newest-metadata resolution still works without it). */
 object IcebergWriter {
 
@@ -86,8 +98,13 @@ object IcebergWriter {
 
     existing.foreach { meta =>
       val specs = Option(meta.get("partition-specs")).filterNot(_.isNull)
+      // v2 spec list AND the legacy v1 top-level `partition-spec` array —
+      // missing the latter would silently DROP a v1 table's partitioning
+      // (review finding)
       val partitioned = specs.exists(_.elements().asScala.exists(s =>
-        s.get("fields").size() > 0))
+        s.get("fields").size() > 0)) ||
+        Option(meta.get("partition-spec")).filterNot(_.isNull)
+          .exists(_.elements().asScala.nonEmpty)
       require(!partitioned, "IcebergWriter supports unpartitioned tables only")
       if (mode == "append") {
         val have = IcebergLoader.tableSchema(meta)
@@ -182,21 +199,38 @@ object IcebergWriter {
     val listPath = new HPath(metaDir, s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
     writeAvro(fs, manifestListSchema, carried :+ newEntry, listPath)
 
-    // schema bookkeeping
+    // schema bookkeeping. `priorSchemas` normalizes the two metadata
+    // generations: the v2 `schemas` array, or the legacy v1 top-level
+    // `schema` wrapped with schema-id 0 — without the fallback an
+    // append/overwrite on a v1-style table wrote `"schemas":null` /
+    // invalid `[,{...}]` JSON and bricked the table (review finding).
+    val priorSchemas: Seq[String] = existing.toSeq.flatMap { meta =>
+      Option(meta.get("schemas")).filterNot(_.isNull)
+        .map(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
+        .getOrElse {
+          Option(meta.get("schema")).filterNot(_.isNull).toSeq.map { legacy =>
+            val node = legacy.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+            if (!node.has("schema-id")) node.put("schema-id", 0)
+            mapper.writeValueAsString(node)
+          }
+        }
+    }
     val (schemasJson, schemaId, lastColumnId) = existing match {
       case Some(meta) if mode == "append" =>
-        val arr = meta.get("schemas")
+        require(priorSchemas.nonEmpty,
+          s"Iceberg table at `$dir` has no schema to append against")
         val cur = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
         val lci = Option(meta.get("last-column-id")).map(_.asInt()).getOrElse(0)
-        (mapper.writeValueAsString(arr), cur, lci)
+        (priorSchemas.mkString("[", ",", "]"), cur, lci)
       case Some(meta) => // overwrite: append a NEW schema entry
-        val prior = Option(meta.get("schemas")).filterNot(_.isNull)
-          .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-        val nextId = prior.map(_.get("schema-id").asInt()).foldLeft(-1)(math.max) + 1
+        val priorIds = existing.toSeq.flatMap(m =>
+          Option(m.get("schemas")).filterNot(_.isNull)
+            .map(_.elements().asScala.toSeq.map(_.get("schema-id").asInt()))
+            .getOrElse(if (priorSchemas.isEmpty) Seq.empty else Seq(0)))
+        val nextId = priorIds.foldLeft(-1)(math.max) + 1
         val startId = Option(meta.get("last-column-id")).map(_.asInt()).getOrElse(0)
         val (json, lci) = icebergSchemaJson(df.schema, nextId, startId)
-        (prior.map(mapper.writeValueAsString).mkString("[", ",", s",$json]"),
-          nextId, lci)
+        ((priorSchemas :+ json).mkString("[", ",", "]"), nextId, lci)
       case None =>
         val (json, lci) = icebergSchemaJson(df.schema, 0, 0)
         (s"[$json]", 0, lci)

@@ -98,7 +98,11 @@ class AuthSpec extends SparkSpec {
         auth.foreach(a => b.header("Authorization", a))
         h2c.send(b.build(), HttpResponse.BodyHandlers.ofString())
       }
-      assert(send(None).statusCode() == 401)
+      val unauth = send(None)
+      assert(unauth.statusCode() == 401)
+      // RFC 7235: the h2c transport must carry the challenge too
+      assert(unauth.headers().firstValue("www-authenticate").orElse("")
+        .startsWith("Basic"))
       assert(send(Some("Bearer tok-123")).statusCode() == 200)
     } finally h2.stop()
   }

@@ -189,6 +189,15 @@ class PostgresServerSpec extends SparkSpec {
     c.execute("p11")
     val one = c.sync()
     assert(one.map(_._1).count(_ == 'D') == 1, one.map(_._1))
+    // a 10+-digit $-run inside a LITERAL must pass through untouched —
+    // not crash the substitution with a NumberFormatException
+    c.parse("sbig", "SELECT '$99999999999' AS v, count(*) AS n FROM region WHERE r_regionkey = $1",
+      paramOids = Seq(20))
+    c.bind("pbig", "sbig", Seq("0"))
+    c.execute("pbig")
+    val big = c.sync()
+    assert(big.map(_._1).count(_ == 'D') == 1, big.map(_._1))
+    assert(new String(big.find(_._1 == 'D').get._2, UTF_8).contains("$99999999999"))
     // a Bind with 2 parameter-format codes for 3 params is a protocol
     // error, answered with ErrorResponse — not a torn connection
     val b = new java.io.ByteArrayOutputStream()

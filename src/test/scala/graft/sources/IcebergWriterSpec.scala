@@ -121,6 +121,36 @@ class IcebergWriterSpec extends SparkSpec {
     assert(dataFile.get("record_count").asInstanceOf[Long] == 10L)
   }
 
+  test("appending onto a legacy-v1 metadata layout normalizes, not bricks, the table") {
+    val dir = newDir()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir)
+    // surgically rewrite the metadata into the v1 shape: top-level `schema`,
+    // no `schemas` array, format-version 1
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = java.nio.file.Path.of(dir + "/metadata/v1.metadata.json")
+    val node = mapper.readTree(java.nio.file.Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schema0 = node.get("schemas").get(0)
+    node.remove("schemas"); node.remove("current-schema-id")
+    node.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", schema0)
+    node.put("format-version", 1)
+    java.nio.file.Files.writeString(p, mapper.writeValueAsString(node))
+    // drop the hadoop checksum sidecar the out-of-band rewrite invalidated
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Path.of(dir + "/metadata/.v1.metadata.json.crc"))
+    assert(rows(readBack(dir)) == Set(1L -> "a")) // legacy form reads fine
+    // append must produce WELL-FORMED v2 metadata (a schemas array built
+    // from the legacy schema), and the table stays fully readable
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
+    assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
+    val v2 = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Path.of(dir + "/metadata/v2.metadata.json")))
+    assert(v2.get("schemas").isArray && v2.get("schemas").size() == 1)
+    // and overwrite on the same legacy-derived lineage assigns the next id
+    IcebergWriter.write(Seq(("x", 9L)).toDF("label", "n"), dir, mode = "overwrite")
+    assert(readBack(dir).schema.fieldNames.toSeq == Seq("label", "n"))
+  }
+
   test("streaming sink appends exactly-once through the summary ledger") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = newDir()
