@@ -80,6 +80,11 @@ object RestQuery {
     case _         => col(spec).asc_nulls_first
   }
 
+  /** The raw (column, op, value) conjuncts of a param map — the shape the
+    * engine's column index prunes on before any Column is built. */
+  def filterTriples(params: Map[String, String]): Seq[(String, String, String)] =
+    params.toSeq.sortBy(_._1).collect { case (FilterKey(c, op), v) => (c, op, v) }
+
   /** Apply REST params to a DataFrame in the reference's fixed order. */
   def apply(df0: DataFrame, params: Map[String, String]): DataFrame = {
     var df = df0

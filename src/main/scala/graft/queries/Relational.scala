@@ -319,7 +319,46 @@ object Relational {
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Memoized per (session, sf dir): a ship-date-clustered 8-file copy of
+    * lineitem plus its zone-map [[graft.sources.ColumnIndex]]. Clustering by
+    * the filter column is what makes zones tight — the layout the repo's
+    * ZOrder operator produces at scale. */
+  private val colIndexMemo = scala.collection.mutable.Map[
+    (SparkSession, String), (String, graft.sources.ColumnIndex.Index)]()
+  private def colIndexFor(spark: SparkSession, dir: String)
+      : (String, graft.sources.ColumnIndex.Index) = colIndexMemo.synchronized {
+    colIndexMemo.getOrElseUpdate((spark, dir), {
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-colindex",
+        Integer.toHexString(dir.hashCode) + "-" +
+          Integer.toHexString(System.identityHashCode(spark))).toString
+      Tables.t(spark, dir, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(out)
+      (out, graft.sources.ColumnIndex.build(spark, out, Seq("l_shipdate")))
+    })
+  }
+
   val dfQueries: Map[String, Q] = Map(
+    // Zone-map column index (reference roadmap "column index"): the scan
+    // plans over only the files whose ship-date interval can match, then
+    // the ordinary filter+agg runs on the survivors — oracle equality
+    // proves pruning lost no rows
+    "q_colindex_scan" -> ((spark, dir) => {
+      val (path, idx) = colIndexFor(spark, dir)
+      val schema = spark.read.parquet(path).schema
+      val preds = Seq(
+        ("l_shipdate", "gte", "'1995-06-01'"), ("l_shipdate", "lt", "'1995-09-01'"))
+      val base = idx.prunedDf(spark, preds, schema)
+        .getOrElse(spark.read.parquet(path))
+      base
+        .filter(col("l_shipdate") >= "1995-06-01" && col("l_shipdate") < "1995-09-01")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
     // REST frontend: equality filter + projection + sort + limit
     "rest_filter_eq" -> ((spark, dir) => {
       RestQuery(Tables.t(spark, dir, "lineitem"), Map(
@@ -698,6 +737,15 @@ object Relational {
   )
 
   val dfOracles: Map[String, String] = Map(
+    // pruned-scan equality: the Spark side reads only index-survivor files
+    "q_colindex_scan" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_shipdate < TIMESTAMP '1995-09-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // bounded-error property check: the oracle asserts the exact counts and
     // that every group's HLL estimate landed within 3x its advertised rsd
     // (the Spark side computes within_3rsd from its own sketch)

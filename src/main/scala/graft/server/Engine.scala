@@ -130,8 +130,29 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   // distributed until an explicit re-register (which clears the latch).
   private val overCapTables = ConcurrentHashMap.newKeySet[String]()
 
+  // Zone-map column indexes (the reference's "column index" roadmap box,
+  // README.md:296): parquet tables registered with `index_columns=a,b`
+  // harvest per-file min/max footer stats once per (re)load; filtered REST
+  // queries then plan over only the files that can match. Rebuilt on every
+  // refresh tick alongside the table itself, dropped with the table.
+  private val colIndexes =
+    new ConcurrentHashMap[String, graft.sources.ColumnIndex.Index]()
+
+  /** Spec hook: the registered index for a table, if any. */
+  private[graft] def columnIndex(name: String): Option[graft.sources.ColumnIndex.Index] =
+    Option(colIndexes.get(name))
+
   private def registerResolved(src: TableSource): Unit = {
     val df = Loaders.register(spark, src)
+    src.options.get("index_columns")
+      .filter(_ => src.resolvedFormat == "parquet")
+      .foreach { cs =>
+        // ';' or ',' separated — the CLI table-URI grammar reserves ',' for
+        // option boundaries, so its users write `index_columns=a;b`
+        colIndexes.put(src.name, graft.sources.ColumnIndex.build(
+          spark, src.uri,
+          cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty)))
+      }
     // typed tri-state opt-out (use_memory_table=false in any case spelling
     // parses to Some(false) in TableSource.fromOptions); a directly-
     // constructed TableSource may instead carry the raw option — honor it
@@ -154,6 +175,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   def dropTable(name: String): Unit = {
     cancelRefresh(name)
     overCapTables.remove(name)
+    colIndexes.remove(name)
     tables.remove(name)
     spark.catalog.dropTempView(name)
     invalidatePlansAndPools()
@@ -508,8 +530,35 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   // REST/GraphQL ride the same mini-fold fast path as SQL: their frames
   // are filter/sort/limit/projection over a registered table, exactly the
   // shape that collapses when the table is pinned locally
-  def queryRest(table: String, params: Map[String, String]): DataFrame =
-    fastLocalServe(RestQuery.table(spark, table, params))
+  def queryRest(table: String, params: Map[String, String]): DataFrame = {
+    // Column-index file pruning first: only for tables served DISTRIBUTED
+    // (pinned-local tables already answer without a scan job), only when a
+    // filter hits an indexed column, and only when files actually drop out.
+    val viaIndex = columnIndex(table)
+      .filter(_ => servedDistributed(table))
+      .flatMap { idx =>
+        val preds = RestQuery.filterTriples(params)
+        if (preds.isEmpty) None
+        // schema resolution failure (e.g. a concurrent drop) falls through
+        // to the normal path and its reference-shaped invalid_table error
+        else scala.util.Try(spark.table(table).schema).toOption
+          .flatMap(idx.prunedDf(spark, preds, _))
+      }
+    viaIndex match {
+      case Some(base) => fastLocalServe(RestQuery(base, params))
+      case None       => fastLocalServe(RestQuery.table(spark, table, params))
+    }
+  }
+
+  /** True when `name` answers from its distributed backing scan (not the
+    * small-table local pin) — the only case file pruning can help. */
+  private def servedDistributed(name: String): Boolean =
+    Option(tables.get(name)).exists { src =>
+      overCapTables.contains(name) || src.memTable.orElse(
+        src.options.get("use_memory_table")
+          .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption))
+        .contains(false)
+    }
 
   def queryGraphQl(q: String): DataFrame = fastLocalServe(GraphQl.query(spark, q))
 

@@ -1,0 +1,325 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Column index — the reference's unshipped query-layer roadmap box
+  * (reference: README.md:296 "[ ] column index"), realized Spark-first as a
+  * per-FILE zone-map (data-skipping) index over parquet tables.
+  *
+  * Spark's own parquet reader already prunes row groups from footer
+  * statistics, but it does so per TASK: at 100 TB / ~100k files every
+  * filtered query still schedules a task per file split just to open a
+  * footer and discover "nothing here". This index hoists the same min/max
+  * stats to the driver ONCE at registration (the footers are read in a
+  * distributed pass — one task per file batch, no row data touched), so a
+  * filtered REST query plans over only the files whose [min,max] interval
+  * can match — the Delta/Iceberg data-skipping design, and the reason the
+  * repo's `ZOrder` operator exists: z-ordered layout makes these intervals
+  * tight on multiple columns at once.
+  *
+  * Driver-side footprint is `files × indexed-columns` fixed-width entries —
+  * the same order as Spark's `InMemoryFileIndex` listing the driver already
+  * holds for every table.
+  *
+  * Pruning is strictly conservative: a file is dropped only when its stats
+  * PROVE the conjunction cannot match (interval disjoint, or the column is
+  * all-null — `eq/lt/…` never match null). Missing/unsupported stats keep
+  * the file.
+  */
+object ColumnIndex {
+
+  /** One column's zone entry in one file. `kind`: "long" | "double" |
+    * "string" | "date" (epoch days in the long fields) | "tsus"/"tsms"
+    * (epoch micros/millis — literal date/datetime strings convert at UTC,
+    * which matches Spark semantics because GraftSession pins
+    * `spark.sql.session.timeZone=UTC`). `allNull` means every value in the
+    * file is null (provably, from footer null counts). */
+  final case class Zone(kind: String, minL: Long, maxL: Long,
+                        minD: Double, maxD: Double,
+                        minS: String, maxS: String, allNull: Boolean)
+      extends Serializable
+
+  final case class FileZones(path: String, rows: Long,
+                             zones: Map[String, Zone]) extends Serializable
+
+  /** Filter triple as the REST grammar produces it: (column, op, raw value)
+    * with op in {"", eq, lt, lte, lteq, gt, gte, gteq}. */
+  type Pred = (String, String, String)
+
+  final class Index private[ColumnIndex] (
+      val dir: String, val columns: Seq[String], val files: Vector[FileZones]) {
+
+    /** Spec/metrics hook: (kept, total) of the most recent prune. */
+    @volatile var lastPrune: Option[(Int, Int)] = None
+
+    def fileCount: Int = files.size
+
+    /** Files that may satisfy the conjunction; None when no predicate
+      * touches an indexed column (nothing to prune on). */
+    def prune(preds: Seq[Pred]): Option[Vector[String]] = {
+      val usable = preds.filter { case (c, op, _) =>
+        columns.exists(_.equalsIgnoreCase(c)) && opSupported(op)
+      }
+      if (usable.isEmpty) None
+      else {
+        val kept = files.filter { f =>
+          usable.forall { case (c, op, raw) =>
+            f.zones.find(_._1.equalsIgnoreCase(c)) match {
+              case None => true // no stats for this column in this file
+              case Some((_, z)) => zoneMayMatch(z, op, raw)
+            }
+          }
+        }.map(_.path)
+        lastPrune = Some((kept.size, files.size))
+        Some(kept)
+      }
+    }
+
+    /** The pruned scan, or None when pruning cannot help (no usable
+      * predicate, or nothing was actually pruned). An all-pruned result
+      * yields an empty LocalRelation with the table schema. */
+    def prunedDf(spark: SparkSession, preds: Seq[Pred],
+                 schema: StructType): Option[DataFrame] =
+      prune(preds).flatMap { kept =>
+        if (kept.size == files.size) None
+        else if (kept.isEmpty)
+          Some(spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+        else Some(spark.read.schema(schema)
+          .option("basePath", dir).parquet(kept: _*))
+      }
+  }
+
+  private def opSupported(op: String): Boolean =
+    Set("", "eq", "lt", "lte", "lteq", "gt", "gte", "gteq").contains(op)
+
+  /** Conservative interval test; any conversion surprise keeps the file. */
+  private[sources] def zoneMayMatch(z: Zone, op: String, raw: String): Boolean = {
+    if (z.allNull) return false // eq/range predicates never match null
+    literalFor(z, raw) match {
+      case None => true
+      case Some(v) =>
+        val (cmpMin, cmpMax) = z.kind match {
+          case "double" =>
+            val d = v.asInstanceOf[BigDecimal]
+            (BigDecimal(z.minD).compare(d), BigDecimal(z.maxD).compare(d))
+          case "string" =>
+            // parquet binary stats order is unsigned-byte lexicographic;
+            // that matches String.compareTo only for pure-ASCII values —
+            // anything else keeps the file (conservative)
+            val s = v.asInstanceOf[String]
+            val ascii = (x: String) => x.forall(_ < 128)
+            if (!ascii(s) || !ascii(z.minS) || !ascii(z.maxS)) return true
+            (z.minS.compareTo(s), z.maxS.compareTo(s))
+          case _ => // long / date: exact integer compare
+            val d = v.asInstanceOf[BigDecimal]
+            (BigDecimal(z.minL).compare(d), BigDecimal(z.maxL).compare(d))
+        }
+        op match {
+          case "" | "eq"      => cmpMin <= 0 && cmpMax >= 0
+          case "lt"           => cmpMin < 0
+          case "lte" | "lteq" => cmpMin <= 0
+          case "gt"           => cmpMax > 0
+          case "gte" | "gteq" => cmpMax >= 0
+          case _              => true
+        }
+    }
+  }
+
+  /** REST raw literal -> the zone's comparison domain. Strings arrive
+    * either bare or in the REST `'..'` quoting. */
+  private def literalFor(z: Zone, raw: String): Option[Any] = {
+    val t = raw.trim
+    val unquoted =
+      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+        Some(t.substring(1, t.length - 1).replace("''", "'"))
+      else None
+    z.kind match {
+      case "string" => Some(unquoted.getOrElse(raw)) // bare value used as-is
+      case "date" =>
+        val s = unquoted.getOrElse(t)
+        scala.util.Try(java.time.LocalDate.parse(s).toEpochDay)
+          .toOption.map(BigDecimal(_))
+          .orElse(t.toLongOption.map(BigDecimal(_)))
+      case "tsus" | "tsms" =>
+        val s = unquoted.getOrElse(t)
+        val perSec = if (z.kind == "tsus") 1000000L else 1000L
+        epochSeconds(s).map(sec => BigDecimal(sec) * BigDecimal(perSec))
+          .orElse(t.toLongOption.map(BigDecimal(_)))
+      case _ => // long/double zones: numeric literals only
+        if (unquoted.isDefined) None
+        else t.toLongOption.map(BigDecimal(_))
+          .orElse(t.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
+            .map(BigDecimal(_)))
+    }
+  }
+
+  /** `YYYY-MM-DD[ T]HH:MM:SS` or bare `YYYY-MM-DD` -> epoch seconds at UTC.
+    * Fractional seconds refuse (None -> keep the file): truncating them
+    * could falsely prove disjointness for `lt`/`gt` bounds. */
+  private def epochSeconds(s: String): Option[Long] = {
+    val norm = s.trim.replace(' ', 'T')
+    if (norm.contains('.')) None
+    else scala.util.Try(java.time.LocalDateTime.parse(norm)
+        .toEpochSecond(java.time.ZoneOffset.UTC)).toOption
+      .orElse(scala.util.Try(java.time.LocalDate.parse(norm)
+        .atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC)).toOption)
+  }
+
+  // ---- build ---------------------------------------------------------------
+
+  /** Harvest footer stats for `cols` over every parquet file under `dir`.
+    * Footer reads run as a distributed job (metadata-only — no row bytes);
+    * only the small per-file zone rows come back to the driver. */
+  def build(spark: SparkSession, dir: String, cols: Seq[String]): Index = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val paths = listParquetFiles(fs, root)
+    // Hadoop Configuration is not serializable: ship its entries and
+    // rebuild per task (object-store creds/endpoints must reach the tasks)
+    val confEntries: Array[(String, String)] = {
+      val it = conf.iterator(); val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val wanted = cols.toVector
+    val zones =
+      if (paths.isEmpty) Vector.empty[FileZones]
+      else spark.sparkContext
+        .parallelize(paths, math.min(paths.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .mapPartitions { it =>
+          val c = new Configuration(false)
+          confEntries.foreach { case (k, v) => c.set(k, v) }
+          it.map(p => readFileZones(c, p, wanted))
+        }
+        .collect().toVector.sortBy(_.path)
+    new Index(dir, wanted, zones)
+  }
+
+  private def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                               root: Path): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) ()
+      else if (st.isDirectory) walk(st.getPath)
+      else if (n.endsWith(".parquet")) out += st.getPath.toString
+    }
+    val st = fs.getFileStatus(root)
+    if (st.isDirectory) walk(root) else out += st.getPath.toString
+    out.result()
+  }
+
+  /** One footer -> zones for the wanted top-level columns. Row-group stats
+    * merge per file; any row group with missing/unsupported stats marks the
+    * column unindexed for the file (conservative). */
+  private[sources] def readFileZones(conf: Configuration, path: String,
+                                     wanted: Seq[String]): FileZones = {
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val footer = rd.getFooter
+      val blocks = footer.getBlocks
+      val rows = { var r = 0L; blocks.forEach(b => r += b.getRowCount); r }
+      val zones = mutable.Map[String, Zone]()
+      wanted.foreach { w =>
+        var zone: Option[Zone] = None
+        var nulls = 0L
+        var usable = true
+        blocks.forEach { b =>
+          b.getColumns.forEach { cc =>
+            val pathParts = cc.getPath.toArray
+            if (pathParts.length == 1 && pathParts(0).equalsIgnoreCase(w)) {
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || st.getNumNulls < 0) usable = false
+              else {
+                nulls += st.getNumNulls
+                if (st.hasNonNullValue) {
+                  zoneOf(cc.getPrimitiveType, st) match {
+                    case Some(z) =>
+                      zone = Some(zone.map(mergeZones(_, z)).getOrElse(z))
+                    case None => usable = false
+                  }
+                }
+              }
+            }
+          }
+        }
+        if (usable) {
+          if (zone.isDefined) zones(w) = zone.get
+          else if (rows > 0 && nulls == rows)
+            zones(w) = Zone("long", 0, 0, 0, 0, "", "", allNull = true)
+        }
+      }
+      FileZones(path, rows, zones.toMap)
+    } finally rd.close()
+  }
+
+  private def mergeZones(a: Zone, b: Zone): Zone = a.copy(
+    minL = math.min(a.minL, b.minL), maxL = math.max(a.maxL, b.maxL),
+    minD = math.min(a.minD, b.minD), maxD = math.max(a.maxD, b.maxD),
+    minS = if (a.minS <= b.minS) a.minS else b.minS,
+    maxS = if (a.maxS >= b.maxS) a.maxS else b.maxS,
+    allNull = false)
+
+  /** parquet physical+logical type -> zone domain; None = unsupported
+    * (decimals, int96, nested — conservative keep). */
+  private def zoneOf(pt: org.apache.parquet.schema.PrimitiveType,
+                     st: org.apache.parquet.column.statistics.Statistics[_]): Option[Zone] = {
+    val logical = pt.getLogicalTypeAnnotation
+    // unsigned int annotations order differently than the signed stats
+    val signedInt = logical == null || (logical match {
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+      case _ => false
+    })
+    def longZone(kind: String, lo: Long, hi: Long) =
+      Some(Zone(kind, lo, hi, 0, 0, "", "", allNull = false))
+    pt.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT32 if signedInt =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+        longZone("long", s.getMin.toLong, s.getMax.toLong)
+      case PrimitiveTypeName.INT32
+          if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+        longZone("date", s.getMin.toLong, s.getMax.toLong)
+      case PrimitiveTypeName.INT64 if signedInt =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+        longZone("long", s.getMin, s.getMax)
+      case PrimitiveTypeName.INT64
+          if logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        val ts = logical.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+        ts.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => longZone("tsus", s.getMin, s.getMax)
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => longZone("tsms", s.getMin, s.getMax)
+          // NANOS: under `legacy.parquet.nanosAsLong` Spark surfaces the
+          // column as a plain long, so literals arrive as raw nanos
+          case LogicalTypeAnnotation.TimeUnit.NANOS => longZone("long", s.getMin, s.getMax)
+          case _ => None
+        }
+      case PrimitiveTypeName.FLOAT =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.FloatStatistics]
+        Some(Zone("double", 0, 0, s.getMin.toDouble, s.getMax.toDouble, "", "", false))
+      case PrimitiveTypeName.DOUBLE =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.DoubleStatistics]
+        Some(Zone("double", 0, 0, s.getMin, s.getMax, "", "", false))
+      case PrimitiveTypeName.BINARY
+          if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+        Some(Zone("string", 0, 0, 0, 0,
+          s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8, false))
+      case _ => None
+    }
+  }
+}

@@ -49,6 +49,7 @@ object Loaders {
       case "delta" => DeltaLoader.load(spark, src)
       case "iceberg" => IcebergLoader.load(spark, src)
       case "google_spreadsheet" | "gsheet" => GsheetLoader.load(spark, src)
+      case "airtable" => AirtableLoader.load(spark, src)
       case "jdbc" | "mysql" | "postgres" | "sqlite" => jdbc(spark, src)
       case other => throw new IllegalArgumentException(
         s"unsupported table format `$other` for `${src.name}`")

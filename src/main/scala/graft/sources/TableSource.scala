@@ -48,6 +48,7 @@ final case class TableSource(
         // database URIs (reference: columnq/src/table/database.rs) => jdbc
         val dbSchemes = Seq("jdbc:", "mysql://", "postgres://", "postgresql://", "sqlite://")
         if (dbSchemes.exists(uri.startsWith)) return "jdbc"
+        if (uri.startsWith("airtable://")) return "airtable"
         // extension-less local dir with a transaction log => Delta table
         val local = if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri
         if (!uri.contains("://") || uri.startsWith("file://")) {

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Zone-map column index (reference roadmap box README.md:296): footer-stats
+  * harvesting, conservative interval pruning across the long/double/string/
+  * date domains, null handling, and the Engine's REST integration. */
+class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.get()
+  private var dir: String = _
+  private var idx: ColumnIndex.Index = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("colindex").toString + "/t"
+    val df = spark.range(0, 2000).toDF("k")
+      .withColumn("d", col("k") * 0.5)
+      .withColumn("s", format_string("s%04d", col("k")))
+      .withColumn("dt", expr("date_add(date'2020-01-01', cast(k / 10 as int))"))
+      .withColumn("half_null", when(col("k") % 2 === 0, col("k")))
+      .withColumn("all_null", lit(null).cast(StringType))
+    // contiguous k ranges per file => tight zones on every correlated column
+    df.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir)
+    idx = ColumnIndex.build(spark, dir,
+      Seq("k", "d", "s", "dt", "half_null", "all_null"))
+  }
+
+  private def fullScan = spark.read.parquet(dir)
+
+  test("builds one zone row per file with footer stats") {
+    assert(idx.fileCount == 8)
+    assert(idx.files.map(_.rows).sum == 2000)
+    val zs = idx.files.flatMap(_.zones.get("k"))
+    assert(zs.size == 8)
+    assert(zs.map(_.minL).min == 0 && zs.map(_.maxL).max == 1999)
+    // files cover disjoint contiguous ranges (repartitionByRange)
+    val sorted = zs.sortBy(_.minL)
+    sorted.sliding(2).foreach { case Seq(a, b) => assert(a.maxL < b.minL); case _ => () }
+  }
+
+  test("eq on a long column keeps exactly the covering file") {
+    val kept = idx.prune(Seq(("k", "eq", "500"))).get
+    assert(kept.size == 1)
+    val viaIndex = spark.read.schema(fullScan.schema).parquet(kept: _*)
+      .filter(col("k") === 500)
+    assert(viaIndex.count() == 1)
+    assert(idx.lastPrune.contains((1, 8)))
+  }
+
+  test("range predicates prune to the overlapping interval") {
+    val kept = idx.prune(Seq(("k", "gte", "400"), ("k", "lt", "700"))).get
+    assert(kept.size < 8 && kept.nonEmpty)
+    val pruned = spark.read.schema(fullScan.schema).parquet(kept: _*)
+      .filter(col("k") >= 400 && col("k") < 700).count()
+    assert(pruned == fullScan.filter(col("k") >= 400 && col("k") < 700).count())
+  }
+
+  test("out-of-domain predicates prune everything; empty DF keeps schema") {
+    assert(idx.prune(Seq(("k", "lt", "0"))).get.isEmpty)
+    assert(idx.prune(Seq(("k", "gt", "99999"))).get.isEmpty)
+    val empty = idx.prunedDf(spark, Seq(("k", "lt", "0")), fullScan.schema).get
+    assert(empty.count() == 0 && empty.schema == fullScan.schema)
+  }
+
+  test("double, string, and date domains all prune") {
+    assert(idx.prune(Seq(("d", "eq", "250.0"))).get.size == 1)
+    assert(idx.prune(Seq(("s", "eq", "'s1500'"))).get.size == 1)
+    assert(idx.prune(Seq(("s", "eq", "s1500"))).get.size == 1) // bare string
+    val dk = idx.prune(Seq(("dt", "gte", "'2020-06-01'"))).get
+    assert(dk.size < 8 && dk.nonEmpty)
+    val viaIdx = spark.read.schema(fullScan.schema).parquet(dk: _*)
+      .filter(col("dt") >= "2020-06-01").count()
+    assert(viaIdx == fullScan.filter(col("dt") >= "2020-06-01").count())
+  }
+
+  test("all-null columns prove non-match; mixed nulls stay conservative") {
+    assert(idx.prune(Seq(("all_null", "eq", "'x'"))).get.isEmpty)
+    // half_null files still carry real min/max over the non-null half
+    val kept = idx.prune(Seq(("half_null", "eq", "500"))).get
+    assert(kept.size == 1)
+  }
+
+  test("unindexed columns, unsupported ops, and type surprises keep files") {
+    assert(idx.prune(Seq(("nope", "eq", "1"))).isEmpty) // nothing usable
+    // quoted string literal against a numeric zone: no pruning evidence
+    assert(idx.prune(Seq(("k", "eq", "'abc'"))).get.size == 8)
+    // conjunction with one unusable predicate still prunes on the usable one
+    assert(idx.prune(Seq(("k", "eq", "500"), ("nope", "eq", "1"))).get.size == 1)
+  }
+
+  test("engine serves filtered REST queries through the index") {
+    val eng = new graft.server.Engine(spark, readOnly = true)
+    try {
+      eng.registerTable(TableSource("zt", dir, format = Some("parquet"),
+        options = Map("index_columns" -> "k;s", "use_memory_table" -> "false")))
+      val viaRest = eng.queryRest("zt",
+        Map("filter[k]gte" -> "100", "filter[k]lt" -> "110", "sort" -> "k"))
+      assert(viaRest.collect().map(_.getAs[Long]("k")).toSeq == (100L until 110L))
+      val p = eng.columnIndex("zt").get.lastPrune
+      assert(p.exists { case (kept, total) => total == 8 && kept < 8 })
+      // unfiltered and unindexed-column queries bypass the index untouched
+      assert(eng.queryRest("zt", Map("limit" -> "5")).count() == 5)
+      assert(eng.queryRest("zt", Map("filter[d]eq" -> "250.0")).count() == 1)
+    } finally eng.dropTable("zt")
+  }
+}
