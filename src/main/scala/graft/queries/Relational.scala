@@ -323,21 +323,37 @@ object Relational {
     * lineitem plus its zone-map [[graft.sources.ColumnIndex]]. Clustering by
     * the filter column is what makes zones tight — the layout the repo's
     * ZOrder operator produces at scale. */
-  private val colIndexMemo = scala.collection.mutable.Map[
-    (SparkSession, String), (String, graft.sources.ColumnIndex.Index)]()
+  private val colIndexMemo = new java.util.LinkedHashMap[
+    (SparkSession, String), (String, graft.sources.ColumnIndex.Index)](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, String),
+                               (String, graft.sources.ColumnIndex.Index)]): Boolean =
+      size > 8 // zones are tiny; this only unpins dead sessions' entries
+  }
   private def colIndexFor(spark: SparkSession, dir: String)
-      : (String, graft.sources.ColumnIndex.Index) = colIndexMemo.synchronized {
-    colIndexMemo.getOrElseUpdate((spark, dir), {
-      val out = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-colindex",
-        Integer.toHexString(dir.hashCode) + "-" +
-          Integer.toHexString(System.identityHashCode(spark))).toString
-      Tables.t(spark, dir, "lineitem")
-        .repartitionByRange(8, col("l_shipdate"))
-        .sortWithinPartitions("l_shipdate")
-        .write.mode("overwrite").parquet(out)
-      (out, graft.sources.ColumnIndex.build(spark, out, Seq("l_shipdate")))
-    })
+      : (String, graft.sources.ColumnIndex.Index) = {
+    val key = (spark, dir)
+    colIndexMemo.synchronized(Option(colIndexMemo.get(key))) match {
+      case Some(v) => v
+      case None =>
+        // build OUTSIDE the lock (a multi-second Spark job must not
+        // serialize unrelated keys); a concurrent-loser's scratch dir is
+        // unique and simply goes unused
+        val out = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-colindex",
+          java.util.UUID.randomUUID().toString).toString
+        Tables.t(spark, dir, "lineitem")
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite").parquet(out)
+        val built = (out, graft.sources.ColumnIndex.build(spark, out, Seq("l_shipdate")))
+        colIndexMemo.synchronized {
+          Option(colIndexMemo.get(key)) match {
+            case Some(winner) => winner
+            case None => colIndexMemo.put(key, built); built
+          }
+        }
+    }
   }
 
   val dfQueries: Map[String, Q] = Map(

@@ -142,33 +142,42 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   private[graft] def columnIndex(name: String): Option[graft.sources.ColumnIndex.Index] =
     Option(colIndexes.get(name))
 
-  private def registerResolved(src: TableSource): Unit = {
-    val df = Loaders.register(spark, src)
-    src.options.get("index_columns")
-      .filter(_ => src.resolvedFormat == "parquet")
-      .foreach { cs =>
-        // ';' or ',' separated — the CLI table-URI grammar reserves ',' for
-        // option boundaries, so its users write `index_columns=a;b`
-        colIndexes.put(src.name, graft.sources.ColumnIndex.build(
-          spark, src.uri,
-          cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty)))
-      }
-    // typed tri-state opt-out (use_memory_table=false in any case spelling
-    // parses to Some(false) in TableSource.fromOptions); a directly-
-    // constructed TableSource may instead carry the raw option — honor it
-    // case-insensitively too (round-12 advice: the literal-"false" check
-    // missed FALSE)
-    val memOptOut = src.memTable.orElse(
+  /** The `use_memory_table=false` opt-out, tri-state: typed field first,
+    * then the raw option parsed case-insensitively (round-12 advice). One
+    * shared definition — the pin decision and the index-pruning gate must
+    * never desynchronize (review finding). */
+  private def memOptOut(src: TableSource): Boolean =
+    src.memTable.orElse(
       src.options.get("use_memory_table")
         .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption))
       .contains(false)
-    if (!memOptOut && !overCapTables.contains(src.name)) {
+
+  private def registerResolved(src: TableSource): Unit = {
+    val df = Loaders.register(spark, src)
+    if (!memOptOut(src) && !overCapTables.contains(src.name)) {
       val head = df.take(localServeRowCap + 1)
       if (head.length <= localServeRowCap) {
         val local = spark.createDataFrame(
           java.util.Arrays.asList(head: _*), df.schema)
         local.createOrReplaceTempView(src.name)
       } else overCapTables.add(src.name)
+    }
+    // Column index AFTER the pin decision: only distributed-served tables
+    // can ever consult it — a pinned-local table would pay the footer job
+    // on every refresh tick for nothing (review finding). Re-registration
+    // without the option (or with a format that can't index) must also
+    // DROP any previous index, or stale pruning would serve the old files.
+    val wantIndex = src.options.get("index_columns")
+      .filter(_ => src.resolvedFormat == "parquet" &&
+        (memOptOut(src) || overCapTables.contains(src.name)))
+    wantIndex match {
+      case Some(cs) =>
+        // ';' or ',' separated — the CLI table-URI grammar reserves ',' for
+        // option boundaries, so its users write `index_columns=a;b`
+        colIndexes.put(src.name, graft.sources.ColumnIndex.build(
+          spark, src.uri,
+          cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty)))
+      case None => colIndexes.remove(src.name)
     }
   }
 
@@ -542,7 +551,8 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
         // schema resolution failure (e.g. a concurrent drop) falls through
         // to the normal path and its reference-shaped invalid_table error
         else scala.util.Try(spark.table(table).schema).toOption
-          .flatMap(idx.prunedDf(spark, preds, _))
+          .flatMap(sch => idx.prunedDf(spark, preds, sch,
+            Option(tables.get(table)).map(_.options).getOrElse(Map.empty)))
       }
     viaIndex match {
       case Some(base) => fastLocalServe(RestQuery(base, params))
@@ -553,12 +563,8 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   /** True when `name` answers from its distributed backing scan (not the
     * small-table local pin) — the only case file pruning can help. */
   private def servedDistributed(name: String): Boolean =
-    Option(tables.get(name)).exists { src =>
-      overCapTables.contains(name) || src.memTable.orElse(
-        src.options.get("use_memory_table")
-          .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption))
-        .contains(false)
-    }
+    Option(tables.get(name)).exists(src =>
+      overCapTables.contains(name) || memOptOut(src))
 
   def queryGraphQl(q: String): DataFrame = fastLocalServe(GraphQl.query(spark, q))
 

@@ -87,7 +87,9 @@ object AirtableLoader {
       require(resp.statusCode() / 100 == 2, s"airtable api $url -> HTTP ${resp.statusCode()}")
       val node = mapper.readTree(resp.body())
       Option(node.get("records")).foreach(rs => rs.elements().asScala.foreach(out += _))
-      offset = Option(node.get("offset")).map(_.asText()).filter(_.nonEmpty)
+      // a JSON-null offset means "last page", not the cursor string "null"
+      offset = Option(node.get("offset")).filterNot(_.isNull)
+        .map(_.asText()).filter(_.nonEmpty)
       pages += 1
       require(pages <= 100000, "airtable pagination did not terminate (offset loop?)")
       offset.isDefined
@@ -154,7 +156,9 @@ object AirtableLoader {
             if (v == null || v.isNull) null
             else f.dataType match {
               case ArrayType(et, _) =>
-                if (v.isArray) v.elements().asScala.map(scalarValue(_, et)).toSeq
+                // null elements stay SQL NULL, not the string "null"
+                if (v.isArray) v.elements().asScala
+                  .map(e => if (e.isNull) null else scalarValue(e, et)).toSeq
                 else Seq(scalarValue(v, et)) // scalar coerced into a 1-elem array
               case t => scalarValue(v, t)
             }

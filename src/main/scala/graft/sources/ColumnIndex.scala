@@ -87,15 +87,18 @@ object ColumnIndex {
 
     /** The pruned scan, or None when pruning cannot help (no usable
       * predicate, or nothing was actually pruned). An all-pruned result
-      * yields an empty LocalRelation with the table schema. */
-    def prunedDf(spark: SparkSession, preds: Seq[Pred],
-                 schema: StructType): Option[DataFrame] =
+      * yields an empty LocalRelation with the table schema. `options` are
+      * the table's registered reader options — the pruned scan must apply
+      * them (pathGlobFilter, rebase modes, …) or its rows could diverge
+      * from the unpruned view's (review finding). */
+    def prunedDf(spark: SparkSession, preds: Seq[Pred], schema: StructType,
+                 options: Map[String, String] = Map.empty): Option[DataFrame] =
       prune(preds).flatMap { kept =>
         if (kept.size == files.size) None
         else if (kept.isEmpty)
           Some(spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
-        else Some(spark.read.schema(schema)
+        else Some(spark.read.options(options).schema(schema)
           .option("basePath", dir).parquet(kept: _*))
       }
   }
@@ -185,7 +188,7 @@ object ColumnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val paths = listParquetFiles(fs, root)
+    val paths = listDataFiles(fs, root)
     // Hadoop Configuration is not serializable: ship its entries and
     // rebuild per task (object-store creds/endpoints must reach the tasks)
     val confEntries: Array[(String, String)] = {
@@ -208,14 +211,19 @@ object ColumnIndex {
     new Index(dir, wanted, zones)
   }
 
-  private def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
-                               root: Path): Vector[String] = {
+  /** Every data file Spark's parquet listing would read (all non-hidden
+    * files, NOT just `*.parquet` — an extension-less data file missing
+    * from the index would make pruning silently lossy; review finding).
+    * Non-parquet junk among them degrades to a zone-less always-kept
+    * entry in [[readFileZones]]. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path): Vector[String] = {
     val out = Vector.newBuilder[String]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("_") || n.startsWith(".")) ()
       else if (st.isDirectory) walk(st.getPath)
-      else if (n.endsWith(".parquet")) out += st.getPath.toString
+      else out += st.getPath.toString
     }
     val st = fs.getFileStatus(root)
     if (st.isDirectory) walk(root) else out += st.getPath.toString
@@ -227,7 +235,11 @@ object ColumnIndex {
     * column unindexed for the file (conservative). */
   private[sources] def readFileZones(conf: Configuration, path: String,
                                      wanted: Seq[String]): FileZones = {
-    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    val rd = try ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    catch { case scala.util.control.NonFatal(_) =>
+      // unreadable/non-parquet data file: keep it forever (no zones)
+      return FileZones(path, 0L, Map.empty)
+    }
     try {
       val footer = rd.getFooter
       val blocks = footer.getBlocks
@@ -273,6 +285,13 @@ object ColumnIndex {
     maxS = if (a.maxS >= b.maxS) a.maxS else b.maxS,
     allNull = false)
 
+  /** NaN/Infinity stats can't bound an interval (and BigDecimal(d) would
+    * throw at prune time) -> unsupported, conservative keep. */
+  private def finiteZone(lo: Double, hi: Double): Option[Zone] =
+    if (java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi))
+      Some(Zone("double", 0, 0, lo, hi, "", "", allNull = false))
+    else None
+
   /** parquet physical+logical type -> zone domain; None = unsupported
     * (decimals, int96, nested — conservative keep). */
   private def zoneOf(pt: org.apache.parquet.schema.PrimitiveType,
@@ -310,10 +329,10 @@ object ColumnIndex {
         }
       case PrimitiveTypeName.FLOAT =>
         val s = st.asInstanceOf[org.apache.parquet.column.statistics.FloatStatistics]
-        Some(Zone("double", 0, 0, s.getMin.toDouble, s.getMax.toDouble, "", "", false))
+        finiteZone(s.getMin.toDouble, s.getMax.toDouble)
       case PrimitiveTypeName.DOUBLE =>
         val s = st.asInstanceOf[org.apache.parquet.column.statistics.DoubleStatistics]
-        Some(Zone("double", 0, 0, s.getMin, s.getMax, "", "", false))
+        finiteZone(s.getMin, s.getMax)
       case PrimitiveTypeName.BINARY
           if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         val s = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]

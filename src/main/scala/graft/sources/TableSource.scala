@@ -28,8 +28,14 @@ final case class TableSource(
     // the value is recorded but intentionally has no execution effect.
     batchSize: Option[Int] = None) {
 
-  /** Format resolution: explicit option beats URI extension. */
+  /** Format resolution: explicit option beats URI scheme beats extension. */
   def resolvedFormat: String = format.getOrElse {
+    // scheme-addressed sources FIRST: their path component is a table/db
+    // name that may well end in `.csv`-like text (review finding) —
+    // extension sniffing must never capture them
+    val dbSchemes = Seq("jdbc:", "mysql://", "postgres://", "postgresql://", "sqlite://")
+    if (dbSchemes.exists(uri.startsWith)) return "jdbc"
+    if (uri.startsWith("airtable://")) return "airtable"
     val path = uri.takeWhile(_ != '?')
     path.split('.').lastOption.map(_.toLowerCase) match {
       case Some("csv") => "csv"
@@ -45,10 +51,6 @@ final case class TableSource(
       case Some("xls") => "xls"   // legacy binary, BIFF8 via XlsLoader
       case Some("xlsb") => "xlsb"
       case other =>
-        // database URIs (reference: columnq/src/table/database.rs) => jdbc
-        val dbSchemes = Seq("jdbc:", "mysql://", "postgres://", "postgresql://", "sqlite://")
-        if (dbSchemes.exists(uri.startsWith)) return "jdbc"
-        if (uri.startsWith("airtable://")) return "airtable"
         // extension-less local dir with a transaction log => Delta table
         val local = if (uri.startsWith("file://")) uri.stripPrefix("file://") else uri
         if (!uri.contains("://") || uri.startsWith("file://")) {

@@ -30,12 +30,13 @@ class AirtableLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
       |   "fields":{"Name":"bob","Score":7.5,"Tags":["green"]}}
       |],"offset":"itrCURSOR/rec002"}""".stripMargin
 
-  // Page 2: a field (`Note`) unseen on page 1; `Active` missing here.
+  // Page 2: a field (`Note`) unseen on page 1; `Active` missing here; an
+  // explicit JSON-null offset must read as "last page", not a cursor.
   private val page2 =
     """{"records":[
       |  {"id":"rec003","createdTime":"2024-01-07T12:00:00.000Z",
-      |   "fields":{"Name":"carol","Score":-3,"Note":"vip"}}
-      |]}""".stripMargin
+      |   "fields":{"Name":"carol","Score":-3,"Note":"vip","Tags":["x",null]}}
+      |],"offset":null}""".stripMargin
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress(0), 0)
@@ -89,7 +90,13 @@ class AirtableLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("rec001").getAs[String]("Meta").contains("\"k\":1"))
     assert(rows("rec002").getAs[Any]("Active") == null)   // omitted field -> null
     assert(rows("rec003").getAs[String]("Note") == "vip") // page-2-only column
-    assert(rows("rec003").getAs[Any]("Tags") == null)
+    // null array element survives as SQL NULL, not the string "null"
+    assert(rows("rec003").getAs[scala.collection.Seq[String]]("Tags").toSeq
+      == Seq("x", null))
+  }
+
+  test("airtable scheme wins over an extension-looking table name") {
+    assert(TableSource("t", "airtable://appX/Orders.csv").resolvedFormat == "airtable")
   }
 
   test("page_size and view options are forwarded; bad token rejected") {

@@ -96,6 +96,48 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx.prune(Seq(("k", "eq", "500"), ("nope", "eq", "1"))).get.size == 1)
   }
 
+  test("extension-less data files are indexed (zone-less) and never pruned away") {
+    val d2 = Files.createTempDirectory("colindex2").toString + "/t"
+    spark.range(0, 100).toDF("k").coalesce(1).write.parquet(d2)
+    // rename the part file so it loses its .parquet suffix — Spark's dir
+    // listing still reads it, so the index must still account for it
+    val part = new java.io.File(d2).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val bare = new java.io.File(part.getParent, "datafile")
+    assert(part.renameTo(bare))
+    new java.io.File(part.getParent, "." + part.getName + ".crc").delete()
+    spark.range(100, 200).toDF("k").coalesce(1).write.mode("append").parquet(d2)
+    val i2 = ColumnIndex.build(spark, d2, Seq("k"))
+    assert(i2.fileCount == 2)
+    // the renamed file still parses as parquet, so it kept real zones:
+    // k<50 keeps exactly it and drops the [100,200) file
+    val kept = i2.prune(Seq(("k", "lt", "50"))).get
+    assert(kept.size == 1 && kept.head.endsWith("/datafile"))
+    // genuinely unreadable data files degrade to zone-less always-kept
+    val junk = new java.io.File(part.getParent, "notparquet")
+    Files.write(junk.toPath, "junk".getBytes("UTF-8"))
+    val fz = ColumnIndex.readFileZones(
+      spark.sparkContext.hadoopConfiguration, junk.toString, Seq("k"))
+    assert(fz.zones.isEmpty)
+    assert(junk.delete())
+  }
+
+  test("re-registering without index_columns drops the stale index") {
+    val eng = new graft.server.Engine(spark, readOnly = true)
+    try {
+      eng.registerTable(TableSource("zt2", dir, format = Some("parquet"),
+        options = Map("index_columns" -> "k", "use_memory_table" -> "false")))
+      assert(eng.columnIndex("zt2").isDefined)
+      eng.registerTable(TableSource("zt2", dir, format = Some("parquet"),
+        options = Map("use_memory_table" -> "false")))
+      assert(eng.columnIndex("zt2").isEmpty)
+      // pinned-local tables skip the footer job entirely
+      eng.registerTable(TableSource("zt3", dir, format = Some("parquet"),
+        options = Map("index_columns" -> "k")))
+      assert(eng.columnIndex("zt3").isEmpty) // 2000 rows -> pinned local
+    } finally { eng.dropTable("zt2"); eng.dropTable("zt3") }
+  }
+
   test("engine serves filtered REST queries through the index") {
     val eng = new graft.server.Engine(spark, readOnly = true)
     try {
