@@ -234,9 +234,32 @@ object GraphQl {
   }
 
   /** Full pipeline: parse the query, resolve the table, apply the ops. */
-  def query(spark: SparkSession, q: String): DataFrame = {
-    val f = parse(q)
+  def query(spark: SparkSession, q: String): DataFrame =
+    queryParsed(spark, parse(q))
+
+  /** [[query]] after the parse step — lets the engine parse once, consult
+    * the column index with [[filterTriples]], and still fall back here. */
+  def queryParsed(spark: SparkSession, f: GField): DataFrame =
     // same invalid_table error slug as the REST frontend (error.rs:193-198)
     applyField(RestQuery.resolveTable(spark, f.name), f)
+
+  /** The raw (column, op, value) filter conjuncts of a parsed query, in
+    * the REST literal surface the column index consumes (strings re-quoted,
+    * numerics verbatim; bools and exotic operands contribute nothing —
+    * no pruning evidence). */
+  def filterTriples(f: GField): Seq[(String, String, String)] =
+    f.args.collectFirst { case ("filter", GObj(filters)) => filters }
+      .getOrElse(Seq.empty)
+      .flatMap {
+        case (c, GObj(ops)) =>
+          ops.flatMap { case (op, v) => rawValue(v).map((c, op, _)) }
+        case (c, v) => rawValue(v).map((c, "eq", _))
+      }
+
+  private def rawValue(v: GVal): Option[String] = v match {
+    case GStr(s)   => Some("'" + s.replace("'", "''") + "'")
+    case GInt(n)   => Some(n.toString)
+    case GFloat(f) => Some(f.toString)
+    case _         => None
   }
 }

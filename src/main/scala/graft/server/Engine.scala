@@ -539,26 +539,27 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   // REST/GraphQL ride the same mini-fold fast path as SQL: their frames
   // are filter/sort/limit/projection over a registered table, exactly the
   // shape that collapses when the table is pinned locally
-  def queryRest(table: String, params: Map[String, String]): DataFrame = {
-    // Column-index file pruning first: only for tables served DISTRIBUTED
-    // (pinned-local tables already answer without a scan job), only when a
-    // filter hits an indexed column, and only when files actually drop out.
-    val viaIndex = columnIndex(table)
-      .filter(_ => servedDistributed(table))
-      .flatMap { idx =>
-        val preds = RestQuery.filterTriples(params)
-        if (preds.isEmpty) None
-        // schema resolution failure (e.g. a concurrent drop) falls through
-        // to the normal path and its reference-shaped invalid_table error
-        else scala.util.Try(spark.table(table).schema).toOption
-          .flatMap(sch => idx.prunedDf(spark, preds, sch,
-            Option(tables.get(table)).map(_.options).getOrElse(Map.empty)))
-      }
-    viaIndex match {
+  def queryRest(table: String, params: Map[String, String]): DataFrame =
+    indexPrunedBase(table, RestQuery.filterTriples(params)) match {
       case Some(base) => fastLocalServe(RestQuery(base, params))
       case None       => fastLocalServe(RestQuery.table(spark, table, params))
     }
-  }
+
+  /** Column-index file pruning, shared by the REST and GraphQL frontends:
+    * only for tables served DISTRIBUTED (pinned-local tables already answer
+    * without a scan job), only when a filter hits an indexed column, and
+    * only when files actually drop out. */
+  private def indexPrunedBase(table: String,
+      preds: Seq[graft.sources.ColumnIndex.Pred]): Option[DataFrame] =
+    columnIndex(table)
+      .filter(_ => preds.nonEmpty && servedDistributed(table))
+      .flatMap { idx =>
+        // schema resolution failure (e.g. a concurrent drop) falls through
+        // to the normal path and its reference-shaped invalid_table error
+        scala.util.Try(spark.table(table).schema).toOption
+          .flatMap(sch => idx.prunedDf(spark, preds, sch,
+            Option(tables.get(table)).map(_.options).getOrElse(Map.empty)))
+      }
 
   /** True when `name` answers from its distributed backing scan (not the
     * small-table local pin) — the only case file pruning can help. */
@@ -566,7 +567,13 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     Option(tables.get(name)).exists(src =>
       overCapTables.contains(name) || memOptOut(src))
 
-  def queryGraphQl(q: String): DataFrame = fastLocalServe(GraphQl.query(spark, q))
+  def queryGraphQl(q: String): DataFrame = {
+    val f = GraphQl.parse(q)
+    indexPrunedBase(f.name, GraphQl.filterTriples(f)) match {
+      case Some(base) => fastLocalServe(GraphQl.applyField(base, f))
+      case None       => fastLocalServe(GraphQl.queryParsed(spark, f))
+    }
+  }
 
   // ---- KV store (reference: columnq/src/columnq.rs:275-331) ----------------
 

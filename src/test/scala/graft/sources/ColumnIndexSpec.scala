@@ -151,6 +151,13 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       // unfiltered and unindexed-column queries bypass the index untouched
       assert(eng.queryRest("zt", Map("limit" -> "5")).count() == 5)
       assert(eng.queryRest("zt", Map("filter[d]eq" -> "250.0")).count() == 1)
+      // GraphQL rides the same pruning (string filter re-quotes internally)
+      val viaGql = eng.queryGraphQl(
+        """{ zt(filter: {s: {gte: "s0100", lt: "s0110"}}, sort: [{field: "s"}]) { k s } }""")
+      assert(viaGql.collect().map(_.getAs[String]("s")).toSeq ==
+        (100 until 110).map(i => f"s$i%04d"))
+      assert(eng.columnIndex("zt").get.lastPrune.exists {
+        case (kept, total) => total == 8 && kept < 8 })
     } finally eng.dropTable("zt")
   }
 }
