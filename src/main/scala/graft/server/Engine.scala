@@ -173,10 +173,13 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     wantIndex match {
       case Some(cs) =>
         // ';' or ',' separated — the CLI table-URI grammar reserves ',' for
-        // option boundaries, so its users write `index_columns=a;b`
+        // option boundaries, so its users write `index_columns=a;b`.
+        // Passing the previous index makes refresh ticks incremental:
+        // only files new since the last tick are harvested.
         colIndexes.put(src.name, graft.sources.ColumnIndex.build(
           spark, src.uri,
-          cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty)))
+          cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty),
+          prev = Option(colIndexes.get(src.name))))
       case None => colIndexes.remove(src.name)
     }
   }

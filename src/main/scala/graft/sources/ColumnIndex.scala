@@ -49,15 +49,21 @@ object ColumnIndex {
                         minS: String, maxS: String, allNull: Boolean)
       extends Serializable
 
+  /** `sig` = "length:mtime" of the file when harvested — the reuse check
+    * for incremental rebuilds (parquet data files are immutable by
+    * convention, but a rewritten file must re-harvest). */
   final case class FileZones(path: String, rows: Long,
-                             zones: Map[String, Zone]) extends Serializable
+                             zones: Map[String, Zone],
+                             sig: String = "") extends Serializable
 
   /** Filter triple as the REST grammar produces it: (column, op, raw value)
     * with op in {"", eq, lt, lte, lteq, gt, gte, gteq}. */
   type Pred = (String, String, String)
 
   final class Index private[ColumnIndex] (
-      val dir: String, val columns: Seq[String], val files: Vector[FileZones]) {
+      val dir: String, val columns: Seq[String], val files: Vector[FileZones],
+      /** How many files this build reused from its `prev` index. */
+      val reusedFiles: Int = 0) {
 
     /** Spec/metrics hook: (kept, total) of the most recent prune. */
     @volatile var lastPrune: Option[(Int, Int)] = None
@@ -183,12 +189,29 @@ object ColumnIndex {
 
   /** Harvest footer stats for `cols` over every parquet file under `dir`.
     * Footer reads run as a distributed job (metadata-only — no row bytes);
-    * only the small per-file zone rows come back to the driver. */
-  def build(spark: SparkSession, dir: String, cols: Seq[String]): Index = {
+    * only the small per-file zone rows come back to the driver.
+    *
+    * `prev` makes the rebuild INCREMENTAL: files whose (path, length,
+    * mtime) signature already appears in the previous index reuse its
+    * zones, so a refresh tick over an append-only 100k-file table
+    * harvests only the new arrivals — O(new files), not O(all files).
+    * A different column list disables reuse entirely. Removed files
+    * simply drop out (they are absent from the fresh listing). */
+  def build(spark: SparkSession, dir: String, cols: Seq[String],
+            prev: Option[Index] = None): Index = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val paths = listDataFiles(fs, root)
+    val listed = listDataFiles(fs, root)
+    val reusable: Map[String, FileZones] = prev match {
+      case Some(p) if p.dir == dir &&
+          p.columns.map(_.toLowerCase).toSet == cols.map(_.toLowerCase).toSet =>
+        p.files.iterator.filter(_.sig.nonEmpty)
+          .map(f => (f.path + "#" + f.sig) -> f).toMap
+      case _ => Map.empty
+    }
+    val (kept, toHarvest) = listed.partition(ps => reusable.contains(ps._1 + "#" + ps._2))
+    val paths = toHarvest
     // Hadoop Configuration is not serializable: ship its entries and
     // rebuild per task (object-store creds/endpoints must reach the tasks)
     val confEntries: Array[(String, String)] = {
@@ -197,7 +220,7 @@ object ColumnIndex {
       b.result()
     }
     val wanted = cols.toVector
-    val zones =
+    val fresh =
       if (paths.isEmpty) Vector.empty[FileZones]
       else spark.sparkContext
         .parallelize(paths, math.min(paths.size,
@@ -205,10 +228,12 @@ object ColumnIndex {
         .mapPartitions { it =>
           val c = new Configuration(false)
           confEntries.foreach { case (k, v) => c.set(k, v) }
-          it.map(p => readFileZones(c, p, wanted))
+          it.map { case (p, sig) => readFileZones(c, p, wanted).copy(sig = sig) }
         }
-        .collect().toVector.sortBy(_.path)
-    new Index(dir, wanted, zones)
+        .collect().toVector
+    val zones = (fresh ++ kept.map(ps => reusable(ps._1 + "#" + ps._2)))
+      .sortBy(_.path)
+    new Index(dir, wanted, zones, reusedFiles = kept.size)
   }
 
   /** Every data file Spark's parquet listing would read (all non-hidden
@@ -217,16 +242,18 @@ object ColumnIndex {
     * Non-parquet junk among them degrades to a zone-less always-kept
     * entry in [[readFileZones]]. */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                            root: Path): Vector[String] = {
-    val out = Vector.newBuilder[String]
+                            root: Path): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    def sig(st: org.apache.hadoop.fs.FileStatus) =
+      st.getLen.toString + ":" + st.getModificationTime
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("_") || n.startsWith(".")) ()
       else if (st.isDirectory) walk(st.getPath)
-      else out += st.getPath.toString
+      else out += (st.getPath.toString -> sig(st))
     }
     val st = fs.getFileStatus(root)
-    if (st.isDirectory) walk(root) else out += st.getPath.toString
+    if (st.isDirectory) walk(root) else out += (st.getPath.toString -> sig(st))
     out.result()
   }
 

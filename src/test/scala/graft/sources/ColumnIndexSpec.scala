@@ -122,6 +122,22 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(junk.delete())
   }
 
+  test("incremental rebuild harvests only new files and reuses the rest") {
+    val d3 = Files.createTempDirectory("colindex3").toString + "/t"
+    spark.range(0, 100).toDF("k").coalesce(1).write.parquet(d3)
+    val first = ColumnIndex.build(spark, d3, Seq("k"))
+    assert(first.fileCount == 1 && first.reusedFiles == 0)
+    spark.range(100, 200).toDF("k").coalesce(1).write.mode("append").parquet(d3)
+    val second = ColumnIndex.build(spark, d3, Seq("k"), prev = Some(first))
+    assert(second.fileCount == 2 && second.reusedFiles == 1)
+    // the reused zone + fresh zone both prune correctly
+    assert(second.prune(Seq(("k", "lt", "50"))).get.size == 1)
+    assert(second.prune(Seq(("k", "gte", "150"))).get.size == 1)
+    // a different column list disables reuse
+    val third = ColumnIndex.build(spark, d3, Seq("k", "nope"), prev = Some(second))
+    assert(third.reusedFiles == 0 && third.fileCount == 2)
+  }
+
   test("re-registering without index_columns drops the stale index") {
     val eng = new graft.server.Engine(spark, readOnly = true)
     try {
