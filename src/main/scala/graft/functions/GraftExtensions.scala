@@ -81,5 +81,6 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LocalFoldRules.FoldLocalSort)
     ext.injectOptimizerRule(_ => graft.plans.LocalFoldRules.FoldLocalLimit)
     ext.injectOptimizerRule(_ => graft.plans.LocalFoldRules.FoldLocalAggregate)
+    ext.injectOptimizerRule(_ => graft.plans.IndexPruneRule)
   }
 }

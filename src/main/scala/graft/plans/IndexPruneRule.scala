@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Zone-map file pruning for the SQL frontend — the optimizer-rule face of
+  * the column index (reference roadmap "column index", README.md:296).
+  *
+  * The REST/GraphQL frontends prune explicitly in the engine; SQL (and so
+  * the Postgres wire and FlightSQL, which ride `querySql`) arrives as an
+  * arbitrary plan. This rule rewrites
+  *
+  *   `Filter(cond, LogicalRelation(parquet scan of a REGISTERED dir))`
+  *
+  * to the same filter over a scan of only the index-surviving files. It is
+  * injected through `SparkSessionExtensions.injectOptimizerRule` (the same
+  * seat as `LocalFoldRules`) and runs inside the fixed-point operator-
+  * optimization batch — after Catalyst has pushed the filter down to the
+  * scan, the rewrite fires; on the next iteration the rewritten scan's
+  * root paths are leaf FILES, not the registered dir, so the registry
+  * lookup misses and the rule is a no-op (no re-entry).
+  *
+  * Strictly conservative by construction:
+  *   - fires only for dirs the engine registered with `index_columns`
+  *     ([[graft.sources.ColumnIndexRegistry]] — empty registry = dead rule);
+  *   - only simple `attr op literal` conjuncts prune; casts, expressions,
+  *     null literals, float literals (float->double widening would compare
+  *     a DIFFERENT value than the runtime float comparison), and
+  *     sub-second timestamps contribute nothing;
+  *   - partitioned, bucketed, catalog-backed, and streaming relations are
+  *     left untouched (Spark's own partition pruning owns those);
+  *   - the interval test itself is [[graft.sources.ColumnIndex.zoneMayMatch]],
+  *     the same proven-disjoint-only logic the REST path uses.
+  *
+  * All-files-pruned collapses to an empty [[LocalRelation]] with the scan's
+  * own attributes — `LocalFoldRules` then folds the rest of the query, so a
+  * provably-empty filter answers without a job at all. */
+object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, l: LogicalRelation) =>
+      prunedRelation(cond, l).getOrElse(f)
+  }
+
+  private def prunedRelation(cond: Expression,
+                             l: LogicalRelation): Option[LogicalPlan] =
+    for {
+      fsRel <- l.relation match {
+        case r: HadoopFsRelation
+            if r.fileFormat.isInstanceOf[ParquetFileFormat] &&
+              r.partitionSchema.isEmpty && r.bucketSpec.isEmpty &&
+              l.catalogTable.isEmpty && !l.isStreaming => Some(r)
+        case _ => None
+      }
+      roots = fsRel.location.rootPaths
+      if roots.size == 1
+      idx <- graft.sources.ColumnIndexRegistry.lookup(roots.head.toString)
+      preds = splitConjunctivePredicates(cond).flatMap(tripleOf)
+      if preds.nonEmpty
+      kept <- idx.prune(preds)
+      if kept.size < idx.fileCount
+    } yield {
+      if (kept.isEmpty) LocalRelation(l.output)
+      else {
+        val spark = fsRel.sparkSession
+        val loc = new InMemoryFileIndex(
+          spark, kept.map(new Path(_)), fsRel.options, Some(fsRel.dataSchema))
+        Filter(cond, l.copy(relation = fsRel.copy(location = loc)(spark)))
+      }
+    }
+
+  /** `attr op literal` (either side) -> the REST-surface triple the index
+    * consumes; anything else contributes no pruning evidence. */
+  private def tripleOf(e: Expression): Option[(String, String, String)] = e match {
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => raw(v, dt).map((a.name, "eq", _))
+    case EqualTo(Literal(v, dt), a: AttributeReference) => raw(v, dt).map((a.name, "eq", _))
+    case LessThan(a: AttributeReference, Literal(v, dt)) => raw(v, dt).map((a.name, "lt", _))
+    case LessThan(Literal(v, dt), a: AttributeReference) => raw(v, dt).map((a.name, "gt", _))
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => raw(v, dt).map((a.name, "lte", _))
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => raw(v, dt).map((a.name, "gte", _))
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) => raw(v, dt).map((a.name, "gt", _))
+    case GreaterThan(Literal(v, dt), a: AttributeReference) => raw(v, dt).map((a.name, "lt", _))
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => raw(v, dt).map((a.name, "gte", _))
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => raw(v, dt).map((a.name, "lte", _))
+    case _ => None
+  }
+
+  /** Catalyst literal -> REST literal surface, EXACTLY value-preserving or
+    * None. Doubles round-trip through `toString` losslessly; floats do NOT
+    * (the widened double differs from the runtime float comparison) and are
+    * refused; timestamps only at whole seconds (fractions refuse on the
+    * index side anyway). */
+  private def raw(v: Any, dt: DataType): Option[String] = {
+    if (v == null) None
+    else dt match {
+      case StringType =>
+        Some("'" + v.asInstanceOf[UTF8String].toString.replace("'", "''") + "'")
+      case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
+      case DoubleType => Some(v.toString)
+      case DateType =>
+        Some("'" + java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Int].toLong).toString + "'")
+      case TimestampType | TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        if (Math.floorMod(micros, 1000000L) != 0L) None
+        else Some("'" + java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC)
+          .toString + "'")
+      case _ => None
+    }
+  }
+}

@@ -176,19 +176,34 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
         // option boundaries, so its users write `index_columns=a;b`.
         // Passing the previous index makes refresh ticks incremental:
         // only files new since the last tick are harvested.
-        colIndexes.put(src.name, graft.sources.ColumnIndex.build(
+        val idx = graft.sources.ColumnIndex.build(
           spark, src.uri,
           cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty),
-          prev = Option(colIndexes.get(src.name))))
-      case None => colIndexes.remove(src.name)
+          prev = Option(colIndexes.get(src.name)))
+        colIndexes.put(src.name, idx)
+        // the SQL frontend prunes through IndexPruneRule, which sees only
+        // the scan's qualified root path — keep the registry in lock-step
+        graft.sources.ColumnIndexRegistry.register(qualifiedDir(src.uri), idx)
+      case None =>
+        colIndexes.remove(src.name)
+        graft.sources.ColumnIndexRegistry.remove(qualifiedDir(src.uri))
     }
+  }
+
+  /** `src.uri` as the optimizer sees a scan's root path (fs-qualified). */
+  private def qualifiedDir(uri: String): String = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    scala.util.Try(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString).getOrElse(uri)
   }
 
   def dropTable(name: String): Unit = {
     cancelRefresh(name)
     overCapTables.remove(name)
     colIndexes.remove(name)
-    tables.remove(name)
+    Option(tables.remove(name)).foreach(src =>
+      graft.sources.ColumnIndexRegistry.remove(qualifiedDir(src.uri)))
     spark.catalog.dropTempView(name)
     invalidatePlansAndPools()
   }

@@ -164,6 +164,26 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(viaRest.collect().map(_.getAs[Long]("k")).toSeq == (100L until 110L))
       val p = eng.columnIndex("zt").get.lastPrune
       assert(p.exists { case (kept, total) => total == 8 && kept < 8 })
+      // SQL prunes through the IndexPruneRule optimizer rule: the scan's
+      // root paths become the surviving files
+      val sdf = eng.querySql("SELECT count(*) AS n FROM zt WHERE k >= 400 AND k < 700")
+      assert(sdf.collect().head.getLong(0) == 300)
+      val rel = sdf.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.get
+      val loc = rel.relation
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location
+      assert(loc.rootPaths.size < 8 && loc.rootPaths.nonEmpty)
+      // a provably-empty filter folds the scan away entirely (no relation)
+      val none = eng.querySql("SELECT k FROM zt WHERE k < 0")
+      assert(none.count() == 0)
+      assert(none.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.isEmpty)
+      // unindexed-column SQL predicates leave the full scan untouched
+      val full = eng.querySql("SELECT count(*) AS n FROM zt WHERE d = 250.0")
+      assert(full.collect().head.getLong(0) == 1)
       // unfiltered and unindexed-column queries bypass the index untouched
       assert(eng.queryRest("zt", Map("limit" -> "5")).count() == 5)
       assert(eng.queryRest("zt", Map("filter[d]eq" -> "250.0")).count() == 1)
