@@ -64,8 +64,12 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       idx <- graft.sources.ColumnIndexRegistry.lookup(roots.head.toString)
       preds = splitConjunctivePredicates(cond).flatMap(tripleOf)
       if preds.nonEmpty
-      kept <- idx.prune(preds)
-      if kept.size < idx.fileCount
+      // prune among the SCAN's own listing, not the index's: files the
+      // index has not harvested yet (mid-tick appends, fresher ad-hoc
+      // listings) always keep
+      scanFiles = fsRel.location.inputFiles.toSeq
+      kept <- idx.pruneAmong(scanFiles, preds)
+      if kept.size < scanFiles.size
     } yield {
       if (kept.isEmpty) LocalRelation(l.output)
       else {

@@ -92,6 +92,12 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   def registerTable(src: TableSource): Unit = {
     cancelRefresh(src.name)
     overCapTables.remove(src.name) // explicit re-register re-probes size
+    // a re-register under a NEW uri must release the OLD dir's index claim
+    // (the resolved branches below only touch the new uri; review finding)
+    Option(tables.get(src.name)).filter(_.uri != src.uri).foreach { old =>
+      colIndexes.remove(src.name)
+      graft.sources.ColumnIndexRegistry.release(qualifiedDir(old.uri), src.name)
+    }
     registerResolved(src)
     tables.put(src.name, src)
     invalidatePlansAndPools()
@@ -183,10 +189,11 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
         colIndexes.put(src.name, idx)
         // the SQL frontend prunes through IndexPruneRule, which sees only
         // the scan's qualified root path — keep the registry in lock-step
-        graft.sources.ColumnIndexRegistry.register(qualifiedDir(src.uri), idx)
+        graft.sources.ColumnIndexRegistry.register(
+          qualifiedDir(src.uri), idx, src.name)
       case None =>
         colIndexes.remove(src.name)
-        graft.sources.ColumnIndexRegistry.remove(qualifiedDir(src.uri))
+        graft.sources.ColumnIndexRegistry.release(qualifiedDir(src.uri), src.name)
     }
   }
 
@@ -203,7 +210,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     overCapTables.remove(name)
     colIndexes.remove(name)
     Option(tables.remove(name)).foreach(src =>
-      graft.sources.ColumnIndexRegistry.remove(qualifiedDir(src.uri)))
+      graft.sources.ColumnIndexRegistry.release(qualifiedDir(src.uri), name))
     spark.catalog.dropTempView(name)
     invalidatePlansAndPools()
   }

@@ -70,23 +70,46 @@ object ColumnIndex {
 
     def fileCount: Int = files.size
 
+    private def usablePreds(preds: Seq[Pred]): Seq[Pred] =
+      preds.filter { case (c, op, _) =>
+        columns.exists(_.equalsIgnoreCase(c)) && opSupported(op)
+      }
+
+    private def fileMayMatch(f: FileZones, usable: Seq[Pred]): Boolean =
+      usable.forall { case (c, op, raw) =>
+        f.zones.find(_._1.equalsIgnoreCase(c)) match {
+          case None => true // no stats for this column in this file
+          case Some((_, z)) => zoneMayMatch(z, op, raw)
+        }
+      }
+
     /** Files that may satisfy the conjunction; None when no predicate
       * touches an indexed column (nothing to prune on). */
     def prune(preds: Seq[Pred]): Option[Vector[String]] = {
-      val usable = preds.filter { case (c, op, _) =>
-        columns.exists(_.equalsIgnoreCase(c)) && opSupported(op)
-      }
+      val usable = usablePreds(preds)
       if (usable.isEmpty) None
       else {
-        val kept = files.filter { f =>
-          usable.forall { case (c, op, raw) =>
-            f.zones.find(_._1.equalsIgnoreCase(c)) match {
-              case None => true // no stats for this column in this file
-              case Some((_, z)) => zoneMayMatch(z, op, raw)
-            }
-          }
-        }.map(_.path)
+        val kept = files.filter(fileMayMatch(_, usable)).map(_.path)
         lastPrune = Some((kept.size, files.size))
+        Some(kept)
+      }
+    }
+
+    /** Prune among an EXPLICIT scan listing (the optimizer-rule path):
+      * files the index does not know ALWAYS keep — the scan's listing can
+      * be fresher than the index (mid-tick appends, ad-hoc dir scans), and
+      * dropping an unknown file would silently lose rows (review finding). */
+    def pruneAmong(scanFiles: Seq[String], preds: Seq[Pred]): Option[Seq[String]] = {
+      val usable = usablePreds(preds)
+      if (usable.isEmpty) None
+      else {
+        val byPath = files.iterator.map(f => f.path -> f).toMap
+        // normalize before lookup: listings disagree on empty-authority
+        // URIs (file:/x vs file:///x); Path.toString canonicalizes both
+        val kept = scanFiles.filter { p =>
+          byPath.get(new Path(p).toString).forall(fileMayMatch(_, usable))
+        }
+        lastPrune = Some((kept.size, scanFiles.size))
         Some(kept)
       }
     }
@@ -130,7 +153,16 @@ object ColumnIndex {
             val ascii = (x: String) => x.forall(_ < 128)
             if (!ascii(s) || !ascii(z.minS) || !ascii(z.maxS)) return true
             (z.minS.compareTo(s), z.maxS.compareTo(s))
-          case _ => // long / date: exact integer compare
+          case "long" if v.isInstanceOf[RoundedDouble] =>
+            // a fractional literal against an integer zone: the runtime
+            // comparison widens the COLUMN to double (lossy past 2^53), so
+            // the bounds must round the same way — exact-BigDecimal bounds
+            // could prove disjointness the rounded runtime denies (review
+            // finding). long->double rounding is monotone, so the rounded
+            // interval still covers every rounded value.
+            val d = BigDecimal(v.asInstanceOf[RoundedDouble].d)
+            (BigDecimal(z.minL.toDouble).compare(d), BigDecimal(z.maxL.toDouble).compare(d))
+          case _ => // long / date / ts: exact integer compare
             val d = v.asInstanceOf[BigDecimal]
             (BigDecimal(z.minL).compare(d), BigDecimal(z.maxL).compare(d))
         }
@@ -145,6 +177,10 @@ object ColumnIndex {
     }
   }
 
+  /** Marker for a fractional literal hitting an integer zone — compared in
+    * the runtime's rounded-to-double domain, not exactly. */
+  private final case class RoundedDouble(d: Double)
+
   /** REST raw literal -> the zone's comparison domain. Strings arrive
     * either bare or in the REST `'..'` quoting. */
   private def literalFor(z: Zone, raw: String): Option[Any] = {
@@ -154,18 +190,31 @@ object ColumnIndex {
         Some(t.substring(1, t.length - 1).replace("''", "'"))
       else None
     z.kind match {
-      case "string" => Some(unquoted.getOrElse(raw)) // bare value used as-is
+      case "string" =>
+        // a BARE numeric-looking value is ambiguous across frontends: REST
+        // compares it as a string (schema-directed typing) but GraphQL/SQL
+        // coerce numerically ('05' = 5 is true there) — lexicographic
+        // pruning would be wrong for the latter, so only quoted values
+        // prune (review finding)
+        unquoted.orElse(
+          Some(raw).filter(_ => t.toDoubleOption.isEmpty && t.toLongOption.isEmpty))
+      // date/timestamp zones accept ONLY date/datetime strings: a bare
+      // numeric's runtime meaning is cast-dependent (Spark casts numerics
+      // to timestamps as SECONDS, not micros) — no pruning evidence
       case "date" =>
         val s = unquoted.getOrElse(t)
         scala.util.Try(java.time.LocalDate.parse(s).toEpochDay)
           .toOption.map(BigDecimal(_))
-          .orElse(t.toLongOption.map(BigDecimal(_)))
       case "tsus" | "tsms" =>
         val s = unquoted.getOrElse(t)
         val perSec = if (z.kind == "tsus") 1000000L else 1000L
         epochSeconds(s).map(sec => BigDecimal(sec) * BigDecimal(perSec))
-          .orElse(t.toLongOption.map(BigDecimal(_)))
-      case _ => // long/double zones: numeric literals only
+      case "long" =>
+        if (unquoted.isDefined) None
+        else t.toLongOption.map(BigDecimal(_))
+          .orElse(t.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
+            .map(RoundedDouble(_)))
+      case _ => // double zones: numeric literals only
         if (unquoted.isDefined) None
         else t.toLongOption.map(BigDecimal(_))
           .orElse(t.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)

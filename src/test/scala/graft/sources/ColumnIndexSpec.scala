@@ -88,6 +88,59 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.size == 1)
   }
 
+  test("bare numeric-looking values never prune string zones") {
+    // REST compares filter[s]=1500 as a string, GraphQL/SQL coerce it
+    // numerically — the index cannot know which, so it must keep all
+    assert(idx.prune(Seq(("s", "eq", "1500"))).get.size == 8)
+    assert(idx.prune(Seq(("s", "lt", "42"))).get.size == 8)
+    // quoted stays prunable
+    assert(idx.prune(Seq(("s", "eq", "'1500'"))).get.isEmpty) // no s#### matches
+  }
+
+  test("fractional literals on integer zones compare in the rounded domain") {
+    val d4 = Files.createTempDirectory("colindex4").toString + "/t"
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(9007199254740993L)),
+      StructType(Seq(StructField("k", LongType)))).coalesce(1).write.parquet(d4)
+    val i4 = ColumnIndex.build(spark, d4, Seq("k"))
+    // (double)(2^53+1) == 2^53, so an eq against 2^53-as-double must KEEP
+    // the file (exact integer compare would wrongly prove disjointness)
+    assert(i4.prune(Seq(("k", "eq", "9.007199254740992E15"))).get.size == 1)
+    // exact integral literals still compare exactly
+    assert(i4.prune(Seq(("k", "eq", "9007199254740992"))).get.isEmpty)
+    assert(i4.prune(Seq(("k", "eq", "9007199254740993"))).get.size == 1)
+  }
+
+  test("pruneAmong keeps files the index has never seen") {
+    val known = idx.files.head.path
+    val unknown = "file:/nowhere/unknown.parquet"
+    val kept = idx.pruneAmong(Seq(known, unknown), Seq(("k", "gt", "99999"))).get
+    assert(kept == Seq(unknown))
+    assert(idx.lastPrune.contains((1, 2)))
+  }
+
+  test("registry entries are owner-counted per dir") {
+    val eng = new graft.server.Engine(spark, readOnly = true)
+    def owners = ColumnIndexRegistry.snapshot.collect {
+      case (d, o) if d.endsWith(dir) => o }.flatten.toSet
+    try {
+      eng.registerTable(TableSource("zta", dir, format = Some("parquet"),
+        options = Map("index_columns" -> "k", "use_memory_table" -> "false")))
+      eng.registerTable(TableSource("ztb", dir, format = Some("parquet"),
+        options = Map("index_columns" -> "k", "use_memory_table" -> "false")))
+      // a NON-indexed table over the same dir must not strip the entry
+      eng.registerTable(TableSource("ztc", dir, format = Some("parquet"),
+        options = Map("use_memory_table" -> "false")))
+      assert(owners == Set("zta", "ztb"))
+      eng.dropTable("zta")
+      assert(owners == Set("ztb")) // survives while an owner remains
+      eng.dropTable("ztc")
+      assert(owners == Set("ztb"))
+      eng.dropTable("ztb")
+      assert(owners.isEmpty)
+    } finally Seq("zta", "ztb", "ztc").foreach(eng.dropTable)
+  }
+
   test("unindexed columns, unsupported ops, and type surprises keep files") {
     assert(idx.prune(Seq(("nope", "eq", "1"))).isEmpty) // nothing usable
     // quoted string literal against a numeric zone: no pruning evidence
@@ -174,7 +227,9 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       val loc = rel.relation
         .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
         .location
-      assert(loc.rootPaths.size < 8 && loc.rootPaths.nonEmpty)
+      // the rewrite replaces the DIR root with the surviving FILES
+      assert(loc.rootPaths.nonEmpty && loc.rootPaths.size < 8 &&
+        loc.rootPaths.forall(_.getName.endsWith(".parquet")))
       // a provably-empty filter folds the scan away entirely (no relation)
       val none = eng.querySql("SELECT k FROM zt WHERE k < 0")
       assert(none.count() == 0)
