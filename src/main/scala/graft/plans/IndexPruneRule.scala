@@ -62,7 +62,7 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       roots = fsRel.location.rootPaths
       if roots.size == 1
       idx <- graft.sources.ColumnIndexRegistry.lookup(roots.head.toString)
-      preds = splitConjunctivePredicates(cond).flatMap(tripleOf)
+      preds = splitConjunctivePredicates(cond).flatMap(triplesOf)
       if preds.nonEmpty
       // prune among the SCAN's own listing, not the index's: files the
       // index has not harvested yet (mid-tick appends, fresher ad-hoc
@@ -79,6 +79,39 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         Filter(cond, l.copy(relation = fsRel.copy(location = loc)(spark)))
       }
     }
+
+  /** One conjunct -> zero or more REST-surface triples. Beyond the simple
+    * comparisons: `IN (v, ...)` becomes one "in" disjunction triple (only
+    * when EVERY value converts — a partially-converted list would
+    * under-approximate the disjunction and wrongly prune); a LIKE prefix
+    * (Catalyst's `StartsWith`, same optimizer batch) becomes the
+    * [prefix, prefix+1) range pair for ASCII prefixes. */
+  private def triplesOf(e: Expression): Seq[(String, String, String)] = e match {
+    case In(a: AttributeReference, vs) if vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      inTriple(a.name, vs.collect { case Literal(v, dt) => raw(v, dt) })
+    case InSet(a: AttributeReference, hset) if hset.nonEmpty && hset.size <= 1000 =>
+      inTriple(a.name, hset.toSeq.map(raw(_, a.dataType)))
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType))
+        if p != null && p.numChars > 0 && p.toString.forall(c => c < 127) =>
+      val prefix = p.toString
+      val lower = (a.name, "gte", s"'${prefix.replace("'", "''")}'")
+      // bump the last char for the exclusive upper bound; 0x7E is the
+      // largest bumpable ASCII char under the <127 guard above
+      val bumped = prefix.init + (prefix.last + 1).toChar
+      Seq(lower, (a.name, "lt", s"'${bumped.replace("'", "''")}'"))
+    case _ => tripleOf(e).toSeq
+  }
+
+  /** The "in" disjunction triple — only when EVERY value converted and no
+    * value contains the separator itself (a split-corrupted value could
+    * under-approximate the disjunction and wrongly prune). */
+  private def inTriple(col: String,
+                       raws: Seq[Option[String]]): Seq[(String, String, String)] = {
+    val sep = graft.sources.ColumnIndex.InSep
+    if (raws.exists(r => r.isEmpty || r.get.indexOf(sep.toInt) >= 0)) Seq.empty
+    else Seq((col, "in", raws.flatten.mkString(sep.toString)))
+  }
 
   /** `attr op literal` (either side) -> the REST-surface triple the index
     * consumes; anything else contributes no pruning evidence. */

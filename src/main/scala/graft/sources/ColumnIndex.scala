@@ -57,7 +57,8 @@ object ColumnIndex {
                              sig: String = "") extends Serializable
 
   /** Filter triple as the REST grammar produces it: (column, op, raw value)
-    * with op in {"", eq, lt, lte, lteq, gt, gte, gteq}. */
+    * with op in {"", eq, lt, lte, lteq, gt, gte, gteq} — plus "in", the
+    * SQL rule's IN-list disjunction (values joined by [[InSep]]). */
   type Pred = (String, String, String)
 
   final class Index private[ColumnIndex] (
@@ -133,11 +134,18 @@ object ColumnIndex {
   }
 
   private def opSupported(op: String): Boolean =
-    Set("", "eq", "lt", "lte", "lteq", "gt", "gte", "gteq").contains(op)
+    Set("", "eq", "lt", "lte", "lteq", "gt", "gte", "gteq", "in").contains(op)
+
+  /** Value separator inside an `in` predicate's raw field — a private
+    * contract between the triple encoders (IndexPruneRule) and this
+    * decoder; U+0001 cannot appear in the REST literal surface. */
+  private[graft] val InSep = '\u0001'
 
   /** Conservative interval test; any conversion surprise keeps the file. */
   private[sources] def zoneMayMatch(z: Zone, op: String, raw: String): Boolean = {
-    if (z.allNull) return false // eq/range predicates never match null
+    if (z.allNull) return false // eq/range/in predicates never match null
+    if (op == "in") // disjunction of equalities: any value may match
+      return raw.split(InSep).exists(v => zoneMayMatch(z, "eq", v))
     literalFor(z, raw) match {
       case None => true
       case Some(v) =>

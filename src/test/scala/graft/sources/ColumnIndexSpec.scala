@@ -239,6 +239,26 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       // unindexed-column SQL predicates leave the full scan untouched
       val full = eng.querySql("SELECT count(*) AS n FROM zt WHERE d = 250.0")
       assert(full.collect().head.getLong(0) == 1)
+      // IN lists prune as a disjunction of equalities
+      def prunedRoots(sql: String): Seq[org.apache.hadoop.fs.Path] =
+        eng.querySql(sql).queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths
+        }.getOrElse(Seq.empty)
+      val inq = eng.querySql("SELECT k FROM zt WHERE k IN (100, 1500)")
+      assert(inq.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 1500L))
+      val inRoots = prunedRoots("SELECT k FROM zt WHERE k IN (100, 1500)")
+      assert(inRoots.size == 2 && inRoots.forall(_.getName.endsWith(".parquet")))
+      // LIKE prefixes prune to the [prefix, prefix+1) range
+      val likeq = eng.querySql("SELECT s FROM zt WHERE s LIKE 's03%' ORDER BY s")
+      assert(likeq.count() == 100)
+      val likeRoots = prunedRoots("SELECT s FROM zt WHERE s LIKE 's03%'")
+      assert(likeRoots.size == 1 && likeRoots.head.getName.endsWith(".parquet"))
+      // non-prefix LIKE contributes nothing (full dir scan remains)
+      val anyRoots = prunedRoots("SELECT s FROM zt WHERE s LIKE '%03'")
+      assert(anyRoots.size == 1 && !anyRoots.head.getName.endsWith(".parquet"))
       // unfiltered and unindexed-column queries bypass the index untouched
       assert(eng.queryRest("zt", Map("limit" -> "5")).count() == 5)
       assert(eng.queryRest("zt", Map("filter[d]eq" -> "250.0")).count() == 1)
