@@ -182,10 +182,20 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
         // option boundaries, so its users write `index_columns=a;b`.
         // Passing the previous index makes refresh ticks incremental:
         // only files new since the last tick are harvested.
-        val idx = graft.sources.ColumnIndex.build(
-          spark, src.uri,
-          cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty),
-          prev = Option(colIndexes.get(src.name)))
+        val idxCols =
+          cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+        // opt-in sidecar persistence: restarts reload zones and harvest
+        // only changed files (the sidecar lives in the table dir like a
+        // _delta_log — writing into users' data uninvited stays off)
+        val persist = src.options.get("index_persist")
+          .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
+          .contains(true)
+        val prev = Option(colIndexes.get(src.name)).orElse(
+          if (persist) graft.sources.ColumnIndex.load(spark, src.uri, idxCols)
+          else None)
+        val idx = graft.sources.ColumnIndex.build(spark, src.uri, idxCols, prev)
+        if (persist && idx.reusedFiles < idx.fileCount)
+          graft.sources.ColumnIndex.save(spark, idx)
         colIndexes.put(src.name, idx)
         // the SQL frontend prunes through IndexPruneRule, which sees only
         // the scan's qualified root path — keep the registry in lock-step

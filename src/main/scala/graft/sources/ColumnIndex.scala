@@ -242,6 +242,81 @@ object ColumnIndex {
         .atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC)).toOption)
   }
 
+  // ---- persistence ---------------------------------------------------------
+
+  private val SidecarName = "_graft_colindex.json"
+  private lazy val json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Persist the index as a `_graft_colindex.json` sidecar INSIDE the table
+    * dir (underscore-prefixed: invisible to Spark's listings, like
+    * `_delta_log`). Opt-in via the table's `index_persist` option — a
+    * restart then reloads zones and the next build harvests only files
+    * whose length:mtime signature changed. Failures warn and continue:
+    * persistence is an optimization, never a correctness gate. */
+  def save(spark: SparkSession, idx: Index): Unit =
+    try {
+      val root = new Path(idx.dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val doc = json.createObjectNode()
+      val cols = doc.putArray("columns"); idx.columns.foreach(cols.add)
+      val fl = doc.putArray("files")
+      idx.files.foreach { f =>
+        val fo = fl.addObject()
+        fo.put("path", f.path); fo.put("rows", f.rows); fo.put("sig", f.sig)
+        val zs = fo.putObject("zones")
+        f.zones.foreach { case (c, z) =>
+          val zo = zs.putObject(c)
+          zo.put("kind", z.kind); zo.put("minL", z.minL); zo.put("maxL", z.maxL)
+          zo.put("minD", z.minD); zo.put("maxD", z.maxD)
+          zo.put("minS", z.minS); zo.put("maxS", z.maxS)
+          zo.put("allNull", z.allNull)
+        }
+      }
+      val out = fs.create(new Path(root, SidecarName), true)
+      try out.write(json.writerWithDefaultPrettyPrinter.writeValueAsBytes(doc))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[colindex] persist ${idx.dir}: ${e.getMessage}")
+    }
+
+  /** Load a previously-saved sidecar; None when absent, unreadable, or
+    * built for a different column set (then a fresh harvest runs). */
+  def load(spark: SparkSession, dir: String, cols: Seq[String]): Option[Index] =
+    try {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new Path(root, SidecarName)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val doc = try json.readTree(in) finally in.close()
+        val savedCols = doc.get("columns").elements()
+        val colSeq = Iterator.continually(savedCols)
+          .takeWhile(_.hasNext).map(_.next().asText()).toVector
+        if (colSeq.map(_.toLowerCase).toSet != cols.map(_.toLowerCase).toSet) None
+        else {
+          val files = Vector.newBuilder[FileZones]
+          doc.get("files").elements().forEachRemaining { fo =>
+            val zones = scala.collection.mutable.Map[String, Zone]()
+            fo.get("zones").properties().forEach { e =>
+              val z = e.getValue
+              zones(e.getKey) = Zone(z.get("kind").asText(),
+                z.get("minL").asLong(), z.get("maxL").asLong(),
+                z.get("minD").asDouble(), z.get("maxD").asDouble(),
+                z.get("minS").asText(), z.get("maxS").asText(),
+                z.get("allNull").asBoolean())
+            }
+            files += FileZones(fo.get("path").asText(), fo.get("rows").asLong(),
+              zones.toMap, fo.get("sig").asText())
+          }
+          Some(new Index(dir, colSeq, files.result()))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[colindex] load $dir: ${e.getMessage}")
+      None
+    }
+
   // ---- build ---------------------------------------------------------------
 
   /** Harvest footer stats for `cols` over every parquet file under `dir`.

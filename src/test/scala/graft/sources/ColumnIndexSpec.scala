@@ -191,6 +191,31 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(third.reusedFiles == 0 && third.fileCount == 2)
   }
 
+  test("index_persist writes a sidecar and a restart reloads it") {
+    val d5 = Files.createTempDirectory("colindex5").toString + "/t"
+    spark.range(0, 500).toDF("k").repartitionByRange(4, col("k"))
+      .write.parquet(d5)
+    val src = TableSource("ztp", d5, format = Some("parquet"),
+      options = Map("index_columns" -> "k", "index_persist" -> "true",
+        "use_memory_table" -> "false"))
+    val eng1 = new graft.server.Engine(spark, readOnly = true)
+    try {
+      eng1.registerTable(src)
+      assert(eng1.columnIndex("ztp").exists(_.reusedFiles == 0))
+      assert(new java.io.File(d5, "_graft_colindex.json").isFile)
+    } finally eng1.dropTable("ztp")
+    // a fresh engine (= restart) reuses every zone from the sidecar
+    val eng2 = new graft.server.Engine(spark, readOnly = true)
+    try {
+      eng2.registerTable(src)
+      val idx = eng2.columnIndex("ztp").get
+      assert(idx.reusedFiles == idx.fileCount && idx.fileCount == 4)
+      assert(idx.prune(Seq(("k", "lt", "10"))).get.size == 1)
+      // the sidecar itself never shows up as a data file
+      assert(idx.files.forall(!_.path.contains("_graft_colindex")))
+    } finally eng2.dropTable("ztp")
+  }
+
   test("re-registering without index_columns drops the stale index") {
     val eng = new graft.server.Engine(spark, readOnly = true)
     try {
