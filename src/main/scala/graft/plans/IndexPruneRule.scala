@@ -110,7 +110,8 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
                        raws: Seq[Option[String]]): Seq[(String, String, String)] = {
     val sep = graft.sources.ColumnIndex.InSep
     if (raws.exists(r => r.isEmpty || r.get.indexOf(sep.toInt) >= 0)) Seq.empty
-    else Seq((col, "in", raws.flatten.mkString(sep.toString)))
+    else Seq((col, graft.sources.ColumnIndex.InOp,
+      raws.flatten.mkString(sep.toString)))
   }
 
   /** `attr op literal` (either side) -> the REST-surface triple the index

@@ -92,6 +92,8 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   def registerTable(src: TableSource): Unit = {
     cancelRefresh(src.name)
     overCapTables.remove(src.name) // explicit re-register re-probes size
+    sidecarSynced.remove(src.name) // re-reconcile the sidecar once
+
     // a re-register under a NEW uri must release the OLD dir's index claim
     // (the resolved branches below only touch the new uri; review finding)
     Option(tables.get(src.name)).filter(_.uri != src.uri).foreach { old =>
@@ -143,6 +145,9 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   // refresh tick alongside the table itself, dropped with the table.
   private val colIndexes =
     new ConcurrentHashMap[String, graft.sources.ColumnIndex.Index]()
+  // tables whose sidecar has been reconciled since the last EXPLICIT
+  // register — refresh ticks for members diff in memory, no disk read
+  private val sidecarSynced = ConcurrentHashMap.newKeySet[String]()
 
   /** Spec hook: the registered index for a table, if any. */
   private[graft] def columnIndex(name: String): Option[graft.sources.ColumnIndex.Index] =
@@ -190,12 +195,27 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
         val persist = src.options.get("index_persist")
           .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
           .contains(true)
-        val prev = Option(colIndexes.get(src.name)).orElse(
-          if (persist) graft.sources.ColumnIndex.load(spark, src.uri, idxCols)
-          else None)
-        val idx = graft.sources.ColumnIndex.build(spark, src.uri, idxCols, prev)
-        if (persist && idx.reusedFiles < idx.fileCount)
-          graft.sources.ColumnIndex.save(spark, idx)
+        val prevMem = Option(colIndexes.get(src.name))
+        // consult the disk sidecar on the FIRST resolve after an explicit
+        // register (covers enabling persist on a known table: the memory
+        // index is fresh, but the sidecar may not exist yet); steady
+        // refresh ticks skip the disk read and diff against memory
+        val firstSync = persist && !sidecarSynced.contains(src.name)
+        val fromDisk =
+          if (firstSync) graft.sources.ColumnIndex.load(spark, src.uri, idxCols)
+          else None
+        val idx = graft.sources.ColumnIndex.build(
+          spark, src.uri, idxCols, prevMem.orElse(fromDisk))
+        if (persist) {
+          def fileSet(i: graft.sources.ColumnIndex.Index) =
+            i.files.map(f => (f.path, f.sig)).toSet
+          val changed =
+            if (firstSync) !fromDisk.exists(d => fileSet(d) == fileSet(idx))
+            else idx.reusedFiles < idx.fileCount || // new/changed files
+              prevMem.exists(p => fileSet(p) != fileSet(idx)) // deletions
+          if (changed) graft.sources.ColumnIndex.save(spark, idx)
+          sidecarSynced.add(src.name)
+        }
         colIndexes.put(src.name, idx)
         // the SQL frontend prunes through IndexPruneRule, which sees only
         // the scan's qualified root path — keep the registry in lock-step
@@ -219,6 +239,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     cancelRefresh(name)
     overCapTables.remove(name)
     colIndexes.remove(name)
+    sidecarSynced.remove(name)
     Option(tables.remove(name)).foreach(src =>
       graft.sources.ColumnIndexRegistry.release(qualifiedDir(src.uri), name))
     spark.catalog.dropTempView(name)

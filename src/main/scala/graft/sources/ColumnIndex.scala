@@ -57,8 +57,8 @@ object ColumnIndex {
                              sig: String = "") extends Serializable
 
   /** Filter triple as the REST grammar produces it: (column, op, raw value)
-    * with op in {"", eq, lt, lte, lteq, gt, gte, gteq} — plus "in", the
-    * SQL rule's IN-list disjunction (values joined by [[InSep]]). */
+    * with op in {"", eq, lt, lte, lteq, gt, gte, gteq} — plus [[InOp]],
+    * the SQL rule's IN-list disjunction (values joined by [[InSep]]). */
   type Pred = (String, String, String)
 
   final class Index private[ColumnIndex] (
@@ -76,13 +76,18 @@ object ColumnIndex {
         columns.exists(_.equalsIgnoreCase(c)) && opSupported(op)
       }
 
-    private def fileMayMatch(f: FileZones, usable: Seq[Pred]): Boolean =
+    private def fileMayMatch(f: FileZones, usable: Seq[Pred],
+        cache: mutable.Map[(String, String), Option[Any]]): Boolean =
       usable.forall { case (c, op, raw) =>
         f.zones.find(_._1.equalsIgnoreCase(c)) match {
           case None => true // no stats for this column in this file
-          case Some((_, z)) => zoneMayMatch(z, op, raw)
+          case Some((_, z)) => zoneMayMatchCached(z, op, raw, cache)
         }
       }
+
+    // one literal-conversion cache per prune CALL: conversions run once
+    // per (zone kind, value), not once per (file, value)
+    private def freshCache() = mutable.Map.empty[(String, String), Option[Any]]
 
     /** Files that may satisfy the conjunction; None when no predicate
       * touches an indexed column (nothing to prune on). */
@@ -90,7 +95,8 @@ object ColumnIndex {
       val usable = usablePreds(preds)
       if (usable.isEmpty) None
       else {
-        val kept = files.filter(fileMayMatch(_, usable)).map(_.path)
+        val cache = freshCache()
+        val kept = files.filter(fileMayMatch(_, usable, cache)).map(_.path)
         lastPrune = Some((kept.size, files.size))
         Some(kept)
       }
@@ -105,10 +111,11 @@ object ColumnIndex {
       if (usable.isEmpty) None
       else {
         val byPath = files.iterator.map(f => f.path -> f).toMap
+        val cache = freshCache()
         // normalize before lookup: listings disagree on empty-authority
         // URIs (file:/x vs file:///x); Path.toString canonicalizes both
         val kept = scanFiles.filter { p =>
-          byPath.get(new Path(p).toString).forall(fileMayMatch(_, usable))
+          byPath.get(new Path(p).toString).forall(fileMayMatch(_, usable, cache))
         }
         lastPrune = Some((kept.size, scanFiles.size))
         Some(kept)
@@ -134,19 +141,35 @@ object ColumnIndex {
   }
 
   private def opSupported(op: String): Boolean =
-    Set("", "eq", "lt", "lte", "lteq", "gt", "gte", "gteq", "in").contains(op)
+    op == InOp ||
+      Set("", "eq", "lt", "lte", "lteq", "gt", "gte", "gteq").contains(op)
 
-  /** Value separator inside an `in` predicate's raw field — a private
+  /** Value separator inside an [[InOp]] predicate's raw field — a private
     * contract between the triple encoders (IndexPruneRule) and this
     * decoder; U+0001 cannot appear in the REST literal surface. */
   private[graft] val InSep = '\u0001'
 
+  /** The IN-disjunction op tag. Deliberately NOT the surface string "in":
+    * REST/GraphQL op strings reach [[Index.prune]] verbatim, and a future
+    * frontend `in` operator would encode its list differently (comma-
+    * separated) — a tag containing [[InSep]] cannot collide with any
+    * user-supplied op (review finding). */
+  private[graft] val InOp: String = InSep.toString + "in"
+
   /** Conservative interval test; any conversion surprise keeps the file. */
-  private[sources] def zoneMayMatch(z: Zone, op: String, raw: String): Boolean = {
+  private[sources] def zoneMayMatch(z: Zone, op: String, raw: String): Boolean =
+    zoneMayMatchCached(z, op, raw,
+      scala.collection.mutable.Map.empty[(String, String), Option[Any]])
+
+  /** [[zoneMayMatch]] with a per-prune-call literal-conversion cache keyed
+    * (zone kind, raw) — an IN list over many files would otherwise re-run
+    * unquote+BigDecimal per (file, value) pair (review finding). */
+  private def zoneMayMatchCached(z: Zone, op: String, raw: String,
+      cache: scala.collection.mutable.Map[(String, String), Option[Any]]): Boolean = {
     if (z.allNull) return false // eq/range/in predicates never match null
-    if (op == "in") // disjunction of equalities: any value may match
-      return raw.split(InSep).exists(v => zoneMayMatch(z, "eq", v))
-    literalFor(z, raw) match {
+    if (op == InOp) // disjunction of equalities: any value may match
+      return raw.split(InSep).exists(v => zoneMayMatchCached(z, "eq", v, cache))
+    cache.getOrElseUpdate((z.kind, raw), literalFor(z, raw)) match {
       case None => true
       case Some(v) =>
         val (cmpMin, cmpMax) = z.kind match {
@@ -244,7 +267,17 @@ object ColumnIndex {
 
   // ---- persistence ---------------------------------------------------------
 
-  private val SidecarName = "_graft_colindex.json"
+  /** Sidecar name carries a hash of the (lowercased, sorted) column set:
+    * two persisted tables over the same dir with DIFFERENT index_columns
+    * would otherwise clobber each other's sidecar on every boot (review
+    * finding). Same column set -> shared sidecar, as intended. */
+  private[sources] def sidecarName(cols: Seq[String]): String = {
+    val key = cols.map(_.toLowerCase).sorted.mkString(",")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val hex = md5.take(4).map(b => f"$b%02x").mkString
+    s"_graft_colindex_$hex.json"
+  }
   private lazy val json = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Persist the index as a `_graft_colindex.json` sidecar INSIDE the table
@@ -272,7 +305,7 @@ object ColumnIndex {
           zo.put("allNull", z.allNull)
         }
       }
-      val out = fs.create(new Path(root, SidecarName), true)
+      val out = fs.create(new Path(root, sidecarName(idx.columns)), true)
       try out.write(json.writerWithDefaultPrettyPrinter.writeValueAsBytes(doc))
       finally out.close()
     } catch { case scala.util.control.NonFatal(e) =>
@@ -285,14 +318,13 @@ object ColumnIndex {
     try {
       val root = new Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val p = new Path(root, SidecarName)
+      val p = new Path(root, sidecarName(cols))
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
         val doc = try json.readTree(in) finally in.close()
-        val savedCols = doc.get("columns").elements()
-        val colSeq = Iterator.continually(savedCols)
-          .takeWhile(_.hasNext).map(_.next().asText()).toVector
+        import scala.jdk.CollectionConverters._
+        val colSeq = doc.get("columns").elements().asScala.map(_.asText()).toVector
         if (colSeq.map(_.toLowerCase).toSet != cols.map(_.toLowerCase).toSet) None
         else {
           val files = Vector.newBuilder[FileZones]

@@ -198,11 +198,18 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val src = TableSource("ztp", d5, format = Some("parquet"),
       options = Map("index_columns" -> "k", "index_persist" -> "true",
         "use_memory_table" -> "false"))
+    def sidecars = new java.io.File(d5).listFiles()
+      .filter(_.getName.startsWith("_graft_colindex")).toSeq
     val eng1 = new graft.server.Engine(spark, readOnly = true)
     try {
+      // enabling persist on an ALREADY-registered table must still write
+      // the sidecar (the memory index is fresh but disk has nothing)
+      eng1.registerTable(TableSource("ztp", d5, format = Some("parquet"),
+        options = Map("index_columns" -> "k", "use_memory_table" -> "false")))
+      assert(sidecars.isEmpty)
       eng1.registerTable(src)
-      assert(eng1.columnIndex("ztp").exists(_.reusedFiles == 0))
-      assert(new java.io.File(d5, "_graft_colindex.json").isFile)
+      assert(eng1.columnIndex("ztp").exists(_.reusedFiles == 4)) // from memory
+      assert(sidecars.size == 1)
     } finally eng1.dropTable("ztp")
     // a fresh engine (= restart) reuses every zone from the sidecar
     val eng2 = new graft.server.Engine(spark, readOnly = true)
