@@ -189,6 +189,17 @@ object GraphQl {
         case "lte" | "lteq" => l <= literal(operand)
         case "gt"           => l > literal(operand)
         case "gte" | "gteq" => l >= literal(operand)
+        // beyond-reference extension mirroring the REST `in` op: the
+        // operand is a GraphQL list, each element typed like a scalar
+        case "in" => operand match {
+          case GList(vs) => l.isin(vs.map(literal): _*)
+          case other => throw GraphQlError(s"in predicate takes a list, got: $other")
+        }
+        // SQL LIKE pattern (%/_ wildcards) over a string operand
+        case "like" => operand match {
+          case GStr(s) => l.like(s)
+          case other => throw GraphQlError(s"like predicate takes a string pattern, got: $other")
+        }
         case other => throw GraphQlError(s"invalid filter predicate operator, got: $other")
       }
     }
@@ -252,7 +263,22 @@ object GraphQl {
       .getOrElse(Seq.empty)
       .flatMap {
         case (c, GObj(ops)) =>
-          ops.flatMap { case (op, v) => rawValue(v).map((c, op, _)) }
+          ops.flatMap {
+            // `in` lists re-encode to the index's disjunction tag when
+            // every element is a scalar with a raw surface; any exotic
+            // element (bool, nested, separator-bearing) drops the triple
+            // — no pruning evidence, never a wrong prune
+            case ("in", GList(vs)) if vs.nonEmpty =>
+              val raws = vs.map(rawValue)
+              val sep = graft.sources.ColumnIndex.InSep
+              if (raws.forall(_.exists(!_.contains(sep))))
+                Seq((c, graft.sources.ColumnIndex.InOp,
+                  raws.flatten.mkString(sep.toString)))
+              else Nil
+            // prefix LIKE -> the [prefix, prefix+1) range pair (or nothing)
+            case ("like", GStr(s)) => RestQuery.likePrefixTriples(c, s)
+            case (op, v) => rawValue(v).map((c, op, _))
+          }
         case (c, v) => rawValue(v).map((c, "eq", _))
       }
 

@@ -50,6 +50,19 @@ object RestQuery {
     * keep the reference's literal typing exactly. */
   def predicate(c: Column, op: String, v: String,
                 dt: Option[org.apache.spark.sql.types.DataType]): Column = {
+    // `in` takes a comma-separated value LIST (beyond-reference extension;
+    // commas inside '..' quoting stay literal), each element typed by the
+    // same schema-directed rules as a single value
+    if (op == "in")
+      return c.isin(splitInList(v).map(typedLiteral(_, dt)): _*)
+    // `like` takes a SQL LIKE pattern (%/_ wildcards), quoted or bare —
+    // string columns only (a numeric LIKE would silently cast; loud beats
+    // surprising). Prefix patterns prune through the column index.
+    if (op == "like") {
+      dt.filterNot(_ == org.apache.spark.sql.types.StringType).foreach(other =>
+        throw RestError("rest_query", s"like filter requires a string column, got $other"))
+      return c.like(stringSurface(v))
+    }
     val l = typedLiteral(v, dt)
     op match {
       case "" | "eq"      => c === l
@@ -60,6 +73,55 @@ object RestQuery {
       case other => throw RestError("rest_query", s"unsupported filter operator $other")
     }
   }
+
+  /** Split a REST `in` list on commas. Commas inside `'..'` quoting stay
+    * literal and `''` remains the escaped quote; elements keep their raw
+    * surface (quotes included) so each is typed by the same rules as a
+    * single filter value. Bare elements are NOT trimmed — the single-value
+    * rule (boundary whitespace stays matchable) applies per element, and
+    * the quoted form is available when a value needs padding around it. */
+  private[graft] def splitInList(v: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < v.length) {
+      val ch = v.charAt(i)
+      if (ch == '\'') {
+        if (inQ && i + 1 < v.length && v.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 1
+        } else { inQ = !inQ; cur.append(ch) }
+      } else if (ch == ',' && !inQ) {
+        out += cur.result(); cur.clear()
+      } else cur.append(ch)
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** The string a REST value denotes: quoted values unquote (with `''`
+    * the escaped quote), bare values are taken verbatim — the same rule
+    * [[typedLiteral]] applies on string columns. */
+  private def stringSurface(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else v
+  }
+
+  /** A pure-prefix LIKE pattern (`abc%`, no other wildcards or escapes,
+    * ASCII only) -> the [prefix, prefix+1) range triples the column index
+    * prunes on — the same expansion IndexPruneRule applies to Catalyst
+    * `StartsWith`. Anything else: no pruning evidence. */
+  private[frontend] def likePrefixTriples(c: String, pattern: String): Seq[(String, String, String)] =
+    if (pattern.length >= 2 && pattern.last == '%' &&
+        pattern.init.forall(ch => ch < 127 && ch != '%' && ch != '_' && ch != '\\')) {
+      val prefix = pattern.init
+      val bumped = prefix.init + (prefix.last + 1).toChar
+      Seq((c, "gte", s"'${prefix.replace("'", "''")}'"),
+        (c, "lt", s"'${bumped.replace("'", "''")}'"))
+    } else Seq.empty
 
   private def typedLiteral(v: String,
                            dt: Option[org.apache.spark.sql.types.DataType]): Column =
@@ -81,9 +143,19 @@ object RestQuery {
   }
 
   /** The raw (column, op, value) conjuncts of a param map — the shape the
-    * engine's column index prunes on before any Column is built. */
+    * engine's column index prunes on before any Column is built. `in`
+    * lists are re-encoded to the index's internal disjunction tag; a value
+    * that happens to contain the (unprintable) separator is left in its
+    * surface form, which the index ignores — never mis-split. */
   def filterTriples(params: Map[String, String]): Seq[(String, String, String)] =
     params.toSeq.sortBy(_._1).collect { case (FilterKey(c, op), v) => (c, op, v) }
+      .flatMap { case (c, op, v) =>
+        if (op == "in" && !v.contains(graft.sources.ColumnIndex.InSep))
+          Seq((c, graft.sources.ColumnIndex.InOp,
+            splitInList(v).mkString(graft.sources.ColumnIndex.InSep.toString)))
+        else if (op == "like") likePrefixTriples(c, stringSurface(v))
+        else Seq((c, op, v))
+      }
 
   /** Apply REST params to a DataFrame in the reference's fixed order. */
   def apply(df0: DataFrame, params: Map[String, String]): DataFrame = {

@@ -393,6 +393,25 @@ object Relational {
         "sort" -> "-o_totalprice,o_orderkey",
         "limit" -> "20", "page" -> "2"))
     }),
+    // REST frontend: `in` value-list filter (beyond-reference extension),
+    // mixing a quoted and a schema-directed bare string element
+    "rest_filter_in" -> ((spark, dir) => {
+      RestQuery(Tables.t(spark, dir, "nation"), Map(
+        "filter[n_name]in" -> "'NATION_3',NATION_7,'NATION_12'",
+        "filter[n_nationkey]lt" -> "20",
+        "columns" -> "n_nationkey,n_name,n_regionkey",
+        "sort" -> "n_name"))
+    }),
+    // REST frontend: LIKE pattern filter (beyond-reference extension) —
+    // a prefix pattern (index-prunable) plus an inner-wildcard pattern
+    "rest_filter_like" -> ((spark, dir) => {
+      RestQuery(Tables.t(spark, dir, "part"), Map(
+        "filter[p_name]like" -> "red%",
+        "filter[p_brand]like" -> "Brand#1_",
+        "columns" -> "p_partkey,p_name,p_brand",
+        "sort" -> "p_partkey",
+        "limit" -> "50"))
+    }),
     // GraphQL frontend
     "graphql_parts" -> ((spark, dir) => {
       Tables.registerAll(spark, dir)
@@ -810,6 +829,17 @@ object Relational {
         |WHERE o_totalprice > 400000 AND o_totalprice <= 500000
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 20""".stripMargin,
+    "rest_filter_like" ->
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE p_name LIKE 'red%' AND p_brand LIKE 'Brand#1_'
+        |ORDER BY p_partkey
+        |LIMIT 50""".stripMargin,
+    "rest_filter_in" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12') AND n_nationkey < 20
+        |ORDER BY n_name""".stripMargin,
     "graphql_parts" ->
       """SELECT p_partkey, p_name, p_retailprice, p_size
         |FROM part

@@ -67,7 +67,10 @@ object OpenApi {
       p.put("description",
         s"equality filter on `${f.name}`; append an operator suffix to the " +
           "parameter name for ranges: `filter[" + f.name + "]lt=`, `lte`, " +
-          "`gt`, `gte` (aliases `lteq`/`gteq`)")
+          "`gt`, `gte` (aliases `lteq`/`gteq`); `filter[" + f.name +
+          "]in=` takes a comma-separated value list (commas inside '..' " +
+          "quoting stay literal); `filter[" + f.name + "]like=` takes a " +
+          "SQL LIKE pattern (string columns only)")
       p.set[ObjectNode]("schema", typeSchema(f.dataType))
       ()
     }

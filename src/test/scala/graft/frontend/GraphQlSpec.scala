@@ -44,8 +44,48 @@ class GraphQlSpec extends SparkSpec {
     intercept[GraphQl.GraphQlError](GraphQl.parse("mutation { t { id } }"))
     intercept[GraphQl.GraphQlError](GraphQl.parse("{ a { id } b { id } }"))
     intercept[GraphQl.GraphQlError] {
-      withTable(GraphQl.query(spark, """{ t(filter: {tag: {like: "a"}}) { id } }""").count())
+      withTable(GraphQl.query(spark, """{ t(filter: {tag: {matches: "a"}}) { id } }""").count())
     }
+  }
+
+  test("in: list operand filters membership and feeds the column index") {
+    withTable {
+      val got = GraphQl.query(spark,
+        """{ t(filter: {tag: {in: ["a", "c"]}}, sort: [{field: "id"}]) { id } }""")
+        .collect().map(_.getLong(0))
+      assert(got.toSeq == Seq(1L, 3L, 4L))
+      // mixed-type and numeric lists work like scalar literals
+      val n = GraphQl.query(spark, """{ t(filter: {id: {in: [1, 4]}}) { id } }""").count()
+      assert(n == 2)
+      // non-list operand is a loud error
+      intercept[GraphQl.GraphQlError] {
+        GraphQl.query(spark, """{ t(filter: {id: {in: 3}}) { id } }""").count()
+      }
+    }
+    val f = GraphQl.parse("""{ t(filter: {tag: {in: ["a", "c"]}, id: {gt: 0}}) { id } }""")
+    val sep = graft.sources.ColumnIndex.InSep
+    assert(GraphQl.filterTriples(f).toSet == Set(
+      ("tag", graft.sources.ColumnIndex.InOp, s"'a'$sep'c'"), ("id", "gt", "0")))
+    // a bool element yields no pruning evidence (triple dropped), but the
+    // filter itself still applies
+    val fb = GraphQl.parse("""{ t(filter: {tag: {in: [true]}}) { id } }""")
+    assert(GraphQl.filterTriples(fb).isEmpty)
+  }
+
+  test("like: string pattern filter; prefix feeds the index as a range") {
+    withTable {
+      val got = GraphQl.query(spark,
+        """{ t(filter: {tag: {like: "a%"}}, sort: [{field: "id"}]) { id } }""")
+        .collect().map(_.getLong(0))
+      assert(got.toSeq == Seq(1L, 3L))
+      intercept[GraphQl.GraphQlError] {
+        GraphQl.query(spark, """{ t(filter: {tag: {like: 5}}) { id } }""").count()
+      }
+    }
+    val f = GraphQl.parse("""{ t(filter: {tag: {like: "ab%"}}) { id } }""")
+    assert(GraphQl.filterTriples(f) == Seq(("tag", "gte", "'ab'"), ("tag", "lt", "'ac'")))
+    val fs = GraphQl.parse("""{ t(filter: {tag: {like: "%ab"}}) { id } }""")
+    assert(GraphQl.filterTriples(fs).isEmpty)
   }
 
   test("queries the registered catalog end to end") {

@@ -61,4 +61,56 @@ class RestQuerySpec extends SparkSpec {
     intercept[RestQuery.RestError](RestQuery(df, Map("filter[id]like" -> "3")).count())
     intercept[RestQuery.RestError](RestQuery(df, Map("filter[id]" -> "abc")).count())
   }
+
+  test("in: comma-separated value list, typed per element") {
+    assert(RestQuery(df, Map("filter[id]in" -> "1,3")).count() == 2)
+    assert(RestQuery(df, Map("filter[tag]in" -> "'a','b'")).count() == 3)
+    // schema-directed: bare elements on a string column are the strings
+    // themselves, exact (no trim)
+    assert(RestQuery(df, Map("filter[tag]in" -> "a,b")).count() == 3)
+    assert(RestQuery(df, Map("filter[tag]in" -> "a, b")).count() == 2) // " b" != "b"
+    // bad element on a numeric column fails like a single value would
+    intercept[RestQuery.RestError](RestQuery(df, Map("filter[id]in" -> "1,x")).count())
+  }
+
+  test("in: commas and escaped quotes inside '..' stay literal") {
+    val d2 = Seq(("a,b", 1L), ("a", 2L), ("it's", 3L)).toDF("tag", "n")
+    assert(RestQuery(d2, Map("filter[tag]in" -> "'a,b','it''s'"))
+      .collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 3L))
+    assert(RestQuery.splitInList("'a,b','it''s'") == Seq("'a,b'", "'it''s'"))
+    assert(RestQuery.splitInList("1,2,3") == Seq("1", "2", "3"))
+    assert(RestQuery.splitInList("a,,b") == Seq("a", "", "b"))
+  }
+
+  test("like: SQL pattern on string columns, loud on numeric columns") {
+    val d2 = Seq(("alpha", 1L), ("alps", 2L), ("beta", 3L), ("a%c", 4L)).toDF("tag", "n")
+    assert(RestQuery(d2, Map("filter[tag]like" -> "alp%"))
+      .collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    assert(RestQuery(d2, Map("filter[tag]like" -> "'a%c'")).count() == 1) // matches only "a%c" itself (a…c)
+    assert(RestQuery(d2, Map("filter[tag]like" -> "_lp__")).count() == 1)
+    intercept[RestQuery.RestError](RestQuery(d2, Map("filter[n]like" -> "1%")).count())
+  }
+
+  test("like: prefix patterns expand to range triples, others to none") {
+    assert(RestQuery.likePrefixTriples("c", "s01%") ==
+      Seq(("c", "gte", "'s01'"), ("c", "lt", "'s02'")))
+    assert(RestQuery.likePrefixTriples("c", "o'k%") ==
+      Seq(("c", "gte", "'o''k'"), ("c", "lt", "'o''l'")))
+    assert(RestQuery.likePrefixTriples("c", "%s01").isEmpty)   // suffix
+    assert(RestQuery.likePrefixTriples("c", "s_1%").isEmpty)   // inner wildcard
+    assert(RestQuery.likePrefixTriples("c", "%").isEmpty)      // no prefix
+    assert(RestQuery.likePrefixTriples("c", "café%").isEmpty)  // non-ASCII
+    assert(RestQuery.filterTriples(Map("filter[s]like" -> "ab%")) ==
+      Seq(("s", "gte", "'ab'"), ("s", "lt", "'ac'")))
+    assert(RestQuery.filterTriples(Map("filter[s]like" -> "%x")).isEmpty)
+  }
+
+  test("in: filterTriples re-encodes the list for the column index") {
+    val ts = RestQuery.filterTriples(Map("filter[id]in" -> "1,2", "limit" -> "5"))
+    val sep = graft.sources.ColumnIndex.InSep
+    assert(ts == Seq(("id", graft.sources.ColumnIndex.InOp, s"1${sep}2")))
+    // a separator-bearing value keeps its surface form (index ignores it)
+    val weird = RestQuery.filterTriples(Map("filter[id]in" -> s"1${sep}2"))
+    assert(weird == Seq(("id", "in", s"1${sep}2")))
+  }
 }

@@ -303,4 +303,36 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         case (kept, total) => total == 8 && kept < 8 })
     } finally eng.dropTable("zt")
   }
+
+  test("REST and GraphQL `in` filters prune through the index") {
+    val eng = new graft.server.Engine(spark, readOnly = true)
+    try {
+      eng.registerTable(TableSource("zin", dir, format = Some("parquet"),
+        options = Map("index_columns" -> "k;s", "use_memory_table" -> "false")))
+      val viaRest = eng.queryRest("zin",
+        Map("filter[k]in" -> "100,1500", "sort" -> "k"))
+      assert(viaRest.collect().map(_.getAs[Long]("k")).toSeq == Seq(100L, 1500L))
+      assert(eng.columnIndex("zin").get.lastPrune.contains((2, 8)))
+      val viaGql = eng.queryGraphQl(
+        """{ zin(filter: {s: {in: ["s0100", "s1500"]}}, sort: [{field: "k"}]) { k } }""")
+      assert(viaGql.collect().map(_.getAs[Long]("k")).toSeq == Seq(100L, 1500L))
+      assert(eng.columnIndex("zin").get.lastPrune.contains((2, 8)))
+      // bare non-numeric string elements prune too (the ambiguity rule
+      // only blocks numeric-looking bare values, per element)
+      val bare = eng.queryRest("zin", Map("filter[s]in" -> "s0100,s1500", "sort" -> "k"))
+      assert(bare.collect().map(_.getAs[Long]("k")).toSeq == Seq(100L, 1500L))
+      assert(eng.columnIndex("zin").get.lastPrune.contains((2, 8)))
+      // a numeric-looking bare element is ambiguous at the REST surface,
+      // so the ENGINE-side prune keeps all files — but the fallback plan's
+      // Catalyst IN literals are typed strings, so the optimizer-side
+      // IndexPruneRule still prunes precisely (to s0100's file alone)
+      val mixed = eng.queryRest("zin", Map("filter[s]in" -> "s0100,1500"))
+      assert(mixed.count() == 1) // the string "1500" matches no s value
+      assert(eng.columnIndex("zin").get.lastPrune.contains((1, 8)))
+      // REST prefix LIKE prunes as the [prefix, prefix+1) range
+      val likeRest = eng.queryRest("zin", Map("filter[s]like" -> "s030%", "sort" -> "k"))
+      assert(likeRest.count() == 10)
+      assert(eng.columnIndex("zin").get.lastPrune.contains((1, 8)))
+    } finally eng.dropTable("zin")
+  }
 }
