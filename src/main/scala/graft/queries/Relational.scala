@@ -761,6 +761,28 @@ object Relational {
             col("exact_parts") <= 0.15).as("within_3rsd"))
         .orderBy(col("l_returnflag"))
     }),
+    // Approximate percentiles (KLL/GK-style sketch). Like q_approx_distinct,
+    // the sketch value is engine-specific, so the oracle checks the
+    // bounded-error PROPERTY: percentile_approx at accuracy 10000 has rank
+    // error <= 1e-4, so the returned data value must lie between the EXACT
+    // interpolated percentiles at p +- 0.01 (a 100x margin — ~600 ranks at
+    // this group size, far beyond any sketch wobble on corpus regen).
+    // Exact group counts anchor the rows; DuckDB emits literal TRUE.
+    "q_approx_quantile" -> ((spark, dir) => {
+      Tables.t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("ap90"),
+          percentile(col("l_extendedprice"), lit(0.49)).as("lo50"),
+          percentile(col("l_extendedprice"), lit(0.51)).as("hi50"),
+          percentile(col("l_extendedprice"), lit(0.89)).as("lo90"),
+          percentile(col("l_extendedprice"), lit(0.91)).as("hi90"))
+        .select(col("l_returnflag"), col("n"),
+          (col("ap50").between(col("lo50"), col("hi50")) &&
+            col("ap90").between(col("lo90"), col("hi90"))).as("within_tol"))
+        .orderBy(col("l_returnflag"))
+    }),
     // KV-store projection (reference: columnq/src/columnq.rs:275-331):
     // key must be string-typed; this is the table the driver-side Map is built from
     "q_kv_projection" -> ((spark, dir) => {
@@ -787,6 +809,11 @@ object Relational {
     "q_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bounded-error property for the percentile sketch (see the queries()
+    // scaladoc): exact counts anchor the rows, the tolerance flag is TRUE
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, COUNT(*) AS n, TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // pivot spelled as CASE aggregation (DuckDB's PIVOT names differ)
     "q_pivot" ->
