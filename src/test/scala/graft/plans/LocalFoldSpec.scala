@@ -146,4 +146,29 @@ class LocalFoldSpec extends AnyFunSuite {
     assert(a == b)
     e.dropTable("lf_cities"); e.dropTable("lf_cities_fs")
   }
+
+  test("REST in/like filters fold job-free on pinned tables (literal commas)") {
+    import graft.server.Engine
+    import graft.sources.TableSource
+    val csv = "/root/reference/test_data/uk_cities_with_headers.csv"
+    val e = new Engine(spark, readOnly = true)
+    e.registerTable(TableSource("lf_inlike", csv))
+    // quoted in-list values carry LITERAL commas through the comma-separated
+    // list; the pinned-local plan folds to a LocalRelation (no Spark job)
+    val inDf = e.queryRest("lf_inlike", Map(
+      "filter[city]in" -> "'London, UK','Oxford, Oxfordshire, UK'",
+      "columns" -> "city", "sort" -> "city"))
+    assert(inDf.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      inDf.queryExecution.logical.getClass.toString)
+    assert(inDf.collect().map(_.getString(0)).toSeq ==
+      Seq("London, UK", "Oxford, Oxfordshire, UK"))
+    val likeDf = e.queryRest("lf_inlike", Map(
+      "filter[city]like" -> "Sw%", "columns" -> "city", "sort" -> "city"))
+    assert(likeDf.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(likeDf.collect().map(_.getString(0)).toSeq ==
+      Seq("Swansea, Swansea, UK", "Swindon, Swindon, UK"))
+    e.dropTable("lf_inlike")
+  }
 }
