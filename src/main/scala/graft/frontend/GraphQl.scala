@@ -180,7 +180,8 @@ object GraphQl {
     case other     => throw GraphQlError(s"invalid operand in filter predicate: $other")
   }
 
-  private def predicates(c: String, filter: GVal): Seq[Column] = filter match {
+  private def predicates(c: String, filter: GVal,
+      dt: Option[org.apache.spark.sql.types.DataType]): Seq[Column] = filter match {
     case GObj(ops) => ops.map { case (op, operand) =>
       val l = col(c)
       op match {
@@ -195,9 +196,14 @@ object GraphQl {
           case GList(vs) => l.isin(vs.map(literal): _*)
           case other => throw GraphQlError(s"in predicate takes a list, got: $other")
         }
-        // SQL LIKE pattern (%/_ wildcards) over a string operand
+        // SQL LIKE pattern (%/_ wildcards) over a string operand; string
+        // columns only — same loud rule as the REST frontend (a numeric
+        // LIKE would silently cast the column)
         case "like" => operand match {
-          case GStr(s) => l.like(s)
+          case GStr(s) =>
+            dt.filterNot(_ == org.apache.spark.sql.types.StringType).foreach(other =>
+              throw GraphQlError(s"like predicate requires a string column, got $other"))
+            l.like(s)
           case other => throw GraphQlError(s"like predicate takes a string pattern, got: $other")
         }
         case other => throw GraphQlError(s"invalid filter predicate operator, got: $other")
@@ -224,9 +230,14 @@ object GraphQl {
   /** Apply a parsed field to a DataFrame: filter -> project -> sort -> limit. */
   def applyField(df0: DataFrame, f: GField): DataFrame = {
     var df = df0
+    // lowercased: Spark resolves filter columns case-insensitively, so the
+    // type lookup for the like guard must too (mirrors RestQuery.apply)
+    lazy val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      df0.schema.fields.map(fd => fd.name.toLowerCase -> fd.dataType).toMap
     f.args.collectFirst { case ("filter", v) => v }.foreach {
       case GObj(filters) =>
-        filters.foreach { case (c, fv) => predicates(c, fv).foreach(p => df = df.filter(p)) }
+        filters.foreach { case (c, fv) =>
+          predicates(c, fv, colTypes.get(c.toLowerCase)).foreach(p => df = df.filter(p)) }
       case other => throw GraphQlError(s"filter argument takes object as value, got: $other")
     }
     if (f.selections.nonEmpty)
@@ -264,16 +275,13 @@ object GraphQl {
       .flatMap {
         case (c, GObj(ops)) =>
           ops.flatMap {
-            // `in` lists re-encode to the index's disjunction tag when
-            // every element is a scalar with a raw surface; any exotic
-            // element (bool, nested, separator-bearing) drops the triple
-            // — no pruning evidence, never a wrong prune
-            case ("in", GList(vs)) if vs.nonEmpty =>
+            // `in` lists re-encode through the shared encoder when every
+            // element is a scalar with a raw surface; any exotic element
+            // (bool, nested) drops the triple — no pruning evidence
+            case ("in", GList(vs)) =>
               val raws = vs.map(rawValue)
-              val sep = graft.sources.ColumnIndex.InSep
-              if (raws.forall(_.exists(!_.contains(sep))))
-                Seq((c, graft.sources.ColumnIndex.InOp,
-                  raws.flatten.mkString(sep.toString)))
+              if (raws.forall(_.isDefined))
+                graft.sources.ColumnIndex.inTriple(c, raws.flatten)
               else Nil
             // prefix LIKE -> the [prefix, prefix+1) range pair (or nothing)
             case ("like", GStr(s)) => RestQuery.likePrefixTriples(c, s)

@@ -144,15 +144,13 @@ object RestQuery {
 
   /** The raw (column, op, value) conjuncts of a param map — the shape the
     * engine's column index prunes on before any Column is built. `in`
-    * lists are re-encoded to the index's internal disjunction tag; a value
-    * that happens to contain the (unprintable) separator is left in its
-    * surface form, which the index ignores — never mis-split. */
+    * lists re-encode through [[graft.sources.ColumnIndex.inTriple]], which
+    * refuses lists with empty or separator-bearing elements (no pruning
+    * evidence beats a mis-split decode). */
   def filterTriples(params: Map[String, String]): Seq[(String, String, String)] =
     params.toSeq.sortBy(_._1).collect { case (FilterKey(c, op), v) => (c, op, v) }
       .flatMap { case (c, op, v) =>
-        if (op == "in" && !v.contains(graft.sources.ColumnIndex.InSep))
-          Seq((c, graft.sources.ColumnIndex.InOp,
-            splitInList(v).mkString(graft.sources.ColumnIndex.InSep.toString)))
+        if (op == "in") graft.sources.ColumnIndex.inTriple(c, splitInList(v))
         else if (op == "like") likePrefixTriples(c, stringSurface(v))
         else Seq((c, op, v))
       }

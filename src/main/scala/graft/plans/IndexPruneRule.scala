@@ -103,16 +103,14 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => tripleOf(e).toSeq
   }
 
-  /** The "in" disjunction triple — only when EVERY value converted and no
-    * value contains the separator itself (a split-corrupted value could
-    * under-approximate the disjunction and wrongly prune). */
+  /** The "in" disjunction triple — only when EVERY value converted; the
+    * shared encoder then applies the empty/separator guards (a dropped or
+    * split-corrupted value could under-approximate the disjunction and
+    * wrongly prune). */
   private def inTriple(col: String,
-                       raws: Seq[Option[String]]): Seq[(String, String, String)] = {
-    val sep = graft.sources.ColumnIndex.InSep
-    if (raws.exists(r => r.isEmpty || r.get.indexOf(sep.toInt) >= 0)) Seq.empty
-    else Seq((col, graft.sources.ColumnIndex.InOp,
-      raws.flatten.mkString(sep.toString)))
-  }
+                       raws: Seq[Option[String]]): Seq[(String, String, String)] =
+    if (raws.exists(_.isEmpty)) Seq.empty
+    else graft.sources.ColumnIndex.inTriple(col, raws.flatten)
 
   /** `attr op literal` (either side) -> the REST-surface triple the index
     * consumes; anything else contributes no pruning evidence. */

@@ -156,6 +156,19 @@ object ColumnIndex {
     * user-supplied op (review finding). */
   private[graft] val InOp: String = InSep.toString + "in"
 
+  /** THE one InOp triple encoder, shared by every frontend (REST, GraphQL,
+    * the Catalyst rule) so the guard set cannot drift (review finding: three
+    * hand-rolled encoders had three different guard sets, and the weakest
+    * one wrongly pruned). Refuses — no pruning evidence, never a wrong
+    * prune — when the list is empty, any element is EMPTY (String.split
+    * drops trailing empty strings, so an empty element would vanish at
+    * decode and under-approximate the disjunction), or any element contains
+    * the separator itself (a split-corrupted value). */
+  private[graft] def inTriple(col: String, raws: Seq[String]): Seq[Pred] =
+    if (raws.isEmpty || raws.exists(r => r.isEmpty || r.indexOf(InSep.toInt) >= 0))
+      Seq.empty
+    else Seq((col, InOp, raws.mkString(InSep.toString)))
+
   /** Conservative interval test; any conversion surprise keeps the file. */
   private[sources] def zoneMayMatch(z: Zone, op: String, raw: String): Boolean =
     zoneMayMatchCached(z, op, raw,

@@ -81,6 +81,11 @@ class GraphQlSpec extends SparkSpec {
       intercept[GraphQl.GraphQlError] {
         GraphQl.query(spark, """{ t(filter: {tag: {like: 5}}) { id } }""").count()
       }
+      // like on a NUMERIC column fails loudly (same rule as REST — a
+      // silent cast would match id=1,10-19,... for "1%")
+      intercept[GraphQl.GraphQlError] {
+        GraphQl.query(spark, """{ t(filter: {id: {like: "1%"}}) { id } }""").count()
+      }
     }
     val f = GraphQl.parse("""{ t(filter: {tag: {like: "ab%"}}) { id } }""")
     assert(GraphQl.filterTriples(f) == Seq(("tag", "gte", "'ab'"), ("tag", "lt", "'ac'")))

@@ -109,8 +109,15 @@ class RestQuerySpec extends SparkSpec {
     val ts = RestQuery.filterTriples(Map("filter[id]in" -> "1,2", "limit" -> "5"))
     val sep = graft.sources.ColumnIndex.InSep
     assert(ts == Seq(("id", graft.sources.ColumnIndex.InOp, s"1${sep}2")))
-    // a separator-bearing value keeps its surface form (index ignores it)
-    val weird = RestQuery.filterTriples(Map("filter[id]in" -> s"1${sep}2"))
-    assert(weird == Seq(("id", "in", s"1${sep}2")))
+    // a separator-bearing value yields no triple (a mis-split decode could
+    // wrongly prune; the runtime filter still applies on the fallback path)
+    assert(RestQuery.filterTriples(Map("filter[id]in" -> s"1${sep}2")).isEmpty)
+    // empty elements too: String.split drops trailing empties at decode,
+    // which would under-approximate the disjunction (review finding)
+    assert(RestQuery.filterTriples(Map("filter[tag]in" -> "a,")).isEmpty)
+    assert(RestQuery.filterTriples(Map("filter[tag]in" -> "")).isEmpty)
+    // but a QUOTED empty element survives (its surface '' is non-empty)
+    assert(RestQuery.filterTriples(Map("filter[tag]in" -> "'',a")) ==
+      Seq(("tag", graft.sources.ColumnIndex.InOp, s"''${sep}a")))
   }
 }

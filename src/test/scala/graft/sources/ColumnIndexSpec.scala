@@ -304,6 +304,16 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally eng.dropTable("zt")
   }
 
+  test("the shared inTriple encoder refuses empty and separator-bearing elements") {
+    val sep = ColumnIndex.InSep
+    assert(ColumnIndex.inTriple("c", Seq("a", "b")) ==
+      Seq(("c", ColumnIndex.InOp, s"a${sep}b")))
+    assert(ColumnIndex.inTriple("c", Seq.empty).isEmpty)
+    assert(ColumnIndex.inTriple("c", Seq("a", "")).isEmpty)  // trailing-empty decode loss
+    assert(ColumnIndex.inTriple("c", Seq("")).isEmpty)
+    assert(ColumnIndex.inTriple("c", Seq(s"a${sep}b")).isEmpty)
+  }
+
   test("REST and GraphQL `in` filters prune through the index") {
     val eng = new graft.server.Engine(spark, readOnly = true)
     try {
