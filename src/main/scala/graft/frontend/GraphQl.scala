@@ -201,8 +201,8 @@ object GraphQl {
         // LIKE would silently cast the column)
         case "like" => operand match {
           case GStr(s) =>
-            dt.filterNot(_ == org.apache.spark.sql.types.StringType).foreach(other =>
-              throw GraphQlError(s"like predicate requires a string column, got $other"))
+            RestQuery.requireStringColumn(dt,
+              other => GraphQlError(s"like predicate requires a string column, got $other"))
             l.like(s)
           case other => throw GraphQlError(s"like predicate takes a string pattern, got: $other")
         }
@@ -230,10 +230,7 @@ object GraphQl {
   /** Apply a parsed field to a DataFrame: filter -> project -> sort -> limit. */
   def applyField(df0: DataFrame, f: GField): DataFrame = {
     var df = df0
-    // lowercased: Spark resolves filter columns case-insensitively, so the
-    // type lookup for the like guard must too (mirrors RestQuery.apply)
-    lazy val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
-      df0.schema.fields.map(fd => fd.name.toLowerCase -> fd.dataType).toMap
+    lazy val colTypes = RestQuery.columnTypes(df0.schema)
     f.args.collectFirst { case ("filter", v) => v }.foreach {
       case GObj(filters) =>
         filters.foreach { case (c, fv) =>
@@ -279,10 +276,7 @@ object GraphQl {
             // element is a scalar with a raw surface; any exotic element
             // (bool, nested) drops the triple — no pruning evidence
             case ("in", GList(vs)) =>
-              val raws = vs.map(rawValue)
-              if (raws.forall(_.isDefined))
-                graft.sources.ColumnIndex.inTriple(c, raws.flatten)
-              else Nil
+              graft.sources.ColumnIndex.inTripleOpt(c, vs.map(rawValue))
             // prefix LIKE -> the [prefix, prefix+1) range pair (or nothing)
             case ("like", GStr(s)) => RestQuery.likePrefixTriples(c, s)
             case (op, v) => rawValue(v).map((c, op, _))

@@ -59,8 +59,8 @@ object RestQuery {
     // string columns only (a numeric LIKE would silently cast; loud beats
     // surprising). Prefix patterns prune through the column index.
     if (op == "like") {
-      dt.filterNot(_ == org.apache.spark.sql.types.StringType).foreach(other =>
-        throw RestError("rest_query", s"like filter requires a string column, got $other"))
+      requireStringColumn(dt,
+        other => RestError("rest_query", s"like filter requires a string column, got $other"))
       return c.like(stringSurface(v))
     }
     val l = typedLiteral(v, dt)
@@ -123,6 +123,22 @@ object RestQuery {
         (c, "lt", s"'${bumped.replace("'", "''")}'"))
     } else Seq.empty
 
+  /** Lowercased column-type map (Spark resolves filter columns
+    * case-insensitively, so the schema-directed lookups must too) —
+    * shared by both frontends. */
+  private[frontend] def columnTypes(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+
+  /** The `like` guard, shared by both frontends: string columns only —
+    * a numeric LIKE would silently cast the column; `err` supplies the
+    * frontend's error type. Unknown columns pass (resolution errors
+    * surface downstream with their own slug). */
+  private[frontend] def requireStringColumn(
+      dt: Option[org.apache.spark.sql.types.DataType],
+      err: org.apache.spark.sql.types.DataType => Exception): Unit =
+    dt.filterNot(_ == org.apache.spark.sql.types.StringType).foreach(d => throw err(d))
+
   private def typedLiteral(v: String,
                            dt: Option[org.apache.spark.sql.types.DataType]): Column =
     dt match {
@@ -158,12 +174,10 @@ object RestQuery {
   /** Apply REST params to a DataFrame in the reference's fixed order. */
   def apply(df0: DataFrame, params: Map[String, String]): DataFrame = {
     var df = df0
-    // Filters first (conjunction; Catalyst folds chained filters into one And).
-    // lowercased keys: Spark resolves filter columns case-insensitively by
-    // default, so the type lookup must too — a case-mismatched filter key
-    // otherwise lost its schema-directed typing (review finding)
-    val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
-      df0.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    // Filters first (conjunction; Catalyst folds chained filters into one
+    // And); a case-mismatched filter key must not lose its schema-directed
+    // typing (review finding), hence the lowercased shared map
+    val colTypes = columnTypes(df0.schema)
     params.toSeq.sortBy(_._1).foreach {
       case (key @ FilterKey(c, op), v) =>
         val _ = key

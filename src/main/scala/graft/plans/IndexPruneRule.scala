@@ -103,14 +103,12 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => tripleOf(e).toSeq
   }
 
-  /** The "in" disjunction triple — only when EVERY value converted; the
-    * shared encoder then applies the empty/separator guards (a dropped or
-    * split-corrupted value could under-approximate the disjunction and
-    * wrongly prune). */
+  /** The "in" disjunction triple — the shared encoder applies the
+    * all-converted/empty/separator guards (a dropped or split-corrupted
+    * value could under-approximate the disjunction and wrongly prune). */
   private def inTriple(col: String,
                        raws: Seq[Option[String]]): Seq[(String, String, String)] =
-    if (raws.exists(_.isEmpty)) Seq.empty
-    else graft.sources.ColumnIndex.inTriple(col, raws.flatten)
+    graft.sources.ColumnIndex.inTripleOpt(col, raws)
 
   /** `attr op literal` (either side) -> the REST-surface triple the index
     * consumes; anything else contributes no pruning evidence. */

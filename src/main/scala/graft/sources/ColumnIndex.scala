@@ -169,6 +169,13 @@ object ColumnIndex {
       Seq.empty
     else Seq((col, InOp, raws.mkString(InSep.toString)))
 
+  /** [[inTriple]] for callers whose elements may have failed to convert:
+    * ANY unconverted element refuses the whole triple (a partial list
+    * would under-approximate the disjunction and wrongly prune). Separate
+    * name — erasure forbids a Seq[Option[String]] overload. */
+  private[graft] def inTripleOpt(col: String, raws: Seq[Option[String]]): Seq[Pred] =
+    if (raws.exists(_.isEmpty)) Seq.empty else inTriple(col, raws.flatten)
+
   /** Conservative interval test; any conversion surprise keeps the file. */
   private[sources] def zoneMayMatch(z: Zone, op: String, raw: String): Boolean =
     zoneMayMatchCached(z, op, raw,
