@@ -139,4 +139,25 @@ class PropertySpec extends AnyFunSuite {
       else r == Encoders.Csv // everything else: the configured default
     })
   }
+
+  test("REST in-list: quote -> join-with-commas -> splitInList round-trips") {
+    import graft.frontend.RestQuery
+    // the quoted form must survive splitting for ANY value content —
+    // commas, quotes (as ''), unicode; the split keeps the raw surface,
+    // so unquoting each element must recover the original values
+    val value: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', '\'', ' ', '%')))
+        .map(_.mkString))
+    def quote(s: String) = "'" + s.replace("'", "''") + "'"
+    def unquote(t0: String) = {
+      val t = t0.trim
+      t.substring(1, t.length - 1).replace("''", "'")
+    }
+    check(Prop.forAll(Gen.nonEmptyListOf(value)) { vs =>
+      val joined = vs.map(quote).mkString(",")
+      val parts = RestQuery.splitInList(joined)
+      parts.length == vs.length && parts.map(unquote) == vs
+    })
+  }
 }
