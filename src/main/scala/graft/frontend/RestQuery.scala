@@ -28,15 +28,25 @@ object RestQuery {
   final case class RestError(error: String, message: String)
       extends RuntimeException(s"$error: $message")
 
-  def literal(v: String): Column = {
+  /** THE one `'..'`-unquote rule of the REST literal surface (with `''`
+    * the escaped quote): Some(string) when `v` is quoted, None when bare.
+    * Shared by runtime typing here AND the column index's decode
+    * (`ColumnIndex.literalFor`) — the two must agree exactly or prune
+    * evidence could desynchronize from runtime matching (review finding). */
+  private[graft] def unquote(v: String): Option[String] = {
     val t = v.trim
     if (t.length >= 2 && t.head == '\'' && t.last == '\'')
-      lit(t.substring(1, t.length - 1).replace("''", "'"))
-    else
+      Some(t.substring(1, t.length - 1).replace("''", "'"))
+    else None
+  }
+
+  def literal(v: String): Column =
+    unquote(v).map(lit(_)).getOrElse {
+      val t = v.trim
       t.toLongOption.map(lit(_))
         .orElse(t.toDoubleOption.map(lit(_)))
         .getOrElse(throw RestError("rest_query_value", s"invalid REST query value $v"))
-  }
+    }
 
   def predicate(c: Column, op: String, v: String): Column =
     predicate(c, op, v, None)
@@ -100,28 +110,20 @@ object RestQuery {
     out.result()
   }
 
-  /** The string a REST value denotes: quoted values unquote (with `''`
-    * the escaped quote), bare values are taken verbatim — the same rule
-    * [[typedLiteral]] applies on string columns. */
-  private def stringSurface(v: String): String = {
-    val t = v.trim
-    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
-      t.substring(1, t.length - 1).replace("''", "'")
-    else v
-  }
+  /** The string a REST value denotes: quoted values unquote, bare values
+    * are taken verbatim — the same rule [[typedLiteral]] applies on
+    * string columns. */
+  private def stringSurface(v: String): String = unquote(v).getOrElse(v)
 
-  /** A pure-prefix LIKE pattern (`abc%`, no other wildcards or escapes,
-    * ASCII only) -> the [prefix, prefix+1) range triples the column index
-    * prunes on — the same expansion IndexPruneRule applies to Catalyst
-    * `StartsWith`. Anything else: no pruning evidence. */
+  /** A pure-prefix LIKE pattern (`abc%`, no other wildcards or escapes)
+    * -> the shared [prefix, prefix+1) range expansion — the same one
+    * IndexPruneRule applies to Catalyst `StartsWith`. Anything else: no
+    * pruning evidence. */
   private[frontend] def likePrefixTriples(c: String, pattern: String): Seq[(String, String, String)] =
     if (pattern.length >= 2 && pattern.last == '%' &&
-        pattern.init.forall(ch => ch < 127 && ch != '%' && ch != '_' && ch != '\\')) {
-      val prefix = pattern.init
-      val bumped = prefix.init + (prefix.last + 1).toChar
-      Seq((c, "gte", s"'${prefix.replace("'", "''")}'"),
-        (c, "lt", s"'${bumped.replace("'", "''")}'"))
-    } else Seq.empty
+        pattern.init.forall(ch => ch != '%' && ch != '_' && ch != '\\'))
+      graft.sources.ColumnIndex.prefixRangeTriples(c, pattern.init)
+    else Seq.empty
 
   /** Lowercased column-type map (Spark resolves filter columns
     * case-insensitively, so the schema-directed lookups must too) —

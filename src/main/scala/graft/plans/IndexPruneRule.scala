@@ -93,13 +93,9 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     case InSet(a: AttributeReference, hset) if hset.nonEmpty && hset.size <= 1000 =>
       inTriple(a.name, hset.toSeq.map(raw(_, a.dataType)))
     case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType))
-        if p != null && p.numChars > 0 && p.toString.forall(c => c < 127) =>
-      val prefix = p.toString
-      val lower = (a.name, "gte", s"'${prefix.replace("'", "''")}'")
-      // bump the last char for the exclusive upper bound; 0x7E is the
-      // largest bumpable ASCII char under the <127 guard above
-      val bumped = prefix.init + (prefix.last + 1).toChar
-      Seq(lower, (a.name, "lt", s"'${bumped.replace("'", "''")}'"))
+        if p != null =>
+      // shared [prefix, prefix+1) expansion (empty/non-ASCII refuse there)
+      graft.sources.ColumnIndex.prefixRangeTriples(a.name, p.toString)
     case _ => tripleOf(e).toSeq
   }
 

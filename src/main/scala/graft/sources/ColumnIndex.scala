@@ -169,6 +169,19 @@ object ColumnIndex {
       Seq.empty
     else Seq((col, InOp, raws.mkString(InSep.toString)))
 
+  /** THE one prefix-to-range encoder (shared like [[inTriple]], and for the
+    * same reason): `col LIKE 'prefix%'` / `StartsWith(col, prefix)` prunes
+    * as the `[prefix, prefix+1)` string range. ASCII-only — the zone
+    * compare is unsigned-byte lexicographic, which matches String.compareTo
+    * only below 128 — and the <127 bound keeps the last char bumpable.
+    * Anything else: no pruning evidence. */
+  private[graft] def prefixRangeTriples(col: String, prefix: String): Seq[Pred] =
+    if (prefix.nonEmpty && prefix.forall(_ < 127)) {
+      val bumped = prefix.init + (prefix.last + 1).toChar
+      Seq((col, "gte", s"'${prefix.replace("'", "''")}'"),
+        (col, "lt", s"'${bumped.replace("'", "''")}'"))
+    } else Seq.empty
+
   /** [[inTriple]] for callers whose elements may have failed to convert:
     * ANY unconverted element refuses the whole triple (a partial list
     * would under-approximate the disjunction and wrongly prune). Separate
@@ -236,10 +249,8 @@ object ColumnIndex {
     * either bare or in the REST `'..'` quoting. */
   private def literalFor(z: Zone, raw: String): Option[Any] = {
     val t = raw.trim
-    val unquoted =
-      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
-        Some(t.substring(1, t.length - 1).replace("''", "'"))
-      else None
+    // the frontends' exact unquote rule — decode and runtime must agree
+    val unquoted = graft.frontend.RestQuery.unquote(raw)
     z.kind match {
       case "string" =>
         // a BARE numeric-looking value is ambiguous across frontends: REST
