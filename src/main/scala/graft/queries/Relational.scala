@@ -312,7 +312,21 @@ object Relational {
         |  CAST(CUME_DIST() OVER w AS DOUBLE) AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // NOT IN three-valued logic: one NULL anywhere in the subquery makes
+    // `x NOT IN (S)` never-true (NULL, so filtered), so the second count
+    // must be 0 while the null-free branch is a real anti join. Spark
+    // plans the null-aware anti join here — the trap a plain LeftAnti
+    // rewrite would get wrong (and a scale note: NAAJ broadcasts the
+    // whole subquery side, which is why production filters should prefer
+    // NOT EXISTS — q_anti_join — when null semantics aren't wanted).
+    "q_not_in_null" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)) AS n_no_nulls,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+        |                           FROM customer)) AS n_with_nulls""".stripMargin
   )
 
   // ---- DataFrame-API queries (separate DuckDB oracle) ----------------------
