@@ -283,6 +283,18 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(inq.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 1500L))
       val inRoots = prunedRoots("SELECT k FROM zt WHERE k IN (100, 1500)")
       assert(inRoots.size == 2 && inRoots.forall(_.getName.endsWith(".parquet")))
+      // past optimizer.inSetConversionThreshold (10) Catalyst swaps In for
+      // InSet whose elements are INTERNAL values — the encoder must read
+      // them the same way (15 longs spanning the same 2 files)
+      val bigList = ((100 to 109) ++ (1500 to 1504)).mkString(", ")
+      val insetQ = s"SELECT k FROM zt WHERE k IN ($bigList)"
+      assert(eng.querySql(insetQ).count() == 15)
+      val insetRoots = prunedRoots(insetQ)
+      assert(insetRoots.size == 2 && insetRoots.forall(_.getName.endsWith(".parquet")))
+      val insetStr = prunedRoots(
+        "SELECT s FROM zt WHERE s IN (" +
+          ((100 to 109) ++ (1500 to 1504)).map(i => f"'s$i%04d'").mkString(", ") + ")")
+      assert(insetStr.size == 2 && insetStr.forall(_.getName.endsWith(".parquet")))
       // LIKE prefixes prune to the [prefix, prefix+1) range
       val likeq = eng.querySql("SELECT s FROM zt WHERE s LIKE 's03%' ORDER BY s")
       assert(likeq.count() == 100)
