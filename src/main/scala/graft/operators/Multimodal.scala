@@ -286,6 +286,20 @@ object Multimodal {
     * floor-mean of all 64 cells. Every step is integer arithmetic, so any
     * engine reproduces the hash from the pixel contract. */
   def grayPhash(img: BufferedImage): Long = {
+    val cells = gridCells(img)
+    val avg = cells.sum / 64
+    var hash = 0L
+    var j = 0
+    while (j < 64) { if (cells(j) > avg) hash |= (1L << j); j += 1 }
+    hash
+  }
+
+  /** The 8×8 grid of floor-mean luma values [[grayPhash]] thresholds —
+    * exposed as a 64-dim INTEGER embedding: a real, model-free image
+    * feature vector (each step exact, so any engine reproduces it from
+    * the pixel contract), good enough for near-dup similarity search and
+    * a stand-in shape for learned embeddings the JDK cannot run. */
+  def gridCells(img: BufferedImage): Array[Long] = {
     val w = img.getWidth; val h = img.getHeight
     require(w >= 8 && h >= 8, s"phash needs >=8x8 pixels, got ${w}x$h")
     val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk raster read
@@ -313,11 +327,7 @@ object Multimodal {
       }
       oy += 1
     }
-    val avg = cells.sum / 64
-    var hash = 0L
-    var j = 0
-    while (j < 64) { if (cells(j) > avg) hash |= (1L << j); j += 1 }
-    hash
+    cells
   }
 
   /** (id, phash) over a media table — the image analogue of the text
@@ -328,6 +338,18 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map(r => (r.id, grayPhash(decodeImage(r.payload)))))
       .toDF("doc_id", "phash")
+  }
+
+  /** (id, embedding) — the [[gridCells]] 64-dim integer vector per image,
+    * decoded partition-parallel. The continuous face of [[imagePhash]]:
+    * feed it to the ANN operators (brute-force top-k baseline, IVF/LSH at
+    * scale) for image similarity search instead of exact-hamming dedup. */
+  def imageGridEmbed(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r =>
+        (r.id, gridCells(decodeImage(r.payload)).toSeq)))
+      .toDF("doc_id", "embedding")
   }
 
   // ===== real audio kernels (JDK javax.sound.sampled; WAV/PCM) =============

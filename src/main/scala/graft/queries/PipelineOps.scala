@@ -1712,6 +1712,39 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // 64-dim INTEGER image embedding (the aHash grid means, pre-threshold):
+    // a real model-free feature vector, exact end to end — the image face
+    // of the embeddings table. Decode + embed is partition-parallel map
+    // work, no shuffle.
+    "mm_image_embed" -> ((spark, dir) => {
+      graft.operators.Multimodal
+        .imageGridEmbed(syntheticMediaFor(spark, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // image -> embedding -> SIMILARITY SEARCH, composed: exact squared-L2
+    // top-5 per probe image over the grid embeddings (integer arithmetic,
+    // deterministic (distance, doc_id) tie-break). Brute force IS the ann
+    // baseline pattern (ann_cosine_topk); at 100 TB the same embedding
+    // column feeds IVF/LSH (ann_ivf / ann_lsh_bucketed) — probes here are
+    // a broadcast-small side, so the join is a broadcast NL join over a
+    // partition-parallel corpus scan, no shuffle.
+    "mm_embed_topk" -> ((spark, dir) => {
+      val emb = graft.operators.Multimodal
+        .imageGridEmbed(syntheticMediaFor(spark, dir))
+      val probes = emb.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("probe"), col("embedding").as("pe"))
+      val d2 = expr(
+        "aggregate(zip_with(pe, embedding, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+      val joined = emb.join(broadcast(probes), col("probe") =!= col("doc_id"))
+        .select(col("probe"), col("doc_id").as("hit"), d2.as("d2"))
+      val w = Window.partitionBy(col("probe")).orderBy(col("d2"), col("hit"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe"), col("hit"), col("d2"), col("rk").cast("long").as("rk"))
+        .orderBy(col("probe"), col("rk"))
+    }),
+
     // IMAGE near-dup detection: the perceptual hashes feed the SAME
     // pigeonhole chunk join the text simhash path uses (4x16-bit chunks,
     // provably complete for hamming <= 3) — image dedup rides the existing
@@ -6540,6 +6573,23 @@ object PipelineOps {
     "mm_image_phash" ->
       (s"""WITH $phashCtes
         |SELECT doc_id, ph AS phash FROM s2 ORDER BY doc_id""".stripMargin),
+    // the pre-threshold grid means ARE the embedding (phc.cells)
+    "mm_image_embed" ->
+      (s"""WITH $phashCtes
+        |SELECT doc_id, cells AS embedding FROM phc ORDER BY doc_id""".stripMargin),
+    // exact integer squared-L2 top-5 per probe, (d2, hit) tie-break
+    "mm_embed_topk" ->
+      (s"""WITH $phashCtes,
+        |e AS (SELECT doc_id, cells FROM phc),
+        |p AS (SELECT doc_id AS probe, cells AS pe FROM e WHERE doc_id < 4),
+        |d AS (SELECT probe, e.doc_id AS hit,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (pe[i] - cells[i]) * (pe[i] - cells[i]))) AS d2
+        |  FROM p JOIN e ON e.doc_id != probe),
+        |r AS (SELECT probe, hit, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY probe ORDER BY d2, hit) AS rk FROM d)
+        |SELECT probe, hit, d2, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY probe, rk""".stripMargin),
     // exact hamming<=3 pairs over the same aHash, brute-forced (the LSH
     // chunk join only prunes candidates; the result set is exact)
     "mm_phash_dedup" ->

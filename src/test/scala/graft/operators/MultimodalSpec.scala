@@ -165,6 +165,27 @@ class MultimodalSpec extends SparkSpec {
     assert(ph(17L) == Multimodal.grayPhash(img))
   }
 
+  test("grid embedding: 64 integer cell means, exact-dup images coincide") {
+    import spark.implicits._
+    val em = Multimodal.imageGridEmbed(
+      Multimodal.syntheticImages(spark, sf0001)
+        .filter(r => r.id == 17L || r.id == 273L || r.id == 18L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(em(17L).length == 64 && em(17L).forall(c => c >= 0 && c <= 255))
+    assert(em(17L) == em(273L)) // identical renders -> identical vectors
+    assert(em(17L) != em(18L))
+    // the thresholded embedding IS the phash (one shared grid computation)
+    val img = Multimodal.decodeImage(Multimodal.synthImageBytes(17L)._1)
+    assert(em(17L) == Multimodal.gridCells(img).toSeq)
+    // top-k: every probe returns 5 hits; an exact duplicate ranks first
+    // with distance 0 (probe 1's duplicate is 257 in the fixed corpus)
+    val topk = graft.SparkEntry.queries("mm_embed_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(topk.count(_._1 == 1L) == 5)
+    val first = topk.filter(t => t._1 == 1L && t._4 == 1L).head
+    assert(first._2 == 257L && first._3 == 0L)
+  }
+
   test("phash clusters partition the corpus and absorb every near-dup pair") {
     val clusters = graft.SparkEntry.queries("mm_phash_clusters")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
