@@ -111,12 +111,16 @@ object PipelineOps {
     * never the full scored set. An explicit two-stage window was measured
     * (round 2): identical result, one extra exchange, ~30% slower — the
     * optimizer already does the partial stage. */
-  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+  private def rankLimit(scored: DataFrame, k: Int,
+                        probe: Column, order: Column*): DataFrame = {
+    val w = Window.partitionBy(probe).orderBy(order: _*)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .orderBy(col("q_id"), col("rank"))
+      .orderBy(probe, col("rank"))
   }
+
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame =
+    rankLimit(scored, k, col("q_id"), col("cosine").desc, col("vec_id"))
 
   /** BM25 scores (doc_id, score) for a fixed query-term set — shared by
     * doc_bm25 and the doc_rrf fusion. tf/dl are one token-level aggregate
@@ -1730,19 +1734,20 @@ object PipelineOps {
     // a broadcast-small side, so the join is a broadcast NL join over a
     // partition-parallel corpus scan, no shuffle.
     "mm_embed_topk" -> ((spark, dir) => {
-      val emb = graft.operators.Multimodal
-        .imageGridEmbed(syntheticMediaFor(spark, dir))
-      val probes = emb.filter(col("doc_id") < 4)
+      val media = syntheticMediaFor(spark, dir)
+      val emb = graft.operators.Multimodal.imageGridEmbed(media)
+      // filter the MEDIA, not the embeddings: the typed map is opaque to
+      // Catalyst, so a post-embed filter would decode the whole corpus a
+      // second time just to keep the probe rows (review finding)
+      val probes = graft.operators.Multimodal
+        .imageGridEmbed(media.filter(_.id < 4))
         .select(col("doc_id").as("probe"), col("embedding").as("pe"))
       val d2 = expr(
         "aggregate(zip_with(pe, embedding, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
       val joined = emb.join(broadcast(probes), col("probe") =!= col("doc_id"))
         .select(col("probe"), col("doc_id").as("hit"), d2.as("d2"))
-      val w = Window.partitionBy(col("probe")).orderBy(col("d2"), col("hit"))
-      joined.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("probe"), col("hit"), col("d2"), col("rk").cast("long").as("rk"))
-        .orderBy(col("probe"), col("rk"))
+      rankLimit(joined, 5, col("probe"), col("d2"), col("hit"))
+        .withColumnRenamed("rank", "rk")
     }),
 
     // IMAGE near-dup detection: the perceptual hashes feed the SAME

@@ -291,9 +291,10 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(eng.querySql(insetQ).count() == 15)
       val insetRoots = prunedRoots(insetQ)
       assert(insetRoots.size == 2 && insetRoots.forall(_.getName.endsWith(".parquet")))
-      val insetStr = prunedRoots(
-        "SELECT s FROM zt WHERE s IN (" +
-          ((100 to 109) ++ (1500 to 1504)).map(i => f"'s$i%04d'").mkString(", ") + ")")
+      val insetStrQ = "SELECT s FROM zt WHERE s IN (" +
+        ((100 to 109) ++ (1500 to 1504)).map(i => f"'s$i%04d'").mkString(", ") + ")"
+      assert(eng.querySql(insetStrQ).count() == 15) // the RIGHT 2 files survive
+      val insetStr = prunedRoots(insetStrQ)
       assert(insetStr.size == 2 && insetStr.forall(_.getName.endsWith(".parquet")))
       // LIKE prefixes prune to the [prefix, prefix+1) range
       val likeq = eng.querySql("SELECT s FROM zt WHERE s LIKE 's03%' ORDER BY s")
