@@ -140,6 +140,59 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("GraphQL parser: rendered queries round-trip names, literals, args") {
+    import graft.frontend.GraphQl
+    import graft.frontend.GraphQl._
+    val ident: Gen[String] = for {
+      h <- Gen.oneOf(Gen.alphaChar, Gen.const('_'))
+      t <- Gen.listOfN(6, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+    } yield (h :: t).mkString
+    val gval: Gen[GVal] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(GStr(_)),
+      arbitraryUnicode.map(GStr(_)),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(GInt(_)),
+      Gen.choose(-1e12, 1e12).suchThat(d => d != Math.rint(d)).map(GFloat(_)),
+      Gen.oneOf(GBool(true), GBool(false)))
+    def renderStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
+    def renderVal(v: GVal): String = v match {
+      case GStr(s)   => renderStr(s)
+      case GInt(n)   => n.toString
+      case GFloat(f) => f.toString
+      case GBool(b)  => b.toString
+      case other     => sys.error(s"unexpected $other")
+    }
+    val queryGen = for {
+      tbl <- ident
+      sels <- Gen.nonEmptyListOf(ident).map(_.take(3))
+      fcols <- Gen.listOfN(2, ident).suchThat(l => l.distinct.size == 2)
+      fvals <- Gen.listOfN(2, gval)
+      lim <- Gen.choose(1, 1000000)
+    } yield {
+      val filters = fcols.zip(fvals)
+        .map { case (c, v) => s"$c: {eq: ${renderVal(v)}}" }.mkString(", ")
+      val q = s"{ $tbl(filter: {$filters}, limit: $lim) { ${sels.mkString(" ")} } }"
+      (q, tbl, sels, fcols.zip(fvals), lim)
+    }
+    check(Prop.forAll(queryGen) { case (q, tbl, sels, filters, lim) =>
+      val f = GraphQl.parse(q)
+      val parsedFilters = f.args.collectFirst { case ("filter", GObj(fs)) => fs }.get
+        .collect { case (c, GObj(List(("eq", v)))) => (c, v) }
+      f.name == tbl && f.selections == sels &&
+        parsedFilters == filters &&
+        f.args.collectFirst { case ("limit", GInt(n)) => n }.contains(lim.toLong)
+    })
+  }
+
+  /** Arbitrary unicode including quotes, backslashes, newlines, emoji. */
+  private val arbitraryUnicode: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.oneOf('"', '\\', '\n', '\t', 'π', '你', '\uD83D'), // lone surrogate too
+      Gen.choose(' ', '퟿'))).map(_.mkString)
+
   test("REST in-list: quote -> join-with-commas -> splitInList round-trips") {
     import graft.frontend.RestQuery
     // the quoted form must survive splitting for ANY value content —
