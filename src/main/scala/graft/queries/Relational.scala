@@ -313,6 +313,17 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // calendar-interval arithmetic: adding months/years CLAMPS to the
+    // target month's last day (Jan 31 + 1 month = Feb 29 in a leap year)
+    // — a classic cross-engine migration hazard, pinned bit-exactly on
+    // shared SQL text over real data plus the two canonical edge literals
+    "q_interval_arith" ->
+      """SELECT CAST(l_shipdate + INTERVAL 1 MONTH AS DATE) AS plus_month,
+        |  COUNT(*) AS n,
+        |  CAST(TIMESTAMP '2024-01-31 10:00:00' + INTERVAL 1 MONTH AS DATE) AS leap_clamp,
+        |  CAST(TIMESTAMP '2024-02-29 10:00:00' + INTERVAL 1 YEAR AS DATE) AS year_clamp
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // NOT IN three-valued logic: one NULL anywhere in the subquery makes
     // `x NOT IN (S)` never-true (NULL, so filtered), so the second count
     // must be 0 while the null-free branch is a real anti join. Spark
