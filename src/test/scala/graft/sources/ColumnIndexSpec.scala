@@ -317,6 +317,31 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally eng.dropTable("zt")
   }
 
+  test("SQL date predicates prune through the rule (raw() epoch-day decode)") {
+    val eng = new graft.server.Engine(spark, readOnly = true)
+    try {
+      eng.registerTable(TableSource("zdt", dir, format = Some("parquet"),
+        options = Map("index_columns" -> "dt", "use_memory_table" -> "false")))
+      def roots(sql: String) =
+        eng.querySql(sql).queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths
+        }.getOrElse(Seq.empty)
+      // Catalyst's Literal(date) carries an epoch-day Int — raw() must
+      // decode it back to the surface form the zones compare
+      val q = "SELECT count(*) AS n FROM zdt WHERE dt = DATE '2020-03-01'"
+      assert(eng.querySql(q).collect().head.getLong(0) == 10) // k 600..609
+      val r = roots(q)
+      assert(r.size == 1 && r.head.getName.endsWith(".parquet"))
+      // date IN lists ride the same decode through the shared encoder
+      val rin = roots("SELECT count(*) AS n FROM zdt " +
+        "WHERE dt IN (DATE '2020-01-02', DATE '2020-06-15')")
+      assert(rin.size == 2 && rin.forall(_.getName.endsWith(".parquet")))
+    } finally eng.dropTable("zdt")
+  }
+
   test("the shared inTriple encoder refuses empty and separator-bearing elements") {
     val sep = ColumnIndex.InSep
     assert(ColumnIndex.inTriple("c", Seq("a", "b")) ==
