@@ -1719,11 +1719,15 @@ object PipelineOps {
     // 64-dim INTEGER image embedding (the aHash grid means, pre-threshold):
     // a real model-free feature vector, exact end to end — the image face
     // of the embeddings table. Decode + embed is partition-parallel map
-    // work, no shuffle.
+    // work, no shuffle. Exploded to (doc_id, j, cell) for the oracle gate
+    // (the driver canonicalization can't sort list columns); the library
+    // op (Multimodal.imageGridEmbed) keeps the array shape for ANN.
     "mm_image_embed" -> ((spark, dir) => {
       graft.operators.Multimodal
         .imageGridEmbed(syntheticMediaFor(spark, dir))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("j", "cell")))
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("cell"))
+        .orderBy(col("doc_id"), col("j"))
     }),
 
     // image -> embedding -> SIMILARITY SEARCH, composed: exact squared-L2
@@ -6578,18 +6582,24 @@ object PipelineOps {
     "mm_image_phash" ->
       (s"""WITH $phashCtes
         |SELECT doc_id, ph AS phash FROM s2 ORDER BY doc_id""".stripMargin),
-    // the pre-threshold grid means ARE the embedding (phc.cells)
+    // the pre-threshold grid means ARE the embedding (phc.cells) —
+    // exploded to (doc_id, j, cell) rows because the driver harness
+    // canonicalizes via pandas sort_values, which cannot hash list
+    // columns (same precedent as doc_hash_embed's integer skeleton)
     "mm_image_embed" ->
       (s"""WITH $phashCtes
-        |SELECT doc_id, cells AS embedding FROM phc ORDER BY doc_id""".stripMargin),
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS j,
+        |  CAST(cells[i] AS BIGINT) AS cell
+        |FROM phc, (SELECT range AS i FROM range(1, 65))
+        |ORDER BY doc_id, j""".stripMargin),
     // exact integer squared-L2 top-5 per probe, (d2, hit) tie-break
     "mm_embed_topk" ->
       (s"""WITH $phashCtes,
         |e AS (SELECT doc_id, cells FROM phc),
         |p AS (SELECT doc_id AS probe, cells AS pe FROM e WHERE doc_id < 4),
         |d AS (SELECT probe, e.doc_id AS hit,
-        |    list_sum(list_transform(range(1, 65), i ->
-        |      (pe[i] - cells[i]) * (pe[i] - cells[i]))) AS d2
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      (pe[i] - cells[i]) * (pe[i] - cells[i]))) AS BIGINT) AS d2
         |  FROM p JOIN e ON e.doc_id != probe),
         |r AS (SELECT probe, hit, d2,
         |    ROW_NUMBER() OVER (PARTITION BY probe ORDER BY d2, hit) AS rk FROM d)
