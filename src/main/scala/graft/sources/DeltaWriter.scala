@@ -40,8 +40,23 @@ import org.apache.spark.sql.DataFrame
   * continuation after any reader-compatible log (checkpoint-based tables
   * append fine — new JSON commits replay after the checkpoint).
   * Unsupported (fails loudly): appending to column-mapped tables (data
-  * files would need physical names), partitioned writes. Checkpoints are
-  * never written — readers (ours, delta-rs) replay JSON commits.
+  * files would need physical names), partitioned writes.
+  *
+  * Checkpoints: after committing version v with (v+1) divisible by
+  * [[checkpointInterval]], the full replay state at v lands in
+  * `<v>.checkpoint.parquet` + `_last_checkpoint` (the public checkpoint
+  * layout delta-rs and [[DeltaLoader]] consume), so reader log replay
+  * stays O(interval) in commit count instead of O(commits). The
+  * cumulative add set — the only big thing on a 100 TB table — never
+  * touches the driver: a prior checkpoint's adds are read distributed,
+  * anti-joined against post-checkpoint tombstones executor-side, and
+  * unioned with the (protocol-small) new JSON adds straight into the
+  * parquet write. Checkpoint actions carry `dataChange=false` and the
+  * latest txn per appId rides along, so idempotent appends survive even
+  * if pre-checkpoint JSON commits are cleaned up externally. Remove
+  * tombstones are not carried forward (this writer never vacuums, and
+  * JSON commits are never deleted, so time travel below a checkpoint
+  * still replays from version zero).
   */
 object DeltaWriter {
 
@@ -97,7 +112,7 @@ object DeltaWriter {
       // write, so a redelivered micro-batch costs two metadata reads, not
       // a parquet pass
       val alreadyCommitted = txn.exists { case (appId, v) =>
-        lastTxnVersion(fs, logDir, appId).exists(_ >= v)
+        lastTxnVersion(spark, fs, logDir, appId).exists(_ >= v)
       }
       if (alreadyCommitted) return existing.map(_.version).getOrElse(0L)
 
@@ -151,6 +166,18 @@ object DeltaWriter {
       try {
         val out = fs.create(target, false) // put-if-absent: the commit point
         try out.write(lines.getBytes("UTF-8")) finally out.close()
+        if ((version + 1) % checkpointInterval == 0) {
+          // a checkpoint is a replay optimization, not part of the commit:
+          // the version is already durable, so a checkpoint failure must
+          // not fail (or worse, re-run) the committed write
+          try writeCheckpoint(spark, fs, root, logDir, version)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] delta checkpoint at version $version failed (table stays " +
+                  s"readable via JSON replay): $e")
+          }
+        }
         return version
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -165,13 +192,199 @@ object DeltaWriter {
     -1L // unreachable
   }
 
-  /** Highest txn version committed for `appId`, from the JSON commits (this
-    * writer never writes checkpoints; a checkpoint-bearing table still
-    * keeps its post-checkpoint JSON, which is where OUR txns live). */
-  private[sources] def lastTxnVersion(fs: FileSystem, logDir: HPath,
+  /** Commits between checkpoints: after committing version v with
+    * (v+1) % interval == 0, the replay state lands in
+    * `<v>.checkpoint.parquet` + `_last_checkpoint`. */
+  val checkpointInterval: Int = 10
+
+  /** The checkpoint action schema this writer emits — the public layout's
+    * reader-relevant columns (txn/add/remove/metaData/protocol; optional
+    * informational fields like add.stats/tags are not carried forward, but
+    * add.deletionVector IS, so appending to a DV-bearing table cannot
+    * resurrect deleted rows through our checkpoint). */
+  private lazy val cpSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val dv = StructType(Seq(
+      StructField("storageType", StringType), StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType), StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    StructType(Seq(
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType), StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", dv)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+  }
+
+  private def readLastCheckpoint(fs: FileSystem, logDir: HPath)
+      : Option[(Long, Option[Int])] = {
+    val lc = new HPath(logDir, "_last_checkpoint")
+    if (!fs.exists(lc)) None
+    else {
+      val in = fs.open(lc)
+      val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+      Some(node.get("version").asLong() -> Option(node.get("parts")).map(_.asInt()))
+    }
+  }
+
+  private def checkpointPaths(logDir: HPath, v: Long, parts: Option[Int]): Seq[String] =
+    (parts match {
+      case Some(n) => (1 to n).map(i => f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
+      case None => Seq(f"$v%020d.checkpoint.parquet")
+    }).map(n => new HPath(logDir, n).toString)
+
+  /** Write the replay state at version `v` as a single-file checkpoint
+    * parquet + `_last_checkpoint`. Everything driver-side here is
+    * protocol-small (meta, txns, the JSON commits since the last
+    * checkpoint); the cumulative add set from a prior checkpoint stays a
+    * distributed DataFrame end to end. */
+  private def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                              fs: FileSystem, root: HPath, logDir: HPath,
+                              v: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = readLastCheckpoint(fs, logDir).filter(_._1 < v)
+
+    // replay JSON commits (base, v]: per-commit actions are small by
+    // protocol (one commit's worth), so this map is bounded by
+    // interval x commit size, not table size
+    val newAdds = scala.collection.mutable.LinkedHashMap[
+      String, com.fasterxml.jackson.databind.node.ObjectNode]()
+    val removed = scala.collection.mutable.LinkedHashSet[String]()
+    var metaLine: String = null
+    var protoLine: String = null
+    val txns = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    val commitRx = raw"(\d{20})\.json".r
+    val floor = base.map(_._1).getOrElse(-1L)
+    val commits = fs.listStatus(logDir).map(_.getPath.getName).collect {
+      case n @ commitRx(cv) if cv.toLong > floor && cv.toLong <= v => cv.toLong -> n
+    }.sortBy(_._1)
+    commits.foreach { case (_, name) =>
+      val in = fs.open(new HPath(logDir, name))
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val add = node.get("add")
+        if (add != null && !add.isNull) {
+          val o = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          o.put("dataChange", false) // checkpoint actions are not data changes
+          val p = add.get("path").asText()
+          newAdds(p) = o; removed -= p
+        }
+        val rem = node.get("remove")
+        if (rem != null && !rem.isNull) {
+          val p = rem.get("path").asText(); removed += p; newAdds -= p
+        }
+        val meta = node.get("metaData")
+        if (meta != null && !meta.isNull) metaLine = s"""{"metaData":$meta}"""
+        val proto = node.get("protocol")
+        if (proto != null && !proto.isNull) protoLine = s"""{"protocol":$proto}"""
+        val t = node.get("txn")
+        if (t != null && !t.isNull) {
+          val appId = t.get("appId").asText(); val ver = t.get("version").asLong()
+          val lu = Option(t.get("lastUpdated")).filterNot(_.isNull)
+            .map(_.asLong()).getOrElse(0L)
+          if (txns.get(appId).forall(_._1 <= ver)) txns(appId) = (ver, lu)
+        }
+      }
+    }
+
+    // base checkpoint: meta/protocol/txns only where the JSON replay did
+    // not supersede them; the ADD SET stays distributed — tombstoned
+    // (removed or re-added) paths are pruned with an executor-side
+    // anti-join, exactly the reader's replay shape
+    val baseAddsJson: Option[org.apache.spark.sql.Dataset[String]] =
+      base.map { case (bv, parts) =>
+        val cp = spark.read.parquet(checkpointPaths(logDir, bv, parts): _*)
+        val cols = cp.columns.toSet
+        if (metaLine == null && cols("metaData"))
+          cp.select("metaData").where(col("metaData.id").isNotNull)
+            .toJSON.collect().foreach(l => metaLine = l)
+        if (protoLine == null && cols("protocol"))
+          cp.select("protocol").where(col("protocol.minReaderVersion").isNotNull)
+            .toJSON.collect().foreach(l => protoLine = l)
+        if (cols("txn"))
+          cp.select(col("txn.appId"), col("txn.version"), col("txn.lastUpdated"))
+            .where(col("txn.appId").isNotNull).collect().foreach { r =>
+              val appId = r.getString(0); val ver = r.getLong(1)
+              val lu = if (r.isNullAt(2)) 0L else r.getLong(2)
+              if (txns.get(appId).forall(_._1 < ver)) txns(appId) = (ver, lu)
+            }
+        if (!cols("add")) spark.emptyDataset[String]
+        else {
+          val adds = cp.where(col("add.path").isNotNull).select(col("add"))
+          val tomb = (removed ++ newAdds.keys).toSeq
+          val live =
+            if (tomb.isEmpty) adds
+            else adds.join(tomb.toDF("tpath"), col("add.path") === col("tpath"),
+              "left_anti").select(col("add"))
+          live.toJSON
+        }
+      }
+
+    require(protoLine != null && metaLine != null,
+      s"checkpoint at $v found no protocol/metaData in the log")
+    val txnLines = txns.toSeq.map { case (appId, (ver, lu)) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$ver,"lastUpdated":$lu}}"""
+    }
+    val addLines = newAdds.values.map(o => s"""{"add":$o}""").toSeq
+    val driverSide = (Seq(protoLine, metaLine) ++ txnLines ++ addLines).toDS()
+    val all = baseAddsJson.map(driverSide.union).getOrElse(driverSide)
+
+    // single-file checkpoint: write to scratch, move the part file into
+    // place (ChecksumFileSystem.rename carries the .crc sidecar along)
+    val scratch = new HPath(root, s".graft_cp_${java.util.UUID.randomUUID()}")
+    spark.read.schema(cpSchema).json(all)
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = fs.listStatus(scratch).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"checkpoint scratch $scratch has no part file"))
+    val target = new HPath(logDir, f"$v%020d.checkpoint.parquet")
+    if (fs.exists(target)) fs.delete(target, false) // same-v re-checkpoint: same content
+    require(fs.rename(part, target), s"could not move checkpoint into $logDir")
+    fs.delete(scratch, true)
+    val size = spark.read.parquet(target.toString).count()
+
+    // _last_checkpoint is overwritten per protocol — but never moved
+    // BACKWARD (a concurrent writer may have checkpointed a later version)
+    if (readLastCheckpoint(fs, logDir).forall(_._1 < v)) {
+      val out = fs.create(new HPath(logDir, "_last_checkpoint"), true)
+      try out.write(s"""{"version":$v,"size":$size}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Highest txn version committed for `appId`: JSON commits plus — so the
+    * ledger survives external cleanup of pre-checkpoint JSON — the last
+    * checkpoint's txn rows. */
+  private[sources] def lastTxnVersion(spark: org.apache.spark.sql.SparkSession,
+                                      fs: FileSystem, logDir: HPath,
                                       appId: String): Option[Long] = {
+    import org.apache.spark.sql.functions.col
     val commitRx = raw"\d{20}\.json".r
-    val versions = fs.listStatus(logDir).map(_.getPath)
+    val fromJson = fs.listStatus(logDir).map(_.getPath)
       .filter(p => commitRx.matches(p.getName)).sortBy(_.getName)
       .flatMap { p =>
         val in = fs.open(p)
@@ -182,6 +395,14 @@ object DeltaWriter {
           else Some(t.get("version").asLong())
         }
       }
+    val fromCheckpoint = readLastCheckpoint(fs, logDir).toSeq.flatMap {
+      case (v, parts) =>
+        val cp = spark.read.parquet(checkpointPaths(logDir, v, parts): _*)
+        if (!cp.columns.contains("txn")) Seq.empty
+        else cp.select(col("txn.version")).where(col("txn.appId") === appId)
+          .collect().map(_.getLong(0)).toSeq
+    }
+    val versions = fromJson ++ fromCheckpoint
     if (versions.isEmpty) None else Some(versions.max)
   }
 

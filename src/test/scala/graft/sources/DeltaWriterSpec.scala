@@ -147,6 +147,67 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir).count() == curated.count() + 3)
   }
 
+  private def deleteLogFiles(dir: String)(keep: String => Boolean): Unit =
+    new java.io.File(dir + "/_delta_log").listFiles().foreach { f =>
+      // hadoop checksum sidecars (.name.crc) go with their file
+      val name = f.getName.stripPrefix(".").stripSuffix(".crc")
+      if (!keep(name) && name != "_last_checkpoint") assert(f.delete())
+    }
+
+  test("every 10th commit writes a checkpoint the reader can replay from alone") {
+    val dir = newDir()
+    (0 until 25).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    val log = new java.io.File(dir + "/_delta_log").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(log.contains("00000000000000000009.checkpoint.parquet"), log.mkString(","))
+    assert(log.contains("00000000000000000019.checkpoint.parquet"))
+    val lc = Files.readString(java.nio.file.Path.of(dir + "/_delta_log/_last_checkpoint"))
+    assert(lc.contains("\"version\":19"), lc)
+    val expect = (0 until 25).map(i => i.toLong -> s"r$i").toSet
+    assert(rows(readBack(dir)) == expect)
+    // time travel BELOW the checkpoint replays JSON from version zero
+    assert(rows(readBack(dir, Map("version" -> "4"))) ==
+      (0 until 5).map(i => i.toLong -> s"r$i").toSet)
+    // the v19 checkpoint alone must carry all state <= 19: delete every
+    // JSON commit at or below it (plus the superseded v9 checkpoint) and
+    // the reader still sees all 25 commits — proof it does NOT read them
+    val cpKeep = Set("00000000000000000019.checkpoint.parquet")
+    deleteLogFiles(dir) { name =>
+      cpKeep(name) || name.endsWith(".json") && name.stripSuffix(".json").toLong > 19
+    }
+    assert(rows(readBack(dir)) == expect)
+    // and appends continue normally on the cleaned log
+    assert(DeltaWriter.write(Seq((99L, "post")).toDF("id", "name"), dir) == 25L)
+    assert(rows(readBack(dir)) == expect + (99L -> "post"))
+  }
+
+  test("checkpoint drops overwritten files and carries the txn ledger") {
+    val dir = newDir()
+    (0 until 5).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, "x")).toDF("id", "name"), dir)) // v0..v4
+    DeltaWriter.write(Seq((100L, "ow")).toDF("id", "name"), dir,
+      mode = "overwrite") // v5 tombstones v0..v4's files
+    (0 until 3).foreach(i =>
+      DeltaWriter.write(Seq((200L + i, "y")).toDF("id", "name"), dir,
+        txn = Some(("appC", i.toLong)))) // v6..v8
+    DeltaWriter.write(Seq((300L, "z")).toDF("id", "name"), dir) // v9 -> checkpoint
+    val expect = Set(100L -> "ow", 200L -> "y", 201L -> "y", 202L -> "y", 300L -> "z")
+    assert(rows(readBack(dir)) == expect)
+    // wipe ALL JSON commits: the checkpoint is now the only log state
+    deleteLogFiles(dir)(name => name.endsWith(".checkpoint.parquet"))
+    // overwritten files must not resurrect through the checkpoint
+    assert(rows(readBack(dir)) == expect)
+    // the ledger survived: redelivering appC batch 2 is still a no-op
+    assert(DeltaWriter.write(Seq((202L, "y")).toDF("id", "name"), dir,
+      txn = Some(("appC", 2L))) == 9L)
+    assert(rows(readBack(dir)) == expect)
+    // while a NEW batch id commits on top of the checkpointed log
+    assert(DeltaWriter.write(Seq((203L, "y")).toDF("id", "name"), dir,
+      txn = Some(("appC", 3L))) == 10L)
+    assert(rows(readBack(dir)) == expect + (203L -> "y"))
+  }
+
   test("column-mapped and partitioned tables are refused loudly") {
     val dir = newDir()
     // hand-build a minimal column-mapped table (the DeltaLoaderSpec shape)
