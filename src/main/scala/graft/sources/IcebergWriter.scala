@@ -37,11 +37,23 @@ import org.apache.spark.sql.types._
   * [[streamSink]] turns at-least-once micro-batch redelivery into an
   * exactly-once table.
   *
-  * Supported: unpartitioned v2 tables, append + overwrite (appending onto
-  * a legacy-v1 metadata layout normalizes its top-level `schema` into the
-  * v2 `schemas` array). Unsupported (fails loudly): writing into
-  * partitioned tables (v2 specs AND the legacy v1 `partition-spec` are
-  * both checked).
+  * Supported: v2 tables, append + overwrite (appending onto a legacy-v1
+  * metadata layout normalizes its top-level `schema` into the v2 `schemas`
+  * array), and IDENTITY-partitioned tables: `partitionBy` columns become
+  * an identity partition spec in the metadata, data files are written one
+  * per partition tuple (a single distributed job — the partition columns
+  * are DUPLICATED under `__p_` names for Spark's dynamic-partition layout,
+  * so the identity source columns stay inside the data files exactly as
+  * the Iceberg spec requires), and each manifest entry records its
+  * partition tuple in a spec-typed `partition` record. Appends inherit the
+  * table's spec when `partitionBy` is not given and refuse a mismatched
+  * one; overwrite may re-partition (a new entry in `partition-specs` +
+  * `default-spec-id`, old snapshots keep their own spec ids). Partition
+  * column types: string / int-family / boolean / date — float, double,
+  * timestamp and decimal identity partitions are refused loudly (floats
+  * are unsound partition keys; time columns partition via transforms this
+  * writer does not implement). Non-identity transforms in an existing
+  * table's spec refuse the write.
   *
   * Interop scope — stated honestly: manifests carry the subset of fields
   * this repo's own planner consumes (status/content/file_path/file_format/
@@ -80,9 +92,12 @@ object IcebergWriter {
       |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
-  /** Write `df` as one Iceberg commit; returns the new metadata version. */
+  /** Write `df` as one Iceberg commit; returns the new metadata version.
+    * `partitionBy` declares identity partition columns (empty = inherit the
+    * table's spec on append, unpartitioned on create/overwrite). */
   def write(df: DataFrame, dir: String, mode: String = "append",
-            txn: Option[(String, Long)] = None): Long = {
+            txn: Option[(String, Long)] = None,
+            partitionBy: Seq[String] = Seq.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"IcebergWriter mode must be append|overwrite, got `$mode`")
     val spark = df.sparkSession
@@ -96,17 +111,30 @@ object IcebergWriter {
         Some(IcebergLoader.currentMetadata(fs, dir))
       else None
 
+    // the table's default spec as identity column names (refuses
+    // non-identity transforms); v2 spec list AND the legacy v1 top-level
+    // `partition-spec` array — missing the latter would silently DROP a
+    // v1 table's partitioning (review finding)
+    val tableParts: Option[Seq[String]] = existing.map(identitySpecColumns)
+    val partCols: Seq[String] =
+      if (partitionBy.nonEmpty) partitionBy
+      else if (mode == "append") tableParts.getOrElse(Seq.empty)
+      else Seq.empty
+    partCols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partitionBy column `$c` is not in the dataframe schema"))
+      require(partitionAvroType(f.dataType).isDefined,
+        s"IcebergWriter cannot identity-partition on ${f.dataType} column `$c` " +
+          "(string / int-family / boolean / date only)")
+    }
+
     existing.foreach { meta =>
-      val specs = Option(meta.get("partition-specs")).filterNot(_.isNull)
-      // v2 spec list AND the legacy v1 top-level `partition-spec` array —
-      // missing the latter would silently DROP a v1 table's partitioning
-      // (review finding)
-      val partitioned = specs.exists(_.elements().asScala.exists(s =>
-        s.get("fields").size() > 0)) ||
-        Option(meta.get("partition-spec")).filterNot(_.isNull)
-          .exists(_.elements().asScala.nonEmpty)
-      require(!partitioned, "IcebergWriter supports unpartitioned tables only")
       if (mode == "append") {
+        require(partCols == tableParts.getOrElse(Seq.empty),
+          s"append partitioning ${partCols.mkString(",")} does not match the " +
+            s"table spec ${tableParts.getOrElse(Seq.empty).mkString(",")} " +
+            "(overwrite to re-partition)")
         val have = IcebergLoader.tableSchema(meta)
           .fields.map(f => (f.name, f.dataType)).toSeq
         val want = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -124,26 +152,63 @@ object IcebergWriter {
     }
     if (alreadyCommitted) return currentVersion
 
-    // data files (distributed write, then moved under data/)
+    // data files: ONE distributed job for both layouts. Partitioned writes
+    // duplicate each partition column under a `__p_` name and let Spark's
+    // dynamic-partition writer split files by tuple — each data file then
+    // holds exactly one partition tuple AND still contains the identity
+    // source columns, as the spec requires. Tuples are decoded back from
+    // the hive-escaped scratch dir names, typed by the column's schema.
     val dataDir = new HPath(root, "data")
     fs.mkdirs(dataDir)
     val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(scratch.toString)
+    val dup = partCols.map(c => s"__p_$c")
+    val toWrite = partCols.zip(dup).foldLeft(df) { case (acc, (c, d)) =>
+      acc.withColumn(d, acc(c))
+    }
+    val writer = toWrite.write.mode("overwrite")
+    (if (dup.isEmpty) writer else writer.partitionBy(dup: _*))
+      .parquet(scratch.toString)
     val conf = spark.sparkContext.hadoopConfiguration
-    val moved = fs.listStatus(scratch).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .map { p =>
-        val target = new HPath(dataDir, p.getName)
+    val partTypes: Map[String, DataType] =
+      partCols.map(c => c -> df.schema(c).dataType).toMap
+    // recursively collect part files with their tuple dir segments
+    def collectParts(p: HPath, segs: Seq[String]): Seq[(HPath, Seq[String])] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("=")) collectParts(st.getPath, segs :+ n)
+        else if (n.startsWith("part-") && n.endsWith(".parquet"))
+          Seq((st.getPath, segs))
+        else Seq.empty
+      }
+    val moved: Seq[(String, Long, Long, Seq[(String, Any)])] =
+      collectParts(scratch, Seq.empty).map { case (p, segs) =>
+        val bySeg = segs.map { s =>
+          val i = s.indexOf('=')
+          require(i > 0, s"unparseable partition dir `$s` in scratch")
+          s.substring(0, i) -> s.substring(i + 1)
+        }.toMap
+        val tuple = partCols.map { c =>
+          val raw = bySeg.getOrElse(s"__p_$c", throw new IllegalStateException(
+            s"partition dir for `$c` missing under scratch"))
+          c -> decodePartitionValue(raw, partTypes(c))
+        }
+        // keep the tuple dirs (minus the __p_ mangle) under data/ — file
+        // names repeat ACROSS partition dirs (one task writes the same
+        // part-name into every tuple it holds), so a flat move would clash
+        val relDir = segs.map(_.stripPrefix("__p_")).mkString("/")
+        val targetDir = if (relDir.isEmpty) dataDir else new HPath(dataDir, relDir)
+        fs.mkdirs(targetDir)
+        val target = new HPath(targetDir, p.getName)
         require(fs.rename(p, target),
-          s"IcebergWriter could not move data file ${p.getName} into $dataDir")
+          s"IcebergWriter could not move data file ${p.getName} into $targetDir")
         val st = fs.getFileStatus(target)
         // TRUE record counts off the parquet footer (a stats hint real
         // planners read; never a lie)
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
         val rc = try rd.getRecordCount finally rd.close()
-        (target.toString, st.getLen, rc)
-      }.toSeq
+        (target.toString, st.getLen, rc, tuple)
+      }
     fs.delete(scratch, true)
 
     val now = System.currentTimeMillis()
@@ -155,49 +220,30 @@ object IcebergWriter {
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)).getOrElse(Seq.empty)
     val snapId = snapshots.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
 
-    // one manifest for this commit's data files
+    // one manifest for this commit's data files; partitioned tables get a
+    // spec-typed `partition` record per entry
+    val mSchema = manifestSchemaFor(partCols.map(c => c -> partTypes(c)))
     val manifestPath = new HPath(metaDir, s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
-    writeAvro(fs, manifestSchema, moved.map { case (path, size, rc) =>
-      val e = new GenericData.Record(manifestSchema)
-      val d = new GenericData.Record(manifestSchema.getField("data_file").schema())
+    writeAvro(fs, mSchema, moved.map { case (path, size, rc, tuple) =>
+      val e = new GenericData.Record(mSchema)
+      val dfSchema = mSchema.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
       d.put("content", 0)
       d.put("file_path", path)
       d.put("file_format", "PARQUET")
       d.put("record_count", rc)
       d.put("file_size_in_bytes", size)
+      if (partCols.nonEmpty) {
+        val pSchema = dfSchema.getField("partition").schema()
+        val pr = new GenericData.Record(pSchema)
+        tuple.foreach { case (c, v) => pr.put(c, v) }
+        d.put("partition", pr)
+      }
       e.put("status", 1)
       e.put("sequence_number", Long.box(seq))
       e.put("data_file", d)
       e
     }, manifestPath)
-
-    // manifest list: previous entries carried forward on append
-    val carried: Seq[GenericRecord] =
-      if (mode == "overwrite") Seq.empty
-      else existing.toSeq.flatMap { meta =>
-        currentManifestList(fs, meta, dir).map { prev =>
-          val m = new GenericData.Record(manifestListSchema)
-          m.put("manifest_path", prev._1)
-          m.put("manifest_length", prev._2)
-          m.put("partition_spec_id", 0)
-          m.put("content", prev._3)
-          prev._4.foreach(s => m.put("sequence_number", Long.box(s)))
-          m.put("added_snapshot_id", prev._5)
-          m
-        }
-      }
-    val newEntry = {
-      val m = new GenericData.Record(manifestListSchema)
-      m.put("manifest_path", manifestPath.toString)
-      m.put("manifest_length", fs.getFileStatus(manifestPath).getLen)
-      m.put("partition_spec_id", 0)
-      m.put("content", 0)
-      m.put("sequence_number", Long.box(seq))
-      m.put("added_snapshot_id", snapId)
-      m
-    }
-    val listPath = new HPath(metaDir, s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
-    writeAvro(fs, manifestListSchema, carried :+ newEntry, listPath)
 
     // schema bookkeeping. `priorSchemas` normalizes the two metadata
     // generations: the v2 `schemas` array, or the legacy v1 top-level
@@ -236,6 +282,83 @@ object IcebergWriter {
         (s"[$json]", 0, lci)
     }
 
+    // partition-spec bookkeeping: prior specs carry forward verbatim (old
+    // snapshots' manifests reference them); the wanted identity spec
+    // reuses a matching prior entry or appends a new one with fresh
+    // partition field-ids above last-partition-id
+    val priorSpecs: Seq[JsonNode] = existing.toSeq.flatMap { meta =>
+      Option(meta.get("partition-specs")).filterNot(_.isNull)
+        .map(_.elements().asScala.toSeq)
+        .getOrElse {
+          Option(meta.get("partition-spec")).filterNot(_.isNull).map { legacy =>
+            val o = mapper.createObjectNode()
+            o.put("spec-id", 0)
+            o.set[JsonNode]("fields", legacy.deepCopy[JsonNode]())
+            Seq[JsonNode](o)
+          }.getOrElse(Seq.empty)
+        }
+    }
+    val curSchemaFieldIds: Map[String, Int] = mapper.readTree(schemasJson)
+      .elements().asScala.find(_.get("schema-id").asInt() == schemaId)
+      .map(_.get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap)
+      .getOrElse(Map.empty)
+    val wantedKey = partCols.map(c => (c, "identity", curSchemaFieldIds(c)))
+    def specKey(s: JsonNode): Seq[(String, String, Int)] =
+      s.get("fields").elements().asScala.toSeq.map(f =>
+        (f.get("name").asText(), f.get("transform").asText(),
+          f.get("source-id").asInt()))
+    val priorLastPid = existing.flatMap(m =>
+      Option(m.get("last-partition-id")).filterNot(_.isNull).map(_.asInt()))
+      .getOrElse(999)
+    val (specsJson, specId, lastPartitionId) =
+      priorSpecs.find(s => specKey(s) == wantedKey) match {
+        case Some(s) =>
+          (priorSpecs.map(mapper.writeValueAsString).mkString("[", ",", "]"),
+            Option(s.get("spec-id")).map(_.asInt()).getOrElse(0), priorLastPid)
+        case None =>
+          val nextSpecId = priorSpecs
+            .map(s => Option(s.get("spec-id")).map(_.asInt()).getOrElse(0))
+            .foldLeft(-1)(math.max) + 1
+          val fieldsJson = partCols.zipWithIndex.map { case (c, i) =>
+            s"""{"name":${jstr(c)},"transform":"identity",""" +
+              s""""source-id":${curSchemaFieldIds(c)},"field-id":${priorLastPid + 1 + i}}"""
+          }.mkString("[", ",", "]")
+          val newSpec = s"""{"spec-id":$nextSpecId,"fields":$fieldsJson}"""
+          ((priorSpecs.map(mapper.writeValueAsString) :+ newSpec)
+            .mkString("[", ",", "]"),
+            nextSpecId, priorLastPid + partCols.size)
+      }
+
+    // manifest list: previous entries carried forward on append, keeping
+    // the spec id each manifest was written under
+    val carried: Seq[GenericRecord] =
+      if (mode == "overwrite") Seq.empty
+      else existing.toSeq.flatMap { meta =>
+        currentManifestList(fs, meta, dir).map { prev =>
+          val m = new GenericData.Record(manifestListSchema)
+          m.put("manifest_path", prev._1)
+          m.put("manifest_length", prev._2)
+          m.put("partition_spec_id", prev._6)
+          m.put("content", prev._3)
+          prev._4.foreach(s => m.put("sequence_number", Long.box(s)))
+          m.put("added_snapshot_id", prev._5)
+          m
+        }
+      }
+    val newEntry = {
+      val m = new GenericData.Record(manifestListSchema)
+      m.put("manifest_path", manifestPath.toString)
+      m.put("manifest_length", fs.getFileStatus(manifestPath).getLen)
+      m.put("partition_spec_id", specId)
+      m.put("content", 0)
+      m.put("sequence_number", Long.box(seq))
+      m.put("added_snapshot_id", snapId)
+      m
+    }
+    val listPath = new HPath(metaDir, s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
+    writeAvro(fs, manifestListSchema, carried :+ newEntry, listPath)
+
     val summaryExtra = txn.map { case (appId, v) =>
       s""","graft-app-id":${jstr(appId)},"graft-app-version":"$v"""" }.getOrElse("")
     val snapJson =
@@ -254,8 +377,8 @@ object IcebergWriter {
          |"last-updated-ms":$now,"last-column-id":$lastColumnId,
          |"current-schema-id":$schemaId,
          |"schemas":$schemasJson,
-         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-         |"last-partition-id":999,"default-sort-order-id":0,
+         |"default-spec-id":$specId,"partition-specs":$specsJson,
+         |"last-partition-id":$lastPartitionId,"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"current-snapshot-id":$snapId,
          |"snapshots":$allSnaps}""".stripMargin
@@ -320,10 +443,103 @@ object IcebergWriter {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** The table's default partition spec as identity source-column names;
+    * any non-identity transform refuses the write. Resolves `source-id`
+    * against the current schema (falling back to the partition field's own
+    * name for specs that omit ids). */
+  private[sources] def identitySpecColumns(meta: JsonNode): Seq[String] = {
+    val specId = Option(meta.get("default-spec-id")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(0)
+    val fields: Seq[JsonNode] =
+      Option(meta.get("partition-specs")).filterNot(_.isNull)
+        .flatMap(_.elements().asScala.find(s =>
+          Option(s.get("spec-id")).map(_.asInt()).getOrElse(0) == specId))
+        .map(_.get("fields").elements().asScala.toSeq)
+        .orElse(Option(meta.get("partition-spec")).filterNot(_.isNull)
+          .map(_.elements().asScala.toSeq)) // legacy v1 top-level array
+        .getOrElse(Seq.empty)
+    if (fields.isEmpty) Seq.empty
+    else {
+      val idToName: Map[Int, String] =
+        IcebergLoader.schemaNodeFor(meta, None).get("fields").elements().asScala
+          .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      fields.map { f =>
+        val transform = f.get("transform").asText()
+        require(transform == "identity",
+          s"IcebergWriter supports identity partition transforms only " +
+            s"(table spec has `$transform`)")
+        Option(f.get("source-id")).filterNot(_.isNull)
+          .flatMap(id => idToName.get(id.asInt()))
+          .getOrElse(f.get("name").asText())
+      }
+    }
+  }
+
+  /** Avro schema fragment for an identity partition value of this Spark
+    * type; None = unsupported as a partition key. Dates ride as epoch-day
+    * ints (the graft manifest subset does not annotate logical types). */
+  private def partitionAvroType(dt: DataType): Option[String] = dt match {
+    case StringType => Some("\"string\"")
+    case ByteType | ShortType | IntegerType => Some("\"int\"")
+    case LongType => Some("\"long\"")
+    case BooleanType => Some("\"boolean\"")
+    case DateType => Some("\"int\"")
+    case _ => None
+  }
+
+  /** Decode one hive-escaped partition-dir value back to the typed value
+    * the manifest records (null for the hive default-partition marker). */
+  private[sources] def decodePartitionValue(raw: String, dt: DataType): Any = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return null
+    // hive path escaping is %XX on a fixed char set — NOT URL encoding
+    // ('+' stays literal), so decode %XX by hand
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '%' && i + 3 <= raw.length) {
+        sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    val s = sb.toString
+    dt match {
+      case StringType => s
+      case ByteType | ShortType | IntegerType => Int.box(s.toInt)
+      case LongType => Long.box(s.toLong)
+      case BooleanType => Boolean.box(s.toBoolean)
+      case DateType => Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"IcebergWriter: unsupported partition value type $other")
+    }
+  }
+
+  /** The manifest-entry schema, with a spec-typed nullable `partition`
+    * record when the table is partitioned. */
+  private[sources] def manifestSchemaFor(partFields: Seq[(String, DataType)]): Schema =
+    if (partFields.isEmpty) manifestSchema
+    else {
+      val fields = partFields.map { case (c, dt) =>
+        s"""{"name":${mapper.writeValueAsString(c)},"type":["null",${
+          partitionAvroType(dt).get}],"default":null}"""
+      }.mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"sequence_number","type":["null","long"],"default":null},
+          |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+          |  {"name":"content","type":"int"},
+          |  {"name":"file_path","type":"string"},
+          |  {"name":"file_format","type":"string"},
+          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$fields]}},
+          |  {"name":"record_count","type":"long"},
+          |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    }
+
   /** The current snapshot's manifest-list entries as
-    * (path, length, content, seq, addedSnapshotId). */
+    * (path, length, content, seq, addedSnapshotId, specId). */
   private def currentManifestList(fs: FileSystem, meta: JsonNode, dir: String)
-      : Seq[(String, Long, Int, Option[Long], Long)] = {
+      : Seq[(String, Long, Int, Option[Long], Long, Int)] = {
     val curId = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
       .map(_.asLong()).filter(_ != -1L)
     val snap = curId.flatMap { id =>
@@ -337,14 +553,15 @@ object IcebergWriter {
           new org.apache.avro.file.SeekableByteArrayInput(readBytes(fs, new HPath(path))),
           new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
         try {
-          val out = Seq.newBuilder[(String, Long, Int, Option[Long], Long)]
+          val out = Seq.newBuilder[(String, Long, Int, Option[Long], Long, Int)]
           while (reader.hasNext) {
             val r = reader.next()
             out += ((String.valueOf(r.get("manifest_path")),
               Option(r.get("manifest_length")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
               Option(r.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0),
               Option(r.get("sequence_number")).map(_.asInstanceOf[Number].longValue()),
-              Option(r.get("added_snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)))
+              Option(r.get("added_snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+              Option(r.get("partition_spec_id")).map(_.asInstanceOf[Number].intValue()).getOrElse(0)))
           }
           out.result()
         } finally reader.close()

@@ -172,6 +172,142 @@ class IcebergWriterSpec extends SparkSpec {
     assert(readBack(dir).count() == before)
   }
 
+  private def dataParquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(dir + "/data"))
+  }
+
+  test("identity-partitioned create + append: spec in metadata, pure per-tuple files") {
+    val dir = newDir()
+    val df = Seq((1L, "us", "a"), (2L, "us", "b"), (3L, "eu", "c"),
+      (4L, "ap", "d")).toDF("id", "region", "name")
+    IcebergWriter.write(df, dir, partitionBy = Seq("region"))
+    val back = readBack(dir)
+    // the identity source column is IN the data files, per spec
+    assert(back.schema.fieldNames.toSeq == Seq("id", "region", "name"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet == Set((1L, "us", "a"), (2L, "us", "b"), (3L, "eu", "c"), (4L, "ap", "d")))
+    // metadata declares the identity spec
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      java.nio.file.Path.of(dir + "/metadata/v1.metadata.json")))
+    val spec = meta.get("partition-specs").get(meta.get("default-spec-id").asInt())
+    val f0 = spec.get("fields").get(0)
+    assert(f0.get("name").asText() == "region")
+    assert(f0.get("transform").asText() == "identity")
+    assert(f0.get("field-id").asInt() == 1000)
+    assert(meta.get("last-partition-id").asInt() == 1000)
+    // every data file holds exactly ONE partition tuple
+    dataParquetFiles(dir).foreach { f =>
+      assert(spark.read.parquet(f.toString)
+        .select("region").distinct().count() == 1L, f)
+    }
+    // an append with no partitionBy INHERITS the table spec
+    IcebergWriter.write(Seq((5L, "us", "e")).toDF("id", "region", "name"), dir)
+    assert(readBack(dir).count() == 5)
+    // a mismatched partitioning refuses loudly
+    val bad = intercept[IllegalArgumentException] {
+      IcebergWriter.write(Seq((6L, "us", "f")).toDF("id", "region", "name"),
+        dir, partitionBy = Seq("name"))
+    }
+    assert(bad.getMessage.contains("partition"))
+    // float partition keys refuse
+    val badType = intercept[IllegalArgumentException] {
+      IcebergWriter.write(Seq((1L, 1.5, "x")).toDF("id", "score", "name"),
+        newDir(), partitionBy = Seq("score"))
+    }
+    assert(badType.getMessage.contains("identity-partition"))
+  }
+
+  test("partition tuples (incl. null and date values) land in the manifest entries") {
+    val dir = newDir()
+    val df = Seq(
+      (1L, Option("us"), java.sql.Date.valueOf("2024-03-01")),
+      (2L, None, java.sql.Date.valueOf("2024-03-02")))
+      .toDF("id", "region", "day")
+    IcebergWriter.write(df, dir, partitionBy = Seq("region", "day"))
+    assert(readBack(dir).count() == 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "metadata"))
+      .map(_.getPath).find(_.getName.startsWith("graft-m")).get
+    val in = fs.open(manifest)
+    val bytes = try in.readAllBytes() finally in.close()
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val tuples = scala.collection.mutable.Set[(Option[String], Option[Int])]()
+    while (reader.hasNext) {
+      val e = reader.next()
+      val p = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      tuples += ((Option(p.get("region")).map(String.valueOf),
+        Option(p.get("day")).map(_.asInstanceOf[Number].intValue())))
+    }
+    reader.close()
+    val d1 = java.time.LocalDate.parse("2024-03-01").toEpochDay.toInt
+    val d2 = java.time.LocalDate.parse("2024-03-02").toEpochDay.toInt
+    assert(tuples.toSet == Set((Some("us"), Some(d1)), (None, Some(d2))))
+  }
+
+  test("per-tuple files make partition pruning observable through the column index") {
+    val dir = newDir()
+    val df = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "eu" else if (i % 3 == 1) "us" else "ap", s"d$i"))
+      .toDF("id", "region", "name").repartition(4)
+    IcebergWriter.write(df, dir, partitionBy = Seq("region"))
+    val idx = ColumnIndex.build(spark, dir + "/data", Seq("region"))
+    val kept = idx.prune(Seq(("region", "eq", "'us'"))).get
+    assert(kept.nonEmpty && kept.size < idx.fileCount,
+      s"expected a real prune, kept ${kept.size} of ${idx.fileCount}")
+    // every surviving file really is a us file (zones were per-tuple tight)
+    kept.foreach { f =>
+      val regions = spark.read.parquet(f).select("region")
+        .distinct().collect().map(_.getString(0)).toSeq
+      assert(regions == Seq("us"), s"$f -> $regions")
+    }
+  }
+
+  test("overwrite may re-partition: new spec entry, old snapshot keeps its own") {
+    val dir = newDir()
+    IcebergWriter.write(Seq((1L, "us", "a"), (2L, "eu", "b"))
+      .toDF("id", "region", "name"), dir, partitionBy = Seq("region"))
+    IcebergWriter.write(Seq((3L, "us", "c"), (4L, "eu", "d"))
+      .toDF("id", "region", "name"), dir, mode = "overwrite",
+      partitionBy = Seq("name"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      java.nio.file.Path.of(dir + "/metadata/v2.metadata.json")))
+    assert(meta.get("partition-specs").size() == 2)
+    val cur = meta.get("default-spec-id").asInt()
+    assert(cur == 1)
+    val curSpec = meta.get("partition-specs").get(1)
+    assert(curSpec.get("fields").get(0).get("name").asText() == "name")
+    // fresh partition field-ids above the prior last-partition-id
+    assert(curSpec.get("fields").get(0).get("field-id").asInt() == 1001)
+    assert(meta.get("last-partition-id").asInt() == 1001)
+    // both snapshots readable
+    assert(readBack(dir).select("id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    assert(readBack(dir, Map("snapshot-id" -> "1"))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a non-identity spec in the table refuses the write
+    val p = java.nio.file.Path.of(dir + "/metadata/v2.metadata.json")
+    val node = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val fields = node.get("partition-specs").get(1).get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    fields.put("transform", "bucket[4]")
+    Files.writeString(p, mapper.writeValueAsString(node))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Path.of(dir + "/metadata/.v2.metadata.json.crc"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.write(Seq((9L, "x", "z")).toDF("id", "region", "name"), dir)
+    }
+    assert(e.getMessage.contains("identity"))
+  }
+
   test("iceberg schema json assigns depth-first field ids and round-trips types") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
