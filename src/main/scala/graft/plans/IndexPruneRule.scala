@@ -59,9 +59,7 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
               l.catalogTable.isEmpty && !l.isStreaming => Some(r)
         case _ => None
       }
-      roots = fsRel.location.rootPaths
-      if roots.size == 1
-      idx <- graft.sources.ColumnIndexRegistry.lookup(roots.head.toString)
+      idx <- lookupFor(fsRel.location.rootPaths)
       preds = splitConjunctivePredicates(cond).flatMap(triplesOf)
       if preds.nonEmpty
       // prune among the SCAN's own listing, not the index's: files the
@@ -79,6 +77,28 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         Filter(cond, l.copy(relation = fsRel.copy(location = loc)(spark)))
       }
     }
+
+  /** Registry lookup for a scan's root paths. The engine's registered
+    * parquet dirs match a single-root scan exactly; Delta/Iceberg loader
+    * scans list leaf FILES as roots, so those match by walking the first
+    * root's ancestors up to the registered table dir (a bounded number of
+    * ConcurrentHashMap probes). Soundness does not depend on the walk:
+    * `pruneAmong` keeps every file the index does not know, so an
+    * ancestor hit can never over-prune a foreign file, and a re-visit of
+    * an already-pruned scan rewrites nothing (kept == listing). */
+  private def lookupFor(roots: Seq[Path]): Option[graft.sources.ColumnIndex.Index] = {
+    if (roots.isEmpty) return None
+    val direct = graft.sources.ColumnIndexRegistry.lookup(roots.head.toString)
+    if (direct.isDefined) return direct
+    var p = roots.head.getParent
+    var hops = 0
+    while (p != null && hops < 4) {
+      val hit = graft.sources.ColumnIndexRegistry.lookup(p.toString)
+      if (hit.isDefined) return hit
+      p = p.getParent; hops += 1
+    }
+    None
+  }
 
   /** One conjunct -> zero or more REST-surface triples. Beyond the simple
     * comparisons: `IN (v, ...)` becomes one "in" disjunction triple (only

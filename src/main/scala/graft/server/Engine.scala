@@ -179,7 +179,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     // without the option (or with a format that can't index) must also
     // DROP any previous index, or stale pruning would serve the old files.
     val wantIndex = src.options.get("index_columns")
-      .filter(_ => src.resolvedFormat == "parquet" &&
+      .filter(_ => Set("parquet", "delta", "iceberg")(src.resolvedFormat) &&
         (memOptOut(src) || overCapTables.contains(src.name)))
     wantIndex match {
       case Some(cs) =>
@@ -204,9 +204,18 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
         val fromDisk =
           if (firstSync) graft.sources.ColumnIndex.load(spark, src.uri, idxCols)
           else None
-        val idx = graft.sources.ColumnIndex.build(
-          spark, src.uri, idxCols, prevMem.orElse(fromDisk))
-        if (persist) {
+        // Delta/Iceberg tables index from their OWN metadata (add.stats /
+        // manifest bounds) — zero footer reads, and no sidecar either: the
+        // zones already persist in the table's transaction log
+        val idx = src.resolvedFormat match {
+          case "delta" =>
+            graft.sources.ColumnIndex.buildFromDelta(spark, src.uri, idxCols)
+          case "iceberg" =>
+            graft.sources.ColumnIndex.buildFromIceberg(spark, src.uri, idxCols)
+          case _ => graft.sources.ColumnIndex.build(
+            spark, src.uri, idxCols, prevMem.orElse(fromDisk))
+        }
+        if (persist && src.resolvedFormat == "parquet") {
           def fileSet(i: graft.sources.ColumnIndex.Index) =
             i.files.map(f => (f.path, f.sig)).toSet
           val changed =

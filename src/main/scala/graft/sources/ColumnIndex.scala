@@ -46,7 +46,11 @@ object ColumnIndex {
     * file is null (provably, from footer null counts). */
   final case class Zone(kind: String, minL: Long, maxL: Long,
                         minD: Double, maxD: Double,
-                        minS: String, maxS: String, allNull: Boolean)
+                        minS: String, maxS: String, allNull: Boolean,
+                        /** Null count in the file — informational for the
+                          * interval test, but the stats channel table-format
+                          * writers ([[DeltaWriter]]) publish. */
+                        nulls: Long = 0L)
       extends Serializable
 
   /** `sig` = "length:mtime" of the file when harvested — the reuse check
@@ -64,7 +68,15 @@ object ColumnIndex {
   final class Index private[ColumnIndex] (
       val dir: String, val columns: Seq[String], val files: Vector[FileZones],
       /** How many files this build reused from its `prev` index. */
-      val reusedFiles: Int = 0) {
+      val reusedFiles: Int = 0,
+      /** False for table-format metadata indexes (Delta/Iceberg): their
+        * tables' DataFrames may weave deletion anti-joins / partition
+        * reconstruction around the scan, so re-reading "kept" files as raw
+        * parquet ([[prunedDf]]) could resurrect deleted rows. Pruning then
+        * happens only among an existing plan's own listing
+        * ([[pruneAmong]], the optimizer-rule path), which is always
+        * sound. */
+      val rawScanSafe: Boolean = true) {
 
     /** Spec/metrics hook: (kept, total) of the most recent prune. */
     @volatile var lastPrune: Option[(Int, Int)] = None
@@ -117,7 +129,11 @@ object ColumnIndex {
         val kept = scanFiles.filter { p =>
           byPath.get(new Path(p).toString).forall(fileMayMatch(_, usable, cache))
         }
-        lastPrune = Some((kept.size, scanFiles.size))
+        // record only REAL prunes: the optimizer rule re-visits scans it
+        // (or the engine's prunedDf) already pruned — those no-op passes
+        // must not clobber the meaningful (kept, total) record
+        if (kept.size < scanFiles.size)
+          lastPrune = Some((kept.size, scanFiles.size))
         Some(kept)
       }
     }
@@ -130,7 +146,8 @@ object ColumnIndex {
       * from the unpruned view's (review finding). */
     def prunedDf(spark: SparkSession, preds: Seq[Pred], schema: StructType,
                  options: Map[String, String] = Map.empty): Option[DataFrame] =
-      prune(preds).flatMap { kept =>
+      if (!rawScanSafe) None
+      else prune(preds).flatMap { kept =>
         if (kept.size == files.size) None
         else if (kept.isEmpty)
           Some(spark.createDataFrame(
@@ -333,7 +350,7 @@ object ColumnIndex {
           zo.put("kind", z.kind); zo.put("minL", z.minL); zo.put("maxL", z.maxL)
           zo.put("minD", z.minD); zo.put("maxD", z.maxD)
           zo.put("minS", z.minS); zo.put("maxS", z.maxS)
-          zo.put("allNull", z.allNull)
+          zo.put("allNull", z.allNull); zo.put("nulls", z.nulls)
         }
       }
       val out = fs.create(new Path(root, sidecarName(idx.columns)), true)
@@ -367,7 +384,8 @@ object ColumnIndex {
                 z.get("minL").asLong(), z.get("maxL").asLong(),
                 z.get("minD").asDouble(), z.get("maxD").asDouble(),
                 z.get("minS").asText(), z.get("maxS").asText(),
-                z.get("allNull").asBoolean())
+                z.get("allNull").asBoolean(),
+                if (z.has("nulls")) z.get("nulls").asLong() else 0L)
             }
             files += FileZones(fo.get("path").asText(), fo.get("rows").asLong(),
               zones.toMap, fo.get("sig").asText())
@@ -431,6 +449,215 @@ object ColumnIndex {
     new Index(dir, wanted, zones, reusedFiles = kept.size)
   }
 
+  /** Zones from a Delta table's own transaction-log metadata (`add.stats`
+    * min/max/nullCount + identity partition values) — ZERO parquet footers
+    * touched: at 100 TB the log already carries everything data skipping
+    * needs, exactly the design the protocol intends. Live files only (dead
+    * adds never enter), `rawScanSafe = false` (see [[Index.rawScanSafe]]).
+    * Column-mapped tables get an empty index: their stats are keyed by
+    * PHYSICAL names, so logical-name zones would be wrong. */
+  def buildFromDelta(spark: SparkSession, dir: String, cols: Seq[String]): Index = {
+    val snap = DeltaLoader.snapshot(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wanted = cols.toVector
+    if (snap.columnMappingMode != "none") {
+      System.err.println(
+        s"[colindex] $dir: column-mapped delta table, stats zones disabled")
+      return new Index(dir, wanted, Vector.empty, rawScanSafe = false)
+    }
+    val fieldFor: Map[String, org.apache.spark.sql.types.StructField] =
+      snap.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val files = snap.files.map { f =>
+      val abs =
+        if (f.path.contains("://") || f.path.startsWith("/")) f.path
+        else new Path(dir, java.net.URLDecoder.decode(f.path, "UTF-8")).toString
+      val qualified = fs.makeQualified(new Path(abs)).toString
+      val zones = mutable.Map[String, Zone]()
+      var rows = -1L
+      f.stats.foreach { s =>
+        try {
+          val node = json.readTree(s)
+          rows = Option(node.get("numRecords")).map(_.asLong()).getOrElse(-1L)
+          wanted.foreach(c => fieldFor.get(c.toLowerCase).foreach { field =>
+            deltaStatsZone(node, field, rows).foreach(zones(field.name) = _)
+          })
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      // identity partition values live in the log, not the stats: an exact
+      // [v, v] zone per file (null partition value = all-null column)
+      wanted.foreach(c => snap.partitionColumns.find(_.equalsIgnoreCase(c))
+        .foreach { pc =>
+          if (f.partitionValues.contains(pc))
+            fieldFor.get(pc.toLowerCase).foreach { field =>
+              partitionValueZone(f.partitionValues(pc), field.dataType)
+                .foreach(zones(field.name) = _)
+            }
+        })
+      FileZones(qualified, math.max(rows, 0L), zones.toMap)
+    }
+    new Index(dir, wanted, files.sortBy(_.path).toVector, rawScanSafe = false)
+  }
+
+  /** Zones from an Iceberg table's manifest stats (null_value_counts +
+    * lower/upper bounds in the spec's single-value binary serialization) —
+    * the [[buildFromDelta]] story for the other table format. */
+  def buildFromIceberg(spark: SparkSession, dir: String, cols: Seq[String]): Index = {
+    val (schemaNode, stats) = IcebergLoader.currentFileStats(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wanted = cols.toVector
+    import scala.jdk.CollectionConverters._
+    // top-level primitive fields only: id + iceberg type string
+    val fieldFor: Map[String, (String, Int, String)] =
+      Option(schemaNode).flatMap(n => Option(n.get("fields"))).toSeq
+        .flatMap(_.elements().asScala)
+        .filter(f => f.get("type").isTextual)
+        .map(f => f.get("name").asText().toLowerCase ->
+          (f.get("name").asText(), f.get("id").asInt(), f.get("type").asText()))
+        .toMap
+    val files = stats.map { st =>
+      val qualified = fs.makeQualified(new Path(st.path)).toString
+      val zones = mutable.Map[String, Zone]()
+      wanted.foreach(c => fieldFor.get(c.toLowerCase).foreach {
+        case (name, fid, t) =>
+          val nulls = st.nullCounts.getOrElse(fid, 0L)
+          if (st.recordCount > 0 && nulls == st.recordCount)
+            zones(name) = Zone("long", 0, 0, 0, 0, "", "", allNull = true,
+              nulls = nulls)
+          else for {
+            lo <- st.lowerBounds.get(fid)
+            hi <- st.upperBounds.get(fid)
+            z <- icebergBoundsZone(t, lo, hi, nulls)
+          } zones(name) = z
+      })
+      FileZones(qualified, math.max(st.recordCount, 0L), zones.toMap)
+    }
+    new Index(dir, wanted, files.sortBy(_.path).toVector, rawScanSafe = false)
+  }
+
+  /** One column's zone out of a Delta `stats` document, typed by the
+    * table-schema field. Absent/unparseable values contribute no zone
+    * (conservative keep). */
+  private def deltaStatsZone(node: com.fasterxml.jackson.databind.JsonNode,
+                             field: org.apache.spark.sql.types.StructField,
+                             rows: Long): Option[Zone] = {
+    import org.apache.spark.sql.types._
+    val nulls = Option(node.get("nullCount")).flatMap(n =>
+      Option(n.get(field.name))).filter(_.isNumber).map(_.asLong())
+    if (rows > 0 && nulls.contains(rows))
+      return Some(Zone("long", 0, 0, 0, 0, "", "", allNull = true, nulls = rows))
+    val minN = Option(node.get("minValues")).flatMap(n => Option(n.get(field.name)))
+      .filterNot(_.isNull)
+    val maxN = Option(node.get("maxValues")).flatMap(n => Option(n.get(field.name)))
+      .filterNot(_.isNull)
+    val n0 = nulls.getOrElse(0L)
+    (minN, maxN) match {
+      case (Some(mi), Some(ma)) => field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType
+            if mi.isIntegralNumber && ma.isIntegralNumber =>
+          Some(Zone("long", mi.asLong(), ma.asLong(), 0, 0, "", "", false, n0))
+        case FloatType | DoubleType if mi.isNumber && ma.isNumber &&
+            java.lang.Double.isFinite(mi.asDouble()) &&
+            java.lang.Double.isFinite(ma.asDouble()) =>
+          Some(Zone("double", 0, 0, mi.asDouble(), ma.asDouble(), "", "", false, n0))
+        case StringType if mi.isTextual && ma.isTextual =>
+          // writers may truncate string stats (max gets a bumped prefix);
+          // the protocol still guarantees them as valid bounds
+          Some(Zone("string", 0, 0, 0, 0, mi.asText(), ma.asText(), false, n0))
+        case DateType if mi.isTextual && ma.isTextual =>
+          for {
+            lo <- scala.util.Try(java.time.LocalDate.parse(mi.asText()).toEpochDay).toOption
+            hi <- scala.util.Try(java.time.LocalDate.parse(ma.asText()).toEpochDay).toOption
+          } yield Zone("date", lo, hi, 0, 0, "", "", false, n0)
+        case TimestampType | TimestampNTZType if mi.isTextual && ma.isTextual =>
+          for {
+            lo <- statsTsMicros(mi.asText(), floorOk = true)
+            hi <- statsTsMicros(ma.asText(), floorOk = false)
+          } yield Zone("tsus", lo, hi, 0, 0, "", "", false, n0)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** ISO-ish stats timestamp -> epoch micros at UTC (accepts `Z`, offsets,
+    * space separators, fractional seconds). A max bound with sub-micro
+    * precision refuses (`floorOk = false`): truncating it could falsely
+    * prove disjointness. */
+  private def statsTsMicros(s0: String, floorOk: Boolean): Option[Long] = {
+    val s = s0.trim.replace(' ', 'T')
+    val inst = scala.util.Try(java.time.OffsetDateTime.parse(s).toInstant).toOption
+      .orElse(scala.util.Try(
+        java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)).toOption)
+    inst.flatMap { i =>
+      if (!floorOk && i.getNano % 1000 != 0) None
+      else Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    }
+  }
+
+  /** Delta partition-value string -> an exact [v, v] zone (null = the
+    * column is null across the whole file). */
+  private def partitionValueZone(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Zone] = {
+    import org.apache.spark.sql.types._
+    if (raw == null)
+      return Some(Zone("long", 0, 0, 0, 0, "", "", allNull = true))
+    dt match {
+      case StringType => Some(Zone("string", 0, 0, 0, 0, raw, raw, false))
+      case ByteType | ShortType | IntegerType | LongType =>
+        raw.toLongOption.map(v => Zone("long", v, v, 0, 0, "", "", false))
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay).toOption
+          .map(v => Zone("date", v, v, 0, 0, "", "", false))
+      case FloatType | DoubleType =>
+        raw.toDoubleOption.filter(java.lang.Double.isFinite(_))
+          .map(v => Zone("double", 0, 0, v, v, "", "", false))
+      case TimestampType | TimestampNTZType =>
+        statsTsMicros(raw, floorOk = false)
+          .map(v => Zone("tsus", v, v, 0, 0, "", "", false))
+      case _ => None
+    }
+  }
+
+  /** Iceberg single-value bounds -> zone, typed by the iceberg primitive.
+    * Length/format surprises contribute no zone. */
+  private def icebergBoundsZone(t: String, lo: Array[Byte], hi: Array[Byte],
+                                nulls: Long): Option[Zone] = {
+    def le(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def i32(b: Array[Byte]): Option[Long] =
+      if (b.length == 4) Some(le(b).getInt.toLong) else None
+    def i64(b: Array[Byte]): Option[Long] =
+      if (b.length == 8) Some(le(b).getLong) else None
+    t match {
+      case "int" => for (l <- i32(lo); h <- i32(hi))
+        yield Zone("long", l, h, 0, 0, "", "", false, nulls)
+      case "long" => for (l <- i64(lo); h <- i64(hi))
+        yield Zone("long", l, h, 0, 0, "", "", false, nulls)
+      case "date" => for (l <- i32(lo); h <- i32(hi))
+        yield Zone("date", l, h, 0, 0, "", "", false, nulls)
+      case "timestamp" | "timestamptz" => for (l <- i64(lo); h <- i64(hi))
+        yield Zone("tsus", l, h, 0, 0, "", "", false, nulls)
+      case "float" =>
+        if (lo.length != 4 || hi.length != 4) None
+        else {
+          val l = le(lo).getFloat.toDouble; val h = le(hi).getFloat.toDouble
+          if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
+            Some(Zone("double", 0, 0, l, h, "", "", false, nulls)) else None
+        }
+      case "double" =>
+        if (lo.length != 8 || hi.length != 8) None
+        else {
+          val l = le(lo).getDouble; val h = le(hi).getDouble
+          if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
+            Some(Zone("double", 0, 0, l, h, "", "", false, nulls)) else None
+        }
+      case "string" =>
+        Some(Zone("string", 0, 0, 0, 0, new String(lo, "UTF-8"),
+          new String(hi, "UTF-8"), false, nulls))
+      case _ => None
+    }
+  }
+
   /** Every data file Spark's parquet listing would read (all non-hidden
     * files, NOT just `*.parquet` — an extension-less data file missing
     * from the index would make pruning silently lossy; review finding).
@@ -491,9 +718,9 @@ object ColumnIndex {
           }
         }
         if (usable) {
-          if (zone.isDefined) zones(w) = zone.get
+          if (zone.isDefined) zones(w) = zone.get.copy(nulls = nulls)
           else if (rows > 0 && nulls == rows)
-            zones(w) = Zone("long", 0, 0, 0, 0, "", "", allNull = true)
+            zones(w) = Zone("long", 0, 0, 0, 0, "", "", allNull = true, nulls = nulls)
         }
       }
       FileZones(path, rows, zones.toMap)

@@ -55,7 +55,11 @@ object DeltaLoader {
       columnMappingMode: String = "none")
 
   final case class AddFile(path: String, partitionValues: Map[String, String],
-                           dv: Option[DeletionVectors.Descriptor] = None)
+                           dv: Option[DeletionVectors.Descriptor] = None,
+                           /** The protocol's per-file statistics JSON
+                             * (numRecords/minValues/maxValues/nullCount) —
+                             * [[ColumnIndex.buildFromDelta]]'s zone source. */
+                           stats: Option[String] = None)
 
   def load(spark: SparkSession, src: TableSource): DataFrame = {
     val versionAsOf = src.options.get("version").map(_.toLong)
@@ -138,7 +142,8 @@ object DeltaLoader {
           p.properties().asScala.map(e => e.getKey -> // null JSON value = null partition
             (if (e.getValue.isNull) null else e.getValue.asText())).toMap
         }.getOrElse(Map.empty[String, String])
-        addedAfter(path) = AddFile(path, pv, parseDv(add.get("deletionVector")))
+        addedAfter(path) = AddFile(path, pv, parseDv(add.get("deletionVector")),
+          Option(add.get("stats")).filterNot(_.isNull).map(_.asText()))
         removedAfter -= path
       }
       if (remove != null && !remove.isNull) {
@@ -171,9 +176,12 @@ object DeltaLoader {
           if (addFields.contains("deletionVector"))
             org.apache.spark.sql.functions.to_json(col("add.deletionVector"))
           else lit(null).cast("string")
+        val statsCol =
+          if (addFields.contains("stats")) col("add.stats").cast("string")
+          else lit(null).cast("string")
         checkpointAdds = Some(cp.where(col("add.path").isNotNull)
           .select(col("add.path").as("path"), col("add.partitionValues").as("pv"),
-            dvCol.as("dv")))
+            dvCol.as("dv"), statsCol.as("stats")))
       }
       maxVersion = v
     }
@@ -211,7 +219,7 @@ object DeltaLoader {
         val pv = Option(r.getMap[String, String](1))
           .map(_.toMap).getOrElse(Map.empty[String, String])
         val dv = Option(r.getString(2)).flatMap(j => parseDv(mapper.readTree(j)))
-        AddFile(r.getString(0), pv, dv)
+        AddFile(r.getString(0), pv, dv, Option(r.getString(3)))
       }.toSeq
     }.getOrElse(Seq.empty)
 

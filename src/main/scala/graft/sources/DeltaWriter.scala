@@ -125,13 +125,21 @@ object DeltaWriter {
         df.write.mode("overwrite").parquet(scratch.toString)
         val parts = fs.listStatus(scratch).map(_.getPath)
           .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        val conf = spark.sparkContext.hadoopConfiguration
+        val statCols = df.schema.fields.map(_.name).toSeq
         adds = parts.map { p =>
           val name = p.getName
           require(fs.rename(p, new HPath(root, name)),
             s"DeltaWriter could not move data file $name into $dir")
-          val size = fs.getFileStatus(new HPath(root, name)).getLen
+          val target = new HPath(root, name)
+          val size = fs.getFileStatus(target).getLen
+          // the protocol's per-file statistics channel: data-skipping
+          // readers (delta-rs, ColumnIndex.buildFromDelta) plan off these
+          // without touching a single parquet footer
+          val stats = statsJson(conf, target, statCols)
+            .map(s => s""","stats":${jstr(s)}""").getOrElse("")
           s"""{"add":{"path":"$name","partitionValues":{},"size":$size,""" +
-            s""""modificationTime":$now,"dataChange":true}}"""
+            s""""modificationTime":$now,"dataChange":true$stats}}"""
         }.toSeq
         fs.delete(scratch, true)
       }
@@ -218,6 +226,7 @@ object DeltaWriter {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
+        StructField("stats", StringType),
         StructField("deletionVector", dv)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
@@ -236,6 +245,40 @@ object DeltaWriter {
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType))))))
+  }
+
+  /** One data file's `stats` JSON (the public protocol shape:
+    * numRecords/minValues/maxValues/nullCount), built from the parquet
+    * footer zones the column index already knows how to merge. Columns
+    * with unusable footer stats are simply absent (partial stats are
+    * protocol-legal). */
+  private[sources] def statsJson(conf: org.apache.hadoop.conf.Configuration,
+                                 path: HPath, cols: Seq[String]): Option[String] = {
+    val fz = ColumnIndex.readFileZones(conf, path.toString, cols)
+    val doc = mapper.createObjectNode()
+    doc.put("numRecords", fz.rows)
+    val mins = doc.putObject("minValues")
+    val maxs = doc.putObject("maxValues")
+    val nulls = doc.putObject("nullCount")
+    fz.zones.foreach { case (c, z) =>
+      nulls.put(c, z.nulls)
+      if (!z.allNull) z.kind match {
+        case "long" => mins.put(c, z.minL); maxs.put(c, z.maxL)
+        case "double" => mins.put(c, z.minD); maxs.put(c, z.maxD)
+        case "string" => mins.put(c, z.minS); maxs.put(c, z.maxS)
+        case "date" =>
+          mins.put(c, java.time.LocalDate.ofEpochDay(z.minL).toString)
+          maxs.put(c, java.time.LocalDate.ofEpochDay(z.maxL).toString)
+        case "tsus" | "tsms" =>
+          val perSec = if (z.kind == "tsus") 1000000L else 1000L
+          def iso(v: Long): String = java.time.Instant.ofEpochSecond(
+            Math.floorDiv(v, perSec),
+            Math.floorMod(v, perSec) * (1000000000L / perSec)).toString
+          mins.put(c, iso(z.minL)); maxs.put(c, iso(z.maxL))
+        case _ => ()
+      }
+    }
+    Some(mapper.writeValueAsString(doc))
   }
 
   private def readLastCheckpoint(fs: FileSystem, logDir: HPath)

@@ -309,6 +309,83 @@ object IcebergLoader {
       dvs.result())
   }
 
+  /** One live data file's manifest-recorded stats for
+    * [[ColumnIndex.buildFromIceberg]]: remapped absolute path, record
+    * count, and per-field-id null counts + single-value-serialized
+    * bounds. */
+  private[sources] final case class DataFileStats(
+      path: String, recordCount: Long,
+      nullCounts: Map[Int, Long],
+      lowerBounds: Map[Int, Array[Byte]],
+      upperBounds: Map[Int, Array[Byte]])
+
+  /** The current snapshot's live DATA files with their manifest stats —
+    * driver-side metadata work only, zero parquet footers touched. Returns
+    * the read schema node for field-id typing. Delete files are ignored:
+    * deletes only remove rows, so data-file bounds stay conservative. */
+  private[sources] def currentFileStats(spark: SparkSession, tableUri: String)
+      : (JsonNode, Seq[DataFileStats]) = {
+    val fs = new HPath(tableUri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = currentMetadata(fs, tableUri)
+    val snap = chooseSnapshot(meta, tableUri, None)
+    val schemaNode = schemaNodeFor(meta, snap)
+    if (snap.isEmpty) return (schemaNode, Seq.empty)
+    val s = snap.get
+    val remap = pathRemapper(meta, tableUri)
+    val manifests: Seq[(String, Int)] =
+      Option(s.get("manifest-list")).filterNot(_.isNull) match {
+        case Some(ml) =>
+          readAvro(fs, new HPath(remap(ml.asText()))).map(m =>
+            (remap(str(m, "manifest_path")), intOr(m, "content", 0)))
+        case None =>
+          Option(s.get("manifests")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(p => (remap(p.asText()), 0)).toSeq)
+            .getOrElse(Seq.empty)
+      }
+    val out = Seq.newBuilder[DataFileStats]
+    manifests.foreach { case (path, manifestContent) =>
+      readAvro(fs, new HPath(path)).foreach { entry =>
+        if (intOr(entry, "status", 1) != 2) {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          if (intOr(df, "content", manifestContent) == 0)
+            out += DataFileStats(remap(str(df, "file_path")),
+              longOr(df, "record_count", -1L),
+              kvEntries(df, "null_value_counts").collect {
+                case (k, v: Number) => k -> v.longValue() }.toMap,
+              kvBytes(df, "lower_bounds"), kvBytes(df, "upper_bounds"))
+        }
+      }
+    }
+    (schemaNode, out.result())
+  }
+
+  /** An iceberg k-v stats field: the spec's array<record{key,value}> form,
+    * or a string-keyed avro map (both appear in the wild). Absent/null ->
+    * empty. */
+  private def kvEntries(r: GenericRecord, field: String): Seq[(Int, Any)] =
+    if (r.getSchema.getField(field) == null) Seq.empty
+    else Option(r.get(field)).toSeq.flatMap {
+      case m: java.util.Map[_, _] =>
+        m.asScala.toSeq.flatMap { case (k, v) =>
+          k.toString.toIntOption.map(_ -> (v: Any)) }
+      case c: java.util.Collection[_] =>
+        c.asScala.toSeq.collect { case rec: GenericRecord =>
+          (rec.get("key").asInstanceOf[Number].intValue(), rec.get("value"): Any) }
+      case _ => Seq.empty
+    }
+
+  private def kvBytes(r: GenericRecord, field: String): Map[Int, Array[Byte]] =
+    kvEntries(r, field).flatMap { case (k, v) =>
+      val bytes = v match {
+        case bb: java.nio.ByteBuffer =>
+          val d = bb.duplicate(); val a = new Array[Byte](d.remaining()); d.get(a); Some(a)
+        case a: Array[Byte] => Some(a)
+        case f: org.apache.avro.generic.GenericFixed => Some(f.bytes())
+        case _ => None
+      }
+      bytes.map(k -> _)
+    }.toMap
+
   /** Iceberg stores ABSOLUTE paths from write time; a relocated table's
     * paths are remapped by swapping the metadata `location` prefix for the
     * actual table root. Both sides normalize their `file:///` vs `file:/`

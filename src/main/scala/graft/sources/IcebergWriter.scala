@@ -72,17 +72,6 @@ object IcebergWriter {
 
   private val mapper = new ObjectMapper()
 
-  private val manifestSchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"sequence_number","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |  {"name":"content","type":"int"},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
-
   private val manifestListSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
@@ -220,31 +209,6 @@ object IcebergWriter {
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)).getOrElse(Seq.empty)
     val snapId = snapshots.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
 
-    // one manifest for this commit's data files; partitioned tables get a
-    // spec-typed `partition` record per entry
-    val mSchema = manifestSchemaFor(partCols.map(c => c -> partTypes(c)))
-    val manifestPath = new HPath(metaDir, s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
-    writeAvro(fs, mSchema, moved.map { case (path, size, rc, tuple) =>
-      val e = new GenericData.Record(mSchema)
-      val dfSchema = mSchema.getField("data_file").schema()
-      val d = new GenericData.Record(dfSchema)
-      d.put("content", 0)
-      d.put("file_path", path)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", rc)
-      d.put("file_size_in_bytes", size)
-      if (partCols.nonEmpty) {
-        val pSchema = dfSchema.getField("partition").schema()
-        val pr = new GenericData.Record(pSchema)
-        tuple.foreach { case (c, v) => pr.put(c, v) }
-        d.put("partition", pr)
-      }
-      e.put("status", 1)
-      e.put("sequence_number", Long.box(seq))
-      e.put("data_file", d)
-      e
-    }, manifestPath)
-
     // schema bookkeeping. `priorSchemas` normalizes the two metadata
     // generations: the v2 `schemas` array, or the legacy v1 top-level
     // `schema` wrapped with schema-id 0 — without the fallback an
@@ -329,6 +293,67 @@ object IcebergWriter {
             .mkString("[", ",", "]"),
             nextSpecId, priorLastPid + partCols.size)
       }
+
+    // one manifest for this commit's data files: partitioned tables get a
+    // spec-typed `partition` record, and every entry carries per-column
+    // null_value_counts + lower/upper bounds (the spec's single-value
+    // binary serialization, keyed by schema field-id) read from the
+    // parquet footers — the data-skipping channel
+    // [[ColumnIndex.buildFromIceberg]] and real iceberg planners consume
+    val mSchema = manifestSchemaFor(partCols.map(c => c -> partTypes(c)))
+    val manifestPath = new HPath(metaDir, s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
+    val statCols = df.schema.fields
+      .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq
+    writeAvro(fs, mSchema, moved.map { case (path, size, rc, tuple) =>
+      val e = new GenericData.Record(mSchema)
+      val dfSchema = mSchema.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 0)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", rc)
+      d.put("file_size_in_bytes", size)
+      if (partCols.nonEmpty) {
+        val pSchema = dfSchema.getField("partition").schema()
+        val pr = new GenericData.Record(pSchema)
+        tuple.foreach { case (c, v) => pr.put(c, v) }
+        d.put("partition", pr)
+      }
+      val fz = ColumnIndex.readFileZones(conf, path, statCols)
+      def kvSchema(field: String): Schema = {
+        val union = dfSchema.getField(field).schema()
+        union.getTypes.get(1).getElementType // ["null", array<kv>] -> kv
+      }
+      def kv(schema: Schema, key: Int, value: AnyRef): GenericRecord = {
+        val r = new GenericData.Record(schema); r.put("key", key)
+        r.put("value", value); r
+      }
+      val nullsOut = new java.util.ArrayList[GenericRecord]()
+      val lowerOut = new java.util.ArrayList[GenericRecord]()
+      val upperOut = new java.util.ArrayList[GenericRecord]()
+      fz.zones.foreach { case (c, z) =>
+        curSchemaFieldIds.get(c).foreach { fid =>
+          nullsOut.add(kv(kvSchema("null_value_counts"), fid, Long.box(z.nulls)))
+          val dt = df.schema(c).dataType
+          // the zone's domain must be the one this column's iceberg type
+          // serializes, or the bytes would lie (e.g. nanos-as-long stats
+          // under a timestamp field)
+          if (!z.allNull && boundsKind(dt).contains(z.kind)) {
+            boundsBytes(dt, z, isMin = true).foreach(b =>
+              lowerOut.add(kv(kvSchema("lower_bounds"), fid, b)))
+            boundsBytes(dt, z, isMin = false).foreach(b =>
+              upperOut.add(kv(kvSchema("upper_bounds"), fid, b)))
+          }
+        }
+      }
+      d.put("null_value_counts", nullsOut)
+      d.put("lower_bounds", lowerOut)
+      d.put("upper_bounds", upperOut)
+      e.put("status", 1)
+      e.put("sequence_number", Long.box(seq))
+      e.put("data_file", d)
+      e
+    }, manifestPath)
 
     // manifest list: previous entries carried forward on append, keeping
     // the spec id each manifest was written under
@@ -514,27 +539,75 @@ object IcebergWriter {
     }
   }
 
-  /** The manifest-entry schema, with a spec-typed nullable `partition`
-    * record when the table is partitioned. */
-  private[sources] def manifestSchemaFor(partFields: Seq[(String, DataType)]): Schema =
-    if (partFields.isEmpty) manifestSchema
-    else {
-      val fields = partFields.map { case (c, dt) =>
-        s"""{"name":${mapper.writeValueAsString(c)},"type":["null",${
-          partitionAvroType(dt).get}],"default":null}"""
-      }.mkString(",")
-      new Schema.Parser().parse(
-        s"""{"type":"record","name":"manifest_entry","fields":[
-          |{"name":"status","type":"int"},
-          |{"name":"sequence_number","type":["null","long"],"default":null},
-          |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-          |  {"name":"content","type":"int"},
-          |  {"name":"file_path","type":"string"},
-          |  {"name":"file_format","type":"string"},
-          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$fields]}},
-          |  {"name":"record_count","type":"long"},
-          |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+  /** The manifest-entry schema: a spec-typed nullable `partition` record
+    * when the table is partitioned, plus the spec's per-column stats
+    * fields (null_value_counts and the k-v bytes lower/upper bounds). */
+  private[sources] def manifestSchemaFor(partFields: Seq[(String, DataType)]): Schema = {
+    val partition =
+      if (partFields.isEmpty) ""
+      else {
+        val fields = partFields.map { case (c, dt) =>
+          s"""{"name":${mapper.writeValueAsString(c)},"type":["null",${
+            partitionAvroType(dt).get}],"default":null}"""
+        }.mkString(",")
+        s"""{"name":"partition","type":{"type":"record","name":"r102","fields":[$fields]}},"""
+      }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  $partition
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"null_value_counts","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"k_v_long","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+        |   "default":null},
+        |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"k_v_bytes","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |   "default":null},
+        |  {"name":"upper_bounds","type":["null",{"type":"array","items":"k_v_bytes"}],
+        |   "default":null}]}}]}""".stripMargin)
+  }
+
+  /** The [[ColumnIndex.Zone]] kind this Spark type's iceberg single-value
+    * serialization speaks; None = bounds not emitted for the type. */
+  private[sources] def boundsKind(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case StringType => Some("string")
+    case DateType => Some("date")
+    case TimestampType | TimestampNTZType => Some("tsus")
+    case _ => None
+  }
+
+  /** One bound in the spec's single-value binary serialization
+    * (little-endian numerics, raw UTF-8 strings). */
+  private[sources] def boundsBytes(dt: DataType, z: ColumnIndex.Zone,
+                                   isMin: Boolean): Option[java.nio.ByteBuffer] = {
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = dt match {
+      case ByteType | ShortType | IntegerType =>
+        Some(le(4).putInt((if (isMin) z.minL else z.maxL).toInt))
+      case LongType => Some(le(8).putLong(if (isMin) z.minL else z.maxL))
+      case DateType => Some(le(4).putInt((if (isMin) z.minL else z.maxL).toInt))
+      case TimestampType | TimestampNTZType =>
+        Some(le(8).putLong(if (isMin) z.minL else z.maxL))
+      case FloatType => Some(le(4).putFloat((if (isMin) z.minD else z.maxD).toFloat))
+      case DoubleType => Some(le(8).putDouble(if (isMin) z.minD else z.maxD))
+      case StringType =>
+        val s = if (isMin) z.minS else z.maxS
+        Some(java.nio.ByteBuffer.wrap(s.getBytes("UTF-8")))
+      case _ => None
     }
+    out.map { b => b.rewind(); b }
+  }
 
   /** The current snapshot's manifest-list entries as
     * (path, length, content, seq, addedSnapshotId, specId). */
