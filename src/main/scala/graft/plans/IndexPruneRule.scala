@@ -30,10 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Strictly conservative by construction:
   *   - fires only for dirs the engine registered with `index_columns`
   *     ([[graft.sources.ColumnIndexRegistry]] — empty registry = dead rule);
-  *   - only simple `attr op literal` conjuncts prune; casts, expressions,
-  *     null literals, float literals (float->double widening would compare
-  *     a DIFFERENT value than the runtime float comparison), and
-  *     sub-second timestamps contribute nothing;
+  *   - only simple `attr op literal` conjuncts prune (plus top-level ORs
+  *     of such conjunctions, as the union of their disjuncts' surviving
+  *     sets); casts, expressions, null literals, float literals
+  *     (float->double widening would compare a DIFFERENT value than the
+  *     runtime float comparison), and sub-second timestamps contribute
+  *     nothing;
   *   - partitioned, bucketed, catalog-backed, and streaming relations are
   *     left untouched (Spark's own partition pruning owns those);
   *   - the interval test itself is [[graft.sources.ColumnIndex.zoneMayMatch]],
@@ -50,33 +52,47 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def prunedRelation(cond: Expression,
-                             l: LogicalRelation): Option[LogicalPlan] =
-    for {
-      fsRel <- l.relation match {
-        case r: HadoopFsRelation
-            if r.fileFormat.isInstanceOf[ParquetFileFormat] &&
-              r.partitionSchema.isEmpty && r.bucketSpec.isEmpty &&
-              l.catalogTable.isEmpty && !l.isStreaming => Some(r)
-        case _ => None
-      }
-      idx <- lookupFor(fsRel.location.rootPaths)
-      preds = splitConjunctivePredicates(cond).flatMap(triplesOf)
-      if preds.nonEmpty
-      // prune among the SCAN's own listing, not the index's: files the
-      // index has not harvested yet (mid-tick appends, fresher ad-hoc
-      // listings) always keep
-      scanFiles = fsRel.location.inputFiles.toSeq
-      kept <- idx.pruneAmong(scanFiles, preds)
-      if kept.size < scanFiles.size
-    } yield {
-      if (kept.isEmpty) LocalRelation(l.output)
-      else {
-        val spark = fsRel.sparkSession
-        val loc = new InMemoryFileIndex(
-          spark, kept.map(new Path(_)), fsRel.options, Some(fsRel.dataSchema))
-        Filter(cond, l.copy(relation = fsRel.copy(location = loc)(spark)))
-      }
+                             l: LogicalRelation): Option[LogicalPlan] = {
+    val fsRel = l.relation match {
+      case r: HadoopFsRelation
+          if r.fileFormat.isInstanceOf[ParquetFileFormat] &&
+            r.partitionSchema.isEmpty && r.bucketSpec.isEmpty &&
+            l.catalogTable.isEmpty && !l.isStreaming => r
+      case _ => return None
     }
+    val idx = lookupFor(fsRel.location.rootPaths).getOrElse(return None)
+    val conjuncts = splitConjunctivePredicates(cond)
+    val simple = conjuncts.flatMap(triplesOf)
+    // a top-level OR conjunct prunes as the UNION of its disjuncts'
+    // surviving sets — but only when EVERY disjunct contributes pruning
+    // evidence (a disjunct the index cannot see keeps all files, making
+    // the union the full set). A disjunct's own conjunction prunes on any
+    // subset of its conjuncts (superset of matches = sound).
+    val orGroups = conjuncts.collect {
+      case o: Or => splitDisjunctivePredicates(o)
+        .map(d => splitConjunctivePredicates(d).flatMap(triplesOf))
+    }.filter(ds => ds.nonEmpty && ds.forall(_.nonEmpty))
+    if (simple.isEmpty && orGroups.isEmpty) return None
+    // prune among the SCAN's own listing, not the index's: files the
+    // index has not harvested yet (mid-tick appends, fresher ad-hoc
+    // listings) always keep
+    val scanFiles = fsRel.location.inputFiles.toSeq
+    var kept: Seq[String] = scanFiles
+    if (simple.nonEmpty) idx.pruneAmong(kept, simple).foreach(k => kept = k)
+    orGroups.foreach { ds =>
+      val surviving = ds.map(d => idx.pruneAmong(kept, d).getOrElse(kept).toSet)
+        .reduce(_ union _)
+      kept = kept.filter(surviving)
+    }
+    if (kept.size >= scanFiles.size) None
+    else if (kept.isEmpty) Some(LocalRelation(l.output))
+    else {
+      val spark = fsRel.sparkSession
+      val loc = new InMemoryFileIndex(
+        spark, kept.map(new Path(_)).toSeq, fsRel.options, Some(fsRel.dataSchema))
+      Some(Filter(cond, l.copy(relation = fsRel.copy(location = loc)(spark))))
+    }
+  }
 
   /** Registry lookup for a scan's root paths. The engine's registered
     * parquet dirs match a single-root scan exactly; Delta/Iceberg loader

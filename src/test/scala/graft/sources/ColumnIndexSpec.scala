@@ -317,6 +317,48 @@ class ColumnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally eng.dropTable("zt")
   }
 
+  test("top-level OR predicates prune to the union of disjunct survivors") {
+    val eng = new graft.server.Engine(spark, readOnly = true)
+    try {
+      eng.registerTable(TableSource("zor", dir, format = Some("parquet"),
+        options = Map("index_columns" -> "k;s", "use_memory_table" -> "false")))
+      def roots(sql: String): Seq[org.apache.hadoop.fs.Path] =
+        eng.querySql(sql).queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths
+        }.getOrElse(Seq.empty)
+      // (range) OR (eq): the union covers exactly two of the eight files
+      val orQ = "SELECT k FROM zor WHERE (k >= 100 AND k < 110) OR k = 1500"
+      assert(eng.querySql(orQ).collect().map(_.getLong(0)).sorted.toSeq ==
+        ((100L until 110L) :+ 1500L))
+      val r1 = roots(orQ)
+      assert(r1.size == 2 && r1.forall(_.getName.endsWith(".parquet")),
+        r1.mkString(","))
+      // a disjunct WITHOUT index evidence disables the whole OR — pruning
+      // on the seen disjunct alone would drop rows the unseen one matches
+      val r2 = roots("SELECT k FROM zor WHERE k < 50 OR k % 7 = 0")
+      assert(r2.size == 1 && !r2.head.getName.endsWith(".parquet"),
+        r2.mkString(","))
+      // an OR intersects with sibling conjuncts: the LIKE pins k to
+      // 300..399, disjoint from both disjuncts -> provably empty, scan
+      // folds away entirely
+      val none = eng.querySql(
+        "SELECT k FROM zor WHERE s LIKE 's03%' AND (k < 10 OR k > 1990)")
+      assert(none.count() == 0)
+      assert(none.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.isEmpty)
+      // cross-column OR: long range union string range
+      val q3 = "SELECT k FROM zor WHERE (k < 10) OR (s >= 's1990' AND s < 's1995')"
+      assert(eng.querySql(q3).count() == 15)
+      val r3 = roots(q3)
+      assert(r3.size == 2 && r3.forall(_.getName.endsWith(".parquet")),
+        r3.mkString(","))
+    } finally eng.dropTable("zor")
+  }
+
   test("SQL date predicates prune through the rule (raw() epoch-day decode)") {
     val eng = new graft.server.Engine(spark, readOnly = true)
     try {
