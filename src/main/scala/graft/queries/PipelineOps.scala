@@ -1599,10 +1599,9 @@ object PipelineOps {
     }),
 
     // ===== multimodal plumbing =============================================
-    // Opaque binary payload + typed metadata. The "decode" is a clearly
-    // deterministic STUB (no media libs in this environment); the Spark-side
-    // plumbing — binary column, schema, partition-parallel feature extraction,
-    // batch shape — is real.
+    // Opaque binary payload + typed metadata — NOT a codec stub: this IS
+    // the multimodal column pattern itself (binary column, byte length,
+    // magic bytes, source tag), no decode anywhere in the path.
     "mm_binary_meta" -> ((spark, dir) => {
       docs(spark, dir)
         .select(col("doc_id"),
@@ -1781,9 +1780,13 @@ object PipelineOps {
         .orderBy(col("doc_id"))),
 
     // stubbed feature extraction: deterministic pseudo-features from the
-    // payload's FNV hash (stands in for image decode + embed; the batched
-    // partition-parallel plumbing in Multimodal.extractFeatures is real, and
-    // the arithmetic is public so the oracle reproduces it bit-exactly)
+    // payload's FNV hash. Stands in for LEARNED-MODEL embedding only (no
+    // ML runtime ships with the JDK) — decode, model-free embedding, and
+    // similarity search are all real kernels now (mm_extract_features,
+    // mm_image_embed, mm_embed_topk). The batched partition-parallel
+    // plumbing in Multimodal.extractFeatures (binary -> fixed-dim vector,
+    // per-partition decoder-init hook) is the real deliverable, and the
+    // arithmetic is public so the oracle reproduces it bit-exactly.
     "mm_features_stub" -> ((spark, dir) => {
       graft.operators.Multimodal
         .extractFeatures(graft.operators.Multimodal.documentsAsMedia(spark, dir))
