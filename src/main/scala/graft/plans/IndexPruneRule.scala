@@ -106,9 +106,12 @@ object IndexPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     if (roots.isEmpty) return None
     val direct = graft.sources.ColumnIndexRegistry.lookup(roots.head.toString)
     if (direct.isDefined) return direct
+    // deep enough for data/<k1>=v/<k2>=v/.../part.parquet layouts with
+    // many partition columns (review finding: 4 hops missed the table
+    // root past 3 identity partitions); each probe is one map lookup
     var p = roots.head.getParent
     var hops = 0
-    while (p != null && hops < 4) {
+    while (p != null && hops < 12) {
       val hit = graft.sources.ColumnIndexRegistry.lookup(p.toString)
       if (hit.isDefined) return hit
       p = p.getParent; hops += 1

@@ -189,41 +189,48 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
         // only files new since the last tick are harvested.
         val idxCols =
           cs.split(Array(',', ';')).toIndexedSeq.map(_.trim).filter(_.nonEmpty)
-        // opt-in sidecar persistence: restarts reload zones and harvest
-        // only changed files (the sidecar lives in the table dir like a
-        // _delta_log — writing into users' data uninvited stays off)
-        val persist = src.options.get("index_persist")
-          .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
-          .contains(true)
-        val prevMem = Option(colIndexes.get(src.name))
-        // consult the disk sidecar on the FIRST resolve after an explicit
-        // register (covers enabling persist on a known table: the memory
-        // index is fresh, but the sidecar may not exist yet); steady
-        // refresh ticks skip the disk read and diff against memory
-        val firstSync = persist && !sidecarSynced.contains(src.name)
-        val fromDisk =
-          if (firstSync) graft.sources.ColumnIndex.load(spark, src.uri, idxCols)
-          else None
         // Delta/Iceberg tables index from their OWN metadata (add.stats /
-        // manifest bounds) — zero footer reads, and no sidecar either: the
-        // zones already persist in the table's transaction log
+        // manifest bounds) — zero footer reads, and no sidecar machinery
+        // either: the zones already persist in the table's transaction
+        // log, so the prev/fromDisk/persist plumbing below is
+        // parquet-only (review finding: running it per tick for metadata
+        // indexes probed a never-written sidecar forever)
         val idx = src.resolvedFormat match {
           case "delta" =>
             graft.sources.ColumnIndex.buildFromDelta(spark, src.uri, idxCols)
           case "iceberg" =>
             graft.sources.ColumnIndex.buildFromIceberg(spark, src.uri, idxCols)
-          case _ => graft.sources.ColumnIndex.build(
-            spark, src.uri, idxCols, prevMem.orElse(fromDisk))
-        }
-        if (persist && src.resolvedFormat == "parquet") {
-          def fileSet(i: graft.sources.ColumnIndex.Index) =
-            i.files.map(f => (f.path, f.sig)).toSet
-          val changed =
-            if (firstSync) !fromDisk.exists(d => fileSet(d) == fileSet(idx))
-            else idx.reusedFiles < idx.fileCount || // new/changed files
-              prevMem.exists(p => fileSet(p) != fileSet(idx)) // deletions
-          if (changed) graft.sources.ColumnIndex.save(spark, idx)
-          sidecarSynced.add(src.name)
+          case _ =>
+            // opt-in sidecar persistence: restarts reload zones and
+            // harvest only changed files (the sidecar lives in the table
+            // dir like a _delta_log — writing into users' data uninvited
+            // stays off)
+            val persist = src.options.get("index_persist")
+              .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
+              .contains(true)
+            val prevMem = Option(colIndexes.get(src.name))
+            // consult the disk sidecar on the FIRST resolve after an
+            // explicit register (covers enabling persist on a known
+            // table: the memory index is fresh, but the sidecar may not
+            // exist yet); steady refresh ticks skip the disk read and
+            // diff against memory
+            val firstSync = persist && !sidecarSynced.contains(src.name)
+            val fromDisk =
+              if (firstSync) graft.sources.ColumnIndex.load(spark, src.uri, idxCols)
+              else None
+            val built = graft.sources.ColumnIndex.build(
+              spark, src.uri, idxCols, prevMem.orElse(fromDisk))
+            if (persist) {
+              def fileSet(i: graft.sources.ColumnIndex.Index) =
+                i.files.map(f => (f.path, f.sig)).toSet
+              val changed =
+                if (firstSync) !fromDisk.exists(d => fileSet(d) == fileSet(built))
+                else built.reusedFiles < built.fileCount || // new/changed files
+                  prevMem.exists(p => fileSet(p) != fileSet(built)) // deletions
+              if (changed) graft.sources.ColumnIndex.save(spark, built)
+              sidecarSynced.add(src.name)
+            }
+            built
         }
         colIndexes.put(src.name, idx)
         // the SQL frontend prunes through IndexPruneRule, which sees only

@@ -686,8 +686,11 @@ object ColumnIndex {
                                      wanted: Seq[String]): FileZones = {
     val rd = try ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     catch { case scala.util.control.NonFatal(_) =>
-      // unreadable/non-parquet data file: keep it forever (no zones)
-      return FileZones(path, 0L, Map.empty)
+      // unreadable/non-parquet data file: keep it forever (no zones).
+      // rows = -1 marks UNREADABLE, distinct from a genuinely row-less
+      // footer — stats writers must not publish numRecords for it
+      // (review finding)
+      return FileZones(path, -1L, Map.empty)
     }
     try {
       val footer = rd.getFooter

@@ -235,6 +235,7 @@ object DeltaWriter {
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),
+        StructField("description", StringType),
         StructField("format", StructType(Seq(
           StructField("provider", StringType),
           StructField("options", MapType(StringType, StringType))))),
@@ -242,9 +243,15 @@ object DeltaWriter {
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", MapType(StringType, StringType)),
         StructField("createdTime", LongType)))),
+      // reader/writerFeatures are REQUIRED at protocol v3 — dropping them
+      // through the checkpoint would brick table-features tables for
+      // external readers once pre-checkpoint JSON is cleaned up (review
+      // finding)
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType))))))
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
   }
 
   /** One data file's `stats` JSON (the public protocol shape:
@@ -255,6 +262,11 @@ object DeltaWriter {
   private[sources] def statsJson(conf: org.apache.hadoop.conf.Configuration,
                                  path: HPath, cols: Seq[String]): Option[String] = {
     val fz = ColumnIndex.readFileZones(conf, path.toString, cols)
+    // an unreadable footer (rows = -1 marker) earns no stats claim:
+    // publishing numRecords:0 for a file that has rows would make
+    // stats-only COUNT answers silently wrong forever (review finding);
+    // omitting stats is protocol-legal
+    if (fz.rows < 0L) return None
     val doc = mapper.createObjectNode()
     doc.put("numRecords", fz.rows)
     val mins = doc.putObject("minValues")
@@ -438,6 +450,13 @@ object DeltaWriter {
           else Some(t.get("version").asLong())
         }
       }
+    // the checkpoint is consulted only when the JSON scan finds NOTHING
+    // for this appId (pre-checkpoint cleanup): our writer refuses
+    // lower-after-higher txn versions, so any surviving JSON row already
+    // dominates whatever the checkpoint aggregated — and the common
+    // steady-state micro-batch commit skips a Spark job per attempt
+    // (review finding)
+    if (fromJson.nonEmpty) return Some(fromJson.max)
     val fromCheckpoint = readLastCheckpoint(fs, logDir).toSeq.flatMap {
       case (v, parts) =>
         val cp = spark.read.parquet(checkpointPaths(logDir, v, parts): _*)
@@ -445,8 +464,7 @@ object DeltaWriter {
         else cp.select(col("txn.version")).where(col("txn.appId") === appId)
           .collect().map(_.getLong(0)).toSeq
     }
-    val versions = fromJson ++ fromCheckpoint
-    if (versions.isEmpty) None else Some(versions.max)
+    if (fromCheckpoint.isEmpty) None else Some(fromCheckpoint.max)
   }
 
   /** Exactly-once streaming sink: foreachBatch append with the micro-batch

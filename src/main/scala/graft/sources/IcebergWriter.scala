@@ -117,6 +117,24 @@ object IcebergWriter {
         s"IcebergWriter cannot identity-partition on ${f.dataType} column `$c` " +
           "(string / int-family / boolean / date only)")
     }
+    // Spark's dynamic-partition layout maps BOTH null and "" to the same
+    // __HIVE_DEFAULT_PARTITION__ directory — an empty-string partition
+    // value would silently share a data file with null rows and be
+    // recorded as null in the manifest, so external planners would prune
+    // away its rows (review finding). Refuse loudly; the probe is one
+    // pushed-down limit-1 scan.
+    locally {
+      val stringParts = partCols.filter(c => df.schema(c).dataType == StringType)
+      if (stringParts.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, lit}
+        val bad = df.filter(stringParts.map(c => col(c) === lit("")).reduce(_ || _))
+          .limit(1).count()
+        require(bad == 0L,
+          s"IcebergWriter: empty-string values in partition column(s) " +
+            s"${stringParts.mkString(",")} are indistinguishable from null in " +
+            "the partition layout — filter or NULLIF them first")
+      }
+    }
 
     existing.foreach { meta =>
       if (mode == "append") {
@@ -169,7 +187,9 @@ object IcebergWriter {
           Seq((st.getPath, segs))
         else Seq.empty
       }
-    val moved: Seq[(String, Long, Long, Seq[(String, Any)])] =
+    val statCols = df.schema.fields
+      .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq
+    val moved: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
       collectParts(scratch, Seq.empty).map { case (p, segs) =>
         val bySeg = segs.map { s =>
           val i = s.indexOf('=')
@@ -191,12 +211,13 @@ object IcebergWriter {
         require(fs.rename(p, target),
           s"IcebergWriter could not move data file ${p.getName} into $targetDir")
         val st = fs.getFileStatus(target)
-        // TRUE record counts off the parquet footer (a stats hint real
-        // planners read; never a lie)
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
-        val rc = try rd.getRecordCount finally rd.close()
-        (target.toString, st.getLen, rc, tuple)
+        // ONE footer read per file supplies both the TRUE record count (a
+        // stats hint real planners read; never a lie) and the bounds zones
+        // the manifest publishes (review finding: this was two opens)
+        val fz = ColumnIndex.readFileZones(conf, target.toString, statCols)
+        require(fz.rows >= 0L,
+          s"IcebergWriter could not read back the footer of $target")
+        (target.toString, st.getLen, fz, tuple)
       }
     fs.delete(scratch, true)
 
@@ -272,9 +293,17 @@ object IcebergWriter {
       s.get("fields").elements().asScala.toSeq.map(f =>
         (f.get("name").asText(), f.get("transform").asText(),
           f.get("source-id").asInt()))
+    // floor at the max field-id any prior spec already uses: a legacy
+    // table missing last-partition-id must not hand out ids its own specs
+    // hold for DIFFERENT source columns (spec: partition field-ids are
+    // never reused; review finding)
+    val priorSpecMaxFid = priorSpecs
+      .flatMap(_.get("fields").elements().asScala.toSeq)
+      .flatMap(f => Option(f.get("field-id")).filterNot(_.isNull).map(_.asInt()))
+      .foldLeft(999)(math.max)
     val priorLastPid = existing.flatMap(m =>
       Option(m.get("last-partition-id")).filterNot(_.isNull).map(_.asInt()))
-      .getOrElse(999)
+      .getOrElse(999).max(priorSpecMaxFid)
     val (specsJson, specId, lastPartitionId) =
       priorSpecs.find(s => specKey(s) == wantedKey) match {
         case Some(s) =>
@@ -302,16 +331,14 @@ object IcebergWriter {
     // [[ColumnIndex.buildFromIceberg]] and real iceberg planners consume
     val mSchema = manifestSchemaFor(partCols.map(c => c -> partTypes(c)))
     val manifestPath = new HPath(metaDir, s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
-    val statCols = df.schema.fields
-      .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq
-    writeAvro(fs, mSchema, moved.map { case (path, size, rc, tuple) =>
+    writeAvro(fs, mSchema, moved.map { case (path, size, fz, tuple) =>
       val e = new GenericData.Record(mSchema)
       val dfSchema = mSchema.getField("data_file").schema()
       val d = new GenericData.Record(dfSchema)
       d.put("content", 0)
       d.put("file_path", path)
       d.put("file_format", "PARQUET")
-      d.put("record_count", rc)
+      d.put("record_count", fz.rows)
       d.put("file_size_in_bytes", size)
       if (partCols.nonEmpty) {
         val pSchema = dfSchema.getField("partition").schema()
@@ -319,7 +346,6 @@ object IcebergWriter {
         tuple.foreach { case (c, v) => pr.put(c, v) }
         d.put("partition", pr)
       }
-      val fz = ColumnIndex.readFileZones(conf, path, statCols)
       def kvSchema(field: String): Schema = {
         val union = dfSchema.getField(field).schema()
         union.getTypes.get(1).getElementType // ["null", array<kv>] -> kv

@@ -208,6 +208,33 @@ class DeltaWriterSpec extends SparkSpec {
     assert(rows(readBack(dir)) == expect + (203L -> "y"))
   }
 
+  test("checkpoint carries protocol reader/writerFeatures through verbatim") {
+    // a v3 table-features table (spec REQUIRES the features arrays at
+    // reader version 3) — the checkpoint must not launder them away
+    val dir = newDir()
+    val logDir = new java.io.File(dir + "/_delta_log"); logDir.mkdirs()
+    val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"name\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.writeString(java.nio.file.Path.of(dir + "/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |{"metaData":{"id":"m","description":"keep me","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{},"createdTime":0}}
+         |""".stripMargin)
+    (0 until 9).foreach(i => // v1..v9 -> checkpoint at v9
+      DeltaWriter.write(Seq((i.toLong, "x")).toDF("id", "name"), dir))
+    val cp = spark.read.parquet(dir + "/_delta_log/00000000000000000009.checkpoint.parquet")
+    val proto = cp.where(org.apache.spark.sql.functions.col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.readerFeatures",
+        "protocol.writerFeatures").collect().head
+    assert(proto.getInt(0) == 3)
+    assert(proto.getSeq[String](1) == Seq("deletionVectors"))
+    assert(proto.getSeq[String](2) == Seq("deletionVectors"))
+    val meta = cp.where(org.apache.spark.sql.functions.col("metaData").isNotNull)
+      .select("metaData.description").collect().head
+    assert(meta.getString(0) == "keep me")
+    // and the checkpoint alone still replays (features validated, rows ok)
+    deleteLogFiles(dir)(name => name.endsWith(".checkpoint.parquet"))
+    assert(rows(readBack(dir)) == (0 until 9).map(i => i.toLong -> "x").toSet)
+  }
+
   test("column-mapped and partitioned tables are refused loudly") {
     val dir = newDir()
     // hand-build a minimal column-mapped table (the DeltaLoaderSpec shape)

@@ -219,6 +219,14 @@ class IcebergWriterSpec extends SparkSpec {
         newDir(), partitionBy = Seq("score"))
     }
     assert(badType.getMessage.contains("identity-partition"))
+    // empty-string partition values refuse: the dynamic-partition layout
+    // maps "" and null to the SAME dir, so the manifest would record null
+    // for a file holding ""-rows and external pruning would drop them
+    val badEmpty = intercept[IllegalArgumentException] {
+      IcebergWriter.write(Seq((7L, "", "x")).toDF("id", "region", "name"),
+        newDir(), partitionBy = Seq("region"))
+    }
+    assert(badEmpty.getMessage.contains("empty-string"))
   }
 
   test("partition tuples (incl. null and date values) land in the manifest entries") {
