@@ -35,12 +35,22 @@ import org.apache.spark.sql.DataFrame
   * at-least-once batch redelivery into exactly-once table contents
   * (the same discipline as the persisted MinHash index's batch stamps).
   *
-  * Supported: unpartitioned tables, append + overwrite, schema declared on
-  * first commit, schema-compatibility enforcement on append, version
-  * continuation after any reader-compatible log (checkpoint-based tables
-  * append fine — new JSON commits replay after the checkpoint).
-  * Unsupported (fails loudly): appending to column-mapped tables (data
-  * files would need physical names), partitioned writes.
+  * Supported: append + overwrite, schema declared on first commit,
+  * schema-compatibility enforcement on append, version continuation after
+  * any reader-compatible log (checkpoint-based tables append fine — new
+  * JSON commits replay after the checkpoint), and PARTITIONED tables:
+  * `partitionBy` columns land in `metaData.partitionColumns`, the data
+  * write goes through Spark's dynamic-partition layout (which, exactly as
+  * the Delta protocol wants, keeps partition columns OUT of the data
+  * files — [[DeltaLoader]] reconstructs them from the log), and each add
+  * action records its tuple in `partitionValues` (the protocol's
+  * string-serialization: the unescaped hive dir value, null for the
+  * default-partition marker). Appends inherit the table's partitioning
+  * when `partitionBy` is omitted and refuse a mismatched one; overwrite
+  * may re-partition. Partition key types: string / int-family / boolean /
+  * date; empty-string values refuse (the layout cannot tell them from
+  * null). Unsupported (fails loudly): appending to column-mapped tables
+  * (data files would need physical names).
   *
   * Checkpoints: after committing version v with (v+1) divisible by
   * [[checkpointInterval]], the full replay state at v lands in
@@ -63,9 +73,12 @@ object DeltaWriter {
   private val mapper = new ObjectMapper()
 
   /** Write `df` as one Delta commit; returns the committed version (or the
-    * already-committed version for an idempotent-skip). */
+    * already-committed version for an idempotent-skip). `partitionBy`
+    * declares partition columns (empty = inherit the table's partitioning
+    * on append, unpartitioned on create/overwrite). */
   def write(df: DataFrame, dir: String, mode: String = "append",
-            txn: Option[(String, Long)] = None): Long = {
+            txn: Option[(String, Long)] = None,
+            partitionBy: Seq[String] = Seq.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"DeltaWriter mode must be append|overwrite, got `$mode`")
     val spark = df.sparkSession
@@ -74,6 +87,7 @@ object DeltaWriter {
     val logDir = new HPath(root, "_delta_log")
     fs.mkdirs(logDir)
 
+
     // the data files are written ONCE (their add actions are valid against
     // any snapshot); everything snapshot-DEPENDENT — validation, the txn
     // ledger check, removes, metaData-on-first-commit — is recomputed from
@@ -81,6 +95,7 @@ object DeltaWriter {
     // concurrent CREATE or schema-changing commit re-validates instead of
     // republishing stale metaData/removes (review finding).
     var adds: Seq[String] = null
+    var writtenPartCols: Seq[String] = null
     var attempts = 0
     while (true) {
       attempts += 1
@@ -97,8 +112,6 @@ object DeltaWriter {
         require(s.columnMappingMode == "none",
           "DeltaWriter cannot write into a column-mapped table " +
             "(data files would need physical column names)")
-        require(s.partitionColumns.isEmpty,
-          "DeltaWriter supports unpartitioned tables only")
         if (mode == "append") {
           val want = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
           val have = s.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -107,6 +120,20 @@ object DeltaWriter {
               s"${have.mkString(",")} (overwrite to replace the schema)")
         }
       }
+      // effective partitioning: explicit, else inherit on append. Both the
+      // inherit and the mismatch check recompute per attempt (a lost race
+      // may have re-partitioned the table).
+      val tableParts = existing.map(_.partitionColumns).getOrElse(Seq.empty)
+      val partCols: Seq[String] =
+        if (partitionBy.nonEmpty) partitionBy
+        else if (mode == "append") tableParts
+        else Seq.empty
+      if (mode == "append" && existing.isDefined)
+        require(partCols == tableParts,
+          s"append partitioning ${partCols.mkString(",")} does not match the " +
+            s"table's ${tableParts.mkString(",")} (overwrite to re-partition)")
+      require(adds == null || partCols == writtenPartCols,
+        "table partitioning changed between commit attempts; re-run the write")
 
       // idempotent replay: the txn ledger is consulted BEFORE any data
       // write, so a redelivered micro-batch costs two metadata reads, not
@@ -118,29 +145,96 @@ object DeltaWriter {
 
       val now = System.currentTimeMillis()
       if (adds == null) {
-        // distributed data write into a scratch dir, then move each part
-        // under the table root (part names carry Spark's task UUIDs —
-        // unique across concurrent writers by construction)
+        // validate the EFFECTIVE partitioning (explicit or inherited —
+        // validating only the argument would miss inherited columns)
+        partCols.foreach { c =>
+          val f = df.schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition column `$c` is not in the dataframe schema"))
+          require(partitionKeyOk(f.dataType),
+            s"DeltaWriter cannot partition on ${f.dataType} column `$c` " +
+              "(string / int-family / boolean / date only)")
+        }
+        locally {
+          // the dynamic-partition layout maps "" and null to the same
+          // dir, so an empty-string partition value would be recorded as
+          // null in the log and its rows lost to partition
+          // reconstruction — refuse loudly (one pushed-down limit-1 scan)
+          val stringParts = partCols.filter(c =>
+            df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+          if (stringParts.nonEmpty) {
+            import org.apache.spark.sql.functions.{col, lit}
+            val bad = df.filter(
+              stringParts.map(c => col(c) === lit("")).reduce(_ || _))
+              .limit(1).count()
+            require(bad == 0L,
+              s"DeltaWriter: empty-string values in partition column(s) " +
+                s"${stringParts.mkString(",")} are indistinguishable from " +
+                "null in the partition layout — filter or NULLIF them first")
+          }
+        }
+        // distributed data write into a scratch dir (ONE job for both
+        // layouts — partitioned writes go through Spark's dynamic-
+        // partition writer, which keeps partition columns OUT of the data
+        // files, exactly the protocol's shape), then move each part under
+        // the table root, keeping partition dirs (part names repeat
+        // ACROSS partition dirs; within one dir Spark's task UUIDs keep
+        // them unique across concurrent writers)
         val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
-        df.write.mode("overwrite").parquet(scratch.toString)
-        val parts = fs.listStatus(scratch).map(_.getPath)
-          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        val writer0 = df.write.mode("overwrite")
+        (if (partCols.isEmpty) writer0 else writer0.partitionBy(partCols: _*))
+          .parquet(scratch.toString)
         val conf = spark.sparkContext.hadoopConfiguration
-        val statCols = df.schema.fields.map(_.name).toSeq
-        adds = parts.map { p =>
+        // partition columns live in the log, not the files — no stats for
+        // them (the column index derives exact zones from partitionValues)
+        val statCols = df.schema.fields.map(_.name)
+          .filterNot(partCols.contains).toSeq
+        def collectParts(p: HPath, segs: Seq[String]): Seq[(HPath, Seq[String])] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory && n.contains("=")) collectParts(st.getPath, segs :+ n)
+            else if (n.startsWith("part-") && n.endsWith(".parquet"))
+              Seq((st.getPath, segs))
+            else Seq.empty
+          }
+        adds = collectParts(scratch, Seq.empty).map { case (p, segs) =>
           val name = p.getName
-          require(fs.rename(p, new HPath(root, name)),
-            s"DeltaWriter could not move data file $name into $dir")
-          val target = new HPath(root, name)
+          val bySeg = segs.map { s =>
+            val i = s.indexOf('=')
+            require(i > 0, s"unparseable partition dir `$s` in scratch")
+            s.substring(0, i) -> s.substring(i + 1)
+          }.toMap
+          // the protocol's partitionValues: string-serialized values, JSON
+          // null for the hive default-partition marker
+          val pvJson = partCols.map { c =>
+            val raw = bySeg.getOrElse(c, throw new IllegalStateException(
+              s"partition dir for `$c` missing under scratch"))
+            IcebergWriter.hivePartitionString(raw) match {
+              case Some(v) => s"${jstr(c)}:${jstr(v)}"
+              case None => s"${jstr(c)}:null"
+            }
+          }.mkString("{", ",", "}")
+          val relDir = segs.mkString("/")
+          val targetDir = if (relDir.isEmpty) root else new HPath(root, relDir)
+          fs.mkdirs(targetDir)
+          val target = new HPath(targetDir, name)
+          require(fs.rename(p, target),
+            s"DeltaWriter could not move data file $name into $targetDir")
+          // add.path is URI-decoded by readers (ours included): escape the
+          // two characters URLDecoder would mangle in the ON-DISK name
+          // ('%' and '+'); everything else round-trips literally
+          val addPath = (if (relDir.isEmpty) name else s"$relDir/$name")
+            .replace("%", "%25").replace("+", "%2B")
           val size = fs.getFileStatus(target).getLen
           // the protocol's per-file statistics channel: data-skipping
           // readers (delta-rs, ColumnIndex.buildFromDelta) plan off these
           // without touching a single parquet footer
           val stats = statsJson(conf, target, statCols)
             .map(s => s""","stats":${jstr(s)}""").getOrElse("")
-          s"""{"add":{"path":"$name","partitionValues":{},"size":$size,""" +
-            s""""modificationTime":$now,"dataChange":true$stats}}"""
-        }.toSeq
+          s"""{"add":{"path":${jstr(addPath)},"partitionValues":$pvJson,""" +
+            s""""size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
+        }
+        writtenPartCols = partCols
         fs.delete(scratch, true)
       }
 
@@ -151,14 +245,15 @@ object DeltaWriter {
               """"dataChange":true}}""")
         else Seq.empty
       val metaLines =
-        if (existing.isEmpty || mode == "overwrite")
+        if (existing.isEmpty || mode == "overwrite") {
+          val pcJson = partCols.map(jstr).mkString("[", ",", "]")
           Seq(
             """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
             s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
               """"format":{"provider":"parquet","options":{}},""" +
               s""""schemaString":${jstr(df.schema.json)},""" +
-              s""""partitionColumns":[],"configuration":{},"createdTime":$now}}""")
-        else Seq.empty
+              s""""partitionColumns":$pcJson,"configuration":{},"createdTime":$now}}""")
+        } else Seq.empty
       val txnLines = txn.toSeq.map { case (appId, v) =>
         s"""{"txn":{"appId":${jstr(appId)},"version":$v,"lastUpdated":$now}}"""
       }
@@ -252,6 +347,19 @@ object DeltaWriter {
         StructField("minWriterVersion", IntegerType),
         StructField("readerFeatures", ArrayType(StringType)),
         StructField("writerFeatures", ArrayType(StringType)))))))
+  }
+
+  /** Partition-key types the hive dir layout round-trips unambiguously —
+    * the same set [[IcebergWriter]] accepts, for the same reasons (floats
+    * are unsound keys; time columns partition via transforms/derived
+    * columns). */
+  private def partitionKeyOk(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType | DateType => true
+      case _ => false
+    }
   }
 
   /** One data file's `stats` JSON (the public protocol shape:

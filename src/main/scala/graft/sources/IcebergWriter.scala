@@ -538,12 +538,13 @@ object IcebergWriter {
     case _ => None
   }
 
-  /** Decode one hive-escaped partition-dir value back to the typed value
-    * the manifest records (null for the hive default-partition marker). */
-  private[sources] def decodePartitionValue(raw: String, dt: DataType): Any = {
-    if (raw == "__HIVE_DEFAULT_PARTITION__") return null
-    // hive path escaping is %XX on a fixed char set — NOT URL encoding
-    // ('+' stays literal), so decode %XX by hand
+  /** Un-escape one hive partition-dir value; None for the hive
+    * default-partition (null) marker. Hive path escaping is %XX on a
+    * fixed char set — NOT URL encoding ('+' stays literal), so %XX
+    * decodes by hand. Shared with [[DeltaWriter]], whose partitionValues
+    * are exactly these unescaped strings. */
+  private[sources] def hivePartitionString(raw: String): Option[String] = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return None
     val sb = new StringBuilder
     var i = 0
     while (i < raw.length) {
@@ -553,7 +554,13 @@ object IcebergWriter {
         i += 3
       } else { sb.append(c); i += 1 }
     }
-    val s = sb.toString
+    Some(sb.toString)
+  }
+
+  /** Decode one hive-escaped partition-dir value back to the typed value
+    * the manifest records (null for the hive default-partition marker). */
+  private[sources] def decodePartitionValue(raw: String, dt: DataType): Any = {
+    val s = hivePartitionString(raw).getOrElse(return null)
     dt match {
       case StringType => s
       case ByteType | ShortType | IntegerType => Int.box(s.toInt)

@@ -208,6 +208,77 @@ class DeltaWriterSpec extends SparkSpec {
     assert(rows(readBack(dir)) == expect + (203L -> "y"))
   }
 
+  test("partitioned writes: values in the log, not the files; loader reconstructs") {
+    val dir = newDir()
+    val df = Seq((1L, Option("us"), "a"), (2L, Option("us"), "b"),
+      (3L, Option("eu"), "c"), (4L, None, "d")).toDF("id", "region", "name")
+    DeltaWriter.write(df, dir, partitionBy = Seq("region"))
+    val back = readBack(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "region", "name"))
+    assert(back.collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet ==
+      Set((1L, Some("us"), "a"), (2L, Some("us"), "b"),
+        (3L, Some("eu"), "c"), (4L, None, "d")))
+    // the data files themselves carry NO partition column (protocol shape)
+    def dataFiles(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory && f.getName != "_delta_log") f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(d))
+    }
+    dataFiles(dir).foreach { f =>
+      val cols = spark.read.parquet(f.toString).columns.toSeq
+      assert(cols == Seq("id", "name"), s"$f -> $cols")
+    }
+    // the first commit's metaData + add actions carry the partitioning
+    val first = Files.readString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000000.json"))
+    assert(first.contains("\"partitionColumns\":[\"region\"]"))
+    assert(first.contains("\"partitionValues\":{\"region\":\"us\"}"))
+    assert(first.contains("\"partitionValues\":{\"region\":null}"))
+    // appends inherit; a mismatched partitioning refuses
+    DeltaWriter.write(Seq((5L, Option("ap"), "e")).toDF("id", "region", "name"), dir)
+    assert(readBack(dir).count() == 5)
+    val bad = intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((6L, Option("x"), "f")).toDF("id", "region", "name"),
+        dir, partitionBy = Seq("name"))
+    }
+    assert(bad.getMessage.contains("partitioning"))
+    // empty-string partition values refuse (indistinguishable from null)
+    val badEmpty = intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((7L, Option(""), "g")).toDF("id", "region", "name"), dir)
+    }
+    assert(badEmpty.getMessage.contains("empty-string"))
+    // overwrite may re-partition; old versions stay readable
+    DeltaWriter.write(Seq((9L, Option("zz"), "z")).toDF("id", "region", "name"),
+      dir, mode = "overwrite", partitionBy = Seq("name"))
+    assert(readBack(dir).collect().map(_.getLong(0)).toSet == Set(9L))
+    assert(readBack(dir, Map("version" -> "1")).count() == 5)
+    // the metadata index derives exact [v,v] zones from partitionValues
+    val idx = ColumnIndex.buildFromDelta(spark, dir, Seq("name"))
+    assert(idx.prune(Seq(("name", "eq", "'z'"))).get.size == 1)
+  }
+
+  test("partitioned table checkpoints: partitionValues survive the replay") {
+    val dir = newDir()
+    (0 until 12).foreach { i =>
+      DeltaWriter.write(
+        Seq((i.toLong, s"r${i % 3}", s"n$i")).toDF("id", "region", "name"),
+        dir, partitionBy = Seq("region"))
+    }
+    // wipe the JSON at or below the v9 checkpoint: partition values must
+    // come back through the checkpoint's add.partitionValues column
+    deleteLogFiles(dir) { name =>
+      name.endsWith(".checkpoint.parquet") ||
+        (name.endsWith(".json") && name.stripSuffix(".json").toLong > 9)
+    }
+    val back = readBack(dir)
+    assert(back.count() == 12)
+    assert(back.select("region").distinct().collect().map(_.getString(0)).toSet ==
+      Set("r0", "r1", "r2"))
+    assert(back.where(back("region") === "r1").count() == 4)
+  }
+
   test("checkpoint carries protocol reader/writerFeatures through verbatim") {
     // a v3 table-features table (spec REQUIRES the features arrays at
     // reader version 3) — the checkpoint must not launder them away
