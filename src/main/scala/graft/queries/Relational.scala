@@ -381,7 +381,73 @@ object Relational {
     }
   }
 
+  /** Memoized per (session, sf dir): `orders` landed through BOTH
+    * transactional writers — Delta and Iceberg, each partitioned by
+    * o_orderpriority and split across two commits so append/inherit and
+    * the log/manifest replay are all on the path. The round-trip queries
+    * aggregate what the protocol-level LOADERS read back; oracle equality
+    * against the original parquet table proves the whole
+    * write → commit → replay → partition-reconstruct chain loses,
+    * duplicates and corrupts nothing. */
+  private val sinkMemo = new java.util.LinkedHashMap[
+    (SparkSession, String), (String, String)](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, String), (String, String)]): Boolean =
+      size > 8
+  }
+  private def sinksFor(spark: SparkSession, dir: String): (String, String) = {
+    val key = (spark, dir)
+    sinkMemo.synchronized(Option(sinkMemo.get(key))) match {
+      case Some(v) => v
+      case None =>
+        // build OUTSIDE the lock (multi-second Spark jobs must not
+        // serialize unrelated keys); a concurrent loser's scratch goes
+        // unused
+        val base = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-sinks",
+          java.util.UUID.randomUUID().toString).toString
+        val orders = Tables.t(spark, dir, "orders")
+        val even = orders.filter(col("o_orderkey") % 2 === 0)
+        val odd = orders.filter(col("o_orderkey") % 2 === 1)
+        val deltaDir = base + "/delta"
+        graft.sources.DeltaWriter.write(even, deltaDir,
+          partitionBy = Seq("o_orderpriority"))
+        graft.sources.DeltaWriter.write(odd, deltaDir) // inherits the spec
+        val iceDir = base + "/iceberg"
+        graft.sources.IcebergWriter.write(even, iceDir,
+          partitionBy = Seq("o_orderpriority"))
+        graft.sources.IcebergWriter.write(odd, iceDir)
+        val built = (deltaDir, iceDir)
+        sinkMemo.synchronized {
+          Option(sinkMemo.get(key)) match {
+            case Some(winner) => winner
+            case None => sinkMemo.put(key, built); built
+          }
+        }
+    }
+  }
+
+  private def sinkAgg(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(col("o_orderpriority"))
+    .agg(count(lit(1)).as("n"),
+      sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    .orderBy(col("o_orderpriority"))
+
   val dfQueries: Map[String, Q] = Map(
+    // transactional-sink round trips: orders goes out through the writer
+    // (two partitioned commits) and comes back through the protocol-level
+    // loader; the aggregate must equal the oracle's over the ORIGINAL
+    // table bit-for-bit
+    "q_delta_sink_roundtrip" -> ((spark, dir) => {
+      val (deltaDir, _) = sinksFor(spark, dir)
+      sinkAgg(graft.sources.DeltaLoader.load(spark,
+        graft.sources.TableSource("sink_d", deltaDir, Some("delta"))))
+    }),
+    "q_iceberg_sink_roundtrip" -> ((spark, dir) => {
+      val (_, iceDir) = sinksFor(spark, dir)
+      sinkAgg(graft.sources.IcebergLoader.load(spark,
+        graft.sources.TableSource("sink_i", iceDir, Some("iceberg"))))
+    }),
     // Zone-map column index (reference roadmap "column index"): the scan
     // plans over only the files whose ship-date interval can match, then
     // the ordinary filter+agg runs on the survivors — oracle equality
@@ -819,6 +885,16 @@ object Relational {
   )
 
   val dfOracles: Map[String, String] = Map(
+    // sink round-trip equality: the Spark side aggregates what the
+    // writer+loader chain produced; the oracle aggregates the original
+    "q_delta_sink_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_iceberg_sink_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // pruned-scan equality: the Spark side reads only index-survivor files
     "q_colindex_scan" ->
       """SELECT l_returnflag, COUNT(*) AS n,
