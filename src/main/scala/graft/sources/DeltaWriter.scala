@@ -349,6 +349,47 @@ object DeltaWriter {
         StructField("writerFeatures", ArrayType(StringType)))))))
   }
 
+  /** VACUUM (the protocol's orphan-reclaim story): delete data files under
+    * the table root that the CURRENT snapshot does not reference and whose
+    * modification time is older than `retentionMs`. That covers
+    * overwritten/removed files and crashed writers' uncommitted orphans
+    * alike. Consequence, exactly as upstream Delta documents: time travel
+    * to versions that referenced the deleted files stops working — the
+    * retention window is the time-travel horizon. The live-set and the
+    * listing are both driver-side metadata work, the same order as any
+    * vacuum implementation; deletes are batched fs calls. Returns the
+    * deleted file count. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
+             retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    require(retentionMs >= 0, s"vacuum retention must be >= 0, got $retentionMs")
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = DeltaLoader.snapshot(spark, dir)
+    def norm(p: String): String = new HPath(p).toString
+    val live: Set[String] = snap.files.map { f =>
+      val abs =
+        if (f.path.contains("://") || f.path.startsWith("/")) f.path
+        else new HPath(dir, java.net.URLDecoder.decode(f.path, "UTF-8")).toString
+      norm(fs.makeQualified(new HPath(abs)).toString)
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var deleted = 0L
+    def walk(p: HPath): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) () // _delta_log, sidecars
+      else if (st.isDirectory) {
+        walk(st.getPath)
+        // drop now-empty partition dirs (cosmetic; listing-only check)
+        if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+      } else if (st.getModificationTime < cutoff &&
+          !live.contains(norm(fs.makeQualified(st.getPath).toString))) {
+        if (fs.delete(st.getPath, false)) deleted += 1
+      }
+    }
+    walk(root)
+    deleted
+  }
+
   /** Partition-key types the hive dir layout round-trips unambiguously —
     * the same set [[IcebergWriter]] accepts, for the same reasons (floats
     * are unsound keys; time columns partition via transforms/derived

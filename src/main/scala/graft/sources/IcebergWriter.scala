@@ -470,6 +470,111 @@ object IcebergWriter {
         ()
     }
 
+  /** Expire snapshots older than `olderThanMs` (never the current one):
+    * commit a metadata version without them, then delete every file only
+    * THEY referenced — manifest lists, manifests, and data/delete files
+    * unreachable from all surviving snapshots. Time travel to an expired
+    * snapshot-id fails loudly afterwards, exactly Iceberg's
+    * `expire_snapshots` contract; this is the maintenance half a 100 TB
+    * sink needs to keep metadata and storage bounded. File-set reachability
+    * is driver-side metadata work (manifest reads), the same order as
+    * Iceberg's own implementation. Returns (expired snapshots, deleted
+    * files). */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      olderThanMs: Long = 7L * 24 * 3600 * 1000): (Int, Long) = {
+    require(olderThanMs >= 0, s"expire retention must be >= 0, got $olderThanMs")
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new HPath(root, "metadata")
+    val meta = IcebergLoader.currentMetadata(fs, dir)
+    val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val currentId = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).getOrElse(-1L)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val (expired, keep) = snapshots.partition { s =>
+      s.get("snapshot-id").asLong() != currentId &&
+        Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L) < cutoff
+    }
+    if (expired.isEmpty) return (0, 0L)
+
+    // every file a snapshot set reaches: its manifest-list files, their
+    // manifests, and the manifests' data/delete file paths (ALL entries —
+    // status and content are irrelevant to reachability)
+    def norm(p: String): String = new HPath(p).toString
+    def filesOf(snaps: Seq[JsonNode]): Set[String] = snaps.flatMap { s =>
+      Option(s.get("manifest-list")).filterNot(_.isNull).map(_.asText()).toSeq
+        .flatMap { ml =>
+          val manifests = currentManifestListAt(fs, ml)
+          Seq(norm(ml)) ++ manifests.flatMap { mp =>
+            Seq(norm(mp)) ++ readManifestFilePaths(fs, mp).map(norm)
+          }
+        }
+    }.toSet
+    val doomed = filesOf(expired) -- filesOf(keep)
+
+    // commit the pruned snapshot list as the next metadata version (the
+    // same put-if-absent point as write())
+    val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val arr = mapper.createArrayNode()
+    keep.foreach(arr.add)
+    node.set[JsonNode]("snapshots", arr)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val version = metadataVersion(fs, metaDir) + 1
+    val target = new HPath(metaDir, s"v$version.metadata.json")
+    try {
+      val out = fs.create(target, false)
+      try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException if fs.exists(target) =>
+        throw new IllegalStateException(
+          s"expireSnapshots lost a commit race at v$version; re-run against " +
+            "the refreshed table")
+    }
+    val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+
+    // physical deletes AFTER the metadata commit: a crash in between
+    // leaves only harmless still-present orphans
+    var deleted = 0L
+    doomed.foreach { p =>
+      if (scala.util.Try(fs.delete(new HPath(p), false)).getOrElse(false))
+        deleted += 1
+    }
+    (expired.size, deleted)
+  }
+
+  /** Manifest paths of one manifest-list avro file. */
+  private def currentManifestListAt(fs: FileSystem, listPath: String): Seq[String] = {
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(
+        readBytes(fs, new HPath(listPath))),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[String]
+      while (reader.hasNext) out += String.valueOf(reader.next().get("manifest_path"))
+      out.result()
+    } finally reader.close()
+  }
+
+  /** Every data_file.file_path in one manifest avro file. */
+  private def readManifestFilePaths(fs: FileSystem, manifestPath: String): Seq[String] = {
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(
+        readBytes(fs, new HPath(manifestPath))),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[String]
+      while (reader.hasNext) {
+        val df = reader.next().get("data_file").asInstanceOf[GenericRecord]
+        out += String.valueOf(df.get("file_path"))
+      }
+      out.result()
+    } finally reader.close()
+  }
+
   // ---- helpers --------------------------------------------------------------
 
   private def metadataVersion(fs: FileSystem, metaDir: HPath): Long = {

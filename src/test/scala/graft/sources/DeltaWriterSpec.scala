@@ -306,6 +306,30 @@ class DeltaWriterSpec extends SparkSpec {
     assert(rows(readBack(dir)) == (0 until 9).map(i => i.toLong -> "x").toSet)
   }
 
+  test("vacuum reclaims overwritten and orphaned files; the horizon is honest") {
+    val dir = newDir()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), dir)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
+    DeltaWriter.write(Seq((9L, "z")).toDF("id", "name"), dir, mode = "overwrite")
+    // plus a crashed writer's uncommitted orphan
+    Files.write(java.nio.file.Path.of(dir + "/part-orphan-dead.parquet"),
+      Array[Byte](1, 2, 3))
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = dataFiles()
+    assert(before.size >= 4) // v0 + v1 + overwrite + orphan
+    // a LONG retention deletes nothing (everything is younger)
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 24 * 3600 * 1000L) == 0L)
+    assert(dataFiles() == before)
+    // retention 0: everything dead goes, the live set stays
+    val deleted = DeltaWriter.vacuum(spark, dir, retentionMs = 0L)
+    assert(deleted >= 3L, s"deleted $deleted")
+    assert(rows(readBack(dir)) == Set(9L -> "z")) // current reads fine
+    assert(!dataFiles().contains("part-orphan-dead.parquet"))
+    // time travel BEHIND the horizon now fails loudly (files are gone)
+    intercept[Exception] { rows(readBack(dir, Map("version" -> "1"))) }
+  }
+
   test("column-mapped and partitioned tables are refused loudly") {
     val dir = newDir()
     // hand-build a minimal column-mapped table (the DeltaLoaderSpec shape)

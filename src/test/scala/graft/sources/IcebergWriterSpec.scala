@@ -316,6 +316,39 @@ class IcebergWriterSpec extends SparkSpec {
     assert(e.getMessage.contains("identity"))
   }
 
+  test("expireSnapshots prunes metadata and deletes only unreachable files") {
+    val dir = newDir()
+    IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir) // snap 1
+    IcebergWriter.write(Seq((9L, "z")).toDF("id", "name"), dir,
+      mode = "overwrite") // snap 2: snap 1's data is now unreachable-if-expired
+    IcebergWriter.write(Seq((10L, "y")).toDF("id", "name"), dir) // snap 3 (current)
+    def dataFileCount() = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir + "/data"))
+    }
+    val before = dataFileCount()
+    // nothing old enough -> no-op
+    assert(IcebergWriter.expireSnapshots(spark, dir,
+      olderThanMs = 24 * 3600 * 1000L) == ((0, 0L)))
+    // expire everything non-current: snaps 1 and 2 go; snap 2's files are
+    // still reachable from snapshot 3 (carried manifests) and MUST stay
+    val (expired, deleted) = IcebergWriter.expireSnapshots(spark, dir, olderThanMs = 0L)
+    assert(expired == 2)
+    assert(deleted >= 3L, s"deleted $deleted") // snap1+2 lists, snap1 manifest+data
+    assert(dataFileCount() < before) // snap 1's overwritten data is gone
+    assert(rows(readBack(dir)) == Set(9L -> "z", 10L -> "y")) // current intact
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(java.nio.file.Path.of(dir + "/metadata/v4.metadata.json")))
+    assert(meta.get("snapshots").size() == 1)
+    // time travel to an expired snapshot fails loudly
+    intercept[Exception] { rows(readBack(dir, Map("snapshot-id" -> "1"))) }
+    // and the table keeps working: a fresh append commits on v4's lineage
+    IcebergWriter.write(Seq((11L, "w")).toDF("id", "name"), dir)
+    assert(rows(readBack(dir)) == Set(9L -> "z", 10L -> "y", 11L -> "w"))
+  }
+
   test("iceberg schema json assigns depth-first field ids and round-trips types") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
