@@ -64,9 +64,11 @@ import org.apache.spark.sql.DataFrame
   * parquet write. Checkpoint actions carry `dataChange=false` and the
   * latest txn per appId rides along, so idempotent appends survive even
   * if pre-checkpoint JSON commits are cleaned up externally. Remove
-  * tombstones are not carried forward (this writer never vacuums, and
-  * JSON commits are never deleted, so time travel below a checkpoint
-  * still replays from version zero).
+  * tombstones are not carried forward: JSON commits are never deleted by
+  * this writer, so time travel below a checkpoint still replays from
+  * version zero — until [[vacuum]] reclaims the referenced files, at
+  * which point the retention window IS the time-travel horizon (the
+  * documented upstream trade).
   */
 object DeltaWriter {
 
@@ -155,24 +157,7 @@ object DeltaWriter {
             s"DeltaWriter cannot partition on ${f.dataType} column `$c` " +
               "(string / int-family / boolean / date only)")
         }
-        locally {
-          // the dynamic-partition layout maps "" and null to the same
-          // dir, so an empty-string partition value would be recorded as
-          // null in the log and its rows lost to partition
-          // reconstruction — refuse loudly (one pushed-down limit-1 scan)
-          val stringParts = partCols.filter(c =>
-            df.schema(c).dataType == org.apache.spark.sql.types.StringType)
-          if (stringParts.nonEmpty) {
-            import org.apache.spark.sql.functions.{col, lit}
-            val bad = df.filter(
-              stringParts.map(c => col(c) === lit("")).reduce(_ || _))
-              .limit(1).count()
-            require(bad == 0L,
-              s"DeltaWriter: empty-string values in partition column(s) " +
-                s"${stringParts.mkString(",")} are indistinguishable from " +
-                "null in the partition layout — filter or NULLIF them first")
-          }
-        }
+        PartitionLayout.refuseEmptyStringKeys(df, partCols, "DeltaWriter")
         // distributed data write into a scratch dir (ONE job for both
         // layouts — partitioned writes go through Spark's dynamic-
         // partition writer, which keeps partition columns OUT of the data
@@ -189,27 +174,15 @@ object DeltaWriter {
         // them (the column index derives exact zones from partitionValues)
         val statCols = df.schema.fields.map(_.name)
           .filterNot(partCols.contains).toSeq
-        def collectParts(p: HPath, segs: Seq[String]): Seq[(HPath, Seq[String])] =
-          fs.listStatus(p).toSeq.flatMap { st =>
-            val n = st.getPath.getName
-            if (st.isDirectory && n.contains("=")) collectParts(st.getPath, segs :+ n)
-            else if (n.startsWith("part-") && n.endsWith(".parquet"))
-              Seq((st.getPath, segs))
-            else Seq.empty
-          }
-        adds = collectParts(scratch, Seq.empty).map { case (p, segs) =>
+        adds = PartitionLayout.collectParts(fs, scratch).map { case (p, segs) =>
           val name = p.getName
-          val bySeg = segs.map { s =>
-            val i = s.indexOf('=')
-            require(i > 0, s"unparseable partition dir `$s` in scratch")
-            s.substring(0, i) -> s.substring(i + 1)
-          }.toMap
+          val bySeg = segs.map(PartitionLayout.parseSegment).toMap
           // the protocol's partitionValues: string-serialized values, JSON
           // null for the hive default-partition marker
           val pvJson = partCols.map { c =>
             val raw = bySeg.getOrElse(c, throw new IllegalStateException(
               s"partition dir for `$c` missing under scratch"))
-            IcebergWriter.hivePartitionString(raw) match {
+            PartitionLayout.unescape(raw) match {
               case Some(v) => s"${jstr(c)}:${jstr(v)}"
               case None => s"${jstr(c)}:null"
             }
@@ -301,10 +274,11 @@ object DeltaWriter {
   val checkpointInterval: Int = 10
 
   /** The checkpoint action schema this writer emits — the public layout's
-    * reader-relevant columns (txn/add/remove/metaData/protocol; optional
-    * informational fields like add.stats/tags are not carried forward, but
-    * add.deletionVector IS, so appending to a DV-bearing table cannot
-    * resurrect deleted rows through our checkpoint). */
+    * reader-relevant columns (txn/add/remove/metaData/protocol).
+    * add.stats and add.deletionVector ARE carried forward (data skipping
+    * keeps working, and appending to a DV-bearing table cannot resurrect
+    * deleted rows through our checkpoint); add.tags and other unmodeled
+    * optional fields are not. */
   private lazy val cpSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val dv = StructType(Seq(
@@ -366,17 +340,37 @@ object DeltaWriter {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = DeltaLoader.snapshot(spark, dir)
     def norm(p: String): String = new HPath(p).toString
-    val live: Set[String] = snap.files.map { f =>
+    val liveData: Set[String] = snap.files.map { f =>
       val abs =
         if (f.path.contains("://") || f.path.startsWith("/")) f.path
         else new HPath(dir, java.net.URLDecoder.decode(f.path, "UTF-8")).toString
       norm(fs.makeQualified(new HPath(abs)).toString)
     }.toSet
+    // deletion-vector sidecars referenced by live adds are live too:
+    // upstream VACUUM protects them explicitly — deleting one would break
+    // the CURRENT snapshot, not just time travel (review finding)
+    val liveDv: Set[String] = snap.files.flatMap(_.dv).flatMap(d =>
+      scala.util.Try(
+        norm(fs.makeQualified(DeletionVectors.dvPath(dir, d)).toString)).toOption
+    ).toSet
+    val live = liveData ++ liveDv
     val cutoff = System.currentTimeMillis() - retentionMs
     var deleted = 0L
+    def countFiles(p: HPath): Long = fs.listStatus(p).map(st =>
+      if (st.isDirectory) countFiles(st.getPath) else 1L).sum
     def walk(p: HPath): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) () // _delta_log, sidecars
+      if ((n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_")) &&
+          st.isDirectory) {
+        // a crashed writer's whole scratch dir — the multi-GB orphan case
+        // the header's reclaim story promises (review finding: the plain
+        // dot-skip below exempted these forever). The retention window is
+        // also the safety margin against a LIVE writer's scratch.
+        if (st.getModificationTime < cutoff) {
+          val inside = countFiles(st.getPath)
+          if (fs.delete(st.getPath, true)) deleted += inside
+        }
+      } else if (n.startsWith("_") || n.startsWith(".")) () // _delta_log, sidecars
       else if (st.isDirectory) {
         walk(st.getPath)
         // drop now-empty partition dirs (cosmetic; listing-only check)

@@ -77,15 +77,27 @@ object IcebergLoader {
     * `*.metadata.json` wins — by NUMERIC version for the `vN` scheme
     * (lexicographic order would put v2 after v10) and by name for the
     * zero-padded `00003-<uuid>` scheme. */
-  private[sources] def currentMetadata(fs: FileSystem, tableUri: String): JsonNode = {
+  private[sources] def currentMetadata(fs: FileSystem, tableUri: String): JsonNode =
+    currentMetadataVersioned(fs, tableUri)._1
+
+  /** The resolved metadata AND its own version number (parsed from the
+    * resolved file's name; -1 when the naming scheme carries none).
+    * Commit points must derive the next version from the SAME resolution —
+    * a second directory listing can be fresher than the metadata read, and
+    * committing at listing-max+1 over a stale lineage would silently drop
+    * a concurrent commit's snapshot instead of colliding at the
+    * put-if-absent create (review finding). */
+  private[sources] def currentMetadataVersioned(fs: FileSystem,
+      tableUri: String): (JsonNode, Long) = {
     val metaDir = new HPath(tableUri, "metadata")
     require(fs.isDirectory(metaDir),
       s"`$tableUri` is not an Iceberg table (no metadata directory)")
     val hint = new HPath(metaDir, "version-hint.text")
-    val metaPath =
+    val numbered = """(\d+).*""".r
+    val (metaPath, version) =
       if (fs.exists(hint)) {
         val v = new String(readBytes(fs, hint), "UTF-8").trim
-        new HPath(metaDir, s"v$v.metadata.json")
+        (new HPath(metaDir, s"v$v.metadata.json"), v.toLong)
       } else {
         val candidates = fs.listStatus(metaDir).map(_.getPath.getName)
           .filter(_.endsWith(".metadata.json"))
@@ -94,13 +106,18 @@ object IcebergLoader {
           case VersionedName(n) => (1, n.toLong, "")
           case other => (0, 0L, other)
         }
-        new HPath(metaDir, newest)
+        val v = newest match {
+          case VersionedName(n) => n.toLong
+          case numbered(n) => n.toLong // the `00003-<uuid>` scheme
+          case _ => -1L
+        }
+        (new HPath(metaDir, newest), v)
       }
     val node = mapper.readTree(readBytes(fs, metaPath))
     val fv = node.get("format-version").asInt()
     require(fv >= 1 && fv <= 3,
       s"Iceberg reader: format-version $fv not supported (spec v1/v2/v3 only)")
-    node
+    (node, version)
   }
 
   // ---- schema ---------------------------------------------------------------

@@ -55,10 +55,12 @@ import org.apache.spark.sql.types._
   * writer does not implement). Non-identity transforms in an existing
   * table's spec refuse the write.
   *
-  * Interop scope — stated honestly: manifests carry the subset of fields
-  * this repo's own planner consumes (status/content/file_path/file_format/
-  * record_count — TRUE counts read from the parquet footers — and sizes),
-  * NOT the full spec-required manifest schema (no partition struct, no
+  * Interop scope — stated honestly: manifests carry the fields this
+  * repo's planner and column index consume (status/content/file_path/
+  * file_format/record_count — TRUE counts read from the parquet
+  * footers — sizes, a spec-typed partition record, null_value_counts,
+  * and lower/upper bounds in the spec's single-value binary
+  * serialization), NOT the complete spec-required manifest schema (no
   * min/max sequence summaries, no Avro field-id properties), so tables
   * written here are for graft-read pipelines; full-fidelity interop with
   * java-iceberg/pyiceberg would need the complete Avro schemas. The
@@ -95,10 +97,15 @@ object IcebergWriter {
     val metaDir = new HPath(root, "metadata")
     fs.mkdirs(metaDir)
 
-    val existing: Option[JsonNode] =
+    // resolve the metadata and ITS version together: the commit below
+    // lands at resolvedVersion+1, so a concurrent commit (or a lagging
+    // version hint) collides loudly at the put-if-absent create instead
+    // of silently dropping a snapshot (review finding)
+    val existingVersioned: Option[(JsonNode, Long)] =
       if (fs.listStatus(metaDir).exists(_.getPath.getName.endsWith(".metadata.json")))
-        Some(IcebergLoader.currentMetadata(fs, dir))
+        Some(IcebergLoader.currentMetadataVersioned(fs, dir))
       else None
+    val existing: Option[JsonNode] = existingVersioned.map(_._1)
 
     // the table's default spec as identity column names (refuses
     // non-identity transforms); v2 spec list AND the legacy v1 top-level
@@ -117,24 +124,7 @@ object IcebergWriter {
         s"IcebergWriter cannot identity-partition on ${f.dataType} column `$c` " +
           "(string / int-family / boolean / date only)")
     }
-    // Spark's dynamic-partition layout maps BOTH null and "" to the same
-    // __HIVE_DEFAULT_PARTITION__ directory — an empty-string partition
-    // value would silently share a data file with null rows and be
-    // recorded as null in the manifest, so external planners would prune
-    // away its rows (review finding). Refuse loudly; the probe is one
-    // pushed-down limit-1 scan.
-    locally {
-      val stringParts = partCols.filter(c => df.schema(c).dataType == StringType)
-      if (stringParts.nonEmpty) {
-        import org.apache.spark.sql.functions.{col, lit}
-        val bad = df.filter(stringParts.map(c => col(c) === lit("")).reduce(_ || _))
-          .limit(1).count()
-        require(bad == 0L,
-          s"IcebergWriter: empty-string values in partition column(s) " +
-            s"${stringParts.mkString(",")} are indistinguishable from null in " +
-            "the partition layout — filter or NULLIF them first")
-      }
-    }
+    PartitionLayout.refuseEmptyStringKeys(df, partCols, "IcebergWriter")
 
     existing.foreach { meta =>
       if (mode == "append") {
@@ -151,9 +141,14 @@ object IcebergWriter {
       }
     }
 
-    // idempotent replay via the snapshot-summary ledger, BEFORE data writes
-    val currentVersion =
-      if (existing.isDefined) metadataVersion(fs, metaDir) else 0L
+    // idempotent replay via the snapshot-summary ledger, BEFORE data
+    // writes. The version comes from the SAME resolution as `existing`
+    // (falling back to the listing only for foreign naming schemes that
+    // carry no number).
+    val currentVersion = existingVersioned.map(_._2).getOrElse(0L) match {
+      case -1L => metadataVersion(fs, metaDir)
+      case v => v
+    }
     val alreadyCommitted = txn.exists { case (appId, v) =>
       existing.exists(m => lastAppVersion(m, appId).exists(_ >= v))
     }
@@ -178,24 +173,11 @@ object IcebergWriter {
     val conf = spark.sparkContext.hadoopConfiguration
     val partTypes: Map[String, DataType] =
       partCols.map(c => c -> df.schema(c).dataType).toMap
-    // recursively collect part files with their tuple dir segments
-    def collectParts(p: HPath, segs: Seq[String]): Seq[(HPath, Seq[String])] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.contains("=")) collectParts(st.getPath, segs :+ n)
-        else if (n.startsWith("part-") && n.endsWith(".parquet"))
-          Seq((st.getPath, segs))
-        else Seq.empty
-      }
     val statCols = df.schema.fields
       .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq
     val moved: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
-      collectParts(scratch, Seq.empty).map { case (p, segs) =>
-        val bySeg = segs.map { s =>
-          val i = s.indexOf('=')
-          require(i > 0, s"unparseable partition dir `$s` in scratch")
-          s.substring(0, i) -> s.substring(i + 1)
-        }.toMap
+      PartitionLayout.collectParts(fs, scratch).map { case (p, segs) =>
+        val bySeg = segs.map(PartitionLayout.parseSegment).toMap
         val tuple = partCols.map { c =>
           val raw = bySeg.getOrElse(s"__p_$c", throw new IllegalStateException(
             s"partition dir for `$c` missing under scratch"))
@@ -434,25 +416,7 @@ object IcebergWriter {
          |"current-snapshot-id":$snapId,
          |"snapshots":$allSnaps}""".stripMargin
 
-    // put-if-absent metadata commit. UNLIKE DeltaWriter's append retry,
-    // a lost race here cannot be retried in place: the metadata JSON
-    // embeds the full snapshot lineage computed against the PRE-race
-    // state, so publishing it at the next version would orphan the
-    // winner's snapshot — fail loudly and let the caller re-run (the
-    // moved data files are unreferenced orphans, the protocol's standard
-    // uncommitted-write story).
-    val version = currentVersion + 1
-    val target = new HPath(metaDir, s"v$version.metadata.json")
-    try {
-      val out = fs.create(target, false)
-      try out.write(metaJson.getBytes("UTF-8")) finally out.close()
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.io.IOException if fs.exists(target) =>
-        throw new IllegalStateException(
-          s"IcebergWriter lost a commit race at v$version to a concurrent " +
-            s"writer; re-run the $mode against the refreshed table")
-    }
+    val version = commitMetadata(fs, metaDir, currentVersion, metaJson, mode)
     // advisory hint — last writer wins; newest-metadata resolution is the
     // fallback (IcebergLoader handles both)
     val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
@@ -486,7 +450,7 @@ object IcebergWriter {
     val root = new HPath(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new HPath(root, "metadata")
-    val meta = IcebergLoader.currentMetadata(fs, dir)
+    val (meta, metaVersion) = IcebergLoader.currentMetadataVersioned(fs, dir)
     val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val currentId = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
@@ -500,14 +464,21 @@ object IcebergWriter {
 
     // every file a snapshot set reaches: its manifest-list files, their
     // manifests, and the manifests' data/delete file paths (ALL entries —
-    // status and content are irrelevant to reachability)
+    // status and content are irrelevant to reachability). Manifests are
+    // immutable and carried into MANY snapshots on append-heavy tables,
+    // so both avro levels memoize by path — one read per distinct file,
+    // not one per referencing snapshot (review finding).
     def norm(p: String): String = new HPath(p).toString
+    val listCache = scala.collection.mutable.Map[String, Seq[String]]()
+    val manifestCache = scala.collection.mutable.Map[String, Seq[String]]()
     def filesOf(snaps: Seq[JsonNode]): Set[String] = snaps.flatMap { s =>
       Option(s.get("manifest-list")).filterNot(_.isNull).map(_.asText()).toSeq
         .flatMap { ml =>
-          val manifests = currentManifestListAt(fs, ml)
+          val manifests =
+            listCache.getOrElseUpdate(norm(ml), currentManifestListAt(fs, ml))
           Seq(norm(ml)) ++ manifests.flatMap { mp =>
-            Seq(norm(mp)) ++ readManifestFilePaths(fs, mp).map(norm)
+            Seq(norm(mp)) ++ manifestCache.getOrElseUpdate(norm(mp),
+              readManifestFilePaths(fs, mp).map(norm))
           }
         }
     }.toSet
@@ -520,19 +491,12 @@ object IcebergWriter {
     keep.foreach(arr.add)
     node.set[JsonNode]("snapshots", arr)
     node.put("last-updated-ms", System.currentTimeMillis())
-    val version = metadataVersion(fs, metaDir) + 1
-    val target = new HPath(metaDir, s"v$version.metadata.json")
-    try {
-      val out = fs.create(target, false)
-      try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-      finally out.close()
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.io.IOException if fs.exists(target) =>
-        throw new IllegalStateException(
-          s"expireSnapshots lost a commit race at v$version; re-run against " +
-            "the refreshed table")
-    }
+    // commit at resolvedVersion+1 — NOT listing-max+1, which could be
+    // fresher than `meta` and silently discard a concurrent commit's
+    // snapshot (review finding); foreign numberless naming falls back
+    val base = if (metaVersion >= 0) metaVersion else metadataVersion(fs, metaDir)
+    val version = commitMetadata(fs, metaDir, base,
+      mapper.writeValueAsString(node), "expireSnapshots")
     val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
 
@@ -573,6 +537,44 @@ object IcebergWriter {
       }
       out.result()
     } finally reader.close()
+  }
+
+  /** Put-if-absent metadata commit at `baseVersion + 1`. UNLIKE
+    * DeltaWriter's append retry, a lost race to a REAL concurrent commit
+    * cannot be retried in place: the metadata JSON embeds the full
+    * snapshot lineage computed against the pre-race state, so publishing
+    * it at the next version would silently orphan the winner's snapshot —
+    * fail loudly and let the caller re-run (the moved data files are
+    * unreferenced orphans, the protocol's standard uncommitted-write
+    * story). An occupant that does NOT parse as table metadata (a parked
+    * junk file — no `format-version`) carries no lineage and is skipped
+    * over instead. */
+  private def commitMetadata(fs: FileSystem, metaDir: HPath, baseVersion: Long,
+                             metaJson: String, what: String): Long = {
+    var version = baseVersion + 1
+    while (true) {
+      require(version <= baseVersion + 1000,
+        s"IcebergWriter found no free metadata version above v$baseVersion")
+      val target = new HPath(metaDir, s"v$version.metadata.json")
+      try {
+        val out = fs.create(target, false)
+        try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+        return version
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException if fs.exists(target) =>
+          val realMetadata = scala.util.Try {
+            val in = fs.open(target)
+            val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+            node.hasNonNull("format-version")
+          }.getOrElse(false)
+          if (realMetadata) throw new IllegalStateException(
+            s"IcebergWriter lost a commit race at v$version to a concurrent " +
+              s"writer; re-run the $what against the refreshed table")
+          version += 1
+      }
+    }
+    -1L // unreachable
   }
 
   // ---- helpers --------------------------------------------------------------
@@ -643,29 +645,10 @@ object IcebergWriter {
     case _ => None
   }
 
-  /** Un-escape one hive partition-dir value; None for the hive
-    * default-partition (null) marker. Hive path escaping is %XX on a
-    * fixed char set — NOT URL encoding ('+' stays literal), so %XX
-    * decodes by hand. Shared with [[DeltaWriter]], whose partitionValues
-    * are exactly these unescaped strings. */
-  private[sources] def hivePartitionString(raw: String): Option[String] = {
-    if (raw == "__HIVE_DEFAULT_PARTITION__") return None
-    val sb = new StringBuilder
-    var i = 0
-    while (i < raw.length) {
-      val c = raw.charAt(i)
-      if (c == '%' && i + 3 <= raw.length) {
-        sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    Some(sb.toString)
-  }
-
   /** Decode one hive-escaped partition-dir value back to the typed value
     * the manifest records (null for the hive default-partition marker). */
   private[sources] def decodePartitionValue(raw: String, dt: DataType): Any = {
-    val s = hivePartitionString(raw).getOrElse(return null)
+    val s = PartitionLayout.unescape(raw).getOrElse(return null)
     dt match {
       case StringType => s
       case ByteType | ShortType | IntegerType => Int.box(s.toInt)

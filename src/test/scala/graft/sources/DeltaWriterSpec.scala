@@ -311,9 +311,14 @@ class DeltaWriterSpec extends SparkSpec {
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), dir)
     DeltaWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
     DeltaWriter.write(Seq((9L, "z")).toDF("id", "name"), dir, mode = "overwrite")
-    // plus a crashed writer's uncommitted orphan
+    // plus a crashed writer's uncommitted orphan, both flavors: a moved
+    // part at the root and a whole abandoned scratch dir
     Files.write(java.nio.file.Path.of(dir + "/part-orphan-dead.parquet"),
       Array[Byte](1, 2, 3))
+    val deadScratch = new java.io.File(dir + "/.graft_tmp_dead")
+    assert(deadScratch.mkdirs())
+    Files.write(java.nio.file.Path.of(deadScratch + "/part-a.parquet"),
+      Array[Byte](4, 5, 6))
     def dataFiles() = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
     val before = dataFiles()
@@ -323,14 +328,15 @@ class DeltaWriterSpec extends SparkSpec {
     assert(dataFiles() == before)
     // retention 0: everything dead goes, the live set stays
     val deleted = DeltaWriter.vacuum(spark, dir, retentionMs = 0L)
-    assert(deleted >= 3L, s"deleted $deleted")
+    assert(deleted >= 4L, s"deleted $deleted")
     assert(rows(readBack(dir)) == Set(9L -> "z")) // current reads fine
     assert(!dataFiles().contains("part-orphan-dead.parquet"))
+    assert(!deadScratch.exists()) // abandoned scratch dirs reclaim wholesale
     // time travel BEHIND the horizon now fails loudly (files are gone)
     intercept[Exception] { rows(readBack(dir, Map("version" -> "1"))) }
   }
 
-  test("column-mapped and partitioned tables are refused loudly") {
+  test("column-mapped tables are refused loudly") {
     val dir = newDir()
     // hand-build a minimal column-mapped table (the DeltaLoaderSpec shape)
     val logDir = new java.io.File(dir + "/_delta_log"); logDir.mkdirs()

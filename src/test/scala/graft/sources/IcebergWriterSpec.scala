@@ -100,6 +100,15 @@ class IcebergWriterSpec extends SparkSpec {
     assert(Files.readString(java.nio.file.Path.of(
       dir + "/metadata/v2.metadata.json")) == "{}") // untouched
     assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
+    // but a REAL concurrent commit (parseable metadata with a
+    // format-version) must fail LOUDLY, never be skipped — skipping would
+    // silently drop its snapshot from the lineage
+    Files.writeString(java.nio.file.Path.of(dir + "/metadata/v4.metadata.json"),
+      """{"format-version":2,"schemas":[],"snapshots":[]}""")
+    val race = intercept[IllegalStateException] {
+      IcebergWriter.write(Seq((3L, "c")).toDF("id", "name"), dir)
+    }
+    assert(race.getMessage.contains("commit race"))
   }
 
   test("manifest record counts are true footer counts") {
