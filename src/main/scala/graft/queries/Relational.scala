@@ -395,16 +395,32 @@ object Relational {
         e: java.util.Map.Entry[(SparkSession, String), (String, String)]): Boolean =
       size > 8
   }
+  /** One per-JVM root for all sink scratch tables, reclaimed by a shutdown
+    * hook — repeated bench/test JVMs must not grow the temp dir without
+    * bound (review finding). Entries evicted from the memo while the JVM
+    * lives are NOT deleted (a lazy DataFrame may still reference them);
+    * the hook sweeps everything at exit. */
+  private lazy val sinkRoot: String = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-sinks", java.util.UUID.randomUUID().toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root.toFile)))
+    root.toString
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete(); ()
+  }
+
   private def sinksFor(spark: SparkSession, dir: String): (String, String) = {
     val key = (spark, dir)
     sinkMemo.synchronized(Option(sinkMemo.get(key))) match {
       case Some(v) => v
       case None =>
         // build OUTSIDE the lock (multi-second Spark jobs must not
-        // serialize unrelated keys); a concurrent loser's scratch goes
-        // unused
-        val base = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-sinks",
+        // serialize unrelated keys); a concurrent loser's scratch is
+        // unpublished and reclaimed immediately below
+        val base = java.nio.file.Paths.get(sinkRoot,
           java.util.UUID.randomUUID().toString).toString
         val orders = Tables.t(spark, dir, "orders")
         val even = orders.filter(col("o_orderkey") % 2 === 0)
@@ -420,7 +436,9 @@ object Relational {
         val built = (deltaDir, iceDir)
         sinkMemo.synchronized {
           Option(sinkMemo.get(key)) match {
-            case Some(winner) => winner
+            case Some(winner) =>
+              deleteTree(new java.io.File(base)) // loser's scratch: unpublished
+              winner
             case None => sinkMemo.put(key, built); built
           }
         }

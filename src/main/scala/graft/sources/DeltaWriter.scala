@@ -355,34 +355,79 @@ object DeltaWriter {
     ).toSet
     val live = liveData ++ liveDv
     val cutoff = System.currentTimeMillis() - retentionMs
+
+    // the retention clock for a REMOVED file is its tombstone's
+    // deletionTimestamp, not the file's mtime — a file written long ago
+    // but overwritten a minute ago must survive the full window (readers
+    // may be mid-scan of the previous snapshot, and it is the time-travel
+    // horizon; review finding — upstream VACUUM keys on the same field).
+    // JSON commits are never deleted by this writer, so the scan sees
+    // every tombstone.
+    val tombstoneTs: Map[String, Long] = {
+      val commitRx = raw"\d{20}\.json".r
+      val out = scala.collection.mutable.Map[String, Long]()
+      fs.listStatus(logDirOf(root)).map(_.getPath)
+        .filter(p => commitRx.matches(p.getName)).foreach { p =>
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+            val r = mapper.readTree(line).get("remove")
+            if (r != null && !r.isNull) {
+              val raw = r.get("path").asText()
+              val abs =
+                if (raw.contains("://") || raw.startsWith("/")) raw
+                else new HPath(dir, java.net.URLDecoder.decode(raw, "UTF-8")).toString
+              val key = norm(fs.makeQualified(new HPath(abs)).toString)
+              val ts = Option(r.get("deletionTimestamp")).filterNot(_.isNull)
+                .map(_.asLong()).getOrElse(Long.MaxValue)
+              out(key) = math.max(out.getOrElse(key, 0L), ts)
+            }
+          }
+        }
+      out.toMap
+    }
+
     var deleted = 0L
     def countFiles(p: HPath): Long = fs.listStatus(p).map(st =>
       if (st.isDirectory) countFiles(st.getPath) else 1L).sum
     def walk(p: HPath): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
+      // skip rule: scratch dirs reclaim wholesale below; everything else
+      // underscore/dot-prefixed skips UNLESS it is a partition dir
+      // ("name=value" — a column named `_year` must still be walked;
+      // review finding)
       if ((n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_")) &&
           st.isDirectory) {
         // a crashed writer's whole scratch dir — the multi-GB orphan case
-        // the header's reclaim story promises (review finding: the plain
-        // dot-skip below exempted these forever). The retention window is
+        // the header's reclaim story promises. The retention window is
         // also the safety margin against a LIVE writer's scratch.
         if (st.getModificationTime < cutoff) {
           val inside = countFiles(st.getPath)
           if (fs.delete(st.getPath, true)) deleted += inside
         }
-      } else if (n.startsWith("_") || n.startsWith(".")) () // _delta_log, sidecars
-      else if (st.isDirectory) {
+      } else if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) {
+        () // _delta_log, checksum sidecars, _SUCCESS
+      } else if (st.isDirectory) {
         walk(st.getPath)
-        // drop now-empty partition dirs (cosmetic; listing-only check)
-        if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
-      } else if (st.getModificationTime < cutoff &&
-          !live.contains(norm(fs.makeQualified(st.getPath).toString))) {
-        if (fs.delete(st.getPath, false)) deleted += 1
+        // drop now-empty partition dirs — but only OLD ones: a concurrent
+        // writer mkdirs its target dir moments before renaming into it
+        // (review finding)
+        if (st.getModificationTime < cutoff &&
+            fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+      } else {
+        val key = norm(fs.makeQualified(st.getPath).toString)
+        val removedLongAgo = tombstoneTs.get(key).forall(_ < cutoff)
+        if (st.getModificationTime < cutoff && removedLongAgo &&
+            !live.contains(key)) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
       }
     }
     walk(root)
     deleted
   }
+
+  private def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
 
   /** Partition-key types the hive dir layout round-trips unambiguously —
     * the same set [[IcebergWriter]] accepts, for the same reasons (floats

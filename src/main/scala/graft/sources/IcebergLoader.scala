@@ -94,25 +94,38 @@ object IcebergLoader {
       s"`$tableUri` is not an Iceberg table (no metadata directory)")
     val hint = new HPath(metaDir, "version-hint.text")
     val numbered = """(\d+).*""".r
-    val (metaPath, version) =
-      if (fs.exists(hint)) {
-        val v = new String(readBytes(fs, hint), "UTF-8").trim
-        (new HPath(metaDir, s"v$v.metadata.json"), v.toLong)
-      } else {
-        val candidates = fs.listStatus(metaDir).map(_.getPath.getName)
-          .filter(_.endsWith(".metadata.json"))
-        require(candidates.nonEmpty, s"`$tableUri`: no *.metadata.json found")
-        val newest = candidates.maxBy {
+    def versionOf(name: String): Long = name match {
+      case VersionedName(n) => n.toLong
+      case numbered(n) => n.toLong // the `00003-<uuid>` scheme
+      case _ => -1L
+    }
+    val newest: Option[(HPath, Long)] = {
+      val candidates = fs.listStatus(metaDir).map(_.getPath.getName)
+        .filter(_.endsWith(".metadata.json"))
+      if (candidates.isEmpty) None
+      else {
+        val best = candidates.maxBy {
           case VersionedName(n) => (1, n.toLong, "")
           case other => (0, 0L, other)
         }
-        val v = newest match {
-          case VersionedName(n) => n.toLong
-          case numbered(n) => n.toLong // the `00003-<uuid>` scheme
-          case _ => -1L
-        }
-        (new HPath(metaDir, newest), v)
+        Some((new HPath(metaDir, best), versionOf(best)))
       }
+    }
+    val (metaPath, version) =
+      if (fs.exists(hint)) {
+        val v = new String(readBytes(fs, hint), "UTF-8").trim
+        val hintPick = (new HPath(metaDir, s"v$v.metadata.json"), v.toLong)
+        // the hint is ADVISORY: a crash between the metadata commit and
+        // the hint rewrite leaves it lagging, and trusting it forever
+        // would wedge every later commit on a phantom "commit race"
+        // (review finding) — a strictly newer file that parses as REAL
+        // metadata wins; junk parked at a higher version falls back
+        newest.filter(_._2 > hintPick._2).filter { case (p, _) =>
+          scala.util.Try(mapper.readTree(readBytes(fs, p))
+            .hasNonNull("format-version")).getOrElse(false)
+        }.getOrElse(hintPick)
+      } else newest.getOrElse(throw new IllegalArgumentException(
+        s"`$tableUri`: no *.metadata.json found"))
     val node = mapper.readTree(readBytes(fs, metaPath))
     val fv = node.get("format-version").asInt()
     require(fv >= 1 && fv <= 3,
@@ -203,7 +216,9 @@ object IcebergLoader {
                                        equalityDeleteFiles: Seq[EqDeleteFile],
                                        deletionVectors: Seq[DvFile] = Seq.empty)
 
-  private def readAvro(fs: FileSystem, p: HPath): Seq[GenericRecord] = {
+  /** All records of one Avro file — shared with [[IcebergWriter]]'s
+    * maintenance paths (review finding: four hand-rolled copies). */
+  private[sources] def readAvro(fs: FileSystem, p: HPath): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(readBytes(fs, p)),
       new GenericDatumReader[GenericRecord]())
@@ -408,7 +423,7 @@ object IcebergLoader {
     * actual table root. Both sides normalize their `file:///` vs `file:/`
     * URI spelling FIRST — different writers emit different (equally valid)
     * forms, and a form mismatch must not silently skip the remap. */
-  private def pathRemapper(meta: JsonNode, tableUri: String): String => String = {
+  private[sources] def pathRemapper(meta: JsonNode, tableUri: String): String => String = {
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
     val location = Option(meta.get("location")).filterNot(_.isNull)
       .map(l => norm(l.asText().stripSuffix("/")))

@@ -462,25 +462,35 @@ object IcebergWriter {
     }
     if (expired.isEmpty) return (0, 0L)
 
-    // every file a snapshot set reaches: its manifest-list files, their
-    // manifests, and the manifests' data/delete file paths (ALL entries —
-    // status and content are irrelevant to reachability). Manifests are
-    // immutable and carried into MANY snapshots on append-heavy tables,
-    // so both avro levels memoize by path — one read per distinct file,
-    // not one per referencing snapshot (review finding).
+    // every file a snapshot set reaches: its manifest-list files (or the
+    // early-v1 inline `manifests` array — missing it could delete files a
+    // kept inline snapshot still needs; review finding), their manifests,
+    // and the manifests' data/delete file paths (ALL entries — status and
+    // content are irrelevant to reachability). Paths go through the
+    // loader's location remap, so a relocated table resolves and deletes
+    // at ITS root, never the old recorded location (review finding).
+    // Manifests are immutable and carried into MANY snapshots on
+    // append-heavy tables, so both avro levels memoize by path — one read
+    // per distinct file, not one per referencing snapshot.
+    val remap = IcebergLoader.pathRemapper(meta, dir)
     def norm(p: String): String = new HPath(p).toString
     val listCache = scala.collection.mutable.Map[String, Seq[String]]()
     val manifestCache = scala.collection.mutable.Map[String, Seq[String]]()
+    def manifestClosure(mp: String): Seq[String] =
+      Seq(norm(mp)) ++ manifestCache.getOrElseUpdate(norm(mp),
+        manifestFilePaths(fs, mp).map(p => norm(remap(p))))
     def filesOf(snaps: Seq[JsonNode]): Set[String] = snaps.flatMap { s =>
-      Option(s.get("manifest-list")).filterNot(_.isNull).map(_.asText()).toSeq
-        .flatMap { ml =>
-          val manifests =
-            listCache.getOrElseUpdate(norm(ml), currentManifestListAt(fs, ml))
-          Seq(norm(ml)) ++ manifests.flatMap { mp =>
-            Seq(norm(mp)) ++ manifestCache.getOrElseUpdate(norm(mp),
-              readManifestFilePaths(fs, mp).map(norm))
-          }
+      val fromLists = Option(s.get("manifest-list")).filterNot(_.isNull)
+        .map(_.asText()).toSeq.flatMap { ml0 =>
+          val ml = remap(ml0)
+          val manifests = listCache.getOrElseUpdate(norm(ml),
+            manifestListPaths(fs, ml).map(remap))
+          Seq(norm(ml)) ++ manifests.flatMap(manifestClosure)
         }
+      val fromInline = Option(s.get("manifests")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(p => remap(p.asText())).toSeq)
+        .getOrElse(Seq.empty).flatMap(manifestClosure)
+      fromLists ++ fromInline
     }.toSet
     val doomed = filesOf(expired) -- filesOf(keep)
 
@@ -510,34 +520,17 @@ object IcebergWriter {
     (expired.size, deleted)
   }
 
-  /** Manifest paths of one manifest-list avro file. */
-  private def currentManifestListAt(fs: FileSystem, listPath: String): Seq[String] = {
-    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
-      new org.apache.avro.file.SeekableByteArrayInput(
-        readBytes(fs, new HPath(listPath))),
-      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-    try {
-      val out = Seq.newBuilder[String]
-      while (reader.hasNext) out += String.valueOf(reader.next().get("manifest_path"))
-      out.result()
-    } finally reader.close()
-  }
+  /** Manifest paths of one manifest-list avro file (shared reader:
+    * [[IcebergLoader.readAvro]]). */
+  private def manifestListPaths(fs: FileSystem, listPath: String): Seq[String] =
+    IcebergLoader.readAvro(fs, new HPath(listPath))
+      .map(r => String.valueOf(r.get("manifest_path")))
 
   /** Every data_file.file_path in one manifest avro file. */
-  private def readManifestFilePaths(fs: FileSystem, manifestPath: String): Seq[String] = {
-    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
-      new org.apache.avro.file.SeekableByteArrayInput(
-        readBytes(fs, new HPath(manifestPath))),
-      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-    try {
-      val out = Seq.newBuilder[String]
-      while (reader.hasNext) {
-        val df = reader.next().get("data_file").asInstanceOf[GenericRecord]
-        out += String.valueOf(df.get("file_path"))
-      }
-      out.result()
-    } finally reader.close()
-  }
+  private def manifestFilePaths(fs: FileSystem, manifestPath: String): Seq[String] =
+    IcebergLoader.readAvro(fs, new HPath(manifestPath))
+      .map(e => String.valueOf(
+        e.get("data_file").asInstanceOf[GenericRecord].get("file_path")))
 
   /** Put-if-absent metadata commit at `baseVersion + 1`. UNLIKE
     * DeltaWriter's append retry, a lost race to a REAL concurrent commit
@@ -568,7 +561,14 @@ object IcebergWriter {
             val node = try mapper.readTree(in.readAllBytes()) finally in.close()
             node.hasNonNull("format-version")
           }.getOrElse(false)
-          if (realMetadata) throw new IllegalStateException(
+          // a FRESH unparseable occupant may be a concurrent writer's
+          // in-flight file (created, bytes not yet written) — skipping it
+          // would silently orphan that commit (review finding: TOCTOU);
+          // only occupants both unparseable AND old count as parked junk
+          val fresh = scala.util.Try(fs.getFileStatus(target)).toOption
+            .exists(st =>
+              System.currentTimeMillis() - st.getModificationTime < 60000L)
+          if (realMetadata || fresh) throw new IllegalStateException(
             s"IcebergWriter lost a commit race at v$version to a concurrent " +
               s"writer; re-run the $what against the refreshed table")
           version += 1
@@ -743,22 +743,14 @@ object IcebergWriter {
     snap.toSeq.flatMap { s =>
       val ml = Option(s.get("manifest-list")).filterNot(_.isNull).map(_.asText())
       ml.toSeq.flatMap { path =>
-        val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
-          new org.apache.avro.file.SeekableByteArrayInput(readBytes(fs, new HPath(path))),
-          new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-        try {
-          val out = Seq.newBuilder[(String, Long, Int, Option[Long], Long, Int)]
-          while (reader.hasNext) {
-            val r = reader.next()
-            out += ((String.valueOf(r.get("manifest_path")),
-              Option(r.get("manifest_length")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
-              Option(r.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0),
-              Option(r.get("sequence_number")).map(_.asInstanceOf[Number].longValue()),
-              Option(r.get("added_snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
-              Option(r.get("partition_spec_id")).map(_.asInstanceOf[Number].intValue()).getOrElse(0)))
-          }
-          out.result()
-        } finally reader.close()
+        IcebergLoader.readAvro(fs, new HPath(path)).map { r =>
+          (String.valueOf(r.get("manifest_path")),
+            Option(r.get("manifest_length")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+            Option(r.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+            Option(r.get("sequence_number")).map(_.asInstanceOf[Number].longValue()),
+            Option(r.get("added_snapshot_id")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+            Option(r.get("partition_spec_id")).map(_.asInstanceOf[Number].intValue()).getOrElse(0))
+        }
       }
     }
   }

@@ -92,23 +92,34 @@ class IcebergWriterSpec extends SparkSpec {
     val dir = newDir()
     IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir)
     // some other process parked a v2 file (the put-if-absent commit point
-    // means the writer can never overwrite it — it advances past)
-    Files.writeString(java.nio.file.Path.of(dir + "/metadata/v2.metadata.json"),
-      "{}")
+    // means the writer can never overwrite it — it advances past). A
+    // FRESH unparseable occupant is treated as a possibly-in-flight
+    // concurrent commit and fails loudly (TOCTOU guard)...
+    val junk = java.nio.file.Path.of(dir + "/metadata/v2.metadata.json")
+    Files.writeString(junk, "{}")
+    val inflight = intercept[IllegalStateException] {
+      IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
+    }
+    assert(inflight.getMessage.contains("commit race"))
+    // ...while junk parked LONG AGO is provably dead and skipped over
+    assert(junk.toFile.setLastModified(System.currentTimeMillis() - 3600_000L))
     val v = IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
     assert(v == 3L)
-    assert(Files.readString(java.nio.file.Path.of(
-      dir + "/metadata/v2.metadata.json")) == "{}") // untouched
+    assert(Files.readString(junk) == "{}") // untouched
     assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
-    // but a REAL concurrent commit (parseable metadata with a
-    // format-version) must fail LOUDLY, never be skipped — skipping would
-    // silently drop its snapshot from the lineage
+    // a lagging hint SELF-HEALS: a crashed writer left real metadata at
+    // v4 with the hint still at 3 — resolution prefers the newer real
+    // file, so the next commit builds on v4's lineage at v5 instead of
+    // wedging forever on a phantom "commit race"
     Files.writeString(java.nio.file.Path.of(dir + "/metadata/v4.metadata.json"),
-      """{"format-version":2,"schemas":[],"snapshots":[]}""")
-    val race = intercept[IllegalStateException] {
-      IcebergWriter.write(Seq((3L, "c")).toDF("id", "name"), dir)
-    }
-    assert(race.getMessage.contains("commit race"))
+      Files.readString(java.nio.file.Path.of(dir + "/metadata/v3.metadata.json")))
+    assert(Files.readString(java.nio.file.Path.of(
+      dir + "/metadata/version-hint.text")).trim == "3")
+    val v5 = IcebergWriter.write(Seq((3L, "c")).toDF("id", "name"), dir)
+    assert(v5 == 5L)
+    assert(Files.readString(java.nio.file.Path.of(
+      dir + "/metadata/version-hint.text")).trim == "5")
+    assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
   test("manifest record counts are true footer counts") {
