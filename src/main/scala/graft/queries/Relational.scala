@@ -362,22 +362,23 @@ object Relational {
       case Some(v) => v
       case None =>
         // build OUTSIDE the lock (a multi-second Spark job must not
-        // serialize unrelated keys); a concurrent-loser's scratch dir is
-        // unique and simply goes unused
-        val out = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-colindex",
-          java.util.UUID.randomUUID().toString).toString
+        // serialize unrelated keys); a concurrent loser's scratch is
+        // unpublished and reclaimed after the lock
+        val out = java.nio.file.Paths.get(scratchRoot,
+          "colindex-" + java.util.UUID.randomUUID().toString).toString
         Tables.t(spark, dir, "lineitem")
           .repartitionByRange(8, col("l_shipdate"))
           .sortWithinPartitions("l_shipdate")
           .write.mode("overwrite").parquet(out)
         val built = (out, graft.sources.ColumnIndex.build(spark, out, Seq("l_shipdate")))
-        colIndexMemo.synchronized {
+        val (result, lost) = colIndexMemo.synchronized {
           Option(colIndexMemo.get(key)) match {
-            case Some(winner) => winner
-            case None => colIndexMemo.put(key, built); built
+            case Some(winner) => (winner, true)
+            case None => colIndexMemo.put(key, built); (built, false)
           }
         }
+        if (lost) deleteTree(new java.io.File(out)) // unpublished loser scratch
+        result
     }
   }
 
@@ -395,14 +396,16 @@ object Relational {
         e: java.util.Map.Entry[(SparkSession, String), (String, String)]): Boolean =
       size > 8
   }
-  /** One per-JVM root for all sink scratch tables, reclaimed by a shutdown
-    * hook — repeated bench/test JVMs must not grow the temp dir without
-    * bound (review finding). Entries evicted from the memo while the JVM
-    * lives are NOT deleted (a lazy DataFrame may still reference them);
-    * the hook sweeps everything at exit. */
-  private lazy val sinkRoot: String = {
+  /** One per-JVM root for ALL fixture scratch (sink tables AND the
+    * colindex lineitem copy), reclaimed by a shutdown hook — repeated
+    * bench/test JVMs must not grow the temp dir without bound (review
+    * finding; the colindex scratch had the identical leak). Entries
+    * evicted from a memo while the JVM lives are NOT deleted (a lazy
+    * DataFrame may still reference them); the hook sweeps everything at
+    * exit. */
+  private lazy val scratchRoot: String = {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-sinks", java.util.UUID.randomUUID().toString)
+      "graft-scratch", java.util.UUID.randomUUID().toString)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root.toFile)))
     root.toString
   }
@@ -420,8 +423,8 @@ object Relational {
         // build OUTSIDE the lock (multi-second Spark jobs must not
         // serialize unrelated keys); a concurrent loser's scratch is
         // unpublished and reclaimed immediately below
-        val base = java.nio.file.Paths.get(sinkRoot,
-          java.util.UUID.randomUUID().toString).toString
+        val base = java.nio.file.Paths.get(scratchRoot,
+          "sinks-" + java.util.UUID.randomUUID().toString).toString
         val orders = Tables.t(spark, dir, "orders")
         val even = orders.filter(col("o_orderkey") % 2 === 0)
         val odd = orders.filter(col("o_orderkey") % 2 === 1)
@@ -434,14 +437,17 @@ object Relational {
           partitionBy = Seq("o_orderpriority"))
         graft.sources.IcebergWriter.write(odd, iceDir)
         val built = (deltaDir, iceDir)
-        sinkMemo.synchronized {
+        val (result, lost) = sinkMemo.synchronized {
           Option(sinkMemo.get(key)) match {
-            case Some(winner) =>
-              deleteTree(new java.io.File(base)) // loser's scratch: unpublished
-              winner
-            case None => sinkMemo.put(key, built); built
+            case Some(winner) => (winner, true)
+            case None => sinkMemo.put(key, built); (built, false)
           }
         }
+        // the loser's scratch is unpublished — reclaim it, but OUTSIDE
+        // the lock (a recursive disk delete must not serialize unrelated
+        // memo lookups; review finding)
+        if (lost) deleteTree(new java.io.File(base))
+        result
     }
   }
 

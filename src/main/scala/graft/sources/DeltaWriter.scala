@@ -360,30 +360,43 @@ object DeltaWriter {
     // deletionTimestamp, not the file's mtime — a file written long ago
     // but overwritten a minute ago must survive the full window (readers
     // may be mid-scan of the previous snapshot, and it is the time-travel
-    // horizon; review finding — upstream VACUUM keys on the same field).
-    // JSON commits are never deleted by this writer, so the scan sees
-    // every tombstone.
+    // horizon; review finding — upstream VACUUM keys on the same field,
+    // and like upstream a tombstone MISSING the optional timestamp counts
+    // as 0 = deletable, not exempt-forever). Tombstones come from the
+    // JSON commits AND — for adopted external tables whose pre-checkpoint
+    // JSON was cleaned up — the checkpoint's remove column.
     val tombstoneTs: Map[String, Long] = {
-      val commitRx = raw"\d{20}\.json".r
       val out = scala.collection.mutable.Map[String, Long]()
+      def record(raw: String, ts: Long): Unit = {
+        val abs =
+          if (raw.contains("://") || raw.startsWith("/")) raw
+          else new HPath(dir, java.net.URLDecoder.decode(raw, "UTF-8")).toString
+        val key = norm(fs.makeQualified(new HPath(abs)).toString)
+        out(key) = math.max(out.getOrElse(key, 0L), ts)
+      }
+      val commitRx = raw"\d{20}\.json".r
       fs.listStatus(logDirOf(root)).map(_.getPath)
         .filter(p => commitRx.matches(p.getName)).foreach { p =>
           val in = fs.open(p)
           val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
           text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
             val r = mapper.readTree(line).get("remove")
-            if (r != null && !r.isNull) {
-              val raw = r.get("path").asText()
-              val abs =
-                if (raw.contains("://") || raw.startsWith("/")) raw
-                else new HPath(dir, java.net.URLDecoder.decode(raw, "UTF-8")).toString
-              val key = norm(fs.makeQualified(new HPath(abs)).toString)
-              val ts = Option(r.get("deletionTimestamp")).filterNot(_.isNull)
-                .map(_.asLong()).getOrElse(Long.MaxValue)
-              out(key) = math.max(out.getOrElse(key, 0L), ts)
-            }
+            if (r != null && !r.isNull)
+              record(r.get("path").asText(),
+                Option(r.get("deletionTimestamp")).filterNot(_.isNull)
+                  .map(_.asLong()).getOrElse(0L))
           }
         }
+      readLastCheckpoint(fs, logDirOf(root)).foreach { case (v, parts) =>
+        import org.apache.spark.sql.functions.col
+        val cp = spark.read.parquet(checkpointPaths(logDirOf(root), v, parts): _*)
+        if (cp.columns.contains("remove"))
+          cp.where(col("remove.path").isNotNull)
+            .select(col("remove.path"), col("remove.deletionTimestamp"))
+            .collect().foreach { r =>
+              record(r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+            }
+      }
       out.toMap
     }
 

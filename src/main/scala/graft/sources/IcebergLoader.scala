@@ -99,33 +99,38 @@ object IcebergLoader {
       case numbered(n) => n.toLong // the `00003-<uuid>` scheme
       case _ => -1L
     }
-    val newest: Option[(HPath, Long)] = {
-      val candidates = fs.listStatus(metaDir).map(_.getPath.getName)
+    // all candidates, newest first (vN numeric order beats lexicographic)
+    val candidates: Seq[(HPath, Long)] =
+      fs.listStatus(metaDir).map(_.getPath.getName)
         .filter(_.endsWith(".metadata.json"))
-      if (candidates.isEmpty) None
-      else {
-        val best = candidates.maxBy {
-          case VersionedName(n) => (1, n.toLong, "")
-          case other => (0, 0L, other)
+        .sortBy {
+          case n @ VersionedName(v) => (-1L, -v.toLong, n)
+          case other => (0L, 0L, other)
         }
-        Some((new HPath(metaDir, best), versionOf(best)))
-      }
+        .map(n => (new HPath(metaDir, n), versionOf(n))).toSeq
+    def parsesReal(p: HPath): Boolean = scala.util.Try(
+      mapper.readTree(readBytes(fs, p)).hasNonNull("format-version"))
+      .getOrElse(false)
+    // the hint is ADVISORY: a crash between the metadata commit and the
+    // hint rewrite leaves it lagging — or truncated/garbled, since the
+    // rewrite truncates first (review finding: a malformed hint must not
+    // brick resolution). A strictly newer file that parses as REAL
+    // metadata wins, walking DOWN past parked junk (review finding:
+    // checking only the single newest candidate re-wedged when junk sat
+    // above a crashed writer's real commit).
+    val hintPick: Option[(HPath, Long)] =
+      if (!fs.exists(hint)) None
+      else new String(readBytes(fs, hint), "UTF-8").trim.toLongOption
+        .map(v => (new HPath(metaDir, s"v$v.metadata.json"), v))
+    val (metaPath, version) = hintPick match {
+      case Some((hp, hv)) =>
+        candidates.filter(_._2 > hv).find(c => parsesReal(c._1))
+          .getOrElse((hp, hv))
+      case None =>
+        candidates.find(c => parsesReal(c._1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"`$tableUri`: no readable *.metadata.json found"))
     }
-    val (metaPath, version) =
-      if (fs.exists(hint)) {
-        val v = new String(readBytes(fs, hint), "UTF-8").trim
-        val hintPick = (new HPath(metaDir, s"v$v.metadata.json"), v.toLong)
-        // the hint is ADVISORY: a crash between the metadata commit and
-        // the hint rewrite leaves it lagging, and trusting it forever
-        // would wedge every later commit on a phantom "commit race"
-        // (review finding) — a strictly newer file that parses as REAL
-        // metadata wins; junk parked at a higher version falls back
-        newest.filter(_._2 > hintPick._2).filter { case (p, _) =>
-          scala.util.Try(mapper.readTree(readBytes(fs, p))
-            .hasNonNull("format-version")).getOrElse(false)
-        }.getOrElse(hintPick)
-      } else newest.getOrElse(throw new IllegalArgumentException(
-        s"`$tableUri`: no *.metadata.json found"))
     val node = mapper.readTree(readBytes(fs, metaPath))
     val fv = node.get("format-version").asInt()
     require(fv >= 1 && fv <= 3,

@@ -336,6 +336,49 @@ class DeltaWriterSpec extends SparkSpec {
     intercept[Exception] { rows(readBack(dir, Map("version" -> "1"))) }
   }
 
+  test("vacuum clocks removed files on their tombstone, not file mtime") {
+    val dir = newDir()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), dir)
+    // age the v0 data files as if written 8 days ago
+    val old = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(old)))
+    // overwrite NOW: tombstones are fresh even though the files are old
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "name"), dir, mode = "overwrite")
+    // default 7-day window: mtime-old but freshly-removed files survive
+    assert(DeltaWriter.vacuum(spark, dir) == 0L)
+    assert(rows(readBack(dir, Map("version" -> "0"))) == Set(1L -> "a"))
+    // past the window they reclaim
+    Thread.sleep(5)
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 0L) >= 1L)
+    intercept[Exception] { rows(readBack(dir, Map("version" -> "0"))) }
+    assert(rows(readBack(dir)) == Set(2L -> "b"))
+  }
+
+  test("vacuum walks underscore-named partition dirs; fresh empty dirs survive") {
+    val dir = newDir()
+    DeltaWriter.write(Seq((1L, "x", "a"), (2L, "y", "b"))
+      .toDF("id", "_grp", "name"), dir, partitionBy = Seq("_grp"))
+    DeltaWriter.write(Seq((9L, "z", "c")).toDF("id", "_grp", "name"), dir,
+      mode = "overwrite", partitionBy = Seq("_grp"))
+    Thread.sleep(5)
+    // dead files under _grp=... must reclaim: the dot/underscore skip
+    // exempts only NON-partition entries
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 0L) >= 2L)
+    assert(readBack(dir).count() == 1)
+    // a freshly-created empty partition dir (a concurrent writer's
+    // mkdirs-before-rename) survives a windowed vacuum...
+    val pending = new java.io.File(dir + "/_grp=pending")
+    assert(pending.mkdirs())
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 3600_000L) == 0L)
+    assert(pending.exists())
+    // ...while an OLD empty dir sweeps
+    assert(pending.setLastModified(System.currentTimeMillis() - 7200_000L))
+    DeltaWriter.vacuum(spark, dir, retentionMs = 3600_000L)
+    assert(!pending.exists())
+  }
+
   test("column-mapped tables are refused loudly") {
     val dir = newDir()
     // hand-build a minimal column-mapped table (the DeltaLoaderSpec shape)
