@@ -99,14 +99,18 @@ object IcebergLoader {
       case numbered(n) => n.toLong // the `00003-<uuid>` scheme
       case _ => -1L
     }
-    // all candidates, newest first (vN numeric order beats lexicographic)
+    // all candidates, newest first: vN numeric order beats lexicographic,
+    // and foreign zero-padded names order by NAME descending (the old
+    // maxBy key, generalized to a full descending sort)
+    def rank(n: String): (Int, Long, String) = n match {
+      case VersionedName(v) => (1, v.toLong, "")
+      case other => (0, 0L, other)
+    }
+    val ord = Ordering[(Int, Long, String)]
     val candidates: Seq[(HPath, Long)] =
       fs.listStatus(metaDir).map(_.getPath.getName)
         .filter(_.endsWith(".metadata.json"))
-        .sortBy {
-          case n @ VersionedName(v) => (-1L, -v.toLong, n)
-          case other => (0L, 0L, other)
-        }
+        .sortWith((a, b) => ord.gt(rank(a), rank(b)))
         .map(n => (new HPath(metaDir, n), versionOf(n))).toSeq
     def parsesReal(p: HPath): Boolean = scala.util.Try(
       mapper.readTree(readBytes(fs, p)).hasNonNull("format-version"))

@@ -638,6 +638,22 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
     assert(rows(load(dir)).size === 5)
   }
 
+  test("without a hint the newest ZERO-PADDED foreign name wins, junk skipped") {
+    val dir = buildV2Table()
+    val meta = new File(s"$dir/metadata")
+    val v1 = Files.readString(new File(meta, "v1.metadata.json").toPath)
+    Files.delete(new File(meta, "v1.metadata.json").toPath)
+    Files.delete(new File(meta, "version-hint.text").toPath)
+    // java-iceberg's 00002-<uuid> scheme: name order IS recency order —
+    // the stale 00002 has no current snapshot, the live 00005 does, and
+    // a parked junk file above both must be walked past, not crash
+    Files.writeString(new File(meta, "00002-aaaa.metadata.json").toPath,
+      v1.replace("\"current-snapshot-id\":1", "\"current-snapshot-id\":-1"))
+    Files.writeString(new File(meta, "00005-bbbb.metadata.json").toPath, v1)
+    Files.writeString(new File(meta, "00007-cccc.metadata.json").toPath, "{}")
+    assert(rows(load(dir)).size === 5)
+  }
+
   test("non-Iceberg directory and bad format-version fail loudly") {
     val dir = newTableDir()
     val e = intercept[IllegalArgumentException](load(dir))
