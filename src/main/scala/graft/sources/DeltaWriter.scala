@@ -387,16 +387,32 @@ object DeltaWriter {
                   .map(_.asLong()).getOrElse(0L))
           }
         }
-      readLastCheckpoint(fs, logDirOf(root)).foreach { case (v, parts) =>
-        import org.apache.spark.sql.functions.col
-        val cp = spark.read.parquet(checkpointPaths(logDirOf(root), v, parts): _*)
-        if (cp.columns.contains("remove"))
-          cp.where(col("remove.path").isNotNull)
-            .select(col("remove.path"), col("remove.deletionTimestamp"))
-            .collect().foreach { r =>
-              record(r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      // the checkpoint contributes tombstones only when the pre-checkpoint
+      // JSON is gone (external log cleanup): with commit zero still
+      // present the JSON scan above already saw everything — skip the
+      // Spark job (review finding; our own tables never delete JSON)
+      if (!fs.exists(new HPath(logDirOf(root), f"${0L}%020d.json")))
+        readLastCheckpoint(fs, logDirOf(root)).foreach { case (v, parts) =>
+          import org.apache.spark.sql.functions.{col, lit}
+          val cp = spark.read.parquet(checkpointPaths(logDirOf(root), v, parts): _*)
+          if (cp.columns.contains("remove")) {
+            // external checkpoints may omit OPTIONAL remove subfields —
+            // probe the struct, never assume (review finding)
+            val rm = cp.schema("remove").dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+            if (rm.contains("path")) {
+              val tsCol =
+                if (rm.contains("deletionTimestamp"))
+                  col("remove.deletionTimestamp").cast("long")
+                else lit(null).cast("long")
+              cp.where(col("remove.path").isNotNull)
+                .select(col("remove.path"), tsCol)
+                .collect().foreach { r =>
+                  record(r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+                }
             }
-      }
+          }
+        }
       out.toMap
     }
 

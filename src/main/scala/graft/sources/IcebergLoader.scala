@@ -112,30 +112,35 @@ object IcebergLoader {
         .filter(_.endsWith(".metadata.json"))
         .sortWith((a, b) => ord.gt(rank(a), rank(b)))
         .map(n => (new HPath(metaDir, n), versionOf(n))).toSeq
-    def parsesReal(p: HPath): Boolean = scala.util.Try(
-      mapper.readTree(readBytes(fs, p)).hasNonNull("format-version"))
-      .getOrElse(false)
+    // one parse per file, memoized — the winner is not re-read (review
+    // finding: metadata JSON carries the whole snapshot history)
+    val parsedCache = scala.collection.mutable.Map[String, Option[JsonNode]]()
+    def realNode(p: HPath): Option[JsonNode] =
+      parsedCache.getOrElseUpdate(p.toString,
+        scala.util.Try(mapper.readTree(readBytes(fs, p))).toOption
+          .filter(_.hasNonNull("format-version")))
+    def resolve(c: (HPath, Long)): Option[(JsonNode, Long)] =
+      realNode(c._1).map(n => (n, c._2))
     // the hint is ADVISORY: a crash between the metadata commit and the
     // hint rewrite leaves it lagging — or truncated/garbled, since the
     // rewrite truncates first (review finding: a malformed hint must not
     // brick resolution). A strictly newer file that parses as REAL
-    // metadata wins, walking DOWN past parked junk (review finding:
-    // checking only the single newest candidate re-wedged when junk sat
-    // above a crashed writer's real commit).
+    // metadata wins, walking DOWN past parked junk; a hint naming a
+    // missing or junk file falls back to the newest real candidate of ANY
+    // version instead of crashing (review finding).
     val hintPick: Option[(HPath, Long)] =
       if (!fs.exists(hint)) None
       else new String(readBytes(fs, hint), "UTF-8").trim.toLongOption
         .map(v => (new HPath(metaDir, s"v$v.metadata.json"), v))
-    val (metaPath, version) = hintPick match {
-      case Some((hp, hv)) =>
-        candidates.filter(_._2 > hv).find(c => parsesReal(c._1))
-          .getOrElse((hp, hv))
-      case None =>
-        candidates.find(c => parsesReal(c._1)).getOrElse(
-          throw new IllegalArgumentException(
-            s"`$tableUri`: no readable *.metadata.json found"))
+    val picked: Option[(JsonNode, Long)] = hintPick match {
+      case Some(hc @ (_, hv)) =>
+        candidates.view.filter(_._2 > hv).flatMap(resolve(_)).headOption
+          .orElse(resolve(hc))
+          .orElse(candidates.view.flatMap(resolve(_)).headOption)
+      case None => candidates.view.flatMap(resolve(_)).headOption
     }
-    val node = mapper.readTree(readBytes(fs, metaPath))
+    val (node, version) = picked.getOrElse(throw new IllegalArgumentException(
+      s"`$tableUri`: no readable *.metadata.json found"))
     val fv = node.get("format-version").asInt()
     require(fv >= 1 && fv <= 3,
       s"Iceberg reader: format-version $fv not supported (spec v1/v2/v3 only)")

@@ -654,6 +654,22 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
     assert(rows(load(dir)).size === 5)
   }
 
+  test("a hint naming a missing or junk metadata file falls back to real metadata") {
+    val dir = buildV2Table()
+    val meta = new File(s"$dir/metadata")
+    // the hint points at a version that does not exist (lost file, or an
+    // adopted table with foreign naming) — resolution must walk to the
+    // newest real candidate instead of crashing
+    Files.writeString(new File(meta, "version-hint.text").toPath, "99")
+    assert(rows(load(dir)).size === 5)
+    // the hinted file exists but is junk: same fallback
+    Files.writeString(new File(meta, "v99.metadata.json").toPath, "{}")
+    assert(rows(load(dir)).size === 5)
+    // a garbled (non-numeric) hint behaves like no hint at all
+    Files.writeString(new File(meta, "version-hint.text").toPath, "")
+    assert(rows(load(dir)).size === 5)
+  }
+
   test("non-Iceberg directory and bad format-version fail loudly") {
     val dir = newTableDir()
     val e = intercept[IllegalArgumentException](load(dir))
