@@ -458,6 +458,129 @@ object DeltaWriter {
 
   private def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
 
+  /** OPTIMIZE-style compaction (the protocol's bin-packing story): within
+    * each partition, files smaller than `targetFileBytes` are rewritten
+    * into as few files as possible and swapped in ONE commit whose add
+    * and remove actions carry `dataChange = false` — the protocol's
+    * signal that table contents did not change (streams reading the log
+    * skip such commits). The third maintenance leg next to [[vacuum]] and
+    * checkpoints: micro-batch sinks accumulate one small file per batch,
+    * and a 100 TB scan over millions of tiny files is planner- and
+    * IO-bound long before it is data-bound. Old files stay on disk for
+    * time travel until vacuum reclaims them.
+    *
+    * Refuses column-mapped tables (like [[write]]) and tables whose live
+    * files carry deletion vectors (rewriting a DV-bearing file without
+    * materializing its deletes would resurrect rows). A lost commit race
+    * refuses rather than retry — the remove set was computed against the
+    * pre-race snapshot. Returns the committed version, or -1 when no
+    * partition had at least `minFiles` small files (no commit made). */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Long = {
+    require(targetFileBytes > 0 && minFiles >= 2,
+      s"compact needs targetFileBytes > 0 and minFiles >= 2")
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = logDirOf(root)
+    val snap = DeltaLoader.snapshot(spark, dir)
+    require(snap.columnMappingMode == "none",
+      "compact cannot rewrite a column-mapped table")
+    require(snap.files.forall(_.dv.isEmpty),
+      "compact cannot rewrite files carrying deletion vectors " +
+        "(their deletes would be resurrected)")
+
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new HPath(dir, java.net.URLDecoder.decode(p, "UTF-8")).toString
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statCols = dataSchema.fields.map(_.name).toSeq
+    val now = System.currentTimeMillis()
+
+    // per partition: the small-file set, its replacement files, and the
+    // JSON action lines. Each group is one independent read+coalesce job
+    // over ONLY its small files.
+    val actions = Seq.newBuilder[String]
+    var touched = false
+    snap.files.groupBy(_.partitionValues).foreach { case (pv, files) =>
+      val sized = files.map { f =>
+        val p = new HPath(abs(f.path))
+        (f, p, fs.getFileStatus(p).getLen)
+      }
+      val small = sized.filter(_._3 < targetFileBytes)
+      if (small.size >= minFiles) {
+        touched = true
+        val total = small.map(_._3).sum
+        val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+        val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+        spark.read.schema(dataSchema).parquet(small.map(_._2.toString): _*)
+          .coalesce(nOut).write.mode("overwrite").parquet(scratch.toString)
+        // replacements land NEXT TO the files they replace (same
+        // partition dir), so relative add paths keep the same shape
+        val targetDir = small.head._2.getParent
+        val relDir = {
+          val full = targetDir.toUri.getPath
+          val base = fs.makeQualified(root).toUri.getPath
+          full.stripPrefix(base).stripPrefix("/")
+        }
+        val pvJson = snap.partitionColumns.map { c =>
+          pv.get(c) match {
+            case Some(null) | None => s"${jstr(c)}:null"
+            case Some(v) => s"${jstr(c)}:${jstr(v)}"
+          }
+        }.mkString("{", ",", "}")
+        fs.listStatus(scratch).map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .foreach { p =>
+            val target = new HPath(targetDir, p.getName)
+            require(fs.rename(p, target),
+              s"compact could not move ${p.getName} into $targetDir")
+            val addPath = (if (relDir.isEmpty) p.getName else s"$relDir/${p.getName}")
+              .replace("%", "%25").replace("+", "%2B")
+            val size = fs.getFileStatus(target).getLen
+            val stats = statsJson(conf, target, statCols)
+              .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+            actions += s"""{"add":{"path":${jstr(addPath)},"partitionValues":$pvJson,""" +
+              s""""size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
+          }
+        fs.delete(scratch, true)
+        small.foreach { case (f, _, _) =>
+          actions += s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":$now,""" +
+            """"dataChange":false}}"""
+        }
+      }
+    }
+    if (!touched) return -1L
+
+    val commitInfo =
+      s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE",""" +
+        """"operationParameters":{},"engineInfo":"graft-delta-writer"}}"""
+    val lines = (Seq(commitInfo) ++ actions.result()).mkString("", "\n", "\n")
+    val version = snap.version + 1
+    val target = new HPath(logDir, f"$version%020d.json")
+    try {
+      val out = fs.create(target, false)
+      try out.write(lines.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException if fs.exists(target) =>
+        throw new IllegalStateException(
+          s"compact lost a commit race at version $version; re-run against " +
+            "the refreshed table")
+    }
+    if ((version + 1) % checkpointInterval == 0) {
+      try writeCheckpoint(spark, fs, root, logDir, version)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] delta checkpoint at version $version failed (table stays " +
+              s"readable via JSON replay): $e")
+      }
+    }
+    version
+  }
+
   /** Partition-key types the hive dir layout round-trips unambiguously —
     * the same set [[IcebergWriter]] accepts, for the same reasons (floats
     * are unsound keys; time columns partition via transforms/derived

@@ -314,53 +314,8 @@ object IcebergWriter {
     val mSchema = manifestSchemaFor(partCols.map(c => c -> partTypes(c)))
     val manifestPath = new HPath(metaDir, s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
     writeAvro(fs, mSchema, moved.map { case (path, size, fz, tuple) =>
-      val e = new GenericData.Record(mSchema)
-      val dfSchema = mSchema.getField("data_file").schema()
-      val d = new GenericData.Record(dfSchema)
-      d.put("content", 0)
-      d.put("file_path", path)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", fz.rows)
-      d.put("file_size_in_bytes", size)
-      if (partCols.nonEmpty) {
-        val pSchema = dfSchema.getField("partition").schema()
-        val pr = new GenericData.Record(pSchema)
-        tuple.foreach { case (c, v) => pr.put(c, v) }
-        d.put("partition", pr)
-      }
-      def kvSchema(field: String): Schema = {
-        val union = dfSchema.getField(field).schema()
-        union.getTypes.get(1).getElementType // ["null", array<kv>] -> kv
-      }
-      def kv(schema: Schema, key: Int, value: AnyRef): GenericRecord = {
-        val r = new GenericData.Record(schema); r.put("key", key)
-        r.put("value", value); r
-      }
-      val nullsOut = new java.util.ArrayList[GenericRecord]()
-      val lowerOut = new java.util.ArrayList[GenericRecord]()
-      val upperOut = new java.util.ArrayList[GenericRecord]()
-      fz.zones.foreach { case (c, z) =>
-        curSchemaFieldIds.get(c).foreach { fid =>
-          nullsOut.add(kv(kvSchema("null_value_counts"), fid, Long.box(z.nulls)))
-          val dt = df.schema(c).dataType
-          // the zone's domain must be the one this column's iceberg type
-          // serializes, or the bytes would lie (e.g. nanos-as-long stats
-          // under a timestamp field)
-          if (!z.allNull && boundsKind(dt).contains(z.kind)) {
-            boundsBytes(dt, z, isMin = true).foreach(b =>
-              lowerOut.add(kv(kvSchema("lower_bounds"), fid, b)))
-            boundsBytes(dt, z, isMin = false).foreach(b =>
-              upperOut.add(kv(kvSchema("upper_bounds"), fid, b)))
-          }
-        }
-      }
-      d.put("null_value_counts", nullsOut)
-      d.put("lower_bounds", lowerOut)
-      d.put("upper_bounds", upperOut)
-      e.put("status", 1)
-      e.put("sequence_number", Long.box(seq))
-      e.put("data_file", d)
-      e
+      manifestEntry(mSchema, seq, path, size, fz, tuple, curSchemaFieldIds,
+        c => df.schema.fields.find(_.name == c).map(_.dataType))
     }, manifestPath)
 
     // manifest list: previous entries carried forward on append, keeping
@@ -433,6 +388,148 @@ object IcebergWriter {
         write(batch, dir, mode = "append", txn = Some((appId, batchId)))
         ()
     }
+
+  /** Data-file compaction for UNPARTITIONED tables — [[DeltaWriter.compact]]'s
+    * story for the other format. Live data files smaller than
+    * `targetFileBytes` are rewritten into as few files as possible; ONE
+    * new manifest holds the whole live set (untouched + packed) and
+    * commits as a `replace` snapshot — logical contents unchanged, old
+    * snapshots keep their files until [[expireSnapshots]] reclaims them.
+    * Refuses partitioned tables (merging across per-tuple files would
+    * break the one-tuple-per-file invariant) and snapshots carrying ANY
+    * delete files (a rewritten file takes a NEWER sequence number,
+    * lifting it out of older equality deletes' scope — deleted rows
+    * would resurrect). Returns the committed metadata version, or -1
+    * when no commit was needed. */
+  def compactDataFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       targetFileBytes: Long = 128L << 20,
+                       minFiles: Int = 2): Long = {
+    require(targetFileBytes > 0 && minFiles >= 2,
+      "compactDataFiles needs targetFileBytes > 0 and minFiles >= 2")
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new HPath(root, "metadata")
+    val (meta, metaVersion) = IcebergLoader.currentMetadataVersioned(fs, dir)
+    require(identitySpecColumns(meta).isEmpty,
+      "compactDataFiles supports unpartitioned tables only")
+    val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val currentId = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).filter(_ != -1L)
+    val snap = currentId.flatMap(id =>
+      snapshots.find(_.get("snapshot-id").asLong() == id))
+      .getOrElse(return -1L)
+
+    // live data files of the current snapshot; any delete content refuses
+    val remap = IcebergLoader.pathRemapper(meta, dir)
+    def num(r: GenericRecord, f: String, dflt: Long): Long =
+      if (r.getSchema.getField(f) == null) dflt
+      else Option(r.get(f)).map(_.asInstanceOf[Number].longValue()).getOrElse(dflt)
+    val manifests: Seq[String] =
+      Option(snap.get("manifest-list")).filterNot(_.isNull).map(_.asText()) match {
+        case Some(ml) =>
+          IcebergLoader.readAvro(fs, new HPath(remap(ml))).map { m =>
+            require(num(m, "content", 0L) == 0L,
+              "compactDataFiles cannot run on a snapshot with delete manifests")
+            remap(String.valueOf(m.get("manifest_path")))
+          }
+        case None => Option(snap.get("manifests")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(p => remap(p.asText())).toSeq)
+          .getOrElse(Seq.empty)
+      }
+    val live: Seq[String] = manifests.flatMap { mp =>
+      IcebergLoader.readAvro(fs, new HPath(mp)).flatMap { entry =>
+        if (num(entry, "status", 1L) == 2L) None
+        else {
+          val d = entry.get("data_file").asInstanceOf[GenericRecord]
+          require(num(d, "content", 0L) == 0L,
+            "compactDataFiles cannot run on a snapshot carrying delete files")
+          Some(remap(String.valueOf(d.get("file_path"))))
+        }
+      }
+    }
+    val sized = live.map(p => p -> fs.getFileStatus(new HPath(p)).getLen)
+    val (small, big) = sized.partition(_._2 < targetFileBytes)
+    if (small.size < minFiles) return -1L
+
+    // pack the small set in one read+coalesce job
+    val schema = IcebergLoader.tableSchema(meta)
+    val total = small.map(_._2).sum
+    val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    val dataDir = new HPath(root, "data")
+    fs.mkdirs(dataDir)
+    val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+    spark.read.schema(schema).parquet(small.map(_._1): _*)
+      .coalesce(nOut).write.mode("overwrite").parquet(scratch.toString)
+    val packed: Seq[(String, Long)] = fs.listStatus(scratch).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map { p =>
+        val target = new HPath(dataDir, p.getName)
+        require(fs.rename(p, target),
+          s"compactDataFiles could not move ${p.getName} into $dataDir")
+        target.toString -> fs.getFileStatus(target).getLen
+      }.toSeq
+    fs.delete(scratch, true)
+
+    // one manifest over the whole live set, one-entry manifest list,
+    // `replace` snapshot, metadata committed at resolvedVersion+1
+    val now = System.currentTimeMillis()
+    val lastSeq = Option(meta.get("last-sequence-number")).filterNot(_.isNull)
+      .map(_.asLong()).getOrElse(0L)
+    val seq = lastSeq + 1
+    val snapId = snapshots.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
+    val schemaNode = IcebergLoader.schemaNodeFor(meta, None)
+    val fieldIds: Map[String, Int] =
+      schemaNode.get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val statCols = schema.fields
+      .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mSchema = manifestSchemaFor(Seq.empty)
+    val manifestPath = new HPath(metaDir,
+      s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
+    writeAvro(fs, mSchema, (big ++ packed).map { case (path, size) =>
+      manifestEntry(mSchema, seq, path, size,
+        ColumnIndex.readFileZones(conf, path, statCols), Seq.empty, fieldIds,
+        c => schema.fields.find(_.name == c).map(_.dataType))
+    }, manifestPath)
+    val listEntry = {
+      val m = new GenericData.Record(manifestListSchema)
+      m.put("manifest_path", manifestPath.toString)
+      m.put("manifest_length", fs.getFileStatus(manifestPath).getLen)
+      m.put("partition_spec_id",
+        Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0))
+      m.put("content", 0)
+      m.put("sequence_number", Long.box(seq))
+      m.put("added_snapshot_id", snapId)
+      m
+    }
+    val listPath = new HPath(metaDir,
+      s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
+    writeAvro(fs, manifestListSchema, Seq(listEntry), listPath)
+
+    val schemaId = Option(meta.get("current-schema-id")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(0)
+    val snapJson =
+      s"""{"snapshot-id":$snapId,"sequence-number":$seq,"timestamp-ms":$now,
+         |"schema-id":$schemaId,
+         |"manifest-list":${jstr(listPath.toString)},
+         |"summary":{"operation":"replace"}}""".stripMargin
+    val node = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    node.put("last-sequence-number", seq)
+    node.put("last-updated-ms", now)
+    node.put("current-snapshot-id", snapId)
+    val arr = mapper.createArrayNode()
+    snapshots.foreach(arr.add)
+    arr.add(mapper.readTree(snapJson))
+    node.set[JsonNode]("snapshots", arr)
+    val base = if (metaVersion >= 0) metaVersion else metadataVersion(fs, metaDir)
+    val version = commitMetadata(fs, metaDir, base,
+      mapper.writeValueAsString(node), "compactDataFiles")
+    val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    version
+  }
 
   /** Expire snapshots older than `olderThanMs` (never the current one):
     * commit a metadata version without them, then delete every file only
@@ -518,6 +615,64 @@ object IcebergWriter {
         deleted += 1
     }
     (expired.size, deleted)
+  }
+
+  /** One manifest entry for a data file: content/path/format/counts/size,
+    * the spec-typed partition tuple when present, and per-field null
+    * counts + single-value-serialized bounds from the footer zones.
+    * Shared by [[write]] and [[compactDataFiles]]. `colType` resolves a
+    * column name to the Spark type whose iceberg serialization the zone
+    * must speak (the zone's domain must match, or the bytes would lie —
+    * e.g. nanos-as-long stats under a timestamp field). */
+  private def manifestEntry(mSchema: Schema, seq: Long, path: String,
+      size: Long, fz: ColumnIndex.FileZones, tuple: Seq[(String, Any)],
+      fieldIds: Map[String, Int],
+      colType: String => Option[DataType]): GenericRecord = {
+    val e = new GenericData.Record(mSchema)
+    val dfSchema = mSchema.getField("data_file").schema()
+    val d = new GenericData.Record(dfSchema)
+    d.put("content", 0)
+    d.put("file_path", path)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", fz.rows)
+    d.put("file_size_in_bytes", size)
+    if (tuple.nonEmpty) {
+      val pSchema = dfSchema.getField("partition").schema()
+      val pr = new GenericData.Record(pSchema)
+      tuple.foreach { case (c, v) => pr.put(c, v) }
+      d.put("partition", pr)
+    }
+    def kvSchema(field: String): Schema = {
+      val union = dfSchema.getField(field).schema()
+      union.getTypes.get(1).getElementType // ["null", array<kv>] -> kv
+    }
+    def kv(schema: Schema, key: Int, value: AnyRef): GenericRecord = {
+      val r = new GenericData.Record(schema); r.put("key", key)
+      r.put("value", value); r
+    }
+    val nullsOut = new java.util.ArrayList[GenericRecord]()
+    val lowerOut = new java.util.ArrayList[GenericRecord]()
+    val upperOut = new java.util.ArrayList[GenericRecord]()
+    fz.zones.foreach { case (c, z) =>
+      fieldIds.get(c).foreach { fid =>
+        nullsOut.add(kv(kvSchema("null_value_counts"), fid, Long.box(z.nulls)))
+        colType(c).foreach { dt =>
+          if (!z.allNull && boundsKind(dt).contains(z.kind)) {
+            boundsBytes(dt, z, isMin = true).foreach(b =>
+              lowerOut.add(kv(kvSchema("lower_bounds"), fid, b)))
+            boundsBytes(dt, z, isMin = false).foreach(b =>
+              upperOut.add(kv(kvSchema("upper_bounds"), fid, b)))
+          }
+        }
+      }
+    }
+    d.put("null_value_counts", nullsOut)
+    d.put("lower_bounds", lowerOut)
+    d.put("upper_bounds", upperOut)
+    e.put("status", 1)
+    e.put("sequence_number", Long.box(seq))
+    e.put("data_file", d)
+    e
   }
 
   /** Manifest paths of one manifest-list avro file (shared reader:

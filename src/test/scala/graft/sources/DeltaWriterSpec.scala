@@ -379,6 +379,37 @@ class DeltaWriterSpec extends SparkSpec {
     assert(!pending.exists())
   }
 
+  test("compact bin-packs small files per partition in one dataChange=false commit") {
+    val dir = newDir()
+    // five micro-batch appends across two partitions -> five tiny files
+    (0 until 5).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, if (i % 2 == 0) "a" else "b", s"n$i"))
+        .toDF("id", "grp", "name"), dir, partitionBy = Seq("grp")))
+    def content() = readBack(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val before = content()
+    assert(DeltaLoader.snapshot(spark, dir).files.size == 5)
+    val v = DeltaWriter.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(v == 5L)
+    assert(content() == before) // same rows through the swap
+    // live set shrank to one packed file per partition
+    assert(DeltaLoader.snapshot(spark, dir).files.size == 2)
+    // the commit is pure reorganization: every action dataChange=false
+    val commit = Files.readString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000005.json"))
+    assert(!commit.contains("\"dataChange\":true"), commit)
+    assert(commit.contains("\"operation\":\"OPTIMIZE\""))
+    // already-packed partitions make a second compact a no-op
+    assert(DeltaWriter.compact(spark, dir) == -1L)
+    // time travel across the swap still works (old files stay on disk)
+    assert(DeltaLoader.load(spark, TableSource("dw_t", dir, Some("delta"),
+      options = Map("version" -> "4"))).count() == 5)
+    // until vacuum reclaims the replaced files past the window
+    Thread.sleep(5)
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 0L) >= 5L)
+    assert(content() == before)
+  }
+
   test("column-mapped tables are refused loudly") {
     val dir = newDir()
     // hand-build a minimal column-mapped table (the DeltaLoaderSpec shape)

@@ -369,6 +369,50 @@ class IcebergWriterSpec extends SparkSpec {
     assert(rows(readBack(dir)) == Set(9L -> "z", 10L -> "y", 11L -> "w"))
   }
 
+  test("compactDataFiles packs small files into a replace snapshot") {
+    val dir = newDir()
+    // five micro-batch appends -> five tiny files, five snapshots
+    (0 until 5).foreach(i =>
+      IcebergWriter.write(Seq((i.toLong, s"n$i")).toDF("id", "name"), dir))
+    def liveFiles() = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir + "/data"))
+    }
+    val before = rows(readBack(dir))
+    assert(before.size == 5)
+    val v = IcebergWriter.compactDataFiles(spark, dir, targetFileBytes = 1L << 20)
+    assert(v == 6L)
+    assert(rows(readBack(dir)) == before) // same rows through the swap
+    // the new snapshot's scan reads ONE packed file; old files remain on
+    // disk for the prior snapshots until expireSnapshots
+    assert(readBack(dir).inputFiles.length == 1)
+    assert(liveFiles() == 6) // 5 originals + 1 packed
+    assert(rows(readBack(dir, Map("snapshot-id" -> "3"))).size == 3)
+    // the compaction snapshot is a `replace`
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(java.nio.file.Path.of(dir + "/metadata/v6.metadata.json")))
+    val last = meta.get("snapshots").get(meta.get("snapshots").size() - 1)
+    assert(last.get("summary").get("operation").asText() == "replace")
+    // a second pass is a no-op; appends keep working on the packed table
+    assert(IcebergWriter.compactDataFiles(spark, dir) == -1L)
+    IcebergWriter.write(Seq((9L, "post")).toDF("id", "name"), dir)
+    assert(rows(readBack(dir)) == before + (9L -> "post"))
+    // expire then reclaims the five replaced originals
+    val (expired, deleted) = IcebergWriter.expireSnapshots(spark, dir, olderThanMs = 0L)
+    assert(expired == 6 && deleted >= 5L, s"($expired, $deleted)")
+    assert(rows(readBack(dir)) == before + (9L -> "post"))
+    // partitioned tables refuse
+    val pDir = newDir()
+    IcebergWriter.write(Seq((1L, "us", "a")).toDF("id", "region", "name"),
+      pDir, partitionBy = Seq("region"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.compactDataFiles(spark, pDir)
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
   test("iceberg schema json assigns depth-first field ids and round-trips types") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
