@@ -59,7 +59,11 @@ object DeltaLoader {
                            /** The protocol's per-file statistics JSON
                              * (numRecords/minValues/maxValues/nullCount) —
                              * [[ColumnIndex.buildFromDelta]]'s zone source. */
-                           stats: Option[String] = None)
+                           stats: Option[String] = None,
+                           /** add.size — lets maintenance (compact) pick
+                             * small files from metadata alone; -1 when the
+                             * action omitted it. */
+                           size: Long = -1L)
 
   def load(spark: SparkSession, src: TableSource): DataFrame = {
     val versionAsOf = src.options.get("version").map(_.toLong)
@@ -143,7 +147,8 @@ object DeltaLoader {
             (if (e.getValue.isNull) null else e.getValue.asText())).toMap
         }.getOrElse(Map.empty[String, String])
         addedAfter(path) = AddFile(path, pv, parseDv(add.get("deletionVector")),
-          Option(add.get("stats")).filterNot(_.isNull).map(_.asText()))
+          Option(add.get("stats")).filterNot(_.isNull).map(_.asText()),
+          Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(-1L))
         removedAfter -= path
       }
       if (remove != null && !remove.isNull) {
@@ -179,9 +184,12 @@ object DeltaLoader {
         val statsCol =
           if (addFields.contains("stats")) col("add.stats").cast("string")
           else lit(null).cast("string")
+        val sizeCol =
+          if (addFields.contains("size")) col("add.size").cast("long")
+          else lit(-1L)
         checkpointAdds = Some(cp.where(col("add.path").isNotNull)
           .select(col("add.path").as("path"), col("add.partitionValues").as("pv"),
-            dvCol.as("dv"), statsCol.as("stats")))
+            dvCol.as("dv"), statsCol.as("stats"), sizeCol.as("size")))
       }
       maxVersion = v
     }
@@ -219,7 +227,8 @@ object DeltaLoader {
         val pv = Option(r.getMap[String, String](1))
           .map(_.toMap).getOrElse(Map.empty[String, String])
         val dv = Option(r.getString(2)).flatMap(j => parseDv(mapper.readTree(j)))
-        AddFile(r.getString(0), pv, dv, Option(r.getString(3)))
+        AddFile(r.getString(0), pv, dv, Option(r.getString(3)),
+          if (r.isNullAt(4)) -1L else r.getLong(4))
       }.toSeq
     }.getOrElse(Seq.empty)
 

@@ -239,9 +239,7 @@ object DeltaWriter {
 
       val version = existing.map(_.version + 1).getOrElse(0L)
       val target = new HPath(logDir, f"$version%020d.json")
-      try {
-        val out = fs.create(target, false) // put-if-absent: the commit point
-        try out.write(lines.getBytes("UTF-8")) finally out.close()
+      if (commitJson(fs, target, lines)) {
         if ((version + 1) % checkpointInterval == 0) {
           // a checkpoint is a replay optimization, not part of the commit:
           // the version is already durable, so a checkpoint failure must
@@ -255,14 +253,12 @@ object DeltaWriter {
           }
         }
         return version
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException if fs.exists(target) =>
-          // lost the race — loop back to a FRESH snapshot read. Appends
-          // recompute and retry; an overwrite's remove set went stale, so
-          // it refuses rather than resurrect or double-tombstone files.
-          require(mode == "append",
-            s"DeltaWriter overwrite lost a commit race at version $version; retry the operation")
+      } else {
+        // lost the race — loop back to a FRESH snapshot read. Appends
+        // recompute and retry; an overwrite's remove set went stale, so
+        // it refuses rather than resurrect or double-tombstone files.
+        require(mode == "append",
+          s"DeltaWriter overwrite lost a commit race at version $version; retry the operation")
       }
     }
     -1L // unreachable
@@ -458,6 +454,28 @@ object DeltaWriter {
 
   private def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
 
+  /** Put-if-absent JSON commit. True on success; false when the target
+    * existed BEFORE our create (a genuine lost race, the caller's
+    * policy). A failure AFTER our create (partial write — ENOSPC, IO
+    * error) deletes the truncated file and rethrows: a half-written
+    * commit line would brick every later log replay, and reporting it as
+    * a "race" would hide the real fault (review finding). */
+  private def commitJson(fs: FileSystem, target: HPath, lines: String): Boolean = {
+    var created = false
+    try {
+      val out = fs.create(target, false)
+      created = true
+      try out.write(lines.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        if (created) { scala.util.Try(fs.delete(target, false)); throw e }
+        else if (fs.exists(target)) false
+        else throw e
+    }
+  }
+
   /** OPTIMIZE-style compaction (the protocol's bin-packing story): within
     * each partition, files smaller than `targetFileBytes` are rewritten
     * into as few files as possible and swapped in ONE commit whose add
@@ -499,76 +517,89 @@ object DeltaWriter {
     val now = System.currentTimeMillis()
 
     // per partition: the small-file set, its replacement files, and the
-    // JSON action lines. Each group is one independent read+coalesce job
-    // over ONLY its small files.
-    val actions = Seq.newBuilder[String]
-    var touched = false
-    snap.files.groupBy(_.partitionValues).foreach { case (pv, files) =>
+    // JSON action lines. File sizes come from the log's own add.size when
+    // present (metadata-only selection — no per-file RPC at scale; review
+    // finding); groups run as independent Spark jobs through a small
+    // concurrency window instead of serially (review finding).
+    val basePath = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    def compactGroup(pv: Map[String, String],
+                     files: Seq[DeltaLoader.AddFile]): Seq[String] = {
       val sized = files.map { f =>
         val p = new HPath(abs(f.path))
-        (f, p, fs.getFileStatus(p).getLen)
+        (f, p, if (f.size >= 0L) f.size else fs.getFileStatus(p).getLen)
       }
       val small = sized.filter(_._3 < targetFileBytes)
-      if (small.size >= minFiles) {
-        touched = true
-        val total = small.map(_._3).sum
-        val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
-        val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
-        spark.read.schema(dataSchema).parquet(small.map(_._2.toString): _*)
-          .coalesce(nOut).write.mode("overwrite").parquet(scratch.toString)
-        // replacements land NEXT TO the files they replace (same
-        // partition dir), so relative add paths keep the same shape
-        val targetDir = small.head._2.getParent
-        val relDir = {
-          val full = targetDir.toUri.getPath
-          val base = fs.makeQualified(root).toUri.getPath
-          full.stripPrefix(base).stripPrefix("/")
+      if (small.size < minFiles) return Seq.empty
+      val actions = Seq.newBuilder[String]
+      val total = small.map(_._3).sum
+      val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+      val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+      // repartition, NOT coalesce: coalesce just glues the small files'
+      // existing imbalance back together one level up (the repo's own
+      // Compaction operator documents the same trade; review finding)
+      spark.read.schema(dataSchema).parquet(small.map(_._2.toString): _*)
+        .repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
+      // replacements land NEXT TO the files they replace (same partition
+      // dir); BOTH sides of the relative-path computation are qualified,
+      // or a relative table dir would corrupt every add path (review
+      // finding)
+      val targetDir = small.head._2.getParent
+      val fullDir = fs.makeQualified(targetDir).toUri.getPath.stripSuffix("/")
+      require(fullDir == basePath || fullDir.startsWith(basePath + "/"),
+        s"compact: partition dir $fullDir escapes the table root $basePath")
+      val relDir = fullDir.stripPrefix(basePath).stripPrefix("/")
+      val pvJson = snap.partitionColumns.map { c =>
+        pv.get(c) match {
+          case Some(null) | None => s"${jstr(c)}:null"
+          case Some(v) => s"${jstr(c)}:${jstr(v)}"
         }
-        val pvJson = snap.partitionColumns.map { c =>
-          pv.get(c) match {
-            case Some(null) | None => s"${jstr(c)}:null"
-            case Some(v) => s"${jstr(c)}:${jstr(v)}"
-          }
-        }.mkString("{", ",", "}")
-        fs.listStatus(scratch).map(_.getPath)
-          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-          .foreach { p =>
-            val target = new HPath(targetDir, p.getName)
-            require(fs.rename(p, target),
-              s"compact could not move ${p.getName} into $targetDir")
-            val addPath = (if (relDir.isEmpty) p.getName else s"$relDir/${p.getName}")
-              .replace("%", "%25").replace("+", "%2B")
-            val size = fs.getFileStatus(target).getLen
-            val stats = statsJson(conf, target, statCols)
-              .map(s => s""","stats":${jstr(s)}""").getOrElse("")
-            actions += s"""{"add":{"path":${jstr(addPath)},"partitionValues":$pvJson,""" +
-              s""""size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
-          }
-        fs.delete(scratch, true)
-        small.foreach { case (f, _, _) =>
-          actions += s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":$now,""" +
-            """"dataChange":false}}"""
+      }.mkString("{", ",", "}")
+      fs.listStatus(scratch).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .foreach { p =>
+          val target = new HPath(targetDir, p.getName)
+          require(fs.rename(p, target),
+            s"compact could not move ${p.getName} into $targetDir")
+          val addPath = (if (relDir.isEmpty) p.getName else s"$relDir/${p.getName}")
+            .replace("%", "%25").replace("+", "%2B")
+          val size = fs.getFileStatus(target).getLen
+          val stats = statsJson(conf, target, statCols)
+            .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+          actions += s"""{"add":{"path":${jstr(addPath)},"partitionValues":$pvJson,""" +
+            s""""size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
         }
+      fs.delete(scratch, true)
+      small.foreach { case (f, _, _) =>
+        actions += s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":$now,""" +
+          """"dataChange":false}}"""
       }
+      actions.result()
     }
-    if (!touched) return -1L
+    val groups = snap.files.groupBy(_.partitionValues).toSeq
+    val actions: Seq[String] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, math.max(1, groups.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(groups.map { case (pv, fsq) =>
+          Future(compactGroup(pv, fsq))
+        }), Duration.Inf).flatten
+      finally pool.shutdown()
+    }
+    if (actions.isEmpty) return -1L
 
     val commitInfo =
       s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE",""" +
         """"operationParameters":{},"engineInfo":"graft-delta-writer"}}"""
-    val lines = (Seq(commitInfo) ++ actions.result()).mkString("", "\n", "\n")
+    val lines = (Seq(commitInfo) ++ actions).mkString("", "\n", "\n")
     val version = snap.version + 1
     val target = new HPath(logDir, f"$version%020d.json")
-    try {
-      val out = fs.create(target, false)
-      try out.write(lines.getBytes("UTF-8")) finally out.close()
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.io.IOException if fs.exists(target) =>
-        throw new IllegalStateException(
-          s"compact lost a commit race at version $version; re-run against " +
-            "the refreshed table")
-    }
+    if (!commitJson(fs, target, lines))
+      throw new IllegalStateException(
+        s"compact lost a commit race at version $version; re-run against " +
+          "the refreshed table")
     if ((version + 1) % checkpointInterval == 0) {
       try writeCheckpoint(spark, fs, root, logDir, version)
       catch {

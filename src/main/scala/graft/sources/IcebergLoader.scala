@@ -250,7 +250,7 @@ object IcebergLoader {
   private def intOr(r: GenericRecord, field: String, dflt: Int): Int =
     if (r.getSchema.getField(field) == null) dflt
     else Option(r.get(field)).map(_.asInstanceOf[Number].intValue()).getOrElse(dflt)
-  private def longOr(r: GenericRecord, field: String, dflt: Long): Long =
+  private[sources] def longOr(r: GenericRecord, field: String, dflt: Long): Long =
     if (r.getSchema.getField(field) == null) dflt
     else Option(r.get(field)).map(_.asInstanceOf[Number].longValue()).getOrElse(dflt)
   /** `equality_ids`: Avro array of field ids, absent/null for data files. */
@@ -363,7 +363,9 @@ object IcebergLoader {
       path: String, recordCount: Long,
       nullCounts: Map[Int, Long],
       lowerBounds: Map[Int, Array[Byte]],
-      upperBounds: Map[Int, Array[Byte]])
+      upperBounds: Map[Int, Array[Byte]],
+      /** file_size_in_bytes from the manifest; -1 when absent. */
+      fileSize: Long = -1L)
 
   /** The current snapshot's live DATA files with their manifest stats —
     * driver-side metadata work only, zero parquet footers touched. Returns
@@ -398,7 +400,8 @@ object IcebergLoader {
               longOr(df, "record_count", -1L),
               kvEntries(df, "null_value_counts").collect {
                 case (k, v: Number) => k -> v.longValue() }.toMap,
-              kvBytes(df, "lower_bounds"), kvBytes(df, "upper_bounds"))
+              kvBytes(df, "lower_bounds"), kvBytes(df, "upper_bounds"),
+              longOr(df, "file_size_in_bytes", -1L))
         }
       }
     }
@@ -408,7 +411,7 @@ object IcebergLoader {
   /** An iceberg k-v stats field: the spec's array<record{key,value}> form,
     * or a string-keyed avro map (both appear in the wild). Absent/null ->
     * empty. */
-  private def kvEntries(r: GenericRecord, field: String): Seq[(Int, Any)] =
+  private[sources] def kvEntries(r: GenericRecord, field: String): Seq[(Int, Any)] =
     if (r.getSchema.getField(field) == null) Seq.empty
     else Option(r.get(field)).toSeq.flatMap {
       case m: java.util.Map[_, _] =>
@@ -420,7 +423,7 @@ object IcebergLoader {
       case _ => Seq.empty
     }
 
-  private def kvBytes(r: GenericRecord, field: String): Map[Int, Array[Byte]] =
+  private[sources] def kvBytes(r: GenericRecord, field: String): Map[Int, Array[Byte]] =
     kvEntries(r, field).flatMap { case (k, v) =>
       val bytes = v match {
         case bb: java.nio.ByteBuffer =>

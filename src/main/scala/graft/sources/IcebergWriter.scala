@@ -412,6 +412,20 @@ object IcebergWriter {
     val (meta, metaVersion) = IcebergLoader.currentMetadataVersioned(fs, dir)
     require(identitySpecColumns(meta).isEmpty,
       "compactDataFiles supports unpartitioned tables only")
+    // the name-based reader returns NULL for renamed columns in pre-rename
+    // files (documented trade) — compacting would MATERIALIZE those nulls
+    // into the live table, so any rename in the schema history refuses
+    // (review finding; the Delta side refuses column mapping for the same
+    // hazard class)
+    val renameHistory = Option(meta.get("schemas")).filterNot(_.isNull).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(sch => Option(sch.get("fields")).filterNot(_.isNull).toSeq
+        .flatMap(_.elements().asScala)
+        .map(f => f.get("id").asInt() -> f.get("name").asText()))
+      .groupBy(_._1).values.exists(_.map(_._2).toSet.size > 1)
+    require(!renameHistory,
+      "compactDataFiles cannot run on a table with column-rename history " +
+        "(the name-based read would materialize nulls for renamed columns)")
     val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val currentId = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
@@ -437,18 +451,35 @@ object IcebergWriter {
           .map(_.elements().asScala.map(p => remap(p.asText())).toSeq)
           .getOrElse(Seq.empty)
       }
-    val live: Seq[String] = manifests.flatMap { mp =>
+    // live data files WITH their manifest-carried stats: sizes for the
+    // small/big split and counts/bounds for carried-forward entries come
+    // from metadata alone — no per-file RPC, no footer re-reads for
+    // untouched files (review findings)
+    val live: Seq[IcebergLoader.DataFileStats] = manifests.flatMap { mp =>
       IcebergLoader.readAvro(fs, new HPath(mp)).flatMap { entry =>
         if (num(entry, "status", 1L) == 2L) None
         else {
           val d = entry.get("data_file").asInstanceOf[GenericRecord]
           require(num(d, "content", 0L) == 0L,
             "compactDataFiles cannot run on a snapshot carrying delete files")
-          Some(remap(String.valueOf(d.get("file_path"))))
+          val fmt = String.valueOf(d.get("file_format")).toUpperCase
+          require(fmt == "PARQUET",
+            s"compactDataFiles: data file format `$fmt` not supported " +
+              "(parquet only — relabeling it would defeat the reader's guard)")
+          Some(IcebergLoader.DataFileStats(
+            remap(String.valueOf(d.get("file_path"))),
+            num(d, "record_count", -1L),
+            IcebergLoader.kvEntries(d, "null_value_counts").collect {
+              case (k, v: Number) => k -> v.longValue() }.toMap,
+            IcebergLoader.kvBytes(d, "lower_bounds"),
+            IcebergLoader.kvBytes(d, "upper_bounds"),
+            num(d, "file_size_in_bytes", -1L)))
         }
       }
     }
-    val sized = live.map(p => p -> fs.getFileStatus(new HPath(p)).getLen)
+    val sized = live.map(st => st ->
+      (if (st.fileSize >= 0L) st.fileSize
+       else fs.getFileStatus(new HPath(st.path)).getLen))
     val (small, big) = sized.partition(_._2 < targetFileBytes)
     if (small.size < minFiles) return -1L
 
@@ -459,8 +490,11 @@ object IcebergWriter {
     val dataDir = new HPath(root, "data")
     fs.mkdirs(dataDir)
     val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
-    spark.read.schema(schema).parquet(small.map(_._1): _*)
-      .coalesce(nOut).write.mode("overwrite").parquet(scratch.toString)
+    // repartition, NOT coalesce: coalesce just glues the small files'
+    // imbalance back together one level up (Compaction.scala documents
+    // the same trade; review finding)
+    spark.read.schema(schema).parquet(small.map(_._1.path): _*)
+      .repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
     val packed: Seq[(String, Long)] = fs.listStatus(scratch).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .map { p =>
@@ -488,11 +522,17 @@ object IcebergWriter {
     val mSchema = manifestSchemaFor(Seq.empty)
     val manifestPath = new HPath(metaDir,
       s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
-    writeAvro(fs, mSchema, (big ++ packed).map { case (path, size) =>
-      manifestEntry(mSchema, seq, path, size,
-        ColumnIndex.readFileZones(conf, path, statCols), Seq.empty, fieldIds,
+    val carried = big.map { case (st, size) =>
+      manifestEntryCarried(mSchema, seq, st, size)
+    }
+    val fresh = packed.map { case (path, size) =>
+      val fz = ColumnIndex.readFileZones(conf, path, statCols)
+      require(fz.rows >= 0L, // the UNREADABLE marker must not publish
+        s"compactDataFiles could not read back the footer of $path")
+      manifestEntry(mSchema, seq, path, size, fz, Seq.empty, fieldIds,
         c => schema.fields.find(_.name == c).map(_.dataType))
-    }, manifestPath)
+    }
+    writeAvro(fs, mSchema, carried ++ fresh, manifestPath)
     val listEntry = {
       val m = new GenericData.Record(manifestListSchema)
       m.put("manifest_path", manifestPath.toString)
@@ -666,6 +706,44 @@ object IcebergWriter {
         }
       }
     }
+    d.put("null_value_counts", nullsOut)
+    d.put("lower_bounds", lowerOut)
+    d.put("upper_bounds", upperOut)
+    e.put("status", 1)
+    e.put("sequence_number", Long.box(seq))
+    e.put("data_file", d)
+    e
+  }
+
+  /** A manifest entry rebuilt for a CARRIED-FORWARD file from its old
+    * entry's own stats — no footer reads, and the original counts/bounds
+    * travel verbatim (review finding: re-deriving them cost one footer
+    * open per untouched file and could publish the unreadable marker). */
+  private def manifestEntryCarried(mSchema: Schema, seq: Long,
+      st: IcebergLoader.DataFileStats, size: Long): GenericRecord = {
+    val e = new GenericData.Record(mSchema)
+    val dfSchema = mSchema.getField("data_file").schema()
+    val d = new GenericData.Record(dfSchema)
+    d.put("content", 0)
+    d.put("file_path", st.path)
+    d.put("file_format", "PARQUET") // validated against the old entry
+    d.put("record_count", st.recordCount)
+    d.put("file_size_in_bytes", size)
+    def kvSchema(field: String): Schema =
+      dfSchema.getField(field).schema().getTypes.get(1).getElementType
+    def kv(schema: Schema, key: Int, value: AnyRef): GenericRecord = {
+      val r = new GenericData.Record(schema); r.put("key", key)
+      r.put("value", value); r
+    }
+    val nullsOut = new java.util.ArrayList[GenericRecord]()
+    st.nullCounts.foreach { case (k, v) =>
+      nullsOut.add(kv(kvSchema("null_value_counts"), k, Long.box(v))) }
+    val lowerOut = new java.util.ArrayList[GenericRecord]()
+    st.lowerBounds.foreach { case (k, b) =>
+      lowerOut.add(kv(kvSchema("lower_bounds"), k, java.nio.ByteBuffer.wrap(b))) }
+    val upperOut = new java.util.ArrayList[GenericRecord]()
+    st.upperBounds.foreach { case (k, b) =>
+      upperOut.add(kv(kvSchema("upper_bounds"), k, java.nio.ByteBuffer.wrap(b))) }
     d.put("null_value_counts", nullsOut)
     d.put("lower_bounds", lowerOut)
     d.put("upper_bounds", upperOut)
