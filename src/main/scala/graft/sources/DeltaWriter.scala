@@ -456,10 +456,14 @@ object DeltaWriter {
 
   /** Put-if-absent JSON commit. True on success; false when the target
     * existed BEFORE our create (a genuine lost race, the caller's
-    * policy). A failure AFTER our create (partial write — ENOSPC, IO
-    * error) deletes the truncated file and rethrows: a half-written
-    * commit line would brick every later log replay, and reporting it as
-    * a "race" would hide the real fault (review finding). */
+    * policy). A failure AFTER our create first reads the file back: if
+    * the intended bytes landed in full, the commit IS durable (a close()
+    * hiccup after the flush must not delete a version a concurrent
+    * reader may already have observed — re-committing that number with
+    * different content would break immutability; review finding).
+    * Otherwise the truncated file is deleted — a half-written commit
+    * line would brick every later log replay — and a delete failure is
+    * reported LOUDLY, never swallowed. */
   private def commitJson(fs: FileSystem, target: HPath, lines: String): Boolean = {
     var created = false
     try {
@@ -470,7 +474,21 @@ object DeltaWriter {
     } catch {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: java.io.IOException) =>
-        if (created) { scala.util.Try(fs.delete(target, false)); throw e }
+        if (created) {
+          val durable = scala.util.Try {
+            val in = fs.open(target)
+            try new String(in.readAllBytes(), "UTF-8") == lines
+            finally in.close()
+          }.getOrElse(false)
+          if (durable) true
+          else {
+            if (!scala.util.Try(fs.delete(target, false)).getOrElse(false))
+              System.err.println(s"[graft] could not remove truncated commit " +
+                s"$target after a failed write — the log will not replay " +
+                s"until it is removed: $e")
+            throw e
+          }
+        }
         else if (fs.exists(target)) false
         else throw e
     }
@@ -530,6 +548,15 @@ object DeltaWriter {
       }
       val small = sized.filter(_._3 < targetFileBytes)
       if (small.size < minFiles) return Seq.empty
+      // replacements land NEXT TO the files they replace; validate the
+      // target dir BEFORE the rewrite job — an external-files table whose
+      // adds escape the root must refuse without paying a full read+
+      // shuffle per attempt (review finding)
+      val targetDir = small.head._2.getParent
+      val fullDir = fs.makeQualified(targetDir).toUri.getPath.stripSuffix("/")
+      require(fullDir == basePath || fullDir.startsWith(basePath + "/"),
+        s"compact: partition dir $fullDir escapes the table root $basePath")
+      val relDir = fullDir.stripPrefix(basePath).stripPrefix("/")
       val actions = Seq.newBuilder[String]
       val total = small.map(_._3).sum
       val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
@@ -539,15 +566,6 @@ object DeltaWriter {
       // Compaction operator documents the same trade; review finding)
       spark.read.schema(dataSchema).parquet(small.map(_._2.toString): _*)
         .repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
-      // replacements land NEXT TO the files they replace (same partition
-      // dir); BOTH sides of the relative-path computation are qualified,
-      // or a relative table dir would corrupt every add path (review
-      // finding)
-      val targetDir = small.head._2.getParent
-      val fullDir = fs.makeQualified(targetDir).toUri.getPath.stripSuffix("/")
-      require(fullDir == basePath || fullDir.startsWith(basePath + "/"),
-        s"compact: partition dir $fullDir escapes the table root $basePath")
-      val relDir = fullDir.stripPrefix(basePath).stripPrefix("/")
       val pvJson = snap.partitionColumns.map { c =>
         pv.get(c) match {
           case Some(null) | None => s"${jstr(c)}:null"
@@ -586,7 +604,14 @@ object DeltaWriter {
         Future.sequence(groups.map { case (pv, fsq) =>
           Future(compactGroup(pv, fsq))
         }), Duration.Inf).flatten
-      finally pool.shutdown()
+      catch {
+        case e: Throwable =>
+          // one failed group fails the whole compact — stop the queued
+          // groups instead of letting them rewrite partitions for a
+          // commit that will never happen (review finding)
+          pool.shutdownNow()
+          throw e
+      } finally pool.shutdown()
     }
     if (actions.isEmpty) return -1L
 

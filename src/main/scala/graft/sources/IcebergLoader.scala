@@ -243,7 +243,7 @@ object IcebergLoader {
     } finally reader.close()
   }
 
-  private def str(r: GenericRecord, field: String): String =
+  private[sources] def str(r: GenericRecord, field: String): String =
     String.valueOf(r.get(field))
   /** v1 files simply LACK the v2 fields (content etc.) — absent-from-schema
     * and present-but-null both take the default. */
@@ -396,17 +396,24 @@ object IcebergLoader {
         if (intOr(entry, "status", 1) != 2) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           if (intOr(df, "content", manifestContent) == 0)
-            out += DataFileStats(remap(str(df, "file_path")),
-              longOr(df, "record_count", -1L),
-              kvEntries(df, "null_value_counts").collect {
-                case (k, v: Number) => k -> v.longValue() }.toMap,
-              kvBytes(df, "lower_bounds"), kvBytes(df, "upper_bounds"),
-              longOr(df, "file_size_in_bytes", -1L))
+            out += dataFileStatsOf(df, remap)
         }
       }
     }
     (schemaNode, out.result())
   }
+
+  /** One manifest data_file record -> its [[DataFileStats]] — THE single
+    * extraction both [[currentFileStats]] and the writer's compaction use
+    * (review finding: two hand-rolled copies). */
+  private[sources] def dataFileStatsOf(df: GenericRecord,
+                                       remap: String => String): DataFileStats =
+    DataFileStats(remap(str(df, "file_path")),
+      longOr(df, "record_count", -1L),
+      kvEntries(df, "null_value_counts").collect {
+        case (k, v: Number) => k -> v.longValue() }.toMap,
+      kvBytes(df, "lower_bounds"), kvBytes(df, "upper_bounds"),
+      longOr(df, "file_size_in_bytes", -1L))
 
   /** An iceberg k-v stats field: the spec's array<record{key,value}> form,
     * or a string-keyed avro map (both appear in the wild). Absent/null ->

@@ -417,15 +417,28 @@ object IcebergWriter {
     // into the live table, so any rename in the schema history refuses
     // (review finding; the Delta side refuses column mapping for the same
     // hazard class)
-    val renameHistory = Option(meta.get("schemas")).filterNot(_.isNull).toSeq
-      .flatMap(_.elements().asScala)
-      .flatMap(sch => Option(sch.get("fields")).filterNot(_.isNull).toSeq
-        .flatMap(_.elements().asScala)
-        .map(f => f.get("id").asInt() -> f.get("name").asText()))
-      .groupBy(_._1).values.exists(_.map(_._2).toSet.size > 1)
-    require(!renameHistory,
-      "compactDataFiles cannot run on a table with column-rename history " +
-        "(the name-based read would materialize nulls for renamed columns)")
+    def fieldPairs(node: JsonNode, prefix: String): Seq[(Int, String)] =
+      Option(node.get("fields")).filterNot(_.isNull).toSeq
+        .flatMap(_.elements().asScala.toSeq).flatMap { f =>
+          val name = prefix + f.get("name").asText()
+          val t = f.get("type")
+          Seq(f.get("id").asInt() -> name) ++
+            (if (t != null && !t.isTextual && t.has("fields"))
+               fieldPairs(t, name + ".") else Seq.empty)
+        }
+    val pairs = Option(meta.get("schemas")).filterNot(_.isNull).toSeq
+      .flatMap(_.elements().asScala.toSeq).flatMap(sch => fieldPairs(sch, ""))
+      .distinct
+    // one id under two names = a rename (nested included); one name under
+    // two ids = drop-and-readd (the name-based read would serve the OLD
+    // column's values as the new one) — both refuse (review finding)
+    val evolved =
+      pairs.groupBy(_._1).values.exists(_.map(_._2).toSet.size > 1) ||
+        pairs.groupBy(_._2).values.exists(_.map(_._1).toSet.size > 1)
+    require(!evolved,
+      "compactDataFiles cannot run on a table with column rename/readd " +
+        "history (the name-based read would materialize wrong values for " +
+        "evolved columns)")
     val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val currentId = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
@@ -436,14 +449,11 @@ object IcebergWriter {
 
     // live data files of the current snapshot; any delete content refuses
     val remap = IcebergLoader.pathRemapper(meta, dir)
-    def num(r: GenericRecord, f: String, dflt: Long): Long =
-      if (r.getSchema.getField(f) == null) dflt
-      else Option(r.get(f)).map(_.asInstanceOf[Number].longValue()).getOrElse(dflt)
     val manifests: Seq[String] =
       Option(snap.get("manifest-list")).filterNot(_.isNull).map(_.asText()) match {
         case Some(ml) =>
           IcebergLoader.readAvro(fs, new HPath(remap(ml))).map { m =>
-            require(num(m, "content", 0L) == 0L,
+            require(IcebergLoader.longOr(m, "content", 0L) == 0L,
               "compactDataFiles cannot run on a snapshot with delete manifests")
             remap(String.valueOf(m.get("manifest_path")))
           }
@@ -457,23 +467,23 @@ object IcebergWriter {
     // untouched files (review findings)
     val live: Seq[IcebergLoader.DataFileStats] = manifests.flatMap { mp =>
       IcebergLoader.readAvro(fs, new HPath(mp)).flatMap { entry =>
-        if (num(entry, "status", 1L) == 2L) None
+        if (IcebergLoader.longOr(entry, "status", 1L) == 2L) None
         else {
           val d = entry.get("data_file").asInstanceOf[GenericRecord]
-          require(num(d, "content", 0L) == 0L,
+          require(IcebergLoader.longOr(d, "content", 0L) == 0L,
             "compactDataFiles cannot run on a snapshot carrying delete files")
           val fmt = String.valueOf(d.get("file_format")).toUpperCase
           require(fmt == "PARQUET",
             s"compactDataFiles: data file format `$fmt` not supported " +
               "(parquet only — relabeling it would defeat the reader's guard)")
-          Some(IcebergLoader.DataFileStats(
-            remap(String.valueOf(d.get("file_path"))),
-            num(d, "record_count", -1L),
-            IcebergLoader.kvEntries(d, "null_value_counts").collect {
-              case (k, v: Number) => k -> v.longValue() }.toMap,
-            IcebergLoader.kvBytes(d, "lower_bounds"),
-            IcebergLoader.kvBytes(d, "upper_bounds"),
-            num(d, "file_size_in_bytes", -1L)))
+          val st = IcebergLoader.dataFileStatsOf(d, remap)
+          // a carried-forward entry republishes its counts verbatim, so a
+          // missing/invalid record_count must refuse here, mirroring the
+          // fresh-file footer guard (review finding)
+          require(st.recordCount >= 0L,
+            s"compactDataFiles: manifest entry for ${st.path} carries no " +
+              "valid record_count")
+          Some(st)
         }
       }
     }
@@ -668,13 +678,38 @@ object IcebergWriter {
       size: Long, fz: ColumnIndex.FileZones, tuple: Seq[(String, Any)],
       fieldIds: Map[String, Int],
       colType: String => Option[DataType]): GenericRecord = {
+    val nulls = fz.zones.flatMap { case (c, z) =>
+      fieldIds.get(c).map(_ -> z.nulls) }.toMap
+    def bounds(isMin: Boolean): Map[Int, java.nio.ByteBuffer] =
+      fz.zones.flatMap { case (c, z) =>
+        for {
+          fid <- fieldIds.get(c)
+          dt <- colType(c)
+          // the zone's domain must be the one this column's iceberg type
+          // serializes, or the bytes would lie (e.g. nanos-as-long stats
+          // under a timestamp field)
+          if !z.allNull && boundsKind(dt).contains(z.kind)
+          b <- boundsBytes(dt, z, isMin)
+        } yield fid -> b
+      }.toMap
+    manifestEntryRaw(mSchema, seq, path, size, fz.rows, tuple, nulls,
+      bounds(isMin = true), bounds(isMin = false))
+  }
+
+  /** THE manifest-entry scaffolding, shared by the footer-derived
+    * ([[manifestEntry]]) and carried-forward ([[manifestEntryCarried]])
+    * paths (review finding: two copies of the kv/envelope code). */
+  private def manifestEntryRaw(mSchema: Schema, seq: Long, path: String,
+      size: Long, recordCount: Long, tuple: Seq[(String, Any)],
+      nulls: Map[Int, Long], lower: Map[Int, java.nio.ByteBuffer],
+      upper: Map[Int, java.nio.ByteBuffer]): GenericRecord = {
     val e = new GenericData.Record(mSchema)
     val dfSchema = mSchema.getField("data_file").schema()
     val d = new GenericData.Record(dfSchema)
     d.put("content", 0)
     d.put("file_path", path)
     d.put("file_format", "PARQUET")
-    d.put("record_count", fz.rows)
+    d.put("record_count", recordCount)
     d.put("file_size_in_bytes", size)
     if (tuple.nonEmpty) {
       val pSchema = dfSchema.getField("partition").schema()
@@ -682,76 +717,35 @@ object IcebergWriter {
       tuple.foreach { case (c, v) => pr.put(c, v) }
       d.put("partition", pr)
     }
-    def kvSchema(field: String): Schema = {
-      val union = dfSchema.getField(field).schema()
-      union.getTypes.get(1).getElementType // ["null", array<kv>] -> kv
-    }
-    def kv(schema: Schema, key: Int, value: AnyRef): GenericRecord = {
-      val r = new GenericData.Record(schema); r.put("key", key)
-      r.put("value", value); r
-    }
-    val nullsOut = new java.util.ArrayList[GenericRecord]()
-    val lowerOut = new java.util.ArrayList[GenericRecord]()
-    val upperOut = new java.util.ArrayList[GenericRecord]()
-    fz.zones.foreach { case (c, z) =>
-      fieldIds.get(c).foreach { fid =>
-        nullsOut.add(kv(kvSchema("null_value_counts"), fid, Long.box(z.nulls)))
-        colType(c).foreach { dt =>
-          if (!z.allNull && boundsKind(dt).contains(z.kind)) {
-            boundsBytes(dt, z, isMin = true).foreach(b =>
-              lowerOut.add(kv(kvSchema("lower_bounds"), fid, b)))
-            boundsBytes(dt, z, isMin = false).foreach(b =>
-              upperOut.add(kv(kvSchema("upper_bounds"), fid, b)))
-          }
-        }
-      }
-    }
-    d.put("null_value_counts", nullsOut)
-    d.put("lower_bounds", lowerOut)
-    d.put("upper_bounds", upperOut)
-    e.put("status", 1)
-    e.put("sequence_number", Long.box(seq))
-    e.put("data_file", d)
-    e
-  }
-
-  /** A manifest entry rebuilt for a CARRIED-FORWARD file from its old
-    * entry's own stats — no footer reads, and the original counts/bounds
-    * travel verbatim (review finding: re-deriving them cost one footer
-    * open per untouched file and could publish the unreadable marker). */
-  private def manifestEntryCarried(mSchema: Schema, seq: Long,
-      st: IcebergLoader.DataFileStats, size: Long): GenericRecord = {
-    val e = new GenericData.Record(mSchema)
-    val dfSchema = mSchema.getField("data_file").schema()
-    val d = new GenericData.Record(dfSchema)
-    d.put("content", 0)
-    d.put("file_path", st.path)
-    d.put("file_format", "PARQUET") // validated against the old entry
-    d.put("record_count", st.recordCount)
-    d.put("file_size_in_bytes", size)
     def kvSchema(field: String): Schema =
       dfSchema.getField(field).schema().getTypes.get(1).getElementType
     def kv(schema: Schema, key: Int, value: AnyRef): GenericRecord = {
       val r = new GenericData.Record(schema); r.put("key", key)
       r.put("value", value); r
     }
-    val nullsOut = new java.util.ArrayList[GenericRecord]()
-    st.nullCounts.foreach { case (k, v) =>
-      nullsOut.add(kv(kvSchema("null_value_counts"), k, Long.box(v))) }
-    val lowerOut = new java.util.ArrayList[GenericRecord]()
-    st.lowerBounds.foreach { case (k, b) =>
-      lowerOut.add(kv(kvSchema("lower_bounds"), k, java.nio.ByteBuffer.wrap(b))) }
-    val upperOut = new java.util.ArrayList[GenericRecord]()
-    st.upperBounds.foreach { case (k, b) =>
-      upperOut.add(kv(kvSchema("upper_bounds"), k, java.nio.ByteBuffer.wrap(b))) }
-    d.put("null_value_counts", nullsOut)
-    d.put("lower_bounds", lowerOut)
-    d.put("upper_bounds", upperOut)
+    def kvList[A <: AnyRef](field: String, m: Map[Int, A]) = {
+      val out = new java.util.ArrayList[GenericRecord]()
+      m.foreach { case (k, v) => out.add(kv(kvSchema(field), k, v)) }
+      out
+    }
+    d.put("null_value_counts",
+      kvList("null_value_counts", nulls.map { case (k, v) => k -> Long.box(v) }))
+    d.put("lower_bounds", kvList("lower_bounds", lower))
+    d.put("upper_bounds", kvList("upper_bounds", upper))
     e.put("status", 1)
     e.put("sequence_number", Long.box(seq))
     e.put("data_file", d)
     e
   }
+
+  /** A manifest entry for a CARRIED-FORWARD file from its old entry's own
+    * stats — no footer reads, the original counts/bounds travel verbatim. */
+  private def manifestEntryCarried(mSchema: Schema, seq: Long,
+      st: IcebergLoader.DataFileStats, size: Long): GenericRecord =
+    manifestEntryRaw(mSchema, seq, st.path, size, st.recordCount, Seq.empty,
+      st.nullCounts,
+      st.lowerBounds.map { case (k, b) => k -> java.nio.ByteBuffer.wrap(b) },
+      st.upperBounds.map { case (k, b) => k -> java.nio.ByteBuffer.wrap(b) })
 
   /** Manifest paths of one manifest-list avro file (shared reader:
     * [[IcebergLoader.readAvro]]). */

@@ -413,6 +413,58 @@ class IcebergWriterSpec extends SparkSpec {
     assert(e.getMessage.contains("unpartitioned"))
   }
 
+  test("compaction carries untouched files' manifest stats verbatim") {
+    val dir = newDir()
+    // one BIG file (many rows) + three tiny ones
+    IcebergWriter.write((0L until 3000L).map(i => (i, s"big$i"))
+      .toDF("id", "name").coalesce(1), dir)
+    (0 until 3).foreach(i =>
+      IcebergWriter.write(Seq((10000L + i, s"t$i")).toDF("id", "name"), dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigSize = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getLen).max
+    // target between tiny and big: the three tiny files pack, big carries
+    val v = IcebergWriter.compactDataFiles(spark, dir,
+      targetFileBytes = bigSize, minFiles = 2)
+    assert(v == 5L)
+    assert(readBack(dir).count() == 3003)
+    assert(readBack(dir).inputFiles.length == 2) // carried big + packed
+    // the metadata index still has zones for BOTH — the carried file's
+    // counts/bounds traveled verbatim, the packed one's were re-derived
+    val idx = ColumnIndex.buildFromIceberg(spark, dir, Seq("id"))
+    assert(idx.fileCount == 2)
+    assert(idx.files.map(_.rows).sorted == Vector(3L, 3000L))
+    assert(idx.files.forall(_.zones.contains("id")))
+    assert(idx.prune(Seq(("id", "gte", "10000"))).get.size == 1)
+  }
+
+  test("compaction refuses tables with column rename or drop-readd history") {
+    val dir = newDir()
+    IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    // simulate a rename in the schema history: a second schemas entry
+    // where field id 2 is called "label" instead of "name"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = java.nio.file.Path.of(dir + "/metadata/v1.metadata.json")
+    val node = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val renamed = node.get("schemas").get(0)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    renamed.put("schema-id", 1)
+    renamed.get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "label")
+    node.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(renamed)
+    Files.writeString(p, mapper.writeValueAsString(node))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Path.of(dir + "/metadata/.v1.metadata.json.crc"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.compactDataFiles(spark, dir)
+    }
+    assert(e.getMessage.contains("rename"))
+  }
+
   test("iceberg schema json assigns depth-first field ids and round-trips types") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
