@@ -475,18 +475,27 @@ object DeltaWriter {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: java.io.IOException) =>
         if (created) {
-          val durable = scala.util.Try {
+          // "read back and MISMATCHED" deletes; "could not read back" must
+          // NOT (the commit may be durable and already observed — deleting
+          // and re-committing that version would break immutability;
+          // review finding)
+          scala.util.Try {
             val in = fs.open(target)
             try new String(in.readAllBytes(), "UTF-8") == lines
             finally in.close()
-          }.getOrElse(false)
-          if (durable) true
-          else {
-            if (!scala.util.Try(fs.delete(target, false)).getOrElse(false))
-              System.err.println(s"[graft] could not remove truncated commit " +
-                s"$target after a failed write — the log will not replay " +
-                s"until it is removed: $e")
-            throw e
+          } match {
+            case scala.util.Success(true) => true // durable despite the error
+            case scala.util.Success(false) =>
+              if (!scala.util.Try(fs.delete(target, false)).getOrElse(false))
+                System.err.println(s"[graft] could not remove truncated commit " +
+                  s"$target after a failed write — the log will not replay " +
+                  s"until it is removed: $e")
+              throw e
+            case scala.util.Failure(_) =>
+              System.err.println(s"[graft] commit $target failed with $e and " +
+                "could not be read back — it may be durable or truncated; " +
+                "inspect before retrying")
+              throw e
           }
         }
         else if (fs.exists(target)) false

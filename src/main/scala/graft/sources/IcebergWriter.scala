@@ -421,21 +421,46 @@ object IcebergWriter {
       Option(node.get("fields")).filterNot(_.isNull).toSeq
         .flatMap(_.elements().asScala.toSeq).flatMap { f =>
           val name = prefix + f.get("name").asText()
-          val t = f.get("type")
-          Seq(f.get("id").asInt() -> name) ++
-            (if (t != null && !t.isTextual && t.has("fields"))
-               fieldPairs(t, name + ".") else Seq.empty)
+          Seq(f.get("id").asInt() -> name) ++ typePairs(f.get("type"), name)
         }
-    val pairs = Option(meta.get("schemas")).filterNot(_.isNull).toSeq
-      .flatMap(_.elements().asScala.toSeq).flatMap(sch => fieldPairs(sch, ""))
-      .distinct
-    // one id under two names = a rename (nested included); one name under
-    // two ids = drop-and-readd (the name-based read would serve the OLD
-    // column's values as the new one) — both refuse (review finding)
-    val evolved =
-      pairs.groupBy(_._1).values.exists(_.map(_._2).toSet.size > 1) ||
-        pairs.groupBy(_._2).values.exists(_.map(_._1).toSet.size > 1)
-    require(!evolved,
+    // recurse through struct fields AND list/map element/key/value types —
+    // a rename inside list<struct<...>> must not slip past (review finding)
+    def typePairs(t: JsonNode, prefix: String): Seq[(Int, String)] =
+      if (t == null || t.isTextual) Seq.empty
+      else fieldPairs(t, prefix + ".") ++
+        Seq("element", "key", "value").flatMap(part =>
+          Option(t.get(part)).filterNot(_.isNull).toSeq
+            .flatMap(typePairs(_, prefix + "." + part)))
+    val schemaPairSets: Seq[Seq[(Int, String)]] =
+      Option(meta.get("schemas")).filterNot(_.isNull).toSeq
+        .flatMap(_.elements().asScala.toSeq)
+        .map(sch => fieldPairs(sch, "").distinct)
+    // one id under two names = a rename (the name-based read would serve
+    // nulls for the renamed column). The drop-and-readd check (one name
+    // under two ids) applies only WITHIN an id-LINEAGE: this writer's own
+    // overwrite assigns fresh ids to the whole new schema generation, and
+    // two generations sharing no ids cannot have live cross-generation
+    // files (the overwrite replaced them) — refusing those was a
+    // deterministic false positive (review finding)
+    val allPairs = schemaPairSets.flatten.distinct
+    val renamed = allPairs.groupBy(_._1).values.exists(_.map(_._2).toSet.size > 1)
+    val lineages: Seq[Seq[(Int, String)]] = {
+      val comps = scala.collection.mutable.ArrayBuffer[
+        (scala.collection.mutable.Set[Int],
+         scala.collection.mutable.Set[(Int, String)])]()
+      schemaPairSets.foreach { pairs =>
+        val ids = pairs.map(_._1).toSet
+        val (hit, miss) = comps.partition(_._1.exists(ids))
+        val mergedIds = scala.collection.mutable.Set[Int]() ++ ids
+        val mergedPairs = scala.collection.mutable.Set[(Int, String)]() ++ pairs
+        hit.foreach { case (i2, p2) => mergedIds ++= i2; mergedPairs ++= p2 }
+        comps.clear(); comps ++= miss; comps += ((mergedIds, mergedPairs))
+      }
+      comps.map(_._2.toSeq).toSeq
+    }
+    val readded = lineages.exists(pairs =>
+      pairs.groupBy(_._2).values.exists(_.map(_._1).toSet.size > 1))
+    require(!(renamed || readded),
       "compactDataFiles cannot run on a table with column rename/readd " +
         "history (the name-based read would materialize wrong values for " +
         "evolved columns)")
@@ -476,14 +501,7 @@ object IcebergWriter {
           require(fmt == "PARQUET",
             s"compactDataFiles: data file format `$fmt` not supported " +
               "(parquet only — relabeling it would defeat the reader's guard)")
-          val st = IcebergLoader.dataFileStatsOf(d, remap)
-          // a carried-forward entry republishes its counts verbatim, so a
-          // missing/invalid record_count must refuse here, mirroring the
-          // fresh-file footer guard (review finding)
-          require(st.recordCount >= 0L,
-            s"compactDataFiles: manifest entry for ${st.path} carries no " +
-              "valid record_count")
-          Some(st)
+          Some(IcebergLoader.dataFileStatsOf(d, remap))
         }
       }
     }
@@ -533,6 +551,13 @@ object IcebergWriter {
     val manifestPath = new HPath(metaDir,
       s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
     val carried = big.map { case (st, size) =>
+      // only CARRIED entries republish manifest counts verbatim — a
+      // missing/invalid record_count refuses here; small files' counts
+      // are re-derived from footers and guarded below (review finding:
+      // guarding the whole live set refused compactable tables)
+      require(st.recordCount >= 0L,
+        s"compactDataFiles: manifest entry for ${st.path} carries no " +
+          "valid record_count")
       manifestEntryCarried(mSchema, seq, st, size)
     }
     val fresh = packed.map { case (path, size) =>

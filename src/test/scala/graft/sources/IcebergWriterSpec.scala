@@ -463,6 +463,18 @@ class IcebergWriterSpec extends SparkSpec {
       IcebergWriter.compactDataFiles(spark, dir)
     }
     assert(e.getMessage.contains("rename"))
+    // but this writer's OWN overwrite assigns fresh field ids to a whole
+    // new schema generation — a new id-LINEAGE, not drop-and-readd, and
+    // compaction must keep working (review finding: the name-under-two-ids
+    // check false-positived on every overwritten table)
+    val dir2 = newDir()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir2)
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir2,
+      mode = "overwrite")
+    IcebergWriter.write(Seq((3L, "c")).toDF("id", "name"), dir2)
+    assert(IcebergWriter.compactDataFiles(spark, dir2,
+      targetFileBytes = 1L << 20) == 4L)
+    assert(rows(readBack(dir2)) == Set(2L -> "b", 3L -> "c"))
   }
 
   test("iceberg schema json assigns depth-first field ids and round-trips types") {
