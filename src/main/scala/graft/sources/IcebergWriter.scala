@@ -424,13 +424,16 @@ object IcebergWriter {
           Seq(f.get("id").asInt() -> name) ++ typePairs(f.get("type"), name)
         }
     // recurse through struct fields AND list/map element/key/value types —
-    // a rename inside list<struct<...>> must not slip past (review finding)
+    // a rename inside list<struct<...>> must not slip past (review
+    // finding). Segments join on NUL, which no column name can contain —
+    // a literal dot in a name must not collide with a nested path
+    // (review finding).
     def typePairs(t: JsonNode, prefix: String): Seq[(Int, String)] =
       if (t == null || t.isTextual) Seq.empty
-      else fieldPairs(t, prefix + ".") ++
+      else fieldPairs(t, prefix + "\u0000") ++
         Seq("element", "key", "value").flatMap(part =>
           Option(t.get(part)).filterNot(_.isNull).toSeq
-            .flatMap(typePairs(_, prefix + "." + part)))
+            .flatMap(typePairs(_, prefix + "\u0000" + part)))
     val schemaPairSets: Seq[Seq[(Int, String)]] =
       Option(meta.get("schemas")).filterNot(_.isNull).toSeq
         .flatMap(_.elements().asScala.toSeq)
@@ -464,6 +467,16 @@ object IcebergWriter {
       "compactDataFiles cannot run on a table with column rename/readd " +
         "history (the name-based read would materialize wrong values for " +
         "evolved columns)")
+    // cross-generation name repetition (disjoint-id schemas reusing the
+    // same names) is safe ONLY if every live file postdates the current
+    // schema generation — true for this writer's overwrite, but an
+    // external engine can re-declare a schema without rewriting files
+    // (review finding). Verified below against live entries' sequence
+    // numbers once they are in hand.
+    val crossGenNames = lineages.size > 1 && {
+      val names = lineages.map(_.map(_._2).toSet)
+      names.combinations(2).exists(c => (c(0) & c(1)).nonEmpty)
+    }
     val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val currentId = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
@@ -474,42 +487,72 @@ object IcebergWriter {
 
     // live data files of the current snapshot; any delete content refuses
     val remap = IcebergLoader.pathRemapper(meta, dir)
-    val manifests: Seq[String] =
+    val manifests: Seq[(String, Long)] =
       Option(snap.get("manifest-list")).filterNot(_.isNull).map(_.asText()) match {
         case Some(ml) =>
           IcebergLoader.readAvro(fs, new HPath(remap(ml))).map { m =>
             require(IcebergLoader.longOr(m, "content", 0L) == 0L,
               "compactDataFiles cannot run on a snapshot with delete manifests")
-            remap(String.valueOf(m.get("manifest_path")))
+            (remap(String.valueOf(m.get("manifest_path"))),
+              IcebergLoader.longOr(m, "sequence_number", 0L))
           }
         case None => Option(snap.get("manifests")).filterNot(_.isNull)
-          .map(_.elements().asScala.map(p => remap(p.asText())).toSeq)
+          .map(_.elements().asScala.map(p => (remap(p.asText()), 0L)).toSeq)
           .getOrElse(Seq.empty)
       }
     // live data files WITH their manifest-carried stats: sizes for the
     // small/big split and counts/bounds for carried-forward entries come
     // from metadata alone — no per-file RPC, no footer re-reads for
     // untouched files (review findings)
-    val live: Seq[IcebergLoader.DataFileStats] = manifests.flatMap { mp =>
-      IcebergLoader.readAvro(fs, new HPath(mp)).flatMap { entry =>
-        if (IcebergLoader.longOr(entry, "status", 1L) == 2L) None
-        else {
-          val d = entry.get("data_file").asInstanceOf[GenericRecord]
-          require(IcebergLoader.longOr(d, "content", 0L) == 0L,
-            "compactDataFiles cannot run on a snapshot carrying delete files")
-          val fmt = String.valueOf(d.get("file_format")).toUpperCase
-          require(fmt == "PARQUET",
-            s"compactDataFiles: data file format `$fmt` not supported " +
-              "(parquet only — relabeling it would defeat the reader's guard)")
-          Some(IcebergLoader.dataFileStatsOf(d, remap))
+    val live: Seq[(IcebergLoader.DataFileStats, Long)] =
+      manifests.flatMap { case (mp, mSeq) =>
+        IcebergLoader.readAvro(fs, new HPath(mp)).flatMap { entry =>
+          if (IcebergLoader.longOr(entry, "status", 1L) == 2L) None
+          else {
+            val d = entry.get("data_file").asInstanceOf[GenericRecord]
+            require(IcebergLoader.longOr(d, "content", 0L) == 0L,
+              "compactDataFiles cannot run on a snapshot carrying delete files")
+            val fmt = String.valueOf(d.get("file_format")).toUpperCase
+            require(fmt == "PARQUET",
+              s"compactDataFiles: data file format `$fmt` not supported " +
+                "(parquet only — relabeling it would defeat the reader's guard)")
+            Some((IcebergLoader.dataFileStatsOf(d, remap),
+              IcebergLoader.longOr(entry, "sequence_number", mSeq)))
+          }
         }
       }
+    if (crossGenNames) {
+      // the current schema generation's FIRST snapshot sets the floor:
+      // any live file sequenced before it was written under an earlier
+      // disjoint generation whose same-named columns the name-based read
+      // would misresolve
+      val curSchemaId = Option(meta.get("current-schema-id")).filterNot(_.isNull)
+        .map(_.asInt()).getOrElse(0)
+      val floor = snapshots.filter(sn =>
+          Option(sn.get("schema-id")).filterNot(_.isNull)
+            .exists(_.asInt() == curSchemaId))
+        .map(sn => Option(sn.get("sequence-number")).filterNot(_.isNull)
+          .map(_.asLong()).getOrElse(0L))
+        .minOption.getOrElse(0L)
+      require(live.forall(_._2 >= floor),
+        "compactDataFiles cannot run: live files predate the current " +
+          "schema generation while a disjoint generation reuses its " +
+          "column names (the name-based read would misresolve them)")
     }
-    val sized = live.map(st => st ->
+    val sized = live.map { case (st, _) => st ->
       (if (st.fileSize >= 0L) st.fileSize
-       else fs.getFileStatus(new HPath(st.path)).getLen))
+       else fs.getFileStatus(new HPath(st.path)).getLen) }
     val (small, big) = sized.partition(_._2 < targetFileBytes)
     if (small.size < minFiles) return -1L
+    // carried entries republish manifest counts verbatim — refuse a
+    // missing/invalid record_count BEFORE the rewrite job runs and
+    // renames files (review finding: failing after the pack left
+    // unreferenced orphans per attempt)
+    big.foreach { case (st, _) =>
+      require(st.recordCount >= 0L,
+        s"compactDataFiles: manifest entry for ${st.path} carries no " +
+          "valid record_count")
+    }
 
     // pack the small set in one read+coalesce job
     val schema = IcebergLoader.tableSchema(meta)
@@ -551,13 +594,6 @@ object IcebergWriter {
     val manifestPath = new HPath(metaDir,
       s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
     val carried = big.map { case (st, size) =>
-      // only CARRIED entries republish manifest counts verbatim — a
-      // missing/invalid record_count refuses here; small files' counts
-      // are re-derived from footers and guarded below (review finding:
-      // guarding the whole live set refused compactable tables)
-      require(st.recordCount >= 0L,
-        s"compactDataFiles: manifest entry for ${st.path} carries no " +
-          "valid record_count")
       manifestEntryCarried(mSchema, seq, st, size)
     }
     val fresh = packed.map { case (path, size) =>

@@ -475,6 +475,36 @@ class IcebergWriterSpec extends SparkSpec {
     assert(IcebergWriter.compactDataFiles(spark, dir2,
       targetFileBytes = 1L << 20) == 4L)
     assert(rows(readBack(dir2)) == Set(2L -> "b", 3L -> "c"))
+    // an EXTERNAL engine can re-declare the same names under fresh ids
+    // WITHOUT rewriting files — live files then predate the current
+    // generation and the name-based read would misresolve them: refuse
+    val dir3 = newDir()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir3)
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir3)
+    val m3 = java.nio.file.Path.of(dir3 + "/metadata/v2.metadata.json")
+    val n3 = mapper.readTree(Files.readString(m3))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val gen1 = n3.get("schemas").get(0)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    gen1.put("schema-id", 1)
+    gen1.get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("id", 11)
+    gen1.get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("id", 12)
+    n3.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(gen1)
+    n3.put("current-schema-id", 1)
+    val snaps3 = n3.get("snapshots")
+    snaps3.get(snaps3.size() - 1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("schema-id", 1)
+    Files.writeString(m3, mapper.writeValueAsString(n3))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Path.of(dir3 + "/metadata/.v2.metadata.json.crc"))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergWriter.compactDataFiles(spark, dir3, targetFileBytes = 1L << 20)
+    }
+    assert(e3.getMessage.contains("misresolve"), e3.getMessage)
   }
 
   test("iceberg schema json assigns depth-first field ids and round-trips types") {
