@@ -193,11 +193,7 @@ object DeltaWriter {
           val target = new HPath(targetDir, name)
           require(fs.rename(p, target),
             s"DeltaWriter could not move data file $name into $targetDir")
-          // add.path is URI-decoded by readers (ours included): escape the
-          // two characters URLDecoder would mangle in the ON-DISK name
-          // ('%' and '+'); everything else round-trips literally
-          val addPath = (if (relDir.isEmpty) name else s"$relDir/$name")
-            .replace("%", "%25").replace("+", "%2B")
+          val addPath = encodeAddPath(if (relDir.isEmpty) name else s"$relDir/$name")
           val size = fs.getFileStatus(target).getLen
           // the protocol's per-file statistics channel: data-skipping
           // readers (delta-rs, ColumnIndex.buildFromDelta) plan off these
@@ -271,10 +267,14 @@ object DeltaWriter {
 
   /** The checkpoint action schema this writer emits — the public layout's
     * reader-relevant columns (txn/add/remove/metaData/protocol).
-    * add.stats and add.deletionVector ARE carried forward (data skipping
-    * keeps working, and appending to a DV-bearing table cannot resurrect
-    * deleted rows through our checkpoint); add.tags and other unmodeled
-    * optional fields are not. */
+    * add.stats, add.deletionVector and add.tags ARE carried forward (data
+    * skipping keeps working, and appending to a DV-bearing table cannot
+    * resurrect deleted rows through our checkpoint). Actions or add
+    * subfields BEYOND this model (domainMetadata, rowTracking's
+    * baseRowId, ...) do not silently drop: [[writeCheckpoint]] refuses to
+    * checkpoint a table whose replay state it cannot represent in full
+    * (advisor finding — a lossy checkpoint plus external pre-checkpoint
+    * JSON cleanup is data corruption for external engines). */
   private lazy val cpSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val dv = StructType(Seq(
@@ -292,6 +292,7 @@ object DeltaWriter {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("stats", StringType),
+        StructField("tags", MapType(StringType, StringType)),
         StructField("deletionVector", dv)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
@@ -454,6 +455,24 @@ object DeltaWriter {
 
   private def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
 
+  /** `add.path` must be an RFC 2396 URI-encoded relative path per the Delta
+    * protocol (strict external readers — delta-rs — URL-parse it): every
+    * byte outside the unreserved set percent-encodes, '/' stays a segment
+    * separator. Hive dir escaping leaves spaces and non-ASCII literal in
+    * the ON-DISK names, so escaping only '%'/'+' (the old rule) published
+    * paths strict parsers reject (advisor finding). '+' encodes too —
+    * URLDecoder-based readback (ours) maps a literal '+' to space. */
+  private[sources] def encodeAddPath(rel: String): String = {
+    val sb = new StringBuilder
+    rel.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c == '/' || c.isLetterOrDigit && c < 128 || "-_.!~*'()".indexOf(c) >= 0)
+        sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
   /** Put-if-absent JSON commit. True on success; false when the target
     * existed BEFORE our create (a genuine lost race, the caller's
     * policy). A failure AFTER our create first reads the file back: if
@@ -587,8 +606,8 @@ object DeltaWriter {
           val target = new HPath(targetDir, p.getName)
           require(fs.rename(p, target),
             s"compact could not move ${p.getName} into $targetDir")
-          val addPath = (if (relDir.isEmpty) p.getName else s"$relDir/${p.getName}")
-            .replace("%", "%25").replace("+", "%2B")
+          val addPath = encodeAddPath(
+            if (relDir.isEmpty) p.getName else s"$relDir/${p.getName}")
           val size = fs.getFileStatus(target).getLen
           val stats = statsJson(conf, target, statCols)
             .map(s => s""","stats":${jstr(s)}""").getOrElse("")
@@ -866,8 +885,13 @@ object DeltaWriter {
       case (v, parts) =>
         val cp = spark.read.parquet(checkpointPaths(logDir, v, parts): _*)
         if (!cp.columns.contains("txn")) Seq.empty
-        else cp.select(col("txn.version")).where(col("txn.appId") === appId)
-          .collect().map(_.getLong(0)).toSeq
+        else {
+          // aggregate executor-side: one long reaches the driver, however
+          // many txn rows the checkpoint carries
+          val r = cp.where(col("txn.appId") === appId)
+            .agg(org.apache.spark.sql.functions.max(col("txn.version"))).head()
+          if (r.isNullAt(0)) Seq.empty else Seq(r.getLong(0))
+        }
     }
     if (fromCheckpoint.isEmpty) None else Some(fromCheckpoint.max)
   }

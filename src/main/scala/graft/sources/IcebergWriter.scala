@@ -852,10 +852,16 @@ object IcebergWriter {
           // a FRESH unparseable occupant may be a concurrent writer's
           // in-flight file (created, bytes not yet written) — skipping it
           // would silently orphan that commit (review finding: TOCTOU);
-          // only occupants both unparseable AND old count as parked junk
+          // only occupants both unparseable AND old count as parked junk.
+          // The bound sits WELL above any plausible write stall (GC pause,
+          // slow object store): a writer that created vN and stalls a few
+          // minutes before writing bytes must still collide loudly, or its
+          // eventually-completed commit would be silently shadowed by a
+          // newer version (advisor finding — the original 60 s bound was
+          // inside real-world stall territory)
           val fresh = scala.util.Try(fs.getFileStatus(target)).toOption
             .exists(st =>
-              System.currentTimeMillis() - st.getModificationTime < 60000L)
+              System.currentTimeMillis() - st.getModificationTime < 6L * 3600 * 1000)
           if (realMetadata || fresh) throw new IllegalStateException(
             s"IcebergWriter lost a commit race at v$version to a concurrent " +
               s"writer; re-run the $what against the refreshed table")

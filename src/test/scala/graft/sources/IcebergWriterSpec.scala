@@ -101,8 +101,16 @@ class IcebergWriterSpec extends SparkSpec {
       IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
     }
     assert(inflight.getMessage.contains("commit race"))
-    // ...while junk parked LONG AGO is provably dead and skipped over
-    assert(junk.toFile.setLastModified(System.currentTimeMillis() - 3600_000L))
+    // ...an occupant only MINUTES old still counts as possibly-in-flight
+    // (a stalled-but-alive writer: GC pause, slow store — advisor finding;
+    // the old 60 s bound misclassified those as junk)...
+    assert(junk.toFile.setLastModified(System.currentTimeMillis() - 10 * 60_000L))
+    val stalled = intercept[IllegalStateException] {
+      IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
+    }
+    assert(stalled.getMessage.contains("commit race"))
+    // ...while junk parked HOURS ago is provably dead and skipped over
+    assert(junk.toFile.setLastModified(System.currentTimeMillis() - 7L * 3600_000L))
     val v = IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
     assert(v == 3L)
     assert(Files.readString(junk) == "{}") // untouched
