@@ -460,13 +460,17 @@ object DeltaWriter {
     * byte outside the unreserved set percent-encodes, '/' stays a segment
     * separator. Hive dir escaping leaves spaces and non-ASCII literal in
     * the ON-DISK names, so escaping only '%'/'+' (the old rule) published
-    * paths strict parsers reject (advisor finding). '+' encodes too —
-    * URLDecoder-based readback (ours) maps a literal '+' to space. */
+    * paths strict parsers reject (advisor finding). The pchar extras
+    * ':@&=$,' stay literal too — RFC 2396 permits them in path segments
+    * and every upstream engine writes hive partition paths that way
+    * (`date=2024-01-01/...`, advisor finding) — EXCEPT '+', which must
+    * encode: URLDecoder-based readback (ours) maps a literal '+' to space. */
   private[sources] def encodeAddPath(rel: String): String = {
     val sb = new StringBuilder
     rel.getBytes("UTF-8").foreach { b =>
       val c = (b & 0xff).toChar
-      if (c == '/' || c.isLetterOrDigit && c < 128 || "-_.!~*'()".indexOf(c) >= 0)
+      if (c == '/' || c.isLetterOrDigit && c < 128 ||
+          "-_.!~*'():@&=$,".indexOf(c) >= 0)
         sb.append(c)
       else sb.append(f"%%${b & 0xff}%02X")
     }
@@ -734,6 +738,71 @@ object DeltaWriter {
       case None => Seq(f"$v%020d.checkpoint.parquet")
     }).map(n => new HPath(logDir, n).toString)
 
+  /** Action keys a commit line may carry and still be represented in full
+    * by [[cpSchema]]. `commitInfo` is free-form provenance — checkpoints
+    * drop it by protocol, so it needs no model. Everything else
+    * (domainMetadata, cdc, checkpointMetadata, sidecar, ...) refuses. */
+  private val modeledActions = Set("add", "remove", "metaData", "protocol", "txn")
+
+  /** The refusal [[cpSchema]]'s contract promises: a replayed commit line
+    * whose state the checkpoint model cannot carry in full — an unmodeled
+    * action, or a modeled action with subfields beyond the model
+    * (rowTracking's `add.baseRowId`, ...) — aborts the checkpoint instead
+    * of silently dropping state. A lossy checkpoint plus external
+    * pre-checkpoint JSON cleanup is data corruption for external engines
+    * (advisor finding); a skipped checkpoint just leaves replay O(commits). */
+  private def requireRepresentable(node: com.fasterxml.jackson.databind.JsonNode,
+                                   commit: String): Unit =
+    node.fieldNames().asScala.foreach { k =>
+      if (k != "commitInfo") {
+        if (!modeledActions.contains(k))
+          throw new IllegalStateException(
+            s"refusing to checkpoint: commit $commit carries a `$k` action " +
+              "this writer's checkpoint model cannot represent in full")
+        requireModeledFields(node.get(k), cpSchema(k).dataType, s"$commit $k")
+      }
+    }
+
+  private def requireModeledFields(n: com.fasterxml.jackson.databind.JsonNode,
+                                   dt: org.apache.spark.sql.types.DataType,
+                                   where: String): Unit = dt match {
+    case st: org.apache.spark.sql.types.StructType if n != null && n.isObject =>
+      n.fieldNames().asScala.foreach { f =>
+        st.fields.find(_.name == f) match {
+          case Some(sub) => requireModeledFields(n.get(f), sub.dataType, s"$where.$f")
+          case None => throw new IllegalStateException(
+            s"refusing to checkpoint: $where.$f is beyond this writer's " +
+              "checkpoint model (its state would silently drop)")
+        }
+      }
+    case _ => () // map/array/atomic: the modeled type carries the value whole
+  }
+
+  /** Same contract for a BASE checkpoint this writer would fold into a new
+    * one: every column (recursively through structs) must exist in
+    * [[cpSchema]], or reading it through that schema would silently strip
+    * replay state an external engine wrote (e.g. an `add.baseRowId` column
+    * or a whole `domainMetadata` column). */
+  private def requireModeledColumns(have: org.apache.spark.sql.types.StructType,
+                                    where: String): Unit = {
+    def walk(h: org.apache.spark.sql.types.StructType,
+             w: org.apache.spark.sql.types.StructType, path: String): Unit =
+      h.fields.foreach { f =>
+        w.fields.find(_.name == f.name) match {
+          case None => throw new IllegalStateException(
+            s"refusing to checkpoint: $where column `$path${f.name}` is beyond " +
+              "this writer's checkpoint model (its state would silently drop)")
+          case Some(m) => (f.dataType, m.dataType) match {
+            case (a: org.apache.spark.sql.types.StructType,
+                  b: org.apache.spark.sql.types.StructType) =>
+              walk(a, b, s"$path${f.name}.")
+            case _ => ()
+          }
+        }
+      }
+    walk(have, cpSchema, "")
+  }
+
   /** Write the replay state at version `v` as a single-file checkpoint
     * parquet + `_last_checkpoint`. Everything driver-side here is
     * protocol-small (meta, txns, the JSON commits since the last
@@ -765,6 +834,7 @@ object DeltaWriter {
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
+        requireRepresentable(node, name)
         val add = node.get("add")
         if (add != null && !add.isNull) {
           val o = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
@@ -797,6 +867,7 @@ object DeltaWriter {
     val baseAddsJson: Option[org.apache.spark.sql.Dataset[String]] =
       base.map { case (bv, parts) =>
         val cp = spark.read.parquet(checkpointPaths(logDir, bv, parts): _*)
+        requireModeledColumns(cp.schema, s"base checkpoint $bv")
         val cols = cp.columns.toSet
         if (metaLine == null && cols("metaData"))
           cp.select("metaData").where(col("metaData.id").isNotNull)

@@ -427,4 +427,74 @@ class DeltaWriterSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("column-mapped"))
   }
+
+  /** Runs `body` with System.err captured; returns (result, stderr text). */
+  private def capturingErr[A](body: => A): (A, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    val r = try body finally System.setErr(old)
+    (r, buf.toString("UTF-8"))
+  }
+
+  private def logNames(dir: String): Seq[String] =
+    new java.io.File(dir + "/_delta_log").listFiles().map(_.getName).toSeq
+
+  test("checkpoint refuses unmodeled actions instead of silently dropping them") {
+    val dir = newDir()
+    (0 to 7).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    // an external engine lands a domainMetadata action at version 8 —
+    // state our checkpoint model cannot carry
+    Files.writeString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000008.json"),
+      """{"commitInfo":{"timestamp":0,"operation":"SET DOMAIN"}}""" + "\n" +
+        """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{}","removed":false}}""" + "\n")
+    // version 9 hits the checkpoint interval: the commit itself must
+    // succeed, the checkpoint must refuse LOUDLY, naming the action
+    val (v, errText) = capturingErr {
+      DeltaWriter.write(Seq((9L, "r9")).toDF("id", "name"), dir)
+    }
+    assert(v == 9L)
+    assert(!logNames(dir).exists(_.contains("checkpoint")), logNames(dir))
+    assert(errText.contains("domainMetadata") && errText.contains("checkpoint"),
+      errText)
+    // the table stays fully readable via JSON replay
+    assert(readBack(dir).count() == 9L)
+  }
+
+  test("checkpoint refuses add subfields beyond its model (rowTracking)") {
+    val dir = newDir()
+    (0 to 7).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    // re-publish an existing file's add with a rowTracking subfield the
+    // checkpoint schema would silently strip
+    val snap = DeltaLoader.snapshot(spark, dir)
+    val f = snap.files.head
+    Files.writeString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000008.json"),
+      s"""{"add":{"path":"${f.path}","partitionValues":{},"size":${f.size},""" +
+        """"modificationTime":0,"dataChange":false,"baseRowId":42}}""" + "\n")
+    val (v, errText) = capturingErr {
+      DeltaWriter.write(Seq((9L, "r9")).toDF("id", "name"), dir)
+    }
+    assert(v == 9L)
+    assert(!logNames(dir).exists(_.contains("checkpoint")), logNames(dir))
+    assert(errText.contains("baseRowId"), errText)
+    assert(readBack(dir).count() == 9L)
+  }
+
+  test("encodeAddPath: RFC 2396 segments, pchar extras literal, URLDecoder round-trip") {
+    val rel = "grp=a b+c%d=é/part-0001.snappy.parquet"
+    val enc = DeltaWriter.encodeAddPath(rel)
+    // '=' and '/' stay literal (hive partition paths read like upstream's);
+    // space, '+', '%' and non-ASCII percent-encode
+    assert(enc == "grp=a%20b%2Bc%25d=%C3%A9/part-0001.snappy.parquet", enc)
+    assert(java.net.URLDecoder.decode(enc, "UTF-8") == rel)
+    // every pchar extra this writer passes through survives a URLDecoder
+    // readback unchanged
+    val extras = ":@&=$,"
+    assert(DeltaWriter.encodeAddPath(extras) == extras)
+    assert(java.net.URLDecoder.decode(extras, "UTF-8") == extras)
+  }
 }
