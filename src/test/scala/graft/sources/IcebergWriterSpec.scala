@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
@@ -328,20 +330,20 @@ class IcebergWriterSpec extends SparkSpec {
     assert(readBack(dir).select("id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
     assert(readBack(dir, Map("snapshot-id" -> "1"))
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
-    // a non-identity spec in the table refuses the write
+    // a spec transform this writer does not speak refuses the write
     val p = java.nio.file.Path.of(dir + "/metadata/v2.metadata.json")
     val node = mapper.readTree(Files.readString(p))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val fields = node.get("partition-specs").get(1).get("fields").get(0)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    fields.put("transform", "bucket[4]")
+    fields.put("transform", "void")
     Files.writeString(p, mapper.writeValueAsString(node))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Path.of(dir + "/metadata/.v2.metadata.json.crc"))
     val e = intercept[IllegalArgumentException] {
       IcebergWriter.write(Seq((9L, "x", "z")).toDF("id", "region", "name"), dir)
     }
-    assert(e.getMessage.contains("identity"))
+    assert(e.getMessage.contains("void"))
   }
 
   test("expireSnapshots prunes metadata and deletes only unreachable files") {
@@ -411,14 +413,159 @@ class IcebergWriterSpec extends SparkSpec {
     val (expired, deleted) = IcebergWriter.expireSnapshots(spark, dir, olderThanMs = 0L)
     assert(expired == 6 && deleted >= 5L, s"($expired, $deleted)")
     assert(rows(readBack(dir)) == before + (9L -> "post"))
-    // partitioned tables refuse
-    val pDir = newDir()
-    IcebergWriter.write(Seq((1L, "us", "a")).toDF("id", "region", "name"),
-      pDir, partitionBy = Seq("region"))
-    val e = intercept[IllegalArgumentException] {
-      IcebergWriter.compactDataFiles(spark, pDir)
+  }
+
+  /** All entries of every live manifest: (status, seq, path, tuple values
+    * by field name). */
+  private def manifestEntries(dir: String)
+      : Seq[(Int, Long, String, Map[String, Any])] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergLoader.currentMetadataVersioned(fs, dir)._1
+    val snapId = meta.get("current-snapshot-id").asLong()
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == snapId).get
+    val ml = snap.get("manifest-list").asText()
+    IcebergLoader.readAvro(fs, new org.apache.hadoop.fs.Path(ml)).flatMap { m =>
+      val mp = String.valueOf(m.get("manifest_path"))
+      IcebergLoader.readAvro(fs, new org.apache.hadoop.fs.Path(mp)).map { e =>
+        val d = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val tuple: Map[String, Any] = d.getSchema.getField("partition") match {
+          case null => Map.empty
+          case _ => d.get("partition") match {
+            case pr: org.apache.avro.generic.GenericRecord =>
+              pr.getSchema.getFields.asScala.map(f =>
+                f.name() -> (pr.get(f.name()) match {
+                  case u: org.apache.avro.util.Utf8 => u.toString
+                  case x => x
+                })).toMap
+            case _ => Map.empty
+          }
+        }
+        (e.get("status").asInstanceOf[Number].intValue(),
+          e.get("sequence_number").asInstanceOf[Number].longValue(),
+          String.valueOf(d.get("file_path")), tuple)
+      }
     }
-    assert(e.getMessage.contains("unpartitioned"))
+  }
+
+  test("partitioned compaction: per-tuple bin-pack, EXISTING carried entries") {
+    val dir = newDir()
+    // four appends: partition "a" collects 4 small files, partition "b" 1
+    IcebergWriter.write(Seq((0L, "a", "n0"), (100L, "b", "m0"))
+      .toDF("id", "grp", "name"), dir, partitionBy = Seq("grp"))
+    (1 to 3).foreach(i =>
+      IcebergWriter.write(Seq((i.toLong, "a", s"n$i")).toDF("id", "grp", "name"),
+        dir, partitionBy = Seq("grp")))
+    def content() = readBack(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val before = content()
+    assert(before.size == 5)
+    val beforeEntries = manifestEntries(dir)
+    assert(beforeEntries.size == 5)
+    val bSeqBefore = beforeEntries.filter(_._4("grp") == "b").map(_._2).head
+    val v = IcebergWriter.compactDataFiles(spark, dir,
+      targetFileBytes = 1L << 20)
+    assert(v == 5L)
+    assert(content() == before) // same rows through the swap
+    val after = manifestEntries(dir)
+    // "a" packed into one fresh ADDED file; "b"'s lone small file carried
+    val aEntries = after.filter(_._4("grp") == "a")
+    val bEntries = after.filter(_._4("grp") == "b")
+    assert(aEntries.size == 1 && bEntries.size == 1, after)
+    assert(aEntries.head._1 == 1, "packed file must be status ADDED")
+    // the carried entry is EXISTING at its ORIGINAL sequence number — an
+    // incremental reader must not see it as new data
+    assert(bEntries.head._1 == 0, "carried file must be status EXISTING")
+    assert(bEntries.head._2 == bSeqBefore,
+      s"carried seq ${bEntries.head._2} != original $bSeqBefore")
+    // the packed file holds only "a" rows; partition pruning still works
+    assert(spark.read.parquet(aEntries.head._3)
+      .select("grp").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    // appends keep working; a second compact is a no-op
+    assert(IcebergWriter.compactDataFiles(spark, dir) == -1L)
+    IcebergWriter.write(Seq((9L, "a", "post")).toDF("id", "grp", "name"), dir)
+    assert(content() == before + ((9L, "a", "post")))
+  }
+
+  test("bucket transform murmur3 matches the spec's published vectors") {
+    // iceberg spec Appendix B test vectors (hash, not bucket-mod)
+    assert(IcebergWriter.bucketHashLong(34L) == 2017239379) // int and long widen alike
+    assert(IcebergWriter.murmur3("iceberg".getBytes("UTF-8")) == 1210000089)
+    // date 2017-11-16 = 17486 epoch days
+    assert(IcebergWriter.bucketHashLong(17486L) == -653330422)
+    // timestamp 2017-11-16T22:31:08 = 1510871468000000 micros
+    assert(IcebergWriter.bucketHashLong(1510871468000000L) == -2047944441)
+    assert(IcebergWriter.bucketN(2017239379, 16) == 2017239379 % 16)
+    assert(IcebergWriter.bucketN(-653330422, 4) == ((-653330422 & Int.MaxValue) % 4))
+  }
+
+  test("days/bucket/truncate transforms: spec json, tuples, pruning, append") {
+    val dir = newDir()
+    val ts = (d: String, h: Int) =>
+      java.time.LocalDateTime.parse(s"$d" + f"T$h%02d:00:00")
+    val df = Seq(
+      (1L, ts("2024-03-01", 1), "alpha"),
+      (2L, ts("2024-03-01", 23), "alpine"),
+      (3L, ts("2024-03-02", 5), "beta"),
+      (4L, ts("2024-03-03", 12), "bear"))
+      .toDF("id", "event_ts", "name").coalesce(1) // one file per tuple
+    IcebergWriter.write(df, dir,
+      partitionBy = Seq("days(event_ts)", "truncate(2,name)"))
+    // spec json carries the transform serializations
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      java.nio.file.Path.of(dir + "/metadata/v1.metadata.json")))
+    val fields = meta.get("partition-specs").get(0).get("fields")
+    assert(fields.get(0).get("name").asText() == "event_ts_day")
+    assert(fields.get(0).get("transform").asText() == "day")
+    assert(fields.get(0).get("source-id").asInt() == 2)
+    assert(fields.get(1).get("transform").asText() == "truncate[2]")
+    // rows round-trip with the SOURCE columns intact in the files
+    val back = readBack(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "event_ts", "name"))
+    assert(back.count() == 4)
+    assert(back.where("name = 'alpine'").select("id").head().getLong(0) == 2L)
+    // manifest tuples: day as epoch-day int, truncate as the 2-char prefix
+    val d0 = java.time.LocalDate.parse("2024-03-01").toEpochDay.toInt
+    val tuples = manifestEntries(dir).map(e =>
+      (e._4("event_ts_day").asInstanceOf[Number].intValue(),
+        e._4("name_trunc").toString)).toSet
+    assert(tuples == Set((d0, "al"), (d0 + 1, "be"), (d0 + 2, "be")), tuples)
+    // a time predicate prunes at FILE level through the manifest bounds
+    val idx = ColumnIndex.buildFromIceberg(spark, dir, Seq("event_ts"))
+    assert(idx.fileCount == 3)
+    val kept = idx.prune(Seq(("event_ts", "gte", "'2024-03-03 00:00:00'"))).get
+    assert(kept.size == 1, s"expected 1 surviving file, got ${kept.size}")
+    // append with no partitionBy INHERITS the transform spec
+    IcebergWriter.write(Seq((5L, ts("2024-03-01", 9), "ally"))
+      .toDF("id", "event_ts", "name"), dir)
+    assert(readBack(dir).count() == 5)
+    // a semantically mismatched partitioning refuses
+    val bad = intercept[IllegalArgumentException] {
+      IcebergWriter.write(Seq((6L, ts("2024-03-01", 9), "x"))
+        .toDF("id", "event_ts", "name"), dir, partitionBy = Seq("hours(event_ts)"))
+    }
+    assert(bad.getMessage.contains("partition"))
+    // bucket: values land in [0, n) and the same key always lands together
+    val bDir = newDir()
+    val bdf = (0L until 40L).map(i => (i, s"k${i % 10}")).toDF("id", "key")
+    IcebergWriter.write(bdf, bDir, partitionBy = Seq("bucket(4,key)"))
+    assert(readBack(bDir).count() == 40)
+    val buckets = manifestEntries(bDir).map(
+      _._4("key_bucket").asInstanceOf[Number].intValue())
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 4), buckets)
+    // identity partitioning on a timestamp still refuses, naming transforms
+    val badTs = intercept[IllegalArgumentException] {
+      IcebergWriter.write(df, newDir(), partitionBy = Seq("event_ts"))
+    }
+    assert(badTs.getMessage.contains("days"), badTs.getMessage)
+    // unknown transform strings refuse loudly
+    val badT = intercept[IllegalArgumentException] {
+      IcebergWriter.write(df, newDir(), partitionBy = Seq("zoom(event_ts)"))
+    }
+    assert(badT.getMessage.contains("zoom"))
   }
 
   test("compaction carries untouched files' manifest stats verbatim") {
