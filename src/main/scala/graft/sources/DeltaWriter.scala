@@ -537,12 +537,21 @@ object DeltaWriter {
     * IO-bound long before it is data-bound. Old files stay on disk for
     * time travel until vacuum reclaims them.
     *
-    * Refuses column-mapped tables (like [[write]]) and tables whose live
-    * files carry deletion vectors (rewriting a DV-bearing file without
-    * materializing its deletes would resurrect rows). A lost commit race
+    * Files carrying deletion vectors are ALWAYS rewrite candidates,
+    * whatever their size: the rewrite MATERIALIZES the DV (the deleted
+    * row indexes are anti-joined away during the read, exactly the
+    * reader's own DV application), emits DV-free replacements, and the
+    * swap commit drops the DV reference — after which the sidecar is
+    * unreferenced and vacuum-able. That is the protocol's purge story:
+    * DV-heavy files are precisely the ones worth compacting, and row
+    * counts/stats of the replacements come from their own footers, so
+    * they are exact post-delete.
+    *
+    * Refuses column-mapped tables (like [[write]]). A lost commit race
     * refuses rather than retry — the remove set was computed against the
     * pre-race snapshot. Returns the committed version, or -1 when no
-    * partition had at least `minFiles` small files (no commit made). */
+    * partition had at least `minFiles` small files or a DV to
+    * materialize (no commit made). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Long = {
     require(targetFileBytes > 0 && minFiles >= 2,
@@ -553,9 +562,6 @@ object DeltaWriter {
     val snap = DeltaLoader.snapshot(spark, dir)
     require(snap.columnMappingMode == "none",
       "compact cannot rewrite a column-mapped table")
-    require(snap.files.forall(_.dv.isEmpty),
-      "compact cannot rewrite files carrying deletion vectors " +
-        "(their deletes would be resurrected)")
 
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
@@ -578,8 +584,12 @@ object DeltaWriter {
         val p = new HPath(abs(f.path))
         (f, p, if (f.size >= 0L) f.size else fs.getFileStatus(p).getLen)
       }
-      val small = sized.filter(_._3 < targetFileBytes)
-      if (small.size < minFiles) return Seq.empty
+      // rewrite set: under-target files, plus EVERY DV-bearing file (the
+      // materialization pass — size is irrelevant, the deletes are why it
+      // rewrites). A lone DV file still rewrites; lone small DV-free
+      // files wait for company.
+      val small = sized.filter(e => e._3 < targetFileBytes || e._1.dv.isDefined)
+      if (small.size < minFiles && small.forall(_._1.dv.isEmpty)) return Seq.empty
       // replacements land NEXT TO the files they replace; validate the
       // target dir BEFORE the rewrite job — an external-files table whose
       // adds escape the root must refuse without paying a full read+
@@ -593,11 +603,33 @@ object DeltaWriter {
       val total = small.map(_._3).sum
       val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
       val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+      // DV materialization: anti-join the deleted (file, row_index) pairs
+      // away — the reader's own DV application, applied once at rewrite
+      // time so the replacements are plain DV-free parquet
+      val plain = spark.read.schema(dataSchema).parquet(small.map(_._2.toString): _*)
+      val dvSmall = small.filter(_._1.dv.isDefined)
+      val source =
+        if (dvSmall.isEmpty) plain
+        else {
+          import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+          import spark.implicits._
+          def normFp(p: String): String = p.replaceFirst("^file:/+", "/")
+          val withId = plain
+            .withColumn("__graft_fp",
+              regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+            .withColumn("__graft_ri", col("_metadata.row_index"))
+          val deleted = dvSmall.flatMap { case (f, p, _) =>
+            DeletionVectors.read(spark, dir, f.dv.get)
+              .map(ri => (normFp(p.toString), ri))
+          }.toDF("__graft_fp", "__graft_ri")
+          withId.join(broadcast(deleted), Seq("__graft_fp", "__graft_ri"),
+            "left_anti")
+            .select(dataSchema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+        }
       // repartition, NOT coalesce: coalesce just glues the small files'
       // existing imbalance back together one level up (the repo's own
       // Compaction operator documents the same trade; review finding)
-      spark.read.schema(dataSchema).parquet(small.map(_._2.toString): _*)
-        .repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
+      source.repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
       val pvJson = snap.partitionColumns.map { c =>
         pv.get(c) match {
           case Some(null) | None => s"${jstr(c)}:null"

@@ -281,72 +281,13 @@ class DeltaLoaderSpec extends AnyFunSuite {
   // portable roaring serialize, DV file layout), so the reader is validated
   // against the written spec rather than against itself.
 
-  private def z85Encode(bytes: Array[Byte]): String = {
-    val chars = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
-    require(bytes.length % 4 == 0)
-    val sb = new StringBuilder
-    bytes.grouped(4).foreach { g =>
-      var v = 0L
-      g.foreach(b => v = (v << 8) | (b & 0xFFL))
-      val digits = new Array[Char](5)
-      (4 to 0 by -1).foreach { i => digits(i) = chars((v % 85).toInt); v /= 85 }
-      sb.appendAll(digits)
-    }
-    sb.toString
-  }
+  private def z85Encode(bytes: Array[Byte]): String = DvFixtures.z85Encode(bytes)
 
-  /** Portable 64-bit RoaringBitmapArray writer (array + bitmap containers). */
-  private def serializeRoaring(values: Array[Long]): Array[Byte] = {
-    import java.nio.{ByteBuffer, ByteOrder}
-    val byHigh = values.groupBy(_ >>> 32)
-    val nBitmaps = if (byHigh.isEmpty) 0L else byHigh.keys.max + 1
-    val out = new java.io.ByteArrayOutputStream()
-    def putInt(v: Int): Unit =
-      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
-    def putLong(v: Long): Unit =
-      out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array())
-    def putShort(v: Int): Unit =
-      out.write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array())
-    putInt(1681511377)
-    putLong(nBitmaps)
-    (0L until nBitmaps).foreach { high =>
-      val lows = byHigh.getOrElse(high, Array.empty[Long]).map(v => (v & 0xFFFFFFFFL).toInt)
-      val byKey = lows.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
-      putInt(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
-      putInt(byKey.size)
-      byKey.foreach { case (k, vs) => putShort(k); putShort(vs.length - 1) }
-      // offset header: byte offsets from the bitmap's cookie
-      var off = 8 + 8 * byKey.size
-      byKey.foreach { case (_, vs) =>
-        putInt(off)
-        off += (if (vs.length > 4096) 8192 else 2 * vs.length)
-      }
-      byKey.foreach { case (_, vs) =>
-        if (vs.length > 4096) {
-          val words = new Array[Long](1024)
-          vs.foreach { v =>
-            val low16 = v & 0xFFFF
-            words(low16 >>> 6) |= 1L << (low16 & 63)
-          }
-          words.foreach(putLong)
-        } else vs.map(_ & 0xFFFF).sorted.foreach(putShort)
-      }
-    }
-    out.toByteArray
-  }
+  private def serializeRoaring(values: Array[Long]): Array[Byte] =
+    DvFixtures.serializeRoaring(values)
 
-  private def writeDvFile(path: java.nio.file.Path, data: Array[Byte]): Int = {
-    import java.nio.{ByteBuffer, ByteOrder}
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(1) // DV file format version
-    out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(data.length).array())
-    out.write(data)
-    val crc = new java.util.zip.CRC32(); crc.update(data)
-    out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
-      .putInt(crc.getValue.toInt).array())
-    Files.write(path, out.toByteArray)
-    1 // the blob's offset (right after the version byte)
-  }
+  private def writeDvFile(path: java.nio.file.Path, data: Array[Byte]): Int =
+    DvFixtures.writeDvFile(path, data)
 
   test("Z85 decode matches the public ZeroMQ test vector") {
     // spec.zeromq.org/32: "HelloWorld" decodes to 86 4F D2 6F B5 59 F7 5B
@@ -403,8 +344,7 @@ class DeltaLoaderSpec extends AnyFunSuite {
 
   /** Z85 works on 4-byte groups; the roaring payload is self-delimiting, so
     * trailing zero padding is inert. */
-  private def padTo4(b: Array[Byte]): Array[Byte] =
-    if (b.length % 4 == 0) b else b ++ Array.fill[Byte]((4 - b.length % 4) % 4)(0)
+  private def padTo4(b: Array[Byte]): Array[Byte] = DvFixtures.padTo4(b)
 
   test("unsupported protocol features fail loudly") {
     val dir = Files.createTempDirectory("graft_delta_bad").toString

@@ -484,6 +484,72 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir).count() == 9L)
   }
 
+  test("compact materializes deletion vectors: DV-free replacements, originals reclaimable") {
+    val dir = newDir()
+    // two appends -> two small files; file A's rows in a known order so
+    // DV row indexes are deterministic
+    DeltaWriter.write(Seq((0L, "a0"), (1L, "a1"), (2L, "a2")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id"), dir)
+    DeltaWriter.write(Seq((10L, "b0"), (11L, "b1")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id"), dir)
+    val fileA = DeltaLoader.snapshot(spark, dir).files.map(_.path).sorted.head
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizeA = fs.getFileStatus(new HPath(dir, fileA)).getLen
+    // an external DELETE lands at v2: re-add file A with an inline DV
+    // dropping row index 1 (id 1)
+    val dvBytes = DvFixtures.serializeRoaring(Array(1L))
+    Files.writeString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000002.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" + "\n" +
+        s"""{"add":{"path":"$fileA","partitionValues":{},"size":$sizeA,""" +
+        s""""modificationTime":1,"dataChange":true,"deletionVector":{""" +
+        s""""storageType":"i","pathOrInlineDv":"${DvFixtures.z85Encode(
+          DvFixtures.padTo4(dvBytes))}","sizeInBytes":${dvBytes.length},""" +
+        """"cardinality":1}}}""" + "\n")
+    def ids() = readBack(dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() == Set(0L, 2L, 10L, 11L)) // the DV hides id 1
+    // compaction rewrites BOTH small files, materializing the DV
+    val v = DeltaWriter.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(v == 3L)
+    assert(ids() == Set(0L, 2L, 10L, 11L)) // same logical contents
+    val snap = DeltaLoader.snapshot(spark, dir)
+    assert(snap.files.size == 1, snap.files.map(_.path))
+    assert(snap.files.forall(_.dv.isEmpty), "replacements must be DV-free")
+    // physical purge: the packed file really has 4 rows, not 5
+    assert(spark.read.parquet(new HPath(dir, snap.files.head.path).toString)
+      .count() == 4L)
+    // the swap is pure reorganization and the originals are vacuum-able
+    val commit = Files.readString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000003.json"))
+    assert(!commit.contains("\"dataChange\":true"), commit)
+    Thread.sleep(5)
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 0L) >= 2L)
+    assert(ids() == Set(0L, 2L, 10L, 11L))
+    // a LONE DV-bearing file still rewrites (materialization pass), while
+    // a lone small DV-free file stays put
+    assert(DeltaWriter.compact(spark, dir, targetFileBytes = 1L << 20) == -1L)
+    val dir2 = newDir()
+    DeltaWriter.write(Seq((0L, "x"), (1L, "y")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id"), dir2)
+    val f2 = DeltaLoader.snapshot(spark, dir2).files.head
+    val size2 = fs.getFileStatus(new HPath(dir2, f2.path)).getLen
+    val dv2 = DvFixtures.serializeRoaring(Array(0L))
+    Files.writeString(java.nio.file.Path.of(
+      dir2 + "/_delta_log/00000000000000000001.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" + "\n" +
+        s"""{"add":{"path":"${f2.path}","partitionValues":{},"size":$size2,""" +
+        s""""modificationTime":1,"dataChange":true,"deletionVector":{""" +
+        s""""storageType":"i","pathOrInlineDv":"${DvFixtures.z85Encode(
+          DvFixtures.padTo4(dv2))}","sizeInBytes":${dv2.length},""" +
+        """"cardinality":1}}}""" + "\n")
+    assert(DeltaWriter.compact(spark, dir2, targetFileBytes = 1L << 20) == 2L)
+    val snap2 = DeltaLoader.snapshot(spark, dir2)
+    assert(snap2.files.size == 1 && snap2.files.forall(_.dv.isEmpty))
+    assert(readBack(dir2).select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("encodeAddPath: RFC 2396 segments, pchar extras literal, URLDecoder round-trip") {
     val rel = "grp=a b+c%d=é/part-0001.snappy.parquet"
     val enc = DeltaWriter.encodeAddPath(rel)
