@@ -61,14 +61,15 @@ import org.apache.spark.sql.DataFrame
   * touches the driver: a prior checkpoint's adds are read distributed,
   * anti-joined against post-checkpoint tombstones executor-side, and
   * unioned with the (protocol-small) new JSON adds straight into the
-  * parquet write. Checkpoint actions carry `dataChange=false` and the
-  * latest txn per appId rides along, so idempotent appends survive even
-  * if pre-checkpoint JSON commits are cleaned up externally. Remove
-  * tombstones are not carried forward: JSON commits are never deleted by
-  * this writer, so time travel below a checkpoint still replays from
-  * version zero — until [[vacuum]] reclaims the referenced files, at
-  * which point the retention window IS the time-travel horizon (the
-  * documented upstream trade).
+  * parquet write. Checkpoint actions carry `dataChange=false`; the
+  * latest txn per appId rides along, and so do remove TOMBSTONES within
+  * [[checkpointTombstoneRetentionMs]] (vacuum keys its retention on their
+  * deletionTimestamps, which otherwise vanish with cleaned-up JSON), so
+  * idempotent appends AND safe vacuums survive pre-checkpoint JSON
+  * cleanup. Time travel below a checkpoint still replays from version
+  * zero while the JSON exists — until [[vacuum]] reclaims the referenced
+  * files, at which point the retention window IS the time-travel horizon
+  * (the documented upstream trade).
   */
 object DeltaWriter {
 
@@ -265,6 +266,12 @@ object DeltaWriter {
     * `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   val checkpointInterval: Int = 10
 
+  /** Remove tombstones older than this drop out of checkpoints (upstream's
+    * `delta.deletedFileRetentionDuration` default). [[vacuum]] retentions
+    * beyond this window degrade to mtime-only for files whose tombstones
+    * expired — the same trade upstream documents. */
+  val checkpointTombstoneRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   /** The checkpoint action schema this writer emits — the public layout's
     * reader-relevant columns (txn/add/remove/metaData/protocol).
     * add.stats, add.deletionVector and add.tags ARE carried forward (data
@@ -326,15 +333,24 @@ object DeltaWriter {
     * overwritten/removed files and crashed writers' uncommitted orphans
     * alike. Consequence, exactly as upstream Delta documents: time travel
     * to versions that referenced the deleted files stops working — the
-    * retention window is the time-travel horizon. The live-set and the
-    * listing are both driver-side metadata work, the same order as any
-    * vacuum implementation; deletes are batched fs calls. Returns the
-    * deleted file count. */
+    * retention window is the time-travel horizon.
+    *
+    * Scale shape: the driver walks DIRECTORIES only (partition-dir count)
+    * and holds the live set plus the JSON-commit tombstones (the same
+    * lists [[DeltaLoader.snapshot]] already materializes to plan any
+    * scan); per-FILE work — listing, the liveness anti-join, the
+    * tombstone join, the deletes — runs on executors, and checkpoint
+    * remove rows (all-time removed files, the unbounded set) never touch
+    * the driver. Returns the deleted file count. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
              retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
     require(retentionMs >= 0, s"vacuum retention must be >= 0, got $retentionMs")
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, lit, max}
+    import spark.implicits._
     val root = new HPath(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val logDir = logDirOf(root)
     val snap = DeltaLoader.snapshot(spark, dir)
     def norm(p: String): String = new HPath(p).toString
     val liveData: Set[String] = snap.files.map { f =>
@@ -359,97 +375,167 @@ object DeltaWriter {
     // may be mid-scan of the previous snapshot, and it is the time-travel
     // horizon; review finding — upstream VACUUM keys on the same field,
     // and like upstream a tombstone MISSING the optional timestamp counts
-    // as 0 = deletable, not exempt-forever). Tombstones come from the
-    // JSON commits AND — for adopted external tables whose pre-checkpoint
-    // JSON was cleaned up — the checkpoint's remove column.
-    val tombstoneTs: Map[String, Long] = {
+    // as 0 = deletable, not exempt-forever). JSON-commit tombstones are
+    // driver-bounded by commit actions; checkpoint tombstones (the
+    // all-time removed set) ride as a DataFrame, executor-side only.
+    val jsonTomb: Map[String, Long] = {
       val out = scala.collection.mutable.Map[String, Long]()
-      def record(raw: String, ts: Long): Unit = {
-        val abs =
-          if (raw.contains("://") || raw.startsWith("/")) raw
-          else new HPath(dir, java.net.URLDecoder.decode(raw, "UTF-8")).toString
-        val key = norm(fs.makeQualified(new HPath(abs)).toString)
-        out(key) = math.max(out.getOrElse(key, 0L), ts)
-      }
       val commitRx = raw"\d{20}\.json".r
-      fs.listStatus(logDirOf(root)).map(_.getPath)
+      fs.listStatus(logDir).map(_.getPath)
         .filter(p => commitRx.matches(p.getName)).foreach { p =>
           val in = fs.open(p)
           val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
           text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
             val r = mapper.readTree(line).get("remove")
-            if (r != null && !r.isNull)
-              record(r.get("path").asText(),
-                Option(r.get("deletionTimestamp")).filterNot(_.isNull)
-                  .map(_.asLong()).getOrElse(0L))
-          }
-        }
-      // the checkpoint contributes tombstones only when the pre-checkpoint
-      // JSON is gone (external log cleanup): with commit zero still
-      // present the JSON scan above already saw everything — skip the
-      // Spark job (review finding; our own tables never delete JSON)
-      if (!fs.exists(new HPath(logDirOf(root), f"${0L}%020d.json")))
-        readLastCheckpoint(fs, logDirOf(root)).foreach { case (v, parts) =>
-          import org.apache.spark.sql.functions.{col, lit}
-          val cp = spark.read.parquet(checkpointPaths(logDirOf(root), v, parts): _*)
-          if (cp.columns.contains("remove")) {
-            // external checkpoints may omit OPTIONAL remove subfields —
-            // probe the struct, never assume (review finding)
-            val rm = cp.schema("remove").dataType
-              .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
-            if (rm.contains("path")) {
-              val tsCol =
-                if (rm.contains("deletionTimestamp"))
-                  col("remove.deletionTimestamp").cast("long")
-                else lit(null).cast("long")
-              cp.where(col("remove.path").isNotNull)
-                .select(col("remove.path"), tsCol)
-                .collect().foreach { r =>
-                  record(r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-                }
+            if (r != null && !r.isNull) {
+              val raw = r.get("path").asText()
+              val ts = Option(r.get("deletionTimestamp")).filterNot(_.isNull)
+                .map(_.asLong()).getOrElse(0L)
+              val abs =
+                if (raw.contains("://") || raw.startsWith("/")) raw
+                else new HPath(dir, java.net.URLDecoder.decode(raw, "UTF-8")).toString
+              val key = norm(fs.makeQualified(new HPath(abs)).toString)
+              out(key) = math.max(out.getOrElse(key, 0L), ts)
             }
           }
         }
       out.toMap
     }
 
+    // Hadoop Configuration is not serializable: ship its entries and
+    // rebuild per task (the ColumnIndex harvest pattern)
+    val confEntries: Array[(String, String)] = {
+      val it = hconf.iterator(); val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val dirStr = dir
+    def taskFs(): (org.apache.hadoop.conf.Configuration, FileSystem) = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => c.set(k, v) }
+      (c, new HPath(dirStr).getFileSystem(c))
+    }
+
+    // checkpoint tombstones, only when the pre-checkpoint JSON is gone
+    // (external log cleanup / [[cleanupLog]]): with commit zero present
+    // the JSON scan above already saw everything. The rows stay a
+    // DataFrame end to end.
+    val commit0Present = fs.exists(new HPath(logDir, f"${0L}%020d.json"))
+    val cpTomb: Option[DataFrame] =
+      if (commit0Present) None
+      else readLastCheckpoint(fs, logDir).map { case (v, parts) =>
+        val cp = spark.read.parquet(checkpointPaths(logDir, v, parts): _*)
+        // external checkpoints may omit OPTIONAL remove subfields — probe
+        // the struct, never assume (review finding). A checkpoint with NO
+        // remove channel at all while its JSON history is gone means the
+        // tombstone clocks are unrecoverable: deleting on mtime alone
+        // could reclaim a file removed five minutes ago, so refuse.
+        val rm =
+          if (!cp.columns.contains("remove")) Set.empty[String]
+          else cp.schema("remove").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+        require(rm.contains("path"),
+          s"vacuum: table at $dir replays from a checkpoint carrying no " +
+            "remove tombstones while its pre-checkpoint JSON commits are " +
+            "gone — deletion timestamps are unrecoverable, refusing to " +
+            "vacuum (re-checkpoint with a tombstone-carrying writer first)")
+        val tsCol =
+          if (rm.contains("deletionTimestamp"))
+            col("remove.deletionTimestamp").cast("long")
+          else lit(null).cast("long")
+        cp.where(col("remove.path").isNotNull)
+          .select(col("remove.path").as("rawPath"), coalesce(tsCol, lit(0L)).as("cts"))
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            val (_, fsx) = taskFs()
+            it.map { case (raw, ts) =>
+              val abs =
+                if (raw.contains("://") || raw.startsWith("/")) raw
+                else new HPath(dirStr, java.net.URLDecoder.decode(raw, "UTF-8")).toString
+              (new HPath(fsx.makeQualified(new HPath(abs)).toString).toString, ts)
+            }
+          }.toDF("path", "cts").groupBy("path").agg(max("cts").as("cts"))
+      }
+
+    // PHASE 1 (driver): walk DIRECTORIES only — bounded by partition-dir
+    // count, not file count. Scratch dirs reclaim wholesale here; every
+    // surviving dir's file listing and decisions run on executors.
+    // Skip rule: underscore/dot-prefixed names skip UNLESS they are
+    // partition dirs ("name=value" — a column named `_year` must still be
+    // walked; review finding).
     var deleted = 0L
     def countFiles(p: HPath): Long = fs.listStatus(p).map(st =>
       if (st.isDirectory) countFiles(st.getPath) else 1L).sum
-    def walk(p: HPath): Unit = fs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      // skip rule: scratch dirs reclaim wholesale below; everything else
-      // underscore/dot-prefixed skips UNLESS it is a partition dir
-      // ("name=value" — a column named `_year` must still be walked;
-      // review finding)
-      if ((n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_")) &&
-          st.isDirectory) {
-        // a crashed writer's whole scratch dir — the multi-GB orphan case
-        // the header's reclaim story promises. The retention window is
-        // also the safety margin against a LIVE writer's scratch.
-        if (st.getModificationTime < cutoff) {
-          val inside = countFiles(st.getPath)
-          if (fs.delete(st.getPath, true)) deleted += inside
-        }
-      } else if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) {
-        () // _delta_log, checksum sidecars, _SUCCESS
-      } else if (st.isDirectory) {
-        walk(st.getPath)
-        // drop now-empty partition dirs — but only OLD ones: a concurrent
-        // writer mkdirs its target dir moments before renaming into it
-        // (review finding)
-        if (st.getModificationTime < cutoff &&
-            fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
-      } else {
-        val key = norm(fs.makeQualified(st.getPath).toString)
-        val removedLongAgo = tombstoneTs.get(key).forall(_ < cutoff)
-        if (st.getModificationTime < cutoff && removedLongAgo &&
-            !live.contains(key)) {
-          if (fs.delete(st.getPath, false)) deleted += 1
-        }
+    val dataDirs = Seq.newBuilder[String]
+    def walkDirs(p: HPath): Unit = {
+      dataDirs += p.toString
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!st.isDirectory) ()
+        else if (n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_")) {
+          // a crashed writer's whole scratch dir — the multi-GB orphan
+          // case the header's reclaim story promises. The retention window
+          // is also the safety margin against a LIVE writer's scratch.
+          if (st.getModificationTime < cutoff) {
+            val inside = countFiles(st.getPath)
+            if (fs.delete(st.getPath, true)) deleted += inside
+          }
+        } else if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) {
+          () // _delta_log, checksum sidecars, _SUCCESS
+        } else walkDirs(st.getPath)
       }
     }
-    walk(root)
+    walkDirs(root)
+    val dirs = dataDirs.result()
+
+    // PHASE 2 (executors): list files, anti-join the live set, join the
+    // tombstone clocks, delete — one distributed pass, a count back.
+    val candidates = spark.sparkContext
+      .parallelize(dirs, math.max(1,
+        math.min(dirs.size, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val (_, fsx) = taskFs()
+        it.flatMap { d =>
+          fsx.listStatus(new HPath(d)).iterator
+            .filter(st => !st.isDirectory)
+            .filter { st =>
+              val n = st.getPath.getName
+              !((n.startsWith("_") || n.startsWith(".")) && !n.contains("="))
+            }
+            .map(st => (new HPath(fsx.makeQualified(st.getPath).toString).toString,
+              st.getModificationTime))
+        }
+      }.toDF("path", "mtime")
+    val liveDf = live.toSeq.toDF("path")
+    val jsonTombDf = jsonTomb.toSeq.toDF("path", "jts")
+    val joined0 = candidates.where(col("mtime") < cutoff)
+      .join(liveDf, Seq("path"), "left_anti")
+      .join(jsonTombDf, Seq("path"), "left")
+    val joined = cpTomb.map(t => joined0.join(t, Seq("path"), "left"))
+      .getOrElse(joined0.withColumn("cts", lit(null).cast("long")))
+    val doomed = joined.where(greatest(coalesce(col("jts"), lit(0L)),
+      coalesce(col("cts"), lit(0L))) < cutoff).select("path").as[String]
+    deleted += doomed.mapPartitions { it =>
+      val (_, fsx) = taskFs()
+      var n = 0L
+      it.foreach(p => if (fsx.delete(new HPath(p), false)) n += 1)
+      Iterator.single(n)
+    }.collect().sum
+
+    // drop now-empty partition dirs — but only OLD ones: a concurrent
+    // writer mkdirs its target dir moments before renaming into it
+    // (review finding)
+    def sweepEmpty(p: HPath): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory &&
+          !(n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_")) &&
+          !((n.startsWith("_") || n.startsWith(".")) && !n.contains("="))) {
+        sweepEmpty(st.getPath)
+        if (st.getModificationTime < cutoff &&
+            fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+      }
+    }
+    sweepEmpty(root)
     deleted
   }
 
@@ -853,6 +939,9 @@ object DeltaWriter {
     val newAdds = scala.collection.mutable.LinkedHashMap[
       String, com.fasterxml.jackson.databind.node.ObjectNode]()
     val removed = scala.collection.mutable.LinkedHashSet[String]()
+    // tombstone CLOCKS ride too (path -> newest deletionTimestamp): vacuum
+    // keys its retention on them, and they must survive log cleanup
+    val removedTs = scala.collection.mutable.LinkedHashMap[String, Long]()
     var metaLine: String = null
     var protoLine: String = null
     val txns = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
@@ -872,11 +961,14 @@ object DeltaWriter {
           val o = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
           o.put("dataChange", false) // checkpoint actions are not data changes
           val p = add.get("path").asText()
-          newAdds(p) = o; removed -= p
+          newAdds(p) = o; removed -= p; removedTs -= p
         }
         val rem = node.get("remove")
         if (rem != null && !rem.isNull) {
           val p = rem.get("path").asText(); removed += p; newAdds -= p
+          val ts = Option(rem.get("deletionTimestamp")).filterNot(_.isNull)
+            .map(_.asLong()).getOrElse(0L)
+          removedTs(p) = math.max(removedTs.getOrElse(p, 0L), ts)
         }
         val meta = node.get("metaData")
         if (meta != null && !meta.isNull) metaLine = s"""{"metaData":$meta}"""
@@ -896,7 +988,7 @@ object DeltaWriter {
     // not supersede them; the ADD SET stays distributed — tombstoned
     // (removed or re-added) paths are pruned with an executor-side
     // anti-join, exactly the reader's replay shape
-    val baseAddsJson: Option[org.apache.spark.sql.Dataset[String]] =
+    val baseCarryJson: Option[org.apache.spark.sql.Dataset[String]] =
       base.map { case (bv, parts) =>
         val cp = spark.read.parquet(checkpointPaths(logDir, bv, parts): _*)
         requireModeledColumns(cp.schema, s"base checkpoint $bv")
@@ -914,16 +1006,37 @@ object DeltaWriter {
               val lu = if (r.isNullAt(2)) 0L else r.getLong(2)
               if (txns.get(appId).forall(_._1 < ver)) txns(appId) = (ver, lu)
             }
-        if (!cols("add")) spark.emptyDataset[String]
-        else {
-          val adds = cp.where(col("add.path").isNotNull).select(col("add"))
-          val tomb = (removed ++ newAdds.keys).toSeq
-          val live =
-            if (tomb.isEmpty) adds
-            else adds.join(tomb.toDF("tpath"), col("add.path") === col("tpath"),
-              "left_anti").select(col("add"))
-          live.toJSON
-        }
+        val tomb = (removed ++ newAdds.keys).toSeq
+        val liveAdds =
+          if (!cols("add")) spark.emptyDataset[String]
+          else {
+            val adds = cp.where(col("add.path").isNotNull).select(col("add"))
+            val live =
+              if (tomb.isEmpty) adds
+              else adds.join(tomb.toDF("tpath"), col("add.path") === col("tpath"),
+                "left_anti").select(col("add"))
+            live.toJSON
+          }
+        // base-checkpoint tombstones carry forward DISTRIBUTED, minus
+        // expired clocks and paths the newer JSON superseded (a re-add
+        // clears the tombstone; a newer remove replaces it)
+        val tombCutoff = System.currentTimeMillis() - checkpointTombstoneRetentionMs
+        val baseRemoves =
+          if (!cols("remove")) spark.emptyDataset[String]
+          else {
+            val rms = cp.where(col("remove.path").isNotNull)
+              .where(col("remove.deletionTimestamp").isNotNull &&
+                col("remove.deletionTimestamp").cast("long") >= tombCutoff)
+              .select(col("remove"))
+            val superseded = (tomb ++ removedTs.keys).distinct
+            val kept =
+              if (superseded.isEmpty) rms
+              else rms.join(superseded.toDF("tpath"),
+                col("remove.path") === col("tpath"), "left_anti")
+                .select(col("remove"))
+            kept.toJSON
+          }
+        liveAdds.union(baseRemoves)
       }
 
     require(protoLine != null && metaLine != null,
@@ -932,8 +1045,15 @@ object DeltaWriter {
       s"""{"txn":{"appId":${jstr(appId)},"version":$ver,"lastUpdated":$lu}}"""
     }
     val addLines = newAdds.values.map(o => s"""{"add":$o}""").toSeq
-    val driverSide = (Seq(protoLine, metaLine) ++ txnLines ++ addLines).toDS()
-    val all = baseAddsJson.map(driverSide.union).getOrElse(driverSide)
+    // fresh tombstones from the replayed JSON, minus expired clocks —
+    // checkpoint actions are not data changes
+    val tombCutoff0 = System.currentTimeMillis() - checkpointTombstoneRetentionMs
+    val removeLines = removedTs.collect { case (p, ts) if ts >= tombCutoff0 =>
+      s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$ts,"dataChange":false}}"""
+    }.toSeq
+    val driverSide =
+      (Seq(protoLine, metaLine) ++ txnLines ++ addLines ++ removeLines).toDS()
+    val all = baseCarryJson.map(driverSide.union).getOrElse(driverSide)
 
     // single-file checkpoint: write to scratch, move the part file into
     // place (ChecksumFileSystem.rename carries the .crc sidecar along)

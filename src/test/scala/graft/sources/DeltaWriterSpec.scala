@@ -484,6 +484,79 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir).count() == 9L)
   }
 
+  test("checkpoints carry remove tombstones; vacuum honors their clocks after JSON cleanup") {
+    val dir = newDir()
+    (0 until 9).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    // v9 = overwrite -> 9 remove tombstones land in the v9 checkpoint
+    DeltaWriter.write(Seq((100L, "z")).toDF("id", "name"), dir, mode = "overwrite")
+    val cpText = spark.read.parquet(
+      dir + "/_delta_log/00000000000000000009.checkpoint.parquet")
+    assert(cpText.where("remove.path is not null").count() == 9L,
+      "the checkpoint must carry the overwrite's tombstones")
+    // external log cleanup: every JSON commit at or below the checkpoint goes
+    deleteLogFiles(dir)(name => name.endsWith(".checkpoint.parquet"))
+    assert(rows(readBack(dir)) == Set(100L -> "z"))
+    // age the overwritten files' MTIME far past any window: only the
+    // checkpoint-carried tombstone clocks can now protect them
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    fs.listStatus(new HPath(dir)).filter(st => !st.isDirectory &&
+      st.getPath.getName.endsWith(".parquet")).foreach(st =>
+      fs.setTimes(st.getPath, old, -1))
+    // a 5-minute window: tombstones are seconds old -> nothing reclaims
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 5L * 60 * 1000) == 0L)
+    // retention zero after the clock ticks: the overwritten files reclaim
+    Thread.sleep(5)
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 0L) >= 9L)
+    assert(rows(readBack(dir)) == Set(100L -> "z"))
+  }
+
+  test("vacuum refuses when JSON is gone and the checkpoint has no tombstone channel") {
+    val dir = newDir()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), dir)
+    // hand-build a remove-less checkpoint (an older/foreign writer's shape)
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commit0 = Files.readString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000000.json"))
+    import org.apache.spark.sql.types._
+    val slim = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    val ds = spark.createDataset(commit0.split('\n').toSeq.filter(_.nonEmpty))
+    val scratch = Files.createTempDirectory("graft_cp_slim").toString
+    spark.read.schema(slim).json(ds).coalesce(1)
+      .write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000000.checkpoint.parquet"))
+    Files.writeString(java.nio.file.Path.of(dir + "/_delta_log/_last_checkpoint"),
+      """{"version":0,"size":3}""")
+    deleteLogFiles(dir)(name => name.endsWith(".checkpoint.parquet"))
+    assert(rows(readBack(dir)) == Set(1L -> "a")) // table still reads
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.vacuum(spark, dir, retentionMs = 0L)
+    }
+    assert(e.getMessage.contains("refusing to vacuum"), e.getMessage)
+  }
+
   test("compact materializes deletion vectors: DV-free replacements, originals reclaimable") {
     val dir = newDir()
     // two appends -> two small files; file A's rows in a known order so
