@@ -541,6 +541,45 @@ object DeltaWriter {
 
   private def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
 
+  /** Log retention (upstream's `delta.logRetentionDuration` story): delete
+    * JSON commits at or below the LAST checkpoint — plus checkpoints that
+    * checkpoint superseded — once they are older than `retentionMs`. The
+    * last checkpoint carries the FULL replay state this writer needs
+    * (adds, metaData, protocol, the txn ledger, tombstone clocks within
+    * [[checkpointTombstoneRetentionMs]]), so current reads, appends,
+    * idempotent skips, and [[vacuum]] all keep working; time travel to
+    * versions at or below the checkpoint fails loudly afterwards — the
+    * horizon trade upstream documents. Commits ABOVE the checkpoint are
+    * never touched (they are the only record of those versions), and the
+    * age gate keeps a straggling reader's listed-but-unread commits alive
+    * for the window. Driver-side metadata work bounded by the log's file
+    * count. Returns the number of deleted log files. */
+  def cleanupLog(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 retentionMs: Long = 30L * 24 * 3600 * 1000): Long = {
+    require(retentionMs >= 0, s"log retention must be >= 0, got $retentionMs")
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = logDirOf(root)
+    val cpV = readLastCheckpoint(fs, logDir) match {
+      case Some((v, _)) => v
+      case None => return 0L // no checkpoint = the JSON is the only state
+    }
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val commitRx = raw"(\d{20})\.json".r
+    val cpRx = raw"(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet".r
+    var deleted = 0L
+    fs.listStatus(logDir).foreach { st =>
+      val doomed = st.getPath.getName match {
+        case commitRx(v) => v.toLong <= cpV
+        case cpRx(v) => v.toLong < cpV // never the last checkpoint itself
+        case _ => false
+      }
+      if (doomed && st.getModificationTime < cutoff &&
+          fs.delete(st.getPath, false)) deleted += 1
+    }
+    deleted
+  }
+
   /** `add.path` must be an RFC 2396 URI-encoded relative path per the Delta
     * protocol (strict external readers — delta-rs — URL-parse it): every
     * byte outside the unreserved set percent-encodes, '/' stays a segment

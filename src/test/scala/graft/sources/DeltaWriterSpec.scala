@@ -484,6 +484,44 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir).count() == 9L)
   }
 
+  test("cleanupLog retires pre-checkpoint JSON; replay, appends, ledger, TT above horizon") {
+    val dir = newDir()
+    // 30 commits -> checkpoints at 9, 19, 29; a txn ledger entry early on
+    (0 until 5).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    DeltaWriter.write(Seq((5L, "r5")).toDF("id", "name"), dir,
+      txn = Some(("appL", 42L)))
+    (6 until 30).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    def logNamesNow() = new java.io.File(dir + "/_delta_log").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(logNamesNow().count(_.endsWith(".json")) == 30)
+    // nothing deletes inside the window
+    assert(DeltaWriter.cleanupLog(spark, dir,
+      retentionMs = 60L * 60 * 1000) == 0L)
+    Thread.sleep(5)
+    // past the window: 30 JSON commits + 2 superseded checkpoints retire
+    assert(DeltaWriter.cleanupLog(spark, dir, retentionMs = 0L) == 32L)
+    val names = logNamesNow()
+    assert(names.count(_.endsWith(".json")) == 0, names)
+    assert(names.contains("00000000000000000029.checkpoint.parquet"))
+    assert(!names.exists(_.startsWith("00000000000000000009.checkpoint")))
+    // full replay from the checkpoint alone
+    assert(readBack(dir).count() == 30)
+    // the txn ledger survived through the checkpoint: a redelivery skips
+    val skip = DeltaWriter.write(Seq((5L, "dup")).toDF("id", "name"), dir,
+      txn = Some(("appL", 41L)))
+    assert(skip == 29L && readBack(dir).count() == 30)
+    // new appends continue the version numbering; TT above the horizon works
+    val v30 = DeltaWriter.write(Seq((30L, "r30")).toDF("id", "name"), dir)
+    assert(v30 == 30L)
+    DeltaWriter.write(Seq((31L, "r31")).toDF("id", "name"), dir)
+    assert(readBack(dir, Map("version" -> "30")).count() == 31)
+    assert(readBack(dir).count() == 32)
+    // below the horizon fails loudly rather than serving wrong contents
+    assertThrows[Exception](readBack(dir, Map("version" -> "5")).count())
+  }
+
   test("checkpoints carry remove tombstones; vacuum honors their clocks after JSON cleanup") {
     val dir = newDir()
     (0 until 9).foreach(i =>
