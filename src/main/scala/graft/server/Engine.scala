@@ -149,9 +149,18 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
   // register — refresh ticks for members diff in memory, no disk read
   private val sidecarSynced = ConcurrentHashMap.newKeySet[String]()
 
-  /** Spec hook: the registered index for a table, if any. */
+  /** The registered index for a table, if any. Prefers the REGISTRY's
+    * entry for the table's dir: table-format writers refresh that entry
+    * on commit ([[graft.sources.ColumnIndexRegistry.refreshFromCommit]]),
+    * so engine-side pruning sees the new files' zones without waiting for
+    * a refresh tick. Falls back to the registration-time index (same
+    * object unless a writer committed since). */
   private[graft] def columnIndex(name: String): Option[graft.sources.ColumnIndex.Index] =
-    Option(colIndexes.get(name))
+    Option(colIndexes.get(name)).map { own =>
+      Option(tables.get(name))
+        .flatMap(t => graft.sources.ColumnIndexRegistry.lookup(qualifiedDir(t.uri)))
+        .getOrElse(own)
+    }
 
   /** The `use_memory_table=false` opt-out, tri-state: typed field first,
     * then the raw option parsed case-insensitively (round-12 advice). One
@@ -243,13 +252,11 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     }
   }
 
-  /** `src.uri` as the optimizer sees a scan's root path (fs-qualified). */
-  private def qualifiedDir(uri: String): String = {
-    val p = new org.apache.hadoop.fs.Path(uri)
-    scala.util.Try(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(p).toString).getOrElse(uri)
-  }
+  /** `src.uri` as the optimizer sees a scan's root path (fs-qualified) —
+    * ONE definition shared with the writers' commit hook, or the refresh
+    * would key on a different string than the registration. */
+  private def qualifiedDir(uri: String): String =
+    graft.sources.ColumnIndexRegistry.qualify(spark, uri)
 
   def dropTable(name: String): Unit = {
     cancelRefresh(name)

@@ -32,6 +32,47 @@ object ColumnIndexRegistry {
   def lookup(qualifiedDir: String): Option[ColumnIndex.Index] =
     Option(byDir.get(qualifiedDir)).map(_.idx)
 
+  /** Writer-commit freshness hook: a table-format writer just committed
+    * into `dir` — if an index is registered over that dir, re-derive its
+    * zones from the NEW snapshot via the zero-footer metadata path
+    * ([[ColumnIndex.buildFromDelta]]/[[ColumnIndex.buildFromIceberg]])
+    * and swap it in place, so the next query prunes with the new files'
+    * zones instead of decaying to keep-everything on an actively-written
+    * table. One map probe when the dir is not indexed; a failed rebuild
+    * warns and keeps the previous index (pruning is staleness-safe —
+    * [[ColumnIndex.Index.pruneAmong]] keeps index-unknown files). */
+  def refreshFromCommit(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, format: String): Unit = {
+    val q = qualify(spark, dir)
+    if (byDir.containsKey(q)) {
+      try {
+        val cols = Option(byDir.get(q)).map(_.idx.columns).getOrElse(return)
+        val fresh = format match {
+          case "delta" => ColumnIndex.buildFromDelta(spark, dir, cols)
+          case "iceberg" => ColumnIndex.buildFromIceberg(spark, dir, cols)
+          case other =>
+            System.err.println(s"[colindex] no commit-refresh path for `$other`")
+            return
+        }
+        byDir.computeIfPresent(q, (_, prev) => prev.copy(idx = fresh))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[colindex] post-commit index refresh on $dir failed " +
+              s"(previous zones stay): $e")
+      }
+    }
+  }
+
+  /** `dir` as the optimizer sees a scan's root path (fs-qualified) — the
+    * same key [[graft.server.Engine]] registers under. */
+  def qualify(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    scala.util.Try(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString).getOrElse(p.toString)
+  }
+
   /** Spec hook. */
   private[graft] def ownersOf(qualifiedDir: String): Set[String] =
     Option(byDir.get(qualifiedDir)).map(_.owners).getOrElse(Set.empty)

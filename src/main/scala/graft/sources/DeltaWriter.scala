@@ -249,6 +249,9 @@ object DeltaWriter {
                   s"readable via JSON replay): $e")
           }
         }
+        // freshness hook: a registered column index over this dir re-derives
+        // its zones from the new snapshot (zero footer reads)
+        ColumnIndexRegistry.refreshFromCommit(spark, dir, "delta")
         return version
       } else {
         // lost the race — loop back to a FRESH snapshot read. Appends
@@ -823,6 +826,7 @@ object DeltaWriter {
               s"readable via JSON replay): $e")
       }
     }
+    ColumnIndexRegistry.refreshFromCommit(spark, dir, "delta")
     version
   }
 

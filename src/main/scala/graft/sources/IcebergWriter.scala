@@ -394,6 +394,9 @@ object IcebergWriter {
     // fallback (IcebergLoader handles both)
     val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    // freshness hook: a registered column index over this dir re-derives
+    // its zones from the new snapshot (zero footer reads)
+    ColumnIndexRegistry.refreshFromCommit(spark, dir, "iceberg")
     version
   }
 
@@ -756,6 +759,7 @@ object IcebergWriter {
       mapper.writeValueAsString(node), "compactDataFiles")
     val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    ColumnIndexRegistry.refreshFromCommit(spark, dir, "iceberg")
     version
   }
 

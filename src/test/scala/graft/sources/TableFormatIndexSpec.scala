@@ -160,4 +160,51 @@ class TableFormatIndexSpec extends AnyFunSuite {
       assert(viaRest.collect().map(_.getAs[Long]("id")).toSeq == (150L until 160L))
     } finally eng.dropTable("dt")
   }
+
+  test("writer commits refresh a registered index: next query prunes new zones") {
+    val dir = newDir("tfidx_fresh")
+    Seq.tabulate(3) { b =>
+      DeltaWriter.write(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"n$i")).toDF("id", "name")
+          .coalesce(1), dir)
+    }
+    val eng = new graft.server.Engine(spark, readOnly = true)
+    try {
+      eng.registerTable(TableSource("dtf", dir, format = Some("delta"),
+        options = Map("index_columns" -> "id", "use_memory_table" -> "false")))
+      assert(eng.columnIndex("dtf").get.fileCount == 3)
+      // a writer append lands a NEW file with ids far outside the old zones
+      DeltaWriter.write((1000L until 1100L).map(i => (i, s"x$i"))
+        .toDF("id", "name").coalesce(1), dir)
+      // the commit hook re-derived the zones — no refresh tick configured
+      val fresh = eng.columnIndex("dtf").get
+      assert(fresh.fileCount == 4,
+        s"index still has ${fresh.fileCount} files — commit hook did not fire")
+      val kept = fresh.prune(Seq(("id", "gte", "1000"))).get
+      assert(kept.size == 1, s"expected only the new file to survive: $kept")
+      // the registered VIEW refreshes on its own tick (reference
+      // semantics); once it does, the already-fresh zones prune the query
+      // to the single new file through the SQL rule
+      eng.registerTable(TableSource("dtf", dir, format = Some("delta"),
+        options = Map("index_columns" -> "id", "use_memory_table" -> "false")))
+      val q = eng.querySql("SELECT id FROM dtf WHERE id >= 1000 ORDER BY id")
+      assert(q.collect().map(_.getLong(0)).toSeq == (1000L until 1100L))
+      val afterTick = eng.columnIndex("dtf").get
+      assert(afterTick.lastPrune.exists { case (k, t) => k < t },
+        s"rule-side prune did not engage: ${afterTick.lastPrune}")
+      // iceberg: same contract through its writer
+      val iDir = newDir("tfidx_fresh_ice")
+      IcebergWriter.write((0L until 50L).map(i => (i, s"a$i")).toDF("id", "name")
+        .coalesce(1), iDir)
+      eng.registerTable(TableSource("itf", iDir, format = Some("iceberg"),
+        options = Map("index_columns" -> "id", "use_memory_table" -> "false")))
+      assert(eng.columnIndex("itf").get.fileCount == 1)
+      IcebergWriter.write((5000L until 5050L).map(i => (i, s"b$i"))
+        .toDF("id", "name").coalesce(1), iDir)
+      val ifresh = eng.columnIndex("itf").get
+      assert(ifresh.fileCount == 2)
+      assert(ifresh.prune(Seq(("id", "gte", "5000"))).get.size == 1)
+      eng.dropTable("itf")
+    } finally eng.dropTable("dtf")
+  }
 }
