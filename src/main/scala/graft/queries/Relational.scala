@@ -457,6 +457,34 @@ object Relational {
       sum(dec2(col("o_totalprice"))).cast("double").as("total"))
     .orderBy(col("o_orderpriority"))
 
+  /** Orders landed through the iceberg writer's PARTITION TRANSFORMS
+    * (`years(o_orderdate)` x `bucket(4, o_orderkey)`), memoized like
+    * [[sinksFor]]. The round-trip aggregate proves no row is lost or
+    * duplicated across the transform tuple layout; tuple PLACEMENT is
+    * pinned by IcebergWriterSpec against the spec's own murmur vectors. */
+  private val transformSinkMemo =
+    new java.util.HashMap[(SparkSession, String), String]()
+  private def transformSinkFor(spark: SparkSession, dir: String): String = {
+    val key = (spark, dir)
+    transformSinkMemo.synchronized(Option(transformSinkMemo.get(key))) match {
+      case Some(v) => v
+      case None =>
+        val base = java.nio.file.Paths.get(scratchRoot,
+          "tsink-" + java.util.UUID.randomUUID().toString).toString
+        val iceDir = base + "/iceberg"
+        graft.sources.IcebergWriter.write(Tables.t(spark, dir, "orders"), iceDir,
+          partitionBy = Seq("years(o_orderdate)", "bucket(4,o_orderkey)"))
+        val (result, lost) = transformSinkMemo.synchronized {
+          Option(transformSinkMemo.get(key)) match {
+            case Some(winner) => (winner, true)
+            case None => transformSinkMemo.put(key, iceDir); (iceDir, false)
+          }
+        }
+        if (lost) deleteTree(new java.io.File(base))
+        result
+    }
+  }
+
   val dfQueries: Map[String, Q] = Map(
     // transactional-sink round trips: orders goes out through the writer
     // (two partitioned commits) and comes back through the protocol-level
@@ -471,6 +499,19 @@ object Relational {
       val (_, iceDir) = sinksFor(spark, dir)
       sinkAgg(graft.sources.IcebergLoader.load(spark,
         graft.sources.TableSource("sink_i", iceDir, Some("iceberg"))))
+    }),
+    // partition-transform round trip: orders goes out through
+    // years()/bucket() transform tuples and comes back whole — the
+    // aggregate over the rebuilt table must equal the oracle's over the
+    // original bit-for-bit
+    "q_iceberg_transform_roundtrip" -> ((spark, dir) => {
+      val iceDir = transformSinkFor(spark, dir)
+      graft.sources.IcebergLoader.load(spark,
+          graft.sources.TableSource("sink_t", iceDir, Some("iceberg")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_year"))
     }),
     // Zone-map column index (reference roadmap "column index"): the scan
     // plans over only the files whose ship-date interval can match, then
@@ -919,6 +960,10 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_iceberg_transform_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // pruned-scan equality: the Spark side reads only index-survivor files
     "q_colindex_scan" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -290,7 +290,8 @@ object DeltaWriter {
     val dv = StructType(Seq(
       StructField("storageType", StringType), StructField("pathOrInlineDv", StringType),
       StructField("offset", IntegerType), StructField("sizeInBytes", IntegerType),
-      StructField("cardinality", LongType)))
+      StructField("cardinality", LongType),
+      StructField("maxRowIndex", LongType))) // optional in upstream DELETE flows
     StructType(Seq(
       StructField("txn", StructType(Seq(
         StructField("appId", StringType), StructField("version", LongType),
@@ -304,10 +305,20 @@ object DeltaWriter {
         StructField("stats", StringType),
         StructField("tags", MapType(StringType, StringType)),
         StructField("deletionVector", dv)))),
+      // remove models upstream's optional subfields too (extendedFileMetadata,
+      // partitionValues, size, stats, tags, deletionVector): adopted tables
+      // whose DELETE flows write them must stay checkpointable — the refusal
+      // is for UNKNOWN state, not the spec's own optional fields
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        StructField("extendedFileMetadata", BooleanType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("stats", StringType),
+        StructField("tags", MapType(StringType, StringType)),
+        StructField("deletionVector", dv)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),

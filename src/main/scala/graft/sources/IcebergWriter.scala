@@ -1133,7 +1133,12 @@ object IcebergWriter {
         case _ => refuse()
       }
       case "truncate" => dt match {
-        case ByteType | ShortType | IntegerType | LongType | StringType => dt
+        // byte/short widen to int: iceberg's int is 32-bit, and the floor
+        // arithmetic can leave the source range (truncate(5, -128:byte)
+        // is -130 — a back-cast would silently wrap)
+        case ByteType | ShortType | IntegerType => IntegerType
+        case LongType => LongType
+        case StringType => StringType
         case _ => refuse()
       }
       case other => throw new IllegalArgumentException(
@@ -1189,7 +1194,7 @@ object IcebergWriter {
       case "truncate" => dt match {
         case StringType => substring(src, 1, pf.param)
         case _ => (src.cast("long") - pmod(src.cast("long"), lit(pf.param.toLong)))
-          .cast(dt)
+          .cast(transformResultType(pf, dt)) // int-family widens to int
       }
       case other => throw new IllegalArgumentException(
         s"IcebergWriter: unknown transform kind `$other`")

@@ -603,7 +603,10 @@ class DeltaWriterSpec extends SparkSpec {
       .coalesce(1).sortWithinPartitions("id"), dir)
     DeltaWriter.write(Seq((10L, "b0"), (11L, "b1")).toDF("id", "name")
       .coalesce(1).sortWithinPartitions("id"), dir)
-    val fileA = DeltaLoader.snapshot(spark, dir).files.map(_.path).sorted.head
+    // part names carry task UUIDs — find batch A's file by CONTENT, not
+    // by sort order (the sorted head is whichever uuid sorts first)
+    val fileA = DeltaLoader.snapshot(spark, dir).files.map(_.path).find(p =>
+      spark.read.parquet(dir + "/" + p).where("id = 0").count() == 1).get
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sizeA = fs.getFileStatus(new HPath(dir, fileA)).getLen
     // an external DELETE lands at v2: re-add file A with an inline DV

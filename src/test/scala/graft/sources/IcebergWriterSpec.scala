@@ -548,14 +548,18 @@ class IcebergWriterSpec extends SparkSpec {
         .toDF("id", "event_ts", "name"), dir, partitionBy = Seq("hours(event_ts)"))
     }
     assert(bad.getMessage.contains("partition"))
-    // bucket: values land in [0, n) and the same key always lands together
+    // bucket: values land in [0, n), the same key always lands together,
+    // and a NULL key rides the default partition with a null tuple value
     val bDir = newDir()
-    val bdf = (0L until 40L).map(i => (i, s"k${i % 10}")).toDF("id", "key")
+    val bdf = ((0L until 40L).map(i => (i, s"k${i % 10}")) :+ (40L -> null))
+      .toDF("id", "key")
     IcebergWriter.write(bdf, bDir, partitionBy = Seq("bucket(4,key)"))
-    assert(readBack(bDir).count() == 40)
-    val buckets = manifestEntries(bDir).map(
-      _._4("key_bucket").asInstanceOf[Number].intValue())
-    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 4), buckets)
+    assert(readBack(bDir).count() == 41)
+    val buckets = manifestEntries(bDir).map(e =>
+      Option(e._4("key_bucket")).map(_.asInstanceOf[Number].intValue()))
+    assert(buckets.contains(None), buckets) // the null key's file
+    assert(buckets.flatten.nonEmpty && buckets.flatten.forall(b => b >= 0 && b < 4),
+      buckets)
     // identity partitioning on a timestamp still refuses, naming transforms
     val badTs = intercept[IllegalArgumentException] {
       IcebergWriter.write(df, newDir(), partitionBy = Seq("event_ts"))
