@@ -425,13 +425,7 @@ object ColumnIndex {
     }
     val (kept, toHarvest) = listed.partition(ps => reusable.contains(ps._1 + "#" + ps._2))
     val paths = toHarvest
-    // Hadoop Configuration is not serializable: ship its entries and
-    // rebuild per task (object-store creds/endpoints must reach the tasks)
-    val confEntries: Array[(String, String)] = {
-      val it = conf.iterator(); val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val confEntries = DistKit.confEntries(conf)
     val wanted = cols.toVector
     val fresh =
       if (paths.isEmpty) Vector.empty[FileZones]
@@ -439,8 +433,7 @@ object ColumnIndex {
         .parallelize(paths, math.min(paths.size,
           math.max(1, spark.sparkContext.defaultParallelism)))
         .mapPartitions { it =>
-          val c = new Configuration(false)
-          confEntries.foreach { case (k, v) => c.set(k, v) }
+          val c = DistKit.rebuildConf(confEntries)
           it.map { case (p, sig) => readFileZones(c, p, wanted).copy(sig = sig) }
         }
         .collect().toVector

@@ -416,19 +416,10 @@ object DeltaWriter {
       out.toMap
     }
 
-    // Hadoop Configuration is not serializable: ship its entries and
-    // rebuild per task (the ColumnIndex harvest pattern)
-    val confEntries: Array[(String, String)] = {
-      val it = hconf.iterator(); val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val confEntries = DistKit.confEntries(hconf)
     val dirStr = dir
-    def taskFs(): (org.apache.hadoop.conf.Configuration, FileSystem) = {
-      val c = new org.apache.hadoop.conf.Configuration(false)
-      confEntries.foreach { case (k, v) => c.set(k, v) }
-      (c, new HPath(dirStr).getFileSystem(c))
-    }
+    def taskFs(): FileSystem =
+      new HPath(dirStr).getFileSystem(DistKit.rebuildConf(confEntries))
 
     // checkpoint tombstones, only when the pre-checkpoint JSON is gone
     // (external log cleanup / [[cleanupLog]]): with commit zero present
@@ -444,6 +435,13 @@ object DeltaWriter {
         // remove channel at all while its JSON history is gone means the
         // tombstone clocks are unrecoverable: deleting on mtime alone
         // could reclaim a file removed five minutes ago, so refuse.
+        // Residual window, stated honestly: a tombstone-CAPABLE checkpoint
+        // is trusted as complete (upstream's own semantics — empty removes
+        // = nothing removed within retention). Checkpoints from writers
+        // that had the column but never populated it (this writer before
+        // tombstone carrying landed) cannot be told apart from genuinely
+        // remove-free tables; re-checkpoint before any external JSON
+        // cleanup of such tables.
         val rm =
           if (!cp.columns.contains("remove")) Set.empty[String]
           else cp.schema("remove").dataType
@@ -461,7 +459,7 @@ object DeltaWriter {
           .select(col("remove.path").as("rawPath"), coalesce(tsCol, lit(0L)).as("cts"))
           .as[(String, Long)]
           .mapPartitions { it =>
-            val (_, fsx) = taskFs()
+            val fsx = taskFs()
             it.map { case (raw, ts) =>
               val abs =
                 if (raw.contains("://") || raw.startsWith("/")) raw
@@ -508,7 +506,7 @@ object DeltaWriter {
       .parallelize(dirs, math.max(1,
         math.min(dirs.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
-        val (_, fsx) = taskFs()
+        val fsx = taskFs()
         it.flatMap { d =>
           fsx.listStatus(new HPath(d)).iterator
             .filter(st => !st.isDirectory)
@@ -530,7 +528,7 @@ object DeltaWriter {
     val doomed = joined.where(greatest(coalesce(col("jts"), lit(0L)),
       coalesce(col("cts"), lit(0L))) < cutoff).select("path").as[String]
     deleted += doomed.mapPartitions { it =>
-      val (_, fsx) = taskFs()
+      val fsx = taskFs()
       var n = 0L
       it.foreach(p => if (fsx.delete(new HPath(p), false)) n += 1)
       Iterator.single(n)
@@ -742,29 +740,29 @@ object DeltaWriter {
       val total = small.map(_._3).sum
       val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
       val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
-      // DV materialization: anti-join the deleted (file, row_index) pairs
-      // away — the reader's own DV application, applied once at rewrite
-      // time so the replacements are plain DV-free parquet
-      val plain = spark.read.schema(dataSchema).parquet(small.map(_._2.toString): _*)
-      val dvSmall = small.filter(_._1.dv.isDefined)
-      val source =
-        if (dvSmall.isEmpty) plain
-        else {
-          import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
-          import spark.implicits._
-          def normFp(p: String): String = p.replaceFirst("^file:/+", "/")
-          val withId = plain
-            .withColumn("__graft_fp",
-              regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-            .withColumn("__graft_ri", col("_metadata.row_index"))
-          val deleted = dvSmall.flatMap { case (f, p, _) =>
-            DeletionVectors.read(spark, dir, f.dv.get)
-              .map(ri => (normFp(p.toString), ri))
-          }.toDF("__graft_fp", "__graft_ri")
-          withId.join(broadcast(deleted), Seq("__graft_fp", "__graft_ri"),
-            "left_anti")
-            .select(dataSchema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
-        }
+      // DV materialization: each DV-bearing file scans SEPARATELY with a
+      // row-index anti-join — row indexes are file-scoped, so per-file
+      // scans need no path matching at all (review finding: keying on
+      // _metadata.file_path string-matched against the log path silently
+      // missed on qualified/URL-encoded forms, resurrecting deleted
+      // rows). The deleted sets ride the driver briefly — bounded by
+      // total deleted rows, the loader's own documented DV bound.
+      val (dvSmall, plainSmall) = small.partition(_._1.dv.isDefined)
+      val plainDf =
+        if (plainSmall.isEmpty) Seq.empty[DataFrame]
+        else Seq(spark.read.schema(dataSchema)
+          .parquet(plainSmall.map(_._2.toString): _*))
+      val dvDfs = dvSmall.map { case (f, p, _) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        import spark.implicits._
+        val deleted = DeletionVectors.read(spark, dir, f.dv.get)
+          .toSeq.toDF("__graft_ri")
+        spark.read.schema(dataSchema).parquet(p.toString)
+          .withColumn("__graft_ri", col("_metadata.row_index"))
+          .join(broadcast(deleted), Seq("__graft_ri"), "left_anti")
+          .select(dataSchema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+      }
+      val source = (plainDf ++ dvDfs).reduce(_ unionByName _)
       // repartition, NOT coalesce: coalesce just glues the small files'
       // existing imbalance back together one level up (the repo's own
       // Compaction operator documents the same trade; review finding)
@@ -797,25 +795,10 @@ object DeltaWriter {
       actions.result()
     }
     val groups = snap.files.groupBy(_.partitionValues).toSeq
-    val actions: Seq[String] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(4, math.max(1, groups.size)))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(groups.map { case (pv, fsq) =>
-          Future(compactGroup(pv, fsq))
-        }), Duration.Inf).flatten
-      catch {
-        case e: Throwable =>
-          // one failed group fails the whole compact — stop the queued
-          // groups instead of letting them rewrite partitions for a
-          // commit that will never happen (review finding)
-          pool.shutdownNow()
-          throw e
-      } finally pool.shutdown()
-    }
+    // groups run as independent Spark jobs through a bounded window; one
+    // failed group stops the queued ones (DistKit.runBounded)
+    val actions: Seq[String] =
+      DistKit.runBounded(groups) { case (pv, fsq) => compactGroup(pv, fsq) }.flatten
     if (actions.isEmpty) return -1L
 
     val commitInfo =
@@ -957,10 +940,17 @@ object DeltaWriter {
     * or a whole `domainMetadata` column). */
   private def requireModeledColumns(have: org.apache.spark.sql.types.StructType,
                                     where: String): Unit = {
+    // upstream's writeStatsAsStruct layout adds DERIVED columns that are
+    // redundant with the modeled ones by construction — dropping them is
+    // lossless, and refusing would permanently block re-checkpointing
+    // adopted tables (review finding)
+    val derived = Set("add.stats_parsed", "add.partitionValues_parsed",
+      "remove.stats_parsed", "remove.partitionValues_parsed")
     def walk(h: org.apache.spark.sql.types.StructType,
              w: org.apache.spark.sql.types.StructType, path: String): Unit =
       h.fields.foreach { f =>
         w.fields.find(_.name == f.name) match {
+          case None if derived(s"$path${f.name}") => ()
           case None => throw new IllegalStateException(
             s"refusing to checkpoint: $where column `$path${f.name}` is beyond " +
               "this writer's checkpoint model (its state would silently drop)")
@@ -993,8 +983,13 @@ object DeltaWriter {
     val newAdds = scala.collection.mutable.LinkedHashMap[
       String, com.fasterxml.jackson.databind.node.ObjectNode]()
     val removed = scala.collection.mutable.LinkedHashSet[String]()
-    // tombstone CLOCKS ride too (path -> newest deletionTimestamp): vacuum
-    // keys its retention on them, and they must survive log cleanup
+    // tombstones ride too, VERBATIM (vacuum keys its retention on their
+    // deletionTimestamps, and external engines may need the spec's
+    // optional remove subfields — re-serializing just path/ts would drop
+    // state requireRepresentable certified as representable; review
+    // finding), plus the newest clock per path for expiry decisions
+    val removedNodes = scala.collection.mutable.LinkedHashMap[
+      String, com.fasterxml.jackson.databind.node.ObjectNode]()
     val removedTs = scala.collection.mutable.LinkedHashMap[String, Long]()
     var metaLine: String = null
     var protoLine: String = null
@@ -1015,7 +1010,7 @@ object DeltaWriter {
           val o = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
           o.put("dataChange", false) // checkpoint actions are not data changes
           val p = add.get("path").asText()
-          newAdds(p) = o; removed -= p; removedTs -= p
+          newAdds(p) = o; removed -= p; removedTs -= p; removedNodes -= p
         }
         val rem = node.get("remove")
         if (rem != null && !rem.isNull) {
@@ -1023,6 +1018,10 @@ object DeltaWriter {
           val ts = Option(rem.get("deletionTimestamp")).filterNot(_.isNull)
             .map(_.asLong()).getOrElse(0L)
           removedTs(p) = math.max(removedTs.getOrElse(p, 0L), ts)
+          val o = rem.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          o.put("dataChange", false) // checkpoint actions are not data changes
+          o.put("deletionTimestamp", removedTs(p)) // newest clock wins
+          removedNodes(p) = o
         }
         val meta = node.get("metaData")
         if (meta != null && !meta.isNull) metaLine = s"""{"metaData":$meta}"""
@@ -1082,7 +1081,9 @@ object DeltaWriter {
               .where(col("remove.deletionTimestamp").isNotNull &&
                 col("remove.deletionTimestamp").cast("long") >= tombCutoff)
               .select(col("remove"))
-            val superseded = (tomb ++ removedTs.keys).distinct
+            // `tomb` already covers every superseding path: removedTs'
+            // keys are maintained in lock-step with `removed`
+            val superseded = tomb
             val kept =
               if (superseded.isEmpty) rms
               else rms.join(superseded.toDF("tpath"),
@@ -1099,11 +1100,12 @@ object DeltaWriter {
       s"""{"txn":{"appId":${jstr(appId)},"version":$ver,"lastUpdated":$lu}}"""
     }
     val addLines = newAdds.values.map(o => s"""{"add":$o}""").toSeq
-    // fresh tombstones from the replayed JSON, minus expired clocks —
-    // checkpoint actions are not data changes
+    // fresh tombstones from the replayed JSON (verbatim nodes), minus
+    // expired clocks
     val tombCutoff0 = System.currentTimeMillis() - checkpointTombstoneRetentionMs
-    val removeLines = removedTs.collect { case (p, ts) if ts >= tombCutoff0 =>
-      s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$ts,"dataChange":false}}"""
+    val removeLines = removedNodes.collect {
+      case (p, o) if removedTs.getOrElse(p, 0L) >= tombCutoff0 =>
+        s"""{"remove":$o}"""
     }.toSeq
     val driverSide =
       (Seq(protoLine, metaLine) ++ txnLines ++ addLines ++ removeLines).toDS()

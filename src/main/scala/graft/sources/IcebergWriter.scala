@@ -146,13 +146,22 @@ object IcebergWriter {
     val partFields: Seq[PartField] =
       if (mode == "append" && existing.isDefined) tableParts.getOrElse(Seq.empty)
       else partFields0
-    // NTZ transforms route through a session-TZ cast; only UTC makes the
-    // local-datetime micros the spec's `timestamp` micros
+    // NTZ transforms route through a session-TZ cast; only a UTC-fixed
+    // zone makes the local-datetime micros the spec's `timestamp` micros.
+    // Compare resolved offsets, not the string — Etc/UTC, GMT, +00:00 are
+    // all micros-identical (review finding).
     if (partFields.exists(pf => pf.kind != "identity" &&
-        df.schema(pf.source).dataType == TimestampNTZType))
-      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-        "IcebergWriter: partition transforms over timestamp_ntz columns " +
-          "require spark.sql.session.timeZone=UTC")
+        df.schema(pf.source).dataType == TimestampNTZType)) {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      val utc = scala.util.Try {
+        val rules = java.time.ZoneId.of(tz).getRules
+        rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC
+      }.getOrElse(false)
+      require(utc,
+        s"IcebergWriter: partition transforms over timestamp_ntz columns " +
+          s"require a UTC session time zone, got `$tz`")
+    }
 
     // idempotent replay via the snapshot-summary ledger, BEFORE data
     // writes. The version comes from the SAME resolution as `existing`
@@ -671,25 +680,10 @@ object IcebergWriter {
       out
     }
     val toPack = plans.filter(_._2.nonEmpty)
-    val packed: Seq[(Seq[(String, Any)], Seq[(String, Long)])] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(4, math.max(1, toPack.size)))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(toPack.map { case (tuple, sm, _) =>
-          Future(tuple -> packGroup(sm))
-        }), Duration.Inf)
-      catch {
-        case e: Throwable =>
-          // one failed group fails the whole compact — stop the queued
-          // groups instead of rewriting partitions for a commit that
-          // will never happen (review finding)
-          pool.shutdownNow()
-          throw e
-      } finally pool.shutdown()
-    }
+    // groups run as independent Spark jobs through a bounded window; one
+    // failed group stops the queued ones (DistKit.runBounded)
+    val packed: Seq[(Seq[(String, Any)], Seq[(String, Long)])] =
+      DistKit.runBounded(toPack) { case (tuple, sm, _) => tuple -> packGroup(sm) }
 
     // one manifest over the whole live set, one-entry manifest list,
     // `replace` snapshot, metadata committed at resolvedVersion+1
