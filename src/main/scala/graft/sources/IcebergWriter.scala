@@ -785,37 +785,9 @@ object IcebergWriter {
     }
     if (expired.isEmpty) return (0, 0L)
 
-    // every file a snapshot set reaches: its manifest-list files (or the
-    // early-v1 inline `manifests` array — missing it could delete files a
-    // kept inline snapshot still needs; review finding), their manifests,
-    // and the manifests' data/delete file paths (ALL entries — status and
-    // content are irrelevant to reachability). Paths go through the
-    // loader's location remap, so a relocated table resolves and deletes
-    // at ITS root, never the old recorded location (review finding).
-    // Manifests are immutable and carried into MANY snapshots on
-    // append-heavy tables, so both avro levels memoize by path — one read
-    // per distinct file, not one per referencing snapshot.
     val remap = IcebergLoader.pathRemapper(meta, dir)
-    def norm(p: String): String = new HPath(p).toString
-    val listCache = scala.collection.mutable.Map[String, Seq[String]]()
-    val manifestCache = scala.collection.mutable.Map[String, Seq[String]]()
-    def manifestClosure(mp: String): Seq[String] =
-      Seq(norm(mp)) ++ manifestCache.getOrElseUpdate(norm(mp),
-        manifestFilePaths(fs, mp).map(p => norm(remap(p))))
-    def filesOf(snaps: Seq[JsonNode]): Set[String] = snaps.flatMap { s =>
-      val fromLists = Option(s.get("manifest-list")).filterNot(_.isNull)
-        .map(_.asText()).toSeq.flatMap { ml0 =>
-          val ml = remap(ml0)
-          val manifests = listCache.getOrElseUpdate(norm(ml),
-            manifestListPaths(fs, ml).map(remap))
-          Seq(norm(ml)) ++ manifests.flatMap(manifestClosure)
-        }
-      val fromInline = Option(s.get("manifests")).filterNot(_.isNull)
-        .map(_.elements().asScala.map(p => remap(p.asText())).toSeq)
-        .getOrElse(Seq.empty).flatMap(manifestClosure)
-      fromLists ++ fromInline
-    }.toSet
-    val doomed = filesOf(expired) -- filesOf(keep)
+    val closure = new ClosureReader(fs, remap)
+    val doomed = closure.filesOf(expired) -- closure.filesOf(keep)
 
     // commit the pruned snapshot list as the next metadata version (the
     // same put-if-absent point as write())
@@ -841,6 +813,120 @@ object IcebergWriter {
         deleted += 1
     }
     (expired.size, deleted)
+  }
+
+  /** Upstream's `remove_orphan_files` action — the reclaim leg
+    * [[expireSnapshots]] cannot cover: files under the table root that NO
+    * snapshot reaches (a crashed writer's moved-but-never-committed data
+    * files, the manifest list of a lost commit race, stale scratch dirs)
+    * are deleted once older than `olderThanMs`. The age gate is the
+    * safety margin against IN-FLIGHT writers, exactly as upstream
+    * documents — a writer moves data files into place BEFORE its metadata
+    * commit, so fresh unreferenced files must survive. Metadata catalog
+    * files (`*.metadata.json`, `version-hint.text`) always keep. The
+    * driver holds the reachable set (metadata-bounded — the same closure
+    * expireSnapshots walks) and the DIRECTORY walk; per-file listing,
+    * the keep-set anti-join, and deletes run on executors (the
+    * [[DeltaWriter.vacuum]] shape). Returns the deleted file count. */
+  def removeOrphanFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        olderThanMs: Long = 3L * 24 * 3600 * 1000): Long = {
+    require(olderThanMs >= 0, s"orphan retention must be >= 0, got $olderThanMs")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = new HPath(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val (meta, _) = IcebergLoader.currentMetadataVersioned(fs, dir)
+    val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val remap = IcebergLoader.pathRemapper(meta, dir)
+    // reachable, in the SAME qualified form the executor listing emits —
+    // an unqualified manifest path must not read as an orphan
+    val keep: Set[String] = new ClosureReader(fs, remap).filesOf(snapshots)
+      .map(p => fs.makeQualified(new HPath(p)).toString)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+
+    // PHASE 1 (driver): directories only; stale scratch dirs reclaim
+    // wholesale, catalog files are filtered by NAME in phase 2
+    var deleted = 0L
+    def countFiles(p: HPath): Long = fs.listStatus(p).map(st =>
+      if (st.isDirectory) countFiles(st.getPath) else 1L).sum
+    val dataDirs = Seq.newBuilder[String]
+    def walkDirs(p: HPath): Unit = {
+      dataDirs += p.toString
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!st.isDirectory) ()
+        else if (n.startsWith(".graft_tmp_")) {
+          if (st.getModificationTime < cutoff) {
+            val inside = countFiles(st.getPath)
+            if (fs.delete(st.getPath, true)) deleted += inside
+          }
+        } else if (n.startsWith(".")) () // checksum/hidden dirs
+        else walkDirs(st.getPath)
+      }
+    }
+    walkDirs(root)
+    val dirs = dataDirs.result()
+
+    // PHASE 2 (executors): list, drop catalog/hidden names, anti-join the
+    // reachable set, age-gate, delete
+    val confEntries = DistKit.confEntries(hconf)
+    val dirStr = dir
+    val candidates = spark.sparkContext
+      .parallelize(dirs, math.max(1,
+        math.min(dirs.size, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val fsx = new HPath(dirStr).getFileSystem(DistKit.rebuildConf(confEntries))
+        it.flatMap { d =>
+          fsx.listStatus(new HPath(d)).iterator
+            .filter(st => !st.isDirectory)
+            .filter { st =>
+              val n = st.getPath.getName
+              !n.startsWith(".") && !n.startsWith("_") &&
+                !n.endsWith(".metadata.json") && n != "version-hint.text"
+            }
+            .map(st => (fsx.makeQualified(st.getPath).toString,
+              st.getModificationTime))
+        }
+      }.toDF("path", "mtime")
+    val keepDf = keep.toSeq.toDF("path")
+    val doomed = candidates.where(col("mtime") < cutoff)
+      .join(keepDf, Seq("path"), "left_anti").select("path").as[String]
+    deleted += doomed.mapPartitions { it =>
+      val fsx = new HPath(dirStr).getFileSystem(DistKit.rebuildConf(confEntries))
+      var n = 0L
+      it.foreach(p => if (fsx.delete(new HPath(p), false)) n += 1)
+      Iterator.single(n)
+    }.collect().sum
+    deleted
+  }
+
+  /** Metadata-file retention (upstream's
+    * `write.metadata.previous-versions-max` story): keep the newest
+    * `keepLast` `vN.metadata.json` files and delete older ones. Snapshots
+    * live in the CURRENT metadata file, so reads and snapshot-id time
+    * travel are unaffected — only rollback to a retired METADATA file is
+    * lost, the upstream trade. Foreign-named metadata files are left
+    * alone (their ordering is not ours to judge). Returns deleted count. */
+  def cleanupMetadata(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      keepLast: Int = 5): Long = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new HPath(root, "metadata")
+    val (_, curV) = IcebergLoader.currentMetadataVersioned(fs, dir)
+    if (curV < 0) return 0L // foreign naming carries no version order
+    val rx = raw"v(\d+)\.metadata\.json".r
+    var deleted = 0L
+    fs.listStatus(metaDir).foreach { st =>
+      st.getPath.getName match {
+        case rx(v) if v.toLong <= curV - keepLast =>
+          if (fs.delete(st.getPath, false)) deleted += 1
+        case _ => ()
+      }
+    }
+    deleted
   }
 
   /** One manifest entry for a data file: content/path/format/counts/size,
@@ -930,6 +1016,39 @@ object IcebergWriter {
       st.nullCounts,
       st.lowerBounds.map { case (k, b) => k -> java.nio.ByteBuffer.wrap(b) },
       st.upperBounds.map { case (k, b) => k -> java.nio.ByteBuffer.wrap(b) })
+
+  /** Every file a snapshot set reaches: its manifest-list files (or the
+    * early-v1 inline `manifests` array — missing it could delete files a
+    * kept inline snapshot still needs; review finding), their manifests,
+    * and the manifests' data/delete file paths (ALL entries — status and
+    * content are irrelevant to reachability). Paths go through the
+    * loader's location remap, so a relocated table resolves at ITS root,
+    * never the old recorded location (review finding). Manifests are
+    * immutable and carried into MANY snapshots on append-heavy tables, so
+    * both avro levels memoize by path — one read per distinct file, not
+    * one per referencing snapshot. Shared by [[expireSnapshots]] and
+    * [[removeOrphanFiles]]. */
+  private final class ClosureReader(fs: FileSystem, remap: String => String) {
+    private def norm(p: String): String = new HPath(p).toString
+    private val listCache = scala.collection.mutable.Map[String, Seq[String]]()
+    private val manifestCache = scala.collection.mutable.Map[String, Seq[String]]()
+    private def manifestClosure(mp: String): Seq[String] =
+      Seq(norm(mp)) ++ manifestCache.getOrElseUpdate(norm(mp),
+        manifestFilePaths(fs, mp).map(p => norm(remap(p))))
+    def filesOf(snaps: Seq[JsonNode]): Set[String] = snaps.flatMap { s =>
+      val fromLists = Option(s.get("manifest-list")).filterNot(_.isNull)
+        .map(_.asText()).toSeq.flatMap { ml0 =>
+          val ml = remap(ml0)
+          val manifests = listCache.getOrElseUpdate(norm(ml),
+            manifestListPaths(fs, ml).map(remap))
+          Seq(norm(ml)) ++ manifests.flatMap(manifestClosure)
+        }
+      val fromInline = Option(s.get("manifests")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(p => remap(p.asText())).toSeq)
+        .getOrElse(Seq.empty).flatMap(manifestClosure)
+      fromLists ++ fromInline
+    }.toSet
+  }
 
   /** Manifest paths of one manifest-list avro file (shared reader:
     * [[IcebergLoader.readAvro]]). */

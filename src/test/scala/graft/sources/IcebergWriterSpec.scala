@@ -489,6 +489,48 @@ class IcebergWriterSpec extends SparkSpec {
     assert(content() == before + ((9L, "a", "post")))
   }
 
+  test("removeOrphanFiles reclaims unreferenced files; cleanupMetadata bounds the catalog") {
+    val dir = newDir()
+    (0 until 7).foreach(i =>
+      IcebergWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant orphans a crashed writer would leave: a moved-but-uncommitted
+    // data file, the manifest list of a lost commit race, a scratch dir
+    val orphanData = java.nio.file.Path.of(dir + "/data/orphan-dead.parquet")
+    Files.write(orphanData, Array[Byte](1, 2, 3))
+    val orphanAvro = java.nio.file.Path.of(dir + "/metadata/snap-999-dead.avro")
+    Files.write(orphanAvro, Array[Byte](4, 5))
+    val scratch = new java.io.File(dir + "/.graft_tmp_dead"); scratch.mkdirs()
+    Files.write(java.nio.file.Path.of(scratch.getPath + "/part-dead.parquet"),
+      Array[Byte](6))
+    // and one FRESH orphan that must survive the age gate
+    val freshOrphan = java.nio.file.Path.of(dir + "/data/orphan-fresh.parquet")
+    Files.write(freshOrphan, Array[Byte](7))
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    Seq(orphanData.toString, orphanAvro.toString, scratch.getPath).foreach(p =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(p), old, -1))
+    val n = IcebergWriter.removeOrphanFiles(spark, dir,
+      olderThanMs = 60L * 1000)
+    assert(n == 3L, s"deleted $n")
+    assert(!Files.exists(orphanData) && !Files.exists(orphanAvro) &&
+      !scratch.exists())
+    assert(Files.exists(freshOrphan)) // inside the age window
+    // every snapshot still reads — reachability protected them all
+    assert(readBack(dir).count() == 7)
+    assert(rows(readBack(dir, Map("snapshot-id" -> "3"))).size == 3)
+    // metadata retention: v1..v4 retire, v5..v7 keep
+    val md = IcebergWriter.cleanupMetadata(spark, dir, keepLast = 3)
+    assert(md == 4L, s"deleted $md metadata files")
+    assert(!new java.io.File(dir + "/metadata/v4.metadata.json").exists())
+    assert(new java.io.File(dir + "/metadata/v5.metadata.json").exists())
+    // reads, snapshot time travel, and appends all continue
+    assert(readBack(dir).count() == 7)
+    assert(rows(readBack(dir, Map("snapshot-id" -> "2"))).size == 2)
+    IcebergWriter.write(Seq((99L, "post")).toDF("id", "name"), dir)
+    assert(readBack(dir).count() == 8)
+  }
+
   test("bucket transform murmur3 matches the spec's published vectors") {
     // iceberg spec Appendix B test vectors (hash, not bucket-mod)
     assert(IcebergWriter.bucketHashLong(34L) == 2017239379) // int and long widen alike
