@@ -436,6 +436,13 @@ object Relational {
         graft.sources.IcebergWriter.write(even, iceDir,
           partitionBy = Seq("o_orderpriority"))
         graft.sources.IcebergWriter.write(odd, iceDir)
+        // compaction rides the SAME oracle gate: per-partition bin-pack
+        // swaps must leave contents bit-identical, and the queries below
+        // now read the packed layout
+        graft.sources.DeltaWriter.compact(spark, deltaDir,
+          targetFileBytes = 64L << 20)
+        graft.sources.IcebergWriter.compactDataFiles(spark, iceDir,
+          targetFileBytes = 64L << 20)
         val built = (deltaDir, iceDir)
         val (result, lost) = sinkMemo.synchronized {
           Option(sinkMemo.get(key)) match {
