@@ -469,86 +469,25 @@ object DeltaWriter {
           }.toDF("path", "cts").groupBy("path").agg(max("cts").as("cts"))
       }
 
-    // PHASE 1 (driver): walk DIRECTORIES only — bounded by partition-dir
-    // count, not file count. Scratch dirs reclaim wholesale here; every
-    // surviving dir's file listing and decisions run on executors.
-    // Skip rule: underscore/dot-prefixed names skip UNLESS they are
-    // partition dirs ("name=value" — a column named `_year` must still be
-    // walked; review finding).
-    var deleted = 0L
-    def countFiles(p: HPath): Long = fs.listStatus(p).map(st =>
-      if (st.isDirectory) countFiles(st.getPath) else 1L).sum
-    val dataDirs = Seq.newBuilder[String]
-    def walkDirs(p: HPath): Unit = {
-      dataDirs += p.toString
-      fs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        if (!st.isDirectory) ()
-        else if (n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_")) {
-          // a crashed writer's whole scratch dir — the multi-GB orphan
-          // case the header's reclaim story promises. The retention window
-          // is also the safety margin against a LIVE writer's scratch.
-          if (st.getModificationTime < cutoff) {
-            val inside = countFiles(st.getPath)
-            if (fs.delete(st.getPath, true)) deleted += inside
-          }
-        } else if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) {
-          () // _delta_log, checksum sidecars, _SUCCESS
-        } else walkDirs(st.getPath)
-      }
-    }
-    walkDirs(root)
-    val dirs = dataDirs.result()
-
-    // PHASE 2 (executors): list files, anti-join the live set, join the
-    // tombstone clocks, delete — one distributed pass, a count back.
-    val candidates = spark.sparkContext
-      .parallelize(dirs, math.max(1,
-        math.min(dirs.size, spark.sparkContext.defaultParallelism)))
-      .mapPartitions { it =>
-        val fsx = taskFs()
-        it.flatMap { d =>
-          fsx.listStatus(new HPath(d)).iterator
-            .filter(st => !st.isDirectory)
-            .filter { st =>
-              val n = st.getPath.getName
-              !((n.startsWith("_") || n.startsWith(".")) && !n.contains("="))
-            }
-            .map(st => (new HPath(fsx.makeQualified(st.getPath).toString).toString,
-              st.getModificationTime))
-        }
-      }.toDF("path", "mtime")
+    // the two-phase scaffold (driver dir walk + scratch reclaim, executor
+    // listing/joins/deletes, empty-dir sweep) lives in [[DistKit.reclaim]];
+    // this table format contributes the live anti-join and the tombstone
+    // clocks: delete when mtime is old AND the newest clock is old
     val liveDf = live.toSeq.toDF("path")
     val jsonTombDf = jsonTomb.toSeq.toDF("path", "jts")
-    val joined0 = candidates.where(col("mtime") < cutoff)
-      .join(liveDf, Seq("path"), "left_anti")
-      .join(jsonTombDf, Seq("path"), "left")
-    val joined = cpTomb.map(t => joined0.join(t, Seq("path"), "left"))
-      .getOrElse(joined0.withColumn("cts", lit(null).cast("long")))
-    val doomed = joined.where(greatest(coalesce(col("jts"), lit(0L)),
-      coalesce(col("cts"), lit(0L))) < cutoff).select("path").as[String]
-    deleted += doomed.mapPartitions { it =>
-      val fsx = taskFs()
-      var n = 0L
-      it.foreach(p => if (fsx.delete(new HPath(p), false)) n += 1)
-      Iterator.single(n)
-    }.collect().sum
-
-    // drop now-empty partition dirs — but only OLD ones: a concurrent
-    // writer mkdirs its target dir moments before renaming into it
-    // (review finding)
-    def sweepEmpty(p: HPath): Unit = fs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory &&
-          !(n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_")) &&
-          !((n.startsWith("_") || n.startsWith(".")) && !n.contains("="))) {
-        sweepEmpty(st.getPath)
-        if (st.getModificationTime < cutoff &&
-            fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
-      }
-    }
-    sweepEmpty(root)
-    deleted
+    DistKit.reclaim(spark, dir, cutoff,
+      isScratchDir =
+        n => n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_"),
+      skipName = n => n.startsWith("_") || n.startsWith("."),
+      doom = { candidates =>
+        val joined0 = candidates.where(col("mtime") < cutoff)
+          .join(liveDf, Seq("path"), "left_anti")
+          .join(jsonTombDf, Seq("path"), "left")
+        val joined = cpTomb.map(t => joined0.join(t, Seq("path"), "left"))
+          .getOrElse(joined0.withColumn("cts", lit(null).cast("long")))
+        joined.where(greatest(coalesce(col("jts"), lit(0L)),
+          coalesce(col("cts"), lit(0L))) < cutoff).select("path").as[String]
+      })
   }
 
   private def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
@@ -762,7 +701,13 @@ object DeltaWriter {
           .join(broadcast(deleted), Seq("__graft_ri"), "left_anti")
           .select(dataSchema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
       }
-      val source = (plainDf ++ dvDfs).reduce(_ unionByName _)
+      // BALANCED union tree: a left-deep reduce over hundreds of
+      // DV-bearing files makes Catalyst analysis quadratic-ish in plan
+      // depth (review finding); pairwise grouping keeps depth O(log n)
+      def unionTree(dfs: Seq[DataFrame]): DataFrame =
+        if (dfs.size == 1) dfs.head
+        else unionTree(dfs.grouped(2).map(_.reduce(_ unionByName _)).toSeq)
+      val source = unionTree(plainDf ++ dvDfs)
       // repartition, NOT coalesce: coalesce just glues the small files'
       // existing imbalance back together one level up (the repo's own
       // Compaction operator documents the same trade; review finding)
@@ -941,16 +886,20 @@ object DeltaWriter {
   private def requireModeledColumns(have: org.apache.spark.sql.types.StructType,
                                     where: String): Unit = {
     // upstream's writeStatsAsStruct layout adds DERIVED columns that are
-    // redundant with the modeled ones by construction — dropping them is
-    // lossless, and refusing would permanently block re-checkpointing
-    // adopted tables (review finding)
+    // redundant with the modeled ones — dropping them is lossless, and
+    // refusing would permanently block re-checkpointing adopted tables
+    // (review finding). But ONLY when the modeled sibling actually exists
+    // in the same struct: a writeStatsAsJson=false checkpoint carries
+    // stats_parsed as the ONLY stats copy, and skipping it then would
+    // silently discard every file statistic (review finding).
     val derived = Set("add.stats_parsed", "add.partitionValues_parsed",
       "remove.stats_parsed", "remove.partitionValues_parsed")
     def walk(h: org.apache.spark.sql.types.StructType,
              w: org.apache.spark.sql.types.StructType, path: String): Unit =
       h.fields.foreach { f =>
         w.fields.find(_.name == f.name) match {
-          case None if derived(s"$path${f.name}") => ()
+          case None if derived(s"$path${f.name}") &&
+              h.fieldNames.contains(f.name.stripSuffix("_parsed")) => ()
           case None => throw new IllegalStateException(
             s"refusing to checkpoint: $where column `$path${f.name}` is beyond " +
               "this writer's checkpoint model (its state would silently drop)")

@@ -1,6 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Shared kit for the distributed-maintenance paths — ONE home for the
   * ship-the-Hadoop-conf pattern and the bounded-concurrency window that
@@ -21,6 +24,101 @@ private[graft] object DistKit {
     val c = new Configuration(false)
     entries.foreach { case (k, v) => c.set(k, v) }
     c
+  }
+
+  /** The two-phase file-reclaim scaffold shared by [[DeltaWriter.vacuum]]
+    * and [[IcebergWriter.removeOrphanFiles]] (review finding: two
+    * near-verbatim copies had already started diverging).
+    *
+    * Phase 1 (driver) walks DIRECTORIES only — bounded by partition-dir
+    * count, not file count. Scratch dirs (`isScratchDir` on the bare
+    * name) reclaim wholesale once BOTH the dir mtime and the newest
+    * mtime INSIDE are past the cutoff (object stores report meaningless
+    * mtimes for synthetic dir entries, so the internal max is the real
+    * gate — review finding: dir-mtime-only would delete a LIVE writer's
+    * scratch on s3a). `skipName` names are never entered or listed,
+    * EXCEPT "name=value" partition dirs/files, which always walk (a
+    * column named `_year` or `.tag` still partitions; review finding).
+    *
+    * Phase 2 (executors) lists each dir's files as a (path, mtime)
+    * DataFrame of QUALIFIED paths, the caller's `doom` turns candidates
+    * into doomed paths (joins against its live/tombstone sets), deletes
+    * run executor-side, and OLD empty dirs sweep last. Returns the
+    * deleted file count. `skipName` must be a capture-free function —
+    * it ships to executors. */
+  def reclaim(spark: SparkSession, dir: String, cutoff: Long,
+              isScratchDir: String => Boolean,
+              skipName: String => Boolean,
+              doom: DataFrame => Dataset[String]): Long = {
+    import spark.implicits._
+    val root = new HPath(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    var deleted = 0L
+    // (file count, newest mtime) below p — one walk serves both the
+    // reclaim count and the liveness gate
+    def walkStats(p: HPath): (Long, Long) =
+      fs.listStatus(p).foldLeft((0L, 0L)) { case ((c, m), st) =>
+        if (st.isDirectory) {
+          val (c2, m2) = walkStats(st.getPath)
+          (c + c2, math.max(math.max(m, m2), st.getModificationTime))
+        } else (c + 1, math.max(m, st.getModificationTime))
+      }
+    val dirsB = Seq.newBuilder[String]
+    def walkDirs(p: HPath): Unit = {
+      dirsB += p.toString
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!st.isDirectory) ()
+        else if (isScratchDir(n)) {
+          val (inside, newest) = walkStats(st.getPath)
+          if (math.max(st.getModificationTime, newest) < cutoff &&
+              fs.delete(st.getPath, true)) deleted += inside
+        } else if (skipName(n) && !n.contains("=")) ()
+        else walkDirs(st.getPath)
+      }
+    }
+    walkDirs(root)
+    val dirs = dirsB.result()
+
+    val ship = confEntries(hconf)
+    val dirStr = dir
+    val candidates = spark.sparkContext
+      .parallelize(dirs, math.max(1,
+        math.min(dirs.size, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val fsx = new HPath(dirStr).getFileSystem(rebuildConf(ship))
+        it.flatMap { d =>
+          fsx.listStatus(new HPath(d)).iterator
+            .filter(st => !st.isDirectory)
+            .filter { st =>
+              val n = st.getPath.getName
+              !(skipName(n) && !n.contains("="))
+            }
+            .map(st => (fsx.makeQualified(st.getPath).toString,
+              st.getModificationTime))
+        }
+      }.toDF("path", "mtime")
+    deleted += doom(candidates).mapPartitions { it =>
+      val fsx = new HPath(dirStr).getFileSystem(rebuildConf(ship))
+      var n = 0L
+      it.foreach(p => if (fsx.delete(new HPath(p), false)) n += 1)
+      Iterator.single(n)
+    }.collect().sum
+
+    // drop now-empty partition dirs — but only OLD ones: a concurrent
+    // writer mkdirs its target dir moments before renaming into it
+    def sweepEmpty(p: HPath): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && !isScratchDir(n) &&
+          !(skipName(n) && !n.contains("="))) {
+        sweepEmpty(st.getPath)
+        if (st.getModificationTime < cutoff &&
+            fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+      }
+    }
+    sweepEmpty(root)
+    deleted
   }
 
   /** Run `f` over `items` through a bounded thread pool — independent

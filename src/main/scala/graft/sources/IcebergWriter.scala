@@ -834,72 +834,34 @@ object IcebergWriter {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val root = new HPath(dir)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = root.getFileSystem(hconf)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (meta, _) = IcebergLoader.currentMetadataVersioned(fs, dir)
     val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val remap = IcebergLoader.pathRemapper(meta, dir)
-    // reachable, in the SAME qualified form the executor listing emits —
-    // an unqualified manifest path must not read as an orphan
-    val keep: Set[String] = new ClosureReader(fs, remap).filesOf(snapshots)
-      .map(p => fs.makeQualified(new HPath(p)).toString)
+    // reachable = every snapshot's manifest closure PLUS the metadata's
+    // statistics and partition-statistics files (external ANALYZE writes
+    // Puffin stats the current metadata references; review finding: they
+    // age immediately and would read as orphans) — all in the SAME
+    // qualified form the executor listing emits
+    val statsFiles: Seq[String] =
+      Seq("statistics", "partition-statistics").flatMap(k =>
+        Option(meta.get(k)).filterNot(_.isNull).toSeq
+          .flatMap(_.elements().asScala)
+          .flatMap(n => Option(n.get("statistics-path"))
+            .orElse(Option(n.get("path"))).filterNot(_.isNull)
+            .map(p => remap(p.asText()))))
+    val keep: Set[String] =
+      (new ClosureReader(fs, remap).filesOf(snapshots) ++ statsFiles)
+        .map(p => fs.makeQualified(new HPath(p)).toString)
     val cutoff = System.currentTimeMillis() - olderThanMs
-
-    // PHASE 1 (driver): directories only; stale scratch dirs reclaim
-    // wholesale, catalog files are filtered by NAME in phase 2
-    var deleted = 0L
-    def countFiles(p: HPath): Long = fs.listStatus(p).map(st =>
-      if (st.isDirectory) countFiles(st.getPath) else 1L).sum
-    val dataDirs = Seq.newBuilder[String]
-    def walkDirs(p: HPath): Unit = {
-      dataDirs += p.toString
-      fs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        if (!st.isDirectory) ()
-        else if (n.startsWith(".graft_tmp_")) {
-          if (st.getModificationTime < cutoff) {
-            val inside = countFiles(st.getPath)
-            if (fs.delete(st.getPath, true)) deleted += inside
-          }
-        } else if (n.startsWith(".")) () // checksum/hidden dirs
-        else walkDirs(st.getPath)
-      }
-    }
-    walkDirs(root)
-    val dirs = dataDirs.result()
-
-    // PHASE 2 (executors): list, drop catalog/hidden names, anti-join the
-    // reachable set, age-gate, delete
-    val confEntries = DistKit.confEntries(hconf)
-    val dirStr = dir
-    val candidates = spark.sparkContext
-      .parallelize(dirs, math.max(1,
-        math.min(dirs.size, spark.sparkContext.defaultParallelism)))
-      .mapPartitions { it =>
-        val fsx = new HPath(dirStr).getFileSystem(DistKit.rebuildConf(confEntries))
-        it.flatMap { d =>
-          fsx.listStatus(new HPath(d)).iterator
-            .filter(st => !st.isDirectory)
-            .filter { st =>
-              val n = st.getPath.getName
-              !n.startsWith(".") && !n.startsWith("_") &&
-                !n.endsWith(".metadata.json") && n != "version-hint.text"
-            }
-            .map(st => (fsx.makeQualified(st.getPath).toString,
-              st.getModificationTime))
-        }
-      }.toDF("path", "mtime")
     val keepDf = keep.toSeq.toDF("path")
-    val doomed = candidates.where(col("mtime") < cutoff)
-      .join(keepDf, Seq("path"), "left_anti").select("path").as[String]
-    deleted += doomed.mapPartitions { it =>
-      val fsx = new HPath(dirStr).getFileSystem(DistKit.rebuildConf(confEntries))
-      var n = 0L
-      it.foreach(p => if (fsx.delete(new HPath(p), false)) n += 1)
-      Iterator.single(n)
-    }.collect().sum
-    deleted
+    DistKit.reclaim(spark, dir, cutoff,
+      isScratchDir = _.startsWith(".graft_tmp_"),
+      skipName = n => n.startsWith(".") || n.startsWith("_") ||
+        n.endsWith(".metadata.json") || n == "version-hint.text",
+      doom = candidates => candidates.where(col("mtime") < cutoff)
+        .join(keepDf, Seq("path"), "left_anti").select("path").as[String])
   }
 
   /** Metadata-file retention (upstream's
@@ -915,13 +877,21 @@ object IcebergWriter {
     val root = new HPath(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new HPath(root, "metadata")
-    val (_, curV) = IcebergLoader.currentMetadataVersioned(fs, dir)
+    val (meta, curV) = IcebergLoader.currentMetadataVersioned(fs, dir)
     if (curV < 0) return 0L // foreign naming carries no version order
+    // files the CURRENT metadata's `metadata-log` still references must
+    // stay — an external engine's timestamp time travel walks that log,
+    // and upstream only deletes in lock-step with truncating it (review
+    // finding; this writer's own tables carry no metadata-log)
+    val logged: Set[String] = Option(meta.get("metadata-log"))
+      .filterNot(_.isNull).toSeq.flatMap(_.elements().asScala)
+      .flatMap(n => Option(n.get("metadata-file")).filterNot(_.isNull)
+        .map(p => new HPath(p.asText()).getName)).toSet
     val rx = raw"v(\d+)\.metadata\.json".r
     var deleted = 0L
     fs.listStatus(metaDir).foreach { st =>
       st.getPath.getName match {
-        case rx(v) if v.toLong <= curV - keepLast =>
+        case n @ rx(v) if v.toLong <= curV - keepLast && !logged(n) =>
           if (fs.delete(st.getPath, false)) deleted += 1
         case _ => ()
       }

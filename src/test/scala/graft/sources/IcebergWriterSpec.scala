@@ -504,12 +504,19 @@ class IcebergWriterSpec extends SparkSpec {
     val scratch = new java.io.File(dir + "/.graft_tmp_dead"); scratch.mkdirs()
     Files.write(java.nio.file.Path.of(scratch.getPath + "/part-dead.parquet"),
       Array[Byte](6))
-    // and one FRESH orphan that must survive the age gate
+    // age EVERYTHING (live data, manifests, orphans, the scratch's inner
+    // file): only the reachability keep-set may now protect the live
+    // files — a silently mismatched keep join would delete the table
+    // (review finding: fresh live files made the age gate do that job)
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    def ageTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(ageTree)
+      fs.setTimes(new org.apache.hadoop.fs.Path(f.getPath), old, -1)
+    }
+    ageTree(new java.io.File(dir))
+    // one FRESH orphan that must survive on the age gate alone
     val freshOrphan = java.nio.file.Path.of(dir + "/data/orphan-fresh.parquet")
     Files.write(freshOrphan, Array[Byte](7))
-    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
-    Seq(orphanData.toString, orphanAvro.toString, scratch.getPath).foreach(p =>
-      fs.setTimes(new org.apache.hadoop.fs.Path(p), old, -1))
     val n = IcebergWriter.removeOrphanFiles(spark, dir,
       olderThanMs = 60L * 1000)
     assert(n == 3L, s"deleted $n")
