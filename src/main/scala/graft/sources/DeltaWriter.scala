@@ -479,6 +479,7 @@ object DeltaWriter {
       isScratchDir =
         n => n.startsWith(".graft_tmp_") || n.startsWith(".graft_cp_"),
       skipName = n => n.startsWith("_") || n.startsWith("."),
+      skipDirName = n => n.startsWith("_") || n.startsWith("."),
       doom = { candidates =>
         val joined0 = candidates.where(col("mtime") < cutoff)
           .join(liveDf, Seq("path"), "left_anti")
@@ -883,7 +884,7 @@ object DeltaWriter {
     * [[cpSchema]], or reading it through that schema would silently strip
     * replay state an external engine wrote (e.g. an `add.baseRowId` column
     * or a whole `domainMetadata` column). */
-  private def requireModeledColumns(have: org.apache.spark.sql.types.StructType,
+  private[sources] def requireModeledColumns(have: org.apache.spark.sql.types.StructType,
                                     where: String): Unit = {
     // upstream's writeStatsAsStruct layout adds DERIVED columns that are
     // redundant with the modeled ones — dropping them is lossless, and

@@ -49,6 +49,7 @@ private[graft] object DistKit {
   def reclaim(spark: SparkSession, dir: String, cutoff: Long,
               isScratchDir: String => Boolean,
               skipName: String => Boolean,
+              skipDirName: String => Boolean,
               doom: DataFrame => Dataset[String]): Long = {
     import spark.implicits._
     val root = new HPath(dir)
@@ -71,10 +72,16 @@ private[graft] object DistKit {
         val n = st.getPath.getName
         if (!st.isDirectory) ()
         else if (isScratchDir(n)) {
-          val (inside, newest) = walkStats(st.getPath)
-          if (math.max(st.getModificationTime, newest) < cutoff &&
-              fs.delete(st.getPath, true)) deleted += inside
-        } else if (skipName(n) && !n.contains("=")) ()
+          // dir-mtime gate FIRST: a fresh scratch skips the recursive
+          // walk entirely (an in-flight writer streaming thousands of
+          // files must not pay a full listing per reclaim run; review
+          // finding) — the internal-newest gate then confirms
+          if (st.getModificationTime < cutoff) {
+            val (inside, newest) = walkStats(st.getPath)
+            if (newest < cutoff && fs.delete(st.getPath, true))
+              deleted += inside
+          }
+        } else if (skipDirName(n) && !n.contains("=")) ()
         else walkDirs(st.getPath)
       }
     }
@@ -106,14 +113,17 @@ private[graft] object DistKit {
       Iterator.single(n)
     }.collect().sum
 
-    // drop now-empty partition dirs — but only OLD ones: a concurrent
-    // writer mkdirs its target dir moments before renaming into it
+    // drop now-empty partition dirs — but only provably OLD ones: a
+    // concurrent writer mkdirs its target dir moments before renaming
+    // into it, and a store that reports NO dir mtime (0 = synthetic
+    // entry) gives no age evidence at all, so keep (review finding —
+    // mtime 0 must read as unknown, not ancient)
     def sweepEmpty(p: HPath): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && !isScratchDir(n) &&
-          !(skipName(n) && !n.contains("="))) {
+          !(skipDirName(n) && !n.contains("="))) {
         sweepEmpty(st.getPath)
-        if (st.getModificationTime < cutoff &&
+        if (st.getModificationTime > 0 && st.getModificationTime < cutoff &&
             fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
       }
     }

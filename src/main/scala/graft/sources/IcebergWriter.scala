@@ -860,6 +860,10 @@ object IcebergWriter {
       isScratchDir = _.startsWith(".graft_tmp_"),
       skipName = n => n.startsWith(".") || n.startsWith("_") ||
         n.endsWith(".metadata.json") || n == "version-hint.text",
+      // dirs: only hidden ones skip — underscore dirs (_tmp, _staging)
+      // are exactly where crashed jobs park orphans (review finding: the
+      // shared scaffold's file filter must not narrow dir coverage)
+      skipDirName = _.startsWith("."),
       doom = candidates => candidates.where(col("mtime") < cutoff)
         .join(keepDf, Seq("path"), "left_anti").select("path").as[String])
   }

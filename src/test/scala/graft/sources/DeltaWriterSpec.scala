@@ -664,6 +664,32 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir2).select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("base-checkpoint column model: derived *_parsed skip only beside their sibling") {
+    import org.apache.spark.sql.types._
+    def addStruct(fields: (String, DataType)*): StructType =
+      StructType(Seq(StructField("add", StructType(
+        fields.map { case (n, t) => StructField(n, t) }))))
+    // writeStatsAsStruct layout: stats_parsed NEXT TO stats — lossless skip
+    DeltaWriter.requireModeledColumns(addStruct(
+      "path" -> StringType, "stats" -> StringType,
+      "stats_parsed" -> StructType(Seq(StructField("numRecords", LongType)))),
+      "test")
+    // writeStatsAsJson=false layout: stats_parsed is the ONLY copy — refuse
+    val e = intercept[IllegalStateException] {
+      DeltaWriter.requireModeledColumns(addStruct(
+        "path" -> StringType,
+        "stats_parsed" -> StructType(Seq(StructField("numRecords", LongType)))),
+        "test")
+    }
+    assert(e.getMessage.contains("stats_parsed"), e.getMessage)
+    // genuinely unknown columns always refuse
+    val e2 = intercept[IllegalStateException] {
+      DeltaWriter.requireModeledColumns(addStruct(
+        "path" -> StringType, "baseRowId" -> LongType), "test")
+    }
+    assert(e2.getMessage.contains("baseRowId"))
+  }
+
   test("encodeAddPath: RFC 2396 segments, pchar extras literal, URLDecoder round-trip") {
     val rel = "grp=a b+c%d=é/part-0001.snappy.parquet"
     val enc = DeltaWriter.encodeAddPath(rel)

@@ -504,6 +504,26 @@ class IcebergWriterSpec extends SparkSpec {
     val scratch = new java.io.File(dir + "/.graft_tmp_dead"); scratch.mkdirs()
     Files.write(java.nio.file.Path.of(scratch.getPath + "/part-dead.parquet"),
       Array[Byte](6))
+    // an external ANALYZE's Puffin statistics file, referenced from the
+    // CURRENT metadata — it ages immediately and only the statistics
+    // keep-set can protect it (review finding: untested protection is a
+    // permanent no-op waiting to happen); and a metadata-log entry that
+    // must pin v2.metadata.json through cleanupMetadata
+    val statsFile = java.nio.file.Path.of(dir + "/metadata/stats-7.puffin")
+    Files.write(statsFile, Array[Byte](9, 9))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val curMeta = java.nio.file.Path.of(dir + "/metadata/v7.metadata.json")
+    val node = mapper.readTree(Files.readString(curMeta))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val statsArr = node.putArray("statistics")
+    statsArr.addObject().put("snapshot-id", 7L)
+      .put("statistics-path", statsFile.toString)
+    val mlArr = node.putArray("metadata-log")
+    mlArr.addObject().put("timestamp-ms", 1L)
+      .put("metadata-file", dir + "/metadata/v2.metadata.json")
+    Files.writeString(curMeta, mapper.writeValueAsString(node))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Path.of(dir + "/metadata/.v7.metadata.json.crc"))
     // age EVERYTHING (live data, manifests, orphans, the scratch's inner
     // file): only the reachability keep-set may now protect the live
     // files — a silently mismatched keep join would delete the table
@@ -523,13 +543,17 @@ class IcebergWriterSpec extends SparkSpec {
     assert(!Files.exists(orphanData) && !Files.exists(orphanAvro) &&
       !scratch.exists())
     assert(Files.exists(freshOrphan)) // inside the age window
+    assert(Files.exists(statsFile)) // the statistics keep-set held
     // every snapshot still reads — reachability protected them all
     assert(readBack(dir).count() == 7)
     assert(rows(readBack(dir, Map("snapshot-id" -> "3"))).size == 3)
-    // metadata retention: v1..v4 retire, v5..v7 keep
+    // metadata retention: v1/v3/v4 retire, v2 pinned by metadata-log,
+    // v5..v7 keep
     val md = IcebergWriter.cleanupMetadata(spark, dir, keepLast = 3)
-    assert(md == 4L, s"deleted $md metadata files")
+    assert(md == 3L, s"deleted $md metadata files")
     assert(!new java.io.File(dir + "/metadata/v4.metadata.json").exists())
+    assert(new java.io.File(dir + "/metadata/v2.metadata.json").exists(),
+      "metadata-log must pin v2")
     assert(new java.io.File(dir + "/metadata/v5.metadata.json").exists())
     // reads, snapshot time travel, and appends all continue
     assert(readBack(dir).count() == 7)
