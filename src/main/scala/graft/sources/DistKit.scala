@@ -43,9 +43,14 @@ private[graft] object DistKit {
     * Phase 2 (executors) lists each dir's files as a (path, mtime)
     * DataFrame of QUALIFIED paths, the caller's `doom` turns candidates
     * into doomed paths (joins against its live/tombstone sets), deletes
-    * run executor-side, and OLD empty dirs sweep last. Returns the
-    * deleted file count. `skipName` must be a capture-free function —
-    * it ships to executors. */
+    * run executor-side, and OLD empty dirs sweep last (a dir mtime of 0
+    * reads as unknown, never ancient). Returns the deleted file count.
+    *
+    * Filters: `skipName` governs FILE names only and must be a
+    * capture-free function — it ships to executors; `skipDirName`
+    * governs which directories are entered AND swept, driver-side only.
+    * Both see bare names, and "name=value" partition names always pass
+    * regardless of prefix. */
   def reclaim(spark: SparkSession, dir: String, cutoff: Long,
               isScratchDir: String => Boolean,
               skipName: String => Boolean,

@@ -860,10 +860,11 @@ object IcebergWriter {
       isScratchDir = _.startsWith(".graft_tmp_"),
       skipName = n => n.startsWith(".") || n.startsWith("_") ||
         n.endsWith(".metadata.json") || n == "version-hint.text",
-      // dirs: only hidden ones skip — underscore dirs (_tmp, _staging)
-      // are exactly where crashed jobs park orphans (review finding: the
-      // shared scaffold's file filter must not narrow dir coverage)
-      skipDirName = _.startsWith("."),
+      // dirs: upstream remove_orphan_files' hidden-path filter — both
+      // '_' and '.' prefixed dirs stay untouched (a co-located
+      // _temporary committer staging dir or parked _backup must not be
+      // entered), partition dirs excepted via the shared "=" rule
+      skipDirName = n => n.startsWith(".") || n.startsWith("_"),
       doom = candidates => candidates.where(col("mtime") < cutoff)
         .join(keepDf, Seq("path"), "left_anti").select("path").as[String])
   }
