@@ -1130,14 +1130,37 @@ object DeltaWriter {
     * so the TABLE is exactly-once while the stream stays at-least-once
     * (the [[graft.streaming.EventStream]] index discipline, applied to a
     * Delta sink). `appId` must be stable for the query's lifetime — use
-    * the checkpoint's query id or a caller-chosen pipeline name. */
-  def streamSink(data: DataFrame, dir: String, appId: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    * the checkpoint's query id or a caller-chosen pipeline name.
+    *
+    * `compactEvery = Some(n)`: every n-th batch runs [[compact]] inline
+    * after the append — a micro-batch sink accumulates exactly one small
+    * file per batch per partition, and a 100 TB scan over millions of
+    * tiny files is planner-bound long before it is data-bound. The
+    * compaction shares the batch slot (the stream pauses for it — the
+    * trade a single-writer log REQUIRES, since a concurrent compactor
+    * would lose its commit race to the next append anyway); a failed
+    * compaction warns and never fails the stream (the table stays
+    * correct, just small-filed). */
+  def streamSink(data: DataFrame, dir: String, appId: String,
+                 compactEvery: Option[Int] = None,
+                 targetFileBytes: Long = 128L << 20)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    compactEvery.foreach(n => require(n > 0, s"compactEvery must be > 0, got $n"))
     data.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         write(batch, dir, mode = "append", txn = Some((appId, batchId)))
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            try compact(batch.sparkSession, dir, targetFileBytes)
+            catch {
+              case scala.util.control.NonFatal(e) => System.err.println(
+                s"[graft] stream-sink compaction on $dir failed (contents " +
+                  s"stay correct, files stay small): $e")
+            }
+        }
         ()
     }
+  }
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 }

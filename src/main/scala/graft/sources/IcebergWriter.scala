@@ -410,14 +410,29 @@ object IcebergWriter {
   }
 
   /** Exactly-once streaming sink — [[DeltaWriter.streamSink]]'s contract
-    * for Iceberg tables. */
-  def streamSink(data: DataFrame, dir: String, appId: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    * for Iceberg tables, including its `compactEvery` small-file
+    * maintenance knob (every n-th batch runs [[compactDataFiles]] inline;
+    * failures warn and never fail the stream). */
+  def streamSink(data: DataFrame, dir: String, appId: String,
+                 compactEvery: Option[Int] = None,
+                 targetFileBytes: Long = 128L << 20)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    compactEvery.foreach(n => require(n > 0, s"compactEvery must be > 0, got $n"))
     data.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         write(batch, dir, mode = "append", txn = Some((appId, batchId)))
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            try compactDataFiles(batch.sparkSession, dir, targetFileBytes)
+            catch {
+              case scala.util.control.NonFatal(e) => System.err.println(
+                s"[graft] stream-sink compaction on $dir failed (contents " +
+                  s"stay correct, files stay small): $e")
+            }
+        }
         ()
     }
+  }
 
   /** Data-file compaction — [[DeltaWriter.compact]]'s story for the other
     * format. WITHIN each partition tuple (trivially: the whole table when

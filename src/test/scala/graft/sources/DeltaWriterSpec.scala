@@ -128,6 +128,35 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir).count() == before)
   }
 
+  test("streamSink compactEvery bin-packs between micro-batches without losing rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = newDir()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DeltaWriter.streamSink(mem.toDF().toDF("id", "name"), dir, "cpStream",
+      compactEvery = Some(2), targetFileBytes = 1L << 20)
+      .option("checkpointLocation", Files.createTempDirectory("dw_cpe").toString)
+      .start()
+    try {
+      (0 until 6).foreach { i =>
+        mem.addData((i.toLong, s"b$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // contents exactly-once through appends AND the inline compactions
+    assert(readBack(dir).select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 6L).toSet)
+    // compactions ran: far fewer live files than batches
+    val live = DeltaLoader.snapshot(spark, dir).files.size
+    assert(live < 6, s"$live live files — compaction never engaged")
+    // the log shows OPTIMIZE commits interleaved with the appends
+    val ops = new java.io.File(dir + "/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .map(f => Files.readString(f.toPath))
+      .count(_.contains("\"operation\":\"OPTIMIZE\""))
+    assert(ops >= 2, s"$ops OPTIMIZE commits")
+  }
+
   test("pipeline integration: curated corpus lands as a queryable Delta table") {
     // the sink the writer exists for — doc_curate output becomes a
     // transactional table other engines (delta-rs, the reference) can read

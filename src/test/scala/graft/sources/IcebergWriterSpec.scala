@@ -200,6 +200,23 @@ class IcebergWriterSpec extends SparkSpec {
     IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir,
       txn = Some(("streamA", 0L)))
     assert(readBack(dir).count() == before)
+    // compactEvery: inline bin-packing between micro-batches
+    val dir2 = newDir()
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = IcebergWriter.streamSink(mem2.toDF().toDF("id", "name"), dir2,
+      "streamB", compactEvery = Some(2), targetFileBytes = 1L << 20)
+      .option("checkpointLocation", Files.createTempDirectory("iw_ck2").toString)
+      .start()
+    try {
+      (0 until 6).foreach { i =>
+        mem2.addData((i.toLong, s"b$i"))
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    assert(readBack(dir2).select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 6L).toSet)
+    assert(readBack(dir2).inputFiles.length < 6,
+      "compaction never engaged on the stream")
   }
 
   private def dataParquetFiles(dir: String): Seq[java.io.File] = {
