@@ -504,21 +504,52 @@ object DeltaWriter {
     * horizon trade upstream documents. Commits ABOVE the checkpoint are
     * never touched (they are the only record of those versions), and the
     * age gate keeps a straggling reader's listed-but-unread commits alive
-    * for the window. Driver-side metadata work bounded by the log's file
-    * count. Returns the number of deleted log files. */
+    * for the window. Two safety legs (advisor findings): a checkpoint
+    * BEHIND the head is first superseded by a fresh one written at the
+    * current head by THIS writer, so retired JSON is always covered by a
+    * tombstone-carrying checkpoint; and nothing deletes unless every
+    * checkpoint part the `_last_checkpoint` hint references actually
+    * exists. Driver-side metadata work bounded by the log's file count.
+    * Returns the number of deleted log files. */
   def cleanupLog(spark: org.apache.spark.sql.SparkSession, dir: String,
                  retentionMs: Long = 30L * 24 * 3600 * 1000): Long = {
     require(retentionMs >= 0, s"log retention must be >= 0, got $retentionMs")
     val root = new HPath(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = logDirOf(root)
-    val cpV = readLastCheckpoint(fs, logDir) match {
-      case Some((v, _)) => v
-      case None => return 0L // no checkpoint = the JSON is the only state
-    }
-    val cutoff = System.currentTimeMillis() - retentionMs
     val commitRx = raw"(\d{20})\.json".r
     val cpRx = raw"(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet".r
+    val (cpV0, parts0) = readLastCheckpoint(fs, logDir) match {
+      case Some(x) => x
+      case None => return 0L // no checkpoint = the JSON is the only state
+    }
+    // a checkpoint BEHIND the head may predate tombstone carrying (a
+    // foreign/older writer's — indistinguishable from a remove-free
+    // table), and retiring JSON against it would let a later low-retention
+    // vacuum reclaim recently-removed files on mtime alone (advisor
+    // finding). Re-checkpoint at the current head with THIS writer first,
+    // so every retired commit is covered by a tombstone-carrying
+    // checkpoint; an un-checkpointable table (unrepresentable actions)
+    // fails loudly here instead of losing state.
+    val headV = fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case commitRx(v) => v.toLong }
+      .foldLeft(cpV0)(math.max)
+    val (cpV, parts) =
+      if (cpV0 < headV) {
+        writeCheckpoint(spark, fs, root, logDir, headV)
+        readLastCheckpoint(fs, logDir).getOrElse(return 0L)
+      } else (cpV0, parts0)
+    // never destroy the only replay state on a stale/corrupt hint: the
+    // JSON commits about to be deleted are recoverable ONLY through the
+    // checkpoint the hint references — verify every part actually exists
+    // before deleting anything (advisor finding)
+    val missingParts = checkpointPaths(logDir, cpV, parts)
+      .filterNot(p => fs.exists(new HPath(p)))
+    require(missingParts.isEmpty,
+      s"cleanupLog: _last_checkpoint points at version $cpV but " +
+        s"${missingParts.mkString(", ")} is missing — refusing to retire " +
+        "JSON commits (the only remaining replay state)")
+    val cutoff = System.currentTimeMillis() - retentionMs
     var deleted = 0L
     fs.listStatus(logDir).foreach { st =>
       val doomed = st.getPath.getName match {
@@ -705,9 +736,14 @@ object DeltaWriter {
       // BALANCED union tree: a left-deep reduce over hundreds of
       // DV-bearing files makes Catalyst analysis quadratic-ish in plan
       // depth (review finding); pairwise grouping keeps depth O(log n)
-      def unionTree(dfs: Seq[DataFrame]): DataFrame =
+      def unionTree(dfs: Seq[DataFrame]): DataFrame = {
+        // grouped(2) of an empty Seq is empty -> infinite recursion; only
+        // unreachable today via the small-nonEmpty early return above, but
+        // a latent trap for future callers (advisor finding)
+        require(dfs.nonEmpty, "unionTree needs at least one input")
         if (dfs.size == 1) dfs.head
         else unionTree(dfs.grouped(2).map(_.reduce(_ unionByName _)).toSeq)
+      }
       val source = unionTree(plainDf ++ dvDfs)
       // repartition, NOT coalesce: coalesce just glues the small files'
       // existing imbalance back together one level up (the repo's own
@@ -1024,12 +1060,28 @@ object DeltaWriter {
         // expired clocks and paths the newer JSON superseded (a re-add
         // clears the tombstone; a newer remove replaces it)
         val tombCutoff = System.currentTimeMillis() - checkpointTombstoneRetentionMs
+        // probe the base checkpoint's remove struct before selecting
+        // OPTIONAL subfields, exactly as [[vacuum]] does (advisor finding:
+        // this path assumed deletionTimestamp and threw a raw
+        // AnalysisException on adopted checkpoints that omit it — and
+        // re-checkpointing is precisely the remedy vacuum's refusal
+        // message prescribes). A missing deletionTimestamp reads as null,
+        // so the isNotNull filter drops those base tombstones — consistent
+        // with the missing-ts = 0 = already-expired semantics everywhere
+        // else in this file.
+        val rmFields: Set[String] =
+          if (!cols("remove")) Set.empty
+          else cp.schema("remove").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
         val baseRemoves =
-          if (!cols("remove")) spark.emptyDataset[String]
+          if (!rmFields.contains("path")) spark.emptyDataset[String]
           else {
+            val tsCol =
+              if (rmFields.contains("deletionTimestamp"))
+                col("remove.deletionTimestamp").cast("long")
+              else org.apache.spark.sql.functions.lit(null).cast("long")
             val rms = cp.where(col("remove.path").isNotNull)
-              .where(col("remove.deletionTimestamp").isNotNull &&
-                col("remove.deletionTimestamp").cast("long") >= tombCutoff)
+              .where(tsCol.isNotNull && tsCol >= tombCutoff)
               .select(col("remove"))
             // `tomb` already covers every superseding path: removedTs'
             // keys are maintained in lock-step with `removed`

@@ -551,6 +551,114 @@ class DeltaWriterSpec extends SparkSpec {
     assertThrows[Exception](readBack(dir, Map("version" -> "5")).count())
   }
 
+  test("cleanupLog behind the head re-checkpoints first; retired JSON is covered") {
+    val dir = newDir()
+    // 15 commits: checkpoint lands at v9, head is v14 — the gap is the
+    // advisor's hazard window (a pre-tombstone-carrying checkpoint plus
+    // retired JSON would let a low-retention vacuum reclaim on mtime alone)
+    (0 until 15).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    def names() = new java.io.File(dir + "/_delta_log").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(names().contains("00000000000000000009.checkpoint.parquet"))
+    Thread.sleep(5)
+    // cleanup writes a FRESH checkpoint at the head (v14) and retires all
+    // 15 JSON commits plus the superseded v9 checkpoint
+    assert(DeltaWriter.cleanupLog(spark, dir, retentionMs = 0L) == 16L)
+    val after = names()
+    assert(after.count(_.endsWith(".json")) == 0, after)
+    assert(after.contains("00000000000000000014.checkpoint.parquet"), after)
+    assert(!after.exists(_.startsWith("00000000000000000009.checkpoint")), after)
+    // full replay from the fresh checkpoint; appends continue the numbering
+    assert(readBack(dir).count() == 15)
+    assert(DeltaWriter.write(Seq((99L, "x")).toDF("id", "name"), dir) == 15L)
+    assert(readBack(dir).count() == 16)
+  }
+
+  test("cleanupLog refuses when the referenced checkpoint file is missing") {
+    val dir = newDir()
+    (0 until 10).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    // corrupt state: the hint survives, the checkpoint parquet does not
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new HPath(dir,
+      "_delta_log/00000000000000000009.checkpoint.parquet"), false))
+    Thread.sleep(5)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.cleanupLog(spark, dir, retentionMs = 0L)
+    }
+    assert(e.getMessage.contains("refusing to retire"), e.getMessage)
+    // nothing was deleted: all 10 JSON commits survive (the recoverable
+    // replay state — the loader itself fails loudly on the dangling hint
+    // until it is repaired, which is the corruption surfacing, not hiding)
+    val json = new java.io.File(dir + "/_delta_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".json"))
+    assert(json.length == 10, json.sorted.mkString(","))
+  }
+
+  test("re-checkpointing over a base whose remove struct lacks deletionTimestamp") {
+    val dir = newDir()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), dir)
+    // hand-build a v0 checkpoint in an older/foreign writer's shape: a
+    // remove channel WITHOUT the optional deletionTimestamp subfield, and
+    // one clockless tombstone row (advisor finding: folding such a base
+    // into a new checkpoint threw a raw AnalysisException — and
+    // re-checkpointing is exactly what vacuum's refusal prescribes)
+    val commit0 = Files.readString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000000.json"))
+    import org.apache.spark.sql.types._
+    val slim = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    val lines = commit0.split('\n').toSeq.filter(_.nonEmpty)
+      .filterNot(_.contains("commitInfo")) :+
+      """{"remove":{"path":"ghost.parquet","dataChange":true}}"""
+    val scratch = Files.createTempDirectory("graft_cp_nots").toString
+    spark.read.schema(slim).json(spark.createDataset(lines)).coalesce(1)
+      .write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000000.checkpoint.parquet"))
+    Files.writeString(java.nio.file.Path.of(dir + "/_delta_log/_last_checkpoint"),
+      """{"version":0,"size":3}""")
+    // commits through v9: the v9 checkpoint folds the slim base — it must
+    // WRITE (clockless base tombstones drop as already-expired), not warn
+    // itself away on an AnalysisException
+    (1 until 10).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
+    val names = new java.io.File(dir + "/_delta_log").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSeq
+    assert(names.contains("00000000000000000009.checkpoint.parquet"), names.sorted)
+    val cp = spark.read.parquet(
+      dir + "/_delta_log/00000000000000000009.checkpoint.parquet")
+    // the clockless ghost tombstone dropped (missing ts = 0 = expired)
+    assert(cp.where("remove.path is not null").count() == 0L)
+    // the table replays from the new checkpoint alone
+    deleteLogFiles(dir)(name => name.endsWith(".checkpoint.parquet") ||
+      name == "_last_checkpoint")
+    assert(readBack(dir).count() == 10)
+  }
+
   test("checkpoints carry remove tombstones; vacuum honors their clocks after JSON cleanup") {
     val dir = newDir()
     (0 until 9).foreach(i =>

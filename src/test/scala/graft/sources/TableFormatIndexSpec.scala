@@ -176,7 +176,9 @@ class TableFormatIndexSpec extends AnyFunSuite {
       // a writer append lands a NEW file with ids far outside the old zones
       DeltaWriter.write((1000L until 1100L).map(i => (i, s"x$i"))
         .toDF("id", "name").coalesce(1), dir)
-      // the commit hook re-derived the zones — no refresh tick configured
+      // the commit hook re-derives the zones async (coalesced per dir) —
+      // drain the refresh queue, then assert; no refresh tick configured
+      ColumnIndexRegistry.quiesce()
       val fresh = eng.columnIndex("dtf").get
       assert(fresh.fileCount == 4,
         s"index still has ${fresh.fileCount} files — commit hook did not fire")
@@ -201,6 +203,7 @@ class TableFormatIndexSpec extends AnyFunSuite {
       assert(eng.columnIndex("itf").get.fileCount == 1)
       IcebergWriter.write((5000L until 5050L).map(i => (i, s"b$i"))
         .toDF("id", "name").coalesce(1), iDir)
+      ColumnIndexRegistry.quiesce()
       val ifresh = eng.columnIndex("itf").get
       assert(ifresh.fileCount == 2)
       assert(ifresh.prune(Seq(("id", "gte", "5000"))).get.size == 1)
