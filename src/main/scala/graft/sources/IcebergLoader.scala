@@ -219,16 +219,21 @@ object IcebergLoader {
 
   // ---- snapshot planning ----------------------------------------------------
 
-  private final case class EqDeleteFile(path: String, seq: Long,
-                                        equalityIds: Seq[Int])
+  private[sources] final case class EqDeleteFile(path: String, seq: Long,
+                                                 equalityIds: Seq[Int])
   /** A v3 deletion vector: a blob inside a Puffin file, applying to ONE
     * referenced data file (iceberg spec §Deletion vectors). */
-  private final case class DvFile(puffinPath: String, referencedDataFile: String,
-                                  contentOffset: Long, contentSize: Long)
-  private final case class PlannedScan(dataFiles: Seq[(String, Long)],
-                                       positionDeleteFiles: Seq[String],
-                                       equalityDeleteFiles: Seq[EqDeleteFile],
-                                       deletionVectors: Seq[DvFile] = Seq.empty)
+  private[sources] final case class DvFile(puffinPath: String,
+                                           referencedDataFile: String,
+                                           contentOffset: Long, contentSize: Long)
+  private[sources] final case class PlannedScan(
+      dataFiles: Seq[(String, Long)],
+      positionDeleteFiles: Seq[String],
+      equalityDeleteFiles: Seq[EqDeleteFile],
+      deletionVectors: Seq[DvFile] = Seq.empty) {
+    def hasDeletes: Boolean = positionDeleteFiles.nonEmpty ||
+      equalityDeleteFiles.nonEmpty || deletionVectors.nonEmpty
+  }
 
   /** All records of one Avro file — shared with [[IcebergWriter]]'s
     * maintenance paths (review finding: four hand-rolled copies). */
@@ -269,8 +274,8 @@ object IcebergLoader {
   /** Select the snapshot a read targets: the `snapshot-id` option (loud
     * failure if unknown) or the table's current snapshot; None = empty
     * table. */
-  private def chooseSnapshot(meta: JsonNode, tableUri: String,
-                             snapshotId: Option[Long]): Option[JsonNode] = {
+  private[sources] def chooseSnapshot(meta: JsonNode, tableUri: String,
+                                      snapshotId: Option[Long]): Option[JsonNode] = {
     val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val chosenId = snapshotId.orElse(
@@ -285,8 +290,9 @@ object IcebergLoader {
     }
   }
 
-  private def planSnapshot(fs: FileSystem, tableUri: String, meta: JsonNode,
-                           snap: Option[JsonNode]): PlannedScan = {
+  private[sources] def planSnapshot(fs: FileSystem, tableUri: String,
+                                    meta: JsonNode,
+                                    snap: Option[JsonNode]): PlannedScan = {
     if (snap.isEmpty) return PlannedScan(Seq.empty, Seq.empty, Seq.empty)
     val s = snap.get
     val remap = pathRemapper(meta, tableUri)
@@ -475,58 +481,82 @@ object IcebergLoader {
     if (plan.dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // the file/row identity columns are attached ONCE off the scan's
-    // _metadata (they are consumed by both delete mechanisms; _metadata is
-    // only reachable directly on the file-source frame)
-    val base = spark.read.schema(schema).parquet(plan.dataFiles.map(_._1): _*)
+    scanLive(spark, schemaNode, plan, plan.dataFiles.map(_._1),
+      positionTombstones(spark, fs, tableUri, meta, plan))
+  }
+
+  /** The (file, row) pairs doomed by the snapshot's position deletes and
+    * deletion vectors, in the SCAN's path domain (location-remapped,
+    * `file:` spelling normalized) — None when the snapshot has neither.
+    * Small relative to data by the delete-file format's nature (tombstones
+    * only), so callers broadcast it. Shared by the reader and the writer's
+    * delete-materializing compaction. */
+  private[sources] def positionTombstones(spark: SparkSession, fs: FileSystem,
+                                          tableUri: String, meta: JsonNode,
+                                          plan: PlannedScan): Option[DataFrame] = {
+    if (plan.positionDeleteFiles.isEmpty && plan.deletionVectors.isEmpty)
+      return None
+    // position deletes: parquet files of (file_path, pos) — the spec's
+    // delete-file schema. file_path values are write-time absolute, so
+    // they get the same location remap as the scan paths — applied AFTER
+    // both sides normalize their file:/// vs file:/ URI spelling, so a
+    // writer's different (equally valid) URI form cannot silently skip
+    // the remap and resurrect deleted rows.
+    def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
+    val loc = Option(meta.get("location")).filterNot(_.isNull)
+      .map(p => normStr(p.asText().stripSuffix("/")))
+    val root = normStr(tableUri.stripSuffix("/"))
+    val parquetDeletes =
+      if (plan.positionDeleteFiles.isEmpty) None
+      else {
+        val rawDeletes = spark.read.parquet(plan.positionDeleteFiles: _*)
+          .select(normFp(col("file_path").cast("string")).as("__graft_fp"),
+            col("pos").cast("long").as("__graft_ri"))
+        Some(loc.filter(_ != root).fold(rawDeletes)(l =>
+          rawDeletes.withColumn("__graft_fp", regexp_replace(col("__graft_fp"),
+            "^" + java.util.regex.Pattern.quote(l + "/"),
+            java.util.regex.Matcher.quoteReplacement(root + "/")))))
+      }
+    // v3 deletion vectors: decode each Puffin blob into row indexes for
+    // its ONE referenced data file (path already remapped at plan time)
+    // and feed the same (file, row) anti-join. Decoding is driver-side
+    // and bounded by tombstone count — the identical scale assumption
+    // the broadcast of parquet position deletes above already makes.
+    val dvDeletes =
+      if (plan.deletionVectors.isEmpty) None
+      else {
+        val pairs = plan.deletionVectors.flatMap { d =>
+          DeletionVectors.readIcebergDv(fs, new HPath(d.puffinPath),
+              d.contentOffset, d.contentSize)
+            .map(ri => org.apache.spark.sql.Row(normStr(d.referencedDataFile), ri))
+        }
+        Some(spark.createDataFrame(pairs.asJava,
+          StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
+            StructField("__graft_ri", LongType, nullable = false)))))
+      }
+    Some((parquetDeletes.toSeq ++ dvDeletes.toSeq).reduce(_ unionByName _))
+  }
+
+  /** Scan `files` (a subset of `plan.dataFiles`) with ALL of the
+    * snapshot's deletes applied — THE delete-application path, shared by
+    * the reader and [[IcebergWriter.compactDataFiles]]'s
+    * delete-materializing rewrite so the two can never drift. The
+    * file/row identity columns are attached ONCE off the scan's
+    * `_metadata` (consumed by both delete mechanisms; `_metadata` is only
+    * reachable directly on the file-source frame). `posTombs` is
+    * [[positionTombstones]]' result, precomputed by the caller so a
+    * multi-group compaction decodes each Puffin blob once. */
+  private[sources] def scanLive(spark: SparkSession, schemaNode: JsonNode,
+                                plan: PlannedScan, files: Seq[String],
+                                posTombs: Option[DataFrame]): DataFrame = {
+    val schema = toSparkType(schemaNode).asInstanceOf[StructType]
+    val base = spark.read.schema(schema).parquet(files: _*)
       .withColumn("__graft_fp", normFp(col("_metadata.file_path")))
       .withColumn("__graft_ri", col("_metadata.row_index"))
-    val afterPos =
-      if (plan.positionDeleteFiles.isEmpty && plan.deletionVectors.isEmpty) base
-    else {
-      // position deletes: parquet files of (file_path, pos) — the spec's
-      // delete-file schema — anti-joined against the reader's file/row
-      // identity, the same mechanism as Delta deletion vectors. Delete
-      // files are small relative to data (they hold tombstones only) and
-      // broadcast; file_path values are write-time absolute, so they get
-      // the same location remap as the scan paths — applied AFTER both
-      // sides normalize their file:/// vs file:/ URI spelling, so a
-      // writer's different (equally valid) URI form cannot silently skip
-      // the remap and resurrect deleted rows.
-      def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
-      val loc = Option(meta.get("location")).filterNot(_.isNull)
-        .map(p => normStr(p.asText().stripSuffix("/")))
-      val root = normStr(tableUri.stripSuffix("/"))
-      val parquetDeletes =
-        if (plan.positionDeleteFiles.isEmpty) None
-        else {
-          val rawDeletes = spark.read.parquet(plan.positionDeleteFiles: _*)
-            .select(normFp(col("file_path").cast("string")).as("__graft_fp"),
-              col("pos").cast("long").as("__graft_ri"))
-          Some(loc.filter(_ != root).fold(rawDeletes)(l =>
-            rawDeletes.withColumn("__graft_fp", regexp_replace(col("__graft_fp"),
-              "^" + java.util.regex.Pattern.quote(l + "/"),
-              java.util.regex.Matcher.quoteReplacement(root + "/")))))
-        }
-      // v3 deletion vectors: decode each Puffin blob into row indexes for
-      // its ONE referenced data file (path already remapped at plan time)
-      // and feed the same (file, row) anti-join. Decoding is driver-side
-      // and bounded by tombstone count — the identical scale assumption
-      // the broadcast of parquet position deletes above already makes.
-      val dvDeletes =
-        if (plan.deletionVectors.isEmpty) None
-        else {
-          val pairs = plan.deletionVectors.flatMap { d =>
-            DeletionVectors.readIcebergDv(fs, new HPath(d.puffinPath),
-                d.contentOffset, d.contentSize)
-              .map(ri => org.apache.spark.sql.Row(normStr(d.referencedDataFile), ri))
-          }
-          Some(spark.createDataFrame(pairs.asJava,
-            StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
-              StructField("__graft_ri", LongType, nullable = false)))))
-        }
-      val deletes = (parquetDeletes.toSeq ++ dvDeletes.toSeq).reduce(_ unionByName _)
-      base.join(broadcast(deletes), Seq("__graft_fp", "__graft_ri"), "left_anti")
+    val afterPos = posTombs match {
+      case None => base
+      case Some(deletes) =>
+        base.join(broadcast(deletes), Seq("__graft_fp", "__graft_ri"), "left_anti")
     }
     val afterEq = if (plan.equalityDeleteFiles.isEmpty) afterPos
     else applyEqualityDeletes(spark, afterPos, schemaNode, plan)

@@ -445,12 +445,31 @@ object IcebergWriter {
     * (spec semantics — re-ADDing them at the new sequence would make an
     * external incremental reader see the whole live set as new data, and
     * inflate the sequence floor this writer's own evolution guard reads).
-    * Refuses tables whose live manifests span partition specs
-    * (re-partitioned history) and snapshots carrying ANY delete files (a
-    * rewritten file takes a NEWER sequence number, lifting it out of
-    * older equality deletes' scope — deleted rows would resurrect).
-    * Returns the committed metadata version, or -1 when no commit was
-    * needed. */
+    *
+    * DELETE-AWARE (upstream `rewrite_data_files` semantics, the symmetric
+    * leg of [[DeltaWriter.compact]]'s DV materialization): a snapshot
+    * carrying position deletes, equality deletes, or v3 deletion vectors
+    * compacts by APPLYING the deletes during the rewrite — every
+    * delete-affected data file is a rewrite candidate whatever its size
+    * (a file is affected when a position tombstone/DV references it, or
+    * any equality delete outranks its sequence number), the rewrite reads
+    * through [[IcebergLoader.scanLive]] (the READER's own delete
+    * application, so the two can never drift), and the `replace` snapshot
+    * publishes NO delete manifests — the materialized deletes are spent,
+    * re-publishing them against the new higher-sequence files would be a
+    * no-op for rewritten files and double jeopardy for carried ones.
+    * Carrying a file past a delete is safe precisely because unaffected
+    * means no tombstone references it and no equality delete outranks it;
+    * inapplicable (stale) delete files also drop — an equality delete
+    * only ever applies to OLDER sequence numbers, so one that outranks no
+    * live file today can never apply again. The dropped delete files stay
+    * on disk for time travel until [[expireSnapshots]] +
+    * [[removeOrphanFiles]] reclaim them.
+    *
+    * Refuses tables whose live data manifests span partition specs
+    * (re-partitioned history) and rename/readd schema history (the
+    * name-based read would materialize wrong values). Returns the
+    * committed metadata version, or -1 when no commit was needed. */
   def compactDataFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
                        targetFileBytes: Long = 128L << 20,
                        minFiles: Int = 2): Long = {
@@ -538,24 +557,25 @@ object IcebergWriter {
       snapshots.find(_.get("snapshot-id").asLong() == id))
       .getOrElse(return -1L)
 
-    // live data files of the current snapshot; any delete content refuses
+    // live DATA manifests of the current snapshot; delete manifests are
+    // planned separately below and materialized into the rewrite
     val remap = IcebergLoader.pathRemapper(meta, dir)
     val manifests: Seq[(String, Long)] =
       Option(snap.get("manifest-list")).filterNot(_.isNull).map(_.asText()) match {
         case Some(ml) =>
-          IcebergLoader.readAvro(fs, new HPath(remap(ml))).map { m =>
-            require(IcebergLoader.longOr(m, "content", 0L) == 0L,
-              "compactDataFiles cannot run on a snapshot with delete manifests")
-            // carried entries republish under the DEFAULT spec's manifest
-            // schema — an older spec's partition records cannot be
-            // represented there, so a re-partitioned live set refuses
-            require(IcebergLoader.longOr(m, "partition_spec_id",
-                defaultSpecId.toLong) == defaultSpecId.toLong,
-              "compactDataFiles cannot run when live manifests span " +
-                "partition specs (overwrite to re-partition first)")
-            (remap(String.valueOf(m.get("manifest_path"))),
-              IcebergLoader.longOr(m, "sequence_number", 0L))
-          }
+          IcebergLoader.readAvro(fs, new HPath(remap(ml)))
+            .filter(m => IcebergLoader.longOr(m, "content", 0L) == 0L)
+            .map { m =>
+              // carried entries republish under the DEFAULT spec's manifest
+              // schema — an older spec's partition records cannot be
+              // represented there, so a re-partitioned live set refuses
+              require(IcebergLoader.longOr(m, "partition_spec_id",
+                  defaultSpecId.toLong) == defaultSpecId.toLong,
+                "compactDataFiles cannot run when live manifests span " +
+                  "partition specs (overwrite to re-partition first)")
+              (remap(String.valueOf(m.get("manifest_path"))),
+                IcebergLoader.longOr(m, "sequence_number", 0L))
+            }
         case None =>
           require(partFields.isEmpty,
             "compactDataFiles cannot run on a partitioned table with " +
@@ -565,6 +585,22 @@ object IcebergWriter {
             .map(_.elements().asScala.map(p => (remap(p.asText()), 0L)).toSeq)
             .getOrElse(Seq.empty)
       }
+    // the snapshot's delete inventory, planned EXACTLY as the reader plans
+    // it (shared code path); puffin blobs decode once, whatever the group
+    // count
+    val plan = IcebergLoader.planSnapshot(fs, dir, meta, Some(snap))
+    val posTombs = IcebergLoader.positionTombstones(spark, fs, dir, meta, plan)
+    // files referenced by a position tombstone / DV: the distinct-path
+    // collect is bounded by live file count, and the distinct itself runs
+    // executor-side
+    val posAffected: Set[String] = posTombs.map(
+      _.select("__graft_fp").distinct()
+        .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    // an equality delete applies only to STRICTLY OLDER sequence numbers;
+    // a file at or above every delete's sequence is out of reach
+    val maxEqSeq: Long = plan.equalityDeleteFiles.map(_.seq)
+      .foldLeft(Long.MinValue)(math.max)
+    def normP(p: String): String = p.replaceFirst("^file:/+", "/")
     // partition-field result types under the CURRENT schema — the types
     // the manifest partition records and the hive decode speak
     val schema = IcebergLoader.tableSchema(meta)
@@ -611,10 +647,13 @@ object IcebergWriter {
       manifests.flatMap { case (mp, mSeq) =>
         IcebergLoader.readAvro(fs, new HPath(mp)).flatMap { entry =>
           if (IcebergLoader.longOr(entry, "status", 1L) == 2L) None
+          // a delete file inside a data manifest (legal pre-manifest-list
+          // shapes): it is in `plan`'s delete inventory, not the live set
+          else if (IcebergLoader.longOr(
+              entry.get("data_file").asInstanceOf[GenericRecord],
+              "content", 0L) != 0L) None
           else {
             val d = entry.get("data_file").asInstanceOf[GenericRecord]
-            require(IcebergLoader.longOr(d, "content", 0L) == 0L,
-              "compactDataFiles cannot run on a snapshot carrying delete files")
             val fmt = String.valueOf(d.get("file_format")).toUpperCase
             require(fmt == "PARQUET",
               s"compactDataFiles: data file format `$fmt` not supported " +
@@ -647,15 +686,26 @@ object IcebergWriter {
     val sized: Seq[Entry] = live.map { case (st, sq, tuple) => (st, sq, tuple,
       if (st.fileSize >= 0L) st.fileSize
       else fs.getFileStatus(new HPath(st.path)).getLen) }
-    // per-tuple plan: groups with >= minFiles small files pack; everything
-    // else (their big files, whole under-threshold groups) carries forward
+    // delete-affected files are ALWAYS rewrite candidates, whatever their
+    // size — the deletes are why they rewrite (the DeltaWriter.compact DV
+    // shape); carrying one forward would resurrect its deleted rows the
+    // moment the delete manifests drop
+    def affected(e: Entry): Boolean =
+      posAffected.contains(normP(e._1.path)) || e._2 < maxEqSeq
+    // per-tuple plan: groups with >= minFiles small files pack, and any
+    // group holding an affected file packs its whole rewrite set; the
+    // rest (big unaffected files, whole under-threshold groups) carries
     val plans: Seq[(Seq[(String, Any)], Seq[Entry], Seq[Entry])] =
       sized.groupBy(_._3).toSeq.map { case (tuple, entries) =>
-        val (sm, bg) = entries.partition(_._4 < targetFileBytes)
-        if (sm.size < minFiles) (tuple, Seq.empty[Entry], entries)
+        val (sm, bg) = entries.partition(e => e._4 < targetFileBytes || affected(e))
+        if (sm.size < minFiles && !sm.exists(affected)) (tuple, Seq.empty[Entry], entries)
         else (tuple, sm, bg)
       }
-    if (plans.forall(_._2.isEmpty)) return -1L
+    // nothing to pack AND no delete files to retire -> no commit; with
+    // deletes present but nothing affected (all stale), the commit still
+    // happens — it drops the spent delete manifests, making the delete
+    // files expirable
+    if (plans.forall(_._2.isEmpty) && !plan.hasDeletes) return -1L
     val carriedLive: Seq[Entry] = plans.flatMap(_._3)
     // carried entries republish manifest counts verbatim — refuse a
     // missing/invalid record_count BEFORE any rewrite job runs and
@@ -673,16 +723,25 @@ object IcebergWriter {
     // through a small concurrency window (the DeltaWriter.compact shape)
     val dataDir = new HPath(root, "data")
     fs.mkdirs(dataDir)
+    val scanSchemaNode = IcebergLoader.schemaNodeFor(meta, None)
     def packGroup(small: Seq[Entry]): Seq[(String, Long)] = {
       val total = small.map(_._4).sum
       val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
       val targetDir = new HPath(small.head._1.path).getParent
       val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+      // delete-affected groups read through the READER's own delete
+      // application (anti-joins on broadcast tombstones + sequence-gated
+      // equality deletes); unaffected groups skip the join machinery —
+      // their rows survive it by definition
+      val source =
+        if (small.exists(affected))
+          IcebergLoader.scanLive(spark, scanSchemaNode, plan,
+            small.map(_._1.path), posTombs)
+        else spark.read.schema(schema).parquet(small.map(_._1.path): _*)
       // repartition, NOT coalesce: coalesce just glues the small files'
       // imbalance back together one level up (Compaction.scala documents
       // the same trade; review finding)
-      spark.read.schema(schema).parquet(small.map(_._1.path): _*)
-        .repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
+      source.repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
       val out = fs.listStatus(scratch).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         .map { p =>
@@ -707,9 +766,8 @@ object IcebergWriter {
       .map(_.asLong()).getOrElse(0L)
     val seq = lastSeq + 1
     val snapId = snapshots.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
-    val schemaNode = IcebergLoader.schemaNodeFor(meta, None)
     val fieldIds: Map[String, Int] =
-      schemaNode.get("fields").elements().asScala
+      scanSchemaNode.get("fields").elements().asScala
         .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
     val statCols = schema.fields
       .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq

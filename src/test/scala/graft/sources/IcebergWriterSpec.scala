@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 
 /** Iceberg writer round-tripped through the repo's protocol-level reader
-  * (the [[DeltaWriterSpec]] discipline for the other table format). */
-class IcebergWriterSpec extends SparkSpec {
+  * (the [[DeltaWriterSpec]] discipline for the other table format).
+  * [[IcebergFixtures]] supplies the byte-built delete-file builders
+  * (position-delete manifests, equality deletes, Puffin DVs) the
+  * delete-aware compaction tests graft onto writer-made tables. */
+class IcebergWriterSpec extends SparkSpec with IcebergFixtures {
 
   import spark.implicits._
 
@@ -21,19 +24,19 @@ class IcebergWriterSpec extends SparkSpec {
   private def readBack(dir: String, opts: Map[String, String] = Map.empty): DataFrame =
     Loaders.load(spark, TableSource("iw_t", dir, Some("iceberg"), options = opts))
 
-  private def rows(df: DataFrame): Set[(Long, String)] =
+  private def idName(df: DataFrame): Set[(Long, String)] =
     df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
   test("create + append + snapshot time travel round-trip through the reader") {
     val dir = newDir()
     val v1 = IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
     assert(v1 == 1L)
-    assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
+    assert(idName(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
     val v2 = IcebergWriter.write(Seq((3L, "c")).toDF("id", "name"), dir)
     assert(v2 == 2L)
-    assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(idName(readBack(dir)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
     // snapshot 1 is still readable (time travel by snapshot id)
-    assert(rows(readBack(dir, Map("snapshot-id" -> "1"))) ==
+    assert(idName(readBack(dir, Map("snapshot-id" -> "1"))) ==
       Set(1L -> "a", 2L -> "b"))
     // filesystem-catalog layout: versioned metadata + hint
     val meta = new java.io.File(dir + "/metadata").listFiles().map(_.getName)
@@ -49,8 +52,8 @@ class IcebergWriterSpec extends SparkSpec {
     val v3 = IcebergWriter.write(Seq((9L, "z")).toDF("id", "name"), dir,
       mode = "overwrite")
     assert(v3 == 3L)
-    assert(rows(readBack(dir)) == Set(9L -> "z"))
-    assert(rows(readBack(dir, Map("snapshot-id" -> "2"))) ==
+    assert(idName(readBack(dir)) == Set(9L -> "z"))
+    assert(idName(readBack(dir, Map("snapshot-id" -> "2"))) ==
       Set(1L -> "a", 2L -> "b"))
   }
 
@@ -68,7 +71,7 @@ class IcebergWriterSpec extends SparkSpec {
     // (snapshot-scoped schema-id)
     val old = readBack(dir, Map("snapshot-id" -> "1"))
     assert(old.schema.fieldNames.toSeq == Seq("id", "name"))
-    assert(rows(old) == Set(1L -> "a"))
+    assert(idName(old) == Set(1L -> "a"))
   }
 
   test("snapshot-summary ledger makes appends idempotent") {
@@ -86,7 +89,7 @@ class IcebergWriterSpec extends SparkSpec {
       txn = Some(("appX", 8L))) == 3L)
     assert(IcebergWriter.write(Seq((5L, "e")).toDF("id", "name"), dir,
       txn = Some(("appY", 0L))) == 4L)
-    assert(rows(readBack(dir)) ==
+    assert(idName(readBack(dir)) ==
       Set(1L -> "a", 2L -> "b", 4L -> "d", 5L -> "e"))
   }
 
@@ -116,7 +119,7 @@ class IcebergWriterSpec extends SparkSpec {
     val v = IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
     assert(v == 3L)
     assert(Files.readString(junk) == "{}") // untouched
-    assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
+    assert(idName(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
     // a lagging hint SELF-HEALS: a crashed writer left real metadata at
     // v4 with the hint still at 3 — resolution prefers the newer real
     // file, so the next commit builds on v4's lineage at v5 instead of
@@ -129,7 +132,7 @@ class IcebergWriterSpec extends SparkSpec {
     assert(v5 == 5L)
     assert(Files.readString(java.nio.file.Path.of(
       dir + "/metadata/version-hint.text")).trim == "5")
-    assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(idName(readBack(dir)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
   test("manifest record counts are true footer counts") {
@@ -168,11 +171,11 @@ class IcebergWriterSpec extends SparkSpec {
     // drop the hadoop checksum sidecar the out-of-band rewrite invalidated
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Path.of(dir + "/metadata/.v1.metadata.json.crc"))
-    assert(rows(readBack(dir)) == Set(1L -> "a")) // legacy form reads fine
+    assert(idName(readBack(dir)) == Set(1L -> "a")) // legacy form reads fine
     // append must produce WELL-FORMED v2 metadata (a schemas array built
     // from the legacy schema), and the table stays fully readable
     IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir)
-    assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
+    assert(idName(readBack(dir)) == Set(1L -> "a", 2L -> "b"))
     val v2 = mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Path.of(dir + "/metadata/v2.metadata.json")))
     assert(v2.get("schemas").isArray && v2.get("schemas").size() == 1)
@@ -195,7 +198,7 @@ class IcebergWriterSpec extends SparkSpec {
       mem.addData((3L, "c"))
       q.processAllAvailable()
     } finally q.stop()
-    assert(rows(readBack(dir)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(idName(readBack(dir)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
     val before = readBack(dir).count()
     IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir,
       txn = Some(("streamA", 0L)))
@@ -385,15 +388,15 @@ class IcebergWriterSpec extends SparkSpec {
     assert(expired == 2)
     assert(deleted >= 3L, s"deleted $deleted") // snap1+2 lists, snap1 manifest+data
     assert(dataFileCount() < before) // snap 1's overwritten data is gone
-    assert(rows(readBack(dir)) == Set(9L -> "z", 10L -> "y")) // current intact
+    assert(idName(readBack(dir)) == Set(9L -> "z", 10L -> "y")) // current intact
     val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
       Files.readString(java.nio.file.Path.of(dir + "/metadata/v4.metadata.json")))
     assert(meta.get("snapshots").size() == 1)
     // time travel to an expired snapshot fails loudly
-    intercept[Exception] { rows(readBack(dir, Map("snapshot-id" -> "1"))) }
+    intercept[Exception] { idName(readBack(dir, Map("snapshot-id" -> "1"))) }
     // and the table keeps working: a fresh append commits on v4's lineage
     IcebergWriter.write(Seq((11L, "w")).toDF("id", "name"), dir)
-    assert(rows(readBack(dir)) == Set(9L -> "z", 10L -> "y", 11L -> "w"))
+    assert(idName(readBack(dir)) == Set(9L -> "z", 10L -> "y", 11L -> "w"))
   }
 
   test("compactDataFiles packs small files into a replace snapshot") {
@@ -407,16 +410,16 @@ class IcebergWriterSpec extends SparkSpec {
         else if (f.getName.endsWith(".parquet")) 1 else 0
       walk(new java.io.File(dir + "/data"))
     }
-    val before = rows(readBack(dir))
+    val before = idName(readBack(dir))
     assert(before.size == 5)
     val v = IcebergWriter.compactDataFiles(spark, dir, targetFileBytes = 1L << 20)
     assert(v == 6L)
-    assert(rows(readBack(dir)) == before) // same rows through the swap
+    assert(idName(readBack(dir)) == before) // same rows through the swap
     // the new snapshot's scan reads ONE packed file; old files remain on
     // disk for the prior snapshots until expireSnapshots
     assert(readBack(dir).inputFiles.length == 1)
     assert(liveFiles() == 6) // 5 originals + 1 packed
-    assert(rows(readBack(dir, Map("snapshot-id" -> "3"))).size == 3)
+    assert(idName(readBack(dir, Map("snapshot-id" -> "3"))).size == 3)
     // the compaction snapshot is a `replace`
     val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
       Files.readString(java.nio.file.Path.of(dir + "/metadata/v6.metadata.json")))
@@ -425,11 +428,11 @@ class IcebergWriterSpec extends SparkSpec {
     // a second pass is a no-op; appends keep working on the packed table
     assert(IcebergWriter.compactDataFiles(spark, dir) == -1L)
     IcebergWriter.write(Seq((9L, "post")).toDF("id", "name"), dir)
-    assert(rows(readBack(dir)) == before + (9L -> "post"))
+    assert(idName(readBack(dir)) == before + (9L -> "post"))
     // expire then reclaims the five replaced originals
     val (expired, deleted) = IcebergWriter.expireSnapshots(spark, dir, olderThanMs = 0L)
     assert(expired == 6 && deleted >= 5L, s"($expired, $deleted)")
-    assert(rows(readBack(dir)) == before + (9L -> "post"))
+    assert(idName(readBack(dir)) == before + (9L -> "post"))
   }
 
   /** All entries of every live manifest: (status, seq, path, tuple values
@@ -563,7 +566,7 @@ class IcebergWriterSpec extends SparkSpec {
     assert(Files.exists(statsFile)) // the statistics keep-set held
     // every snapshot still reads — reachability protected them all
     assert(readBack(dir).count() == 7)
-    assert(rows(readBack(dir, Map("snapshot-id" -> "3"))).size == 3)
+    assert(idName(readBack(dir, Map("snapshot-id" -> "3"))).size == 3)
     // metadata retention: v1/v3/v4 retire, v2 pinned by metadata-log,
     // v5..v7 keep
     val md = IcebergWriter.cleanupMetadata(spark, dir, keepLast = 3)
@@ -574,7 +577,7 @@ class IcebergWriterSpec extends SparkSpec {
     assert(new java.io.File(dir + "/metadata/v5.metadata.json").exists())
     // reads, snapshot time travel, and appends all continue
     assert(readBack(dir).count() == 7)
-    assert(rows(readBack(dir, Map("snapshot-id" -> "2"))).size == 2)
+    assert(idName(readBack(dir, Map("snapshot-id" -> "2"))).size == 2)
     IcebergWriter.write(Seq((99L, "post")).toDF("id", "name"), dir)
     assert(readBack(dir).count() == 8)
   }
@@ -688,6 +691,179 @@ class IcebergWriterSpec extends SparkSpec {
     assert(idx.prune(Seq(("id", "gte", "10000"))).get.size == 1)
   }
 
+  // ---- delete-aware compaction ---------------------------------------------
+
+  /** A v3 manifest entry for any content kind (the fixture trait's
+    * builders are per-kind; the delete tests mix kinds in ONE manifest,
+    * which needs one schema instance for positional Avro writing). */
+  private def mkEntry(content: Int, path: String, format: String = "PARQUET",
+                      seq: Option[Long] = None,
+                      eqIds: Seq[Int] = Seq.empty)
+      : org.apache.avro.generic.GenericRecord = {
+    val e = new org.apache.avro.generic.GenericData.Record(manifestSchemaV3)
+    val d = new org.apache.avro.generic.GenericData.Record(
+      manifestSchemaV3.getField("data_file").schema())
+    d.put("content", content)
+    d.put("file_path", path)
+    d.put("file_format", format)
+    d.put("record_count", 0L)
+    d.put("file_size_in_bytes", 0L)
+    if (eqIds.nonEmpty)
+      d.put("equality_ids", java.util.Arrays.asList(eqIds.map(Int.box): _*))
+    e.put("status", 1)
+    seq.foreach(s => e.put("sequence_number", Long.box(s)))
+    e.put("data_file", d)
+    e
+  }
+
+  /** Graft one DELETE snapshot onto a writer-made table, the way an
+    * external engine's DELETE would: a new manifest list = the current
+    * snapshot's entries + one content=1 manifest of `deleteEntries`,
+    * committed as the next metadata version at sequence lastSeq+1
+    * (entries without their own sequence_number inherit it). */
+  private def addDeleteSnapshot(dir: String,
+      deleteEntries: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = Files.readString(java.nio.file.Path.of(
+      dir + "/metadata/version-hint.text")).trim.toLong
+    val node = mapper.readTree(Files.readString(java.nio.file.Path.of(
+      dir + s"/metadata/v$hint.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSeq = node.get("last-sequence-number").asLong() + 1
+    val snaps = node.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val all = (0 until snaps.size()).map(snaps.get)
+    val cur = all.find(_.get("snapshot-id").asLong() ==
+      node.get("current-snapshot-id").asLong()).get
+    val newSnapId = all.map(_.get("snapshot-id").asLong()).max + 1
+    val dm = new java.io.File(dir + s"/metadata/del-m$newSnapId.avro")
+    writeAvro(manifestSchemaV3, deleteEntries, dm)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldEntries = IcebergLoader.readAvro(fs,
+      new org.apache.hadoop.fs.Path(cur.get("manifest-list").asText()))
+    val del = listEntry(dm.getAbsolutePath, content = 1, snap = newSnapId)
+    del.put("manifest_length", dm.length())
+    del.put("sequence_number", Long.box(newSeq))
+    val listFile = new java.io.File(dir + s"/metadata/snap-del-$newSnapId.avro")
+    writeAvro(manifestListSchema, oldEntries :+ del, listFile)
+    snaps.add(mapper.readTree(
+      s"""{"snapshot-id":$newSnapId,"sequence-number":$newSeq,
+         |"timestamp-ms":${System.currentTimeMillis()},
+         |"schema-id":${node.get("current-schema-id").asInt()},
+         |"manifest-list":"${listFile.getAbsolutePath}",
+         |"summary":{"operation":"delete"}}""".stripMargin))
+    node.put("last-sequence-number", newSeq)
+    node.put("current-snapshot-id", newSnapId)
+    Files.writeString(java.nio.file.Path.of(
+      dir + s"/metadata/v${hint + 1}.metadata.json"),
+      mapper.writeValueAsString(node))
+    Files.writeString(java.nio.file.Path.of(
+      dir + "/metadata/version-hint.text"), (hint + 1).toString)
+    // the writer wrote the hint through hadoop — NIO rewrites invalidate
+    // its .crc sidecar
+    java.nio.file.Files.deleteIfExists(java.nio.file.Path.of(
+      dir + "/metadata/.version-hint.text.crc"))
+    ()
+  }
+
+  /** Part files carry task UUIDs — find a data file by CONTENT. */
+  private def dataFileWith(dir: String, pred: String): String =
+    new java.io.File(dir + "/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .find(f => spark.read.parquet(f.getAbsolutePath).where(pred).count() == 1)
+      .get.getAbsolutePath
+
+  /** The current snapshot's manifest-list content codes (0 data, 1 deletes). */
+  private def currentManifestContents(dir: String): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (meta, _) = IcebergLoader.currentMetadataVersioned(fs, dir)
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val cur = snaps.find(_.get("snapshot-id").asLong() ==
+      meta.get("current-snapshot-id").asLong()).get
+    IcebergLoader.readAvro(fs,
+        new org.apache.hadoop.fs.Path(cur.get("manifest-list").asText()))
+      .map(m => IcebergLoader.longOr(m, "content", 0L))
+  }
+
+  test("compaction applies position deletes + DVs; spent delete files reclaim") {
+    val dir = newDir()
+    IcebergWriter.write(Seq((0L, "a0"), (1L, "a1"), (2L, "a2")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id"), dir)
+    IcebergWriter.write(Seq((10L, "b0"), (11L, "b1")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id"), dir)
+    val fileA = dataFileWith(dir, "id = 0")
+    val fileB = dataFileWith(dir, "id = 10")
+    // external DELETE snapshot: a position delete on fileA row 1 (id 1)
+    // and a Puffin DV on fileB row 0 (id 10)
+    val posDel = dir + "/data/pos-del.parquet"
+    writeDataFile(Seq((fileA, 1L)).toDF("file_path", "pos"),
+      new java.io.File(posDel))
+    val (puffin, locs) = puffinFile(Seq(dvBlob(Seq(0L))))
+    val puffinPath = dir + "/data/del.puffin"
+    Files.write(java.nio.file.Path.of(puffinPath), puffin)
+    addDeleteSnapshot(dir, Seq(
+      mkEntry(1, posDel),
+      entryDv(puffinPath, fileB, locs(0)._1, locs(0)._2)))
+    def ids() = readBack(dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() == Set(0L, 2L, 11L))
+    // compaction MATERIALIZES the deletes instead of refusing
+    val v = IcebergWriter.compactDataFiles(spark, dir, targetFileBytes = 1L << 20)
+    assert(v == 4L)
+    assert(ids() == Set(0L, 2L, 11L)) // reader equality across the rewrite
+    assert(readBack(dir).inputFiles.length == 1)
+    // physical purge: the packed file holds exactly the 3 surviving rows
+    val packed = readBack(dir).inputFiles.head
+    assert(spark.read.parquet(packed).count() == 3L)
+    // the replace snapshot publishes NO delete manifests
+    assert(currentManifestContents(dir) == Seq(0L))
+    // ... which makes the spent delete files reclaimable: expire the
+    // pre-compaction snapshots, then sweep
+    Thread.sleep(5)
+    IcebergWriter.expireSnapshots(spark, dir, olderThanMs = 0L)
+    IcebergWriter.removeOrphanFiles(spark, dir, olderThanMs = 0L)
+    assert(!new java.io.File(posDel).exists(), "position-delete file must reclaim")
+    assert(!new java.io.File(puffinPath).exists(), "puffin DV must reclaim")
+    assert(ids() == Set(0L, 2L, 11L))
+  }
+
+  test("compaction materializes sequence-gated equality deletes; stale ones just drop") {
+    val dir = newDir()
+    IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir) // seq 1
+    IcebergWriter.write(Seq((3L, "c"), (4L, "d")).toDF("id", "name"), dir) // seq 2
+    // equality delete at seq 3 on field id 1 (= `id`): tombstones 2 and 3
+    // outrank BOTH data files
+    val eqDel = dir + "/data/eq-del.parquet"
+    writeDataFile(Seq(2L, 3L).toDF("id"), new java.io.File(eqDel))
+    addDeleteSnapshot(dir, Seq(mkEntry(2, eqDel, eqIds = Seq(1))))
+    assert(idName(readBack(dir)) == Set(1L -> "a", 4L -> "d"))
+    IcebergWriter.compactDataFiles(spark, dir, targetFileBytes = 1L << 20)
+    assert(idName(readBack(dir)) == Set(1L -> "a", 4L -> "d"))
+    assert(readBack(dir).inputFiles.length == 1)
+    assert(currentManifestContents(dir) == Seq(0L))
+    // a STALE equality delete (sequence 1 vs data at 1 and 2) applies to
+    // nothing — per spec it only reaches STRICTLY older sequences — so
+    // nothing rewrites; the commit's only job is retiring the spent
+    // delete manifest so the delete file can expire
+    val dir2 = newDir()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir2)
+    IcebergWriter.write(Seq((4L, "d")).toDF("id", "name"), dir2)
+    val eq2 = dir2 + "/data/eq-del2.parquet"
+    writeDataFile(Seq(4L).toDF("id"), new java.io.File(eq2))
+    addDeleteSnapshot(dir2, Seq(mkEntry(2, eq2, seq = Some(1L), eqIds = Seq(1))))
+    assert(idName(readBack(dir2)) == Set(1L -> "a", 4L -> "d"))
+    // inputFiles pre-compaction includes the equality-delete scan too —
+    // compare only the DATA part files to prove both carried unrewritten
+    val before = readBack(dir2).inputFiles.toSet
+      .filter(_.contains("/part-"))
+    val v2 = IcebergWriter.compactDataFiles(spark, dir2, targetFileBytes = 1L)
+    assert(v2 == 4L)
+    assert(idName(readBack(dir2)) == Set(1L -> "a", 4L -> "d"))
+    assert(readBack(dir2).inputFiles.toSet == before) // both carried, no rewrite
+    assert(currentManifestContents(dir2) == Seq(0L))
+  }
+
   test("compaction refuses tables with column rename or drop-readd history") {
     val dir = newDir()
     IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
@@ -723,7 +899,7 @@ class IcebergWriterSpec extends SparkSpec {
     IcebergWriter.write(Seq((3L, "c")).toDF("id", "name"), dir2)
     assert(IcebergWriter.compactDataFiles(spark, dir2,
       targetFileBytes = 1L << 20) == 4L)
-    assert(rows(readBack(dir2)) == Set(2L -> "b", 3L -> "c"))
+    assert(idName(readBack(dir2)) == Set(2L -> "b", 3L -> "c"))
     // an EXTERNAL engine can re-declare the same names under fresh ids
     // WITHOUT rewriting files — live files then predate the current
     // generation and the name-based read would misresolve them: refuse
