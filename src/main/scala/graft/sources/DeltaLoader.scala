@@ -40,8 +40,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * scan with `_metadata.row_index` and anti-join their deleted row
   * indexes.
   *
+  * Checkpoint bases resolve through [[DeltaCheckpoints]], which speaks
+  * all three public layouts — classic single-file, classic multipart,
+  * and uuid-named V2 checkpoints whose add/remove set lives in
+  * `_delta_log/_sidecars/` parquet — so the `v2Checkpoint` reader
+  * feature in the protocol gate below is genuinely honored.
+  *
   * Unsupported (fails loudly): minReaderVersion > 3, reader features
-  * beyond parquet + columnMapping + deletionVectors.
+  * beyond parquet + columnMapping + deletionVectors + v2Checkpoint.
   */
 object DeltaLoader {
 
@@ -159,17 +165,15 @@ object DeltaLoader {
       applyMeta(node)
     }
 
-    // 1) checkpoint parquet (single- or multi-part): metaData/protocol are at
-    //    most one live row each (driver-tiny); the ADD SET STAYS DISTRIBUTED —
-    //    the scan reads only add.path/add.partitionValues (column pruning
+    // 1) checkpoint parquet (classic single/multi-part, or uuid-named V2
+    //    with sidecar file actions — DeltaCheckpoints resolves the naming
+    //    and unions sidecar rows in): metaData/protocol are at most one
+    //    live row each (driver-tiny); the ADD SET STAYS DISTRIBUTED — the
+    //    scan reads only add.path/add.partitionValues (column pruning
     //    keeps stats/tags inside the files) and nothing is collected here.
     var checkpointAdds: Option[DataFrame] = None
     lastCheckpoint.foreach { case (v, parts) =>
-      val names = parts match {
-        case Some(n) => (1 to n).map(i => f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
-        case None => Seq(f"$v%020d.checkpoint.parquet")
-      }
-      val cp = spark.read.parquet(names.map(n => new HPath(logDir, n).toString): _*)
+      val cp = DeltaCheckpoints.readActions(spark, fs, logDir, v, parts)
       val cols = cp.columns.toSet
       Seq("metaData", "protocol").filter(cols).foreach { c =>
         cp.select(c).where(col(c).isNotNull)

@@ -429,7 +429,10 @@ object DeltaWriter {
     val cpTomb: Option[DataFrame] =
       if (commit0Present) None
       else readLastCheckpoint(fs, logDir).map { case (v, parts) =>
-        val cp = spark.read.parquet(checkpointPaths(logDir, v, parts): _*)
+        // readActions, not a raw read: a V2 checkpoint's tombstones live
+        // in sidecar files — a main-file-only read would silently see a
+        // remove-free table and vacuum on mtime alone
+        val cp = DeltaCheckpoints.readActions(spark, fs, logDir, v, parts)
         // external checkpoints may omit OPTIONAL remove subfields — probe
         // the struct, never assume (review finding). A checkpoint with NO
         // remove channel at all while its JSON history is gone means the
@@ -541,24 +544,42 @@ object DeltaWriter {
       } else (cpV0, parts0)
     // never destroy the only replay state on a stale/corrupt hint: the
     // JSON commits about to be deleted are recoverable ONLY through the
-    // checkpoint the hint references — verify every part actually exists
-    // before deleting anything (advisor finding)
-    val missingParts = checkpointPaths(logDir, cpV, parts)
-      .filterNot(p => fs.exists(new HPath(p)))
+    // checkpoint the hint references — verify every file it depends on
+    // (main parts AND v2 sidecars) actually exists before deleting
+    // anything (advisor finding)
+    val missingParts = DeltaCheckpoints.missingFiles(spark, fs, logDir, cpV, parts)
     require(missingParts.isEmpty,
       s"cleanupLog: _last_checkpoint points at version $cpV but " +
         s"${missingParts.mkString(", ")} is missing — refusing to retire " +
         "JSON commits (the only remaining replay state)")
     val cutoff = System.currentTimeMillis() - retentionMs
+    // uuid-named V2 checkpoints retire like classic ones once superseded
+    val cpV2Rx = raw"(\d{20})\.checkpoint\.[^.]+\.parquet".r
     var deleted = 0L
     fs.listStatus(logDir).foreach { st =>
       val doomed = st.getPath.getName match {
         case commitRx(v) => v.toLong <= cpV
         case cpRx(v) => v.toLong < cpV // never the last checkpoint itself
+        case cpV2Rx(v) => v.toLong < cpV
         case _ => false
       }
       if (doomed && st.getModificationTime < cutoff &&
           fs.delete(st.getPath, false)) deleted += 1
+    }
+    // superseded V2 sidecars: sweep _sidecars/ against the SURVIVING
+    // checkpoint's references (sidecars may be shared across checkpoints
+    // per spec, so only the last checkpoint's keep-set decides liveness;
+    // the age gate covers a just-written not-yet-referenced sidecar)
+    val sidecarsDir = new HPath(logDir, "_sidecars")
+    if (fs.exists(sidecarsDir)) {
+      val keep = DeltaCheckpoints.referencedSidecars(spark, fs, logDir, cpV, parts)
+        .map(p => fs.makeQualified(p).toString).toSet
+      fs.listStatus(sidecarsDir).foreach { st =>
+        if (!st.isDirectory && !st.getPath.getName.startsWith(".") &&
+            !keep.contains(fs.makeQualified(st.getPath).toString) &&
+            st.getModificationTime < cutoff && fs.delete(st.getPath, false))
+          deleted += 1
+      }
     }
     deleted
   }
@@ -1029,7 +1050,13 @@ object DeltaWriter {
     // anti-join, exactly the reader's replay shape
     val baseCarryJson: Option[org.apache.spark.sql.Dataset[String]] =
       base.map { case (bv, parts) =>
-        val cp = spark.read.parquet(checkpointPaths(logDir, bv, parts): _*)
+        // RAW read of the main file(s) on purpose: a V2 base's
+        // checkpointMetadata/sidecar columns must reach the
+        // representability gate and refuse crisply (folding only the main
+        // file of a sidecar-bearing checkpoint would silently drop the
+        // whole add set)
+        val cp = spark.read.parquet(
+          DeltaCheckpoints.resolvePaths(fs, logDir, bv, parts).map(_.toString): _*)
         requireModeledColumns(cp.schema, s"base checkpoint $bv")
         val cols = cp.columns.toSet
         if (metaLine == null && cols("metaData"))
@@ -1164,7 +1191,10 @@ object DeltaWriter {
     if (fromJson.nonEmpty) return Some(fromJson.max)
     val fromCheckpoint = readLastCheckpoint(fs, logDir).toSeq.flatMap {
       case (v, parts) =>
-        val cp = spark.read.parquet(checkpointPaths(logDir, v, parts): _*)
+        // txn actions live in the MAIN file of every layout (V2 sidecars
+        // carry file actions only), so the raw resolve-and-read suffices
+        val cp = spark.read.parquet(
+          DeltaCheckpoints.resolvePaths(fs, logDir, v, parts).map(_.toString): _*)
         if (!cp.columns.contains("txn")) Seq.empty
         else {
           // aggregate executor-side: one long reaches the driver, however

@@ -192,6 +192,114 @@ class DeltaLoaderSpec extends AnyFunSuite {
       ((10 until 40).map(_.toLong).toSet + 0L))
   }
 
+  test("v2 checkpoint: uuid-named main + sidecar add set replays; inline v2 too") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_delta_v2cp").toString
+    val fileNames = (0 until 3).map { i =>
+      val sub = f"g$i"
+      Seq((i.toLong, s"v$i", "x")).toDF("id", "v", "ds").coalesce(1)
+        .write.parquet(s"$dir/$sub")
+      val f = Files.list(Paths.get(dir, sub))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      s"$sub/${f.getFileName}"
+    }
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    def onePart(df: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+      val tmp = Files.createTempDirectory("v2cp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+    }
+    // sidecar parquet (file actions ONLY, per spec) under _delta_log/_sidecars/
+    val sideSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      StructField("remove", StructType(Seq(StructField("path", StringType))))))
+    val sideRows = fileNames.map(p => Row(Row(p, Map.empty[String, String]), null))
+    Files.createDirectories(log.resolve("_sidecars"))
+    Files.copy(onePart(spark.createDataFrame(sideRows.asJava, sideSchema)),
+      log.resolve("_sidecars/0a0b0c0d-0000-4000-8000-000000000001.parquet"))
+    // uuid-named main file: non-file actions + the sidecar reference
+    val mainSchema = StructType(Seq(
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val mainRows = Seq(
+      Row(Row(schemaString, Seq.empty[String], Map.empty[String, String]),
+        null, null, null),
+      Row(null, Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
+      Row(null, null, Row(2L), null),
+      Row(null, null, null,
+        Row("0a0b0c0d-0000-4000-8000-000000000001.parquet", 1L)))
+    Files.copy(onePart(spark.createDataFrame(mainRows.asJava, mainSchema)),
+      log.resolve("00000000000000000002.checkpoint." +
+        "80a083e8-7026-4e79-81be-64bd76c43a11.parquet"))
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":2,"size":4}""".getBytes("UTF-8"))
+    // the uuid-named base replays with its sidecar-held add set
+    val df = Loaders.load(spark, TableSource("t", dir, format = Some("delta")))
+    assert(df.count() === 3)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+    // the writer continues the log on top of the v2 base
+    val v3 = DeltaWriter.write(Seq((9L, "v9", "x")).toDF("id", "v", "ds"), dir)
+    assert(v3 === 3L)
+    assert(Loaders.load(spark,
+      TableSource("t", dir, format = Some("delta"))).count() === 4)
+    // a missing sidecar names its problem instead of a raw path error
+    val sc = log.resolve("_sidecars/0a0b0c0d-0000-4000-8000-000000000001.parquet")
+    Files.move(sc, log.resolve("_sidecars/parked"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLoader.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("missing sidecar"), e.getMessage)
+    Files.move(log.resolve("_sidecars/parked"), sc)
+    assert(DeltaLoader.snapshot(spark, dir).files.size === 4)
+
+    // INLINE v2 variant: file actions in the uuid-named main file itself
+    val dir2 = Files.createTempDirectory("graft_delta_v2cpi").toString
+    val fn2 = {
+      Seq((5L, "v5", "x")).toDF("id", "v", "ds").coalesce(1)
+        .write.parquet(s"$dir2/g0")
+      val f = Files.list(Paths.get(dir2, "g0"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      s"g0/${f.getFileName}"
+    }
+    val log2 = Paths.get(dir2, "_delta_log")
+    Files.createDirectories(log2)
+    val inlineSchema = StructType(mainSchema.fields.filterNot(_.name == "sidecar") :+
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))))
+    val inlineRows = Seq(
+      Row(Row(schemaString, Seq.empty[String], Map.empty[String, String]),
+        null, null, null),
+      Row(null, Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
+      Row(null, null, Row(0L), null),
+      Row(null, null, null, Row(fn2, Map.empty[String, String])))
+    Files.copy(onePart(spark.createDataFrame(inlineRows.asJava, inlineSchema)),
+      log2.resolve("00000000000000000000.checkpoint." +
+        "1b1c1d1e-0000-4000-8000-000000000002.parquet"))
+    Files.write(log2.resolve("_last_checkpoint"),
+      """{"version":0,"size":4}""".getBytes("UTF-8"))
+    val df2 = Loaders.load(spark, TableSource("t2", dir2, format = Some("delta")))
+    assert(df2.count() === 1)
+    assert(df2.select("id").head().getLong(0) === 5L)
+  }
+
   test("log IO routes through Hadoop FS: object-store logs reach the connector layer") {
     // with hadoop-aws on the classpath this same code reads the real log;
     // offline it must fail AT the missing connector, not at path handling
