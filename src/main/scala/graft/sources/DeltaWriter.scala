@@ -269,6 +269,35 @@ object DeltaWriter {
     * `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   val checkpointInterval: Int = 10
 
+  /** Actions per checkpoint PART: above this, the checkpoint shards into
+    * the protocol's multipart layout `<v>.checkpoint.<i>.<n>.parquet`
+    * with `parts` recorded in `_last_checkpoint`. A single-task
+    * `coalesce(1)` over a 100 TB table's millions of adds is a straggler
+    * by construction (advisor finding); sharding keeps every write task
+    * bounded. ~500k actions ≈ a comfortably-sized parquet part. */
+  val checkpointPartActions: Long = 500000L
+
+  /** Write a checkpoint at the current head version ON DEMAND — the ops
+    * hook (and the remedy [[vacuum]]'s refusal message prescribes for
+    * tombstone-less foreign checkpoints). Returns the checkpointed
+    * version. `actionsPerPart` tunes the multipart threshold. */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 actionsPerPart: Long = checkpointPartActions): Long = {
+    require(actionsPerPart > 0, s"actionsPerPart must be > 0, got $actionsPerPart")
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = logDirOf(root)
+    val commitRx = raw"(\d{20})\.json".r
+    val jsonHead = fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case commitRx(v) => v.toLong }
+    val head = (jsonHead.toSeq ++ readLastCheckpoint(fs, logDir).map(_._1))
+      .maxOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"checkpoint: no commits or checkpoint found under $logDir"))
+    writeCheckpoint(spark, fs, root, logDir, head, actionsPerPart)
+    head
+  }
+
   /** Remove tombstones older than this drop out of checkpoints (upstream's
     * `delta.deletedFileRetentionDuration` default). [[vacuum]] retentions
     * beyond this window degrade to mtime-only for files whose tombstones
@@ -972,14 +1001,22 @@ object DeltaWriter {
     walk(have, cpSchema, "")
   }
 
-  /** Write the replay state at version `v` as a single-file checkpoint
-    * parquet + `_last_checkpoint`. Everything driver-side here is
-    * protocol-small (meta, txns, the JSON commits since the last
-    * checkpoint); the cumulative add set from a prior checkpoint stays a
-    * distributed DataFrame end to end. */
+  /** Write the replay state at version `v` as a checkpoint — single-file
+    * below [[checkpointPartActions]] actions, the protocol's multipart
+    * `<v>.checkpoint.<i>.<n>.parquet` layout above it — plus
+    * `_last_checkpoint` (with `parts` when sharded). Everything
+    * driver-side here is protocol-small (meta, txns, the JSON commits
+    * since the last checkpoint); the cumulative add set from a prior
+    * checkpoint stays a distributed DataFrame end to end, and the final
+    * write fans out over `parts` tasks instead of funneling through one.
+    * Re-checkpointing the same version at a different part count leaves
+    * the old differently-named parts behind as inert garbage (readers
+    * follow `_last_checkpoint.parts`); [[cleanupLog]] retires them once
+    * superseded. */
   private def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
                               fs: FileSystem, root: HPath, logDir: HPath,
-                              v: Long): Unit = {
+                              v: Long,
+                              actionsPerPart: Long = checkpointPartActions): Unit = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val base = readLastCheckpoint(fs, logDir).filter(_._1 < v)
@@ -1140,25 +1177,44 @@ object DeltaWriter {
       (Seq(protoLine, metaLine) ++ txnLines ++ addLines ++ removeLines).toDS()
     val all = baseCarryJson.map(driverSide.union).getOrElse(driverSide)
 
-    // single-file checkpoint: write to scratch, move the part file into
-    // place (ChecksumFileSystem.rename carries the .crc sidecar along)
+    // one action per line, so the action count (the protocol's
+    // _last_checkpoint `size`) doubles as the sharding input — counted
+    // BEFORE the write, replacing the old post-write count job
+    val total = all.count()
+    val nParts = math.max(1L,
+      (total + actionsPerPart - 1) / actionsPerPart).toInt
     val scratch = new HPath(root, s".graft_cp_${java.util.UUID.randomUUID()}")
-    spark.read.schema(cpSchema).json(all)
-      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = fs.listStatus(scratch).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"checkpoint scratch $scratch has no part file"))
-    val target = new HPath(logDir, f"$v%020d.checkpoint.parquet")
-    if (fs.exists(target)) fs.delete(target, false) // same-v re-checkpoint: same content
-    require(fs.rename(part, target), s"could not move checkpoint into $logDir")
+    val parsed = spark.read.schema(cpSchema).json(all)
+    // repartition round-robins rows across the shards; names are derived
+    // from the ACTUAL part files after the write (an empty task writes no
+    // file, and the multipart names must agree with the real count)
+    (if (nParts == 1) parsed.coalesce(1) else parsed.repartition(nParts))
+      .write.mode("overwrite").parquet(scratch.toString)
+    val partFiles = fs.listStatus(scratch).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(partFiles.nonEmpty, s"checkpoint scratch $scratch has no part file")
+    val actualN = partFiles.length
+    val targets: Seq[HPath] =
+      if (actualN == 1) Seq(new HPath(logDir, f"$v%020d.checkpoint.parquet"))
+      else (1 to actualN).map(i =>
+        new HPath(logDir, f"$v%020d.checkpoint.$i%010d.$actualN%010d.parquet"))
+    // moves carry the .crc sidecars along (ChecksumFileSystem.rename)
+    partFiles.zip(targets).foreach { case (part, target) =>
+      if (fs.exists(target)) fs.delete(target, false) // same-v re-checkpoint
+      require(fs.rename(part, target), s"could not move checkpoint into $logDir")
+    }
     fs.delete(scratch, true)
-    val size = spark.read.parquet(target.toString).count()
 
     // _last_checkpoint is overwritten per protocol — but never moved
-    // BACKWARD (a concurrent writer may have checkpointed a later version)
-    if (readLastCheckpoint(fs, logDir).forall(_._1 < v)) {
+    // BACKWARD (a concurrent writer may have checkpointed a later
+    // version). Same-version re-checkpoints DO rewrite it: the part
+    // count may have changed, and the vacuum-remedy re-checkpoint must
+    // actually take effect.
+    if (readLastCheckpoint(fs, logDir).forall(_._1 <= v)) {
+      val partsField = if (actualN == 1) "" else s""","parts":$actualN"""
       val out = fs.create(new HPath(logDir, "_last_checkpoint"), true)
-      try out.write(s"""{"version":$v,"size":$size}""".getBytes("UTF-8"))
+      try out.write(s"""{"version":$v,"size":$total$partsField}""".getBytes("UTF-8"))
       finally out.close()
     }
   }

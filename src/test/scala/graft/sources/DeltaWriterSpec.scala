@@ -551,6 +551,40 @@ class DeltaWriterSpec extends SparkSpec {
     assertThrows[Exception](readBack(dir, Map("version" -> "5")).count())
   }
 
+  test("multipart checkpoints: sharded write, replay, vacuum + cleanupLog over them") {
+    val dir = newDir()
+    (0 until 12).foreach(i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name")
+        .coalesce(1), dir))
+    // the interval checkpoint at v9 was classic; force a MULTIPART one at
+    // the head (14 actions: protocol + metaData + 12 adds; 4 per part)
+    assert(DeltaWriter.checkpoint(spark, dir, actionsPerPart = 4L) == 11L)
+    def names() = new java.io.File(dir + "/_delta_log").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    val partRx = raw"0*11\.checkpoint\.\d{10}\.\d{10}\.parquet"
+    assert(names().count(_.matches(partRx)) == 4, names())
+    val lc = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(java.nio.file.Path.of(dir + "/_delta_log/_last_checkpoint")))
+    assert(lc.get("version").asLong() == 11L && lc.get("parts").asInt() == 4
+      && lc.get("size").asLong() == 14L, lc.toString)
+    // replay equality straight off the sharded base
+    assert(readBack(dir).count() == 12)
+    assert(rows(readBack(dir)).contains(0L -> "r0"))
+    // cleanupLog verifies + retires over the multipart base: 12 JSON + the
+    // superseded classic v9 checkpoint
+    Thread.sleep(5)
+    assert(DeltaWriter.cleanupLog(spark, dir, retentionMs = 0L) == 13L)
+    assert(readBack(dir).count() == 12)
+    // vacuum keys on tombstone clocks read from the SHARDED checkpoint
+    // path: overwrite, then a 5-minute window protects the tombstoned
+    // files, retention zero reclaims them
+    DeltaWriter.write(Seq((100L, "z")).toDF("id", "name"), dir, mode = "overwrite")
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 5L * 60 * 1000) == 0L)
+    Thread.sleep(5)
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 0L) >= 12L)
+    assert(rows(readBack(dir)) == Set(100L -> "z"))
+  }
+
   test("cleanupLog behind the head re-checkpoints first; retired JSON is covered") {
     val dir = newDir()
     // 15 commits: checkpoint lands at v9, head is v14 — the gap is the
