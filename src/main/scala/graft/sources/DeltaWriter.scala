@@ -1270,31 +1270,59 @@ object DeltaWriter {
     * Delta sink). `appId` must be stable for the query's lifetime — use
     * the checkpoint's query id or a caller-chosen pipeline name.
     *
-    * `compactEvery = Some(n)`: every n-th batch runs [[compact]] inline
-    * after the append — a micro-batch sink accumulates exactly one small
-    * file per batch per partition, and a 100 TB scan over millions of
-    * tiny files is planner-bound long before it is data-bound. The
-    * compaction shares the batch slot (the stream pauses for it — the
-    * trade a single-writer log REQUIRES, since a concurrent compactor
-    * would lose its commit race to the next append anyway); a failed
-    * compaction warns and never fails the stream (the table stays
-    * correct, just small-filed). */
+    * Periodic maintenance knobs, all the same shape (every n-th batch,
+    * inline in the batch slot — the trade a single-writer log REQUIRES,
+    * since a concurrent maintainer would lose its commit race to the
+    * next append anyway; a failed leg warns and never fails the stream):
+    *
+    *  - `compactEvery`: [[compact]] — a micro-batch sink accumulates one
+    *    small file per batch per partition, and a 100 TB scan over
+    *    millions of tiny files is planner-bound long before data-bound
+    *  - `cleanupLogEvery`: [[cleanupLog]] at `logRetentionMs` — bounds
+    *    the `_delta_log` JSON count (re-checkpointing at the head first,
+    *    per cleanupLog's own contract)
+    *  - `vacuumEvery`: [[vacuum]] at `vacuumRetentionMs` — reclaims
+    *    compacted-away and overwritten files once they age out
+    *
+    * Together a month-long micro-batch sink keeps bounded data files AND
+    * bounded log without an external scheduler. Retentions default to
+    * the library defaults (7d vacuum / 30d log); cleanupLog runs BEFORE
+    * vacuum in the slot so retired JSON is already covered by a fresh
+    * tombstone-carrying checkpoint when vacuum reads its clocks. */
   def streamSink(data: DataFrame, dir: String, appId: String,
                  compactEvery: Option[Int] = None,
-                 targetFileBytes: Long = 128L << 20)
+                 targetFileBytes: Long = 128L << 20,
+                 cleanupLogEvery: Option[Int] = None,
+                 logRetentionMs: Long = 30L * 24 * 3600 * 1000,
+                 vacuumEvery: Option[Int] = None,
+                 vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    compactEvery.foreach(n => require(n > 0, s"compactEvery must be > 0, got $n"))
+    Seq("compactEvery" -> compactEvery, "cleanupLogEvery" -> cleanupLogEvery,
+        "vacuumEvery" -> vacuumEvery).foreach { case (name, knob) =>
+      knob.foreach(n => require(n > 0, s"$name must be > 0, got $n"))
+    }
+    def leg(batchId: Long, every: Option[Int], what: String)(run: => Unit): Unit =
+      every.foreach { n =>
+        if (batchId > 0 && batchId % n == 0)
+          try run
+          catch {
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"[graft] stream-sink $what on $dir failed (contents stay " +
+                s"correct): $e")
+          }
+      }
     data.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         write(batch, dir, mode = "append", txn = Some((appId, batchId)))
-        compactEvery.foreach { n =>
-          if (batchId > 0 && batchId % n == 0)
-            try compact(batch.sparkSession, dir, targetFileBytes)
-            catch {
-              case scala.util.control.NonFatal(e) => System.err.println(
-                s"[graft] stream-sink compaction on $dir failed (contents " +
-                  s"stay correct, files stay small): $e")
-            }
+        val s = batch.sparkSession
+        leg(batchId, compactEvery, "compaction") {
+          compact(s, dir, targetFileBytes); ()
+        }
+        leg(batchId, cleanupLogEvery, "log cleanup") {
+          cleanupLog(s, dir, logRetentionMs); ()
+        }
+        leg(batchId, vacuumEvery, "vacuum") {
+          vacuum(s, dir, vacuumRetentionMs); ()
         }
         ()
     }

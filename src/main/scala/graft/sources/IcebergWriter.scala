@@ -410,25 +410,62 @@ object IcebergWriter {
   }
 
   /** Exactly-once streaming sink — [[DeltaWriter.streamSink]]'s contract
-    * for Iceberg tables, including its `compactEvery` small-file
-    * maintenance knob (every n-th batch runs [[compactDataFiles]] inline;
-    * failures warn and never fail the stream). */
+    * for Iceberg tables, with the format's own periodic maintenance legs
+    * behind the same knob shape (every n-th batch, inline in the batch
+    * slot; a failed leg warns and never fails the stream):
+    *
+    *  - `compactEvery`: [[compactDataFiles]] — bounds data-file count
+    *  - `expireEvery`: [[expireSnapshots]] at `expireOlderThanMs` —
+    *    bounds snapshot history and reclaims files only expired
+    *    snapshots referenced (compacted-away originals, spent deletes)
+    *  - `orphanReclaimEvery`: [[removeOrphanFiles]] at `orphanOlderThanMs`
+    *    — sweeps crashed writers' unreferenced files
+    *  - `cleanupMetadataEvery`: [[cleanupMetadata]] keeping
+    *    `keepMetadata` versions — bounds the metadata JSON count (a
+    *    micro-batch sink commits one metadata version per batch)
+    *
+    * Together a month-long micro-batch sink keeps bounded files AND
+    * bounded metadata without an external scheduler. */
   def streamSink(data: DataFrame, dir: String, appId: String,
                  compactEvery: Option[Int] = None,
-                 targetFileBytes: Long = 128L << 20)
+                 targetFileBytes: Long = 128L << 20,
+                 expireEvery: Option[Int] = None,
+                 expireOlderThanMs: Long = 7L * 24 * 3600 * 1000,
+                 orphanReclaimEvery: Option[Int] = None,
+                 orphanOlderThanMs: Long = 3L * 24 * 3600 * 1000,
+                 cleanupMetadataEvery: Option[Int] = None,
+                 keepMetadata: Int = 5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    compactEvery.foreach(n => require(n > 0, s"compactEvery must be > 0, got $n"))
+    Seq("compactEvery" -> compactEvery, "expireEvery" -> expireEvery,
+        "orphanReclaimEvery" -> orphanReclaimEvery,
+        "cleanupMetadataEvery" -> cleanupMetadataEvery).foreach { case (name, knob) =>
+      knob.foreach(n => require(n > 0, s"$name must be > 0, got $n"))
+    }
+    def leg(batchId: Long, every: Option[Int], what: String)(run: => Unit): Unit =
+      every.foreach { n =>
+        if (batchId > 0 && batchId % n == 0)
+          try run
+          catch {
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"[graft] stream-sink $what on $dir failed (contents stay " +
+                s"correct): $e")
+          }
+      }
     data.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         write(batch, dir, mode = "append", txn = Some((appId, batchId)))
-        compactEvery.foreach { n =>
-          if (batchId > 0 && batchId % n == 0)
-            try compactDataFiles(batch.sparkSession, dir, targetFileBytes)
-            catch {
-              case scala.util.control.NonFatal(e) => System.err.println(
-                s"[graft] stream-sink compaction on $dir failed (contents " +
-                  s"stay correct, files stay small): $e")
-            }
+        val s = batch.sparkSession
+        leg(batchId, compactEvery, "compaction") {
+          compactDataFiles(s, dir, targetFileBytes); ()
+        }
+        leg(batchId, expireEvery, "snapshot expiry") {
+          expireSnapshots(s, dir, expireOlderThanMs); ()
+        }
+        leg(batchId, orphanReclaimEvery, "orphan reclaim") {
+          removeOrphanFiles(s, dir, orphanOlderThanMs); ()
+        }
+        leg(batchId, cleanupMetadataEvery, "metadata cleanup") {
+          cleanupMetadata(s, dir, keepMetadata); ()
         }
         ()
     }
@@ -869,6 +906,31 @@ object IcebergWriter {
     keep.foreach(arr.add)
     node.set[JsonNode]("snapshots", arr)
     node.put("last-updated-ms", System.currentTimeMillis())
+    // fold the EXPIRED snapshots' idempotency-ledger summaries into table
+    // properties before they vanish — expiring the snapshot that carried
+    // an app's newest batch id (routine once compaction's `replace` is
+    // current) must not break exactly-once on a stream restart
+    // ([[lastAppVersion]] reads both channels)
+    val expiredLedger: Map[String, Long] = expired.flatMap { s =>
+      val sum = Option(s.get("summary")).filterNot(_.isNull)
+      for {
+        app <- sum.flatMap(x => Option(x.get("graft-app-id"))).map(_.asText())
+        v <- sum.flatMap(x => Option(x.get("graft-app-version")))
+          .map(_.asText().toLong)
+      } yield app -> v
+    }.groupBy(_._1).map { case (app, xs) => app -> xs.map(_._2).max }
+    if (expiredLedger.nonEmpty) {
+      val props = Option(node.get("properties")).filterNot(_.isNull) match {
+        case Some(o: com.fasterxml.jackson.databind.node.ObjectNode) => o
+        case _ =>
+          val o = mapper.createObjectNode(); node.set[JsonNode]("properties", o); o
+      }
+      expiredLedger.foreach { case (app, v) =>
+        val key = s"graft-ledger-$app"
+        val prev = Option(props.get(key)).map(_.asText().toLong).getOrElse(Long.MinValue)
+        if (v > prev) props.put(key, v.toString)
+      }
+    }
     // commit at resolvedVersion+1 — NOT listing-max+1, which could be
     // fresher than `meta` and silently discard a concurrent commit's
     // snapshot (review finding); foreign numberless naming falls back
@@ -1171,7 +1233,11 @@ object IcebergWriter {
   }
 
   /** The ledger: newest `graft-app-version` for `appId` across snapshot
-    * summaries. */
+    * summaries, PLUS the `graft-ledger-<appId>` table property where
+    * [[expireSnapshots]] folds the summaries of snapshots it drops —
+    * without that fold, expiring the snapshot that carried an app's
+    * newest batch id (routine when compaction's `replace` is the current
+    * snapshot) would silently break exactly-once on a stream restart. */
   private[sources] def lastAppVersion(meta: JsonNode, appId: String): Option[Long] = {
     val vs = Option(meta.get("snapshots")).filterNot(_.isNull)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
@@ -1182,7 +1248,11 @@ object IcebergWriter {
           sum.flatMap(x => Option(x.get("graft-app-version"))).map(_.asText().toLong)
         else None
       }
-    if (vs.isEmpty) None else Some(vs.max)
+    val folded = Option(meta.get("properties")).filterNot(_.isNull)
+      .flatMap(p => Option(p.get(s"graft-ledger-$appId")))
+      .map(_.asText().toLong)
+    val all = vs ++ folded
+    if (all.isEmpty) None else Some(all.max)
   }
 
   /** One partition-spec field: identity plus the spec's time/bucket/

@@ -222,6 +222,81 @@ class IcebergWriterSpec extends SparkSpec with IcebergFixtures {
       "compaction never engaged on the stream")
   }
 
+  test("streamSink full maintenance: bounded files, snapshots, metadata; ledger survives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = newDir()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // aggressive knobs: a month-long sink's maintenance compressed into
+    // 8 batches — compact, expire, orphan-sweep, metadata-trim inline
+    val q = IcebergWriter.streamSink(mem.toDF().toDF("id", "name"), dir, "maintIce",
+      compactEvery = Some(2), targetFileBytes = 1L << 20,
+      expireEvery = Some(2), expireOlderThanMs = 0L,
+      orphanReclaimEvery = Some(2), orphanOlderThanMs = 0L,
+      cleanupMetadataEvery = Some(2), keepMetadata = 3)
+      .option("checkpointLocation", Files.createTempDirectory("iw_maint").toString)
+      .start()
+    try {
+      (0 until 8).foreach { i =>
+        mem.addData((i.toLong, s"b$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // exactly-once contents through appends + all four maintenance legs
+    assert(readBack(dir).select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 8L).toSet)
+    // bounded live set (compaction engaged)
+    assert(readBack(dir).inputFiles.length < 6)
+    // bounded SNAPSHOT history (expiry engaged: only the young survive)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = Files.readString(java.nio.file.Path.of(
+      dir + "/metadata/version-hint.text")).trim
+    val meta = mapper.readTree(Files.readString(java.nio.file.Path.of(
+      dir + s"/metadata/v$hint.metadata.json")))
+    assert(meta.get("snapshots").size() <= 4,
+      s"${meta.get("snapshots").size()} snapshots — expiry never engaged")
+    // bounded METADATA versions (cleanup engaged; later batches add a few)
+    val metaFiles = new java.io.File(dir + "/metadata").listFiles()
+      .map(_.getName).filter(_.endsWith(".metadata.json"))
+    assert(metaFiles.length <= 10,
+      s"metadata not bounded: ${metaFiles.length} versions")
+    // bounded STORAGE: compacted-away originals reclaimed by expire+orphan
+    assert(dataParquetFiles(dir).size <= readBack(dir).inputFiles.length + 3)
+    // the ledger survived expiry (folded into properties): old-batch
+    // redelivery is a no-op, a newer batch still commits
+    val before = readBack(dir).count()
+    IcebergWriter.write(Seq((0L, "b0")).toDF("id", "name"), dir,
+      txn = Some(("maintIce", 0L)))
+    assert(readBack(dir).count() == before)
+    IcebergWriter.write(Seq((99L, "fresh")).toDF("id", "name"), dir,
+      txn = Some(("maintIce", 99L)))
+    assert(readBack(dir).count() == before + 1)
+  }
+
+  test("expireSnapshots folds dropped ledger summaries into table properties") {
+    val dir = newDir()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir,
+      txn = Some(("appZ", 5L)))
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), dir) // current
+    Thread.sleep(5)
+    // expiry drops snapshot 1 — the only carrier of appZ's batch id 5
+    IcebergWriter.expireSnapshots(spark, dir, olderThanMs = 0L)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = Files.readString(java.nio.file.Path.of(
+      dir + "/metadata/version-hint.text")).trim
+    val meta = mapper.readTree(Files.readString(java.nio.file.Path.of(
+      dir + s"/metadata/v$hint.metadata.json")))
+    assert(meta.get("properties").get("graft-ledger-appZ").asText() == "5")
+    // redelivery of batch 5 still skips; batch 6 still commits
+    val before = readBack(dir).count()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir,
+      txn = Some(("appZ", 5L)))
+    assert(readBack(dir).count() == before)
+    IcebergWriter.write(Seq((3L, "c")).toDF("id", "name"), dir,
+      txn = Some(("appZ", 6L)))
+    assert(readBack(dir).count() == before + 1)
+  }
+
   private def dataParquetFiles(dir: String): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
