@@ -255,13 +255,14 @@ object DeltaLoader {
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
 
-  private def physName(f: org.apache.spark.sql.types.StructField): String =
+  private[sources] def physName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
   /** The schema as data files store it: every (nested) field renamed to its
-    * `delta.columnMapping.physicalName`. */
-  private def physicalize(dt: DataType): DataType = dt match {
+    * `delta.columnMapping.physicalName` — shared with
+    * [[DeltaWriter.compact]]'s physical-name rewrite of mapped tables. */
+  private[sources] def physicalize(dt: DataType): DataType = dt match {
     case s: StructType =>
       StructType(s.fields.map(f =>
         f.copy(name = physName(f), dataType = physicalize(f.dataType))))

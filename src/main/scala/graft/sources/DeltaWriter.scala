@@ -705,11 +705,15 @@ object DeltaWriter {
     * counts/stats of the replacements come from their own footers, so
     * they are exact post-delete.
     *
-    * Refuses column-mapped tables (like [[write]]). A lost commit race
-    * refuses rather than retry — the remove set was computed against the
-    * pre-race snapshot. Returns the committed version, or -1 when no
-    * partition had at least `minFiles` small files or a DV to
-    * materialize (no commit made). */
+    * Column-mapped tables (mode `name`/`id`) compact too: the rewrite
+    * reads and writes the PHYSICALIZED schema verbatim (data files store
+    * physical names, `add.partitionValues` keys and `stats` keys are
+    * physical per protocol), so adopted upstream tables stay
+    * maintainable even though [[write]] refuses to append to them. A
+    * lost commit race refuses rather than retry — the remove set was
+    * computed against the pre-race snapshot. Returns the committed
+    * version, or -1 when no partition had at least `minFiles` small
+    * files or a DV to materialize (no commit made). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Long = {
     require(targetFileBytes > 0 && minFiles >= 2,
@@ -718,15 +722,25 @@ object DeltaWriter {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = logDirOf(root)
     val snap = DeltaLoader.snapshot(spark, dir)
-    require(snap.columnMappingMode == "none",
-      "compact cannot rewrite a column-mapped table")
 
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
       else new HPath(dir, java.net.URLDecoder.decode(p, "UTF-8")).toString
-    val dataSchema = org.apache.spark.sql.types.StructType(
+    // column-mapped tables compact THROUGH physical names: data files
+    // store physical columns, so the rewrite reads AND writes the
+    // physicalized schema verbatim — a contents-preserving swap needs no
+    // logical projection at all, which is what lets adopted upstream
+    // tables be maintained here while write() still (honestly) refuses
+    // to append to them
+    val logicalData = org.apache.spark.sql.types.StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val dataSchema =
+      if (snap.columnMappingMode == "none") logicalData
+      else DeltaLoader.physicalize(logicalData)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
     val conf = spark.sparkContext.hadoopConfiguration
+    // stats keys are PHYSICAL names under column mapping, per protocol —
+    // dataSchema is already in the right domain either way
     val statCols = dataSchema.fields.map(_.name).toSeq
     val now = System.currentTimeMillis()
 
@@ -799,11 +813,11 @@ object DeltaWriter {
       // existing imbalance back together one level up (the repo's own
       // Compaction operator documents the same trade; review finding)
       source.repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
-      val pvJson = snap.partitionColumns.map { c =>
-        pv.get(c) match {
-          case Some(null) | None => s"${jstr(c)}:null"
-          case Some(v) => s"${jstr(c)}:${jstr(v)}"
-        }
+      // republish the group's partitionValues VERBATIM: under column
+      // mapping the action's keys are PHYSICAL names — keying on the
+      // logical partitionColumns would remap every entry to null
+      val pvJson = pv.map { case (k, v) =>
+        s"${jstr(k)}:${if (v == null) "null" else jstr(v)}"
       }.mkString("{", ",", "}")
       fs.listStatus(scratch).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))

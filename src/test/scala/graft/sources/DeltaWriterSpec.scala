@@ -879,6 +879,70 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir2).select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("compact rewrites column-mapped tables via physical names") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val dir = Files.createTempDirectory("graft_delta_cm_compact").toString
+    // an adopted name-mapped table: physical column names in the files
+    // (incl. a nested struct field), partitionValues keyed by PHYSICAL
+    // partition name — the DeltaLoaderSpec column-mapping fixture shape,
+    // with TWO small files in partition d1 so compaction engages
+    def writePhys(rows: Seq[(Long, String, Long)], sub: String): String = {
+      rows.toDF("col-id", "col-v", "xx")
+        .select(col("`col-id`"), col("`col-v`"),
+          struct(col("xx").as("col-x")).as("col-s"))
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      s"$sub/${f.getName}"
+    }
+    val f1 = writePhys(Seq((1L, "a", 10L)), "p1")
+    val f2 = writePhys(Seq((2L, "b", 20L)), "p2")
+    val f3 = writePhys(Seq((3L, "c", 30L)), "p3")
+    def fld(name: String, tpe: String, id: Int, phys: String): String =
+      s"""{"name":"$name","type":$tpe,"nullable":true,"metadata":{""" +
+        s""""delta.columnMapping.id":$id,"delta.columnMapping.physicalName":"$phys"}}"""
+    val nested = s"""{"type":"struct","fields":[${fld("x", "\"long\"", 4, "col-x")}]}"""
+    val cmSchema = s"""{"type":"struct","fields":[${fld("id", "\"long\"", 1, "col-id")},""" +
+      s"""${fld("v", "\"string\"", 2, "col-v")},${fld("s", nested, 3, "col-s")},""" +
+      s"""${fld("ds", "\"string\"", 5, "col-ds")}]}"""
+    val metaLine =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(cmSchema)},"partitionColumns":["ds"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"5"}}}"""
+    Files.createDirectories(java.nio.file.Path.of(dir + "/_delta_log"))
+    Files.writeString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine,
+      s"""{"add":{"path":"$f1","partitionValues":{"col-ds":"d1"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"col-ds":"d1"},"size":1,"modificationTime":2,"dataChange":true}}""",
+      s"""{"add":{"path":"$f3","partitionValues":{"col-ds":"d2"},"size":1,"modificationTime":3,"dataChange":true}}""")
+      .mkString("", "\n", "\n"))
+    def contents() = readBack(dir).select("id", "v", "s.x", "ds").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val expect = Set((1L, "a", 10L, "d1"), (2L, "b", 20L, "d1"), (3L, "c", 30L, "d2"))
+    assert(contents() == expect)
+    // compaction packs d1's two files; d2's lone file carries
+    val v = DeltaWriter.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(v == 1L)
+    assert(contents() == expect) // reader equality across the swap
+    assert(readBack(dir).inputFiles.length == 2)
+    // the swap commit is pure reorganization in the PHYSICAL domain:
+    // partitionValues keys stay physical, stats keys are physical
+    val commit = Files.readString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000001.json"))
+    assert(!commit.contains("\"dataChange\":true"), commit)
+    assert(commit.contains(""""partitionValues":{"col-ds":"d1"}"""), commit)
+    assert(commit.contains("col-id"), "stats must use physical names: " + commit)
+    assert(!commit.contains(""""id":1,"""), commit) // never the logical key
+    // the replaced originals reclaim; contents hold
+    Thread.sleep(5)
+    assert(DeltaWriter.vacuum(spark, dir, retentionMs = 0L) >= 2L)
+    assert(contents() == expect)
+  }
+
   test("base-checkpoint column model: derived *_parsed skip only beside their sibling") {
     import org.apache.spark.sql.types._
     def addStruct(fields: (String, DataType)*): StructType =
