@@ -436,13 +436,25 @@ object Relational {
         graft.sources.IcebergWriter.write(even, iceDir,
           partitionBy = Seq("o_orderpriority"))
         graft.sources.IcebergWriter.write(odd, iceDir)
-        // compaction rides the SAME oracle gate: per-partition bin-pack
-        // swaps must leave contents bit-identical, and the queries below
-        // now read the packed layout
+        // the FULL maintenance suite rides the SAME oracle gate: compact
+        // swaps the layout, then each format's retention legs run at
+        // zero retention — Delta re-checkpoints + retires every JSON
+        // commit and vacuums the replaced originals; Iceberg expires all
+        // non-current snapshots, sweeps orphans, and trims metadata —
+        // and the queries below must STILL aggregate bit-identically to
+        // the oracle over the original table
         graft.sources.DeltaWriter.compact(spark, deltaDir,
           targetFileBytes = 64L << 20)
         graft.sources.IcebergWriter.compactDataFiles(spark, iceDir,
           targetFileBytes = 64L << 20)
+        Thread.sleep(5) // zero-retention cutoffs are strict `< now`
+        graft.sources.DeltaWriter.cleanupLog(spark, deltaDir, retentionMs = 0L)
+        graft.sources.DeltaWriter.vacuum(spark, deltaDir, retentionMs = 0L)
+        graft.sources.IcebergWriter.expireSnapshots(spark, iceDir,
+          olderThanMs = 0L)
+        graft.sources.IcebergWriter.removeOrphanFiles(spark, iceDir,
+          olderThanMs = 0L)
+        graft.sources.IcebergWriter.cleanupMetadata(spark, iceDir, keepLast = 2)
         val built = (deltaDir, iceDir)
         val (result, lost) = sinkMemo.synchronized {
           Option(sinkMemo.get(key)) match {
