@@ -273,6 +273,31 @@ object DeltaLoader {
     case other => other
   }
 
+  /** [[physicalize]] plus `parquet.field.id` stamped from each field's
+    * `delta.columnMapping.id` — the WRITE-side schema for rewriting
+    * mapped tables (review finding: `id`-mode readers resolve columns by
+    * parquet field id, so a rewrite that only renamed to physical names
+    * produced files upstream id-readers cannot resolve; Spark's parquet
+    * writer emits ids from this metadata key). */
+  private[sources] def physicalizeForWrite(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map { f =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (f.metadata.contains("delta.columnMapping.id"))
+          scala.util.Try(md.putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id")))
+        f.copy(name = physName(f), dataType = physicalizeForWrite(f.dataType),
+          metadata = md.build())
+      })
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physicalizeForWrite(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physicalizeForWrite(m.keyType),
+        valueType = physicalizeForWrite(m.valueType))
+    case other => other
+  }
+
   // ---- scan -----------------------------------------------------------------
 
   private def toDataFrame(spark: SparkSession, tableUri: String, snap: Snapshot): DataFrame = {

@@ -279,8 +279,15 @@ object DeltaWriter {
 
   /** Write a checkpoint at the current head version ON DEMAND — the ops
     * hook (and the remedy [[vacuum]]'s refusal message prescribes for
-    * tombstone-less foreign checkpoints). Returns the checkpointed
-    * version. `actionsPerPart` tunes the multipart threshold. */
+    * tombstone-less foreign checkpoints). Runs in REBASE mode: while
+    * commit zero still exists the full JSON history replays (recovering
+    * every tombstone clock a foreign checkpoint may have dropped — the
+    * whole point of the remedy); once pre-checkpoint JSON is gone, a
+    * same-version base refolds (review finding: the old `< v` base
+    * filter made the remedy throw 'no protocol/metaData' in exactly the
+    * head-equals-checkpoint scenario it is prescribed for). Returns the
+    * checkpointed version. `actionsPerPart` tunes the multipart
+    * threshold. */
   def checkpoint(spark: org.apache.spark.sql.SparkSession, dir: String,
                  actionsPerPart: Long = checkpointPartActions): Long = {
     require(actionsPerPart > 0, s"actionsPerPart must be > 0, got $actionsPerPart")
@@ -294,7 +301,7 @@ object DeltaWriter {
       .maxOption.getOrElse(
         throw new IllegalArgumentException(
           s"checkpoint: no commits or checkpoint found under $logDir"))
-    writeCheckpoint(spark, fs, root, logDir, head, actionsPerPart)
+    writeCheckpoint(spark, fs, root, logDir, head, actionsPerPart, rebase = true)
     head
   }
 
@@ -536,16 +543,21 @@ object DeltaWriter {
     * horizon trade upstream documents. Commits ABOVE the checkpoint are
     * never touched (they are the only record of those versions), and the
     * age gate keeps a straggling reader's listed-but-unread commits alive
-    * for the window. Two safety legs (advisor findings): a checkpoint
-    * BEHIND the head is first superseded by a fresh one written at the
-    * current head by THIS writer, so retired JSON is always covered by a
-    * tombstone-carrying checkpoint; and nothing deletes unless every
-    * checkpoint part the `_last_checkpoint` hint references actually
-    * exists. Driver-side metadata work bounded by the log's file count.
-    * Returns the number of deleted log files. */
+    * for the window. Two safety legs (advisor + review findings):
+    * whenever there is JSON to retire, a fresh checkpoint is first
+    * written at the head by THIS writer in rebase mode (full JSON replay
+    * while commit zero exists), so retired JSON is always covered by a
+    * tombstone-carrying checkpoint — a pre-existing checkpoint proves
+    * nothing even AT the head, since a foreign writer may never have
+    * carried tombstones; and nothing deletes unless every file the
+    * covering checkpoint depends on actually exists. Driver-side
+    * metadata work bounded by the log's file count. Returns the number
+    * of deleted log files. */
   def cleanupLog(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 retentionMs: Long = 30L * 24 * 3600 * 1000): Long = {
+                 retentionMs: Long = 30L * 24 * 3600 * 1000,
+                 actionsPerPart: Long = checkpointPartActions): Long = {
     require(retentionMs >= 0, s"log retention must be >= 0, got $retentionMs")
+    require(actionsPerPart > 0, s"actionsPerPart must be > 0, got $actionsPerPart")
     val root = new HPath(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = logDirOf(root)
@@ -555,20 +567,24 @@ object DeltaWriter {
       case Some(x) => x
       case None => return 0L // no checkpoint = the JSON is the only state
     }
-    // a checkpoint BEHIND the head may predate tombstone carrying (a
+    // ANY pre-existing checkpoint may predate tombstone carrying (a
     // foreign/older writer's — indistinguishable from a remove-free
-    // table), and retiring JSON against it would let a later low-retention
-    // vacuum reclaim recently-removed files on mtime alone (advisor
-    // finding). Re-checkpoint at the current head with THIS writer first,
-    // so every retired commit is covered by a tombstone-carrying
-    // checkpoint; an un-checkpointable table (unrepresentable actions)
-    // fails loudly here instead of losing state.
-    val headV = fs.listStatus(logDir).map(_.getPath.getName)
+    // table, and being AT the head proves nothing; review finding), and
+    // retiring JSON against it would let a later low-retention vacuum
+    // reclaim recently-removed files on mtime alone. So whenever there
+    // is JSON to retire, re-checkpoint at the head with THIS writer
+    // first, in rebase mode — full JSON replay while commit zero exists,
+    // so every tombstone clock in the JSON about to be destroyed is
+    // recovered into the covering checkpoint. An un-checkpointable table
+    // (unrepresentable actions) fails loudly here instead of losing
+    // state.
+    val jsonVersions = fs.listStatus(logDir).map(_.getPath.getName)
       .collect { case commitRx(v) => v.toLong }
-      .foldLeft(cpV0)(math.max)
+    val headV = jsonVersions.foldLeft(cpV0)(math.max)
     val (cpV, parts) =
-      if (cpV0 < headV) {
-        writeCheckpoint(spark, fs, root, logDir, headV)
+      if (jsonVersions.nonEmpty) {
+        writeCheckpoint(spark, fs, root, logDir, headV, actionsPerPart,
+          rebase = true)
         readLastCheckpoint(fs, logDir).getOrElse(return 0L)
       } else (cpV0, parts0)
     // never destroy the only replay state on a stale/corrupt hint: the
@@ -734,10 +750,27 @@ object DeltaWriter {
     // to append to them
     val logicalData = org.apache.spark.sql.types.StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    // READ schema: physical names only — stamping parquet.field.id here
+    // would make Spark demand ids from source files that may predate id
+    // stamping (review-fix fallout: FAILED_READ_FILE on id-less files).
+    // The ids attach on the WRITE side below.
     val dataSchema =
       if (snap.columnMappingMode == "none") logicalData
       else DeltaLoader.physicalize(logicalData)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // WRITE schema: physical names + parquet.field.id from the mapping,
+    // so id-mode readers can resolve the rewritten files
+    val writeSchema =
+      if (snap.columnMappingMode == "none") logicalData
+      else DeltaLoader.physicalizeForWrite(logicalData)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def withFieldIds(df: DataFrame): DataFrame =
+      if (snap.columnMappingMode == "none") df
+      else df.select(writeSchema.fields.map(f =>
+        // the cast is a no-op on values but re-types nested structs to
+        // the id-stamped target, so NESTED field ids reach the writer too
+        org.apache.spark.sql.functions.col(s"`${f.name}`")
+          .cast(f.dataType).as(f.name, f.metadata)).toIndexedSeq: _*)
     val conf = spark.sparkContext.hadoopConfiguration
     // stats keys are PHYSICAL names under column mapping, per protocol —
     // dataSchema is already in the right domain either way
@@ -812,7 +845,8 @@ object DeltaWriter {
       // repartition, NOT coalesce: coalesce just glues the small files'
       // existing imbalance back together one level up (the repo's own
       // Compaction operator documents the same trade; review finding)
-      source.repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
+      withFieldIds(source).repartition(nOut)
+        .write.mode("overwrite").parquet(scratch.toString)
       // republish the group's partitionValues VERBATIM: under column
       // mapping the action's keys are PHYSICAL names — keying on the
       // logical partitionColumns would remap every entry to null
@@ -933,11 +967,17 @@ object DeltaWriter {
     }
   }
 
-  private def checkpointPaths(logDir: HPath, v: Long, parts: Option[Int]): Seq[String] =
-    (parts match {
-      case Some(n) => (1 to n).map(i => f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
-      case None => Seq(f"$v%020d.checkpoint.parquet")
-    }).map(n => new HPath(logDir, n).toString)
+  /** `_last_checkpoint`'s recorded action count; -1 when absent (foreign
+    * writers may omit it despite the protocol). */
+  private def readLastCheckpointSize(fs: FileSystem, logDir: HPath): Long = {
+    val lc = new HPath(logDir, "_last_checkpoint")
+    if (!fs.exists(lc)) -1L
+    else {
+      val in = fs.open(lc)
+      val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+      Option(node.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+    }
+  }
 
   /** Action keys a commit line may carry and still be represented in full
     * by [[cpSchema]]. `commitInfo` is free-form provenance — checkpoints
@@ -1030,10 +1070,21 @@ object DeltaWriter {
   private def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
                               fs: FileSystem, root: HPath, logDir: HPath,
                               v: Long,
-                              actionsPerPart: Long = checkpointPartActions): Unit = {
+                              actionsPerPart: Long = checkpointPartActions,
+                              rebase: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val base = readLastCheckpoint(fs, logDir).filter(_._1 < v)
+    // rebase mode (the maintenance entry points): while commit zero still
+    // exists, IGNORE any base checkpoint and replay the complete JSON
+    // history — the only way to recover tombstone clocks a foreign base
+    // never carried; once pre-checkpoint JSON is gone, a same-version
+    // base refolds (layout/`_last_checkpoint` refresh). The interval path
+    // keeps the strict `< v` incremental fold.
+    val commit0Here = fs.exists(new HPath(logDir, f"${0L}%020d.json"))
+    val base =
+      if (rebase && commit0Here) None
+      else readLastCheckpoint(fs, logDir)
+        .filter(c => if (rebase) c._1 <= v else c._1 < v)
 
     // replay JSON commits (base, v]: per-commit actions are small by
     // protocol (one commit's worth), so this map is bounded by
@@ -1187,16 +1238,26 @@ object DeltaWriter {
       case (p, o) if removedTs.getOrElse(p, 0L) >= tombCutoff0 =>
         s"""{"remove":$o}"""
     }.toSeq
-    val driverSide =
-      (Seq(protoLine, metaLine) ++ txnLines ++ addLines ++ removeLines).toDS()
+    val driverLines = Seq(protoLine, metaLine) ++ txnLines ++ addLines ++ removeLines
+    val driverSide = driverLines.toDS()
     val all = baseCarryJson.map(driverSide.union).getOrElse(driverSide)
 
-    // one action per line, so the action count (the protocol's
-    // _last_checkpoint `size`) doubles as the sharding input — counted
-    // BEFORE the write, replacing the old post-write count job
-    val total = all.count()
+    // shard-count estimation WITHOUT executing the checkpoint plan
+    // (review finding: a pre-write count() ran the base scan and both
+    // anti-joins twice): the driver-side line count is exact, and the
+    // base's contribution is bounded above by its recorded action count
+    // (tombstone pruning only shrinks it — an over-estimate costs at
+    // worst a near-empty extra shard). A foreign hint without `size`
+    // falls back to one counting pass.
+    val estTotal: Long =
+      if (baseCarryJson.isEmpty) driverLines.size.toLong
+      else {
+        val recorded = readLastCheckpointSize(fs, logDir)
+        if (recorded >= 0L) driverLines.size.toLong + recorded
+        else all.count()
+      }
     val nParts = math.max(1L,
-      (total + actionsPerPart - 1) / actionsPerPart).toInt
+      (estTotal + actionsPerPart - 1) / actionsPerPart).toInt
     val scratch = new HPath(root, s".graft_cp_${java.util.UUID.randomUUID()}")
     val parsed = spark.read.schema(cpSchema).json(all)
     // repartition round-robins rows across the shards; names are derived
@@ -1208,6 +1269,15 @@ object DeltaWriter {
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     require(partFiles.nonEmpty, s"checkpoint scratch $scratch has no part file")
+    // the EXACT action count (the protocol's `size`) comes from the
+    // written parts' own footers — a handful of local metadata reads, not
+    // a second plan execution
+    val conf = spark.sparkContext.hadoopConfiguration
+    val total = partFiles.map { p =>
+      val rows = ColumnIndex.readFileZones(conf, p.toString, Seq.empty).rows
+      require(rows >= 0L, s"could not read back checkpoint part footer $p")
+      rows
+    }.sum
     val actualN = partFiles.length
     val targets: Seq[HPath] =
       if (actualN == 1) Seq(new HPath(logDir, f"$v%020d.checkpoint.parquet"))

@@ -385,6 +385,14 @@ object IcebergWriter {
       .mkString("[", ",", "]")
     val tableUuid = existing.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
       .getOrElse(java.util.UUID.randomUUID().toString)
+    // table properties carry FORWARD verbatim (review finding: the
+    // rebuilt-from-template metadata silently dropped them — including
+    // the graft-ledger-* entries expireSnapshots folds in, which would
+    // re-open the exactly-once door the fold closed, and any adopted
+    // table's own configuration)
+    val propsJson = existing.flatMap(m =>
+        Option(m.get("properties")).filterNot(_.isNull))
+      .map(mapper.writeValueAsString).getOrElse("{}")
 
     val metaJson =
       s"""{"format-version":2,"table-uuid":"$tableUuid",
@@ -395,6 +403,7 @@ object IcebergWriter {
          |"default-spec-id":$specId,"partition-specs":$specsJson,
          |"last-partition-id":$lastPartitionId,"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":$propsJson,
          |"current-snapshot-id":$snapId,
          |"snapshots":$allSnaps}""".stripMargin
 

@@ -614,10 +614,15 @@ class DeltaWriterSpec extends SparkSpec {
     // replay equality straight off the sharded base
     assert(readBack(dir).count() == 12)
     assert(rows(readBack(dir)).contains(0L -> "r0"))
-    // cleanupLog verifies + retires over the multipart base: 12 JSON + the
+    // cleanupLog re-checkpoints at the head (rebase: full JSON replay,
+    // sharded again via its own knob) then retires: 12 JSON + the
     // superseded classic v9 checkpoint
     Thread.sleep(5)
-    assert(DeltaWriter.cleanupLog(spark, dir, retentionMs = 0L) == 13L)
+    assert(DeltaWriter.cleanupLog(spark, dir, retentionMs = 0L,
+      actionsPerPart = 4L) == 13L)
+    val lc2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(java.nio.file.Path.of(dir + "/_delta_log/_last_checkpoint")))
+    assert(lc2.get("version").asLong() == 11L && lc2.get("parts").asInt() == 4)
     assert(readBack(dir).count() == 12)
     // vacuum keys on tombstone clocks read from the SHARDED checkpoint
     // path: overwrite, then a 5-minute window protects the tombstoned
@@ -653,25 +658,25 @@ class DeltaWriterSpec extends SparkSpec {
     assert(readBack(dir).count() == 16)
   }
 
-  test("cleanupLog refuses when the referenced checkpoint file is missing") {
+  test("cleanupLog with a dangling checkpoint hint heals from the JSON, never trusts it") {
     val dir = newDir()
     (0 until 10).foreach(i =>
       DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), dir))
-    // corrupt state: the hint survives, the checkpoint parquet does not
+    // corrupt state: the hint survives, the checkpoint parquet does not —
+    // the JSON commits are the only real replay state
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.delete(new HPath(dir,
       "_delta_log/00000000000000000009.checkpoint.parquet"), false))
     Thread.sleep(5)
-    val e = intercept[IllegalArgumentException] {
-      DeltaWriter.cleanupLog(spark, dir, retentionMs = 0L)
-    }
-    assert(e.getMessage.contains("refusing to retire"), e.getMessage)
-    // nothing was deleted: all 10 JSON commits survive (the recoverable
-    // replay state — the loader itself fails loudly on the dangling hint
-    // until it is repaired, which is the corruption surfacing, not hiding)
-    val json = new java.io.File(dir + "/_delta_log").listFiles()
-      .map(_.getName).filter(_.endsWith(".json"))
-    assert(json.length == 10, json.sorted.mkString(","))
+    // rebase replays the COMPLETE JSON history into a fresh checkpoint
+    // (the dangling hint's broken base is never read), and only then
+    // retires the JSON — the replay state is preserved by construction
+    assert(DeltaWriter.cleanupLog(spark, dir, retentionMs = 0L) == 10L)
+    val names = new java.io.File(dir + "/_delta_log").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(names.count(_.endsWith(".json")) == 0, names)
+    assert(names.contains("00000000000000000009.checkpoint.parquet"), names)
+    assert(readBack(dir).count() == 10)
   }
 
   test("re-checkpointing over a base whose remove struct lacks deletionTimestamp") {
@@ -808,6 +813,17 @@ class DeltaWriterSpec extends SparkSpec {
       DeltaWriter.vacuum(spark, dir, retentionMs = 0L)
     }
     assert(e.getMessage.contains("refusing to vacuum"), e.getMessage)
+    // the prescribed remedy WORKS when the checkpoint IS the head and the
+    // pre-checkpoint JSON is gone: a same-version rebase re-checkpoint
+    // refolds the base (review finding: the old `< v` base filter made
+    // exactly this scenario throw 'found no protocol/metaData')
+    assert(DeltaWriter.checkpoint(spark, dir) == 0L)
+    assert(rows(readBack(dir)) == Set(1L -> "a"))
+    // the rewrite is tombstone-CAPABLE, so vacuum now proceeds — with no
+    // clocks to honor, since the base never carried any (the documented
+    // trade the operator accepts by re-checkpointing after JSON loss)
+    DeltaWriter.vacuum(spark, dir, retentionMs = 0L)
+    assert(rows(readBack(dir)) == Set(1L -> "a"))
   }
 
   test("compact materializes deletion vectors: DV-free replacements, originals reclaimable") {
@@ -937,6 +953,23 @@ class DeltaWriterSpec extends SparkSpec {
     assert(commit.contains(""""partitionValues":{"col-ds":"d1"}"""), commit)
     assert(commit.contains("col-id"), "stats must use physical names: " + commit)
     assert(!commit.contains(""""id":1,"""), commit) // never the logical key
+    // the rewritten parquet carries PARQUET FIELD IDS from the mapping
+    // (id-mode readers resolve by field id, not name — review finding)
+    // the packed replacement is whichever live file is NOT the carried f3
+    val packedPath = readBack(dir).inputFiles
+      .map(p => new HPath(p)).find(!_.toString.endsWith(f3)).get
+    // upcast to GroupType: MessageType's vararg getType overload is
+    // ambiguous against GroupType's single-String one from Scala
+    val pqSchema: org.apache.parquet.schema.GroupType =
+      org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          packedPath, spark.sparkContext.hadoopConfiguration))
+        .getFooter.getFileMetaData.getSchema
+    assert(pqSchema.getType("col-id").getId.intValue == 1, pqSchema.toString)
+    assert(pqSchema.getType("col-v").getId.intValue == 2)
+    assert(pqSchema.getType("col-s").getId.intValue == 3)
+    assert(pqSchema.getType("col-s").asGroupType().getType("col-x")
+      .getId.intValue == 4, "nested mapped fields need ids too")
     // the replaced originals reclaim; contents hold
     Thread.sleep(5)
     assert(DeltaWriter.vacuum(spark, dir, retentionMs = 0L) >= 2L)

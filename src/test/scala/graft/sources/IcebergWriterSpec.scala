@@ -295,6 +295,14 @@ class IcebergWriterSpec extends SparkSpec with IcebergFixtures {
     IcebergWriter.write(Seq((3L, "c")).toDF("id", "name"), dir,
       txn = Some(("appZ", 6L)))
     assert(readBack(dir).count() == before + 1)
+    // the folded property SURVIVES later writes (review finding: write()
+    // rebuilt metadata from a template that dropped `properties`, which
+    // would silently re-open the exactly-once door for any OTHER app)
+    val hint2 = Files.readString(java.nio.file.Path.of(
+      dir + "/metadata/version-hint.text")).trim
+    val meta2 = mapper.readTree(Files.readString(java.nio.file.Path.of(
+      dir + s"/metadata/v$hint2.metadata.json")))
+    assert(meta2.get("properties").get("graft-ledger-appZ").asText() == "5")
   }
 
   private def dataParquetFiles(dir: String): Seq[java.io.File] = {
