@@ -476,6 +476,103 @@ object Relational {
       sum(dec2(col("o_totalprice"))).cast("double").as("total"))
     .orderBy(col("o_orderpriority"))
 
+  /** Tables taken through the full row-level DML sequence — DELETE
+    * (deletion vectors / position deletes), UPDATE with a partition MOVE,
+    * MERGE-by-key with replacements AND inserts — then compacted (the
+    * delete-materializing rewrite). The round-trip queries must aggregate
+    * bit-identically to the oracle's pure-SQL reconstruction of the same
+    * sequence over the original `orders`. Memoized like [[sinksFor]]. */
+  private val dmlSinkMemo =
+    new java.util.HashMap[(SparkSession, String), (String, String)]()
+  private def dmlSinksFor(spark: SparkSession, dir: String): (String, String) = {
+    val key = (spark, dir)
+    dmlSinkMemo.synchronized(Option(dmlSinkMemo.get(key))) match {
+      case Some(v) => v
+      case None =>
+        val base = java.nio.file.Paths.get(scratchRoot,
+          "dml-" + java.util.UUID.randomUUID().toString).toString
+        val orders = Tables.t(spark, dir, "orders")
+        def runDml(tableDir: String, fmt: String): Unit = {
+          val del = "o_orderstatus = 'F' AND o_totalprice < 100000"
+          val upd = Map("o_orderpriority" -> "'9-MOVED'")
+          // MERGE source: replacements for keys ≡1 (mod 997), brand-new
+          // keys ≡2 shifted beyond the key space
+          val src = orders.filter("o_orderkey % 997 = 1")
+            .withColumn("o_orderstatus", lit("X"))
+            .withColumn("o_totalprice", lit(0.0))
+            .unionByName(orders.filter("o_orderkey % 997 = 2")
+              .withColumn("o_orderkey", col("o_orderkey") + 50000000L)
+              .withColumn("o_orderstatus", lit("N")))
+          if (fmt == "delta") {
+            graft.sources.DeltaWriter.write(orders, tableDir,
+              partitionBy = Seq("o_orderpriority"))
+            graft.sources.DeltaDml.deleteWhere(spark, tableDir, del)
+            graft.sources.DeltaDml.updateWhere(spark, tableDir,
+              "o_orderstatus = 'P'", upd)
+            graft.sources.DeltaDml.upsert(src, tableDir, Seq("o_orderkey"))
+            graft.sources.DeltaWriter.compact(spark, tableDir,
+              targetFileBytes = 64L << 20)
+          } else {
+            graft.sources.IcebergWriter.write(orders, tableDir,
+              partitionBy = Seq("o_orderpriority"))
+            graft.sources.IcebergDml.deleteWhere(spark, tableDir, del)
+            graft.sources.IcebergDml.updateWhere(spark, tableDir,
+              "o_orderstatus = 'P'", upd)
+            graft.sources.IcebergDml.upsert(src, tableDir, Seq("o_orderkey"))
+            graft.sources.IcebergWriter.compactDataFiles(spark, tableDir,
+              targetFileBytes = 64L << 20)
+          }
+        }
+        val deltaDir = base + "/delta"
+        val iceDir = base + "/iceberg"
+        runDml(deltaDir, "delta")
+        runDml(iceDir, "iceberg")
+        val built = (deltaDir, iceDir)
+        val (result, lost) = dmlSinkMemo.synchronized {
+          Option(dmlSinkMemo.get(key)) match {
+            case Some(winner) => (winner, true)
+            case None => dmlSinkMemo.put(key, built); (built, false)
+          }
+        }
+        if (lost) deleteTree(new java.io.File(base))
+        result
+    }
+  }
+
+  private def dmlAgg(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+    .agg(count(lit(1)).as("n"),
+      sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** The [[dmlSinksFor]] sequence replayed in pure SQL (both formats'
+    * oracles — the on-disk results must match it bit-for-bit). */
+  private val dmlOracleSql: String =
+    """WITH afterdel AS (
+      |  SELECT * FROM orders
+      |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+      |), afterupd AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |    CASE WHEN o_orderstatus = 'P' THEN '9-MOVED'
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM afterdel
+      |), src AS (
+      |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+      |    0.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 997 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 997 = 2
+      |), merged AS (
+      |  SELECT * FROM afterupd
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |  UNION ALL SELECT * FROM src
+      |)
+      |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Orders landed through the iceberg writer's PARTITION TRANSFORMS
     * (`years(o_orderdate)` x `bucket(4, o_orderkey)`), memoized like
     * [[sinksFor]]. The round-trip aggregate proves no row is lost or
@@ -523,6 +620,20 @@ object Relational {
     // years()/bucket() transform tuples and comes back whole — the
     // aggregate over the rebuilt table must equal the oracle's over the
     // original bit-for-bit
+    // row-level DML round trips: DELETE + partition-moving UPDATE +
+    // MERGE-by-key land as deletion vectors / position deletes, compaction
+    // materializes them, and the result must still equal the oracle's
+    // pure-SQL reconstruction of the same sequence
+    "q_delta_dml_roundtrip" -> ((spark, dir) => {
+      val (deltaDir, _) = dmlSinksFor(spark, dir)
+      dmlAgg(graft.sources.DeltaLoader.load(spark,
+        graft.sources.TableSource("dml_d", deltaDir, Some("delta"))))
+    }),
+    "q_iceberg_dml_roundtrip" -> ((spark, dir) => {
+      val (_, iceDir) = dmlSinksFor(spark, dir)
+      dmlAgg(graft.sources.IcebergLoader.load(spark,
+        graft.sources.TableSource("dml_i", iceDir, Some("iceberg"))))
+    }),
     "q_iceberg_transform_roundtrip" -> ((spark, dir) => {
       val iceDir = transformSinkFor(spark, dir)
       graft.sources.IcebergLoader.load(spark,
@@ -983,6 +1094,12 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DML round-trip equality: the oracle replays the DELETE, the
+    // partition-moving UPDATE, and the MERGE in pure SQL over the base
+    // table; the Spark side aggregates what the DML writers + compaction
+    // actually produced on disk
+    "q_delta_dml_roundtrip" -> dmlOracleSql,
+    "q_iceberg_dml_roundtrip" -> dmlOracleSql,
     // pruned-scan equality: the Spark side reads only index-survivor files
     "q_colindex_scan" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -6,8 +6,8 @@ import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 
-/** Delta Lake deletion-vector reader, built from the PUBLIC formats the
-  * protocol mandates (delta.io PROTOCOL.md "Deletion Vectors" + the
+/** Delta Lake deletion-vector reader AND writer, built from the PUBLIC
+  * formats the protocol mandates (delta.io PROTOCOL.md "Deletion Vectors" + the
   * RoaringBitmap interoperable serialization spec,
   * github.com/RoaringBitmap/RoaringFormatSpec):
   *
@@ -39,6 +39,25 @@ object DeletionVectors {
     val idx = Array.fill(128)(-1)
     Z85Chars.zipWithIndex.foreach { case (c, i) => idx(c.toInt) = i }
     idx
+  }
+
+  /** Z85-encode `b` (length must be a multiple of 4 — UUIDs and DV blobs
+    * both are; the WRITE side of [[z85Decode]], needed by the DV writer's
+    * `u`-storage descriptors). */
+  def z85Encode(b: Array[Byte]): String = {
+    require(b.length % 4 == 0, s"Z85 input length ${b.length} not a multiple of 4")
+    val sb = new java.lang.StringBuilder(b.length / 4 * 5)
+    var i = 0
+    while (i < b.length) {
+      var v = ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+      val chunk = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { chunk(j) = Z85Chars((v % 85).toInt); v /= 85; j -= 1 }
+      sb.append(chunk)
+      i += 4
+    }
+    sb.toString
   }
 
   def z85Decode(s: String): Array[Byte] = {
@@ -214,6 +233,111 @@ object DeletionVectors {
     arr
   }
 
+  // ---- roaring bitmap (portable) WRITE side ---------------------------------
+
+  /** Serialize sorted, distinct row indexes into Delta's portable 64-bit
+    * RoaringBitmapArray (the exact inverse of [[deserializeBitmapArray]]):
+    * magic int32 LE, bitmap count int64 LE, then each 32-bit bitmap in the
+    * standard portable serialization. Keys are IMPLICIT 0..n-1, so empty
+    * intermediate high-words still serialize (as zero-container bitmaps).
+    * Containers: sorted-array for cardinality <= 4096, 1024-word bitset
+    * above — the no-run cookie form, which every roaring reader speaks. */
+  def serializeBitmapArray(sortedRows: Array[Long]): Array[Byte] = {
+    require(sortedRows.forall(_ >= 0), "deletion vector row indexes must be >= 0")
+    val nBitmaps = if (sortedRows.isEmpty) 0L else (sortedRows.last >>> 32) + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def leInt(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    def leShort(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    leInt(PortableMagic)
+    leInt(nBitmaps.toInt); leInt((nBitmaps >>> 32).toInt) // int64 LE
+    var i = 0
+    var high = 0L
+    while (high < nBitmaps) {
+      // slice this high-word's values; within it, group by the upper 16
+      // bits of the low word (container keys), values are the low 16 bits
+      val from = i
+      while (i < sortedRows.length && (sortedRows(i) >>> 32) == high) i += 1
+      val keys = Array.newBuilder[Int]
+      val cards = Array.newBuilder[Int]
+      val bounds = Array.newBuilder[(Int, Int)] // [start, end) into sortedRows
+      var j = from
+      while (j < i) {
+        val key = ((sortedRows(j) >>> 16) & 0xFFFF).toInt
+        val s = j
+        while (j < i && ((sortedRows(j) >>> 16) & 0xFFFF).toInt == key) j += 1
+        keys += key; cards += (j - s); bounds += ((s, j))
+      }
+      val ks = keys.result(); val cs = cards.result(); val bs = bounds.result()
+      val n = ks.length
+      leInt(SerialCookieNoRun)
+      leInt(n)
+      var c = 0
+      while (c < n) { leShort(ks(c)); leShort(cs(c) - 1); c += 1 }
+      // offset header (mandatory for the no-run cookie): byte position of
+      // each container from the START of this bitmap's serialization
+      var off = 4 + 4 + 4 * n + 4 * n
+      c = 0
+      while (c < n) {
+        leInt(off)
+        off += (if (cs(c) > 4096) 8192 else 2 * cs(c))
+        c += 1
+      }
+      c = 0
+      while (c < n) {
+        val (s, e) = bs(c)
+        if (cs(c) > 4096) {
+          val words = new Array[Long](1024)
+          var v = s
+          while (v < e) {
+            val low = (sortedRows(v) & 0xFFFF).toInt
+            words(low >>> 6) |= 1L << (low & 63)
+            v += 1
+          }
+          var w = 0
+          while (w < 1024) {
+            val word = words(w)
+            leInt(word.toInt); leInt((word >>> 32).toInt)
+            w += 1
+          }
+        } else {
+          var v = s
+          while (v < e) { leShort((sortedRows(v) & 0xFFFF).toInt); v += 1 }
+        }
+        c += 1
+      }
+      high += 1
+    }
+    out.toByteArray
+  }
+
+  /** Frame one serialized DV blob into the on-disk DV FILE layout and
+    * return the bytes to append at `offset` in the bin file:
+    * `[dataSize int32 BE][data][crc32 int32 BE]` (the layout [[read]]
+    * consumes; the leading format-version byte is the caller's, written
+    * once per file). */
+  def frameDvBlob(data: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + data.length + 4) // big-endian default
+    buf.putInt(data.length)
+    buf.put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
+  }
+
+  /** The `u`-storage descriptor naming: `pathOrInlineDv` for a DV file
+    * named `deletion_vector_<uuid>.bin` directly under the table root
+    * (empty prefix — the spec allows any, and [[dvPath]] resolves it). */
+  def z85OfUuid(uuid: java.util.UUID): String = {
+    val b = ByteBuffer.allocate(16)
+    b.putLong(uuid.getMostSignificantBits)
+    b.putLong(uuid.getLeastSignificantBits)
+    z85Encode(b.array())
+  }
+
   // ---- descriptor resolution -----------------------------------------------
 
   private def uuidFromZ85(s: String): java.util.UUID = {
@@ -238,7 +362,13 @@ object DeletionVectors {
 
   /** Read + decode a descriptor into its deleted row indexes; the
     * cardinality cross-check catches both corrupt files and format drift. */
-  def read(spark: SparkSession, tableUri: String, d: Descriptor): Array[Long] = {
+  def read(spark: SparkSession, tableUri: String, d: Descriptor): Array[Long] =
+    read(spark.sparkContext.hadoopConfiguration, tableUri, d)
+
+  /** Driver-free variant for EXECUTOR-side DV merges (the DML writer reads
+    * a file's previous DV inside the task that writes its replacement). */
+  def read(conf: org.apache.hadoop.conf.Configuration, tableUri: String,
+           d: Descriptor): Array[Long] = {
     val data: Array[Byte] = d.storageType match {
       case "i" =>
         // Z85 works in 4-byte groups, so the encoded form may carry
@@ -249,7 +379,7 @@ object DeletionVectors {
         else decoded
       case _ =>
         val p = dvPath(tableUri, d)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fs = p.getFileSystem(conf)
         val in = fs.open(p)
         try {
           val off = d.offset.getOrElse(1) // offset 0 would sit on the version byte

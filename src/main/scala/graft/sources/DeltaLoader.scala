@@ -58,7 +58,14 @@ object DeltaLoader {
       schema: StructType,
       partitionColumns: Seq[String],
       version: Long,
-      columnMappingMode: String = "none")
+      columnMappingMode: String = "none",
+      /** The newest metaData/protocol actions VERBATIM (raw JSON) — DML
+        * commits that must update one field (enable a table feature, set a
+        * config key) surgically edit these instead of rebuilding from a
+        * template, so unmodeled fields survive (the lesson the Iceberg
+        * writer's property-dropping review finding taught). */
+      metaDataJson: Option[String] = None,
+      protocolJson: Option[String] = None)
 
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            dv: Option[DeletionVectors.Descriptor] = None,
@@ -112,11 +119,14 @@ object DeltaLoader {
     var partCols: Seq[String] = Seq.empty
     var maxVersion = -1L
     var colMapping = "none"
+    var rawMeta: Option[String] = None
+    var rawProto: Option[String] = None
 
     def applyMeta(node: JsonNode): Unit = {
       val meta = node.get("metaData")
       val protocol = node.get("protocol")
       if (meta != null && !meta.isNull) {
+        rawMeta = Some(mapper.writeValueAsString(meta))
         schemaJson = meta.get("schemaString").asText()
         partCols = Option(meta.get("partitionColumns"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
@@ -127,6 +137,7 @@ object DeltaLoader {
           s"Delta reader: columnMapping mode `$colMapping` is not supported")
       }
       if (protocol != null && !protocol.isNull) {
+        rawProto = Some(mapper.writeValueAsString(protocol))
         val mrv = protocol.get("minReaderVersion").asInt()
         val features = Option(protocol.get("readerFeatures"))
           .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
@@ -238,7 +249,7 @@ object DeltaLoader {
 
     Snapshot(fromCheckpoint ++ addedAfter.values,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols, maxVersion,
-      colMapping)
+      colMapping, rawMeta, rawProto)
   }
 
   private def parseDv(node: JsonNode): Option[DeletionVectors.Descriptor] =
@@ -300,7 +311,18 @@ object DeltaLoader {
 
   // ---- scan -----------------------------------------------------------------
 
-  private def toDataFrame(spark: SparkSession, tableUri: String, snap: Snapshot): DataFrame = {
+  private def toDataFrame(spark: SparkSession, tableUri: String, snap: Snapshot): DataFrame =
+    buildScan(spark, tableUri, snap, keepIds = false)
+
+  /** The table scan WITH the `__graft_fp` (normalized absolute file path)
+    * and `__graft_ri` (row index) identity columns kept — the DML layer's
+    * input: deletion vectors address rows by exactly this pair. */
+  private[sources] def scanWithIds(spark: SparkSession, tableUri: String,
+                                   snap: Snapshot): DataFrame =
+    buildScan(spark, tableUri, snap, keepIds = true)
+
+  private def buildScan(spark: SparkSession, tableUri: String, snap: Snapshot,
+                        keepIds: Boolean): DataFrame = {
     require(snap.files.nonEmpty, s"Delta table `$tableUri` has no live files")
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
@@ -320,20 +342,23 @@ object DeltaLoader {
     // driver-bounded by total deleted rows, same as any DV-aware metadata
     // handler; at larger scale the next step is pushing the per-row-group
     // slices into the scan instead of the join.
-    val dvFiles = snap.files.collect { case f if f.dv.isDefined => (abs(f.path), f.dv.get) }
+    // keyed in the SCAN's (percent-encoded) path domain — raw on-disk
+    // spellings silently miss on space-bearing partition dirs
+    val dvFiles = snap.files.collect { case f if f.dv.isDefined =>
+      (PartitionLayout.scanPathKey(abs(f.path)), f.dv.get) }
     val hasDv = dvFiles.nonEmpty
-    def normFp(p: String): String = p.replaceFirst("^file:/+", "/")
+    val needIds = hasDv || keepIds
 
     def scan(paths: Seq[String]): DataFrame = {
       val df = spark.read.schema(readSchema).parquet(paths: _*)
-      if (!hasDv) df
+      if (!needIds) df
       else df
         .withColumn("__graft_fp", org.apache.spark.sql.functions.regexp_replace(
           col("_metadata.file_path"), "^file:/+", "/"))
         .withColumn("__graft_ri", col("_metadata.row_index"))
     }
     val helperCols =
-      if (hasDv) Seq(col("__graft_fp"), col("__graft_ri")) else Seq.empty
+      if (needIds) Seq(col("__graft_fp"), col("__graft_ri")) else Seq.empty
     def toLogical(df: DataFrame): DataFrame =
       if (!mapped) df
       else df.select(logicalData.fields.zip(readSchema.fields).map { case (lf, pf) =>
@@ -363,11 +388,13 @@ object DeltaLoader {
       else {
         import spark.implicits._
         val deleted = dvFiles.flatMap { case (p, d) =>
-          DeletionVectors.read(spark, tableUri, d).map(ri => (normFp(p), ri))
+          DeletionVectors.read(spark, tableUri, d).map(ri => (p, ri))
         }.toDF("__graft_fp", "__graft_ri")
         base.join(org.apache.spark.sql.functions.broadcast(deleted),
           Seq("__graft_fp", "__graft_ri"), "left_anti")
       }
-    undeleted.select(snap.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    val keep = snap.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq ++
+      (if (keepIds) Seq(col("__graft_fp"), col("__graft_ri")) else Seq.empty)
+    undeleted.select(keep: _*)
   }
 }

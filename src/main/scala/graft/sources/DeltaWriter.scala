@@ -159,53 +159,8 @@ object DeltaWriter {
               "(string / int-family / boolean / date only)")
         }
         PartitionLayout.refuseEmptyStringKeys(df, partCols, "DeltaWriter")
-        // distributed data write into a scratch dir (ONE job for both
-        // layouts — partitioned writes go through Spark's dynamic-
-        // partition writer, which keeps partition columns OUT of the data
-        // files, exactly the protocol's shape), then move each part under
-        // the table root, keeping partition dirs (part names repeat
-        // ACROSS partition dirs; within one dir Spark's task UUIDs keep
-        // them unique across concurrent writers)
-        val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
-        val writer0 = df.write.mode("overwrite")
-        (if (partCols.isEmpty) writer0 else writer0.partitionBy(partCols: _*))
-          .parquet(scratch.toString)
-        val conf = spark.sparkContext.hadoopConfiguration
-        // partition columns live in the log, not the files — no stats for
-        // them (the column index derives exact zones from partitionValues)
-        val statCols = df.schema.fields.map(_.name)
-          .filterNot(partCols.contains).toSeq
-        adds = PartitionLayout.collectParts(fs, scratch).map { case (p, segs) =>
-          val name = p.getName
-          val bySeg = segs.map(PartitionLayout.parseSegment).toMap
-          // the protocol's partitionValues: string-serialized values, JSON
-          // null for the hive default-partition marker
-          val pvJson = partCols.map { c =>
-            val raw = bySeg.getOrElse(c, throw new IllegalStateException(
-              s"partition dir for `$c` missing under scratch"))
-            PartitionLayout.unescape(raw) match {
-              case Some(v) => s"${jstr(c)}:${jstr(v)}"
-              case None => s"${jstr(c)}:null"
-            }
-          }.mkString("{", ",", "}")
-          val relDir = segs.mkString("/")
-          val targetDir = if (relDir.isEmpty) root else new HPath(root, relDir)
-          fs.mkdirs(targetDir)
-          val target = new HPath(targetDir, name)
-          require(fs.rename(p, target),
-            s"DeltaWriter could not move data file $name into $targetDir")
-          val addPath = encodeAddPath(if (relDir.isEmpty) name else s"$relDir/$name")
-          val size = fs.getFileStatus(target).getLen
-          // the protocol's per-file statistics channel: data-skipping
-          // readers (delta-rs, ColumnIndex.buildFromDelta) plan off these
-          // without touching a single parquet footer
-          val stats = statsJson(conf, target, statCols)
-            .map(s => s""","stats":${jstr(s)}""").getOrElse("")
-          s"""{"add":{"path":${jstr(addPath)},"partitionValues":$pvJson,""" +
-            s""""size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
-        }
+        adds = writeDataFiles(df, fs, root, partCols, now)
         writtenPartCols = partCols
-        fs.delete(scratch, true)
       }
 
       val removes =
@@ -262,6 +217,60 @@ object DeltaWriter {
       }
     }
     -1L // unreachable
+  }
+
+  /** Distributed data-file write shared by [[write]] and the DML paths
+    * ([[DeltaDml.updateWhere]]/[[DeltaDml.upsert]] land their new rows
+    * through the same machinery): one Spark job into a scratch dir —
+    * partitioned writes go through Spark's dynamic-partition writer, which
+    * keeps partition columns OUT of the data files, exactly the protocol's
+    * shape — then each part moves under the table root keeping partition
+    * dirs (part names repeat ACROSS partition dirs; within one dir Spark's
+    * task UUIDs keep them unique across concurrent writers). Returns the
+    * add-action JSON lines, stats included (the protocol's per-file
+    * statistics channel: data-skipping readers plan off these without
+    * touching a single parquet footer). */
+  private[sources] def writeDataFiles(df: DataFrame, fs: FileSystem,
+                                      root: HPath, partCols: Seq[String],
+                                      now: Long): Seq[String] = {
+    val spark = df.sparkSession
+    val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+    val writer0 = df.write.mode("overwrite")
+    (if (partCols.isEmpty) writer0 else writer0.partitionBy(partCols: _*))
+      .parquet(scratch.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // partition columns live in the log, not the files — no stats for
+    // them (the column index derives exact zones from partitionValues)
+    val statCols = df.schema.fields.map(_.name)
+      .filterNot(partCols.contains).toSeq
+    val adds = PartitionLayout.collectParts(fs, scratch).map { case (p, segs) =>
+      val name = p.getName
+      val bySeg = segs.map(PartitionLayout.parseSegment).toMap
+      // the protocol's partitionValues: string-serialized values, JSON
+      // null for the hive default-partition marker
+      val pvJson = partCols.map { c =>
+        val raw = bySeg.getOrElse(c, throw new IllegalStateException(
+          s"partition dir for `$c` missing under scratch"))
+        PartitionLayout.unescape(raw) match {
+          case Some(v) => s"${jstr(c)}:${jstr(v)}"
+          case None => s"${jstr(c)}:null"
+        }
+      }.mkString("{", ",", "}")
+      val relDir = segs.mkString("/")
+      val targetDir = if (relDir.isEmpty) root else new HPath(root, relDir)
+      fs.mkdirs(targetDir)
+      val target = new HPath(targetDir, name)
+      require(fs.rename(p, target),
+        s"DeltaWriter could not move data file $name into $targetDir")
+      val addPath = encodeAddPath(if (relDir.isEmpty) name else s"$relDir/$name")
+      val size = fs.getFileStatus(target).getLen
+      val stats = statsJson(conf, target, statCols)
+        .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      s"""{"add":{"path":${jstr(addPath)},"partitionValues":$pvJson,""" +
+        s""""size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
+    }
+    fs.delete(scratch, true)
+    adds
   }
 
   /** Commits between checkpoints: after committing version v with
@@ -530,7 +539,7 @@ object DeltaWriter {
       })
   }
 
-  private def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
+  private[sources] def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
 
   /** Log retention (upstream's `delta.logRetentionDuration` story): delete
     * JSON commits at or below the LAST checkpoint — plus checkpoints that
@@ -661,7 +670,7 @@ object DeltaWriter {
     * Otherwise the truncated file is deleted — a half-written commit
     * line would brick every later log replay — and a delete failure is
     * reported LOUDLY, never swallowed. */
-  private def commitJson(fs: FileSystem, target: HPath, lines: String): Boolean = {
+  private[sources] def commitJson(fs: FileSystem, target: HPath, lines: String): Boolean = {
     var created = false
     try {
       val out = fs.create(target, false)
@@ -956,7 +965,7 @@ object DeltaWriter {
     Some(mapper.writeValueAsString(doc))
   }
 
-  private def readLastCheckpoint(fs: FileSystem, logDir: HPath)
+  private[sources] def readLastCheckpoint(fs: FileSystem, logDir: HPath)
       : Option[(Long, Option[Int])] = {
     val lc = new HPath(logDir, "_last_checkpoint")
     if (!fs.exists(lc)) None
@@ -1067,7 +1076,7 @@ object DeltaWriter {
     * the old differently-named parts behind as inert garbage (readers
     * follow `_last_checkpoint.parts`); [[cleanupLog]] retires them once
     * superseded. */
-  private def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
+  private[sources] def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
                               fs: FileSystem, root: HPath, logDir: HPath,
                               v: Long,
                               actionsPerPart: Long = checkpointPartActions,
@@ -1412,5 +1421,5 @@ object DeltaWriter {
     }
   }
 
-  private def jstr(s: String): String = mapper.writeValueAsString(s)
+  private[sources] def jstr(s: String): String = mapper.writeValueAsString(s)
 }

@@ -1,0 +1,326 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.avro.generic.GenericRecord
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType,
+  StructField, StructType}
+
+/** Row-level DML on Iceberg v2 tables — DELETE / UPDATE / MERGE-by-key —
+  * built on the spec's POSITION-DELETE files (iceberg spec §Delete
+  * Formats; [[DeltaDml]]'s sibling, same pipeline motivation: retention
+  * deletes, score updates and dedup merges on tables too big to rewrite).
+  *
+  * Mechanics: matched live rows become `(file_path, pos)` rows written as
+  * position-delete parquet files (sorted by file_path then pos, columns
+  * carrying the spec's reserved field ids 2147483546/2147483545), listed
+  * by a content=1 manifest under an UNPARTITIONED spec (the spec's
+  * "global deletes" form — one delete file may doom rows across
+  * partitions), at the commit's new sequence number so they apply to
+  * every current data file (`data_seq <= delete_seq`) and never to files
+  * added later. UPDATE and MERGE add their replacement rows as ordinary
+  * data files (content=0 manifest under the table's default spec) in the
+  * SAME snapshot, so readers see the swap atomically. The metadata commit
+  * is a SURGICAL edit of the current metadata JSON (snapshots appended,
+  * sequence/current-snapshot advanced, an unpartitioned spec entry added
+  * only if none exists) — adopted tables keep every unmodeled field.
+  *
+  * Deferred cost, by design: delete-bearing files pay an anti-join per
+  * scan until [[IcebergWriter.compactDataFiles]] materializes the deletes
+  * (it already treats delete-affected files as rewrite candidates) and
+  * [[IcebergWriter.expireSnapshots]] reclaims the spent delete files.
+  *
+  * Scale shape: the matched scan is one distributed job (predicates push
+  * into parquet; identity partition columns live IN iceberg data files,
+  * so partition predicates prune row groups natively); the delete rows
+  * shuffle once for the spec-mandated (file_path, pos) sort and never
+  * touch the driver; only per-file manifest rows do. */
+object IcebergDml {
+
+  private val mapper = new ObjectMapper()
+
+  /** Delete live rows matching `predicate`. Returns the committed
+    * metadata version, or -1 when nothing matched. */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: String): Long =
+    dml(spark, dir, "delete", predicate, None, None)
+
+  /** Update live rows matching `predicate` with `set` (column -> SQL
+    * expression over the matched row): position-deletes the old rows and
+    * appends the rewritten ones in one snapshot. Returns the committed
+    * metadata version, or -1 when nothing matched. */
+  def updateWhere(spark: SparkSession, dir: String, predicate: String,
+                  set: Map[String, String]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    dml(spark, dir, "overwrite", predicate, Some(set), None)
+  }
+
+  /** MERGE by key (upsert): target rows whose `keys` tuple appears in
+    * `source` are position-deleted and ALL source rows append — one
+    * snapshot. Returns the committed metadata version. */
+  def upsert(source: DataFrame, dir: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    dml(source.sparkSession, dir, "overwrite", null, None, Some((source, keys)))
+  }
+
+  // ---- the engine ------------------------------------------------------------
+
+  private def dml(spark: SparkSession, dir: String, op: String,
+                  predicate: String, set: Option[Map[String, String]],
+                  merge: Option[(DataFrame, Seq[String])]): Long = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new HPath(root, "metadata")
+    val (meta, currentVersion0) = IcebergLoader.currentMetadataVersioned(fs, dir)
+    val currentVersion = currentVersion0 match {
+      case -1L => IcebergWriter.metadataVersion(fs, metaDir)
+      case v => v
+    }
+    require(Option(meta.get("format-version")).exists(_.asInt() >= 2),
+      "IcebergDml needs a format v2 table (position deletes are a v2 " +
+        "feature); overwrite through IcebergWriter.write to upgrade")
+    val schema = IcebergLoader.tableSchema(meta)
+    merge.foreach { case (source, keys) =>
+      val want = source.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val have = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(want == have,
+        s"upsert source schema ${want.mkString(",")} does not match table " +
+          s"schema ${have.mkString(",")}")
+      keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"upsert key `$k` is not a table column"))
+    }
+    set.foreach(_.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"SET column `$c` is not a table column")))
+
+    val snap = IcebergLoader.chooseSnapshot(meta, dir, None)
+    val plan = IcebergLoader.planSnapshot(fs, dir, meta, snap)
+    if (plan.dataFiles.isEmpty) {
+      return merge.fold(-1L) { case (source, _) =>
+        IcebergWriter.write(source, dir, "append")
+      }
+    }
+    val schemaNode = IcebergLoader.schemaNodeFor(meta, snap)
+    val scan = IcebergLoader.scanLive(spark, schemaNode, plan,
+      plan.dataFiles.map(_._1),
+      IcebergLoader.positionTombstones(spark, fs, dir, meta, plan),
+      keepIds = true)
+    val matched0 = merge match {
+      case Some((source, keys)) =>
+        scan.join(source.select(keys.map(k => col(s"`$k`")): _*).distinct(),
+          keys, "left_semi")
+      case None => scan.where(expr(predicate))
+    }
+    val matched = if (set.isDefined) matched0.persist() else matched0
+
+    try {
+      val now = System.currentTimeMillis()
+      val seq = Option(meta.get("last-sequence-number")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(0L) + 1
+      val snapshots = Option(meta.get("snapshots")).filterNot(_.isNull)
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      val snapId = snapshots.map(_.get("snapshot-id").asLong())
+        .foldLeft(0L)(math.max) + 1
+
+      val deleteFiles = writeDeleteFiles(spark, fs, root,
+        matched.select(col("__graft_fp"), col("__graft_ri")),
+        plan.dataFiles.map(_._1))
+      if (deleteFiles.isEmpty && merge.isEmpty) return -1L
+
+      // replacement/new data files (UPDATE's rewritten rows, MERGE's
+      // source) through the shared data-part writer, under the table's
+      // default spec
+      val partFields = IcebergWriter.specPartFields(meta)
+      val partTypes = partFields.map(pf => pf.name ->
+        IcebergWriter.transformResultType(pf, schema(pf.source).dataType)).toMap
+      val newData: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
+        (set, merge) match {
+          case (Some(assignments), _) =>
+            val updated = assignments.foldLeft(
+              matched.select(schema.fieldNames.map(n => col(s"`$n`"))
+                .toIndexedSeq: _*)) { case (acc, (c, e)) =>
+              acc.withColumn(c, expr(e).cast(schema(c).dataType))
+            }
+            IcebergWriter.writeDataParts(updated, fs, root, partFields, partTypes)
+          case (_, Some((source, _))) =>
+            IcebergWriter.writeDataParts(source, fs, root, partFields, partTypes)
+          case _ => Seq.empty
+        }
+
+      // delete manifest: content=1 entries under an unpartitioned spec
+      // (added to partition-specs only when none exists)
+      val metaObj = meta.deepCopy[ObjectNode]()
+      val delManifest: Option[GenericRecord] =
+        if (deleteFiles.isEmpty) None
+        else {
+          val mSchema = IcebergWriter.manifestSchemaFor(Seq.empty)
+          val entries = deleteFiles.map { case (p, size, rows) =>
+            IcebergWriter.manifestEntryRaw(mSchema, 1, seq, p, size, rows,
+              Seq.empty, Map.empty, Map.empty, Map.empty, content = 1)
+          }
+          val mp = new HPath(metaDir,
+            s"graft-d$snapId-${java.util.UUID.randomUUID()}.avro")
+          IcebergWriter.writeAvro(fs, mSchema, entries, mp)
+          val e = new org.apache.avro.generic.GenericData.Record(
+            IcebergWriter.manifestListSchema)
+          e.put("manifest_path", mp.toString)
+          e.put("manifest_length", fs.getFileStatus(mp).getLen)
+          e.put("partition_spec_id", unpartitionedSpecId(metaObj))
+          e.put("content", 1)
+          e.put("sequence_number", Long.box(seq))
+          e.put("added_snapshot_id", snapId)
+          Some(e)
+        }
+
+      // data manifest for the new files, bounds and all (the same
+      // data-skipping channel write() publishes)
+      val dataManifest: Option[GenericRecord] =
+        if (newData.isEmpty) None
+        else {
+          val fieldIds: Map[String, Int] = schemaNode.get("fields")
+            .elements().asScala
+            .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+          val mSchema = IcebergWriter.manifestSchemaFor(
+            partFields.map(pf => pf.name -> partTypes(pf.name)))
+          val entries = newData.map { case (path, size, fz, tuple) =>
+            IcebergWriter.manifestEntry(mSchema, seq, path, size, fz, tuple,
+              fieldIds, c => schema.fields.find(_.name == c).map(_.dataType))
+          }
+          val mp = new HPath(metaDir,
+            s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
+          IcebergWriter.writeAvro(fs, mSchema, entries, mp)
+          val e = new org.apache.avro.generic.GenericData.Record(
+            IcebergWriter.manifestListSchema)
+          e.put("manifest_path", mp.toString)
+          e.put("manifest_length", fs.getFileStatus(mp).getLen)
+          e.put("partition_spec_id",
+            Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0))
+          e.put("content", 0)
+          e.put("sequence_number", Long.box(seq))
+          e.put("added_snapshot_id", snapId)
+          Some(e)
+        }
+
+      // manifest list: every current entry carried verbatim + the new ones
+      val carried: Seq[GenericRecord] =
+        IcebergWriter.currentManifestList(fs, meta, dir).map { prev =>
+          val m = new org.apache.avro.generic.GenericData.Record(
+            IcebergWriter.manifestListSchema)
+          m.put("manifest_path", prev._1)
+          m.put("manifest_length", prev._2)
+          m.put("partition_spec_id", prev._6)
+          m.put("content", prev._3)
+          prev._4.foreach(s => m.put("sequence_number", Long.box(s)))
+          m.put("added_snapshot_id", prev._5)
+          m
+        }
+      val listPath = new HPath(metaDir,
+        s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
+      IcebergWriter.writeAvro(fs, IcebergWriter.manifestListSchema,
+        carried ++ delManifest.toSeq ++ dataManifest.toSeq, listPath)
+
+      // surgical metadata advance
+      val snapNode = mapper.createObjectNode()
+      snapNode.put("snapshot-id", snapId)
+      snapNode.put("sequence-number", seq)
+      snapNode.put("timestamp-ms", now)
+      Option(meta.get("current-schema-id")).filterNot(_.isNull)
+        .foreach(id => snapNode.put("schema-id", id.asInt()))
+      snapNode.put("manifest-list", listPath.toString)
+      snapNode.putObject("summary").put("operation", op)
+      metaObj.put("last-sequence-number", seq)
+      metaObj.put("last-updated-ms", now)
+      metaObj.put("current-snapshot-id", snapId)
+      metaObj.withArray("snapshots").add(snapNode)
+
+      val version = IcebergWriter.commitMetadata(fs, metaDir, currentVersion,
+        mapper.writeValueAsString(metaObj), op)
+      val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
+      try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+      ColumnIndexRegistry.refreshFromCommit(spark, dir, "iceberg")
+      version
+    } finally if (set.isDefined) matched.unpersist()
+  }
+
+  // ---- position-delete file write --------------------------------------------
+
+  /** The spec's position-delete schema with its RESERVED field ids,
+    * stamped into the parquet so real iceberg readers resolve the columns
+    * by id (spec §Reserved Field IDs: file_path 2147483546, pos
+    * 2147483545). */
+  private val deleteSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false,
+      new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()),
+    StructField("pos", LongType, nullable = false,
+      new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build())))
+
+  /** Write the matched (file, row) pairs as sorted position-delete parquet
+    * files under `data/` and return (path, size, rows) per file. The sort
+    * is the spec's required ordering (file_path, then pos) — a range
+    * shuffle, fully distributed; files land via scratch + move like every
+    * other writer path. `file_path` values are written in the MANIFEST's
+    * raw spelling (external engines match them verbatim against their
+    * data-file entries), mapped back from the scan's percent-encoded
+    * `__graft_fp` domain through a broadcast (canonical -> raw) relation
+    * over the planned files. */
+  private def writeDeleteFiles(spark: SparkSession, fs: FileSystem,
+                               root: HPath, matchedIds: DataFrame,
+                               dataFiles: Seq[String]): Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
+    val toRaw = spark.createDataFrame(dataFiles.map(p =>
+        org.apache.spark.sql.Row(PartitionLayout.scanPathKey(p), normStr(p))).asJava,
+      StructType(Seq(
+        StructField("__graft_fp", StringType, nullable = false),
+        StructField("__graft_raw", StringType, nullable = false))))
+    val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+    matchedIds
+      .join(org.apache.spark.sql.functions.broadcast(toRaw), Seq("__graft_fp"))
+      .select(
+        col("__graft_raw").cast(StringType).as("file_path", deleteSchema("file_path").metadata),
+        col("__graft_ri").cast(LongType).as("pos", deleteSchema("pos").metadata))
+      .sort("file_path", "pos")
+      .write.mode("overwrite").parquet(scratch.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new HPath(root, "data")
+    fs.mkdirs(dataDir)
+    val out = PartitionLayout.collectParts(fs, scratch).map { case (p, _) =>
+      val target = new HPath(dataDir, s"delete-${p.getName}")
+      require(fs.rename(p, target),
+        s"IcebergDml could not move delete file ${p.getName} into $dataDir")
+      val st = fs.getFileStatus(target)
+      val fz = ColumnIndex.readFileZones(conf, target.toString, Seq.empty)
+      require(fz.rows >= 0L,
+        s"IcebergDml could not read back the footer of $target")
+      (target.toString, st.getLen, fz.rows)
+    }
+    fs.delete(scratch, true)
+    out.filter(_._3 > 0L)
+  }
+
+  /** The spec-id of an unpartitioned spec, ADDING one to `metaObj`'s
+    * partition-specs when the table has none (delete manifests reference
+    * it — the spec's global-delete form). */
+  private def unpartitionedSpecId(metaObj: ObjectNode): Int = {
+    val specs = Option(metaObj.get("partition-specs")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    specs.find(s => Option(s.get("fields")).forall(_.size() == 0))
+      .map(s => Option(s.get("spec-id")).map(_.asInt()).getOrElse(0))
+      .getOrElse {
+        val nextId = specs.map(s =>
+          Option(s.get("spec-id")).map(_.asInt()).getOrElse(0))
+          .foldLeft(-1)(math.max) + 1
+        val spec = mapper.createObjectNode()
+        spec.put("spec-id", nextId)
+        spec.putArray("fields")
+        metaObj.withArray("partition-specs").add(spec)
+        nextId
+      }
+  }
+}

@@ -506,16 +506,33 @@ object IcebergLoader {
     val loc = Option(meta.get("location")).filterNot(_.isNull)
       .map(p => normStr(p.asText().stripSuffix("/")))
     val root = normStr(tableUri.stripSuffix("/"))
+    // Spellings bridge: delete-file contents carry the MANIFEST's raw
+    // path spelling, but the scan's `__graft_fp` is the percent-ENCODED
+    // `Path.toUri` form ([[PartitionLayout.scanPathKey]]) — on a
+    // space-bearing partition dir the two differ and a raw string match
+    // silently resurrects deleted rows. One tiny (variant -> canonical)
+    // relation per planned data file maps EITHER spelling into the scan
+    // domain; rows referencing dead files drop, which is what they mean.
+    val spellings = plan.dataFiles.flatMap { case (p, _) =>
+      val canon = PartitionLayout.scanPathKey(p)
+      Seq(normStr(p) -> canon, canon -> canon).distinct
+    }.distinct
     val parquetDeletes =
       if (plan.positionDeleteFiles.isEmpty) None
       else {
+        val spellDf = spark.createDataFrame(spellings.map(v =>
+            org.apache.spark.sql.Row(v._1, v._2)).asJava,
+          StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
+            StructField("__graft_canon", StringType, nullable = false))))
         val rawDeletes = spark.read.parquet(plan.positionDeleteFiles: _*)
           .select(normFp(col("file_path").cast("string")).as("__graft_fp"),
             col("pos").cast("long").as("__graft_ri"))
-        Some(loc.filter(_ != root).fold(rawDeletes)(l =>
+        val remapped = loc.filter(_ != root).fold(rawDeletes)(l =>
           rawDeletes.withColumn("__graft_fp", regexp_replace(col("__graft_fp"),
             "^" + java.util.regex.Pattern.quote(l + "/"),
-            java.util.regex.Matcher.quoteReplacement(root + "/")))))
+            java.util.regex.Matcher.quoteReplacement(root + "/"))))
+        Some(remapped.join(broadcast(spellDf), Seq("__graft_fp"))
+          .select(col("__graft_canon").as("__graft_fp"), col("__graft_ri")))
       }
     // v3 deletion vectors: decode each Puffin blob into row indexes for
     // its ONE referenced data file (path already remapped at plan time)
@@ -528,7 +545,8 @@ object IcebergLoader {
         val pairs = plan.deletionVectors.flatMap { d =>
           DeletionVectors.readIcebergDv(fs, new HPath(d.puffinPath),
               d.contentOffset, d.contentSize)
-            .map(ri => org.apache.spark.sql.Row(normStr(d.referencedDataFile), ri))
+            .map(ri => org.apache.spark.sql.Row(
+              PartitionLayout.scanPathKey(d.referencedDataFile), ri))
         }
         Some(spark.createDataFrame(pairs.asJava,
           StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
@@ -548,7 +566,12 @@ object IcebergLoader {
     * multi-group compaction decodes each Puffin blob once. */
   private[sources] def scanLive(spark: SparkSession, schemaNode: JsonNode,
                                 plan: PlannedScan, files: Seq[String],
-                                posTombs: Option[DataFrame]): DataFrame = {
+                                posTombs: Option[DataFrame],
+                                /** keep `__graft_fp`/`__graft_ri` in the
+                                  * output — [[IcebergDml]]'s row identity
+                                  * (position deletes address exactly this
+                                  * pair). */
+                                keepIds: Boolean = false): DataFrame = {
     val schema = toSparkType(schemaNode).asInstanceOf[StructType]
     val base = spark.read.schema(schema).parquet(files: _*)
       .withColumn("__graft_fp", normFp(col("_metadata.file_path")))
@@ -560,7 +583,9 @@ object IcebergLoader {
     }
     val afterEq = if (plan.equalityDeleteFiles.isEmpty) afterPos
     else applyEqualityDeletes(spark, afterPos, schemaNode, plan)
-    afterEq.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    val keep = schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq ++
+      (if (keepIds) Seq(col("__graft_fp"), col("__graft_ri")) else Seq.empty)
+    afterEq.select(keep: _*)
   }
 
   /** Equality deletes (spec §Delete Formats): a delete file's rows name
@@ -576,8 +601,11 @@ object IcebergLoader {
                                    plan: PlannedScan): DataFrame = {
     import org.apache.spark.sql.functions.{lit, max}
     val idToName = fieldIdToName(schemaNode)
+    // keyed in the scan's percent-encoded path domain, like every other
+    // (file -> metadata) bridge (a raw-path key misses on space-bearing
+    // partition dirs, nulling the sequence gate and resurrecting rows)
     val fileSeq = spark.createDataFrame(plan.dataFiles.map(p =>
-        org.apache.spark.sql.Row(p._1, p._2)).asJava,
+        org.apache.spark.sql.Row(PartitionLayout.scanPathKey(p._1), p._2)).asJava,
       StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
         StructField("__graft_dseq", LongType, nullable = false))))
     val withSeq = df0.join(broadcast(fileSeq), Seq("__graft_fp"), "left")

@@ -77,7 +77,7 @@ object IcebergWriter {
 
   private val mapper = new ObjectMapper()
 
-  private val manifestListSchema: Schema = new Schema.Parser().parse(
+  private[sources] val manifestListSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
@@ -176,58 +176,10 @@ object IcebergWriter {
     }
     if (alreadyCommitted) return currentVersion
 
-    // data files: ONE distributed job for both layouts. Partitioned writes
-    // duplicate each partition column under a `__p_` name and let Spark's
-    // dynamic-partition writer split files by tuple — each data file then
-    // holds exactly one partition tuple AND still contains the identity
-    // source columns, as the spec requires. Tuples are decoded back from
-    // the hive-escaped scratch dir names, typed by the column's schema.
-    val dataDir = new HPath(root, "data")
-    fs.mkdirs(dataDir)
-    val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
-    val dup = partFields.map(pf => s"__p_${pf.name}")
-    val toWrite = partFields.foldLeft(df) { (acc, pf) =>
-      acc.withColumn(s"__p_${pf.name}",
-        transformColumn(pf, df.schema(pf.source).dataType))
-    }
-    // the refusal runs on the TRANSFORMED values: truncate("") is "" too
-    PartitionLayout.refuseEmptyStringKeys(toWrite, dup, "IcebergWriter")
-    val writer = toWrite.write.mode("overwrite")
-    (if (dup.isEmpty) writer else writer.partitionBy(dup: _*))
-      .parquet(scratch.toString)
-    val conf = spark.sparkContext.hadoopConfiguration
     val partTypes: Map[String, DataType] = partFields.map(pf =>
       pf.name -> transformResultType(pf, df.schema(pf.source).dataType)).toMap
-    val statCols = df.schema.fields
-      .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq
     val moved: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
-      PartitionLayout.collectParts(fs, scratch).map { case (p, segs) =>
-        val bySeg = segs.map(PartitionLayout.parseSegment).toMap
-        val tuple = partFields.map { pf =>
-          val raw = bySeg.getOrElse(s"__p_${pf.name}",
-            throw new IllegalStateException(
-              s"partition dir for `${pf.name}` missing under scratch"))
-          pf.name -> decodePartitionValue(raw, partTypes(pf.name))
-        }
-        // keep the tuple dirs (minus the __p_ mangle) under data/ — file
-        // names repeat ACROSS partition dirs (one task writes the same
-        // part-name into every tuple it holds), so a flat move would clash
-        val relDir = segs.map(_.stripPrefix("__p_")).mkString("/")
-        val targetDir = if (relDir.isEmpty) dataDir else new HPath(dataDir, relDir)
-        fs.mkdirs(targetDir)
-        val target = new HPath(targetDir, p.getName)
-        require(fs.rename(p, target),
-          s"IcebergWriter could not move data file ${p.getName} into $targetDir")
-        val st = fs.getFileStatus(target)
-        // ONE footer read per file supplies both the TRUE record count (a
-        // stats hint real planners read; never a lie) and the bounds zones
-        // the manifest publishes (review finding: this was two opens)
-        val fz = ColumnIndex.readFileZones(conf, target.toString, statCols)
-        require(fz.rows >= 0L,
-          s"IcebergWriter could not read back the footer of $target")
-        (target.toString, st.getLen, fz, tuple)
-      }
-    fs.delete(scratch, true)
+      writeDataParts(df, fs, root, partFields, partTypes)
 
     val now = System.currentTimeMillis()
     val lastSeq = existing.flatMap(m =>
@@ -416,6 +368,65 @@ object IcebergWriter {
     // its zones from the new snapshot (zero footer reads)
     ColumnIndexRegistry.refreshFromCommit(spark, dir, "iceberg")
     version
+  }
+
+  /** The distributed data-file write shared by [[write]] and
+    * [[IcebergDml]]: ONE Spark job for both layouts. Partitioned writes
+    * duplicate each partition column under a `__p_` name and let Spark's
+    * dynamic-partition writer split files by tuple — each data file then
+    * holds exactly one partition tuple AND still contains the identity
+    * source columns, as the spec requires. Tuples are decoded back from
+    * the hive-escaped scratch dir names, typed by the column's schema.
+    * Returns (path, size, footer zones, partition tuple) per moved file —
+    * ONE footer read per file supplies both the TRUE record count (a
+    * stats hint real planners read; never a lie) and the bounds zones the
+    * manifest publishes. */
+  private[sources] def writeDataParts(df: DataFrame, fs: FileSystem,
+      root: HPath, partFields: Seq[PartField],
+      partTypes: Map[String, DataType])
+      : Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] = {
+    val spark = df.sparkSession
+    val dataDir = new HPath(root, "data")
+    fs.mkdirs(dataDir)
+    val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+    val dup = partFields.map(pf => s"__p_${pf.name}")
+    val toWrite = partFields.foldLeft(df) { (acc, pf) =>
+      acc.withColumn(s"__p_${pf.name}",
+        transformColumn(pf, df.schema(pf.source).dataType))
+    }
+    // the refusal runs on the TRANSFORMED values: truncate("") is "" too
+    PartitionLayout.refuseEmptyStringKeys(toWrite, dup, "IcebergWriter")
+    val writer = toWrite.write.mode("overwrite")
+    (if (dup.isEmpty) writer else writer.partitionBy(dup: _*))
+      .parquet(scratch.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statCols = df.schema.fields
+      .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq
+    val moved = PartitionLayout.collectParts(fs, scratch).map { case (p, segs) =>
+      val bySeg = segs.map(PartitionLayout.parseSegment).toMap
+      val tuple = partFields.map { pf =>
+        val raw = bySeg.getOrElse(s"__p_${pf.name}",
+          throw new IllegalStateException(
+            s"partition dir for `${pf.name}` missing under scratch"))
+        pf.name -> decodePartitionValue(raw, partTypes(pf.name))
+      }
+      // keep the tuple dirs (minus the __p_ mangle) under data/ — file
+      // names repeat ACROSS partition dirs (one task writes the same
+      // part-name into every tuple it holds), so a flat move would clash
+      val relDir = segs.map(_.stripPrefix("__p_")).mkString("/")
+      val targetDir = if (relDir.isEmpty) dataDir else new HPath(dataDir, relDir)
+      fs.mkdirs(targetDir)
+      val target = new HPath(targetDir, p.getName)
+      require(fs.rename(p, target),
+        s"IcebergWriter could not move data file ${p.getName} into $targetDir")
+      val st = fs.getFileStatus(target)
+      val fz = ColumnIndex.readFileZones(conf, target.toString, statCols)
+      require(fz.rows >= 0L,
+        s"IcebergWriter could not read back the footer of $target")
+      (target.toString, st.getLen, fz, tuple)
+    }
+    fs.delete(scratch, true)
+    moved
   }
 
   /** Exactly-once streaming sink — [[DeltaWriter.streamSink]]'s contract
@@ -646,7 +657,6 @@ object IcebergWriter {
     // a file at or above every delete's sequence is out of reach
     val maxEqSeq: Long = plan.equalityDeleteFiles.map(_.seq)
       .foldLeft(Long.MinValue)(math.max)
-    def normP(p: String): String = p.replaceFirst("^file:/+", "/")
     // partition-field result types under the CURRENT schema — the types
     // the manifest partition records and the hive decode speak
     val schema = IcebergLoader.tableSchema(meta)
@@ -737,7 +747,12 @@ object IcebergWriter {
     // shape); carrying one forward would resurrect its deleted rows the
     // moment the delete manifests drop
     def affected(e: Entry): Boolean =
-      posAffected.contains(normP(e._1.path)) || e._2 < maxEqSeq
+      // posTombs fps are in the scan's percent-encoded path domain —
+      // manifest paths must be keyed the same way or a space-bearing
+      // partition dir reads as unaffected and the rewrite-skip would
+      // resurrect its doomed rows when the spent deletes retire
+      posAffected.contains(PartitionLayout.scanPathKey(e._1.path)) ||
+        e._2 < maxEqSeq
     // per-tuple plan: groups with >= minFiles small files pack, and any
     // group holding an affected file packs its whole rewrite set; the
     // rest (big unaffected files, whole under-threshold groups) carries
@@ -1055,7 +1070,7 @@ object IcebergWriter {
     * column name to the Spark type whose iceberg serialization the zone
     * must speak (the zone's domain must match, or the bytes would lie —
     * e.g. nanos-as-long stats under a timestamp field). */
-  private def manifestEntry(mSchema: Schema, seq: Long, path: String,
+  private[sources] def manifestEntry(mSchema: Schema, seq: Long, path: String,
       size: Long, fz: ColumnIndex.FileZones, tuple: Seq[(String, Any)],
       fieldIds: Map[String, Int],
       colType: String => Option[DataType]): GenericRecord = {
@@ -1082,15 +1097,18 @@ object IcebergWriter {
     * paths (review finding: two copies of the kv/envelope code).
     * `status` is the spec's enum: 1 = ADDED for fresh files, 0 = EXISTING
     * for carried-forward ones. */
-  private def manifestEntryRaw(mSchema: Schema, status: Int, seq: Long,
+  private[sources] def manifestEntryRaw(mSchema: Schema, status: Int, seq: Long,
       path: String,
       size: Long, recordCount: Long, tuple: Seq[(String, Any)],
       nulls: Map[Int, Long], lower: Map[Int, java.nio.ByteBuffer],
-      upper: Map[Int, java.nio.ByteBuffer]): GenericRecord = {
+      upper: Map[Int, java.nio.ByteBuffer],
+      /** data_file.content: 0 data, 1 position deletes ([[IcebergDml]]'s
+        * delete manifests), 2 equality deletes. */
+      content: Int = 0): GenericRecord = {
     val e = new GenericData.Record(mSchema)
     val dfSchema = mSchema.getField("data_file").schema()
     val d = new GenericData.Record(dfSchema)
-    d.put("content", 0)
+    d.put("content", content)
     d.put("file_path", path)
     d.put("file_format", "PARQUET")
     d.put("record_count", recordCount)
@@ -1191,7 +1209,7 @@ object IcebergWriter {
     * story). An occupant that does NOT parse as table metadata (a parked
     * junk file — no `format-version`) carries no lineage and is skipped
     * over instead. */
-  private def commitMetadata(fs: FileSystem, metaDir: HPath, baseVersion: Long,
+  private[sources] def commitMetadata(fs: FileSystem, metaDir: HPath, baseVersion: Long,
                              metaJson: String, what: String): Long = {
     var version = baseVersion + 1
     while (true) {
@@ -1234,7 +1252,7 @@ object IcebergWriter {
 
   // ---- helpers --------------------------------------------------------------
 
-  private def metadataVersion(fs: FileSystem, metaDir: HPath): Long = {
+  private[sources] def metadataVersion(fs: FileSystem, metaDir: HPath): Long = {
     val rx = """v(\d+)\.metadata\.json""".r
     fs.listStatus(metaDir).map(_.getPath.getName).collect {
       case rx(v) => v.toLong
@@ -1583,7 +1601,7 @@ object IcebergWriter {
 
   /** The current snapshot's manifest-list entries as
     * (path, length, content, seq, addedSnapshotId, specId). */
-  private def currentManifestList(fs: FileSystem, meta: JsonNode, dir: String)
+  private[sources] def currentManifestList(fs: FileSystem, meta: JsonNode, dir: String)
       : Seq[(String, Long, Int, Option[Long], Long, Int)] = {
     val curId = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
       .map(_.asLong()).filter(_ != -1L)
@@ -1611,7 +1629,7 @@ object IcebergWriter {
     try in.readAllBytes() finally in.close()
   }
 
-  private def writeAvro(fs: FileSystem, schema: Schema, recs: Seq[GenericRecord],
+  private[sources] def writeAvro(fs: FileSystem, schema: Schema, recs: Seq[GenericRecord],
                         target: HPath): Unit = {
     val out = new java.io.ByteArrayOutputStream()
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))

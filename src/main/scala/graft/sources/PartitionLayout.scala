@@ -12,6 +12,17 @@ import org.apache.spark.sql.types.StringType
   * finding: three near-verbatim copies). */
 private[sources] object PartitionLayout {
 
+  /** A file path in the SCAN's `_metadata.file_path` string domain: Spark
+    * publishes the `Path.toUri` percent-ENCODED spelling there (a space in
+    * a partition dir reads back as `%20`, a literal `%` as `%25`), so any
+    * code matching scan rows back to log/manifest paths by STRING must
+    * reproduce that exact encoding driver-side — comparing the raw on-disk
+    * spelling silently misses and RESURRECTS deleted rows (the bug class
+    * the compact path's review finding documented). `file:` spelling
+    * normalized like every other scan-path comparison in this package. */
+  def scanPathKey(abs: String): String =
+    new HPath(abs).toUri.toString.replaceFirst("^file:/+", "/")
+
   /** Un-escape one hive partition-dir value; None for the hive
     * default-partition (null) marker. Hive path escaping is %XX on a fixed
     * char set — NOT URL encoding ('+' stays literal), so %XX decodes by

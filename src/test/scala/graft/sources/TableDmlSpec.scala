@@ -1,0 +1,318 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Row-level DML ([[DeltaDml]] / [[IcebergDml]]) round-tripped through the
+  * repo's own protocol-level readers, plus the deletion-vector WRITE side
+  * cross-checked byte-for-byte against the spec fixtures' INDEPENDENT
+  * serializer ([[DvFixtures]] predates the production writer and was
+  * derived from the RoaringFormatSpec separately — agreement pins both). */
+class TableDmlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def deltaRead(dir: String): DataFrame =
+    DeltaLoader.load(spark, TableSource("dml_t", dir, Some("delta")))
+
+  private def icebergRead(dir: String): DataFrame =
+    IcebergLoader.load(spark, TableSource("dml_t", dir, Some("iceberg")))
+
+  private def idName(df: DataFrame): Set[(Long, String)] =
+    df.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  // ---- deletion-vector serialization ----------------------------------------
+
+  test("DV serializer round-trips through the reader (array + bitmap + multi-high)") {
+    val cases = Seq(
+      Array.empty[Long],
+      Array(0L),
+      Array(1L, 5L, 17L, 65535L, 65536L, 131071L),
+      (0L until 5000L).map(_ * 2).toArray, // > 4096 per container -> bitset
+      Array(3L, (1L << 32) + 7L, (3L << 32) + 1L)) // empty intermediate highs
+    cases.foreach { rows =>
+      val data = DeletionVectors.serializeBitmapArray(rows)
+      assert(DeletionVectors.deserializeBitmapArray(data).sameElements(rows),
+        s"round-trip failed for ${rows.take(5).mkString(",")}...")
+    }
+  }
+
+  test("DV serializer agrees byte-for-byte with the independent fixture writer") {
+    val cases = Seq(
+      Array(1L, 2L, 3L, 70000L),
+      (0L until 9000L).toArray,
+      Array(5L, (2L << 32) + 9L))
+    cases.foreach { rows =>
+      assert(DeletionVectors.serializeBitmapArray(rows)
+        .sameElements(DvFixtures.serializeRoaring(rows)))
+    }
+  }
+
+  test("z85 encode/decode round-trip and UUID naming") {
+    val b = Array.tabulate[Byte](16)(i => (i * 37 + 5).toByte)
+    assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(b)).sameElements(b))
+    val uuid = java.util.UUID.randomUUID()
+    val enc = DeletionVectors.z85OfUuid(uuid)
+    assert(enc.length == 20)
+    // dvPath resolves the same uuid back out of the descriptor
+    val d = DeletionVectors.Descriptor("u", enc, Some(1), 0, 0L)
+    assert(DeletionVectors.dvPath("/tmp/tbl", d).getName ==
+      s"deletion_vector_$uuid.bin")
+  }
+
+  // ---- Delta DML --------------------------------------------------------------
+
+  test("delta deleteWhere: DV commit, protocol upgrade, merged re-delete") {
+    val dir = newDir("graft_dml_del")
+    DeltaWriter.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    DeltaWriter.write((11L to 20L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+
+    val v = DeltaDml.deleteWhere(spark, dir, "id IN (3, 12)")
+    assert(v == 2L)
+    assert(idName(deltaRead(dir)) ==
+      ((1L to 20L).toSet -- Set(3L, 12L)).map(i => (i, s"n$i")))
+
+    // the commit is protocol-shaped: remove+add per touched file, DV
+    // descriptors, the feature upgrade, and the config flip
+    val commit = Files.readString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000002.json"))
+    assert(commit.contains("\"deletionVector\""))
+    assert(commit.contains("\"storageType\":\"u\""))
+    assert(commit.contains("\"minReaderVersion\":3"))
+    assert(commit.contains("\"deletionVectors\""))
+    assert(commit.contains("\"delta.enableDeletionVectors\":\"true\""))
+    // stats ride as a JSON-escaped string, wide-bounds marker included
+    assert(commit.contains("\\\"tightBounds\\\":false"))
+
+    // a second delete on the SAME files merges into the existing DVs
+    val v2 = DeltaDml.deleteWhere(spark, dir, "id IN (4, 5)")
+    assert(v2 == 3L)
+    assert(idName(deltaRead(dir)) ==
+      ((1L to 20L).toSet -- Set(3L, 4L, 5L, 12L)).map(i => (i, s"n$i")))
+    // physical rows minus DV cardinality = live rows (files the deletes
+    // covered ENTIRELY drop to plain removes, so they are absent here)
+    val snap = DeltaLoader.snapshot(spark, dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val physical = snap.files.flatMap(_.stats)
+      .map(s => mapper.readTree(s).get("numRecords").asLong()).sum
+    val doomed = snap.files.flatMap(_.dv).map(_.cardinality).sum
+    assert(physical - doomed == 16L, s"physical=$physical doomed=$doomed")
+    // no second protocol action: the table already declares the feature
+    val commit3 = Files.readString(java.nio.file.Path.of(
+      dir + "/_delta_log/00000000000000000003.json"))
+    assert(!commit3.contains("\"protocol\""))
+
+    // nothing matched -> no commit
+    assert(DeltaDml.deleteWhere(spark, dir, "id = 999") == -1L)
+
+    // the DV-bearing adds survive a checkpoint fold (the loader then
+    // replays from parquet, not JSON)
+    DeltaWriter.checkpoint(spark, dir)
+    assert(idName(deltaRead(dir)) ==
+      ((1L to 20L).toSet -- Set(3L, 4L, 5L, 12L)).map(i => (i, s"n$i")))
+  }
+
+  test("delta deleteWhere: a fully-deleted file drops to a plain remove") {
+    val dir = newDir("graft_dml_full")
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "name"), dir)
+    DeltaDml.deleteWhere(spark, dir, "id <= 2")
+    assert(idName(deltaRead(dir)) == Set(3L -> "c"))
+    val snap = DeltaLoader.snapshot(spark, dir)
+    assert(snap.files.size == 1 && snap.files.forall(_.dv.isEmpty),
+      snap.files.mkString(","))
+  }
+
+  test("delta deleteWhere on a partitioned table prunes by partition literal") {
+    val dir = newDir("graft_dml_part")
+    val df = Seq((1L, "us", "a"), (2L, "us", "b"), (3L, "eu", "c"), (4L, "eu", "d"))
+      .toDF("id", "region", "name")
+    DeltaWriter.write(df, dir, partitionBy = Seq("region"))
+    val v = DeltaDml.deleteWhere(spark, dir, "region = 'eu' AND id = 3")
+    assert(v == 1L)
+    val got = deltaRead(dir).select("id", "region", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "us", "a"), (2L, "us", "b"), (4L, "eu", "d")))
+  }
+
+  test("delta updateWhere rewrites matched rows, including partition moves") {
+    val dir = newDir("graft_dml_upd")
+    val df = Seq((1L, "us", 10L), (2L, "us", 20L), (3L, "eu", 30L))
+      .toDF("id", "region", "score")
+    DeltaWriter.write(df, dir, partitionBy = Seq("region"))
+    // plain column update
+    val v = DeltaDml.updateWhere(spark, dir, "id = 2",
+      Map("score" -> "score + 5"))
+    assert(v == 1L)
+    val got = deltaRead(dir).select("id", "region", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "us", 10L), (2L, "us", 25L), (3L, "eu", 30L)))
+    // partition-column update moves the row to its new partition dir
+    val v2 = DeltaDml.updateWhere(spark, dir, "id = 1",
+      Map("region" -> "'eu'"))
+    assert(v2 == 2L)
+    val got2 = deltaRead(dir).select("id", "region").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == Set((1L, "eu"), (2L, "us"), (3L, "eu")))
+    assert(DeltaDml.updateWhere(spark, dir, "id = 999",
+      Map("score" -> "0")) == -1L)
+  }
+
+  test("delta upsert: keyed replace + insert in one commit") {
+    val dir = newDir("graft_dml_ups")
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    val v = DeltaDml.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "name"),
+      dir, Seq("id"))
+    assert(v == 1L)
+    assert(idName(deltaRead(dir)) == Set(1L -> "a", 2L -> "B", 3L -> "c"))
+    // one commit: time travel to v0 shows the original
+    assert(idName(DeltaLoader.load(spark,
+      TableSource("t", dir, Some("delta"), options = Map("version" -> "0")))) ==
+      Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("delta compact materializes DML deletion vectors") {
+    val dir = newDir("graft_dml_comp")
+    DeltaWriter.write((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    DeltaWriter.write((101L to 200L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    DeltaDml.deleteWhere(spark, dir, "id % 10 = 0")
+    val expect = (1L to 200L).filterNot(_ % 10 == 0).map(i => (i, s"n$i")).toSet
+    assert(idName(deltaRead(dir)) == expect)
+    val cv = DeltaWriter.compact(spark, dir)
+    assert(cv > 0)
+    assert(idName(deltaRead(dir)) == expect)
+    val snap = DeltaLoader.snapshot(spark, dir)
+    assert(snap.files.forall(_.dv.isEmpty), "compaction must shed the DVs")
+  }
+
+  test("delta DML refuses column-mapped tables loudly") {
+    val dir = newDir("graft_dml_cm")
+    // hand-write a minimal column-mapped table log
+    val logDir = new java.io.File(dir + "/_delta_log"); logDir.mkdirs()
+    val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-1\"}}]}"""
+    Files.writeString(java.nio.file.Path.of(logDir + "/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      DeltaDml.deleteWhere(spark, dir, "id = 1")
+    }
+    assert(e.getMessage.contains("column-mapped"))
+  }
+
+  test("DML + DV read-back survive SPACE-bearing partition values (path domains)") {
+    // `_metadata.file_path` is percent-ENCODED (space -> %20) while log and
+    // manifest paths are raw — every (file -> metadata) string bridge must
+    // go through PartitionLayout.scanPathKey or deleted rows resurrect
+    val dDir = newDir("graft_dml_sp_d")
+    val df = Seq((1L, "4-NOT SPECIFIED"), (2L, "4-NOT SPECIFIED"), (3L, "1-URGENT"))
+      .toDF("id", "prio")
+    DeltaWriter.write(df, dDir, partitionBy = Seq("prio"))
+    assert(DeltaDml.deleteWhere(spark, dDir, "id = 1") == 1L)
+    val gotD = deltaRead(dDir).select("id", "prio").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotD == Set((2L, "4-NOT SPECIFIED"), (3L, "1-URGENT")))
+
+    val iDir = newDir("graft_dml_sp_i")
+    IcebergWriter.write(df, iDir, partitionBy = Seq("prio"))
+    assert(IcebergDml.deleteWhere(spark, iDir, "id = 1") > 0)
+    val gotI = icebergRead(iDir).select("id", "prio").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotI == Set((2L, "4-NOT SPECIFIED"), (3L, "1-URGENT")))
+    // the delete file stores the MANIFEST's raw spelling, so external
+    // engines match it verbatim
+    val root = new org.apache.hadoop.fs.Path(iDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergLoader.currentMetadata(fs, iDir)
+    val plan = IcebergLoader.planSnapshot(fs, iDir,
+      meta, IcebergLoader.chooseSnapshot(meta, iDir, None))
+    val delPaths = spark.read.parquet(plan.positionDeleteFiles: _*)
+      .select("file_path").collect().map(_.getString(0))
+    assert(delPaths.nonEmpty && delPaths.forall(_.contains("4-NOT SPECIFIED")),
+      delPaths.mkString(","))
+    // compaction still sees those files as delete-affected and rewrites
+    assert(IcebergWriter.compactDataFiles(spark, iDir) > 0)
+    assert(icebergRead(iDir).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+  }
+
+  // ---- Iceberg DML ------------------------------------------------------------
+
+  test("iceberg deleteWhere: position-delete snapshot round-trips") {
+    val dir = newDir("graft_idml_del")
+    IcebergWriter.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    IcebergWriter.write((11L to 20L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    val v = IcebergDml.deleteWhere(spark, dir, "id IN (3, 12)")
+    assert(v > 0)
+    assert(idName(icebergRead(dir)) ==
+      ((1L to 20L).toSet -- Set(3L, 12L)).map(i => (i, s"n$i")))
+    // the delete landed as a content=1 manifest of parquet position deletes
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergLoader.currentMetadata(fs, dir)
+    val snap = IcebergLoader.chooseSnapshot(meta, dir, None)
+    val plan = IcebergLoader.planSnapshot(fs, dir, meta, snap)
+    assert(plan.positionDeleteFiles.nonEmpty)
+    assert(snap.get.get("summary").get("operation").asText() == "delete")
+    // delete files carry the spec's reserved field ids
+    val fz = spark.read.parquet(plan.positionDeleteFiles.head)
+    assert(fz.columns.toSet == Set("file_path", "pos"))
+    // repeated delete merges at read time (two delete manifests)
+    IcebergDml.deleteWhere(spark, dir, "id = 4")
+    assert(idName(icebergRead(dir)) ==
+      ((1L to 20L).toSet -- Set(3L, 4L, 12L)).map(i => (i, s"n$i")))
+    assert(IcebergDml.deleteWhere(spark, dir, "id = 999") == -1L)
+  }
+
+  test("iceberg updateWhere + upsert on a partitioned table") {
+    val dir = newDir("graft_idml_upd")
+    val df = Seq((1L, "us", 10L), (2L, "us", 20L), (3L, "eu", 30L))
+      .toDF("id", "region", "score")
+    IcebergWriter.write(df, dir, partitionBy = Seq("region"))
+    val v = IcebergDml.updateWhere(spark, dir, "id = 2",
+      Map("score" -> "score + 5"))
+    assert(v > 0)
+    val got = icebergRead(dir).select("id", "region", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "us", 10L), (2L, "us", 25L), (3L, "eu", 30L)))
+    // partition move through update
+    IcebergDml.updateWhere(spark, dir, "id = 1", Map("region" -> "'eu'"))
+    val got2 = icebergRead(dir).select("id", "region").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == Set((1L, "eu"), (2L, "us"), (3L, "eu")))
+    // upsert: replace id=3, insert id=4
+    val v3 = IcebergDml.upsert(
+      Seq((3L, "eu", 99L), (4L, "ap", 40L)).toDF("id", "region", "score"),
+      dir, Seq("id"))
+    assert(v3 > 0)
+    val got3 = icebergRead(dir).select("id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == Set((1L, 10L), (2L, 25L), (3L, 99L), (4L, 40L)))
+    assert(IcebergDml.updateWhere(spark, dir, "id = 999",
+      Map("score" -> "0")) == -1L)
+  }
+
+  test("iceberg compaction materializes DML position deletes") {
+    val dir = newDir("graft_idml_comp")
+    IcebergWriter.write((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    IcebergWriter.write((101L to 200L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    IcebergDml.deleteWhere(spark, dir, "id % 10 = 0")
+    val expect = (1L to 200L).filterNot(_ % 10 == 0).map(i => (i, s"n$i")).toSet
+    assert(idName(icebergRead(dir)) == expect)
+    val cv = IcebergWriter.compactDataFiles(spark, dir)
+    assert(cv > 0)
+    assert(idName(icebergRead(dir)) == expect)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergLoader.currentMetadata(fs, dir)
+    val plan = IcebergLoader.planSnapshot(fs, dir,
+      meta, IcebergLoader.chooseSnapshot(meta, dir, None))
+    assert(!plan.hasDeletes, "compaction must shed the delete files")
+  }
+}
