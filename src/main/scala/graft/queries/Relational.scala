@@ -545,6 +545,38 @@ object Relational {
       sum(dec2(col("o_totalprice"))).cast("double").as("total"))
     .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Lineitem landed as a Delta table and Z-ORDER-compacted over
+    * (l_partkey, l_suppkey), plus the zone index over the clustered
+    * layout — [[ZOrderKit]] under the oracle: the pruned 2-D scan must
+    * lose no rows. Memoized like [[sinksFor]]. */
+  private val zorderMemo =
+    new java.util.HashMap[(SparkSession, String), (String, graft.sources.ColumnIndex.Index)]()
+  private def zorderSinkFor(spark: SparkSession, dir: String)
+      : (String, graft.sources.ColumnIndex.Index) = {
+    val key = (spark, dir)
+    zorderMemo.synchronized(Option(zorderMemo.get(key))) match {
+      case Some(v) => v
+      case None =>
+        val base = java.nio.file.Paths.get(scratchRoot,
+          "zord-" + java.util.UUID.randomUUID().toString).toString
+        val tdir = base + "/delta"
+        graft.sources.DeltaWriter.write(Tables.t(spark, dir, "lineitem"), tdir)
+        graft.sources.DeltaWriter.compact(spark, tdir,
+          targetFileBytes = 4L << 20, zorderBy = Seq("l_partkey", "l_suppkey"))
+        val idx = graft.sources.ColumnIndex.buildFromDelta(spark, tdir,
+          Seq("l_partkey", "l_suppkey"))
+        val built = (tdir, idx)
+        val (result, lost) = zorderMemo.synchronized {
+          Option(zorderMemo.get(key)) match {
+            case Some(winner) => (winner, true)
+            case None => zorderMemo.put(key, built); (built, false)
+          }
+        }
+        if (lost) deleteTree(new java.io.File(base))
+        result
+    }
+  }
+
   /** The [[dmlSinksFor]] sequence replayed in pure SQL (both formats'
     * oracles — the on-disk results must match it bit-for-bit). */
   private val dmlOracleSql: String =
@@ -656,6 +688,23 @@ object Relational {
         .getOrElse(spark.read.parquet(path))
       base
         .filter(col("l_shipdate") >= "1995-06-01" && col("l_shipdate") < "1995-09-01")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // Z-ORDER clustered scan: after the Morton-order compaction the zone
+    // index prunes a CONJUNCTIVE 2-D predicate down to a corner of the
+    // clustered space — oracle equality proves the pruned scan lost no rows
+    "q_zorder_scan" -> ((spark, dir) => {
+      val (tdir, idx) = zorderSinkFor(spark, dir)
+      val preds = Seq(
+        ("l_partkey", "lte", "200"), ("l_suppkey", "lte", "20"))
+      val full = graft.sources.DeltaLoader.load(spark,
+        graft.sources.TableSource("zord", tdir, Some("delta")))
+      val base = idx.prunedDf(spark, preds, full.schema).getOrElse(full)
+      base
+        .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 20)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("l_quantity"))).cast("double").as("qty"))
@@ -1100,6 +1149,14 @@ object Relational {
     // actually produced on disk
     "q_delta_dml_roundtrip" -> dmlOracleSql,
     "q_iceberg_dml_roundtrip" -> dmlOracleSql,
+    // pruned z-ordered scan equality (the q_colindex_scan shape, 2-D)
+    "q_zorder_scan" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_partkey <= 200 AND l_suppkey <= 20
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // pruned-scan equality: the Spark side reads only index-survivor files
     "q_colindex_scan" ->
       """SELECT l_returnflag, COUNT(*) AS n,

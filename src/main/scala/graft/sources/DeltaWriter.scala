@@ -740,7 +740,12 @@ object DeltaWriter {
     * version, or -1 when no partition had at least `minFiles` small
     * files or a DV to materialize (no commit made). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-              targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Long = {
+              targetFileBytes: Long = 128L << 20, minFiles: Int = 2,
+              /** Non-empty = CLUSTERING pass: every live file rewrites in
+                * Morton order over these (non-partition) columns
+                * ([[ZOrderKit]]), so later scans prune on their add.stats
+                * bounds. Layout-only, like the rest of compact. */
+              zorderBy: Seq[String] = Seq.empty): Long = {
     require(targetFileBytes > 0 && minFiles >= 2,
       s"compact needs targetFileBytes > 0 and minFiles >= 2")
     val root = new HPath(dir)
@@ -780,6 +785,17 @@ object DeltaWriter {
         // the id-stamped target, so NESTED field ids reach the writer too
         org.apache.spark.sql.functions.col(s"`${f.name}`")
           .cast(f.dataType).as(f.name, f.metadata)).toIndexedSeq: _*)
+    // zorder columns arrive as LOGICAL names; the rewrite reads physical —
+    // map through the schema (partition columns carry zero information
+    // within a group, so they refuse)
+    val zorderPhys: Seq[String] = zorderBy.map { c =>
+      require(!snap.partitionColumns.contains(c),
+        s"zorderBy column `$c` is a partition column — it is constant " +
+          "within every rewrite group and would waste key bits")
+      val i = logicalData.fieldNames.indexOf(c)
+      require(i >= 0, s"zorderBy column `$c` is not a data column of the table")
+      dataSchema.fields(i).name
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     // stats keys are PHYSICAL names under column mapping, per protocol —
     // dataSchema is already in the right domain either way
@@ -801,9 +817,14 @@ object DeltaWriter {
       // rewrite set: under-target files, plus EVERY DV-bearing file (the
       // materialization pass — size is irrelevant, the deletes are why it
       // rewrites). A lone DV file still rewrites; lone small DV-free
-      // files wait for company.
-      val small = sized.filter(e => e._3 < targetFileBytes || e._1.dv.isDefined)
-      if (small.size < minFiles && small.forall(_._1.dv.isEmpty)) return Seq.empty
+      // files wait for company. A CLUSTERING pass (zorderBy) rewrites the
+      // whole group — re-ordering is the point, size is not.
+      val small =
+        if (zorderBy.nonEmpty) sized
+        else sized.filter(e => e._3 < targetFileBytes || e._1.dv.isDefined)
+      if (small.isEmpty ||
+          (zorderBy.isEmpty && small.size < minFiles &&
+            small.forall(_._1.dv.isEmpty))) return Seq.empty
       // replacements land NEXT TO the files they replace; validate the
       // target dir BEFORE the rewrite job — an external-files table whose
       // adds escape the root must refuse without paying a full read+
@@ -853,9 +874,12 @@ object DeltaWriter {
       val source = unionTree(plainDf ++ dvDfs)
       // repartition, NOT coalesce: coalesce just glues the small files'
       // existing imbalance back together one level up (the repo's own
-      // Compaction operator documents the same trade; review finding)
-      withFieldIds(source).repartition(nOut)
-        .write.mode("overwrite").parquet(scratch.toString)
+      // Compaction operator documents the same trade; review finding).
+      // Clustering passes range-partition + sort in Morton order instead.
+      val shaped =
+        if (zorderPhys.isEmpty) withFieldIds(source).repartition(nOut)
+        else ZOrderKit.cluster(withFieldIds(source), zorderPhys, nOut)
+      shaped.write.mode("overwrite").parquet(scratch.toString)
       // republish the group's partitionValues VERBATIM: under column
       // mapping the action's keys are PHYSICAL names — keying on the
       // logical partitionColumns would remap every entry to null
@@ -890,9 +914,12 @@ object DeltaWriter {
       DistKit.runBounded(groups) { case (pv, fsq) => compactGroup(pv, fsq) }.flatten
     if (actions.isEmpty) return -1L
 
+    val zParam =
+      if (zorderBy.isEmpty) "{}"
+      else s"""{"zOrderBy":${jstr(zorderBy.mkString("[\"", "\",\"", "\"]"))}}"""
     val commitInfo =
       s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE",""" +
-        """"operationParameters":{},"engineInfo":"graft-delta-writer"}}"""
+        s""""operationParameters":$zParam,"engineInfo":"graft-delta-writer"}}"""
     val lines = (Seq(commitInfo) ++ actions).mkString("", "\n", "\n")
     val version = snap.version + 1
     val target = new HPath(logDir, f"$version%020d.json")

@@ -529,7 +529,12 @@ object IcebergWriter {
     * committed metadata version, or -1 when no commit was needed. */
   def compactDataFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
                        targetFileBytes: Long = 128L << 20,
-                       minFiles: Int = 2): Long = {
+                       minFiles: Int = 2,
+                       /** Non-empty = CLUSTERING pass: every live file
+                         * rewrites in Morton order over these columns
+                         * ([[ZOrderKit]]), so manifest bounds prune
+                         * conjunctive predicates over all of them. */
+                       zorderBy: Seq[String] = Seq.empty): Long = {
     require(targetFileBytes > 0 && minFiles >= 2,
       "compactDataFiles needs targetFileBytes > 0 and minFiles >= 2")
     val root = new HPath(dir)
@@ -756,10 +761,22 @@ object IcebergWriter {
     // per-tuple plan: groups with >= minFiles small files pack, and any
     // group holding an affected file packs its whole rewrite set; the
     // rest (big unaffected files, whole under-threshold groups) carries
+    zorderBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"zorderBy column `$c` is not in the table schema")
+      require(!partFields.exists(pf => pf.kind == "identity" && pf.source == c),
+        s"zorderBy column `$c` is an identity partition source — constant " +
+          "within every rewrite group, it would waste key bits")
+    }
     val plans: Seq[(Seq[(String, Any)], Seq[Entry], Seq[Entry])] =
       sized.groupBy(_._3).toSeq.map { case (tuple, entries) =>
-        val (sm, bg) = entries.partition(e => e._4 < targetFileBytes || affected(e))
-        if (sm.size < minFiles && !sm.exists(affected)) (tuple, Seq.empty[Entry], entries)
+        // a clustering pass rewrites the whole group — re-ordering is the
+        // point, size is not
+        val (sm, bg) =
+          if (zorderBy.nonEmpty) (entries, Seq.empty[Entry])
+          else entries.partition(e => e._4 < targetFileBytes || affected(e))
+        if (zorderBy.isEmpty && sm.size < minFiles && !sm.exists(affected))
+          (tuple, Seq.empty[Entry], entries)
         else (tuple, sm, bg)
       }
     // nothing to pack AND no delete files to retire -> no commit; with
@@ -801,8 +818,12 @@ object IcebergWriter {
         else spark.read.schema(schema).parquet(small.map(_._1.path): _*)
       // repartition, NOT coalesce: coalesce just glues the small files'
       // imbalance back together one level up (Compaction.scala documents
-      // the same trade; review finding)
-      source.repartition(nOut).write.mode("overwrite").parquet(scratch.toString)
+      // the same trade; review finding). Clustering passes range-partition
+      // + sort in Morton order instead.
+      val shaped =
+        if (zorderBy.isEmpty) source.repartition(nOut)
+        else ZOrderKit.cluster(source, zorderBy, nOut)
+      shaped.write.mode("overwrite").parquet(scratch.toString)
       val out = fs.listStatus(scratch).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         .map { p =>
