@@ -338,6 +338,29 @@ object DeletionVectors {
     z85Encode(b.array())
   }
 
+  // ---- descriptor JSON (the add/remove action field) -------------------------
+
+  private lazy val descMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Serialize a descriptor as the action-field JSON — also the wire form
+    * for shipping descriptors into executor tasks (a descriptor is
+    * metadata-tiny; the DECODED row set is what must not ride the driver). */
+  def descriptorJson(d: Descriptor): String = {
+    def js(s: String) = descMapper.writeValueAsString(s)
+    val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+    s"""{"storageType":${js(d.storageType)},"pathOrInlineDv":${js(
+      d.pathOrInlineDv)}$off,"sizeInBytes":${d.sizeInBytes},""" +
+      s""""cardinality":${d.cardinality}}"""
+  }
+
+  def parseDescriptorJson(json: String): Descriptor = {
+    val n = descMapper.readTree(json)
+    Descriptor(
+      n.get("storageType").asText(), n.get("pathOrInlineDv").asText(),
+      Option(n.get("offset")).filterNot(_.isNull).map(_.asInt()),
+      n.get("sizeInBytes").asInt(), n.get("cardinality").asLong())
+  }
+
   // ---- descriptor resolution -----------------------------------------------
 
   private def uuidFromZ85(s: String): java.util.UUID = {

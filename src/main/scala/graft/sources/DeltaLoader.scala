@@ -53,6 +53,12 @@ object DeltaLoader {
 
   private val mapper = new ObjectMapper()
 
+  /** Deleted-row count above which DV decode moves off the driver and the
+    * tombstone anti-join stops broadcasting (~64 MB of (path, index)
+    * pairs — the usual broadcast comfort bound). Exact, from descriptor
+    * cardinalities, so the plan choice costs nothing. */
+  private[sources] val dvBroadcastRows: Long = 4L * 1000 * 1000
+
   final case class Snapshot(
       files: Seq[AddFile],
       schema: StructType,
@@ -338,12 +344,15 @@ object DeltaLoader {
 
     // deletion vectors: per-file sets of deleted ROW INDEXES, matched
     // against the parquet reader's _metadata.row_index via an anti-join on
-    // (file, row). The deleted set holds two longs per deleted row —
-    // driver-bounded by total deleted rows, same as any DV-aware metadata
-    // handler; at larger scale the next step is pushing the per-row-group
-    // slices into the scan instead of the join.
-    // keyed in the SCAN's (percent-encoded) path domain — raw on-disk
-    // spellings silently miss on space-bearing partition dirs
+    // (file, row). Keyed in the SCAN's (percent-encoded) path domain — raw
+    // on-disk spellings silently miss on space-bearing partition dirs.
+    // Scale: the descriptors' cardinalities are exact metadata, so the
+    // decode site is a FREE decision — a small deleted set decodes on the
+    // driver and broadcasts (one task, zero jobs); past the threshold the
+    // descriptors (tiny) ship to executors, each task decodes its DV
+    // files, and the anti-join shuffles instead of broadcasting. Neither
+    // the driver nor any single executor ever has to hold a 100 TB
+    // table's full tombstone set.
     val dvFiles = snap.files.collect { case f if f.dv.isDefined =>
       (PartitionLayout.scanPathKey(abs(f.path)), f.dv.get) }
     val hasDv = dvFiles.nonEmpty
@@ -387,11 +396,33 @@ object DeltaLoader {
       if (!hasDv) base
       else {
         import spark.implicits._
-        val deleted = dvFiles.flatMap { case (p, d) =>
-          DeletionVectors.read(spark, tableUri, d).map(ri => (p, ri))
-        }.toDF("__graft_fp", "__graft_ri")
-        base.join(org.apache.spark.sql.functions.broadcast(deleted),
-          Seq("__graft_fp", "__graft_ri"), "left_anti")
+        val totalDoomed = dvFiles.map(_._2.cardinality).sum
+        val threshold = spark.conf.getOption("spark.graft.dvBroadcastRows")
+          .map(_.toLong).getOrElse(dvBroadcastRows)
+        val deleted =
+          if (totalDoomed <= threshold) {
+            org.apache.spark.sql.functions.broadcast(
+              dvFiles.flatMap { case (p, d) =>
+                DeletionVectors.read(spark, tableUri, d).map(ri => (p, ri))
+              }.toDF("__graft_fp", "__graft_ri"))
+          } else {
+            // executor-side decode: one (path, descriptorJson) row per DV,
+            // spread over tasks; rows never touch the driver
+            val confEntries =
+              DistKit.confEntries(spark.sparkContext.hadoopConfiguration)
+            val uri = tableUri
+            val slices = math.min(dvFiles.size,
+              spark.sparkContext.defaultParallelism).max(1)
+            spark.createDataset(dvFiles.map { case (p, d) =>
+                (p, DeletionVectors.descriptorJson(d)) })
+              .repartition(slices)
+              .flatMap { case (p, dj) =>
+                val conf = DistKit.rebuildConf(confEntries)
+                DeletionVectors.read(conf, uri,
+                  DeletionVectors.parseDescriptorJson(dj)).iterator.map(ri => (p, ri))
+              }.toDF("__graft_fp", "__graft_ri")
+          }
+        base.join(deleted, Seq("__graft_fp", "__graft_ri"), "left_anti")
       }
     val keep = snap.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq ++
       (if (keepIds) Seq(col("__graft_fp"), col("__graft_ri")) else Seq.empty)

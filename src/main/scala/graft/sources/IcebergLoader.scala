@@ -230,7 +230,11 @@ object IcebergLoader {
       dataFiles: Seq[(String, Long)],
       positionDeleteFiles: Seq[String],
       equalityDeleteFiles: Seq[EqDeleteFile],
-      deletionVectors: Seq[DvFile] = Seq.empty) {
+      deletionVectors: Seq[DvFile] = Seq.empty,
+      /** Manifest-recorded byte size of the position-delete files (order-
+        * matched to [[positionDeleteFiles]]; -1 unknown) — the free input
+        * to the broadcast-vs-shuffle choice for the tombstone anti-join. */
+      positionDeleteBytes: Seq[Long] = Seq.empty) {
     def hasDeletes: Boolean = positionDeleteFiles.nonEmpty ||
       equalityDeleteFiles.nonEmpty || deletionVectors.nonEmpty
   }
@@ -315,6 +319,7 @@ object IcebergLoader {
       }
     val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[String]
+    val posDeleteBytes = Seq.newBuilder[Long]
     val eqDeletes = Seq.newBuilder[EqDeleteFile]
     val dvs = Seq.newBuilder[DvFile]
     manifests.foreach { case (path, manifestContent, manifestSeq) =>
@@ -345,7 +350,10 @@ object IcebergLoader {
                   s"`$filePath` carries no content_offset")
                 dvs += DvFile(filePath, remap(ref), off,
                   longOr(df, "content_size_in_bytes", -1L))
-              } else posDeletes += filePath
+              } else {
+                posDeletes += filePath
+                posDeleteBytes += longOr(df, "file_size_in_bytes", -1L)
+              }
             case 2 =>
               val ids = intListOf(df, "equality_ids")
               require(ids.nonEmpty, "Iceberg reader: equality delete file " +
@@ -358,7 +366,7 @@ object IcebergLoader {
       }
     }
     PlannedScan(data.result(), posDeletes.result(), eqDeletes.result(),
-      dvs.result())
+      dvs.result(), posDeleteBytes.result())
   }
 
   /** One live data file's manifest-recorded stats for
@@ -536,12 +544,16 @@ object IcebergLoader {
       }
     // v3 deletion vectors: decode each Puffin blob into row indexes for
     // its ONE referenced data file (path already remapped at plan time)
-    // and feed the same (file, row) anti-join. Decoding is driver-side
-    // and bounded by tombstone count — the identical scale assumption
-    // the broadcast of parquet position deletes above already makes.
+    // and feed the same (file, row) anti-join. A small DV set decodes on
+    // the driver (zero jobs); past the byte threshold the blob POINTERS
+    // (tiny) ship to executors and each task decodes its blobs — the
+    // decoded tombstones never ride the driver.
+    val dvBytes = plan.deletionVectors.map(d => math.max(d.contentSize, 0L)).sum
+    val dvDriverBudget = spark.conf.getOption("spark.graft.dvDriverDecodeBytes")
+      .map(_.toLong).getOrElse(dvDriverDecodeBytes)
     val dvDeletes =
       if (plan.deletionVectors.isEmpty) None
-      else {
+      else if (dvBytes <= dvDriverBudget) {
         val pairs = plan.deletionVectors.flatMap { d =>
           DeletionVectors.readIcebergDv(fs, new HPath(d.puffinPath),
               d.contentOffset, d.contentSize)
@@ -551,9 +563,45 @@ object IcebergLoader {
         Some(spark.createDataFrame(pairs.asJava,
           StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
             StructField("__graft_ri", LongType, nullable = false)))))
+      } else {
+        import spark.implicits._
+        val confEntries =
+          DistKit.confEntries(spark.sparkContext.hadoopConfiguration)
+        val slices = math.min(plan.deletionVectors.size,
+          spark.sparkContext.defaultParallelism).max(1)
+        Some(spark.createDataset(plan.deletionVectors.map(d =>
+            (d.puffinPath, PartitionLayout.scanPathKey(d.referencedDataFile),
+              d.contentOffset, d.contentSize)))
+          .repartition(slices)
+          .flatMap { case (pp, fp, off, sz) =>
+            val conf = DistKit.rebuildConf(confEntries)
+            val pfs = new HPath(pp).getFileSystem(conf)
+            DeletionVectors.readIcebergDv(pfs, new HPath(pp), off, sz)
+              .iterator.map(ri => (fp, ri))
+          }.toDF("__graft_fp", "__graft_ri"))
       }
-    Some((parquetDeletes.toSeq ++ dvDeletes.toSeq).reduce(_ unionByName _))
+    val tombs = (parquetDeletes.toSeq ++ dvDeletes.toSeq).reduce(_ unionByName _)
+    // broadcast only when the manifest-recorded sizes PROVE the set small:
+    // parquet delete bytes (decompression headroom applied) + a generous
+    // rows-per-bitmap-byte expansion for DVs. Unknown sizes resolve with
+    // one bounded getFileStatus per delete file. Past the bound the
+    // anti-join shuffles — a 100 TB table's tombstones cannot land whole
+    // on every executor.
+    val parquetBytes = plan.positionDeleteFiles.zipWithIndex.map { case (p, i) =>
+      val recorded = plan.positionDeleteBytes.lift(i).getOrElse(-1L)
+      if (recorded >= 0L) recorded
+      else scala.util.Try(fs.getFileStatus(new HPath(p)).getLen).getOrElse(Long.MaxValue / 1024)
+    }.sum
+    val proxy = parquetBytes * 4 + dvBytes * 32
+    val bcBudget = spark.conf.getOption("spark.graft.tombBroadcastBytes")
+      .map(_.toLong).getOrElse(tombBroadcastBytes)
+    Some(if (proxy <= bcBudget) broadcast(tombs) else tombs)
   }
+
+  /** Decoded-tombstone size proxy above which the (file, row) anti-join
+    * stops broadcasting, and puffin-DV byte budget for driver-side decode. */
+  private[sources] val tombBroadcastBytes: Long = 64L << 20
+  private[sources] val dvDriverDecodeBytes: Long = 8L << 20
 
   /** Scan `files` (a subset of `plan.dataFiles`) with ALL of the
     * snapshot's deletes applied — THE delete-application path, shared by
@@ -579,7 +627,9 @@ object IcebergLoader {
     val afterPos = posTombs match {
       case None => base
       case Some(deletes) =>
-        base.join(broadcast(deletes), Seq("__graft_fp", "__graft_ri"), "left_anti")
+        // broadcast-vs-shuffle was already decided inside
+        // [[positionTombstones]] from the manifests' recorded sizes
+        base.join(deletes, Seq("__graft_fp", "__graft_ri"), "left_anti")
     }
     val afterEq = if (plan.equalityDeleteFiles.isEmpty) afterPos
     else applyEqualityDeletes(spark, afterPos, schemaNode, plan)

@@ -407,6 +407,20 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
       (5L, "epsilon", 5.5)))
   }
 
+  test("v3 deletion vectors: executor-side blob decode reads identically") {
+    // zero the driver-decode budget: the blob pointers ship to tasks and
+    // the tombstones never materialize on the driver — same rows
+    val dir = buildV3Table()
+    spark.conf.set("spark.graft.dvDriverDecodeBytes", "0")
+    spark.conf.set("spark.graft.tombBroadcastBytes", "0")
+    try assert(rows(load(dir)) === Set((1L, "alpha", 1.5), (3L, "gamma", 3.5),
+      (5L, "epsilon", 5.5)))
+    finally {
+      spark.conf.unset("spark.graft.dvDriverDecodeBytes")
+      spark.conf.unset("spark.graft.tombBroadcastBytes")
+    }
+  }
+
   test("v3 deletion vector blobs validate magic, checksum and length") {
     // corrupting one payload byte must fail the CRC check loudly
     val dir = buildV3Table()

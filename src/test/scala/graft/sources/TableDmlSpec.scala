@@ -242,6 +242,28 @@ class TableDmlSpec extends SparkSpec {
       Set(2L, 3L))
   }
 
+  test("big tombstone sets: executor-side decode + shuffle anti-join read identically") {
+    // force the scale legs by zeroing the thresholds: Delta DV descriptors
+    // decode in tasks and the anti-join stops broadcasting; the result
+    // must be bit-identical to the driver/broadcast path
+    val dir = newDir("graft_dml_exec")
+    DeltaWriter.write((1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    DeltaDml.deleteWhere(spark, dir, "id % 5 = 0")
+    val expect = (1L to 50L).filterNot(_ % 5 == 0).map(i => (i, s"n$i")).toSet
+    assert(idName(deltaRead(dir)) == expect) // small path
+    spark.conf.set("spark.graft.dvBroadcastRows", "0")
+    try assert(idName(deltaRead(dir)) == expect) // executor-decode path
+    finally spark.conf.unset("spark.graft.dvBroadcastRows")
+
+    val iDir = newDir("graft_idml_exec")
+    IcebergWriter.write((1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"), iDir)
+    IcebergDml.deleteWhere(spark, iDir, "id % 5 = 0")
+    assert(idName(icebergRead(iDir)) == expect)
+    spark.conf.set("spark.graft.tombBroadcastBytes", "0")
+    try assert(idName(icebergRead(iDir)) == expect) // shuffle anti-join path
+    finally spark.conf.unset("spark.graft.tombBroadcastBytes")
+  }
+
   // ---- Iceberg DML ------------------------------------------------------------
 
   test("iceberg deleteWhere: position-delete snapshot round-trips") {
