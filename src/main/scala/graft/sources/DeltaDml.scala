@@ -226,7 +226,7 @@ object DeltaDml {
           var offset = 1L
           it.foreach { case (fp, ris) =>
             val old = oldDvByPath.get(fp).map { dj =>
-              DeletionVectors.read(conf, dirStr, parseDescriptor(dj))
+              DeletionVectors.read(conf, dirStr, DeletionVectors.parseDescriptorJson(dj))
             }.getOrElse(Array.empty[Long])
             val merged = (old ++ ris).distinct.sorted
             val data = DeletionVectors.serializeBitmapArray(merged)
@@ -307,20 +307,8 @@ object DeltaDml {
       mapper.readTree(s).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
   }
 
-  private def descriptorJson(d: DeletionVectors.Descriptor): String = {
-    val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
-    s"""{"storageType":${jstr(d.storageType)},"pathOrInlineDv":${jstr(
-      d.pathOrInlineDv)}$off,"sizeInBytes":${d.sizeInBytes},""" +
-      s""""cardinality":${d.cardinality}}"""
-  }
-
-  private def parseDescriptor(json: String): DeletionVectors.Descriptor = {
-    val n = mapper.readTree(json)
-    DeletionVectors.Descriptor(
-      n.get("storageType").asText(), n.get("pathOrInlineDv").asText(),
-      Option(n.get("offset")).filterNot(_.isNull).map(_.asInt()),
-      n.get("sizeInBytes").asInt(), n.get("cardinality").asLong())
-  }
+  private def descriptorJson(d: DeletionVectors.Descriptor): String =
+    DeletionVectors.descriptorJson(d)
 
   // ---- protocol / metaData feature upgrade ----------------------------------
 
@@ -332,38 +320,48 @@ object DeltaDml {
     4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
     6 -> "identityColumns")
 
+  /** A table-features protocol upgrade as ONE surgical line: reader
+    * version 3 / writer version 7, `feature` added to both feature sets,
+    * legacy-implied features enumerated (the spec's upgrade rule), every
+    * unmodeled protocol field carried verbatim. None when the table
+    * already declares the feature on both sides. Shared by the DV commits
+    * here and [[DeltaWriter.checkpointV2]]'s `v2Checkpoint` upgrade. */
+  private[sources] def protocolUpgradeLine(protocolJson: Option[String],
+                                           feature: String): Option[String] = {
+    val node = protocolJson.map(_.parseJsonObject).getOrElse(
+      throw new IllegalStateException("delta log carries no protocol action"))
+    val mrv = node.get("minReaderVersion").asInt()
+    val mwv = node.get("minWriterVersion").asInt()
+    val readerFeatures: Set[String] =
+      Option(node.get("readerFeatures")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSet)
+        .getOrElse(if (mrv >= 2) Set("columnMapping") else Set.empty)
+    val writerFeatures: Set[String] =
+      Option(node.get("writerFeatures")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSet)
+        .getOrElse(legacyWriterFeatures.collect {
+          case (v, f) if mwv >= v => f
+        }.toSet)
+    if (mrv == 3 && readerFeatures(feature) &&
+        mwv == 7 && writerFeatures(feature)) None
+    else {
+      node.put("minReaderVersion", 3)
+      node.put("minWriterVersion", 7)
+      val rf = node.putArray("readerFeatures")
+      (readerFeatures + feature).toSeq.sorted.foreach(rf.add)
+      val wf = node.putArray("writerFeatures")
+      (writerFeatures + feature).toSeq.sorted.foreach(wf.add)
+      Some(s"""{"protocol":${mapper.writeValueAsString(node)}}""")
+    }
+  }
+
   /** The protocol-upgrade and `delta.enableDeletionVectors` metaData lines
     * a DV-bearing commit needs — EMPTY when the table already declares
     * both. Surgical edits of the raw actions: every unmodeled field
     * carries forward verbatim. */
   private[sources] def dvFeatureLines(snap: DeltaLoader.Snapshot): Seq[String] = {
-    val protoLine: Option[String] = {
-      val node = snap.protocolJson.map(_.parseJsonObject).getOrElse(
-        throw new IllegalStateException("delta log carries no protocol action"))
-      val mrv = node.get("minReaderVersion").asInt()
-      val mwv = node.get("minWriterVersion").asInt()
-      val readerFeatures: Set[String] =
-        Option(node.get("readerFeatures")).filterNot(_.isNull)
-          .map(_.elements().asScala.map(_.asText()).toSet)
-          .getOrElse(if (mrv >= 2) Set("columnMapping") else Set.empty)
-      val writerFeatures: Set[String] =
-        Option(node.get("writerFeatures")).filterNot(_.isNull)
-          .map(_.elements().asScala.map(_.asText()).toSet)
-          .getOrElse(legacyWriterFeatures.collect {
-            case (v, f) if mwv >= v => f
-          }.toSet)
-      if (mrv == 3 && readerFeatures("deletionVectors") &&
-          mwv == 7 && writerFeatures("deletionVectors")) None
-      else {
-        node.put("minReaderVersion", 3)
-        node.put("minWriterVersion", 7)
-        val rf = node.putArray("readerFeatures")
-        (readerFeatures + "deletionVectors").toSeq.sorted.foreach(rf.add)
-        val wf = node.putArray("writerFeatures")
-        (writerFeatures + "deletionVectors").toSeq.sorted.foreach(wf.add)
-        Some(s"""{"protocol":${mapper.writeValueAsString(node)}}""")
-      }
-    }
+    val protoLine: Option[String] =
+      protocolUpgradeLine(snap.protocolJson, "deletionVectors")
     val metaLine: Option[String] = snap.metaDataJson.flatMap { raw =>
       val node = raw.parseJsonObject
       val cfg = Option(node.get("configuration")).filterNot(_.isNull)

@@ -1091,6 +1091,126 @@ object DeltaWriter {
     walk(have, cpSchema, "")
   }
 
+  /** Carry a base checkpoint's FILE actions forward, distributed: adds the
+    * newer JSON superseded drop via an executor-side anti-join; tombstones
+    * carry VERBATIM minus expired clocks and superseded paths (a re-add
+    * clears the tombstone; a newer remove replaces it). The base's remove
+    * struct is PROBED before selecting optional subfields, exactly as
+    * [[vacuum]] does (advisor finding: assuming deletionTimestamp threw a
+    * raw AnalysisException on adopted checkpoints that omit it — and
+    * re-checkpointing is precisely the remedy vacuum's refusal message
+    * prescribes; a missing deletionTimestamp reads as null, so the
+    * isNotNull filter drops those tombstones — the missing-ts = 0 =
+    * already-expired semantics everywhere else in this file). Shared by
+    * the classic fold and the V2 dirty-sidecar rewrite. */
+  private def carryFileActions(spark: org.apache.spark.sql.SparkSession,
+                               cp: DataFrame, tomb: Seq[String],
+                               tombCutoff: Long)
+      : org.apache.spark.sql.Dataset[String] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cols = cp.columns.toSet
+    val liveAdds =
+      if (!cols("add")) spark.emptyDataset[String]
+      else {
+        val adds = cp.where(col("add.path").isNotNull).select(col("add"))
+        val live =
+          if (tomb.isEmpty) adds
+          else adds.join(tomb.toDF("tpath"), col("add.path") === col("tpath"),
+            "left_anti").select(col("add"))
+        live.toJSON
+      }
+    val rmFields: Set[String] =
+      if (!cols("remove")) Set.empty
+      else cp.schema("remove").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    val baseRemoves =
+      if (!rmFields.contains("path")) spark.emptyDataset[String]
+      else {
+        val tsCol =
+          if (rmFields.contains("deletionTimestamp"))
+            col("remove.deletionTimestamp").cast("long")
+          else org.apache.spark.sql.functions.lit(null).cast("long")
+        val rms = cp.where(col("remove.path").isNotNull)
+          .where(tsCol.isNotNull && tsCol >= tombCutoff)
+          .select(col("remove"))
+        // `tomb` already covers every superseding path
+        val kept =
+          if (tomb.isEmpty) rms
+          else rms.join(tomb.toDF("tpath"),
+            col("remove.path") === col("tpath"), "left_anti")
+            .select(col("remove"))
+        kept.toJSON
+      }
+    liveAdds.union(baseRemoves)
+  }
+
+  /** The driver-bounded outcome of replaying JSON commits (floor, v] for a
+    * checkpoint build — per-commit actions are small by protocol, so these
+    * maps are bounded by interval x commit size, never table size.
+    * Tombstone nodes ride VERBATIM (vacuum keys retention on their
+    * deletionTimestamps, and external engines may need the spec's optional
+    * remove subfields). Shared by the classic and V2 checkpoint writers. */
+  private final class CpReplay {
+    val newAdds = scala.collection.mutable.LinkedHashMap[
+      String, com.fasterxml.jackson.databind.node.ObjectNode]()
+    val removed = scala.collection.mutable.LinkedHashSet[String]()
+    val removedNodes = scala.collection.mutable.LinkedHashMap[
+      String, com.fasterxml.jackson.databind.node.ObjectNode]()
+    val removedTs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var metaLine: String = null
+    var protoLine: String = null
+    val txns = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+  }
+
+  private def replayJson(fs: FileSystem, logDir: HPath, floor: Long,
+                         v: Long): CpReplay = {
+    val rep = new CpReplay
+    val commitRx = raw"(\d{20})\.json".r
+    val commits = fs.listStatus(logDir).map(_.getPath.getName).collect {
+      case n @ commitRx(cv) if cv.toLong > floor && cv.toLong <= v => cv.toLong -> n
+    }.sortBy(_._1)
+    commits.foreach { case (_, name) =>
+      val in = fs.open(new HPath(logDir, name))
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        requireRepresentable(node, name)
+        val add = node.get("add")
+        if (add != null && !add.isNull) {
+          val o = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          o.put("dataChange", false) // checkpoint actions are not data changes
+          val p = add.get("path").asText()
+          rep.newAdds(p) = o; rep.removed -= p
+          rep.removedTs -= p; rep.removedNodes -= p
+        }
+        val rem = node.get("remove")
+        if (rem != null && !rem.isNull) {
+          val p = rem.get("path").asText(); rep.removed += p; rep.newAdds -= p
+          val ts = Option(rem.get("deletionTimestamp")).filterNot(_.isNull)
+            .map(_.asLong()).getOrElse(0L)
+          rep.removedTs(p) = math.max(rep.removedTs.getOrElse(p, 0L), ts)
+          val o = rem.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          o.put("dataChange", false) // checkpoint actions are not data changes
+          o.put("deletionTimestamp", rep.removedTs(p)) // newest clock wins
+          rep.removedNodes(p) = o
+        }
+        val meta = node.get("metaData")
+        if (meta != null && !meta.isNull) rep.metaLine = s"""{"metaData":$meta}"""
+        val proto = node.get("protocol")
+        if (proto != null && !proto.isNull) rep.protoLine = s"""{"protocol":$proto}"""
+        val t = node.get("txn")
+        if (t != null && !t.isNull) {
+          val appId = t.get("appId").asText(); val ver = t.get("version").asLong()
+          val lu = Option(t.get("lastUpdated")).filterNot(_.isNull)
+            .map(_.asLong()).getOrElse(0L)
+          if (rep.txns.get(appId).forall(_._1 <= ver)) rep.txns(appId) = (ver, lu)
+        }
+      }
+    }
+    rep
+  }
+
   /** Write the replay state at version `v` as a checkpoint — single-file
     * below [[checkpointPartActions]] actions, the protocol's multipart
     * `<v>.checkpoint.<i>.<n>.parquet` layout above it — plus
@@ -1116,71 +1236,24 @@ object DeltaWriter {
     // never carried; once pre-checkpoint JSON is gone, a same-version
     // base refolds (layout/`_last_checkpoint` refresh). The interval path
     // keeps the strict `< v` incremental fold.
+    // a table already on V2 checkpoints STAYS on them — every maintenance
+    // path (interval checkpoints, the ops hook, cleanupLog's rebase) keeps
+    // writing the format the table migrated to, reusing clean sidecars
+    if (readLastCheckpoint(fs, logDir)
+        .exists { case (bv, parts) => isV2Checkpoint(fs, logDir, bv, parts) }) {
+      writeCheckpointV2(spark, fs, root, logDir, v, actionsPerPart, rebase)
+      return
+    }
     val commit0Here = fs.exists(new HPath(logDir, f"${0L}%020d.json"))
     val base =
       if (rebase && commit0Here) None
       else readLastCheckpoint(fs, logDir)
         .filter(c => if (rebase) c._1 <= v else c._1 < v)
 
-    // replay JSON commits (base, v]: per-commit actions are small by
-    // protocol (one commit's worth), so this map is bounded by
-    // interval x commit size, not table size
-    val newAdds = scala.collection.mutable.LinkedHashMap[
-      String, com.fasterxml.jackson.databind.node.ObjectNode]()
-    val removed = scala.collection.mutable.LinkedHashSet[String]()
-    // tombstones ride too, VERBATIM (vacuum keys its retention on their
-    // deletionTimestamps, and external engines may need the spec's
-    // optional remove subfields — re-serializing just path/ts would drop
-    // state requireRepresentable certified as representable; review
-    // finding), plus the newest clock per path for expiry decisions
-    val removedNodes = scala.collection.mutable.LinkedHashMap[
-      String, com.fasterxml.jackson.databind.node.ObjectNode]()
-    val removedTs = scala.collection.mutable.LinkedHashMap[String, Long]()
-    var metaLine: String = null
-    var protoLine: String = null
-    val txns = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
-    val commitRx = raw"(\d{20})\.json".r
-    val floor = base.map(_._1).getOrElse(-1L)
-    val commits = fs.listStatus(logDir).map(_.getPath.getName).collect {
-      case n @ commitRx(cv) if cv.toLong > floor && cv.toLong <= v => cv.toLong -> n
-    }.sortBy(_._1)
-    commits.foreach { case (_, name) =>
-      val in = fs.open(new HPath(logDir, name))
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        requireRepresentable(node, name)
-        val add = node.get("add")
-        if (add != null && !add.isNull) {
-          val o = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-          o.put("dataChange", false) // checkpoint actions are not data changes
-          val p = add.get("path").asText()
-          newAdds(p) = o; removed -= p; removedTs -= p; removedNodes -= p
-        }
-        val rem = node.get("remove")
-        if (rem != null && !rem.isNull) {
-          val p = rem.get("path").asText(); removed += p; newAdds -= p
-          val ts = Option(rem.get("deletionTimestamp")).filterNot(_.isNull)
-            .map(_.asLong()).getOrElse(0L)
-          removedTs(p) = math.max(removedTs.getOrElse(p, 0L), ts)
-          val o = rem.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-          o.put("dataChange", false) // checkpoint actions are not data changes
-          o.put("deletionTimestamp", removedTs(p)) // newest clock wins
-          removedNodes(p) = o
-        }
-        val meta = node.get("metaData")
-        if (meta != null && !meta.isNull) metaLine = s"""{"metaData":$meta}"""
-        val proto = node.get("protocol")
-        if (proto != null && !proto.isNull) protoLine = s"""{"protocol":$proto}"""
-        val t = node.get("txn")
-        if (t != null && !t.isNull) {
-          val appId = t.get("appId").asText(); val ver = t.get("version").asLong()
-          val lu = Option(t.get("lastUpdated")).filterNot(_.isNull)
-            .map(_.asLong()).getOrElse(0L)
-          if (txns.get(appId).forall(_._1 <= ver)) txns(appId) = (ver, lu)
-        }
-      }
-    }
+    val rep = replayJson(fs, logDir, base.map(_._1).getOrElse(-1L), v)
+    import rep.{newAdds, removed, removedNodes, removedTs, txns}
+    var metaLine: String = rep.metaLine
+    var protoLine: String = rep.protoLine
 
     // base checkpoint: meta/protocol/txns only where the JSON replay did
     // not supersede them; the ADD SET stays distributed — tombstoned
@@ -1211,54 +1284,8 @@ object DeltaWriter {
               if (txns.get(appId).forall(_._1 < ver)) txns(appId) = (ver, lu)
             }
         val tomb = (removed ++ newAdds.keys).toSeq
-        val liveAdds =
-          if (!cols("add")) spark.emptyDataset[String]
-          else {
-            val adds = cp.where(col("add.path").isNotNull).select(col("add"))
-            val live =
-              if (tomb.isEmpty) adds
-              else adds.join(tomb.toDF("tpath"), col("add.path") === col("tpath"),
-                "left_anti").select(col("add"))
-            live.toJSON
-          }
-        // base-checkpoint tombstones carry forward DISTRIBUTED, minus
-        // expired clocks and paths the newer JSON superseded (a re-add
-        // clears the tombstone; a newer remove replaces it)
-        val tombCutoff = System.currentTimeMillis() - checkpointTombstoneRetentionMs
-        // probe the base checkpoint's remove struct before selecting
-        // OPTIONAL subfields, exactly as [[vacuum]] does (advisor finding:
-        // this path assumed deletionTimestamp and threw a raw
-        // AnalysisException on adopted checkpoints that omit it — and
-        // re-checkpointing is precisely the remedy vacuum's refusal
-        // message prescribes). A missing deletionTimestamp reads as null,
-        // so the isNotNull filter drops those base tombstones — consistent
-        // with the missing-ts = 0 = already-expired semantics everywhere
-        // else in this file.
-        val rmFields: Set[String] =
-          if (!cols("remove")) Set.empty
-          else cp.schema("remove").dataType
-            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
-        val baseRemoves =
-          if (!rmFields.contains("path")) spark.emptyDataset[String]
-          else {
-            val tsCol =
-              if (rmFields.contains("deletionTimestamp"))
-                col("remove.deletionTimestamp").cast("long")
-              else org.apache.spark.sql.functions.lit(null).cast("long")
-            val rms = cp.where(col("remove.path").isNotNull)
-              .where(tsCol.isNotNull && tsCol >= tombCutoff)
-              .select(col("remove"))
-            // `tomb` already covers every superseding path: removedTs'
-            // keys are maintained in lock-step with `removed`
-            val superseded = tomb
-            val kept =
-              if (superseded.isEmpty) rms
-              else rms.join(superseded.toDF("tpath"),
-                col("remove.path") === col("tpath"), "left_anti")
-                .select(col("remove"))
-            kept.toJSON
-          }
-        liveAdds.union(baseRemoves)
+        carryFileActions(spark, cp, tomb,
+          System.currentTimeMillis() - checkpointTombstoneRetentionMs)
       }
 
     require(protoLine != null && metaLine != null,
@@ -1335,6 +1362,274 @@ object DeltaWriter {
       val partsField = if (actualN == 1) "" else s""","parts":$actualN"""
       val out = fs.create(new HPath(logDir, "_last_checkpoint"), true)
       try out.write(s"""{"version":$v,"size":$total$partsField}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** True when the checkpoint at `v` is the V2 (uuid-named) layout. */
+  private def isV2Checkpoint(fs: FileSystem, logDir: HPath, v: Long,
+                             parts: Option[Int]): Boolean =
+    parts.isEmpty &&
+      !fs.exists(new HPath(logDir, f"$v%020d.checkpoint.parquet")) &&
+      scala.util.Try(DeltaCheckpoints.resolvePaths(fs, logDir, v, None)).isSuccess
+
+  /** Migrate the table to V2 checkpoints and write one at the current
+    * head: upgrades the protocol with the `v2Checkpoint` feature first
+    * (one surgical commit — only when missing), then writes the uuid-named
+    * main file + `_delta_log/_sidecars/` layout. Subsequent interval
+    * checkpoints stay V2 automatically and reuse clean sidecars — see
+    * [[writeCheckpointV2]] for why that is the 100 TB shape. Returns the
+    * checkpointed version. */
+  def checkpointV2(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   actionsPerSidecar: Long = checkpointPartActions): Long = {
+    require(actionsPerSidecar > 0,
+      s"actionsPerSidecar must be > 0, got $actionsPerSidecar")
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = logDirOf(root)
+    val snap = DeltaLoader.snapshot(spark, dir)
+    val head = DeltaDml.protocolUpgradeLine(snap.protocolJson, "v2Checkpoint") match {
+      case Some(line) =>
+        val now = System.currentTimeMillis()
+        val commitInfo =
+          s"""{"commitInfo":{"timestamp":$now,"operation":"UPGRADE PROTOCOL",""" +
+            """"operationParameters":{},"engineInfo":"graft-delta-writer"}}"""
+        val version = snap.version + 1
+        require(commitJson(fs, new HPath(logDir, f"$version%020d.json"),
+            Seq(commitInfo, line).mkString("", "\n", "\n")),
+          s"checkpointV2 lost a commit race at version $version; re-run " +
+            "against the refreshed table")
+        version
+      case None => snap.version
+    }
+    writeCheckpointV2(spark, fs, root, logDir, head, actionsPerSidecar,
+      rebase = true)
+    head
+  }
+
+  /** Write the replay state at `v` as a V2 checkpoint: a uuid-named
+    * `<v>.checkpoint.<uuid>.parquet` main file holding ONLY the non-file
+    * actions (protocol/metaData/txn/checkpointMetadata) plus `sidecar`
+    * pointers, with the add/remove set in parquet sidecars under
+    * `_delta_log/_sidecars/`.
+    *
+    * Why this is the 100 TB checkpoint shape — INCREMENTAL cost: when the
+    * previous checkpoint is already V2, each of its sidecars is reused
+    * VERBATIM unless a path changed since (tombstoned or re-added) falls
+    * inside that sidecar's `add.path`/`remove.path` range — read from one
+    * column-pruned stats pass over the sidecars, never their row sets. A
+    * steady-state table that appends and compacts touches a handful of
+    * paths per interval, so a re-checkpoint writes O(changed paths) new
+    * sidecar bytes instead of re-serializing millions of adds; the classic
+    * layout rewrites the whole add set every interval. Clean carried
+    * sidecars may retain already-expired tombstones until a change lands
+    * in their range (bounded drift; the rewrite prunes them).
+    * [[cleanupLog]] keeps referenced sidecars and retires orphaned ones.
+    *
+    * First V2 checkpoint over a classic base folds the base like the
+    * classic writer does and lands everything in fresh sidecars. */
+  private[sources] def writeCheckpointV2(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: FileSystem, root: HPath, logDir: HPath, v: Long,
+      actionsPerSidecar: Long = checkpointPartActions,
+      rebase: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import spark.implicits._
+    val commit0Here = fs.exists(new HPath(logDir, f"${0L}%020d.json"))
+    val base =
+      if (rebase && commit0Here) None
+      else readLastCheckpoint(fs, logDir)
+        .filter(c => if (rebase) c._1 <= v else c._1 < v)
+    val rep = replayJson(fs, logDir, base.map(_._1).getOrElse(-1L), v)
+    var metaLine: String = rep.metaLine
+    var protoLine: String = rep.protoLine
+    val txns = rep.txns
+    val now = System.currentTimeMillis()
+    val tombCutoff = now - checkpointTombstoneRetentionMs
+    val tomb: Seq[String] = (rep.removed ++ rep.newAdds.keys).toSeq
+
+    val sidecarDir = new HPath(logDir, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    // (name, sizeInBytes, modificationTime, actionRows) per sidecar the new
+    // checkpoint references
+    var reused: Seq[(String, Long, Long, Long)] = Seq.empty
+    var dirtyRowEstimate = 0L
+    var classicBase = false
+
+    val carryJson: Option[org.apache.spark.sql.Dataset[String]] =
+      base.map { case (bv, parts) =>
+        val mains = DeltaCheckpoints.resolvePaths(fs, logDir, bv, parts)
+        val mainDf = spark.read.parquet(mains.map(_.toString): _*)
+        // the V2 columns are modeled HERE (this writer consumes them);
+        // everything else must pass the classic representability gate
+        requireModeledColumns(
+          org.apache.spark.sql.types.StructType(mainDf.schema.fields
+            .filterNot(f => f.name == "checkpointMetadata" || f.name == "sidecar")),
+          s"base checkpoint $bv")
+        val cols = mainDf.columns.toSet
+        if (metaLine == null && cols("metaData"))
+          mainDf.select("metaData").where(col("metaData.id").isNotNull)
+            .toJSON.collect().foreach(l => metaLine = l)
+        if (protoLine == null && cols("protocol"))
+          mainDf.select("protocol").where(col("protocol.minReaderVersion").isNotNull)
+            .toJSON.collect().foreach(l => protoLine = l)
+        if (cols("txn"))
+          mainDf.select(col("txn.appId"), col("txn.version"), col("txn.lastUpdated"))
+            .where(col("txn.appId").isNotNull).collect().foreach { r =>
+              val appId = r.getString(0); val ver = r.getLong(1)
+              val lu = if (r.isNullAt(2)) 0L else r.getLong(2)
+              if (txns.get(appId).forall(_._1 < ver)) txns(appId) = (ver, lu)
+            }
+        // inline file actions (classic base, or a V2 main carrying them)
+        val inlineCarry = carryFileActions(spark, mainDf, tomb, tombCutoff)
+        classicBase = !cols("sidecar")
+        val sidecars: Seq[HPath] =
+          if (!cols("sidecar")) Seq.empty
+          else DeltaCheckpoints.referencedSidecars(spark, fs, logDir, bv, parts)
+        if (sidecars.isEmpty) inlineCarry
+        else {
+          // EXACT dirtiness in ONE column-pruned pass: read only the path
+          // columns of every sidecar, left-join the (driver-bounded,
+          // broadcast) changed-path set, count rows and hits per file.
+          // A sidecar is dirty iff it CONTAINS a changed path — min/max
+          // ranges are useless here because every delta add path starts
+          // with "part-", so ranges always interleave. Nothing is
+          // rewritten for the hit test; the scan reads strings only.
+          // Keys live in the scan's percent-encoded path domain
+          // ([[PartitionLayout.scanPathKey]]).
+          val sideDf = spark.read.parquet(sidecars.map(_.toString): _*)
+          requireModeledColumns(sideDf.schema, s"base v2 sidecars of checkpoint $bv")
+          val sCols = sideDf.columns.toSet
+          def pathOf(c: String) =
+            if (sCols(c)) col(s"$c.path") else lit(null).cast("string")
+          val changedDf = tomb.toDF("cpath")
+          val stats = sideDf
+            .select(org.apache.spark.sql.functions.regexp_replace(
+                col("_metadata.file_path"), "^file:/+", "/").as("fp"),
+              org.apache.spark.sql.functions.coalesce(
+                pathOf("add"), pathOf("remove")).as("p"))
+            .join(org.apache.spark.sql.functions.broadcast(changedDf),
+              col("p") === col("cpath"), "left")
+            .groupBy(col("fp"))
+            .agg(count(lit(1)).as("rows"), count(col("cpath")).as("hits"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+          // every stats key must resolve to a known sidecar: a silent
+          // domain mismatch here would DROP a sidecar from the new
+          // checkpoint — data loss, not an optimization miss
+          val known = sidecars.map(p =>
+            PartitionLayout.scanPathKey(p.toString)).toSet
+          require(stats.keySet.subsetOf(known),
+            s"sidecar stats keyed outside the resolved path domain: " +
+              s"${(stats.keySet -- known).take(3).mkString(", ")}")
+          val (dirty, clean) = sidecars.partition { p =>
+            stats.get(PartitionLayout.scanPathKey(p.toString))
+              .exists(_._2 > 0L)
+          }
+          reused = clean.flatMap { p =>
+            stats.get(PartitionLayout.scanPathKey(p.toString)).map { s =>
+              val st = fs.getFileStatus(p)
+              (p.getName, st.getLen, st.getModificationTime, s._1)
+            } // zero-row sidecars DROP from the new checkpoint entirely
+          }
+          dirtyRowEstimate = dirty.flatMap(p =>
+            stats.get(PartitionLayout.scanPathKey(p.toString)).map(_._1)).sum
+          val dirtyCarry =
+            if (dirty.isEmpty) spark.emptyDataset[String]
+            else carryFileActions(spark,
+              spark.read.parquet(dirty.map(_.toString): _*), tomb, tombCutoff)
+          inlineCarry.union(dirtyCarry)
+        }
+      }
+
+    require(protoLine != null && metaLine != null,
+      s"v2 checkpoint at $v found no protocol/metaData in the log")
+
+    // fresh sidecars: JSON-replay adds + live tombstones + dirty rewrites
+    val addLines = rep.newAdds.values.map(o => s"""{"add":$o}""").toSeq
+    val removeLines = rep.removedNodes.collect {
+      case (p, o) if rep.removedTs.getOrElse(p, 0L) >= tombCutoff =>
+        s"""{"remove":$o}"""
+    }.toSeq
+    val freshDriver = (addLines ++ removeLines).toDS()
+    val freshAll = carryJson.map(freshDriver.union).getOrElse(freshDriver)
+    val fileSchema = org.apache.spark.sql.types.StructType(
+      cpSchema.fields.filter(f => f.name == "add" || f.name == "remove"))
+    // shard estimate without executing the plan (same discipline as the
+    // classic writer): fresh lines exact, dirty bounded by their stats
+    // rows, a folded classic base bounded by its recorded size
+    val estFresh: Long = {
+      val classicRows =
+        if (!classicBase) 0L
+        else math.max(readLastCheckpointSize(fs, logDir), 0L)
+      addLines.size.toLong + removeLines.size.toLong +
+        dirtyRowEstimate + classicRows
+    }
+    val nFresh = math.max(1L,
+      (estFresh + actionsPerSidecar - 1) / actionsPerSidecar).toInt
+    val conf = spark.sparkContext.hadoopConfiguration
+    val scratch = new HPath(root, s".graft_cp_${java.util.UUID.randomUUID()}")
+    spark.read.schema(fileSchema).json(freshAll)
+      .repartition(nFresh).write.mode("overwrite").parquet(scratch.toString)
+    val freshParts = fs.listStatus(scratch).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val freshSidecars: Seq[(String, Long, Long, Long)] = freshParts.toSeq.flatMap { p =>
+      val rows = ColumnIndex.readFileZones(conf, p.toString, Seq.empty).rows
+      require(rows >= 0L, s"could not read back sidecar footer $p")
+      if (rows == 0L) None // an all-empty shard never leaves the scratch
+      else {
+        val target = new HPath(sidecarDir, p.getName) // task-uuid names are unique
+        require(fs.rename(p, target), s"could not move sidecar into $sidecarDir")
+        val st = fs.getFileStatus(target)
+        Some((target.getName, st.getLen, st.getModificationTime, rows))
+      }
+    }
+    fs.delete(scratch, true)
+
+    // main file: non-file actions + checkpointMetadata + sidecar pointers
+    val txnLines = txns.toSeq.map { case (appId, (ver, lu)) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$ver,"lastUpdated":$lu}}"""
+    }
+    val sidecarEntries = reused ++ freshSidecars
+    val mainLines = Seq(protoLine, metaLine) ++ txnLines ++
+      Seq(s"""{"checkpointMetadata":{"version":$v}}""") ++
+      sidecarEntries.map { case (n, size, mtime, _) =>
+        s"""{"sidecar":{"path":${jstr(n)},"sizeInBytes":$size,""" +
+          s""""modificationTime":$mtime}}"""
+      }
+    val mainSchema = org.apache.spark.sql.types.StructType(
+      cpSchema.fields.filter(f =>
+        Set("protocol", "metaData", "txn")(f.name)) ++ Seq(
+        org.apache.spark.sql.types.StructField("checkpointMetadata",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("version",
+              org.apache.spark.sql.types.LongType)))),
+        org.apache.spark.sql.types.StructField("sidecar",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("sizeInBytes",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("modificationTime",
+              org.apache.spark.sql.types.LongType))))))
+    val mainScratch = new HPath(root, s".graft_cp_${java.util.UUID.randomUUID()}")
+    spark.read.schema(mainSchema).json(mainLines.toDS())
+      .coalesce(1).write.mode("overwrite").parquet(mainScratch.toString)
+    val mainPart = fs.listStatus(mainScratch).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"v2 checkpoint main scratch $mainScratch has no part file"))
+    val mainTarget = new HPath(logDir,
+      f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+    require(fs.rename(mainPart, mainTarget),
+      s"could not move v2 checkpoint main into $logDir")
+    fs.delete(mainScratch, true)
+
+    if (readLastCheckpoint(fs, logDir).forall(_._1 <= v)) {
+      val total = mainLines.size.toLong + sidecarEntries.map(_._4).sum
+      val out = fs.create(new HPath(logDir, "_last_checkpoint"), true)
+      try out.write(s"""{"version":$v,"size":$total}""".getBytes("UTF-8"))
       finally out.close()
     }
   }
