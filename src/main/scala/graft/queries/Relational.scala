@@ -344,43 +344,54 @@ object Relational {
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Bounded (LRU, 8 entries — enough for every live session, small
+    * enough to unpin dead ones) double-checked memo for fixture builders:
+    * the build runs OUTSIDE the lock (multi-second Spark jobs must not
+    * serialize unrelated keys); a concurrent LOSER's unpublished scratch
+    * is reclaimed via `cleanup`. ONE copy of the locking choreography for
+    * all four fixture memos (review finding: four hand-maintained
+    * near-copies, two of which had drifted to unbounded maps that pin
+    * every SparkSession a long-lived server ever saw). */
+  private final class FixtureMemo[V] {
+    private val map =
+      new java.util.LinkedHashMap[(SparkSession, String), V](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), V]): Boolean = size > 8
+      }
+    def getOrBuild(key: (SparkSession, String))(build: => V)
+                  (cleanup: V => Unit): V =
+      map.synchronized(Option(map.get(key))) match {
+        case Some(v) => v
+        case None =>
+          val built = build
+          val (result, lost) = map.synchronized {
+            Option(map.get(key)) match {
+              case Some(winner) => (winner, true)
+              case None => map.put(key, built); (built, false)
+            }
+          }
+          if (lost) cleanup(built)
+          result
+      }
+  }
+
   /** Memoized per (session, sf dir): a ship-date-clustered 8-file copy of
     * lineitem plus its zone-map [[graft.sources.ColumnIndex]]. Clustering by
     * the filter column is what makes zones tight — the layout the repo's
     * ZOrder operator produces at scale. */
-  private val colIndexMemo = new java.util.LinkedHashMap[
-    (SparkSession, String), (String, graft.sources.ColumnIndex.Index)](16, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String),
-                               (String, graft.sources.ColumnIndex.Index)]): Boolean =
-      size > 8 // zones are tiny; this only unpins dead sessions' entries
-  }
+  private val colIndexMemo =
+    new FixtureMemo[(String, graft.sources.ColumnIndex.Index)]
   private def colIndexFor(spark: SparkSession, dir: String)
-      : (String, graft.sources.ColumnIndex.Index) = {
-    val key = (spark, dir)
-    colIndexMemo.synchronized(Option(colIndexMemo.get(key))) match {
-      case Some(v) => v
-      case None =>
-        // build OUTSIDE the lock (a multi-second Spark job must not
-        // serialize unrelated keys); a concurrent loser's scratch is
-        // unpublished and reclaimed after the lock
-        val out = java.nio.file.Paths.get(scratchRoot,
-          "colindex-" + java.util.UUID.randomUUID().toString).toString
-        Tables.t(spark, dir, "lineitem")
-          .repartitionByRange(8, col("l_shipdate"))
-          .sortWithinPartitions("l_shipdate")
-          .write.mode("overwrite").parquet(out)
-        val built = (out, graft.sources.ColumnIndex.build(spark, out, Seq("l_shipdate")))
-        val (result, lost) = colIndexMemo.synchronized {
-          Option(colIndexMemo.get(key)) match {
-            case Some(winner) => (winner, true)
-            case None => colIndexMemo.put(key, built); (built, false)
-          }
-        }
-        if (lost) deleteTree(new java.io.File(out)) // unpublished loser scratch
-        result
-    }
-  }
+      : (String, graft.sources.ColumnIndex.Index) =
+    colIndexMemo.getOrBuild((spark, dir)) {
+      val out = java.nio.file.Paths.get(scratchRoot,
+        "colindex-" + java.util.UUID.randomUUID().toString).toString
+      Tables.t(spark, dir, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(out)
+      (out, graft.sources.ColumnIndex.build(spark, out, Seq("l_shipdate")))
+    }(b => deleteTree(new java.io.File(b._1)))
 
   /** Memoized per (session, sf dir): `orders` landed through BOTH
     * transactional writers — Delta and Iceberg, each partitioned by
@@ -390,12 +401,7 @@ object Relational {
     * against the original parquet table proves the whole
     * write → commit → replay → partition-reconstruct chain loses,
     * duplicates and corrupts nothing. */
-  private val sinkMemo = new java.util.LinkedHashMap[
-    (SparkSession, String), (String, String)](16, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String), (String, String)]): Boolean =
-      size > 8
-  }
+  private val sinkMemo = new FixtureMemo[(String, String)]
   /** One per-JVM root for ALL fixture scratch (sink tables AND the
     * colindex lineitem copy), reclaimed by a shutdown hook — repeated
     * bench/test JVMs must not grow the temp dir without bound (review
@@ -415,14 +421,8 @@ object Relational {
     f.delete(); ()
   }
 
-  private def sinksFor(spark: SparkSession, dir: String): (String, String) = {
-    val key = (spark, dir)
-    sinkMemo.synchronized(Option(sinkMemo.get(key))) match {
-      case Some(v) => v
-      case None =>
-        // build OUTSIDE the lock (multi-second Spark jobs must not
-        // serialize unrelated keys); a concurrent loser's scratch is
-        // unpublished and reclaimed immediately below
+  private def sinksFor(spark: SparkSession, dir: String): (String, String) =
+    sinkMemo.getOrBuild((spark, dir)) {
         val base = java.nio.file.Paths.get(scratchRoot,
           "sinks-" + java.util.UUID.randomUUID().toString).toString
         val orders = Tables.t(spark, dir, "orders")
@@ -455,20 +455,8 @@ object Relational {
         graft.sources.IcebergWriter.removeOrphanFiles(spark, iceDir,
           olderThanMs = 0L)
         graft.sources.IcebergWriter.cleanupMetadata(spark, iceDir, keepLast = 2)
-        val built = (deltaDir, iceDir)
-        val (result, lost) = sinkMemo.synchronized {
-          Option(sinkMemo.get(key)) match {
-            case Some(winner) => (winner, true)
-            case None => sinkMemo.put(key, built); (built, false)
-          }
-        }
-        // the loser's scratch is unpublished — reclaim it, but OUTSIDE
-        // the lock (a recursive disk delete must not serialize unrelated
-        // memo lookups; review finding)
-        if (lost) deleteTree(new java.io.File(base))
-        result
-    }
-  }
+        (deltaDir, iceDir)
+    }(b => deleteTree(new java.io.File(b._1).getParentFile))
 
   private def sinkAgg(df: org.apache.spark.sql.DataFrame) = df
     .groupBy(col("o_orderpriority"))
@@ -482,13 +470,9 @@ object Relational {
     * delete-materializing rewrite). The round-trip queries must aggregate
     * bit-identically to the oracle's pure-SQL reconstruction of the same
     * sequence over the original `orders`. Memoized like [[sinksFor]]. */
-  private val dmlSinkMemo =
-    new java.util.HashMap[(SparkSession, String), (String, String)]()
-  private def dmlSinksFor(spark: SparkSession, dir: String): (String, String) = {
-    val key = (spark, dir)
-    dmlSinkMemo.synchronized(Option(dmlSinkMemo.get(key))) match {
-      case Some(v) => v
-      case None =>
+  private val dmlSinkMemo = new FixtureMemo[(String, String)]
+  private def dmlSinksFor(spark: SparkSession, dir: String): (String, String) =
+    dmlSinkMemo.getOrBuild((spark, dir)) {
         val base = java.nio.file.Paths.get(scratchRoot,
           "dml-" + java.util.UUID.randomUUID().toString).toString
         val orders = Tables.t(spark, dir, "orders")
@@ -527,17 +511,8 @@ object Relational {
         val iceDir = base + "/iceberg"
         runDml(deltaDir, "delta")
         runDml(iceDir, "iceberg")
-        val built = (deltaDir, iceDir)
-        val (result, lost) = dmlSinkMemo.synchronized {
-          Option(dmlSinkMemo.get(key)) match {
-            case Some(winner) => (winner, true)
-            case None => dmlSinkMemo.put(key, built); (built, false)
-          }
-        }
-        if (lost) deleteTree(new java.io.File(base))
-        result
-    }
-  }
+        (deltaDir, iceDir)
+    }(b => deleteTree(new java.io.File(b._1).getParentFile))
 
   private def dmlAgg(df: org.apache.spark.sql.DataFrame) = df
     .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -550,32 +525,20 @@ object Relational {
     * layout — [[ZOrderKit]] under the oracle: the pruned 2-D scan must
     * lose no rows. Memoized like [[sinksFor]]. */
   private val zorderMemo =
-    new java.util.HashMap[(SparkSession, String), (String, graft.sources.ColumnIndex.Index)]()
+    new FixtureMemo[(String, graft.sources.ColumnIndex.Index)]
   private def zorderSinkFor(spark: SparkSession, dir: String)
-      : (String, graft.sources.ColumnIndex.Index) = {
-    val key = (spark, dir)
-    zorderMemo.synchronized(Option(zorderMemo.get(key))) match {
-      case Some(v) => v
-      case None =>
-        val base = java.nio.file.Paths.get(scratchRoot,
-          "zord-" + java.util.UUID.randomUUID().toString).toString
-        val tdir = base + "/delta"
-        graft.sources.DeltaWriter.write(Tables.t(spark, dir, "lineitem"), tdir)
-        graft.sources.DeltaWriter.compact(spark, tdir,
-          targetFileBytes = 4L << 20, zorderBy = Seq("l_partkey", "l_suppkey"))
-        val idx = graft.sources.ColumnIndex.buildFromDelta(spark, tdir,
-          Seq("l_partkey", "l_suppkey"))
-        val built = (tdir, idx)
-        val (result, lost) = zorderMemo.synchronized {
-          Option(zorderMemo.get(key)) match {
-            case Some(winner) => (winner, true)
-            case None => zorderMemo.put(key, built); (built, false)
-          }
-        }
-        if (lost) deleteTree(new java.io.File(base))
-        result
-    }
-  }
+      : (String, graft.sources.ColumnIndex.Index) =
+    zorderMemo.getOrBuild((spark, dir)) {
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "zord-" + java.util.UUID.randomUUID().toString).toString
+      val tdir = base + "/delta"
+      graft.sources.DeltaWriter.write(Tables.t(spark, dir, "lineitem"), tdir)
+      graft.sources.DeltaWriter.compact(spark, tdir,
+        targetFileBytes = 4L << 20, zorderBy = Seq("l_partkey", "l_suppkey"))
+      val idx = graft.sources.ColumnIndex.buildFromDelta(spark, tdir,
+        Seq("l_partkey", "l_suppkey"))
+      (tdir, idx)
+    }(b => deleteTree(new java.io.File(b._1).getParentFile))
 
   /** The [[dmlSinksFor]] sequence replayed in pure SQL (both formats'
     * oracles — the on-disk results must match it bit-for-bit). */
@@ -610,28 +573,16 @@ object Relational {
     * [[sinksFor]]. The round-trip aggregate proves no row is lost or
     * duplicated across the transform tuple layout; tuple PLACEMENT is
     * pinned by IcebergWriterSpec against the spec's own murmur vectors. */
-  private val transformSinkMemo =
-    new java.util.HashMap[(SparkSession, String), String]()
-  private def transformSinkFor(spark: SparkSession, dir: String): String = {
-    val key = (spark, dir)
-    transformSinkMemo.synchronized(Option(transformSinkMemo.get(key))) match {
-      case Some(v) => v
-      case None =>
-        val base = java.nio.file.Paths.get(scratchRoot,
-          "tsink-" + java.util.UUID.randomUUID().toString).toString
-        val iceDir = base + "/iceberg"
-        graft.sources.IcebergWriter.write(Tables.t(spark, dir, "orders"), iceDir,
-          partitionBy = Seq("years(o_orderdate)", "bucket(4,o_orderkey)"))
-        val (result, lost) = transformSinkMemo.synchronized {
-          Option(transformSinkMemo.get(key)) match {
-            case Some(winner) => (winner, true)
-            case None => transformSinkMemo.put(key, iceDir); (iceDir, false)
-          }
-        }
-        if (lost) deleteTree(new java.io.File(base))
-        result
-    }
-  }
+  private val transformSinkMemo = new FixtureMemo[String]
+  private def transformSinkFor(spark: SparkSession, dir: String): String =
+    transformSinkMemo.getOrBuild((spark, dir)) {
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "tsink-" + java.util.UUID.randomUUID().toString).toString
+      val iceDir = base + "/iceberg"
+      graft.sources.IcebergWriter.write(Tables.t(spark, dir, "orders"), iceDir,
+        partitionBy = Seq("years(o_orderdate)", "bucket(4,o_orderkey)"))
+      iceDir
+    }(b => deleteTree(new java.io.File(b).getParentFile))
 
   val dfQueries: Map[String, Q] = Map(
     // transactional-sink round trips: orders goes out through the writer

@@ -69,13 +69,18 @@ object ColumnIndex {
       val dir: String, val columns: Seq[String], val files: Vector[FileZones],
       /** How many files this build reused from its `prev` index. */
       val reusedFiles: Int = 0,
-      /** False for table-format metadata indexes (Delta/Iceberg): their
-        * tables' DataFrames may weave deletion anti-joins / partition
-        * reconstruction around the scan, so re-reading "kept" files as raw
-        * parquet ([[prunedDf]]) could resurrect deleted rows. Pruning then
-        * happens only among an existing plan's own listing
-        * ([[pruneAmong]], the optimizer-rule path), which is always
-        * sound. */
+      /** Whether re-reading this index's "kept" files as RAW parquet
+        * ([[prunedDf]]) is faithful to the table. True for plain parquet
+        * dirs, and for table-format indexes exactly when nothing in the
+        * log/manifests changes what the bytes mean — no partition columns
+        * to reconstruct (Delta), no deletion vectors / delete files to
+        * apply, no column mapping. When false, pruning happens only among
+        * an existing plan's own listing ([[pruneAmong]], the
+        * optimizer-rule path), which is always sound. Staleness: an index
+        * built before a DML commit serves that older snapshot's rows until
+        * the registry refresh lands — snapshot isolation, never
+        * corruption (the older version's files stay on disk for the
+        * vacuum retention window). */
       val rawScanSafe: Boolean = true) {
 
     /** Spec/metrics hook: (kept, total) of the most recent prune. */
@@ -446,9 +451,11 @@ object ColumnIndex {
     * min/max/nullCount + identity partition values) — ZERO parquet footers
     * touched: at 100 TB the log already carries everything data skipping
     * needs, exactly the design the protocol intends. Live files only (dead
-    * adds never enter), `rawScanSafe = false` (see [[Index.rawScanSafe]]).
-    * Column-mapped tables get an empty index: their stats are keyed by
-    * PHYSICAL names, so logical-name zones would be wrong. */
+    * adds never enter); `rawScanSafe` is computed — true exactly when the
+    * log adds no meaning to the bytes (no partition columns, no deletion
+    * vectors; see [[Index.rawScanSafe]]). Column-mapped tables get an
+    * empty index: their stats are keyed by PHYSICAL names, so logical-name
+    * zones would be wrong. */
   def buildFromDelta(spark: SparkSession, dir: String, cols: Seq[String]): Index = {
     val snap = DeltaLoader.snapshot(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -488,14 +495,23 @@ object ColumnIndex {
         })
       FileZones(qualified, math.max(rows, 0L), zones.toMap)
     }
-    new Index(dir, wanted, files.sortBy(_.path).toVector, rawScanSafe = false)
+    // a raw parquet scan of the LIVE FILE LIST is faithful exactly when
+    // nothing in the log changes what those bytes mean: no partition
+    // columns to reconstruct, no deletion vectors to apply (column mapping
+    // refused above). Then prunedDf may serve index-survivor files
+    // directly — the layout a Z-ORDER compaction produces (review finding:
+    // the hardcoded false silently degraded every pruned delta scan to the
+    // full-table fallback).
+    val rawOk = snap.partitionColumns.isEmpty && snap.files.forall(_.dv.isEmpty)
+    new Index(dir, wanted, files.sortBy(_.path).toVector, rawScanSafe = rawOk)
   }
 
   /** Zones from an Iceberg table's manifest stats (null_value_counts +
     * lower/upper bounds in the spec's single-value binary serialization) —
     * the [[buildFromDelta]] story for the other table format. */
   def buildFromIceberg(spark: SparkSession, dir: String, cols: Seq[String]): Index = {
-    val (schemaNode, stats) = IcebergLoader.currentFileStats(spark, dir)
+    val (schemaNode, stats, hasDeletes) =
+      IcebergLoader.currentFileStats(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val wanted = cols.toVector
     import scala.jdk.CollectionConverters._
@@ -524,7 +540,10 @@ object ColumnIndex {
       })
       FileZones(qualified, math.max(st.recordCount, 0L), zones.toMap)
     }
-    new Index(dir, wanted, files.sortBy(_.path).toVector, rawScanSafe = false)
+    // iceberg data files CONTAIN identity partition columns, so a raw scan
+    // of the live list is faithful whenever no delete files are live
+    new Index(dir, wanted, files.sortBy(_.path).toVector,
+      rawScanSafe = !hasDeletes)
   }
 
   /** One column's zone out of a Delta `stats` document, typed by the

@@ -133,11 +133,17 @@ object DeltaDml {
       // applied; MERGE appends the whole source
       val newAdds: Seq[String] = (set, merge) match {
         case (Some(assignments), _) =>
-          val updated = assignments.foldLeft(
-            matched.select(snap.schema.fieldNames.map(n => col(s"`$n`"))
-              .toIndexedSeq: _*)) { case (acc, (c, e)) =>
-            acc.withColumn(c, expr(e).cast(snap.schema(c).dataType))
-          }
+          // ONE projection applies every assignment simultaneously — SQL
+          // UPDATE semantics: each SET expression sees the OLD row, never
+          // another assignment's result (review finding: the sequential
+          // withColumn fold made `SET a = b, b = a` a no-op for b, with
+          // hash-arbitrary order past 4 entries)
+          val updated = matched.select(snap.schema.fieldNames.map { n =>
+            assignments.get(n) match {
+              case Some(e) => expr(e).cast(snap.schema(n).dataType).as(n)
+              case None => col(s"`$n`")
+            }
+          }.toIndexedSeq: _*)
           PartitionLayout.refuseEmptyStringKeys(
             updated, snap.partitionColumns, "DeltaDml")
           DeltaWriter.writeDataFiles(updated, fs, root, snap.partitionColumns, now)
@@ -149,7 +155,24 @@ object DeltaDml {
       }
 
       val dvLines = dvActionLines(fs, dir, snap, touched, now)
-      if (dvLines.isEmpty && newAdds.isEmpty) return -1L // e.g. empty MERGE source
+      // an empty MERGE source still produces one zero-row part file from
+      // the distributed write — committing it would be junk metadata;
+      // reclaim the parts and no-op instead (stats prove emptiness; a
+      // stats-less add is conservatively treated as real)
+      def addRows(line: String): Long = {
+        val n = mapper.readTree(line).get("add")
+        Option(n.get("stats")).filterNot(_.isNull)
+          .map(s => mapper.readTree(s.asText()).get("numRecords").asLong())
+          .getOrElse(-1L)
+      }
+      if (dvLines.isEmpty && newAdds.forall(l => addRows(l) == 0L)) {
+        newAdds.foreach { line =>
+          val p = mapper.readTree(line).get("add").get("path").asText()
+          fs.delete(new HPath(root,
+            java.net.URLDecoder.decode(p, "UTF-8")), false)
+        }
+        return -1L
+      }
       val featureLines = if (touched.isEmpty) Seq.empty else dvFeatureLines(snap)
       val commitInfo =
         s"""{"commitInfo":{"timestamp":$now,"operation":"$op",""" +

@@ -1526,10 +1526,24 @@ object DeltaWriter {
             stats.get(PartitionLayout.scanPathKey(p.toString))
               .exists(_._2 > 0L)
           }
+          // the recorded path keeps its ORIGINAL spelling class: bare
+          // names for sidecars under _delta_log/_sidecars/, the absolute
+          // URI otherwise (the spec allows absolute sidecar paths on
+          // adopted tables — recording only getName would point the new
+          // main at _sidecars/<name>, which does not exist; review
+          // finding)
+          val sidecarsHome =
+            fs.makeQualified(new HPath(logDir, "_sidecars")).toString
+          def recordedPath(p: HPath): String = {
+            val q = fs.makeQualified(p)
+            if (q.getParent != null && q.getParent.toString == sidecarsHome)
+              p.getName
+            else q.toString
+          }
           reused = clean.flatMap { p =>
             stats.get(PartitionLayout.scanPathKey(p.toString)).map { s =>
               val st = fs.getFileStatus(p)
-              (p.getName, st.getLen, st.getModificationTime, s._1)
+              (recordedPath(p), st.getLen, st.getModificationTime, s._1)
             } // zero-row sidecars DROP from the new checkpoint entirely
           }
           dirtyRowEstimate = dirty.flatMap(p =>

@@ -139,19 +139,33 @@ object IcebergDml {
       val partFields = IcebergWriter.specPartFields(meta)
       val partTypes = partFields.map(pf => pf.name ->
         IcebergWriter.transformResultType(pf, schema(pf.source).dataType)).toMap
-      val newData: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
+      val newData0: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
         (set, merge) match {
           case (Some(assignments), _) =>
-            val updated = assignments.foldLeft(
-              matched.select(schema.fieldNames.map(n => col(s"`$n`"))
-                .toIndexedSeq: _*)) { case (acc, (c, e)) =>
-              acc.withColumn(c, expr(e).cast(schema(c).dataType))
-            }
+            // simultaneous assignment — SQL UPDATE semantics (see
+            // [[DeltaDml]]: a sequential fold lets assignments observe
+            // each other)
+            val updated = matched.select(schema.fieldNames.map { n =>
+              assignments.get(n) match {
+                case Some(e) => expr(e).cast(schema(n).dataType).as(n)
+                case None => col(s"`$n`")
+              }
+            }.toIndexedSeq: _*)
             IcebergWriter.writeDataParts(updated, fs, root, partFields, partTypes)
           case (_, Some((source, _))) =>
             IcebergWriter.writeDataParts(source, fs, root, partFields, partTypes)
           case _ => Seq.empty
         }
+
+      // the distributed write can leave one zero-row part for an empty
+      // MERGE source — reclaim rather than manifest it (record_count 0
+      // entries are junk)
+      val (emptyParts, newData) = newData0.partition(_._3.rows == 0L)
+      emptyParts.foreach(e => fs.delete(new HPath(e._1), false))
+      // nothing doomed AND nothing added (e.g. an empty MERGE source):
+      // no commit — the DeltaDml contract; a carried-only snapshot would
+      // be junk metadata (review finding)
+      if (deleteFiles.isEmpty && newData.isEmpty) return -1L
 
       // delete manifest: content=1 entries under an unpartitioned spec
       // (added to partition-specs only when none exists)

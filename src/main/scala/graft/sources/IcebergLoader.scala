@@ -386,12 +386,12 @@ object IcebergLoader {
     * the read schema node for field-id typing. Delete files are ignored:
     * deletes only remove rows, so data-file bounds stay conservative. */
   private[sources] def currentFileStats(spark: SparkSession, tableUri: String)
-      : (JsonNode, Seq[DataFileStats]) = {
+      : (JsonNode, Seq[DataFileStats], Boolean) = {
     val fs = new HPath(tableUri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = currentMetadata(fs, tableUri)
     val snap = chooseSnapshot(meta, tableUri, None)
     val schemaNode = schemaNodeFor(meta, snap)
-    if (snap.isEmpty) return (schemaNode, Seq.empty)
+    if (snap.isEmpty) return (schemaNode, Seq.empty, false)
     val s = snap.get
     val remap = pathRemapper(meta, tableUri)
     val manifests: Seq[(String, Int)] =
@@ -405,16 +405,21 @@ object IcebergLoader {
             .getOrElse(Seq.empty)
       }
     val out = Seq.newBuilder[DataFileStats]
+    // live delete files (position/equality/DV) mean a raw parquet scan of
+    // the data-file list would RESURRECT doomed rows — the third element
+    // tells the column index whether prunedDf may serve files directly
+    var hasDeletes = false
     manifests.foreach { case (path, manifestContent) =>
       readAvro(fs, new HPath(path)).foreach { entry =>
         if (intOr(entry, "status", 1) != 2) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           if (intOr(df, "content", manifestContent) == 0)
             out += dataFileStatsOf(df, remap)
+          else hasDeletes = true
         }
       }
     }
-    (schemaNode, out.result())
+    (schemaNode, out.result(), hasDeletes)
   }
 
   /** One manifest data_file record -> its [[DataFileStats]] — THE single

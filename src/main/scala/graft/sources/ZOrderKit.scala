@@ -91,7 +91,6 @@ object ZOrderKit {
           f(expr)
         }
     }
-    val k = cols.size
     val inter = udf((bs: Seq[Int]) => interleave(bs.toArray, bits))
     inter(array(bucketCols: _*))
   }

@@ -164,6 +164,43 @@ class TableDmlSpec extends SparkSpec {
       Map("score" -> "0")) == -1L)
   }
 
+  test("SET assignments are simultaneous (SQL UPDATE semantics), both formats") {
+    // swap two columns: every expression must see the OLD row (review
+    // finding: a sequential withColumn fold made `a = b, b = a` a no-op
+    // for b, with hash-arbitrary order past 4 entries)
+    val dDir = newDir("graft_dml_swap_d")
+    DeltaWriter.write(Seq((1L, 10L, 20L)).toDF("id", "a", "b"), dDir)
+    DeltaDml.updateWhere(spark, dDir, "id = 1", Map("a" -> "b", "b" -> "a"))
+    val d = DeltaLoader.load(spark, TableSource("s", dDir, Some("delta")))
+      .select("a", "b").head()
+    assert((d.getLong(0), d.getLong(1)) == ((20L, 10L)))
+
+    val iDir = newDir("graft_dml_swap_i")
+    IcebergWriter.write(Seq((1L, 10L, 20L)).toDF("id", "a", "b"), iDir)
+    IcebergDml.updateWhere(spark, iDir, "id = 1", Map("a" -> "b", "b" -> "a"))
+    val i = IcebergLoader.load(spark, TableSource("s", iDir, Some("iceberg")))
+      .select("a", "b").head()
+    assert((i.getLong(0), i.getLong(1)) == ((20L, 10L)))
+  }
+
+  test("empty MERGE source is a no-op on both formats") {
+    val dDir = newDir("graft_dml_empty_d")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), dDir)
+    assert(DeltaDml.upsert(
+      Seq.empty[(Long, String)].toDF("id", "name"), dDir, Seq("id")) == -1L)
+    val iDir = newDir("graft_dml_empty_i")
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), iDir)
+    val before = IcebergLoader.currentMetadataVersioned(
+      new org.apache.hadoop.fs.Path(iDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), iDir)._2
+    assert(IcebergDml.upsert(
+      Seq.empty[(Long, String)].toDF("id", "name"), iDir, Seq("id")) == -1L)
+    val after = IcebergLoader.currentMetadataVersioned(
+      new org.apache.hadoop.fs.Path(iDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), iDir)._2
+    assert(after == before, "no junk metadata version for an empty merge")
+  }
+
   test("delta upsert: keyed replace + insert in one commit") {
     val dir = newDir("graft_dml_ups")
     DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)

@@ -41,7 +41,10 @@ class TableFormatIndexSpec extends AnyFunSuite {
     }
     corruptParquet(new java.io.File(dir))
     val idx = ColumnIndex.buildFromDelta(spark, dir, Seq("id", "name"))
-    assert(!idx.rawScanSafe)
+    // unpartitioned, DV-free: the log adds no meaning to the bytes, so the
+    // index MAY serve raw scans (the zones-from-metadata property is
+    // proven by the corrupted files below, not by this flag)
+    assert(idx.rawScanSafe)
     assert(idx.fileCount == 3)
     assert(idx.files.map(_.rows).sum == 300) // numRecords from stats
     val zs = idx.files.flatMap(_.zones.get("id")).sortBy(_.minL)
@@ -52,9 +55,10 @@ class TableFormatIndexSpec extends AnyFunSuite {
     val kept = idx.prune(Seq(("id", "eq", "150"))).get
     assert(kept.size == 1)
     assert(idx.lastPrune.contains((1, 3)))
-    // rawScanSafe = false: the REST-side raw re-scan path must refuse
+    // rawScanSafe = true here (unpartitioned, DV-free): prunedDf serves
+    // the pruned file list directly
     assert(idx.prunedDf(spark, Seq(("id", "eq", "150")),
-      new org.apache.spark.sql.types.StructType()).isEmpty)
+      new org.apache.spark.sql.types.StructType()).isDefined)
   }
 
   test("delta: overwrite drops dead files from the index") {
@@ -115,7 +119,9 @@ class TableFormatIndexSpec extends AnyFunSuite {
     IcebergWriter.write(df, dir, partitionBy = Seq("region"))
     corruptParquet(new java.io.File(dir + "/data"))
     val idx = ColumnIndex.buildFromIceberg(spark, dir, Seq("id", "region"))
-    assert(!idx.rawScanSafe)
+    // identity partition values live IN iceberg data files and no delete
+    // files are live, so the index may serve raw scans
+    assert(idx.rawScanSafe)
     assert(idx.fileCount >= 3)
     assert(idx.files.map(_.rows).sum == 90)
     // partition pruning via the identity column's own bounds: per-tuple

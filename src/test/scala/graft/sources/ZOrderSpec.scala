@@ -85,6 +85,14 @@ class ZOrderSpec extends SparkSpec {
     val after = idx.prune(preds).get
     assert(after.size * 2 <= idx.fileCount,
       s"z-order should prune >= half: kept ${after.size} of ${idx.fileCount}")
+    // an unpartitioned DV-free delta table is raw-scan safe, so prunedDf
+    // must actually SERVE the pruned scan (review finding: the hardcoded
+    // rawScanSafe=false silently degraded it to the full-table fallback)
+    val schema = DeltaLoader.load(spark, TableSource("z", dir, Some("delta"))).schema
+    val pruned = idx.prunedDf(spark, preds, schema)
+    assert(pruned.isDefined, "prunedDf must serve the z-ordered layout")
+    assert(pruned.get.where("x <= 12 AND y <= 12").count() ==
+      pts.count(p => p._2 <= 12 && p._3 <= 12))
     // and the data is untouched
     val got = DeltaLoader.load(spark,
         TableSource("z", dir, Some("delta")))
