@@ -246,71 +246,125 @@ object DeletionVectors {
     require(sortedRows.forall(_ >= 0), "deletion vector row indexes must be >= 0")
     val nBitmaps = if (sortedRows.isEmpty) 0L else (sortedRows.last >>> 32) + 1
     val out = new java.io.ByteArrayOutputStream()
-    def leInt(v: Int): Unit = {
-      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
-      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
-    }
-    def leShort(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
-    leInt(PortableMagic)
-    leInt(nBitmaps.toInt); leInt((nBitmaps >>> 32).toInt) // int64 LE
+    leInt(out, PortableMagic)
+    leInt(out, nBitmaps.toInt); leInt(out, (nBitmaps >>> 32).toInt) // int64 LE
     var i = 0
     var high = 0L
     while (high < nBitmaps) {
-      // slice this high-word's values; within it, group by the upper 16
-      // bits of the low word (container keys), values are the low 16 bits
       val from = i
       while (i < sortedRows.length && (sortedRows(i) >>> 32) == high) i += 1
-      val keys = Array.newBuilder[Int]
-      val cards = Array.newBuilder[Int]
-      val bounds = Array.newBuilder[(Int, Int)] // [start, end) into sortedRows
-      var j = from
-      while (j < i) {
-        val key = ((sortedRows(j) >>> 16) & 0xFFFF).toInt
-        val s = j
-        while (j < i && ((sortedRows(j) >>> 16) & 0xFFFF).toInt == key) j += 1
-        keys += key; cards += (j - s); bounds += ((s, j))
-      }
-      val ks = keys.result(); val cs = cards.result(); val bs = bounds.result()
-      val n = ks.length
-      leInt(SerialCookieNoRun)
-      leInt(n)
-      var c = 0
-      while (c < n) { leShort(ks(c)); leShort(cs(c) - 1); c += 1 }
-      // offset header (mandatory for the no-run cookie): byte position of
-      // each container from the START of this bitmap's serialization
-      var off = 4 + 4 + 4 * n + 4 * n
-      c = 0
-      while (c < n) {
-        leInt(off)
-        off += (if (cs(c) > 4096) 8192 else 2 * cs(c))
-        c += 1
-      }
-      c = 0
-      while (c < n) {
-        val (s, e) = bs(c)
-        if (cs(c) > 4096) {
-          val words = new Array[Long](1024)
-          var v = s
-          while (v < e) {
-            val low = (sortedRows(v) & 0xFFFF).toInt
-            words(low >>> 6) |= 1L << (low & 63)
-            v += 1
-          }
-          var w = 0
-          while (w < 1024) {
-            val word = words(w)
-            leInt(word.toInt); leInt((word >>> 32).toInt)
-            w += 1
-          }
-        } else {
-          var v = s
-          while (v < e) { leShort((sortedRows(v) & 0xFFFF).toInt); v += 1 }
-        }
-        c += 1
-      }
+      writeBitmap32(out, sortedRows, from, i)
       high += 1
     }
     out.toByteArray
+  }
+
+  /** Serialize sorted, distinct row indexes into the STANDARD 64-bit
+    * roaring "portable" serialization (the inverse of
+    * [[deserializePortable64]] — what ICEBERG v3 deletion vectors store):
+    * u64 LE bucket count, then per NON-EMPTY bucket a u32 LE high key
+    * followed by the 32-bit portable bitmap. Differs from Delta's
+    * RoaringBitmapArray above (no magic, EXPLICIT sparse keys). */
+  def serializePortable64(sortedRows: Array[Long]): Array[Byte] = {
+    require(sortedRows.forall(_ >= 0), "deletion vector row indexes must be >= 0")
+    val out = new java.io.ByteArrayOutputStream()
+    // count non-empty buckets in one pass
+    var nBuckets = 0L
+    var i = 0
+    while (i < sortedRows.length) {
+      val high = sortedRows(i) >>> 32
+      while (i < sortedRows.length && (sortedRows(i) >>> 32) == high) i += 1
+      nBuckets += 1
+    }
+    leInt(out, nBuckets.toInt); leInt(out, (nBuckets >>> 32).toInt) // u64 LE
+    i = 0
+    while (i < sortedRows.length) {
+      val high = sortedRows(i) >>> 32
+      val from = i
+      while (i < sortedRows.length && (sortedRows(i) >>> 32) == high) i += 1
+      leInt(out, high.toInt) // u32 LE key
+      writeBitmap32(out, sortedRows, from, i)
+    }
+    out.toByteArray
+  }
+
+  private def leInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+  }
+  private def leShort(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+  }
+
+  /** ONE 32-bit portable roaring bitmap from `sortedRows[from, end)`'s low
+    * words (no-run cookie form, array containers to 4096, bitsets above —
+    * the writer both 64-bit serializations share). */
+  private def writeBitmap32(out: java.io.ByteArrayOutputStream,
+                            sortedRows: Array[Long], from: Int, end: Int): Unit = {
+    // group by the upper 16 bits of the low word (container keys)
+    val keys = Array.newBuilder[Int]
+    val cards = Array.newBuilder[Int]
+    val bounds = Array.newBuilder[(Int, Int)] // [start, end) into sortedRows
+    var j = from
+    while (j < end) {
+      val key = ((sortedRows(j) >>> 16) & 0xFFFF).toInt
+      val s = j
+      while (j < end && ((sortedRows(j) >>> 16) & 0xFFFF).toInt == key) j += 1
+      keys += key; cards += (j - s); bounds += ((s, j))
+    }
+    val ks = keys.result(); val cs = cards.result(); val bs = bounds.result()
+    val n = ks.length
+    leInt(out, SerialCookieNoRun)
+    leInt(out, n)
+    var c = 0
+    while (c < n) { leShort(out, ks(c)); leShort(out, cs(c) - 1); c += 1 }
+    // offset header (mandatory for the no-run cookie): byte position of
+    // each container from the START of this bitmap's serialization
+    var off = 4 + 4 + 4 * n + 4 * n
+    c = 0
+    while (c < n) {
+      leInt(out, off)
+      off += (if (cs(c) > 4096) 8192 else 2 * cs(c))
+      c += 1
+    }
+    c = 0
+    while (c < n) {
+      val (s, e) = bs(c)
+      if (cs(c) > 4096) {
+        val words = new Array[Long](1024)
+        var v = s
+        while (v < e) {
+          val low = (sortedRows(v) & 0xFFFF).toInt
+          words(low >>> 6) |= 1L << (low & 63)
+          v += 1
+        }
+        var w = 0
+        while (w < 1024) {
+          val word = words(w)
+          leInt(out, word.toInt); leInt(out, (word >>> 32).toInt)
+          w += 1
+        }
+      } else {
+        var v = s
+        while (v < e) { leShort(out, (sortedRows(v) & 0xFFFF).toInt); v += 1 }
+      }
+      c += 1
+    }
+  }
+
+  /** Frame one portable-64 vector as the iceberg v3 DV blob the manifest's
+    * `content_offset` points at (inverse of [[readIcebergDv]]'s read):
+    * `[len i32 BE][magic D1D33964 + vector][crc32 i32 BE over magic+vector]`.
+    * content_size_in_bytes = the returned length (len + 8). */
+  def frameIcebergDvBlob(vector: Array[Byte]): Array[Byte] = {
+    val body = IcebergDvMagic ++ vector
+    val buf = ByteBuffer.allocate(4 + body.length + 4) // big-endian default
+    buf.putInt(body.length)
+    buf.put(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
   }
 
   /** Frame one serialized DV blob into the on-disk DV FILE layout and

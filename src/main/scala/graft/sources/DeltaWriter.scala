@@ -1721,6 +1721,10 @@ object DeltaWriter {
   def streamSink(data: DataFrame, dir: String, appId: String,
                  compactEvery: Option[Int] = None,
                  targetFileBytes: Long = 128L << 20,
+                 /** Clustering columns for the periodic compaction — a
+                   * micro-batch sink that keeps itself Z-ORDERED, so the
+                   * table stays multi-column-prunable while it grows. */
+                 zorderBy: Seq[String] = Seq.empty,
                  cleanupLogEvery: Option[Int] = None,
                  logRetentionMs: Long = 30L * 24 * 3600 * 1000,
                  vacuumEvery: Option[Int] = None,
@@ -1745,7 +1749,7 @@ object DeltaWriter {
         write(batch, dir, mode = "append", txn = Some((appId, batchId)))
         val s = batch.sparkSession
         leg(batchId, compactEvery, "compaction") {
-          compact(s, dir, targetFileBytes); ()
+          compact(s, dir, targetFileBytes, zorderBy = zorderBy); ()
         }
         leg(batchId, cleanupLogEvery, "log cleanup") {
           cleanupLog(s, dir, logRetentionMs); ()

@@ -128,10 +128,21 @@ object IcebergDml {
       val snapId = snapshots.map(_.get("snapshot-id").asLong())
         .foldLeft(0L)(math.max) + 1
 
-      val deleteFiles = writeDeleteFiles(spark, fs, root,
-        matched.select(col("__graft_fp"), col("__graft_ri")),
-        plan.dataFiles.map(_._1))
-      if (deleteFiles.isEmpty && merge.isEmpty) return -1L
+      // v2 lands position-delete parquet; v3 DEPRECATES those — deletes
+      // must land as puffin deletion vectors, one merged DV per touched
+      // file (writing new position deletes into a v3 table would violate
+      // the spec external engines enforce)
+      val formatV3 = Option(meta.get("format-version")).exists(_.asInt() >= 3)
+      val matchedIds = matched.select(col("__graft_fp"), col("__graft_ri"))
+      val deleteFiles: Seq[(String, Long, Long)] =
+        if (formatV3) Seq.empty
+        else writeDeleteFiles(spark, fs, root, matchedIds,
+          plan.dataFiles.map(_._1))
+      val dvWrites: Seq[(String, String, Long, Long, Long, Long)] =
+        if (!formatV3) Seq.empty
+        else writeDvPuffins(spark, fs, root, matchedIds, plan,
+          plan.dataFiles.map(_._1), snapId, seq)
+      if (deleteFiles.isEmpty && dvWrites.isEmpty && merge.isEmpty) return -1L
 
       // replacement/new data files (UPDATE's rewritten rows, MERGE's
       // source) through the shared data-part writer, under the table's
@@ -165,14 +176,25 @@ object IcebergDml {
       // nothing doomed AND nothing added (e.g. an empty MERGE source):
       // no commit — the DeltaDml contract; a carried-only snapshot would
       // be junk metadata (review finding)
-      if (deleteFiles.isEmpty && newData.isEmpty) return -1L
+      if (deleteFiles.isEmpty && dvWrites.isEmpty && newData.isEmpty) return -1L
 
       // delete manifest: content=1 entries under an unpartitioned spec
-      // (added to partition-specs only when none exists)
+      // (added to partition-specs only when none exists). v2: position
+      // deletes; v3: DV pointers with the reader's reference fields.
       val metaObj = meta.deepCopy[ObjectNode]()
+      def listEntry(mp: HPath, content: Int): GenericRecord = {
+        val e = new org.apache.avro.generic.GenericData.Record(
+          IcebergWriter.manifestListSchema)
+        e.put("manifest_path", mp.toString)
+        e.put("manifest_length", fs.getFileStatus(mp).getLen)
+        e.put("partition_spec_id", unpartitionedSpecId(metaObj))
+        e.put("content", content)
+        e.put("sequence_number", Long.box(seq))
+        e.put("added_snapshot_id", snapId)
+        e
+      }
       val delManifest: Option[GenericRecord] =
-        if (deleteFiles.isEmpty) None
-        else {
+        if (deleteFiles.nonEmpty) {
           val mSchema = IcebergWriter.manifestSchemaFor(Seq.empty)
           val entries = deleteFiles.map { case (p, size, rows) =>
             IcebergWriter.manifestEntryRaw(mSchema, 1, seq, p, size, rows,
@@ -181,16 +203,30 @@ object IcebergDml {
           val mp = new HPath(metaDir,
             s"graft-d$snapId-${java.util.UUID.randomUUID()}.avro")
           IcebergWriter.writeAvro(fs, mSchema, entries, mp)
-          val e = new org.apache.avro.generic.GenericData.Record(
-            IcebergWriter.manifestListSchema)
-          e.put("manifest_path", mp.toString)
-          e.put("manifest_length", fs.getFileStatus(mp).getLen)
-          e.put("partition_spec_id", unpartitionedSpecId(metaObj))
-          e.put("content", 1)
-          e.put("sequence_number", Long.box(seq))
-          e.put("added_snapshot_id", snapId)
-          Some(e)
-        }
+          Some(listEntry(mp, 1))
+        } else if (dvWrites.nonEmpty) {
+          val entries = dvWrites.map { case (raw, pp, off, blobLen, card, pSize) =>
+            val e = new org.apache.avro.generic.GenericData.Record(dvManifestSchema)
+            val d = new org.apache.avro.generic.GenericData.Record(
+              dvManifestSchema.getField("data_file").schema())
+            d.put("content", 1)
+            d.put("file_path", pp)
+            d.put("file_format", "PUFFIN")
+            d.put("record_count", card)
+            d.put("file_size_in_bytes", pSize)
+            d.put("referenced_data_file", raw)
+            d.put("content_offset", Long.box(off))
+            d.put("content_size_in_bytes", Long.box(blobLen))
+            e.put("status", 1)
+            e.put("sequence_number", Long.box(seq))
+            e.put("data_file", d)
+            e
+          }
+          val mp = new HPath(metaDir,
+            s"graft-dv$snapId-${java.util.UUID.randomUUID()}.avro")
+          IcebergWriter.writeAvro(fs, dvManifestSchema, entries, mp)
+          Some(listEntry(mp, 1))
+        } else None
 
       // data manifest for the new files, bounds and all (the same
       // data-skipping channel write() publishes)
@@ -221,18 +257,71 @@ object IcebergDml {
           Some(e)
         }
 
-      // manifest list: every current entry carried verbatim + the new ones
+      // manifest list: every current entry carries verbatim — EXCEPT v3
+      // delete manifests holding a DV this commit superseded (the spec's
+      // one-live-DV-per-file rule: the merged replacement must be the only
+      // DV an external reader sees for that file; ours would harmlessly
+      // union, theirs may refuse). Such manifests rewrite without the
+      // superseded entries, inherited sequence numbers materialized and
+      // statuses folded to EXISTING; a fully-superseded manifest drops.
+      val supersededRefs: Set[String] = dvWrites.map(_._1).toSet
+      def carryRecord(prev: (String, Long, Int, Option[Long], Long, Int)) = {
+        val m = new org.apache.avro.generic.GenericData.Record(
+          IcebergWriter.manifestListSchema)
+        m.put("manifest_path", prev._1)
+        m.put("manifest_length", prev._2)
+        m.put("partition_spec_id", prev._6)
+        m.put("content", prev._3)
+        prev._4.foreach(s => m.put("sequence_number", Long.box(s)))
+        m.put("added_snapshot_id", prev._5)
+        m
+      }
+      def normRef(p: String): String = p.replaceFirst("^file:/+", "/")
       val carried: Seq[GenericRecord] =
-        IcebergWriter.currentManifestList(fs, meta, dir).map { prev =>
-          val m = new org.apache.avro.generic.GenericData.Record(
-            IcebergWriter.manifestListSchema)
-          m.put("manifest_path", prev._1)
-          m.put("manifest_length", prev._2)
-          m.put("partition_spec_id", prev._6)
-          m.put("content", prev._3)
-          prev._4.foreach(s => m.put("sequence_number", Long.box(s)))
-          m.put("added_snapshot_id", prev._5)
-          m
+        IcebergWriter.currentManifestList(fs, meta, dir).flatMap { prev =>
+          if (supersededRefs.isEmpty || prev._3 != 1) Some(carryRecord(prev))
+          else {
+            val entries = IcebergLoader.readAvro(fs, new HPath(prev._1))
+            def superseded(e: GenericRecord): Boolean = {
+              val d = e.get("data_file").asInstanceOf[GenericRecord]
+              String.valueOf(d.get("file_format")).equalsIgnoreCase("PUFFIN") &&
+                Option(d.getSchema.getField("referenced_data_file"))
+                  .flatMap(_ => Option(d.get("referenced_data_file")))
+                  .exists(r => supersededRefs(normRef(String.valueOf(r))))
+            }
+            val kept = entries.filterNot(superseded)
+            if (kept.size == entries.size) Some(carryRecord(prev))
+            else if (kept.forall(e =>
+                IcebergLoader.longOr(e, "status", 1L) == 2L)) None
+            else {
+              val schema = kept.headOption.map(_.getSchema)
+                .getOrElse(entries.head.getSchema)
+              val rewritten = kept.map { e =>
+                val n = new org.apache.avro.generic.GenericData.Record(schema)
+                schema.getFields.asScala.foreach(f =>
+                  n.put(f.name(), e.get(f.name())))
+                // materialize the inherited sequence (a null entry seq
+                // inherits the LIST entry's — which this rewrite replaces)
+                if (n.get("sequence_number") == null)
+                  n.put("sequence_number",
+                    Long.box(prev._4.getOrElse(0L)))
+                n.put("status", 0) // EXISTING: not added by THIS snapshot
+                n
+              }
+              val mp = new HPath(metaDir,
+                s"graft-dc$snapId-${java.util.UUID.randomUUID()}.avro")
+              IcebergWriter.writeAvro(fs, schema, rewritten, mp)
+              val m = new org.apache.avro.generic.GenericData.Record(
+                IcebergWriter.manifestListSchema)
+              m.put("manifest_path", mp.toString)
+              m.put("manifest_length", fs.getFileStatus(mp).getLen)
+              m.put("partition_spec_id", prev._6)
+              m.put("content", 1)
+              prev._4.foreach(s => m.put("sequence_number", Long.box(s)))
+              m.put("added_snapshot_id", prev._5)
+              Some(m)
+            }
+          }
         }
       val listPath = new HPath(metaDir,
         s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
@@ -316,6 +405,114 @@ object IcebergDml {
     }
     fs.delete(scratch, true)
     out.filter(_._3 > 0L)
+  }
+
+  // ---- v3 deletion-vector write (puffin) -------------------------------------
+
+  /** The v3 delete-manifest entry schema: [[IcebergWriter.manifestSchemaFor]]
+    * plus the DV reference fields the reader resolves
+    * (`referenced_data_file` / `content_offset` / `content_size_in_bytes`). */
+  private val dvManifestSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+        |  {"name":"content_offset","type":["null","long"],"default":null},
+        |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin)
+
+  /** Write the matched (file, row) pairs as ICEBERG V3 DELETION VECTORS:
+    * one merged DV per touched data file (any existing DV for that file is
+    * read task-side and unioned in — the spec's one-live-DV-per-file
+    * rule), packed into one PUFFIN file per task (header magic, blobs,
+    * spec-complete JSON footer), built entirely executor-side. Returns one
+    * row per touched file: (referenced raw path, puffin path, blob offset,
+    * blob length, merged cardinality, puffin file size). */
+  private def writeDvPuffins(spark: SparkSession, fs: FileSystem,
+                             root: HPath, matchedIds: DataFrame,
+                             plan: IcebergLoader.PlannedScan,
+                             dataFiles: Seq[String], snapId: Long,
+                             seq: Long): Seq[(String, String, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
+    // encoded scan key -> raw manifest spelling (referenced_data_file must
+    // match the manifests verbatim for external engines)
+    val toRaw: Map[String, String] = dataFiles.map(p =>
+      PartitionLayout.scanPathKey(p) -> normStr(p)).toMap
+    // encoded scan key -> existing DV pointer (merged task-side)
+    val oldDv: Map[String, (String, Long, Long)] = plan.deletionVectors.map(d =>
+      PartitionLayout.scanPathKey(d.referencedDataFile) ->
+        (d.puffinPath, d.contentOffset, d.contentSize)).toMap
+    val dataDir = new HPath(root, "data")
+    fs.mkdirs(dataDir)
+    val dirStr = dataDir.toString
+    val confEntries = DistKit.confEntries(spark.sparkContext.hadoopConfiguration)
+    val snapIdL = snapId; val seqL = seq
+
+    matchedIds
+      .groupBy(col("__graft_fp"))
+      .agg(sort_array(collect_list(col("__graft_ri"))).as("ris"))
+      .as[(String, Array[Long])]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val conf = DistKit.rebuildConf(confEntries)
+          val taskFs = new HPath(dirStr).getFileSystem(conf)
+          val puffinPath = new HPath(dirStr,
+            s"dv-${java.util.UUID.randomUUID()}.puffin")
+          val out = new java.io.ByteArrayOutputStream()
+          val magic = "PFA1".getBytes("UTF-8")
+          out.write(magic)
+          val results = Seq.newBuilder[(String, String, Long, Long, Long, Long)]
+          val blobMeta = Seq.newBuilder[String]
+          it.foreach { case (fp, ris) =>
+            val raw = toRaw.getOrElse(fp, throw new IllegalStateException(
+              s"DML matched rows in `$fp`, which is not a live data file"))
+            val old = oldDv.get(fp).map { case (pp, off, sz) =>
+              DeletionVectors.readIcebergDv(
+                new HPath(pp).getFileSystem(conf), new HPath(pp), off, sz)
+            }.getOrElse(Array.empty[Long])
+            val merged = (old ++ ris).distinct.sorted
+            val blob = DeletionVectors.frameIcebergDvBlob(
+              DeletionVectors.serializePortable64(merged))
+            val off = out.size().toLong
+            out.write(blob)
+            def js(s: String) = "\"" + s.replace("\\", "\\\\")
+              .replace("\"", "\\\"") + "\""
+            blobMeta += s"""{"type":"deletion-vector-v1","fields":[],""" +
+              s""""snapshot-id":$snapIdL,"sequence-number":$seqL,""" +
+              s""""offset":$off,"length":${blob.length},""" +
+              s""""properties":{"referenced-data-file":${js(raw)},""" +
+              s""""cardinality":"${merged.length}"}}"""
+            results += ((raw, puffinPath.toString, off, blob.length.toLong,
+              merged.length.toLong, -1L))
+          }
+          // spec footer: magic + JSON payload + payload size (i32 LE) +
+          // flags (uncompressed) + magic
+          val payload = ("{\"blobs\":[" + blobMeta.result().mkString(",") +
+            "]}").getBytes("UTF-8")
+          out.write(magic)
+          out.write(payload)
+          out.write(Array[Byte](
+            (payload.length & 0xFF).toByte, ((payload.length >> 8) & 0xFF).toByte,
+            ((payload.length >> 16) & 0xFF).toByte,
+            ((payload.length >> 24) & 0xFF).toByte))
+          out.write(Array[Byte](0, 0, 0, 0))
+          out.write(magic)
+          val os = taskFs.create(puffinPath, false)
+          try os.write(out.toByteArray) finally os.close()
+          val size = out.size().toLong
+          results.result().iterator.map(r => r.copy(_6 = size))
+        }
+      }.collect().toSeq
   }
 
   /** The spec-id of an unpartitioned spec, ADDING one to `metaObj`'s

@@ -449,6 +449,9 @@ object IcebergWriter {
   def streamSink(data: DataFrame, dir: String, appId: String,
                  compactEvery: Option[Int] = None,
                  targetFileBytes: Long = 128L << 20,
+                 /** Clustering columns for the periodic compaction — a
+                   * micro-batch sink that keeps itself Z-ORDERED. */
+                 zorderBy: Seq[String] = Seq.empty,
                  expireEvery: Option[Int] = None,
                  expireOlderThanMs: Long = 7L * 24 * 3600 * 1000,
                  orphanReclaimEvery: Option[Int] = None,
@@ -476,7 +479,7 @@ object IcebergWriter {
         write(batch, dir, mode = "append", txn = Some((appId, batchId)))
         val s = batch.sparkSession
         leg(batchId, compactEvery, "compaction") {
-          compactDataFiles(s, dir, targetFileBytes); ()
+          compactDataFiles(s, dir, targetFileBytes, zorderBy = zorderBy); ()
         }
         leg(batchId, expireEvery, "snapshot expiry") {
           expireSnapshots(s, dir, expireOlderThanMs); ()

@@ -357,6 +357,72 @@ class TableDmlSpec extends SparkSpec {
       Map("score" -> "0")) == -1L)
   }
 
+  test("portable-64 serializer round-trips (the iceberg v3 DV form)") {
+    val cases = Seq(
+      Array.empty[Long],
+      Array(0L, 1L, 5L),
+      (0L until 5000L).map(_ * 2).toArray,
+      Array(3L, (7L << 32) + 9L)) // SPARSE high keys (explicit, not implicit)
+    cases.foreach { rows =>
+      val data = DeletionVectors.serializePortable64(rows)
+      assert(DeletionVectors.deserializePortable64(data).sameElements(rows))
+    }
+  }
+
+  test("iceberg v3: deletes land as puffin DVs, merged to one per file") {
+    val dir = newDir("graft_idml_v3")
+    IcebergWriter.write((1L to 20L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), dir)
+    // promote the table to format v3 (the writer creates v2; v3 DELETES
+    // must then come out as deletion vectors, not position-delete parquet)
+    val metaFile = new java.io.File(dir + "/metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    Files.writeString(metaFile.toPath, Files.readString(metaFile.toPath)
+      .replace("\"format-version\":2", "\"format-version\":3"))
+    // the hadoop checksum sidecar now disagrees with the edited bytes
+    new java.io.File(metaFile.getParent, "." + metaFile.getName + ".crc").delete()
+
+    val v = IcebergDml.deleteWhere(spark, dir, "id IN (3, 7)")
+    assert(v > 0)
+    assert(idName(icebergRead(dir)) ==
+      ((1L to 20L).toSet -- Set(3L, 7L)).map(i => (i, s"n$i")))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plan() = {
+      val meta = IcebergLoader.currentMetadata(fs, dir)
+      IcebergLoader.planSnapshot(fs, dir, meta,
+        IcebergLoader.chooseSnapshot(meta, dir, None))
+    }
+    val p1 = plan()
+    assert(p1.positionDeleteFiles.isEmpty, "v3 must not add position deletes")
+    assert(p1.deletionVectors.size == 1, p1.deletionVectors.mkString(","))
+    // the blob is readable straight off the manifest pointer
+    val dv1 = p1.deletionVectors.head
+    assert(DeletionVectors.readIcebergDv(fs,
+      new org.apache.hadoop.fs.Path(dv1.puffinPath),
+      dv1.contentOffset, dv1.contentSize).length == 2)
+
+    // a second delete on the SAME file must MERGE: still exactly one live
+    // DV for the file (the old one superseded out of the carried manifest)
+    assert(IcebergDml.deleteWhere(spark, dir, "id = 4") > 0)
+    assert(idName(icebergRead(dir)) ==
+      ((1L to 20L).toSet -- Set(3L, 4L, 7L)).map(i => (i, s"n$i")))
+    val p2 = plan()
+    assert(p2.deletionVectors.size == 1,
+      s"one live DV per file, got ${p2.deletionVectors.size}")
+    val dv2 = p2.deletionVectors.head
+    assert(DeletionVectors.readIcebergDv(fs,
+      new org.apache.hadoop.fs.Path(dv2.puffinPath),
+      dv2.contentOffset, dv2.contentSize).length == 3)
+
+    // v3 UPDATE: DV-delete + rewrite in one snapshot
+    assert(IcebergDml.updateWhere(spark, dir, "id = 5",
+      Map("name" -> "'updated'")) > 0)
+    val got = icebergRead(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.contains((5L, "updated")) && !got.contains((5L, "n5")))
+  }
+
   test("iceberg compaction materializes DML position deletes") {
     val dir = newDir("graft_idml_comp")
     IcebergWriter.write((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
