@@ -80,7 +80,11 @@ object ColumnIndex {
         * built before a DML commit serves that older snapshot's rows until
         * the registry refresh lands — snapshot isolation, never
         * corruption (the older version's files stay on disk for the
-        * vacuum retention window). */
+        * vacuum retention window). A CROSS-PROCESS writer that compacts
+        * and vacuums at aggressive retention can delete files a remote
+        * server's stale index still lists; the pruned scan then fails
+        * LOUDLY (file not found) rather than mis-answer — re-register the
+        * index to recover. */
       val rawScanSafe: Boolean = true) {
 
     /** Spec/metrics hook: (kept, total) of the most recent prune. */
@@ -510,7 +514,7 @@ object ColumnIndex {
     * lower/upper bounds in the spec's single-value binary serialization) —
     * the [[buildFromDelta]] story for the other table format. */
   def buildFromIceberg(spark: SparkSession, dir: String, cols: Seq[String]): Index = {
-    val (schemaNode, stats, hasDeletes) =
+    val (schemaNode, stats, hasDeletes, partitioned) =
       IcebergLoader.currentFileStats(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val wanted = cols.toVector
@@ -540,10 +544,13 @@ object ColumnIndex {
       })
       FileZones(qualified, math.max(st.recordCount, 0L), zones.toMap)
     }
-    // iceberg data files CONTAIN identity partition columns, so a raw scan
-    // of the live list is faithful whenever no delete files are live
+    // iceberg data files CONTAIN identity partition columns, but the
+    // hive-style layout dirs (identity AND transform tuples) would be
+    // partition-INFERRED by a raw basePath scan — transform dirs as extra
+    // columns, identity columns reordered — so raw scans are faithful only
+    // for unpartitioned delete-free tables (review finding)
     new Index(dir, wanted, files.sortBy(_.path).toVector,
-      rawScanSafe = !hasDeletes)
+      rawScanSafe = !hasDeletes && !partitioned)
   }
 
   /** One column's zone out of a Delta `stats` document, typed by the

@@ -107,10 +107,9 @@ object IcebergDml {
       }
     }
     val schemaNode = IcebergLoader.schemaNodeFor(meta, snap)
+    val posTombs = IcebergLoader.positionTombstones(spark, fs, dir, meta, plan)
     val scan = IcebergLoader.scanLive(spark, schemaNode, plan,
-      plan.dataFiles.map(_._1),
-      IcebergLoader.positionTombstones(spark, fs, dir, meta, plan),
-      keepIds = true)
+      plan.dataFiles.map(_._1), posTombs, keepIds = true)
     val matched0 = merge match {
       case Some((source, keys)) =>
         scan.join(source.select(keys.map(k => col(s"`$k`")): _*).distinct(),
@@ -134,13 +133,24 @@ object IcebergDml {
       // the spec external engines enforce)
       val formatV3 = Option(meta.get("format-version")).exists(_.asInt() >= 3)
       val matchedIds = matched.select(col("__graft_fp"), col("__graft_ri"))
+      // a v3 DML over a table still carrying v2 position deletes MIGRATES
+      // them: every position-delete row unions into the merged DVs and the
+      // spent parquet entries retire — the spec's one-DV-per-file rule
+      // forbids both forms coexisting for a file (review finding). The
+      // migration only piggybacks on a REAL change (no-op DMLs stay no-ops).
+      val migratePos = formatV3 && plan.positionDeleteFiles.nonEmpty
+      if (migratePos && merge.isEmpty && matchedIds.isEmpty) return -1L
+      val dvInput =
+        if (!migratePos) matchedIds
+        else matchedIds.unionByName(
+          posTombs.get.select(col("__graft_fp"), col("__graft_ri")))
       val deleteFiles: Seq[(String, Long, Long)] =
         if (formatV3) Seq.empty
         else writeDeleteFiles(spark, fs, root, matchedIds,
           plan.dataFiles.map(_._1))
       val dvWrites: Seq[(String, String, Long, Long, Long, Long)] =
         if (!formatV3) Seq.empty
-        else writeDvPuffins(spark, fs, root, matchedIds, plan,
+        else writeDvPuffins(spark, fs, root, dvInput, plan,
           plan.dataFiles.map(_._1), snapId, seq)
       if (deleteFiles.isEmpty && dvWrites.isEmpty && merge.isEmpty) return -1L
 
@@ -265,6 +275,10 @@ object IcebergDml {
       // superseded entries, inherited sequence numbers materialized and
       // statuses folded to EXISTING; a fully-superseded manifest drops.
       val supersededRefs: Set[String] = dvWrites.map(_._1).toSet
+      // carried manifests/refs live in the metadata's RECORDED location —
+      // remap to the actual table root before reading or comparing
+      // (relocated tables; review finding)
+      val remap = IcebergLoader.pathRemapper(meta, dir)
       def carryRecord(prev: (String, Long, Int, Option[Long], Long, Int)) = {
         val m = new org.apache.avro.generic.GenericData.Record(
           IcebergWriter.manifestListSchema)
@@ -276,18 +290,31 @@ object IcebergDml {
         m.put("added_snapshot_id", prev._5)
         m
       }
-      def normRef(p: String): String = p.replaceFirst("^file:/+", "/")
+      def normRef(p: String): String = PartitionLayout.stripFileScheme(p)
       val carried: Seq[GenericRecord] =
         IcebergWriter.currentManifestList(fs, meta, dir).flatMap { prev =>
           if (supersededRefs.isEmpty || prev._3 != 1) Some(carryRecord(prev))
           else {
-            val entries = IcebergLoader.readAvro(fs, new HPath(prev._1))
+            val entries = IcebergLoader.readAvro(fs, new HPath(remap(prev._1)))
             def superseded(e: GenericRecord): Boolean = {
               val d = e.get("data_file").asInstanceOf[GenericRecord]
-              String.valueOf(d.get("file_format")).equalsIgnoreCase("PUFFIN") &&
+              val content = Option(d.getSchema.getField("content"))
+                .flatMap(_ => Option(d.get("content")))
+                .map(_.asInstanceOf[Number].intValue()).getOrElse(1)
+              val fmt = String.valueOf(d.get("file_format"))
+              if (content != 1) false // equality deletes are untouched
+              else if (fmt.equalsIgnoreCase("PUFFIN"))
                 Option(d.getSchema.getField("referenced_data_file"))
                   .flatMap(_ => Option(d.get("referenced_data_file")))
-                  .exists(r => supersededRefs(normRef(String.valueOf(r))))
+                  .exists(r => supersededRefs(
+                    normRef(remap(String.valueOf(r)))))
+              else
+                // v2 position-delete parquet: EVERY live-file row was
+                // absorbed into the merged DVs (the v3 write unioned
+                // posTombs; dead-file rows are inert), so the whole entry
+                // retires — leaving it live would double-state the deletes
+                // and violate the v3 one-DV-per-file rule
+                migratePos && dvWrites.nonEmpty
             }
             val kept = entries.filterNot(superseded)
             if (kept.size == entries.size) Some(carryRecord(prev))
@@ -376,9 +403,9 @@ object IcebergDml {
                                root: HPath, matchedIds: DataFrame,
                                dataFiles: Seq[String]): Seq[(String, Long, Long)] = {
     import scala.jdk.CollectionConverters._
-    def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
     val toRaw = spark.createDataFrame(dataFiles.map(p =>
-        org.apache.spark.sql.Row(PartitionLayout.scanPathKey(p), normStr(p))).asJava,
+        org.apache.spark.sql.Row(PartitionLayout.scanPathKey(p),
+          PartitionLayout.stripFileScheme(p))).asJava,
       StructType(Seq(
         StructField("__graft_fp", StringType, nullable = false),
         StructField("__graft_raw", StringType, nullable = false))))
@@ -393,18 +420,23 @@ object IcebergDml {
     val conf = spark.sparkContext.hadoopConfiguration
     val dataDir = new HPath(root, "data")
     fs.mkdirs(dataDir)
-    val out = PartitionLayout.collectParts(fs, scratch).map { case (p, _) =>
-      val target = new HPath(dataDir, s"delete-${p.getName}")
-      require(fs.rename(p, target),
-        s"IcebergDml could not move delete file ${p.getName} into $dataDir")
-      val st = fs.getFileStatus(target)
-      val fz = ColumnIndex.readFileZones(conf, target.toString, Seq.empty)
+    val out = PartitionLayout.collectParts(fs, scratch).flatMap { case (p, _) =>
+      // footer FIRST: a zero-row part (empty matched set) never leaves the
+      // scratch — moving then filtering left orphans in data/ (review
+      // finding)
+      val fz = ColumnIndex.readFileZones(conf, p.toString, Seq.empty)
       require(fz.rows >= 0L,
-        s"IcebergDml could not read back the footer of $target")
-      (target.toString, st.getLen, fz.rows)
+        s"IcebergDml could not read back the footer of $p")
+      if (fz.rows == 0L) None
+      else {
+        val target = new HPath(dataDir, s"delete-${p.getName}")
+        require(fs.rename(p, target),
+          s"IcebergDml could not move delete file ${p.getName} into $dataDir")
+        Some((target.toString, fs.getFileStatus(target).getLen, fz.rows))
+      }
     }
     fs.delete(scratch, true)
-    out.filter(_._3 > 0L)
+    out
   }
 
   // ---- v3 deletion-vector write (puffin) -------------------------------------
@@ -442,11 +474,10 @@ object IcebergDml {
                              seq: Long): Seq[(String, String, Long, Long, Long, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{collect_list, sort_array}
-    def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
     // encoded scan key -> raw manifest spelling (referenced_data_file must
     // match the manifests verbatim for external engines)
     val toRaw: Map[String, String] = dataFiles.map(p =>
-      PartitionLayout.scanPathKey(p) -> normStr(p)).toMap
+      PartitionLayout.scanPathKey(p) -> PartitionLayout.stripFileScheme(p)).toMap
     // encoded scan key -> existing DV pointer (merged task-side)
     val oldDv: Map[String, (String, Long, Long)] = plan.deletionVectors.map(d =>
       PartitionLayout.scanPathKey(d.referencedDataFile) ->
@@ -457,7 +488,13 @@ object IcebergDml {
     val confEntries = DistKit.confEntries(spark.sparkContext.hadoopConfiguration)
     val snapIdL = snapId; val seqL = seq
 
+    // migration rows may reference files no longer live (inert deletes) —
+    // drop them rather than refuse
+    import spark.implicits._
+    val liveKeys = toRaw.keys.toSeq.toDF("__graft_fp")
     matchedIds
+      .join(org.apache.spark.sql.functions.broadcast(liveKeys),
+        Seq("__graft_fp"), "left_semi")
       .groupBy(col("__graft_fp"))
       .agg(sort_array(collect_list(col("__graft_ri"))).as("ris"))
       .as[(String, Array[Long])]

@@ -386,12 +386,25 @@ object IcebergLoader {
     * the read schema node for field-id typing. Delete files are ignored:
     * deletes only remove rows, so data-file bounds stay conservative. */
   private[sources] def currentFileStats(spark: SparkSession, tableUri: String)
-      : (JsonNode, Seq[DataFileStats], Boolean) = {
+      : (JsonNode, Seq[DataFileStats], Boolean, Boolean) = {
     val fs = new HPath(tableUri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = currentMetadata(fs, tableUri)
     val snap = chooseSnapshot(meta, tableUri, None)
     val schemaNode = schemaNodeFor(meta, snap)
-    if (snap.isEmpty) return (schemaNode, Seq.empty, false)
+    // partitioned tables lay files out in hive-style transform dirs —
+    // a raw basePath scan would INFER those as extra columns, so the
+    // column index must know (fourth element). Default spec only; a
+    // non-empty fields array in either metadata generation counts.
+    val partitioned = {
+      val specId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      val v2Spec = Option(meta.get("partition-specs")).filterNot(_.isNull)
+        .flatMap(_.elements().asScala.find(sp =>
+          Option(sp.get("spec-id")).forall(_.asInt() == specId)))
+        .map(sp => Option(sp.get("fields")).exists(_.size() > 0))
+      v2Spec.getOrElse(Option(meta.get("partition-spec"))
+        .filterNot(_.isNull).exists(_.size() > 0))
+    }
+    if (snap.isEmpty) return (schemaNode, Seq.empty, false, partitioned)
     val s = snap.get
     val remap = pathRemapper(meta, tableUri)
     val manifests: Seq[(String, Int)] =
@@ -419,7 +432,7 @@ object IcebergLoader {
         }
       }
     }
-    (schemaNode, out.result(), hasDeletes)
+    (schemaNode, out.result(), hasDeletes, partitioned)
   }
 
   /** One manifest data_file record -> its [[DataFileStats]] — THE single
@@ -467,7 +480,7 @@ object IcebergLoader {
     * URI spelling FIRST — different writers emit different (equally valid)
     * forms, and a form mismatch must not silently skip the remap. */
   private[sources] def pathRemapper(meta: JsonNode, tableUri: String): String => String = {
-    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    def norm(p: String): String = PartitionLayout.stripFileScheme(p)
     val location = Option(meta.get("location")).filterNot(_.isNull)
       .map(l => norm(l.asText().stripSuffix("/")))
     val root = norm(tableUri.stripSuffix("/"))
@@ -515,7 +528,7 @@ object IcebergLoader {
     // both sides normalize their file:/// vs file:/ URI spelling, so a
     // writer's different (equally valid) URI form cannot silently skip
     // the remap and resurrect deleted rows.
-    def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
+    def normStr(p: String): String = PartitionLayout.stripFileScheme(p)
     val loc = Option(meta.get("location")).filterNot(_.isNull)
       .map(p => normStr(p.asText().stripSuffix("/")))
     val root = normStr(tableUri.stripSuffix("/"))

@@ -23,6 +23,12 @@ private[sources] object PartitionLayout {
   def scanPathKey(abs: String): String =
     new HPath(abs).toUri.toString.replaceFirst("^file:/+", "/")
 
+  /** The RAW spelling normalizer the whole package shares: `file:`-scheme
+    * spellings fold to plain paths so the two valid local forms compare
+    * equal (the string-domain half of [[scanPathKey]], for values that
+    * must stay in the raw/manifest domain). */
+  def stripFileScheme(p: String): String = p.replaceFirst("^file:/+", "/")
+
   /** Un-escape one hive partition-dir value; None for the hive
     * default-partition (null) marker. Hive path escaping is %XX on a fixed
     * char set — NOT URL encoding ('+' stays literal), so %XX decodes by

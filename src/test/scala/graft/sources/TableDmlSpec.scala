@@ -423,6 +423,58 @@ class TableDmlSpec extends SparkSpec {
     assert(got.contains((5L, "updated")) && !got.contains((5L, "n5")))
   }
 
+  test("iceberg v3 DML migrates v2 position deletes into the merged DVs") {
+    val dir = newDir("graft_idml_mig")
+    IcebergWriter.write((1L to 20L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), dir)
+    // v2-era position deletes first...
+    IcebergDml.deleteWhere(spark, dir, "id = 2")
+    // ...then the table upgrades to v3
+    val metaFile = new java.io.File(dir + "/metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    Files.writeString(metaFile.toPath, Files.readString(metaFile.toPath)
+      .replace("\"format-version\":2", "\"format-version\":3"))
+    new java.io.File(metaFile.getParent, "." + metaFile.getName + ".crc").delete()
+
+    // a v3 delete must ABSORB the v2 position deletes: afterwards the
+    // snapshot carries DVs only (both forms live for one file would
+    // violate the spec external readers enforce)
+    assert(IcebergDml.deleteWhere(spark, dir, "id = 9") > 0)
+    assert(idName(icebergRead(dir)) ==
+      ((1L to 20L).toSet -- Set(2L, 9L)).map(i => (i, s"n$i")))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergLoader.currentMetadata(fs, dir)
+    val plan = IcebergLoader.planSnapshot(fs, dir,
+      meta, IcebergLoader.chooseSnapshot(meta, dir, None))
+    assert(plan.positionDeleteFiles.isEmpty,
+      "v2 position deletes must retire after the migration")
+    assert(plan.deletionVectors.size == 1)
+    val dv = plan.deletionVectors.head
+    assert(DeletionVectors.readIcebergDv(fs,
+      new org.apache.hadoop.fs.Path(dv.puffinPath),
+      dv.contentOffset, dv.contentSize).length == 2) // ids 2 and 9
+    // and a no-match v3 delete stays a NO-OP even with migration pending
+    val dir2 = newDir("graft_idml_mig2")
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir2)
+    IcebergDml.deleteWhere(spark, dir2, "id = 1") // v2 pos delete
+    val mf2 = new java.io.File(dir2 + "/metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    Files.writeString(mf2.toPath, Files.readString(mf2.toPath)
+      .replace("\"format-version\":2", "\"format-version\":3"))
+    new java.io.File(mf2.getParent, "." + mf2.getName + ".crc").delete()
+    assert(IcebergDml.deleteWhere(spark, dir2, "id = 999") == -1L)
+  }
+
+  test("no-match v2 delete leaves no orphan delete files in data/") {
+    val dir = newDir("graft_idml_noorph")
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), dir)
+    assert(IcebergDml.deleteWhere(spark, dir, "id = 999") == -1L)
+    val leftovers = new java.io.File(dir + "/data").listFiles()
+      .map(_.getName).filter(_.startsWith("delete-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("iceberg compaction materializes DML position deletes") {
     val dir = newDir("graft_idml_comp")
     IcebergWriter.write((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"), dir)

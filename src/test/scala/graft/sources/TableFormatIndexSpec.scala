@@ -119,9 +119,9 @@ class TableFormatIndexSpec extends AnyFunSuite {
     IcebergWriter.write(df, dir, partitionBy = Seq("region"))
     corruptParquet(new java.io.File(dir + "/data"))
     val idx = ColumnIndex.buildFromIceberg(spark, dir, Seq("id", "region"))
-    // identity partition values live IN iceberg data files and no delete
-    // files are live, so the index may serve raw scans
-    assert(idx.rawScanSafe)
+    // partitioned: the hive-style layout dirs would be partition-INFERRED
+    // by a raw basePath scan, so the index must refuse raw serving
+    assert(!idx.rawScanSafe)
     assert(idx.fileCount >= 3)
     assert(idx.files.map(_.rows).sum == 90)
     // partition pruning via the identity column's own bounds: per-tuple
