@@ -71,6 +71,20 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (focused timing loops)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Serving face FIRST, on the young JVM (round-17 verdict #4: measured
+    // at end-of-JVM, byte-identical serving code drifted p50 2.5→6.8 ms
+    // across runs — JVM aging, not code). Fixed warm-up and request
+    // counts live in servingBench; a SECOND pass after the gauntlet is
+    // recorded as serving_late so the drift is measured per-artifact
+    // instead of argued about per-round.
+    val servingEarly: Option[String] =
+      if (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_SERVING").contains("1")) None
+      else
+        try Some(servingBench(spark))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] serving face failed: ${e.getMessage}")
+          Some("\"serving\":{\"error\":" + jsonStr(String.valueOf(e.getMessage)) + "}")
+        }
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
     // Median-of-N per query (round-9 verdict #7): identical code measured
     // 78 s on a quiet box vs 123.5 s under driver load — single-shot
@@ -99,20 +113,20 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     // Serving-latency face (round-10 verdict #6): the reference is a
     // ms-class SERVER — engine wall-clock alone hides job-per-request and
-    // encoder overhead. Skipped in focused SPARK_GRAFT_BENCH_ONLY loops
-    // unless SPARK_GRAFT_BENCH_SERVING=1 forces it.
-    // The serving face must never destroy the query timings: it runs AFTER
-    // they are measured, so any of its failures (missing fixture file, port
-    // bind, HTTP error) degrades to an error note in the JSON, not a thrown-
-    // away run (the same reasoning as the per-query -1 sentinel).
-    val serving =
-      if (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_SERVING").contains("1")) ""
-      else
-        try "," + servingBench(spark)
+    // encoder overhead. The CANONICAL number was taken before the gauntlet
+    // (servingEarly, young JVM); this pass measures the aged JVM so the
+    // artifact records the drift itself. Failures degrade to an error note
+    // in the JSON, never a thrown-away run.
+    val serving = servingEarly.fold("") { early =>
+      val late =
+        try Some(servingBench(spark))
         catch { case e: Throwable =>
-          System.err.println(s"[bench] serving face failed: ${e.getMessage}")
-          ",\"serving\":{\"error\":" + jsonStr(String.valueOf(e.getMessage)) + "}"
+          System.err.println(s"[bench] late serving face failed: ${e.getMessage}")
+          None
         }
+      "," + early +
+        late.fold("")(l => "," + l.replaceFirst("^\"serving\"", "\"serving_late\""))
+    }
     val loadEnd = loadAvg()
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON (review finding)

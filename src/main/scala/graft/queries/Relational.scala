@@ -496,6 +496,14 @@ object Relational {
             graft.sources.DeltaDml.upsert(src, tableDir, Seq("o_orderkey"))
             graft.sources.DeltaWriter.compact(spark, tableDir,
               targetFileBytes = 64L << 20)
+            // fold the whole DML history into a V2 (uuid + sidecars)
+            // checkpoint and retire every JSON commit — the oracle read
+            // below then REPLAYS FROM THE V2 LAYOUT, putting checkpointV2
+            // itself under the hash gate (round-17 verdict #6)
+            graft.sources.DeltaWriter.checkpointV2(spark, tableDir)
+            Thread.sleep(5) // zero-retention cutoffs are strict `< now`
+            graft.sources.DeltaWriter.cleanupLog(spark, tableDir,
+              retentionMs = 0L)
           } else {
             graft.sources.IcebergWriter.write(orders, tableDir,
               partitionBy = Seq("o_orderpriority"))
@@ -539,6 +547,108 @@ object Relational {
         Seq("l_partkey", "l_suppkey"))
       (tdir, idx)
     }(b => deleteTree(new java.io.File(b._1).getParentFile))
+
+  /** A CDF-enabled Delta table taken through the [[dmlSinksFor]] DML
+    * sequence — the change feed (cdc files written by the DML commits)
+    * must aggregate bit-identically to the oracle's reconstruction of the
+    * same change stream. Memoized like [[sinksFor]]. */
+  private val cdfSinkMemo = new FixtureMemo[String]
+  private def cdfSinkFor(spark: SparkSession, dir: String): String =
+    cdfSinkMemo.getOrBuild((spark, dir)) {
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "cdf-" + java.util.UUID.randomUUID().toString).toString
+      val tdir = base + "/delta"
+      val orders = Tables.t(spark, dir, "orders")
+      graft.sources.DeltaWriter.write(orders, tdir,
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaCdf.enableCdf(spark, tdir) // v1
+      graft.sources.DeltaDml.deleteWhere(spark, tdir,
+        "o_orderstatus = 'F' AND o_totalprice < 100000") // v2
+      graft.sources.DeltaDml.updateWhere(spark, tdir,
+        "o_orderstatus = 'P'", Map("o_orderpriority" -> "'9-MOVED'")) // v3
+      val src = orders.filter("o_orderkey % 997 = 1")
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", lit(0.0))
+        .unionByName(orders.filter("o_orderkey % 997 = 2")
+          .withColumn("o_orderkey", col("o_orderkey") + 50000000L)
+          .withColumn("o_orderstatus", lit("N")))
+      graft.sources.DeltaDml.upsert(src, tdir, Seq("o_orderkey")) // v4
+      tdir
+    }(b => deleteTree(new java.io.File(b).getParentFile))
+
+  /** Orders landed as an Iceberg table in THREE append snapshots (split by
+    * `o_orderkey % 3`), then compacted — the incremental read from the
+    * first snapshot must return exactly the later two appends' rows, with
+    * the compaction's replace snapshot contributing nothing. Memoized like
+    * [[sinksFor]]. Returns (tableDir, firstSnapshotId). */
+  private val incrSinkMemo = new FixtureMemo[(String, Long)]
+  private def incrSinkFor(spark: SparkSession, dir: String): (String, Long) =
+    incrSinkMemo.getOrBuild((spark, dir)) {
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "incr-" + java.util.UUID.randomUUID().toString).toString
+      val tdir = base + "/iceberg"
+      val orders = Tables.t(spark, dir, "orders")
+      graft.sources.IcebergWriter.write(
+        orders.filter("o_orderkey % 3 = 0"), tdir)
+      val s1 = graft.sources.IcebergIncremental.currentSnapshotId(spark, tdir)
+      graft.sources.IcebergWriter.write(
+        orders.filter("o_orderkey % 3 = 1"), tdir)
+      graft.sources.IcebergWriter.write(
+        orders.filter("o_orderkey % 3 = 2"), tdir)
+      graft.sources.IcebergWriter.compactDataFiles(spark, tdir,
+        targetFileBytes = 64L << 20)
+      (tdir, s1)
+    }(b => deleteTree(new java.io.File(b._1).getParentFile))
+
+  /** The same DML sequence WITHOUT CDF enabled — [[cdfSinkFor]]'s control:
+    * the change stream must SYNTHESIZE from add/remove/DV-diff actions
+    * alone (updates legitimately surface as delete+insert there). */
+  private val cdfSynthMemo = new FixtureMemo[String]
+  private def cdfSynthFor(spark: SparkSession, dir: String): String =
+    cdfSynthMemo.getOrBuild((spark, dir)) {
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "cdfs-" + java.util.UUID.randomUUID().toString).toString
+      val tdir = base + "/delta"
+      val orders = Tables.t(spark, dir, "orders")
+      graft.sources.DeltaWriter.write(orders, tdir,
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaDml.deleteWhere(spark, tdir,
+        "o_orderstatus = 'F' AND o_totalprice < 100000") // v1
+      graft.sources.DeltaDml.updateWhere(spark, tdir,
+        "o_orderstatus = 'P'", Map("o_orderpriority" -> "'9-MOVED'")) // v2
+      val src = orders.filter("o_orderkey % 997 = 1")
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", lit(0.0))
+        .unionByName(orders.filter("o_orderkey % 997 = 2")
+          .withColumn("o_orderkey", col("o_orderkey") + 50000000L)
+          .withColumn("o_orderstatus", lit("N")))
+      graft.sources.DeltaDml.upsert(src, tdir, Seq("o_orderkey")) // v3
+      tdir
+    }(b => deleteTree(new java.io.File(b).getParentFile))
+
+  /** Orders landed as Iceberg, then upserted through the EQUALITY-DELETE
+    * channel (zero target scan — the streaming-upsert shape), then
+    * compacted so the materialization is under the gate too. Memoized
+    * like [[sinksFor]]. */
+  private val eqSinkMemo = new FixtureMemo[String]
+  private def eqSinkFor(spark: SparkSession, dir: String): String =
+    eqSinkMemo.getOrBuild((spark, dir)) {
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "eq-" + java.util.UUID.randomUUID().toString).toString
+      val tdir = base + "/iceberg"
+      val orders = Tables.t(spark, dir, "orders")
+      graft.sources.IcebergWriter.write(orders, tdir)
+      val src = orders.filter("o_orderkey % 997 = 1")
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", lit(0.0))
+        .unionByName(orders.filter("o_orderkey % 997 = 2")
+          .withColumn("o_orderkey", col("o_orderkey") + 50000000L)
+          .withColumn("o_orderstatus", lit("N")))
+      graft.sources.IcebergDml.upsertByEquality(src, tdir, Seq("o_orderkey"))
+      graft.sources.IcebergWriter.compactDataFiles(spark, tdir,
+        targetFileBytes = 64L << 20)
+      tdir
+    }(b => deleteTree(new java.io.File(b).getParentFile))
 
   /** The [[dmlSinksFor]] sequence replayed in pure SQL (both formats'
     * oracles — the on-disk results must match it bit-for-bit). */
@@ -616,6 +726,49 @@ object Relational {
       val (_, iceDir) = dmlSinksFor(spark, dir)
       dmlAgg(graft.sources.IcebergLoader.load(spark,
         graft.sources.TableSource("dml_i", iceDir, Some("iceberg"))))
+    }),
+    // EQUALITY-DELETE upsert (zero target scan) + compaction: the on-disk
+    // result must equal the oracle's pure-SQL replace-by-key
+    "q_iceberg_eq_upsert" -> ((spark, dir) => {
+      val tdir = eqSinkFor(spark, dir)
+      dmlAgg(graft.sources.IcebergLoader.load(spark,
+        graft.sources.TableSource("eq_i", tdir, Some("iceberg"))))
+    }),
+    // CHANGE DATA FEED: the DML sequence's change stream (cdc files the
+    // commits recorded) aggregated per change type — the oracle
+    // reconstructs the same stream in pure SQL over the base table, so a
+    // lost preimage, duplicated insert, or mislabeled change type breaks
+    // the hash
+    "q_delta_cdf" -> ((spark, dir) => {
+      val tdir = cdfSinkFor(spark, dir)
+      graft.sources.DeltaCdf.loadChanges(spark, tdir, fromVersion = 1L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
+    // CDF SYNTHESIS control: the same sequence with NO cdc files on disk —
+    // the stream reconstructs from add/remove/DV-diff actions (updates
+    // surface as delete+insert, the protocol's fallback semantics)
+    "q_delta_cdf_synth" -> ((spark, dir) => {
+      val tdir = cdfSynthFor(spark, dir)
+      graft.sources.DeltaCdf.loadChanges(spark, tdir, fromVersion = 0L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
+    // INCREMENTAL APPEND SCAN: rows appended after the first snapshot,
+    // read from the append snapshots' own manifests (the compaction in
+    // between must contribute nothing) — the oracle selects the same rows
+    // from the base table
+    "q_iceberg_incr" -> ((spark, dir) => {
+      val (tdir, s1) = incrSinkFor(spark, dir)
+      graft.sources.IcebergIncremental.appendsBetween(spark, tdir, s1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
     }),
     "q_iceberg_transform_roundtrip" -> ((spark, dir) => {
       val iceDir = transformSinkFor(spark, dir)
@@ -1100,6 +1253,103 @@ object Relational {
     // actually produced on disk
     "q_delta_dml_roundtrip" -> dmlOracleSql,
     "q_iceberg_dml_roundtrip" -> dmlOracleSql,
+    // equality-delete upsert: pure replace-by-key over the base table
+    "q_iceberg_eq_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    0.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 2
+        |), merged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src
+        |)
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the change STREAM the same DML sequence must record: delete
+    // preimages, update pre+post images, merge delete+insert — per
+    // change type, reconstructed in pure SQL
+    "q_delta_cdf" ->
+      """WITH afterdel AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        |), afterupd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    CASE WHEN o_orderstatus = 'P' THEN '9-MOVED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM afterdel
+        |), src AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    0.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 2
+        |), changes AS (
+        |  SELECT 'delete' AS change_type, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_totalprice FROM afterdel
+        |  WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_totalprice FROM afterdel
+        |  WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterupd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM src)
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM src
+        |)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // synthesized change stream: updates legitimately surface as
+    // delete+insert (no cdc files to correlate pre/post images)
+    "q_delta_cdf_synth" ->
+      """WITH afterdel AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        |), afterupd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    CASE WHEN o_orderstatus = 'P' THEN '9-MOVED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM afterdel
+        |), src AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    0.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 2
+        |), changes AS (
+        |  SELECT 'delete' AS change_type, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterupd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM src)
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM src
+        |)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the incremental read = exactly the rows of the two later appends
+    "q_iceberg_incr" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // pruned z-ordered scan equality (the q_colindex_scan shape, 2-D)
     "q_zorder_scan" ->
       """SELECT l_returnflag, COUNT(*) AS n,

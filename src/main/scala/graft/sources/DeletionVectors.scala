@@ -259,6 +259,121 @@ object DeletionVectors {
     out.toByteArray
   }
 
+  /** Streaming form of [[serializeBitmapArray]]: consumes a SORTED,
+    * STRICTLY-INCREASING iterator of row indexes and returns
+    * (bytes, cardinality). Byte-identical output to the array form, but
+    * peak memory is ONE container's value buffer (64 Ki ints) plus the
+    * compressed output — a near-full-file DELETE on a 10M-row file never
+    * materializes its row indexes as an uncompressed long array (review
+    * finding: `collect_list` + `Array.distinct.sorted` held ~80 MB in one
+    * task row; every row index of a single file shares high word 0, so
+    * only container-level streaming actually bounds it). */
+  def serializeBitmapArrayStream(sorted: Iterator[Long]): (Array[Byte], Long) = {
+    // per-bitmap accumulation (headers need every container's cardinality
+    // before any payload byte, so payloads buffer compressed)
+    val bitmaps = new java.io.ByteArrayOutputStream() // finished 32-bit bitmaps
+    var keys = Array.newBuilder[Int]
+    var cards = Array.newBuilder[Int]
+    var payload = new java.io.ByteArrayOutputStream()
+    // current container
+    val vals = new Array[Int](65536)
+    var nVals = 0
+    var curKey = -1 // bits 16..31 of the low word
+    var curHigh = 0L
+    var emittedHighs = 0L // bitmaps already written (implicit keys 0..n-1)
+    var card = 0L
+    var prev = -1L
+
+    def flushContainer(): Unit = {
+      if (curKey < 0) return
+      keys += curKey; cards += nVals
+      if (nVals > 4096) {
+        val words = new Array[Long](1024)
+        var v = 0
+        while (v < nVals) {
+          val low = vals(v); words(low >>> 6) |= 1L << (low & 63); v += 1
+        }
+        var w = 0
+        while (w < 1024) {
+          val word = words(w)
+          leInt(payload, word.toInt); leInt(payload, (word >>> 32).toInt)
+          w += 1
+        }
+      } else {
+        var v = 0
+        while (v < nVals) { leShort(payload, vals(v)); v += 1 }
+      }
+      nVals = 0; curKey = -1
+    }
+
+    def emptyBitmap(): Unit = {
+      leInt(bitmaps, SerialCookieNoRun); leInt(bitmaps, 0)
+    }
+
+    def flushBitmap(): Unit = {
+      flushContainer()
+      val ks = keys.result(); val cs = cards.result()
+      val n = ks.length
+      leInt(bitmaps, SerialCookieNoRun)
+      leInt(bitmaps, n)
+      var c = 0
+      while (c < n) { leShort(bitmaps, ks(c)); leShort(bitmaps, cs(c) - 1); c += 1 }
+      var off = 4 + 4 + 4 * n + 4 * n
+      c = 0
+      while (c < n) {
+        leInt(bitmaps, off)
+        off += (if (cs(c) > 4096) 8192 else 2 * cs(c))
+        c += 1
+      }
+      payload.writeTo(bitmaps)
+      keys = Array.newBuilder[Int]; cards = Array.newBuilder[Int]
+      payload = new java.io.ByteArrayOutputStream()
+      emittedHighs += 1
+    }
+
+    sorted.foreach { row =>
+      require(row > prev && row >= 0,
+        s"serializeBitmapArrayStream needs sorted, distinct, >=0 input " +
+          s"(got $row after $prev)")
+      prev = row
+      val high = row >>> 32
+      if (card > 0 && high != curHigh) {
+        flushBitmap()
+        while (emittedHighs < high) { emptyBitmap(); emittedHighs += 1 }
+      } else if (card == 0) {
+        while (emittedHighs < high) { emptyBitmap(); emittedHighs += 1 }
+      }
+      curHigh = high
+      val key = ((row >>> 16) & 0xFFFF).toInt
+      if (key != curKey) { flushContainer(); curKey = key }
+      vals(nVals) = (row & 0xFFFF).toInt; nVals += 1
+      card += 1
+    }
+    if (card > 0) flushBitmap()
+    val out = new java.io.ByteArrayOutputStream()
+    leInt(out, PortableMagic)
+    leInt(out, emittedHighs.toInt); leInt(out, (emittedHighs >>> 32).toInt)
+    bitmaps.writeTo(out)
+    (out.toByteArray, card)
+  }
+
+  /** Merge two sorted, distinct long iterators into one (dedup on ties) —
+    * the DML writer's old-DV ∪ new-deletes stream. */
+  def mergeSortedDistinct(a: Iterator[Long], b: Iterator[Long]): Iterator[Long] =
+    new scala.collection.AbstractIterator[Long] {
+      private val pa = a.buffered; private val pb = b.buffered
+      def hasNext: Boolean = pa.hasNext || pb.hasNext
+      def next(): Long =
+        if (!pb.hasNext) pa.next()
+        else if (!pa.hasNext) pb.next()
+        else {
+          val x = pa.head; val y = pb.head
+          if (x < y) pa.next()
+          else if (y < x) pb.next()
+          else { pa.next(); pb.next() } // tie: emit once
+        }
+    }
+
   /** Serialize sorted, distinct row indexes into the STANDARD 64-bit
     * roaring "portable" serialization (the inverse of
     * [[deserializePortable64]] — what ICEBERG v3 deletion vectors store):

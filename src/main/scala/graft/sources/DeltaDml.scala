@@ -7,7 +7,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, collect_list, expr, sort_array}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.StructType
 
 /** Row-level DML on Delta tables — DELETE / UPDATE / MERGE-by-key — built
   * on the protocol's deletion-vector channel (delta.io PROTOCOL.md
@@ -81,16 +82,53 @@ object DeltaDml {
 
   // ---- the one engine behind all three --------------------------------------
 
+  /** Signals a lost commit race whose concurrent commits CONFLICT with the
+    * attempt (they removed/re-added files, or changed metadata/protocol) —
+    * the attempt's files are already reclaimed; re-running the whole DML
+    * against the refreshed table is the only sound continuation. */
+  private final class ConflictRetry(val detail: String)
+    extends RuntimeException(detail)
+
+  /** Bounded optimistic-concurrency loop (upstream's own DML pattern):
+    * each attempt computes against a fresh snapshot; a lost race whose
+    * concurrent commits are pure blind appends REBASES the same actions to
+    * the next free version inside the attempt (no rescan — appended files
+    * were not read by our scan, so the DML serializes before them under
+    * write-serializable isolation, upstream's default); a conflicting race
+    * reclaims the attempt's files and recomputes here. */
   private def dml(spark: SparkSession, dir: String, op: String,
                   predicate: String, set: Option[Map[String, String]],
                   merge: Option[(DataFrame, Seq[String])]): Long = {
+    val maxAttempts = 5
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return dmlAttempt(spark, dir, op, predicate, set, merge)
+      catch {
+        case e: ConflictRetry =>
+          require(attempt < maxAttempts,
+            s"DeltaDml $op lost $maxAttempts consecutive conflicting commit " +
+              s"races; giving up (last: ${e.detail})")
+          System.err.println(s"[graft] DeltaDml $op retrying after a " +
+            s"conflicting commit race (attempt $attempt): ${e.detail}")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Test seam: invoked once immediately before the first commit attempt
+    * (self-clearing), so specs can interleave a concurrent writer
+    * DETERMINISTICALLY between snapshot read and commit. */
+  private[sources] var preCommitHook: () => Unit = () => ()
+
+  private def dmlAttempt(spark: SparkSession, dir: String, op: String,
+                         predicate: String, set: Option[Map[String, String]],
+                         merge: Option[(DataFrame, Seq[String])]): Long = {
     val root = new HPath(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = DeltaWriter.logDirOf(root)
     val snap = DeltaLoader.snapshot(spark, dir)
-    require(snap.columnMappingMode == "none",
-      "DeltaDml cannot modify a column-mapped table " +
-        "(predicates would need physical-name resolution)")
+    requireWritable(snap, rewrites = set.isDefined || merge.isDefined)
     merge.foreach { case (source, keys) =>
       val want = source.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val have = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -120,8 +158,12 @@ object DeltaDml {
     // UPDATE reads the matched set twice (row ids for the DVs, full rows
     // for the rewrite) — persist so the scan+filter runs once; the matched
     // set is the DML's working set, small relative to the table by the
-    // operation's nature
-    val matched = if (set.isDefined) matched0.persist() else matched0
+    // operation's nature. CDF-enabled tables read it again for the change
+    // files, so they persist too.
+    val cdfEnabled =
+      tableConfig(snap).get("delta.enableChangeDataFeed").contains("true")
+    val matched =
+      if (set.isDefined || cdfEnabled) matched0.persist() else matched0
 
     try {
       val now = System.currentTimeMillis()
@@ -130,27 +172,49 @@ object DeltaDml {
       if (touched.isEmpty && merge.isEmpty) return -1L
 
       // new data files: UPDATE rewrites the matched rows with assignments
-      // applied; MERGE appends the whole source
-      val newAdds: Seq[String] = (set, merge) match {
-        case (Some(assignments), _) =>
-          // ONE projection applies every assignment simultaneously — SQL
-          // UPDATE semantics: each SET expression sees the OLD row, never
-          // another assignment's result (review finding: the sequential
-          // withColumn fold made `SET a = b, b = a` a no-op for b, with
-          // hash-arbitrary order past 4 entries)
-          val updated = matched.select(snap.schema.fieldNames.map { n =>
-            assignments.get(n) match {
-              case Some(e) => expr(e).cast(snap.schema(n).dataType).as(n)
-              case None => col(s"`$n`")
-            }
-          }.toIndexedSeq: _*)
+      // applied; MERGE appends the whole source. Under column mapping the
+      // predicates/assignments resolve LOGICALLY (the scan projects back
+      // to logical names), and the rewrite projects to PHYSICAL names +
+      // parquet field ids on the way out — data files, partitionValues
+      // keys and stats keys are all physical per protocol (the same
+      // read-logical/write-physical split compact uses).
+      val mapped = snap.columnMappingMode != "none"
+      val writeSchema =
+        if (!mapped) snap.schema
+        else DeltaLoader.physicalizeForWrite(snap.schema).asInstanceOf[StructType]
+      val physPartCols =
+        if (!mapped) snap.partitionColumns
+        else snap.partitionColumns.map(c => DeltaLoader.physName(snap.schema(c)))
+      def toPhysical(df: DataFrame): DataFrame =
+        if (!mapped) df
+        else df.select(snap.schema.fields.zip(writeSchema.fields).map {
+          case (lf, pf) =>
+            // the cast is a value no-op but re-types nested structs to the
+            // id-stamped target, so NESTED field ids reach the writer too
+            col(s"`${lf.name}`").cast(pf.dataType).as(pf.name, pf.metadata)
+        }.toIndexedSeq: _*)
+      // ONE projection applies every assignment simultaneously — SQL
+      // UPDATE semantics: each SET expression sees the OLD row, never
+      // another assignment's result (review finding: the sequential
+      // withColumn fold made `SET a = b, b = a` a no-op for b, with
+      // hash-arbitrary order past 4 entries)
+      val updatedOpt: Option[DataFrame] = set.map { assignments =>
+        matched.select(snap.schema.fieldNames.map { n =>
+          assignments.get(n) match {
+            case Some(e) => expr(e).cast(snap.schema(n).dataType).as(n)
+            case None => col(s"`$n`")
+          }
+        }.toIndexedSeq: _*)
+      }
+      val newAdds: Seq[String] = (updatedOpt, merge) match {
+        case (Some(updated), _) =>
           PartitionLayout.refuseEmptyStringKeys(
             updated, snap.partitionColumns, "DeltaDml")
-          DeltaWriter.writeDataFiles(updated, fs, root, snap.partitionColumns, now)
+          DeltaWriter.writeDataFiles(toPhysical(updated), fs, root, physPartCols, now)
         case (_, Some((source, _))) =>
           PartitionLayout.refuseEmptyStringKeys(
             source, snap.partitionColumns, "DeltaDml")
-          DeltaWriter.writeDataFiles(source, fs, root, snap.partitionColumns, now)
+          DeltaWriter.writeDataFiles(toPhysical(source), fs, root, physPartCols, now)
         case _ => Seq.empty
       }
 
@@ -173,19 +237,67 @@ object DeltaDml {
         }
         return -1L
       }
+      // CHANGE DATA FEED: when the table opts in
+      // (delta.enableChangeDataFeed=true), this commit records its
+      // row-level changes as cdc files — DELETE: preimages as `delete`;
+      // UPDATE: `update_preimage` + `update_postimage`; MERGE: matched
+      // preimages as `delete` + the whole source as `insert` — so readers
+      // consume O(changed rows) with zero reconstruction ([[DeltaCdf]]).
+      // Written AFTER the no-op reclaim above: no-op DMLs record nothing.
+      val cdcLines: Seq[String] =
+        if (!cdfEnabled) Seq.empty
+        else {
+          import org.apache.spark.sql.functions.lit
+          val dataCols = snap.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
+          val pre = toPhysical(matched.select(dataCols: _*))
+          val changes: DataFrame = (updatedOpt, merge) match {
+            case (Some(updated), _) =>
+              pre.withColumn("_change_type", lit("update_preimage"))
+                .unionByName(toPhysical(updated)
+                  .withColumn("_change_type", lit("update_postimage")))
+            case (_, Some((source, _))) =>
+              pre.withColumn("_change_type", lit("delete"))
+                .unionByName(toPhysical(source.select(dataCols: _*))
+                  .withColumn("_change_type", lit("insert")))
+            case _ => pre.withColumn("_change_type", lit("delete"))
+          }
+          DeltaWriter.writeCdcFiles(changes, fs, root, physPartCols)
+        }
       val featureLines = if (touched.isEmpty) Seq.empty else dvFeatureLines(snap)
       val commitInfo =
         s"""{"commitInfo":{"timestamp":$now,"operation":"$op",""" +
           """"operationParameters":{},"engineInfo":"graft-delta-writer"}}"""
-      val lines = (Seq(commitInfo) ++ featureLines ++ dvLines ++ newAdds)
+      val lines = (Seq(commitInfo) ++ featureLines ++ dvLines ++ newAdds ++ cdcLines)
         .mkString("", "\n", "\n")
 
-      val version = snap.version + 1
-      val target = new HPath(logDir, f"$version%020d.json")
-      if (!DeltaWriter.commitJson(fs, target, lines))
-        throw new IllegalStateException(
-          s"DeltaDml $op lost a commit race at version $version; re-run " +
-            "against the refreshed table")
+      locally { val h = preCommitHook; preCommitHook = () => (); h() }
+      var version = snap.version + 1
+      var committed = false
+      while (!committed) {
+        if (DeltaWriter.commitJson(fs,
+            new HPath(logDir, f"$version%020d.json"), lines)) committed = true
+        else {
+          // lost the race — classify what landed in the meantime: pure
+          // blind appends (add/commitInfo/txn only) don't conflict with
+          // row-level DML (our removes/re-adds stay valid; the appended
+          // files were not read by our scan, so this DML serializes
+          // BEFORE them — write-serializable isolation, upstream's
+          // default); anything touching files or metadata conflicts
+          val latest = latestJsonVersion(fs, logDir)
+          require(latest >= version, s"lost the race at $version but no " +
+            s"commit JSON at or above it exists in $logDir")
+          val conflict: Option[String] = (version to latest).iterator
+            .flatMap(cv => commitConflict(fs, logDir, cv)).nextOption()
+          conflict match {
+            case Some(reason) =>
+              // reclaim this attempt's files (DV bins + new data files) —
+              // they reference a stale snapshot — then recompute
+              cleanupAttempt(fs, dir, root, touched, newAdds, cdcLines)
+              throw new ConflictRetry(reason)
+            case None => version = latest + 1 // rebase, same actions
+          }
+        }
+      }
       if ((version + 1) % DeltaWriter.checkpointInterval == 0) {
         try DeltaWriter.writeCheckpoint(spark, fs, root, logDir, version)
         catch {
@@ -197,7 +309,141 @@ object DeltaDml {
       }
       ColumnIndexRegistry.refreshFromCommit(spark, dir, "delta")
       version
-    } finally if (set.isDefined) matched.unpersist()
+    } finally if (set.isDefined || cdfEnabled) matched.unpersist()
+  }
+
+  // ---- optimistic-concurrency helpers -----------------------------------------
+
+  private def latestJsonVersion(fs: FileSystem, logDir: HPath): Long = {
+    val rx = raw"(\d{20})\.json".r
+    fs.listStatus(logDir).map(_.getPath.getName).collect {
+      case rx(v) => v.toLong
+    }.foldLeft(-1L)(math.max)
+  }
+
+  /** Some(reason) when the commit at `cv` conflicts with an in-flight DML:
+    * any remove (a file we may have touched or read), any re-add of an
+    * existing path is necessarily paired with one, and any metaData/
+    * protocol/domainMetadata change invalidates the attempt's feature
+    * lines and schema resolution. Pure blind appends (add + commitInfo +
+    * txn + cdc) pass. */
+  private def commitConflict(fs: FileSystem, logDir: HPath,
+                             cv: Long): Option[String] = {
+    val p = new HPath(logDir, f"$cv%020d.json")
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
+      val node = mapper.readTree(line)
+      val kinds = node.properties().asScala.map(_.getKey).toSeq
+      kinds.collectFirst {
+        case k if !Set("add", "commitInfo", "txn", "cdc")(k) =>
+          s"concurrent commit $cv carries a `$k` action"
+      }
+    }.nextOption()
+  }
+
+  /** Delete the files a failed attempt wrote: its DV bin files (resolved
+    * from the touched descriptors — several descriptors share one bin per
+    * task, hence the dedupe) and its new data files. */
+  private def cleanupAttempt(fs: FileSystem, dir: String, root: HPath,
+                             touched: Seq[Touched],
+                             newAdds: Seq[String],
+                             cdcLines: Seq[String]): Unit = {
+    touched.map(t => DeletionVectors.parseDescriptorJson(t.descriptor))
+      .map(d => DeletionVectors.dvPath(dir, d).toString).distinct
+      .foreach(p => scala.util.Try(fs.delete(new HPath(p), false)))
+    (newAdds.map(l => mapper.readTree(l).get("add")) ++
+      cdcLines.map(l => mapper.readTree(l).get("cdc"))).foreach { n =>
+      val p = n.get("path").asText()
+      scala.util.Try(fs.delete(new HPath(root,
+        java.net.URLDecoder.decode(p, "UTF-8")), false))
+    }
+  }
+
+  // ---- writer-feature gate ----------------------------------------------------
+
+  /** Writer features whose write-side obligations this DML engine meets —
+    * the writer analogue of [[DeltaLoader]]'s reader gate (review finding:
+    * without it, DML would commit into tables declaring features it
+    * ignores — violating `appendOnly` outright, skipping
+    * `checkConstraints`/`invariants`, dropping `rowTracking`'s fresh
+    * base-row-id obligation). Features with CONDITIONAL semantics
+    * (appendOnly, constraints, generated/identity columns) are listed
+    * here and enforced below by inspecting whether the table actually
+    * USES them — a legacy minWriterVersion implies the feature names
+    * whether or not any column does. */
+  private val supportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns",
+    "deletionVectors", "v2Checkpoint", "timestampNtz", "vacuumProtocolCheck")
+
+  /** Every field (nested included) whose metadata carries `key`. */
+  private def fieldsWithMetaKey(dt: org.apache.spark.sql.types.DataType,
+                                key: String, prefix: String = ""): Seq[String] = dt match {
+    case s: StructType => s.fields.toSeq.flatMap { f =>
+      val here = if (f.metadata.contains(key)) Seq(prefix + f.name) else Seq.empty
+      here ++ fieldsWithMetaKey(f.dataType, key, prefix + f.name + ".")
+    }
+    case a: org.apache.spark.sql.types.ArrayType =>
+      fieldsWithMetaKey(a.elementType, key, prefix)
+    case m: org.apache.spark.sql.types.MapType =>
+      fieldsWithMetaKey(m.keyType, key, prefix) ++
+        fieldsWithMetaKey(m.valueType, key, prefix)
+    case _ => Seq.empty
+  }
+
+  private def tableConfig(snap: DeltaLoader.Snapshot): Map[String, String] =
+    snap.metaDataJson.map { raw =>
+      Option(mapper.readTree(raw).get("configuration")).filterNot(_.isNull)
+        .map(_.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String])
+    }.getOrElse(Map.empty)
+
+  private def requireWritable(snap: DeltaLoader.Snapshot, rewrites: Boolean): Unit = {
+    // column-mapped tables ARE writable: predicates/assignments resolve on
+    // the logical projection the scan already serves, and rewrites go out
+    // through physicalizeForWrite (see dml's toPhysical)
+    snap.protocolJson.foreach { pj =>
+      val node = mapper.readTree(pj)
+      val mwv = Option(node.get("minWriterVersion")).map(_.asInt()).getOrElse(1)
+      val declared: Set[String] =
+        Option(node.get("writerFeatures")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSet)
+          .getOrElse(legacyWriterFeatures.collect {
+            case (v, f) if mwv >= v => f
+          }.toSet)
+      val unsupported = declared -- supportedWriterFeatures
+      require(unsupported.isEmpty,
+        s"DeltaDml: table declares writer features ${unsupported.toSeq.sorted
+          .mkString(", ")} whose write obligations this writer does not " +
+          "implement — refusing to commit")
+    }
+    val cfg = tableConfig(snap)
+    require(!cfg.get("delta.appendOnly").contains("true"),
+      "DeltaDml: table is append-only (delta.appendOnly=true) — row-level " +
+        "DML would violate it")
+    if (rewrites) {
+      // DELETE only removes rows — no constraint, invariant, or generated
+      // value can be violated by removal; UPDATE/MERGE write new rows this
+      // engine does not validate against these features
+      val constraints = cfg.keys.filter(_.startsWith("delta.constraints."))
+      require(constraints.isEmpty,
+        s"DeltaDml: table declares CHECK constraints (${constraints.mkString(", ")}) " +
+          "this writer does not evaluate — UPDATE/MERGE refused (DELETE is allowed)")
+      val invariants = fieldsWithMetaKey(snap.schema, "delta.invariants")
+      require(invariants.isEmpty,
+        s"DeltaDml: columns ${invariants.mkString(", ")} declare invariants " +
+          "this writer does not evaluate — UPDATE/MERGE refused")
+      val generated = fieldsWithMetaKey(snap.schema, "delta.generationExpression")
+      require(generated.isEmpty,
+        s"DeltaDml: columns ${generated.mkString(", ")} are generated — this " +
+          "writer does not re-evaluate generation expressions on rewrite")
+      val identity = fieldsWithMetaKey(snap.schema, "delta.identity.start")
+      require(identity.isEmpty,
+        s"DeltaDml: columns ${identity.mkString(", ")} are identity columns — " +
+          "this writer does not maintain their high watermark on insert")
+    }
   }
 
   // ---- deletion-vector build (executor-side) --------------------------------
@@ -207,11 +453,17 @@ object DeltaDml {
   private final case class Touched(path: String, descriptor: String,
                                    cardinality: Long)
 
-  /** Group the matched (file, row) pairs per file, merge each file's new
-    * row indexes into its existing DV (read task-side), serialize, and
-    * write one DV bin file PER TASK with every DV of that task's files
-    * packed at offsets. Only (path, descriptorJson, cardinality) rows —
-    * one per touched file — come back to the driver. */
+  /** Shuffle the matched (file, row) pairs so each file's rows land in one
+    * task SORTED (repartition-by-file + in-partition sort — the same one
+    * shuffle the old groupBy paid), then STREAM each file's run: the new
+    * row indexes merge-stream into its existing DV (decoded task-side) and
+    * serialize container-by-container, so a near-full-file delete never
+    * materializes an uncompressed row-index array — peak task memory is
+    * one 64 Ki container plus the COMPRESSED bitmap (review finding; the
+    * `collect_list` form held ~80 MB for a 10M-row file). One DV bin file
+    * per task packs every DV of that task's files at offsets. Only
+    * (path, descriptorJson, cardinality) rows — one per touched file —
+    * come back to the driver. */
   private def buildDvs(spark: SparkSession, dir: String, fs: FileSystem,
                        matchedIds: DataFrame,
                        snap: DeltaLoader.Snapshot): Seq[Touched] = {
@@ -231,11 +483,12 @@ object DeltaDml {
       byScanPath.collect { case (k, (_, Some(d))) => k -> d }
 
     val perFile = matchedIds
-      .groupBy(col("__graft_fp"))
-      .agg(sort_array(collect_list(col("__graft_ri"))).as("ris"))
-      .as[(String, Array[Long])]
+      .repartition(col("__graft_fp"))
+      .sortWithinPartitions(col("__graft_fp"), col("__graft_ri"))
+      .as[(String, Long)]
 
-    val written: Seq[(String, String, Long)] = perFile.mapPartitions { it =>
+    val written: Seq[(String, String, Long)] = perFile.mapPartitions { it0 =>
+      val it = it0.buffered
       if (!it.hasNext) Iterator.empty
       else {
         val conf = DistKit.rebuildConf(confEntries)
@@ -247,19 +500,25 @@ object DeltaDml {
         try {
           out.write(1) // DV file format version
           var offset = 1L
-          it.foreach { case (fp, ris) =>
+          while (it.hasNext) {
+            val fp = it.head._1
+            // this file's rows as a sorted streaming run
+            val ris: Iterator[Long] = new scala.collection.AbstractIterator[Long] {
+              def hasNext: Boolean = it.hasNext && it.head._1 == fp
+              def next(): Long = it.next()._2
+            }
             val old = oldDvByPath.get(fp).map { dj =>
               DeletionVectors.read(conf, dirStr, DeletionVectors.parseDescriptorJson(dj))
             }.getOrElse(Array.empty[Long])
-            val merged = (old ++ ris).distinct.sorted
-            val data = DeletionVectors.serializeBitmapArray(merged)
+            val (data, card) = DeletionVectors.serializeBitmapArrayStream(
+              DeletionVectors.mergeSortedDistinct(old.iterator, ris))
             val framed = DeletionVectors.frameDvBlob(data)
             out.write(framed)
             val desc =
               s"""{"storageType":"u","pathOrInlineDv":${jstr(
                 DeletionVectors.z85OfUuid(uuid))},"offset":$offset,""" +
-                s""""sizeInBytes":${data.length},"cardinality":${merged.length}}"""
-            results += ((fp, desc, merged.length.toLong))
+                s""""sizeInBytes":${data.length},"cardinality":$card}"""
+            results += ((fp, desc, card))
             offset += framed.length
           }
         } finally out.close()
@@ -277,29 +536,48 @@ object DeltaDml {
   /** The remove+add action pair per touched file (the protocol's DML
     * pattern: the previous (path, dv) is removed, the same path re-added
     * with the merged DV); a file whose DV covers its whole record count
-    * drops to a plain remove. */
+    * drops to a plain remove. BOTH actions derive from the ORIGINAL add
+    * JSON by surgical edit — unmodeled fields (tags, baseRowId,
+    * defaultRowCommitVersion, future spec fields) carry forward verbatim
+    * instead of silently dropping (review finding; the same discipline as
+    * the protocol/metaData edits in this commit). */
   private def dvActionLines(fs: FileSystem, dir: String,
                             snap: DeltaLoader.Snapshot, touched: Seq[Touched],
                             now: Long): Seq[String] = {
     val byPath = snap.files.map(f => f.path -> f).toMap
     touched.flatMap { t =>
       val f = byPath(t.path)
-      val pvJson = f.partitionValues.map { case (k, v) =>
-        s"${jstr(k)}:${if (v == null) "null" else jstr(v)}"
-      }.mkString("{", ",", "}")
-      val size =
-        if (f.size >= 0L) f.size
-        else {
-          val p = if (t.path.contains("://") || t.path.startsWith("/")) t.path
-            else new HPath(dir, java.net.URLDecoder.decode(t.path, "UTF-8")).toString
-          fs.getFileStatus(new HPath(p)).getLen
+      val orig: com.fasterxml.jackson.databind.node.ObjectNode =
+        f.raw.map(_.parseJsonObject).getOrElse {
+          // no raw action (shouldn't happen — both replay paths carry it);
+          // rebuild the modeled fields as the pre-surgical code did
+          val n = mapper.createObjectNode()
+          n.put("path", f.path)
+          val pv = n.putObject("partitionValues")
+          f.partitionValues.foreach { case (k, v) =>
+            if (v == null) pv.putNull(k) else pv.put(k, v)
+          }
+          f.stats.foreach(s => n.put("stats", s))
+          if (f.size >= 0L) n.put("size", f.size)
+          n
         }
-      val oldDvJson = f.dv.map(d => s""","deletionVector":${descriptorJson(d)}""")
-        .getOrElse("")
-      val remove =
-        s"""{"remove":{"path":${jstr(t.path)},"deletionTimestamp":$now,""" +
-          s""""dataChange":true,"extendedFileMetadata":true,""" +
-          s""""partitionValues":$pvJson,"size":$size$oldDvJson}}"""
+      // checkpoint-only derived columns are not protocol action fields —
+      // they must not leak into a JSON commit
+      orig.remove("stats_parsed"); orig.remove("partitionValues_parsed")
+      if (!orig.has("size") || orig.get("size").isNull) {
+        val p = if (t.path.contains("://") || t.path.startsWith("/")) t.path
+          else new HPath(dir, java.net.URLDecoder.decode(t.path, "UTF-8")).toString
+        orig.put("size", fs.getFileStatus(new HPath(p)).getLen)
+      }
+      // remove := the original add minus add-only fields, plus tombstone
+      // fields; the OLD dv rides along (vacuum clocks its bin off this)
+      val rm = orig.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      rm.remove("modificationTime"); rm.remove("stats")
+      rm.remove("dataChange"); rm.remove("clusteringProvider")
+      rm.put("deletionTimestamp", now)
+      rm.put("dataChange", true)
+      rm.put("extendedFileMetadata", true)
+      val remove = s"""{"remove":${mapper.writeValueAsString(rm)}}"""
       // physical record count from the add's stats: when the merged DV
       // covers every row the file leaves the table entirely
       val numRecords: Option[Long] = f.stats.flatMap { s =>
@@ -308,19 +586,20 @@ object DeltaDml {
       }
       if (numRecords.contains(t.cardinality)) Seq(remove)
       else {
-        // stats carry forward with tightBounds=false: the physical min/max
-        // still BOUND the live rows (sound for skipping) but may no longer
-        // be attained by one (the spec's wide-bounds marker)
-        val statsJson = f.stats.map { s =>
+        // re-add := the original add with the merged DV swapped in; stats
+        // carry forward with tightBounds=false: the physical min/max still
+        // BOUND the live rows (sound for skipping) but may no longer be
+        // attained by one (the spec's wide-bounds marker)
+        val add = orig.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        f.stats.foreach { s =>
           val node = s.parseJsonObject
           node.put("tightBounds", false)
-          s""","stats":${jstr(mapper.writeValueAsString(node))}"""
-        }.getOrElse("")
-        val add =
-          s"""{"add":{"path":${jstr(t.path)},"partitionValues":$pvJson,""" +
-            s""""size":$size,"modificationTime":$now,"dataChange":true""" +
-            s"""$statsJson,"deletionVector":${t.descriptor}}}"""
-        Seq(remove, add)
+          add.put("stats", mapper.writeValueAsString(node))
+        }
+        add.put("modificationTime", now)
+        add.put("dataChange", true)
+        add.set("deletionVector", mapper.readTree(t.descriptor))
+        Seq(remove, s"""{"add":${mapper.writeValueAsString(add)}}""")
       }
     }
   }
@@ -343,14 +622,19 @@ object DeltaDml {
     4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
     6 -> "identityColumns")
 
-  /** A table-features protocol upgrade as ONE surgical line: reader
-    * version 3 / writer version 7, `feature` added to both feature sets,
-    * legacy-implied features enumerated (the spec's upgrade rule), every
-    * unmodeled protocol field carried verbatim. None when the table
-    * already declares the feature on both sides. Shared by the DV commits
-    * here and [[DeltaWriter.checkpointV2]]'s `v2Checkpoint` upgrade. */
+  /** A table-features protocol upgrade as ONE surgical line: writer
+    * version 7 with `feature` in writerFeatures — and, for reader-side
+    * features (`readerToo`), reader version 3 with `feature` in
+    * readerFeatures as well — legacy-implied features enumerated (the
+    * spec's upgrade rule), every unmodeled protocol field carried
+    * verbatim. None when the table already declares the feature. Shared by
+    * the DV commits here, [[DeltaWriter.checkpointV2]]'s `v2Checkpoint`
+    * upgrade, and [[DeltaCdf.enableCdf]]'s WRITER-ONLY `changeDataFeed`
+    * (putting a writer feature in readerFeatures would lock every reader
+    * out — review finding). */
   private[sources] def protocolUpgradeLine(protocolJson: Option[String],
-                                           feature: String): Option[String] = {
+                                           feature: String,
+                                           readerToo: Boolean = true): Option[String] = {
     val node = protocolJson.map(_.parseJsonObject).getOrElse(
       throw new IllegalStateException("delta log carries no protocol action"))
     val mrv = node.get("minReaderVersion").asInt()
@@ -365,15 +649,22 @@ object DeltaDml {
         .getOrElse(legacyWriterFeatures.collect {
           case (v, f) if mwv >= v => f
         }.toSet)
-    if (mrv == 3 && readerFeatures(feature) &&
-        mwv == 7 && writerFeatures(feature)) None
+    val readerDone = !readerToo || (mrv == 3 && readerFeatures(feature))
+    if (readerDone && mwv == 7 && writerFeatures(feature)) None
     else {
-      node.put("minReaderVersion", 3)
       node.put("minWriterVersion", 7)
-      val rf = node.putArray("readerFeatures")
-      (readerFeatures + feature).toSeq.sorted.foreach(rf.add)
       val wf = node.putArray("writerFeatures")
       (writerFeatures + feature).toSeq.sorted.foreach(wf.add)
+      if (readerToo) {
+        node.put("minReaderVersion", 3)
+        val rf = node.putArray("readerFeatures")
+        (readerFeatures + feature).toSeq.sorted.foreach(rf.add)
+      } else if (mrv == 3) {
+        // already feature-versioned on the reader side: keep its set
+        // EXPLICIT (mandatory at mrv 3), unchanged
+        val rf = node.putArray("readerFeatures")
+        readerFeatures.toSeq.sorted.foreach(rf.add)
+      }
       Some(s"""{"protocol":${mapper.writeValueAsString(node)}}""")
     }
   }

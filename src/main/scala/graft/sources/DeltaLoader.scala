@@ -82,7 +82,18 @@ object DeltaLoader {
                            /** add.size — lets maintenance (compact) pick
                              * small files from metadata alone; -1 when the
                              * action omitted it. */
-                           size: Long = -1L)
+                           size: Long = -1L,
+                           /** The add action VERBATIM (raw JSON of the
+                             * `add` node) — DML re-adds the same path with
+                             * a merged DV by SURGICAL edit of this, so
+                             * unmodeled fields (tags, baseRowId,
+                             * defaultRowCommitVersion, clusteringProvider,
+                             * future spec fields) carry forward instead of
+                             * silently dropping (review finding). From a
+                             * checkpoint base this is the struct
+                             * re-serialized (`to_json`), which carries every
+                             * field the checkpoint schema modeled. */
+                           raw: Option[String] = None)
 
   def load(spark: SparkSession, src: TableSource): DataFrame = {
     val versionAsOf = src.options.get("version").map(_.toLong)
@@ -171,7 +182,8 @@ object DeltaLoader {
         }.getOrElse(Map.empty[String, String])
         addedAfter(path) = AddFile(path, pv, parseDv(add.get("deletionVector")),
           Option(add.get("stats")).filterNot(_.isNull).map(_.asText()),
-          Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(-1L))
+          Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(-1L),
+          Some(mapper.writeValueAsString(add)))
         removedAfter -= path
       }
       if (remove != null && !remove.isNull) {
@@ -210,7 +222,8 @@ object DeltaLoader {
           else lit(-1L)
         checkpointAdds = Some(cp.where(col("add.path").isNotNull)
           .select(col("add.path").as("path"), col("add.partitionValues").as("pv"),
-            dvCol.as("dv"), statsCol.as("stats"), sizeCol.as("size")))
+            dvCol.as("dv"), statsCol.as("stats"), sizeCol.as("size"),
+            org.apache.spark.sql.functions.to_json(col("add")).as("raw")))
       }
       maxVersion = v
     }
@@ -249,7 +262,7 @@ object DeltaLoader {
           .map(_.toMap).getOrElse(Map.empty[String, String])
         val dv = Option(r.getString(2)).flatMap(j => parseDv(mapper.readTree(j)))
         AddFile(r.getString(0), pv, dv, Option(r.getString(3)),
-          if (r.isNullAt(4)) -1L else r.getLong(4))
+          if (r.isNullAt(4)) -1L else r.getLong(4), Option(r.getString(5)))
       }.toSeq
     }.getOrElse(Seq.empty)
 

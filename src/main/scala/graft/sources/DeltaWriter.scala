@@ -273,6 +273,54 @@ object DeltaWriter {
     adds
   }
 
+  /** Write `df` (data columns + `_change_type`) as CHANGE DATA files under
+    * `_change_data/` and return the protocol's `cdc` action lines
+    * (PROTOCOL.md §Add CDC File: path, partitionValues, size,
+    * dataChange=false — change files never alter the table's data).
+    * Zero-row parts are reclaimed, not recorded. Same distributed
+    * scratch-write + move shape as [[writeDataFiles]]. */
+  private[sources] def writeCdcFiles(df: DataFrame, fs: FileSystem,
+                                     root: HPath, partCols: Seq[String])
+      : Seq[String] = {
+    val spark = df.sparkSession
+    val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+    val writer0 = df.write.mode("overwrite")
+    (if (partCols.isEmpty) writer0 else writer0.partitionBy(partCols: _*))
+      .parquet(scratch.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val actions = PartitionLayout.collectParts(fs, scratch).flatMap { case (p, segs) =>
+      val rows = ColumnIndex.readFileZones(conf, p.toString, Seq.empty).rows
+      require(rows >= 0L, s"could not read back the cdc part footer of $p")
+      if (rows == 0L) { fs.delete(p, false); None }
+      else {
+        val bySeg = segs.map(PartitionLayout.parseSegment).toMap
+        val pvJson = partCols.map { c =>
+          val raw = bySeg.getOrElse(c, throw new IllegalStateException(
+            s"cdc partition dir for `$c` missing under scratch"))
+          PartitionLayout.unescape(raw) match {
+            case Some(v) => s"${jstr(c)}:${jstr(v)}"
+            case None => s"${jstr(c)}:null"
+          }
+        }.mkString("{", ",", "}")
+        val relDir = segs.mkString("/")
+        val targetDir =
+          if (relDir.isEmpty) new HPath(root, "_change_data")
+          else new HPath(new HPath(root, "_change_data"), relDir)
+        fs.mkdirs(targetDir)
+        val target = new HPath(targetDir, p.getName)
+        require(fs.rename(p, target),
+          s"DeltaWriter could not move cdc file ${p.getName} into $targetDir")
+        val rel = "_change_data/" + (if (relDir.isEmpty) "" else relDir + "/") +
+          p.getName
+        val size = fs.getFileStatus(target).getLen
+        Some(s"""{"cdc":{"path":${jstr(encodeAddPath(rel))},""" +
+          s""""partitionValues":$pvJson,"size":$size,"dataChange":false}}""")
+      }
+    }
+    fs.delete(scratch, true)
+    actions
+  }
+
   /** Commits between checkpoints: after committing version v with
     * (v+1) % interval == 0, the replay state lands in
     * `<v>.checkpoint.parquet` + `_last_checkpoint`. */
@@ -455,6 +503,15 @@ object DeltaWriter {
                 else new HPath(dir, java.net.URLDecoder.decode(raw, "UTF-8")).toString
               val key = norm(fs.makeQualified(new HPath(abs)).toString)
               out(key) = math.max(out.getOrElse(key, 0L), ts)
+              // the remove's retention clock covers its DV BIN too: a bin
+              // written long ago but superseded by a DML commit moments ago
+              // is unreferenced-by-live + old-mtime, and without this clock
+              // it would delete inside the retention window — breaking time
+              // travel and readers mid-scan of the prior snapshot (review
+              // finding; same deletionTimestamp logic as the data file)
+              dvBinKey(fs, dir, r.get("deletionVector")).foreach { bin =>
+                out(bin) = math.max(out.getOrElse(bin, 0L), ts)
+              }
             }
           }
         }
@@ -503,16 +560,30 @@ object DeltaWriter {
           if (rm.contains("deletionTimestamp"))
             col("remove.deletionTimestamp").cast("long")
           else lit(null).cast("long")
+        // checkpoint tombstones clock their DV bins too (same reasoning as
+        // the JSON path above)
+        val dvCol =
+          if (rm.contains("deletionVector"))
+            org.apache.spark.sql.functions.to_json(col("remove.deletionVector"))
+          else lit(null).cast("string")
         cp.where(col("remove.path").isNotNull)
-          .select(col("remove.path").as("rawPath"), coalesce(tsCol, lit(0L)).as("cts"))
-          .as[(String, Long)]
+          .select(col("remove.path").as("rawPath"),
+            coalesce(tsCol, lit(0L)).as("cts"), dvCol.as("dvj"))
+          .as[(String, Long, String)]
           .mapPartitions { it =>
             val fsx = taskFs()
-            it.map { case (raw, ts) =>
+            it.flatMap { case (raw, ts, dvj) =>
               val abs =
                 if (raw.contains("://") || raw.startsWith("/")) raw
                 else new HPath(dirStr, java.net.URLDecoder.decode(raw, "UTF-8")).toString
-              (new HPath(fsx.makeQualified(new HPath(abs)).toString).toString, ts)
+              val main = (new HPath(fsx.makeQualified(new HPath(abs)).toString).toString, ts)
+              val bin = Option(dvj).filter(_.startsWith("{")).flatMap { j =>
+                scala.util.Try(DeletionVectors.parseDescriptorJson(j)).toOption
+              }.filter(d => d.storageType == "u" || d.storageType == "p")
+                .flatMap(d => scala.util.Try(new HPath(fsx.makeQualified(
+                  DeletionVectors.dvPath(dirStr, d)).toString).toString).toOption)
+                .map(p => (p, ts))
+              Iterator(main) ++ bin.iterator
             }
           }.toDF("path", "cts").groupBy("path").agg(max("cts").as("cts"))
       }
@@ -538,6 +609,24 @@ object DeltaWriter {
           coalesce(col("cts"), lit(0L))) < cutoff).select("path").as[String]
       })
   }
+
+  /** The vacuum-clock key of a remove action's deletion-vector BIN file
+    * (None for inline/absent DVs) — qualified + normalized like every
+    * other vacuum path key. */
+  private def dvBinKey(fs: FileSystem, dir: String,
+                       dvNode: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+    Option(dvNode).filterNot(_.isNull).flatMap { d =>
+      val st = Option(d.get("storageType")).map(_.asText()).getOrElse("")
+      if (st != "u" && st != "p") None
+      else scala.util.Try {
+        val desc = DeletionVectors.Descriptor(st,
+          d.get("pathOrInlineDv").asText(),
+          Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+          Option(d.get("sizeInBytes")).filterNot(_.isNull).map(_.asInt()).getOrElse(0),
+          Option(d.get("cardinality")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L))
+        new HPath(fs.makeQualified(DeletionVectors.dvPath(dir, desc)).toString).toString
+      }.toOption
+    }
 
   private[sources] def logDirOf(root: HPath): HPath = new HPath(root, "_delta_log")
 
@@ -617,8 +706,26 @@ object DeltaWriter {
         case cpV2Rx(v) => v.toLong < cpV
         case _ => false
       }
-      if (doomed && st.getModificationTime < cutoff &&
-          fs.delete(st.getPath, false)) deleted += 1
+      if (doomed && st.getModificationTime < cutoff) {
+        // a retired commit's CHANGE DATA files are unreachable forever
+        // (DeltaCdf refuses retired ranges, and vacuum skips _-prefixed
+        // dirs) — retire them WITH the commit or _change_data grows
+        // without bound
+        if (commitRx.matches(st.getPath.getName)) scala.util.Try {
+          val in = fs.open(st.getPath)
+          val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+            val c = mapper.readTree(line).get("cdc")
+            if (c != null && !c.isNull) {
+              val raw = c.get("path").asText()
+              val abs = if (raw.contains("://") || raw.startsWith("/")) raw
+                else new HPath(dir, java.net.URLDecoder.decode(raw, "UTF-8")).toString
+              if (fs.delete(new HPath(abs), false)) deleted += 1
+            }
+          }
+        }
+        if (fs.delete(st.getPath, false)) deleted += 1
+      }
     }
     // superseded V2 sidecars: sweep _sidecars/ against the SURVIVING
     // checkpoint's references (sidecars may be shared across checkpoints
@@ -1018,7 +1125,10 @@ object DeltaWriter {
   /** Action keys a commit line may carry and still be represented in full
     * by [[cpSchema]]. `commitInfo` is free-form provenance — checkpoints
     * drop it by protocol, so it needs no model. Everything else
-    * (domainMetadata, cdc, checkpointMetadata, sidecar, ...) refuses. */
+    * (domainMetadata, checkpointMetadata, sidecar, ...) refuses. `cdc`
+    * actions carry NO table state (change-capture metadata only; the
+    * protocol excludes them from checkpoints), so they drop like
+    * commitInfo. */
   private val modeledActions = Set("add", "remove", "metaData", "protocol", "txn")
 
   /** The refusal [[cpSchema]]'s contract promises: a replayed commit line
@@ -1031,7 +1141,7 @@ object DeltaWriter {
   private def requireRepresentable(node: com.fasterxml.jackson.databind.JsonNode,
                                    commit: String): Unit =
     node.fieldNames().asScala.foreach { k =>
-      if (k != "commitInfo") {
+      if (k != "commitInfo" && k != "cdc") {
         if (!modeledActions.contains(k))
           throw new IllegalStateException(
             s"refusing to checkpoint: commit $commit carries a `$k` action " +
@@ -1104,19 +1214,22 @@ object DeltaWriter {
     * already-expired semantics everywhere else in this file). Shared by
     * the classic fold and the V2 dirty-sidecar rewrite. */
   private def carryFileActions(spark: org.apache.spark.sql.SparkSession,
-                               cp: DataFrame, tomb: Seq[String],
+                               cp: DataFrame, tombPaths: Seq[String],
+                               tombKeys: Seq[String],
                                tombCutoff: Long)
       : org.apache.spark.sql.Dataset[String] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, when}
     import spark.implicits._
     val cols = cp.columns.toSet
     val liveAdds =
       if (!cols("add")) spark.emptyDataset[String]
       else {
+        // any newer action on a path supersedes its base ADD (the newest
+        // add of a path is the only live one)
         val adds = cp.where(col("add.path").isNotNull).select(col("add"))
         val live =
-          if (tomb.isEmpty) adds
-          else adds.join(tomb.toDF("tpath"), col("add.path") === col("tpath"),
+          if (tombPaths.isEmpty) adds
+          else adds.join(tombPaths.toDF("tpath"), col("add.path") === col("tpath"),
             "left_anti").select(col("add"))
         live.toJSON
       }
@@ -1134,11 +1247,22 @@ object DeltaWriter {
         val rms = cp.where(col("remove.path").isNotNull)
           .where(tsCol.isNotNull && tsCol >= tombCutoff)
           .select(col("remove"))
-        // `tomb` already covers every superseding path
+        // base REMOVES supersede by exact (path, dvId) key only: a DML
+        // re-add of a path with a NEW dv removes a different logical file
+        // — the old tombstone (and its DV bin clock) must carry (review
+        // finding). The column form mirrors [[fileKey]] byte-for-byte.
+        val dvIdCol =
+          if (!rmFields.contains("deletionVector")) lit("")
+          else when(col("remove.deletionVector.storageType").isNotNull,
+            concat(col("remove.deletionVector.storageType"), lit("\u0001"),
+              col("remove.deletionVector.pathOrInlineDv"), lit("\u0001"),
+              coalesce(col("remove.deletionVector.offset").cast("string"), lit("0"))))
+            .otherwise(lit(""))
+        val keyCol = concat(col("remove.path"), lit("\u0000"), dvIdCol)
         val kept =
-          if (tomb.isEmpty) rms
-          else rms.join(tomb.toDF("tpath"),
-            col("remove.path") === col("tpath"), "left_anti")
+          if (tombKeys.isEmpty) rms
+          else rms.withColumn("__k", keyCol)
+            .join(tombKeys.toDF("tkey"), col("__k") === col("tkey"), "left_anti")
             .select(col("remove"))
         kept.toJSON
       }
@@ -1150,7 +1274,15 @@ object DeltaWriter {
     * maps are bounded by interval x commit size, never table size.
     * Tombstone nodes ride VERBATIM (vacuum keys retention on their
     * deletionTimestamps, and external engines may need the spec's optional
-    * remove subfields). Shared by the classic and V2 checkpoint writers. */
+    * remove subfields). Shared by the classic and V2 checkpoint writers.
+    *
+    * Keying follows the protocol's LOGICAL FILE identity: adds dedupe by
+    * path (the newest add of a path is the live one), but TOMBSTONES key
+    * by (path, dvUniqueId) — a DML commit's `remove(path, dv1)` +
+    * `add(path, dv2)` removes a DIFFERENT logical file than it adds, so
+    * the tombstone must survive the fold (review finding: path-keyed
+    * folding dropped it, and with the JSON retired, vacuum lost the
+    * superseded DV bin's retention clock). */
   private final class CpReplay {
     val newAdds = scala.collection.mutable.LinkedHashMap[
       String, com.fasterxml.jackson.databind.node.ObjectNode]()
@@ -1161,7 +1293,28 @@ object DeltaWriter {
     var metaLine: String = null
     var protoLine: String = null
     val txns = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    /** Paths any replayed action touched — supersedes base ADDS. */
+    def tombPaths: Seq[String] =
+      (removed.toSeq.map(fileKeyPath) ++ newAdds.keys).distinct
+    /** Exact (path, dvId) keys — supersedes base REMOVES (a newer remove
+      * replaces the clock; a re-add of the same logical file clears it). */
+    def tombKeys: Seq[String] =
+      (removed.toSeq ++ newAdds.values.map(fileKey)).distinct
   }
+
+  /** The (path, dvUniqueId) key of an add/remove action node — `\u0000`
+    * separates path from dv id, `\u0001` separates dv id fields; absent
+    * dv = empty id; absent offset = 0 (must agree byte-for-byte with
+    * [[carryFileActions]]'s column form). */
+  private def fileKey(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    val dv = Option(n.get("deletionVector")).filterNot(_.isNull).map { d =>
+      d.get("storageType").asText() + "\u0001" + d.get("pathOrInlineDv").asText() +
+        "\u0001" + Option(d.get("offset")).filterNot(_.isNull)
+          .map(_.asLong().toString).getOrElse("0")
+    }.getOrElse("")
+    n.get("path").asText() + "\u0000" + dv
+  }
+  private def fileKeyPath(key: String): String = key.takeWhile(_ != '\u0000')
 
   private def replayJson(fs: FileSystem, logDir: HPath, floor: Long,
                          v: Long): CpReplay = {
@@ -1181,19 +1334,25 @@ object DeltaWriter {
           val o = add.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
           o.put("dataChange", false) // checkpoint actions are not data changes
           val p = add.get("path").asText()
-          rep.newAdds(p) = o; rep.removed -= p
-          rep.removedTs -= p; rep.removedNodes -= p
+          rep.newAdds(p) = o
+          // only a re-add of the SAME logical file (path + dvId) clears a
+          // tombstone — a DML re-add with a new DV leaves the old logical
+          // file's remove in place (its bin needs the retention clock)
+          val k = fileKey(add)
+          rep.removed -= k; rep.removedTs -= k; rep.removedNodes -= k
         }
         val rem = node.get("remove")
         if (rem != null && !rem.isNull) {
-          val p = rem.get("path").asText(); rep.removed += p; rep.newAdds -= p
+          val p = rem.get("path").asText()
+          val k = fileKey(rem)
+          rep.removed += k; rep.newAdds -= p
           val ts = Option(rem.get("deletionTimestamp")).filterNot(_.isNull)
             .map(_.asLong()).getOrElse(0L)
-          rep.removedTs(p) = math.max(rep.removedTs.getOrElse(p, 0L), ts)
+          rep.removedTs(k) = math.max(rep.removedTs.getOrElse(k, 0L), ts)
           val o = rem.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
           o.put("dataChange", false) // checkpoint actions are not data changes
-          o.put("deletionTimestamp", rep.removedTs(p)) // newest clock wins
-          rep.removedNodes(p) = o
+          o.put("deletionTimestamp", rep.removedTs(k)) // newest clock wins
+          rep.removedNodes(k) = o
         }
         val meta = node.get("metaData")
         if (meta != null && !meta.isNull) rep.metaLine = s"""{"metaData":$meta}"""
@@ -1283,8 +1442,7 @@ object DeltaWriter {
               val lu = if (r.isNullAt(2)) 0L else r.getLong(2)
               if (txns.get(appId).forall(_._1 < ver)) txns(appId) = (ver, lu)
             }
-        val tomb = (removed ++ newAdds.keys).toSeq
-        carryFileActions(spark, cp, tomb,
+        carryFileActions(spark, cp, rep.tombPaths, rep.tombKeys,
           System.currentTimeMillis() - checkpointTombstoneRetentionMs)
       }
 
@@ -1446,7 +1604,8 @@ object DeltaWriter {
     val txns = rep.txns
     val now = System.currentTimeMillis()
     val tombCutoff = now - checkpointTombstoneRetentionMs
-    val tomb: Seq[String] = (rep.removed ++ rep.newAdds.keys).toSeq
+    val tombPaths: Seq[String] = rep.tombPaths
+    val tombKeys: Seq[String] = rep.tombKeys
 
     val sidecarDir = new HPath(logDir, "_sidecars")
     fs.mkdirs(sidecarDir)
@@ -1481,7 +1640,7 @@ object DeltaWriter {
               if (txns.get(appId).forall(_._1 < ver)) txns(appId) = (ver, lu)
             }
         // inline file actions (classic base, or a V2 main carrying them)
-        val inlineCarry = carryFileActions(spark, mainDf, tomb, tombCutoff)
+        val inlineCarry = carryFileActions(spark, mainDf, tombPaths, tombKeys, tombCutoff)
         classicBase = !cols("sidecar")
         val sidecars: Seq[HPath] =
           if (!cols("sidecar")) Seq.empty
@@ -1502,7 +1661,7 @@ object DeltaWriter {
           val sCols = sideDf.columns.toSet
           def pathOf(c: String) =
             if (sCols(c)) col(s"$c.path") else lit(null).cast("string")
-          val changedDf = tomb.toDF("cpath")
+          val changedDf = tombPaths.toDF("cpath")
           val stats = sideDf
             .select(org.apache.spark.sql.functions.regexp_replace(
                 col("_metadata.file_path"), "^file:/+", "/").as("fp"),
@@ -1551,7 +1710,8 @@ object DeltaWriter {
           val dirtyCarry =
             if (dirty.isEmpty) spark.emptyDataset[String]
             else carryFileActions(spark,
-              spark.read.parquet(dirty.map(_.toString): _*), tomb, tombCutoff)
+              spark.read.parquet(dirty.map(_.toString): _*), tombPaths,
+              tombKeys, tombCutoff)
           inlineCarry.union(dirtyCarry)
         }
       }

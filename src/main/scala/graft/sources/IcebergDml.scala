@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 
 import org.apache.avro.generic.GenericRecord
@@ -64,17 +64,97 @@ object IcebergDml {
 
   /** MERGE by key (upsert): target rows whose `keys` tuple appears in
     * `source` are position-deleted and ALL source rows append — one
-    * snapshot. Returns the committed metadata version. */
+    * snapshot. Returns the committed metadata version. Costs one target
+    * scan (positions must be located); [[upsertByEquality]] is the
+    * zero-target-scan alternative. */
   def upsert(source: DataFrame, dir: String, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     dml(source.sparkSession, dir, "overwrite", null, None, Some((source, keys)))
   }
 
+  /** O(source) upsert: replace-by-key with ZERO target scan — the
+    * scalable streaming-upsert shape (what Flink's Iceberg sink writes).
+    * One snapshot commits (a) the source rows as ordinary data files at
+    * sequence S and (b) an EQUALITY-DELETE file of the distinct source
+    * keys (data_file.content=2, `equality_ids` = the key columns' field
+    * ids — iceberg spec §Equality Delete Files) at the same S. The spec's
+    * sequence rule — equality deletes apply only to data files with
+    * data_seq STRICTLY BELOW the delete's — makes the commit
+    * self-consistent: the delete dooms every OLDER row with a matching
+    * key and leaves this commit's own rows alone, so no target scan is
+    * ever needed. [[IcebergLoader.applyEqualityDeletes]] (and any real
+    * iceberg engine) serves the result; compaction materializes it.
+    * Returns the committed metadata version, or -1 for an empty source. */
+  def upsertByEquality(source: DataFrame, dir: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "upsertByEquality needs at least one key column")
+    upsertEq(source, dir, keys)
+  }
+
   // ---- the engine ------------------------------------------------------------
 
+  /** A lost commit race whose concurrent commits cannot be rebased onto
+    * (non-append operations, metadata drift, or v3 DV writes) — the
+    * attempt's files are already reclaimed; recompute from fresh state. */
+  private final class ConflictRetry(val detail: String)
+    extends RuntimeException(detail)
+
+  /** Bounded optimistic-concurrency loop ([[DeltaDml]]'s shape): a lost
+    * race against append-only concurrent commits REBASES inside the
+    * attempt (driver-side manifest re-assembly only — data and delete
+    * files are sequence-free); a conflicting race reclaims the attempt's
+    * files and recomputes here against the refreshed table. */
   private def dml(spark: SparkSession, dir: String, op: String,
                   predicate: String, set: Option[Map[String, String]],
                   merge: Option[(DataFrame, Seq[String])]): Long = {
+    val maxAttempts = 5
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return dmlAttempt(spark, dir, op, predicate, set, merge)
+      catch {
+        case e: ConflictRetry =>
+          require(attempt < maxAttempts,
+            s"IcebergDml $op lost $maxAttempts consecutive conflicting " +
+              s"commit races; giving up (last: ${e.detail})")
+          System.err.println(s"[graft] IcebergDml $op retrying after a " +
+            s"conflicting commit race (attempt $attempt): ${e.detail}")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Every snapshot in `now` that `base` lacks is a plain append (no
+    * deletes, no replaces, no DML) — the rebasable concurrent set. */
+  private def appendOnlySince(base: com.fasterxml.jackson.databind.JsonNode,
+                              now: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    def snaps(m: com.fasterxml.jackson.databind.JsonNode) =
+      Option(m.get("snapshots")).filterNot(_.isNull)
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val known = snaps(base).map(_.get("snapshot-id").asLong()).toSet
+    snaps(now).filterNot(s => known(s.get("snapshot-id").asLong())).forall { s =>
+      Option(s.get("summary")).filterNot(_.isNull)
+        .flatMap(x => Option(x.get("operation"))).exists(_.asText() == "append")
+    }
+  }
+
+  /** The metadata fields a rebase depends on must be UNCHANGED — schema,
+    * partition specs, location, format version, properties. Deep JSON
+    * equality per field; appends never touch these, anything else refuses
+    * the rebase. */
+  private def stableFieldsEqual(a: com.fasterxml.jackson.databind.JsonNode,
+                                b: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    Seq("format-version", "location", "current-schema-id", "schemas",
+      "schema", "partition-specs", "partition-spec", "default-spec-id",
+      "properties", "sort-orders", "default-sort-order-id").forall(f =>
+        Option(a.get(f)) == Option(b.get(f)))
+
+  /** Test seam: invoked once immediately before the first commit attempt
+    * (self-clearing) — [[DeltaDml.preCommitHook]]'s sibling. */
+  private[sources] var preCommitHook: () => Unit = () => ()
+
+  private def dmlAttempt(spark: SparkSession, dir: String, op: String,
+                         predicate: String, set: Option[Map[String, String]],
+                         merge: Option[(DataFrame, Seq[String])]): Long = {
     val root = new HPath(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new HPath(root, "metadata")
@@ -139,19 +219,24 @@ object IcebergDml {
       // forbids both forms coexisting for a file (review finding). The
       // migration only piggybacks on a REAL change (no-op DMLs stay no-ops).
       val migratePos = formatV3 && plan.positionDeleteFiles.nonEmpty
-      if (migratePos && merge.isEmpty && matchedIds.isEmpty) return -1L
+      // the no-op early return must also cover a MERGE with an empty
+      // source (matched is then empty by the semi-join's nature): without
+      // it, dvInput = posTombs alone would produce DV writes and a
+      // migration-only snapshot — contradicting the documented contract
+      // that the migration only piggybacks on a real change (review
+      // finding; DeltaDml returns -1 for the same input)
+      if (migratePos && matchedIds.isEmpty &&
+          merge.forall { case (source, _) => source.isEmpty }) return -1L
       val dvInput =
         if (!migratePos) matchedIds
         else matchedIds.unionByName(
           posTombs.get.select(col("__graft_fp"), col("__graft_ri")))
       val deleteFiles: Seq[(String, Long, Long)] =
         if (formatV3) Seq.empty
-        else writeDeleteFiles(spark, fs, root, matchedIds,
-          plan.dataFiles.map(_._1))
+        else writeDeleteFiles(spark, fs, root, matchedIds, plan)
       val dvWrites: Seq[(String, String, Long, Long, Long, Long)] =
         if (!formatV3) Seq.empty
-        else writeDvPuffins(spark, fs, root, dvInput, plan,
-          plan.dataFiles.map(_._1), snapId, seq)
+        else writeDvPuffins(spark, fs, root, dvInput, plan, snapId, seq)
       if (deleteFiles.isEmpty && dvWrites.isEmpty && merge.isEmpty) return -1L
 
       // replacement/new data files (UPDATE's rewritten rows, MERGE's
@@ -188,10 +273,24 @@ object IcebergDml {
       // be junk metadata (review finding)
       if (deleteFiles.isEmpty && dvWrites.isEmpty && newData.isEmpty) return -1L
 
-      // delete manifest: content=1 entries under an unpartitioned spec
-      // (added to partition-specs only when none exists). v2: position
-      // deletes; v3: DV pointers with the reader's reference fields.
-      val metaObj = meta.deepCopy[ObjectNode]()
+      // Everything from here assembles DRIVER-SIDE metadata (manifests,
+      // list, table metadata) for a given base — packaged as a function so
+      // a lost commit race against APPEND-ONLY concurrent commits can
+      // REBASE: the data/delete files on disk are sequence-free (manifests
+      // reference them), so re-running only this assembly with the
+      // refreshed base's sequence/snapshot numbers re-commits without a
+      // rescan. v3 is excluded (puffin blob metadata embeds the
+      // snapshot/sequence it was written at); conflicting races reclaim
+      // every written file and recompute the whole DML (ConflictRetry).
+      def commitSnapshot(metaNow: JsonNode, baseVersion: Long,
+                         attempt: Int): Long = {
+      val seq = Option(metaNow.get("last-sequence-number")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(0L) + 1
+      val snapId = Option(metaNow.get("snapshots")).filterNot(_.isNull)
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
+      val metaFiles = Seq.newBuilder[HPath] // this attempt's metadata writes
+      val metaObj = metaNow.deepCopy[ObjectNode]()
       def listEntry(mp: HPath, content: Int): GenericRecord = {
         val e = new org.apache.avro.generic.GenericData.Record(
           IcebergWriter.manifestListSchema)
@@ -213,6 +312,7 @@ object IcebergDml {
           val mp = new HPath(metaDir,
             s"graft-d$snapId-${java.util.UUID.randomUUID()}.avro")
           IcebergWriter.writeAvro(fs, mSchema, entries, mp)
+          metaFiles += mp
           Some(listEntry(mp, 1))
         } else if (dvWrites.nonEmpty) {
           val entries = dvWrites.map { case (raw, pp, off, blobLen, card, pSize) =>
@@ -235,6 +335,7 @@ object IcebergDml {
           val mp = new HPath(metaDir,
             s"graft-dv$snapId-${java.util.UUID.randomUUID()}.avro")
           IcebergWriter.writeAvro(fs, dvManifestSchema, entries, mp)
+          metaFiles += mp
           Some(listEntry(mp, 1))
         } else None
 
@@ -255,12 +356,13 @@ object IcebergDml {
           val mp = new HPath(metaDir,
             s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
           IcebergWriter.writeAvro(fs, mSchema, entries, mp)
+          metaFiles += mp
           val e = new org.apache.avro.generic.GenericData.Record(
             IcebergWriter.manifestListSchema)
           e.put("manifest_path", mp.toString)
           e.put("manifest_length", fs.getFileStatus(mp).getLen)
           e.put("partition_spec_id",
-            Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0))
+            Option(metaNow.get("default-spec-id")).map(_.asInt()).getOrElse(0))
           e.put("content", 0)
           e.put("sequence_number", Long.box(seq))
           e.put("added_snapshot_id", snapId)
@@ -274,11 +376,14 @@ object IcebergDml {
       // union, theirs may refuse). Such manifests rewrite without the
       // superseded entries, inherited sequence numbers materialized and
       // statuses folded to EXISTING; a fully-superseded manifest drops.
-      val supersededRefs: Set[String] = dvWrites.map(_._1).toSet
       // carried manifests/refs live in the metadata's RECORDED location —
       // remap to the actual table root before reading or comparing
       // (relocated tables; review finding)
-      val remap = IcebergLoader.pathRemapper(meta, dir)
+      val remap = IcebergLoader.pathRemapper(metaNow, dir)
+      // dvWrites carry the RECORDED spelling; compare in the remapped
+      // (actual) domain on both sides
+      val supersededRefs: Set[String] =
+        dvWrites.map(w => PartitionLayout.stripFileScheme(remap(w._1))).toSet
       def carryRecord(prev: (String, Long, Int, Option[Long], Long, Int)) = {
         val m = new org.apache.avro.generic.GenericData.Record(
           IcebergWriter.manifestListSchema)
@@ -292,7 +397,7 @@ object IcebergDml {
       }
       def normRef(p: String): String = PartitionLayout.stripFileScheme(p)
       val carried: Seq[GenericRecord] =
-        IcebergWriter.currentManifestList(fs, meta, dir).flatMap { prev =>
+        IcebergWriter.currentManifestList(fs, metaNow, dir).flatMap { prev =>
           if (supersededRefs.isEmpty || prev._3 != 1) Some(carryRecord(prev))
           else {
             val entries = IcebergLoader.readAvro(fs, new HPath(remap(prev._1)))
@@ -338,6 +443,7 @@ object IcebergDml {
               val mp = new HPath(metaDir,
                 s"graft-dc$snapId-${java.util.UUID.randomUUID()}.avro")
               IcebergWriter.writeAvro(fs, schema, rewritten, mp)
+              metaFiles += mp
               val m = new org.apache.avro.generic.GenericData.Record(
                 IcebergWriter.manifestListSchema)
               m.put("manifest_path", mp.toString)
@@ -354,13 +460,14 @@ object IcebergDml {
         s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
       IcebergWriter.writeAvro(fs, IcebergWriter.manifestListSchema,
         carried ++ delManifest.toSeq ++ dataManifest.toSeq, listPath)
+      metaFiles += listPath
 
       // surgical metadata advance
       val snapNode = mapper.createObjectNode()
       snapNode.put("snapshot-id", snapId)
       snapNode.put("sequence-number", seq)
       snapNode.put("timestamp-ms", now)
-      Option(meta.get("current-schema-id")).filterNot(_.isNull)
+      Option(metaNow.get("current-schema-id")).filterNot(_.isNull)
         .foreach(id => snapNode.put("schema-id", id.asInt()))
       snapNode.put("manifest-list", listPath.toString)
       snapNode.putObject("summary").put("operation", op)
@@ -369,13 +476,267 @@ object IcebergDml {
       metaObj.put("current-snapshot-id", snapId)
       metaObj.withArray("snapshots").add(snapNode)
 
-      val version = IcebergWriter.commitMetadata(fs, metaDir, currentVersion,
-        mapper.writeValueAsString(metaObj), op)
+      val version =
+        try IcebergWriter.commitMetadata(fs, metaDir, baseVersion,
+          mapper.writeValueAsString(metaObj), op)
+        catch {
+          case e: IllegalStateException
+              if String.valueOf(e.getMessage).contains("commit race") =>
+            // this attempt's metadata files reference a stale base either
+            // way — reclaim them before deciding how to continue
+            metaFiles.result().foreach(p => scala.util.Try(fs.delete(p, false)))
+            val (meta2, v2raw) = IcebergLoader.currentMetadataVersioned(fs, dir)
+            val base2 =
+              if (v2raw == -1L) IcebergWriter.metadataVersion(fs, metaDir)
+              else v2raw
+            if (attempt < 5 && !formatV3 &&
+                appendOnlySince(metaNow, meta2) &&
+                stableFieldsEqual(metaNow, meta2))
+              return commitSnapshot(meta2, base2, attempt + 1)
+            // conflicting (or v3, or unstable metadata): reclaim the
+            // data-level files too and recompute the whole DML
+            (deleteFiles.map(_._1) ++ dvWrites.map(_._2).distinct ++
+              newData.map(_._1)).foreach(p =>
+                scala.util.Try(fs.delete(new HPath(p), false)))
+            throw new ConflictRetry(
+              s"lost the v${baseVersion + 1} commit race to a concurrent " +
+                "writer whose commits are not append-only rebasable")
+        }
       val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
       try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+      version
+      } // commitSnapshot
+
+      locally { val h = preCommitHook; preCommitHook = () => (); h() }
+      val version = commitSnapshot(meta, currentVersion, 1)
       ColumnIndexRegistry.refreshFromCommit(spark, dir, "iceberg")
       version
     } finally if (set.isDefined) matched.unpersist()
+  }
+
+  // ---- equality-delete upsert (zero target scan) ------------------------------
+
+  /** [[manifestSchemaFor]] plus the `equality_ids` list equality-delete
+    * entries must carry (spec: the field ids the delete rows match on). */
+  private val eqManifestSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+        |   "default":null}]}}]}""".stripMargin)
+
+  private def upsertEq(source: DataFrame, dir: String,
+                       keys: Seq[String]): Long = {
+    val spark = source.sparkSession
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new HPath(root, "metadata")
+    val (meta, currentVersion0) = IcebergLoader.currentMetadataVersioned(fs, dir)
+    val currentVersion = currentVersion0 match {
+      case -1L => IcebergWriter.metadataVersion(fs, metaDir)
+      case v => v
+    }
+    require(Option(meta.get("format-version")).exists(_.asInt() >= 2),
+      "upsertByEquality needs a format v2+ table (equality deletes are a " +
+        "v2 feature)")
+    val schema = IcebergLoader.tableSchema(meta)
+    val want = source.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val have = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(want == have,
+      s"upsertByEquality source schema ${want.mkString(",")} does not match " +
+        s"table schema ${have.mkString(",")}")
+    val snap = IcebergLoader.chooseSnapshot(meta, dir, None)
+    val schemaNode = IcebergLoader.schemaNodeFor(meta, snap)
+    val fieldIds: Map[String, Int] = schemaNode.get("fields")
+      .elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val eqIds: Seq[Int] = keys.map(k => fieldIds.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"upsertByEquality key `$k` is not a top-level table column")))
+
+    // (a) the source rows as ordinary data files (zero-row parts reclaimed)
+    val partFields = IcebergWriter.specPartFields(meta)
+    val partTypes = partFields.map(pf => pf.name ->
+      IcebergWriter.transformResultType(pf, schema(pf.source).dataType)).toMap
+    val newData0 = IcebergWriter.writeDataParts(source, fs, root,
+      partFields, partTypes)
+    val (emptyParts, newData) = newData0.partition(_._3.rows == 0L)
+    emptyParts.foreach(e => fs.delete(new HPath(e._1), false))
+    // (b) the distinct source keys as ONE equality-delete parquet, field
+    // ids stamped so external readers resolve the columns by id
+    val eqSchema = StructType(keys.map { k =>
+      val f = schema(k)
+      StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().putLong("parquet.field.id",
+          fieldIds(k).toLong).build())
+    })
+    val scratch = new HPath(root, s".graft_tmp_${java.util.UUID.randomUUID()}")
+    // distinct shuffles once; parts write in parallel (each surviving part
+    // becomes one equality-delete entry — no single-task funnel for a
+    // billion-key source)
+    source.select(keys.map(k => col(s"`$k`").as(k,
+        eqSchema(k).metadata)): _*)
+      .distinct()
+      .write.mode("overwrite").parquet(scratch.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new HPath(root, "data")
+    fs.mkdirs(dataDir)
+    val eqFiles: Seq[(String, Long, Long)] =
+      PartitionLayout.collectParts(fs, scratch).flatMap { case (p, _) =>
+        val fz = ColumnIndex.readFileZones(conf, p.toString, Seq.empty)
+        require(fz.rows >= 0L,
+          s"upsertByEquality could not read back the footer of $p")
+        if (fz.rows == 0L) None
+        else {
+          val target = new HPath(dataDir, s"eqdelete-${p.getName}")
+          require(fs.rename(p, target),
+            s"upsertByEquality could not move $p into $dataDir")
+          Some((target.toString, fs.getFileStatus(target).getLen, fz.rows))
+        }
+      }
+    fs.delete(scratch, true)
+    if (eqFiles.isEmpty && newData.isEmpty) return -1L // empty source
+
+    // (c) driver-side assembly + commit, rebasable over ANY concurrent
+    // commit with unchanged schema/spec (the upsert then serializes AFTER
+    // it — replace-by-key semantics hold regardless of what landed, the
+    // later sequence widening the delete's scope to cover it)
+    def commitEq(metaNow: JsonNode, baseVersion: Long, attempt: Int): Long = {
+      val seq = Option(metaNow.get("last-sequence-number")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(0L) + 1
+      val snapId = Option(metaNow.get("snapshots")).filterNot(_.isNull)
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
+      val now = System.currentTimeMillis()
+      val metaFiles = Seq.newBuilder[HPath]
+      val metaObj = metaNow.deepCopy[ObjectNode]()
+
+      val eqManifest: Option[GenericRecord] =
+        if (eqFiles.isEmpty) None
+        else {
+          val entries = eqFiles.map { case (p, size, rows) =>
+            val e = new org.apache.avro.generic.GenericData.Record(eqManifestSchema)
+            val d = new org.apache.avro.generic.GenericData.Record(
+              eqManifestSchema.getField("data_file").schema())
+            d.put("content", 2)
+            d.put("file_path", p)
+            d.put("file_format", "PARQUET")
+            d.put("record_count", rows)
+            d.put("file_size_in_bytes", size)
+            val ids = new java.util.ArrayList[Integer]()
+            eqIds.foreach(i => ids.add(Int.box(i)))
+            d.put("equality_ids", ids)
+            e.put("status", 1)
+            e.put("sequence_number", Long.box(seq))
+            e.put("data_file", d)
+            e
+          }
+          val mp = new HPath(metaDir,
+            s"graft-eq$snapId-${java.util.UUID.randomUUID()}.avro")
+          IcebergWriter.writeAvro(fs, eqManifestSchema, entries, mp)
+          metaFiles += mp
+          val m = new org.apache.avro.generic.GenericData.Record(
+            IcebergWriter.manifestListSchema)
+          m.put("manifest_path", mp.toString)
+          m.put("manifest_length", fs.getFileStatus(mp).getLen)
+          m.put("partition_spec_id", unpartitionedSpecId(metaObj))
+          m.put("content", 1)
+          m.put("sequence_number", Long.box(seq))
+          m.put("added_snapshot_id", snapId)
+          Some(m)
+        }
+      val dataManifest: Option[GenericRecord] =
+        if (newData.isEmpty) None
+        else {
+          val mSchema = IcebergWriter.manifestSchemaFor(
+            partFields.map(pf => pf.name -> partTypes(pf.name)))
+          val entries = newData.map { case (path, size, fz, tuple) =>
+            IcebergWriter.manifestEntry(mSchema, seq, path, size, fz, tuple,
+              fieldIds, c => schema.fields.find(_.name == c).map(_.dataType))
+          }
+          val mp = new HPath(metaDir,
+            s"graft-m$snapId-${java.util.UUID.randomUUID()}.avro")
+          IcebergWriter.writeAvro(fs, mSchema, entries, mp)
+          metaFiles += mp
+          val m = new org.apache.avro.generic.GenericData.Record(
+            IcebergWriter.manifestListSchema)
+          m.put("manifest_path", mp.toString)
+          m.put("manifest_length", fs.getFileStatus(mp).getLen)
+          m.put("partition_spec_id",
+            Option(metaNow.get("default-spec-id")).map(_.asInt()).getOrElse(0))
+          m.put("content", 0)
+          m.put("sequence_number", Long.box(seq))
+          m.put("added_snapshot_id", snapId)
+          Some(m)
+        }
+      // every current manifest carries verbatim — equality deletes touch
+      // no existing entry
+      val carried = IcebergWriter.currentManifestList(fs, metaNow, dir).map { prev =>
+        val m = new org.apache.avro.generic.GenericData.Record(
+          IcebergWriter.manifestListSchema)
+        m.put("manifest_path", prev._1)
+        m.put("manifest_length", prev._2)
+        m.put("partition_spec_id", prev._6)
+        m.put("content", prev._3)
+        prev._4.foreach(s => m.put("sequence_number", Long.box(s)))
+        m.put("added_snapshot_id", prev._5)
+        m
+      }
+      val listPath = new HPath(metaDir,
+        s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
+      IcebergWriter.writeAvro(fs, IcebergWriter.manifestListSchema,
+        carried ++ eqManifest.toSeq ++ dataManifest.toSeq, listPath)
+      metaFiles += listPath
+
+      val snapNode = mapper.createObjectNode()
+      snapNode.put("snapshot-id", snapId)
+      snapNode.put("sequence-number", seq)
+      snapNode.put("timestamp-ms", now)
+      Option(metaNow.get("current-schema-id")).filterNot(_.isNull)
+        .foreach(id => snapNode.put("schema-id", id.asInt()))
+      snapNode.put("manifest-list", listPath.toString)
+      snapNode.putObject("summary").put("operation", "overwrite")
+      metaObj.put("last-sequence-number", seq)
+      metaObj.put("last-updated-ms", now)
+      metaObj.put("current-snapshot-id", snapId)
+      metaObj.withArray("snapshots").add(snapNode)
+
+      try {
+        val version = IcebergWriter.commitMetadata(fs, metaDir, baseVersion,
+          mapper.writeValueAsString(metaObj), "upsertByEquality")
+        val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
+        try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+        version
+      } catch {
+        case e: IllegalStateException
+            if String.valueOf(e.getMessage).contains("commit race") =>
+          metaFiles.result().foreach(p => scala.util.Try(fs.delete(p, false)))
+          val (meta2, v2raw) = IcebergLoader.currentMetadataVersioned(fs, dir)
+          val base2 =
+            if (v2raw == -1L) IcebergWriter.metadataVersion(fs, metaDir)
+            else v2raw
+          if (attempt < 5 && stableFieldsEqual(metaNow, meta2))
+            commitEq(meta2, base2, attempt + 1)
+          else {
+            (eqFiles.map(_._1) ++ newData.map(_._1)).foreach(p =>
+              scala.util.Try(fs.delete(new HPath(p), false)))
+            throw new IllegalStateException(
+              "upsertByEquality lost the commit race to a concurrent writer " +
+                "that changed the table's schema/spec — re-run against the " +
+                "refreshed table", e)
+          }
+      }
+    }
+    val version = commitEq(meta, currentVersion, 1)
+    ColumnIndexRegistry.refreshFromCommit(spark, dir, "iceberg")
+    version
   }
 
   // ---- position-delete file write --------------------------------------------
@@ -395,17 +756,19 @@ object IcebergDml {
     * is the spec's required ordering (file_path, then pos) — a range
     * shuffle, fully distributed; files land via scratch + move like every
     * other writer path. `file_path` values are written in the MANIFEST's
-    * raw spelling (external engines match them verbatim against their
-    * data-file entries), mapped back from the scan's percent-encoded
-    * `__graft_fp` domain through a broadcast (canonical -> raw) relation
-    * over the planned files. */
+    * RECORDED spelling (external engines match them verbatim against
+    * their data-file entries — on a relocated table the recorded location
+    * differs from the directory in use; review finding), mapped back from
+    * the scan's percent-encoded `__graft_fp` domain through a broadcast
+    * (canonical -> recorded) relation over the planned files. */
   private def writeDeleteFiles(spark: SparkSession, fs: FileSystem,
                                root: HPath, matchedIds: DataFrame,
-                               dataFiles: Seq[String]): Seq[(String, Long, Long)] = {
+                               plan: IcebergLoader.PlannedScan): Seq[(String, Long, Long)] = {
     import scala.jdk.CollectionConverters._
+    val dataFiles = plan.dataFiles.map(_._1)
     val toRaw = spark.createDataFrame(dataFiles.map(p =>
         org.apache.spark.sql.Row(PartitionLayout.scanPathKey(p),
-          PartitionLayout.stripFileScheme(p))).asJava,
+          plan.recordedDataPaths.getOrElse(p, PartitionLayout.stripFileScheme(p)))).asJava,
       StructType(Seq(
         StructField("__graft_fp", StringType, nullable = false),
         StructField("__graft_raw", StringType, nullable = false))))
@@ -470,14 +833,17 @@ object IcebergDml {
   private def writeDvPuffins(spark: SparkSession, fs: FileSystem,
                              root: HPath, matchedIds: DataFrame,
                              plan: IcebergLoader.PlannedScan,
-                             dataFiles: Seq[String], snapId: Long,
+                             snapId: Long,
                              seq: Long): Seq[(String, String, Long, Long, Long, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{collect_list, sort_array}
-    // encoded scan key -> raw manifest spelling (referenced_data_file must
-    // match the manifests verbatim for external engines)
+    val dataFiles = plan.dataFiles.map(_._1)
+    // encoded scan key -> RECORDED manifest spelling (referenced_data_file
+    // must match the manifests verbatim for external engines — relocated
+    // tables record a different location than the directory in use)
     val toRaw: Map[String, String] = dataFiles.map(p =>
-      PartitionLayout.scanPathKey(p) -> PartitionLayout.stripFileScheme(p)).toMap
+      PartitionLayout.scanPathKey(p) ->
+        plan.recordedDataPaths.getOrElse(p, PartitionLayout.stripFileScheme(p))).toMap
     // encoded scan key -> existing DV pointer (merged task-side)
     val oldDv: Map[String, (String, Long, Long)] = plan.deletionVectors.map(d =>
       PartitionLayout.scanPathKey(d.referencedDataFile) ->

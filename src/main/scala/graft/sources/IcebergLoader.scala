@@ -173,6 +173,11 @@ object IcebergLoader {
   }
 
   /** Top-level field-id → name for equality-delete column resolution. */
+  /** The Spark schema of a metadata schema node — [[IcebergIncremental]]'s
+    * typed-read entry to the otherwise-private type mapping. */
+  private[sources] def sparkSchemaOf(schemaNode: JsonNode): StructType =
+    toSparkType(schemaNode).asInstanceOf[StructType]
+
   private def fieldIdToName(schemaNode: JsonNode): Map[Int, String] =
     schemaNode.get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
@@ -234,7 +239,14 @@ object IcebergLoader {
       /** Manifest-recorded byte size of the position-delete files (order-
         * matched to [[positionDeleteFiles]]; -1 unknown) — the free input
         * to the broadcast-vs-shuffle choice for the tombstone anti-join. */
-      positionDeleteBytes: Seq[Long] = Seq.empty) {
+      positionDeleteBytes: Seq[Long] = Seq.empty,
+      /** Remapped data-file path -> the manifest's RECORDED spelling.
+        * Delete files must reference data files VERBATIM as the manifests
+        * record them (external engines match the strings, not resolved
+        * paths), so on a relocated/adopted table whose metadata `location`
+        * differs from the directory in use, DML writes file_path /
+        * referenced_data_file in THIS spelling (review finding). */
+      recordedDataPaths: Map[String, String] = Map.empty) {
     def hasDeletes: Boolean = positionDeleteFiles.nonEmpty ||
       equalityDeleteFiles.nonEmpty || deletionVectors.nonEmpty
   }
@@ -318,6 +330,7 @@ object IcebergLoader {
               "Iceberg reader: snapshot has neither manifest-list nor manifests"))
       }
     val data = Seq.newBuilder[(String, Long)]
+    val recorded = Map.newBuilder[String, String]
     val posDeletes = Seq.newBuilder[String]
     val posDeleteBytes = Seq.newBuilder[Long]
     val eqDeletes = Seq.newBuilder[EqDeleteFile]
@@ -336,6 +349,7 @@ object IcebergLoader {
               require(fmt == "PARQUET",
                 s"Iceberg reader: data file format `$fmt` not supported (parquet only)")
               data += ((filePath, seq))
+              recorded += filePath -> str(df, "file_path")
             case 1 =>
               // v3 deletion vectors share content=1 with v2 position-delete
               // files but point a PUFFIN blob at ONE referenced data file;
@@ -366,7 +380,7 @@ object IcebergLoader {
       }
     }
     PlannedScan(data.result(), posDeletes.result(), eqDeletes.result(),
-      dvs.result(), posDeleteBytes.result())
+      dvs.result(), posDeleteBytes.result(), recorded.result())
   }
 
   /** One live data file's manifest-recorded stats for
@@ -393,16 +407,17 @@ object IcebergLoader {
     val schemaNode = schemaNodeFor(meta, snap)
     // partitioned tables lay files out in hive-style transform dirs —
     // a raw basePath scan would INFER those as extra columns, so the
-    // column index must know (fourth element). Default spec only; a
-    // non-empty fields array in either metadata generation counts.
+    // column index must know (fourth element). ANY spec with fields counts,
+    // not just the default: a table whose spec evolved to unpartitioned
+    // still has live files under the older spec's hive-style dirs, and a
+    // basePath scan would partition-infer those (review finding).
     val partitioned = {
-      val specId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-      val v2Spec = Option(meta.get("partition-specs")).filterNot(_.isNull)
-        .flatMap(_.elements().asScala.find(sp =>
-          Option(sp.get("spec-id")).forall(_.asInt() == specId)))
-        .map(sp => Option(sp.get("fields")).exists(_.size() > 0))
-      v2Spec.getOrElse(Option(meta.get("partition-spec"))
-        .filterNot(_.isNull).exists(_.size() > 0))
+      val v2Specs = Option(meta.get("partition-specs")).filterNot(_.isNull)
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      if (v2Specs.nonEmpty)
+        v2Specs.exists(sp => Option(sp.get("fields")).exists(_.size() > 0))
+      else Option(meta.get("partition-spec"))
+        .filterNot(_.isNull).exists(_.size() > 0)
     }
     if (snap.isEmpty) return (schemaNode, Seq.empty, false, partitioned)
     val s = snap.get

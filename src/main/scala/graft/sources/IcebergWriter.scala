@@ -1633,10 +1633,14 @@ object IcebergWriter {
       Option(meta.get("snapshots")).filterNot(_.isNull)
         .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong() == id))
     }
+    // the manifest-list path is RECORDED-location spelling — remap to the
+    // directory in use before reading (relocated tables; review finding);
+    // entries return VERBATIM (recorded) and callers remap when reading
+    val remap = IcebergLoader.pathRemapper(meta, dir)
     snap.toSeq.flatMap { s =>
       val ml = Option(s.get("manifest-list")).filterNot(_.isNull).map(_.asText())
       ml.toSeq.flatMap { path =>
-        IcebergLoader.readAvro(fs, new HPath(path)).map { r =>
+        IcebergLoader.readAvro(fs, new HPath(remap(path))).map { r =>
           (String.valueOf(r.get("manifest_path")),
             Option(r.get("manifest_length")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
             Option(r.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0),

@@ -43,6 +43,29 @@ class TableDmlSpec extends SparkSpec {
     }
   }
 
+  test("streaming DV serializer is byte-identical to the array form") {
+    val cases = Seq(
+      Array.empty[Long],
+      Array(0L),
+      Array(1L, 5L, 17L, 65535L, 65536L, 131071L),
+      (0L until 5000L).map(_ * 2).toArray, // bitset containers
+      (0L until 200000L).filterNot(_ % 7 == 0).toArray, // multi-container
+      Array(3L, (1L << 32) + 7L, (3L << 32) + 1L)) // empty intermediate highs
+    cases.foreach { rows =>
+      val (streamed, card) =
+        DeletionVectors.serializeBitmapArrayStream(rows.iterator)
+      assert(card == rows.length)
+      assert(streamed.sameElements(DeletionVectors.serializeBitmapArray(rows)),
+        s"stream/array mismatch for n=${rows.length}")
+    }
+    // merge-stream: old DV ∪ new deletes, dedup on ties
+    val old = Array(1L, 4L, 9L, 100L)
+    val fresh = Array(2L, 4L, 50L, 100L, 101L)
+    val merged = DeletionVectors.mergeSortedDistinct(
+      old.iterator, fresh.iterator).toArray
+    assert(merged.sameElements(Array(1L, 2L, 4L, 9L, 50L, 100L, 101L)))
+  }
+
   test("DV serializer agrees byte-for-byte with the independent fixture writer") {
     val cases = Seq(
       Array(1L, 2L, 3L, 70000L),
@@ -228,19 +251,74 @@ class TableDmlSpec extends SparkSpec {
     assert(snap.files.forall(_.dv.isEmpty), "compaction must shed the DVs")
   }
 
-  test("delta DML refuses column-mapped tables loudly") {
-    val dir = newDir("graft_dml_cm")
-    // hand-write a minimal column-mapped table log
-    val logDir = new java.io.File(dir + "/_delta_log"); logDir.mkdirs()
-    val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-1\"}}]}"""
-    Files.writeString(java.nio.file.Path.of(logDir + "/00000000000000000000.json"),
-      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
-         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}
-         |""".stripMargin)
-    val e = intercept[IllegalArgumentException] {
-      DeltaDml.deleteWhere(spark, dir, "id = 1")
+  test("delta DML on a column-mapped table: logical predicates, physical writes") {
+    // an adopted upstream name-mapped table (the DeltaLoaderSpec fixture
+    // shape): data files store PHYSICAL names, partitionValues keys are
+    // physical, predicates and SET expressions resolve LOGICAL names
+    val dir = Files.createTempDirectory("graft_dml_cmrw").toString
+    import org.apache.spark.sql.functions.col
+    Seq((1L, "a"), (2L, "b")).toDF("col-id", "col-v")
+      .coalesce(1).write.parquet(s"$dir/part-d1")
+    Seq((3L, "c"), (4L, "d")).toDF("col-id", "col-v")
+      .coalesce(1).write.parquet(s"$dir/part-d2")
+    def firstParquet(sub: String): String = {
+      val d = java.nio.file.Paths.get(dir, sub)
+      val f = Files.list(d).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      s"$sub/${f.getFileName}"
     }
-    assert(e.getMessage.contains("column-mapped"))
+    def fld(name: String, id: Int, tpe: String, phys: String): String =
+      s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":{""" +
+        s""""delta.columnMapping.id":$id,"delta.columnMapping.physicalName":"$phys"}}"""
+    val cmSchema = s"""{"type":"struct","fields":[${fld("id", 1, "long", "col-id")},""" +
+      s"""${fld("v", 2, "string", "col-v")},${fld("ds", 3, "string", "col-ds")}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+          .build().writeValueAsString(cmSchema)},"partitionColumns":["ds"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}"""
+    val logDir = new java.io.File(dir + "/_delta_log"); logDir.mkdirs()
+    Files.writeString(java.nio.file.Path.of(logDir + "/00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        meta,
+        s"""{"add":{"path":"${firstParquet("part-d1")}","partitionValues":{"col-ds":"d1"},"size":1,"modificationTime":1,"dataChange":true}}""",
+        s"""{"add":{"path":"${firstParquet("part-d2")}","partitionValues":{"col-ds":"d2"},"size":1,"modificationTime":2,"dataChange":true}}"""
+      ).mkString("", "\n", "\n"))
+
+    def rows(): Set[(Long, String, String)] =
+      deltaRead(dir).select("id", "v", "ds").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    // DELETE: logical predicate over data + partition columns
+    assert(DeltaDml.deleteWhere(spark, dir, "id = 2 AND ds = 'd1'") == 1L)
+    assert(rows() == Set((1L, "a", "d1"), (3L, "c", "d2"), (4L, "d", "d2")))
+
+    // UPDATE with a partition MOVE: the rewritten file must land physical
+    assert(DeltaDml.updateWhere(spark, dir, "id = 3",
+      Map("v" -> "upper(v)", "ds" -> "'d9'")) > 0)
+    assert(rows() == Set((1L, "a", "d1"), (3L, "C", "d9"), (4L, "d", "d2")))
+    val lastCommit = new java.io.File(dir + "/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.getName).max
+    val commitText = Files.readString(
+      java.nio.file.Path.of(dir + "/_delta_log/" + lastCommit))
+    val newAdd = commitText.split('\n')
+      .filter(l => l.contains("\"add\"") && l.contains("d9")).head
+    assert(newAdd.contains("\"col-ds\":\"d9\""),
+      s"partitionValues keys must be PHYSICAL under column mapping: $newAdd")
+    assert(newAdd.contains("col-v") && !newAdd.contains("\"v\":"),
+      s"stats keys must be PHYSICAL: $newAdd")
+
+    // MERGE: replace id=4, insert id=5
+    assert(DeltaDml.upsert(
+      Seq((4L, "D", "d2"), (5L, "e", "d1")).toDF("id", "v", "ds"),
+      dir, Seq("id")) > 0)
+    assert(rows() == Set((1L, "a", "d1"), (3L, "C", "d9"), (4L, "D", "d2"),
+      (5L, "e", "d1")))
+    // the rewritten physical files resolve by parquet field id too
+    val d9file = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("col-ds=d9")).head
+    val pq = spark.read.parquet(d9file.toString)
+    assert(pq.columns.toSet == Set("col-id", "col-v"), pq.columns.mkString(","))
   }
 
   test("DML + DV read-back survive SPACE-bearing partition values (path domains)") {
@@ -355,6 +433,51 @@ class TableDmlSpec extends SparkSpec {
     assert(got3 == Set((1L, 10L), (2L, 25L), (3L, 99L), (4L, 40L)))
     assert(IcebergDml.updateWhere(spark, dir, "id = 999",
       Map("score" -> "0")) == -1L)
+  }
+
+  test("upsertByEquality: replace-by-key with zero target scan") {
+    val dir = newDir("graft_idml_eq")
+    IcebergWriter.write((1L to 6L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    val src = Seq((2L, "TWO"), (3L, "THREE"), (9L, "nine")).toDF("id", "name")
+    val v = IcebergDml.upsertByEquality(src, dir, Seq("id"))
+    assert(v > 0)
+    val expect = Set((1L, "n1"), (2L, "TWO"), (3L, "THREE"), (4L, "n4"),
+      (5L, "n5"), (6L, "n6"), (9L, "nine"))
+    assert(idName(icebergRead(dir)) == expect)
+    // the commit is an equality-delete file with the key's field id
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plan() = {
+      val meta = IcebergLoader.currentMetadata(fs, dir)
+      IcebergLoader.planSnapshot(fs, dir, meta,
+        IcebergLoader.chooseSnapshot(meta, dir, None))
+    }
+    val p1 = plan()
+    assert(p1.positionDeleteFiles.isEmpty, "no position deletes — no target scan")
+    assert(p1.equalityDeleteFiles.nonEmpty)
+    assert(p1.equalityDeleteFiles.forall(_.equalityIds == Seq(1)),
+      p1.equalityDeleteFiles.map(_.equalityIds).mkString(","))
+
+    // the SEQUENCE RULE: a later append with a matching key SURVIVES (the
+    // delete applies only to strictly-older data)
+    IcebergWriter.write(Seq((2L, "again")).toDF("id", "name"), dir)
+    assert(idName(icebergRead(dir)) == expect + ((2L, "again")))
+
+    // position-path upsert on a twin table produces the same rows
+    val dir2 = newDir("graft_idml_eq2")
+    IcebergWriter.write((1L to 6L).map(i => (i, s"n$i")).toDF("id", "name"), dir2)
+    IcebergDml.upsert(src, dir2, Seq("id"))
+    assert(idName(icebergRead(dir2)) == expect,
+      "equality-path and position-path upserts must agree")
+
+    // compaction materializes the equality deletes
+    assert(IcebergWriter.compactDataFiles(spark, dir) > 0)
+    assert(!plan().hasDeletes, "compaction must shed the equality deletes")
+    assert(idName(icebergRead(dir)) == expect + ((2L, "again")))
+
+    // empty source is a no-op
+    assert(IcebergDml.upsertByEquality(
+      Seq.empty[(Long, String)].toDF("id", "name"), dir, Seq("id")) == -1L)
   }
 
   test("portable-64 serializer round-trips (the iceberg v3 DV form)") {
