@@ -758,6 +758,18 @@ object Relational {
           sum(dec2(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("change_type"))
     }),
+    // ICEBERG CHANGELOG: the DML fixture's full change stream — initial
+    // append as inserts, each DML snapshot's position-delete pre-images
+    // and replacement rows, the compaction contributing nothing — per
+    // change type against the oracle's pure-SQL reconstruction
+    "q_iceberg_changes" -> ((spark, dir) => {
+      val (_, iceDir) = dmlSinksFor(spark, dir)
+      graft.sources.IcebergIncremental.changesBetween(spark, iceDir, -1L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
     // INCREMENTAL APPEND SCAN: rows appended after the first snapshot,
     // read from the append snapshots' own manifests (the compaction in
     // between must contribute nothing) — the oracle selects the same rows
@@ -1330,6 +1342,43 @@ object Relational {
         |  FROM orders WHERE o_orderkey % 997 = 2
         |), changes AS (
         |  SELECT 'delete' AS change_type, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterupd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM src)
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM src
+        |)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the iceberg changelog: the synth-CDF stream PLUS the initial
+    // append's inserts (changesBetween(-1) covers table creation)
+    "q_iceberg_changes" ->
+      """WITH afterdel AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        |), afterupd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    CASE WHEN o_orderstatus = 'P' THEN '9-MOVED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM afterdel
+        |), src AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    0.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 2
+        |), changes AS (
+        |  SELECT 'insert' AS change_type, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM orders
         |  WHERE o_orderstatus = 'F' AND o_totalprice < 100000
         |  UNION ALL
         |  SELECT 'delete', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'

@@ -49,8 +49,10 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   * the range's changed-row cardinality — the set a CDF consumer is about
   * to materialize anyway.
   *
-  * Column-mapped tables are refused for now (cdc files and synthesis would
-  * both need the physical→logical projection end to end). */
+  * Column-mapped tables are supported: files (data AND cdc) read the
+  * PHYSICALIZED schema and project back to logical names, and
+  * partitionValues keys resolve through each column's physical name — the
+  * same read-logical split the loader uses. */
 object DeltaCdf {
 
   private val mapper = new ObjectMapper()
@@ -104,8 +106,6 @@ object DeltaCdf {
     val logDir = DeltaWriter.logDirOf(root)
     require(fs.isDirectory(logDir), s"`$dir` is not a Delta table")
     val snap = DeltaLoader.snapshot(spark, dir)
-    require(snap.columnMappingMode == "none",
-      "DeltaCdf does not support column-mapped tables yet")
     val to = toVersion.getOrElse(snap.version)
     require(fromVersion <= to,
       s"loadChanges: fromVersion $fromVersion is above toVersion $to")
@@ -120,10 +120,15 @@ object DeltaCdf {
         "was log-retired (cleanupLog); change feeds need the range's " +
         "commits retained")
 
-    val dataSchema = org.apache.spark.sql.types.StructType(
+    val logicalData = org.apache.spark.sql.types.StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    // column mapping: files store PHYSICAL names — read those, project back
+    val dataSchema =
+      if (snap.columnMappingMode == "none") logicalData
+      else DeltaLoader.physicalize(logicalData)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
     val frames = inRange.flatMap { case (v, name) =>
-      commitChanges(spark, fs, dir, logDir, name, v, snap, dataSchema)
+      commitChanges(spark, fs, dir, logDir, name, v, snap, logicalData, dataSchema)
     }
     if (frames.isEmpty) {
       val empty = spark.createDataFrame(
@@ -145,8 +150,15 @@ object DeltaCdf {
   private def commitChanges(spark: SparkSession, fs: FileSystem, dir: String,
                             logDir: HPath, name: String, v: Long,
                             snap: DeltaLoader.Snapshot,
+                            logicalData: org.apache.spark.sql.types.StructType,
                             dataSchema: org.apache.spark.sql.types.StructType)
       : Seq[DataFrame] = {
+    // physical -> logical projection (no-op when unmapped); extras carry
+    def toLogical(df: DataFrame, extras: Seq[String]): DataFrame =
+      if (snap.columnMappingMode == "none") df
+      else df.select(logicalData.fields.zip(dataSchema.fields).map {
+        case (lf, pf) => col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+      }.toIndexedSeq ++ extras.map(e => col(s"`$e`")): _*)
     val in = fs.open(new HPath(logDir, name))
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val lines = text.split('\n').filter(_.nonEmpty).map(mapper.readTree)
@@ -173,7 +185,10 @@ object DeltaCdf {
       }.getOrElse(Map.empty)
     def withPartitions(df: DataFrame, pv: Map[String, String]): DataFrame =
       snap.partitionColumns.foldLeft(df) { (acc, c) =>
-        acc.withColumn(c, lit(pv.getOrElse(c, null)).cast(snap.schema(c).dataType))
+        val f = snap.schema(c)
+        // partitionValues keys are PHYSICAL under column mapping
+        val value = pv.getOrElse(DeltaLoader.physName(f), pv.getOrElse(c, null))
+        acc.withColumn(c, lit(value).cast(f.dataType))
       }
     def dvRows(node: JsonNode): Array[Long] =
       Option(node).filterNot(_.isNull).map { d =>
@@ -193,7 +208,7 @@ object DeltaCdf {
       return cdcs.toSeq.groupBy(pvOf).map { case (pv, actions) =>
         val df = spark.read.schema(cdcSchema)
           .parquet(actions.map(a => abs(a.get("path").asText())): _*)
-        stamp(withPartitions(df, pv), None)
+        stamp(withPartitions(toLogical(df, Seq("_change_type")), pv), None)
           .select(outputColumns(snap): _*)
       }.toSeq
     }
@@ -207,8 +222,8 @@ object DeltaCdf {
     val removeByPath = removes.map(r => r.get("path").asText() -> r).toMap
 
     def fileScan(path: String): DataFrame =
-      spark.read.schema(dataSchema).parquet(abs(path))
-        .withColumn("__ri", col("_metadata.row_index"))
+      toLogical(spark.read.schema(dataSchema).parquet(abs(path))
+        .withColumn("__ri", col("_metadata.row_index")), Seq("__ri"))
     def joinIndexes(df: DataFrame, indexes: Array[Long], anti: Boolean): DataFrame = {
       if (indexes.isEmpty) return if (anti) df else df.limit(0)
       import spark.implicits._

@@ -97,8 +97,45 @@ object DeltaLoader {
 
   def load(spark: SparkSession, src: TableSource): DataFrame = {
     val versionAsOf = src.options.get("version").map(_.toLong)
+      .orElse(src.options.get("timestampAsOf").map(ts =>
+        versionAt(spark, src.uri, parseTsMillis(ts))))
     val snap = snapshot(spark, src.uri, versionAsOf)
     toDataFrame(spark, src.uri, snap)
+  }
+
+  /** `timestampAsOf` accepts epoch millis, ISO-8601 instants, or
+    * `yyyy-MM-dd[ HH:mm:ss]` (read as UTC). */
+  private[sources] def parseTsMillis(s: String): Long =
+    scala.util.Try(s.trim.toLong).getOrElse {
+      val t = s.trim.replace(' ', 'T')
+      val withTime = if (t.contains("T")) t else t + "T00:00:00"
+      scala.util.Try(java.time.Instant.parse(withTime).toEpochMilli).getOrElse(
+        java.time.LocalDateTime.parse(withTime)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    }
+
+  /** The newest version whose commit file is not newer than `tsMillis` —
+    * upstream's own timestampAsOf resolution (commit-file modification
+    * times). Bounded by log retention: versions whose JSON was retired by
+    * cleanupLog cannot be timestamp-resolved, same as upstream. */
+  private[sources] def versionAt(spark: SparkSession, tablePath: String,
+                                 tsMillis: Long): Long = {
+    val logDir = new HPath(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitRx = raw"(\d{20})\.json".r
+    val commits = fs.listStatus(logDir).flatMap { st =>
+      st.getPath.getName match {
+        case commitRx(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }
+    }
+    require(commits.nonEmpty,
+      s"timestampAsOf: `$tablePath` has no commit JSON to resolve against")
+    val eligible = commits.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestampAsOf: $tsMillis predates the earliest available commit " +
+        s"(${commits.map(_._2).min}) of `$tablePath`")
+    eligible.map(_._1).max
   }
 
   // ---- log replay -----------------------------------------------------------

@@ -60,7 +60,25 @@ object IcebergLoader {
     val fs = new HPath(src.uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = currentMetadata(fs, src.uri)
     val snapshotId = src.options.get("snapshot-id").map(_.toLong)
+      .orElse(src.options.get("asOfTimestamp").map(ts =>
+        snapshotAt(meta, src.uri, DeltaLoader.parseTsMillis(ts))))
     toDataFrame(spark, fs, src.uri, meta, snapshotId)
+  }
+
+  /** The newest snapshot committed at or before `tsMillis` (each snapshot
+    * records its own `timestamp-ms` — pure metadata resolution, upstream's
+    * as-of-timestamp read). */
+  private[sources] def snapshotAt(meta: JsonNode, tableUri: String,
+                                  tsMillis: Long): Long = {
+    val snaps = Option(meta.get("snapshots")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val eligible = snaps.filter(s =>
+      Option(s.get("timestamp-ms")).filterNot(_.isNull)
+        .exists(_.asLong() <= tsMillis))
+    require(eligible.nonEmpty,
+      s"asOfTimestamp: $tsMillis predates every retained snapshot of `$tableUri`")
+    eligible.maxBy(s => s.get("timestamp-ms").asLong())
+      .get("snapshot-id").asLong()
   }
 
   // ---- metadata resolution --------------------------------------------------

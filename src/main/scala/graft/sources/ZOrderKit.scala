@@ -60,14 +60,19 @@ object ZOrderKit {
     val bits = math.min(16, MaxBits / cols.size)
     val buckets = 1 << bits
 
-    // equi-depth boundaries from one bounded sample pass (column-pruned to
-    // the clustering columns; the clustered set is being fully rewritten
-    // anyway, so the extra scan is a fraction of the job)
+    // equi-depth boundaries from ONE bounded pass: a rand()-keyed top-k
+    // (TakeOrderedAndProject — per-partition k-heaps, driver holds k rows)
+    // is a uniform sample with no count() pre-pass and no early-partition
+    // bias (review finding: count + tuned-fraction sample cost an extra
+    // full scan of a 100 TB compaction input; a FIXED fraction + limit
+    // would have sampled only the first partitions)
     val canonDf = df.select(canon.map { case (c, (e, _)) => e.as(c) }: _*)
-    val n = canonDf.count()
-    val frac = math.min(1.0, sampleTarget * 1.2 / math.max(n, 1L).toDouble)
-    val sample = canonDf.sample(withReplacement = false, frac, seed = 42L)
-      .limit(sampleTarget).collect()
+    val sample = canonDf
+      .withColumn("__graft_r", org.apache.spark.sql.functions.rand(42L))
+      .orderBy(col("__graft_r"))
+      .limit(sampleTarget)
+      .select(canon.map { case (c, _) => col(s"`$c`") }: _*)
+      .collect()
 
     val bucketCols: Seq[Column] = canon.zipWithIndex.map {
       case ((name, (expr, isString)), i) =>

@@ -104,6 +104,54 @@ class IncrementalReadSpec extends SparkSpec {
       (6L, "n6"), (9L, "n9")))
   }
 
+  test("CDF on a column-mapped table: physical files, logical change rows") {
+    // the TableDmlSpec column-mapping fixture shape: physical names in
+    // files and partitionValues, logical names at the API
+    val dir = Files.createTempDirectory("graft_cdf_cm").toString
+    import org.apache.spark.sql.functions.col
+    Seq((1L, "a"), (2L, "b")).toDF("col-id", "col-v")
+      .coalesce(1).write.parquet(s"$dir/part-d1")
+    def firstParquet(sub: String): String = {
+      val d = java.nio.file.Paths.get(dir, sub)
+      val f = Files.list(d).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      s"$sub/${f.getFileName}"
+    }
+    def fld(name: String, id: Int, tpe: String, phys: String): String =
+      s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":{""" +
+        s""""delta.columnMapping.id":$id,"delta.columnMapping.physicalName":"$phys"}}"""
+    val cmSchema = s"""{"type":"struct","fields":[${fld("id", 1, "long", "col-id")},""" +
+      s"""${fld("v", 2, "string", "col-v")},${fld("ds", 3, "string", "col-ds")}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+          .build().writeValueAsString(cmSchema)},"partitionColumns":["ds"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}"""
+    val logDir = new java.io.File(dir + "/_delta_log"); logDir.mkdirs()
+    Files.writeString(java.nio.file.Path.of(logDir + "/00000000000000000000.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        meta,
+        s"""{"add":{"path":"${firstParquet("part-d1")}","partitionValues":{"col-ds":"d1"},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("", "\n", "\n"))
+
+    // synthesis path: a DV delete on the mapped table
+    DeltaDml.deleteWhere(spark, dir, "id = 2 AND ds = 'd1'")
+    val syn = DeltaCdf.loadChanges(spark, dir, fromVersion = 0L)
+      .select("id", "v", "ds", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(syn.toSet == Set((2L, "b", "d1", "delete")), syn.mkString(","))
+
+    // cdc path: enable CDF, update — pre/post images come back logical
+    DeltaCdf.enableCdf(spark, dir)
+    DeltaDml.updateWhere(spark, dir, "id = 1", Map("v" -> "'A'"))
+    val cdc = DeltaCdf.loadChanges(spark, dir, fromVersion = 2L)
+      .select("id", "v", "ds", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(cdc.toSet == Set(
+      (1L, "a", "d1", "update_preimage"), (1L, "A", "d1", "update_postimage")),
+      cdc.mkString(","))
+  }
+
   test("CDF range gates: retired logs refuse and take their cdc files along") {
     val dir = newDir("graft_cdf_gate")
     DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
@@ -123,6 +171,43 @@ class IncrementalReadSpec extends SparkSpec {
     val leftover = Option(new java.io.File(dir + "/_change_data").listFiles())
       .map(_.filterNot(_.getName.startsWith(".")).toSeq).getOrElse(Seq.empty)
     assert(leftover.isEmpty, leftover.mkString(","))
+  }
+
+  // ---- timestamp time travel ----------------------------------------------------
+
+  test("timestampAsOf / asOfTimestamp resolve versions on both formats") {
+    val dDir = newDir("graft_ts_d")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), dDir) // v0
+    Thread.sleep(20)
+    val betweenD = System.currentTimeMillis()
+    Thread.sleep(20)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "name"), dDir) // v1
+    val atV0 = DeltaLoader.load(spark, TableSource("t", dDir, Some("delta"),
+      options = Map("timestampAsOf" -> betweenD.toString)))
+    assert(atV0.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    val now = DeltaLoader.load(spark, TableSource("t", dDir, Some("delta"),
+      options = Map("timestampAsOf" -> System.currentTimeMillis().toString)))
+    assert(now.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLoader.load(spark, TableSource("t", dDir, Some("delta"),
+        options = Map("timestampAsOf" -> "100")))
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+
+    val iDir = newDir("graft_ts_i")
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name"), iDir)
+    Thread.sleep(20)
+    val betweenI = System.currentTimeMillis()
+    Thread.sleep(20)
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "name"), iDir)
+    val iAt = IcebergLoader.load(spark, TableSource("t", iDir, Some("iceberg"),
+      options = Map("asOfTimestamp" -> betweenI.toString)))
+    assert(iAt.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // ISO form parses too
+    val iso = java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
+    val iNow = IcebergLoader.load(spark, TableSource("t", iDir, Some("iceberg"),
+      options = Map("asOfTimestamp" -> iso)))
+    assert(iNow.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
   // ---- Iceberg incremental append scan -----------------------------------------
@@ -157,6 +242,37 @@ class IncrementalReadSpec extends SparkSpec {
     // manifest lists are walked, not the current one)
     assert(ids(IcebergIncremental.appendsBetween(spark, dir, s1)) ==
       (4L to 9L).toSet)
+  }
+
+  test("iceberg changesBetween: inserts from appends, delete pre-images from DML") {
+    val dir = newDir("graft_chg_i")
+    IcebergWriter.write((1L to 6L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), dir)
+    val s0 = IcebergIncremental.currentSnapshotId(spark, dir)
+    IcebergDml.deleteWhere(spark, dir, "id IN (2, 5)")
+    IcebergWriter.write(Seq((7L, "n7")).toDF("id", "name"), dir)
+    IcebergDml.updateWhere(spark, dir, "id = 3", Map("name" -> "'N3'"))
+    val got = IcebergIncremental.changesBetween(spark, dir, s0)
+      .select("id", "name", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (2L, "n2", "delete"), (5L, "n5", "delete"),
+      (7L, "n7", "insert"),
+      (3L, "n3", "delete"), (3L, "N3", "insert")))
+    // a compaction in between contributes nothing and breaks nothing
+    IcebergWriter.compactDataFiles(spark, dir, targetFileBytes = 64L << 20)
+    val got2 = IcebergIncremental.changesBetween(spark, dir, s0)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == Set((2L, "delete"), (5L, "delete"), (7L, "insert"),
+      (3L, "delete"), (3L, "insert")))
+    // equality deletes refuse loudly (keys, not row pre-images)
+    IcebergDml.upsertByEquality(Seq((7L, "SEVEN")).toDF("id", "name"),
+      dir, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergIncremental.changesBetween(spark, dir, s0).count()
+    }
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
   }
 
   test("iceberg appendsBetween refuses DML snapshots unless told to skip") {
