@@ -115,10 +115,15 @@ object DeltaCdf {
       case n @ commitRx(v) if v.toLong > fromVersion && v.toLong <= to =>
         v.toLong -> n
     }.sortBy(_._1)
-    require(inRange.nonEmpty || fromVersion == to,
-      s"loadChanges: no commit JSON in ($fromVersion, $to] — the range " +
-        "was log-retired (cleanupLog); change feeds need the range's " +
-        "commits retained")
+    // EVERY version of the range must be present — a partially-retired
+    // range (cleanupLog took the older half) must refuse, not silently
+    // skip the missing versions' changes (delta versions are consecutive
+    // integers, so presence is checkable exactly)
+    val missing = ((fromVersion + 1) to to).filterNot(inRange.map(_._1).toSet)
+    require(missing.isEmpty,
+      s"loadChanges: commit JSON for version(s) ${missing.take(5).mkString(", ")}" +
+        s" of ($fromVersion, $to] was log-retired (cleanupLog); change " +
+        "feeds need the range's commits retained")
 
     val logicalData = org.apache.spark.sql.types.StructType(
       snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))

@@ -329,17 +329,23 @@ object DeltaDml {
     * txn + cdc) pass. */
   private def commitConflict(fs: FileSystem, logDir: HPath,
                              cv: Long): Option[String] = {
-    val p = new HPath(logDir, f"$cv%020d.json")
-    val in = fs.open(p)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    text.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
-      val node = mapper.readTree(line)
-      val kinds = node.properties().asScala.map(_.getKey).toSeq
-      kinds.collectFirst {
-        case k if !Set("add", "commitInfo", "txn", "cdc")(k) =>
-          s"concurrent commit $cv carries a `$k` action"
-      }
-    }.nextOption()
+    // an unreadable/half-written concurrent commit (in-flight on a
+    // progressively-visible filesystem) classifies as a CONFLICT — the
+    // recompute path re-reads it once it is complete, instead of crashing
+    // the DML on a parse error
+    scala.util.Try {
+      val p = new HPath(logDir, f"$cv%020d.json")
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
+        val node = mapper.readTree(line)
+        val kinds = node.properties().asScala.map(_.getKey).toSeq
+        kinds.collectFirst {
+          case k if !Set("add", "commitInfo", "txn", "cdc")(k) =>
+            s"concurrent commit $cv carries a `$k` action"
+        }
+      }.nextOption()
+    }.getOrElse(Some(s"concurrent commit $cv is unreadable (in-flight?)"))
   }
 
   /** Delete the files a failed attempt wrote: its DV bin files (resolved

@@ -133,13 +133,16 @@ object IcebergIncremental {
     * contribute nothing. Output: the table's columns plus `_change_type`,
     * `_snapshot_id`, `_commit_timestamp`.
     *
-    * Scope, stated honestly: v2 position deletes only. v3 puffin DVs are
-    * CUMULATIVE per file (a snapshot's DV is old ∪ new — the per-snapshot
-    * delta needs the prior snapshot's DV diffed away) and equality deletes
-    * name keys, not rows — both refuse loudly rather than emit wrong
-    * pre-images. [[IcebergDml]]'s v2 DML writes per-commit position-delete
-    * deltas, which is exactly this changelog's input. Updates surface as
-    * delete+insert (position deletes carry no pre/post correlation).
+    * v2 position deletes are read DIRECTLY (each delete file added at a
+    * snapshot is that snapshot's delta — [[IcebergDml]] writes exactly
+    * per-commit deltas). v3 puffin DVs are CUMULATIVE per file, so their
+    * per-snapshot delta is computed as (rows doomed at s) ANTI-JOIN (rows
+    * doomed at s's parent) over the referenced files — which also makes
+    * the v2→v3 migration commit read correctly (migrated old deletes
+    * subtract out). Equality deletes refuse loudly: their pre-images are
+    * keys, not rows — materializing them means scanning every older data
+    * file for matches, a full-table cost this changelog will not hide.
+    * Updates surface as delete+insert (no pre/post correlation exists).
     *
     * Scale shape: planning is per-snapshot manifest metadata; inserts are
     * distributed scans of only the added files; each snapshot's delete
@@ -192,6 +195,7 @@ object IcebergIncremental {
           s"IcebergIncremental: snapshot $sid has no manifest-list (expired?)"))
       val added = Seq.newBuilder[String] // data files
       val posDeletes = Seq.newBuilder[(String, Long)] // (path, recorded bytes)
+      val dvAdded = Seq.newBuilder[IcebergLoader.DvFile] // v3 merged DVs
       IcebergLoader.readAvro(fs, new HPath(remap(listPath))).foreach { m =>
         val addedBy = Option(m.get("added_snapshot_id"))
           .map(_.asInstanceOf[Number].longValue()).getOrElse(-1L)
@@ -211,15 +215,24 @@ object IcebergIncremental {
                 case 1 if fmt == "PARQUET" =>
                   posDeletes += ((fp,
                     IcebergLoader.longOr(df, "file_size_in_bytes", -1L)))
-                case 1 => throw new IllegalArgumentException(
-                  s"changesBetween: snapshot $sid adds a $fmt deletion " +
-                    "vector — v3 DVs are cumulative per file, so the " +
-                    "per-snapshot delta cannot be read from one snapshot " +
-                    "alone; consume this table through full scans")
+                case 1 =>
+                  // v3 DV: the entry carries the file's MERGED bitmap;
+                  // the per-snapshot delta is diffed below against the
+                  // parent snapshot's doomed set
+                  val ref = Option(df.getSchema.getField("referenced_data_file"))
+                    .flatMap(_ => Option(df.get("referenced_data_file")))
+                    .map(r => remap(String.valueOf(r)))
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"changesBetween: puffin delete in snapshot $sid " +
+                        "carries no referenced_data_file"))
+                  dvAdded += IcebergLoader.DvFile(fp, ref,
+                    IcebergLoader.longOr(df, "content_offset", -1L),
+                    IcebergLoader.longOr(df, "content_size_in_bytes", -1L))
                 case 2 => throw new IllegalArgumentException(
                   s"changesBetween: snapshot $sid adds an equality-delete " +
-                    "file — its pre-images are keys, not rows; consume " +
-                    "this table through full scans")
+                    "file — its pre-images are keys, not rows (reading " +
+                    "them means scanning every older file for matches); " +
+                    "consume this table through full scans")
                 case _ => ()
               }
             }
@@ -255,6 +268,38 @@ object IcebergIncremental {
             .join(tombs, Seq("__graft_fp", "__graft_ri"), "left_semi")
             .drop("__graft_fp", "__graft_ri"), "delete")
         }
+      }
+      // v3 deletion vectors: the added entry is the file's MERGED bitmap,
+      // so this snapshot's delta = (doomed at s) ANTI-JOIN (doomed at
+      // parent) over the referenced files — pos deletes and prior DVs in
+      // the parent state both subtract, which also makes the v2→v3
+      // migration commit emit only genuinely new deletes
+      val dvs = dvAdded.result().distinctBy(_.referencedDataFile)
+      if (dvs.nonEmpty) {
+        val refFiles = dvs.map(_.referencedDataFile).distinct
+        val refKeys = refFiles.map(PartitionLayout.scanPathKey).toSet
+        val sPlan = IcebergLoader.PlannedScan(
+          refFiles.map(p => (p, 0L)), Seq.empty, Seq.empty, dvs)
+        val tombsS = IcebergLoader.positionTombstones(
+          spark, fs, dir, meta, sPlan).get
+        val parent = snaps.filter(p => seqOf(p) < seqOf(s)).sortBy(seqOf)
+          .lastOption
+        val tombsP = parent.flatMap { p =>
+          val pp = IcebergLoader.planSnapshot(fs, dir, meta, Some(p))
+          IcebergLoader.positionTombstones(spark, fs, dir, meta, pp.copy(
+            dataFiles = refFiles.map(x => (x, 0L)),
+            // DVs for other files would decode for nothing
+            deletionVectors = pp.deletionVectors.filter(d =>
+              refKeys(PartitionLayout.scanPathKey(d.referencedDataFile)))))
+        }
+        val delta = tombsP.fold(tombsS)(tp =>
+          tombsS.join(tp, Seq("__graft_fp", "__graft_ri"), "left_anti"))
+        val base = IcebergLoader.scanLive(spark, schemaNode,
+          sPlan.copy(deletionVectors = Seq.empty), refFiles,
+          posTombs = None, keepIds = true)
+        frames += stamp(base
+          .join(delta, Seq("__graft_fp", "__graft_ri"), "left_semi")
+          .drop("__graft_fp", "__graft_ri"), "delete")
       }
     }
     val out = frames.result()

@@ -275,6 +275,33 @@ class IncrementalReadSpec extends SparkSpec {
     assert(e.getMessage.contains("equality-delete"), e.getMessage)
   }
 
+  test("iceberg changesBetween diffs v3 cumulative DVs per snapshot") {
+    val dir = newDir("graft_chg_v3")
+    IcebergWriter.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), dir)
+    val s0 = IcebergIncremental.currentSnapshotId(spark, dir)
+    // v2-era position delete first (also exercises the migration diff)...
+    IcebergDml.deleteWhere(spark, dir, "id = 2")
+    // ...then promote to v3
+    val mf = new java.io.File(dir + "/metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    Files.writeString(mf.toPath, Files.readString(mf.toPath)
+      .replace("\"format-version\":2", "\"format-version\":3"))
+    new java.io.File(mf.getParent, "." + mf.getName + ".crc").delete()
+    // two v3 DV deletes on the SAME file: each snapshot's DV is cumulative
+    // ({2,5} then {2,5,7} after migration) — the changelog must emit only
+    // each snapshot's own delta
+    IcebergDml.deleteWhere(spark, dir, "id = 5")
+    IcebergDml.deleteWhere(spark, dir, "id = 7")
+    val got = IcebergIncremental.changesBetween(spark, dir, s0)
+      .select("id", "_change_type", "_snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(x => (x._1, x._2)).toSet ==
+      Set((2L, "delete"), (5L, "delete"), (7L, "delete")), got.mkString(","))
+    // three DISTINCT snapshots, one delete each
+    assert(got.map(_._3).distinct.length == 3, got.mkString(","))
+  }
+
   test("iceberg appendsBetween refuses DML snapshots unless told to skip") {
     val dir = newDir("graft_incr_dml")
     IcebergWriter.write((1L to 4L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
