@@ -218,25 +218,23 @@ object DeltaCdf {
       }.toSeq
     }
 
-    // synthesis from file actions
+    // synthesis from file actions — grouped so plan branches scale with
+    // touched PARTITION TUPLES, not files: a DML commit touching 10k files
+    // in one partition synthesizes as ONE grouped scan per (tuple, mode)
+    // with the (file, row) sets riding a broadcast join, not 10k unioned
+    // single-file scans (review finding)
     val adds = lines.flatMap(n => Option(n.get("add")).filterNot(_.isNull))
       .filter(a => Option(a.get("dataChange")).exists(_.asBoolean(false)))
     val removes = lines.flatMap(n => Option(n.get("remove")).filterNot(_.isNull))
       .filter(r => Option(r.get("dataChange")).exists(_.asBoolean(false)))
     val addByPath = adds.map(a => a.get("path").asText() -> a).toMap
     val removeByPath = removes.map(r => r.get("path").asText() -> r).toMap
+    def scanKey(path: String): String = PartitionLayout.scanPathKey(abs(path))
 
-    def fileScan(path: String): DataFrame =
-      toLogical(spark.read.schema(dataSchema).parquet(abs(path))
-        .withColumn("__ri", col("_metadata.row_index")), Seq("__ri"))
-    def joinIndexes(df: DataFrame, indexes: Array[Long], anti: Boolean): DataFrame = {
-      if (indexes.isEmpty) return if (anti) df else df.limit(0)
-      import spark.implicits._
-      val idx = broadcast(indexes.toSeq.toDF("__ri"))
-      df.join(idx, Seq("__ri"), if (anti) "left_anti" else "left_semi")
-    }
-
-    val out = Seq.newBuilder[DataFrame]
+    // (path, pv, row-index set) per mode
+    val swaps = Seq.newBuilder[(String, Map[String, String], Array[Long])]
+    val freshAdds = Seq.newBuilder[(String, Map[String, String], Array[Long])]
+    val fullRemoves = Seq.newBuilder[(String, Map[String, String], Array[Long])]
     addByPath.foreach { case (path, add) =>
       removeByPath.get(path) match {
         case Some(rm) =>
@@ -244,29 +242,47 @@ object DeltaCdf {
           val fresh = dvRows(add.get("deletionVector"))
           val old = dvRows(rm.get("deletionVector")).toSet
           val delta = fresh.filterNot(old)
-          if (delta.nonEmpty)
-            out += stamp(withPartitions(
-              joinIndexes(fileScan(path), delta, anti = false)
-                .drop("__ri"), pvOf(add)), Some("delete"))
-              .select(outputColumns(snap): _*)
+          if (delta.nonEmpty) swaps += ((path, pvOf(add), delta))
         case None =>
-          val excluded = dvRows(add.get("deletionVector"))
-          out += stamp(withPartitions(
-            joinIndexes(fileScan(path), excluded, anti = true)
-              .drop("__ri"), pvOf(add)), Some("insert"))
-            .select(outputColumns(snap): _*)
+          freshAdds += ((path, pvOf(add), dvRows(add.get("deletionVector"))))
       }
     }
     removeByPath.foreach { case (path, rm) =>
-      if (!addByPath.contains(path)) {
-        val excluded = dvRows(rm.get("deletionVector"))
-        out += stamp(withPartitions(
-          joinIndexes(fileScan(path), excluded, anti = true)
-            .drop("__ri"), pvOf(rm)), Some("delete"))
-          .select(outputColumns(snap): _*)
-      }
+      if (!addByPath.contains(path))
+        fullRemoves += ((path, pvOf(rm), dvRows(rm.get("deletionVector"))))
     }
-    out.result()
+
+    /** One grouped scan per partition tuple: `include` joins the (file,
+      * row) pairs semi (row-level deltas), exclude mode anti-joins them
+      * (live rows of whole files). */
+    def grouped(slices: Seq[(String, Map[String, String], Array[Long])],
+                include: Boolean, ct: String): Seq[DataFrame] =
+      slices.groupBy(_._2).map { case (pv, group) =>
+        val files = group.map(_._1)
+        val scan = toLogical(
+          spark.read.schema(dataSchema).parquet(files.map(abs): _*)
+            .withColumn("__fp", org.apache.spark.sql.functions.regexp_replace(
+              col("_metadata.file_path"), "^file:/+", "/"))
+            .withColumn("__ri", col("_metadata.row_index")),
+          Seq("__fp", "__ri"))
+        val pairs = group.flatMap { case (p, _, ris) =>
+          val k = scanKey(p); ris.map(ri => (k, ri))
+        }
+        val joined =
+          if (pairs.isEmpty) { if (include) scan.limit(0) else scan }
+          else {
+            import spark.implicits._
+            val idx = broadcast(pairs.toDF("__fp", "__ri"))
+            scan.join(idx, Seq("__fp", "__ri"),
+              if (include) "left_semi" else "left_anti")
+          }
+        stamp(withPartitions(joined.drop("__fp", "__ri"), pv), Some(ct))
+          .select(outputColumns(snap): _*)
+      }.toSeq
+
+    grouped(swaps.result(), include = true, "delete") ++
+      grouped(freshAdds.result(), include = false, "insert") ++
+      grouped(fullRemoves.result(), include = false, "delete")
   }
 
   private def outputColumns(snap: DeltaLoader.Snapshot): Seq[Column] =
