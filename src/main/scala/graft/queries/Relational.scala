@@ -650,6 +650,56 @@ object Relational {
       tdir
     }(b => deleteTree(new java.io.File(b).getParentFile))
 
+  /** The [[cdfSynthFor]] table consumed through the TAILING driver
+    * ([[graft.streaming.ChangeTail]]): history chopped into three
+    * micro-batches (pinned by endAt), a simulated crash-before-commit in
+    * the middle (batch 1's commit marker dropped, the next poll must
+    * replay it and the sink's `_SUCCESS` discipline must refuse the
+    * double landing), everything landed in the exactly-once parquet sink.
+    * The sink's change aggregate must equal the oracle's reconstruction —
+    * a lost batch, a double-landed replay, or a drifted cursor all break
+    * the hash. Memoized like [[sinksFor]]; returns the sink dir. */
+  private val tailSinkMemo = new FixtureMemo[String]
+  private def tailSinkFor(spark: SparkSession, dir: String): String =
+    tailSinkMemo.getOrBuild((spark, dir)) {
+      val tdir = cdfSynthFor(spark, dir)
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "tail-" + java.util.UUID.randomUUID().toString).toString
+      val ckpt = base + "/ckpt"
+      val sink = base + "/sink"
+      val proc = graft.streaming.ChangeTail.parquetSink(sink)
+      def tail(endAt: Option[Long]): Unit = {
+        graft.streaming.ChangeTail.tailDeltaCdf(spark, tdir, ckpt, proc,
+          startFrom = 0L, endAt = endAt); ()
+      }
+      tail(Some(1L)) // batch 0: the DELETE commit
+      tail(Some(2L)) // batch 1: the UPDATE commit
+      // simulated restart: batch 1's commit marker is lost — the replay
+      // must land exactly once (the sink dir is already committed)
+      assert(new java.io.File(ckpt + "/commits/1").delete())
+      tail(Some(2L)) // replays batch 1, skips the landing, re-marks
+      tail(None) // batch 2: the MERGE commit (to the latest version)
+      sink
+    }(b => deleteTree(new java.io.File(b).getParentFile))
+
+  /** An Iceberg table whose second snapshot is a TRUNCATE-AND-REPLACE
+    * (`write(mode="overwrite")`) — the changelog must synthesize the
+    * dropped files' rows as deletes (whole-file removal carries no delete
+    * files at all). Memoized like [[sinksFor]]. */
+  private val ovwSinkMemo = new FixtureMemo[String]
+  private def ovwSinkFor(spark: SparkSession, dir: String): String =
+    ovwSinkMemo.getOrBuild((spark, dir)) {
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "ovw-" + java.util.UUID.randomUUID().toString).toString
+      val tdir = base + "/iceberg"
+      val orders = Tables.t(spark, dir, "orders")
+      graft.sources.IcebergWriter.write(
+        orders.filter("o_orderkey % 3 = 0"), tdir)
+      graft.sources.IcebergWriter.write(
+        orders.filter("o_orderkey % 3 <> 0"), tdir, mode = "overwrite")
+      tdir
+    }(b => deleteTree(new java.io.File(b).getParentFile))
+
   /** The [[dmlSinksFor]] sequence replayed in pure SQL (both formats'
     * oracles — the on-disk results must match it bit-for-bit). */
   private val dmlOracleSql: String =
@@ -753,6 +803,41 @@ object Relational {
     "q_delta_cdf_synth" -> ((spark, dir) => {
       val tdir = cdfSynthFor(spark, dir)
       graft.sources.DeltaCdf.loadChanges(spark, tdir, fromVersion = 0L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
+    // CDF TAILED through the checkpointing driver: the same synthesized
+    // stream, consumed as three micro-batches with a simulated restart in
+    // the middle, landed in the exactly-once sink — a lost batch, a
+    // double-landed replay, or a drifted cursor breaks the hash
+    "q_cdf_tail" -> ((spark, dir) => {
+      val sink = tailSinkFor(spark, dir)
+      graft.streaming.ChangeTail.readSink(spark, sink)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
+    // ICEBERG CHANGELOG across an EQUALITY-DELETE upsert (opt-in
+    // net-change mode): pre-images are parent-state rows of the
+    // below-sequence files matching the delete keys
+    "q_iceberg_changes_eq" -> ((spark, dir) => {
+      val tdir = eqSinkFor(spark, dir)
+      graft.sources.IcebergIncremental.changesBetween(spark, tdir, -1L,
+          equalityNetChanges = true)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
+    // ICEBERG CHANGELOG across a TRUNCATE-AND-REPLACE overwrite: the
+    // dropped files' rows synthesize as deletes via the parent live-file
+    // diff (no delete file exists to read them from)
+    "q_iceberg_changes_ovw" -> ((spark, dir) => {
+      val tdir = ovwSinkFor(spark, dir)
+      graft.sources.IcebergIncremental.changesBetween(spark, tdir, -1L)
         .groupBy(col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("o_totalprice"))).cast("double").as("total"))
@@ -1352,6 +1437,77 @@ object Relational {
         |  WHERE o_orderkey IN (SELECT o_orderkey FROM src)
         |  UNION ALL
         |  SELECT 'insert', o_totalprice FROM src
+        |)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the tailed sink holds exactly the synthesized change stream —
+    // batching, restart replay, and the exactly-once landing must be
+    // invisible in the aggregate
+    "q_cdf_tail" ->
+      """WITH afterdel AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        |), afterupd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    CASE WHEN o_orderstatus = 'P' THEN '9-MOVED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM afterdel
+        |), src AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    0.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 2
+        |), changes AS (
+        |  SELECT 'delete' AS change_type, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterupd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM src)
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM src
+        |)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // net-change changelog across the equality-delete upsert: the
+    // replaced keys' pre-image rows as deletes, both appends as inserts
+    "q_iceberg_changes_eq" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    0.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 2
+        |), changes AS (
+        |  SELECT 'insert' AS change_type, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM src
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM orders WHERE o_orderkey % 997 = 1
+        |)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // truncate-and-replace changelog: the first append in, then out
+    // again as synthesized whole-file deletes, the replacement in
+    "q_iceberg_changes_ovw" ->
+      """WITH changes AS (
+        |  SELECT 'insert' AS change_type, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
         |)
         |SELECT change_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

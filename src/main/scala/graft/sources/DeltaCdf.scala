@@ -44,10 +44,17 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   *
   * Scale shape: planning is driver-side metadata (the commit JSONs of the
   * range — the same order as any log replay); data reads are distributed
-  * parquet scans of ONLY the changed files, with per-file row-index sets
-  * riding as broadcast joins. DV deltas decode on the driver bounded by
-  * the range's changed-row cardinality — the set a CDF consumer is about
-  * to materialize anyway.
+  * parquet scans of ONLY the changed files. DV deltas are computed as
+  * (file, row) ANTI-JOINS of tombstone DataFrames whose decode site is
+  * picked from the descriptors' EXACT cardinality metadata — at or below
+  * `spark.graft.dvBroadcastRows` the bins decode on the driver and the
+  * joins broadcast (zero jobs, the loader's own comfort bound); past it
+  * the descriptors (tiny) ship to executors, each task decodes its own
+  * bins, and the joins shuffle. Neither the driver nor any single
+  * executor ever holds a big DML commit's changed-row set (review
+  * finding: the old path decoded every bin driver-side and broadcast the
+  * pairs — one commit deleting 1% of a 100 TB table via DVs would OOM
+  * the consumer's driver).
   *
   * Column-mapped tables are supported: files (data AND cdc) read the
   * PHYSICALIZED schema and project back to logical names, and
@@ -147,7 +154,9 @@ object DeltaCdf {
             org.apache.spark.sql.types.TimestampType))))
       return empty
     }
-    frames.reduce(_ unionByName _)
+    // pairwise: a thousand-commit range must not plan a thousand-deep
+    // union (review finding — DeltaWriter.unionTree's blow-up, same cure)
+    DistKit.unionTree(frames.toIndexedSeq)
   }
 
   // ---- per-commit change extraction ------------------------------------------
@@ -195,15 +204,6 @@ object DeltaCdf {
         val value = pv.getOrElse(DeltaLoader.physName(f), pv.getOrElse(c, null))
         acc.withColumn(c, lit(value).cast(f.dataType))
       }
-    def dvRows(node: JsonNode): Array[Long] =
-      Option(node).filterNot(_.isNull).map { d =>
-        DeltaCdcShim.parseDv(d) match {
-          case Some(desc) => DeletionVectors.read(
-            spark.sparkContext.hadoopConfiguration, dir, desc)
-          case None => Array.empty[Long]
-        }
-      }.getOrElse(Array.empty[Long])
-
     val cdcs = lines.flatMap(n => Option(n.get("cdc")).filterNot(_.isNull))
     if (cdcs.nonEmpty) {
       // protocol rule: when a commit carries cdc actions, they are the
@@ -221,68 +221,139 @@ object DeltaCdf {
     // synthesis from file actions — grouped so plan branches scale with
     // touched PARTITION TUPLES, not files: a DML commit touching 10k files
     // in one partition synthesizes as ONE grouped scan per (tuple, mode)
-    // with the (file, row) sets riding a broadcast join, not 10k unioned
-    // single-file scans (review finding)
+    // (review finding). An action MISSING `dataChange` reads as TRUE (the
+    // data-changing default): the protocol marks the field required, and a
+    // lenient external writer omitting it must surface its changes, not
+    // have them silently dropped from the feed (review finding — the old
+    // `.exists` filtered absent-field actions out as housekeeping).
+    def dataChanging(n: JsonNode): Boolean =
+      Option(n.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean(true))
     val adds = lines.flatMap(n => Option(n.get("add")).filterNot(_.isNull))
-      .filter(a => Option(a.get("dataChange")).exists(_.asBoolean(false)))
+      .filter(dataChanging)
     val removes = lines.flatMap(n => Option(n.get("remove")).filterNot(_.isNull))
-      .filter(r => Option(r.get("dataChange")).exists(_.asBoolean(false)))
+      .filter(dataChanging)
     val addByPath = adds.map(a => a.get("path").asText() -> a).toMap
     val removeByPath = removes.map(r => r.get("path").asText() -> r).toMap
     def scanKey(path: String): String = PartitionLayout.scanPathKey(abs(path))
+    def descOf(node: JsonNode): Option[DeletionVectors.Descriptor] =
+      DeltaCdcShim.parseDv(node.get("deletionVector"))
 
-    // (path, pv, row-index set) per mode
-    val swaps = Seq.newBuilder[(String, Map[String, String], Array[Long])]
-    val freshAdds = Seq.newBuilder[(String, Map[String, String], Array[Long])]
-    val fullRemoves = Seq.newBuilder[(String, Map[String, String], Array[Long])]
+    // (path, pv) slices per mode, with their DV descriptors kept AS
+    // DESCRIPTORS — decode happens inside [[dvTombstones]], site chosen
+    // from the exact cardinality metadata, never unconditionally on the
+    // driver (review finding)
+    val swaps = Seq.newBuilder[(String, Map[String, String],
+      Option[DeletionVectors.Descriptor], Option[DeletionVectors.Descriptor])]
+    val freshAdds = Seq.newBuilder[(String, Map[String, String],
+      Option[DeletionVectors.Descriptor])]
+    val fullRemoves = Seq.newBuilder[(String, Map[String, String],
+      Option[DeletionVectors.Descriptor])]
     addByPath.foreach { case (path, add) =>
       removeByPath.get(path) match {
         case Some(rm) =>
-          // DV swap: the delta between the bitmaps is this commit's deletes
-          val fresh = dvRows(add.get("deletionVector"))
-          val old = dvRows(rm.get("deletionVector")).toSet
-          val delta = fresh.filterNot(old)
-          if (delta.nonEmpty) swaps += ((path, pvOf(add), delta))
+          // DV swap: the delta between the bitmaps is this commit's
+          // deletes. No fresh DV means nothing newly doomed (bitmaps only
+          // grow on a live file) — skip the scan outright.
+          val fresh = descOf(add)
+          if (fresh.exists(_.cardinality > 0))
+            swaps += ((path, pvOf(add), fresh, descOf(rm)))
         case None =>
-          freshAdds += ((path, pvOf(add), dvRows(add.get("deletionVector"))))
+          freshAdds += ((path, pvOf(add), descOf(add)))
       }
     }
     removeByPath.foreach { case (path, rm) =>
       if (!addByPath.contains(path))
-        fullRemoves += ((path, pvOf(rm), dvRows(rm.get("deletionVector"))))
+        fullRemoves += ((path, pvOf(rm), descOf(rm)))
     }
+    val threshold = spark.conf.getOption("spark.graft.dvBroadcastRows")
+      .map(_.toLong).getOrElse(DeltaLoader.dvBroadcastRows)
 
-    /** One grouped scan per partition tuple: `include` joins the (file,
-      * row) pairs semi (row-level deltas), exclude mode anti-joins them
-      * (live rows of whole files). */
-    def grouped(slices: Seq[(String, Map[String, String], Array[Long])],
-                include: Boolean, ct: String): Seq[DataFrame] =
+    // swap deltas: (new DV) \ (old DV) over (file, row) — an anti-join of
+    // the two tombstone frames, the [[IcebergIncremental.changesBetween]]
+    // plan shape. Below the threshold both sides are broadcast-decoded and
+    // the delta re-broadcasts for the semi-join (tiny by construction);
+    // past it everything shuffles.
+    val swapsL = swaps.result()
+    val freshDvs = swapsL.flatMap { case (p, _, f, _) =>
+      f.map(d => (scanKey(p), d)) }
+    val oldDvs = swapsL.flatMap { case (p, _, _, o) =>
+      o.map(d => (scanKey(p), d)) }
+    val swapDelta: Option[DataFrame] =
+      dvTombstones(spark, dir, freshDvs, threshold).map { fresh =>
+        val delta = dvTombstones(spark, dir, oldDvs, threshold)
+          .fold(fresh)(old => fresh.join(old, Seq("__fp", "__ri"), "left_anti"))
+        if ((freshDvs.map(_._2.cardinality).sum +
+             oldDvs.map(_._2.cardinality).sum) <= threshold) broadcast(delta)
+        else delta
+      }
+    val addTombs = dvTombstones(spark, dir, freshAdds.result().flatMap {
+      case (p, _, d) => d.map(x => (scanKey(p), x)) }, threshold)
+    val removeTombs = dvTombstones(spark, dir, fullRemoves.result().flatMap {
+      case (p, _, d) => d.map(x => (scanKey(p), x)) }, threshold)
+
+    /** One grouped scan per partition tuple: `include` semi-joins the
+      * commit-wide tombstone frame (row-level deltas), exclude mode
+      * anti-joins it (live rows of whole files). The frame may cover other
+      * groups' files — non-matching rows simply don't join. */
+    def grouped(slices: Seq[(String, Map[String, String])],
+                tombs: Option[DataFrame], include: Boolean, ct: String)
+        : Seq[DataFrame] =
       slices.groupBy(_._2).map { case (pv, group) =>
-        val files = group.map(_._1)
         val scan = toLogical(
-          spark.read.schema(dataSchema).parquet(files.map(abs): _*)
+          spark.read.schema(dataSchema).parquet(group.map(g => abs(g._1)): _*)
             .withColumn("__fp", org.apache.spark.sql.functions.regexp_replace(
               col("_metadata.file_path"), "^file:/+", "/"))
             .withColumn("__ri", col("_metadata.row_index")),
           Seq("__fp", "__ri"))
-        val pairs = group.flatMap { case (p, _, ris) =>
-          val k = scanKey(p); ris.map(ri => (k, ri))
+        val joined = tombs match {
+          case None => if (include) scan.limit(0) else scan
+          case Some(t) => scan.join(t, Seq("__fp", "__ri"),
+            if (include) "left_semi" else "left_anti")
         }
-        val joined =
-          if (pairs.isEmpty) { if (include) scan.limit(0) else scan }
-          else {
-            import spark.implicits._
-            val idx = broadcast(pairs.toDF("__fp", "__ri"))
-            scan.join(idx, Seq("__fp", "__ri"),
-              if (include) "left_semi" else "left_anti")
-          }
         stamp(withPartitions(joined.drop("__fp", "__ri"), pv), Some(ct))
           .select(outputColumns(snap): _*)
       }.toSeq
 
-    grouped(swaps.result(), include = true, "delete") ++
-      grouped(freshAdds.result(), include = false, "insert") ++
-      grouped(fullRemoves.result(), include = false, "delete")
+    grouped(swapsL.map(s => (s._1, s._2)), swapDelta,
+        include = true, "delete") ++
+      grouped(freshAdds.result().map(s => (s._1, s._2)), addTombs,
+        include = false, "insert") ++
+      grouped(fullRemoves.result().map(s => (s._1, s._2)), removeTombs,
+        include = false, "delete")
+  }
+
+  /** The (file, row) tombstones of a DV set as a `(__fp, __ri)` DataFrame
+    * — `__fp` in the scan's path domain. Decode site picked from the
+    * descriptors' EXACT cardinality metadata (free, like the loader's):
+    * at or below `threshold` total rows the bins decode on the driver and
+    * the frame broadcasts; past it the DESCRIPTORS (tiny) ship to
+    * executors and each task decodes its own bins — the (file, row) pairs
+    * never ride the driver (review finding). */
+  private def dvTombstones(spark: SparkSession, dir: String,
+                           dvs: Seq[(String, DeletionVectors.Descriptor)],
+                           threshold: Long): Option[DataFrame] = {
+    if (dvs.isEmpty) return None
+    import spark.implicits._
+    val total = dvs.map(_._2.cardinality).sum
+    Some(if (total <= threshold) {
+      broadcast(dvs.flatMap { case (fp, d) =>
+        DeletionVectors.read(spark.sparkContext.hadoopConfiguration, dir, d)
+          .map(ri => (fp, ri))
+      }.toDF("__fp", "__ri"))
+    } else {
+      val entries = DistKit.confEntries(spark.sparkContext.hadoopConfiguration)
+      val uri = dir
+      val slices = math.min(dvs.size,
+        spark.sparkContext.defaultParallelism).max(1)
+      spark.createDataset(dvs.map { case (fp, d) =>
+          (fp, DeletionVectors.descriptorJson(d)) })
+        .repartition(slices)
+        .flatMap { case (fp, dj) =>
+          val conf = DistKit.rebuildConf(entries)
+          DeletionVectors.read(conf, uri,
+            DeletionVectors.parseDescriptorJson(dj)).iterator.map(ri => (fp, ri))
+        }.toDF("__fp", "__ri")
+    })
   }
 
   private def outputColumns(snap: DeltaLoader.Snapshot): Seq[Column] =

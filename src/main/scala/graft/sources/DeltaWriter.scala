@@ -969,16 +969,10 @@ object DeltaWriter {
       }
       // BALANCED union tree: a left-deep reduce over hundreds of
       // DV-bearing files makes Catalyst analysis quadratic-ish in plan
-      // depth (review finding); pairwise grouping keeps depth O(log n)
-      def unionTree(dfs: Seq[DataFrame]): DataFrame = {
-        // grouped(2) of an empty Seq is empty -> infinite recursion; only
-        // unreachable today via the small-nonEmpty early return above, but
-        // a latent trap for future callers (advisor finding)
-        require(dfs.nonEmpty, "unionTree needs at least one input")
-        if (dfs.size == 1) dfs.head
-        else unionTree(dfs.grouped(2).map(_.reduce(_ unionByName _)).toSeq)
-      }
-      val source = unionTree(plainDf ++ dvDfs)
+      // depth (review finding); pairwise grouping keeps depth O(log n) —
+      // hoisted to [[DistKit.unionTree]] so the incremental readers fold
+      // through the same tree
+      val source = DistKit.unionTree(plainDf ++ dvDfs)
       // repartition, NOT coalesce: coalesce just glues the small files'
       // existing imbalance back together one level up (the repo's own
       // Compaction operator documents the same trade; review finding).

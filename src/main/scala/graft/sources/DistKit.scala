@@ -136,6 +136,21 @@ private[graft] object DistKit {
     deleted
   }
 
+  /** BALANCED union: pairwise grouping keeps Catalyst plan depth O(log n).
+    * A left-deep `reduce(_ unionByName _)` over hundreds of frames makes
+    * analysis quadratic-ish in plan depth — the blow-up [[DeltaWriter]]'s
+    * compaction hit first; the incremental readers fold per-commit frames
+    * through the same tree so a thousand-commit change range plans flat
+    * (review finding: three call sites, two of which were linear). */
+  @annotation.tailrec
+  def unionTree(dfs: Seq[DataFrame]): DataFrame = {
+    // grouped(2) of an empty Seq is empty -> infinite recursion (advisor
+    // finding on the original nested copy)
+    require(dfs.nonEmpty, "unionTree needs at least one input")
+    if (dfs.size == 1) dfs.head
+    else unionTree(dfs.grouped(2).map(_.reduce(_ unionByName _)).toSeq)
+  }
+
   /** Run `f` over `items` through a bounded thread pool — independent
     * Spark jobs overlap instead of serializing. The first failure stops
     * the QUEUED items (no point paying for work whose commit will never

@@ -139,10 +139,30 @@ object IcebergIncremental {
     * per-snapshot delta is computed as (rows doomed at s) ANTI-JOIN (rows
     * doomed at s's parent) over the referenced files — which also makes
     * the v2→v3 migration commit read correctly (migrated old deletes
-    * subtract out). Equality deletes refuse loudly: their pre-images are
+    * subtract out). A snapshot that DROPS whole data files (an
+    * `overwrite` write replacing the table, an external engine's
+    * metadata-only whole-file delete) emits the dropped files' parent-
+    * state live rows as `delete` — detected by diffing the parent's live
+    * data-file set, which catches both manifest representations
+    * (status=2 entries AND manifests simply not carried forward; review
+    * finding: deletes were previously derived solely from ADDED delete
+    * files, so an overwrite synthesized inserts with no deletes — a
+    * silently wrong change stream). Updates surface as delete+insert (no
+    * pre/post correlation exists).
+    *
+    * Equality deletes refuse loudly by default: their pre-images are
     * keys, not rows — materializing them means scanning every older data
-    * file for matches, a full-table cost this changelog will not hide.
-    * Updates surface as delete+insert (no pre/post correlation exists).
+    * file for matches, a cost this changelog will not hide. Pass
+    * `equalityNetChanges=true` to opt in: pre-images are then computed as
+    * (parent live rows of data files with sequence strictly below the
+    * delete's) SEMI-JOIN (the delete files' key tuples, null-safe, newest
+    * sequence per tuple) — the same strictly-below rule the read path
+    * enforces ([[IcebergLoader.applyEqualityDeletes]]), restricted to the
+    * candidate files, distributed. That closes the loop
+    * [[IcebergDml.upsertByEquality]] opens: tables maintained by the
+    * zero-scan streaming upsert become changelog-consumable at the
+    * documented extra cost of scanning the below-sequence files once per
+    * eq-delete snapshot.
     *
     * Scale shape: planning is per-snapshot manifest metadata; inserts are
     * distributed scans of only the added files; each snapshot's delete
@@ -151,8 +171,9 @@ object IcebergIncremental {
     * reader uses. */
   def changesBetween(spark: SparkSession, dir: String,
                      fromSnapshotId: Long,
-                     toSnapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+                     toSnapshotId: Option[Long] = None,
+                     equalityNetChanges: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max}
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = IcebergLoader.currentMetadata(fs, dir)
     val snaps: Seq[JsonNode] = Option(meta.get("snapshots")).filterNot(_.isNull)
@@ -180,9 +201,22 @@ object IcebergIncremental {
     val outCols = schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
       Seq(col("_change_type"), col("_snapshot_id"), col("_commit_timestamp"))
 
+    // snapshot plans memoized per id: the parent-state legs below (file
+    // drops, DV diffs, eq-delete pre-images) re-plan the same snapshots —
+    // consecutive snapshots share their parent, so caching keeps the
+    // metadata walk O(range), not O(range^2)
+    val planCache = scala.collection.mutable.Map.empty[
+      Long, IcebergLoader.PlannedScan]
+    def planOf(node: JsonNode): IcebergLoader.PlannedScan =
+      planCache.getOrElseUpdate(node.get("snapshot-id").asLong(),
+        IcebergLoader.planSnapshot(fs, dir, meta, Some(node)))
+
     val frames = Seq.newBuilder[DataFrame]
     range.foreach { s =>
       val sid = s.get("snapshot-id").asLong()
+      val op = Option(s.get("summary")).filterNot(_.isNull)
+        .flatMap(x => Option(x.get("operation"))).map(_.asText())
+        .getOrElse("append")
       val ts = Option(s.get("timestamp-ms")).filterNot(_.isNull)
         .map(_.asLong()).getOrElse(0L)
       def stamp(df: DataFrame, ct: String): DataFrame = df
@@ -196,11 +230,13 @@ object IcebergIncremental {
       val added = Seq.newBuilder[String] // data files
       val posDeletes = Seq.newBuilder[(String, Long)] // (path, recorded bytes)
       val dvAdded = Seq.newBuilder[IcebergLoader.DvFile] // v3 merged DVs
+      val eqAdded = Seq.newBuilder[IcebergLoader.EqDeleteFile]
       IcebergLoader.readAvro(fs, new HPath(remap(listPath))).foreach { m =>
         val addedBy = Option(m.get("added_snapshot_id"))
           .map(_.asInstanceOf[Number].longValue()).getOrElse(-1L)
         if (addedBy == sid) {
           val mp = remap(String.valueOf(m.get("manifest_path")))
+          val mseq = IcebergLoader.longOr(m, "sequence_number", 0L)
           IcebergLoader.readAvro(fs, new HPath(mp)).foreach { e =>
             if (IcebergLoader.longOr(e, "status", 1L) == 1L) {
               val df = e.get("data_file").asInstanceOf[
@@ -228,15 +264,57 @@ object IcebergIncremental {
                   dvAdded += IcebergLoader.DvFile(fp, ref,
                     IcebergLoader.longOr(df, "content_offset", -1L),
                     IcebergLoader.longOr(df, "content_size_in_bytes", -1L))
-                case 2 => throw new IllegalArgumentException(
-                  s"changesBetween: snapshot $sid adds an equality-delete " +
-                    "file — its pre-images are keys, not rows (reading " +
-                    "them means scanning every older file for matches); " +
-                    "consume this table through full scans")
+                case 2 =>
+                  if (!equalityNetChanges) throw new IllegalArgumentException(
+                    s"changesBetween: snapshot $sid adds an equality-delete " +
+                      "file — its pre-images are keys, not rows (reading " +
+                      "them means scanning every below-sequence file for " +
+                      "matches); pass equalityNetChanges=true to pay that " +
+                      "scan, or consume this table through full scans")
+                  val ids = Option(df.getSchema.getField("equality_ids"))
+                    .flatMap(_ => Option(df.get("equality_ids")))
+                    .map(_.asInstanceOf[java.util.Collection[_]].asScala.toSeq
+                      .map(_.asInstanceOf[Number].intValue()))
+                    .getOrElse(Seq.empty)
+                  require(ids.nonEmpty, "changesBetween: equality delete " +
+                    s"file `$fp` carries no equality_ids")
+                  eqAdded += IcebergLoader.EqDeleteFile(fp,
+                    IcebergLoader.longOr(e, "sequence_number", mseq), ids)
                 case _ => ()
               }
             }
           }
+        }
+      }
+      // whole-file drops: an `overwrite` truncate-and-replace (or an
+      // external engine's metadata-only file delete) removes data files
+      // without adding any delete file — diff the PARENT's live data-file
+      // set and emit the dropped files' parent-state live rows as
+      // `delete` (review finding: deriving deletes solely from added
+      // delete files synthesized an overwrite as inserts with NO deletes).
+      // The diff catches both manifest representations — status=2 entries
+      // and manifests simply not carried forward. Appends never drop
+      // files, so the append-heavy common case pays no extra planning.
+      val parentNode = snaps.filter(p => seqOf(p) < seqOf(s)).sortBy(seqOf)
+        .lastOption
+      if (op != "append" && parentNode.isDefined) {
+        val sLive = planOf(s).dataFiles
+          .map(f => PartitionLayout.scanPathKey(f._1)).toSet
+        val pPlan = planOf(parentNode.get)
+        val removed = pPlan.dataFiles.filterNot(f =>
+          sLive(PartitionLayout.scanPathKey(f._1)))
+        if (removed.nonEmpty) {
+          val rmKeys = removed.map(f => PartitionLayout.scanPathKey(f._1)).toSet
+          // the parent's FULL delete state applies (pos-delete files may
+          // reference surviving files too — the joins drop non-matches);
+          // DVs restrict to the dropped files so no bin decodes for nothing
+          val restricted = pPlan.copy(dataFiles = removed,
+            deletionVectors = pPlan.deletionVectors.filter(d =>
+              rmKeys(PartitionLayout.scanPathKey(d.referencedDataFile))))
+          val tombs = IcebergLoader.positionTombstones(
+            spark, fs, dir, meta, restricted)
+          frames += stamp(IcebergLoader.scanLive(spark, schemaNode,
+            restricted, removed.map(_._1), tombs), "delete")
         }
       }
       val addedFiles = added.result().distinct
@@ -282,10 +360,8 @@ object IcebergIncremental {
           refFiles.map(p => (p, 0L)), Seq.empty, Seq.empty, dvs)
         val tombsS = IcebergLoader.positionTombstones(
           spark, fs, dir, meta, sPlan).get
-        val parent = snaps.filter(p => seqOf(p) < seqOf(s)).sortBy(seqOf)
-          .lastOption
-        val tombsP = parent.flatMap { p =>
-          val pp = IcebergLoader.planSnapshot(fs, dir, meta, Some(p))
+        val tombsP = parentNode.flatMap { p =>
+          val pp = planOf(p)
           IcebergLoader.positionTombstones(spark, fs, dir, meta, pp.copy(
             dataFiles = refFiles.map(x => (x, 0L)),
             // DVs for other files would decode for nothing
@@ -301,6 +377,58 @@ object IcebergIncremental {
           .join(delta, Seq("__graft_fp", "__graft_ri"), "left_semi")
           .drop("__graft_fp", "__graft_ri"), "delete")
       }
+      // equality-delete pre-images (opt-in): parent live rows of data
+      // files with sequence STRICTLY below the delete's, semi-joined to
+      // the delete files' key tuples null-safely with the newest sequence
+      // per tuple — the read path's D < S rule inverted ([[IcebergLoader
+      // .applyEqualityDeletes]]), so what this emits as `delete` is
+      // exactly what the next full scan stops returning
+      val eqs = eqAdded.result().distinctBy(_.path)
+      if (eqs.nonEmpty) {
+        val pPlan = parentNode.map(planOf).getOrElse(
+          IcebergLoader.PlannedScan(Seq.empty, Seq.empty, Seq.empty))
+        val maxEseq = eqs.map(_.seq).max
+        val cand = pPlan.dataFiles.filter(_._2 < maxEseq)
+        if (cand.nonEmpty) {
+          val candKeys = cand.map(f => PartitionLayout.scanPathKey(f._1)).toSet
+          val restricted = pPlan.copy(dataFiles = cand,
+            deletionVectors = pPlan.deletionVectors.filter(d =>
+              candKeys(PartitionLayout.scanPathKey(d.referencedDataFile))))
+          val tombs = IcebergLoader.positionTombstones(
+            spark, fs, dir, meta, restricted)
+          val base = IcebergLoader.scanLive(spark, schemaNode, restricted,
+            cand.map(_._1), tombs, keepIds = true)
+          // per-file data sequence rides a broadcast map, like the read path
+          val fileSeq = spark.createDataFrame(cand.map(p =>
+              org.apache.spark.sql.Row(
+                PartitionLayout.scanPathKey(p._1), p._2)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__graft_fp",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("__graft_dseq",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          val withSeq = base.join(broadcast(fileSeq), Seq("__graft_fp"), "left")
+          val idToName = IcebergLoader.fieldIdToName(schemaNode)
+          eqs.groupBy(_.equalityIds).foreach { case (ids, files) =>
+            val cols = ids.map(id => idToName.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"changesBetween: equality_ids field id $id is not a " +
+                  "top-level schema field")))
+            // per value tuple only the NEWEST tombstone matters for D < S
+            val dels = files.map(f =>
+                spark.read.parquet(f.path)
+                  .select(cols.map(c => col(s"`$c`")): _*)
+                  .withColumn("__graft_eseq", lit(f.seq)))
+              .reduce(_ unionByName _)
+              .groupBy(cols.map(c => col(s"`$c`")): _*)
+              .agg(max(col("__graft_eseq")).as("__graft_eseq"))
+            val cond = cols.map(c => withSeq(c) <=> dels(c)).reduce(_ && _) &&
+              dels("__graft_eseq") > withSeq("__graft_dseq")
+            frames += stamp(withSeq.join(broadcast(dels), cond, "left_semi")
+              .drop("__graft_fp", "__graft_ri", "__graft_dseq"), "delete")
+          }
+        }
+      }
     }
     val out = frames.result()
     if (out.isEmpty) {
@@ -314,7 +442,9 @@ object IcebergIncremental {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
     }
-    out.reduce(_ unionByName _)
+    // pairwise: a thousand-snapshot range must not plan a thousand-deep
+    // union (review finding — same cure as DeltaWriter/DeltaCdf)
+    DistKit.unionTree(out)
   }
 
   private def emptyLike(spark: SparkSession, meta: JsonNode,

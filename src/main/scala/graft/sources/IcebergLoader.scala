@@ -196,7 +196,7 @@ object IcebergLoader {
   private[sources] def sparkSchemaOf(schemaNode: JsonNode): StructType =
     toSparkType(schemaNode).asInstanceOf[StructType]
 
-  private def fieldIdToName(schemaNode: JsonNode): Map[Int, String] =
+  private[sources] def fieldIdToName(schemaNode: JsonNode): Map[Int, String] =
     schemaNode.get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
 

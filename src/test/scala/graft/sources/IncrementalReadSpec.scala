@@ -302,6 +302,58 @@ class IncrementalReadSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == 3, got.mkString(","))
   }
 
+  test("iceberg changesBetween: an overwrite's dropped files emit delete pre-images") {
+    val dir = newDir("graft_chg_ovw")
+    IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1), dir) // s1
+    // pre-doom a row: it must NOT resurrect in the overwrite's deletes
+    IcebergDml.deleteWhere(spark, dir, "id = 1") // s2
+    IcebergWriter.write(Seq((9L, "z")).toDF("id", "name"), dir,
+      mode = "overwrite") // s3: truncate-and-replace, drops files wholesale
+    val got = IcebergIncremental.changesBetween(spark, dir, -1L)
+      .select("id", "name", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "a", "insert"), (2L, "b", "insert"),
+      (1L, "a", "delete"), // s2's position delete
+      (2L, "b", "delete"), // s3: the ONLY row still live when dropped
+      (9L, "z", "insert")), got.mkString(","))
+  }
+
+  test("iceberg changesBetween: equality deletes opt into net-change pre-images") {
+    val dir = newDir("graft_chg_eq")
+    IcebergWriter.write(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "name").coalesce(1), dir)
+    val s0 = IcebergIncremental.currentSnapshotId(spark, dir)
+    IcebergDml.upsertByEquality(Seq((2L, "B"), (4L, "d")).toDF("id", "name"),
+      dir, Seq("id"))
+    // default still refuses, naming the opt-in
+    val e = intercept[IllegalArgumentException] {
+      IcebergIncremental.changesBetween(spark, dir, s0).count()
+    }
+    assert(e.getMessage.contains("equalityNetChanges"), e.getMessage)
+    val got = IcebergIncremental.changesBetween(spark, dir, s0,
+      equalityNetChanges = true)
+      .select("id", "name", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // the delete's pre-image is the ROW, not the key; the unmatched key 4
+    // contributes no delete
+    assert(got == Set(
+      (2L, "b", "delete"), (2L, "B", "insert"), (4L, "d", "insert")),
+      got.mkString(","))
+    // a SECOND upsert of the same key dooms the first upsert's row — the
+    // strictly-below sequence rule picks the parent-state image
+    val s1 = IcebergIncremental.currentSnapshotId(spark, dir)
+    IcebergDml.upsertByEquality(Seq((2L, "BB")).toDF("id", "name"),
+      dir, Seq("id"))
+    val got2 = IcebergIncremental.changesBetween(spark, dir, s1,
+      equalityNetChanges = true)
+      .select("id", "name", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got2 == Set((2L, "B", "delete"), (2L, "BB", "insert")),
+      got2.mkString(","))
+  }
+
   test("iceberg appendsBetween refuses DML snapshots unless told to skip") {
     val dir = newDir("graft_incr_dml")
     IcebergWriter.write((1L to 4L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
