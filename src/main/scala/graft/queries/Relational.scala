@@ -682,6 +682,30 @@ object Relational {
       sink
     }(b => deleteTree(new java.io.File(b).getParentFile))
 
+  /** The [[incrSinkFor]] Iceberg table tailed through
+    * [[graft.streaming.ChangeTail.tailIcebergAppends]] — snapshot-id
+    * cursor, a simulated crash-before-commit replay, the in-between
+    * compaction contributing nothing. Returns the sink dir. */
+  private val iceTailMemo = new FixtureMemo[String]
+  private def iceTailSinkFor(spark: SparkSession, dir: String): String =
+    iceTailMemo.getOrBuild((spark, dir)) {
+      val (tdir, s1) = incrSinkFor(spark, dir)
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "itail-" + java.util.UUID.randomUUID().toString).toString
+      val ckpt = base + "/ckpt"
+      val sink = base + "/sink"
+      val proc = graft.streaming.ChangeTail.parquetSink(sink)
+      def tail(): Unit = {
+        graft.streaming.ChangeTail.tailIcebergAppends(spark, tdir, ckpt,
+          proc, startFrom = s1); ()
+      }
+      tail() // one batch: both later appends (the replace snapshot skips)
+      // simulated restart: lost commit marker — replay must not re-land
+      assert(new java.io.File(ckpt + "/commits/0").delete())
+      tail()
+      sink
+    }(b => deleteTree(new java.io.File(b).getParentFile))
+
   /** An Iceberg table whose second snapshot is a TRUNCATE-AND-REPLACE
     * (`write(mode="overwrite")`) — the changelog must synthesize the
     * dropped files' rows as deletes (whole-file removal carries no delete
@@ -819,6 +843,17 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("change_type"))
+    }),
+    // ICEBERG APPENDS TAILED through the checkpointing driver: the
+    // incremental scan's rows landed exactly once across a simulated
+    // restart, the interleaved compaction contributing nothing
+    "q_iceberg_tail" -> ((spark, dir) => {
+      val sink = iceTailSinkFor(spark, dir)
+      graft.streaming.ChangeTail.readSink(spark, sink)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
     }),
     // ICEBERG CHANGELOG across an EQUALITY-DELETE upsert (opt-in
     // net-change mode): pre-images are parent-state rows of the
@@ -1477,6 +1512,12 @@ object Relational {
         |SELECT change_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the tailed iceberg sink = exactly the two later appends' rows
+    "q_iceberg_tail" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // net-change changelog across the equality-delete upsert: the
     // replaced keys' pre-image rows as deletes, both appends as inserts
     "q_iceberg_changes_eq" ->

@@ -32,7 +32,13 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   *  - add(path) paired with remove(path) in the same commit is a DV swap:
   *    the changed rows are (new DV) \ (old DV) of that file → `delete`
   *    (with pre-image values read from the file — the data bytes are
-  *    immutable, only the bitmap moved);
+  *    immutable, only the bitmap moved). A swap whose bitmap SHRANK is a
+  *    RESTORE (revert to an ancestor's DV): the un-doomed rows
+  *    (old DV) \ (new DV) re-enter the feed as `insert`. Per file the two
+  *    cannot mix — bitmaps only grow along a commit chain and a restore
+  *    reverts to an ancestor's subset, so one side is always contained in
+  *    the other and the EXACT cardinality metadata picks the direction
+  *    without decoding anything;
   *  - an unpaired add is a fresh file: its live rows (minus any DV the add
   *    carries) → `insert`;
   *  - an unpaired remove drops a whole file: its rows live at removal
@@ -251,12 +257,16 @@ object DeltaCdf {
     addByPath.foreach { case (path, add) =>
       removeByPath.get(path) match {
         case Some(rm) =>
-          // DV swap: the delta between the bitmaps is this commit's
-          // deletes. No fresh DV means nothing newly doomed (bitmaps only
-          // grow on a live file) — skip the scan outright.
+          // DV swap: the asymmetric bitmap delta is this commit's changes
+          // — grown (deletes) or shrunk (restore inserts); equal
+          // cardinality means an identical bitmap (one side always
+          // contains the other — see the synthesis rules), so the scan
+          // skips outright
           val fresh = descOf(add)
-          if (fresh.exists(_.cardinality > 0))
-            swaps += ((path, pvOf(add), fresh, descOf(rm)))
+          val old = descOf(rm)
+          if (fresh.map(_.cardinality).getOrElse(0L) !=
+              old.map(_.cardinality).getOrElse(0L))
+            swaps += ((path, pvOf(add), fresh, old))
         case None =>
           freshAdds += ((path, pvOf(add), descOf(add)))
       }
@@ -268,24 +278,36 @@ object DeltaCdf {
     val threshold = spark.conf.getOption("spark.graft.dvBroadcastRows")
       .map(_.toLong).getOrElse(DeltaLoader.dvBroadcastRows)
 
-    // swap deltas: (new DV) \ (old DV) over (file, row) — an anti-join of
-    // the two tombstone frames, the [[IcebergIncremental.changesBetween]]
-    // plan shape. Below the threshold both sides are broadcast-decoded and
-    // the delta re-broadcasts for the semi-join (tiny by construction);
-    // past it everything shuffles.
+    // swap deltas: (bigger DV) \ (smaller DV) over (file, row) — an
+    // anti-join of the two tombstone frames, the
+    // [[IcebergIncremental.changesBetween]] plan shape. Below the
+    // threshold both sides are broadcast-decoded and the delta
+    // re-broadcasts for the semi-join (tiny by construction); past it
+    // everything shuffles. Grown bitmaps feed the `delete` leg, shrunk
+    // ones (RESTORE commits) the `insert` leg — per file exactly one
+    // applies, decided from the descriptors' exact cardinalities.
+    def cardOf(d: Option[DeletionVectors.Descriptor]): Long =
+      d.map(_.cardinality).getOrElse(0L)
     val swapsL = swaps.result()
-    val freshDvs = swapsL.flatMap { case (p, _, f, _) =>
-      f.map(d => (scanKey(p), d)) }
-    val oldDvs = swapsL.flatMap { case (p, _, _, o) =>
-      o.map(d => (scanKey(p), d)) }
-    val swapDelta: Option[DataFrame] =
-      dvTombstones(spark, dir, freshDvs, threshold).map { fresh =>
-        val delta = dvTombstones(spark, dir, oldDvs, threshold)
-          .fold(fresh)(old => fresh.join(old, Seq("__fp", "__ri"), "left_anti"))
-        if ((freshDvs.map(_._2.cardinality).sum +
-             oldDvs.map(_._2.cardinality).sum) <= threshold) broadcast(delta)
+    val delSwaps = swapsL.filter(s => cardOf(s._3) > cardOf(s._4))
+    val insSwaps = swapsL.filter(s => cardOf(s._3) < cardOf(s._4))
+    def swapDeltaOf(slices: Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor], Option[DeletionVectors.Descriptor])],
+        grown: Boolean): Option[DataFrame] = {
+      val bigger = slices.flatMap { s =>
+        (if (grown) s._3 else s._4).map(d => (scanKey(s._1), d)) }
+      val smaller = slices.flatMap { s =>
+        (if (grown) s._4 else s._3).map(d => (scanKey(s._1), d)) }
+      dvTombstones(spark, dir, bigger, threshold).map { big =>
+        val delta = dvTombstones(spark, dir, smaller, threshold)
+          .fold(big)(small => big.join(small, Seq("__fp", "__ri"), "left_anti"))
+        if ((bigger.map(_._2.cardinality).sum +
+             smaller.map(_._2.cardinality).sum) <= threshold) broadcast(delta)
         else delta
       }
+    }
+    val swapDelete = swapDeltaOf(delSwaps, grown = true)
+    val swapRestore = swapDeltaOf(insSwaps, grown = false)
     val addTombs = dvTombstones(spark, dir, freshAdds.result().flatMap {
       case (p, _, d) => d.map(x => (scanKey(p), x)) }, threshold)
     val removeTombs = dvTombstones(spark, dir, fullRemoves.result().flatMap {
@@ -314,8 +336,10 @@ object DeltaCdf {
           .select(outputColumns(snap): _*)
       }.toSeq
 
-    grouped(swapsL.map(s => (s._1, s._2)), swapDelta,
+    grouped(delSwaps.map(s => (s._1, s._2)), swapDelete,
         include = true, "delete") ++
+      grouped(insSwaps.map(s => (s._1, s._2)), swapRestore,
+        include = true, "insert") ++
       grouped(freshAdds.result().map(s => (s._1, s._2)), addTombs,
         include = false, "insert") ++
       grouped(fullRemoves.result().map(s => (s._1, s._2)), removeTombs,

@@ -82,6 +82,35 @@ class CdfScaleSpec extends SparkSpec {
     assert(DeltaCdf.loadChanges(spark, dir, fromVersion = 1L).count() == 0L)
   }
 
+  test("CDF synthesis: a RESTORE-shaped swap (shrunk DV) re-inserts the un-doomed rows") {
+    val dir = newDir("graft_cdf_rst")
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .coalesce(1), dir) // v0
+    DeltaDml.deleteWhere(spark, dir, "id = 2") // v1: DV {row of id=2}
+    // doctor v2 as a RESTORE to v0: swap the DV'd add back to the bare
+    // v0 add (bitmap drops entirely) — the un-doomed row must re-enter
+    // the feed as an insert, not synthesize as nothing
+    val logDir = java.nio.file.Path.of(dir + "/_delta_log")
+    val v0add = Files.readString(logDir.resolve("00000000000000000000.json"))
+      .split('\n').find(_.contains("\"add\"")).get
+    val v1add = Files.readString(logDir.resolve("00000000000000000001.json"))
+      .split('\n').find(_.contains("\"add\"")).get
+    // the remove carries v1's DV (the state being reverted)
+    val v1remove = v1add.replaceFirst("\\{\"add\":", "{\"remove\":")
+    Files.writeString(logDir.resolve("00000000000000000002.json"),
+      s"""{"commitInfo":{"timestamp":3,"operation":"RESTORE","operationParameters":{}}}
+         |$v1remove
+         |$v0add
+         |""".stripMargin)
+    val d2 = DeltaCdf.loadChanges(spark, dir, fromVersion = 1L)
+    assert(changeSet(d2) == Set((2L, "b", "insert", 2L)))
+    // the full range reads coherently: inserted, deleted, re-inserted
+    assert(changeSet(DeltaCdf.loadChanges(spark, dir, -1L)) == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L), (3L, "c", "insert", 0L),
+      (2L, "b", "delete", 1L),
+      (2L, "b", "insert", 2L)))
+  }
+
   test("wide ranges plan flat: 64-commit Delta CDF + Iceberg changelog") {
     // 64 single-row commits per format — a left-deep union here would
     // already strain analysis; the pairwise tree keeps it O(log n) and the
