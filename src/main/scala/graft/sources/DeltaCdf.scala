@@ -291,20 +291,51 @@ object DeltaCdf {
     val swapsL = swaps.result()
     val delSwaps = swapsL.filter(s => cardOf(s._3) > cardOf(s._4))
     val insSwaps = swapsL.filter(s => cardOf(s._3) < cardOf(s._4))
+    // broadcast hints go on JOIN RIGHT SIDES ONLY, at the use site: a
+    // hint baked into the tombstone frame lands on the LEFT of the swap
+    // anti-join, where the only broadcast-capable anti-join is a
+    // NESTED-LOOP — O(old x new) row comparisons, a 20x regression at
+    // bench scale before it ever reaches 100 TB (review finding)
+    def bc(frame: (DataFrame, Long)): DataFrame =
+      if (frame._2 <= threshold) broadcast(frame._1) else frame._1
     def swapDeltaOf(slices: Seq[(String, Map[String, String],
         Option[DeletionVectors.Descriptor], Option[DeletionVectors.Descriptor])],
-        grown: Boolean): Option[DataFrame] = {
+        grown: Boolean): Option[(DataFrame, Long)] = {
+      if (slices.isEmpty) return None
       val bigger = slices.flatMap { s =>
         (if (grown) s._3 else s._4).map(d => (scanKey(s._1), d)) }
       val smaller = slices.flatMap { s =>
         (if (grown) s._4 else s._3).map(d => (scanKey(s._1), d)) }
-      dvTombstones(spark, dir, bigger, threshold).map { big =>
-        val delta = dvTombstones(spark, dir, smaller, threshold)
-          .fold(big)(small => big.join(small, Seq("__fp", "__ri"), "left_anti"))
-        if ((bigger.map(_._2.cardinality).sum +
-             smaller.map(_._2.cardinality).sum) <= threshold) broadcast(delta)
-        else delta
-      }
+      val bigCard = bigger.map(_._2.cardinality).sum
+      val smallCard = smaller.map(_._2.cardinality).sum
+      if (bigCard == 0L) None
+      else if (bigCard + smallCard <= threshold) {
+        // both bitmaps are driver-decode-sized: the delta comes from a
+        // sorted merge-walk per file (decoded row indexes are ascending),
+        // so the plan embeds only the TRUE changed rows — anti-joining
+        // two cumulative-bitmap local relations to extract a 100-row
+        // delta dominated the whole read (review finding)
+        import spark.implicits._
+        val conf = spark.sparkContext.hadoopConfiguration
+        val smallByKey = smaller.groupBy(_._1)
+        val pairs = bigger.flatMap { case (k, d) =>
+          val big = DeletionVectors.read(conf, dir, d)
+          val small = smallByKey.get(k)
+            .map(s => DeletionVectors.read(conf, dir, s.head._2))
+            .getOrElse(Array.empty[Long])
+          sortedMinus(big, small).map(ri => (k, ri))
+        }
+        if (pairs.isEmpty) None
+        else Some((pairs.toDF("__fp", "__ri"), pairs.size.toLong))
+      } else dvTombstones(spark, dir, bigger, threshold)
+        .map { case (big, _) =>
+          val delta = dvTombstones(spark, dir, smaller, threshold)
+            .fold(big)(small =>
+              big.join(bc(small), Seq("__fp", "__ri"), "left_anti"))
+          // the delta is at most the bigger bitmap — its cardinality
+          // bound rides along for the semi-join's broadcast decision
+          (delta, bigCard)
+        }
     }
     val swapDelete = swapDeltaOf(delSwaps, grown = true)
     val swapRestore = swapDeltaOf(insSwaps, grown = false)
@@ -317,53 +348,88 @@ object DeltaCdf {
       * commit-wide tombstone frame (row-level deltas), exclude mode
       * anti-joins it (live rows of whole files). The frame may cover other
       * groups' files — non-matching rows simply don't join. */
-    def grouped(slices: Seq[(String, Map[String, String])],
-                tombs: Option[DataFrame], include: Boolean, ct: String)
-        : Seq[DataFrame] =
-      slices.groupBy(_._2).map { case (pv, group) =>
-        val scan = toLogical(
-          spark.read.schema(dataSchema).parquet(group.map(g => abs(g._1)): _*)
-            .withColumn("__fp", org.apache.spark.sql.functions.regexp_replace(
-              col("_metadata.file_path"), "^file:/+", "/"))
-            .withColumn("__ri", col("_metadata.row_index")),
-          Seq("__fp", "__ri"))
-        val joined = tombs match {
-          case None => if (include) scan.limit(0) else scan
-          case Some(t) => scan.join(t, Seq("__fp", "__ri"),
-            if (include) "left_semi" else "left_anti")
+    /** ONE scan per synthesis mode — not per partition tuple. Partition
+      * values ride a tiny broadcast (file -> tuple) relation joined on
+      * `__fp`, so plan width per commit is the MODE count (≤4) and the
+      * tombstone relations stop multiplying by the table's partition
+      * count (review finding: the per-tuple union branches made Catalyst
+      * analysis the dominant cost of the read — 5+ driver seconds on a
+      * 6-tuple fixture). `include` semi-joins the tombstones (row-level
+      * deltas), exclude mode anti-joins them (live rows of whole files). */
+    def modeFrame(slices: Seq[(String, Map[String, String])],
+                  tombs: Option[(DataFrame, Long)], include: Boolean,
+                  ct: String): Seq[DataFrame] = {
+      if (slices.isEmpty || (include && tombs.isEmpty)) return Seq.empty
+      val scan = toLogical(
+        spark.read.schema(dataSchema).parquet(slices.map(g => abs(g._1)): _*)
+          .withColumn("__fp", org.apache.spark.sql.functions.regexp_replace(
+            col("_metadata.file_path"), "^file:/+", "/"))
+          .withColumn("__ri", col("_metadata.row_index")),
+        Seq("__fp", "__ri"))
+      val joined = tombs match {
+        case None => scan
+        case Some(t) => scan.join(bc(t), Seq("__fp", "__ri"),
+          if (include) "left_semi" else "left_anti")
+      }
+      val withPv =
+        if (snap.partitionColumns.isEmpty) joined
+        else {
+          val pvSchema = org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("__fp",
+              org.apache.spark.sql.types.StringType, nullable = false) +:
+            snap.partitionColumns.map(c => org.apache.spark.sql.types
+              .StructField("__pv_" + c,
+                org.apache.spark.sql.types.StringType, nullable = true)))
+          val rows = slices.map { case (p, pv) =>
+            org.apache.spark.sql.Row.fromSeq(
+              scanKey(p) +: snap.partitionColumns.map { c =>
+                val f = snap.schema(c)
+                // partitionValues keys are PHYSICAL under column mapping
+                pv.getOrElse(DeltaLoader.physName(f), pv.getOrElse(c, null))
+              })
+          }
+          val pvDf = spark.createDataFrame(rows.asJava, pvSchema)
+          snap.partitionColumns.foldLeft(
+            joined.join(broadcast(pvDf), Seq("__fp"))) { (acc, c) =>
+              acc.withColumn(c, col("__pv_" + c).cast(snap.schema(c).dataType))
+          }.drop(snap.partitionColumns.map("__pv_" + _): _*)
         }
-        stamp(withPartitions(joined.drop("__fp", "__ri"), pv), Some(ct))
-          .select(outputColumns(snap): _*)
-      }.toSeq
+      Seq(stamp(withPv.drop("__fp", "__ri"), Some(ct))
+        .select(outputColumns(snap): _*))
+    }
 
-    grouped(delSwaps.map(s => (s._1, s._2)), swapDelete,
+    modeFrame(delSwaps.map(s => (s._1, s._2)), swapDelete,
         include = true, "delete") ++
-      grouped(insSwaps.map(s => (s._1, s._2)), swapRestore,
+      modeFrame(insSwaps.map(s => (s._1, s._2)), swapRestore,
         include = true, "insert") ++
-      grouped(freshAdds.result().map(s => (s._1, s._2)), addTombs,
+      modeFrame(freshAdds.result().map(s => (s._1, s._2)), addTombs,
         include = false, "insert") ++
-      grouped(fullRemoves.result().map(s => (s._1, s._2)), removeTombs,
+      modeFrame(fullRemoves.result().map(s => (s._1, s._2)), removeTombs,
         include = false, "delete")
   }
 
   /** The (file, row) tombstones of a DV set as a `(__fp, __ri)` DataFrame
-    * — `__fp` in the scan's path domain. Decode site picked from the
-    * descriptors' EXACT cardinality metadata (free, like the loader's):
-    * at or below `threshold` total rows the bins decode on the driver and
-    * the frame broadcasts; past it the DESCRIPTORS (tiny) ship to
-    * executors and each task decodes its own bins — the (file, row) pairs
-    * never ride the driver (review finding). */
+    * — `__fp` in the scan's path domain — plus the EXACT total cardinality
+    * so call sites can make their own broadcast decisions. Decode site
+    * picked from the descriptors' cardinality metadata (free, like the
+    * loader's): at or below `threshold` total rows the bins decode on the
+    * driver (one small local relation, zero jobs); past it the
+    * DESCRIPTORS (tiny) ship to executors and each task decodes its own
+    * bins — the (file, row) pairs never ride the driver (review finding).
+    * NO broadcast hint is attached here: the frame lands on BOTH sides of
+    * the swap anti-join, and a hint on the left would force the planner's
+    * only broadcast-capable anti-join, a nested loop (review finding). */
   private def dvTombstones(spark: SparkSession, dir: String,
                            dvs: Seq[(String, DeletionVectors.Descriptor)],
-                           threshold: Long): Option[DataFrame] = {
+                           threshold: Long): Option[(DataFrame, Long)] = {
     if (dvs.isEmpty) return None
     import spark.implicits._
     val total = dvs.map(_._2.cardinality).sum
-    Some(if (total <= threshold) {
-      broadcast(dvs.flatMap { case (fp, d) =>
+    Some((if (total <= threshold) {
+      dvs.flatMap { case (fp, d) =>
         DeletionVectors.read(spark.sparkContext.hadoopConfiguration, dir, d)
           .map(ri => (fp, ri))
-      }.toDF("__fp", "__ri"))
+      }.toDF("__fp", "__ri")
     } else {
       val entries = DistKit.confEntries(spark.sparkContext.hadoopConfiguration)
       val uri = dir
@@ -377,7 +443,22 @@ object DeltaCdf {
           DeletionVectors.read(conf, uri,
             DeletionVectors.parseDescriptorJson(dj)).iterator.map(ri => (fp, ri))
         }.toDF("__fp", "__ri")
-    })
+    }, total))
+  }
+
+  /** a \ b over two ASCENDING row-index arrays (decoded DV order) — one
+    * linear walk, no boxing, no Set (advisor finding: toSet+filterNot
+    * boxed cumulative bitmaps on the driver). */
+  private def sortedMinus(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (b.isEmpty) return a
+    val out = Array.newBuilder[Long]
+    var i = 0; var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.result()
   }
 
   private def outputColumns(snap: DeltaLoader.Snapshot): Seq[Column] =
