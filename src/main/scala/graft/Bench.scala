@@ -42,13 +42,18 @@ object Bench {
     // saturate. An ABSOLUTE bound catches that: quiet records on this box
     // sit at loadavg ~1, polluted ones at 4.5+.
     def isLoaded(l: Double): Boolean = l / cpus > 0.5 || l > 2.0
+    // the 5-min window trips STRICTER than the 1-min one: a record taken
+    // at load5 1.99 (trip 2.0) still read byte-identical queries at 2-4x
+    // — the decay shadow extends below the 1-min trip point, and quiet
+    // records on this box sit at load5 0.3-0.8
+    def isLoaded5(l: Double): Boolean = l / cpus > 0.5 || l > 1.2
     // the quiet gate requires BOTH the 1-min AND the 5-min loadavg below
-    // the trip point: the 1-min figure alone passed boxes minutes after a
-    // heavy sbt-test burn, and those records inflated 1.5-3x diffusely
-    // (round-19 verdict #7 / SCALE.md round-18 note)
+    // their trip points: the 1-min figure alone passed boxes minutes
+    // after a heavy sbt-test burn, and those records inflated 1.5-3x
+    // diffusely (round-19 verdict #7 / SCALE.md round-18 note)
     sys.env.get("SPARK_GRAFT_BENCH_WAIT_QUIET").map(_.toInt).foreach { budget =>
       val deadline = System.nanoTime() + budget * 1000000000L
-      while ((isLoaded(loadAvg()) || isLoaded(loadAvg5())) &&
+      while ((isLoaded(loadAvg()) || isLoaded5(loadAvg5())) &&
              System.nanoTime() < deadline) {
         System.err.println(f"[bench] waiting for quiet box: loadavg " +
           f"${loadAvg()}%.1f (5m ${loadAvg5()}%.1f) / $cpus cpus")
@@ -59,7 +64,7 @@ object Bench {
     val load5Start = loadAvg5()
     // stamp loaded on EITHER window tripping — a bench taken in the decay
     // shadow of a test run is polluted evidence even at 1-min loadavg 0.5
-    val loaded = isLoaded(loadStart) || isLoaded(load5Start)
+    val loaded = isLoaded(loadStart) || isLoaded5(load5Start)
     // default 32: BASELINE.md's numbers were recorded at local[32] with
     // shuffle.partitions=32 — a lower default here benchmarks a different
     // machine shape than the baseline's (rounds 2-5 ran the driver's bench

@@ -210,6 +210,24 @@ object IcebergIncremental {
     def planOf(node: JsonNode): IcebergLoader.PlannedScan =
       planCache.getOrElseUpdate(node.get("snapshot-id").asLong(),
         IcebergLoader.planSnapshot(fs, dir, meta, Some(node)))
+    // manifest LISTS are read once per snapshot (one small avro each) —
+    // shared by the per-snapshot walk and the drop guard below
+    val listCache = scala.collection.mutable.Map.empty[
+      Long, Seq[org.apache.avro.generic.GenericRecord]]
+    def listOf(node: JsonNode): Seq[org.apache.avro.generic.GenericRecord] =
+      listCache.getOrElseUpdate(node.get("snapshot-id").asLong(), {
+        val sid = node.get("snapshot-id").asLong()
+        val lp = Option(node.get("manifest-list")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse(throw new IllegalArgumentException(
+            s"IcebergIncremental: snapshot $sid has no manifest-list (expired?)"))
+        IcebergLoader.readAvro(fs, new HPath(remap(lp)))
+      })
+    def dataManifestsOf(node: JsonNode): Set[String] = listOf(node).iterator
+      .filter { m =>
+        Option(m.getSchema.getField("content"))
+          .flatMap(_ => Option(m.get("content")))
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(0) == 0
+      }.map(m => String.valueOf(m.get("manifest_path"))).toSet
 
     val frames = Seq.newBuilder[DataFrame]
     range.foreach { s =>
@@ -224,14 +242,11 @@ object IcebergIncremental {
         .withColumn("_snapshot_id", lit(sid))
         .withColumn("_commit_timestamp", (lit(ts) / lit(1000.0)).cast("timestamp"))
         .select(outCols: _*)
-      val listPath = Option(s.get("manifest-list")).filterNot(_.isNull)
-        .map(_.asText()).getOrElse(throw new IllegalArgumentException(
-          s"IcebergIncremental: snapshot $sid has no manifest-list (expired?)"))
       val added = Seq.newBuilder[String] // data files
       val posDeletes = Seq.newBuilder[(String, Long)] // (path, recorded bytes)
       val dvAdded = Seq.newBuilder[IcebergLoader.DvFile] // v3 merged DVs
       val eqAdded = Seq.newBuilder[IcebergLoader.EqDeleteFile]
-      IcebergLoader.readAvro(fs, new HPath(remap(listPath))).foreach { m =>
+      listOf(s).foreach { m =>
         val addedBy = Option(m.get("added_snapshot_id"))
           .map(_.asInstanceOf[Number].longValue()).getOrElse(-1L)
         if (addedBy == sid) {
@@ -297,7 +312,15 @@ object IcebergIncremental {
       // files, so the append-heavy common case pays no extra planning.
       val parentNode = snaps.filter(p => seqOf(p) < seqOf(s)).sortBy(seqOf)
         .lastOption
-      if (op != "append" && parentNode.isDefined) {
+      // cheap no-drop proof FIRST: every parent DATA manifest carried
+      // VERBATIM into s means no data file was removed (dropping a file
+      // rewrites or omits the manifest that held it) — DML snapshots
+      // carry data manifests forward untouched, so the common case costs
+      // two cached manifest-LIST reads and never plans the parent (review
+      // finding: unconditional planSnapshot of s AND parent per DML
+      // snapshot tripled the changelog's metadata time)
+      if (op != "append" && parentNode.isDefined &&
+          !dataManifestsOf(parentNode.get).subsetOf(dataManifestsOf(s))) {
         val sLive = planOf(s).dataFiles
           .map(f => PartitionLayout.scanPathKey(f._1)).toSet
         val pPlan = planOf(parentNode.get)
