@@ -6,19 +6,21 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
-  /** 5-minute load average from /proc/loadavg (Linux; falls back to the
-    * 1-min figure elsewhere). Why it matters: the 1-min gate passes a box
-    * that JUST finished a heavy test run — its 1-min loadavg recovers in
-    * seconds while caches, dirty pages, and straggler kernel work still
-    * inflate queries 1.5-3x diffusely for minutes (SCALE.md round-18
-    * note: three closing-bench attempts invalidated exactly this way).
-    * The 5-min figure still remembers that burn. */
+  /** 5-minute load average from /proc/loadavg (Linux; -1 when the
+    * platform can't report one — NOT the 1-min figure, which would be
+    * judged against the stricter 5-min trip point and wedge the quiet
+    * gate on an idle non-Linux box; review finding). Why it matters: the
+    * 1-min gate passes a box that JUST finished a heavy test run — its
+    * 1-min loadavg recovers in seconds while caches, dirty pages, and
+    * straggler kernel work still inflate queries 1.5-3x diffusely for
+    * minutes (SCALE.md round-18 note: three closing-bench attempts
+    * invalidated exactly this way). The 5-min figure remembers the burn. */
   private def loadAvg5(): Double =
     try {
       val parts = java.nio.file.Files.readString(
         java.nio.file.Path.of("/proc/loadavg")).trim.split("\\s+")
       parts(1).toDouble
-    } catch { case _: Throwable => loadAvg() }
+    } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,7 +48,8 @@ object Bench {
     // at load5 1.99 (trip 2.0) still read byte-identical queries at 2-4x
     // — the decay shadow extends below the 1-min trip point, and quiet
     // records on this box sit at load5 0.3-0.8
-    def isLoaded5(l: Double): Boolean = l / cpus > 0.5 || l > 1.2
+    def isLoaded5(l: Double): Boolean =
+      l >= 0 && (l / cpus > 0.5 || l > 1.2) // -1 = unavailable, never trips
     // the quiet gate requires BOTH the 1-min AND the 5-min loadavg below
     // their trip points: the 1-min figure alone passed boxes minutes
     // after a heavy sbt-test burn, and those records inflated 1.5-3x

@@ -258,14 +258,20 @@ object DeltaCdf {
       removeByPath.get(path) match {
         case Some(rm) =>
           // DV swap: the asymmetric bitmap delta is this commit's changes
-          // — grown (deletes) or shrunk (restore inserts); equal
-          // cardinality means an identical bitmap (one side always
-          // contains the other — see the synthesis rules), so the scan
-          // skips outright
+          // — grown (deletes) or shrunk (restore inserts). Equal
+          // cardinality with the SAME stored vector is a no-op (skip the
+          // scan); equal cardinality with a DIFFERENT vector is a
+          // nonconforming writer's combined restore+delete — keep it and
+          // diff BOTH directions below rather than trusting the
+          // containment invariant (review finding: silently skipping it
+          // lost both the deletes and the re-inserts)
           val fresh = descOf(add)
           val old = descOf(rm)
+          val sameVector = fresh.map(d => (d.storageType, d.pathOrInlineDv,
+            d.offset)) == old.map(d => (d.storageType, d.pathOrInlineDv,
+            d.offset))
           if (fresh.map(_.cardinality).getOrElse(0L) !=
-              old.map(_.cardinality).getOrElse(0L))
+                old.map(_.cardinality).getOrElse(0L) || !sameVector)
             swaps += ((path, pvOf(add), fresh, old))
         case None =>
           freshAdds += ((path, pvOf(add), descOf(add)))
@@ -289,8 +295,11 @@ object DeltaCdf {
     def cardOf(d: Option[DeletionVectors.Descriptor]): Long =
       d.map(_.cardinality).getOrElse(0L)
     val swapsL = swaps.result()
-    val delSwaps = swapsL.filter(s => cardOf(s._3) > cardOf(s._4))
-    val insSwaps = swapsL.filter(s => cardOf(s._3) < cardOf(s._4))
+    // >= / <= : an equal-cardinality different-vector swap (nonconforming
+    // writer) rides BOTH legs — each direction's asymmetric diff yields
+    // its own changes; conforming swaps land in exactly one leg
+    val delSwaps = swapsL.filter(s => cardOf(s._3) >= cardOf(s._4))
+    val insSwaps = swapsL.filter(s => cardOf(s._3) <= cardOf(s._4))
     // broadcast hints go on JOIN RIGHT SIDES ONLY, at the use site: a
     // hint baked into the tombstone frame lands on the LEFT of the swap
     // anti-join, where the only broadcast-capable anti-join is a
@@ -344,10 +353,6 @@ object DeltaCdf {
     val removeTombs = dvTombstones(spark, dir, fullRemoves.result().flatMap {
       case (p, _, d) => d.map(x => (scanKey(p), x)) }, threshold)
 
-    /** One grouped scan per partition tuple: `include` semi-joins the
-      * commit-wide tombstone frame (row-level deltas), exclude mode
-      * anti-joins it (live rows of whole files). The frame may cover other
-      * groups' files — non-matching rows simply don't join. */
     /** ONE scan per synthesis mode — not per partition tuple. Partition
       * values ride a tiny broadcast (file -> tuple) relation joined on
       * `__fp`, so plan width per commit is the MODE count (≤4) and the

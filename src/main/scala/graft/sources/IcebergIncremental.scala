@@ -173,7 +173,7 @@ object IcebergIncremental {
                      fromSnapshotId: Long,
                      toSnapshotId: Option[Long] = None,
                      equalityNetChanges: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, max}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = IcebergLoader.currentMetadata(fs, dir)
     val snaps: Seq[JsonNode] = Option(meta.get("snapshots")).filterNot(_.isNull)
@@ -232,9 +232,6 @@ object IcebergIncremental {
     val frames = Seq.newBuilder[DataFrame]
     range.foreach { s =>
       val sid = s.get("snapshot-id").asLong()
-      val op = Option(s.get("summary")).filterNot(_.isNull)
-        .flatMap(x => Option(x.get("operation"))).map(_.asText())
-        .getOrElse("append")
       val ts = Option(s.get("timestamp-ms")).filterNot(_.isNull)
         .map(_.asLong()).getOrElse(0L)
       def stamp(df: DataFrame, ct: String): DataFrame = df
@@ -314,12 +311,16 @@ object IcebergIncremental {
         .lastOption
       // cheap no-drop proof FIRST: every parent DATA manifest carried
       // VERBATIM into s means no data file was removed (dropping a file
-      // rewrites or omits the manifest that held it) — DML snapshots
-      // carry data manifests forward untouched, so the common case costs
-      // two cached manifest-LIST reads and never plans the parent (review
-      // finding: unconditional planSnapshot of s AND parent per DML
-      // snapshot tripled the changelog's metadata time)
-      if (op != "append" && parentNode.isDefined &&
+      // rewrites or omits the manifest that held it) — DML and append
+      // snapshots carry data manifests forward untouched, so the common
+      // case costs two cached manifest-LIST reads and never plans the
+      // parent (review finding: unconditional planSnapshot of s AND
+      // parent per snapshot tripled the changelog's metadata time). The
+      // guard deliberately does NOT key on summary.operation: the summary
+      // is optional (v1 tables, minimal writers), and a file-dropping
+      // snapshot without one would read as "append" and bypass an
+      // op-keyed check entirely (review finding).
+      if (parentNode.isDefined &&
           !dataManifestsOf(parentNode.get).subsetOf(dataManifestsOf(s))) {
         val sLive = planOf(s).dataFiles
           .map(f => PartitionLayout.scanPathKey(f._1)).toSet
@@ -431,23 +432,12 @@ object IcebergIncremental {
               org.apache.spark.sql.types.StructField("__graft_dseq",
                 org.apache.spark.sql.types.LongType, nullable = false))))
           val withSeq = base.join(broadcast(fileSeq), Seq("__graft_fp"), "left")
-          val idToName = IcebergLoader.fieldIdToName(schemaNode)
+          // the reader's OWN D < S join, inverted to semi — one shared
+          // home for the rule ([[IcebergLoader.eqDeleteJoin]]; review
+          // finding: this leg shipped as a near-verbatim copy)
           eqs.groupBy(_.equalityIds).foreach { case (ids, files) =>
-            val cols = ids.map(id => idToName.getOrElse(id,
-              throw new IllegalArgumentException(
-                s"changesBetween: equality_ids field id $id is not a " +
-                  "top-level schema field")))
-            // per value tuple only the NEWEST tombstone matters for D < S
-            val dels = files.map(f =>
-                spark.read.parquet(f.path)
-                  .select(cols.map(c => col(s"`$c`")): _*)
-                  .withColumn("__graft_eseq", lit(f.seq)))
-              .reduce(_ unionByName _)
-              .groupBy(cols.map(c => col(s"`$c`")): _*)
-              .agg(max(col("__graft_eseq")).as("__graft_eseq"))
-            val cond = cols.map(c => withSeq(c) <=> dels(c)).reduce(_ && _) &&
-              dels("__graft_eseq") > withSeq("__graft_dseq")
-            frames += stamp(withSeq.join(broadcast(dels), cond, "left_semi")
+            frames += stamp(IcebergLoader.eqDeleteJoin(spark, withSeq,
+                schemaNode, ids, files, "left_semi")
               .drop("__graft_fp", "__graft_ri", "__graft_dseq"), "delete")
           }
         }

@@ -700,8 +700,6 @@ object IcebergLoader {
   private def applyEqualityDeletes(spark: SparkSession, df0: DataFrame,
                                    schemaNode: JsonNode,
                                    plan: PlannedScan): DataFrame = {
-    import org.apache.spark.sql.functions.{lit, max}
-    val idToName = fieldIdToName(schemaNode)
     // keyed in the scan's percent-encoded path domain, like every other
     // (file -> metadata) bridge (a raw-path key misses on space-bearing
     // partition dirs, nulling the sequence gate and resurrecting rows)
@@ -712,22 +710,37 @@ object IcebergLoader {
     val withSeq = df0.join(broadcast(fileSeq), Seq("__graft_fp"), "left")
     plan.equalityDeleteFiles.groupBy(_.equalityIds).foldLeft(withSeq) {
       case (acc, (ids, files)) =>
-        val cols = ids.map(id => idToName.getOrElse(id,
-          throw new IllegalArgumentException(
-            s"Iceberg reader: equality_ids field id $id is not a top-level " +
-              "schema field (nested equality deletes are not supported)")))
-        // one delete relation per distinct equality_ids set: per value
-        // tuple only the NEWEST tombstone matters for the D < S gate
-        val dels = files.map(f =>
-            spark.read.parquet(f.path)
-              .select(cols.map(c => col(s"`$c`")): _*)
-              .withColumn("__graft_eseq", lit(f.seq)))
-          .reduce(_ unionByName _)
-          .groupBy(cols.map(c => col(s"`$c`")): _*)
-          .agg(max(col("__graft_eseq")).as("__graft_eseq"))
-        val cond = cols.map(c => acc(c) <=> dels(c)).reduce(_ && _) &&
-          dels("__graft_eseq") > acc("__graft_dseq")
-        acc.join(broadcast(dels), cond, "left_anti")
+        eqDeleteJoin(spark, acc, schemaNode, ids, files, "left_anti")
     }
+  }
+
+  /** Join `acc` (rows carrying `__graft_dseq`) against ONE equality_ids
+    * group's delete files: null-safe match on the id-named columns AND
+    * the delete's data sequence strictly above the row's, per value tuple
+    * only the NEWEST tombstone. `left_anti` is the reader's delete
+    * application; `left_semi` is the changelog's pre-image extraction
+    * ([[IcebergIncremental.changesBetween]]) — ONE home for the D < S
+    * rule so the two cannot drift (review finding: the changelog shipped
+    * a near-verbatim copy). */
+  private[sources] def eqDeleteJoin(spark: SparkSession, acc: DataFrame,
+                                    schemaNode: JsonNode, ids: Seq[Int],
+                                    files: Seq[EqDeleteFile],
+                                    joinType: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, max}
+    val idToName = fieldIdToName(schemaNode)
+    val cols = ids.map(id => idToName.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"Iceberg reader: equality_ids field id $id is not a top-level " +
+          "schema field (nested equality deletes are not supported)")))
+    val dels = files.map(f =>
+        spark.read.parquet(f.path)
+          .select(cols.map(c => col(s"`$c`")): _*)
+          .withColumn("__graft_eseq", lit(f.seq)))
+      .reduce(_ unionByName _)
+      .groupBy(cols.map(c => col(s"`$c`")): _*)
+      .agg(max(col("__graft_eseq")).as("__graft_eseq"))
+    val cond = cols.map(c => acc(c) <=> dels(c)).reduce(_ && _) &&
+      dels("__graft_eseq") > acc("__graft_dseq")
+    acc.join(broadcast(dels), cond, joinType)
   }
 }

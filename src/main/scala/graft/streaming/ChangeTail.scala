@@ -128,7 +128,12 @@ object ChangeTail {
   def tailDeltaCdf(spark: SparkSession, tableDir: String,
                    checkpointDir: String,
                    process: (DataFrame, Batch) => Unit,
-                   startFrom: Long = 0L,
+                   /** -1 = from table creation (v0's rows included) — the
+                     * same sentinel as the Iceberg faces; a consumer that
+                     * already holds the v0 state passes 0 (review
+                     * finding: a 0 default silently excluded the initial
+                     * load from fresh consumers). */
+                   startFrom: Long = -1L,
                    endAt: Option[Long] = None): Option[Batch] =
     poll(spark, checkpointDir,
       () => endAt.getOrElse(
@@ -183,16 +188,22 @@ object ChangeTail {
   }
 
   /** Read back everything [[parquetSink]] COMMITTED (dirs bearing
-    * `_SUCCESS`; a torn dir from a crash mid-write is invisible). */
+    * `_SUCCESS`; a torn dir from a crash mid-write is invisible). A
+    * committed batch of an all-housekeeping range writes `_SUCCESS` with
+    * no part files — those dirs are skipped, not fed to the reader
+    * (review finding: an empty dir turned into an unrelated
+    * cannot-infer-schema error). */
   def readSink(spark: SparkSession, sinkDir: String): DataFrame = {
     val root = new HPath(sinkDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .filter(st => fs.exists(new HPath(st.getPath, "_SUCCESS")))
+      .filter(st => fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
       .map(_.getPath.toString)
     require(committed.nonEmpty, s"ChangeTail.readSink: no committed " +
-      s"batches under `$sinkDir`")
+      s"batch under `$sinkDir` holds any rows yet")
     spark.read.parquet(committed: _*)
   }
 

@@ -111,6 +111,47 @@ class CdfScaleSpec extends SparkSpec {
       (2L, "b", "insert", 2L)))
   }
 
+  test("CDF synthesis: an equal-cardinality different-vector swap diffs both ways") {
+    val dir = newDir("graft_cdf_eqc")
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .coalesce(1), dir) // v0: row indexes 0,1,2 in insertion order
+    DeltaDml.deleteWhere(spark, dir, "id = 1") // v1: DV {0}
+    // doctor v2: swap to a same-cardinality DIFFERENT bitmap {2} — a
+    // nonconforming writer's combined restore+delete in one commit; the
+    // containment invariant does not hold, so BOTH asymmetric diffs must
+    // surface instead of the swap being skipped on equal cardinality
+    val logDir = java.nio.file.Path.of(dir + "/_delta_log")
+    val v1add = Files.readString(logDir.resolve("00000000000000000001.json"))
+      .split('\n').find(_.contains("\"add\"")).get
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bytes = DeletionVectors.serializeBitmapArray(Array(2L))
+    // Z85 works in 4-byte groups: pad for encoding, sizeInBytes trims
+    val padded = java.util.Arrays.copyOf(bytes, (bytes.length + 3) / 4 * 4)
+    val dvNode = mapper.createObjectNode()
+    dvNode.put("storageType", "i")
+    dvNode.put("pathOrInlineDv", DeletionVectors.z85Encode(padded))
+    dvNode.put("sizeInBytes", bytes.length)
+    dvNode.put("cardinality", 1L)
+    val rmLine = mapper.readTree(v1add)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    rmLine.set("remove", rmLine.remove("add"))
+    val addLine = mapper.readTree(v1add)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    addLine.get("add")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set("deletionVector", dvNode)
+    Files.writeString(logDir.resolve("00000000000000000002.json"),
+      s"""{"commitInfo":{"timestamp":5,"operation":"REPAIR","operationParameters":{}}}
+         |${mapper.writeValueAsString(rmLine)}
+         |${mapper.writeValueAsString(addLine)}
+         |""".stripMargin)
+    val d2 = DeltaCdf.loadChanges(spark, dir, fromVersion = 1L)
+    assert(changeSet(d2) == Set(
+      (3L, "c", "delete", 2L), // newly doomed by the different bitmap
+      (1L, "a", "insert", 2L)), // un-doomed by it
+      changeSet(d2).mkString(","))
+  }
+
   test("wide ranges plan flat: 64-commit Delta CDF + Iceberg changelog") {
     // 64 single-row commits per format — a left-deep union here would
     // already strain analysis; the pairwise tree keeps it O(log n) and the

@@ -310,14 +310,31 @@ class IncrementalReadSpec extends SparkSpec {
     IcebergDml.deleteWhere(spark, dir, "id = 1") // s2
     IcebergWriter.write(Seq((9L, "z")).toDF("id", "name"), dir,
       mode = "overwrite") // s3: truncate-and-replace, drops files wholesale
-    val got = IcebergIncremental.changesBetween(spark, dir, -1L)
-      .select("id", "name", "_change_type").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    assert(got == Set(
+    val expected = Set(
       (1L, "a", "insert"), (2L, "b", "insert"),
       (1L, "a", "delete"), // s2's position delete
       (2L, "b", "delete"), // s3: the ONLY row still live when dropped
-      (9L, "z", "insert")), got.mkString(","))
+      (9L, "z", "insert"))
+    def changes(): Set[(Long, String, String)] =
+      IcebergIncremental.changesBetween(spark, dir, -1L)
+        .select("id", "name", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(changes() == expected)
+    // the snapshot SUMMARY is optional (v1 tables, minimal writers) — a
+    // file-dropping snapshot without one must still emit its deletes:
+    // the drop guard keys on the manifest-list diff, never on
+    // summary.operation (review finding)
+    val mf = new java.io.File(dir + "/metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(mf.toPath))
+    meta.get("snapshots").forEach { s =>
+      s.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .remove("summary"); ()
+    }
+    Files.writeString(mf.toPath, mapper.writeValueAsString(meta))
+    new java.io.File(mf.getParent, "." + mf.getName + ".crc").delete()
+    assert(changes() == expected, "summary-less snapshots must keep their deletes")
   }
 
   test("iceberg changesBetween: equality deletes opt into net-change pre-images") {

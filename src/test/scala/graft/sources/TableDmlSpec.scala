@@ -301,8 +301,11 @@ class TableDmlSpec extends SparkSpec {
       .filter(_.getName.endsWith(".json")).map(_.getName).max
     val commitText = Files.readString(
       java.nio.file.Path.of(dir + "/_delta_log/" + lastCommit))
+    // match the new file by its PARTITION DIR, not a bare "d9" — a
+    // parquet filename's random uuid can contain "d9" and grab the old
+    // file's DV-swap add instead (seen once in CI: part-...11a816d9-...)
     val newAdd = commitText.split('\n')
-      .filter(l => l.contains("\"add\"") && l.contains("d9")).head
+      .filter(l => l.contains("\"add\"") && l.contains("col-ds=d9")).head
     assert(newAdd.contains("\"col-ds\":\"d9\""),
       s"partitionValues keys must be PHYSICAL under column mapping: $newAdd")
     assert(newAdd.contains("col-v") && !newAdd.contains("\"v\":"),

@@ -74,6 +74,46 @@ class ChangeTailSpec extends SparkSpec {
       .contains((4L, "d", "insert")))
   }
 
+  test("iceberg changes tail: the row-level changelog lands through the driver") {
+    val base = newBase("graft_tail_ic")
+    val table = base + "/t"
+    val ckpt = base + "/ckpt"
+    val sink = base + "/sink"
+    IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1), table)
+    graft.sources.IcebergDml.deleteWhere(spark, table, "id = 1")
+    val proc = ChangeTail.parquetSink(sink)
+    assert(ChangeTail.tailIcebergChanges(spark, table, ckpt, proc).isDefined)
+    assert(rows(ChangeTail.readSink(spark, sink)) == Set(
+      (1L, "a", "insert"), (2L, "b", "insert"), (1L, "a", "delete")))
+    assert(ChangeTail.tailIcebergChanges(spark, table, ckpt, proc).isEmpty)
+  }
+
+  test("drain: batch-per-poll until dry, maxBatches honored") {
+    val base = newBase("graft_tail_dr")
+    val table = base + "/t"
+    val ckpt = base + "/ckpt"
+    val sink = base + "/sink"
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), table) // v0
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "name"), table) // v1
+    val proc = ChangeTail.parquetSink(sink)
+    def end(): Long = graft.sources.DeltaLoader.snapshot(spark, table).version
+    def load(f: Long, t: Long) =
+      graft.sources.DeltaCdf.loadChanges(spark, table, f, Some(t))
+    // maxBatches = 0: nothing consumed, nothing planned
+    assert(ChangeTail.drain(spark, ckpt, () => end(), load, -1L, proc,
+      maxBatches = 0).isEmpty)
+    // one drain consumes the whole backlog (one batch to the current
+    // end), then reports dry
+    val drained = ChangeTail.drain(spark, ckpt, () => end(), load, -1L, proc)
+    assert(drained.map(b => (b.from, b.to)) == Seq((-1L, 1L)))
+    assert(ChangeTail.drain(spark, ckpt, () => end(), load, -1L, proc).isEmpty)
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "name"), table) // v2
+    val more = ChangeTail.drain(spark, ckpt, () => end(), load, -1L, proc)
+    assert(more.map(b => (b.from, b.to)) == Seq((1L, 2L)))
+    assert(ChangeTail.readSink(spark, sink).count() == 3L)
+  }
+
   test("iceberg appends tail: snapshot-id cursor, one batch per poll") {
     val base = newBase("graft_tail_i")
     val table = base + "/t"
