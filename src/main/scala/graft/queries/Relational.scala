@@ -832,6 +832,24 @@ object Relational {
           sum(dec2(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("change_type"))
     }),
+    // CDF SYNTHESIS, SHUFFLE LEG: the same stream with the DV decode
+    // threshold zeroed — descriptors ship to executors, each task decodes
+    // its own bins, and the swap deltas anti-join with shuffles (the
+    // 100 TB plan shape, under the DuckDB oracle and not just the parity
+    // spec). The threshold is read at PLAN time, so the unset after
+    // construction is safe; the conf guard restores the default even if
+    // planning throws.
+    "q_delta_cdf_synth_dist" -> ((spark, dir) => {
+      val tdir = cdfSynthFor(spark, dir)
+      try {
+        spark.conf.set("spark.graft.dvBroadcastRows", "0")
+        graft.sources.DeltaCdf.loadChanges(spark, tdir, fromVersion = 0L)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy(col("change_type"))
+      } finally spark.conf.unset("spark.graft.dvBroadcastRows")
+    }),
     // CDF TAILED through the checkpointing driver: the same synthesized
     // stream, consumed as three micro-batches with a simulated restart in
     // the middle, landed in the exactly-once sink — a lost batch, a
@@ -1444,6 +1462,40 @@ object Relational {
     // synthesized change stream: updates legitimately surface as
     // delete+insert (no cdc files to correlate pre/post images)
     "q_delta_cdf_synth" ->
+      """WITH afterdel AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        |), afterupd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    CASE WHEN o_orderstatus = 'P' THEN '9-MOVED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM afterdel
+        |), src AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    0.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 2
+        |), changes AS (
+        |  SELECT 'delete' AS change_type, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM afterdel WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'delete', o_totalprice FROM afterupd
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM src)
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM src
+        |)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the shuffle leg reads the SAME stream — identical oracle
+    "q_delta_cdf_synth_dist" ->
       """WITH afterdel AS (
         |  SELECT * FROM orders
         |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
