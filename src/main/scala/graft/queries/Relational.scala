@@ -841,6 +841,10 @@ object Relational {
     // planning throws.
     "q_delta_cdf_synth_dist" -> ((spark, dir) => {
       val tdir = cdfSynthFor(spark, dir)
+      // restore the PRE-EXISTING value, not a blanket unset — a
+      // harness-provided threshold must survive this query (review
+      // finding: unset discarded any user/driver-set knob)
+      val prev = spark.conf.getOption("spark.graft.dvBroadcastRows")
       try {
         spark.conf.set("spark.graft.dvBroadcastRows", "0")
         graft.sources.DeltaCdf.loadChanges(spark, tdir, fromVersion = 0L)
@@ -848,7 +852,10 @@ object Relational {
           .agg(count(lit(1)).as("n"),
             sum(dec2(col("o_totalprice"))).cast("double").as("total"))
           .orderBy(col("change_type"))
-      } finally spark.conf.unset("spark.graft.dvBroadcastRows")
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.dvBroadcastRows", v)
+        case None => spark.conf.unset("spark.graft.dvBroadcastRows")
+      }
     }),
     // CDF TAILED through the checkpointing driver: the same synthesized
     // stream, consumed as three micro-batches with a simulated restart in

@@ -38,6 +38,34 @@ object IcebergIncremental {
       .map(_.asLong()).getOrElse(-1L)
   }
 
+  /** The snapshot id at most `steps` snapshots (by sequence order) past
+    * `fromId` on the way to `endId` — [[graft.streaming.ChangeTail]]'s
+    * backlog chopper for snapshot-id cursors (ids are random longs, so
+    * chopping walks the table's snapshot list rather than doing
+    * arithmetic). `fromId = -1` means "before the first snapshot".
+    * Metadata-only: one JSON read, no manifests touched. */
+  def chopEnd(spark: SparkSession, dir: String, fromId: Long, endId: Long,
+              steps: Int): Long = {
+    require(steps > 0, s"chopEnd: steps must be positive, got $steps")
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergLoader.currentMetadata(fs, dir)
+    val snaps: Seq[JsonNode] = Option(meta.get("snapshots")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    def seqOf(s: JsonNode): Long =
+      Option(s.get("sequence-number")).filterNot(_.isNull).map(_.asLong())
+        .getOrElse(0L)
+    def seqOfId(id: Long): Long =
+      snaps.find(_.get("snapshot-id").asLong() == id).map(seqOf)
+        .getOrElse(throw new IllegalArgumentException(
+          s"chopEnd: snapshot $id not found in `$dir`"))
+    val fromSeq = if (fromId == -1L) -1L else seqOfId(fromId)
+    val endSeq = seqOfId(endId)
+    val range = snaps.filter(s => seqOf(s) > fromSeq && seqOf(s) <= endSeq)
+      .sortBy(seqOf)
+    range.take(steps).lastOption
+      .map(_.get("snapshot-id").asLong()).getOrElse(endId)
+  }
+
   /** Rows appended strictly AFTER `fromSnapshotId` up to and including
     * `toSnapshotId` (defaults: current snapshot). `fromSnapshotId = -1`
     * means "from the beginning" (every append since table creation). */

@@ -114,6 +114,138 @@ class ChangeTailSpec extends SparkSpec {
     assert(ChangeTail.readSink(spark, sink).count() == 3L)
   }
 
+  test("invalid range throws BEFORE the offsets marker persists (no wedge)") {
+    val base = newBase("graft_tail_val")
+    val table = base + "/t"
+    val ckpt = base + "/ckpt"
+    val sink = base + "/sink"
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), table) // v0
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "name"), table) // v1
+    val proc = ChangeTail.parquetSink(sink)
+    assert(ChangeTail.tailDeltaCdf(spark, table, ckpt, proc,
+      startFrom = -1L, endAt = Some(1L)).isDefined)
+    // a STALE endAt below the cursor: load validation trips loadChanges'
+    // own require — the poll must throw WITHOUT pinning the bad range
+    intercept[IllegalArgumentException] {
+      ChangeTail.tailDeltaCdf(spark, table, ckpt, proc,
+        startFrom = -1L, endAt = Some(0L))
+    }
+    assert(!new java.io.File(ckpt + "/offsets/1").exists(),
+      "a failed range validation must not persist an offsets marker")
+    // the checkpoint is NOT wedged: a sane poll proceeds normally
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "name"), table) // v2
+    val b = ChangeTail.tailDeltaCdf(spark, table, ckpt, proc,
+      startFrom = -1L).get
+    assert((b.from, b.to) == (1L, 2L))
+  }
+
+  test("WAL retention: markers beyond tailWalRetain are retired, resume intact") {
+    val base = newBase("graft_tail_ret")
+    val table = base + "/t"
+    val ckpt = base + "/ckpt"
+    val sink = base + "/sink"
+    spark.conf.set("spark.graft.tailWalRetain", "3")
+    try {
+      (0 until 7).foreach { i =>
+        DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), table)
+      }
+      val proc = ChangeTail.parquetSink(sink)
+      // one version per batch -> 8 batches for versions (-1, 6]
+      val drained = ChangeTail.drain(spark, ckpt,
+        () => graft.sources.DeltaLoader.snapshot(spark, table).version,
+        (f, t) => graft.sources.DeltaCdf.loadChanges(spark, table, f, Some(t)),
+        -1L, proc,
+        chop = Some((f: Long, e: Long) => math.min(f + 1, e)))
+      assert(drained.size == 7)
+      def names(d: String): Set[String] =
+        Option(new java.io.File(ckpt + "/" + d).list()).map(_.toSet)
+          .getOrElse(Set.empty)
+      assert(names("offsets").flatMap(_.toLongOption).size == 3,
+        s"offsets WAL must hold the retained window only: ${names("offsets")}")
+      assert(names("commits").flatMap(_.toLongOption).size == 3)
+      // the cursor survives retention: nothing new -> None; a new commit
+      // resumes from the retained tail
+      assert(ChangeTail.tailDeltaCdf(spark, table, ckpt, proc).isEmpty)
+      DeltaWriter.write(Seq((99L, "z")).toDF("id", "name"), table)
+      val b = ChangeTail.tailDeltaCdf(spark, table, ckpt, proc).get
+      assert((b.from, b.to) == (6L, 7L))
+      assert(rows(ChangeTail.readSink(spark, sink))
+        .contains((99L, "z", "insert")))
+    } finally spark.conf.unset("spark.graft.tailWalRetain")
+  }
+
+  test("catch-up chopping: 100-commit backlog, cap 10 -> 10 batches, sink equality") {
+    val base = newBase("graft_tail_chop")
+    val table = base + "/t"
+    // one 100-version history: v0..v99, one row each
+    (0 until 100).foreach { i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name")
+        .coalesce(1), table)
+    }
+    def end(): Long = graft.sources.DeltaLoader.snapshot(spark, table).version
+    def load(f: Long, t: Long) =
+      graft.sources.DeltaCdf.loadChanges(spark, table, f, Some(t))
+    // capped: 10 batches of 10 versions
+    val capped = ChangeTail.drain(spark, base + "/ckptA", () => end(), load,
+      -1L, ChangeTail.parquetSink(base + "/sinkA"),
+      chop = Some((f: Long, e: Long) => math.min(f + 10, e)))
+    assert(capped.size == 10)
+    assert(capped.map(b => (b.from, b.to)).head == (-1L, 9L))
+    assert(capped.map(b => (b.from, b.to)).last == (89L, 99L))
+    // uncapped: one giant batch — same landed content
+    val uncapped = ChangeTail.drain(spark, base + "/ckptB", () => end(), load,
+      -1L, ChangeTail.parquetSink(base + "/sinkB"))
+    assert(uncapped.size == 1)
+    val a = rows(ChangeTail.readSink(spark, base + "/sinkA"))
+    val b = rows(ChangeTail.readSink(spark, base + "/sinkB"))
+    assert(a == b && a.size == 100, "chopped and uncapped runs must land " +
+      s"identical change sets (${a.size} vs ${b.size})")
+  }
+
+  test("iceberg chop: maxSnapshotsPerBatch walks the sequence order") {
+    val base = newBase("graft_tail_ichop")
+    val table = base + "/t"
+    val ckpt = base + "/ckpt"
+    val sink = base + "/sink"
+    (0 until 5).foreach { i =>
+      IcebergWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), table)
+    }
+    val proc = ChangeTail.parquetSink(sink)
+    val batches = Iterator.continually(
+      ChangeTail.tailIcebergAppends(spark, table, ckpt, proc,
+        maxSnapshotsPerBatch = Some(2)))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+    assert(batches.size == 3, s"5 snapshots at cap 2 -> 3 batches, got " +
+      s"${batches.size}")
+    assert(ChangeTail.readSink(spark, sink)
+      .select("id").collect().map(_.getLong(0)).toSet == (0L until 5L).toSet)
+  }
+
+  test("fence: two pollers against one checkpoint -> one survivor, loud loser") {
+    val base = newBase("graft_tail_fence")
+    val table = base + "/t"
+    val ckpt = base + "/ckpt"
+    val sink = base + "/sink"
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name"), table) // v0
+    val proc = ChangeTail.parquetSink(sink)
+    val fenceA = ChangeTail.openFence(spark, ckpt)
+    assert(ChangeTail.tailDeltaCdf(spark, table, ckpt, proc,
+      fence = Some(fenceA)).isDefined)
+    // a second tailer takes over the checkpoint
+    val fenceB = ChangeTail.openFence(spark, ckpt)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "name"), table) // v1
+    val err = intercept[IllegalArgumentException] {
+      ChangeTail.tailDeltaCdf(spark, table, ckpt, proc, fence = Some(fenceA))
+    }
+    assert(err.getMessage.contains("fenced out"))
+    // the loser wrote no marker for v1 — B consumes it exactly once
+    val b = ChangeTail.tailDeltaCdf(spark, table, ckpt, proc,
+      fence = Some(fenceB)).get
+    assert((b.from, b.to) == (0L, 1L))
+    assert(rows(ChangeTail.readSink(spark, sink)) == Set(
+      (1L, "a", "insert"), (2L, "b", "insert")))
+  }
+
   test("iceberg appends tail: snapshot-id cursor, one batch per poll") {
     val base = newBase("graft_tail_i")
     val table = base + "/t"
