@@ -152,6 +152,114 @@ class CdfScaleSpec extends SparkSpec {
       changeSet(d2).mkString(","))
   }
 
+  /** Parquet scan relations in the logical plan — the plan-width metric
+    * the range-collapsed reader is graded on (round-19 verdict #1). */
+  private def scanCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case p if p.getClass.getSimpleName.contains("LogicalRelation") ||
+        p.getClass.getSimpleName.contains("DataSourceV2") => p
+    }.size
+
+  test("cdc leg: a commit touching 64 partition tuples plans ONE cdc scan") {
+    val dir = newDir("graft_cdf_pw")
+    val df = (0L until 64L).map(i => (i, i, s"n$i")).toDF("id", "p", "name")
+    DeltaWriter.write(df, dir, partitionBy = Seq("p")) // v0: 64 partitions
+    DeltaCdf.enableCdf(spark, dir) // v1
+    // v2: UPDATE across all 64 partitions — the DML writes one cdc file
+    // per touched partition tuple; the consumer must plan scans per LEG,
+    // never per tuple (review finding: the cdc leg was the last
+    // plan-width blow-up, one union branch per tuple per commit)
+    DeltaDml.updateWhere(spark, dir, "id >= 0", Map("name" -> "'u'"))
+    val d = DeltaCdf.loadChanges(spark, dir, fromVersion = 1L)
+    val scans = scanCount(d)
+    assert(scans <= 2, s"cdc leg must plan O(1) scans over 64 partition " +
+      s"tuples, got $scans")
+    val byType = d.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 64L, "update_postimage" -> 64L),
+      byType.toString)
+    // partition values ride the broadcast meta relation, not per-branch
+    // literals — every partition must land with its own value
+    assert(d.select("p").distinct().count() == 64L)
+  }
+
+  test("catch-up range: 64 commits plan a bounded scan count (not 64 branches)") {
+    val dir = newDir("graft_cdf_rw")
+    (1L to 64L).foreach { i =>
+      DeltaWriter.write(Seq((i, s"n$i")).toDF("id", "name").coalesce(1), dir)
+    }
+    val t0 = System.nanoTime()
+    val d = DeltaCdf.loadChanges(spark, dir, fromVersion = -1L)
+    d.queryExecution.optimizedPlan // force analysis + optimization
+    val planMs = (System.nanoTime() - t0) / 1e6
+    val scans = scanCount(d)
+    assert(scans <= 4, s"a 64-commit catch-up must plan one scan per LEG " +
+      s"(~1 here: all fresh adds), got $scans")
+    assert(planMs < 30000, s"planning took ${planMs}ms")
+    assert(d.count() == 64L)
+    assert(d.select("_commit_version").distinct().count() == 64L)
+  }
+
+  test("schema guard: in-range rename/retype refuses, added column passes") {
+    val dir = newDir("graft_cdf_sg")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name").coalesce(1), dir) // v0
+    val logDir = java.nio.file.Path.of(dir + "/_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v0meta = Files.readString(logDir.resolve("00000000000000000000.json"))
+      .split('\n').find(_.contains("\"metaData\"")).get
+    def doctoredMeta(editSchema: String => String): String = {
+      val node = mapper.readTree(v0meta)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val md = node.get("metaData")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      md.put("schemaString", editSchema(md.get("schemaString").asText()))
+      mapper.writeValueAsString(node)
+    }
+    // v1: rename `name` -> `label` (no column mapping: files misread)
+    Files.writeString(logDir.resolve("00000000000000000001.json"),
+      s"""{"commitInfo":{"timestamp":2,"operation":"RENAME COLUMN","operationParameters":{}}}
+         |${doctoredMeta(_.replace("\"name\":\"name\"", "\"name\":\"label\""))}
+         |""".stripMargin)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "label").coalesce(1), dir) // v2
+    val err = intercept[IllegalArgumentException] {
+      DeltaCdf.loadChanges(spark, dir, fromVersion = -1L).collect()
+    }
+    assert(err.getMessage.contains("incompatible"), err.getMessage)
+    // the guard also catches ranges STARTING before the change whose
+    // commits carry no metaData action themselves... the change is at v1,
+    // so a range (0, 2] sees it and must refuse too
+    intercept[IllegalArgumentException] {
+      DeltaCdf.loadChanges(spark, dir, fromVersion = 0L).collect()
+    }
+    // a range wholly PAST the change reads fine
+    assert(DeltaCdf.loadChanges(spark, dir, fromVersion = 1L)
+      .select("label", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == Set(("b", "insert")))
+
+    // ADDITIVE evolution passes: new table, v1 adds a column
+    val dir2 = newDir("graft_cdf_sg2")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name").coalesce(1), dir2)
+    val logDir2 = java.nio.file.Path.of(dir2 + "/_delta_log")
+    val v0meta2 = Files.readString(logDir2.resolve("00000000000000000000.json"))
+      .split('\n').find(_.contains("\"metaData\"")).get
+    val node2 = mapper.readTree(v0meta2)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val md2 = node2.get("metaData")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md2.put("schemaString", md2.get("schemaString").asText().replace(
+      "]}",
+      """,{"name":"extra","type":"long","nullable":true,"metadata":{}}]}"""))
+    Files.writeString(logDir2.resolve("00000000000000000001.json"),
+      s"""{"commitInfo":{"timestamp":2,"operation":"ADD COLUMN","operationParameters":{}}}
+         |${mapper.writeValueAsString(node2)}
+         |""".stripMargin)
+    DeltaWriter.write(Seq((2L, "b", 9L)).toDF("id", "name", "extra"), dir2) // v2
+    val changes = DeltaCdf.loadChanges(spark, dir2, fromVersion = -1L)
+    assert(changes.count() == 2L)
+    // the pre-evolution row null-fills the added column
+    assert(changes.where("id = 1").select("extra").collect().head.isNullAt(0))
+  }
+
   test("wide ranges plan flat: 64-commit Delta CDF + Iceberg changelog") {
     // 64 single-row commits per format — a left-deep union here would
     // already strain analysis; the pairwise tree keeps it O(log n) and the
