@@ -319,7 +319,8 @@ object IcebergIncremental {
                   require(ids.nonEmpty, "changesBetween: equality delete " +
                     s"file `$fp` carries no equality_ids")
                   eqAdded += IcebergLoader.EqDeleteFile(fp,
-                    IcebergLoader.longOr(e, "sequence_number", mseq), ids)
+                    IcebergLoader.longOr(e, "sequence_number", mseq), ids,
+                    IcebergLoader.longOr(df, "file_size_in_bytes", -1L))
                 case _ => ()
               }
             }
@@ -463,11 +464,21 @@ object IcebergIncremental {
           // the reader's OWN D < S join, inverted to semi — one shared
           // home for the rule ([[IcebergLoader.eqDeleteJoin]]; review
           // finding: this leg shipped as a near-verbatim copy)
-          eqs.groupBy(_.equalityIds).foreach { case (ids, files) =>
-            frames += stamp(IcebergLoader.eqDeleteJoin(spark, withSeq,
-                schemaNode, ids, files, "left_semi")
-              .drop("__graft_fp", "__graft_ri", "__graft_dseq"), "delete")
+          val legs = eqs.groupBy(_.equalityIds).toSeq.map {
+            case (ids2, files2) =>
+              IcebergLoader.eqDeleteJoin(spark, withSeq, schemaNode, ids2,
+                files2, "left_semi")
           }
+          // a parent row matched by delete files of TWO different
+          // equality_ids groups in the same snapshot must emit ONE
+          // delete, not one per group — dedup on row identity before
+          // stamping (review finding); single-key-set snapshots (every
+          // upsertByEquality-maintained table) skip the extra shuffle
+          val merged = legs.reduce(_ unionByName _)
+          val pre = if (legs.size > 1)
+            merged.dropDuplicates("__graft_fp", "__graft_ri") else merged
+          frames += stamp(pre
+            .drop("__graft_fp", "__graft_ri", "__graft_dseq"), "delete")
         }
       }
     }

@@ -243,7 +243,14 @@ object IcebergLoader {
   // ---- snapshot planning ----------------------------------------------------
 
   private[sources] final case class EqDeleteFile(path: String, seq: Long,
-                                                 equalityIds: Seq[Int])
+                                                 equalityIds: Seq[Int],
+                                                 /** Manifest-recorded byte
+                                                   * size (-1 unknown) — the
+                                                   * free input to the
+                                                   * broadcast-vs-shuffle
+                                                   * choice in
+                                                   * [[eqDeleteJoin]]. */
+                                                 sizeBytes: Long = -1L)
   /** A v3 deletion vector: a blob inside a Puffin file, applying to ONE
     * referenced data file (iceberg spec §Deletion vectors). */
   private[sources] final case class DvFile(puffinPath: String,
@@ -390,7 +397,8 @@ object IcebergLoader {
               val ids = intListOf(df, "equality_ids")
               require(ids.nonEmpty, "Iceberg reader: equality delete file " +
                 s"`$filePath` carries no equality_ids")
-              eqDeletes += EqDeleteFile(filePath, seq, ids)
+              eqDeletes += EqDeleteFile(filePath, seq, ids,
+                longOr(df, "file_size_in_bytes", -1L))
             case other => throw new IllegalArgumentException(
               s"Iceberg reader: unknown data_file content $other")
           }
@@ -726,21 +734,47 @@ object IcebergLoader {
                                     schemaNode: JsonNode, ids: Seq[Int],
                                     files: Seq[EqDeleteFile],
                                     joinType: String): DataFrame = {
-    import org.apache.spark.sql.functions.{lit, max}
+    import org.apache.spark.sql.functions.max
     val idToName = fieldIdToName(schemaNode)
     val cols = ids.map(id => idToName.getOrElse(id,
       throw new IllegalArgumentException(
         s"Iceberg reader: equality_ids field id $id is not a top-level " +
           "schema field (nested equality deletes are not supported)")))
-    val dels = files.map(f =>
-        spark.read.parquet(f.path)
-          .select(cols.map(c => col(s"`$c`")): _*)
-          .withColumn("__graft_eseq", lit(f.seq)))
-      .reduce(_ unionByName _)
+    // ONE scan for the whole group — the per-file delete sequence rides a
+    // broadcast (path -> seq) map keyed on the scan's _metadata.file_path
+    // (review finding: a linear per-file read + unionByName planned one
+    // scan per delete file; a CDC writer checkpointing hourly makes that
+    // hundreds of branches)
+    val seqDf = spark.createDataFrame(files.map(f =>
+        org.apache.spark.sql.Row(PartitionLayout.scanPathKey(f.path), f.seq))
+        .asJava,
+      StructType(Seq(StructField("__graft_efp", StringType, nullable = false),
+        StructField("__graft_eseq", LongType, nullable = false))))
+    val dels = spark.read.parquet(files.map(_.path).distinct: _*)
+      .withColumn("__graft_efp", normFp(col("_metadata.file_path")))
+      .select(cols.map(c => col(s"`$c`")) :+ col("__graft_efp"): _*)
+      .join(broadcast(seqDf), Seq("__graft_efp"))
       .groupBy(cols.map(c => col(s"`$c`")): _*)
       .agg(max(col("__graft_eseq")).as("__graft_eseq"))
     val cond = cols.map(c => acc(c) <=> dels(c)).reduce(_ && _) &&
       dels("__graft_eseq") > acc("__graft_dseq")
-    acc.join(broadcast(dels), cond, joinType)
+    // broadcast only when the manifests' recorded sizes prove the key
+    // relation small (unknown sizes resolve with one bounded
+    // getFileStatus each); past the bound the join shuffles — a CDC
+    // writer upserting 100M keys per checkpoint produces a delete
+    // relation that must not land whole on every executor (review
+    // finding: the broadcast was unconditional). The 4x factor is the
+    // position-tombstone path's decompression headroom.
+    val bytes = files.map { f =>
+      if (f.sizeBytes >= 0L) f.sizeBytes
+      else scala.util.Try(new HPath(f.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(new HPath(f.path)).getLen)
+        .getOrElse(Long.MaxValue / 1024)
+    }.sum
+    val budget = spark.conf.getOption("spark.graft.eqDeleteBroadcastBytes")
+      .map(_.toLong).getOrElse(tombBroadcastBytes)
+    acc.join(if (bytes * 4 <= budget) broadcast(dels) else dels,
+      cond, joinType)
   }
 }

@@ -539,6 +539,76 @@ class IcebergLoaderSpec extends SparkSpec with IcebergFixtures {
     assert(e.getMessage.contains("field id 99"))
   }
 
+  test("equality deletes: broadcast and shuffle key-relation legs agree exactly") {
+    import spark.implicits._
+    // the q_delta_cdf_synth_dist pattern: force the broadcast bound to
+    // refuse so the shuffled join leg EXECUTES (the 100M-key CDC
+    // checkpoint shape) and must match the broadcast leg byte-for-byte
+    val dir = eqDeleteTable(dataSeq = 1L, delSeq = 2L, ids = Seq(1),
+      delRows = Seq(Tuple1(2L)).toDF("id"))
+    val viaBroadcast = rows(load(dir))
+    val viaShuffle =
+      try {
+        spark.conf.set("spark.graft.eqDeleteBroadcastBytes", "-1")
+        rows(load(dir))
+      } finally spark.conf.unset("spark.graft.eqDeleteBroadcastBytes")
+    assert(viaBroadcast == viaShuffle)
+    assert(viaBroadcast.map(_._1) === Set(1L, 3L))
+  }
+
+  test("changelog: one snapshot with TWO equality_ids groups emits each pre-image once") {
+    import spark.implicits._
+    // snapshot 1 appends three rows; snapshot 2 adds two eq-delete files
+    // with DIFFERENT equality_ids sets — ids=[1] (id=2) and ids=[2]
+    // (name='beta') — both matching the SAME parent row. The changelog
+    // must emit that row's delete ONCE, not once per group (review
+    // finding: no cross-group dedup).
+    val dir = newTableDir()
+    val f1 = s"$dir/data/a.parquet"
+    writeDataFile(docs((1L, "alpha", 1.0), (2L, "beta", 2.0), (3L, "gamma", 3.0)),
+      new File(f1))
+    writeDataFile(Seq(Tuple1(2L)).toDF("id"), new File(s"$dir/data/eq1.parquet"))
+    writeDataFile(Seq(Tuple1("beta")).toDF("name"),
+      new File(s"$dir/data/eq2.parquet"))
+    writeAvro(manifestSchemaV2, Seq(entryV2(1, 0, f1, seq = Some(1L))),
+      new File(s"$dir/metadata/m0.avro"))
+    writeAvro(manifestSchemaV2,
+      Seq(entryV2(1, 2, s"$dir/data/eq1.parquet", seq = Some(2L),
+          equalityIds = Seq(1)),
+        entryV2(1, 2, s"$dir/data/eq2.parquet", seq = Some(2L),
+          equalityIds = Seq(2))),
+      new File(s"$dir/metadata/m1.avro"))
+    writeAvro(manifestListSchema,
+      Seq(listEntry(s"$dir/metadata/m0.avro", 0, snap = 1L)),
+      new File(s"$dir/metadata/snap-1.avro"))
+    writeAvro(manifestListSchema,
+      Seq(listEntry(s"$dir/metadata/m0.avro", 0, snap = 1L),
+        listEntry(s"$dir/metadata/m1.avro", 1, snap = 2L)),
+      new File(s"$dir/metadata/snap-2.avro"))
+    Files.writeString(new File(s"$dir/metadata/v1.metadata.json").toPath,
+      metadataV2(dir,
+        s"""{"snapshot-id":1,"sequence-number":1,"timestamp-ms":1000,
+           |"manifest-list":"$dir/metadata/snap-1.avro",
+           |"summary":{"operation":"append"}},
+           |{"snapshot-id":2,"sequence-number":2,"timestamp-ms":2000,
+           |"manifest-list":"$dir/metadata/snap-2.avro",
+           |"summary":{"operation":"delete"}}""".stripMargin,
+        currentId = 2L))
+    Files.writeString(new File(s"$dir/metadata/version-hint.text").toPath, "1")
+    val changes = IcebergIncremental.changesBetween(spark, dir, -1L,
+      equalityNetChanges = true)
+    val got = changes.select("id", "name", "_change_type", "_snapshot_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.count(x => x._1 == 2L && x._3 == "delete") == 1,
+      s"row 2 matched by two equality_ids groups must delete ONCE: $got")
+    assert(got.toSet == Set(
+      (1L, "alpha", "insert", 1L), (2L, "beta", "insert", 1L),
+      (3L, "gamma", "insert", 1L), (2L, "beta", "delete", 2L)), got.toString)
+    // the live read agrees: only rows 1 and 3 remain
+    assert(rows(load(dir)).map(_._1) === Set(1L, 3L))
+  }
+
   test("time travel reads with the snapshot's own schema-id, not the current one") {
     // snapshot 1 wrote under schema 0 (3 columns); the table then evolved to
     // schema 1 (adds `extra`) and snapshot 2 is current. Reading snapshot 1
