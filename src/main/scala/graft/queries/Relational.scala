@@ -581,6 +581,27 @@ object Relational {
     * first snapshot must return exactly the later two appends' rows, with
     * the compaction's replace snapshot contributing nothing. Memoized like
     * [[sinksFor]]. Returns (tableDir, firstSnapshotId). */
+  /** Iceberg table whose column `o_orderstatus` was RENAMED to `o_status`
+    * (metadata-only, field id unchanged) between two appends — the
+    * incremental readers must surface the pre-rename files' values under
+    * the new name through field-id projection (round-19 verdict #4). */
+  private val renameIncrMemo = new FixtureMemo[String]
+  private def renameIncrFor(spark: SparkSession, dir: String): String =
+    renameIncrMemo.getOrBuild((spark, dir)) {
+      val base = java.nio.file.Paths.get(scratchRoot,
+        "renincr-" + java.util.UUID.randomUUID().toString).toString
+      val tdir = base + "/iceberg"
+      val orders = Tables.t(spark, dir, "orders")
+      graft.sources.IcebergWriter.write(
+        orders.filter("o_orderkey % 3 = 0"), tdir)
+      graft.sources.IcebergWriter.renameColumn(spark, tdir,
+        "o_orderstatus", "o_status")
+      graft.sources.IcebergWriter.write(
+        orders.filter("o_orderkey % 3 = 1")
+          .withColumnRenamed("o_orderstatus", "o_status"), tdir)
+      tdir
+    }(b => deleteTree(new java.io.File(b).getParentFile))
+
   private val incrSinkMemo = new FixtureMemo[(String, Long)]
   private def incrSinkFor(spark: SparkSession, dir: String): (String, Long) =
     incrSinkMemo.getOrBuild((spark, dir)) {
@@ -925,6 +946,19 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // RENAMED-COLUMN APPEND RANGE: the incremental scan spans a
+    // metadata-only column rename — pre-rename files must surface their
+    // values under the NEW name via field-id projection, and the
+    // LENGTH aggregate over the renamed column proves no null-filling
+    // (the oracle reads the original column from the raw table)
+    "q_iceberg_rename_incr" -> ((spark, dir) => {
+      val tdir = renameIncrFor(spark, dir)
+      graft.sources.IcebergIncremental.appendsBetween(spark, tdir, -1L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("o_status"))).as("status_len"))
         .orderBy(col("o_orderpriority"))
     }),
     "q_iceberg_transform_roundtrip" -> ((spark, dir) => {
@@ -1649,6 +1683,14 @@ object Relational {
         |SELECT change_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // field-id projection across the rename: values of the pre-rename
+    // files' o_orderstatus must ride into o_status — a null-filled
+    // column zeroes the length sum and hash-mismatches
+    "q_iceberg_rename_incr" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(LENGTH(o_orderstatus)) AS BIGINT) AS status_len
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the incremental read = exactly the rows of the two later appends
     "q_iceberg_incr" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

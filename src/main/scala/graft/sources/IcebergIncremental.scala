@@ -121,10 +121,14 @@ object IcebergIncremental {
     // added (`added_snapshot_id` = it) — the to-snapshot's list alone
     // would miss appends whose manifests a later compaction rewrote out
     // of the current list. Metadata-only: no data file is opened here.
+    // Files carry the SCHEMA-ID of the snapshot that added them, so a
+    // rename between snapshots reads through field ids below.
     val remap = IcebergLoader.pathRemapper(meta, dir)
-    val files = Seq.newBuilder[String]
+    val files = Seq.newBuilder[(Int, String)]
     appends.foreach { s =>
       val sid = s.get("snapshot-id").asLong()
+      val schemaId = Option(s.get("schema-id")).filterNot(_.isNull)
+        .map(_.asInt()).getOrElse(-1)
       val listPath = Option(s.get("manifest-list")).filterNot(_.isNull)
         .map(_.asText()).getOrElse(throw new IllegalArgumentException(
           s"IcebergIncremental: snapshot $sid has no manifest-list (expired? " +
@@ -141,7 +145,7 @@ object IcebergIncremental {
             if (status == 1L) { // ADDED by this manifest's snapshot
               val df = e.get("data_file").asInstanceOf[
                 org.apache.avro.generic.GenericRecord]
-              files += remap(IcebergLoader.str(df, "file_path"))
+              files += ((schemaId, remap(IcebergLoader.str(df, "file_path"))))
             }
           }
         }
@@ -149,9 +153,60 @@ object IcebergIncremental {
     }
     val paths = files.result().distinct
     if (paths.isEmpty) return emptyLike(spark, meta, to)
-    val schemaNode = IcebergLoader.schemaNodeFor(meta, Some(to))
-    val schema = IcebergLoader.sparkSchemaOf(schemaNode)
-    spark.read.schema(schema).parquet(paths: _*)
+    val groups = paths.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sid, ps) => (sid, ps.map(_._2)) }
+    val frames = groups.map { case (schemaId, ps) =>
+      projectedRead(spark, meta, to, schemaId, ps)
+    }
+    if (frames.size == 1) frames.head else DistKit.unionTree(frames)
+  }
+
+  /** Read data files added under schema `schemaId`, projected to the
+    * range-END schema by FIELD ID: the files read under the names of the
+    * schema that WROTE them, then each end field resolves through its id
+    * (iceberg spec §Schemas: ids are the identity, names are labels — a
+    * rename between snapshots is metadata-only, and name-based
+    * projection null-filled the renamed column for older files; round-19
+    * verdict #4). A field id absent from the writing schema null-fills
+    * (column added later); type promotions ride a cast. Snapshots that
+    * recorded no schema-id (minimal v1 writers) read with the end
+    * schema — the previous behavior. Plan width: one scan per DISTINCT
+    * in-range schema version, typically one. Top-level fields only, like
+    * the reader's equality-delete resolution. */
+  private def projectedRead(spark: SparkSession, meta: JsonNode, to: JsonNode,
+                            schemaId: Int, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val endNode = IcebergLoader.schemaNodeFor(meta, Some(to))
+    val endSchema = IcebergLoader.sparkSchemaOf(endNode)
+    val endSchemaId = Option(endNode.get("schema-id")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(-1)
+    val srcNode =
+      if (schemaId == -1 || schemaId == endSchemaId) None
+      else Option(meta.get("schemas")).filterNot(_.isNull)
+        .flatMap(_.elements().asScala.find(_.get("schema-id").asInt() == schemaId))
+    srcNode match {
+      case None => spark.read.schema(endSchema).parquet(paths: _*)
+      case Some(sn) =>
+        val srcSchema = IcebergLoader.sparkSchemaOf(sn)
+        val srcIdToName = IcebergLoader.fieldIdToName(sn)
+        val srcNames = srcIdToName.values.toSet
+        val endIds = endNode.get("fields").elements().asScala
+          .map(_.get("id").asInt()).toSeq
+        val scan = spark.read.schema(srcSchema).parquet(paths: _*)
+        scan.select(endIds.zip(endSchema.fields).map { case (fid, ef) =>
+          // id match first (renames); a field id absent from the source
+          // schema falls back to NAME — iceberg's name-mapping rule,
+          // which keeps tables whose rewrite re-assigned every id (this
+          // writer's overwrite does) reading correctly. Only a field
+          // matching by NEITHER id nor name (genuinely added later)
+          // null-fills.
+          srcIdToName.get(fid)
+              .orElse(Some(ef.name).filter(srcNames.contains)) match {
+            case Some(n) => col(s"`$n`").cast(ef.dataType).as(ef.name)
+            case None => lit(null).cast(ef.dataType).as(ef.name)
+          }
+        }.toSeq: _*)
+    }
   }
 
   /** Row-level CHANGELOG between snapshots — [[DeltaCdf]]'s sibling for
@@ -371,8 +426,15 @@ object IcebergIncremental {
         }
       }
       val addedFiles = added.result().distinct
-      if (addedFiles.nonEmpty)
-        frames += stamp(spark.read.schema(schema).parquet(addedFiles: _*), "insert")
+      if (addedFiles.nonEmpty) {
+        // files read under the schema of the snapshot that ADDED them,
+        // projected to the range-end shape through field ids (renames
+        // between snapshots are metadata-only; see [[projectedRead]])
+        val schemaId = Option(s.get("schema-id")).filterNot(_.isNull)
+          .map(_.asInt()).getOrElse(-1)
+        frames += stamp(projectedRead(spark, meta, to, schemaId, addedFiles),
+          "insert")
+      }
       // distinct on the PAIRS keeps paths and recorded sizes aligned
       // (the broadcast-vs-shuffle choice reads them positionally)
       val delPairs = posDeletes.result().distinctBy(_._1)

@@ -915,6 +915,57 @@ object IcebergWriter {
     version
   }
 
+  /** Rename a top-level column — METADATA-ONLY (iceberg spec §Schemas:
+    * field ids are the identity, names are labels): commits a new
+    * `schemas` entry carrying the same field ids under the new name and
+    * points `current-schema-id` at it. No data file moves or rewrites;
+    * readers that resolve by field id (the incremental readers'
+    * schema-id projection, real iceberg engines) read files written
+    * under either name correctly. Returns the committed metadata
+    * version. */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   from: String, to: String): Long = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new HPath(root, "metadata")
+    val (meta, ver0) = IcebergLoader.currentMetadataVersioned(fs, dir)
+    val base = if (ver0 >= 0) ver0 else metadataVersion(fs, metaDir)
+    val node = meta.deepCopy[ObjectNode]()
+    val curId = Option(node.get("current-schema-id")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(0)
+    val schemas = Option(node.get("schemas")).filterNot(_.isNull)
+      .map(_.asInstanceOf[ArrayNode]).getOrElse(
+        throw new IllegalArgumentException(
+          s"renameColumn: `$dir` metadata has no schemas array (v1-shaped " +
+            "metadata — rewrite through write() first)"))
+    val cur = schemas.elements().asScala
+      .find(_.get("schema-id").asInt() == curId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"renameColumn: current-schema-id $curId not in schemas"))
+    val next = cur.deepCopy[ObjectNode]()
+    val nextId = schemas.elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    next.put("schema-id", nextId)
+    val fields = next.get("fields").asInstanceOf[ArrayNode]
+    val names = fields.elements().asScala.map(_.get("name").asText()).toSeq
+    require(names.contains(from),
+      s"renameColumn: `$from` is not a top-level column of `$dir`")
+    require(!names.contains(to),
+      s"renameColumn: `$to` already exists in `$dir`")
+    fields.elements().asScala
+      .filter(_.get("name").asText() == from)
+      .foreach(_.asInstanceOf[ObjectNode].put("name", to))
+    schemas.add(next)
+    node.put("current-schema-id", nextId)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val version = commitMetadata(fs, metaDir, base,
+      mapper.writeValueAsString(node), "renameColumn")
+    val hint = fs.create(new HPath(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    version
+  }
+
   /** Expire snapshots older than `olderThanMs` (never the current one):
     * commit a metadata version without them, then delete every file only
     * THEY referenced — manifest lists, manifests, and data/delete files

@@ -275,6 +275,39 @@ class IncrementalReadSpec extends SparkSpec {
     assert(e.getMessage.contains("equality-delete"), e.getMessage)
   }
 
+  test("iceberg incremental reads resolve a renamed column by FIELD ID") {
+    val dir = newDir("graft_incr_ren")
+    // snapshot 1 under (id, name); rename name -> label (metadata-only,
+    // field id 2 unchanged); snapshot 2 under (id, label). Files written
+    // BEFORE the rename must surface their values under the NEW name —
+    // name-based projection null-filled them (round-19 verdict #4).
+    IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1), dir)
+    IcebergWriter.renameColumn(spark, dir, "name", "label")
+    IcebergWriter.write(Seq((3L, "c")).toDF("id", "label").coalesce(1), dir)
+    val apps = IcebergIncremental.appendsBetween(spark, dir, -1L)
+    assert(apps.columns.toSeq == Seq("id", "label"))
+    assert(apps.select("id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "pre-rename files must project their old column into the new name")
+    val chg = IcebergIncremental.changesBetween(spark, dir, -1L)
+    assert(chg.select("id", "label", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+    // a SECOND rename and append: files now span three schema versions,
+    // every one projecting through the same field id (the range-end
+    // schema is the END SNAPSHOT's, the loader's own time-travel rule —
+    // a rename becomes visible with the next snapshot)
+    IcebergWriter.renameColumn(spark, dir, "label", "tag")
+    IcebergWriter.write(Seq((4L, "d")).toDF("id", "tag").coalesce(1), dir)
+    val apps2 = IcebergIncremental.appendsBetween(spark, dir, -1L)
+    assert(apps2.columns.toSeq == Seq("id", "tag"))
+    assert(apps2.select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("iceberg changesBetween diffs v3 cumulative DVs per snapshot") {
     val dir = newDir("graft_chg_v3")
     IcebergWriter.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name")
