@@ -100,7 +100,7 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
       colIndexes.remove(src.name)
       graft.sources.ColumnIndexRegistry.release(qualifiedDir(old.uri), src.name)
     }
-    registerResolved(src)
+    registerResolvedTracked(src)
     tables.put(src.name, src)
     invalidatePlansAndPools()
     // per-table interval wins; the engine-wide default covers the rest
@@ -108,12 +108,179 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     src.reloadIntervalSec.orElse(defaultReloadSec).foreach { sec =>
       val task = scheduler.scheduleAtFixedRate(
         () =>
-          try { registerResolved(src); invalidatePlans() }
+          try refreshTick(src)
           catch { case e: Throwable =>
             System.err.println(s"[refresh] ${src.name}: ${e.getMessage}") },
         sec, sec, TimeUnit.SECONDS)
       refreshTasks.put(src.name, task)
     }
+  }
+
+  // ---- O(delta) refresh ------------------------------------------------------
+  // The reference's reload loop swaps the WHOLE snapshot every tick
+  // (roapi/src/startup.rs:75-82). For versioned table formats this engine
+  // owns the change channels, so a tick is upgraded to (round-19 verdict
+  // #3): a cheap metadata probe (unchanged upstream = zero re-plan, warm
+  // caches), a row-level delta APPLY onto the pinned-local relation for
+  // small tables (Delta CDF / Iceberg appends — O(changed rows), never a
+  // snapshot re-read), and the reference's snapshot swap as the universal
+  // fallback (distributed serving, refused ranges, non-versioned formats).
+
+  /** Per-table refresh telemetry: unchanged-probe ticks, row-level delta
+    * applies, and full snapshot swaps. */
+  final case class RefreshStats(noopTicks: Long, deltaApplied: Long,
+                                snapshotSwaps: Long)
+  private final class RefreshState {
+    /** Last upstream position the served view reflects: Delta version or
+      * Iceberg snapshot id; MinValue = unknown (never probed). */
+    @volatile var cursor: Long = Long.MinValue
+    /** A writer raced the register between probes — the view holds some
+      * in-between state, so the next tick must swap, never delta-apply. */
+    @volatile var mustSwap: Boolean = false
+    val noop = new java.util.concurrent.atomic.AtomicLong(0)
+    val applied = new java.util.concurrent.atomic.AtomicLong(0)
+    val swaps = new java.util.concurrent.atomic.AtomicLong(0)
+  }
+  private val refreshStates = new ConcurrentHashMap[String, RefreshState]()
+  // the pinned-local rows, retained so a delta tick can update them
+  // without re-reading the snapshot (bounded by localServeRowCap)
+  private val pinnedRows =
+    new ConcurrentHashMap[String, (StructType, Array[org.apache.spark.sql.Row])]()
+
+  def refreshStats(name: String): RefreshStats = {
+    val st = refreshStates.get(name)
+    if (st == null) RefreshStats(0, 0, 0)
+    else RefreshStats(st.noop.get, st.applied.get, st.swaps.get)
+  }
+
+  /** The upstream change cursor of a versioned format (None = format has
+    * no cheap probe; every tick swaps, the pre-round-20 behavior). */
+  private def probeCursor(src: TableSource): Option[Long] =
+    src.resolvedFormat match {
+      case "delta" =>
+        Some(graft.sources.DeltaLoader.latestVersion(spark, src.uri))
+      case "iceberg" =>
+        Some(graft.sources.IcebergIncremental.currentSnapshotId(spark, src.uri))
+      case _ => None
+    }
+
+  /** [[registerResolved]] plus exact cursor accounting: the cursor is
+    * trusted only when the probe reads the SAME position before and
+    * after the register — a writer landing in between leaves the view in
+    * a state the probes cannot name, so the next tick swaps instead of
+    * risking a double-applied delta. */
+  private def registerResolvedTracked(src: TableSource): Unit = {
+    val st = refreshStates.computeIfAbsent(src.name, _ => new RefreshState)
+    probeCursor(src) match {
+      case None => registerResolved(src)
+      case Some(before) =>
+        registerResolved(src)
+        val after = probeCursor(src).getOrElse(before)
+        st.cursor = after
+        st.mustSwap = after != before
+    }
+  }
+
+  /** One refresh tick. Public to the package for specs and manual
+    * refresh; the scheduler calls it per `reload_interval`. */
+  private[graft] def refreshTick(src: TableSource): Unit = {
+    val st = refreshStates.computeIfAbsent(src.name, _ => new RefreshState)
+    val current =
+      try probeCursor(src)
+      catch { case scala.util.control.NonFatal(_) => None }
+    current match {
+      case Some(cur) if !st.mustSwap && st.cursor != Long.MinValue &&
+          cur == st.cursor =>
+        // nothing changed upstream: zero re-plan, plan/result caches stay
+        // warm — the tick costs one metadata read
+        st.noop.incrementAndGet(); ()
+      case Some(cur) if !st.mustSwap && st.cursor != Long.MinValue &&
+          pinnedRows.containsKey(src.name) =>
+        try {
+          applyDeltaToPinned(src, st, cur)
+          st.applied.incrementAndGet()
+          invalidatePlans()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            // refused range (eq-deletes without opt-in, retired log,
+            // schema change, non-append snapshot, grew past the pin cap,
+            // cache drift) -> the reference's snapshot swap
+            registerResolvedTracked(src)
+            st.swaps.incrementAndGet()
+            invalidatePlans()
+        }
+      case _ =>
+        registerResolvedTracked(src)
+        st.swaps.incrementAndGet()
+        invalidatePlans()
+    }
+  }
+
+  /** Apply the row-level delta (cursor, to] to the pinned-local rows —
+    * multiset semantics in commit order: delete/update_preimage rows
+    * remove ONE matching occurrence, insert/update_postimage rows add
+    * one. Reads ONLY the changed files (the incremental readers' own
+    * guarantee); throws to the swap fallback on anything it cannot
+    * prove — a delete for a row the cache lacks, a delta too large for
+    * a pinned table, an Iceberg range that is not append-only. */
+  private def applyDeltaToPinned(src: TableSource, st: RefreshState,
+                                 to: Long): Unit = {
+    val (schema, oldRows) = pinnedRows.get(src.name)
+    val bound = localServeRowCap * 3 + 3
+    val dataCols = schema.fieldNames.toSeq.map(n =>
+      org.apache.spark.sql.functions.col(s"`$n`"))
+    val changes: Array[org.apache.spark.sql.Row] = src.resolvedFormat match {
+      case "delta" =>
+        graft.sources.DeltaCdf.loadChanges(spark, src.uri, st.cursor, Some(to))
+          .select(dataCols :+
+            org.apache.spark.sql.functions.col("_change_type") :+
+            org.apache.spark.sql.functions.col("_commit_version"): _*)
+          .limit(bound + 1).collect()
+      case "iceberg" =>
+        // appendsBetween REFUSES non-append snapshots -> swap fallback
+        graft.sources.IcebergIncremental.appendsBetween(
+            spark, src.uri, st.cursor, Some(to))
+          .select(dataCols: _*)
+          .limit(bound + 1).collect()
+          .map(r => org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ "insert" :+ 0L))
+      case other => throw new IllegalStateException(
+        s"no delta-apply path for format `$other`")
+    }
+    require(changes.length <= bound,
+      s"delta of ${src.name} exceeds the pinned-apply bound; swapping")
+    val n = schema.fields.length
+    val counts = scala.collection.mutable.HashMap.empty[Seq[Any], Int]
+    oldRows.foreach { r =>
+      val k = r.toSeq; counts.update(k, counts.getOrElse(k, 0) + 1)
+    }
+    changes.groupBy(_.getLong(n + 1)).toSeq.sortBy(_._1).foreach {
+      case (_, ofVersion) =>
+        val (dels, ins) = ofVersion.partition(r =>
+          r.getString(n) == "delete" || r.getString(n) == "update_preimage")
+        dels.foreach { d =>
+          val k = d.toSeq.take(n)
+          val c = counts.getOrElse(k, 0)
+          require(c > 0, s"delta apply: ${src.name} delete pre-image not in " +
+            "the cached relation (cache drift); swapping")
+          if (c == 1) counts.remove(k) else counts.update(k, c - 1)
+        }
+        ins.foreach { i =>
+          val k = i.toSeq.take(n)
+          counts.update(k, counts.getOrElse(k, 0) + 1)
+        }
+    }
+    val total = counts.valuesIterator.sum
+    require(total <= localServeRowCap,
+      s"${src.name} grew past the pin cap under delta refresh; swapping")
+    val rows = counts.iterator.flatMap { case (k, c) =>
+      Iterator.fill(c)(org.apache.spark.sql.Row.fromSeq(k))
+    }.toArray
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    local.createOrReplaceTempView(src.name)
+    pinnedRows.put(src.name, (schema, rows))
+    st.cursor = to
   }
 
   /** Rows below which a registered table is re-pinned as a driver-LOCAL
@@ -174,12 +341,16 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
 
   private def registerResolved(src: TableSource): Unit = {
     val df = Loaders.register(spark, src)
+    pinnedRows.remove(src.name)
     if (!memOptOut(src) && !overCapTables.contains(src.name)) {
       val head = df.take(localServeRowCap + 1)
       if (head.length <= localServeRowCap) {
         val local = spark.createDataFrame(
           java.util.Arrays.asList(head: _*), df.schema)
         local.createOrReplaceTempView(src.name)
+        // retained so a versioned-format refresh tick can APPLY the
+        // row-level delta instead of re-reading the snapshot
+        pinnedRows.put(src.name, (df.schema, head))
       } else overCapTables.add(src.name)
     }
     // Column index AFTER the pin decision: only distributed-served tables
@@ -263,6 +434,8 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     overCapTables.remove(name)
     colIndexes.remove(name)
     sidecarSynced.remove(name)
+    pinnedRows.remove(name)
+    refreshStates.remove(name)
     Option(tables.remove(name)).foreach(src =>
       graft.sources.ColumnIndexRegistry.release(qualifiedDir(src.uri), name))
     spark.catalog.dropTempView(name)

@@ -114,6 +114,20 @@ object DeltaLoader {
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
     }
 
+  /** The table's newest committed version from ONE log listing (no
+    * replay) — the serving layer's cheap has-anything-changed probe. */
+  private[graft] def latestVersion(spark: SparkSession, tablePath: String): Long = {
+    val logDir = new HPath(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitRx = raw"(\d{20})\.json".r
+    val vs = fs.listStatus(logDir).flatMap(_.getPath.getName match {
+      case commitRx(v) => Some(v.toLong)
+      case _ => None
+    })
+    require(vs.nonEmpty, s"`$tablePath` has no Delta commit JSON")
+    vs.max
+  }
+
   /** The newest version whose commit file is not newer than `tsMillis` —
     * upstream's own timestampAsOf resolution (commit-file modification
     * times). Bounded by log retention: versions whose JSON was retired by

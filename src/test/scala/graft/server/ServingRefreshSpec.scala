@@ -1,0 +1,100 @@
+package graft.server
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.{DeltaDml, DeltaWriter, IcebergDml, IcebergWriter, TableSource}
+
+/** O(delta) serving refresh (round-19 verdict #3): a refresh tick on a
+  * versioned table probes the upstream cursor (unchanged = pure noop),
+  * applies the row-level delta onto a pinned-local table WITHOUT
+  * re-reading the snapshot, and falls back to the reference's snapshot
+  * swap on anything it cannot prove (non-append Iceberg ranges,
+  * distributed serving, cache drift). */
+class ServingRefreshSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newBase(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def served(name: String): Set[(Long, String)] =
+    spark.table(name).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("delta pinned table: refresh applies the CDF delta, never re-reads old files") {
+    val base = newBase("graft_srv_d")
+    val tdir = base + "/t"
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1), tdir) // v0 -> fileA
+    val fileA = new java.io.File(tdir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "name").coalesce(1), tdir) // v1 -> fileB
+    val eng = new Engine(spark)
+    try {
+      eng.registerTable(TableSource("srv_refresh_d", tdir, Some("delta")))
+      assert(served("srv_refresh_d") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // upstream moves: an append (v2), a row-level delete (v3), and an
+      // UPDATE (v4, synthesizes as delete+insert) — none touching fileA
+      DeltaWriter.write(Seq((4L, "d")).toDF("id", "name").coalesce(1), tdir)
+      DeltaDml.deleteWhere(spark, tdir, "id = 3")
+      DeltaDml.updateWhere(spark, tdir, "id = 4", Map("name" -> "'D'"))
+      // POISON fileA: the range (v1, v4] never references it, so the
+      // delta apply must succeed — any snapshot re-read (the reference's
+      // reload semantics) would crash right here
+      Files.write(fileA.toPath, Array[Byte](0, 1, 2, 3))
+      eng.refreshTick(eng.knownSource("srv_refresh_d").get)
+      assert(served("srv_refresh_d") == Set((1L, "a"), (2L, "b"), (4L, "D")))
+      val s1 = eng.refreshStats("srv_refresh_d")
+      assert((s1.deltaApplied, s1.snapshotSwaps) == (1L, 0L),
+        s"changed upstream on a pinned table must DELTA-APPLY, got $s1")
+
+      // unchanged upstream: the tick is a pure metadata probe
+      eng.refreshTick(eng.knownSource("srv_refresh_d").get)
+      val s2 = eng.refreshStats("srv_refresh_d")
+      assert(s2.noopTicks == 1L && s2.deltaApplied == 1L, s2.toString)
+    } finally eng.close()
+  }
+
+  test("iceberg pinned table: appends apply as a delta, DML falls back to swap") {
+    val base = newBase("graft_srv_i")
+    val tdir = base + "/t"
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name").coalesce(1), tdir)
+    val eng = new Engine(spark)
+    try {
+      eng.registerTable(TableSource("srv_refresh_i", tdir, Some("iceberg")))
+      IcebergWriter.write(Seq((2L, "b")).toDF("id", "name").coalesce(1), tdir)
+      eng.refreshTick(eng.knownSource("srv_refresh_i").get)
+      assert(served("srv_refresh_i") == Set((1L, "a"), (2L, "b")))
+      val s1 = eng.refreshStats("srv_refresh_i")
+      assert((s1.deltaApplied, s1.snapshotSwaps) == (1L, 0L), s1.toString)
+
+      // a row-level DML snapshot is NOT append-only: appendsBetween
+      // refuses and the tick swaps the snapshot — correct, just not O(delta)
+      IcebergDml.deleteWhere(spark, tdir, "id = 1")
+      eng.refreshTick(eng.knownSource("srv_refresh_i").get)
+      assert(served("srv_refresh_i") == Set((2L, "b")))
+      val s2 = eng.refreshStats("srv_refresh_i")
+      assert((s2.deltaApplied, s2.snapshotSwaps) == (1L, 1L), s2.toString)
+    } finally eng.close()
+  }
+
+  test("distributed serving (memory opt-out): unchanged ticks noop, changed ticks swap") {
+    val base = newBase("graft_srv_x")
+    val tdir = base + "/t"
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "name").coalesce(1), tdir)
+    val eng = new Engine(spark)
+    try {
+      eng.registerTable(TableSource("srv_refresh_x", tdir, Some("delta"),
+        memTable = Some(false)))
+      eng.refreshTick(eng.knownSource("srv_refresh_x").get)
+      assert(eng.refreshStats("srv_refresh_x").noopTicks == 1L)
+      DeltaWriter.write(Seq((2L, "b")).toDF("id", "name").coalesce(1), tdir)
+      eng.refreshTick(eng.knownSource("srv_refresh_x").get)
+      // the view's plan pins the file list: a changed distributed table
+      // re-registers (O(log metadata), no data read) — the swap leg
+      assert(eng.refreshStats("srv_refresh_x").snapshotSwaps == 1L)
+      assert(served("srv_refresh_x") == Set((1L, "a"), (2L, "b")))
+    } finally eng.close()
+  }
+}
