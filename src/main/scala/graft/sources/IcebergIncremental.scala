@@ -174,7 +174,11 @@ object IcebergIncremental {
     * in-range schema version, typically one. Top-level fields only, like
     * the reader's equality-delete resolution. */
   private def projectedRead(spark: SparkSession, meta: JsonNode, to: JsonNode,
-                            schemaId: Int, paths: Seq[String]): DataFrame = {
+                            schemaId: Int, paths: Seq[String],
+                            /** keep a `__fp` column (scan-domain file
+                              * path) for (file -> metadata) stamping
+                              * joins. */
+                            keepFp: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val endNode = IcebergLoader.schemaNodeFor(meta, Some(to))
     val endSchema = IcebergLoader.sparkSchemaOf(endNode)
@@ -184,15 +188,19 @@ object IcebergIncremental {
       if (schemaId == -1 || schemaId == endSchemaId) None
       else Option(meta.get("schemas")).filterNot(_.isNull)
         .flatMap(_.elements().asScala.find(_.get("schema-id").asInt() == schemaId))
+    def withFp(df: DataFrame): DataFrame =
+      if (keepFp) df.withColumn("__fp",
+        IcebergLoader.normFp(col("_metadata.file_path")))
+      else df
     srcNode match {
-      case None => spark.read.schema(endSchema).parquet(paths: _*)
+      case None => withFp(spark.read.schema(endSchema).parquet(paths: _*))
       case Some(sn) =>
         val srcSchema = IcebergLoader.sparkSchemaOf(sn)
         val srcIdToName = IcebergLoader.fieldIdToName(sn)
         val srcNames = srcIdToName.values.toSet
         val endIds = endNode.get("fields").elements().asScala
           .map(_.get("id").asInt()).toSeq
-        val scan = spark.read.schema(srcSchema).parquet(paths: _*)
+        val scan = withFp(spark.read.schema(srcSchema).parquet(paths: _*))
         scan.select(endIds.zip(endSchema.fields).map { case (fid, ef) =>
           // id match first (renames); a field id absent from the source
           // schema falls back to NAME — iceberg's name-mapping rule,
@@ -205,7 +213,7 @@ object IcebergIncremental {
             case Some(n) => col(s"`$n`").cast(ef.dataType).as(ef.name)
             case None => lit(null).cast(ef.dataType).as(ef.name)
           }
-        }.toSeq: _*)
+        }.toSeq ++ (if (keepFp) Seq(col("__fp")) else Seq.empty): _*)
     }
   }
 
@@ -313,6 +321,15 @@ object IcebergIncremental {
       }.map(m => String.valueOf(m.get("manifest_path"))).toSet
 
     val frames = Seq.newBuilder[DataFrame]
+    // insert slices accumulate ACROSS snapshots: the insert leg — the
+    // dominant leg of append-mostly histories — plans ONE scan per
+    // distinct in-range schema version for the whole range, with each
+    // file's snapshot id and timestamp riding a broadcast (file -> meta)
+    // relation (the DeltaCdf range-collapse, applied to this reader: a
+    // 1,000-append catch-up must not plan 1,000 scan branches). Delete
+    // legs stay per-snapshot — they need parent-state context and are
+    // rare per snapshot.
+    val inserts = Seq.newBuilder[(Int, Long, Long, String)]
     range.foreach { s =>
       val sid = s.get("snapshot-id").asLong()
       val ts = Option(s.get("timestamp-ms")).filterNot(_.isNull)
@@ -427,13 +444,12 @@ object IcebergIncremental {
       }
       val addedFiles = added.result().distinct
       if (addedFiles.nonEmpty) {
-        // files read under the schema of the snapshot that ADDED them,
-        // projected to the range-end shape through field ids (renames
-        // between snapshots are metadata-only; see [[projectedRead]])
+        // files carry the ADDING snapshot's schema-id (renames between
+        // snapshots are metadata-only; see [[projectedRead]]) — scanned
+        // once per schema version for the WHOLE range, after the loop
         val schemaId = Option(s.get("schema-id")).filterNot(_.isNull)
           .map(_.asInt()).getOrElse(-1)
-        frames += stamp(projectedRead(spark, meta, to, schemaId, addedFiles),
-          "insert")
+        addedFiles.foreach(p => inserts += ((schemaId, sid, ts, p)))
       }
       // distinct on the PAIRS keeps paths and recorded sizes aligned
       // (the broadcast-vs-shuffle choice reads them positionally)
@@ -543,6 +559,31 @@ object IcebergIncremental {
             .drop("__graft_fp", "__graft_ri", "__graft_dseq"), "delete")
         }
       }
+    }
+    // the range-collapsed insert leg: one scan per distinct schema
+    // version, snapshot id + timestamp joined in from a broadcast
+    // (file -> meta) relation instead of per-snapshot literal stamps
+    val insertSlices = inserts.result()
+    insertSlices.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+      case (schemaId, slices) =>
+        val metaDf = spark.createDataFrame(slices.map(sl =>
+            org.apache.spark.sql.Row(PartitionLayout.scanPathKey(sl._4),
+              sl._2, sl._3)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__fp",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("__sid",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("__ts",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        frames += projectedRead(spark, meta, to, schemaId,
+            slices.map(_._4).distinct, keepFp = true)
+          .join(broadcast(metaDf), Seq("__fp"))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_snapshot_id", col("__sid"))
+          .withColumn("_commit_timestamp",
+            (col("__ts") / lit(1000.0)).cast("timestamp"))
+          .select(outCols: _*)
     }
     val out = frames.result()
     if (out.isEmpty) {

@@ -536,7 +536,7 @@ object IcebergLoader {
 
   // ---- scan -----------------------------------------------------------------
 
-  private def normFp(c: org.apache.spark.sql.Column) =
+  private[sources] def normFp(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^file:/+", "/")
 
   private def toDataFrame(spark: SparkSession, fs: FileSystem, tableUri: String,

@@ -277,7 +277,19 @@ class CdfScaleSpec extends SparkSpec {
       IcebergWriter.write(Seq((i, s"n$i")).toDF("id", "name").coalesce(1), iDir)
     }
     val c = IcebergIncremental.changesBetween(spark, iDir, -1L)
+    // the insert leg — all 64 append snapshots share one schema version —
+    // must plan ONE scan for the range, with snapshot ids/timestamps on
+    // the broadcast (file -> meta) relation (the DeltaCdf range-collapse
+    // applied to this reader)
+    val iScans = scanCount(c)
+    assert(iScans <= 2, s"a 64-append changelog must plan O(1) insert " +
+      s"scans, got $iScans")
     assert(c.count() == 64L)
     assert(c.select("_snapshot_id").distinct().count() == 64L)
+    // per-snapshot commit timestamps survive the collapse
+    assert(c.select("_commit_timestamp").distinct().count() >= 1L)
+    val a = IcebergIncremental.appendsBetween(spark, iDir, -1L)
+    assert(scanCount(a) <= 2)
+    assert(a.count() == 64L)
   }
 }
