@@ -330,6 +330,13 @@ object IcebergIncremental {
     // legs stay per-snapshot — they need parent-state context and are
     // rare per snapshot.
     val inserts = Seq.newBuilder[(Int, Long, Long, String)]
+    // v2 position-delete legs collapse the same way: each delete FILE is
+    // one snapshot's delta, so the whole range needs ONE delete-file
+    // scan, ONE referenced-file discovery job, and ONE pre-image scan —
+    // per-file snapshot stamps ride a broadcast (delete-file -> meta)
+    // relation (previously one leg of all three per DML snapshot: a
+    // 1,000-commit DML history planned 1,000 pre-image scans)
+    val posLegs = Seq.newBuilder[(Long, Long, Seq[(String, Long)])]
     range.foreach { s =>
       val sid = s.get("snapshot-id").asLong()
       val ts = Option(s.get("timestamp-ms")).filterNot(_.isNull)
@@ -452,32 +459,10 @@ object IcebergIncremental {
         addedFiles.foreach(p => inserts += ((schemaId, sid, ts, p)))
       }
       // distinct on the PAIRS keeps paths and recorded sizes aligned
-      // (the broadcast-vs-shuffle choice reads them positionally)
+      // (the broadcast-vs-shuffle choice reads them positionally);
+      // pre-image scans plan ONCE for the whole range, after the loop
       val delPairs = posDeletes.result().distinctBy(_._1)
-      val delFiles = delPairs.map(_._1)
-      if (delFiles.nonEmpty) {
-        // the delete rows' pre-images live in the files they reference —
-        // a driver-bounded distinct (touched files per snapshot), then one
-        // distributed scan of only those files semi-joined to the
-        // (file, row) tombstones
-        val referenced = spark.read.parquet(delFiles: _*)
-          .select(col("file_path").cast("string")).distinct()
-          .collect().map(r => remap(r.getString(0))).toSeq
-        if (referenced.nonEmpty) {
-          val plan0 = IcebergLoader.PlannedScan(
-            referenced.map(p => (p, 0L)), delFiles,
-            Seq.empty, Seq.empty, delPairs.map(_._2))
-          val tombs = IcebergLoader.positionTombstones(
-            spark, fs, dir, meta, plan0).get
-          val base = IcebergLoader.scanLive(spark, schemaNode,
-            plan0.copy(positionDeleteFiles = Seq.empty,
-              positionDeleteBytes = Seq.empty),
-            referenced, posTombs = None, keepIds = true)
-          frames += stamp(base
-            .join(tombs, Seq("__graft_fp", "__graft_ri"), "left_semi")
-            .drop("__graft_fp", "__graft_ri"), "delete")
-        }
-      }
+      if (delPairs.nonEmpty) posLegs += ((sid, ts, delPairs))
       // v3 deletion vectors: the added entry is the file's MERGED bitmap,
       // so this snapshot's delta = (doomed at s) ANTI-JOIN (doomed at
       // parent) over the referenced files — pos deletes and prior DVs in
@@ -558,6 +543,60 @@ object IcebergIncremental {
           frames += stamp(pre
             .drop("__graft_fp", "__graft_ri", "__graft_dseq"), "delete")
         }
+      }
+    }
+    // the range-collapsed position-delete leg: one delete-file scan, one
+    // referenced-file discovery, one pre-image scan for the WHOLE range;
+    // each tombstone carries its source delete file (`__graft_src`), so
+    // snapshot id + timestamp join in from a broadcast relation
+    val posLegsL = posLegs.result()
+    if (posLegsL.nonEmpty) {
+      val delPairsAll = posLegsL.flatMap(_._3).distinctBy(_._1)
+      val delFilesAll = delPairsAll.map(_._1)
+      val referenced = spark.read.parquet(delFilesAll: _*)
+        .select(col("file_path").cast("string")).distinct()
+        .collect().map(r => remap(r.getString(0))).toSeq
+      if (referenced.nonEmpty) {
+        val plan0 = IcebergLoader.PlannedScan(
+          referenced.map(p => (p, 0L)), delFilesAll,
+          Seq.empty, Seq.empty, delPairsAll.map(_._2))
+        val tombs = IcebergLoader.positionTombstones(
+          spark, fs, dir, meta, plan0, keepSource = true).get
+        val srcMeta = spark.createDataFrame(posLegsL.flatMap {
+            case (sid, ts, pairs) => pairs.map(p =>
+              org.apache.spark.sql.Row(
+                PartitionLayout.scanPathKey(p._1), sid, ts)) }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__graft_src",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("__sid",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("__ts",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val stamped = tombs.join(broadcast(srcMeta), Seq("__graft_src"))
+          .drop("__graft_src")
+        // the same recorded-bytes broadcast decision positionTombstones
+        // makes internally, re-applied because the stamp join sits
+        // between its hint and this join
+        val recBytes = delPairsAll.map { case (p, b) =>
+          if (b >= 0L) b else scala.util.Try(
+            fs.getFileStatus(new HPath(p)).getLen)
+            .getOrElse(Long.MaxValue / 1024)
+        }.sum
+        val budget = spark.conf.getOption("spark.graft.tombBroadcastBytes")
+          .map(_.toLong).getOrElse(IcebergLoader.tombBroadcastBytes)
+        val rhs = if (recBytes * 4 <= budget) broadcast(stamped) else stamped
+        val base = IcebergLoader.scanLive(spark, schemaNode,
+          plan0.copy(positionDeleteFiles = Seq.empty,
+            positionDeleteBytes = Seq.empty),
+          referenced, posTombs = None, keepIds = true)
+        frames += base
+          .join(rhs, Seq("__graft_fp", "__graft_ri"))
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_snapshot_id", col("__sid"))
+          .withColumn("_commit_timestamp",
+            (col("__ts") / lit(1000.0)).cast("timestamp"))
+          .select(outCols: _*)
       }
     }
     // the range-collapsed insert leg: one scan per distinct schema

@@ -557,12 +557,24 @@ object IcebergLoader {
     * `file:` spelling normalized) — None when the snapshot has neither.
     * Small relative to data by the delete-file format's nature (tombstones
     * only), so callers broadcast it. Shared by the reader and the writer's
-    * delete-materializing compaction. */
+    * delete-materializing compaction.
+    *
+    * With `keepSource=true` each pair also carries `__graft_src` — the
+    * DELETE FILE it came from, in [[PartitionLayout.scanPathKey]] domain
+    * — so a range-collapsed changelog can join per-file commit stamps
+    * back in ([[IcebergIncremental.changesBetween]]); parquet-delete
+    * plans only (the changelog's DV leg diffs against parent state and
+    * stays per-snapshot). */
   private[sources] def positionTombstones(spark: SparkSession, fs: FileSystem,
                                           tableUri: String, meta: JsonNode,
-                                          plan: PlannedScan): Option[DataFrame] = {
+                                          plan: PlannedScan,
+                                          keepSource: Boolean = false)
+      : Option[DataFrame] = {
     if (plan.positionDeleteFiles.isEmpty && plan.deletionVectors.isEmpty)
       return None
+    require(!keepSource || plan.deletionVectors.isEmpty,
+      "positionTombstones: keepSource supports parquet position-delete " +
+        "plans only")
     // position deletes: parquet files of (file_path, pos) — the spec's
     // delete-file schema. file_path values are write-time absolute, so
     // they get the same location remap as the scan paths — applied AFTER
@@ -591,15 +603,20 @@ object IcebergLoader {
             org.apache.spark.sql.Row(v._1, v._2)).asJava,
           StructType(Seq(StructField("__graft_fp", StringType, nullable = false),
             StructField("__graft_canon", StringType, nullable = false))))
+        val srcCols =
+          if (keepSource)
+            Seq(normFp(col("_metadata.file_path")).as("__graft_src"))
+          else Seq.empty
         val rawDeletes = spark.read.parquet(plan.positionDeleteFiles: _*)
-          .select(normFp(col("file_path").cast("string")).as("__graft_fp"),
-            col("pos").cast("long").as("__graft_ri"))
+          .select(normFp(col("file_path").cast("string")).as("__graft_fp") +:
+            col("pos").cast("long").as("__graft_ri") +: srcCols: _*)
         val remapped = loc.filter(_ != root).fold(rawDeletes)(l =>
           rawDeletes.withColumn("__graft_fp", regexp_replace(col("__graft_fp"),
             "^" + java.util.regex.Pattern.quote(l + "/"),
             java.util.regex.Matcher.quoteReplacement(root + "/"))))
         Some(remapped.join(broadcast(spellDf), Seq("__graft_fp"))
-          .select(col("__graft_canon").as("__graft_fp"), col("__graft_ri")))
+          .select(col("__graft_canon").as("__graft_fp") +:
+            col("__graft_ri") +: srcCols.map(_ => col("__graft_src")): _*))
       }
     // v3 deletion vectors: decode each Puffin blob into row indexes for
     // its ONE referenced data file (path already remapped at plan time)

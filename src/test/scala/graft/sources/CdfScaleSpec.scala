@@ -260,6 +260,27 @@ class CdfScaleSpec extends SparkSpec {
     assert(changes.where("id = 1").select("extra").collect().head.isNullAt(0))
   }
 
+  test("DML-heavy iceberg history: pos-delete legs plan one pre-image scan per range") {
+    val dir = newDir("graft_chg_dmlw")
+    IcebergWriter.write((1L to 32L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), dir)
+    (1 to 8).foreach(i => IcebergDml.deleteWhere(spark, dir, s"id = $i"))
+    val c = IcebergIncremental.changesBetween(spark, dir, -1L)
+    val scans = scanCount(c)
+    // one insert scan + one delete-file scan + one pre-image scan for the
+    // WHOLE range — not one leg of each per DML snapshot (review theme:
+    // the Delta cdc-leg plan-width class)
+    assert(scans <= 4, s"an 8-DML changelog must plan O(1) scans, got $scans")
+    val dels = c.where("_change_type = 'delete'")
+      .select("id", "_snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dels.map(_._1).toSet == (1L to 8L).toSet, dels.mkString(","))
+    // each delete still stamps ITS OWN snapshot id (the broadcast
+    // (delete-file -> meta) relation, not a range-wide literal)
+    assert(dels.map(_._2).distinct.length == 8, dels.mkString(","))
+    assert(c.where("_change_type = 'insert'").count() == 32L)
+  }
+
   test("wide ranges plan flat: 64-commit Delta CDF + Iceberg changelog") {
     // 64 single-row commits per format — a left-deep union here would
     // already strain analysis; the pairwise tree keeps it O(log n) and the
