@@ -229,18 +229,29 @@ final class Engine(val spark: SparkSession, val readOnly: Boolean = true,
     val bound = localServeRowCap * 3 + 3
     val dataCols = schema.fieldNames.toSeq.map(n =>
       org.apache.spark.sql.functions.col(s"`$n`"))
+    // upstream SCHEMA evolution — even additive — must surface through a
+    // snapshot swap, never a pinned relation silently serving the stale
+    // shape (the incremental reads return the range-END schema, so a
+    // column-set mismatch with the cached schema is the drift signal)
+    def requireSameShape(got: Seq[String]): Unit =
+      require(got == schema.fieldNames.toSeq,
+        s"${src.name}: upstream schema changed " +
+          s"(${got.mkString(",")} vs cached); swapping")
     val changes: Array[org.apache.spark.sql.Row] = src.resolvedFormat match {
       case "delta" =>
-        graft.sources.DeltaCdf.loadChanges(spark, src.uri, st.cursor, Some(to))
-          .select(dataCols :+
+        val raw = graft.sources.DeltaCdf.loadChanges(
+          spark, src.uri, st.cursor, Some(to))
+        requireSameShape(raw.columns.toSeq.dropRight(3))
+        raw.select(dataCols :+
             org.apache.spark.sql.functions.col("_change_type") :+
             org.apache.spark.sql.functions.col("_commit_version"): _*)
           .limit(bound + 1).collect()
       case "iceberg" =>
         // appendsBetween REFUSES non-append snapshots -> swap fallback
-        graft.sources.IcebergIncremental.appendsBetween(
-            spark, src.uri, st.cursor, Some(to))
-          .select(dataCols: _*)
+        val raw = graft.sources.IcebergIncremental.appendsBetween(
+          spark, src.uri, st.cursor, Some(to))
+        requireSameShape(raw.columns.toSeq)
+        raw.select(dataCols: _*)
           .limit(bound + 1).collect()
           .map(r => org.apache.spark.sql.Row.fromSeq(
             r.toSeq :+ "insert" :+ 0L))

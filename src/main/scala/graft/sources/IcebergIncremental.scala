@@ -337,6 +337,10 @@ object IcebergIncremental {
     // relation (previously one leg of all three per DML snapshot: a
     // 1,000-commit DML history planned 1,000 pre-image scans)
     val posLegs = Seq.newBuilder[(Long, Long, Seq[(String, Long)])]
+    // v3 DV legs: per-snapshot stamped diff frames (scan-free) + the dvs
+    // whose referenced files feed the ONE collapsed pre-image scan
+    val dvLegs = Seq.newBuilder[(Long, Long, DataFrame,
+      Seq[IcebergLoader.DvFile])]
     range.foreach { s =>
       val sid = s.get("snapshot-id").asLong()
       val ts = Option(s.get("timestamp-ms")).filterNot(_.isNull)
@@ -467,7 +471,11 @@ object IcebergIncremental {
       // so this snapshot's delta = (doomed at s) ANTI-JOIN (doomed at
       // parent) over the referenced files — pos deletes and prior DVs in
       // the parent state both subtract, which also makes the v2→v3
-      // migration commit emit only genuinely new deletes
+      // migration commit emit only genuinely new deletes. The tombstone
+      // diff frames are SCAN-FREE (puffin blobs decode in flatMap tasks,
+      // parent walks are cached metadata), so they stay per-snapshot;
+      // the pre-image DATA scan — the plan-width cost — collapses to one
+      // per range, after the loop.
       val dvs = dvAdded.result().distinctBy(_.referencedDataFile)
       if (dvs.nonEmpty) {
         val refFiles = dvs.map(_.referencedDataFile).distinct
@@ -486,12 +494,9 @@ object IcebergIncremental {
         }
         val delta = tombsP.fold(tombsS)(tp =>
           tombsS.join(tp, Seq("__graft_fp", "__graft_ri"), "left_anti"))
-        val base = IcebergLoader.scanLive(spark, schemaNode,
-          sPlan.copy(deletionVectors = Seq.empty), refFiles,
-          posTombs = None, keepIds = true)
-        frames += stamp(base
-          .join(delta, Seq("__graft_fp", "__graft_ri"), "left_semi")
-          .drop("__graft_fp", "__graft_ri"), "delete")
+        dvLegs += ((sid, ts,
+          delta.withColumn("__sid", lit(sid)).withColumn("__ts", lit(ts)),
+          dvs))
       }
       // equality-delete pre-images (opt-in): parent live rows of data
       // files with sequence STRICTLY below the delete's, semi-joined to
@@ -598,6 +603,33 @@ object IcebergIncremental {
             (col("__ts") / lit(1000.0)).cast("timestamp"))
           .select(outCols: _*)
       }
+    }
+    // the range-collapsed DV-delta leg: the per-snapshot diff frames
+    // union (pairwise), and ONE pre-image scan over every referenced
+    // file serves all of them — each changed row inner-joins its own
+    // snapshot's stamped delta
+    val dvLegsL = dvLegs.result()
+    if (dvLegsL.nonEmpty) {
+      val allDelta = DistKit.unionTree(dvLegsL.map(_._3))
+      val refAll = dvLegsL.flatMap(_._4.map(_.referencedDataFile)).distinct
+      val base = IcebergLoader.scanLive(spark, schemaNode,
+        IcebergLoader.PlannedScan(refAll.map(p => (p, 0L)), Seq.empty,
+          Seq.empty, Seq.empty),
+        refAll, posTombs = None, keepIds = true)
+      // the same expansion proxy positionTombstones uses for DV bitmaps,
+      // re-applied because the stamps sit above its internal hint
+      val dvBytes = dvLegsL.flatMap(_._4)
+        .map(d => math.max(d.contentSize, 0L)).sum
+      val budget = spark.conf.getOption("spark.graft.tombBroadcastBytes")
+        .map(_.toLong).getOrElse(IcebergLoader.tombBroadcastBytes)
+      val rhs = if (dvBytes * 32 <= budget) broadcast(allDelta) else allDelta
+      frames += base
+        .join(rhs, Seq("__graft_fp", "__graft_ri"))
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_snapshot_id", col("__sid"))
+        .withColumn("_commit_timestamp",
+          (col("__ts") / lit(1000.0)).cast("timestamp"))
+        .select(outCols: _*)
     }
     // the range-collapsed insert leg: one scan per distinct schema
     // version, snapshot id + timestamp joined in from a broadcast

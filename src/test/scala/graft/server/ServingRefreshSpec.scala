@@ -79,6 +79,39 @@ class ServingRefreshSpec extends SparkSpec {
     } finally eng.close()
   }
 
+  test("upstream schema evolution forces a swap, never a stale pinned shape") {
+    val base = newBase("graft_srv_e")
+    val tdir = base + "/t"
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "name").coalesce(1), tdir)
+    val eng = new Engine(spark)
+    try {
+      eng.registerTable(TableSource("srv_refresh_e", tdir, Some("iceberg")))
+      // a metadata-only rename commits no snapshot: the next tick noops
+      IcebergWriter.renameColumn(spark, tdir, "name", "label")
+      eng.refreshTick(eng.knownSource("srv_refresh_e").get)
+      assert(eng.refreshStats("srv_refresh_e").noopTicks == 1L)
+      // the next APPEND moves the cursor; the apply path sees the range-
+      // end shape differs from the cached one and swaps — the served
+      // view must come back under the NEW column name
+      IcebergWriter.write(Seq((2L, "b")).toDF("id", "label").coalesce(1), tdir)
+      eng.refreshTick(eng.knownSource("srv_refresh_e").get)
+      val s = eng.refreshStats("srv_refresh_e")
+      assert((s.deltaApplied, s.snapshotSwaps) == (0L, 1L), s.toString)
+      assert(spark.table("srv_refresh_e").columns.toSeq == Seq("id", "label"))
+      // the served rows equal a FRESH load of the table — serving parity
+      // with the loader's own snapshot semantics (whose name-based read
+      // null-fills renamed columns from pre-rename files, the documented
+      // minimal-reader trade; the incremental READERS resolve by field
+      // id, the main scan does not)
+      val fresh = graft.sources.Loaders.load(spark,
+        TableSource("srv_refresh_e_chk", tdir, Some("iceberg"))).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(spark.table("srv_refresh_e").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet == fresh)
+      assert(fresh.map(_._1) == Set(1L, 2L))
+    } finally eng.close()
+  }
+
   test("distributed serving (memory opt-out): unchanged ticks noop, changed ticks swap") {
     val base = newBase("graft_srv_x")
     val tdir = base + "/t"
