@@ -259,7 +259,15 @@ object IcebergIncremental {
     * distributed scans of only the added files; each snapshot's delete
     * pre-images read only the files its deletes reference, with the
     * (file, row) tombstones riding the same broadcast-or-shuffle join the
-    * reader uses. */
+    * reader uses. Plan WIDTH is bounded per range for the legs whose
+    * semantics allow it — inserts (one scan per in-range schema version),
+    * v2 position deletes (one delete-file scan + one pre-image scan), v3
+    * DV diffs (scan-free per-snapshot tombstone frames + one pre-image
+    * scan). The equality-delete and whole-file-drop legs are inherently
+    * per-snapshot (each needs its OWN parent's live state, which a shared
+    * scan cannot represent); a consumer catching up over an eq-heavy
+    * history bounds its plans with [[graft.streaming.ChangeTail]]'s
+    * `maxSnapshotsPerBatch` chopper instead. */
   def changesBetween(spark: SparkSession, dir: String,
                      fromSnapshotId: Long,
                      toSnapshotId: Option[Long] = None,
