@@ -245,6 +245,10 @@ object IcebergDml {
       val partFields = IcebergWriter.specPartFields(meta)
       val partTypes = partFields.map(pf => pf.name ->
         IcebergWriter.transformResultType(pf, schema(pf.source).dataType)).toMap
+      // replacement files stamp parquet field ids from the current schema
+      // (spec conformance, like every other data write)
+      val dmlFieldIds: Map[String, Int] = IcebergLoader.fieldIdToName(
+        IcebergLoader.schemaNodeFor(meta, None)).map(_.swap)
       val newData0: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
         (set, merge) match {
           case (Some(assignments), _) =>
@@ -257,9 +261,11 @@ object IcebergDml {
                 case None => col(s"`$n`")
               }
             }.toIndexedSeq: _*)
-            IcebergWriter.writeDataParts(updated, fs, root, partFields, partTypes)
+            IcebergWriter.writeDataParts(updated, fs, root, partFields,
+              partTypes, dmlFieldIds)
           case (_, Some((source, _))) =>
-            IcebergWriter.writeDataParts(source, fs, root, partFields, partTypes)
+            IcebergWriter.writeDataParts(source, fs, root, partFields,
+              partTypes, dmlFieldIds)
           case _ => Seq.empty
         }
 
@@ -566,7 +572,7 @@ object IcebergDml {
     val partTypes = partFields.map(pf => pf.name ->
       IcebergWriter.transformResultType(pf, schema(pf.source).dataType)).toMap
     val newData0 = IcebergWriter.writeDataParts(source, fs, root,
-      partFields, partTypes)
+      partFields, partTypes, fieldIds)
     val (emptyParts, newData) = newData0.partition(_._3.rows == 0L)
     emptyParts.foreach(e => fs.delete(new HPath(e._1), false))
     // (b) the distinct source keys as ONE equality-delete parquet, field

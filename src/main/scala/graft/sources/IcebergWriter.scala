@@ -11,6 +11,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Minimal Apache Iceberg WRITER for filesystem-catalog tables — the sink
@@ -178,22 +179,12 @@ object IcebergWriter {
 
     val partTypes: Map[String, DataType] = partFields.map(pf =>
       pf.name -> transformResultType(pf, df.schema(pf.source).dataType)).toMap
-    val moved: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
-      writeDataParts(df, fs, root, partFields, partTypes)
 
-    val now = System.currentTimeMillis()
-    val lastSeq = existing.flatMap(m =>
-      Option(m.get("last-sequence-number")).filterNot(_.isNull).map(_.asLong()))
-      .getOrElse(0L)
-    val seq = lastSeq + 1
-    val snapshots = existing.map(m => Option(m.get("snapshots")).filterNot(_.isNull)
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)).getOrElse(Seq.empty)
-    val snapId = snapshots.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
-
-    // schema bookkeeping. `priorSchemas` normalizes the two metadata
-    // generations: the v2 `schemas` array, or the legacy v1 top-level
-    // `schema` wrapped with schema-id 0 — without the fallback an
-    // append/overwrite on a v1-style table wrote `"schemas":null` /
+    // schema bookkeeping FIRST — the data write stamps parquet field ids
+    // from the schema this commit records. `priorSchemas` normalizes the
+    // two metadata generations: the v2 `schemas` array, or the legacy v1
+    // top-level `schema` wrapped with schema-id 0 — without the fallback
+    // an append/overwrite on a v1-style table wrote `"schemas":null` /
     // invalid `[,{...}]` JSON and bricked the table (review finding).
     val priorSchemas: Seq[String] = existing.toSeq.flatMap { meta =>
       Option(meta.get("schemas")).filterNot(_.isNull)
@@ -226,6 +217,22 @@ object IcebergWriter {
         val (json, lci) = icebergSchemaJson(df.schema, 0, 0)
         (s"[$json]", 0, lci)
     }
+    // the commit's own schema entry -> (name -> field id) for the stamp
+    val dataFieldIds: Map[String, Int] = mapper.readTree(schemasJson)
+      .elements().asScala.find(_.get("schema-id").asInt() == schemaId)
+      .map(n => IcebergLoader.fieldIdToName(n).map(_.swap))
+      .getOrElse(Map.empty)
+    val moved: Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] =
+      writeDataParts(df, fs, root, partFields, partTypes, dataFieldIds)
+
+    val now = System.currentTimeMillis()
+    val lastSeq = existing.flatMap(m =>
+      Option(m.get("last-sequence-number")).filterNot(_.isNull).map(_.asLong()))
+      .getOrElse(0L)
+    val seq = lastSeq + 1
+    val snapshots = existing.map(m => Option(m.get("snapshots")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)).getOrElse(Seq.empty)
+    val snapId = snapshots.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
 
     // partition-spec bookkeeping: prior specs carry forward verbatim (old
     // snapshots' manifests reference them); the wanted identity spec
@@ -381,10 +388,32 @@ object IcebergWriter {
     * ONE footer read per file supplies both the TRUE record count (a
     * stats hint real planners read; never a lie) and the bounds zones the
     * manifest publishes. */
-  private[sources] def writeDataParts(df: DataFrame, fs: FileSystem,
+  /** Re-alias top-level columns with `parquet.field.id` metadata so the
+    * parquet writer records field ids in the files (iceberg spec
+    * §Parquet: data files carry field ids; real engines resolve columns
+    * by ID, and files without ids need a name-mapping table property to
+    * be readable at all). Spark emits the ids when schema metadata
+    * carries the key (`spark.sql.parquet.fieldId.write.enabled`, default
+    * true). Top-level fields, the engine's supported shape. */
+  private[sources] def stampFieldIds(df: DataFrame,
+                                     fieldIds: Map[String, Int]): DataFrame =
+    if (fieldIds.isEmpty) df
+    else df.select(df.schema.fields.map { f =>
+      fieldIds.get(f.name) match {
+        case Some(fid) => col(s"`${f.name}`").as(f.name,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", fid.toLong).build())
+        case None => col(s"`${f.name}`")
+      }
+    }.toIndexedSeq: _*)
+
+  private[sources] def writeDataParts(df0: DataFrame, fs: FileSystem,
       root: HPath, partFields: Seq[PartField],
-      partTypes: Map[String, DataType])
+      partTypes: Map[String, DataType],
+      fieldIds: Map[String, Int] = Map.empty)
       : Seq[(String, Long, ColumnIndex.FileZones, Seq[(String, Any)])] = {
+    val df = stampFieldIds(df0, fieldIds)
     val spark = df.sparkSession
     val dataDir = new HPath(root, "data")
     fs.mkdirs(dataDir)
@@ -805,6 +834,9 @@ object IcebergWriter {
     val dataDir = new HPath(root, "data")
     fs.mkdirs(dataDir)
     val scanSchemaNode = IcebergLoader.schemaNodeFor(meta, None)
+    val fieldIds: Map[String, Int] =
+      scanSchemaNode.get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
     def packGroup(small: Seq[Entry]): Seq[(String, Long)] = {
       val total = small.map(_._4).sum
       val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
@@ -826,7 +858,10 @@ object IcebergWriter {
       val shaped =
         if (zorderBy.isEmpty) source.repartition(nOut)
         else ZOrderKit.cluster(source, zorderBy, nOut)
-      shaped.write.mode("overwrite").parquet(scratch.toString)
+      // rewritten files keep their parquet field ids (spec conformance —
+      // id-resolving engines read compacted tables too)
+      stampFieldIds(shaped, fieldIds).write.mode("overwrite")
+        .parquet(scratch.toString)
       val out = fs.listStatus(scratch).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         .map { p =>
@@ -851,9 +886,6 @@ object IcebergWriter {
       .map(_.asLong()).getOrElse(0L)
     val seq = lastSeq + 1
     val snapId = snapshots.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
-    val fieldIds: Map[String, Int] =
-      scanSchemaNode.get("fields").elements().asScala
-        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
     val statCols = schema.fields
       .filter(f => boundsKind(f.dataType).isDefined).map(_.name).toSeq
     val conf = spark.sparkContext.hadoopConfiguration

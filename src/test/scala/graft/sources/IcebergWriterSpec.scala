@@ -1015,6 +1015,41 @@ class IcebergWriterSpec extends SparkSpec with IcebergFixtures {
     assert(e3.getMessage.contains("misresolve"), e3.getMessage)
   }
 
+  test("data files carry parquet FIELD IDS matching the table schema (spec conformance)") {
+    import spark.implicits._
+    // iceberg spec §Parquet: data files record field ids so engines
+    // resolve columns by ID — files without them need a name-mapping
+    // property to be readable by real iceberg readers at all
+    def footerIds(dir: String): Map[String, Set[Option[Int]]] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      def walk(p: java.io.File): Unit = p.listFiles().foreach { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".parquet"))
+          files += new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      }
+      walk(new java.io.File(dir + "/data"))
+      files.result().flatMap { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(f => f.getName -> Option(f.getId).map(_.intValue()))
+        finally r.close()
+      }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    }
+    val dir = newDir()
+    IcebergWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1), dir) // ids assigned 1, 2
+    IcebergDml.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "name"),
+      dir, Seq("id")) // DML replacement files stamp too
+    IcebergWriter.compactDataFiles(spark, dir, targetFileBytes = 64L << 20)
+    val ids = footerIds(dir)
+    assert(ids("id") == Set(Some(1)), ids.toString)
+    assert(ids("name") == Set(Some(2)), ids.toString)
+    // and the table still reads correctly end to end
+    assert(load(dir).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("iceberg schema json assigns depth-first field ids and round-trips types") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
