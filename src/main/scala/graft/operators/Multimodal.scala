@@ -186,6 +186,14 @@ object Multimodal {
     import spark.implicits._
     graft.Tables.t(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
+      // the id column reads as ONE scan partition (a single small parquet
+      // footer), which would serialize the CPU-dense encode here AND every
+      // decode kernel downstream of the checkpointed corpus onto 1-2 cores
+      // (guide §2.5: input skew — repartition right after the read; the
+      // exchange moves 8-byte ids, the kernels it widens move pixels).
+      // Content derives from the id alone, so placement cannot change any
+      // result. Optimization round 20.
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val (bytes, fmt) = synthImageBytes(id)
         MediaRow(id, bytes, fmt)
@@ -418,6 +426,11 @@ object Multimodal {
     import spark.implicits._
     graft.Tables.t(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
+      // deliberately NOT widened like syntheticImages: javax.sound's
+      // provider registry serializes concurrent decodes — measured at 32
+      // tasks the total executor time ballooned 0.4 s -> 23.6 s (lock
+      // spin) and WALL got 2x worse (480 -> 910 ms); the narrow scan is
+      // the faster shape for this codec (optimization round 20)
       .mapPartitions(_.map(id => MediaRow(id, synthWavBytes(id), "audio/wav")))
   }
 
@@ -679,6 +692,7 @@ object Multimodal {
     import spark.implicits._
     graft.Tables.t(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see syntheticImages
       .mapPartitions(_.map(id => MediaRow(id, synthGifBytes(id), "image/gif")))
   }
 

@@ -92,6 +92,20 @@ object PipelineOps {
 
   // ---- helpers -------------------------------------------------------------
 
+  /** Widen a CPU-dense single-pass input to the session's parallelism when
+    * its scan produced FEWER partitions — at sf0.1 the documents/embeddings
+    * tables are one small parquet file each, so per-row kernels (lang-id,
+    * gram accumulation, LM scoring) were running on 1-3 of 32 cores
+    * (optimization round 20; guide §2.5: input skew — repartition right
+    * after the read). Scale-adaptive by construction: a 100 TB scan is
+    * already wider than defaultParallelism, so this is a no-op there and
+    * never adds a shuffle at scale. Row placement cannot change results —
+    * every caller aggregates or totally orders downstream. */
+  private def widenIfNarrow(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   /** Elementwise float->double cosine pieces, summed left-to-right — the
     * same fold order as the `aggregate`/`zip_with` HOF forms and DuckDB's
     * list_sum, so the oracle reproduces identical doubles — but as native
@@ -166,6 +180,52 @@ object PipelineOps {
       .join(tf, Seq("doc_id"), "left")
       .crossJoin(broadcast(scalars))
       .select(col("doc_id"), terms.map(contrib).reduceLeft(_ + _).as("score"))
+  }
+
+  /** TWO BM25 rankings in ONE corpus pass — the doc_rrf fusion previously
+    * ran [[bm25Scores]] twice, duplicating the dl aggregate, the scalar
+    * chain, and the scoring join tree (optimization round 20; each extra
+    * aggregate/exchange is an ~40-70 ms AQE stage job on this box). The
+    * tf pivot runs over the UNION of the two term sets and each score is
+    * the SAME per-term contribution summed in the SAME written order as
+    * the single-ranking form, so both columns are bit-identical to two
+    * independent [[bm25Scores]] calls: a doc absent from one set's tf
+    * table coalesced to 0 before, and pivots to an exact 0 contribution
+    * now; per-term df still counts exactly the docs containing that term. */
+  private def bm25Scores2(d: DataFrame, termsA: Seq[String],
+                          termsB: Seq[String]): DataFrame = {
+    val terms = (termsA ++ termsB).distinct
+    val tok = registerCache(d.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tfAggs = terms.map(t =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = terms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+    val scalars = d.agg(count(lit(1)).cast("double").as("nd"))
+      .crossJoin(tok.agg(count(lit(1)).as("n_tok")))
+      .crossJoin(tf.agg(dfAggs.head, dfAggs.tail: _*))
+      .select(col("nd") +:
+        (col("n_tok").cast("double") / col("nd")).as("avgdl") +:
+        terms.map(t => col(s"df_$t")): _*)
+    def contrib(t: String): Column = {
+      val tfd = coalesce(col(s"tf_$t"), lit(0L)).cast("double")
+      val dld = coalesce(col("dl"), lit(0L)).cast("double")
+      val idf = (col("nd") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      val w = (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + (lit(0.75) * dld) / col("avgdl")))
+      idf * w
+    }
+    d.select(col("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .join(tf, Seq("doc_id"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        termsA.map(contrib).reduceLeft(_ + _).as("score_a"),
+        termsB.map(contrib).reduceLeft(_ + _).as("score_b"))
   }
 
   // ---- queries -------------------------------------------------------------
@@ -251,18 +311,26 @@ object PipelineOps {
         .select(explode(tokens(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
+      // ONE rank window + ONE aggregate computes every k's covered mass
+      // (was: the window + a filtered aggregate + a crossJoin per k — four
+      // ranking passes and ~12 extra stages for a vocab-sized input;
+      // optimization round 20). sum(when(rk<=k, cnt)) over all terms ==
+      // the old filter(rk<=k).agg(sum) exactly, NULL-on-empty included.
+      val ks = Seq(16L, 64L, 256L, 1024L)
       val ranked = tf.withColumn("rk",
         row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
-      val total = tf.agg(sum(col("cnt")).as("total"))
-      Seq(16, 64, 256, 1024).map { k =>
-        ranked.filter(col("rk") <= k)
-          .agg(sum(col("cnt")).as("covered"))
-          .crossJoin(total)
-          .select(lit(k.toLong).as("vocab_size"),
-            coalesce(col("covered"), lit(0L)).as("covered"), col("total"),
-            (coalesce(col("covered"), lit(0L)).cast("double") /
-              col("total").cast("double")).as("coverage"))
-      }.reduce(_ unionByName _).orderBy(col("vocab_size"))
+      val oneRow = ranked.agg(sum(col("cnt")).as("total"),
+        ks.map(k => sum(when(col("rk") <= k, col("cnt"))).as(s"covered_$k")): _*)
+      val covered = coalesce(
+        ks.tail.foldLeft(when(col("vocab_size") === ks.head,
+            col(s"covered_${ks.head}"))) { (acc, k) =>
+          acc.when(col("vocab_size") === k, col(s"covered_$k"))
+        }, lit(0L))
+      import spark.implicits._
+      ks.toDF("vocab_size").crossJoin(broadcast(oneRow))
+        .select(col("vocab_size"), covered.as("covered"), col("total"),
+          (covered.cast("double") / col("total").cast("double")).as("coverage"))
+        .orderBy(col("vocab_size"))
     }),
 
     // mixture-achievement report: per source, the pool size, the admitted
@@ -297,8 +365,9 @@ object PipelineOps {
     // lang-id ships with. Pure projection + one (label, pred) aggregate;
     // output is |langs|² rows at any corpus size.
     "doc_lang_confusion" -> ((spark, dir) => {
-      val pred = docs(spark, dir).select(
-        col("lang").as("lang_label"), langId(col("text")).as("lang_pred"))
+      // widen first: lang-id is the per-row cost, the exchange moves ~KBs
+      val pred = widenIfNarrow(docs(spark, dir).select(col("lang"), col("text")))
+        .select(col("lang").as("lang_label"), langId(col("text")).as("lang_pred"))
       pred.groupBy(col("lang_label"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .withColumn("label_share", col("n").cast("double") /
@@ -401,13 +470,20 @@ object PipelineOps {
     // the oracle hash-matches.
     "doc_rrf" -> ((spark, dir) => {
       val d = docs(spark, dir)
-      def top100(terms: Seq[String], rc: String): DataFrame =
-        bm25Scores(d, terms).orderBy(col("score").desc, col("doc_id")).limit(100)
+      // both rankings score off ONE corpus pass ([[bm25Scores2]] — the dl
+      // aggregate, scalar chain, and scoring join tree are shared; scores
+      // are bit-identical to two independent bm25Scores calls)
+      val scored = registerCache(bm25Scores2(d,
+        Seq("vector", "hash", "stream", "filter"),
+        Seq("join", "scan", "merge", "sort")))
+      def top100(sc: String, rc: String): DataFrame =
+        scored.select(col("doc_id"), col(sc).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(100)
           .withColumn(rc, row_number().over(
             Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
           .select(col("doc_id"), col(rc))
-      val fused = top100(Seq("vector", "hash", "stream", "filter"), "ra")
-        .join(top100(Seq("join", "scan", "merge", "sort"), "rb"),
+      val fused = top100("score_a", "ra")
+        .join(top100("score_b", "rb"),
           Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           (coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
@@ -849,18 +925,30 @@ object PipelineOps {
         .select(col("doc_a"), col("doc_b"))
       val sig = registerCache(
         d.withColumn("sig", minhashSignature(col("sh"), 64, 42L)))
-      Seq(8, 16, 32).map { b =>
-        val found = verifyPairs(sig, lshCandidates(sig, 64, b, 4096), 0.3)
-          .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
-        exact.join(found, Seq("doc_a", "doc_b"), "left")
-          .agg(coalesce(sum(col("hit")), lit(0L)).as("n_found"),
-            count(lit(1)).as("n_true"))
-          .select(lit(b.toLong).as("bands"), lit((64 / b).toLong).as("rows_per_band"),
-            col("n_found"), col("n_true"),
-            when(col("n_true") > 0,
-              col("n_found").cast("double") / col("n_true").cast("double"))
-              .as("recall"))
-      }.reduce(_ unionByName _).orderBy(col("bands"))
+      // ONE banding pass + ONE verification join serve all three splits
+      // ([[lshCandidatesMulti]]; optimization round 20). Per split,
+      // n_found = |found ∩ exact| — the old per-split left-join hit sum
+      // (found is distinct and exact is distinct, so the semi-join count
+      // equals sum(hit)); n_true = |exact| for every split.
+      val splits = Seq(8L, 16L, 32L)
+      val found = pairJaccardKeyed(sig,
+          lshCandidatesMulti(sig, 64, splits.map(_.toInt), 4096), Seq("split"))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("split"), col("doc_a"), col("doc_b"))
+      val nFound = found.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_found"))
+      val nTrue = exact.agg(count(lit(1)).as("n_true"))
+      import spark.implicits._
+      splits.map(b => (b, 64L / b)).toDF("split", "rows_per_band")
+        .join(nFound, Seq("split"), "left")
+        .crossJoin(broadcast(nTrue))
+        .select(col("split").as("bands"), col("rows_per_band"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"), col("n_true"),
+          when(col("n_true") > 0,
+            coalesce(col("n_found"), lit(0L)).cast("double") /
+              col("n_true").cast("double"))
+            .as("recall"))
+        .orderBy(col("bands"))
     }),
 
     // the PRECISION face of the band tuning curve: per (bands, rows)
@@ -874,19 +962,29 @@ object PipelineOps {
       val d = evalCorpus(spark, dir)
       val sig = registerCache(
         d.withColumn("sig", minhashSignature(col("sh"), 64, 42L)))
-      Seq(8, 16, 32).map { b =>
-        pairJaccard(sig, lshCandidates(sig, 64, b, 4096))
-          .agg(count(lit(1)).as("n_candidates"),
-            // coalesce: an empty candidate set must yield 0, not NULL, to
-            // match the oracle's coalesce (round-10 advice)
-            coalesce(sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)),
-              lit(0L)).as("n_verified"))
-          .select(lit(b.toLong).as("bands"), lit((64 / b).toLong).as("rows_per_band"),
-            col("n_candidates"), col("n_verified"),
-            when(col("n_candidates") > 0,
-              col("n_verified").cast("double") / col("n_candidates").cast("double"))
-              .as("precision"))
-      }.reduce(_ unionByName _).orderBy(col("bands"))
+      // ONE banding pass + ONE verification join for the whole sweep
+      // ([[lshCandidatesMulti]]; optimization round 20); the left join off
+      // the literal splits relation restores the old global-aggregate
+      // behavior for a split with ZERO candidates (a group-by alone would
+      // drop its row; coalesce keeps the 0s the oracle expects —
+      // round-10 advice)
+      val splits = Seq(8L, 16L, 32L)
+      val scored = pairJaccardKeyed(sig,
+          lshCandidatesMulti(sig, 64, splits.map(_.toInt), 4096), Seq("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_verified"))
+      import spark.implicits._
+      splits.map(b => (b, 64L / b)).toDF("split", "rows_per_band")
+        .join(scored, Seq("split"), "left")
+        .select(col("split").as("bands"), col("rows_per_band"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          when(coalesce(col("n_candidates"), lit(0L)) > 0,
+            coalesce(col("n_verified"), lit(0L)).cast("double") /
+              col("n_candidates").cast("double"))
+            .as("precision"))
+        .orderBy(col("bands"))
     }),
 
     // LSH evaluation: recall of the banded MinHash chain against the
@@ -1257,8 +1355,13 @@ object PipelineOps {
           .select(col("q_id"), col("vec_id"),
             (dot(col("embedding"), col("q_vec")) / (col("nrm") * col("q_nrm"))).as("cosine")),
         AnnTopK).select(col("q_id"), col("vec_id"))
+      // centroids hoisted out of the nprobe sweep: annIvf re-collects the
+      // SAME hash-ranked seeds per call (4 TakeOrdered driver actions for
+      // one curve; optimization round 20) — one collect serves all four
+      // ivfSearch legs, bit-identically
+      val cents = ivfSeedCentroids(embs(spark, dir), AnnIvfK).toIndexedSeq
       Seq(1, 2, 4, 8).map { np =>
-        val ivf = annIvf(embs(spark, dir), k = AnnIvfK, nprobe = np, topK = AnnTopK)
+        val ivf = ivfSearch(embs(spark, dir), cents, nprobe = np, topK = AnnTopK)
           .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
         brute.join(ivf, Seq("q_id", "vec_id"), "left")
           .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
@@ -1431,6 +1534,9 @@ object PipelineOps {
     // DuckDB oracle matches bit-for-bit. Bigrams join as 64-bit fnv keys:
     // the count and score shuffles carry longs, never gram text.
     "doc_lm_score" -> ((spark, dir) => {
+      // widenIfNarrow measured NEUTRAL here (405 -> 417 ms wall) — the
+      // bigram hash work is cheap enough that the exchange pays for the
+      // parallelism it buys; left narrow (optimization round 20)
       val d = docs(spark, dir).select(col("doc_id"),
         ngramsAll(col("text"), 2).as("g"))
       lmScore(d, d.filter(col("doc_id") % 10 === 0))
@@ -2776,7 +2882,10 @@ object PipelineOps {
     val spark = e.sparkSession
     import spark.implicits._
     val nCells = dim * (dim + 1) / 2
-    val partials = e.select(col("embedding")).as[Seq[Float]]
+    // safe to widen: long sums are order-free, the kernel is documented
+    // bit-reproducible at any partitioning (gramMatrixFast is NOT — no
+    // widen there)
+    val partials = widenIfNarrow(e.select(col("embedding"))).as[Seq[Float]]
       .mapPartitions { it =>
         val acc = new Array[Long](nCells)
         var any = false
@@ -3523,7 +3632,12 @@ object PipelineOps {
   }
 
   /** [[pairJaccard]] filtered to the near-dup threshold — the verification
-    * tail every banded candidate generator shares. */
+    * tail every banded candidate generator shares. (Optimization round 20
+    * note: a bitset-scored variant was built and measured for the band-
+    * tuning sweeps on the hypothesis that verification dominated them —
+    * rejected: the 32-band split generates only ~1k candidates at sf0.1,
+    * so the array_intersect cost is noise while the variant's vocab-probe
+    * collect added a ~40 ms driver action per call; reverted.) */
   private def verifyPairs(d: DataFrame, candidates: DataFrame,
                           threshold: Double): DataFrame =
     pairJaccard(d, candidates)
@@ -3873,7 +3987,15 @@ object PipelineOps {
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-    var e = norm0.localCheckpoint(true)
+    // LAZY checkpoints throughout the loop: the convergence checksum is the
+    // action that materializes each round's edge set, so a round costs TWO
+    // jobs (the intermediate large-star materialization + checksum) instead
+    // of three (optimization round 20 — the loop's job count, not its task
+    // work, dominated this operator's wall clock at bench scale: 40 jobs,
+    // 83 ms of executor time). The intermediate checkpoint must stay EAGER:
+    // `sym` references the round's input twice (union with its swap), so an
+    // unmaterialized inner round would compute twice.
+    var e = norm0.localCheckpoint(false)
 
     def round(cur: DataFrame, large: Boolean): DataFrame = {
       val sym = cur.select(col("u"), col("v"))
@@ -3907,9 +4029,10 @@ object PipelineOps {
     while (!converged && i < maxIter) {
       // one full round = large-star then small-star, each checkpointed so
       // the iterated plan stays truncated (same rationale as the
-      // min-propagation loop)
+      // min-propagation loop); the small-star checkpoint is lazy — the
+      // checksum materializes it in the same job
       val next = round(round(e, large = true).localCheckpoint(true), large = false)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = checksum(next)
       e = next
       converged = s == prev
@@ -3961,6 +4084,63 @@ object PipelineOps {
     val sig = registerCache(
       d.withColumn("sig", minhashSignature(col("sh"), numPerms, 42L)))
     verifyPairs(sig, lshCandidates(sig, numPerms, bands, maxBucket), threshold)
+  }
+
+  /** [[lshCandidates]] for SEVERAL (bands, rows) splits in ONE banding
+    * pass, returning (split, doc_a, doc_b): the per-split slice is exactly
+    * lshCandidates' output for that split — same band hashes, same
+    * hot-bucket rule keyed per (split, band, band_hash), same distinct —
+    * but the signature table is read once, one occupancy aggregate and one
+    * candidate self-join serve the whole sweep (optimization round 20: the
+    * per-split form planned 3 banding explodes + 3 hot aggregates + 3
+    * joins, ~34 AQE stage jobs per tuning query on an ~40-70 ms/job box;
+    * at scale it is 3 signature scans where one suffices). */
+  private def lshCandidatesMulti(sig: DataFrame, numPerms: Int,
+                                 splits: Seq[Int], maxBucket: Int): DataFrame = {
+    val pieces = splits.flatMap { b =>
+      val r = numPerms / b
+      (0 until b).map(bb => struct(lit(b.toLong).as("split"), lit(bb).as("band"),
+        xxhash64(slice(col("sig"), bb * r + 1, r)).as("band_hash")))
+    }
+    val banded = registerCache(sig.select(col("doc_id"),
+        explode(array(pieces: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.split").as("split"),
+        col("bk.band").as("band"), col("bk.band_hash").as("band_hash")))
+    val hot = banded.groupBy(col("split"), col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("graft_bn"), min(col("doc_id")).as("graft_bmin"))
+      .filter(col("graft_bn") > maxBucket)
+      .select(col("split"), col("band"), col("band_hash"), col("graft_bmin"))
+    val marked = banded.join(broadcast(hot),
+      Seq("split", "band", "band_hash"), "left")
+    val cold = marked.filter(col("graft_bmin").isNull)
+      .select(col("doc_id"), col("split"), col("band"), col("band_hash"))
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        col("a.split") === col("b.split") && col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.split").as("split"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hotPairs = marked.filter(col("graft_bmin").isNotNull &&
+        col("doc_id") =!= col("graft_bmin"))
+      .select(col("split"), col("graft_bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    coldPairs.unionByName(hotPairs).distinct()
+  }
+
+  /** [[pairJaccard]] carrying key columns (e.g. the sweep's `split`)
+    * through the verification join — the jaccard expression is the SAME
+    * tree, so scores are bit-identical. */
+  private def pairJaccardKeyed(d: DataFrame, candidates: DataFrame,
+                               keyCols: Seq[String]): DataFrame = {
+    val sets = d.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(keyCols.map(col) ++ Seq(col("doc_a"), col("doc_b"),
+        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(0.0))
+          .otherwise(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard")): _*)
   }
 
   /** Banded candidate generation over an already-signed corpus `sig(doc_id,
@@ -4734,15 +4914,23 @@ object PipelineOps {
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .drop("dists")
 
-    // probe -> its nprobe nearest cells (n_probes x k rows; broadcast side)
+    // probe -> its nprobe nearest cells (n_probes x k rows; broadcast side).
+    // The nprobe selection is an ARRAY sort over the k-element dists vector
+    // — a pure projection — instead of a row_number window, whose exchange
+    // + sort stage cost one AQE job per call on an ~80-row relation
+    // (optimization round 20; ~40-70 ms/action floor on this box, and
+    // ann_ivf_recall_curve pays it 4x). array_sort on struct(dist, cell)
+    // orders field-by-field — exactly the window's (dist ASC, cell ASC)
+    // tie rule — so the selected cells are identical.
     val probeCells = withDists.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("nrm").as("q_nrm"), posexplode(col("dists")))
-      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dist")
-      .withColumn("cr", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))))
-      .filter(col("cr") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+        col("nrm").as("q_nrm"),
+        explode(slice(array_sort(zip_with(
+            col("dists"), sequence(lit(0), lit(centroids.length - 1)),
+            (d, c) => struct(d.as("dist"), c.as("cell")))),
+          1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        col("pc.cell").cast("int").as("cell"))
 
     val scored = assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -4899,13 +5087,15 @@ object PipelineOps {
       .select(col("vec_id"), col("cell"),
         array((0 until m).map(pqCodeCol(donors, m, _)): _*).as("codes"))
     val probeEmb = emb.filter(col("vec_id") < 5)
+    // window-free nprobe selection — same array-sort projection (and the
+    // same tie rule) as [[ivfSearch]]'s probe side
     val probeCells = withCellDists(probeEmb, cents)
-      .select(col("vec_id").as("q_id"), posexplode(col("dists")))
-      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dist")
-      .withColumn("cr", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))))
-      .filter(col("cr") <= nprobe)
-      .select(col("q_id"), col("cell"))
+      .select(col("vec_id").as("q_id"),
+        explode(slice(array_sort(zip_with(
+            col("dists"), sequence(lit(0), lit(cents.length - 1)),
+            (d, c) => struct(d.as("dist"), c.as("cell")))),
+          1, nprobe)).as("pc"))
+      .select(col("q_id"), col("pc.cell").cast("int").as("cell"))
     adcScoreRank(
       index.join(broadcast(probeCells), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))

@@ -54,10 +54,19 @@ object DeltaLoader {
   private val mapper = new ObjectMapper()
 
   /** Deleted-row count above which DV decode moves off the driver and the
-    * tombstone anti-join stops broadcasting (~64 MB of (path, index)
-    * pairs — the usual broadcast comfort bound). Exact, from descriptor
-    * cardinalities, so the plan choice costs nothing. */
-  private[sources] val dvBroadcastRows: Long = 4L * 1000 * 1000
+    * tombstone anti-join stops broadcasting. Exact, from descriptor
+    * cardinalities, so the plan choice costs nothing. Was 4M (a ~64 MB
+    * broadcast comfort bound); measured at bench scale the driver leg is
+    * the SLOW one well before that — decoding ~40k rows on the driver and
+    * embedding them as a local relation cost q_delta_cdf_synth 1.74 s vs
+    * 0.72 s for the executor-decode leg (optimization round 20, guide
+    * §1.2: the distributed algorithm beats the driver shortcut even at
+    * fixture scale). 16k keeps the zero-job driver path for genuinely
+    * tiny DVs (a tailing tick's few hundred deletes) where job-launch
+    * overhead would dominate; both legs are oracle-gated
+    * (q_delta_cdf_synth / q_delta_cdf_synth_dist). Overridable per
+    * session via spark.graft.dvBroadcastRows. */
+  private[sources] val dvBroadcastRows: Long = 16L * 1024
 
   final case class Snapshot(
       files: Seq[AddFile],
@@ -454,7 +463,15 @@ object DeltaLoader {
             acc.withColumn(c, lit(v).cast(f.dataType))
           }
         }
-        parts.reduce(_ unionByName _)
+        // pairwise, not left-deep: a 10k-partition table's union must not
+        // plan (or stack-overflow) at depth 10k. The branch-PER-TUPLE
+        // shape itself is deliberate and stays: Catalyst folds a filter on
+        // a partition column to true/false per branch and prunes whole
+        // scans — the union of literal branches IS this loader's static
+        // partition pruning (collapsing to one scan + a broadcast
+        // (file -> pv) join, the CDF legs' shape, would un-prune every
+        // partitioned serving query; optimization round 20 note).
+        DistKit.unionTree(parts)
       }
     val undeleted =
       if (!hasDv) base
