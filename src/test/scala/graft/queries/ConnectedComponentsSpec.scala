@@ -57,10 +57,31 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("star contraction converges in O(log n) rounds on a long chain") {
     // a 64-node path: min propagation needs ~63 rounds (over its default
-    // bound of 25); star contraction must finish well inside 30
-    val n = 64L
-    val labels = ccStar((1L until n).map(i => (i, i + 1)), (1L to n).toSeq)
-    assert(labels.values.toSet === Set(1L))
+    // bound of 25); star contraction must finish well inside 30. The
+    // local-edge bound is zeroed so this exercises the DISTRIBUTED loop
+    // (the small-graph fast path would otherwise absorb it).
+    spark.conf.set("spark.graft.ccLocalEdges", "0")
+    try {
+      val n = 64L
+      val labels = ccStar((1L until n).map(i => (i, i + 1)), (1L to n).toSeq)
+      assert(labels.values.toSet === Set(1L))
+    } finally spark.conf.unset("spark.graft.ccLocalEdges")
+  }
+
+  test("small-graph local fast path == the distributed star loop") {
+    // the same pseudo-random graph through both code paths: the driver
+    // union-find (default bound) and the distributed large/small-star
+    // loop (bound zeroed) must label identically
+    val nodes = (0L until 60L).toSeq
+    val edges = (0 until 90).map { i =>
+      val a = (i * 7919L + 13L) % 60L
+      val b = (i * 104729L + 31L) % 60L
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val local = ccStar(edges, nodes)
+    spark.conf.set("spark.graft.ccLocalEdges", "0")
+    try assert(ccStar(edges, nodes) === local)
+    finally spark.conf.unset("spark.graft.ccLocalEdges")
   }
 
   test("star contraction matches min propagation on a pseudo-random graph") {

@@ -51,16 +51,21 @@ class JaccardGuardSpec extends AnyFunSuite {
     assert(out.limit(1).count() >= 0) // plan executes
   }
 
-  test("guarded join and adaptive planner run exactly one stats aggregate") {
+  test("guarded join and adaptive planner run at most one stats aggregate") {
     // round-3 verdict #3: plan selection must not re-count what postingStats
-    // already measured (the measuring was most of dedup_adaptive's cost)
+    // already measured (the measuring was most of dedup_adaptive's cost).
+    // Optimization round 20 tightens the contract: stats are memoized per
+    // (session, postings plan), so a re-selection over the SAME corpus runs
+    // ZERO new aggregates — the bound is <= 1 per selection, and the second
+    // selection here must be a memo hit (exactly 0).
     val before = PipelineOps.statsActions.get()
     PipelineOps.ngramJaccardJoin(docShingles, 0.25, maxCandidatePairs = Some(1e9))
-    assert(PipelineOps.statsActions.get() - before === 1)
+    assert(PipelineOps.statsActions.get() - before <= 1)
     val before2 = PipelineOps.statsActions.get()
     val (plan, _) = PipelineOps.similarityJoinPlan(docShingles, threshold = 0.25)
     assert(plan === "exact") // dense corpus -> no prefix-stats second measure
-    assert(PipelineOps.statsActions.get() - before2 === 1)
+    assert(PipelineOps.statsActions.get() - before2 === 0,
+      "re-selecting over the same postings must serve the memoized stats")
   }
 
   test("5-chunk/2-combo simhash candidates reproduce the 4x16 pigeonhole result") {
