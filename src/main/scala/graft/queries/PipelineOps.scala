@@ -1641,7 +1641,10 @@ object PipelineOps {
       val st = curateStagesFor(spark, dir)
       st.input.agg(count(lit(1)).as("n_input"))
         .crossJoin(st.quality.agg(count(lit(1)).as("n_quality")))
-        .crossJoin(st.cleaned.agg(count(lit(1)).as("n_cleaned")))
+        // curateStages already counted the cleaned corpus EAGERLY (the
+        // block-width measurement) — the recount here was a whole extra
+        // paragraph-dedup chain per report (optimization round 20)
+        .withColumn("n_cleaned", lit(st.nCleaned))
         .crossJoin(st.deduped.agg(count(lit(1)).as("n_deduped")))
         .crossJoin(st.decon.agg(count(lit(1)).as("n_decontaminated")))
         .crossJoin(st.mixed.agg(count(lit(1)).as("n_mixed")))
@@ -3199,6 +3202,11 @@ object PipelineOps {
     val inv = deduped.select(col("doc_id"),
       explode(shingles(col("text_clean"), 3)).as("shingle"))
     val contaminated = decontaminate(inv, probeNgrams).select(col("doc_id"))
+    // NOT pool-cached (optimization round 20, measured): caching the decon
+    // survivors helped the report's double count but regressed doc_curate
+    // 0.94 -> 1.43 s in a controlled isolated A/B — the extra pool entry
+    // tipped the bounded cache into evicting live entries mid-plan. The
+    // anti-join is cheap on top of the CACHED deduped relation.
     val decon = deduped.join(contaminated, Seq("doc_id"), "left_anti")
     // 5. mixture: per-source deterministic keep rates
     val h = fnvMix64(concat(lit("mix-42-"), col("doc_id").cast("string")))
