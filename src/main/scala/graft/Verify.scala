@@ -20,11 +20,15 @@ object Verify {
         s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    var nOk, nFail = 0
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nOk += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        nFail += 1
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +50,12 @@ object Verify {
     // Spark releases — make every dump attributable to its toolchain
     Files.writeString(Paths.get(s"$outDir/versions.json"),
       s"""{"java": ${q(System.getProperty("java.version"))}, "spark": ${q(spark.version)}}""")
+    // One-line machine-readable summary, printed LAST (round-20 verdict,
+    // next-round item 1): the driver keeps a bounded stdout tail, and three
+    // rounds of CORRECTNESS artifacts came back `{}` with no parseable
+    // evidence of what this run did. The dump contents are unchanged; this
+    // only makes the run's outcome visible in a truncated capture.
+    println(s"""{"verified":$nOk,"failed":$nFail,"out":${q(outDir)}}""")
     spark.stop()
   }
 }
