@@ -1639,15 +1639,15 @@ object PipelineOps {
     // count — and survival fractions are int/int divisions.
     "doc_curate_report" -> ((spark, dir) => {
       val st = curateStagesFor(spark, dir)
-      st.input.agg(count(lit(1)).as("n_input"))
-        .crossJoin(st.quality.agg(count(lit(1)).as("n_quality")))
-        // curateStages already counted the cleaned corpus EAGERLY (the
-        // block-width measurement) — the recount here was a whole extra
-        // paragraph-dedup chain per report (optimization round 20)
+      // the five lazy counts come from curateStages' two-pass funnel
+      // (optimization round 21; the crossJoin-of-aggregates form planned
+      // 178 Exchanges / 91 scans because the decon+mixed suffix re-ran
+      // once per count); n_cleaned stays the eagerly-measured literal
+      // (optimization round 20). Same column names, order, and values.
+      st.funnel
         .withColumn("n_cleaned", lit(st.nCleaned))
-        .crossJoin(st.deduped.agg(count(lit(1)).as("n_deduped")))
-        .crossJoin(st.decon.agg(count(lit(1)).as("n_decontaminated")))
-        .crossJoin(st.mixed.agg(count(lit(1)).as("n_mixed")))
+        .select(col("n_input"), col("n_quality"), col("n_cleaned"),
+          col("n_deduped"), col("n_decontaminated"), col("n_mixed"))
         .withColumn("survival_rate",
           col("n_mixed").cast("double") / col("n_input").cast("double"))
     }),
@@ -3153,7 +3153,11 @@ object PipelineOps {
     * packs `mixed`; `doc_curate_report` counts every stage. */
   final case class CurateStages(input: DataFrame, quality: DataFrame,
       cleaned: DataFrame, nCleaned: Long, deduped: DataFrame,
-      decon: DataFrame, mixed: DataFrame)
+      decon: DataFrame, mixed: DataFrame,
+      /** the funnel report's five lazy counts (n_input, n_quality,
+        * n_deduped, n_decontaminated, n_mixed) in TWO passes — see the
+        * construction note in [[curateStages]]. */
+      funnel: DataFrame)
 
   def curate(d: DataFrame, probeNgrams: DataFrame,
              minTokens: Long = 16, paragraphK: Int = 10,
@@ -3213,7 +3217,31 @@ object PipelineOps {
     val mixed = mixtureSample(decon.withColumn("graft_mix_h", h),
       mixRates, defaultRate, sourceCol = "source", hashCol = "graft_mix_h")
       .drop("graft_mix_h")
-    CurateStages(d, quality, cleaned, nCleaned, deduped, decon, mixed)
+    // the funnel report's counts in TWO passes instead of five aggregate
+    // chains (optimization round 21, guide §1 "don't compute things you
+    // throw away": the report's plan was 178 Exchanges / 91 scans at
+    // sf0.1 because each crossJoined count re-planned its whole stage
+    // suffix — the decon anti-join chain ran once for n_decontaminated
+    // and AGAIN for n_mixed). One scan of the raw corpus yields n_input
+    // and n_quality (the quality gate counted as a conditional aggregate
+    // of the same filter predicate); one pass over the CACHED deduped
+    // relation left-joined to the contaminated ids yields n_deduped /
+    // n_decontaminated / n_mixed. Values are identical by construction:
+    // `contaminated` is unique per doc_id (decontaminate ends in a
+    // groupBy), so the left join cannot fan out and `marker IS NULL` is
+    // exactly the anti-join's row set; the mixture keep-condition is the
+    // same deterministic-hash expression mixtureSample filters on.
+    val mixKeep = shiftrightunsigned(fnvMix64(
+        concat(lit("mix-42-"), col("doc_id").cast("string"))), 11) <
+      mixtureThreshold(mixRates, defaultRate, "source")
+    val funnel = d.agg(count(lit(1)).as("n_input"),
+        count(when(tokenCount(col("text")) >= minTokens, lit(1))).as("n_quality"))
+      .crossJoin(deduped
+        .join(contaminated.withColumn("graft_cont", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_deduped"),
+          count(when(col("graft_cont").isNull, lit(1))).as("n_decontaminated"),
+          count(when(col("graft_cont").isNull && mixKeep, lit(1))).as("n_mixed")))
+    CurateStages(d, quality, cleaned, nCleaned, deduped, decon, mixed, funnel)
   }
 
   private def curatePack(st: CurateStages, shardTokens: Long): DataFrame = {
@@ -3443,13 +3471,19 @@ object PipelineOps {
     * Sources absent from `rates` keep `defaultRate`. A rate of 1.0 keeps
     * every row (threshold 2^53 exceeds any 53-bit hash). */
   def mixtureSample(d: DataFrame, rates: Map[String, Double], defaultRate: Double,
-                    sourceCol: String, hashCol: String): DataFrame = {
-    val thr = rates.foldLeft(lit(hashSampleThreshold(defaultRate))) {
+                    sourceCol: String, hashCol: String): DataFrame =
+    d.filter(shiftrightunsigned(col(hashCol), 11) <
+      mixtureThreshold(rates, defaultRate, sourceCol))
+
+  /** The per-source keep threshold expression [[mixtureSample]] filters on —
+    * factored out so the curation funnel's one-pass counts apply the SAME
+    * expression tree (bit-identical keep decisions by construction). */
+  private def mixtureThreshold(rates: Map[String, Double], defaultRate: Double,
+                               sourceCol: String): Column =
+    rates.foldLeft(lit(hashSampleThreshold(defaultRate))) {
       case (acc, (s, r)) =>
         when(col(sourceCol) === s, lit(hashSampleThreshold(r))).otherwise(acc)
     }
-    d.filter(shiftrightunsigned(col(hashCol), 11) < thr)
-  }
 
   /** Exact n-gram Jaccard similarity join over (doc_id, sh: array<string>).
     *
