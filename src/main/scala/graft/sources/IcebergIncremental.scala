@@ -558,79 +558,97 @@ object IcebergIncremental {
         }
       }
     }
-    // the range-collapsed position-delete leg: one delete-file scan, one
-    // referenced-file discovery, one pre-image scan for the WHOLE range;
-    // each tombstone carries its source delete file (`__graft_src`), so
-    // snapshot id + timestamp join in from a broadcast relation
+    // ---- range-collapsed legs. Each delete family first builds its
+    // STAMPED (file, row) -> (sid, ts) relation; the pre-image scans then
+    // either POOL with the insert leg (single end-schema ranges: ONE data
+    // scan serves inserts, pos-delete pre-images, and DV pre-images —
+    // optimization round 21, guide §6/§2: the three legs of a DML-heavy
+    // range read heavily-overlapping file sets, so a catch-up scanned the
+    // same region twice) or plan one scan per family (multi-schema ranges,
+    // the general case, exactly as before).
+
+    // position deletes: one delete-file scan + one referenced-file
+    // discovery for the whole range; each tombstone carries its source
+    // delete file (`__graft_src`), so snapshot id + timestamp join in
+    // from a broadcast relation. Returns (stamped tombstones, referenced
+    // data files, broadcast-size proxy).
     val posLegsL = posLegs.result()
-    if (posLegsL.nonEmpty) {
-      val delPairsAll = posLegsL.flatMap(_._3).distinctBy(_._1)
-      val delFilesAll = delPairsAll.map(_._1)
-      val referenced = spark.read.parquet(delFilesAll: _*)
-        .select(col("file_path").cast("string")).distinct()
-        .collect().map(r => remap(r.getString(0))).toSeq
-      if (referenced.nonEmpty) {
-        val plan0 = IcebergLoader.PlannedScan(
-          referenced.map(p => (p, 0L)), delFilesAll,
-          Seq.empty, Seq.empty, delPairsAll.map(_._2))
-        val tombs = IcebergLoader.positionTombstones(
-          spark, fs, dir, meta, plan0, keepSource = true).get
-        val srcMeta = spark.createDataFrame(posLegsL.flatMap {
-            case (sid, ts, pairs) => pairs.map(p =>
-              org.apache.spark.sql.Row(
-                PartitionLayout.scanPathKey(p._1), sid, ts)) }.asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__graft_src",
-              org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("__sid",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("__ts",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-        val stamped = tombs.join(broadcast(srcMeta), Seq("__graft_src"))
-          .drop("__graft_src")
-        // the same recorded-bytes broadcast decision positionTombstones
-        // makes internally, re-applied because the stamp join sits
-        // between its hint and this join
-        val recBytes = delPairsAll.map { case (p, b) =>
-          if (b >= 0L) b else scala.util.Try(
-            fs.getFileStatus(new HPath(p)).getLen)
-            .getOrElse(Long.MaxValue / 1024)
-        }.sum
-        val budget = spark.conf.getOption("spark.graft.tombBroadcastBytes")
-          .map(_.toLong).getOrElse(IcebergLoader.tombBroadcastBytes)
-        val rhs = if (recBytes * 4 <= budget) broadcast(stamped) else stamped
-        val base = IcebergLoader.scanLive(spark, schemaNode,
-          plan0.copy(positionDeleteFiles = Seq.empty,
-            positionDeleteBytes = Seq.empty),
-          referenced, posTombs = None, keepIds = true)
-        frames += base
-          .join(rhs, Seq("__graft_fp", "__graft_ri"))
-          .withColumn("_change_type", lit("delete"))
-          .withColumn("_snapshot_id", col("__sid"))
-          .withColumn("_commit_timestamp",
-            (col("__ts") / lit(1000.0)).cast("timestamp"))
-          .select(outCols: _*)
+    val posPart: Option[(DataFrame, Seq[String], Long)] =
+      if (posLegsL.isEmpty) None
+      else {
+        val delPairsAll = posLegsL.flatMap(_._3).distinctBy(_._1)
+        val delFilesAll = delPairsAll.map(_._1)
+        val referenced = spark.read.parquet(delFilesAll: _*)
+          .select(col("file_path").cast("string")).distinct()
+          .collect().map(r => remap(r.getString(0))).toSeq
+        if (referenced.isEmpty) None
+        else {
+          val plan0 = IcebergLoader.PlannedScan(
+            referenced.map(p => (p, 0L)), delFilesAll,
+            Seq.empty, Seq.empty, delPairsAll.map(_._2))
+          val tombs = IcebergLoader.positionTombstones(
+            spark, fs, dir, meta, plan0, keepSource = true).get
+          val srcMeta = spark.createDataFrame(posLegsL.flatMap {
+              case (sid, ts, pairs) => pairs.map(p =>
+                org.apache.spark.sql.Row(
+                  PartitionLayout.scanPathKey(p._1), sid, ts)) }.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__graft_src",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("__sid",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("__ts",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          val stamped = tombs.join(broadcast(srcMeta), Seq("__graft_src"))
+            .drop("__graft_src")
+          // the same recorded-bytes broadcast decision positionTombstones
+          // makes internally, re-applied because the stamp join sits
+          // between its hint and the pre-image join
+          val recBytes = delPairsAll.map { case (p, b) =>
+            if (b >= 0L) b else scala.util.Try(
+              fs.getFileStatus(new HPath(p)).getLen)
+              .getOrElse(Long.MaxValue / 1024)
+          }.sum
+          Some((stamped, referenced, recBytes * 4))
+        }
       }
-    }
-    // the range-collapsed DV-delta leg: the per-snapshot diff frames
-    // union (pairwise), and ONE pre-image scan over every referenced
-    // file serves all of them — each changed row inner-joins its own
-    // snapshot's stamped delta
+    // v3 DV deltas: the per-snapshot diff frames union (pairwise); the
+    // expansion proxy mirrors positionTombstones' DV sizing
     val dvLegsL = dvLegs.result()
-    if (dvLegsL.nonEmpty) {
-      val allDelta = DistKit.unionTree(dvLegsL.map(_._3))
-      val refAll = dvLegsL.flatMap(_._4.map(_.referencedDataFile)).distinct
+    val dvPart: Option[(DataFrame, Seq[String], Long)] =
+      if (dvLegsL.isEmpty) None
+      else Some((DistKit.unionTree(dvLegsL.map(_._3)),
+        dvLegsL.flatMap(_._4.map(_.referencedDataFile)).distinct,
+        dvLegsL.flatMap(_._4).map(d => math.max(d.contentSize, 0L)).sum * 32))
+    val budget = spark.conf.getOption("spark.graft.tombBroadcastBytes")
+      .map(_.toLong).getOrElse(IcebergLoader.tombBroadcastBytes)
+    // POOLED delete pre-image scan: the pos-delete and DV families read
+    // with the same shape (end schema, keepIds, no tombstones applied) and
+    // their stamp relations are disjoint on (file, row) — the DV delta
+    // anti-joins the parent state, which already contains the pos
+    // tombstones — so ONE scan over the union of their referenced files
+    // inner-joined to the union of their stamps is row-for-row the union
+    // of the two separate legs (optimization round 21: a v2→v3 migration
+    // history scanned the overlapping referenced sets twice). A pooled
+    // variant that ALSO folded the insert leg into this scan (left joins
+    // + per-row event explode) was built and measured — REJECTED: the
+    // fused chain serializes behind the tombstone aggregate and reads
+    // 0.74 → 1.02 s on q_iceberg_changes at sf0.1 (quiet-box median-of-7
+    // A/B) even though total task time halves; the parallel legs win at
+    // bench scale and tie the fused form's scan count when the added and
+    // referenced sets are disjoint.
+    val delParts = posPart.toSeq ++ dvPart.toSeq
+    if (delParts.nonEmpty) {
+      val delStamps = delParts.map(_._1.select(col("__graft_fp"),
+        col("__graft_ri"), col("__sid"), col("__ts")))
+        .reduce(_ unionByName _)
+      val refAll = delParts.flatMap(_._2).distinct
+      val proxy = delParts.map(_._3).sum
+      val rhs = if (proxy <= budget) broadcast(delStamps) else delStamps
       val base = IcebergLoader.scanLive(spark, schemaNode,
         IcebergLoader.PlannedScan(refAll.map(p => (p, 0L)), Seq.empty,
           Seq.empty, Seq.empty),
         refAll, posTombs = None, keepIds = true)
-      // the same expansion proxy positionTombstones uses for DV bitmaps,
-      // re-applied because the stamps sit above its internal hint
-      val dvBytes = dvLegsL.flatMap(_._4)
-        .map(d => math.max(d.contentSize, 0L)).sum
-      val budget = spark.conf.getOption("spark.graft.tombBroadcastBytes")
-        .map(_.toLong).getOrElse(IcebergLoader.tombBroadcastBytes)
-      val rhs = if (dvBytes * 32 <= budget) broadcast(allDelta) else allDelta
       frames += base
         .join(rhs, Seq("__graft_fp", "__graft_ri"))
         .withColumn("_change_type", lit("delete"))
