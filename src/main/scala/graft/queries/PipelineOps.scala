@@ -4265,13 +4265,20 @@ object PipelineOps {
         explode(array(pieces: _*)).as("bk"))
       .select(col("doc_id"), col("bk.split").as("split"),
         col("bk.band").as("band"), col("bk.band_hash").as("band_hash")))
-    val hot = banded.groupBy(col("split"), col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("graft_bn"), min(col("doc_id")).as("graft_bmin"))
-      .filter(col("graft_bn") > maxBucket)
-      .select(col("split"), col("band"), col("band_hash"), col("graft_bmin"))
-    val marked = banded.join(broadcast(hot),
-      Seq("split", "band", "band_hash"), "left")
-    val cold = marked.filter(col("graft_bmin").isNull)
+    // bucket occupancy as a WINDOW over the bucket key, not a separate
+    // aggregate + broadcast re-join (optimization round 21, guide §2.4 —
+    // operations keyed the same way share one exchange): the window's
+    // hash exchange on (split, band, band_hash) is exactly the
+    // distribution the candidate self-join needs, and both join sides
+    // share the SAME exchange subtree, so the banded relation crosses the
+    // wire ONCE (the agg+broadcast form shuffled it once per join side at
+    // scale and spent two broadcast-build jobs at bench scale). Same
+    // count/min per bucket, same cold/hot split, identical pairs.
+    val w = Window.partitionBy(col("split"), col("band"), col("band_hash"))
+    val marked = banded
+      .withColumn("graft_bn", count(lit(1)).over(w))
+      .withColumn("graft_bmin", min(col("doc_id")).over(w))
+    val cold = marked.filter(col("graft_bn") <= maxBucket)
       .select(col("doc_id"), col("split"), col("band"), col("band_hash"))
     val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.split") === col("b.split") && col("a.band") === col("b.band") &&
@@ -4279,7 +4286,7 @@ object PipelineOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.split").as("split"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val hotPairs = marked.filter(col("graft_bmin").isNotNull &&
+    val hotPairs = marked.filter(col("graft_bn") > maxBucket &&
         col("doc_id") =!= col("graft_bmin"))
       .select(col("split"), col("graft_bmin").as("doc_a"), col("doc_id").as("doc_b"))
     coldPairs.unionByName(hotPairs).distinct()
@@ -4314,15 +4321,20 @@ object PipelineOps {
       posexplode(array((0 until bands).map(bb =>
         xxhash64(slice(col("sig"), bb * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash"))
-    // skew detector: bucket occupancy is a map-side-combined aggregate over
-    // (band, band_hash) — hot buckets are by construction FEW (each holds
-    // >maxBucket of the corpus), so the hot list broadcasts
-    val hot = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("graft_bn"), min(col("doc_id")).as("graft_bmin"))
-      .filter(col("graft_bn") > maxBucket)
-      .select(col("band"), col("band_hash"), col("graft_bmin"))
-    val marked = banded.join(broadcast(hot), Seq("band", "band_hash"), "left")
-    val cold = marked.filter(col("graft_bmin").isNull)
+    // skew detector via a WINDOW over the bucket key, not a separate
+    // aggregate + broadcast re-join (optimization round 21, guide §2.4 —
+    // operations keyed the same way share one exchange): the window's
+    // hash exchange on (band, band_hash) is the distribution the candidate
+    // self-join needs, and both join sides share the SAME exchange
+    // subtree, so the banded relation crosses the wire ONCE (the
+    // agg+broadcast form shuffled it per join side at scale and spent two
+    // broadcast-build jobs at bench scale). Same count/min per bucket,
+    // same cold/hot split, identical pairs.
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    val marked = banded
+      .withColumn("graft_bn", count(lit(1)).over(w))
+      .withColumn("graft_bmin", min(col("doc_id")).over(w))
+    val cold = marked.filter(col("graft_bn") <= maxBucket)
       .select(col("doc_id"), col("band"), col("band_hash"))
     // candidate pairs carry ids only; shingle arrays re-join once per pair
     val coldPairs = cold.as("a").join(cold.as("b"),
@@ -4330,7 +4342,7 @@ object PipelineOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // hot buckets: star to the bucket min — linear in bucket size
-    val hotPairs = marked.filter(col("graft_bmin").isNotNull &&
+    val hotPairs = marked.filter(col("graft_bn") > maxBucket &&
         col("doc_id") =!= col("graft_bmin"))
       .select(col("graft_bmin").as("doc_a"), col("doc_id").as("doc_b"))
     coldPairs.unionByName(hotPairs).distinct()
